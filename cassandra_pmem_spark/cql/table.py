@@ -1,0 +1,205 @@
+"""CqlTable — the CQL-read facade compiling to DataFrame plans.
+
+Models SELECT in all its CQL forms (SURVEY §2.2/§2.6) as a builder whose
+terminal ``df()`` produces a *declarative* plan — filters and projections
+stay visible to Catalyst, so predicate pushdown / column pruning reach the
+parquet scan exactly like the reference's ColumnFilter
+(db/filter/ColumnFilter.java:43-66) and clustering slices
+(db/filter/ClusteringIndexSliceFilter.java) reach its storage layer.
+
+Strictness: with strict=True the builder rejects what CQL rejects (see
+validator.py). Default is permissive — full Spark surface.
+
+Scale notes per construct:
+- point / IN lookups → parquet row-group + page pruning via pushed filters;
+- partition-range scan → plain scan, token ordering via xxhash64;
+- PER PARTITION LIMIT → window row_number over (pk order by ck); this
+  shuffles by pk once — at 100 TB pre-bucket the table by pk to elide it;
+- SELECT DISTINCT pk → dropDuplicates(pk) = partial+final hash aggregate,
+  no row explosion.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cassandra_pmem_spark.catalog import TABLES, TableMeta, load_table
+from cassandra_pmem_spark.cql.validator import (
+    Op,
+    Restriction,
+    validate_distinct,
+    validate_group_by,
+    validate_order_by,
+    validate_restrictions,
+)
+from cassandra_pmem_spark.functions.token import token_column
+
+_OP_TO_COLUMN = {
+    Op.EQ: lambda c, v: c == v,
+    Op.LT: lambda c, v: c < v,
+    Op.LTE: lambda c, v: c <= v,
+    Op.GT: lambda c, v: c > v,
+    Op.GTE: lambda c, v: c >= v,
+    Op.NEQ: lambda c, v: c != v,
+    Op.IN: lambda c, v: c.isin(*v) if isinstance(v, (list, tuple)) else c.isin(v),
+    Op.CONTAINS: lambda c, v: F.array_contains(c, v),
+    Op.CONTAINS_KEY: lambda c, v: F.array_contains(F.map_keys(c), v),
+    Op.LIKE: lambda c, v: c.like(v),
+    Op.IS_NOT_NULL: lambda c, v: c.isNotNull(),
+}
+
+
+class CqlTable:
+    """Immutable-ish builder for a CQL-shaped read."""
+
+    def __init__(self, df: DataFrame, meta: TableMeta, strict: bool = False):
+        self._df = df
+        self.meta = meta
+        self.strict = strict
+        self._restrictions: list[Restriction] = []
+        self._conditions: list[Column] = []
+        self._projection: list[Column] | None = None
+        self._distinct = False
+        self._distinct_cols: list[str] = []
+        self._order: list[tuple[str, bool]] = []
+        self._limit: int | None = None
+        self._per_partition_limit: int | None = None
+        self._allow_filtering = False
+
+    def _copy(self) -> "CqlTable":
+        t = CqlTable(self._df, self.meta, self.strict)
+        t._restrictions = list(self._restrictions)
+        t._conditions = list(self._conditions)
+        t._projection = list(self._projection) if self._projection is not None else None
+        t._distinct = self._distinct
+        t._distinct_cols = list(self._distinct_cols)
+        t._order = list(self._order)
+        t._limit = self._limit
+        t._per_partition_limit = self._per_partition_limit
+        t._allow_filtering = self._allow_filtering
+        return t
+
+    # -- builder surface ----------------------------------------------------
+
+    def select(self, *cols: str | Column) -> "CqlTable":
+        t = self._copy()
+        t._projection = [F.col(c) if isinstance(c, str) else c for c in cols]
+        return t
+
+    def where(self, column: str, op: Op | str, value: Any = None) -> "CqlTable":
+        op = Op(op) if isinstance(op, str) else op
+        t = self._copy()
+        t._restrictions.append(Restriction(column, op))
+        t._conditions.append(_OP_TO_COLUMN[op](F.col(column), value))
+        return t
+
+    def where_tuple(self, columns: Sequence[str], op: Op | str, values: Sequence[Any]) -> "CqlTable":
+        """Multi-column (tuple) relation: ``(a, b) > (1, 2)`` — lexicographic
+        on a clustering prefix (cql3/restrictions/MultiColumnRestriction.java).
+        Spark structs compare lexicographically, so this stays JVM-side."""
+        op = Op(op) if isinstance(op, str) else op
+        t = self._copy()
+        for c in columns:
+            t._restrictions.append(Restriction(c, op))
+        # Struct comparison needs identical field names AND types on both
+        # sides, so cast/alias the literal tuple to the column shape.
+        dtypes = dict(self._df.dtypes)
+        lhs = F.struct(*[F.col(c) for c in columns])
+        rhs = F.struct(
+            *[F.lit(v).cast(dtypes[c]).alias(c) for c, v in zip(columns, values)]
+        )
+        t._conditions.append(_OP_TO_COLUMN[op](lhs, rhs))
+        return t
+
+    def where_token(self, op: Op | str, value: int) -> "CqlTable":
+        """token(pk) relation (cql3/restrictions/TokenRestriction.java:40) —
+        range scan in deterministic hash order; see functions/token.py."""
+        op = Op(op) if isinstance(op, str) else op
+        t = self._copy()
+        t._conditions.append(_OP_TO_COLUMN[op](token_column(self.meta.partition_key), value))
+        return t
+
+    def allow_filtering(self) -> "CqlTable":
+        t = self._copy()
+        t._allow_filtering = True
+        return t
+
+    def distinct(self, *cols: str) -> "CqlTable":
+        """SELECT DISTINCT — one row per partition (DataLimits.distinctLimits)."""
+        t = self._copy()
+        t._distinct = True
+        t._distinct_cols = list(cols) or list(self.meta.partition_key)
+        return t
+
+    def order_by(self, *cols: str | tuple[str, bool]) -> "CqlTable":
+        t = self._copy()
+        t._order = [(c, True) if isinstance(c, str) else c for c in cols]
+        return t
+
+    def limit(self, n: int) -> "CqlTable":
+        t = self._copy()
+        t._limit = n
+        return t
+
+    def per_partition_limit(self, n: int) -> "CqlTable":
+        t = self._copy()
+        t._per_partition_limit = n
+        return t
+
+    # -- compilation ----------------------------------------------------------
+
+    def df(self) -> DataFrame:
+        meta = self.meta
+        if self.strict:
+            validate_restrictions(meta, self._restrictions, self._allow_filtering)
+            pk_restricted = {r.column for r in self._restrictions if r.op in (Op.EQ, Op.IN)} >= set(
+                meta.partition_key
+            )
+            validate_order_by(meta, self._order, pk_restricted)
+            if self._distinct:
+                validate_distinct(meta, self._distinct_cols)
+
+        out = self._df
+        for cond in self._conditions:
+            out = out.filter(cond)
+
+        if self._per_partition_limit is not None:
+            out = _per_partition_limit(out, meta, self._per_partition_limit)
+
+        if self._distinct:
+            out = out.select(*self._distinct_cols).dropDuplicates(self._distinct_cols)
+        elif self._projection is not None:
+            out = out.select(*self._projection)
+
+        if self._order:
+            out = out.orderBy(*[F.col(c).asc() if asc else F.col(c).desc() for c, asc in self._order])
+        if self._limit is not None:
+            out = out.limit(self._limit)
+        return out
+
+
+def _per_partition_limit(df: DataFrame, meta: TableMeta, n: int) -> DataFrame:
+    """PER PARTITION LIMIT n (Parser.g:280; DataLimits.java:91,540-547):
+    first n rows per partition in clustering order."""
+    order = [
+        F.col(c.name).asc() if c.ascending else F.col(c.name).desc() for c in meta.clustering
+    ] or [F.lit(1)]
+    w = Window.partitionBy(*[F.col(c) for c in meta.partition_key]).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
+def cql_table(
+    spark: SparkSession, name: str, sf_dir: str | None = None, strict: bool = False
+) -> CqlTable:
+    from cassandra_pmem_spark.catalog import DEFAULT_SF_DIR
+
+    meta = TABLES[name]
+    df = load_table(spark, name, sf_dir or DEFAULT_SF_DIR)
+    return CqlTable(df, meta, strict=strict)

@@ -1,0 +1,170 @@
+"""Strict-CQL validation (optional gate, off by default).
+
+Spark happily evaluates every predicate/sort/group; CQL does not. The
+reference rejects, at statement-prepare time:
+
+- arbitrary filtering without ALLOW FILTERING
+  (cql3/restrictions/StatementRestrictions.java:51-54 — the
+  "Cannot execute this query ... use ALLOW FILTERING" error),
+- ORDER BY on non-clustering columns / non-prefix / mixed directions /
+  unrestricted partition key
+  (cql3/statements/SelectStatement.java:1105 verifyOrderingIsAllowed,
+  :1213 isReversed),
+- GROUP BY on anything but a primary-key prefix in PK order
+  (SelectStatement.java:1145-1190; AggregationSpecification.java:56),
+- SELECT DISTINCT on anything but partition-key (+static) columns
+  (SelectStatement.java:975 validateDistinctSelection),
+- ordering/clustering on the duration type — Duration has no total order
+  (cql3/Duration.java; AbstractType comparability).
+
+These checks are pre-flight validation on our facade, NOT Catalyst rules
+(SURVEY §4): with strict=False the full Spark surface passes through.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from enum import Enum
+
+from cassandra_pmem_spark.catalog import TableMeta
+
+
+class InvalidRequest(Exception):
+    """CQL-level statement rejection (maps exceptions/InvalidRequestException)."""
+
+
+class Op(Enum):
+    # cql3/Operator.java:33-176 (+ LIKE variants :192-256)
+    EQ = "="
+    LT = "<"
+    LTE = "<="
+    GT = ">"
+    GTE = ">="
+    NEQ = "!="
+    IN = "IN"
+    CONTAINS = "CONTAINS"
+    CONTAINS_KEY = "CONTAINS KEY"
+    LIKE = "LIKE"
+    IS_NOT_NULL = "IS NOT NULL"
+
+
+@dataclass(frozen=True)
+class Restriction:
+    column: str
+    op: Op
+    # value is opaque to validation
+
+
+_SLICE_OPS = {Op.LT, Op.LTE, Op.GT, Op.GTE}
+
+
+def validate_restrictions(
+    meta: TableMeta, restrictions: list[Restriction], allow_filtering: bool = False
+) -> None:
+    """Classify WHERE relations like StatementRestrictions.java:126 and
+    reject plans that would need filtering without ALLOW FILTERING.
+
+    CQL-legal without ALLOW FILTERING:
+      * partition key: every pk column EQ (or IN) — point/multi-point read
+        (SinglePartitionReadCommand), or token()-range, or none at all
+        (full range scan) *provided* no regular-column predicates;
+      * clustering: a prefix of EQ, optionally ending in one sliced column
+        (ClusteringIndexSliceFilter);
+      * regular columns: nothing (we model no secondary indexes).
+    """
+    if allow_filtering:
+        return
+    by_col = {r.column: r for r in restrictions}
+    pk_set, ck_names = set(meta.partition_key), [c.name for c in meta.clustering]
+
+    pk_restr = [r for r in restrictions if r.column in pk_set]
+    pk_fully_eq = set(meta.partition_key) == {r.column for r in pk_restr} and all(
+        r.op in (Op.EQ, Op.IN) for r in pk_restr
+    )
+    if pk_restr and not pk_fully_eq:
+        raise InvalidRequest(
+            "Partition key parts must be restricted by = or IN, covering all parts, "
+            "or not at all (token-range scan); otherwise ALLOW FILTERING is required "
+            "(StatementRestrictions.processPartitionKeyRestrictions)"
+        )
+
+    # clustering prefix: EQ* then at most one sliced column, in declared order
+    slice_seen = False
+    restricted_ck = [c for c in ck_names if c in by_col]
+    for i, ck in enumerate(ck_names):
+        r = by_col.get(ck)
+        if r is None:
+            if any(c in by_col for c in ck_names[i + 1 :]):
+                raise InvalidRequest(
+                    f"Clustering column {ck_names[i + 1:]} restricted without preceding "
+                    f"{ck!r} being EQ-restricted — needs ALLOW FILTERING "
+                    "(StatementRestrictions.processClusteringColumnsRestrictions)"
+                )
+            break
+        if slice_seen:
+            raise InvalidRequest(
+                f"Clustering column {ck!r} restricted after a slice — needs ALLOW FILTERING"
+            )
+        if r.op in _SLICE_OPS:
+            slice_seen = True
+        elif r.op not in (Op.EQ, Op.IN):
+            raise InvalidRequest(f"Operator {r.op.value} on clustering column {ck!r} needs ALLOW FILTERING")
+
+    regular = [r for r in restrictions if r.column not in pk_set and r.column not in ck_names]
+    if regular:
+        if not pk_fully_eq or True:
+            # Regular-column predicates always need ALLOW FILTERING absent a
+            # secondary index (we deliberately model none — SURVEY §2.2).
+            raise InvalidRequest(
+                f"Predicates on non-primary-key columns {[r.column for r in regular]} "
+                "require ALLOW FILTERING (RowFilter post-filtering)"
+            )
+    if restricted_ck and not pk_fully_eq:
+        raise InvalidRequest(
+            "Clustering restrictions without fully-restricted partition key need ALLOW FILTERING"
+        )
+
+
+def validate_order_by(
+    meta: TableMeta, order_cols: list[tuple[str, bool]], pk_is_restricted: bool
+) -> None:
+    """SelectStatement.verifyOrderingIsAllowed + isReversed (:1105, :1213)."""
+    if not order_cols:
+        return
+    if not pk_is_restricted:
+        raise InvalidRequest(
+            "ORDER BY is only supported when the partition key is restricted by = or IN"
+        )
+    ck = [(c.name, c.ascending) for c in meta.clustering]
+    names = [n for n, _ in order_cols]
+    if names != [n for n, _ in ck[: len(names)]]:
+        raise InvalidRequest(
+            f"ORDER BY must be a prefix of the clustering order {[n for n, _ in ck]}, got {names}"
+        )
+    same = all(asc == declared_asc for (_, asc), (_, declared_asc) in zip(order_cols, ck))
+    reversed_ = all(asc != declared_asc for (_, asc), (_, declared_asc) in zip(order_cols, ck))
+    if not (same or reversed_):
+        raise InvalidRequest(
+            "ORDER BY directions must all match the clustering order or all reverse it"
+        )
+
+
+def validate_group_by(meta: TableMeta, group_cols: list[str]) -> None:
+    """GROUP BY must be a primary-key prefix in PK order
+    (SelectStatement.java:1145-1190, AggregationSpecification.AGGREGATE_BY_PK_PREFIX)."""
+    pk = list(meta.primary_key)
+    if group_cols != pk[: len(group_cols)]:
+        raise InvalidRequest(
+            f"GROUP BY must be a prefix of the primary key {pk}, got {group_cols}"
+        )
+
+
+def validate_distinct(meta: TableMeta, cols: list[str]) -> None:
+    """SELECT DISTINCT only on partition key (+ static) columns
+    (SelectStatement.validateDistinctSelection:975)."""
+    allowed = set(meta.partition_key) | set(meta.static_columns)
+    bad = [c for c in cols if c not in allowed]
+    if bad:
+        raise InvalidRequest(
+            f"SELECT DISTINCT only supports partition-key/static columns; got {bad}"
+        )

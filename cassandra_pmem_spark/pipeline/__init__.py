@@ -1,0 +1,3 @@
+from cassandra_pmem_spark.pipeline import dedup, similarity, text, multimodal
+
+__all__ = ["dedup", "similarity", "text", "multimodal"]

@@ -1,0 +1,275 @@
+"""Deduplication operators for training-data pipelines at 100 TB scale.
+
+Five tiers, cheapest-first — the production pattern is to run them as a
+cascade (exact → minhash-LSH → verify) so the expensive comparisons only see
+LSH-bucketed candidates, never a cross-join:
+
+  1. exact            — hash-groupBy on normalized text; one shuffle.
+  2. minhash_lsh      — shingle → K minhashes → b bands → bucket self-join;
+                        candidate pairs ∝ true near-dups, not n².
+  3. simhash          — 64-bit weighted-bit fingerprint; hamming-adjacent
+                        buckets; good for short docs.
+  4. ngram_jaccard    — exact Jaccard on candidate pairs (verification tier).
+  5. embedding cosine — near-dup in embedding space via random-hyperplane
+                        buckets (see similarity.py), for semantic dups.
+
+Everything is built-in-function Spark (codegen, no Python in the row path);
+hashes are xxhash64 with integer seeds so signatures are deterministic
+across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form for exact dedup: lowercase, collapse whitespace, trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the smallest id per normalized-text group.
+
+    groupBy on the *hash* of the normalized text (not the text itself) so the
+    shuffle keys are 8 bytes, not document bodies — at 100 TB this is the
+    difference between shuffling keys and shuffling the corpus. A second
+    semi-join pulls the surviving rows."""
+    h = F.xxhash64(normalize_text(text_col))
+    keep = (
+        df.select(F.col(id_col), h.alias("__h"))
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """n-word shingles of the normalized text (array<string>)."""
+    words = F.split(normalize_text(col), " ")
+    k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
+    idx = F.sequence(F.lit(0), k - 1)
+    return F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
+    """K independent minhashes: min over shingles of xxhash64(shingle, seed).
+
+    array<bigint> of length K. Deterministic: seeds are 0..K-1."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(seed))))
+            for seed in range(num_hashes)
+        ]
+    )
+
+
+def minhash_signature_md5(shingles: Column, num_hashes: int = 16) -> Column:
+    """Portable minhash variant: min md5-hex string per seeded salt.
+
+    Slower than the xxhash64 signature (string min vs int min) but
+    reproducible in ANY engine — this is the variant the DuckDB correctness
+    oracle mirrors. Production uses minhash_signature (xxhash64)."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s: F.md5(F.concat(s, F.lit(f"#{seed}")))))
+            for seed in range(num_hashes)
+        ]
+    )
+
+
+def md5_hash32(col: Column) -> Column:
+    """Portable 32-bit token hash: first 8 hex chars of md5 as a long.
+    Identical in Spark (conv) and DuckDB (('0x'||h)::BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def _simhash(col: Column | str, bits: int, hash_fn) -> Column:
+    """Shared SimHash construction: per-token ±1 lane votes accumulated with
+    F.aggregate (single pass, codegen), then sign → fingerprint bit.
+
+    Bit positions are Python-level constants (F.shiftright requires an int),
+    so the expression tree is width `bits` — fine for 32/64."""
+    words = F.split(normalize_text(col), " ")
+    lanes = F.aggregate(
+        words,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, w: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(hash_fn(w), i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                    ).otherwise(F.lit(-1)).cast("long")
+                    for i in range(bits)
+                ]
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    fp = F.lit(0).cast("long")
+    for i in range(bits):
+        fp = fp.bitwiseOR(
+            F.when(F.element_at(lanes, i + 1) > 0, F.lit(1 << i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return fp
+
+
+def simhash32_md5(col: Column | str) -> Column:
+    """Portable 32-bit SimHash (md5-based token hash) — the oracle-checkable
+    twin of simhash64."""
+    return _simhash(col, 32, md5_hash32)
+
+
+def with_minhash(
+    df: DataFrame, text_col: str = "text", num_hashes: int = 32, shingle: int = 3
+) -> DataFrame:
+    return df.withColumn("minhash", minhash_signature(word_shingles(text_col, shingle), num_hashes))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH.
+
+    Signature of K hashes split into `bands` bands of K/bands rows; docs
+    agreeing on any full band collide. Plan shape: explode to (band_id,
+    band_hash, id) — one narrow row per band — then self-join on the band
+    key and dedup pairs. The join key is (band_id, 8-byte hash), so the
+    shuffle is tiny and collision groups are the only fan-out; no n² stage
+    anywhere. Returns (a, b, band_hits) with a < b."""
+    r = num_hashes // bands
+    sig = minhash_signature(word_shingles(text_col, shingle), num_hashes)
+    banded = df.select(F.col(id_col).alias("id"), sig.alias("sig")).select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(F.slice(F.col("sig"), b * r + 1, r).cast("string")).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bh")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .groupBy(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .agg(F.count("*").alias("band_hits"))
+    )
+    return pairs
+
+
+def minhash_jaccard_estimate(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    num_hashes: int = 32, shingle: int = 3,
+) -> DataFrame:
+    """Estimated Jaccard for candidate pairs = fraction of agreeing minhashes."""
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(word_shingles(text_col, shingle), num_hashes).alias("sig"),
+    )
+    out = (
+        pairs.join(sigs.withColumnRenamed("sig", "sig_a"), pairs.a == sigs.id)
+        .drop("id")
+        .join(sigs.withColumnRenamed("sig", "sig_b"), pairs.b == sigs.id)
+        .drop("id")
+    )
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+    )
+    return out.select("a", "b", (agree / F.lit(num_hashes)).alias("jaccard_est"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard verification of candidate pairs.
+
+    Only candidates reach this (post-LSH), so the set ops run on a
+    vanishingly small fraction of the corpus."""
+    sets_ = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(text_col, shingle)).alias("sh"),
+    )
+    j = (
+        pairs.select("a", "b")
+        .join(sets_.withColumnRenamed("sh", "sh_a"), F.col("a") == F.col("id")).drop("id")
+        .join(sets_.withColumnRenamed("sh", "sh_b"), F.col("b") == F.col("id")).drop("id")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return j.select("a", "b", (inter / union).cast("double").alias("jaccard"))
+
+
+def simhash64(col: Column | str) -> Column:
+    """64-bit SimHash of the word multiset (xxhash64 token hash — the
+    production variant).
+
+    Per token: 64 hash bits; each bit contributes +1/−1 to its lane;
+    fingerprint bit i = sign of lane i. Pure array expressions (aggregate +
+    zip_with) — stays in codegen, no UDF."""
+    return _simhash(col, 64, F.xxhash64)
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash: bucket on 4 × 16-bit chunks (any pair with
+    hamming ≤ 3 shares at least one exact chunk — pigeonhole), then verify
+    hamming distance on collisions only."""
+    sh = df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("sh"))
+    chunks = sh.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright("sh", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("ch"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "sh", "cc.chunk", "cc.ch")
+    l, r = chunks.alias("l"), chunks.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.ch") == F.col("r.ch"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh"))).alias("hamming"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)

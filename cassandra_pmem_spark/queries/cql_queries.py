@@ -1,0 +1,407 @@
+"""CQL read-semantics queries (SURVEY §2.1, §2.2, §2.6, §2.8, §2.9).
+
+Each query exercises one reference operator through this package's public
+surface (CqlTable / operators / functions) and carries the ANSI-SQL oracle
+DuckDB runs on the same parquet. Column aliases match oracle aliases
+exactly (driver hashes values under sorted column names).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_pmem_spark.catalog import TABLES, load_table
+from cassandra_pmem_spark.cql.table import cql_table
+from cassandra_pmem_spark.cql.validator import Op, validate_group_by
+from cassandra_pmem_spark.functions.blob import bigint_as_blob, blob_as_bigint
+from cassandra_pmem_spark.functions.json_fcts import to_json  # noqa: F401 (API surface)
+from cassandra_pmem_spark.functions.token import with_token
+from cassandra_pmem_spark.operators.aggregates import exact_double_sum
+from cassandra_pmem_spark.operators.collections import element_at_index
+from cassandra_pmem_spark.operators.counters import fold_counters
+from cassandra_pmem_spark.operators.upsert import (
+    filter_expired,
+    upsert_lww_cells,
+    upsert_lww_rows,
+)
+
+
+# ----- scans / restrictions --------------------------------------------------
+
+def cql_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-partition read: full-pk point lookup
+    (db/SinglePartitionReadCommand.java:395)."""
+    return (
+        cql_table(spark, "customer", sf_dir, strict=True)
+        .select("c_name", "c_acctbal")
+        .where("c_custkey", Op.EQ, 42)
+        .df()
+    )
+
+
+def cql_multipoint_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-partition read: IN on partition key
+    (SinglePartitionReadCommand.Group, :1088)."""
+    return (
+        cql_table(spark, "orders", sf_dir, strict=True)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .where("o_custkey", Op.IN, [1, 7, 42])
+        .df()
+    )
+
+
+def cql_clustering_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-prefix slice + clustering-order ORDER BY
+    (ClusteringIndexSliceFilter; SelectStatement.getSliceCommands:508)."""
+    return (
+        cql_table(spark, "orders", sf_dir, strict=True)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .where("o_custkey", Op.EQ, 42)
+        .where("o_orderdate", Op.GTE, "1997-01-01")
+        .order_by(("o_orderdate", False), ("o_orderkey", True))
+        .df()
+    )
+
+
+def cql_per_partition_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER PARTITION LIMIT n (Parser.g:280; DataLimits.java:91,540-547):
+    newest 3 orders per customer in clustering order (o_orderdate DESC,
+    o_orderkey). orders is used because its clustering key is unique —
+    lineitem has duplicate (l_orderkey, l_linenumber) pairs in the synthetic
+    data, which would make the kept rows tie-broken arbitrarily."""
+    return (
+        cql_table(spark, "orders", sf_dir)
+        .per_partition_limit(3)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .df()
+    )
+
+
+def cql_distinct_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT pk — one row per partition
+    (SelectStatement.validateDistinctSelection:975; DataLimits.distinctLimits:113)."""
+    return cql_table(spark, "orders", sf_dir, strict=True).distinct("o_custkey").df()
+
+
+def cql_tuple_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column tuple relation, lexicographic
+    (cql3/restrictions/MultiColumnRestriction.java; Parser.g:443)."""
+    return (
+        cql_table(spark, "lineitem", sf_dir)
+        .where_tuple(("l_orderkey", "l_linenumber"), Op.GT, (1000, 3))
+        .where_tuple(("l_orderkey", "l_linenumber"), Op.LTE, (1200, 2))
+        .select("l_orderkey", "l_linenumber")
+        .df()
+    )
+
+
+def cql_token_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """token(pk) range scan in hash order (TokenRestriction.java:40,
+    TokenFct.java:61). xxhash64-ordered — no DuckDB analog, rows-only check."""
+    df = with_token(load_table(spark, "customer", sf_dir), "c_custkey")
+    return (
+        df.filter(F.col("token") > 0)
+        .orderBy("token")
+        .select("c_custkey", "token")
+        .limit(50)
+    )
+
+
+def cql_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAINS on a set<text> column (Operator.java:117) — the collection is
+    materialized per partition (collect_set), then filtered."""
+    orders = load_table(spark, "orders", sf_dir)
+    g = orders.groupBy("o_custkey").agg(
+        F.collect_set("o_orderpriority").alias("prios"),
+        F.count("*").alias("n_orders"),
+    )
+    return g.filter(F.array_contains("prios", "1-URGENT")).select("o_custkey", "n_orders")
+
+
+def cql_map_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-entry predicate m[k] > v (RowFilter.MapEqualityExpression:496 —
+    extended to inequality) over a map built from JSON props (fromjson)."""
+    ev = load_table(spark, "events", sf_dir)
+    k_val = F.regexp_extract("props", '"k": ([0-9]+)', 1).cast("int")
+    m = F.create_map(F.lit("k"), k_val)
+    return (
+        ev.withColumn("k_val", m.getItem("k"))
+        .filter(F.col("k_val") > 50)
+        .select("event_id", "user_id", "k_val")
+    )
+
+
+def cql_collection_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection element + slice selection (ElementsSelector.java:102,:163)."""
+    docs = load_table(spark, "documents", sf_dir)
+    words = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        element_at_index(words, 0).alias("first_word"),
+        F.array_join(F.slice(words, 1, 3), " ").alias("first3"),
+        F.size(words).cast("long").alias("n_words"),
+    )
+
+
+def cql_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE prefix/contains (Operator.java:192-256; SASI Expression.Op)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.filter(
+        F.col("text").like("data %") | F.col("text").like("%vector table%")
+    ).select("doc_id", "lang")
+
+
+# ----- write-semantics emulation ---------------------------------------------
+
+def cql_upsert_lww_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-granular upsert LWW (ModificationStatement.java:66): events as a
+    mutation log keyed by user_id, writetime = event_id."""
+    ev = load_table(spark, "events", sf_dir).select("user_id", "event_type", "value", "event_id")
+    latest = upsert_lww_rows(ev, key=["user_id"], writetime_col="event_id")
+    return latest.select(
+        "user_id",
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+        F.col("event_id").alias("last_writetime"),
+    )
+
+
+def cql_upsert_lww_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-granular LWW (db/rows/Cells reconcile; SURVEY §7 risk register):
+    'view' events write only the event_type cell (value=null), so the
+    surviving value may come from an older write than the surviving type."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        F.col("event_type"),
+        F.when(F.col("event_type") != "view", F.col("value")).alias("value"),
+        F.col("event_id").alias("writetime"),
+    )
+    cells = upsert_lww_cells(
+        ev, key=["user_id"], value_cols=["event_type", "value"], writetime_col="writetime"
+    )
+    return cells.select(
+        "user_id",
+        F.col("event_type").alias("last_type"),
+        F.col("_writetime_event_type").alias("type_wt"),
+        F.col("value").alias("last_value"),
+        F.col("_writetime_value").alias("value_wt"),
+    )
+
+
+def cql_ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """USING TTL read-time expiry (db/LivenessInfo.java; TTL cap
+    CASSANDRA-14092): 7-day TTL, frozen 'now' for determinism."""
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        "expiry_ts", F.col("ts") + F.expr("INTERVAL 7 DAYS")
+    )
+    live = filter_expired(ev, "expiry_ts", now="2024-01-20 00:00:00")
+    return live.groupBy("event_type").agg(F.count("*").alias("n_live"))
+
+
+def cql_counter_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counter materialization (db/CounterMutation.java:49): sum of an
+    increments log, delta = floor(value*100)."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", F.floor(F.col("value") * 100).cast("long").alias("delta")
+    )
+    return fold_counters(ev, key=["user_id"], delta_col="delta")
+
+
+# ----- selection / functions ---------------------------------------------------
+
+def cql_select_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT JSON row form (Selectable.WithToJSonFunction:389; Json.java:34)."""
+    orders = load_table(spark, "orders", sf_dir).filter(F.col("o_orderkey") < 100)
+    return orders.select(
+        "o_orderkey",
+        F.to_json(F.struct("o_orderkey", "o_orderstatus", "o_orderpriority")).alias("json_row"),
+    )
+
+
+def cql_cast_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cast() + typed arithmetic (CastFcts.java:61-85; OperationFcts.java:36-98):
+    double→bigint narrowing, integer div/mod."""
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_orderkey") < 300)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+        F.col("l_quantity").cast("long").alias("qty_int"),
+        F.expr("l_orderkey div 3").alias("key_div"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+    )
+
+
+def cql_time_fcts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """todate/totimestamp/tounixtimestamp (TimeFcts.java:149,170,191)."""
+    orders = load_table(spark, "orders", sf_dir).filter(F.col("o_orderkey") < 200)
+    return orders.select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("odate"),
+        F.unix_millis(F.col("o_orderdate")).alias("epoch_ms"),
+        F.to_timestamp(F.to_date("o_orderdate")).alias("ts_day"),
+    )
+
+
+def cql_blob_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """blobAsBigint/bigintAsBlob round trip (BytesConversionFcts.java:36)."""
+    orders = load_table(spark, "orders", sf_dir).filter(F.col("o_orderkey") < 100)
+    blob = bigint_as_blob("o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        F.lower(F.hex(blob)).alias("hex16"),
+        blob_as_bigint(blob).alias("roundtrip"),
+    )
+
+
+# ----- aggregation -------------------------------------------------------------
+
+def cql_group_by_pk_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY pk prefix (AggregationSpecification.AGGREGATE_BY_PK_PREFIX:56;
+    GroupMaker.java:78) with typed aggregates."""
+    validate_group_by(TABLES["lineitem"], ["l_orderkey"])  # strict-mode gate
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_lines"),
+        exact_double_sum("l_quantity").alias("sum_qty"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+def cql_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global aggregation, one row (AggregationSpecification.AGGREGATE_EVERYTHING:37)
+    incl. CQL integer-avg truncation (AggregateFcts.java:431-446)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        exact_double_sum("l_quantity").alias("sum_qty"),
+        F.expr("sum(l_linenumber) div count(l_linenumber)").cast("int").alias("avg_line_trunc"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+
+
+QUERIES = {
+    "cql_point_lookup": (
+        cql_point_lookup,
+        "SELECT c_name, c_acctbal FROM customer WHERE c_custkey = 42",
+    ),
+    "cql_multipoint_in": (
+        cql_multipoint_in,
+        "SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders "
+        "WHERE o_custkey IN (1, 7, 42)",
+    ),
+    "cql_clustering_slice": (
+        cql_clustering_slice,
+        "SELECT o_orderkey, o_orderdate, o_totalprice FROM orders "
+        "WHERE o_custkey = 42 AND o_orderdate >= TIMESTAMP '1997-01-01'",
+    ),
+    "cql_per_partition_limit": (
+        cql_per_partition_limit,
+        "SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM ("
+        "  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,"
+        "         row_number() OVER (PARTITION BY o_custkey"
+        "           ORDER BY o_orderdate DESC, o_orderkey) AS rn"
+        "  FROM orders) WHERE rn <= 3",
+    ),
+    "cql_distinct_partitions": (
+        cql_distinct_partitions,
+        "SELECT DISTINCT o_custkey FROM orders",
+    ),
+    "cql_tuple_relation": (
+        cql_tuple_relation,
+        # lexicographic expansion: DuckDB folds two struct comparisons on the
+        # same operand into an (unsupported) struct BETWEEN
+        "SELECT l_orderkey, l_linenumber FROM lineitem "
+        "WHERE (l_orderkey > 1000 OR (l_orderkey = 1000 AND l_linenumber > 3)) "
+        "AND (l_orderkey < 1200 OR (l_orderkey = 1200 AND l_linenumber <= 2))",
+    ),
+    "cql_token_scan": (cql_token_scan, None),  # xxhash64 order — rows-only
+    "cql_contains": (
+        cql_contains,
+        "SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey "
+        "HAVING bool_or(o_orderpriority = '1-URGENT')",
+    ),
+    "cql_map_entry": (
+        cql_map_entry,
+        "SELECT event_id, user_id, CAST(regexp_extract(props, '\"k\": ([0-9]+)', 1) AS INT) AS k_val "
+        "FROM events WHERE CAST(regexp_extract(props, '\"k\": ([0-9]+)', 1) AS INT) > 50",
+    ),
+    "cql_collection_access": (
+        cql_collection_access,
+        "SELECT doc_id, string_split(text, ' ')[1] AS first_word, "
+        "array_to_string(string_split(text, ' ')[1:3], ' ') AS first3, "
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words FROM documents",
+    ),
+    "cql_like": (
+        cql_like,
+        "SELECT doc_id, lang FROM documents "
+        "WHERE text LIKE 'data %' OR text LIKE '%vector table%'",
+    ),
+    "cql_upsert_lww_rows": (
+        cql_upsert_lww_rows,
+        "SELECT user_id, max_by(event_type, event_id) AS last_type, "
+        "max_by(value, event_id) AS last_value, max(event_id) AS last_writetime "
+        "FROM events GROUP BY user_id",
+    ),
+    "cql_upsert_lww_cells": (
+        cql_upsert_lww_cells,
+        "SELECT user_id, max_by(event_type, event_id) AS last_type, "
+        "max(event_id) AS type_wt, "
+        "max_by(CASE WHEN event_type <> 'view' THEN value END, "
+        "       CASE WHEN event_type <> 'view' THEN event_id END) AS last_value, "
+        "max(CASE WHEN event_type <> 'view' THEN event_id END) AS value_wt "
+        "FROM events GROUP BY user_id",
+    ),
+    "cql_ttl_expiry": (
+        cql_ttl_expiry,
+        "SELECT event_type, count(*) AS n_live FROM events "
+        "WHERE ts + INTERVAL 7 DAY > TIMESTAMP '2024-01-20 00:00:00' GROUP BY event_type",
+    ),
+    "cql_counter_fold": (
+        cql_counter_fold,
+        "SELECT user_id, CAST(SUM(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS delta "
+        "FROM events GROUP BY user_id",
+    ),
+    "cql_select_json": (
+        cql_select_json,
+        "SELECT o_orderkey, to_json(struct_pack(o_orderkey := o_orderkey, "
+        "o_orderstatus := o_orderstatus, o_orderpriority := o_orderpriority)) AS json_row "
+        "FROM orders WHERE o_orderkey < 100",
+    ),
+    "cql_cast_arithmetic": (
+        cql_cast_arithmetic,
+        "SELECT l_orderkey, l_linenumber, "
+        "CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_cents, "
+        "CAST(floor(l_quantity) AS BIGINT) AS qty_int, "
+        "l_orderkey // 3 AS key_div, l_orderkey % 7 AS key_mod "
+        "FROM lineitem WHERE l_orderkey < 300",
+    ),
+    "cql_time_fcts": (
+        cql_time_fcts,
+        "SELECT o_orderkey, CAST(o_orderdate AS DATE) AS odate, "
+        "epoch_ms(o_orderdate) AS epoch_ms, "
+        "CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS ts_day "
+        "FROM orders WHERE o_orderkey < 200",
+    ),
+    "cql_blob_conv": (
+        cql_blob_conv,
+        "SELECT o_orderkey, lower(lpad(to_hex(o_orderkey), 16, '0')) AS hex16, "
+        "o_orderkey AS roundtrip FROM orders WHERE o_orderkey < 100",
+    ),
+    "cql_group_by_pk_prefix": (
+        cql_group_by_pk_prefix,
+        "SELECT l_orderkey, count(*) AS n_lines, "
+        "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS sum_qty, "
+        "max(l_extendedprice) AS max_price FROM lineitem GROUP BY l_orderkey",
+    ),
+    "cql_global_agg": (
+        cql_global_agg,
+        "SELECT count(*) AS n_rows, count(DISTINCT l_partkey) AS n_parts, "
+        "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS sum_qty, "
+        "CAST(SUM(l_linenumber) // COUNT(l_linenumber) AS INT) AS avg_line_trunc, "
+        "min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship FROM lineitem",
+    ),
+}

@@ -1,0 +1,337 @@
+"""LLM-data-pipeline queries: dedup, similarity search, text analysis,
+multimodal — the 100 TB training-data operators (BASELINE.json north star).
+
+Oracles: the md5-based portable variants (minhash/simhash) are mirrored in
+DuckDB SQL exactly; xxhash64/LSH variants are rows-only (engine-specific
+hash order) — the exact twins above them are what the oracle verifies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_pmem_spark.catalog import load_table
+from cassandra_pmem_spark.pipeline.dedup import (
+    exact_dedup,
+    minhash_signature_md5,
+    ngram_jaccard_pairs,
+    simhash32_md5,
+    word_shingles,
+)
+from cassandra_pmem_spark.pipeline.multimodal import attach_media, extract_image_features
+from cassandra_pmem_spark.pipeline.similarity import (
+    brute_force_topk,
+    lsh_topk,
+    near_dup_pairs_exact,
+)
+from cassandra_pmem_spark.pipeline.text import (
+    bpe_ish_token_count,
+    lang_id,
+    md5_fingerprint,
+    quality_score,
+    token_count,
+)
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_MINHASH_K = 16
+
+
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: smallest doc_id survives per normalized-text group."""
+    docs = load_table(spark, "documents", sf_dir)
+    return exact_dedup(docs, "text", "doc_id").select("doc_id", "lang", "source")
+
+
+def dedup_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash Jaccard estimation (portable md5 signature, K=16) over all
+    pairs of a doc sample — signature agreement fraction ≈ Jaccard."""
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 40)
+    sigs = docs.select(
+        F.col("doc_id"),
+        minhash_signature_md5(word_shingles("text", 3), _MINHASH_K).alias("sig"),
+    )
+    l = sigs.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"))
+    r = sigs.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"))
+    agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+    return (
+        l.join(r, F.col("a") < F.col("b"))
+        .select("a", "b", (agree / F.lit(float(_MINHASH_K))).alias("jaccard_est"))
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document fingerprints (portable 32-bit md5 variant; the
+    64-bit xxhash64 production variant is dedup.simhash64)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select("doc_id", simhash32_md5("text").alias("simhash"))
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (3-word shingle) Jaccard over all pairs of a sample —
+    the verification tier of the dedup cascade."""
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 30)
+    ids = docs.select(F.col("doc_id"))
+    pairs = (
+        ids.select(F.col("doc_id").alias("a"))
+        .join(ids.select(F.col("doc_id").alias("b")), F.col("a") < F.col("b"))
+    )
+    return ngram_jaccard_pairs(docs, pairs, "doc_id", "text", shingle=3)
+
+
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for query vectors vec_id<5 over the whole corpus."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return brute_force_topk(emb, queries, k=10).select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cosine_sim"
+    )
+
+
+def sim_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding near-dup pairs (cosine ≥ 0.4) — O(n²) verification
+    tier; the LSH-bucketed scale path is sim_lsh_topk / embedding_near_dup_pairs."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return near_dup_pairs_exact(emb, threshold=0.4)
+
+
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH approximate top-k (rows-only: bucket assignment is
+    engine-specific). Recall vs brute force is asserted in tests."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return lsh_topk(emb, queries, k=10, bits=6).select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cosine_sim"
+    )
+
+
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        token_count("text").cast("long").alias("ws_tokens"),
+        bpe_ish_token_count("text").cast("long").alias("bpe_tokens"),
+    )
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return quality_score(docs, "text").select(
+        "doc_id",
+        F.col("q_chars").cast("long").alias("q_chars"),
+        F.col("q_words").cast("long").alias("q_words"),
+        "q_mean_word_len",
+        "q_punct_ratio",
+        "q_digit_ratio",
+        "q_stopword_ratio",
+        "q_unique_ratio",
+        "quality",
+    )
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return lang_id(docs, "text").select("doc_id", "lang", "lang_pred")
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select("doc_id", md5_fingerprint("text").alias("fp"))
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media (data, meta) layout over utf8 bytes of documents.text —
+    metadata predicates never touch the binary column."""
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "blob", F.col("text").cast("binary")
+    )
+    media = attach_media(docs, "blob", "image", "application/octet-stream", "doc_id")
+    return media.select(
+        "item_id",
+        F.col("meta.modality").alias("modality"),
+        F.col("meta.mime").alias("mime"),
+        F.octet_length("data").cast("long").alias("n_bytes"),
+    )
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction (decode stubbed — deterministic byte
+    statistics). Rows-only: numpy float entropy isn't SQL-reproducible."""
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "blob", F.col("text").cast("binary")
+    )
+    media = attach_media(docs, "blob", "image", "application/octet-stream", "doc_id")
+    return extract_image_features(media, dim=8, fake_decode=True)
+
+
+def _minhash_oracle() -> str:
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(shingles, s -> md5(concat(s, '#', {i}))))"
+        for i in range(_MINHASH_K)
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {_NORM_SQL} AS norm FROM documents WHERE doc_id < 40
+), w AS (
+  SELECT doc_id, string_split(norm, ' ') AS words FROM docs
+), sh AS (
+  SELECT doc_id,
+    list_transform(range(1, greatest(len(words) - 2, 1) + 1),
+                   i -> array_to_string(words[i:i+2], ' ')) AS shingles
+  FROM w
+), sig AS (
+  SELECT doc_id, [{sig_exprs}] AS sig FROM sh
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+  CAST(list_sum(list_transform(range(1, {_MINHASH_K + 1}),
+       i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / {_MINHASH_K}.0
+    AS jaccard_est
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+"""
+
+
+_SIMHASH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS w FROM documents
+), hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h FROM toks
+), lanes AS (
+  SELECT doc_id, i,
+    SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS lane
+  FROM hashed, range(32) t(i) GROUP BY doc_id, i
+)
+SELECT doc_id,
+  CAST(SUM(CASE WHEN lane > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
+FROM lanes GROUP BY doc_id
+"""
+
+_NGRAM_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, {_NORM_SQL} AS norm FROM documents WHERE doc_id < 30
+), w AS (
+  SELECT doc_id, string_split(norm, ' ') AS words FROM docs
+), sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, greatest(len(words) - 2, 1) + 1),
+                  i -> array_to_string(words[i:i+2], ' '))) AS shingles
+  FROM w
+), ds AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id
+), inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM ds x JOIN ds y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT sa.doc_id AS a, sb.doc_id AS b,
+  CAST(coalesce(i.i, 0) AS DOUBLE) / (sa.n + sb.n - coalesce(i.i, 0)) AS jaccard
+FROM sizes sa JOIN sizes sb ON sa.doc_id < sb.doc_id
+LEFT JOIN inter i ON i.a = sa.doc_id AND i.b = sb.doc_id
+"""
+
+_COSINE = (
+    "list_dot_product({a}.embedding::DOUBLE[], {b}.embedding::DOUBLE[]) / "
+    "(sqrt(list_dot_product({a}.embedding::DOUBLE[], {a}.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product({b}.embedding::DOUBLE[], {b}.embedding::DOUBLE[])))"
+)
+
+_TOPK_ORACLE = f"""
+SELECT query_id, neighbor_id, rank, cosine_sim FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    {_COSINE.format(a='c', b='q')} AS cosine_sim,
+    CAST(row_number() OVER (
+      PARTITION BY q.vec_id
+      ORDER BY {_COSINE.format(a='c', b='q')} DESC, c.vec_id) AS INT) AS rank
+  FROM embeddings c, embeddings q WHERE q.vec_id < 5
+) WHERE rank <= 10
+"""
+
+_NEARDUP_ORACLE = f"""
+SELECT l.vec_id AS a, r.vec_id AS b, {_COSINE.format(a='l', b='r')} AS cosine_sim
+FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
+WHERE {_COSINE.format(a='l', b='r')} >= 0.4
+"""
+
+_STOP_EN = "['the','and','of','to','a','in','is','that','it','for']"
+_TOKS = "list_filter(string_split_regex(lower(trim(text)), '[^\\p{L}\\p{N}]+'), t -> t <> '')"
+
+
+def _lang_sql() -> str:
+    from cassandra_pmem_spark.pipeline.text import STOPWORDS
+
+    scores = []
+    for lang, words in STOPWORDS.items():
+        arr = "[" + ",".join(f"'{w}'" for w in words) + "]"
+        scores.append(f"len(list_filter({_TOKS}, t -> list_contains({arr}, t))) AS s_{lang}")
+    langs = list(STOPWORDS)
+    best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN s_{l} = {best} THEN '{l}'" for l in langs
+    ) + " END"
+    return f"""
+WITH scored AS (SELECT doc_id, lang, {", ".join(scores)} FROM documents)
+SELECT doc_id, lang, {case} AS lang_pred FROM scored
+"""
+
+
+_QUALITY_ORACLE = """
+WITH feat AS (
+  SELECT doc_id,
+    CAST(length(text) AS BIGINT) AS q_chars,
+    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS q_words,
+    CAST(length(text) AS DOUBLE) / len(string_split_regex(trim(text), '\\s+')) AS q_mean_word_len,
+    CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / length(text) AS q_punct_ratio,
+    CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text) AS q_digit_ratio,
+    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+         w -> list_contains(['the','and','of','to','a','in','is','that','it','for'], lower(w))))
+         AS DOUBLE) / len(string_split_regex(trim(text), '\\s+')) AS q_stopword_ratio,
+    CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
+         / len(string_split_regex(trim(text), '\\s+')) AS q_unique_ratio
+  FROM documents
+)
+SELECT *, CAST((
+    (CASE WHEN q_words >= 5 AND q_words <= 100000 THEN 1.0 ELSE 0.3 END)
+  + least(q_stopword_ratio * 5, 1.0)
+  + greatest(0.0, 1 - q_punct_ratio * 5)
+  + greatest(0.0, 1 - q_digit_ratio * 3)
+) / 4 AS DOUBLE) AS quality
+FROM feat
+"""
+
+QUERIES = {
+    "dedup_exact_docs": (
+        dedup_exact_docs,
+        f"SELECT doc_id, lang, source FROM documents WHERE doc_id IN ("
+        f"SELECT min(doc_id) FROM documents GROUP BY {_NORM_SQL})",
+    ),
+    "dedup_minhash_jaccard": (dedup_minhash_jaccard, _minhash_oracle()),
+    "dedup_simhash": (dedup_simhash, _SIMHASH_ORACLE),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, _NGRAM_ORACLE),
+    "sim_bruteforce_topk": (sim_bruteforce_topk, _TOPK_ORACLE),
+    "sim_neardup_exact": (sim_neardup_exact, _NEARDUP_ORACLE),
+    "sim_lsh_topk": (sim_lsh_topk, None),  # engine-specific LSH buckets
+    "text_token_counts": (
+        text_token_counts,
+        "SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens, "
+        "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens "
+        "FROM documents",
+    ),
+    "text_quality": (text_quality, _QUALITY_ORACLE),
+    "text_langid": (text_langid, _lang_sql()),
+    "text_fingerprint": (
+        text_fingerprint,
+        f"SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents",
+    ),
+    "multimodal_meta": (
+        multimodal_meta,
+        "SELECT doc_id AS item_id, 'image' AS modality, "
+        "'application/octet-stream' AS mime, "
+        "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents",
+    ),
+    "multimodal_features": (multimodal_features, None),  # numpy entropy — rows-only
+}

@@ -1,0 +1,47 @@
+"""The driver-mimicking correctness gate: every oracle-backed query in the
+registry must match DuckDB row-for-row (order-insensitive, full float
+precision) at sf0.001. This is the same comparison shape the driver runs at
+sf0.01 (CORRECTNESS_r{N}.json)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMALL, normalize_rows, register_duck_views
+
+
+def _registry():
+    from cassandra_pmem_spark.queries import all_queries
+
+    return all_queries()
+
+
+NAMES = sorted(_registry().keys())
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_query_matches_oracle(spark, duck, name):
+    fn, sql = _registry()[name]
+    sdf = fn(spark, SF_SMALL)
+    srows = sdf.collect()
+    scols = sdf.columns
+
+    if sql is None:
+        # rows-only contract: runs, stable schema, deterministic row count
+        assert len(scols) > 0
+        again = fn(spark, SF_SMALL).collect()
+        assert len(again) == len(srows)
+        return
+
+    register_duck_views(duck, SF_SMALL)
+    res = duck.execute(sql)
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+
+    assert sorted(scols) == sorted(dcols), f"{name}: column names differ: {scols} vs {dcols}"
+    assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs oracle {len(drows)}"
+
+    s_norm = normalize_rows([tuple(r) for r in srows], scols)
+    d_norm = normalize_rows(drows, dcols)
+    mism = [(a, b) for a, b in zip(s_norm, d_norm) if a != b]
+    assert not mism, f"{name}: first mismatches: {mism[:3]}"
