@@ -14,10 +14,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
-    from cassandra_pmem_spark.queries import analytics, cql_queries, pipeline_queries
+    from cassandra_pmem_spark.queries import (
+        analytics,
+        cql_queries,
+        pipeline_queries,
+        tpch_more,
+    )
 
     out: dict = {}
-    for mod in (cql_queries, analytics, pipeline_queries):
+    for mod in (cql_queries, analytics, tpch_more, pipeline_queries):
         overlap = out.keys() & mod.QUERIES.keys()
         assert not overlap, f"duplicate query names: {overlap}"
         out.update(mod.QUERIES)
