@@ -112,8 +112,11 @@ def _simhash(col: Column | str, bits: int, hash_fn) -> Column:
     )
     fp = F.lit(0).cast("long")
     for i in range(bits):
+        # bit 63 is the long sign bit: 1<<63 overflows Java long, so use the
+        # equivalent negative literal (two's complement Long.MIN_VALUE)
+        bit_val = (1 << i) if i < 63 else -(1 << 63)
         fp = fp.bitwiseOR(
-            F.when(F.element_at(lanes, i + 1) > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.when(F.element_at(lanes, i + 1) > 0, F.lit(bit_val).cast("long")).otherwise(
                 F.lit(0).cast("long")
             )
         )

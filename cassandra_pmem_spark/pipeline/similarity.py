@@ -94,29 +94,51 @@ def lsh_topk(
     k: int = 10,
     bits: int = 8,
     dim: int = 64,
+    tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: SRP-bucket both sides, join on bucket, exact cosine
-    within buckets. Candidates per query ≈ corpus / 2^bits; tune bits to the
-    corpus size. Recall < 1 by construction — pair with brute_force_topk to
-    measure it (tests do)."""
-    planes = _hyperplanes(dim, bits, seed)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cvec"),
-        srp_signature(F.col(vec_col), planes).alias("__bucket"),
-    )
-    q = F.broadcast(
-        queries.select(
-            F.col(query_id_col),
-            F.col(vec_col).alias("__qvec"),
-            srp_signature(F.col(vec_col), planes).alias("__bucket"),
+    within buckets.
+
+    OR-amplified with `tables` independent hash tables (candidate = bucket
+    match in ANY table): single-table SRP recall decays fast when true
+    neighbors sit near hyperplanes, and L tables lift recall ≈ 1−(1−p)^L at
+    the cost of L× hashing + candidate dedup. Candidates per query ≈
+    tables × corpus / 2^bits. Recall < 1 by construction — measured against
+    brute_force_topk in tests."""
+    tbl_sigs = [
+        _hyperplanes(dim, bits, seed + 1000 * t) for t in range(tables)
+    ]
+
+    def with_buckets(df, idc, vec_alias):
+        buckets = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        srp_signature(F.col(vec_col), planes).alias("bkt"),
+                    )
+                    for t, planes in enumerate(tbl_sigs)
+                ]
+            )
+        ).alias("tb")
+        return df.select(idc, F.col(vec_col).alias(vec_alias), buckets).select(
+            idc, vec_alias, F.col("tb.tbl").alias("__tbl"), F.col("tb.bkt").alias("__bucket")
         )
+
+    c = with_buckets(corpus.select(F.col(id_col).alias("neighbor_id"), vec_col), "neighbor_id", "__cvec")
+    q = F.broadcast(
+        with_buckets(queries.select(query_id_col, vec_col), query_id_col, "__qvec")
     )
-    scored = c.join(q, on="__bucket").select(
+    cand = (
+        c.join(q, on=["__tbl", "__bucket"])
+        .select(query_id_col, "neighbor_id", "__cvec", "__qvec")
+        .dropDuplicates([query_id_col, "neighbor_id"])
+    )
+    scored = cand.select(
         F.col(query_id_col),
         F.col("neighbor_id"),
         cosine(F.col("__cvec"), F.col("__qvec")).alias("cosine_sim"),

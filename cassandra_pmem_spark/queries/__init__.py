@@ -17,12 +17,13 @@ def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], s
     from cassandra_pmem_spark.queries import (
         analytics,
         cql_queries,
+        extras,
         pipeline_queries,
         tpch_more,
     )
 
     out: dict = {}
-    for mod in (cql_queries, analytics, tpch_more, pipeline_queries):
+    for mod in (cql_queries, analytics, tpch_more, extras, pipeline_queries):
         overlap = out.keys() & mod.QUERIES.keys()
         assert not overlap, f"duplicate query names: {overlap}"
         out.update(mod.QUERIES)

@@ -1,0 +1,206 @@
+"""Coverage queries for the remaining SURVEY §2 surfaces: static columns,
+collection mutations, UDA, virtual tables, CSV COPY round-trip, and the
+Spark-surplus UDTF (explode) / ROLLUP constructs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cassandra_pmem_spark.catalog import TABLES, load_table
+from cassandra_pmem_spark.operators.collections import (
+    list_append,
+    list_prepend,
+    map_put,
+    normalize_set,
+    sorted_entries,
+)
+from cassandra_pmem_spark.operators.uda import weighted_avg_cents_uda
+from cassandra_pmem_spark.sources.csv_copy import copy_from, copy_to
+from cassandra_pmem_spark.sources.virtual import system_tables, system_tables_oracle_sql
+
+_SCRATCH = "/root/repo/.scratch"
+
+
+def cql_static_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static column semantics (ColumnMetadata.Kind.STATIC,
+    schema/ColumnMetadata.java:61-67): one value per partition, visible on
+    every row — modeled as first_value over (partition by pk order by ck).
+    Here: each user's first event_type in clustering order (ts, event_id)."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("static_type", F.first("event_type").over(w))
+        .groupBy("user_id", "static_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+def cql_collection_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection mutation emulation (cql3/Operation.java:155-497;
+    Lists.Appender:408 / Prepender, Sets.Adder:322, Maps.SetterByKey:349):
+    build list/set/map per user from the events log, then apply
+    prepend/append, set-normalize, and map-put — all JVM-side built-ins."""
+    ev = load_table(spark, "events", sf_dir)
+    seq = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+        lambda x: x["event_type"],
+    )
+    base = ev.groupBy("user_id").agg(
+        seq.alias("seq"), F.collect_set("event_type").alias("rawset")
+    )
+    lists = base.select(
+        "user_id",
+        list_prepend(
+            F.array(F.lit("start")), list_append(F.col("seq"), F.array(F.lit("end")))
+        ).alias("list_col"),
+        normalize_set("rawset").alias("set_col"),
+    )
+    cents = F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100).cast("long")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.max_by(cents, "event_id").alias("cents")
+    )
+    m = F.map_from_entries(F.collect_list(F.struct("event_type", "cents")))
+    maps = per_type.groupBy("user_id").agg(m.alias("m"))
+    m2 = map_put(F.col("m"), F.create_map(F.lit("bonus"), F.lit(100).cast("long")))
+    maps = maps.select(
+        "user_id",
+        F.transform(
+            sorted_entries(m2),
+            lambda e: F.concat(e["key"], F.lit(":"), e["value"].cast("string")),
+        ).alias("map_col"),
+    )
+    return lists.join(maps, "user_id")
+
+
+def cql_uda_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE AGGREGATE analog (UDAggregate.java:44): weighted average of
+    order price (weight = order month) per customer, folded in exact
+    integer cents via applyInPandas (operators/uda.py)."""
+    orders = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_custkey") < 100)
+        .select("o_custkey", "o_totalprice", F.month("o_orderdate").cast("long").alias("w"))
+    )
+    uda = weighted_avg_cents_uda(["o_custkey"], "o_totalprice", "w")
+    return uda(orders)
+
+
+def virtual_system_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Virtual table read (AbstractVirtualTable.select:76,89) — the
+    system_schema.tables-style metadata view, built programmatically."""
+    return system_tables(spark)
+
+
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY TO + COPY FROM round-trip (pylib/cqlshlib/copyutil.py): export a
+    slice of orders to CSV, re-import with the declared schema, aggregate.
+    Values survive exactly (doubles via shortest-round-trip repr)."""
+    path = os.path.join(_SCRATCH, "csv_roundtrip")
+    orders = load_table(spark, "orders", sf_dir).filter(F.col("o_orderkey") < 500)
+    copy_to(orders, path, num_files=4)
+    back = copy_from(spark, path, TABLES["orders"].schema)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+    )
+
+
+def analytics_explode_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF surplus (SURVEY §2.11 — CQL has no table functions): explode =
+    UNNEST; top-20 words across documents with total tie-break order."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word"))
+        .limit(20)
+    )
+
+
+def analytics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP surplus (SURVEY §2.4 — absent in CQL): order counts and exact
+    cent sums with year/priority subtotals and grand total."""
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.rollup(F.year("o_orderdate").alias("o_year"), F.col("o_orderpriority"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+        )
+    )
+
+
+QUERIES = {
+    "cql_static_column": (
+        cql_static_column,
+        """
+        SELECT user_id, static_type, count(*) AS n_events FROM (
+          SELECT user_id,
+                 first_value(event_type) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id) AS static_type
+          FROM events
+        ) GROUP BY user_id, static_type
+        """,
+    ),
+    "cql_collection_mutations": (
+        cql_collection_mutations,
+        """
+        WITH lst AS (
+          SELECT user_id,
+            ['start'] || list(event_type ORDER BY ts, event_id) || ['end'] AS list_col,
+            list_sort(list_distinct(list(event_type))) AS set_col
+          FROM events GROUP BY user_id
+        ), mp AS (
+          SELECT user_id,
+            list_sort(list(event_type || ':' || CAST(cents AS VARCHAR))
+                      || ['bonus:100']) AS map_col
+          FROM (SELECT user_id, event_type,
+                       arg_max(CAST(floor(coalesce(value, 0)*100) AS BIGINT), event_id) AS cents
+                FROM events GROUP BY user_id, event_type)
+          GROUP BY user_id
+        )
+        SELECT lst.user_id AS user_id, list_col, set_col, map_col
+        FROM lst JOIN mp ON lst.user_id = mp.user_id
+        """,
+    ),
+    "cql_uda_weighted_avg": (
+        cql_uda_weighted_avg,
+        """
+        SELECT o_custkey,
+          SUM(CAST(floor(o_totalprice*100) AS BIGINT) * month(o_orderdate))
+            / (100.0 * SUM(month(o_orderdate))) AS weighted_avg
+        FROM orders WHERE o_custkey < 100 GROUP BY o_custkey
+        """,
+    ),
+    "virtual_system_tables": (virtual_system_tables, system_tables_oracle_sql()),
+    "csv_roundtrip": (
+        csv_roundtrip,
+        """
+        SELECT o_orderstatus, count(*) AS n,
+          SUM(CAST(floor(o_totalprice*100) AS BIGINT)) AS cents
+        FROM orders WHERE o_orderkey < 500 GROUP BY o_orderstatus
+        """,
+    ),
+    "analytics_explode_wordcount": (
+        analytics_explode_wordcount,
+        """
+        SELECT word, count(*) AS n FROM (
+          SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word <> '' GROUP BY word ORDER BY n DESC, word LIMIT 20
+        """,
+    ),
+    "analytics_rollup": (
+        analytics_rollup,
+        """
+        SELECT year(o_orderdate) AS o_year, o_orderpriority, count(*) AS n,
+          SUM(CAST(floor(o_totalprice*100) AS BIGINT)) AS cents
+        FROM orders GROUP BY ROLLUP(year(o_orderdate), o_orderpriority)
+        """,
+    ),
+}

@@ -104,7 +104,7 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
-    return lsh_topk(emb, queries, k=10, bits=6).select(
+    return lsh_topk(emb, queries, k=10, bits=4, tables=8).select(
         "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cosine_sim"
     )
 

@@ -1,0 +1,286 @@
+"""CQLTester-style semantic tests (SURVEY §5 — mirror of
+test/unit/org/apache/cassandra/cql3/CQLTester.java's
+createTable + execute + assertRows golden-row pattern, on crafted fixtures).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cassandra_pmem_spark.catalog import ClusteringColumn, TableMeta
+from cassandra_pmem_spark.cql.table import CqlTable
+from cassandra_pmem_spark.cql.validator import (
+    InvalidRequest,
+    Op,
+    Restriction,
+    validate_distinct,
+    validate_group_by,
+    validate_order_by,
+    validate_restrictions,
+)
+from cassandra_pmem_spark.operators.aggregates import cql_avg, cql_sum
+from cassandra_pmem_spark.operators.upsert import (
+    apply_range_tombstones,
+    apply_row_tombstones,
+    filter_expired,
+    upsert_lww_cells,
+    upsert_lww_rows,
+)
+
+META = TableMeta(
+    "t",
+    T.StructType(
+        [
+            T.StructField("pk", T.LongType()),
+            T.StructField("ck1", T.LongType()),
+            T.StructField("ck2", T.LongType()),
+            T.StructField("val", T.StringType()),
+        ]
+    ),
+    partition_key=("pk",),
+    clustering=(ClusteringColumn("ck1"), ClusteringColumn("ck2", ascending=False)),
+)
+
+
+def rows(df, *cols):
+    out = [tuple(r) for r in (df.select(*cols) if cols else df).collect()]
+    return sorted(out)
+
+
+# ---- strict validator (StatementRestrictions / SelectStatement gates) -------
+
+
+class TestStrictValidator:
+    def test_regular_column_filter_requires_allow_filtering(self):
+        with pytest.raises(InvalidRequest, match="ALLOW FILTERING"):
+            validate_restrictions(META, [Restriction("val", Op.EQ)])
+
+    def test_allow_filtering_lifts_gate(self):
+        validate_restrictions(META, [Restriction("val", Op.EQ)], allow_filtering=True)
+
+    def test_partial_partition_key_rejected(self):
+        meta2 = TableMeta(
+            "t2",
+            META.schema,
+            partition_key=("pk", "ck1"),
+        )
+        with pytest.raises(InvalidRequest, match="Partition key"):
+            validate_restrictions(meta2, [Restriction("pk", Op.EQ)])
+
+    def test_pk_slice_rejected(self):
+        with pytest.raises(InvalidRequest, match="Partition key"):
+            validate_restrictions(META, [Restriction("pk", Op.GT)])
+
+    def test_clustering_skip_rejected(self):
+        # ck2 restricted without ck1 — SelectStatement slice gate
+        with pytest.raises(InvalidRequest, match="ALLOW FILTERING"):
+            validate_restrictions(
+                META, [Restriction("pk", Op.EQ), Restriction("ck2", Op.EQ)]
+            )
+
+    def test_clustering_after_slice_rejected(self):
+        with pytest.raises(InvalidRequest, match="after a slice"):
+            validate_restrictions(
+                META,
+                [
+                    Restriction("pk", Op.EQ),
+                    Restriction("ck1", Op.GT),
+                    Restriction("ck2", Op.EQ),
+                ],
+            )
+
+    def test_point_then_slice_ok(self):
+        validate_restrictions(
+            META,
+            [Restriction("pk", Op.EQ), Restriction("ck1", Op.EQ), Restriction("ck2", Op.LT)],
+        )
+
+    def test_order_by_requires_pk_restriction(self):
+        with pytest.raises(InvalidRequest, match="partition key is restricted"):
+            validate_order_by(META, [("ck1", True)], pk_is_restricted=False)
+
+    def test_order_by_non_prefix_rejected(self):
+        with pytest.raises(InvalidRequest, match="prefix"):
+            validate_order_by(META, [("ck2", True)], pk_is_restricted=True)
+
+    def test_order_by_mixed_direction_rejected(self):
+        # declared order is (ck1 ASC, ck2 DESC); (ASC, ASC) is neither
+        # identical nor fully reversed
+        with pytest.raises(InvalidRequest, match="reverse"):
+            validate_order_by(META, [("ck1", True), ("ck2", True)], pk_is_restricted=True)
+
+    def test_order_by_fully_reversed_ok(self):
+        validate_order_by(META, [("ck1", False), ("ck2", True)], pk_is_restricted=True)
+
+    def test_group_by_non_prefix_rejected(self):
+        with pytest.raises(InvalidRequest, match="prefix"):
+            validate_group_by(META, ["ck1"])
+        validate_group_by(META, ["pk", "ck1"])
+
+    def test_distinct_regular_rejected(self):
+        with pytest.raises(InvalidRequest, match="DISTINCT"):
+            validate_distinct(META, ["val"])
+        validate_distinct(META, ["pk"])
+
+
+# ---- CqlTable end-to-end on a crafted fixture -------------------------------
+
+
+@pytest.fixture(scope="module")
+def fixture_df(spark):
+    data = [
+        (1, 1, 10, "a"),
+        (1, 1, 20, "b"),
+        (1, 2, 30, "c"),
+        (2, 1, 10, "d"),
+        (2, 5, 50, "e"),
+    ]
+    return spark.createDataFrame(data, META.schema)
+
+
+class TestCqlTableSemantics:
+    def test_point_lookup_with_clustering_order(self, fixture_df):
+        t = CqlTable(fixture_df, META, strict=True)
+        out = (
+            t.where("pk", Op.EQ, 1)
+            .order_by(("ck1", True), ("ck2", False))
+            .select("ck1", "ck2", "val")
+            .df()
+            .collect()
+        )
+        # clustering order: ck1 ASC, ck2 DESC
+        assert [tuple(r) for r in out] == [(1, 20, "b"), (1, 10, "a"), (2, 30, "c")]
+
+    def test_per_partition_limit_respects_desc_clustering(self, fixture_df):
+        t = CqlTable(fixture_df, META)
+        out = rows(t.per_partition_limit(1).select("pk", "ck1", "ck2").df())
+        # first row per pk in (ck1 ASC, ck2 DESC) order
+        assert out == [(1, 1, 20), (2, 1, 10)]
+
+    def test_strict_filter_without_allow_filtering_raises(self, fixture_df):
+        t = CqlTable(fixture_df, META, strict=True)
+        with pytest.raises(InvalidRequest):
+            t.where("val", Op.EQ, "a").df()
+        # same query with allow_filtering passes
+        assert t.where("val", Op.EQ, "a").allow_filtering().df().count() == 1
+
+    def test_tuple_relation_matches_python_lexicographic(self, fixture_df, spark):
+        t = CqlTable(fixture_df, META)
+        got = rows(t.where_tuple(("ck1", "ck2"), Op.GT, (1, 10)).select("pk", "ck1", "ck2").df())
+        data = [(1, 1, 10), (1, 1, 20), (1, 2, 30), (2, 1, 10), (2, 5, 50)]
+        want = sorted((pk, a, b) for pk, a, b in data if (a, b) > (1, 10))
+        assert got == want
+
+
+# ---- write-path emulation (InsertTest/UpdateTest/DeleteTest/TTLTest) --------
+
+
+class TestUpsertSemantics:
+    SCHEMA = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("a", T.StringType()),
+            T.StructField("b", T.StringType()),
+            T.StructField("writetime", T.LongType()),
+        ]
+    )
+
+    def test_row_lww_keeps_newest_full_row(self, spark):
+        log = spark.createDataFrame(
+            [(1, "a1", "b1", 10), (1, "a2", "b2", 20), (2, "x", "y", 5)], self.SCHEMA
+        )
+        out = rows(upsert_lww_rows(log, key=["k"]), "k", "a", "b", "writetime")
+        assert out == [(1, "a2", "b2", 20), (2, "x", "y", 5)]
+
+    def test_cell_lww_merges_disjoint_column_writes(self, spark):
+        # write 1: both cells at t=10; write 2: only column a at t=20.
+        # Row-level LWW would wrongly resurrect b=NULL; cell-level keeps b1@10.
+        log = spark.createDataFrame(
+            [(1, "a1", "b1", 10), (1, "a2", None, 20)], self.SCHEMA
+        )
+        out = upsert_lww_cells(log, key=["k"], value_cols=["a", "b"]).collect()[0]
+        assert (out["a"], out["_writetime_a"]) == ("a2", 20)
+        assert (out["b"], out["_writetime_b"]) == ("b1", 10)
+
+    def test_row_tombstone_shadows_by_writetime(self, spark):
+        data = spark.createDataFrame(
+            [(1, "old", "x", 10), (2, "keep", "y", 30)], self.SCHEMA
+        )
+        tombs = spark.createDataFrame(
+            [(1, 15), (2, 20)],
+            T.StructType(
+                [T.StructField("k", T.LongType()), T.StructField("writetime", T.LongType())]
+            ),
+        )
+        out = rows(apply_row_tombstones(data, tombs, key=["k"]), "k", "a")
+        # k=1 deleted (10 <= 15); k=2 survives (30 > 20)
+        assert out == [(2, "keep")]
+
+    def test_range_tombstone_deletes_clustering_range(self, spark):
+        schema = T.StructType(
+            [
+                T.StructField("pk", T.LongType()),
+                T.StructField("ck", T.LongType()),
+                T.StructField("v", T.StringType()),
+                T.StructField("writetime", T.LongType()),
+            ]
+        )
+        data = spark.createDataFrame(
+            [(1, 5, "in", 10), (1, 15, "out", 10), (1, 7, "newer", 99), (2, 5, "otherpk", 10)],
+            schema,
+        )
+        rts = spark.createDataFrame(
+            [(1, 0, 10, 50)],
+            T.StructType(
+                [
+                    T.StructField("pk", T.LongType()),
+                    T.StructField("ck_lo", T.LongType()),
+                    T.StructField("ck_hi", T.LongType()),
+                    T.StructField("writetime", T.LongType()),
+                ]
+            ),
+        )
+        out = rows(
+            apply_range_tombstones(data, rts, partition_key=["pk"], clustering_col="ck"),
+            "pk",
+            "ck",
+            "v",
+        )
+        # (1,5) deleted in-range; (1,15) out of range; (1,7) newer than
+        # tombstone survives; (2,5) other partition survives
+        assert out == [(1, 7, "newer"), (1, 15, "out"), (2, 5, "otherpk")]
+
+    def test_ttl_expiry_boundary(self, spark):
+        schema = T.StructType(
+            [T.StructField("k", T.LongType()), T.StructField("expiry_ts", T.TimestampType())]
+        )
+        import datetime
+
+        dt = datetime.datetime
+        data = spark.createDataFrame(
+            [
+                (1, dt(2024, 1, 1, 0, 0, 0)),   # exactly now → expired (> is strict)
+                (2, dt(2024, 1, 1, 0, 0, 1)),   # 1s later → live
+                (3, None),                       # no TTL → live forever
+            ],
+            schema,
+        )
+        out = rows(filter_expired(data, now="2024-01-01 00:00:00"), "k")
+        assert out == [(2,), (3,)]
+
+
+# ---- CQL typed aggregates (AggregateFcts) -----------------------------------
+
+
+class TestTypedAggregates:
+    def test_int_avg_truncates(self, spark):
+        df = spark.createDataFrame([(1,), (2,), (2,)], T.StructType([T.StructField("v", T.LongType())]))
+        got = df.agg(cql_avg("v", "bigint").alias("a")).collect()[0]["a"]
+        assert got == 1  # (1+2+2)/3 = 1.67 → truncates to 1 like CQL/Java int div
+
+    def test_sum_keeps_input_type(self, spark):
+        df = spark.createDataFrame([(1,), (2,)], T.StructType([T.StructField("v", T.LongType())]))
+        field = df.agg(cql_sum("v", "int").alias("s")).schema["s"]
+        assert field.dataType.simpleString() == "int"

@@ -1,0 +1,155 @@
+"""Property-style tests for the LLM-pipeline tier: approximation quality of
+the scale-path operators (LSH, MinHash, SimHash) measured against their
+exact twins, and Arrow-batch plumbing of the multimodal stage.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_pmem_spark.catalog import load_table
+from cassandra_pmem_spark.pipeline.dedup import (
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash64,
+    word_shingles,
+)
+from cassandra_pmem_spark.pipeline.similarity import (
+    brute_force_topk,
+    lsh_topk,
+    near_dup_pairs_exact,
+)
+from tests.conftest import SF_SMALL
+
+
+class TestLshRecall:
+    def test_lsh_topk_recall_vs_bruteforce(self, spark):
+        emb = load_table(spark, "embeddings", SF_SMALL)
+        queries = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        exact = {
+            (r["query_id"], r["neighbor_id"])
+            for r in brute_force_topk(emb, queries, k=5).collect()
+        }
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in lsh_topk(emb, queries, k=5, bits=4, tables=8).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        # OR-amplification over 8 tables: measured 0.76 on this corpus;
+        # assert with headroom against plane-seed sensitivity
+        assert recall >= 0.6, f"LSH recall {recall:.2f} too low"
+
+    def test_lsh_results_are_subset_quality(self, spark):
+        """Every LSH hit must carry the *exact* cosine (no approximation in
+        the scoring, only in candidate generation)."""
+        emb = load_table(spark, "embeddings", SF_SMALL)
+        queries = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        exact = {
+            (r["query_id"], r["neighbor_id"]): r["cosine_sim"]
+            for r in brute_force_topk(emb, queries, k=50).collect()
+        }
+        for r in lsh_topk(emb, queries, k=5, bits=4).collect():
+            key = (r["query_id"], r["neighbor_id"])
+            if key in exact:
+                assert abs(r["cosine_sim"] - exact[key]) < 1e-12
+
+
+class TestMinhashAccuracy:
+    def test_minhash_estimates_true_jaccard(self, spark):
+        """Mean |minhash_estimate − exact_jaccard| over pairs is bounded —
+        K=64 gives stderr ≈ sqrt(J(1−J)/64) ≤ 0.0625."""
+        docs = load_table(spark, "documents", SF_SMALL).filter(F.col("doc_id") < 25)
+        sigs = docs.select(
+            "doc_id", minhash_signature(word_shingles("text", 3), 64).alias("sig")
+        )
+        l = sigs.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"))
+        r = sigs.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"))
+        agree = F.size(
+            F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+        )
+        est = (
+            l.join(r, F.col("a") < F.col("b"))
+            .select("a", "b", (agree / 64.0).alias("est"))
+        )
+        ids = docs.select("doc_id")
+        pairs = ids.select(F.col("doc_id").alias("a")).join(
+            ids.select(F.col("doc_id").alias("b")), F.col("a") < F.col("b")
+        )
+        exact = ngram_jaccard_pairs(docs, pairs, "doc_id", "text", shingle=3)
+        joined = est.join(exact, ["a", "b"]).select(
+            F.abs(F.col("est") - F.col("jaccard")).alias("err")
+        )
+        mean_err = joined.agg(F.avg("err")).collect()[0][0]
+        assert mean_err < 0.1, f"minhash mean error {mean_err:.3f}"
+
+    def test_identical_docs_estimate_one(self, spark):
+        df = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog"),
+             (2, "the quick brown fox jumps over the lazy dog"),
+             (3, "completely different text with no overlap at all here")],
+            ["doc_id", "text"],
+        )
+        sigs = df.select("doc_id", minhash_signature(word_shingles("text", 3), 32).alias("sig"))
+        got = {r["doc_id"]: r["sig"] for r in sigs.collect()}
+        assert got[1] == got[2]
+        assert got[1] != got[3]
+
+
+class TestSimhash:
+    def test_similar_docs_have_close_fingerprints(self, spark):
+        df = spark.createDataFrame(
+            [(1, "spark is a distributed analytics engine for large data"),
+             (2, "spark is a distributed analytics engine for larger data"),
+             (3, "cats purr softly under warm evening blankets tonight")],
+            ["doc_id", "text"],
+        )
+        fp = {r["doc_id"]: r["h"] for r in df.select("doc_id", simhash64("text").alias("h")).collect()}
+
+        def hamming(x, y):
+            return bin((x ^ y) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+        assert hamming(fp[1], fp[2]) < hamming(fp[1], fp[3])
+        assert hamming(fp[1], fp[2]) < hamming(fp[2], fp[3])
+
+
+class TestNearDupConsistency:
+    def test_exact_neardup_symmetric_threshold(self, spark):
+        emb = load_table(spark, "embeddings", SF_SMALL)
+        pairs = near_dup_pairs_exact(emb, threshold=0.4).collect()
+        assert all(r["a"] < r["b"] for r in pairs)
+        assert all(r["cosine_sim"] >= 0.4 for r in pairs)
+
+
+class TestMultimodalPlumbing:
+    def test_feature_extraction_batch_shape_and_determinism(self, spark):
+        from cassandra_pmem_spark.pipeline.multimodal import (
+            attach_media,
+            extract_image_features,
+        )
+
+        docs = load_table(spark, "documents", SF_SMALL).limit(50).withColumn(
+            "blob", F.col("text").cast("binary")
+        )
+        media = attach_media(docs, "blob", "image", "application/octet-stream", "doc_id")
+        out1 = extract_image_features(media, dim=8, fake_decode=True)
+        assert [f.name for f in out1.schema.fields] == [
+            "item_id", "n_bytes", "byte_entropy", "feature",
+        ]
+        rows1 = sorted((r["item_id"], tuple(r["feature"])) for r in out1.collect())
+        rows2 = sorted(
+            (r["item_id"], tuple(r["feature"]))
+            for r in extract_image_features(media, dim=8, fake_decode=True).collect()
+        )
+        assert rows1 == rows2  # deterministic across runs/partitionings
+        assert all(len(f) == 8 for _, f in rows1)
+
+    def test_real_decode_is_marked_stub(self, spark):
+        from cassandra_pmem_spark.pipeline.multimodal import _decode_image
+
+        with pytest.raises(NotImplementedError):
+            _decode_image(b"\x89PNG")

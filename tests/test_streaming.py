@@ -1,0 +1,133 @@
+"""Structured Streaming tests (SURVEY §2.10 analogs): the same window/session
+functions run under a real readStream with watermarks, plus foreachBatch MV
+maintenance and at-least-once dedup. Streaming results are compared against
+the batch twin on identical input — one implementation, two modes.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_pmem_spark.catalog import TABLES, load_table
+from cassandra_pmem_spark.streaming.mv import maintain_view_stream, refresh_view_batch
+from cassandra_pmem_spark.streaming.windows import (
+    dedup_with_watermark,
+    session_windows,
+    tumbling_agg,
+)
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark):
+    """Events written as parquet micro-files — the CDC-directory analog
+    (CommitLogSegmentManagerCDC.java:42)."""
+    d = tempfile.mkdtemp(prefix="cps_stream_")
+    ev = load_table(spark, "events", SF_SMALL)
+    ev.repartition(4).write.mode("overwrite").parquet(f"{d}/input")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _read_stream(spark, stream_dir):
+    schema = load_table(spark, "events", SF_SMALL).schema
+    return spark.readStream.schema(schema).parquet(f"{stream_dir}/input")
+
+
+def _run_to_memory(df, name, checkpoint, mode="append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def _norm(rows):
+    return sorted(tuple(str(v) for v in r) for r in rows)
+
+
+class TestStreamingWindows:
+    def test_tumbling_stream_matches_batch_below_watermark(self, spark, stream_dir):
+        """Append-mode streaming emits exactly the batch result for every
+        window that closed before the final watermark; windows still open at
+        end-of-stream are withheld — that withholding IS the
+        watermark/late-data contract (TTL-like state eviction, SURVEY §2.10)."""
+        stream = _read_stream(spark, stream_dir)
+        out = tumbling_agg(stream, ts_col="ts", duration="1 hour", keys=["event_type"],
+                           watermark="2 hours")
+        _run_to_memory(out, "tumbling_t", f"{stream_dir}/ckpt_tumb")
+        got = spark.sql("SELECT * FROM tumbling_t").collect()
+
+        batch = load_table(spark, "events", SF_SMALL)
+        want = tumbling_agg(batch, ts_col="ts", duration="1 hour", keys=["event_type"]).collect()
+
+        gset, wset = set(_norm(got)), set(_norm(want))
+        assert gset <= wset  # streaming never invents rows
+        assert len(got) > 0
+        # every withheld window lies within the final-watermark horizon
+        max_ts = batch.agg(F.max("ts")).collect()[0][0]
+        import datetime
+
+        horizon = max_ts - datetime.timedelta(hours=3)  # 2h watermark + 1h window
+        missing_buckets = {r[0] for r in (wset - gset)}
+        assert all(b >= str(horizon) for b in missing_buckets), (
+            f"windows before horizon {horizon} missing: {sorted(missing_buckets)[:3]}"
+        )
+
+    def test_session_stream_matches_batch_below_watermark(self, spark, stream_dir):
+        stream = _read_stream(spark, stream_dir)
+        out = session_windows(stream, ts_col="ts", gap="30 minutes", key="user_id",
+                              watermark="1 hour")
+        _run_to_memory(out, "session_t", f"{stream_dir}/ckpt_sess")
+        got = spark.sql("SELECT * FROM session_t").collect()
+
+        batch = load_table(spark, "events", SF_SMALL)
+        want = session_windows(batch, ts_col="ts", gap="30 minutes", key="user_id").collect()
+        gset, wset = set(_norm(got)), set(_norm(want))
+        assert gset <= wset
+        assert len(got) > 0.9 * len(want)  # only tail sessions withheld
+
+
+class TestStreamingDedup:
+    def test_duplicate_events_dropped(self, spark, stream_dir):
+        # duplicate the input: same event_ids twice → dedup keeps one each
+        stream = _read_stream(spark, stream_dir)
+        doubled = stream.union(stream)
+        out = dedup_with_watermark(doubled, key_cols=["event_id"], ts_col="ts",
+                                   watermark="1 hour")
+        _run_to_memory(out, "dedup_t", f"{stream_dir}/ckpt_dedup")
+        got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_t").collect()[0]
+        n_src = load_table(spark, "events", SF_SMALL).count()
+        assert got["n"] == got["d"] == n_src
+
+
+class TestMaterializedView:
+    def test_foreachbatch_mv_matches_batch_refresh(self, spark, stream_dir):
+        """MV maintenance (ViewUpdateGenerator.java:45 analog): streaming
+        foreachBatch upsert == batch re-derivation on the same input."""
+        base_cols = ["user_id", "event_type", "value", "event_id"]
+        stream = _read_stream(spark, stream_dir).select(*base_cols)
+        view_path = f"{stream_dir}/mv_store"
+        q = maintain_view_stream(
+            stream, view_path, view_key=["user_id"], checkpoint=f"{stream_dir}/ckpt_mv",
+            writetime_col="event_id",
+        ).start()
+        q.awaitTermination(120)
+
+        got = spark.read.parquet(view_path)
+        want = refresh_view_batch(
+            load_table(spark, "events", SF_SMALL).select(*base_cols),
+            view_key=["user_id"],
+            writetime_col="event_id",
+        )
+        assert _norm(got.collect()) == _norm(want.collect())
+        assert got.count() > 0
