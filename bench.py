@@ -33,6 +33,13 @@ HEADLINE = [
     "sim_bruteforce_topk",
     "text_langid",
     "text_quality",
+    # round-1 additions: join-shape coverage + IVF ANN
+    "tpch_q4_order_priority",
+    "tpch_q9_product_profit",
+    "tpch_q13_customer_distribution",
+    "tpch_q18_large_volume_customer",
+    "tpch_q21_waiting_supplier",
+    "sim_ivf_topk",
 ]
 
 

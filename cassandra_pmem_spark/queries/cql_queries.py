@@ -255,6 +255,18 @@ def cql_blob_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cql_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fromjson(s) typed parsing (FromJsonFct.java:79; Json.parseJson:281):
+    events.props JSON text → typed struct, filtered on the parsed field."""
+    ev = load_table(spark, "events", sf_dir)
+    parsed = F.from_json(F.col("props"), "struct<k:int>")
+    return (
+        ev.withColumn("k", parsed.getField("k"))
+        .filter((F.col("k") % 10) == 0)
+        .select("event_id", "user_id", "k")
+    )
+
+
 # ----- aggregation -------------------------------------------------------------
 
 def cql_group_by_pk_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -370,6 +382,11 @@ QUERIES = {
         "SELECT o_orderkey, to_json(struct_pack(o_orderkey := o_orderkey, "
         "o_orderstatus := o_orderstatus, o_orderpriority := o_orderpriority)) AS json_row "
         "FROM orders WHERE o_orderkey < 100",
+    ),
+    "cql_from_json": (
+        cql_from_json,
+        "SELECT event_id, user_id, CAST(props->>'k' AS INT) AS k FROM events "
+        "WHERE CAST(props->>'k' AS INT) % 10 = 0",
     ),
     "cql_cast_arithmetic": (
         cql_cast_arithmetic,

@@ -109,6 +109,20 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means inverted-list) approximate top-k (rows-only: centroid
+    assignment is engine-specific). Recall vs brute force asserted in tests."""
+    from cassandra_pmem_spark.pipeline.similarity import ivf_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=6).select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cosine_sim"
+    )
+
+
 def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return docs.select(
@@ -315,6 +329,7 @@ QUERIES = {
     "sim_bruteforce_topk": (sim_bruteforce_topk, _TOPK_ORACLE),
     "sim_neardup_exact": (sim_neardup_exact, _NEARDUP_ORACLE),
     "sim_lsh_topk": (sim_lsh_topk, None),  # engine-specific LSH buckets
+    "sim_ivf_topk": (sim_ivf_topk, None),  # engine-specific k-means lists
     "text_token_counts": (
         text_token_counts,
         "SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens, "

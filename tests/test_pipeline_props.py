@@ -59,6 +59,27 @@ class TestLshRecall:
                 assert abs(r["cosine_sim"] - exact[key]) < 1e-12
 
 
+class TestIvfRecall:
+    def test_ivf_topk_recall_vs_bruteforce(self, spark):
+        from cassandra_pmem_spark.pipeline.similarity import ivf_topk
+
+        emb = load_table(spark, "embeddings", SF_SMALL)
+        queries = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        exact = {
+            (r["query_id"], r["neighbor_id"])
+            for r in brute_force_topk(emb, queries, k=5).collect()
+        }
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=8).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        # measured 0.84 at 16/8 on this corpus; assert with headroom
+        assert recall >= 0.6, f"IVF recall {recall:.2f} too low"
+
+
 class TestMinhashAccuracy:
     def test_minhash_estimates_true_jaccard(self, spark):
         """Mean |minhash_estimate − exact_jaccard| over pairs is bounded —
