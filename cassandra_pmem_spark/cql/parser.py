@@ -1,0 +1,431 @@
+"""CQL SELECT parser + executor — the QueryProcessor.process analog
+(cql3/QueryProcessor.java:236 parse → :250 prepare → execute; grammar
+src/antlr/Parser.g selectStatement at :264-290).
+
+Covers the SELECT grammar the reference accepts (the driver tables carry no
+UDTs, so collection/UDT literals are limited to what predicates need):
+
+  SELECT [JSON] [DISTINCT] selector [, ...] FROM table
+    [WHERE relation [AND relation]*]
+    [GROUP BY col [, ...]]
+    [ORDER BY col [ASC|DESC] [, ...]]
+    [PER PARTITION LIMIT n] [LIMIT n]
+    [ALLOW FILTERING]
+
+  selector := * | col [AS alias] | count(*) | count|sum|min|max|avg(col)
+              | writetime(col) | ttl(col) | token(col [, ...]) | cast(col as t)
+  relation := col op literal | col IN (lit [, ...])
+              | (col, ...) op (lit, ...) | token(col [, ...]) op literal
+              | col CONTAINS [KEY] literal
+  op       := = | < | <= | > | >= | != | LIKE
+  literal  := number | 'string' | true | false | null | ? (bind marker)
+
+Prepared statements (QueryProcessor.prepare:402): `?` bind markers;
+`execute(..., params=[...])` binds positionally like ExecuteMessage.
+
+Statements compile onto CqlTable (strict mode by default — the same
+prepare-time gates the reference applies), so the physical plan is the
+ordinary declarative DataFrame plan; nothing here executes row-at-a-time.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_pmem_spark.cql.table import CqlTable, cql_table
+from cassandra_pmem_spark.cql.validator import InvalidRequest, Op, validate_group_by
+from cassandra_pmem_spark.functions.token import token_column
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<string>'(?:[^']|'')*')
+      | (?P<number>-?\d+\.\d+|-?\d+)
+      | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+      | (?P<op><=|>=|!=|=|<|>)
+      | (?P<punct>[(),.*?])
+    )""",
+    re.VERBOSE,
+)
+
+_KEYWORDS = {
+    "select", "json", "distinct", "from", "where", "and", "group", "order",
+    "by", "per", "partition", "limit", "allow", "filtering", "asc", "desc",
+    "in", "contains", "key", "as", "like", "token", "writetime", "ttl",
+    "count", "sum", "min", "max", "avg", "cast", "true", "false", "null",
+}
+
+_AGG_FNS = {"count", "sum", "min", "max", "avg"}
+
+
+@dataclass
+class _Tok:
+    kind: str
+    text: str
+
+
+def _tokenize(s: str) -> list[_Tok]:
+    out, pos = [], 0
+    while pos < len(s):
+        m = _TOKEN_RE.match(s, pos)
+        if not m:
+            if s[pos:].strip() == "":
+                break
+            raise InvalidRequest(f"CQL syntax error near: {s[pos:pos+20]!r}")
+        pos = m.end()
+        for kind in ("string", "number", "ident", "op", "punct"):
+            text = m.group(kind)
+            if text is not None:
+                out.append(_Tok(kind, text))
+                break
+    out.append(_Tok("eof", ""))
+    return out
+
+
+@dataclass
+class Selector:
+    kind: str          # star | col | agg | writetime | ttl | token | cast
+    args: list[str] = field(default_factory=list)
+    alias: str | None = None
+    fn: str | None = None
+
+
+@dataclass
+class Relation:
+    kind: str          # simple | in | tuple | token | contains | contains_key
+    columns: list[str]
+    op: Op | None
+    values: list[Any]
+
+
+@dataclass
+class SelectStatement:
+    """IR #2 analog — the annotated logical statement
+    (cql3/statements/SelectStatement.java)."""
+
+    table: str
+    selectors: list[Selector]
+    json: bool = False
+    distinct: bool = False
+    relations: list[Relation] = field(default_factory=list)
+    group_by: list[str] = field(default_factory=list)
+    order_by: list[tuple[str, bool]] = field(default_factory=list)
+    per_partition_limit: int | None = None
+    limit: int | None = None
+    allow_filtering: bool = False
+
+
+class _Parser:
+    def __init__(self, toks: list[_Tok]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self) -> _Tok:
+        return self.toks[self.i]
+
+    def next(self) -> _Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def accept_kw(self, *kws: str) -> bool:
+        t = self.peek()
+        if t.kind == "ident" and t.text.lower() in kws:
+            self.next()
+            return True
+        return False
+
+    def expect_kw(self, kw: str) -> None:
+        if not self.accept_kw(kw):
+            raise InvalidRequest(f"expected {kw.upper()}, got {self.peek().text!r}")
+
+    def accept_punct(self, p: str) -> bool:
+        t = self.peek()
+        if t.kind == "punct" and t.text == p:
+            self.next()
+            return True
+        return False
+
+    def expect_punct(self, p: str) -> None:
+        if not self.accept_punct(p):
+            raise InvalidRequest(f"expected {p!r}, got {self.peek().text!r}")
+
+    def ident(self) -> str:
+        t = self.next()
+        if t.kind != "ident":
+            raise InvalidRequest(f"expected identifier, got {t.text!r}")
+        return t.text
+
+    # -- literals -------------------------------------------------------------
+
+    def literal(self, params: list[Any], cursor: list[int]) -> Any:
+        t = self.next()
+        if t.kind == "punct" and t.text == "?":
+            idx = cursor[0]
+            cursor[0] += 1
+            if idx >= len(params):
+                raise InvalidRequest("not enough bind values for ? markers")
+            return params[idx]
+        if t.kind == "string":
+            return t.text[1:-1].replace("''", "'")
+        if t.kind == "number":
+            return float(t.text) if "." in t.text else int(t.text)
+        if t.kind == "ident" and t.text.lower() in ("true", "false"):
+            return t.text.lower() == "true"
+        if t.kind == "ident" and t.text.lower() == "null":
+            return None
+        raise InvalidRequest(f"expected literal, got {t.text!r}")
+
+    # -- selectors ------------------------------------------------------------
+
+    def selector(self) -> Selector:
+        if self.accept_punct("*"):
+            return Selector("star")
+        t = self.next()
+        if t.kind != "ident":
+            raise InvalidRequest(f"bad selector near {t.text!r}")
+        name = t.text
+        low = name.lower()
+        if self.accept_punct("("):
+            if low in _AGG_FNS:
+                if low == "count" and self.accept_punct("*"):
+                    self.expect_punct(")")
+                    sel = Selector("agg", ["*"], fn="count")
+                else:
+                    col = self.ident()
+                    self.expect_punct(")")
+                    sel = Selector("agg", [col], fn=low)
+            elif low in ("writetime", "ttl"):
+                col = self.ident()
+                self.expect_punct(")")
+                sel = Selector(low, [col])
+            elif low == "token":
+                cols = [self.ident()]
+                while self.accept_punct(","):
+                    cols.append(self.ident())
+                self.expect_punct(")")
+                sel = Selector("token", cols)
+            elif low == "cast":
+                col = self.ident()
+                self.expect_kw("as")
+                typ = self.ident()
+                self.expect_punct(")")
+                sel = Selector("cast", [col, typ])
+            else:
+                raise InvalidRequest(f"unknown function {name!r} in selection")
+        else:
+            sel = Selector("col", [name])
+        if self.accept_kw("as"):
+            sel.alias = self.ident()
+        return sel
+
+    # -- relations ------------------------------------------------------------
+
+    def relation(self, params: list[Any], cursor: list[int]) -> Relation:
+        if self.accept_punct("("):  # tuple relation
+            cols = [self.ident()]
+            while self.accept_punct(","):
+                cols.append(self.ident())
+            self.expect_punct(")")
+            op = self._op()
+            self.expect_punct("(")
+            vals = [self.literal(params, cursor)]
+            while self.accept_punct(","):
+                vals.append(self.literal(params, cursor))
+            self.expect_punct(")")
+            return Relation("tuple", cols, op, vals)
+        t = self.peek()
+        if t.kind == "ident" and t.text.lower() == "token":
+            self.next()
+            self.expect_punct("(")
+            cols = [self.ident()]
+            while self.accept_punct(","):
+                cols.append(self.ident())
+            self.expect_punct(")")
+            op = self._op()
+            return Relation("token", cols, op, [self.literal(params, cursor)])
+        col = self.ident()
+        if self.accept_kw("in"):
+            self.expect_punct("(")
+            vals = [self.literal(params, cursor)]
+            while self.accept_punct(","):
+                vals.append(self.literal(params, cursor))
+            self.expect_punct(")")
+            return Relation("in", [col], Op.IN, vals)
+        if self.accept_kw("contains"):
+            if self.accept_kw("key"):
+                return Relation("contains_key", [col], Op.CONTAINS_KEY,
+                                [self.literal(params, cursor)])
+            return Relation("contains", [col], Op.CONTAINS,
+                            [self.literal(params, cursor)])
+        if self.accept_kw("like"):
+            return Relation("simple", [col], Op.LIKE, [self.literal(params, cursor)])
+        op = self._op()
+        return Relation("simple", [col], op, [self.literal(params, cursor)])
+
+    def _op(self) -> Op:
+        t = self.next()
+        if t.kind != "op":
+            raise InvalidRequest(f"expected comparison operator, got {t.text!r}")
+        return Op(t.text)
+
+    # -- statement ------------------------------------------------------------
+
+    def select_statement(self, params: list[Any]) -> SelectStatement:
+        cursor = [0]
+        self.expect_kw("select")
+        json = self.accept_kw("json")
+        distinct = self.accept_kw("distinct")
+        selectors = [self.selector()]
+        while self.accept_punct(","):
+            selectors.append(self.selector())
+        self.expect_kw("from")
+        table = self.ident()
+        if self.accept_punct("."):  # keyspace.table — keyspace ignored
+            table = self.ident()
+        st = SelectStatement(table, selectors, json=json, distinct=distinct)
+        if self.accept_kw("where"):
+            st.relations.append(self.relation(params, cursor))
+            while self.accept_kw("and"):
+                st.relations.append(self.relation(params, cursor))
+        if self.accept_kw("group"):
+            self.expect_kw("by")
+            st.group_by.append(self.ident())
+            while self.accept_punct(","):
+                st.group_by.append(self.ident())
+        if self.accept_kw("order"):
+            self.expect_kw("by")
+            while True:
+                col = self.ident()
+                asc = True
+                if self.accept_kw("desc"):
+                    asc = False
+                else:
+                    self.accept_kw("asc")
+                st.order_by.append((col, asc))
+                if not self.accept_punct(","):
+                    break
+        if self.accept_kw("per"):
+            self.expect_kw("partition")
+            self.expect_kw("limit")
+            st.per_partition_limit = int(self.literal(params, cursor))
+        if self.accept_kw("limit"):
+            st.limit = int(self.literal(params, cursor))
+        if self.accept_kw("allow"):
+            self.expect_kw("filtering")
+            st.allow_filtering = True
+        if self.peek().kind != "eof":
+            raise InvalidRequest(f"trailing input near {self.peek().text!r}")
+        return st
+
+
+def parse_select(cql: str, params: list[Any] | None = None) -> SelectStatement:
+    return _Parser(_tokenize(cql)).select_statement(params or [])
+
+
+_CAST_TYPES = {
+    "tinyint": "tinyint", "smallint": "smallint", "int": "int",
+    "bigint": "long", "float": "float", "double": "double",
+    "decimal": "decimal(38,18)", "varint": "decimal(38,0)", "text": "string",
+    "ascii": "string", "varchar": "string", "date": "date",
+    "timestamp": "timestamp",
+}
+
+
+def _compile(t: CqlTable, st: SelectStatement) -> DataFrame:
+    meta = t.meta
+    for r in st.relations:
+        if r.kind == "tuple":
+            t = t.where_tuple(r.columns, r.op, r.values)
+        elif r.kind == "token":
+            if tuple(r.columns) != tuple(meta.partition_key):
+                raise InvalidRequest(
+                    f"token() requires the full partition key {meta.partition_key}"
+                )
+            t = t.where_token(r.op, r.values[0])
+        elif r.kind == "in":
+            t = t.where(r.columns[0], Op.IN, r.values)
+        else:
+            t = t.where(r.columns[0], r.op, r.values[0])
+    if st.allow_filtering:
+        t = t.allow_filtering()
+    if st.order_by:
+        t = t.order_by(*st.order_by)
+    if st.per_partition_limit is not None:
+        t = t.per_partition_limit(st.per_partition_limit)
+    if st.limit is not None:
+        t = t.limit(st.limit)
+
+    has_agg = any(s.kind == "agg" for s in st.selectors)
+    if st.distinct:
+        cols = [s.args[0] for s in st.selectors if s.kind == "col"]
+        t = t.distinct(*cols)
+        return t.df()
+
+    if has_agg:
+        if any(s.kind not in ("agg", "col") for s in st.selectors):
+            raise InvalidRequest("aggregates mix only with GROUP BY columns")
+        group_cols = st.group_by
+        plain = [s.args[0] for s in st.selectors if s.kind == "col"]
+        if set(plain) - set(group_cols):
+            raise InvalidRequest(
+                f"non-aggregate selectors {sorted(set(plain) - set(group_cols))} "
+                "must appear in GROUP BY"
+            )
+        if group_cols and t.strict:
+            validate_group_by(meta, group_cols)
+        df = t.df()
+        aggs = []
+        for s in st.selectors:
+            if s.kind != "agg":
+                continue
+            name = s.alias or (f"{s.fn}_{s.args[0]}" if s.args[0] != "*" else "count")
+            col = F.count(F.lit(1)) if s.args[0] == "*" else getattr(F, s.fn)(s.args[0])
+            aggs.append(col.alias(name))
+        return df.groupBy(*group_cols).agg(*aggs) if group_cols else df.agg(*aggs)
+
+    projection = []
+    for s in st.selectors:
+        if s.kind == "star":
+            return t.df() if st.limit is None else t.df()
+        if s.kind == "col":
+            projection.append(F.col(s.args[0]).alias(s.alias) if s.alias else F.col(s.args[0]))
+        elif s.kind in ("writetime", "ttl"):
+            shadow = f"_{s.kind}_{s.args[0]}"
+            projection.append(F.col(shadow).alias(s.alias or f"{s.kind}({s.args[0]})"))
+        elif s.kind == "token":
+            if tuple(s.args) != tuple(meta.partition_key):
+                raise InvalidRequest("token() selector requires the full partition key")
+            projection.append(token_column(s.args).alias(s.alias or "token"))
+        elif s.kind == "cast":
+            col, typ = s.args
+            if typ.lower() not in _CAST_TYPES:
+                raise InvalidRequest(f"unsupported cast target {typ!r}")
+            projection.append(
+                F.col(col).cast(_CAST_TYPES[typ.lower()]).alias(s.alias or f"cast_{col}")
+            )
+    t = t.select(*projection)
+    df = t.df()
+    if st.json:
+        return df.select(F.to_json(F.struct(*df.columns)).alias("[json]"))
+    return df
+
+
+def execute_cql(
+    spark: SparkSession,
+    cql: str,
+    sf_dir: str | None = None,
+    params: list[Any] | None = None,
+    strict: bool = True,
+) -> DataFrame:
+    """Parse + prepare + execute a CQL SELECT (entry point A, SURVEY §3).
+
+    strict=True applies the reference's prepare-time gates; params bind `?`
+    markers positionally (prepared-statement analog, QueryProcessor:402)."""
+    st = parse_select(cql, params)
+    t = cql_table(spark, st.table, sf_dir, strict=strict)
+    return _compile(t, st)

@@ -255,6 +255,21 @@ def cql_blob_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cql_parsed_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CQL-text entry point A (QueryProcessor.process:236 → parse → prepare
+    → execute): a statement string through cql/parser.py with strict gates
+    and a bind marker (prepared-statement analog)."""
+    from cassandra_pmem_spark.cql.parser import execute_cql
+
+    return execute_cql(
+        spark,
+        "SELECT o_orderkey, o_orderdate, o_totalprice FROM orders "
+        "WHERE o_custkey = ? ORDER BY o_orderdate DESC, o_orderkey ASC",
+        sf_dir,
+        params=[42],
+    )
+
+
 def cql_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fromjson(s) typed parsing (FromJsonFct.java:79; Json.parseJson:281):
     events.props JSON text → typed struct, filtered on the parsed field."""
@@ -382,6 +397,10 @@ QUERIES = {
         "SELECT o_orderkey, to_json(struct_pack(o_orderkey := o_orderkey, "
         "o_orderstatus := o_orderstatus, o_orderpriority := o_orderpriority)) AS json_row "
         "FROM orders WHERE o_orderkey < 100",
+    ),
+    "cql_parsed_select": (
+        cql_parsed_select,
+        "SELECT o_orderkey, o_orderdate, o_totalprice FROM orders WHERE o_custkey = 42",
     ),
     "cql_from_json": (
         cql_from_json,

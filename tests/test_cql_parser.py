@@ -1,0 +1,195 @@
+"""CQL SELECT parser/executor tests — golden-row checks in the CQLTester
+style plus parse-level assertions for the grammar corners
+(SelectTest.java / SelectSingleColumnRelationTest.java analogs).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_pmem_spark.catalog import load_table
+from cassandra_pmem_spark.cql.parser import InvalidRequest, execute_cql, parse_select
+from cassandra_pmem_spark.cql.validator import Op
+from tests.conftest import SF_SMALL
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+class TestParse:
+    def test_full_grammar_roundtrip(self):
+        st = parse_select(
+            "SELECT o_orderkey, o_totalprice AS price FROM orders "
+            "WHERE o_custkey = 42 AND o_orderdate >= '1997-01-01' "
+            "ORDER BY o_orderdate DESC, o_orderkey ASC LIMIT 5 ALLOW FILTERING"
+        )
+        assert st.table == "orders"
+        assert [s.args for s in st.selectors] == [["o_orderkey"], ["o_totalprice"]]
+        assert st.selectors[1].alias == "price"
+        assert [r.op for r in st.relations] == [Op.EQ, Op.GTE]
+        assert st.order_by == [("o_orderdate", False), ("o_orderkey", True)]
+        assert st.limit == 5 and st.allow_filtering
+
+    def test_tuple_token_contains(self):
+        st = parse_select(
+            "SELECT * FROM lineitem WHERE (l_orderkey, l_linenumber) > (10, 2) "
+            "AND token(l_orderkey) > 0 AND l_tags CONTAINS 'x' AND l_map CONTAINS KEY 'k'"
+        )
+        kinds = [r.kind for r in st.relations]
+        assert kinds == ["tuple", "token", "contains", "contains_key"]
+
+    def test_json_distinct_per_partition(self):
+        st = parse_select(
+            "SELECT JSON o_custkey FROM orders PER PARTITION LIMIT 2 LIMIT 10"
+        )
+        assert st.json and st.per_partition_limit == 2 and st.limit == 10
+        st2 = parse_select("SELECT DISTINCT o_custkey FROM orders")
+        assert st2.distinct
+
+    def test_string_escapes_and_keyspace(self):
+        st = parse_select("SELECT a FROM ks.t WHERE b = 'it''s'")
+        assert st.table == "t" and st.relations[0].values == ["it's"]
+
+    def test_syntax_errors(self):
+        for bad in (
+            "SELEC x FROM t",
+            "SELECT FROM t",
+            "SELECT a FROM t WHERE",
+            "SELECT a FROM t WHERE a ==",
+            "SELECT a FROM t extra",
+        ):
+            with pytest.raises(InvalidRequest):
+                parse_select(bad)
+
+
+class TestExecute:
+    def test_point_lookup_matches_dataframe(self, spark):
+        got = rows(
+            execute_cql(
+                spark,
+                "SELECT c_name, c_acctbal FROM customer WHERE c_custkey = 42",
+                SF_SMALL,
+            )
+        )
+        want = rows(
+            load_table(spark, "customer", SF_SMALL)
+            .filter(F.col("c_custkey") == 42)
+            .select("c_name", "c_acctbal")
+        )
+        assert got == want and len(got) == 1
+
+    def test_in_order_limit(self, spark):
+        df = execute_cql(
+            spark,
+            "SELECT o_orderkey, o_orderdate, o_totalprice FROM orders "
+            "WHERE o_custkey IN (1, 7, 42) ORDER BY o_orderdate DESC, o_orderkey LIMIT 4",
+            SF_SMALL,
+        )
+        out = [tuple(r) for r in df.collect()]
+        assert len(out) == 4
+        dates = [r[1] for r in out]
+        assert dates == sorted(dates, reverse=True)
+
+    def test_bind_markers(self, spark):
+        got = execute_cql(
+            spark,
+            "SELECT o_orderkey FROM orders WHERE o_custkey = ? LIMIT ?",
+            SF_SMALL,
+            params=[42, 3],
+        )
+        assert got.count() <= 3
+
+    def test_strict_gate_fires_through_parser(self, spark):
+        with pytest.raises(InvalidRequest, match="ALLOW FILTERING"):
+            execute_cql(
+                spark,
+                "SELECT o_orderkey FROM orders WHERE o_totalprice > 100",
+                SF_SMALL,
+            ).collect()
+        # same statement with ALLOW FILTERING executes
+        n = execute_cql(
+            spark,
+            "SELECT o_orderkey FROM orders WHERE o_totalprice > 100 ALLOW FILTERING",
+            SF_SMALL,
+        ).count()
+        assert n > 0
+
+    def test_distinct_partitions(self, spark):
+        got = execute_cql(spark, "SELECT DISTINCT o_custkey FROM orders", SF_SMALL)
+        want = load_table(spark, "orders", SF_SMALL).select("o_custkey").distinct()
+        assert got.count() == want.count()
+
+    def test_global_and_grouped_aggregates(self, spark):
+        got = execute_cql(
+            spark,
+            "SELECT count(*) AS n, min(o_totalprice) AS lo FROM orders",
+            SF_SMALL,
+        ).collect()[0]
+        base = load_table(spark, "orders", SF_SMALL)
+        assert got["n"] == base.count()
+        assert got["lo"] == base.agg(F.min("o_totalprice")).collect()[0][0]
+
+        grouped = execute_cql(
+            spark,
+            "SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey",
+            SF_SMALL,
+        )
+        assert grouped.count() == base.select("o_custkey").distinct().count()
+
+    def test_group_by_non_pk_prefix_rejected(self, spark):
+        with pytest.raises(InvalidRequest, match="prefix"):
+            execute_cql(
+                spark,
+                "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus",
+                SF_SMALL,
+            )
+
+    def test_per_partition_limit_via_parser(self, spark):
+        df = execute_cql(
+            spark,
+            "SELECT o_custkey, o_orderkey FROM orders PER PARTITION LIMIT 2",
+            SF_SMALL,
+        )
+        per = df.groupBy("o_custkey").count().agg(F.max("count")).collect()[0][0]
+        assert per <= 2
+
+    def test_select_json_row_form(self, spark):
+        df = execute_cql(
+            spark,
+            "SELECT JSON o_orderkey, o_orderstatus FROM orders "
+            "WHERE o_custkey = 42 ALLOW FILTERING",
+            SF_SMALL,
+        )
+        assert df.columns == ["[json]"]
+        import json
+
+        parsed = json.loads(df.collect()[0][0])
+        assert set(parsed) == {"o_orderkey", "o_orderstatus"}
+
+    def test_token_relation_and_selector(self, spark):
+        df = execute_cql(
+            spark,
+            "SELECT c_custkey, token(c_custkey) FROM customer "
+            "WHERE token(c_custkey) > 0 LIMIT 20",
+            SF_SMALL,
+        )
+        out = df.collect()
+        assert 0 < len(out) <= 20
+        assert all(r["token"] > 0 for r in out)
+
+    def test_tuple_relation_via_parser(self, spark):
+        # strict CQL only allows tuple relations on clustering columns;
+        # permissive mode exposes the full Spark surface (SURVEY §7 stance)
+        got = execute_cql(
+            spark,
+            "SELECT l_orderkey, l_linenumber FROM lineitem "
+            "WHERE (l_orderkey, l_linenumber) > (100, 2) "
+            "AND (l_orderkey, l_linenumber) <= (120, 1)",
+            SF_SMALL,
+            strict=False,
+        )
+        data = rows(got)
+        assert all((a, b) > (100, 2) and (a, b) <= (120, 1) for a, b in data)
+        assert len(data) > 0
