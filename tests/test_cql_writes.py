@@ -1,0 +1,157 @@
+"""CQL write-statement tests — the InsertTest / UpdateTest / DeleteTest /
+TTLTest / BatchTest golden-row patterns from the reference's
+validation/operations suite, driven through CqlWriteSession.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from cassandra_pmem_spark.catalog import ClusteringColumn, TableMeta
+from cassandra_pmem_spark.cql.validator import InvalidRequest
+from cassandra_pmem_spark.cql.writes import CqlWriteSession
+
+META = TableMeta(
+    "kv",
+    T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("c", T.LongType()),
+            T.StructField("a", T.StringType()),
+            T.StructField("b", T.StringType()),
+            T.StructField("n", T.LongType()),
+        ]
+    ),
+    partition_key=("k",),
+    clustering=(ClusteringColumn("c"),),
+)
+
+
+@pytest.fixture()
+def sess(spark):
+    return CqlWriteSession(spark, META)
+
+
+def rows(df, *cols):
+    return sorted(tuple(r) for r in (df.select(*cols) if cols else df).collect())
+
+
+class TestInsertUpdate:
+    def test_insert_then_select(self, sess):
+        sess.execute("INSERT INTO kv (k, c, a, b) VALUES (1, 1, 'x', 'y')")
+        assert rows(sess.table(), "k", "c", "a", "b") == [(1, 1, "x", "y")]
+
+    def test_insert_is_upsert(self, sess):
+        sess.execute("INSERT INTO kv (k, c, a) VALUES (1, 1, 'old')")
+        sess.execute("INSERT INTO kv (k, c, a) VALUES (1, 1, 'new')")
+        assert rows(sess.table(), "a") == [("new",)]
+
+    def test_update_touches_only_named_cells(self, sess):
+        sess.execute("INSERT INTO kv (k, c, a, b) VALUES (1, 1, 'a0', 'b0')")
+        sess.execute("UPDATE kv SET a = 'a1' WHERE k = 1 AND c = 1")
+        assert rows(sess.table(), "a", "b") == [("a1", "b0")]
+
+    def test_using_timestamp_lww(self, sess):
+        # explicit timestamps: the OLDER write arrives second but loses
+        sess.execute("INSERT INTO kv (k, c, a) VALUES (1, 1, 'newer') USING TIMESTAMP 100")
+        sess.execute("INSERT INTO kv (k, c, a) VALUES (1, 1, 'older') USING TIMESTAMP 50")
+        assert rows(sess.table(), "a") == [("newer",)]
+
+    def test_cell_level_lww_disjoint_writes(self, sess):
+        sess.execute("INSERT INTO kv (k, c, a, b) VALUES (1, 1, 'a0', 'b0') USING TIMESTAMP 10")
+        sess.execute("UPDATE kv USING TIMESTAMP 20 SET a = 'a1' WHERE k = 1 AND c = 1")
+        sess.execute("UPDATE kv USING TIMESTAMP 15 SET b = 'b1' WHERE k = 1 AND c = 1")
+        assert rows(sess.table(), "a", "b") == [("a1", "b1")]
+
+    def test_bind_markers(self, sess):
+        sess.execute("INSERT INTO kv (k, c, a) VALUES (?, ?, ?)", params=[7, 8, "bound"])
+        assert rows(sess.table(), "k", "c", "a") == [(7, 8, "bound")]
+
+    def test_missing_pk_rejected(self, sess):
+        with pytest.raises(InvalidRequest, match="primary key"):
+            sess.execute("INSERT INTO kv (k, a) VALUES (1, 'x')")
+
+    def test_unknown_column_rejected(self, sess):
+        with pytest.raises(InvalidRequest, match="unknown columns"):
+            sess.execute("INSERT INTO kv (k, c, zz) VALUES (1, 1, 'x')")
+
+
+class TestCounters:
+    def test_counter_increments_fold(self, sess):
+        sess.execute("UPDATE kv SET n = n + 5 WHERE k = 1 AND c = 1")
+        sess.execute("UPDATE kv SET n = n + 3 WHERE k = 1 AND c = 1")
+        sess.execute("UPDATE kv SET n = n - 2 WHERE k = 1 AND c = 1")
+        assert rows(sess.table(), "k", "c", "n") == [(1, 1, 6)]
+
+
+class TestDelete:
+    def test_row_delete(self, sess):
+        sess.execute("INSERT INTO kv (k, c, a) VALUES (1, 1, 'x')")
+        sess.execute("INSERT INTO kv (k, c, a) VALUES (1, 2, 'y')")
+        sess.execute("DELETE FROM kv WHERE k = 1 AND c = 1")
+        assert rows(sess.table(), "k", "c", "a") == [(1, 2, "y")]
+
+    def test_delete_shadows_by_timestamp_then_reinsert(self, sess):
+        sess.execute("INSERT INTO kv (k, c, a, b) VALUES (1, 1, 'a0', 'b0') USING TIMESTAMP 10")
+        sess.execute("DELETE FROM kv USING TIMESTAMP 20 WHERE k = 1 AND c = 1")
+        sess.execute("UPDATE kv USING TIMESTAMP 30 SET a = 'a1' WHERE k = 1 AND c = 1")
+        # b0@10 stays shadowed by the delete@20; only a1@30 is visible
+        assert rows(sess.table(), "k", "c", "a", "b") == [(1, 1, "a1", None)]
+
+    def test_old_delete_does_not_shadow_newer_row(self, sess):
+        sess.execute("INSERT INTO kv (k, c, a) VALUES (1, 1, 'live') USING TIMESTAMP 100")
+        sess.execute("DELETE FROM kv USING TIMESTAMP 50 WHERE k = 1 AND c = 1")
+        assert rows(sess.table(), "a") == [("live",)]
+
+    def test_column_delete(self, sess):
+        sess.execute("INSERT INTO kv (k, c, a, b) VALUES (1, 1, 'x', 'y')")
+        sess.execute("DELETE b FROM kv WHERE k = 1 AND c = 1")
+        assert rows(sess.table(), "a", "b") == [("x", None)]
+
+    def test_column_delete_then_newer_write_survives(self, sess):
+        sess.execute("INSERT INTO kv (k, c, b) VALUES (1, 1, 'old') USING TIMESTAMP 10")
+        sess.execute("DELETE b FROM kv USING TIMESTAMP 20 WHERE k = 1 AND c = 1")
+        sess.execute("UPDATE kv USING TIMESTAMP 30 SET b = 'new' WHERE k = 1 AND c = 1")
+        assert rows(sess.table(), "b") == [("new",)]
+
+
+class TestTtl:
+    def test_ttl_expiry_at_read_time(self, sess):
+        sess.execute("INSERT INTO kv (k, c, a) VALUES (1, 1, 'fades') USING TIMESTAMP 100 AND TTL 50")
+        sess.execute("INSERT INTO kv (k, c, a) VALUES (2, 1, 'stays') USING TIMESTAMP 100")
+        assert rows(sess.table(now=120), "k", "a") == [(1, "fades"), (2, "stays")]
+        assert rows(sess.table(now=151), "k", "a") == [(2, "stays")]
+
+    def test_ttl_boundary_exact(self, sess):
+        sess.execute("INSERT INTO kv (k, c, a) VALUES (1, 1, 'x') USING TIMESTAMP 10 AND TTL 10")
+        # live while now <= writetime + ttl is false only strictly after
+        assert rows(sess.table(now=20), "k") == []
+
+
+class TestBatch:
+    def test_logged_batch_applies_all(self, sess):
+        sess.execute(
+            """
+            BEGIN BATCH
+              INSERT INTO kv (k, c, a) VALUES (1, 1, 'one');
+              INSERT INTO kv (k, c, a) VALUES (2, 1, 'two');
+              UPDATE kv SET b = 'b2' WHERE k = 2 AND c = 1;
+            APPLY BATCH
+            """
+        )
+        assert rows(sess.table(), "k", "c", "a", "b") == [
+            (1, 1, "one", None),
+            (2, 1, "two", "b2"),
+        ]
+
+
+class TestBaseTable:
+    def test_mutations_over_base_dataframe(self, spark):
+        base = spark.createDataFrame(
+            [(1, 1, "base_a", "base_b", 0), (2, 1, "x", "y", 0)], META.schema
+        )
+        sess = CqlWriteSession(spark, META, base=base)
+        sess.execute("UPDATE kv SET a = 'patched' WHERE k = 1 AND c = 1")
+        sess.execute("DELETE FROM kv WHERE k = 2 AND c = 1")
+        assert rows(sess.table(), "k", "c", "a", "b") == [(1, 1, "patched", "base_b")]
