@@ -84,9 +84,12 @@ class _WriteParser(_Parser):
         self.expect_punct(")")
         if len(cols) != len(vals):
             raise InvalidRequest("INSERT column/value count mismatch")
+        cond = self.if_clause(params, cursor)
+        if cond is not None and cond[0] != "not_exists":
+            raise InvalidRequest("INSERT supports only IF NOT EXISTS")
         using = self._using(params, cursor)
         self._end()
-        return table, dict(zip(cols, vals)), using
+        return table, dict(zip(cols, vals)), using, cond
 
     def update_statement(self, params: list[Any]):
         cursor = [0]
@@ -115,8 +118,9 @@ class _WriteParser(_Parser):
                 break
         self.expect_kw("where")
         key = self._key_relations(params, cursor)
+        cond = self.if_clause(params, cursor)
         self._end()
-        return table, sets, deltas, key, using
+        return table, sets, deltas, key, using, cond
 
     def delete_statement(self, params: list[Any]):
         cursor = [0]
@@ -131,14 +135,36 @@ class _WriteParser(_Parser):
         using = self._using(params, cursor)
         self.expect_kw("where")
         key = self._key_relations(params, cursor)
+        cond = self.if_clause(params, cursor)
         self._end()
-        return table, cols, key, using
+        return table, cols, key, using, cond
 
     def _table_name(self) -> str:
         t = self.ident()
         if self.accept_punct("."):
             t = self.ident()
         return t
+
+    def if_clause(self, params, cursor):
+        """LWT condition (Parser.g updateConditions; ColumnCondition.java:213):
+        IF EXISTS | IF NOT EXISTS | IF col op lit [AND ...]."""
+        if not self.accept_kw("if"):
+            return None
+        if self.accept_kw("exists"):
+            return ("exists",)
+        if self.accept_kw("not"):
+            self.expect_kw("exists")
+            return ("not_exists",)
+        conds = []
+        while True:
+            col = self.ident()
+            op = self.next()
+            if op.kind != "op" or op.text not in ("=", "!=", "<", "<=", ">", ">="):
+                raise InvalidRequest(f"unsupported LWT condition operator {op.text!r}")
+            conds.append((col, op.text, self.literal(params, cursor)))
+            if not self.accept_kw("and"):
+                break
+        return ("conds", conds)
 
     def _key_relations(self, params, cursor) -> dict:
         out = {}
@@ -208,7 +234,9 @@ class CqlWriteSession:
 
     # -- statement entry (ModificationStatement.execute analog) ---------------
 
-    def execute(self, cql: str, params: list[Any] | None = None) -> None:
+    def execute(self, cql: str, params: list[Any] | None = None) -> bool:
+        """Apply one statement. Returns the LWT [applied] flag — True for
+        unconditional writes, the condition outcome for IF statements."""
         params = params or []
         head = cql.strip().split(None, 1)[0].lower()
         if head == "begin":  # BEGIN BATCH stmt; stmt; APPLY BATCH
@@ -217,18 +245,24 @@ class CqlWriteSession:
             for stmt in inner.split(";"):
                 if stmt.strip():
                     self.execute(stmt.strip(), params)
-            return
+            return True
         p = _WriteParser(_tokenize(cql))
         if head == "insert":
-            _, cells, using = p.insert_statement(params)
+            _, cells, using, cond = p.insert_statement(params)
+            if not self._condition_holds(cond, self._key_of(cells)):
+                return False
             self._record(cells, using)
         elif head == "update":
-            _, sets, deltas, key, using = p.update_statement(params)
+            _, sets, deltas, key, using, cond = p.update_statement(params)
+            if not self._condition_holds(cond, self._key_of(key)):
+                return False
             cells = dict(key)
             cells.update(sets)
             self._record(cells, using, deltas=deltas)
         elif head == "delete":
-            _, cols, key, using = p.delete_statement(params)
+            _, cols, key, using, cond = p.delete_statement(params)
+            if not self._condition_holds(cond, self._key_of(key)):
+                return False
             wt = using.get("timestamp", self._tick())
             if cols:
                 self._cell_tombs.append(CellTombstone(self._key_of(key), cols, wt))
@@ -236,6 +270,39 @@ class CqlWriteSession:
                 self._row_tombs.append(RowTombstone(self._key_of(key), wt))
         else:
             raise InvalidRequest(f"unsupported write statement {head!r}")
+        return True
+
+    def _condition_holds(self, cond, key: tuple) -> bool:
+        """LWT condition evaluation (ColumnCondition.Bound.appliesTo:228;
+        ModificationStatement.executeWithCondition:480): read the current
+        visible row for the key, decide applied/not-applied. The Paxos
+        machinery itself is consensus plumbing with no analytics analog —
+        only the compare semantics carry over."""
+        if cond is None:
+            return True
+        current = self.table()
+        flt = F.lit(True)
+        for kc, kv in zip(self.meta.primary_key, key):
+            flt = flt & (F.col(kc) == F.lit(kv))
+        row = current.filter(flt).limit(1).collect()
+        if cond[0] == "exists":
+            return bool(row)
+        if cond[0] == "not_exists":
+            return not row
+        if not row:
+            return False  # column conditions on a missing row never apply
+        import operator
+
+        ops = {"=": operator.eq, "!=": operator.ne, "<": operator.lt,
+               "<=": operator.le, ">": operator.gt, ">=": operator.ge}
+        r = row[0].asDict()
+        for col, op, val in cond[1]:
+            cur = r.get(col)
+            if cur is None:
+                return False
+            if not ops[op](cur, val):
+                return False
+        return True
 
     def _tick(self) -> int:
         self._clock += 1

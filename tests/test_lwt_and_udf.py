@@ -1,0 +1,108 @@
+"""LWT conditional writes (InsertUpdateIfConditionTest.java style) and
+CREATE FUNCTION null-handling semantics (UFTest.java style)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cassandra_pmem_spark.catalog import TableMeta
+from cassandra_pmem_spark.cql.writes import CqlWriteSession
+from cassandra_pmem_spark.functions.udf import create_function, create_pandas_function
+
+META = TableMeta(
+    "kv",
+    T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("n", T.LongType()),
+        ]
+    ),
+    partition_key=("k",),
+)
+
+
+@pytest.fixture()
+def sess(spark):
+    return CqlWriteSession(spark, META)
+
+
+def rows(df, *cols):
+    return sorted(tuple(r) for r in (df.select(*cols) if cols else df).collect())
+
+
+class TestLwt:
+    def test_insert_if_not_exists(self, sess):
+        assert sess.execute("INSERT INTO kv (k, v) VALUES (1, 'first') IF NOT EXISTS")
+        # second insert on the same key is NOT applied
+        assert not sess.execute("INSERT INTO kv (k, v) VALUES (1, 'second') IF NOT EXISTS")
+        assert rows(sess.table(), "k", "v") == [(1, "first")]
+
+    def test_update_if_exists(self, sess):
+        assert not sess.execute("UPDATE kv SET v = 'x' WHERE k = 9 IF EXISTS")
+        sess.execute("INSERT INTO kv (k, v) VALUES (9, 'seed')")
+        assert sess.execute("UPDATE kv SET v = 'x' WHERE k = 9 IF EXISTS")
+        assert rows(sess.table(), "v") == [("x",)]
+
+    def test_update_if_column_condition(self, sess):
+        sess.execute("INSERT INTO kv (k, v, n) VALUES (1, 'a', 10)")
+        # condition false → not applied, state unchanged
+        assert not sess.execute("UPDATE kv SET v = 'no' WHERE k = 1 IF n = 99")
+        assert rows(sess.table(), "v") == [("a",)]
+        # compound condition true → applied
+        assert sess.execute("UPDATE kv SET v = 'yes' WHERE k = 1 IF n = 10 AND v = 'a'")
+        assert rows(sess.table(), "v") == [("yes",)]
+
+    def test_condition_on_null_column_never_applies(self, sess):
+        sess.execute("INSERT INTO kv (k, v) VALUES (1, 'a')")  # n is null
+        assert not sess.execute("UPDATE kv SET v = 'no' WHERE k = 1 IF n = 0")
+
+    def test_delete_if_condition(self, sess):
+        sess.execute("INSERT INTO kv (k, v) VALUES (1, 'keep')")
+        assert not sess.execute("DELETE FROM kv WHERE k = 1 IF v = 'other'")
+        assert sess.execute("DELETE FROM kv WHERE k = 1 IF v = 'keep'")
+        assert rows(sess.table(), "k") == []
+
+    def test_inequality_conditions(self, sess):
+        sess.execute("INSERT INTO kv (k, n) VALUES (1, 5)")
+        assert sess.execute("UPDATE kv SET v = 'lt' WHERE k = 1 IF n < 10")
+        assert not sess.execute("UPDATE kv SET v = 'gt' WHERE k = 1 IF n > 10")
+        assert rows(sess.table(), "v") == [("lt",)]
+
+
+class TestCreateFunction:
+    def test_returns_null_on_null_input(self, spark):
+        calls = []
+
+        def body(x):
+            calls.append(x)
+            return (x or 0) + 1
+
+        create_function(spark, "f_strictnull", body, "int", called_on_null_input=False)
+        df = spark.createDataFrame([(1,), (None,)], T.StructType([T.StructField("x", T.IntegerType())]))
+        df.createOrReplaceTempView("udf_in")
+        got = {r[0] for r in spark.sql("SELECT f_strictnull(x) FROM udf_in").collect()}
+        assert got == {2, None}
+        # the body never saw the null (reference skips invocation)
+        assert None not in calls
+
+    def test_called_on_null_input(self, spark):
+        create_function(
+            spark, "f_callednull", lambda x: -1 if x is None else x + 1, "int",
+            called_on_null_input=True,
+        )
+        df = spark.createDataFrame([(1,), (None,)], T.StructType([T.StructField("x", T.IntegerType())]))
+        df.createOrReplaceTempView("udf_in2")
+        got = {r[0] for r in spark.sql("SELECT f_callednull(x) FROM udf_in2").collect()}
+        assert got == {2, -1}
+
+    def test_pandas_function(self, spark):
+        import pandas as pd
+
+        create_pandas_function(spark, "f_vec", lambda s: s * 2, "long")
+        df = spark.range(5)
+        df.createOrReplaceTempView("udf_in3")
+        got = sorted(r[0] for r in spark.sql("SELECT f_vec(id) FROM udf_in3").collect())
+        assert got == [0, 2, 4, 6, 8]

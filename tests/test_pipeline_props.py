@@ -138,6 +138,47 @@ class TestSimhash:
         assert hamming(fp[1], fp[2]) < hamming(fp[2], fp[3])
 
 
+class TestMinhashLshCascade:
+    def test_banded_lsh_finds_planted_neardups(self, spark):
+        """The production cascade: banded LSH candidates → Jaccard estimate.
+        Planted near-dups must surface; candidate volume must stay far below
+        the n² cross-join."""
+        from cassandra_pmem_spark.pipeline.dedup import (
+            minhash_jaccard_estimate,
+            minhash_lsh_pairs,
+        )
+
+        base = load_table(spark, "documents", SF_SMALL).select("doc_id", "text")
+        # plant near-duplicates: copies of doc 0-4 with a one-word change
+        dups = base.filter(F.col("doc_id") < 5).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+        )
+        corpus = base.union(dups)
+        cand = minhash_lsh_pairs(corpus, num_hashes=32, bands=16)
+        pairs = {(r["a"], r["b"]) for r in cand.collect()}
+        planted = {(i, i + 100000) for i in range(5)}
+        assert planted <= pairs, f"missed planted dups: {planted - pairs}"
+        n = corpus.count()
+        assert len(pairs) < n * (n - 1) / 4, "candidate volume too close to n²"
+
+        est = minhash_jaccard_estimate(corpus, cand, num_hashes=32)
+        by_pair = {(r["a"], r["b"]): r["jaccard_est"] for r in est.collect()}
+        for p in planted:
+            assert by_pair[p] > 0.5
+
+    def test_simhash_pairs_find_planted_neardups(self, spark):
+        from cassandra_pmem_spark.pipeline.dedup import simhash_pairs
+
+        base = load_table(spark, "documents", SF_SMALL).select("doc_id", "text").limit(100)
+        dups = base.filter(F.col("doc_id") < 3).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), F.col("text")
+        )
+        corpus = base.union(dups)
+        got = {(r["a"], r["b"]) for r in simhash_pairs(corpus, max_hamming=3).collect()}
+        assert {(i, i + 100000) for i in range(3)} <= got
+
+
 class TestNearDupConsistency:
     def test_exact_neardup_symmetric_threshold(self, spark):
         emb = load_table(spark, "embeddings", SF_SMALL)
