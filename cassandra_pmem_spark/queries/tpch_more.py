@@ -369,10 +369,16 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     the aggregation form shuffles lineitem once on orderkey)."""
     supp = load_table(spark, "supplier", sf_dir)
     li = load_table(spark, "lineitem", sf_dir)
-    per_order = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))).alias("n_ret"),
-        F.max(F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))).alias("ret_supp"),
+    # pre-aggregate to (order, supplier) grain first: two plain hash
+    # aggregates instead of one multi-countDistinct (which Expand-multiplies
+    # every shuffle row ×3 — at 100 TB that triples the shuffle volume)
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_r")
+    )
+    per_order = per_os.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum("has_r").alias("n_ret"),
+        F.max(F.when(F.col("has_r") == 1, F.col("l_suppkey"))).alias("ret_supp"),
     )
     blamed = per_order.filter((F.col("n_supp") >= 2) & (F.col("n_ret") == 1))
     return (

@@ -1,0 +1,131 @@
+"""Physical-plan regression tests — the scale contract, asserted.
+
+Correctness tests prove the answers; these prove the *plans*: filters reach
+the Parquet scan, dimensions broadcast, bucketed joins skip the Exchange,
+salting spreads hot keys. A plan regression here is a 100 TB incident that
+a row-count test would never catch.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_pmem_spark.catalog import load_table
+from cassandra_pmem_spark.operators.skew import salted_aggregate, salted_join
+from cassandra_pmem_spark.sources.bucketing import bucketize, co_located_join
+from tests.conftest import SF_SMALL
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+class TestPushdownAndBroadcast:
+    def test_filter_reaches_parquet_scan(self, spark):
+        df = (
+            load_table(spark, "lineitem", SF_SMALL)
+            .filter(F.col("l_shipdate") > "1997-06-30")
+            .select("l_orderkey", "l_extendedprice")
+        )
+        plan = plan_of(df)
+        assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" in plan
+        # column pruning: read schema carries only the needed columns
+        assert "l_tax" not in plan
+
+    def test_dimension_join_broadcasts(self, spark):
+        from cassandra_pmem_spark.queries.analytics import tpch_q3_shipping_priority
+
+        plan = plan_of(tpch_q3_shipping_priority(spark, SF_SMALL))
+        assert "BroadcastHashJoin" in plan
+
+    def test_topk_uses_take_ordered(self, spark):
+        from cassandra_pmem_spark.queries.analytics import analytics_topk_orders
+
+        assert "TakeOrderedAndProject" in plan_of(analytics_topk_orders(spark, SF_SMALL))
+
+    def test_q21_has_no_expand(self, spark):
+        """The multi-countDistinct rewrite: no Expand node → shuffle volume
+        is 1× not 3× (see tpch_q21 docstring)."""
+        from cassandra_pmem_spark.queries.tpch_more import tpch_q21_waiting_supplier
+
+        assert "Expand" not in plan_of(tpch_q21_waiting_supplier(spark, SF_SMALL))
+
+
+class TestBucketing:
+    @pytest.fixture(scope="class")
+    def warehouse(self, spark):
+        d = tempfile.mkdtemp(prefix="cps_buckets_")
+        yield d
+        for t in ("b_orders", "b_lineitem"):
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+            except Exception:
+                pass
+        shutil.rmtree(d, ignore_errors=True)
+
+    def test_bucketed_join_elides_exchange(self, spark, warehouse):
+        orders = load_table(spark, "orders", SF_SMALL).withColumnRenamed(
+            "o_orderkey", "okey"
+        )
+        li = load_table(spark, "lineitem", SF_SMALL).withColumnRenamed(
+            "l_orderkey", "okey"
+        )
+        bucketize(orders, "b_orders", ["okey"], num_buckets=8)
+        bucketize(li, "b_lineitem", ["okey"], num_buckets=8)
+
+        joined = co_located_join(spark, "b_lineitem", "b_orders", on=["okey"])
+        plan = plan_of(joined)
+        assert "Exchange hashpartitioning" not in plan, plan
+        # sanity: result matches the unbucketed join
+        want = li.join(orders, "okey").count()
+        assert joined.count() == want
+
+    def test_bucketed_groupby_elides_exchange(self, spark, warehouse):
+        grouped = spark.table("b_lineitem").groupBy("okey").agg(F.count("*").alias("n"))
+        assert "Exchange hashpartitioning" not in plan_of(grouped)
+
+
+class TestSkew:
+    def test_salted_aggregate_matches_plain(self, spark):
+        li = load_table(spark, "lineitem", SF_SMALL)
+        got = salted_aggregate(
+            li,
+            key=["l_returnflag"],
+            partial_aggs=[
+                F.count("*").alias("c"),
+                F.sum(F.col("l_quantity").cast("decimal(30,6)")).alias("s"),
+            ],
+            merge_aggs=[
+                F.sum("c").alias("n"),
+                F.sum("s").cast("double").alias("sum_qty"),
+            ],
+        )
+        want = li.groupBy("l_returnflag").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(30,6)")).cast("double").alias("sum_qty"),
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    def test_salted_join_matches_plain(self, spark):
+        li = load_table(spark, "lineitem", SF_SMALL).select("l_orderkey", "l_quantity")
+        orders = load_table(spark, "orders", SF_SMALL).select("o_orderkey", "o_orderpriority")
+        got = salted_join(
+            li, orders.withColumnRenamed("o_orderkey", "l_orderkey"), on=["l_orderkey"]
+        )
+        want = li.join(
+            orders.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey"
+        )
+        assert got.count() == want.count()
+        # the salted big side really fans out over multiple salt values
+        salted = li.withColumn(
+            "__salt", F.abs(F.xxhash64(*[F.col(c) for c in li.columns])) % 8
+        )
+        assert salted.select("__salt").distinct().count() > 1
