@@ -59,11 +59,14 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn, _ = registry[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        assert n >= 0
+        best = float("inf")
+        for _ in range(2):  # min of 2: damps scheduler/GC noise in the signal
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            best = min(best, time.perf_counter() - t0)
+            assert n >= 0
+        timings[name] = round(best, 4)
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(

@@ -175,6 +175,12 @@ class CqlTable:
             out = out.select(*self._projection)
 
         if self._order:
+            from cassandra_pmem_spark.functions.duration import assert_comparable
+
+            dtypes = dict(out.dtypes)
+            for c, _ in self._order:
+                if c in dtypes:
+                    assert_comparable(dtypes[c], context=f"ORDER BY {c!r}")
             out = out.orderBy(*[F.col(c).asc() if asc else F.col(c).desc() for c, asc in self._order])
         if self._limit is not None:
             out = out.limit(self._limit)

@@ -136,6 +136,62 @@ def analytics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cql_is_not_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS NOT NULL restriction (SingleColumnRestriction.java:592 — the MV
+    definition predicate) over the parsed props field."""
+    ev = load_table(spark, "events", sf_dir)
+    k = F.from_json(F.col("props"), "struct<k:int>").getField("k")
+    return (
+        ev.withColumn("k", k)
+        .filter(F.col("k").isNotNull() & (F.col("k") < 5))
+        .select("event_id", "k")
+    )
+
+
+def cql_duration_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration arithmetic (cql3/Duration.java; OperationFcts.java:218):
+    timestamp + '1mo2d3h' calendar-aware, month-end clamping included."""
+    from cassandra_pmem_spark.functions.duration import ts_plus_duration
+
+    orders = load_table(spark, "orders", sf_dir).filter(F.col("o_orderkey") < 200)
+    return orders.select(
+        "o_orderkey",
+        ts_plus_duration("o_orderdate", "1mo2d3h").alias("due_ts"),
+        ts_plus_duration("o_orderdate", "1y").alias("anniversary"),
+    )
+
+
+def cql_group_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + LIMIT counts groups, not rows (DataLimits.groupByLimits:105,
+    CQLGroupByLimits:632): first 10 customers in key order with their
+    aggregates."""
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+        )
+        .orderBy("o_custkey")
+        .limit(10)
+    )
+
+
+def streaming_sliding_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1h window, 30m slide) — each event lands in 2
+    windows; same code path under readStream (streaming/windows.sliding_agg)."""
+    from cassandra_pmem_spark.streaming.windows import sliding_agg
+
+    ev = load_table(spark, "events", sf_dir)
+    out = sliding_agg(ev, ts_col="ts", duration="1 hour", slide="30 minutes")
+    return out.select(
+        "bucket",
+        "n_events",
+        "sum_value",
+        (F.col("sum_value") / F.col("n_events")).alias("avg_value"),
+    )
+
+
 QUERIES = {
     "cql_static_column": (
         cql_static_column,
@@ -185,6 +241,40 @@ QUERIES = {
         SELECT o_orderstatus, count(*) AS n,
           SUM(CAST(floor(o_totalprice*100) AS BIGINT)) AS cents
         FROM orders WHERE o_orderkey < 500 GROUP BY o_orderstatus
+        """,
+    ),
+    "cql_is_not_null": (
+        cql_is_not_null,
+        "SELECT event_id, CAST(props->>'k' AS INT) AS k FROM events "
+        "WHERE props->>'k' IS NOT NULL AND CAST(props->>'k' AS INT) < 5",
+    ),
+    "cql_duration_arithmetic": (
+        cql_duration_arithmetic,
+        "SELECT o_orderkey, "
+        "o_orderdate + INTERVAL 1 MONTH + INTERVAL 2 DAY + INTERVAL 3 HOUR AS due_ts, "
+        "o_orderdate + INTERVAL 1 YEAR AS anniversary "
+        "FROM orders WHERE o_orderkey < 200",
+    ),
+    "cql_group_limit": (
+        cql_group_limit,
+        "SELECT o_custkey, count(*) AS n_orders, "
+        "SUM(CAST(floor(o_totalprice*100) AS BIGINT)) AS cents "
+        "FROM orders GROUP BY o_custkey ORDER BY o_custkey LIMIT 10",
+    ),
+    "streaming_sliding_batch": (
+        streaming_sliding_batch,
+        """
+        WITH starts AS (
+          SELECT time_bucket(INTERVAL '30 minutes', ts) AS s1, value FROM events
+        ), exploded AS (
+          SELECT s1 AS bucket, value FROM starts
+          UNION ALL
+          SELECT s1 - INTERVAL '30 minutes' AS bucket, value FROM starts
+        )
+        SELECT bucket, count(*) AS n_events,
+          CAST(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS sum_value,
+          CAST(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_value
+        FROM exploded GROUP BY bucket
         """,
     ),
     "analytics_explode_wordcount": (

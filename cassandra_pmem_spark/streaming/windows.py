@@ -54,8 +54,12 @@ def sliding_agg(
         events = events.withWatermark(ts_col, watermark)
     return (
         events.groupBy(F.window(F.col(ts_col), duration, slide).alias("win"))
-        .agg(F.count("*").alias("n_events"), F.avg("value").alias("avg_value"))
-        .select(F.col("win.start").alias("bucket"), "n_events", "avg_value")
+        .agg(
+            F.count("*").alias("n_events"),
+            # decimal accumulation: order-independent, oracle-matching
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("win.start").alias("bucket"), "n_events", "sum_value")
     )
 
 

@@ -271,6 +271,41 @@ class TestUpsertSemantics:
         assert out == [(2,), (3,)]
 
 
+# ---- duration type (cql3/Duration.java) -------------------------------------
+
+
+class TestDuration:
+    def test_parse_duration_literal(self):
+        from cassandra_pmem_spark.functions.duration import parse_duration
+
+        assert parse_duration("1y2mo3w4d") == (14, 25, 0)
+        assert parse_duration("5h6m7s") == (0, 0, (5 * 3600 + 6 * 60 + 7) * 1_000_000)
+        assert parse_duration("1500ns") == (0, 0, 1)  # nanos truncate to micros
+        with pytest.raises(InvalidRequest):
+            parse_duration("not a duration")
+
+    def test_calendar_aware_arithmetic(self, spark):
+        from cassandra_pmem_spark.functions.duration import ts_plus_duration
+
+        df = spark.createDataFrame(
+            [("2024-01-31 00:00:00",)], ["s"]
+        ).select(F.to_timestamp("s").alias("ts"))
+        got = df.select(ts_plus_duration("ts", "1mo").alias("t")).collect()[0]["t"]
+        assert str(got) == "2024-02-29 00:00:00"  # month-end clamp, leap year
+
+    def test_duration_not_orderable(self, fixture_df):
+        from cassandra_pmem_spark.functions.duration import assert_comparable
+
+        with pytest.raises(InvalidRequest, match="no total order"):
+            assert_comparable("interval day", "ORDER BY")
+        # wired into CqlTable: ordering on an interval column raises
+        df = fixture_df.withColumn("dur", F.expr("INTERVAL 1 DAY"))
+        meta2 = TableMeta("t3", df.schema, partition_key=("pk",))
+        t = CqlTable(df, meta2)
+        with pytest.raises(InvalidRequest, match="no total order"):
+            t.order_by(("dur", True)).df()
+
+
 # ---- CQL typed aggregates (AggregateFcts) -----------------------------------
 
 

@@ -110,6 +110,52 @@ class TestStreamingDedup:
         assert got["n"] == got["d"] == n_src
 
 
+class TestStatefulCounters:
+    def test_running_counters_across_microbatches(self, spark, stream_dir):
+        """applyInPandasWithState counter fold: state accumulates across
+        micro-batches (maxFilesPerTrigger=1 forces multiple), and the final
+        per-key totals equal the batch counter fold."""
+        from cassandra_pmem_spark.streaming.stateful import running_counters
+
+        schema = load_table(spark, "events", SF_SMALL).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{stream_dir}/input")
+            .withColumn("delta", F.floor(F.col("value") * 100).cast("long"))
+            .select("user_id", "delta")
+        )
+        out = running_counters(stream, key_col="user_id", delta_col="delta")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("counters_t")
+            .outputMode("update")
+            .option("checkpointLocation", f"{stream_dir}/ckpt_counters")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        assert q.lastProgress["batchId"] >= 1  # really ran multiple batches
+
+        # update-mode memory sink: last emission per key is the final state
+        got = {
+            r["user_id"]: r["total"]
+            for r in spark.sql(
+                "SELECT user_id, total FROM ("
+                "  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n_updates DESC) rn"
+                "  FROM counters_t) WHERE rn = 1"
+            ).collect()
+        }
+        want = {
+            r["user_id"]: r["total"]
+            for r in load_table(spark, "events", SF_SMALL)
+            .groupBy("user_id")
+            .agg(F.sum(F.floor(F.col("value") * 100).cast("long")).alias("total"))
+            .collect()
+        }
+        assert got == want
+
+
 class TestMaterializedView:
     def test_foreachbatch_mv_matches_batch_refresh(self, spark, stream_dir):
         """MV maintenance (ViewUpdateGenerator.java:45 analog): streaming
