@@ -276,3 +276,33 @@ def simhash_pairs(
         .dropDuplicates(["a", "b"])
     )
     return cand.filter(F.col("hamming") <= max_hamming)
+
+
+def dedup_cascade(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle: int = 3,
+) -> DataFrame:
+    """End-to-end near-dedup cascade — the production pipeline in one call:
+
+      1. exact dedup (hash-groupBy, keeps smallest id per identical text);
+      2. banded MinHash-LSH candidate pairs (sub-quadratic);
+      3. exact n-gram Jaccard verification of candidates only;
+      4. drop the larger-id member of every confirmed pair.
+
+    Survivor rule (keep-min) matches exact_dedup's tie-break, so the whole
+    cascade is deterministic. No stage is O(n²): the only pairwise work is
+    step 3 over LSH candidates, whose volume tracks true near-dups.
+    High-similarity pairs collide in some band with prob ≈ 1-(1-J^r)^b
+    (0.985 at J=0.8 with r=4,b=8) — tune bands to the threshold."""
+    d1 = exact_dedup(df, text_col, id_col)
+    cand = minhash_lsh_pairs(d1, id_col, text_col, num_hashes, bands, shingle)
+    verified = ngram_jaccard_pairs(
+        d1, cand.select("a", "b"), id_col, text_col, shingle
+    ).filter(F.col("jaccard") >= jaccard_threshold)
+    drop = verified.select(F.col("b").alias(id_col)).distinct()
+    return d1.join(drop, id_col, "left_anti")

@@ -79,6 +79,25 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, pairs, "doc_id", "text", shingle=3)
 
 
+def dedup_cascade_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dedup cascade (exact → MinHash-LSH → exact-Jaccard verify →
+    keep-min) over documents plus planted exact duplicates. The oracle is
+    the exhaustive O(n²) Jaccard — equality shows the sub-quadratic cascade
+    loses nothing (LSH miss prob ≈ 2e-5 at J=0.7 with 16 bands of r=2)."""
+    from cassandra_pmem_spark.pipeline.dedup import dedup_cascade
+
+    base = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 200).select(
+        "doc_id", "text"
+    )
+    planted = base.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    corpus = base.union(planted)
+    return dedup_cascade(
+        corpus, jaccard_threshold=0.7, num_hashes=32, bands=16
+    ).select("doc_id")
+
+
 def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 for query vectors vec_id<5 over the whole corpus."""
     emb = load_table(spark, "embeddings", sf_dir)
@@ -326,6 +345,40 @@ QUERIES = {
     "dedup_minhash_jaccard": (dedup_minhash_jaccard, _minhash_oracle()),
     "dedup_simhash": (dedup_simhash, _SIMHASH_ORACLE),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, _NGRAM_ORACLE),
+    "dedup_cascade_docs": (
+        dedup_cascade_docs,
+        f"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 200
+          UNION ALL
+          SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 10
+        ), normed AS (
+          SELECT doc_id, {_NORM_SQL} AS norm FROM corpus
+        ), s1 AS (
+          SELECT min(doc_id) AS doc_id, norm FROM normed GROUP BY norm
+        ), w AS (
+          SELECT doc_id, string_split(norm, ' ') AS words FROM s1
+        ), sh AS (
+          SELECT doc_id,
+            list_distinct(list_transform(range(1, greatest(len(words) - 2, 1) + 1),
+                          i -> array_to_string(words[i:i+2], ' '))) AS shingles
+          FROM w
+        ), ds AS (
+          SELECT doc_id, unnest(shingles) AS s FROM sh
+        ), sizes AS (
+          SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id
+        ), inter AS (
+          SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+          FROM ds x JOIN ds y ON x.s = y.s AND x.doc_id < y.doc_id
+          GROUP BY 1, 2
+        ), dups AS (
+          SELECT DISTINCT b FROM inter
+          JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.7
+        )
+        SELECT doc_id FROM s1 WHERE doc_id NOT IN (SELECT b FROM dups)
+        """,
+    ),
     "sim_bruteforce_topk": (sim_bruteforce_topk, _TOPK_ORACLE),
     "sim_neardup_exact": (sim_neardup_exact, _NEARDUP_ORACLE),
     "sim_lsh_topk": (sim_lsh_topk, None),  # engine-specific LSH buckets
