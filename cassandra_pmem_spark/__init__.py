@@ -17,8 +17,32 @@ pyspark.sql.functions (JVM/codegen path) unless semantics genuinely require
 an Arrow-batched pandas UDF.
 """
 
+from cassandra_pmem_spark.catalog import TABLE_NAMES, load_table, load_tables
 from cassandra_pmem_spark.session import get_spark
-from cassandra_pmem_spark.catalog import load_tables, TABLE_NAMES
 
-__all__ = ["get_spark", "load_tables", "TABLE_NAMES"]
+__all__ = [
+    "get_spark",
+    "load_table",
+    "load_tables",
+    "TABLE_NAMES",
+    "cql_table",
+    "execute_cql",
+    "CqlWriteSession",
+]
 __version__ = "0.1.0"
+
+
+def __getattr__(name):  # lazy: avoid importing the full surface at package load
+    if name == "cql_table":
+        from cassandra_pmem_spark.cql.table import cql_table
+
+        return cql_table
+    if name == "execute_cql":
+        from cassandra_pmem_spark.cql.parser import execute_cql
+
+        return execute_cql
+    if name == "CqlWriteSession":
+        from cassandra_pmem_spark.cql.writes import CqlWriteSession
+
+        return CqlWriteSession
+    raise AttributeError(name)

@@ -125,3 +125,83 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             )
         ).alias("frame_ts_ms"),
     )
+
+
+def _resize_image(data: bytes, width: int, height: int) -> bytes:
+    """STUB: real deployments plug Pillow `Image.resize` here."""
+    raise NotImplementedError(
+        "image resize requires Pillow — not present in this container; "
+        "resize_images(fake_resize=True) exercises the distributed plumbing"
+    )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType()),
+        T.StructField("data", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, width: int = 224, height: int = 224, fake_resize: bool = True
+) -> DataFrame:
+    """Resize stage: mapInPandas over (item_id, data) with a typed output
+    schema. Codec stubbed (deterministic truncate/pad fake — w*h bytes) —
+    batch shape, schema, and partition behavior are the production parts."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            rows = []
+            for item_id, data in zip(pdf["item_id"], pdf["data"]):
+                raw = bytes(data or b"")
+                if not fake_resize:
+                    raw = _resize_image(raw, width, height)  # raises: stub
+                else:
+                    raw = (raw + b"\x00" * target)[:target]
+                rows.append((int(item_id), raw, width, height))
+            yield pd.DataFrame(rows, columns=["item_id", "data", "width", "height"])
+
+    return media.select("item_id", "data").mapInPandas(run, RESIZED_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
+    """Audio feature stage: interpret the binary payload as int16 PCM
+    (deterministic fake decode — a real deployment plugs soundfile/ffmpeg),
+    emit RMS + zero-crossing counts per item. Same mapInPandas shape as the
+    image path."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for item_id, data in zip(pdf["item_id"], pdf["data"]):
+                raw = bytes(data or b"")
+                if not fake_decode:
+                    raise NotImplementedError("audio decode requires soundfile/ffmpeg")
+                buf = np.frombuffer(raw[: len(raw) - (len(raw) % 2)], dtype="<i2")
+                n = int(buf.size)
+                if n:
+                    x = buf.astype(np.float64) / 32768.0
+                    rms = float(np.sqrt((x * x).mean()))
+                    zc = int(((x[:-1] * x[1:]) < 0).sum())
+                else:
+                    rms, zc = 0.0, 0
+                rows.append((int(item_id), n, rms, zc))
+            yield pd.DataFrame(rows, columns=["item_id", "n_samples", "rms", "zero_crossings"])
+
+    return media.select("item_id", "data").mapInPandas(run, AUDIO_FEATURES_SCHEMA)

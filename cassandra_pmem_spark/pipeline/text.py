@@ -129,3 +129,35 @@ def rolling_fingerprint(col: Column | str, window: int = 8) -> Column:
         F.sequence(F.lit(1), n), lambda i: F.substring(c, i, window)
     )
     return F.array_min(F.transform(grams, F.xxhash64))
+
+
+# -- SASI analyzer equivalents (index/sasi/analyzer/) -------------------------
+
+def standard_analyzer(
+    col: Column | str, stopwords: list[str] | None = None
+) -> Column:
+    """StandardAnalyzer analog (index/sasi/analyzer/StandardAnalyzer.java):
+    lowercase, tokenize on non-letter/digit, drop stopwords and empties —
+    the token stream SASI indexes for LIKE/CONTAINS matching. Returns
+    array<string>."""
+    toks = tokenize(col)
+    stops = stopwords if stopwords is not None else STOPWORDS["en"]
+    stop_arr = F.array(*[F.lit(s) for s in stops])
+    return F.filter(toks, lambda t: ~F.array_contains(stop_arr, t))
+
+
+def non_tokenizing_analyzer(
+    col: Column | str, case_sensitive: bool = False, normalized: bool = True
+) -> Column:
+    """NonTokenizingAnalyzer analog (NonTokenizingAnalyzer.java): treat the
+    whole value as one term, optionally case-folded/trimmed — the mode SASI
+    uses for exact/prefix matching on un-analyzed columns."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = c if case_sensitive else F.lower(c)
+    return F.trim(out) if normalized else out
+
+
+def analyzed_match(df: DataFrame, text_col: str, term: str) -> DataFrame:
+    """SASI CONTAINS-mode search: rows whose analyzed token stream contains
+    the analyzed term (Expression.Op.CONTAINS over StandardAnalyzer output)."""
+    return df.filter(F.array_contains(standard_analyzer(text_col), term.lower()))

@@ -211,7 +211,62 @@ class TestMultimodalPlumbing:
         assert all(len(f) == 8 for _, f in rows1)
 
     def test_real_decode_is_marked_stub(self, spark):
-        from cassandra_pmem_spark.pipeline.multimodal import _decode_image
+        from cassandra_pmem_spark.pipeline.multimodal import _decode_image, _resize_image
 
         with pytest.raises(NotImplementedError):
             _decode_image(b"\x89PNG")
+        with pytest.raises(NotImplementedError):
+            _resize_image(b"\x89PNG", 8, 8)
+
+    def test_resize_and_audio_stage_plumbing(self, spark):
+        from cassandra_pmem_spark.pipeline.multimodal import (
+            attach_media,
+            extract_audio_features,
+            resize_images,
+        )
+
+        docs = load_table(spark, "documents", SF_SMALL).limit(20).withColumn(
+            "blob", F.col("text").cast("binary")
+        )
+        media = attach_media(docs, "blob", "audio", "audio/pcm", "doc_id")
+        resized = resize_images(media, width=8, height=8).collect()
+        assert all(len(r["data"]) == 64 for r in resized)
+        assert {(r["width"], r["height"]) for r in resized} == {(8, 8)}
+
+        audio = extract_audio_features(media).collect()
+        assert len(audio) == 20
+        assert all(r["rms"] >= 0 for r in audio)
+        # deterministic across runs
+        again = extract_audio_features(media).collect()
+        assert sorted(map(tuple, audio)) == sorted(map(tuple, again))
+
+
+class TestSasiAnalyzers:
+    def test_standard_analyzer_drops_stopwords(self, spark):
+        from cassandra_pmem_spark.pipeline.text import standard_analyzer
+
+        df = spark.createDataFrame([("The quick AND the dead, for it is done!",)], ["text"])
+        toks = df.select(standard_analyzer("text").alias("t")).collect()[0]["t"]
+        assert "the" not in toks and "and" not in toks and "for" not in toks
+        assert "quick" in toks and "dead" in toks and "done" in toks
+
+    def test_non_tokenizing_analyzer_modes(self, spark):
+        from cassandra_pmem_spark.pipeline.text import non_tokenizing_analyzer
+
+        df = spark.createDataFrame([("  MixedCase VALUE ",)], ["v"])
+        got = df.select(
+            non_tokenizing_analyzer("v").alias("norm"),
+            non_tokenizing_analyzer("v", case_sensitive=True, normalized=False).alias("raw"),
+        ).collect()[0]
+        assert got["norm"] == "mixedcase value"
+        assert got["raw"] == "  MixedCase VALUE "
+
+    def test_analyzed_match_like_contains(self, spark):
+        from cassandra_pmem_spark.pipeline.text import analyzed_match
+
+        docs = load_table(spark, "documents", SF_SMALL)
+        hits = analyzed_match(docs, "text", "data")
+        # every hit really contains the token; analyzer matching is
+        # case-insensitive word-boundary (unlike raw LIKE '%data%')
+        assert hits.count() > 0
+        assert all("data" in r["text"].lower() for r in hits.collect())
