@@ -29,8 +29,15 @@ def bigint_as_blob(col: Column | str) -> Column:
 
 
 def blob_as_bigint(col: Column | str) -> Column:
+    """Inverse of bigint_as_blob, incl. negatives: conv() reads the 8 bytes
+    as an unsigned decimal, so two's-complement wraps back via 2^64."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.conv(F.hex(c), 16, 10).cast(T.LongType())
+    unsigned = F.conv(F.hex(c), 16, 10).cast(T.DecimalType(20, 0))
+    two63 = F.lit("9223372036854775808").cast(T.DecimalType(20, 0))
+    two64 = F.lit("18446744073709551616").cast(T.DecimalType(21, 0))
+    return (
+        F.when(unsigned >= two63, (unsigned - two64)).otherwise(unsigned)
+    ).cast(T.LongType())
 
 
 def int_as_blob(col: Column | str) -> Column:
