@@ -40,6 +40,8 @@ HEADLINE = [
     "tpch_q18_large_volume_customer",
     "tpch_q21_waiting_supplier",
     "sim_ivf_topk",
+    "tpch_q11_important_parts",
+    "dedup_cascade_docs",
 ]
 
 

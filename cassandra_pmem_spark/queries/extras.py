@@ -192,6 +192,26 @@ def streaming_sliding_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def analytics_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (operators/skew.py): identical result
+    to the plain groupBy — the oracle proves the salting is transparent."""
+    from cassandra_pmem_spark.operators.skew import salted_aggregate
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return salted_aggregate(
+        li,
+        key=["l_returnflag", "l_linestatus"],
+        partial_aggs=[
+            F.count("*").alias("c"),
+            F.sum(F.col("l_quantity").cast("decimal(30,6)")).alias("s"),
+        ],
+        merge_aggs=[
+            F.sum("c").alias("n"),
+            F.sum("s").cast("double").alias("sum_qty"),
+        ],
+    )
+
+
 QUERIES = {
     "cql_static_column": (
         cql_static_column,
@@ -284,6 +304,12 @@ QUERIES = {
           SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         WHERE word <> '' GROUP BY word ORDER BY n DESC, word LIMIT 20
         """,
+    ),
+    "analytics_salted_agg": (
+        analytics_salted_agg,
+        "SELECT l_returnflag, l_linestatus, count(*) AS n, "
+        "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS sum_qty "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus",
     ),
     "analytics_rollup": (
         analytics_rollup,

@@ -160,6 +160,26 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Q11 shape: important stock (scalar-subquery HAVING) ---------------------
+
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose revenue exceeds 0.07% of total revenue — the
+    HAVING-against-global-scalar shape (partsupp value → lineitem revenue).
+    The scalar total is a 1-row broadcast onto the per-part rollup."""
+    from decimal import Decimal
+
+    li = load_table(spark, "lineitem", sf_dir)
+    per_part = li.groupBy("l_partkey").agg(F.sum(_rev()).alias("val"))
+    # keep the threshold comparison in exact decimal: decimal→double
+    # conversion may round differently across engines at the boundary
+    total = per_part.agg((F.sum("val") * F.lit(Decimal("0.0007"))).alias("cut"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("val") > F.col("cut"))
+        .select("l_partkey", F.col("val").cast("double").alias("value"))
+    )
+
+
 # --- Q12 shape: late-shipment priority classes -------------------------------
 
 def tpch_q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -494,6 +514,17 @@ QUERIES = {
         JOIN nation ON s_nationkey = n_nationkey
         WHERE p_name LIKE '%gear%'
         GROUP BY n_name, year(o_orderdate)
+        """,
+    ),
+    "tpch_q11_important_parts": (
+        tpch_q11_important_parts,
+        f"""
+        WITH per_part AS (
+          SELECT l_partkey, SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,10))) AS val
+          FROM lineitem GROUP BY l_partkey
+        )
+        SELECT l_partkey, CAST(CAST(val AS VARCHAR) AS DOUBLE) AS value FROM per_part
+        WHERE val > (SELECT SUM(val) * CAST(0.0007 AS DECIMAL(5,4)) FROM per_part)
         """,
     ),
     "tpch_q12_late_shipments": (
