@@ -53,12 +53,25 @@ def brute_force_topk(
     is a single scan of the corpus with no shuffle until the final per-query
     rank (which shuffles only (query_id, id, sim) triples)."""
     q = F.broadcast(
-        queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("__qvec"),
+            norm(F.col(vec_col)).alias("__qn"),
+        )
     )
-    scored = corpus.crossJoin(q).select(
-        F.col(query_id_col),
+    # norms materialize once per row BEFORE the pair fan-out (identical
+    # arithmetic to cosine(): dot/(na·nb), but norm isn't recomputed per pair)
+    c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        cosine(F.col(vec_col), F.col("__qvec")).alias("cosine_sim"),
+        F.col(vec_col).alias("__cvec"),
+        norm(F.col(vec_col)).alias("__cn"),
+    )
+    scored = c.crossJoin(q).select(
+        F.col(query_id_col),
+        F.col("neighbor_id"),
+        (dot(F.col("__cvec"), F.col("__qvec")) / (F.col("__cn") * F.col("__qn"))).alias(
+            "cosine_sim"
+        ),
     )
     from pyspark.sql import Window
 
@@ -77,15 +90,27 @@ def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
 
 
 def srp_signature(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-random-projection bucket id: bit i = sign(vec · plane_i)."""
-    bits = [
-        F.when(dot(vec, F.array(*[F.lit(float(x)) for x in p])) > 0, F.lit(1 << i)).otherwise(0)
-        for i, p in enumerate(planes)
-    ]
-    out = F.lit(0)
-    for b in bits:
-        out = out.bitwiseOR(b)
-    return out.cast("int")
+    """Sign-random-projection bucket id: bit i = sign(vec · plane_i).
+
+    One transform over the literal plane matrix + one weighted fold — two
+    small lambdas total, instead of `bits` separate dot-product lambdas
+    (nested-lambda count is what inflates generated code; see the minhash
+    note in dedup.py)."""
+    plane_mat = F.array(*[F.array(*[F.lit(float(x)) for x in p]) for p in planes])
+    dots = F.transform(
+        plane_mat,
+        lambda p: F.aggregate(
+            F.zip_with(vec, p, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    weights = F.array(*[F.lit(1 << i).cast("int") for i in range(len(planes))])
+    return F.aggregate(
+        F.zip_with(dots, weights, lambda d, w: F.when(d > 0, w).otherwise(F.lit(0))),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("int")
 
 
 def lsh_topk(
@@ -109,23 +134,52 @@ def lsh_topk(
     the cost of L× hashing + candidate dedup. Candidates per query ≈
     tables × corpus / 2^bits. Recall < 1 by construction — measured against
     brute_force_topk in tests."""
-    tbl_sigs = [
-        _hyperplanes(dim, bits, seed + 1000 * t) for t in range(tables)
+    # all tables' hyperplanes in ONE literal matrix: a single transform
+    # computes every dot product in one pass, then each table's bucket folds
+    # from its slice of the sign bits — lambda count stays constant in
+    # `tables` (vs per-table signature expressions)
+    all_planes = [
+        p for t in range(tables) for p in _hyperplanes(dim, bits, seed + 1000 * t)
     ]
+    plane_mat = F.array(*[F.array(*[F.lit(float(x)) for x in p]) for p in all_planes])
+    weights = F.array(
+        *[F.lit(1 << (i % bits)).cast("int") for i in range(tables * bits)]
+    )
 
     def with_buckets(df, idc, vec_alias):
+        dots = F.transform(
+            plane_mat,
+            lambda p: F.aggregate(
+                F.zip_with(F.col(vec_col), p, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        signed = F.zip_with(
+            dots, weights, lambda d, w: F.when(d > 0, w).otherwise(F.lit(0))
+        )
+        # materialize the sign-bit vector ONCE per row before slicing it per
+        # table — slice expressions don't share subtrees, so referencing the
+        # raw expression 8× would recompute all dot products 8×
+        staged = df.select(
+            idc, F.col(vec_col).alias(vec_alias), signed.alias("__signed")
+        )
         buckets = F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(t).alias("tbl"),
-                        srp_signature(F.col(vec_col), planes).alias("bkt"),
+                        F.aggregate(
+                            F.slice("__signed", t * bits + 1, bits),
+                            F.lit(0),
+                            lambda acc, v: acc + v,
+                        ).alias("bkt"),
                     )
-                    for t, planes in enumerate(tbl_sigs)
+                    for t in range(tables)
                 ]
             )
         ).alias("tb")
-        return df.select(idc, F.col(vec_col).alias(vec_alias), buckets).select(
+        return staged.select(idc, vec_alias, buckets).select(
             idc, vec_alias, F.col("tb.tbl").alias("__tbl"), F.col("tb.bkt").alias("__bucket")
         )
 
@@ -160,14 +214,18 @@ def near_dup_pairs_exact(
     """Exact cosine near-dup pairs — the O(n²) verification tier used to
     measure LSH recall and as the oracle-checkable twin of
     embedding_near_dup_pairs. Use only on samples/buckets at scale."""
-    v = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    v = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), norm(F.col(vec_col)).alias("n")
+    )
     l, r = v.alias("l"), v.alias("r")
     return (
         l.join(r, F.col("l.id") < F.col("r.id"))
         .select(
             F.col("l.id").alias("a"),
             F.col("r.id").alias("b"),
-            cosine(F.col("l.v"), F.col("r.v")).alias("cosine_sim"),
+            (dot(F.col("l.v"), F.col("r.v")) / (F.col("l.n") * F.col("r.n"))).alias(
+                "cosine_sim"
+            ),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
@@ -188,6 +246,7 @@ def embedding_near_dup_pairs(
     sig = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("n"),
         srp_signature(F.col(vec_col), planes).alias("b"),
     )
     l, r = sig.alias("l"), sig.alias("r")
@@ -196,7 +255,9 @@ def embedding_near_dup_pairs(
         .select(
             F.col("l.id").alias("a"),
             F.col("r.id").alias("b"),
-            cosine(F.col("l.v"), F.col("r.v")).alias("cosine_sim"),
+            (dot(F.col("l.v"), F.col("r.v")) / (F.col("l.n") * F.col("r.n"))).alias(
+                "cosine_sim"
+            ),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
@@ -268,7 +329,17 @@ def ivf_topk(
     C = _kmeans_quantizer(sample, n_centroids, seed, max_iter)
 
     def dists(vec: Column) -> Column:
-        return F.array(*[_sq_dist(vec, c) for c in C.tolist()])
+        # one transform over the literal centroid matrix — two lambdas
+        # total, not n_centroids separate aggregate lambdas
+        cent_mat = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in C.tolist()])
+        return F.transform(
+            cent_mat,
+            lambda c: F.aggregate(
+                F.zip_with(vec, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
 
     # materialize the distance array once per row, then argmin over the
     # stored array — evaluating the 16×64-literal tree twice doubles both

