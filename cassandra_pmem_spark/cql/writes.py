@@ -71,6 +71,31 @@ class _WriteParser(_Parser):
         self.expect_kw("insert")
         self.expect_kw("into")
         table = self._table_name()
+        if self.accept_kw("json"):
+            # INSERT ... JSON '<row>' (Parser.g:478 jsonInsertStatement;
+            # cql3/Json.parseJson:281 — keys are column names)
+            import json as _json
+
+            t = self.next()
+            if t.kind == "punct" and t.text == "?":
+                raw = params[cursor[0]]
+                cursor[0] += 1
+            elif t.kind == "string":
+                raw = t.text[1:-1].replace("''", "'")
+            else:
+                raise InvalidRequest("INSERT JSON expects a JSON string literal or ?")
+            try:
+                cells = _json.loads(raw)
+            except ValueError as exc:
+                raise InvalidRequest(f"invalid JSON row: {exc}") from exc
+            if not isinstance(cells, dict):
+                raise InvalidRequest("INSERT JSON row must be a JSON object")
+            cond = self.if_clause(params, cursor)
+            if cond is not None and cond[0] != "not_exists":
+                raise InvalidRequest("INSERT supports only IF NOT EXISTS")
+            using = self._using(params, cursor)
+            self._end()
+            return table, cells, using, cond
         self.expect_punct("(")
         cols = [self.ident()]
         while self.accept_punct(","):

@@ -129,6 +129,25 @@ class TestTtl:
         assert rows(sess.table(now=20), "k") == []
 
 
+class TestInsertJson:
+    def test_insert_json_row(self, sess):
+        sess.execute('INSERT INTO kv JSON \'{"k": 1, "c": 2, "a": "from json"}\'')
+        assert rows(sess.table(), "k", "c", "a") == [(1, 2, "from json")]
+
+    def test_insert_json_bind_marker_and_lww(self, sess):
+        sess.execute("INSERT INTO kv JSON ? USING TIMESTAMP 10", params=['{"k":1,"c":1,"a":"v1"}'])
+        sess.execute("INSERT INTO kv JSON ? USING TIMESTAMP 20", params=['{"k":1,"c":1,"a":"v2"}'])
+        assert rows(sess.table(), "a") == [("v2",)]
+
+    def test_insert_json_rejects_bad_payloads(self, sess):
+        with pytest.raises(InvalidRequest, match="invalid JSON"):
+            sess.execute("INSERT INTO kv JSON '{not json'")
+        with pytest.raises(InvalidRequest, match="JSON object"):
+            sess.execute("INSERT INTO kv JSON '[1,2]'")
+        with pytest.raises(InvalidRequest, match="unknown columns"):
+            sess.execute('INSERT INTO kv JSON \'{"k":1,"c":1,"nope":2}\'')
+
+
 class TestBatch:
     def test_logged_batch_applies_all(self, sess):
         sess.execute(
