@@ -63,6 +63,16 @@ class CellTombstone:
     writetime: int
 
 
+@dataclass
+class RangeTombstoneStmt:
+    """Clustering-range delete (db/RangeTombstone.java; DELETE ... WHERE
+    pk = ? AND ck > ? AND ck <= ?): shadows whole rows in the range."""
+
+    eq: dict
+    ranges: dict  # col -> ((lo, incl) | None, (hi, incl) | None)
+    writetime: int
+
+
 class _WriteParser(_Parser):
     """Statement parsers for the write grammar (Parser.g:478,544,578)."""
 
@@ -159,10 +169,10 @@ class _WriteParser(_Parser):
         table = self._table_name()
         using = self._using(params, cursor)
         self.expect_kw("where")
-        key = self._key_relations(params, cursor)
+        key, ranges = self._key_relations_with_ranges(params, cursor)
         cond = self.if_clause(params, cursor)
         self._end()
-        return table, cols, key, using, cond
+        return table, cols, key, ranges, using, cond
 
     def _table_name(self) -> str:
         t = self.ident()
@@ -202,6 +212,32 @@ class _WriteParser(_Parser):
             if not self.accept_kw("and"):
                 break
         return out
+
+    def _key_relations_with_ranges(self, params, cursor):
+        """DELETE WHERE clauses: EQ on key columns plus optional range
+        restrictions on a clustering column (range tombstones —
+        db/RangeTombstone.java; DeleteStatement slice deletes)."""
+        eq, ranges = {}, {}
+        while True:
+            col = self.ident()
+            t = self.next()
+            if t.kind != "op":
+                raise InvalidRequest("expected comparison in WHERE")
+            if t.text == "=":
+                eq[col] = self.literal(params, cursor)
+            elif t.text in ("<", "<=", ">", ">="):
+                lo, hi = ranges.get(col, (None, None))
+                v = self.literal(params, cursor)
+                if t.text in (">", ">="):
+                    lo = (v, t.text == ">=")
+                else:
+                    hi = (v, t.text == "<=")
+                ranges[col] = (lo, hi)
+            else:
+                raise InvalidRequest(f"unsupported operator {t.text!r} in DELETE WHERE")
+            if not self.accept_kw("and"):
+                break
+        return eq, ranges
 
     def _using(self, params, cursor) -> dict:
         out = {}
@@ -254,6 +290,7 @@ class CqlWriteSession:
         self._mutations: list[Mutation] = []
         self._row_tombs: list[RowTombstone] = []
         self._cell_tombs: list[CellTombstone] = []
+        self._range_tombs: list[RangeTombstoneStmt] = []
         self._clock = 0
         self._base = base
 
@@ -285,10 +322,26 @@ class CqlWriteSession:
             cells.update(sets)
             self._record(cells, using, deltas=deltas)
         elif head == "delete":
-            _, cols, key, using, cond = p.delete_statement(params)
+            _, cols, key, ranges, using, cond = p.delete_statement(params)
+            wt = using.get("timestamp", self._tick())
+            if ranges:
+                # range tombstone: partition key fully EQ, no LWT, no columns
+                if cond is not None:
+                    raise InvalidRequest("IF conditions are not supported on range deletes")
+                if cols:
+                    raise InvalidRequest("column deletes cannot carry clustering ranges")
+                missing = [k for k in self.meta.partition_key if k not in key]
+                if missing:
+                    raise InvalidRequest(
+                        f"range delete requires the full partition key; missing {missing}"
+                    )
+                bad = [c for c in ranges if c not in {c.name for c in self.meta.clustering}]
+                if bad:
+                    raise InvalidRequest(f"range delete only on clustering columns; got {bad}")
+                self._range_tombs.append(RangeTombstoneStmt(dict(key), dict(ranges), wt))
+                return True
             if not self._condition_holds(cond, self._key_of(key)):
                 return False
-            wt = using.get("timestamp", self._tick())
             if cols:
                 self._cell_tombs.append(CellTombstone(self._key_of(key), cols, wt))
             else:
@@ -425,20 +478,36 @@ class CqlWriteSession:
                     col, F.when(dead, F.lit(None)).otherwise(F.col(col))
                 )
 
-        # row tombstones (db/DeletionTime.java): a row delete at t shadows
-        # every cell with writetime <= t — so delete-then-reinsert keeps only
-        # the newer cells. Rows whose cells are all shadowed disappear.
-        if self._row_tombs:
+        # row + range tombstones (db/DeletionTime.java, RangeTombstone.java):
+        # a delete at t shadows every matching cell with writetime <= t — so
+        # delete-then-reinsert keeps only the newer cells. Rows whose cells
+        # are all shadowed disappear.
+        shadow_preds = []
+        for rt in self._row_tombs:
+            cond = F.lit(True)
+            for kc, kv in zip(key_cols, rt.key):
+                cond = cond & (F.col(kc) == F.lit(kv))
+            shadow_preds.append((cond, rt.writetime))
+        for rg in self._range_tombs:
+            cond = F.lit(True)
+            for kc, kv in rg.eq.items():
+                cond = cond & (F.col(kc) == F.lit(kv))
+            for col, (lo, hi) in rg.ranges.items():
+                if lo is not None:
+                    v, incl = lo
+                    cond = cond & ((F.col(col) >= v) if incl else (F.col(col) > v))
+                if hi is not None:
+                    v, incl = hi
+                    cond = cond & ((F.col(col) <= v) if incl else (F.col(col) < v))
+            shadow_preds.append((cond, rg.writetime))
+        if shadow_preds:
             any_key_cond = F.lit(False)
-            for rt in self._row_tombs:
-                cond = F.lit(True)
-                for kc, kv in zip(key_cols, rt.key):
-                    cond = cond & (F.col(kc) == F.lit(kv))
+            for cond, wt in shadow_preds:
                 any_key_cond = any_key_cond | cond
                 for col in value_cols:
                     dead = cond & (
                         F.col(f"_writetime_{col}").isNull()
-                        | (F.col(f"_writetime_{col}") <= F.lit(rt.writetime))
+                        | (F.col(f"_writetime_{col}") <= F.lit(wt))
                     )
                     merged = merged.withColumn(
                         col, F.when(dead, F.lit(None)).otherwise(F.col(col))

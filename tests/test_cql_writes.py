@@ -116,6 +116,36 @@ class TestDelete:
         assert rows(sess.table(), "b") == [("new",)]
 
 
+class TestRangeDelete:
+    def test_clustering_range_delete(self, sess):
+        for c in range(1, 6):
+            sess.execute(f"INSERT INTO kv (k, c, a) VALUES (1, {c}, 'r{c}')")
+        sess.execute("DELETE FROM kv WHERE k = 1 AND c > 1 AND c <= 4")
+        assert rows(sess.table(), "c") == [(1,), (5,)]
+
+    def test_open_ended_range(self, sess):
+        for c in (1, 2, 3):
+            sess.execute(f"INSERT INTO kv (k, c, a) VALUES (1, {c}, 'x')")
+            sess.execute(f"INSERT INTO kv (k, c, a) VALUES (2, {c}, 'y')")
+        sess.execute("DELETE FROM kv WHERE k = 1 AND c >= 2")
+        # only partition k=1 is affected
+        assert rows(sess.table(), "k", "c") == [(1, 1), (2, 1), (2, 2), (2, 3)]
+
+    def test_range_delete_shadows_by_timestamp(self, sess):
+        sess.execute("INSERT INTO kv (k, c, a) VALUES (1, 5, 'old') USING TIMESTAMP 10")
+        sess.execute("DELETE FROM kv USING TIMESTAMP 20 WHERE k = 1 AND c > 0")
+        sess.execute("INSERT INTO kv (k, c, a) VALUES (1, 6, 'new') USING TIMESTAMP 30")
+        assert rows(sess.table(), "c", "a") == [(6, "new")]
+
+    def test_range_delete_requires_full_pk(self, sess):
+        with pytest.raises(InvalidRequest, match="full partition key"):
+            sess.execute("DELETE FROM kv WHERE c > 1")
+
+    def test_range_delete_rejects_regular_column_range(self, sess):
+        with pytest.raises(InvalidRequest, match="clustering"):
+            sess.execute("DELETE FROM kv WHERE k = 1 AND n > 1")
+
+
 class TestTtl:
     def test_ttl_expiry_at_read_time(self, sess):
         sess.execute("INSERT INTO kv (k, c, a) VALUES (1, 1, 'fades') USING TIMESTAMP 100 AND TTL 50")
