@@ -271,6 +271,85 @@ class TestUpsertSemantics:
         assert out == [(2,), (3,)]
 
 
+# ---- collection operators (CollectionsTest.java patterns) -------------------
+
+
+class TestCollectionOps:
+    @pytest.fixture(scope="class")
+    def cdf(self, spark):
+        schema = T.StructType(
+            [
+                T.StructField("k", T.LongType()),
+                T.StructField("l", T.ArrayType(T.StringType())),
+                T.StructField("s", T.ArrayType(T.StringType())),
+                T.StructField("m", T.MapType(T.StringType(), T.IntegerType())),
+            ]
+        )
+        return spark.createDataFrame(
+            [(1, ["a", "b", "a"], ["z", "a"], {"k1": 1, "k2": 2, "k3": 3})], schema
+        )
+
+    def test_list_ops(self, cdf):
+        from cassandra_pmem_spark.operators.collections import (
+            element_at_index,
+            list_append,
+            list_discard,
+            list_prepend,
+            list_set_index,
+        )
+
+        row = cdf.select(
+            list_append("l", F.array(F.lit("c"))).alias("ap"),
+            list_prepend(F.array(F.lit("x")), "l").alias("pre"),
+            list_discard("l", "a").alias("dis"),
+            list_set_index("l", 1, "B").alias("setidx"),
+            element_at_index("l", 0).alias("first"),
+        ).collect()[0]
+        assert row["ap"] == ["a", "b", "a", "c"]        # Lists.Appender
+        assert row["pre"] == ["x", "a", "b", "a"]       # Lists.Prepender
+        assert row["dis"] == ["b"]                      # Lists.Discarder removes all
+        assert row["setidx"] == ["a", "B", "a"]         # Lists.SetterByIndex (0-based)
+        assert row["first"] == "a"                      # l[0] — CQL 0-indexed
+
+    def test_set_ops_keep_sorted_unique(self, cdf):
+        from cassandra_pmem_spark.operators.collections import (
+            normalize_set,
+            set_add,
+            set_discard,
+        )
+
+        row = cdf.select(
+            set_add("s", F.array(F.lit("m"), F.lit("a"))).alias("added"),
+            set_discard(normalize_set("s"), "z").alias("rm"),
+        ).collect()[0]
+        assert row["added"] == ["a", "m", "z"]  # sorted + unique invariant
+        assert row["rm"] == ["a"]
+
+    def test_map_ops(self, cdf):
+        from cassandra_pmem_spark.operators.collections import (
+            map_contains_key,
+            map_contains_value,
+            map_remove_key,
+            map_slice,
+            map_value,
+            sorted_entries,
+        )
+
+        row = cdf.select(
+            map_value("m", "k2").alias("v"),
+            map_slice("m", "k1", "k2").alias("sl"),
+            map_remove_key("m", "k1").alias("rm"),
+            map_contains_key("m", "k3").alias("hask"),
+            map_contains_value("m", 3).alias("hasv"),
+            F.transform(sorted_entries("m"), lambda e: e["key"]).alias("keys_sorted"),
+        ).collect()[0]
+        assert row["v"] == 2                                  # m['k2']
+        assert dict(row["sl"]) == {"k1": 1, "k2": 2}          # m[k1..k2] slice
+        assert dict(row["rm"]) == {"k2": 2, "k3": 3}
+        assert row["hask"] and row["hasv"]
+        assert row["keys_sorted"] == ["k1", "k2", "k3"]       # key-sorted iteration
+
+
 # ---- duration type (cql3/Duration.java) -------------------------------------
 
 
