@@ -8,7 +8,7 @@ exactly (driver hashes values under sorted column names).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cassandra_pmem_spark.catalog import TABLES, load_table
@@ -255,6 +255,22 @@ def cql_blob_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cql_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reversed clustering read on the time-series table (FIXTURES F10;
+    ClusteringIndexSliceFilter reversed flag; TWCS latest-first pattern):
+    the newest 3 events per user — PER PARTITION LIMIT against the
+    reversed clustering order (ts DESC, event_id DESC)."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "ts", "event_id", "event_type", F.col("rn").cast("int").alias("rn"))
+    )
+
+
 def cql_parsed_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CQL-text entry point A (QueryProcessor.process:236 → parse → prepare
     → execute): a statement string through cql/parser.py with strict gates
@@ -397,6 +413,14 @@ QUERIES = {
         "SELECT o_orderkey, to_json(struct_pack(o_orderkey := o_orderkey, "
         "o_orderstatus := o_orderstatus, o_orderpriority := o_orderpriority)) AS json_row "
         "FROM orders WHERE o_orderkey < 100",
+    ),
+    "cql_latest_events": (
+        cql_latest_events,
+        "SELECT user_id, ts, event_id, event_type, rn FROM ("
+        "  SELECT user_id, ts, event_id, event_type,"
+        "         CAST(row_number() OVER (PARTITION BY user_id"
+        "              ORDER BY ts DESC, event_id DESC) AS INT) AS rn"
+        "  FROM events) WHERE rn <= 3",
     ),
     "cql_parsed_select": (
         cql_parsed_select,

@@ -259,7 +259,7 @@ QUERIES = {
         csv_roundtrip,
         """
         SELECT o_orderstatus, count(*) AS n,
-          SUM(CAST(floor(o_totalprice*100) AS BIGINT)) AS cents
+          CAST(SUM(CAST(floor(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
         FROM orders WHERE o_orderkey < 500 GROUP BY o_orderstatus
         """,
     ),
@@ -278,7 +278,7 @@ QUERIES = {
     "cql_group_limit": (
         cql_group_limit,
         "SELECT o_custkey, count(*) AS n_orders, "
-        "SUM(CAST(floor(o_totalprice*100) AS BIGINT)) AS cents "
+        "CAST(SUM(CAST(floor(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents "
         "FROM orders GROUP BY o_custkey ORDER BY o_custkey LIMIT 10",
     ),
     "streaming_sliding_batch": (
@@ -315,7 +315,7 @@ QUERIES = {
         analytics_rollup,
         """
         SELECT year(o_orderdate) AS o_year, o_orderpriority, count(*) AS n,
-          SUM(CAST(floor(o_totalprice*100) AS BIGINT)) AS cents
+          CAST(SUM(CAST(floor(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
         FROM orders GROUP BY ROLLUP(year(o_orderdate), o_orderpriority)
         """,
     ),
