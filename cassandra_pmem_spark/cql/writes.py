@@ -308,6 +308,15 @@ class CqlWriteSession:
                 if stmt.strip():
                     self.execute(stmt.strip(), params)
             return True
+        if head == "truncate":
+            # TRUNCATE (cql3/statements/TruncateStatement.java): drop all
+            # data — mutations, tombstones, and the base table
+            self._mutations.clear()
+            self._row_tombs.clear()
+            self._cell_tombs.clear()
+            self._range_tombs.clear()
+            self._base = None
+            return True
         p = _WriteParser(_tokenize(cql))
         if head == "insert":
             _, cells, using, cond = p.insert_statement(params)

@@ -263,6 +263,9 @@ def embedding_near_dup_pairs(
     )
 
 
+_QUANTIZER_CACHE: dict = {}  # trained coarse quantizers, keyed by caller-provided corpus key
+
+
 def _kmeans_quantizer(sample: "np.ndarray", k: int, seed: int, iters: int) -> "np.ndarray":
     """Driver-side Lloyd k-means with seeded k-means++ init on a bounded
     sample (faiss-style: the coarse quantizer trains on a sample driver-side;
@@ -308,6 +311,7 @@ def ivf_topk(
     seed: int = 42,
     train_cap: int = 4096,
     max_iter: int = 10,
+    quantizer_cache_key: str | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the k-means-quantizer scale
     path complementing SRP-LSH.
@@ -323,10 +327,19 @@ def ivf_topk(
     Search: each query probes its n_probe nearest centroids; exact cosine
     only within probed lists. Recall/cost dial = n_probe/n_centroids.
     """
-    sample = np.array(
-        [r[0] for r in corpus.select(F.col(vec_col).cast("array<double>")).limit(train_cap).collect()]
+    cache_key = (
+        (quantizer_cache_key, n_centroids, seed, train_cap, max_iter)
+        if quantizer_cache_key
+        else None
     )
-    C = _kmeans_quantizer(sample, n_centroids, seed, max_iter)
+    C = _QUANTIZER_CACHE.get(cache_key) if cache_key else None
+    if C is None:
+        sample = np.array(
+            [r[0] for r in corpus.select(F.col(vec_col).cast("array<double>")).limit(train_cap).collect()]
+        )
+        C = _kmeans_quantizer(sample, n_centroids, seed, max_iter)
+        if cache_key:
+            _QUANTIZER_CACHE[cache_key] = C
 
     def dists(vec: Column) -> Column:
         # one transform over the literal centroid matrix — two lambdas

@@ -204,3 +204,16 @@ class TestBaseTable:
         sess.execute("UPDATE kv SET a = 'patched' WHERE k = 1 AND c = 1")
         sess.execute("DELETE FROM kv WHERE k = 2 AND c = 1")
         assert rows(sess.table(), "k", "c", "a", "b") == [(1, 1, "patched", "base_b")]
+
+
+class TestTruncate:
+    def test_truncate_drops_everything(self, spark):
+        base = spark.createDataFrame([(9, 9, "base", None, 0)], META.schema)
+        sess = CqlWriteSession(spark, META, base=base)
+        sess.execute("INSERT INTO kv (k, c, a) VALUES (1, 1, 'x')")
+        sess.execute("DELETE FROM kv WHERE k = 9 AND c = 9")
+        assert sess.execute("TRUNCATE kv")
+        assert sess.table().count() == 0
+        # writes after TRUNCATE start fresh
+        sess.execute("INSERT INTO kv (k, c, a) VALUES (2, 2, 'fresh')")
+        assert rows(sess.table(), "k", "c", "a") == [(2, 2, "fresh")]
