@@ -42,6 +42,7 @@ HEADLINE = [
     "sim_ivf_topk",
     "tpch_q11_important_parts",
     "dedup_cascade_docs",
+    "streaming_tumbling_real",
 ]
 
 

@@ -221,6 +221,47 @@ def streaming_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_agg(ev, ts_col="ts", duration="1 hour", keys=["event_type"])
 
 
+def streaming_tumbling_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An ACTUAL Structured Streaming run, oracle-verified: readStream over
+    the events file, 1h tumbling windows keyed by event_type with a 2h
+    watermark, availableNow to a memory sink. Append mode emits exactly the
+    windows whose end ≤ final watermark (max event time − 2h) — a
+    deterministic subset the DuckDB oracle reproduces with a HAVING clause.
+    Fresh checkpoint per run (the run IS the micro-batch lifecycle)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from cassandra_pmem_spark.catalog import TABLES
+
+    sf_tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    d = f"/root/repo/.scratch/stream_events_{sf_tag}"
+    os.makedirs(d, exist_ok=True)
+    dst = os.path.join(d, "events.parquet")
+    if not os.path.exists(dst):
+        shutil.copy(f"{sf_dir}/events.parquet", dst)
+
+    stream = spark.readStream.schema(TABLES["events"].schema).parquet(d)
+    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    out = tumbling_agg(
+        stream, ts_col="ts", duration="1 hour", keys=["event_type"], watermark="2 hours"
+    )
+    name = "st_tumbling_" + uuid.uuid4().hex[:8]
+    ck = tempfile.mkdtemp(prefix="cps_stream_ck_")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    shutil.rmtree(ck, ignore_errors=True)
+    return spark.table(name)
+
+
 def streaming_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (gap 30 min) — F.session_window, batch mode; the
     streaming twin is tested with a memory source."""
@@ -355,4 +396,14 @@ QUERIES = {
         "FROM events GROUP BY 1, 2",
     ),
     "streaming_session_batch": (streaming_session_batch, _SESSION_ORACLE),
+    "streaming_tumbling_real": (
+        streaming_tumbling_real,
+        """
+        WITH horizon AS (SELECT max(ts) - INTERVAL 2 HOUR AS wm FROM events)
+        SELECT date_trunc('hour', ts) AS bucket, event_type, count(*) AS n_events,
+          CAST(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2
+        HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT wm FROM horizon)
+        """,
+    ),
 }
