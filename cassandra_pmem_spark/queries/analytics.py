@@ -221,17 +221,12 @@ def streaming_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_agg(ev, ts_col="ts", duration="1 hour", keys=["event_type"])
 
 
-def streaming_tumbling_real(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """An ACTUAL Structured Streaming run, oracle-verified: readStream over
-    the events file, 1h tumbling windows keyed by event_type with a 2h
-    watermark, availableNow to a memory sink. Append mode emits exactly the
-    windows whose end ≤ final watermark (max event time − 2h) — a
-    deterministic subset the DuckDB oracle reproduces with a HAVING clause.
-    Fresh checkpoint per run (the run IS the micro-batch lifecycle)."""
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events table (staged into a directory once per SF
+    — the file source requires a directory), with the same ns→µs transform
+    the batch loader applies."""
     import os
     import shutil
-    import tempfile
-    import uuid
 
     from cassandra_pmem_spark.catalog import TABLES
 
@@ -241,13 +236,18 @@ def streaming_tumbling_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     dst = os.path.join(d, "events.parquet")
     if not os.path.exists(dst):
         shutil.copy(f"{sf_dir}/events.parquet", dst)
-
     stream = spark.readStream.schema(TABLES["events"].schema).parquet(d)
-    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    out = tumbling_agg(
-        stream, ts_col="ts", duration="1 hour", keys=["event_type"], watermark="2 hours"
-    )
-    name = "st_tumbling_" + uuid.uuid4().hex[:8]
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_stream_to_memory(out: DataFrame, prefix: str) -> DataFrame:
+    """availableNow → memory sink with a fresh checkpoint; returns the sink
+    table (the run IS one complete micro-batch lifecycle)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
     ck = tempfile.mkdtemp(prefix="cps_stream_ck_")
     q = (
         out.writeStream.format("memory")
@@ -259,7 +259,37 @@ def streaming_tumbling_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     shutil.rmtree(ck, ignore_errors=True)
-    return spark.table(name)
+    return out.sparkSession.table(name)
+
+
+def streaming_tumbling_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An ACTUAL Structured Streaming run, oracle-verified: readStream →
+    1h tumbling windows keyed by event_type with a 2h watermark →
+    availableNow → memory sink. Append mode emits exactly the windows whose
+    end ≤ final watermark (max event time − 2h) — a deterministic subset
+    the DuckDB oracle reproduces with a HAVING-horizon clause."""
+    out = tumbling_agg(
+        _events_stream(spark, sf_dir),
+        ts_col="ts",
+        duration="1 hour",
+        keys=["event_type"],
+        watermark="2 hours",
+    )
+    return _run_stream_to_memory(out, "st_tumbling")
+
+
+def streaming_session_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real streaming session windows (30m gap, 1h watermark): merging
+    session state finalizes when the watermark passes session end; the
+    oracle adds the same horizon filter to the batch sessionization."""
+    out = session_windows(
+        _events_stream(spark, sf_dir),
+        ts_col="ts",
+        gap="30 minutes",
+        key="user_id",
+        watermark="1 hour",
+    )
+    return _run_stream_to_memory(out, "st_session")
 
 
 def streaming_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -405,5 +435,10 @@ QUERIES = {
         FROM events GROUP BY 1, 2
         HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT wm FROM horizon)
         """,
+    ),
+    "streaming_session_real": (
+        streaming_session_real,
+        _SESSION_ORACLE.rstrip()
+        + "\nHAVING max(ts) + INTERVAL 30 MINUTE <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)\n",
     ),
 }
