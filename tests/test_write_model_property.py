@@ -1,0 +1,118 @@
+"""Property test: CqlWriteSession vs a reference model.
+
+Random sequences of INSERT / UPDATE / DELETE (row + column) with unique
+explicit timestamps applied both to the Spark write session and to a plain
+Python model of CQL cell semantics — final visible states must agree.
+This sweeps interleavings (delete-then-reinsert, disjoint cell writes,
+out-of-order timestamps) that the hand-written scenarios can't enumerate.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import types as T
+
+from cassandra_pmem_spark.catalog import ClusteringColumn, TableMeta
+from cassandra_pmem_spark.cql.writes import CqlWriteSession
+
+META = TableMeta(
+    "kv",
+    T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("c", T.LongType()),
+            T.StructField("a", T.StringType()),
+            T.StructField("b", T.StringType()),
+        ]
+    ),
+    partition_key=("k",),
+    clustering=(ClusteringColumn("c"),),
+)
+
+_KEYS = [(1, 1), (1, 2), (2, 1)]
+_VALS = ["v1", "v2", "v3"]
+
+
+@st.composite
+def op(draw):
+    kind = draw(st.sampled_from(["insert", "update_a", "update_b", "del_row", "del_col_a"]))
+    key = draw(st.sampled_from(_KEYS))
+    val = draw(st.sampled_from(_VALS))
+    return kind, key, val
+
+
+class Model:
+    """Reference semantics: per-cell (value, writetime); deletes shadow
+    cells with writetime <= tombstone; row visible iff any live cell."""
+
+    def __init__(self):
+        self.cells: dict = {}      # key -> {col: (val, wt)}
+
+    def write(self, key, cols: dict, wt: int):
+        d = self.cells.setdefault(key, {})
+        for col, val in cols.items():
+            if col not in d or d[col][1] < wt:
+                d[col] = (val, wt)
+
+    def delete_cells(self, key, cols, wt: int):
+        d = self.cells.get(key, {})
+        for col in cols:
+            if col in d and d[col][1] <= wt:
+                del d[col]
+
+    def visible(self):
+        out = []
+        for (k, c), d in self.cells.items():
+            if d:
+                out.append(
+                    (k, c, d.get("a", (None,))[0], d.get("b", (None,))[0])
+                )
+        return sorted(out, key=str)
+
+
+class TestWriteModelProperty:
+    @settings(
+        max_examples=12,  # each example runs Spark jobs — keep the corpus tight
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(ops=st.lists(op(), min_size=1, max_size=10))
+    def test_session_matches_model(self, spark, ops):
+        sess = CqlWriteSession(spark, META)
+        model = Model()
+        for wt, (kind, (k, c), val) in enumerate(ops, start=1):
+            if kind == "insert":
+                sess.execute(
+                    f"INSERT INTO kv (k, c, a, b) VALUES ({k}, {c}, '{val}', 'b{val}') "
+                    f"USING TIMESTAMP {wt}"
+                )
+                model.write((k, c), {"a": val, "b": f"b{val}"}, wt)
+            elif kind == "update_a":
+                sess.execute(
+                    f"UPDATE kv USING TIMESTAMP {wt} SET a = '{val}' WHERE k = {k} AND c = {c}"
+                )
+                model.write((k, c), {"a": val}, wt)
+            elif kind == "update_b":
+                sess.execute(
+                    f"UPDATE kv USING TIMESTAMP {wt} SET b = '{val}' WHERE k = {k} AND c = {c}"
+                )
+                model.write((k, c), {"b": val}, wt)
+            elif kind == "del_row":
+                sess.execute(
+                    f"DELETE FROM kv USING TIMESTAMP {wt} WHERE k = {k} AND c = {c}"
+                )
+                model.delete_cells((k, c), ["a", "b"], wt)
+            elif kind == "del_col_a":
+                sess.execute(
+                    f"DELETE a FROM kv USING TIMESTAMP {wt} WHERE k = {k} AND c = {c}"
+                )
+                model.delete_cells((k, c), ["a"], wt)
+
+        got = sorted(
+            (tuple(r) for r in sess.table().select("k", "c", "a", "b").collect()),
+            key=str,
+        )
+        assert got == model.visible(), f"ops={ops}"
