@@ -391,7 +391,7 @@ def _compile(t: CqlTable, st: SelectStatement) -> DataFrame:
     projection = []
     for s in st.selectors:
         if s.kind == "star":
-            return t.df() if st.limit is None else t.df()
+            return t.df()
         if s.kind == "col":
             projection.append(F.col(s.args[0]).alias(s.alias) if s.alias else F.col(s.args[0]))
         elif s.kind in ("writetime", "ttl"):

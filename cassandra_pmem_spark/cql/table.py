@@ -31,7 +31,6 @@ from cassandra_pmem_spark.cql.validator import (
     Op,
     Restriction,
     validate_distinct,
-    validate_group_by,
     validate_order_by,
     validate_restrictions,
 )

@@ -19,7 +19,7 @@ Two mitigations, composable with AQE's runtime skew-join splitting
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F

@@ -290,14 +290,6 @@ def _kmeans_quantizer(sample: "np.ndarray", k: int, seed: int, iters: int) -> "n
     return C
 
 
-def _sq_dist(vec: Column, center: list[float]) -> Column:
-    c = F.array(*[F.lit(float(x)) for x in center])
-    return F.aggregate(
-        F.zip_with(vec, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
 
 def ivf_topk(
     corpus: DataFrame,
