@@ -18,6 +18,7 @@ so signatures are reproducible across runs/cluster sizes.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -84,6 +85,54 @@ def brute_force_topk(
     )
 
 
+def _matmul_udf(mat: "np.ndarray", mode: str, n_probe: int = 0):
+    """Arrow-batched matrix products against a broadcast-inlined constant
+    matrix — the vectorized path for SRP signatures and IVF assignment.
+
+    Per-row array expressions are the right call for tiny matrices (no
+    Python worker involved), but signature/assignment work is matmul-shaped:
+    at 50k vectors x 64 planes the expression path costs ~15-30s while one
+    numpy matmul per Arrow batch costs milliseconds. mode:
+      'srp'    -> int32 array of per-table bucket ids is built by the caller
+                  from the sign bits; here returns packed sign bits as long
+      'argmin' -> int32 nearest-row index (IVF list id)
+      'probes' -> array<int> of the n_probe nearest row indices
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    M = mat.astype(np.float64)
+
+    if mode == "argmin":
+
+        @pandas_udf("int")
+        def f(v: pd.Series) -> pd.Series:
+            X = np.stack(v.to_numpy()).astype(np.float64)
+            d = ((X * X).sum(1)[:, None] - 2.0 * (X @ M.T)
+                 + (M * M).sum(1)[None, :])
+            return pd.Series(d.argmin(axis=1).astype("int32"))
+
+        return f
+    if mode == "probes":
+
+        @pandas_udf("array<int>")
+        def f(v: pd.Series) -> pd.Series:
+            X = np.stack(v.to_numpy()).astype(np.float64)
+            d = ((X * X).sum(1)[:, None] - 2.0 * (X @ M.T)
+                 + (M * M).sum(1)[None, :])
+            idx = np.argsort(d, axis=1)[:, :n_probe].astype("int32")
+            return pd.Series(list(idx))
+
+        return f
+
+    @pandas_udf("array<boolean>")
+    def f(v: pd.Series) -> pd.Series:
+        X = np.stack(v.to_numpy()).astype(np.float64)
+        signs = (X @ M.T) > 0
+        return pd.Series(list(signs))
+
+    return f
+
+
 def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((bits, dim)).tolist()
@@ -134,35 +183,27 @@ def lsh_topk(
     the cost of L× hashing + candidate dedup. Candidates per query ≈
     tables × corpus / 2^bits. Recall < 1 by construction — measured against
     brute_force_topk in tests."""
-    # all tables' hyperplanes in ONE literal matrix: a single transform
-    # computes every dot product in one pass, then each table's bucket folds
-    # from its slice of the sign bits — lambda count stays constant in
-    # `tables` (vs per-table signature expressions)
-    all_planes = [
-        p for t in range(tables) for p in _hyperplanes(dim, bits, seed + 1000 * t)
-    ]
-    plane_mat = F.array(*[F.array(*[F.lit(float(x)) for x in p]) for p in all_planes])
+    # all tables' hyperplanes as ONE matrix: sign bits for every plane come
+    # from a single Arrow-batched matmul per batch (signature work is
+    # matmul-shaped — see _matmul_udf), then each table's bucket id folds
+    # from its slice of the sign-bit vector with plain expressions
+    all_planes = np.array(
+        [p for t in range(tables) for p in _hyperplanes(dim, bits, seed + 1000 * t)]
+    )
+    sign_udf = _matmul_udf(all_planes, "srp")
     weights = F.array(
         *[F.lit(1 << (i % bits)).cast("int") for i in range(tables * bits)]
     )
 
     def with_buckets(df, idc, vec_alias):
-        dots = F.transform(
-            plane_mat,
-            lambda p: F.aggregate(
-                F.zip_with(F.col(vec_col), p, lambda x, y: x.cast("double") * y),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
-        )
-        signed = F.zip_with(
-            dots, weights, lambda d, w: F.when(d > 0, w).otherwise(F.lit(0))
-        )
-        # materialize the sign-bit vector ONCE per row before slicing it per
-        # table — slice expressions don't share subtrees, so referencing the
-        # raw expression 8× would recompute all dot products 8×
         staged = df.select(
-            idc, F.col(vec_col).alias(vec_alias), signed.alias("__signed")
+            idc,
+            F.col(vec_col).alias(vec_alias),
+            F.zip_with(
+                sign_udf(F.col(vec_col).cast("array<double>")),
+                weights,
+                lambda sgn, w: F.when(sgn, w).otherwise(F.lit(0)),
+            ).alias("__signed"),
         )
         buckets = F.explode(
             F.array(
@@ -187,15 +228,18 @@ def lsh_topk(
     q = F.broadcast(
         with_buckets(queries.select(query_id_col, vec_col), query_id_col, "__qvec")
     )
-    cand = (
+    # score BEFORE deduplicating: a pair colliding in several tables has
+    # the same cosine, and deduping scalar (qid, nid, sim) triples shuffles
+    # ~20 bytes/row instead of two 64-float vectors per row
+    scored = (
         c.join(q, on=["__tbl", "__bucket"])
-        .select(query_id_col, "neighbor_id", "__cvec", "__qvec")
-        .dropDuplicates([query_id_col, "neighbor_id"])
-    )
-    scored = cand.select(
-        F.col(query_id_col),
-        F.col("neighbor_id"),
-        cosine(F.col("__cvec"), F.col("__qvec")).alias("cosine_sim"),
+        .select(
+            F.col(query_id_col),
+            F.col("neighbor_id"),
+            cosine(F.col("__cvec"), F.col("__qvec")).alias("cosine_sim"),
+        )
+        .groupBy(query_id_col, "neighbor_id")
+        .agg(F.first("cosine_sim").alias("cosine_sim"))
     )
     from pyspark.sql import Window
 
@@ -271,20 +315,25 @@ def _kmeans_quantizer(sample: "np.ndarray", k: int, seed: int, iters: int) -> "n
     sample (faiss-style: the coarse quantizer trains on a sample driver-side;
     only *assignment* is distributed). Deterministic given (sample, seed)."""
     rng = np.random.default_rng(seed)
-    n = len(sample)
-    # k-means++ seeding
-    centers = [sample[rng.integers(n)]]
+    X = np.asarray(sample, dtype=np.float64)
+    n = len(X)
+    x2 = (X * X).sum(axis=1)
+    # k-means++ seeding with an incrementally-maintained min-distance vector
+    # (recomputing distances to every center each round is O(k²·n·d))
+    centers = [X[rng.integers(n)]]
+    d2 = ((X - centers[0]) ** 2).sum(axis=1)
     for _ in range(1, k):
-        d2 = np.min(
-            [((sample - c) ** 2).sum(axis=1) for c in centers], axis=0
-        )
         probs = d2 / d2.sum() if d2.sum() > 0 else np.full(n, 1.0 / n)
-        centers.append(sample[rng.choice(n, p=probs)])
+        c = X[rng.choice(n, p=probs)]
+        centers.append(c)
+        d2 = np.minimum(d2, ((X - c) ** 2).sum(axis=1))
     C = np.array(centers)
     for _ in range(iters):
-        assign = ((sample[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+        # ||x−c||² = ||x||² − 2x·c + ||c||² via one matmul — no n×k×d temp
+        d = x2[:, None] - 2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
+        assign = d.argmin(axis=1)
         for j in range(k):
-            pts = sample[assign == j]
+            pts = X[assign == j]
             if len(pts):
                 C[j] = pts.mean(axis=0)
     return C
@@ -333,49 +382,22 @@ def ivf_topk(
         if cache_key:
             _QUANTIZER_CACHE[cache_key] = C
 
-    def dists(vec: Column) -> Column:
-        # one transform over the literal centroid matrix — two lambdas
-        # total, not n_centroids separate aggregate lambdas
-        cent_mat = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in C.tolist()])
-        return F.transform(
-            cent_mat,
-            lambda c: F.aggregate(
-                F.zip_with(vec, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
-        )
+    # assignment and probes are matmul-shaped: one Arrow-batched numpy
+    # matmul per batch (see _matmul_udf) — the per-row expression variant
+    # costs ~30s at 50k×64 corpus while the matmul costs milliseconds
+    assign_udf = _matmul_udf(C, "argmin")
+    probe_udf = _matmul_udf(C, "probes", n_probe=n_probe)
 
-    # materialize the distance array once per row, then argmin over the
-    # stored array — evaluating the 16×64-literal tree twice doubles both
-    # codegen size and per-row work
-    c_assigned = (
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("__cvec"),
-            dists(F.col(vec_col)).alias("__d"),
-        )
-        .select(
-            "neighbor_id",
-            "__cvec",
-            (F.array_position(F.col("__d"), F.array_min("__d")) - 1).cast("int").alias("__list"),
-        )
+    c_assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        assign_udf(F.col(vec_col).cast("array<double>")).alias("__list"),
     )
 
-    # query probes: sort (dist, list) structs, slice n_probe, explode
-    probe_structs = F.array_sort(
-        F.zip_with(
-            dists(F.col(vec_col)),
-            F.array(*[F.lit(i) for i in range(n_centroids)]),
-            lambda d, i: F.struct(d.alias("d"), i.alias("list_id")),
-        )
-    )
     probes = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qvec"),
-        F.explode(
-            F.transform(F.slice(probe_structs, 1, n_probe), lambda s: s["list_id"])
-        ).alias("__list"),
+        F.explode(probe_udf(F.col(vec_col).cast("array<double>"))).alias("__list"),
     )
 
     scored = c_assigned.join(F.broadcast(probes), on="__list").select(
