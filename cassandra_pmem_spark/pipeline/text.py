@@ -120,15 +120,23 @@ def md5_fingerprint(col: Column | str) -> Column:
     return F.md5(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")))
 
 
-def rolling_fingerprint(col: Column | str, window: int = 8) -> Column:
-    """Winnowing-style robust fingerprint: min xxhash64 over character
-    n-grams — stable under small edits (vs md5 which flips entirely)."""
+def rolling_fingerprint(col: Column | str, gram: int = 8, window: int = 4) -> Column:
+    """Winnowing fingerprint (Schleimer/Wilkerson/Aiken): hash every
+    character `gram`-gram, keep the minimum of each sliding `window` of
+    hashes, dedupe. A local edit perturbs only the fingerprints whose
+    windows cover it — most of the set survives (md5 flips entirely) —
+    while any edit is guaranteed to be visible in SOME window.
+    Returns a sorted array<bigint>."""
     c = F.col(col) if isinstance(col, str) else col
-    n = F.greatest(F.length(c) - F.lit(window - 1), F.lit(1))
-    grams = F.transform(
-        F.sequence(F.lit(1), n), lambda i: F.substring(c, i, window)
+    n = F.greatest(F.length(c) - F.lit(gram - 1), F.lit(1))
+    hashes = F.transform(
+        F.sequence(F.lit(1), n), lambda i: F.xxhash64(F.substring(c, i, gram))
     )
-    return F.array_min(F.transform(grams, F.xxhash64))
+    n_win = F.greatest(F.size(hashes) - F.lit(window - 1), F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_win), lambda j: F.array_min(F.slice(hashes, j, window))
+    )
+    return F.array_sort(F.array_distinct(mins))
 
 
 # -- SASI analyzer equivalents (index/sasi/analyzer/) -------------------------

@@ -8,7 +8,7 @@ Generates a deterministic 50k x 64 embedding corpus (seed 42) under
   - brute-force vs multi-table LSH vs IVF: wall time + recall@10
   - dedup cascade over the full sf0.1 documents table (5k docs)
 
-Run: python scripts/scaling_probe.py [n_vectors]
+Run: python scripts/scaling_probe.py [n_vectors] [n_queries]
 Prints one JSON line (same spirit as bench.py).
 """
 
@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+    n_q = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     from cassandra_pmem_spark.session import get_spark
     from cassandra_pmem_spark.pipeline.similarity import (
         brute_force_topk,
@@ -54,11 +55,11 @@ def main() -> None:
 
     emb = spark.read.parquet(path)
     emb.count()  # warm file metadata
-    queries = emb.filter(F.col("vec_id") < 10).select(
+    queries = emb.filter(F.col("vec_id") < n_q).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
 
-    out: dict = {"n_vectors": n}
+    out: dict = {"n_vectors": n, "n_queries": n_q}
 
     t0 = time.perf_counter()
     exact = {

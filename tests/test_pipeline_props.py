@@ -270,3 +270,26 @@ class TestSasiAnalyzers:
         # case-insensitive word-boundary (unlike raw LIKE '%data%')
         assert hits.count() > 0
         assert all("data" in r["text"].lower() for r in hits.collect())
+
+
+class TestRollingFingerprint:
+    def test_rolling_fingerprint_deterministic_and_local(self, spark):
+        """Winnowing fingerprints: equal texts agree exactly; a local edit
+        changes the set but leaves most of it intact (the dedup-friendly
+        property md5 lacks)."""
+        from cassandra_pmem_spark.pipeline.text import rolling_fingerprint
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+             (2, "alpha beta gamma delta epsilon zeta eta theta"),
+             (3, "alpha beta gamma delta epsilon zeta eta iota")],
+            ["doc_id", "text"],
+        )
+        fp = {
+            r["doc_id"]: set(r["fp"])
+            for r in df.select("doc_id", rolling_fingerprint("text").alias("fp")).collect()
+        }
+        assert fp[1] == fp[2]
+        assert fp[1] != fp[3]
+        overlap = len(fp[1] & fp[3]) / len(fp[1] | fp[3])
+        assert overlap > 0.5, f"local edit should preserve most fingerprints, got {overlap}"
