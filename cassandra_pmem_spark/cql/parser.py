@@ -357,10 +357,13 @@ def _compile(t: CqlTable, st: SelectStatement) -> DataFrame:
         t = t.order_by(*st.order_by)
     if st.per_partition_limit is not None:
         t = t.per_partition_limit(st.per_partition_limit)
-    if st.limit is not None:
-        t = t.limit(st.limit)
 
     has_agg = any(s.kind == "agg" for s in st.selectors)
+    # LIMIT counts RESULT rows: for aggregates that means groups
+    # (DataLimits.groupByLimits:105), so it must apply AFTER the
+    # aggregation, not to the scanned input
+    if st.limit is not None and not has_agg:
+        t = t.limit(st.limit)
     if st.distinct:
         cols = [s.args[0] for s in st.selectors if s.kind == "col"]
         t = t.distinct(*cols)
@@ -386,7 +389,8 @@ def _compile(t: CqlTable, st: SelectStatement) -> DataFrame:
             name = s.alias or (f"{s.fn}_{s.args[0]}" if s.args[0] != "*" else "count")
             col = F.count(F.lit(1)) if s.args[0] == "*" else getattr(F, s.fn)(s.args[0])
             aggs.append(col.alias(name))
-        return df.groupBy(*group_cols).agg(*aggs) if group_cols else df.agg(*aggs)
+        out = df.groupBy(*group_cols).agg(*aggs) if group_cols else df.agg(*aggs)
+        return out.limit(st.limit) if st.limit is not None else out
 
     projection = []
     for s in st.selectors:

@@ -138,6 +138,19 @@ class TestExecute:
         )
         assert grouped.count() == base.select("o_custkey").distinct().count()
 
+    def test_limit_counts_groups_not_scanned_rows(self, spark):
+        """LIMIT on an aggregate counts result groups (CQLGroupByLimits) —
+        it must NOT truncate the scanned input before aggregating."""
+        base = load_table(spark, "orders", SF_SMALL)
+        got = execute_cql(spark, "SELECT count(*) AS n FROM orders LIMIT 5", SF_SMALL)
+        assert got.collect()[0]["n"] == base.count()  # all rows aggregated
+        grouped = execute_cql(
+            spark,
+            "SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey LIMIT 7",
+            SF_SMALL,
+        )
+        assert grouped.count() == 7  # limit applies to groups
+
     def test_group_by_non_pk_prefix_rejected(self, spark):
         with pytest.raises(InvalidRequest, match="prefix"):
             execute_cql(
