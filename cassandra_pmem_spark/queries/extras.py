@@ -109,6 +109,23 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL export + declared-schema re-import of the documents corpus
+    (sources/jsonl.py) — text survives JSON escaping exactly; aggregate by
+    (lang, source) proves the round trip."""
+    from cassandra_pmem_spark.sources.jsonl import read_jsonl, write_jsonl
+
+    path = os.path.join(_SCRATCH, "jsonl_roundtrip")
+    docs = load_table(spark, "documents", sf_dir)
+    write_jsonl(docs, path, num_files=4)
+    back = read_jsonl(spark, path, TABLES["documents"].schema)
+    return back.groupBy("lang", "source").agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("chars"),
+        F.sum(F.length("text")).alias("text_chars"),
+    )
+
+
 def analytics_explode_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UDTF surplus (SURVEY §2.11 — CQL has no table functions): explode =
     UNNEST; top-20 words across documents with total tie-break order."""
@@ -296,6 +313,13 @@ QUERIES = {
           CAST(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_value
         FROM exploded GROUP BY bucket
         """,
+    ),
+    "jsonl_roundtrip": (
+        jsonl_roundtrip,
+        "SELECT lang, source, count(*) AS n, "
+        "CAST(SUM(n_chars) AS BIGINT) AS chars, "
+        "CAST(SUM(length(text)) AS BIGINT) AS text_chars "
+        "FROM documents GROUP BY lang, source",
     ),
     "analytics_explode_wordcount": (
         analytics_explode_wordcount,

@@ -245,3 +245,27 @@ class TestUdtTuple:
     def test_udt_in_where_clause(self, f8_df):
         got = f8_df.filter(F.col("a.city") == "Springfield").count()
         assert got == 2
+
+
+class TestJsonlSource:
+    def test_permissive_mode_quarantines_corrupt_lines(self, spark, tmp_path):
+        """Dirty-corpus quarantine: malformed JSONL lines land in
+        _corrupt_record instead of failing the read."""
+        from cassandra_pmem_spark.sources.jsonl import read_jsonl
+
+        p = tmp_path / "dirty"
+        p.mkdir()
+        (p / "part1.json").write_text(
+            '{"doc_id": 1, "text": "good"}\n'
+            "this is not json at all\n"
+            '{"doc_id": 2, "text": "also good"}\n'
+        )
+        schema = T.StructType(
+            [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+        )
+        got = read_jsonl(spark, str(p), schema, permissive=True)
+        rows = got.collect()
+        good = [r for r in rows if r["_corrupt_record"] is None]
+        bad = [r for r in rows if r["_corrupt_record"] is not None]
+        assert {r["doc_id"] for r in good} == {1, 2}
+        assert len(bad) == 1 and "not json" in bad[0]["_corrupt_record"]
