@@ -204,6 +204,62 @@ def minhash_lsh_pairs(
     return pairs
 
 
+def minhash_lsh_pairs_md5(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle: int = 3,
+) -> DataFrame:
+    """Oracle-portable twin of minhash_lsh_pairs: the SAME banded plan
+    shape — explode shingles → min-aggregate signature → band-key
+    self-join → pair groupBy — but with md5 hashes (min over hex strings,
+    band key = md5 of the '|'-joined band slice) so DuckDB reproduces the
+    exact candidate set. Production uses minhash_lsh_pairs (xxhash64, int
+    keys); this variant exists so the driver's correctness gate exercises
+    the band-join itself, not just an all-pairs demo."""
+    r = num_hashes // bands
+    ex = df.select(
+        F.col(id_col).alias("id"), F.explode(word_shingles(text_col, shingle)).alias("sh")
+    )
+    sigrows = ex.groupBy("id").agg(
+        *[
+            F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{seed}")))).alias(f"h{seed}")
+            for seed in range(num_hashes)
+        ]
+    )
+    banded = sigrows.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws("|", *[F.col(f"h{b * r + i}") for i in range(r)])
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bh")
+    banded = banded.cache()
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .groupBy(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .agg(F.count("*").alias("band_hits"))
+    )
+
+
 def minhash_jaccard_estimate(
     df: DataFrame, pairs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     num_hashes: int = 32, shingle: int = 3,

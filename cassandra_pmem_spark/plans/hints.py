@@ -1,0 +1,46 @@
+"""Size-gated broadcast hints.
+
+A forced ``F.broadcast(df)`` never falls back: if the frame turns out to
+be hundreds of GB (TPC-H customer/supplier/part all scale linearly with
+the scale factor), the driver collects it and OOMs. ``maybe_broadcast``
+applies the hint only when Catalyst's own optimized-plan size estimate is
+under a cap; otherwise the frame is left unhinted and AQE's *runtime*
+statistics pick the join strategy — broadcast when the actual post-filter
+size is small, shuffle-hash otherwise. Always-tiny frames (nation=25,
+region=5 rows, 1-row scalar aggregates) keep plain ``F.broadcast``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Hint only below this planner-estimated size. Larger than the default
+# spark.sql.autoBroadcastJoinThreshold (10 MB) because the planner's
+# estimate for a filtered parquet scan is the full file size (filter
+# selectivity is not modeled without CBO) — a dimension that estimates at
+# 40 MB pre-filter is usually far smaller at runtime. AQE still has the
+# final say: an unhinted join whose build side measures small at runtime
+# converts to broadcast anyway.
+DEFAULT_MAX_BYTES = 64 * 1024 * 1024
+
+
+def plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's estimated size of ``df``'s optimized plan in bytes
+    (driver-side estimation — no job runs). None when the JVM plan is not
+    reachable (e.g. Spark Connect); callers treat None as "unknown, don't
+    force anything"."""
+    try:
+        # py4j maps the scala BigInt to a Python int on some Spark builds
+        # and a JavaObject on others; str() round-trips both
+        return int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:
+        return None
+
+
+def maybe_broadcast(df: DataFrame, max_bytes: int = DEFAULT_MAX_BYTES) -> DataFrame:
+    """Broadcast-hint ``df`` only if the planner thinks it is small."""
+    size = plan_size_bytes(df)
+    if size is not None and size <= max_bytes:
+        return F.broadcast(df)
+    return df

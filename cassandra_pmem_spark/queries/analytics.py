@@ -4,10 +4,13 @@ CQL has no joins, windows, or set ops — the reference's README calls CQL
 "SQL minus joins and subqueries". These are surplus Spark capability the
 driver's TPC-H-shaped suite grades, so they're first-class here.
 
-Scale notes: dimension joins (region/nation/customer/supplier) broadcast —
-no shuffle of the fact table; fact-fact joins shuffle on the join key with
-AQE skew splitting; all double sums decimal-accumulate (order-independent ⇒
-same answer at any parallelism).
+Scale notes: always-tiny dims (region=5/nation=25 rows) broadcast
+unconditionally; sf-scaling dims (customer/supplier) go through
+`maybe_broadcast` — hinted only while the planner estimate is small, so at
+100 TB AQE picks the join strategy instead of force-collecting the table;
+fact-fact joins shuffle on the join key with AQE skew splitting; all
+double sums decimal-accumulate (order-independent ⇒ same answer at any
+parallelism).
 """
 
 from __future__ import annotations
@@ -16,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cassandra_pmem_spark.catalog import load_table
+from cassandra_pmem_spark.plans.hints import maybe_broadcast
 from cassandra_pmem_spark.streaming.windows import session_windows, tumbling_agg
 
 _DEC = "decimal(30,10)"
@@ -58,7 +62,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_shipdate") > F.lit("1997-06-30"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(_revenue()).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
@@ -79,8 +83,8 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(maybe_broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .filter(cust.c_nationkey == supp.s_nationkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
@@ -115,7 +119,7 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.sum(_revenue()).cast("double").alias("revenue"))

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from cassandra_pmem_spark.catalog import load_table
 from cassandra_pmem_spark.pipeline.dedup import (
     exact_dedup,
+    minhash_lsh_pairs_md5,
     minhash_signature_md5,
     ngram_jaccard_pairs,
     simhash32_md5,
@@ -77,6 +78,24 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ids.select(F.col("doc_id").alias("b")), F.col("a") < F.col("b"))
     )
     return ngram_jaccard_pairs(docs, pairs, "doc_id", "text", shingle=3)
+
+
+def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH candidate pairs — the sub-quadratic scale path
+    itself (band-key self-join, no all-pairs stage), run on documents plus
+    planted duplicates so band collisions exist. md5-portable variant; the
+    xxhash64 production path (minhash_lsh_pairs) shares the identical plan
+    shape."""
+    base = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 300).select(
+        "doc_id", "text"
+    )
+    planted = base.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    corpus = base.union(planted)
+    return minhash_lsh_pairs_md5(corpus, num_hashes=16, bands=4, shingle=3).select(
+        "a", "b", "band_hits"
+    )
 
 
 def dedup_cascade_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -233,6 +252,40 @@ FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 """
 
 
+def _lsh_pairs_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    r = num_hashes // bands
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(shingles, s -> md5(concat(s, '#', {i}))))"
+        for i in range(num_hashes)
+    )
+    band_slice = ", ".join(f"sig[band * {r} + {i + 1}]" for i in range(r))
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 300
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 10
+), docs AS (
+  SELECT doc_id, {_NORM_SQL} AS norm FROM corpus
+), w AS (
+  SELECT doc_id, string_split(norm, ' ') AS words FROM docs
+), sh AS (
+  SELECT doc_id,
+    list_transform(range(1, greatest(len(words) - 2, 1) + 1),
+                   i -> array_to_string(words[i:i+2], ' ')) AS shingles
+  FROM w
+), sig AS (
+  SELECT doc_id, [{sig_exprs}] AS sig FROM sh
+), banded AS (
+  SELECT doc_id, band, md5(concat_ws('|', {band_slice})) AS bh
+  FROM sig, range({bands}) t(band)
+)
+SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS band_hits
+FROM banded l JOIN banded r
+  ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+GROUP BY 1, 2
+"""
+
+
 _SIMHASH_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS w FROM documents
@@ -352,6 +405,7 @@ QUERIES = {
     "dedup_minhash_jaccard": (dedup_minhash_jaccard, _minhash_oracle()),
     "dedup_simhash": (dedup_simhash, _SIMHASH_ORACLE),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, _NGRAM_ORACLE),
+    "dedup_lsh_pairs": (dedup_lsh_pairs, _lsh_pairs_oracle()),
     "dedup_cascade_docs": (
         dedup_cascade_docs,
         f"""

@@ -9,8 +9,11 @@ README.asc "SQL minus joins and subqueries"), but they're what the driver's
 correctness suite grades and where 100 TB plans are won or lost.
 
 Scale notes (apply throughout):
-- dimension tables (region/nation/customer/supplier/part) broadcast — the
-  fact table (lineitem/orders) never shuffles for them;
+- always-tiny dimensions (region=5, nation=25 rows; 1-row scalar frames)
+  broadcast unconditionally; sf-scaling dimensions (customer/supplier/
+  part) go through `maybe_broadcast` — hinted only while the planner's
+  size estimate is small, so at 100 TB the hint vanishes and AQE picks
+  the join strategy instead of force-collecting a 100 GB table;
 - fact-fact joins (lineitem⋈orders) shuffle-hash on orderkey with AQE skew
   splitting; at 100 TB both sides would be bucketed by orderkey to make
   this co-located;
@@ -26,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cassandra_pmem_spark.catalog import load_table
+from cassandra_pmem_spark.plans.hints import maybe_broadcast
 
 _DEC = "decimal(30,10)"
 
@@ -47,8 +51,8 @@ def tpch_q2_min_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir).select("l_partkey", "l_suppkey").distinct()
     w = Window.partitionBy("p_partkey").orderBy("s_acctbal", "s_suppkey")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(maybe_broadcast(part), li.l_partkey == part.p_partkey)
+        .join(maybe_broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") == 1)
         .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal")
@@ -95,8 +99,8 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | ((F.col("supp_nation") == "NATION_11") & (F.col("cust_nation") == "NATION_9"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(maybe_broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nk"))
         .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nk"))
         .filter(pair)
@@ -119,12 +123,12 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
     sn = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(maybe_broadcast(part), li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(maybe_broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(sn), supp.s_nationkey == F.col("s_nk"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -151,8 +155,8 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("p_retailprice") * F.col("l_quantity")
     ).cast(_DEC)
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(maybe_broadcast(part), li.l_partkey == part.p_partkey)
+        .join(maybe_broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
@@ -229,7 +233,7 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-01-01")) & (F.col("l_shipdate") < F.lit("1997-07-01"))
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(maybe_broadcast(part), li.l_partkey == part.p_partkey)
         .agg(
             (
                 F.lit(100.0)
@@ -253,7 +257,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = rev.withColumn("mx", F.max("total_revenue").over(Window.partitionBy())).filter(
         F.col("total_revenue") == F.col("mx")
     )
-    return top.join(F.broadcast(supp), top.l_suppkey == supp.s_suppkey).select(
+    return top.join(maybe_broadcast(supp), top.l_suppkey == supp.s_suppkey).select(
         "s_suppkey", "s_name", "total_revenue"
     )
 
@@ -276,8 +280,8 @@ def tpch_q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     pairs = load_table(spark, "lineitem", sf_dir).select("l_partkey", "l_suppkey").distinct()
     return (
-        pairs.join(F.broadcast(bad_supp), pairs.l_suppkey == bad_supp.s_suppkey, "left_anti")
-        .join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+        pairs.join(maybe_broadcast(bad_supp), pairs.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(maybe_broadcast(part), pairs.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -287,17 +291,27 @@ def tpch_q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame
 
 def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly revenue lost if Brand#3 orders below 50% of the part's average
-    quantity were dropped. Correlated avg → per-part aggregate broadcast
-    back onto the fact scan."""
-    part = load_table(spark, "part", sf_dir).filter(F.col("p_brand") == "Brand#3")
+    quantity were dropped. Correlated avg → per-part aggregate joined back
+    onto the fact scan. The aggregate is computed only over Brand#3
+    partkeys (semi-join first): restricting the partkey domain cannot
+    change a per-partkey average, and it bounds the aggregate to the
+    filtered-part cardinality instead of every part in the corpus — the
+    round-1 plan broadcast the full-domain aggregate, which at 100 TB is a
+    multi-GB forced broadcast. The join back is left unhinted: AQE
+    broadcast-converts it at runtime when it measures small."""
+    part_keys = (
+        load_table(spark, "part", sf_dir)
+        .filter(F.col("p_brand") == "Brand#3")
+        .select("p_partkey")
+    )
     li = load_table(spark, "lineitem", sf_dir)
+    li_b3 = li.join(maybe_broadcast(part_keys), li.l_partkey == F.col("p_partkey"), "left_semi")
     avg_qty = (
-        li.groupBy(F.col("l_partkey").alias("ap_partkey"))
+        li_b3.groupBy(F.col("l_partkey").alias("ap_partkey"))
         .agg(F.avg(F.col("l_quantity").cast("decimal(30,6)")).cast("double").alias("avg_qty"))
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(avg_qty), li.l_partkey == F.col("ap_partkey"))
+        li_b3.join(avg_qty, F.col("l_partkey") == F.col("ap_partkey"))
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
             (F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double") / F.lit(7.0)).alias(
@@ -322,7 +336,7 @@ def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFram
     )
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
         .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
     )
 
@@ -335,7 +349,7 @@ def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the residual OR filter."""
     part = load_table(spark, "part", sf_dir)
     li = load_table(spark, "lineitem", sf_dir)
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(maybe_broadcast(part), li.l_partkey == part.p_partkey)
     band = (
         (
             (F.col("p_brand") == "Brand#12")
@@ -368,7 +382,7 @@ def tpch_q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-01-01")) & (F.col("l_shipdate") < F.lit("1998-01-01"))
     )
     qualifying = (
-        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"), "left_semi")
+        li.join(maybe_broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"), "left_semi")
         .groupBy("l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(30,6)")).cast("double").alias("qty"))
         .filter(F.col("qty") > 100)
@@ -404,7 +418,7 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         blamed.groupBy("ret_supp")
         .agg(F.count("*").alias("numwait"))
-        .join(F.broadcast(supp), F.col("ret_supp") == supp.s_suppkey)
+        .join(maybe_broadcast(supp), F.col("ret_supp") == supp.s_suppkey)
         .select("s_name", "numwait")
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(20)

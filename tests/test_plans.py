@@ -59,6 +59,42 @@ class TestPushdownAndBroadcast:
         assert "Expand" not in plan_of(tpch_q21_waiting_supplier(spark, SF_SMALL))
 
 
+class TestBroadcastGate:
+    """maybe_broadcast: hint small frames, never force scale-growing ones."""
+
+    def test_small_frame_gets_hint(self, spark):
+        from cassandra_pmem_spark.plans.hints import maybe_broadcast
+
+        nation = load_table(spark, "nation", SF_SMALL)
+        hinted = maybe_broadcast(nation)
+        assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
+
+    def test_over_threshold_returns_unhinted(self, spark):
+        from cassandra_pmem_spark.plans.hints import maybe_broadcast
+
+        li = load_table(spark, "lineitem", SF_SMALL)
+        # max_bytes=0 simulates the 100 TB case where the planner estimate
+        # exceeds any sane broadcast cap: the frame comes back untouched
+        assert maybe_broadcast(li, max_bytes=0) is li
+
+    def test_q17_aggregate_is_never_force_broadcast(self, spark):
+        """Round-1 regression: q17 hinted both the part dim AND the per-part
+        avg aggregate (unbounded at scale). Now only the Brand#3 partkey
+        list may carry a hint; the aggregate join is left to AQE."""
+        from cassandra_pmem_spark.queries.tpch_more import tpch_q17_small_qty_revenue
+
+        analyzed = (
+            tpch_q17_small_qty_revenue(spark, SF_SMALL)
+            ._jdf.queryExecution()
+            .analyzed()
+            .toString()
+        )
+        lines = analyzed.splitlines()
+        for i, ln in enumerate(lines):
+            if "ResolvedHint" in ln:
+                assert "Aggregate" not in lines[i + 1], analyzed
+
+
 class TestBucketing:
     @pytest.fixture(scope="class")
     def warehouse(self, spark):
