@@ -31,6 +31,7 @@ from cassandra_pmem_spark.cql.validator import (
     Op,
     Restriction,
     validate_distinct,
+    validate_limits,
     validate_order_by,
     validate_restrictions,
 )
@@ -115,10 +116,16 @@ class CqlTable:
 
     def where_token(self, op: Op | str, value: int) -> "CqlTable":
         """token(pk) relation (cql3/restrictions/TokenRestriction.java:40) —
-        range scan in deterministic hash order; see functions/token.py."""
+        range scan in hash order. Single-bigint partition keys hash with
+        the bit-exact Cassandra Murmur3 token (functions/murmur3.py), so
+        token literals from a real cluster carry over; other key shapes
+        fall back to xxhash64 (same ordering semantics, different values —
+        see functions/token.py)."""
         op = Op(op) if isinstance(op, str) else op
         t = self._copy()
-        t._conditions.append(_OP_TO_COLUMN[op](token_column(self.meta.partition_key), value))
+        t._conditions.append(
+            _OP_TO_COLUMN[op](token_column(self.meta.partition_key, self.meta.schema), value)
+        )
         return t
 
     def allow_filtering(self) -> "CqlTable":
@@ -158,6 +165,7 @@ class CqlTable:
                 meta.partition_key
             )
             validate_order_by(meta, self._order, pk_restricted)
+            validate_limits(self._limit, self._per_partition_limit, self._distinct)
             if self._distinct:
                 validate_distinct(meta, self._distinct_cols)
 

@@ -16,7 +16,7 @@ from cassandra_pmem_spark.cql.table import cql_table
 from cassandra_pmem_spark.cql.validator import Op, validate_group_by
 from cassandra_pmem_spark.functions.blob import bigint_as_blob, blob_as_bigint
 from cassandra_pmem_spark.functions.json_fcts import to_json  # noqa: F401 (API surface)
-from cassandra_pmem_spark.functions.token import with_token
+from cassandra_pmem_spark.functions.murmur3 import murmur3_token_subquery, with_murmur3_token
 from cassandra_pmem_spark.operators.aggregates import exact_double_sum
 from cassandra_pmem_spark.operators.collections import element_at_index
 from cassandra_pmem_spark.operators.counters import fold_counters
@@ -98,8 +98,10 @@ def cql_tuple_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def cql_token_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """token(pk) range scan in hash order (TokenRestriction.java:40,
-    TokenFct.java:61). xxhash64-ordered — no DuckDB analog, rows-only check."""
-    df = with_token(load_table(spark, "customer", sf_dir), "c_custkey")
+    TokenFct.java:61) — bit-exact Cassandra Murmur3 tokens
+    (Murmur3Partitioner.java:214, functions/murmur3.py), so the DuckDB
+    oracle reproduces the exact values and order."""
+    df = with_murmur3_token(load_table(spark, "customer", sf_dir), "c_custkey")
     return (
         df.filter(F.col("token") > 0)
         .orderBy("token")
@@ -361,7 +363,12 @@ QUERIES = {
         "WHERE (l_orderkey > 1000 OR (l_orderkey = 1000 AND l_linenumber > 3)) "
         "AND (l_orderkey < 1200 OR (l_orderkey = 1200 AND l_linenumber <= 2))",
     ),
-    "cql_token_scan": (cql_token_scan, None),  # xxhash64 order — rows-only
+    "cql_token_scan": (
+        cql_token_scan,
+        f"SELECT c_custkey, token FROM "
+        f"{murmur3_token_subquery('customer', 'c_custkey', ['c_custkey'])} "
+        f"WHERE token > 0 ORDER BY token LIMIT 50",
+    ),
     "cql_contains": (
         cql_contains,
         "SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey "
