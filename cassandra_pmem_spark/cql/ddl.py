@@ -1,0 +1,539 @@
+"""CQL DDL — CREATE KEYSPACE / TABLE / TYPE / INDEX, ALTER, DROP, parsed
+from statement text into the catalog's TableMeta model.
+
+References: grammar src/antlr/Parser.g:209 ff. (createKeyspaceStatement,
+createTableStatement, createTypeStatement, createIndexStatement,
+alterTableStatement, dropTableStatement);
+cql3/statements/schema/CreateTableStatement.java (pk/clustering/static
+resolution, CLUSTERING ORDER BY), CreateTypeStatement.java,
+schema/TableMetadata.java:114-171 (column kinds). Type names follow
+db/marshal/* (Int32Type, LongType, UTF8Type, …) mapped onto Spark types;
+``frozen<X>`` is X (frozen-ness governs serialized storage in the
+reference — immaterial for an analytics engine where every value column
+is already an opaque whole).
+
+``SchemaRegistry`` holds the parsed schema objects. ``CqlDatabase`` is
+the full text surface on top: DDL routes here, INSERT/UPDATE/DELETE/BATCH
+route to a per-table CqlWriteSession (writes.py), SELECT parses through
+parser.py and compiles against the table's visible state — one entry
+point that runs every statement kind the engine supports.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from cassandra_pmem_spark.catalog import ClusteringColumn, TableMeta
+from cassandra_pmem_spark.cql.parser import _Parser, _tokenize
+from cassandra_pmem_spark.cql.validator import InvalidRequest
+
+# db/marshal/* → Spark types. time is nanos-since-midnight (long);
+# uuid/timeuuid/inet keep their canonical text form; duration keeps the
+# ISO-ish text form functions/duration.py parses.
+_NATIVE_TYPES: dict[str, T.DataType] = {
+    "tinyint": T.ByteType(),
+    "smallint": T.ShortType(),
+    "int": T.IntegerType(),
+    "bigint": T.LongType(),
+    "counter": T.LongType(),
+    "varint": T.DecimalType(38, 0),
+    "decimal": T.DecimalType(38, 18),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "boolean": T.BooleanType(),
+    "text": T.StringType(),
+    "varchar": T.StringType(),
+    "ascii": T.StringType(),
+    "blob": T.BinaryType(),
+    "uuid": T.StringType(),
+    "timeuuid": T.StringType(),
+    "inet": T.StringType(),
+    "date": T.DateType(),
+    "timestamp": T.TimestampType(),
+    "time": T.LongType(),
+    "duration": T.StringType(),
+}
+
+
+@dataclass
+class KeyspaceMeta:
+    name: str
+    replication: dict[str, Any] = field(default_factory=dict)
+    durable_writes: bool = True
+
+
+@dataclass
+class IndexMeta:
+    name: str
+    table: str
+    column: str
+    custom_class: str | None = None
+
+
+class _DdlParser(_Parser):
+    def __init__(self, toks, registry: "SchemaRegistry"):
+        super().__init__(toks)
+        self.registry = registry
+
+    # -- shared bits ----------------------------------------------------------
+
+    def accept_op(self, text: str) -> bool:
+        t = self.peek()
+        if t.kind == "op" and t.text == text:
+            self.next()
+            return True
+        return False
+
+    def expect_op(self, text: str) -> None:
+        if not self.accept_op(text):
+            raise InvalidRequest(f"expected {text!r}, got {self.peek().text!r}")
+
+    def qualified_name(self) -> tuple[str | None, str]:
+        a = self.ident()
+        if self.accept_punct("."):
+            return a, self.ident()
+        return None, a
+
+    def if_not_exists(self) -> bool:
+        if self.accept_kw("if"):
+            self.expect_kw("not")
+            self.expect_kw("exists")
+            return True
+        return False
+
+    def if_exists(self) -> bool:
+        if self.accept_kw("if"):
+            self.expect_kw("exists")
+            return True
+        return False
+
+    def cql_type(self) -> T.DataType:
+        """type := native | list<t> | set<t> | map<k,v> | tuple<t,...>
+        | frozen<t> | udt_name (Parser.g comparatorType)."""
+        name = self.ident().lower()
+        if name == "frozen":
+            self.expect_op("<")
+            inner = self.cql_type()
+            self.expect_op(">")
+            return inner
+        if name in ("list", "set"):
+            self.expect_op("<")
+            elem = self.cql_type()
+            self.expect_op(">")
+            return T.ArrayType(elem)
+        if name == "map":
+            self.expect_op("<")
+            k = self.cql_type()
+            self.expect_punct(",")
+            v = self.cql_type()
+            self.expect_op(">")
+            return T.MapType(k, v)
+        if name == "tuple":
+            self.expect_op("<")
+            elems = [self.cql_type()]
+            while self.accept_punct(","):
+                elems.append(self.cql_type())
+            self.expect_op(">")
+            return T.StructType(
+                [T.StructField(f"_{i + 1}", t) for i, t in enumerate(elems)]
+            )
+        if name in _NATIVE_TYPES:
+            return _NATIVE_TYPES[name]
+        if name in self.registry.types:
+            return self.registry.types[name]
+        raise InvalidRequest(f"unknown type {name!r}")
+
+    def map_literal(self) -> dict:
+        """{'k': v, ...} — keyspace replication options et al."""
+        self.expect_punct("{")
+        out: dict = {}
+        if not self.accept_punct("}"):
+            while True:
+                k = self.literal([], [0])
+                self.expect_punct(":")
+                out[k] = self.literal([], [0])
+                if not self.accept_punct(","):
+                    break
+            self.expect_punct("}")
+        return out
+
+    def _skip_option_value(self) -> Any:
+        """Table options we model are parsed; the rest (compaction,
+        caching, …) are consumed and returned raw so WITH chains parse."""
+        if self.peek().kind == "punct" and self.peek().text == "{":
+            return self.map_literal()
+        return self.literal([], [0])
+
+    def _end(self) -> None:
+        self.accept_punct(";")
+        if self.peek().kind != "eof":
+            raise InvalidRequest(f"trailing input near {self.peek().text!r}")
+
+    # -- statements -----------------------------------------------------------
+
+    def create_keyspace(self) -> KeyspaceMeta | None:
+        self.expect_kw("keyspace")
+        ine = self.if_not_exists()
+        _, name = self.qualified_name()
+        ks = KeyspaceMeta(name)
+        if self.accept_kw("with"):
+            while True:
+                opt = self.ident().lower()
+                self.expect_op("=")
+                if opt == "replication":
+                    ks.replication = self.map_literal()
+                elif opt == "durable_writes":
+                    ks.durable_writes = bool(self._skip_option_value())
+                else:
+                    self._skip_option_value()
+                if not self.accept_kw("and"):
+                    break
+        self._end()
+        if name in self.registry.keyspaces:
+            if ine:
+                return None
+            raise InvalidRequest(f"keyspace {name!r} already exists")
+        return ks
+
+    def create_type(self) -> tuple[str, T.StructType] | None:
+        self.expect_kw("type")
+        ine = self.if_not_exists()
+        _, name = self.qualified_name()
+        self.expect_punct("(")
+        fields = [(self.ident(), self.cql_type())]
+        while self.accept_punct(","):
+            fields.append((self.ident(), self.cql_type()))
+        self.expect_punct(")")
+        self._end()
+        if name.lower() in self.registry.types:
+            if ine:
+                return None
+            raise InvalidRequest(f"type {name!r} already exists")
+        return name.lower(), T.StructType([T.StructField(n, t) for n, t in fields])
+
+    def create_table(self) -> TableMeta | None:
+        self.expect_kw("table")
+        ine = self.if_not_exists()
+        _, name = self.qualified_name()
+        self.expect_punct("(")
+
+        cols: list[tuple[str, T.DataType]] = []
+        statics: list[str] = []
+        pk_cols: list[str] | None = None
+        ck_cols: list[str] = []
+        while True:
+            if self.accept_kw("primary"):
+                # PRIMARY KEY ((p1, p2), c1, c2) | PRIMARY KEY (p, c1, ...)
+                self.expect_kw("key")
+                self.expect_punct("(")
+                if self.accept_punct("("):
+                    pk_cols = [self.ident()]
+                    while self.accept_punct(","):
+                        pk_cols.append(self.ident())
+                    self.expect_punct(")")
+                else:
+                    pk_cols = [self.ident()]
+                while self.accept_punct(","):
+                    ck_cols.append(self.ident())
+                self.expect_punct(")")
+            else:
+                col = self.ident()
+                typ = self.cql_type()
+                is_static = self.accept_kw("static")
+                cols.append((col, typ))
+                if is_static:
+                    statics.append(col)
+                if self.accept_kw("primary"):  # inline single-column pk
+                    self.expect_kw("key")
+                    if pk_cols is not None:
+                        raise InvalidRequest("duplicate PRIMARY KEY specification")
+                    pk_cols = [col]
+            if not self.accept_punct(","):
+                break
+        self.expect_punct(")")
+
+        clustering_order: dict[str, bool] = {}
+        if self.accept_kw("with"):
+            while True:
+                if self.accept_kw("clustering"):
+                    self.expect_kw("order")
+                    self.expect_kw("by")
+                    self.expect_punct("(")
+                    while True:
+                        c = self.ident()
+                        asc = True
+                        if self.accept_kw("desc"):
+                            asc = False
+                        else:
+                            self.accept_kw("asc")
+                        clustering_order[c] = asc
+                        if not self.accept_punct(","):
+                            break
+                    self.expect_punct(")")
+                elif self.accept_kw("compact"):
+                    self.expect_kw("storage")
+                else:
+                    self.ident()
+                    self.expect_op("=")
+                    self._skip_option_value()
+                if not self.accept_kw("and"):
+                    break
+        self._end()
+
+        if pk_cols is None:
+            raise InvalidRequest(f"table {name!r} has no PRIMARY KEY")
+        declared = {c for c, _ in cols}
+        missing = [c for c in pk_cols + ck_cols if c not in declared]
+        if missing:
+            raise InvalidRequest(f"PRIMARY KEY columns {missing} are not declared")
+        bad_static = set(statics) & set(pk_cols + ck_cols)
+        if bad_static:
+            raise InvalidRequest(f"static columns {sorted(bad_static)} cannot be key columns")
+        bad_order = set(clustering_order) - set(ck_cols)
+        if bad_order:
+            raise InvalidRequest(
+                f"CLUSTERING ORDER BY columns {sorted(bad_order)} are not clustering columns"
+            )
+
+        meta = TableMeta(
+            name,
+            T.StructType([T.StructField(c, t) for c, t in cols]),
+            partition_key=tuple(pk_cols),
+            clustering=tuple(
+                ClusteringColumn(c, clustering_order.get(c, True)) for c in ck_cols
+            ),
+            static_columns=tuple(statics),
+        )
+        if name in self.registry.tables:
+            if ine:
+                return None
+            raise InvalidRequest(f"table {name!r} already exists")
+        return meta
+
+    def create_index(self) -> IndexMeta | None:
+        custom = self.accept_kw("custom")
+        self.expect_kw("index")
+        ine = self.if_not_exists()
+        idx_name = None
+        if not (self.peek().kind == "ident" and self.peek().text.lower() == "on"):
+            idx_name = self.ident()
+        self.expect_kw("on")
+        _, table = self.qualified_name()
+        self.expect_punct("(")
+        col = self.ident()
+        self.expect_punct(")")
+        cls = None
+        if custom:
+            self.expect_kw("using")
+            t = self.next()
+            if t.kind != "string":
+                raise InvalidRequest("CUSTOM INDEX expects USING 'class'")
+            cls = t.text[1:-1]
+        self._end()
+        name = idx_name or f"{table}_{col}_idx"
+        if name in self.registry.indexes:
+            if ine:
+                return None
+            raise InvalidRequest(f"index {name!r} already exists")
+        return IndexMeta(name, table, col, cls)
+
+    def alter_table(self) -> TableMeta:
+        self.expect_kw("table")
+        _, name = self.qualified_name()
+        meta = self.registry.table(name)
+        fields = list(meta.schema.fields)
+        if self.accept_kw("add"):
+            col = self.ident()
+            typ = self.cql_type()
+            if col in {f.name for f in fields}:
+                raise InvalidRequest(f"column {col!r} already exists")
+            fields.append(T.StructField(col, typ))
+        elif self.accept_kw("drop"):
+            col = self.ident()
+            if col in meta.primary_key:
+                raise InvalidRequest(f"cannot drop PRIMARY KEY column {col!r}")
+            if col not in {f.name for f in fields}:
+                raise InvalidRequest(f"unknown column {col!r}")
+            fields = [f for f in fields if f.name != col]
+        elif self.accept_kw("rename"):
+            old = self.ident()
+            self.expect_kw("to")
+            new = self.ident()
+            if old not in meta.primary_key:
+                # reference restriction: only primary-key columns may be
+                # renamed (AlterTableStatement.Renames)
+                raise InvalidRequest("only PRIMARY KEY columns can be renamed")
+            fields = [
+                T.StructField(new, f.dataType) if f.name == old else f for f in fields
+            ]
+            self._end()
+            return TableMeta(
+                meta.name,
+                T.StructType(fields),
+                partition_key=tuple(new if c == old else c for c in meta.partition_key),
+                clustering=tuple(
+                    ClusteringColumn(new, c.ascending) if c.name == old else c
+                    for c in meta.clustering
+                ),
+                static_columns=meta.static_columns,
+            )
+        else:
+            raise InvalidRequest("ALTER TABLE supports ADD / DROP / RENAME")
+        self._end()
+        return TableMeta(
+            meta.name,
+            T.StructType(fields),
+            partition_key=meta.partition_key,
+            clustering=meta.clustering,
+            static_columns=meta.static_columns,
+        )
+
+
+class SchemaRegistry:
+    """Parsed schema state: keyspaces, tables, user types, indexes."""
+
+    def __init__(self):
+        self.keyspaces: dict[str, KeyspaceMeta] = {}
+        self.tables: dict[str, TableMeta] = {}
+        self.types: dict[str, T.StructType] = {}
+        self.indexes: dict[str, IndexMeta] = {}
+
+    def table(self, name: str) -> TableMeta:
+        if name not in self.tables:
+            raise InvalidRequest(f"unknown table {name!r}")
+        return self.tables[name]
+
+    def execute(self, cql: str) -> None:
+        head = cql.strip().split(None, 1)[0].lower()
+        p = _DdlParser(_tokenize(cql), self)
+        if head == "create":
+            p.expect_kw("create")
+            nxt = p.peek().text.lower()
+            if nxt == "keyspace":
+                ks = p.create_keyspace()
+                if ks is not None:
+                    self.keyspaces[ks.name] = ks
+            elif nxt == "type":
+                out = p.create_type()
+                if out is not None:
+                    self.types[out[0]] = out[1]
+            elif nxt == "table" or nxt == "columnfamily":
+                meta = p.create_table()
+                if meta is not None:
+                    self.tables[meta.name] = meta
+            elif nxt in ("index", "custom"):
+                idx = p.create_index()
+                if idx is not None:
+                    self.table(idx.table)  # must exist
+                    self.indexes[idx.name] = idx
+            else:
+                raise InvalidRequest(f"unsupported CREATE {nxt.upper()}")
+        elif head == "alter":
+            p.expect_kw("alter")
+            meta = p.alter_table()
+            self.tables[meta.name] = meta
+        elif head == "drop":
+            p.expect_kw("drop")
+            kind = p.ident().lower()
+            ife = p.if_exists()
+            _, name = p.qualified_name()
+            p._end()
+            store = {
+                "keyspace": self.keyspaces,
+                "table": self.tables,
+                "type": self.types,
+                "index": self.indexes,
+            }.get(kind)
+            if store is None:
+                raise InvalidRequest(f"unsupported DROP {kind.upper()}")
+            key = name.lower() if kind == "type" else name
+            if key not in store:
+                if ife:
+                    return
+                raise InvalidRequest(f"unknown {kind} {name!r}")
+            del store[key]
+        else:
+            raise InvalidRequest(f"not a DDL statement: {head!r}")
+
+
+class CqlDatabase:
+    """Full CQL text surface: DDL → SchemaRegistry, DML → per-table
+    CqlWriteSession, SELECT → parser compile over the table's visible
+    state. The QueryProcessor.process analog for every statement kind."""
+
+    _DDL_HEADS = {"create", "alter", "drop"}
+    _DML_HEADS = {"insert", "update", "delete", "begin", "truncate"}
+
+    def __init__(self, spark: SparkSession, strict: bool = True):
+        self.spark = spark
+        self.strict = strict
+        self.registry = SchemaRegistry()
+        self._sessions: dict[str, Any] = {}
+
+    def _session(self, table: str):
+        from cassandra_pmem_spark.cql.writes import CqlWriteSession
+
+        if table not in self._sessions:
+            self._sessions[table] = CqlWriteSession(self.spark, self.registry.table(table))
+        return self._sessions[table]
+
+    @staticmethod
+    def _dml_table(cql: str) -> str:
+        """Target table of a DML statement (INSERT INTO t / UPDATE t /
+        DELETE ... FROM t / TRUNCATE t); batches route per inner statement."""
+        toks = _tokenize(cql)
+        idents = [t.text for t in toks if t.kind == "ident"]
+        low = [x.lower() for x in idents]
+        for kw in ("into", "update", "from", "truncate"):
+            if kw in low:
+                i = low.index(kw)
+                if kw in ("into", "from", "truncate"):
+                    i += 1
+                elif kw == "update":
+                    i += 1
+                name = idents[i] if i < len(idents) else None
+                if name:
+                    return name.split(".")[-1]
+        raise InvalidRequest(f"cannot find target table in {cql[:40]!r}")
+
+    def execute(self, cql: str, params: list[Any] | None = None) -> DataFrame | bool | None:
+        head = cql.strip().split(None, 1)[0].lower()
+        if head in self._DDL_HEADS:
+            self.registry.execute(cql)
+            # sync live write sessions with the new schema: ADD/DROP swap
+            # the meta in place (buffered mutations carry over — absent
+            # columns read as null, dropped cells are ignored at merge);
+            # a DROP TABLE discards the session. RENAME would orphan
+            # buffered cell names, so it refuses under buffered writes.
+            for name in list(self._sessions):
+                if name not in self.registry.tables:
+                    del self._sessions[name]
+                    continue
+                sess, new_meta = self._sessions[name], self.registry.tables[name]
+                if sess.meta is not new_meta:
+                    if (
+                        set(new_meta.primary_key) != set(sess.meta.primary_key)
+                        and (sess._mutations or sess._row_tombs or sess._cell_tombs)
+                    ):
+                        raise InvalidRequest(
+                            "cannot RENAME primary key columns while writes are buffered"
+                        )
+                    sess.meta = new_meta
+            return None
+        if head in self._DML_HEADS:
+            # a BATCH routes to the session of its first DML target —
+            # multi-table batches are out of scope for the text surface
+            return self._session(self._dml_table(cql)).execute(cql, params)
+        if head == "select":
+            from cassandra_pmem_spark.cql.parser import _compile, parse_select
+            from cassandra_pmem_spark.cql.table import CqlTable
+
+            st = parse_select(cql, params)
+            table = st.table.split(".")[-1]
+            meta = self.registry.table(table)
+            return _compile(CqlTable(self._session(table).table(), meta, self.strict), st)
+        raise InvalidRequest(f"unsupported statement {head!r}")

@@ -64,6 +64,7 @@ _PRIORITY: tuple[str, ...] = (
     "analytics_explode_wordcount",
     "analytics_salted_agg",
     "analytics_rollup",
+    "cql_ddl_roundtrip",
     # -- token() scan (Murmur3 oracle upgrade)
     "cql_token_scan",
     # -- one representative per §2 class, round-1 green

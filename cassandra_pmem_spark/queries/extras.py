@@ -229,6 +229,39 @@ def analytics_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cql_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full DDL text path (Parser.g:209 createTableStatement;
+    CreateTableStatement.java): CREATE KEYSPACE + CREATE TABLE with
+    composite pk/clustering from CQL text, load the 25 nation rows through
+    one BATCH of bound INSERTs (shared `?` cursor), read back through the
+    parsed SELECT surface. The 25-row collect is bounded by the fixed
+    nation cardinality (TPC-H nation never scales with sf)."""
+    from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+    db = CqlDatabase(spark)
+    db.execute(
+        "CREATE KEYSPACE ddl_ks WITH REPLICATION = "
+        "{'class': 'SimpleStrategy', 'replication_factor': 1}"
+    )
+    db.execute(
+        "CREATE TABLE ddl_ks.nation_ddl (n_regionkey int, n_nationkey int, "
+        "n_name text, PRIMARY KEY (n_regionkey, n_nationkey)) "
+        "WITH CLUSTERING ORDER BY (n_nationkey ASC)"
+    )
+    rows = load_table(spark, "nation", sf_dir).collect()  # 25 rows, fixed
+    stmts = "; ".join(
+        "INSERT INTO nation_ddl (n_regionkey, n_nationkey, n_name) VALUES (?, ?, ?)"
+        for _ in rows
+    )
+    params: list = []
+    for r in rows:
+        params += [r.n_regionkey, r.n_nationkey, r.n_name]
+    db.execute(f"BEGIN BATCH {stmts}; APPLY BATCH", params)
+    return db.execute(
+        "SELECT n_regionkey, n_nationkey, n_name FROM nation_ddl WHERE n_regionkey = 2"
+    )
+
+
 QUERIES = {
     "cql_static_column": (
         cql_static_column,
@@ -342,5 +375,9 @@ QUERIES = {
           CAST(SUM(CAST(floor(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
         FROM orders GROUP BY ROLLUP(year(o_orderdate), o_orderpriority)
         """,
+    ),
+    "cql_ddl_roundtrip": (
+        cql_ddl_roundtrip,
+        "SELECT n_regionkey, n_nationkey, n_name FROM nation WHERE n_regionkey = 2",
     ),
 }

@@ -1,0 +1,175 @@
+"""CQL DDL tests — CREATE KEYSPACE / TABLE / TYPE / INDEX, ALTER, DROP,
+mirroring the acceptance/rejection patterns of the reference's
+cql3/validation/operations CreateTest.java and AlterTest.java, plus the
+full text path (DDL → DML → SELECT) through CqlDatabase."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from cassandra_pmem_spark.cql.ddl import CqlDatabase, SchemaRegistry
+from cassandra_pmem_spark.cql.validator import InvalidRequest
+
+
+@pytest.fixture()
+def reg():
+    return SchemaRegistry()
+
+
+class TestCreateTable:
+    def test_inline_single_pk(self, reg):
+        reg.execute("CREATE TABLE t (k bigint PRIMARY KEY, v text)")
+        m = reg.tables["t"]
+        assert m.partition_key == ("k",)
+        assert m.clustering == ()
+        assert [f.name for f in m.schema.fields] == ["k", "v"]
+
+    def test_composite_pk_and_clustering_order(self, reg):
+        reg.execute(
+            "CREATE TABLE t (p1 int, p2 int, c1 bigint, c2 text, v double, "
+            "PRIMARY KEY ((p1, p2), c1, c2)) "
+            "WITH CLUSTERING ORDER BY (c1 DESC, c2 ASC)"
+        )
+        m = reg.tables["t"]
+        assert m.partition_key == ("p1", "p2")
+        assert [(c.name, c.ascending) for c in m.clustering] == [("c1", False), ("c2", True)]
+
+    def test_static_column(self, reg):
+        reg.execute("CREATE TABLE t (k int, c int, s text static, v int, PRIMARY KEY (k, c))")
+        assert reg.tables["t"].static_columns == ("s",)
+
+    def test_collection_and_tuple_types(self, reg):
+        reg.execute(
+            "CREATE TABLE t (k int PRIMARY KEY, tags set<text>, m map<text, bigint>, "
+            "pair tuple<int, text>, nested list<frozen<list<int>>>)"
+        )
+        s = {f.name: f.dataType for f in reg.tables["t"].schema.fields}
+        assert s["tags"] == T.ArrayType(T.StringType())
+        assert s["m"] == T.MapType(T.StringType(), T.LongType())
+        assert isinstance(s["pair"], T.StructType)
+        assert s["nested"] == T.ArrayType(T.ArrayType(T.IntegerType()))
+
+    def test_udt_column(self, reg):
+        reg.execute("CREATE TYPE addr (street text, zip int)")
+        reg.execute("CREATE TABLE t (k int PRIMARY KEY, a frozen<addr>)")
+        a = {f.name: f.dataType for f in reg.tables["t"].schema.fields}["a"]
+        assert [f.name for f in a.fields] == ["street", "zip"]
+
+    def test_if_not_exists(self, reg):
+        reg.execute("CREATE TABLE t (k int PRIMARY KEY)")
+        reg.execute("CREATE TABLE IF NOT EXISTS t (k int PRIMARY KEY)")  # no-op
+        with pytest.raises(InvalidRequest, match="already exists"):
+            reg.execute("CREATE TABLE t (k int PRIMARY KEY)")
+
+    # rejection cases (CreateTest.java patterns)
+
+    def test_no_primary_key_rejected(self, reg):
+        with pytest.raises(InvalidRequest, match="PRIMARY KEY"):
+            reg.execute("CREATE TABLE t (k int, v text)")
+
+    def test_undeclared_pk_column_rejected(self, reg):
+        with pytest.raises(InvalidRequest, match="not declared"):
+            reg.execute("CREATE TABLE t (k int, v text, PRIMARY KEY (zz))")
+
+    def test_static_key_column_rejected(self, reg):
+        with pytest.raises(InvalidRequest, match="static"):
+            reg.execute("CREATE TABLE t (k int, c int static, PRIMARY KEY (k, c))")
+
+    def test_clustering_order_on_non_clustering_rejected(self, reg):
+        with pytest.raises(InvalidRequest, match="CLUSTERING ORDER"):
+            reg.execute(
+                "CREATE TABLE t (k int, c int, v int, PRIMARY KEY (k, c)) "
+                "WITH CLUSTERING ORDER BY (v DESC)"
+            )
+
+    def test_unknown_type_rejected(self, reg):
+        with pytest.raises(InvalidRequest, match="unknown type"):
+            reg.execute("CREATE TABLE t (k int PRIMARY KEY, v sometype)")
+
+
+class TestKeyspaceTypeIndex:
+    def test_keyspace_replication(self, reg):
+        reg.execute(
+            "CREATE KEYSPACE ks WITH REPLICATION = "
+            "{'class': 'NetworkTopologyStrategy', 'dc1': 3} AND DURABLE_WRITES = true"
+        )
+        ks = reg.keyspaces["ks"]
+        assert ks.replication["class"] == "NetworkTopologyStrategy"
+        assert ks.replication["dc1"] == 3
+
+    def test_type_duplicate_rejected(self, reg):
+        reg.execute("CREATE TYPE addr (street text)")
+        with pytest.raises(InvalidRequest, match="already exists"):
+            reg.execute("CREATE TYPE addr (street text)")
+
+    def test_index_requires_table(self, reg):
+        with pytest.raises(InvalidRequest, match="unknown table"):
+            reg.execute("CREATE INDEX ON missing (v)")
+
+    def test_custom_index(self, reg):
+        reg.execute("CREATE TABLE t (k int PRIMARY KEY, v text)")
+        reg.execute(
+            "CREATE CUSTOM INDEX v_sasi ON t (v) USING "
+            "'org.apache.cassandra.index.sasi.SASIIndex'"
+        )
+        assert reg.indexes["v_sasi"].custom_class.endswith("SASIIndex")
+
+    def test_drop_if_exists(self, reg):
+        reg.execute("DROP TABLE IF EXISTS nope")  # no-op
+        with pytest.raises(InvalidRequest, match="unknown table"):
+            reg.execute("DROP TABLE nope")
+
+
+class TestAlter:
+    def test_add_and_drop_column(self, reg):
+        reg.execute("CREATE TABLE t (k int PRIMARY KEY, v text)")
+        reg.execute("ALTER TABLE t ADD extra double")
+        assert "extra" in {f.name for f in reg.tables["t"].schema.fields}
+        reg.execute("ALTER TABLE t DROP extra")
+        assert "extra" not in {f.name for f in reg.tables["t"].schema.fields}
+
+    def test_drop_pk_column_rejected(self, reg):
+        reg.execute("CREATE TABLE t (k int PRIMARY KEY, v text)")
+        with pytest.raises(InvalidRequest, match="PRIMARY KEY"):
+            reg.execute("ALTER TABLE t DROP k")
+
+    def test_rename_only_pk_allowed(self, reg):
+        reg.execute("CREATE TABLE t (k int, c int, v text, PRIMARY KEY (k, c))")
+        reg.execute("ALTER TABLE t RENAME c TO c2")
+        assert reg.tables["t"].primary_key == ("k", "c2")
+        with pytest.raises(InvalidRequest, match="PRIMARY KEY"):
+            reg.execute("ALTER TABLE t RENAME v TO v2")
+
+
+class TestCqlDatabase:
+    def test_ddl_dml_select_roundtrip(self, spark):
+        db = CqlDatabase(spark)
+        db.execute("CREATE KEYSPACE ks WITH REPLICATION = {'class': 'SimpleStrategy'}")
+        db.execute(
+            "CREATE TABLE ks.scores (team text, player bigint, points bigint, "
+            "PRIMARY KEY (team, player)) WITH CLUSTERING ORDER BY (player ASC)"
+        )
+        db.execute("INSERT INTO scores (team, player, points) VALUES ('red', 1, 10)")
+        db.execute("INSERT INTO scores (team, player, points) VALUES ('red', 2, 20)")
+        db.execute(
+            "BEGIN BATCH "
+            "INSERT INTO scores (team, player, points) VALUES ('blue', 1, 5); "
+            "UPDATE scores SET points = 30 WHERE team = 'red' AND player = 2; "
+            "APPLY BATCH"
+        )
+        out = db.execute("SELECT player, points FROM scores WHERE team = 'red'")
+        assert sorted(tuple(r) for r in out.collect()) == [(1, 10), (2, 30)]
+
+    def test_alter_keeps_buffered_writes(self, spark):
+        db = CqlDatabase(spark)
+        db.execute("CREATE TABLE t (k bigint PRIMARY KEY, v text)")
+        db.execute("INSERT INTO t (k, v) VALUES (1, 'x')")
+        db.execute("ALTER TABLE t ADD extra bigint")
+        out = db.execute("SELECT k, v, extra FROM t WHERE k = 1")
+        assert [tuple(r) for r in out.collect()] == [(1, "x", None)]
+
+    def test_select_unknown_table_rejected(self, spark):
+        db = CqlDatabase(spark)
+        with pytest.raises(InvalidRequest, match="unknown table"):
+            db.execute("SELECT * FROM ghosts")
