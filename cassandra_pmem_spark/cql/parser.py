@@ -38,16 +38,26 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cassandra_pmem_spark.cql.table import CqlTable, cql_table
-from cassandra_pmem_spark.cql.validator import InvalidRequest, Op, validate_group_by
+from cassandra_pmem_spark.cql.validator import (
+    InvalidRequest,
+    Op,
+    validate_group_by,
+    validate_limits,
+)
 from cassandra_pmem_spark.functions.token import token_column
 
+# `+`/`-` ops serve counter updates, `;` separates BATCH inner statements
+# (write grammar), and `{}:[]` serve DDL map options / collection types
+# (ddl grammar); all harmless for SELECTs, so the ONE shared tokenizer
+# carries them — other modules must not monkey-patch this
+# (import-order-dependent behavior otherwise)
 _TOKEN_RE = re.compile(
     r"""\s*(?:
         (?P<string>'(?:[^']|'')*')
       | (?P<number>-?\d+\.\d+|-?\d+)
       | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
-      | (?P<op><=|>=|!=|=|<|>)
-      | (?P<punct>[(),.*?])
+      | (?P<op><=|>=|!=|=|<|>|\+|-)
+      | (?P<punct>[(),.*?;{}:\[\]])
     )""",
     re.VERBOSE,
 )
@@ -359,6 +369,16 @@ def _compile(t: CqlTable, st: SelectStatement) -> DataFrame:
         t = t.per_partition_limit(st.per_partition_limit)
 
     has_agg = any(s.kind == "agg" for s in st.selectors)
+    if t.strict:
+        validate_limits(st.limit, st.per_partition_limit, st.distinct, has_agg)
+        if st.distinct and any(
+            g in {c.name for c in meta.clustering} for g in st.group_by
+        ):
+            # SelectGroupByTest.java: DISTINCT reads one row per partition —
+            # clustering-grained groups contradict that
+            raise InvalidRequest(
+                "Grouping on clustering columns is not allowed for SELECT DISTINCT queries"
+            )
     # LIMIT counts RESULT rows: for aggregates that means groups
     # (DataLimits.groupByLimits:105), so it must apply AFTER the
     # aggregation, not to the scanned input
@@ -404,7 +424,7 @@ def _compile(t: CqlTable, st: SelectStatement) -> DataFrame:
         elif s.kind == "token":
             if tuple(s.args) != tuple(meta.partition_key):
                 raise InvalidRequest("token() selector requires the full partition key")
-            projection.append(token_column(s.args).alias(s.alias or "token"))
+            projection.append(token_column(s.args, meta.schema).alias(s.alias or "token"))
         elif s.kind == "cast":
             col, typ = s.args
             if typ.lower() not in _CAST_TYPES:

@@ -157,6 +157,29 @@ def validate_group_by(meta: TableMeta, group_cols: list[str]) -> None:
         raise InvalidRequest(
             f"GROUP BY must be a prefix of the primary key {pk}, got {group_cols}"
         )
+    if group_cols and len(group_cols) < len(meta.partition_key):
+        # SelectGroupByTest.java: "Group by is not supported on only a part
+        # of the partition key" — a partial pk group would span token ranges
+        raise InvalidRequest("GROUP BY is not supported on only a part of the partition key")
+
+
+def validate_limits(
+    limit: int | None,
+    per_partition_limit: int | None,
+    distinct: bool = False,
+    has_aggregates: bool = False,
+) -> None:
+    """Limit gates (SelectStatement.prepareLimit; DataLimits;
+    SelectLimitTest.java:75,150,154): limits are strictly positive, and
+    PER PARTITION LIMIT composes with neither DISTINCT (one row per
+    partition already) nor aggregation (group rows, not partition rows)."""
+    for n, what in ((limit, "LIMIT"), (per_partition_limit, "PER PARTITION LIMIT")):
+        if n is not None and n <= 0:
+            raise InvalidRequest(f"{what} must be strictly positive")
+    if per_partition_limit is not None and distinct:
+        raise InvalidRequest("PER PARTITION LIMIT is not allowed with SELECT DISTINCT queries")
+    if per_partition_limit is not None and has_aggregates:
+        raise InvalidRequest("PER PARTITION LIMIT is not allowed with aggregate queries")
 
 
 def validate_distinct(meta: TableMeta, cols: list[str]) -> None:

@@ -19,7 +19,11 @@ Two tiers, mirroring the reference's two write paths:
   DataFrames; fully distributed (the CqlBulkRecordWriter analog).
 
 Timestamps: USING TIMESTAMP wins; otherwise a session-monotonic counter
-stamps statement order (the reference stamps coordinator micros). TTL is
+stamps statement order (the reference stamps coordinator micros). A BATCH
+takes ONE tick (or its batch-level USING TIMESTAMP) shared by every inner
+statement, matching BatchStatement's single coordinator timestamp: batch
+order confers no LWW precedence, and a tombstone wins against a live cell
+at the equal timestamp. TTL is
 modeled in the same unit as writetime: a cell written at t with TTL d is
 visible while now <= t + d, matching read-time expiry semantics
 (db/LivenessInfo.java); CQL's per-cell TTL granularity is preserved because
@@ -76,8 +80,8 @@ class RangeTombstoneStmt:
 class _WriteParser(_Parser):
     """Statement parsers for the write grammar (Parser.g:478,544,578)."""
 
-    def insert_statement(self, params: list[Any]):
-        cursor = [0]
+    def insert_statement(self, params: list[Any], cursor: list[int] | None = None):
+        cursor = [0] if cursor is None else cursor
         self.expect_kw("insert")
         self.expect_kw("into")
         table = self._table_name()
@@ -126,8 +130,8 @@ class _WriteParser(_Parser):
         self._end()
         return table, dict(zip(cols, vals)), using, cond
 
-    def update_statement(self, params: list[Any]):
-        cursor = [0]
+    def update_statement(self, params: list[Any], cursor: list[int] | None = None):
+        cursor = [0] if cursor is None else cursor
         self.expect_kw("update")
         table = self._table_name()
         using = self._using(params, cursor)
@@ -157,8 +161,8 @@ class _WriteParser(_Parser):
         self._end()
         return table, sets, deltas, key, using, cond
 
-    def delete_statement(self, params: list[Any]):
-        cursor = [0]
+    def delete_statement(self, params: list[Any], cursor: list[int] | None = None):
+        cursor = [0] if cursor is None else cursor
         self.expect_kw("delete")
         cols = []
         if not (self.peek().kind == "ident" and self.peek().text.lower() == "from"):
@@ -258,22 +262,41 @@ class _WriteParser(_Parser):
             raise InvalidRequest(f"trailing input near {self.peek().text!r}")
 
 
-# `+`/`-` operators (counter updates) aren't in the SELECT token set; widen
-# the shared tokenizer once at import
 import re as _re
 
-from cassandra_pmem_spark.cql import parser as _pmod
+# BEGIN [UNLOGGED|COUNTER] BATCH prefix / APPLY BATCH suffix; statement
+# bodies in between are split on ';' *outside string literals*
+_BATCH_OPEN_RE = _re.compile(r"^\s*begin\s+(?:unlogged\s+|counter\s+)?batch\b", _re.I)
+_APPLY_RE = _re.compile(r"^\s*apply\s+batch\s*;?\s*$", _re.I)
 
-_pmod._TOKEN_RE = _re.compile(
-    r"""\s*(?:
-        (?P<string>'(?:[^']|'')*')
-      | (?P<number>-?\d+\.\d+|-?\d+)
-      | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
-      | (?P<op><=|>=|!=|=|<|>|\+|-)
-      | (?P<punct>[(),.*?])
-    )""",
-    _re.VERBOSE,
-)
+
+def _split_statements(s: str) -> list[str]:
+    """Split on ';' respecting single-quoted literals (with '' escapes) —
+    a literal containing ';' or the word 'apply' must not break the batch
+    (BatchStatement bodies are full statements, not substrings)."""
+    parts, cur, in_str = [], [], False
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if in_str:
+            cur.append(c)
+            if c == "'":
+                if i + 1 < n and s[i + 1] == "'":
+                    cur.append("'")
+                    i += 1
+                else:
+                    in_str = False
+        elif c == "'":
+            in_str = True
+            cur.append(c)
+        elif c == ";":
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    parts.append("".join(cur))
+    return parts
 
 
 class CqlWriteSession:
@@ -299,14 +322,42 @@ class CqlWriteSession:
     def execute(self, cql: str, params: list[Any] | None = None) -> bool:
         """Apply one statement. Returns the LWT [applied] flag — True for
         unconditional writes, the condition outcome for IF statements."""
-        params = params or []
+        return self._execute(cql, params or [], cursor=[0], forced_ts=None)
+
+    def _execute(self, cql: str, params: list[Any], cursor: list[int], forced_ts: int | None) -> bool:
         head = cql.strip().split(None, 1)[0].lower()
-        if head == "begin":  # BEGIN BATCH stmt; stmt; APPLY BATCH
-            low = cql.lower()
-            inner = cql[low.index("batch") + 5 : low.rindex("apply")]
-            for stmt in inner.split(";"):
+        if head == "begin":
+            # BEGIN [UNLOGGED|COUNTER] BATCH [USING TIMESTAMP t] stmt; ...;
+            # APPLY BATCH (BatchStatement.java:56). One coordinator
+            # timestamp stamps every inner statement — intra-batch order
+            # does NOT create LWW ordering, and at the shared timestamp a
+            # tombstone beats a live cell (the merge's `<=` shadowing), so
+            # insert-then-delete in one batch deletes. `?` markers bind
+            # through ONE shared cursor across the inner statements.
+            if forced_ts is not None:
+                raise InvalidRequest("cannot nest BATCH statements")
+            m = _BATCH_OPEN_RE.match(cql)
+            if not m:
+                raise InvalidRequest("malformed BATCH: expected BEGIN [UNLOGGED|COUNTER] BATCH")
+            pieces = _split_statements(cql[m.end():])
+            first = pieces[0]
+            mu = _re.match(r"\s*using\s+timestamp\s+(\?|-?\d+)\s*", first, _re.I)
+            batch_ts: int | None = None
+            if mu:
+                tok = mu.group(1)
+                if tok == "?":
+                    batch_ts = int(params[cursor[0]])
+                    cursor[0] += 1
+                else:
+                    batch_ts = int(tok)
+                pieces[0] = first[mu.end():]
+            if not _APPLY_RE.match(pieces[-1]):
+                raise InvalidRequest("BATCH must end with APPLY BATCH")
+            if batch_ts is None:
+                batch_ts = self._tick()
+            for stmt in pieces[:-1]:
                 if stmt.strip():
-                    self.execute(stmt.strip(), params)
+                    self._execute(stmt.strip(), params, cursor, forced_ts=batch_ts)
             return True
         if head == "truncate":
             # TRUNCATE (cql3/statements/TruncateStatement.java): drop all
@@ -319,20 +370,28 @@ class CqlWriteSession:
             return True
         p = _WriteParser(_tokenize(cql))
         if head == "insert":
-            _, cells, using, cond = p.insert_statement(params)
+            _, cells, using, cond = p.insert_statement(params, cursor)
             if not self._condition_holds(cond, self._key_of(cells)):
                 return False
-            self._record(cells, using)
+            self._record(cells, using, forced_ts=forced_ts)
         elif head == "update":
-            _, sets, deltas, key, using, cond = p.update_statement(params)
+            _, sets, deltas, key, using, cond = p.update_statement(params, cursor)
+            # PK columns cannot appear in SET (UpdateStatement.java checks;
+            # the reference raises InvalidRequest — silently upserting a
+            # different key would corrupt the partition)
+            bad_pk = set(self.meta.primary_key) & (set(sets) | set(deltas))
+            if bad_pk:
+                raise InvalidRequest(
+                    f"PRIMARY KEY part {sorted(bad_pk)} found in SET part"
+                )
             if not self._condition_holds(cond, self._key_of(key)):
                 return False
             cells = dict(key)
             cells.update(sets)
-            self._record(cells, using, deltas=deltas)
+            self._record(cells, using, deltas=deltas, forced_ts=forced_ts)
         elif head == "delete":
-            _, cols, key, ranges, using, cond = p.delete_statement(params)
-            wt = using.get("timestamp", self._tick())
+            _, cols, key, ranges, using, cond = p.delete_statement(params, cursor)
+            wt = using.get("timestamp", forced_ts if forced_ts is not None else self._tick())
             if ranges:
                 # range tombstone: partition key fully EQ, no LWT, no columns
                 if cond is not None:
@@ -401,16 +460,28 @@ class CqlWriteSession:
             raise InvalidRequest(f"primary key columns {missing} must be specified")
         return tuple(cells[k] for k in self.meta.primary_key)
 
-    def _record(self, cells: dict, using: dict, deltas: dict | None = None) -> None:
+    def _record(
+        self,
+        cells: dict,
+        using: dict,
+        deltas: dict | None = None,
+        forced_ts: int | None = None,
+    ) -> None:
         known = {f.name for f in self.meta.schema.fields}
         unknown = (set(cells) | set(deltas or {})) - known
         if unknown:
             raise InvalidRequest(f"unknown columns {sorted(unknown)}")
+        if "timestamp" in using:
+            wt = using["timestamp"]
+        elif forced_ts is not None:
+            wt = forced_ts  # batch: one shared coordinator timestamp
+        else:
+            wt = self._tick()
         self._mutations.append(
             Mutation(
                 self._key_of(cells),
                 cells,
-                using.get("timestamp", self._tick()),
+                wt,
                 ttl=using.get("ttl"),
                 counter_deltas=deltas or {},
             )

@@ -17,6 +17,7 @@ from cassandra_pmem_spark.cql.validator import (
     Restriction,
     validate_distinct,
     validate_group_by,
+    validate_limits,
     validate_order_by,
     validate_restrictions,
 )
@@ -123,6 +124,99 @@ class TestStrictValidator:
         with pytest.raises(InvalidRequest, match="DISTINCT"):
             validate_distinct(META, ["val"])
         validate_distinct(META, ["pk"])
+
+    def test_order_by_regular_column_rejected(self):
+        # SelectOrderByTest.java:656 "Order by is currently only supported
+        # on the clustered columns of the PRIMARY KEY"
+        with pytest.raises(InvalidRequest, match="prefix"):
+            validate_order_by(META, [("val", True)], pk_is_restricted=True)
+
+    def test_group_by_partial_partition_key_rejected(self):
+        # SelectGroupByTest.java:489 "Group by is not supported on only a
+        # part of the partition key"
+        meta2 = TableMeta(
+            "t2",
+            T.StructType(
+                [
+                    T.StructField("p1", T.LongType()),
+                    T.StructField("p2", T.LongType()),
+                    T.StructField("v", T.LongType()),
+                ]
+            ),
+            partition_key=("p1", "p2"),
+        )
+        with pytest.raises(InvalidRequest, match="part of the partition key"):
+            validate_group_by(meta2, ["p1"])
+        validate_group_by(meta2, ["p1", "p2"])
+
+    def test_limit_must_be_positive(self):
+        # SelectLimitTest.java:75 "LIMIT must be strictly positive"
+        with pytest.raises(InvalidRequest, match="LIMIT must be strictly positive"):
+            validate_limits(0, None)
+        with pytest.raises(InvalidRequest, match="PER PARTITION LIMIT must be strictly positive"):
+            validate_limits(None, -1)
+        validate_limits(10, 3)
+
+    def test_per_partition_limit_with_distinct_rejected(self):
+        # SelectLimitTest.java:150
+        with pytest.raises(InvalidRequest, match="SELECT DISTINCT"):
+            validate_limits(None, 2, distinct=True)
+
+    def test_per_partition_limit_with_aggregates_rejected(self):
+        # SelectLimitTest.java:154
+        with pytest.raises(InvalidRequest, match="aggregate"):
+            validate_limits(None, 2, has_aggregates=True)
+
+
+class TestParsedRejections:
+    """End-to-end rejections through the text surface (CQLTester
+    assertInvalid style — parse + prepare must throw, not execute)."""
+
+    def _invalid(self, spark, cql, match):
+        from cassandra_pmem_spark.cql.parser import execute_cql
+        from tests.conftest import SF_SMALL
+
+        with pytest.raises(InvalidRequest, match=match):
+            execute_cql(spark, cql, SF_SMALL)
+
+    def test_order_by_mixed_direction(self, spark):
+        # events clustering is (ts ASC, event_id ASC)
+        self._invalid(
+            spark,
+            "SELECT * FROM events WHERE user_id = 1 ORDER BY ts ASC, event_id DESC",
+            "reverse",
+        )
+
+    def test_order_by_without_pk_restriction(self, spark):
+        self._invalid(spark, "SELECT * FROM events ORDER BY ts", "partition key")
+
+    def test_group_by_non_prefix(self, spark):
+        self._invalid(
+            spark,
+            "SELECT count(*) FROM events GROUP BY event_type",
+            "prefix|part of the partition",
+        )
+
+    def test_zero_limit(self, spark):
+        self._invalid(
+            spark,
+            "SELECT * FROM events WHERE user_id = 1 LIMIT 0",
+            "strictly positive",
+        )
+
+    def test_per_partition_limit_with_distinct(self, spark):
+        self._invalid(
+            spark,
+            "SELECT DISTINCT user_id FROM events PER PARTITION LIMIT 2",
+            "SELECT DISTINCT",
+        )
+
+    def test_per_partition_limit_with_aggregate(self, spark):
+        self._invalid(
+            spark,
+            "SELECT count(*) FROM events PER PARTITION LIMIT 2",
+            "aggregate",
+        )
 
 
 # ---- CqlTable end-to-end on a crafted fixture -------------------------------

@@ -195,6 +195,83 @@ class TestBatch:
         ]
 
 
+    def test_batch_literal_with_semicolon_and_apply(self, sess):
+        # statement splitting must respect string literals: ';' and the
+        # word 'apply' inside a value must not break the batch
+        sess.execute(
+            """
+            BEGIN BATCH
+              INSERT INTO kv (k, c, a) VALUES (1, 1, 'semi;colon');
+              INSERT INTO kv (k, c, a) VALUES (2, 1, 'please apply; thanks');
+            APPLY BATCH
+            """
+        )
+        assert rows(sess.table(), "k", "a") == [
+            (1, "semi;colon"),
+            (2, "please apply; thanks"),
+        ]
+
+    def test_batch_bind_markers_span_statements(self, sess):
+        # one shared param cursor: markers bind left-to-right across the
+        # inner statements, not from index 0 per statement
+        sess.execute(
+            """
+            BEGIN BATCH
+              INSERT INTO kv (k, c, a) VALUES (?, ?, ?);
+              INSERT INTO kv (k, c, a) VALUES (?, ?, ?);
+            APPLY BATCH
+            """,
+            params=[1, 1, "first", 2, 2, "second"],
+        )
+        assert rows(sess.table(), "k", "c", "a") == [(1, 1, "first"), (2, 2, "second")]
+
+    def test_batch_shared_timestamp_delete_beats_insert(self, sess):
+        # BatchStatement stamps ONE coordinator timestamp on every inner
+        # statement; at the shared timestamp a tombstone shadows the
+        # insert, so insert-then-delete in one batch leaves nothing
+        sess.execute(
+            """
+            BEGIN BATCH
+              INSERT INTO kv (k, c, a) VALUES (5, 5, 'doomed');
+              DELETE FROM kv WHERE k = 5 AND c = 5;
+            APPLY BATCH
+            """
+        )
+        assert rows(sess.table(), "k") == []
+
+    def test_batch_using_timestamp(self, sess):
+        sess.execute(
+            """
+            BEGIN BATCH USING TIMESTAMP 50
+              INSERT INTO kv (k, c, a) VALUES (1, 1, 'batch50');
+            APPLY BATCH
+            """
+        )
+        # a later write with an older explicit timestamp loses to it
+        sess.execute("INSERT INTO kv (k, c, a) VALUES (1, 1, 'older') USING TIMESTAMP 40")
+        assert rows(sess.table(), "a") == [("batch50",)]
+
+    def test_unlogged_batch_accepted(self, sess):
+        sess.execute(
+            "BEGIN UNLOGGED BATCH INSERT INTO kv (k, c, a) VALUES (1, 1, 'u'); APPLY BATCH"
+        )
+        assert rows(sess.table(), "a") == [("u",)]
+
+    def test_batch_without_apply_rejected(self, sess):
+        with pytest.raises(InvalidRequest, match="APPLY BATCH"):
+            sess.execute("BEGIN BATCH INSERT INTO kv (k, c, a) VALUES (1, 1, 'x')")
+
+
+class TestPrimaryKeyInSet:
+    def test_update_set_on_partition_key_rejected(self, sess):
+        with pytest.raises(InvalidRequest, match="PRIMARY KEY part"):
+            sess.execute("UPDATE kv SET k = 5 WHERE k = 1 AND c = 1")
+
+    def test_update_set_on_clustering_key_rejected(self, sess):
+        with pytest.raises(InvalidRequest, match="PRIMARY KEY part"):
+            sess.execute("UPDATE kv SET c = 5 WHERE k = 1 AND c = 1")
+
+
 class TestBaseTable:
     def test_mutations_over_base_dataframe(self, spark):
         base = spark.createDataFrame(
