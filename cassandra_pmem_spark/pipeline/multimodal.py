@@ -9,11 +9,15 @@ predicate pushdown on metadata never touches the bytes.
 
 Decode / feature-extract / resize / frame-sample run as Arrow-batched
 mapInPandas stages: the Spark-side plumbing (schemas, batch iteration,
-partition sizing) is real and tested; the codec calls themselves are STUBS
-(this container has no image/audio libs) — clearly marked, with a
-deterministic fake used by tests. At scale, each batch is one Arrow
-RecordBatch; set spark.sql.execution.arrow.maxRecordsPerBatch to bound
-decoded-frame memory.
+partition sizing) is real and tested. Codecs: PNG and 16-bit-PCM WAV
+decode/encode are REAL and library-free (pipeline/codecs.py — stdlib
+zlib/struct/wave + numpy); formats that require codec libraries the
+container lacks (JPEG, MP3, video) raise a clearly-marked
+NotImplementedError, and a deterministic byte-statistics fake remains
+available (fake_decode=True) for format-agnostic plumbing tests. At
+scale, each batch is one Arrow RecordBatch; set
+spark.sql.execution.arrow.maxRecordsPerBatch to bound decoded-frame
+memory.
 """
 
 from __future__ import annotations
@@ -65,11 +69,16 @@ def attach_media(
 
 
 def _decode_image(data: bytes) -> "object":
-    """STUB: real deployments plug Pillow/libvips here. Deterministic fake:
-    interpret bytes as a pseudo-image of len(data) pixels."""
+    """Real decode for PNG (pipeline/codecs.py, pure stdlib); other image
+    formats need codec libraries this container lacks and raise."""
+    from cassandra_pmem_spark.pipeline.codecs import decode_png, is_png
+
+    if is_png(data):
+        return decode_png(data)
     raise NotImplementedError(
-        "image decode requires Pillow/libvips — not present in this container; "
-        "tests use extract_image_features(fake_decode=True)"
+        "only PNG decodes without codec libraries (JPEG/WebP/... need "
+        "Pillow/libvips — not present in this container); or use "
+        "extract_image_features(fake_decode=True) for format-agnostic plumbing"
     )
 
 
@@ -78,10 +87,12 @@ def extract_image_features(
 ) -> DataFrame:
     """Arrow-batched feature extraction over media items.
 
-    Real pipeline: decode → resize → CNN/CLIP features. Here the decode is
-    stubbed (deterministic byte-statistics fake when fake_decode=True), but
-    the distributed shape — mapInPandas over (item_id, data), bounded Arrow
-    batches, typed output schema — is the production plumbing."""
+    Real pipeline: decode → resize → CNN/CLIP features. With
+    fake_decode=False, PNG payloads REALLY decode (codecs.py) and the
+    statistics run over decoded pixels; fake_decode=True computes the same
+    statistics over raw bytes (format-agnostic, deterministic). Either
+    way the distributed shape — mapInPandas over (item_id, data), bounded
+    Arrow batches, typed output schema — is the production plumbing."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -89,9 +100,11 @@ def extract_image_features(
         for pdf in batches:
             rows = []
             for item_id, data in zip(pdf["item_id"], pdf["data"]):
-                buf = np.frombuffer(bytes(data or b""), dtype=np.uint8)
-                if not fake_decode:
-                    _decode_image(bytes(data or b""))  # raises: codec stub
+                raw = bytes(data or b"")
+                if fake_decode:
+                    buf = np.frombuffer(raw, dtype=np.uint8)
+                else:
+                    buf = _decode_image(raw).ravel()  # decoded pixels
                 n = int(buf.size)
                 if n:
                     counts = np.bincount(buf, minlength=256).astype(np.float64) / n
@@ -101,12 +114,41 @@ def extract_image_features(
                     feat = counts.reshape(dim, 256 // dim).sum(axis=1).astype(np.float32)
                 else:
                     entropy, feat = 0.0, np.zeros(dim, dtype=np.float32)
-                rows.append((int(item_id), n, entropy, feat.tolist()))
+                rows.append((int(item_id), len(raw), entropy, feat.tolist()))
             yield pd.DataFrame(
                 rows, columns=["item_id", "n_bytes", "byte_entropy", "feature"]
             )
 
     return media.select("item_id", "data").mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+
+
+PNG_STAGE_SCHEMA = T.StructType(
+    [T.StructField("item_id", T.LongType()), T.StructField("data", T.BinaryType())]
+)
+
+
+def png_encode_stage(media: DataFrame, width: int = 32) -> DataFrame:
+    """Encode each item's payload bytes as a deterministic grayscale PNG
+    (pure-stdlib encoder, codecs.py): bytes pad to a width-multiple and
+    reshape to (h, width) pixels. This is the fixture-generation stage in
+    front of the REAL decode path — emits the same (item_id, data) shape
+    every media stage consumes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from cassandra_pmem_spark.pipeline.codecs import encode_png
+
+        for pdf in batches:
+            rows = []
+            for item_id, data in zip(pdf["item_id"], pdf["data"]):
+                raw = bytes(data or b"\x00") or b"\x00"
+                h = (len(raw) + width - 1) // width
+                buf = np.frombuffer(raw.ljust(h * width, b"\x00"), np.uint8).reshape(h, width)
+                rows.append((int(item_id), encode_png(buf)))
+            yield pd.DataFrame(rows, columns=["item_id", "data"])
+
+    return media.select("item_id", "data").mapInPandas(run, PNG_STAGE_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
@@ -128,10 +170,20 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def _resize_image(data: bytes, width: int, height: int) -> bytes:
-    """STUB: real deployments plug Pillow `Image.resize` here."""
+    """Real resize for PNG: decode → nearest-neighbor → re-encode
+    (pipeline/codecs.py). Other formats raise — they need codec libs."""
+    from cassandra_pmem_spark.pipeline.codecs import (
+        decode_png,
+        encode_png,
+        is_png,
+        resize_nearest,
+    )
+
+    if is_png(data):
+        return encode_png(resize_nearest(decode_png(data), width, height))
     raise NotImplementedError(
-        "image resize requires Pillow — not present in this container; "
-        "resize_images(fake_resize=True) exercises the distributed plumbing"
+        "only PNG resizes without codec libraries; use "
+        "resize_images(fake_resize=True) for format-agnostic plumbing"
     )
 
 
@@ -179,10 +231,11 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 
 
 def extract_audio_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
-    """Audio feature stage: interpret the binary payload as int16 PCM
-    (deterministic fake decode — a real deployment plugs soundfile/ffmpeg),
-    emit RMS + zero-crossing counts per item. Same mapInPandas shape as the
-    image path."""
+    """Audio feature stage: RMS + zero-crossing counts per item, same
+    mapInPandas shape as the image path. fake_decode=False REALLY decodes
+    16-bit-PCM WAV (codecs.py, stdlib `wave`; compressed formats raise —
+    they need soundfile/ffmpeg); fake_decode=True interprets the raw
+    payload as headerless int16 PCM (format-agnostic, deterministic)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -191,12 +244,22 @@ def extract_audio_features(media: DataFrame, fake_decode: bool = True) -> DataFr
             rows = []
             for item_id, data in zip(pdf["item_id"], pdf["data"]):
                 raw = bytes(data or b"")
-                if not fake_decode:
-                    raise NotImplementedError("audio decode requires soundfile/ffmpeg")
-                buf = np.frombuffer(raw[: len(raw) - (len(raw) % 2)], dtype="<i2")
-                n = int(buf.size)
+                if fake_decode:
+                    x = (
+                        np.frombuffer(raw[: len(raw) - (len(raw) % 2)], dtype="<i2")
+                        .astype(np.float64)
+                        / 32768.0
+                    )
+                else:
+                    from cassandra_pmem_spark.pipeline.codecs import decode_wav, is_wav
+
+                    if not is_wav(raw):
+                        raise NotImplementedError(
+                            "only 16-bit PCM WAV decodes without codec libraries"
+                        )
+                    x = decode_wav(raw)[0].ravel()
+                n = int(x.size)
                 if n:
-                    x = buf.astype(np.float64) / 32768.0
                     rms = float(np.sqrt((x * x).mean()))
                     zc = int(((x[:-1] * x[1:]) < 0).sum())
                 else:

@@ -217,13 +217,18 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched feature extraction (decode stubbed — deterministic byte
-    statistics). Rows-only: numpy float entropy isn't SQL-reproducible."""
+    """Arrow-batched feature extraction with REAL image decode: each
+    document's utf8 bytes become a deterministic grayscale PNG
+    (png_encode_stage, pure-stdlib encoder) and the feature stage decodes
+    them back through the actual PNG codec (codecs.py) — no fake path.
+    Rows-only: PNG decode + float entropy aren't SQL-reproducible."""
+    from cassandra_pmem_spark.pipeline.multimodal import png_encode_stage
+
     docs = load_table(spark, "documents", sf_dir).withColumn(
         "blob", F.col("text").cast("binary")
     )
-    media = attach_media(docs, "blob", "image", "application/octet-stream", "doc_id")
-    return extract_image_features(media, dim=8, fake_decode=True)
+    media = attach_media(docs, "blob", "image", "image/png", "doc_id")
+    return extract_image_features(png_encode_stage(media), dim=8, fake_decode=False)
 
 
 def _minhash_oracle() -> str:
