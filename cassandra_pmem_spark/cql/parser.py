@@ -228,7 +228,15 @@ class _Parser:
             else:
                 raise InvalidRequest(f"unknown function {name!r} in selection")
         else:
-            sel = Selector("col", [name])
+            if self.peek().kind == "punct" and self.peek().text == ".":
+                # UDT field access a.b[.c…] (Selectable.WithFieldSelection,
+                # cql3/selection/Selectable.java) — struct field path
+                path = [name]
+                while self.accept_punct("."):
+                    path.append(self.ident())
+                sel = Selector("field", path)
+            else:
+                sel = Selector("col", [name])
         if self.accept_kw("as"):
             sel.alias = self.ident()
         return sel
@@ -418,6 +426,9 @@ def _compile(t: CqlTable, st: SelectStatement) -> DataFrame:
             return t.df()
         if s.kind == "col":
             projection.append(F.col(s.args[0]).alias(s.alias) if s.alias else F.col(s.args[0]))
+        elif s.kind == "field":
+            path = ".".join(s.args)
+            projection.append(F.col(path).alias(s.alias or path))
         elif s.kind in ("writetime", "ttl"):
             shadow = f"_{s.kind}_{s.args[0]}"
             projection.append(F.col(shadow).alias(s.alias or f"{s.kind}({s.args[0]})"))

@@ -65,6 +65,7 @@ _PRIORITY: tuple[str, ...] = (
     "analytics_salted_agg",
     "analytics_rollup",
     "cql_ddl_roundtrip",
+    "cql_udt_access",
     # -- token() scan (Murmur3 oracle upgrade)
     "cql_token_scan",
     # -- one representative per §2 class, round-1 green
@@ -76,12 +77,14 @@ _PRIORITY: tuple[str, ...] = (
     "cql_counter_fold",
     "cql_parsed_select",
     "cql_select_json",
-    "cql_cast_arithmetic",
     "cql_group_by_pk_prefix",
-    "tpch_q1_pricing_summary",
     "streaming_tumbling_real",
     "streaming_session_real",
 )
+# deliberately past the window (redundant driver evidence):
+# tpch_q1_pricing_summary IS entry() — the driver smoke-checks it every
+# round; cql_cast_arithmetic was round-1 green and carries broad unit
+# coverage (test_fixture_semantics casts suite)
 
 
 def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:

@@ -262,6 +262,39 @@ def cql_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cql_udt_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined types end-to-end from text (db/marshal/UserType.java;
+    CreateTypeStatement.java; Selectable.WithFieldSelection): CREATE TYPE +
+    a table with a frozen<udt> column, rows loaded via one BATCH of
+    INSERT JSON statements (Json.parseJson analog — nested objects become
+    struct values), read back with UDT field access in the SELECT
+    projection. 25-row collect bounded by fixed nation cardinality."""
+    import json as _json
+
+    from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+    db = CqlDatabase(spark)
+    db.execute("CREATE TYPE geo (region int, name text)")
+    db.execute(
+        "CREATE TABLE udt_nation (n_nationkey int PRIMARY KEY, info frozen<geo>)"
+    )
+    rows = load_table(spark, "nation", sf_dir).collect()  # 25 rows, fixed
+    stmts = "; ".join("INSERT INTO udt_nation JSON ?" for _ in rows)
+    params = [
+        _json.dumps(
+            {
+                "n_nationkey": r.n_nationkey,
+                "info": {"region": r.n_regionkey, "name": r.n_name},
+            }
+        )
+        for r in rows
+    ]
+    db.execute(f"BEGIN BATCH {stmts}; APPLY BATCH", params)
+    return db.execute(
+        "SELECT n_nationkey, info.region AS region, info.name AS name FROM udt_nation"
+    )
+
+
 QUERIES = {
     "cql_static_column": (
         cql_static_column,
@@ -379,5 +412,9 @@ QUERIES = {
     "cql_ddl_roundtrip": (
         cql_ddl_roundtrip,
         "SELECT n_regionkey, n_nationkey, n_name FROM nation WHERE n_regionkey = 2",
+    ),
+    "cql_udt_access": (
+        cql_udt_access,
+        "SELECT n_nationkey, n_regionkey AS region, n_name AS name FROM nation",
     ),
 }

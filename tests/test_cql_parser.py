@@ -48,6 +48,17 @@ class TestParse:
         st2 = parse_select("SELECT DISTINCT o_custkey FROM orders")
         assert st2.distinct
 
+    def test_udt_field_selector(self):
+        # Selectable.WithFieldSelection: SELECT a.b[.c] projects a struct
+        # field; alias optional
+        st = parse_select("SELECT k, info.region, info.name AS nm FROM t")
+        kinds = [s.kind for s in st.selectors]
+        assert kinds == ["col", "field", "field"]
+        assert st.selectors[1].args == ["info", "region"]
+        assert st.selectors[2].args == ["info", "name"] and st.selectors[2].alias == "nm"
+        deep = parse_select("SELECT a.b.c FROM t")
+        assert deep.selectors[0].args == ["a", "b", "c"]
+
     def test_string_escapes_and_keyspace(self):
         st = parse_select("SELECT a FROM ks.t WHERE b = 'it''s'")
         assert st.table == "t" and st.relations[0].values == ["it's"]
