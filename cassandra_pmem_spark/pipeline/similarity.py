@@ -119,7 +119,9 @@ def _matmul_udf(mat: "np.ndarray", mode: str, n_probe: int = 0):
             X = np.stack(v.to_numpy()).astype(np.float64)
             d = ((X * X).sum(1)[:, None] - 2.0 * (X @ M.T)
                  + (M * M).sum(1)[None, :])
-            idx = np.argsort(d, axis=1)[:, :n_probe].astype("int32")
+            # stable sort: exact distance ties resolve to the lowest list id,
+            # matching the SQL oracle's ORDER BY d, cid tie-break
+            idx = np.argsort(d, axis=1, kind="stable")[:, :n_probe].astype("int32")
             return pd.Series(list(idx))
 
         return f
@@ -353,6 +355,7 @@ def ivf_topk(
     train_cap: int = 4096,
     max_iter: int = 10,
     quantizer_cache_key: str | None = None,
+    centroids: "np.ndarray | None" = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the k-means-quantizer scale
     path complementing SRP-LSH.
@@ -368,12 +371,19 @@ def ivf_topk(
     Search: each query probes its n_probe nearest centroids; exact cosine
     only within probed lists. Recall/cost dial = n_probe/n_centroids.
     """
-    cache_key = (
-        (quantizer_cache_key, n_centroids, seed, train_cap, max_iter)
-        if quantizer_cache_key
-        else None
-    )
-    C = _QUANTIZER_CACHE.get(cache_key) if cache_key else None
+    if centroids is not None:
+        # caller-provided coarse quantizer (e.g. anchor vectors, or centroids
+        # trained offline) — skips the k-means step entirely
+        C = np.asarray(centroids, dtype=np.float64)
+        n_centroids = len(C)
+        cache_key = None
+    else:
+        cache_key = (
+            (quantizer_cache_key, n_centroids, seed, train_cap, max_iter)
+            if quantizer_cache_key
+            else None
+        )
+        C = _QUANTIZER_CACHE.get(cache_key) if cache_key else None
     if C is None:
         sample = np.array(
             [r[0] for r in corpus.select(F.col(vec_col).cast("array<double>")).limit(train_cap).collect()]

@@ -24,6 +24,15 @@ from pyspark.sql import functions as F
 # converts to broadcast anyway.
 DEFAULT_MAX_BYTES = 64 * 1024 * 1024
 
+# Estimates memoized by the RAW logical-plan tree string: producing it runs
+# neither the analyzer nor the optimizer, while the estimate itself costs an
+# optimizer pass (~50-100 ms driver-side). Dimension frames are rebuilt with
+# identical plans across queries and bench iterations, so the cache turns
+# repeat estimation into a dict hit. The estimate depends only on the files
+# and plan shape, not the session, so cross-session reuse is safe.
+_SIZE_CACHE: dict[str, int | None] = {}
+_SIZE_CACHE_CAP = 4096
+
 
 def plan_size_bytes(df: DataFrame) -> int | None:
     """Catalyst's estimated size of ``df``'s optimized plan in bytes
@@ -31,11 +40,20 @@ def plan_size_bytes(df: DataFrame) -> int | None:
     reachable (e.g. Spark Connect); callers treat None as "unknown, don't
     force anything"."""
     try:
+        key = df._jdf.queryExecution().logical().toString()
+    except Exception:
+        key = None
+    if key is not None and key in _SIZE_CACHE:
+        return _SIZE_CACHE[key]
+    try:
         # py4j maps the scala BigInt to a Python int on some Spark builds
         # and a JavaObject on others; str() round-trips both
-        return int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+        size = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
     except Exception:
-        return None
+        size = None
+    if key is not None and len(_SIZE_CACHE) < _SIZE_CACHE_CAP:
+        _SIZE_CACHE[key] = size
+    return size
 
 
 def maybe_broadcast(df: DataFrame, max_bytes: int = DEFAULT_MAX_BYTES) -> DataFrame:

@@ -52,12 +52,19 @@ def cql_collection_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = ev.groupBy("user_id").agg(
         seq.alias("seq"), F.collect_set("event_type").alias("rawset")
     )
+    # Driver-facing outputs are scalar: the driver's pandas canonicalizer
+    # cannot sort array-typed cells, so the deterministically-ordered
+    # collections are joined to strings at the query boundary.
     lists = base.select(
         "user_id",
-        list_prepend(
-            F.array(F.lit("start")), list_append(F.col("seq"), F.array(F.lit("end")))
+        F.array_join(
+            list_prepend(
+                F.array(F.lit("start")),
+                list_append(F.col("seq"), F.array(F.lit("end"))),
+            ),
+            ",",
         ).alias("list_col"),
-        normalize_set("rawset").alias("set_col"),
+        F.array_join(normalize_set("rawset"), ",").alias("set_col"),
     )
     cents = F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100).cast("long")
     per_type = ev.groupBy("user_id", "event_type").agg(
@@ -68,9 +75,12 @@ def cql_collection_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
     m2 = map_put(F.col("m"), F.create_map(F.lit("bonus"), F.lit(100).cast("long")))
     maps = maps.select(
         "user_id",
-        F.transform(
-            sorted_entries(m2),
-            lambda e: F.concat(e["key"], F.lit(":"), e["value"].cast("string")),
+        F.array_join(
+            F.transform(
+                sorted_entries(m2),
+                lambda e: F.concat(e["key"], F.lit(":"), e["value"].cast("string")),
+            ),
+            ",",
         ).alias("map_col"),
     )
     return lists.join(maps, "user_id")
@@ -312,13 +322,17 @@ QUERIES = {
         """
         WITH lst AS (
           SELECT user_id,
-            ['start'] || list(event_type ORDER BY ts, event_id) || ['end'] AS list_col,
-            list_sort(list_distinct(list(event_type))) AS set_col
+            array_to_string(
+              ['start'] || list(event_type ORDER BY ts, event_id) || ['end'],
+              ',') AS list_col,
+            array_to_string(
+              list_sort(list_distinct(list(event_type))), ',') AS set_col
           FROM events GROUP BY user_id
         ), mp AS (
           SELECT user_id,
-            list_sort(list(event_type || ':' || CAST(cents AS VARCHAR))
-                      || ['bonus:100']) AS map_col
+            array_to_string(
+              list_sort(list(event_type || ':' || CAST(cents AS VARCHAR))
+                        || ['bonus:100']), ',') AS map_col
           FROM (SELECT user_id, event_type,
                        arg_max(CAST(floor(coalesce(value, 0)*100) AS BIGINT), event_id) AS cents
                 FROM events GROUP BY user_id, event_type)

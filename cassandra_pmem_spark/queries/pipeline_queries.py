@@ -138,8 +138,10 @@ def sim_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRP-LSH approximate top-k (rows-only: bucket assignment is
-    engine-specific). Recall vs brute force is asserted in tests."""
+    """SRP-LSH approximate top-k. Oracle-backed: the hyperplanes are
+    deterministic seeded literals, so the DuckDB twin reproduces the exact
+    bucket assignment (_lsh_topk_oracle). Recall vs brute force is
+    additionally asserted in tests."""
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
@@ -163,6 +165,35 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         emb, queries, k=10, n_centroids=16, n_probe=6, quantizer_cache_key=sf_dir
     ).select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cosine_sim"
+    )
+
+
+def sim_ivf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with an anchored (data-chosen but deterministic) coarse quantizer:
+    centroids are the embeddings of vec_id<16, so list assignment, probing,
+    and the exact-cosine re-rank tier are all reproducible in static SQL —
+    this is the oracle-backed twin of sim_ivf_topk, isolating everything
+    except the (unit-tested, iterative) k-means training step. The 16-row
+    anchor collect is bounded by construction."""
+    import numpy as np
+
+    from cassandra_pmem_spark.pipeline.similarity import ivf_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    anchors = np.array(
+        [
+            r[0]
+            for r in emb.filter(F.col("vec_id") < 16)
+            .orderBy("vec_id")
+            .select(F.col("embedding").cast("array<double>"))
+            .collect()
+        ]
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return ivf_topk(emb, queries, k=10, n_probe=6, centroids=anchors).select(
         "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cosine_sim"
     )
 
@@ -221,14 +252,30 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     document's utf8 bytes become a deterministic grayscale PNG
     (png_encode_stage, pure-stdlib encoder) and the feature stage decodes
     them back through the actual PNG codec (codecs.py) — no fake path.
-    Rows-only: PNG decode + float entropy aren't SQL-reproducible."""
+
+    Oracle-backed: the decoded pixels are exactly the utf8 text bytes
+    zero-padded to a 32-multiple, so DuckDB can recompute the byte
+    histogram features. A hash match therefore PROVES the PNG
+    encode→decode round-trip is lossless (a fake decode over the
+    compressed PNG bytes would produce different statistics). Entropy is
+    rounded to 6 dp on both sides (summation order differs between
+    engines); features pass through float32 on both sides, which absorbs
+    double-summation-order noise."""
     from cassandra_pmem_spark.pipeline.multimodal import png_encode_stage
 
     docs = load_table(spark, "documents", sf_dir).withColumn(
         "blob", F.col("text").cast("binary")
     )
     media = attach_media(docs, "blob", "image", "image/png", "doc_id")
-    return extract_image_features(png_encode_stage(media), dim=8, fake_decode=False)
+    feats = extract_image_features(png_encode_stage(media), dim=8, fake_decode=False)
+    # Driver-facing output must be scalar (the driver's pandas canonicalizer
+    # can't sort array cells): flatten the 8-dim feature vector to f0..f7.
+    # The library API (extract_image_features) keeps the array form.
+    return feats.select(
+        "item_id",
+        F.round("byte_entropy", 6).alias("byte_entropy"),
+        *[F.col("feature")[i].cast("double").alias(f"f{i}") for i in range(8)],
+    )
 
 
 def _minhash_oracle() -> str:
@@ -401,6 +448,151 @@ SELECT *, CAST((
 FROM feat
 """
 
+def _lsh_topk_oracle(k: int = 10, bits: int = 4, tables: int = 8, dim: int = 64) -> str:
+    """DuckDB twin of lsh_topk: the SRP hyperplanes are deterministic seeded
+    literals (similarity._hyperplanes, seed 42 + 1000*t), so the exact same
+    plane matrix is inlined here. Bucket id per table = sum of sign bits of
+    vec·plane; candidates = bucket match in ANY table; exact cosine re-rank
+    with (cosine DESC, neighbor_id) tie-break. Sign bits only disagree
+    between engines if a dot product sits within float-noise of 0 —
+    probability ~1e-14 per (vector, plane)."""
+    from cassandra_pmem_spark.pipeline.similarity import _hyperplanes
+
+    def bucket_expr(col: str, t: int) -> str:
+        planes = _hyperplanes(dim, bits, 42 + 1000 * t)
+        terms = []
+        for i, p in enumerate(planes):
+            lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product({col}, {lit}) > 0 "
+                f"THEN {1 << i} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    cb = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, {t} AS tbl, {bucket_expr('v', t)} AS bkt FROM c"
+        for t in range(tables)
+    )
+    qb = "\n  UNION ALL\n".join(
+        f"  SELECT query_id, {t} AS tbl, {bucket_expr('qv', t)} AS bkt FROM q"
+        for t in range(tables)
+    )
+    return f"""
+WITH c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+  WHERE vec_id < 5
+), cb AS (
+{cb}
+), qb AS (
+{qb}
+), cand AS (
+  SELECT DISTINCT qb.query_id, cb.vec_id AS neighbor_id
+  FROM cb JOIN qb ON cb.tbl = qb.tbl AND cb.bkt = qb.bkt
+), scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+    list_dot_product(c.v, q.qv)
+      / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv)))
+      AS cosine_sim
+  FROM cand
+  JOIN c ON c.vec_id = cand.neighbor_id
+  JOIN q ON q.query_id = cand.query_id
+)
+SELECT query_id, neighbor_id, rank, cosine_sim FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+_IVF_RERANK_ORACLE = f"""
+WITH c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), a AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS av FROM embeddings WHERE vec_id < 16
+), q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5
+), cdist AS (
+  SELECT c.vec_id, a.cid,
+    list_dot_product(c.v, c.v) - 2 * list_dot_product(c.v, a.av)
+      + list_dot_product(a.av, a.av) AS d
+  FROM c, a
+), assign AS (
+  SELECT vec_id, cid AS list_id FROM (
+    SELECT vec_id, cid,
+      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM cdist) WHERE rn = 1
+), qdist AS (
+  SELECT q.query_id, a.cid,
+    list_dot_product(q.qv, q.qv) - 2 * list_dot_product(q.qv, a.av)
+      + list_dot_product(a.av, a.av) AS d
+  FROM q, a
+), probes AS (
+  SELECT query_id, cid AS list_id FROM (
+    SELECT query_id, cid,
+      row_number() OVER (PARTITION BY query_id ORDER BY d, cid) AS rn
+    FROM qdist) WHERE rn <= 6
+), scored AS (
+  SELECT p.query_id, s.vec_id AS neighbor_id,
+    list_dot_product(c.v, q.qv)
+      / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv)))
+      AS cosine_sim
+  FROM probes p
+  JOIN assign s ON s.list_id = p.list_id
+  JOIN c ON c.vec_id = s.vec_id
+  JOIN q ON q.query_id = p.query_id
+)
+SELECT query_id, neighbor_id, rank, cosine_sim FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
+def _multimodal_features_oracle(dim: int = 8, width: int = 32) -> str:
+    """Mirror of the PNG encode→decode→histogram pipeline: decoded pixels
+    are the utf8 text bytes zero-padded to a `width`-multiple (empty text
+    becomes one zero byte, then padded). Features go through a FLOAT cast
+    exactly like the numpy float32 path."""
+    span = 256 // dim
+    feat_cols = ", ".join(
+        f"CAST(CAST(COALESCE(SUM(a.c / t.n) FILTER (WHERE a.v // {span} = {i}), 0)"
+        f" AS FLOAT) AS DOUBLE) AS f{i}"
+        for i in range(dim)
+    )
+    return f"""
+WITH b AS (
+  SELECT doc_id, encode(text) AS blob, octet_length(encode(text)) AS len0
+  FROM documents
+), dims AS (
+  SELECT doc_id, blob, len0,
+         ((greatest(len0, 1) + {width - 1}) // {width}) * {width} AS padded
+  FROM b
+), pos AS (
+  SELECT doc_id, hex(blob) AS h, unnest(range(len0)) AS i FROM dims
+), raw_bytes AS (
+  SELECT doc_id, ('0x' || substr(h, CAST(2 * i + 1 AS INT), 2))::INT AS v
+  FROM pos
+  UNION ALL
+  SELECT doc_id, 0 AS v
+  FROM (SELECT doc_id, unnest(range(padded - len0)) FROM dims)
+), agg AS (
+  SELECT doc_id, v, CAST(count(*) AS DOUBLE) AS c
+  FROM raw_bytes GROUP BY doc_id, v
+), tot AS (
+  SELECT doc_id, SUM(c) AS n FROM agg GROUP BY doc_id
+)
+SELECT a.doc_id AS item_id,
+  round(-SUM((a.c / t.n) * log2(a.c / t.n)), 6) AS byte_entropy,
+  {feat_cols}
+FROM agg a JOIN tot t USING (doc_id)
+GROUP BY a.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact_docs": (
         dedup_exact_docs,
@@ -447,8 +639,9 @@ QUERIES = {
     ),
     "sim_bruteforce_topk": (sim_bruteforce_topk, _TOPK_ORACLE),
     "sim_neardup_exact": (sim_neardup_exact, _NEARDUP_ORACLE),
-    "sim_lsh_topk": (sim_lsh_topk, None),  # engine-specific LSH buckets
-    "sim_ivf_topk": (sim_ivf_topk, None),  # engine-specific k-means lists
+    "sim_lsh_topk": (sim_lsh_topk, _lsh_topk_oracle()),
+    "sim_ivf_topk": (sim_ivf_topk, None),  # k-means training is iterative — rows-only
+    "sim_ivf_rerank": (sim_ivf_rerank, _IVF_RERANK_ORACLE),
     "text_token_counts": (
         text_token_counts,
         "SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens, "
@@ -467,5 +660,5 @@ QUERIES = {
         "'application/octet-stream' AS mime, "
         "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents",
     ),
-    "multimodal_features": (multimodal_features, None),  # numpy entropy — rows-only
+    "multimodal_features": (multimodal_features, _multimodal_features_oracle()),
 }

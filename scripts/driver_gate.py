@@ -52,10 +52,22 @@ def main() -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    from pyspark.sql import types as T
+
     qs, oracles = e.queries(), e.oracle_sql()
-    fails, empty = [], []
+    fails, empty, unsortable = [], [], []
     for name in sorted(qs):
         sdf = qs[name](spark, sf_dir)
+        # The driver's pandas canonicalizer sort_values() crashes on
+        # array/map/struct cells ("unhashable type: 'list'") — reject such
+        # output schemas here so the mismatch can't ship again.
+        bad = [
+            f.name
+            for f in sdf.schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+        if bad:
+            unsortable.append(f"{name}:{','.join(bad)}")
         srows = [tuple(r) for r in sdf.collect()]
         scols = sdf.columns
         if not srows:
@@ -75,9 +87,10 @@ def main() -> int:
     print(f"total: {len(qs)} | oracle-backed: {len(oracles)}")
     print("FAILURES:", fails or "none")
     print("EMPTY:", empty or "none")
+    print("UNSORTABLE (array/map/struct outputs):", unsortable or "none")
     df = e.entry(spark)
     print("entry rows:", len(df.collect()))
-    return 1 if (fails or empty) else 0
+    return 1 if (fails or empty or unsortable) else 0
 
 
 if __name__ == "__main__":
