@@ -111,6 +111,22 @@ class _DdlParser(_Parser):
             return True
         return False
 
+    def column_type(self) -> tuple[T.DataType, str | None, bool]:
+        """Like cql_type, but ALSO reports the top-level collection kind
+        ('list' | 'set' | 'map' | None) and frozen-ness — Spark erases both
+        (set<t> and list<t> are ArrayType; frozen<X> stores like X), yet the
+        reference's mutation-validation rules depend on them
+        (Lists/Sets/Maps.java operation dispatch; FrozenCollectionsTest)."""
+        name = self.peek().text.lower()
+        if name == "frozen":
+            self.next()
+            self.expect_op("<")
+            dtype, kind, _ = self.column_type()
+            self.expect_op(">")
+            return dtype, kind, True
+        kind = name if name in ("list", "set", "map") else None
+        return self.cql_type(), kind, False
+
     def cql_type(self) -> T.DataType:
         """type := native | list<t> | set<t> | map<k,v> | tuple<t,...>
         | frozen<t> | udt_name (Parser.g comparatorType)."""
@@ -218,7 +234,10 @@ class _DdlParser(_Parser):
     def create_table(self) -> TableMeta | None:
         self.expect_kw("table")
         ine = self.if_not_exists()
-        _, name = self.qualified_name()
+        ks, name = self.qualified_name()
+        self.last_keyspace = ks  # registry records table->keyspace for cascade
+        self.last_collection_kinds: dict[str, str] = {}
+        self.last_frozen: set[str] = set()
         self.expect_punct("(")
 
         cols: list[tuple[str, T.DataType]] = []
@@ -242,7 +261,11 @@ class _DdlParser(_Parser):
                 self.expect_punct(")")
             else:
                 col = self.ident()
-                typ = self.cql_type()
+                typ, kind, frozen = self.column_type()
+                if kind is not None:
+                    self.last_collection_kinds[col] = kind
+                if frozen:
+                    self.last_frozen.add(col)
                 is_static = self.accept_kw("static")
                 cols.append((col, typ))
                 if is_static:
@@ -401,11 +424,32 @@ class SchemaRegistry:
         self.tables: dict[str, TableMeta] = {}
         self.types: dict[str, T.StructType] = {}
         self.indexes: dict[str, IndexMeta] = {}
+        # table -> owning keyspace (None for unqualified CREATEs). The table
+        # namespace itself stays flat (a documented simplification); the
+        # mapping exists so DROP KEYSPACE can cascade to member tables the
+        # way the reference's schema model scopes them.
+        self.table_keyspace: dict[str, str | None] = {}
+        # Spark's type system erases collection kind (set vs list) and
+        # frozen-ness; the reference's mutation validation needs both
+        self.collection_kinds: dict[str, dict[str, str]] = {}
+        self.frozen_columns: dict[str, frozenset[str]] = {}
 
     def table(self, name: str) -> TableMeta:
         if name not in self.tables:
             raise InvalidRequest(f"unknown table {name!r}")
         return self.tables[name]
+
+    def _drop_table_indexes(self, table: str) -> None:
+        for idx in [n for n, m in self.indexes.items() if m.table == table]:
+            del self.indexes[idx]
+
+    def _forget_table(self, table: str) -> None:
+        """Remove a table's auxiliary records (keyspace link, collection
+        metadata, indexes); the tables entry itself is deleted by DROP."""
+        self.table_keyspace.pop(table, None)
+        self.collection_kinds.pop(table, None)
+        self.frozen_columns.pop(table, None)
+        self._drop_table_indexes(table)
 
     def execute(self, cql: str) -> None:
         head = cql.strip().split(None, 1)[0].lower()
@@ -425,6 +469,15 @@ class SchemaRegistry:
                 meta = p.create_table()
                 if meta is not None:
                     self.tables[meta.name] = meta
+                    self.table_keyspace[meta.name] = getattr(
+                        p, "last_keyspace", None
+                    )
+                    self.collection_kinds[meta.name] = getattr(
+                        p, "last_collection_kinds", {}
+                    )
+                    self.frozen_columns[meta.name] = frozenset(
+                        getattr(p, "last_frozen", ())
+                    )
             elif nxt in ("index", "custom"):
                 idx = p.create_index()
                 if idx is not None:
@@ -456,6 +509,17 @@ class SchemaRegistry:
                     return
                 raise InvalidRequest(f"unknown {kind} {name!r}")
             del store[key]
+            # cascade, mirroring the reference's keyspace-scoped schema
+            # model: a dropped keyspace takes its tables (and their
+            # indexes) with it; a dropped table takes its indexes
+            if kind == "keyspace":
+                for t in [
+                    t for t, ks in self.table_keyspace.items() if ks == key
+                ]:
+                    self.tables.pop(t, None)
+                    self._forget_table(t)
+            elif kind == "table":
+                self._forget_table(key)
         else:
             raise InvalidRequest(f"not a DDL statement: {head!r}")
 
@@ -475,29 +539,55 @@ class CqlDatabase:
         self._sessions: dict[str, Any] = {}
 
     def _session(self, table: str):
-        from cassandra_pmem_spark.cql.writes import CqlWriteSession
+        from cassandra_pmem_spark.cql.writes import CollectionInfo, CqlWriteSession
 
         if table not in self._sessions:
-            self._sessions[table] = CqlWriteSession(self.spark, self.registry.table(table))
+            info = CollectionInfo(
+                kinds=self.registry.collection_kinds.get(table, {}),
+                frozen=self.registry.frozen_columns.get(table, frozenset()),
+            )
+            self._sessions[table] = CqlWriteSession(
+                self.spark, self.registry.table(table), collection_info=info
+            )
         return self._sessions[table]
 
     @staticmethod
     def _dml_table(cql: str) -> str:
         """Target table of a DML statement (INSERT INTO t / UPDATE t /
-        DELETE ... FROM t / TRUNCATE t); batches route per inner statement."""
+        DELETE ... FROM t / TRUNCATE t); batches route per inner statement.
+        Walks the token stream positionally so a keyspace-qualified target
+        (``ks.t`` tokenizes as ident '.' ident) resolves to the TABLE, not
+        the keyspace (mirrors _WriteParser._table_name)."""
         toks = _tokenize(cql)
-        idents = [t.text for t in toks if t.kind == "ident"]
-        low = [x.lower() for x in idents]
-        for kw in ("into", "update", "from", "truncate"):
-            if kw in low:
-                i = low.index(kw)
-                if kw in ("into", "from", "truncate"):
-                    i += 1
-                elif kw == "update":
-                    i += 1
-                name = idents[i] if i < len(idents) else None
-                if name:
-                    return name.split(".")[-1]
+        for i, t in enumerate(toks):
+            if t.kind != "ident" or t.text.lower() not in (
+                "into",
+                "update",
+                "from",
+                "truncate",
+            ):
+                continue
+            j = i + 1
+            # TRUNCATE [TABLE] t — skip the optional noise word
+            if (
+                t.text.lower() == "truncate"
+                and j < len(toks)
+                and toks[j].kind == "ident"
+                and toks[j].text.lower() == "table"
+                and j + 1 < len(toks)
+                and toks[j + 1].kind == "ident"
+            ):
+                j += 1
+            if j < len(toks) and toks[j].kind == "ident":
+                name = toks[j].text
+                if (
+                    j + 2 < len(toks)
+                    and toks[j + 1].kind == "punct"
+                    and toks[j + 1].text == "."
+                    and toks[j + 2].kind == "ident"
+                ):
+                    name = toks[j + 2].text  # ks.table -> table
+                return name
         raise InvalidRequest(f"cannot find target table in {cql[:40]!r}")
 
     def execute(self, cql: str, params: list[Any] | None = None) -> DataFrame | bool | None:
@@ -519,6 +609,12 @@ class CqlDatabase:
                         set(new_meta.primary_key) != set(sess.meta.primary_key)
                         and (sess._mutations or sess._row_tombs or sess._cell_tombs)
                     ):
+                        # roll the registry back to the pre-RENAME meta
+                        # before refusing — otherwise the registry holds
+                        # the new pk names while the live session (and its
+                        # buffered mutations) keeps the old ones, and every
+                        # later statement sees inconsistent schema
+                        self.registry.tables[name] = sess.meta
                         raise InvalidRequest(
                             "cannot RENAME primary key columns while writes are buffered"
                         )

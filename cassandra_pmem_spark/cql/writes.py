@@ -45,6 +45,18 @@ from cassandra_pmem_spark.cql.validator import InvalidRequest
 from cassandra_pmem_spark.operators.upsert import upsert_lww_cells
 
 
+@dataclass(frozen=True)
+class CollectionInfo:
+    """Schema facts Spark's type system erases but the reference's mutation
+    validation needs: the declared collection kind per column ('list' |
+    'set' | 'map' — set<t> and list<t> are both ArrayType in Spark) and
+    which columns were declared frozen<...> (frozen collections only accept
+    full-value writes; FrozenCollectionsTest.testInvalidOperations)."""
+
+    kinds: dict
+    frozen: frozenset
+
+
 @dataclass
 class Mutation:
     key: tuple                 # full primary key values, in PK order
@@ -136,21 +148,40 @@ class _WriteParser(_Parser):
         table = self._table_name()
         using = self._using(params, cursor)
         self.expect_kw("set")
-        sets, deltas = {}, {}
+        sets, deltas, elem_ops = {}, {}, []
         while True:
             col = self.ident()
+            if self.accept_punct("["):
+                # SET col[key] = v — Lists.SetterByIndex / Maps.SetterByKey
+                # syntax; recorded for validation (see _validate_elem_ops)
+                elem_key = self.literal(params, cursor)
+                self.expect_punct("]")
+                t = self.next()
+                if t.kind != "op" or t.text != "=":
+                    raise InvalidRequest(f"expected = in SET, got {t.text!r}")
+                self.literal(params, cursor)  # the element value
+                elem_ops.append(("set_elem", col, elem_key))
+                if not self.accept_punct(","):
+                    break
+                continue
             t = self.next()
             if t.kind != "op" or t.text != "=":
                 raise InvalidRequest(f"expected = in SET, got {t.text!r}")
             nxt = self.peek()
             if nxt.kind == "ident" and nxt.text == col:
-                # counter update: SET c = c + n | c = c - n
+                # SET c = c + x: a counter delta when x is numeric, a
+                # collection add/discard when x is a {...}/[...] literal
                 self.next()
                 sign = self.next()
                 if sign.text not in ("+", "-"):
                     raise InvalidRequest("counter update must be col = col +/- n")
-                n = self.literal(params, cursor)
-                deltas[col] = n if sign.text == "+" else -n
+                p = self.peek()
+                if p.kind == "punct" and p.text in "{[":
+                    self._skim_collection_literal()
+                    elem_ops.append(("coll_delta", col, sign.text))
+                else:
+                    n = self.literal(params, cursor)
+                    deltas[col] = n if sign.text == "+" else -n
             else:
                 sets[col] = self.literal(params, cursor)
             if not self.accept_punct(","):
@@ -159,16 +190,38 @@ class _WriteParser(_Parser):
         key = self._key_relations(params, cursor)
         cond = self.if_clause(params, cursor)
         self._end()
-        return table, sets, deltas, key, using, cond
+        return table, sets, deltas, key, using, cond, elem_ops
+
+    def _skim_collection_literal(self) -> None:
+        """Consume a balanced {...} / [...] literal (the value itself is not
+        needed — every textual collection mutation ends in validation)."""
+        t = self.next()
+        close = {"{": "}", "[": "]"}[t.text]
+        depth = 1
+        while depth:
+            t = self.next()
+            if t.kind == "punct" and t.text in "{[":
+                depth += 1
+            elif t.kind == "punct" and t.text in "}]":
+                depth -= 1
 
     def delete_statement(self, params: list[Any], cursor: list[int] | None = None):
         cursor = [0] if cursor is None else cursor
         self.expect_kw("delete")
-        cols = []
+        cols, elem_dels = [], []
         if not (self.peek().kind == "ident" and self.peek().text.lower() == "from"):
-            cols.append(self.ident())
-            while self.accept_punct(","):
-                cols.append(self.ident())
+            while True:
+                c = self.ident()
+                if self.accept_punct("["):
+                    # DELETE col[key] — element tombstone syntax, recorded
+                    # for validation (sets reject it; see _validate_elem_ops)
+                    k = self.literal(params, cursor)
+                    self.expect_punct("]")
+                    elem_dels.append(("del_elem", c, k))
+                else:
+                    cols.append(c)
+                if not self.accept_punct(","):
+                    break
         self.expect_kw("from")
         table = self._table_name()
         using = self._using(params, cursor)
@@ -176,7 +229,7 @@ class _WriteParser(_Parser):
         key, ranges = self._key_relations_with_ranges(params, cursor)
         cond = self.if_clause(params, cursor)
         self._end()
-        return table, cols, key, ranges, using, cond
+        return table, cols, key, ranges, using, cond, elem_dels
 
     def _table_name(self) -> str:
         t = self.ident()
@@ -307,9 +360,16 @@ class CqlWriteSession:
     tombstones → TTL expiry. `now` (same unit as writetime) is injectable
     for deterministic TTL tests (TTLTest.java style)."""
 
-    def __init__(self, spark: SparkSession, meta: TableMeta, base: DataFrame | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        meta: TableMeta,
+        base: DataFrame | None = None,
+        collection_info: CollectionInfo | None = None,
+    ):
         self.spark = spark
         self.meta = meta
+        self.collection_info = collection_info
         self._mutations: list[Mutation] = []
         self._row_tombs: list[RowTombstone] = []
         self._cell_tombs: list[CellTombstone] = []
@@ -375,7 +435,8 @@ class CqlWriteSession:
                 return False
             self._record(cells, using, forced_ts=forced_ts)
         elif head == "update":
-            _, sets, deltas, key, using, cond = p.update_statement(params, cursor)
+            _, sets, deltas, key, using, cond, elem_ops = p.update_statement(params, cursor)
+            self._validate_elem_ops(elem_ops)
             # PK columns cannot appear in SET (UpdateStatement.java checks;
             # the reference raises InvalidRequest — silently upserting a
             # different key would corrupt the partition)
@@ -390,7 +451,8 @@ class CqlWriteSession:
             cells.update(sets)
             self._record(cells, using, deltas=deltas, forced_ts=forced_ts)
         elif head == "delete":
-            _, cols, key, ranges, using, cond = p.delete_statement(params, cursor)
+            _, cols, key, ranges, using, cond, elem_dels = p.delete_statement(params, cursor)
+            self._validate_elem_ops(elem_dels)
             wt = using.get("timestamp", forced_ts if forced_ts is not None else self._tick())
             if ranges:
                 # range tombstone: partition key fully EQ, no LWT, no columns
@@ -417,6 +479,59 @@ class CqlWriteSession:
         else:
             raise InvalidRequest(f"unsupported write statement {head!r}")
         return True
+
+    def _validate_elem_ops(self, elem_ops: list) -> None:
+        """Reference rejection rules for textual collection mutations
+        (CollectionsTest / FrozenCollectionsTest ports):
+
+        - frozen collections accept only full-value writes — element
+          assignment, element delete, and add/discard all raise;
+        - sets have no element assignment and no element delete (remove is
+          ``s = s - {...}``; Sets.java defines no SetterByIndex/ByKey);
+        - element ops on a non-collection column are invalid;
+        - the remaining (reference-legal) list/map element writes are not
+          implemented by this text surface — they raise a clearly-marked
+          InvalidRequest pointing at the DataFrame operators
+          (operators/collections.py), which implement the semantics.
+        """
+        if not elem_ops:
+            return
+        by_name = {f.name: f.dataType for f in self.meta.schema.fields}
+        info = self.collection_info
+        for op, col, _arg in elem_ops:
+            dt = by_name.get(col)
+            if dt is None:
+                raise InvalidRequest(f"undefined column {col!r}")
+            kind = (info.kinds.get(col) if info else None) or (
+                "map"
+                if isinstance(dt, T.MapType)
+                else "list" if isinstance(dt, T.ArrayType) else None
+            )
+            frozen = bool(info and col in info.frozen)
+            if kind is None:
+                raise InvalidRequest(
+                    f"invalid element operation on non-collection column {col!r}"
+                )
+            if frozen:
+                raise InvalidRequest(
+                    f"invalid operation on frozen collection column {col!r}: "
+                    "frozen collections only support full-value writes"
+                )
+            if kind == "set" and op == "set_elem":
+                raise InvalidRequest(
+                    f"invalid operation on set column {col!r}: sets have no "
+                    "element assignment (use s = s + {...} / s = s - {...})"
+                )
+            if kind == "set" and op == "del_elem":
+                raise InvalidRequest(
+                    f"invalid deletion operation on set column {col!r}: "
+                    "remove elements with s = s - {...}"
+                )
+            raise InvalidRequest(
+                f"collection element writes on {col!r} are not supported by "
+                "the text surface; use the DataFrame operators "
+                "(operators/collections.py)"
+            )
 
     def _condition_holds(self, cond, key: tuple) -> bool:
         """LWT condition evaluation (ColumnCondition.Bound.appliesTo:228;

@@ -196,6 +196,349 @@ def murmur3_token_subquery(
     return f"(SELECT {cols}, {alias} FROM ({sql}))"
 
 
+# --- general-length kernel: arbitrary serialized partition keys --------------
+#
+# Reference: utils/MurmurHash.java:174-252 (hash3_x64_128, seed 0) over the
+# partition key's serialized bytes: a single-column key hashes its type's raw
+# serialization (db/marshal/LongType.java: 8-byte big-endian; Int32Type:
+# 4-byte; UTF8Type: utf8 bytes); a multi-column key hashes the CompositeType
+# layout (db/marshal/CompositeType.java:38-44: per component a 2-byte
+# big-endian length, the value bytes, and one 0x00 end-of-component byte).
+# Body blocks assemble bytes little-endian *unsigned* (getblock, :160-172);
+# only the tail sign-extends (the documented quirk, :29).
+
+_SIGN_EXT = 0xFFFFFFFFFFFFFF00
+
+
+def _rotl_np(a: "np.ndarray", n: int) -> "np.ndarray":
+    return (a << np.uint64(n)) | (a >> np.uint64(64 - n))
+
+
+def _fmix_np(h: "np.ndarray") -> "np.ndarray":
+    h = h ^ (h >> np.uint64(33))
+    h = h * np.uint64(F1)
+    h = h ^ (h >> np.uint64(33))
+    h = h * np.uint64(F2)
+    return h ^ (h >> np.uint64(33))
+
+
+def _murmur3_bytes_np(B: "np.ndarray", lens: "np.ndarray") -> "np.ndarray":
+    """Vectorized hash3_x64_128 h1 (normalized) over variable-length keys.
+
+    B: (n, Lmax) uint8, zero-padded per row; lens: (n,) actual lengths.
+    Rows iterate together over max(nblocks) 16-byte blocks with an active
+    mask — key serializations are tens of bytes, so the loop count is tiny.
+    """
+    n = len(lens)
+    if B.ndim != 2 or B.shape[1] == 0:
+        B = np.zeros((n, 1), dtype=np.uint8)
+    Bu = B.astype(np.uint64)
+    h1 = np.zeros(n, dtype=np.uint64)
+    h2 = np.zeros(n, dtype=np.uint64)
+    nblocks = lens >> 4
+    for i in range(int(nblocks.max()) if n else 0):
+        active = nblocks > i
+        o = i * 16
+        k1 = np.zeros(n, dtype=np.uint64)
+        k2 = np.zeros(n, dtype=np.uint64)
+        for j in range(8):  # unsigned little-endian block assembly
+            k1 |= Bu[:, o + j] << np.uint64(8 * j)
+            k2 |= Bu[:, o + 8 + j] << np.uint64(8 * j)
+        k1 = _rotl_np(k1 * np.uint64(C1), 31) * np.uint64(C2)
+        nh1 = h1 ^ k1
+        nh1 = _rotl_np(nh1, 27) + h2
+        nh1 = nh1 * np.uint64(5) + np.uint64(0x52DCE729)
+        k2 = _rotl_np(k2 * np.uint64(C2), 33) * np.uint64(C1)
+        nh2 = h2 ^ k2
+        nh2 = _rotl_np(nh2, 31) + nh1
+        nh2 = nh2 * np.uint64(5) + np.uint64(0x38495AB5)
+        h1 = np.where(active, nh1, h1)
+        h2 = np.where(active, nh2, h2)
+    # tail: bytes past the last block, sign-extended (the reference quirk)
+    t = (nblocks << np.int64(4)).astype(np.int64)
+    rem = lens & 15
+    rows = np.arange(n)
+    lastcol = B.shape[1] - 1
+    k1 = np.zeros(n, dtype=np.uint64)
+    k2 = np.zeros(n, dtype=np.uint64)
+    for i in range(8, 15):
+        m = rem > i
+        b = Bu[rows, np.minimum(t + i, lastcol)]
+        sx = np.where(b > np.uint64(127), b | np.uint64(_SIGN_EXT), b)
+        k2 = np.where(m, k2 ^ (sx << np.uint64(8 * (i - 8))), k2)
+    k2m = _rotl_np(k2 * np.uint64(C2), 33) * np.uint64(C1)
+    h2 = np.where(rem > 8, h2 ^ k2m, h2)
+    for i in range(8):
+        m = rem > i
+        b = Bu[rows, np.minimum(t + i, lastcol)]
+        sx = np.where(b > np.uint64(127), b | np.uint64(_SIGN_EXT), b)
+        k1 = np.where(m, k1 ^ (sx << np.uint64(8 * i)), k1)
+    k1m = _rotl_np(k1 * np.uint64(C1), 31) * np.uint64(C2)
+    h1 = np.where(rem > 0, h1 ^ k1m, h1)
+    L = lens.astype(np.uint64)
+    h1 = h1 ^ L
+    h2 = h2 ^ L
+    h1 = h1 + h2
+    h2 = h2 + h1
+    h1 = _fmix_np(h1)
+    h2 = _fmix_np(h2)
+    h1 = h1 + h2
+    s = h1.astype(np.int64)
+    return np.where(s == np.int64(LONG_MIN), np.int64(LONG_MAX), s)
+
+
+def serialize_pk_value(v, dtype) -> bytes:
+    """One partition-key component's raw serialization (db/marshal/*)."""
+    import struct
+
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, T.LongType):
+        return struct.pack(">q", int(v))  # LongType.java big-endian int64
+    if isinstance(dtype, T.IntegerType):
+        return struct.pack(">i", int(v))  # Int32Type.java big-endian int32
+    if isinstance(dtype, T.StringType):
+        return str(v).encode("utf-8")  # UTF8Type.java raw utf8
+    raise TypeError(f"unsupported partition-key type for token(): {dtype}")
+
+
+def serialize_partition_key(values: tuple, dtypes: list) -> bytes:
+    """Serialized form Murmur3Partitioner hashes: the single component's raw
+    bytes, or the CompositeType layout for multi-column keys."""
+    comps = [serialize_pk_value(v, dt) for v, dt in zip(values, dtypes)]
+    if len(comps) == 1:
+        return comps[0]
+    import struct
+
+    return b"".join(struct.pack(">H", len(c)) + c + b"\x00" for c in comps)
+
+
+def murmur3_token_key_columns(cols, dtypes):
+    """Column expression: bit-exact Cassandra token over one or more
+    partition-key columns of long/int/text type. Serialization per row
+    (cheap, Arrow-batched); hashing vectorized (_murmur3_bytes_np)."""
+    from pyspark.sql.functions import pandas_udf
+
+    dts = list(dtypes)
+
+    def fn(*series: pd.Series) -> pd.Series:
+        n = len(series[0])
+        keys = [
+            serialize_partition_key(row, dts) for row in zip(*series)
+        ]
+        lens = np.array([len(k) for k in keys], dtype=np.int64)
+        lmax = max(1, int(lens.max()) if n else 1)
+        B = np.zeros((n, lmax), dtype=np.uint8)
+        for r, k in enumerate(keys):
+            if k:
+                B[r, : len(k)] = np.frombuffer(k, dtype=np.uint8)
+        with np.errstate(over="ignore"):
+            out = _murmur3_bytes_np(B, lens)
+        return pd.Series(out)
+
+    udf = pandas_udf(fn, LongType())
+    return udf(*[F.col(c) if isinstance(c, str) else c for c in cols])
+
+
+# --- DuckDB oracle twins for text / composite keys ---------------------------
+#
+# Variable-length SQL hashing is generated per key LAYOUT:
+# - keys whose serialization never reaches 16 bytes (e.g. short text pks)
+#   are tail-only: every byte term is a CASE on the data-dependent length;
+# - fixed-width composite keys (e.g. two bigints -> always 22 bytes) get the
+#   constant-length body-block + tail step chain.
+# Both reuse the one-subquery-per-step nesting (see section note above).
+
+
+def _m3_general_items(
+    byte_exprs: list[str], len_expr: str, fixed_len: int | None, alias: str
+) -> list[tuple[str, str]]:
+    """Step list for one key layout. byte_exprs[i] must yield the i-th
+    serialized byte (HUGEINT 0..255) — only evaluated when i < length."""
+
+    def mul(e: str, c: int) -> str:
+        hi, lo = c >> 32, c & 0xFFFFFFFF
+        p = f"(({e} * {lo}::HUGEINT) % {TWO64}::HUGEINT)"
+        if hi:
+            p = f"({p} + (({e} * {hi}::HUGEINT) % {1 << 32}::HUGEINT) * {1 << 32}::HUGEINT)"
+        return f"({p} % {TWO64}::HUGEINT)"
+
+    def rotl(e: str, n: int) -> str:
+        return (
+            f"((({e} * {1 << n}::HUGEINT) % {TWO64}::HUGEINT) + ({e} // {1 << (64 - n)}::HUGEINT))"
+            f" % {TWO64}::HUGEINT"
+        )
+
+    def shr33_xor(e: str) -> str:
+        return f"xor({e}, {e} // {1 << 33}::HUGEINT)"
+
+    def sx(e: str) -> str:  # tail sign extension
+        return f"(CASE WHEN {e} > 127 THEN {e} + {TWO64 - 256}::HUGEINT ELSE {e} END)"
+
+    def gated(i: int, e: str) -> str:  # byte i present only when i < length
+        if fixed_len is not None:
+            return e if i < fixed_len else "0::HUGEINT"
+        return f"(CASE WHEN {i} < {len_expr} THEN {e} ELSE 0::HUGEINT END)"
+
+    maxlen = fixed_len if fixed_len is not None else len(byte_exprs)
+    nblocks = maxlen >> 4
+    items: list[tuple[str, str]] = [("m3_len", f"({len_expr})::HUGEINT")]
+    items += [("m3_h1_0", "0::HUGEINT"), ("m3_h2_0", "0::HUGEINT")]
+    for blk in range(nblocks):
+        o = blk * 16
+        k1_terms = [
+            f"(({byte_exprs[o + j]}) * {1 << (8 * j)}::HUGEINT)" for j in range(8)
+        ]
+        k2_terms = [
+            f"(({byte_exprs[o + 8 + j]}) * {1 << (8 * j)}::HUGEINT)" for j in range(8)
+        ]
+        k1e = k1_terms[0]
+        for tm in k1_terms[1:]:
+            k1e = f"xor({k1e}, {tm})"
+        k2e = k2_terms[0]
+        for tm in k2_terms[1:]:
+            k2e = f"xor({k2e}, {tm})"
+        p = f"b{blk}"
+        items += [
+            (f"{p}_k1a", k1e),
+            (f"{p}_k1b", mul(f"{p}_k1a", C1)),
+            (f"{p}_k1c", f"({rotl(f'{p}_k1b', 31)})"),
+            (f"{p}_k1d", mul(f"{p}_k1c", C2)),
+            (f"{p}_h1a", f"xor(m3_h1_{blk}, {p}_k1d)"),
+            (f"{p}_h1b", f"({rotl(f'{p}_h1a', 27)})"),
+            (f"{p}_h1c", f"(({p}_h1b + m3_h2_{blk}) % {TWO64}::HUGEINT)"),
+            (f"{p}_h1d", f"((({p}_h1c * 5::HUGEINT) % {TWO64}::HUGEINT + {0x52DCE729}::HUGEINT) % {TWO64}::HUGEINT)"),
+            (f"{p}_k2a", k2e),
+            (f"{p}_k2b", mul(f"{p}_k2a", C2)),
+            (f"{p}_k2c", f"({rotl(f'{p}_k2b', 33)})"),
+            (f"{p}_k2d", mul(f"{p}_k2c", C1)),
+            (f"{p}_h2a", f"xor(m3_h2_{blk}, {p}_k2d)"),
+            (f"{p}_h2b", f"({rotl(f'{p}_h2a', 31)})"),
+            (f"{p}_h2c", f"(({p}_h2b + {p}_h1d) % {TWO64}::HUGEINT)"),
+            (f"{p}_h2d", f"((({p}_h2c * 5::HUGEINT) % {TWO64}::HUGEINT + {0x38495AB5}::HUGEINT) % {TWO64}::HUGEINT)"),
+            (f"m3_h1_{blk + 1}", f"{p}_h1d"),
+            (f"m3_h2_{blk + 1}", f"{p}_h2d"),
+        ]
+    hb1, hb2 = f"m3_h1_{nblocks}", f"m3_h2_{nblocks}"
+    tbase = nblocks * 16
+    # tail k2 (bytes tbase+8 .. tbase+14), then tail k1 (tbase .. tbase+7)
+    k2_terms = []
+    for i in range(8, 15):
+        if tbase + i >= maxlen:
+            break
+        k2_terms.append(gated(tbase + i, f"({sx(byte_exprs[tbase + i])} * {1 << (8 * (i - 8))}::HUGEINT) % {TWO64}::HUGEINT"))
+    k1_terms = []
+    for i in range(8):
+        if tbase + i >= maxlen:
+            break
+        k1_terms.append(gated(tbase + i, f"({sx(byte_exprs[tbase + i])} * {1 << (8 * i)}::HUGEINT) % {TWO64}::HUGEINT"))
+
+    def xor_fold(terms: list[str]) -> str:
+        if not terms:
+            return "0::HUGEINT"
+        e = terms[0]
+        for tm in terms[1:]:
+            e = f"xor({e}, {tm})"
+        return e
+
+    rem = f"(m3_len % 16::HUGEINT)"
+    items += [
+        ("t_k2a", xor_fold(k2_terms)),
+        ("t_k2b", mul("t_k2a", C2)),
+        ("t_k2c", f"({rotl('t_k2b', 33)})"),
+        ("t_k2d", mul("t_k2c", C1)),
+        ("t_h2", f"(CASE WHEN {rem} > 8 THEN xor({hb2}, t_k2d) ELSE {hb2} END)"),
+        ("t_k1a", xor_fold(k1_terms)),
+        ("t_k1b", mul("t_k1a", C1)),
+        ("t_k1c", f"({rotl('t_k1b', 31)})"),
+        ("t_k1d", mul("t_k1c", C2)),
+        ("t_h1", f"(CASE WHEN {rem} > 0 THEN xor({hb1}, t_k1d) ELSE {hb1} END)"),
+        ("f_h1a", "xor(t_h1, m3_len)"),
+        ("f_h2a", "xor(t_h2, m3_len)"),
+        ("f_h1b", f"((f_h1a + f_h2a) % {TWO64}::HUGEINT)"),
+        ("f_h2b", f"((f_h2a + f_h1b) % {TWO64}::HUGEINT)"),
+        ("f_h1c", shr33_xor("f_h1b")),
+        ("f_h1d", mul("f_h1c", F1)),
+        ("f_h1e", shr33_xor("f_h1d")),
+        ("f_h1f", mul("f_h1e", F2)),
+        ("f_h1g", shr33_xor("f_h1f")),
+        ("f_h2c", shr33_xor("f_h2b")),
+        ("f_h2d", mul("f_h2c", F1)),
+        ("f_h2e", shr33_xor("f_h2d")),
+        ("f_h2f", mul("f_h2e", F2)),
+        ("f_h2g", shr33_xor("f_h2f")),
+        ("f_u", f"((f_h1g + f_h2g) % {TWO64}::HUGEINT)"),
+        (
+            "f_s",
+            f"(CASE WHEN f_u >= {TWO63}::HUGEINT THEN f_u - {TWO64}::HUGEINT "
+            f"ELSE f_u END)::BIGINT",
+        ),
+        (alias, f"(CASE WHEN f_s = {LONG_MIN} THEN {LONG_MAX} ELSE f_s END)"),
+    ]
+    return items
+
+
+def murmur3_token_general_subquery(
+    source_sql: str,
+    byte_exprs: list[str],
+    len_expr: str,
+    carry: "list[str]",
+    alias: str = "token",
+    fixed_len: int | None = None,
+) -> str:
+    """DuckDB subquery computing the general-length token as ``alias``.
+
+    byte_exprs[i]: HUGEINT expression for serialized byte i (see the layout
+    helpers below); len_expr: the serialized length. For fixed-width layouts
+    pass fixed_len to drop the per-byte length gates."""
+    sql = f"SELECT * FROM {source_sql}"
+    for name, expr in _m3_general_items(byte_exprs, len_expr, fixed_len, alias):
+        sql = f"SELECT *, {expr} AS {name} FROM ({sql})"
+    cols = ", ".join(carry)
+    return f"(SELECT {cols}, {alias} FROM ({sql}))"
+
+
+def text_key_byte_exprs(text_col: str, max_len: int) -> tuple[list[str], str]:
+    """Byte/length expressions for a single-column utf8 text key: byte i is
+    hex-sliced out of encode(text). Only valid when every value's utf8
+    length <= max_len (the caller picks a bound the data satisfies; the
+    generated SQL is per-layout, not universal)."""
+    h = f"hex(encode({text_col}))"
+    # hex strings cast through BIGINT (HUGEINT has no hex parse); positions
+    # past the value's end coalesce to '00' so the expression is total even
+    # when the length gate would discard it (vectorized CASE may evaluate
+    # both branches eagerly)
+    exprs = [
+        f"('0x' || coalesce(nullif(substr({h}, {2 * i + 1}, 2), ''), '00'))"
+        f"::BIGINT::HUGEINT"
+        for i in range(max_len)
+    ]
+    return exprs, f"octet_length(encode({text_col}))"
+
+
+def bigint_pair_composite_byte_exprs(a_col: str, b_col: str) -> tuple[list[str], int]:
+    """Byte expressions for a composite (bigint, bigint) partition key in the
+    CompositeType layout: [00 08 a0..a7 00] [00 08 b0..b7 00] — fixed 22
+    bytes."""
+
+    def u(col: str) -> str:
+        return (
+            f"(CASE WHEN {col} >= 0 THEN {col}::HUGEINT "
+            f"ELSE {col}::HUGEINT + {TWO64}::HUGEINT END)"
+        )
+
+    def be_byte(col: str, j: int) -> str:
+        return f"(({u(col)} // {1 << (56 - 8 * j)}::HUGEINT) % 256::HUGEINT)"
+
+    exprs: list[str] = []
+    for col in (a_col, b_col):
+        exprs.append("0::HUGEINT")  # length prefix hi
+        exprs.append("8::HUGEINT")  # length prefix lo
+        exprs += [be_byte(col, j) for j in range(8)]
+        exprs.append("0::HUGEINT")  # end-of-component
+    return exprs, 22
+
+
 # --- pure-Python ground truth (tests only) -----------------------------------
 
 def murmur3_token_py(v: int) -> int:
@@ -229,6 +572,72 @@ def murmur3_token_py(v: int) -> int:
     k1 = mul(k1, C2)
     h1 = k1 ^ 8
     h2 = 8
+    h1 = (h1 + h2) & mask
+    h2 = (h2 + h1) & mask
+    h1 = fmix(h1)
+    h2 = fmix(h2)
+    h1 = (h1 + h2) & mask
+    signed = h1 - TWO64 if h1 >= TWO63 else h1
+    return LONG_MAX if signed == LONG_MIN else signed
+
+
+def murmur3_token_bytes_py(data: bytes) -> int:
+    """Direct port of the general-length reference algorithm
+    (utils/MurmurHash.java:174-252, seed 0) — ground truth for the
+    vectorized kernel and the generated SQL twins."""
+    mask = TWO64 - 1
+    length = len(data)
+    nblocks = length >> 4
+    h1 = h2 = 0
+
+    def mul(a: int, c: int) -> int:
+        return (a * c) & mask
+
+    def rotl(a: int, n: int) -> int:
+        return ((a << n) | (a >> (64 - n))) & mask
+
+    def fmix(h: int) -> int:
+        h ^= h >> 33
+        h = mul(h, F1)
+        h ^= h >> 33
+        h = mul(h, F2)
+        return h ^ (h >> 33)
+
+    def getblock(i: int) -> int:  # unsigned little-endian (MurmurHash:160)
+        o = i << 3
+        v = 0
+        for j in range(8):
+            v |= data[o + j] << (8 * j)
+        return v
+
+    for i in range(nblocks):
+        k1, k2 = getblock(i * 2), getblock(i * 2 + 1)
+        k1 = mul(rotl(mul(k1, C1), 31), C2)
+        h1 ^= k1
+        h1 = (rotl(h1, 27) + h2) & mask
+        h1 = (mul(h1, 5) + 0x52DCE729) & mask
+        k2 = mul(rotl(mul(k2, C2), 33), C1)
+        h2 ^= k2
+        h2 = (rotl(h2, 31) + h1) & mask
+        h2 = (mul(h2, 5) + 0x38495AB5) & mask
+
+    def sx(b: int) -> int:  # tail sign extension (the reference quirk)
+        return b | (mask ^ 0xFF) if b > 127 else b
+
+    t = nblocks << 4
+    rem = length & 15
+    k1 = k2 = 0
+    for i in range(8, rem):
+        k2 ^= (sx(data[t + i]) << (8 * (i - 8))) & mask
+    if rem > 8:
+        h2 ^= mul(rotl(mul(k2, C2), 33), C1)
+    for i in range(min(rem, 8)):
+        k1 ^= (sx(data[t + i]) << (8 * i)) & mask
+    if rem > 0:
+        h1 ^= mul(rotl(mul(k1, C1), 31), C2)
+
+    h1 ^= length
+    h2 ^= length
     h1 = (h1 + h2) & mask
     h2 = (h2 + h1) & mask
     h1 = fmix(h1)

@@ -78,9 +78,24 @@ def list_discard(lst: Column | str, v) -> Column:  # Lists.Discarder:574
     return F.array_remove(_c(lst), v)
 
 
-def list_set_index(lst: Column | str, i: int, v) -> Column:  # Lists.SetterByIndex
+def list_set_index(lst: Column | str, i: int, v, strict: bool = False) -> Column:
+    """Lists.SetterByIndex. With strict=True, an out-of-range index raises
+    at execution time, like the reference's "List index %d out of bound,
+    list has size %d" (Lists.SetterByIndex.execute) — otherwise the write
+    is a silent no-op on short lists."""
     l = _c(lst)
-    return F.transform(l, lambda x, idx: F.when(idx == F.lit(i), F.lit(v)).otherwise(x))
+    out = F.transform(l, lambda x, idx: F.when(idx == F.lit(i), F.lit(v)).otherwise(x))
+    if not strict:
+        return out
+    return F.when(
+        F.size(l) <= F.lit(i),
+        F.raise_error(
+            F.concat(
+                F.lit(f"List index {i} out of bound, list has size "),
+                F.size(l).cast("string"),
+            )
+        ),
+    ).otherwise(out)
 
 
 def set_add(s: Column | str, elems: Column) -> Column:  # Sets.Adder:322

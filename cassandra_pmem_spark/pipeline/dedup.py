@@ -245,7 +245,10 @@ def minhash_lsh_pairs_md5(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bh")
-    banded = banded.cache()
+    # no explicit cache: a cached frame here outlives the query (nothing can
+    # unpersist it after the lazy return) and leaks executor storage across
+    # repeated invocations; the self-join reuses the banded exchange under
+    # AQE exactly like the production minhash_lsh_pairs plan
     left = banded.alias("l")
     right = banded.alias("r")
     return (

@@ -246,24 +246,41 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _run_stream_to_memory(out: DataFrame, prefix: str) -> DataFrame:
     """availableNow → memory sink with a fresh checkpoint; returns the sink
-    table (the run IS one complete micro-batch lifecycle)."""
+    table (the run IS one complete micro-batch lifecycle).
+
+    State partitioning: a stateful operator opens one state-store provider
+    per shuffle partition per micro-batch; for these ONE-SHOT availableNow
+    runs that init is the dominant cost (measured: 2.0 s at 32 partitions
+    → 0.9 s at 8 for the same data), with no amortizing steady state. The
+    state partition count is therefore sized by SPARK_GRAFT_STREAM_STATE_PARTS
+    (default 8) for the duration of the run and restored after. A long-lived
+    deployment should size state partitions via cluster conf instead — there
+    the per-provider init amortizes over every micro-batch."""
+    import os
     import shutil
     import tempfile
     import uuid
 
+    spark = out.sparkSession
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
     ck = tempfile.mkdtemp(prefix="cps_stream_ck_")
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    shutil.rmtree(ck, ignore_errors=True)
-    return out.sparkSession.table(name)
+    parts = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTS", "8")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(ck, ignore_errors=True)
+    return spark.table(name)
 
 
 def streaming_tumbling_real(spark: SparkSession, sf_dir: str) -> DataFrame:

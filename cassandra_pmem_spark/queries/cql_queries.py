@@ -110,6 +110,42 @@ def cql_token_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cql_token_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """token() over a TEXT partition key (UTF8Type.java raw-utf8
+    serialization into MurmurHash.hash3_x64_128, tail-only for keys
+    < 16 bytes) — bit-exact general-length kernel, DuckDB twin generated
+    per layout (functions/murmur3.py). The length gate keeps the generated
+    tail-only twin valid by construction."""
+    from cassandra_pmem_spark.functions.token import token_column
+
+    nat = load_table(spark, "nation", sf_dir).filter(F.length("n_name") <= 15)
+    tok = token_column(["n_name"], TABLES["nation"].schema)
+    return (
+        nat.withColumn("token", tok)
+        .orderBy("token")
+        .select("n_name", "token")
+    )
+
+
+def cql_token_scan_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """token() over a COMPOSITE (bigint, bigint) partition key — the
+    CompositeType.java length-prefixed serialization (2-byte length +
+    value + 0x00 end-of-component per part, fixed 22 bytes) hashed with
+    the general-length Murmur3 kernel; removes the round-2 xxhash64
+    deviation for composite keys."""
+    from cassandra_pmem_spark.functions.token import token_column
+
+    ev = load_table(spark, "events", sf_dir).filter(F.col("event_id") < 2000)
+    tok = token_column(["user_id", "event_id"], TABLES["events"].schema)
+    return (
+        ev.withColumn("token", tok)
+        .filter(F.col("token") > 0)
+        .orderBy("token")
+        .select("user_id", "event_id", "token")
+        .limit(100)
+    )
+
+
 def cql_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONTAINS on a set<text> column (Operator.java:117) — the collection is
     materialized per partition (collect_set), then filtered."""
@@ -328,6 +364,47 @@ def cql_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _token_text_oracle() -> str:
+    from cassandra_pmem_spark.functions.murmur3 import (
+        murmur3_token_general_subquery,
+        text_key_byte_exprs,
+    )
+
+    exprs, len_expr = text_key_byte_exprs("n_name", 15)
+    sub = murmur3_token_general_subquery(
+        "(SELECT n_name FROM nation WHERE octet_length(encode(n_name)) <= 15)",
+        exprs,
+        len_expr,
+        ["n_name"],
+    )
+    return f"SELECT n_name, token FROM {sub} ORDER BY token"
+
+
+def _token_composite_oracle() -> str:
+    from cassandra_pmem_spark.functions.murmur3 import (
+        bigint_pair_composite_byte_exprs,
+        murmur3_token_general_subquery,
+    )
+
+    exprs, flen = bigint_pair_composite_byte_exprs("user_id", "event_id")
+    sub = murmur3_token_general_subquery(
+        "(SELECT user_id, event_id FROM events WHERE event_id < 2000)",
+        exprs,
+        str(flen),
+        ["user_id", "event_id"],
+        fixed_len=flen,
+    )
+    # MATERIALIZED stops DuckDB pushing `token > 0` down the ~60-step hash
+    # chain — the pushdown substitutes each step's definition into the
+    # predicate and the expression re-expands exponentially (same binder
+    # behavior the per-step nesting works around; see functions/murmur3.py)
+    return (
+        f"WITH tok AS MATERIALIZED (SELECT * FROM {sub}) "
+        f"SELECT user_id, event_id, token FROM tok "
+        f"WHERE token > 0 ORDER BY token LIMIT 100"
+    )
+
+
 QUERIES = {
     "cql_point_lookup": (
         cql_point_lookup,
@@ -368,6 +445,14 @@ QUERIES = {
         f"SELECT c_custkey, token FROM "
         f"{murmur3_token_subquery('customer', 'c_custkey', ['c_custkey'])} "
         f"WHERE token > 0 ORDER BY token LIMIT 50",
+    ),
+    "cql_token_scan_text": (
+        cql_token_scan_text,
+        _token_text_oracle(),
+    ),
+    "cql_token_scan_composite": (
+        cql_token_scan_composite,
+        _token_composite_oracle(),
     ),
     "cql_contains": (
         cql_contains,

@@ -173,3 +173,56 @@ class TestCqlDatabase:
         db = CqlDatabase(spark)
         with pytest.raises(InvalidRequest, match="unknown table"):
             db.execute("SELECT * FROM ghosts")
+
+
+class TestQualifiedDmlAndCascade:
+    def test_qualified_dml_targets_resolve_to_table(self, spark):
+        # INSERT INTO ks.t / UPDATE ks.t / DELETE FROM ks.t / TRUNCATE ks.t
+        # must route to the TABLE (ks.t tokenizes as ident '.' ident)
+        db = CqlDatabase(spark)
+        db.execute("CREATE KEYSPACE ks WITH REPLICATION = {'class': 'SimpleStrategy'}")
+        db.execute("CREATE TABLE ks.qt (k bigint PRIMARY KEY, v bigint)")
+        db.execute("INSERT INTO ks.qt (k, v) VALUES (1, 10)")
+        db.execute("UPDATE ks.qt SET v = 20 WHERE k = 1")
+        db.execute("INSERT INTO ks.qt (k, v) VALUES (2, 2)")
+        db.execute("DELETE FROM ks.qt WHERE k = 2")
+        out = db.execute("SELECT k, v FROM ks.qt")
+        assert [tuple(r) for r in out.collect()] == [(1, 20)]
+        db.execute("TRUNCATE ks.qt")
+        assert db.execute("SELECT k, v FROM ks.qt").count() == 0
+
+    def test_truncate_table_noise_word(self, spark):
+        db = CqlDatabase(spark)
+        db.execute("CREATE TABLE nt (k bigint PRIMARY KEY)")
+        db.execute("INSERT INTO nt (k) VALUES (1)")
+        db.execute("TRUNCATE TABLE nt")
+        assert db.execute("SELECT k FROM nt").count() == 0
+
+    def test_drop_table_cascades_indexes(self, reg):
+        reg.execute("CREATE TABLE ct (k bigint PRIMARY KEY, v text)")
+        reg.execute("CREATE INDEX v_idx ON ct (v)")
+        assert "v_idx" in reg.indexes
+        reg.execute("DROP TABLE ct")
+        assert "v_idx" not in reg.indexes
+        assert "ct" not in reg.tables
+
+    def test_drop_keyspace_cascades_tables_and_indexes(self, reg):
+        reg.execute("CREATE KEYSPACE ks1 WITH REPLICATION = {'class': 'SimpleStrategy'}")
+        reg.execute("CREATE TABLE ks1.a (k bigint PRIMARY KEY, v text)")
+        reg.execute("CREATE INDEX a_idx ON a (v)")
+        reg.execute("CREATE TABLE unqualified (k bigint PRIMARY KEY)")
+        reg.execute("DROP KEYSPACE ks1")
+        assert "a" not in reg.tables
+        assert "a_idx" not in reg.indexes
+        assert "unqualified" in reg.tables  # not a member — survives
+
+    def test_rename_refusal_rolls_back_registry(self, spark):
+        db = CqlDatabase(spark)
+        db.execute("CREATE TABLE rt (k bigint PRIMARY KEY, v text)")
+        db.execute("INSERT INTO rt (k, v) VALUES (1, 'x')")  # buffered write
+        with pytest.raises(InvalidRequest, match="RENAME"):
+            db.execute("ALTER TABLE rt RENAME k TO k2")
+        # registry rolled back: the OLD pk name still works end-to-end
+        assert db.registry.table("rt").primary_key == ("k",)
+        out = db.execute("SELECT k, v FROM rt WHERE k = 1")
+        assert [tuple(r) for r in out.collect()] == [(1, "x")]

@@ -294,3 +294,94 @@ class TestTruncate:
         # writes after TRUNCATE start fresh
         sess.execute("INSERT INTO kv (k, c, a) VALUES (2, 2, 'fresh')")
         assert rows(sess.table(), "k", "c", "a") == [(2, 2, "fresh")]
+
+
+class TestCollectionMutationRejections:
+    """Reference rejection cases for textual collection mutations, ported
+    from cql3/validation/entities/CollectionsTest.java and
+    FrozenCollectionsTest.java (testInvalidOperations): frozen collections
+    take full-value writes only; sets reject element assignment/deletes;
+    element ops on non-collections are invalid; the reference-legal
+    list/map element writes are surfaced as explicit not-implemented
+    rejections pointing at the DataFrame operators."""
+
+    def _db(self, spark):
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+        db = CqlDatabase(spark)
+        db.execute(
+            "CREATE TABLE coll (k bigint PRIMARY KEY, l list<text>, "
+            "s set<text>, m map<text, bigint>, fl frozen<list<text>>, "
+            "fs frozen<set<text>>, v bigint)"
+        )
+        return db
+
+    def test_set_element_assignment_rejected(self, spark):
+        db = self._db(spark)
+        with pytest.raises(InvalidRequest, match="set column 's'"):
+            db.execute("UPDATE coll SET s['x'] = 'y' WHERE k = 0")
+
+    def test_set_element_delete_rejected(self, spark):
+        db = self._db(spark)
+        with pytest.raises(InvalidRequest, match="deletion.*set column"):
+            db.execute("DELETE s['x'] FROM coll WHERE k = 0")
+
+    def test_frozen_list_element_set_rejected(self, spark):
+        db = self._db(spark)
+        with pytest.raises(InvalidRequest, match="frozen collection column 'fl'"):
+            db.execute("UPDATE coll SET fl[0] = 'x' WHERE k = 0")
+
+    def test_frozen_set_add_rejected(self, spark):
+        db = self._db(spark)
+        with pytest.raises(InvalidRequest, match="frozen collection column 'fs'"):
+            db.execute("UPDATE coll SET fs = fs + {'x'} WHERE k = 0")
+
+    def test_frozen_list_element_delete_rejected(self, spark):
+        db = self._db(spark)
+        with pytest.raises(InvalidRequest, match="frozen collection column 'fl'"):
+            db.execute("DELETE fl[0] FROM coll WHERE k = 0")
+
+    def test_element_op_on_non_collection_rejected(self, spark):
+        db = self._db(spark)
+        with pytest.raises(InvalidRequest, match="non-collection column 'v'"):
+            db.execute("UPDATE coll SET v[0] = 1 WHERE k = 0")
+
+    def test_element_op_on_undefined_column_rejected(self, spark):
+        db = self._db(spark)
+        with pytest.raises(InvalidRequest, match="undefined column"):
+            db.execute("UPDATE coll SET ghost[0] = 1 WHERE k = 0")
+
+    def test_legal_list_element_write_surfaced_as_unsupported(self, spark):
+        # reference-LEGAL (Lists.SetterByIndex) — this surface rejects it
+        # with an explicit pointer at the implementing DataFrame operators
+        db = self._db(spark)
+        with pytest.raises(InvalidRequest, match="operators/collections"):
+            db.execute("UPDATE coll SET l[0] = 'x' WHERE k = 0")
+
+    def test_legal_map_element_write_surfaced_as_unsupported(self, spark):
+        db = self._db(spark)
+        with pytest.raises(InvalidRequest, match="operators/collections"):
+            db.execute("UPDATE coll SET m['a'] = 1 WHERE k = 0")
+
+    def test_collection_add_on_plain_set_surfaced_as_unsupported(self, spark):
+        db = self._db(spark)
+        with pytest.raises(InvalidRequest, match="operators/collections"):
+            db.execute("UPDATE coll SET s = s + {'x'} WHERE k = 0")
+
+    def test_scalar_writes_still_work_alongside(self, spark):
+        db = self._db(spark)
+        db.execute("INSERT INTO coll (k, v) VALUES (1, 10)")
+        db.execute("UPDATE coll SET v = 20 WHERE k = 1")
+        out = db.execute("SELECT k, v FROM coll WHERE k = 1")
+        assert [tuple(r) for r in out.collect()] == [(1, 20)]
+
+    def test_list_set_index_strict_out_of_bounds_raises(self, spark):
+        # runtime analog of Lists.SetterByIndex's bound check
+        from cassandra_pmem_spark.operators.collections import list_set_index
+
+        df = spark.createDataFrame([([["a", "b"]][0],)], "l array<string>")
+        ok = df.select(list_set_index("l", 1, "X", strict=True).alias("out"))
+        assert ok.collect()[0].out == ["a", "X"]
+        bad = df.select(list_set_index("l", 5, "X", strict=True).alias("out"))
+        with pytest.raises(Exception, match="out of bound"):
+            bad.collect()

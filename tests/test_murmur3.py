@@ -63,3 +63,116 @@ class TestMurmur3Token:
         )
         keys = [r.c_custkey for r in rows]
         assert keys and all(murmur3_token_py(k) > 0 for k in keys)
+
+
+class TestMurmur3GeneralLength:
+    """General-length kernel (arbitrary serialized keys) + the per-layout
+    DuckDB twins: text single-column and composite (bigint, bigint) keys.
+    Ground truth is murmur3_token_bytes_py, the direct port of the
+    general-length reference loop (utils/MurmurHash.java:174-252)."""
+
+    def _np_tokens(self, keys):
+        import numpy as np
+
+        from cassandra_pmem_spark.functions.murmur3 import _murmur3_bytes_np
+
+        lens = np.array([len(k) for k in keys], dtype=np.int64)
+        lmax = max(1, int(lens.max()) if len(keys) else 1)
+        B = np.zeros((len(keys), lmax), dtype=np.uint8)
+        for r, k in enumerate(keys):
+            if k:
+                B[r, : len(k)] = np.frombuffer(k, dtype=np.uint8)
+        with __import__("numpy").errstate(over="ignore"):
+            return list(_murmur3_bytes_np(B, lens))
+
+    def test_bytes_port_matches_bigint_port_on_8_byte_keys(self):
+        import struct
+
+        from cassandra_pmem_spark.functions.murmur3 import murmur3_token_bytes_py
+
+        for v in EDGE_KEYS:
+            assert murmur3_token_bytes_py(struct.pack(">q", v)) == murmur3_token_py(v)
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(st.binary(min_size=0, max_size=48), min_size=1, max_size=16))
+    def test_vectorized_kernel_matches_port_property(self, keys):
+        from cassandra_pmem_spark.functions.murmur3 import murmur3_token_bytes_py
+
+        assert self._np_tokens(keys) == [murmur3_token_bytes_py(k) for k in keys]
+
+    def test_composite_serialization_layout(self):
+        # CompositeType.java: <len:short be><value><eoc:0x00> per component
+        import struct
+
+        from pyspark.sql import types as T
+
+        from cassandra_pmem_spark.functions.murmur3 import serialize_partition_key
+
+        got = serialize_partition_key((1, "ab"), [T.LongType(), T.StringType()])
+        assert got == b"\x00\x08" + struct.pack(">q", 1) + b"\x00" + b"\x00\x02ab\x00"
+
+    def test_text_twin_matches_port(self):
+        from cassandra_pmem_spark.functions.murmur3 import (
+            murmur3_token_bytes_py,
+            murmur3_token_general_subquery,
+            text_key_byte_exprs,
+        )
+
+        names = ["ALGERIA", "UNITED KINGDOM", "", "a", "MOZAMBIQUE", "0123456789abcde"]
+        con = duckdb.connect()
+        lits = ",".join(f"('{n}')" for n in names)
+        exprs, len_expr = text_key_byte_exprs("name", 15)
+        sub = murmur3_token_general_subquery(f"(VALUES {lits}) v(name)", exprs, len_expr, ["name"])
+        got = dict(con.execute(f"SELECT name, token FROM {sub}").fetchall())
+        con.close()
+        assert got == {n: murmur3_token_bytes_py(n.encode()) for n in names}
+
+    def test_composite_twin_matches_port(self):
+        from pyspark.sql import types as T
+
+        from cassandra_pmem_spark.functions.murmur3 import (
+            bigint_pair_composite_byte_exprs,
+            murmur3_token_bytes_py,
+            murmur3_token_general_subquery,
+            serialize_partition_key,
+        )
+
+        pairs = [(1, 2), (-5, 9999999), (0, 0), (-(2**63), 2**63 - 1), (255, -256)]
+        con = duckdb.connect()
+        lits = ",".join(f"((-9223372036854775807 - 1)::BIGINT, {b}::BIGINT)" if a == -(2**63)
+                        else f"({a}::BIGINT, {b}::BIGINT)" for a, b in pairs)
+        exprs, flen = bigint_pair_composite_byte_exprs("a", "b")
+        sub = murmur3_token_general_subquery(
+            f"(VALUES {lits}) v(a, b)", exprs, str(flen), ["a", "b"], fixed_len=flen
+        )
+        rows = con.execute(f"SELECT a, b, token FROM {sub}").fetchall()
+        con.close()
+        two = [T.LongType(), T.LongType()]
+        assert {(a, b): t for a, b, t in rows} == {
+            (a, b): murmur3_token_bytes_py(serialize_partition_key((a, b), two))
+            for a, b in pairs
+        }
+
+    def test_spark_token_routes_text_and_composite_to_murmur3(self, spark):
+        from pyspark.sql import types as T
+
+        from cassandra_pmem_spark.functions.murmur3 import (
+            murmur3_token_bytes_py,
+            serialize_partition_key,
+        )
+        from cassandra_pmem_spark.functions.token import token_column
+
+        df = spark.createDataFrame(
+            [(1, "x"), (-7, "hello"), (2**40, "UNITED KINGDOM")], "k bigint, s string"
+        )
+        schema = df.schema
+        out = df.select(
+            "k", "s",
+            token_column(["s"], schema).alias("t_text"),
+            token_column(["k", "s"], schema).alias("t_comp"),
+        ).collect()
+        for r in out:
+            assert r.t_text == murmur3_token_bytes_py(r.s.encode())
+            assert r.t_comp == murmur3_token_bytes_py(
+                serialize_partition_key((r.k, r.s), [T.LongType(), T.StringType()])
+            )
