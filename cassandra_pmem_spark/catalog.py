@@ -154,15 +154,11 @@ TABLES: dict[str, TableMeta] = {
         partition_key=("l_orderkey",),
         clustering=(ClusteringColumn("l_linenumber"),),
     ),
-    # NOTE: events.ts is physically INT64 TIMESTAMP(NANOS) in the driver's
-    # parquet — Spark has no nanosecond TimestampType, so we read raw nanos
-    # (LongType) and derive micros in load_table (same truncation DuckDB
-    # applies). Declared logical type below is the *physical* read schema.
     "events": TableMeta(
         "events",
         _s(
             ("event_id", T.LongType()),
-            ("ts", T.LongType()),
+            ("ts", T.TimestampType()),
             ("user_id", T.LongType()),
             ("event_type", T.StringType()),
             ("value", T.DoubleType()),
@@ -202,14 +198,7 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     declared, system_schema-style, never inferred).
     """
     meta = TABLES[name]
-    df = spark.read.schema(meta.schema).parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        # ns → µs with integer `div` (exact on int64; a double round-trip
-        # would lose precision past 2^53), matching DuckDB's ns truncation.
-        from pyspark.sql import functions as F
-
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return spark.read.schema(meta.schema).parquet(f"{sf_dir}/{name}.parquet")
 
 
 def load_tables(

@@ -227,8 +227,8 @@ def streaming_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events table (staged into a directory once per SF
-    — the file source requires a directory), with the same ns→µs transform
-    the batch loader applies."""
+    — the file source requires a directory). The staged copy is refreshed
+    whenever the driver regenerates the source parquet (size/mtime drift)."""
     import os
     import shutil
 
@@ -237,11 +237,16 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf_tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
     d = f"/root/repo/.scratch/stream_events_{sf_tag}"
     os.makedirs(d, exist_ok=True)
+    src = f"{sf_dir}/events.parquet"
     dst = os.path.join(d, "events.parquet")
-    if not os.path.exists(dst):
-        shutil.copy(f"{sf_dir}/events.parquet", dst)
-    stream = spark.readStream.schema(TABLES["events"].schema).parquet(d)
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    s = os.stat(src)
+    if (
+        not os.path.exists(dst)
+        or os.path.getsize(dst) != s.st_size
+        or os.path.getmtime(dst) < s.st_mtime
+    ):
+        shutil.copy2(src, dst)
+    return spark.readStream.schema(TABLES["events"].schema).parquet(d)
 
 
 def _run_stream_to_memory(out: DataFrame, prefix: str) -> DataFrame:
