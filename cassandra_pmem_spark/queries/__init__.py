@@ -77,17 +77,18 @@ _PRIORITY: tuple[str, ...] = (
     "analytics_window_running",
     "analytics_set_ops",
     "analytics_events_hourly",
+    # -- (1b) new this round: write-path text surface, MV, bucketed join, CDC
+    "cql_delete_tombstones",
+    "cql_lwt_conditional",
+    "cql_batch_apply",
+    "cql_truncate_reload",
+    "cql_udf_select",
+    "mv_refresh_batch",
+    "bucketed_colocated_join",
+    "streaming_cdc_dedup",
     # -- (5) round-1-only cql rows, re-verified with the spare slots
     "cql_collection_access",
     "cql_tuple_relation",
-    "cql_map_entry",
-    "cql_like",
-    "cql_per_partition_limit",
-    "cql_distinct_partitions",
-    "cql_time_fcts",
-    "cql_cast_arithmetic",
-    "cql_blob_conv",
-    "cql_from_json",
 )
 # deliberately past the window (redundant driver evidence):
 # tpch_q1_pricing_summary IS entry() — the driver smoke-checks it every
@@ -102,10 +103,11 @@ def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], s
         extras,
         pipeline_queries,
         tpch_more,
+        write_queries,
     )
 
     merged: dict = {}
-    for mod in (cql_queries, analytics, tpch_more, extras, pipeline_queries):
+    for mod in (cql_queries, analytics, tpch_more, extras, pipeline_queries, write_queries):
         overlap = merged.keys() & mod.QUERIES.keys()
         assert not overlap, f"duplicate query names: {overlap}"
         merged.update(mod.QUERIES)

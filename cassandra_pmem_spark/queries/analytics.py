@@ -318,6 +318,44 @@ def streaming_session_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream_to_memory(out, "st_session")
 
 
+def streaming_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC consumption with at-least-once redelivery, deduplicated
+    (db/commitlog/CommitLogSegmentManagerCDC.java:42 source analog;
+    hints/ + batchlog/BatchlogManager.java redelivery analog): the staged
+    'commit log' directory holds the SAME events segment twice — a full
+    redelivery — and dropDuplicatesWithinWatermark on event_id collapses it
+    back to exactly-once downstream (streaming/windows.py:93,104). The
+    oracle is the plain single-copy aggregate: a hash match proves dedup
+    removed every duplicate and nothing else. The memory sink bounds this
+    to test SFs; a deployment sinks to parquet/foreachBatch instead."""
+    import os
+    import shutil
+
+    from cassandra_pmem_spark.catalog import TABLES as _T
+    from cassandra_pmem_spark.streaming.windows import dedup_with_watermark, read_cdc_stream
+
+    sf_tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    d = f"/root/repo/.scratch/cdc_events_{sf_tag}"
+    os.makedirs(d, exist_ok=True)
+    src = f"{sf_dir}/events.parquet"
+    s = os.stat(src)
+    for seg in ("seg0.parquet", "seg1.parquet"):
+        dst = os.path.join(d, seg)
+        if (
+            not os.path.exists(dst)
+            or os.path.getsize(dst) != s.st_size
+            or os.path.getmtime(dst) < s.st_mtime
+        ):
+            shutil.copy2(src, dst)
+    stream = read_cdc_stream(spark, d, _T["events"].schema)
+    deduped = dedup_with_watermark(stream, ["event_id"], ts_col="ts", watermark="1 hour")
+    sunk = _run_stream_to_memory(deduped, "st_cdc")
+    return sunk.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+
+
 def streaming_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (gap 30 min) — F.session_window, batch mode; the
     streaming twin is tested with a memory source."""
@@ -466,5 +504,11 @@ QUERIES = {
         streaming_session_real,
         _SESSION_ORACLE.rstrip()
         + "\nHAVING max(ts) + INTERVAL 30 MINUTE <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)\n",
+    ),
+    "streaming_cdc_dedup": (
+        streaming_cdc_dedup,
+        "SELECT event_type, count(*) AS n, "
+        "SUM(CAST(floor(value * 100) AS BIGINT)) AS cents "
+        "FROM events GROUP BY 1",
     ),
 }

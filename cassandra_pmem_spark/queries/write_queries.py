@@ -1,0 +1,340 @@
+"""Write-path registry queries: the CQL mutation surface driven end-to-end
+through statement TEXT (parse → validate → apply → merged read), each with a
+DuckDB oracle that mirrors the tombstone/LWW/condition semantics in plain SQL.
+
+These convert the write-model rows of SURVEY §2.9/§2.11 (DELETE tombstones,
+LWT, BATCH, TRUNCATE, CREATE FUNCTION, MV maintenance) from pytest-only
+evidence into driver-gated oracle rows. The mutation *statements* are a
+handful of driver-side literals (bounded, O(1)); the data path — merge,
+shadowing, anti-join, aggregation — is all DataFrame ops and scales with the
+cluster (operators/upsert.py header documents the 100 TB posture).
+
+Key choices for cross-SF determinism:
+- inserted keys are negative (driver keys are non-negative at every SF), so
+  literal UNION rows in the oracle can't collide with base rows;
+- deletes/cell-deletes are mirrored with WHERE NOT(...)/CASE, correct whether
+  or not the targeted key exists at a given SF;
+- LWT conditions are re-evaluated BY THE ORACLE on the same data
+  (EXISTS / CASE on the condition column), so data-dependent outcomes match
+  at any scale factor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cassandra_pmem_spark.catalog import TABLES, ClusteringColumn, TableMeta, load_table
+from cassandra_pmem_spark.cql.writes import CqlWriteSession
+
+# The synthetic lineitem is NOT pk-unique on (l_orderkey, l_linenumber)
+# (6000 rows / 4599 distinct pairs at sf0.001), so tombstone queries run
+# against a derived pk-unique projection — the aggregation is mirrored in
+# the oracle's CTE, keeping the write-model comparison exact.
+_LI_META = TableMeta(
+    "lineitem_q",
+    T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+        ]
+    ),
+    partition_key=("l_orderkey",),
+    clustering=(ClusteringColumn("l_linenumber"),),
+)
+
+
+def cql_delete_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE tombstones via statement text (db/RangeTombstone.java,
+    db/DeletionTime.java; cql3/statements/DeleteStatement.java): a row
+    tombstone, a clustering-range tombstone, a cell tombstone, then a
+    delete-then-reinsert resurrection — newer cells outlive the shadow
+    (Rows.java merge), older cells stay dead."""
+    base = (
+        load_table(spark, "lineitem", sf_dir)
+        .filter(F.col("l_orderkey") < 100)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(
+            F.max("l_quantity").alias("l_quantity"),
+            F.max("l_returnflag").alias("l_returnflag"),
+        )
+    )
+    s = CqlWriteSession(spark, _LI_META, base=base)
+    # t1: row tombstone on (1,1)
+    s.execute("DELETE FROM lineitem WHERE l_orderkey = 1 AND l_linenumber = 1")
+    # t2: range tombstone — partition 7, clustering l_linenumber >= 3
+    s.execute("DELETE FROM lineitem WHERE l_orderkey = 7 AND l_linenumber >= 3")
+    # t3: cell tombstone on (3,1).l_returnflag
+    s.execute("DELETE l_returnflag FROM lineitem WHERE l_orderkey = 3 AND l_linenumber = 1")
+    # t4: resurrection — only the two re-written cells come back
+    s.execute(
+        "INSERT INTO lineitem (l_orderkey, l_linenumber, l_quantity, l_returnflag) "
+        "VALUES (1, 1, 42.0, 'R')"
+    )
+    return s.table().select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").alias("qty"),
+        F.col("l_returnflag").alias("rflag"),
+    )
+
+
+_DELETE_TOMBSTONES_ORACLE = """
+WITH b AS (
+  SELECT l_orderkey, l_linenumber,
+         max(l_quantity) AS l_quantity, max(l_returnflag) AS l_returnflag
+  FROM lineitem WHERE l_orderkey < 100 GROUP BY 1, 2
+)
+SELECT l_orderkey, l_linenumber,
+       l_quantity AS qty,
+       CASE WHEN l_orderkey = 3 AND l_linenumber = 1 THEN NULL
+            ELSE l_returnflag END AS rflag
+FROM b
+WHERE NOT (l_orderkey = 1 AND l_linenumber = 1)
+  AND NOT (l_orderkey = 7 AND l_linenumber >= 3)
+UNION ALL
+SELECT 1, 1, CAST(42.0 AS DOUBLE), 'R'
+"""
+
+
+def cql_lwt_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LWT compare semantics via statement text (ColumnCondition.Bound
+    .appliesTo:228; ModificationStatement.executeWithCondition:480):
+    IF NOT EXISTS against a live row (rejected), against a fresh key
+    (applied), a column condition evaluated on current data, and IF EXISTS
+    on the row the session itself created. The oracle re-evaluates every
+    condition in SQL on the same data, so outcomes match at any SF."""
+    base = load_table(spark, "customer", sf_dir).filter(F.col("c_custkey") < 50)
+    s = CqlWriteSession(spark, TABLES["customer"], base=base)
+    s.execute(
+        "INSERT INTO customer (c_custkey, c_name, c_acctbal) "
+        "VALUES (1, 'upstart', 0.0) IF NOT EXISTS"
+    )
+    s.execute(
+        "INSERT INTO customer (c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment) "
+        "VALUES (-9001, 'fresh', 1, 10.0, 'BUILDING') IF NOT EXISTS"
+    )
+    s.execute(
+        "UPDATE customer SET c_mktsegment = 'MACHINERY' "
+        "WHERE c_custkey = 2 IF c_acctbal > 1000.0"
+    )
+    s.execute("UPDATE customer SET c_acctbal = 999.0 WHERE c_custkey = -9001 IF EXISTS")
+    return s.table().select(
+        "c_custkey",
+        "c_name",
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+
+
+_LWT_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal AS bal,
+       CASE WHEN c_custkey = 2 AND c_acctbal > 1000.0 THEN 'MACHINERY'
+            ELSE c_mktsegment END AS seg
+FROM customer WHERE c_custkey < 50
+UNION ALL
+SELECT -9001, 'fresh', CAST(999.0 AS DOUBLE), 'BUILDING'
+UNION ALL  -- the IF NOT EXISTS insert, applied only when key 1 is absent
+SELECT 1, 'upstart', CAST(0.0 AS DOUBLE), NULL
+WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = 1)
+"""
+
+
+def cql_batch_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH with one coordinator timestamp (BatchStatement.java:56;
+    CASSANDRA-6123 ordering): every inner statement stamps ts=100, so the
+    insert-then-delete of key -2 nets to deleted (tombstone beats live cell
+    at the shared timestamp), while bind markers flow through one shared
+    param cursor across inner statements."""
+    base = load_table(spark, "customer", sf_dir).filter(F.col("c_custkey") < 50)
+    s = CqlWriteSession(spark, TABLES["customer"], base=base)
+    s.execute(
+        "BEGIN BATCH USING TIMESTAMP 100 "
+        "INSERT INTO customer (c_custkey, c_name, c_nationkey, c_acctbal, "
+        "c_mktsegment) VALUES (-1, 'batch-one', 3, 1000.5, 'AUTOMOBILE'); "
+        "INSERT INTO customer (c_custkey, c_name, c_acctbal) "
+        "VALUES (-2, 'doomed', 2000.5); "
+        "DELETE FROM customer WHERE c_custkey = -2; "
+        "UPDATE customer SET c_mktsegment = ? WHERE c_custkey = 5; "
+        "APPLY BATCH",
+        params=["FURNITURE"],
+    )
+    return s.table().select(
+        "c_custkey",
+        "c_name",
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+
+
+_BATCH_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal AS bal,
+       CASE WHEN c_custkey = 5 THEN 'FURNITURE' ELSE c_mktsegment END AS seg
+FROM customer WHERE c_custkey < 50
+UNION ALL
+SELECT -1, 'batch-one', CAST(1000.5 AS DOUBLE), 'AUTOMOBILE'
+"""
+
+
+def cql_truncate_reload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUNCATE drops all state — base, mutations, and tombstones
+    (cql3/statements/TruncateStatement.java) — then fresh INSERTs repopulate
+    an empty table."""
+    base = load_table(spark, "region", sf_dir)
+    s = CqlWriteSession(spark, TABLES["region"], base=base)
+    s.execute("INSERT INTO region (r_regionkey, r_name) VALUES (-5, 'DOOMED')")
+    s.execute("TRUNCATE region")
+    s.execute("INSERT INTO region (r_regionkey, r_name) VALUES (10, 'NORTHERN')")
+    s.execute("INSERT INTO region (r_regionkey, r_name) VALUES (11, 'SOUTHERN')")
+    s.execute("INSERT INTO region (r_regionkey, r_name) VALUES (12, 'WESTERN')")
+    return s.table().select("r_regionkey", "r_name")
+
+
+_TRUNCATE_ORACLE = """
+SELECT * FROM (VALUES (10, 'NORTHERN'), (11, 'SOUTHERN'), (12, 'WESTERN'))
+  t(r_regionkey, r_name)
+"""
+
+
+def cql_udf_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE FUNCTION analog end-to-end (cql3/functions/UDFunction.java:69;
+    grammar createFunction rule): an Arrow-batched pandas UDF (the fast
+    path) bands order totals, and a RETURNS NULL ON NULL INPUT scalar UDF
+    short-circuits nulls without invoking the body
+    (UDFunction.java `calledOnNullInput`). UDFs are the declared slow path
+    (SURVEY §3) — this row pins their *semantics*; hot paths use built-ins."""
+    import pandas as pd
+
+    from cassandra_pmem_spark.functions.udf import create_function, create_pandas_function
+
+    # no type annotations: this module's `from __future__ import annotations`
+    # would stringify them and pandas_udf can't resolve string hints here
+    def band(s):
+        import numpy as np
+
+        return pd.Series(
+            np.where(s > 200000, "high", np.where(s > 100000, "mid", "low")), dtype=object
+        )
+
+    create_pandas_function(spark, "cps_band", band, T.StringType())
+    create_function(
+        spark,
+        "cps_urgency",
+        lambda p: int(p.split("-")[0]),
+        T.IntegerType(),
+        called_on_null_input=False,  # RETURNS NULL ON NULL INPUT
+    )
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.withColumn("band", F.expr("cps_band(o_totalprice)"))
+        .withColumn("urgency", F.expr("cps_urgency(nullif(o_orderpriority, '5-LOW'))"))
+        .groupBy("band", "urgency")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+        )
+    )
+
+
+_UDF_ORACLE = """
+SELECT CASE WHEN o_totalprice > 200000 THEN 'high'
+            WHEN o_totalprice > 100000 THEN 'mid'
+            ELSE 'low' END AS band,
+       CASE WHEN o_orderpriority = '5-LOW' THEN NULL
+            ELSE CAST(substr(o_orderpriority, 1, 1) AS INT) END AS urgency,
+       COUNT(*) AS n,
+       SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+FROM orders GROUP BY 1, 2
+"""
+
+
+def mv_refresh_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view derivation (db/view/View.java,
+    ViewUpdateGenerator.java:45): re-key the events base to the view PK
+    (user_id, day) and LWW-collapse — the SAME upsert_lww_rows merge the
+    incremental foreachBatch maintainer replays per micro-batch
+    (streaming/mv.py:30, unit-tested), so batch and streaming share one
+    merge implementation. Writetime = event_id (unique, monotone), making
+    the newest-event-per-(user, day) pick exactly deterministic."""
+    from cassandra_pmem_spark.streaming.mv import refresh_view_batch
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        "event_type",
+        "value",
+        F.col("event_id").alias("writetime"),
+    )
+    return refresh_view_batch(ev, view_key=["user_id", "day"], writetime_col="writetime")
+
+
+_MV_ORACLE = """
+SELECT user_id, day, event_type, value, writetime FROM (
+  SELECT user_id, CAST(ts AS DATE) AS day, event_type, value,
+         event_id AS writetime,
+         row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                            ORDER BY event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via bucketed layout (sources/bucketing.py — the
+    dht/Murmur3Partitioner.java data-co-location analog): both sides are
+    written bucketed on the join key, so the sort-merge join plans with NO
+    Exchange (asserted in test_plans.py). At 100 TB this converts the
+    per-query lineitem⋈orders shuffle into one write-time shuffle amortized
+    over every downstream query."""
+    import os
+    import shutil
+
+    from cassandra_pmem_spark.sources.bucketing import bucketize, co_located_join
+
+    tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    lt, rt = f"cps_b_orders_{tag}", f"cps_b_lineitem_{tag}"
+    # managed-table locations outlive the in-memory catalog: a fresh session
+    # doesn't know the table but its directory still exists, so saveAsTable
+    # raises LOCATION_ALREADY_EXISTS — drop both the entry and the location
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for t in (lt, rt):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh.removeprefix("file:"), t), ignore_errors=True)
+    orders = load_table(spark, "orders", sf_dir).filter(F.col("o_orderkey") < 5000)
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .filter(F.col("l_orderkey") < 5000)
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+    )
+    bucketize(orders, lt, ["o_orderkey"], num_buckets=8, sort_cols=["o_orderkey"])
+    bucketize(li, rt, ["o_orderkey"], num_buckets=8, sort_cols=["o_orderkey"])
+    joined = co_located_join(spark, lt, rt, on=["o_orderkey"])
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.sum(
+            F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+        ).alias("cents"),
+    )
+
+
+_BUCKETED_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS n_items,
+       SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderkey < 5000
+GROUP BY 1
+"""
+
+
+QUERIES = {
+    "cql_delete_tombstones": (cql_delete_tombstones, _DELETE_TOMBSTONES_ORACLE),
+    "cql_lwt_conditional": (cql_lwt_conditional, _LWT_ORACLE),
+    "cql_batch_apply": (cql_batch_apply, _BATCH_ORACLE),
+    "cql_truncate_reload": (cql_truncate_reload, _TRUNCATE_ORACLE),
+    "cql_udf_select": (cql_udf_select, _UDF_ORACLE),
+    "mv_refresh_batch": (mv_refresh_batch, _MV_ORACLE),
+    "bucketed_colocated_join": (bucketed_colocated_join, _BUCKETED_ORACLE),
+}
