@@ -9,12 +9,14 @@ predicate pushdown on metadata never touches the bytes.
 
 Decode / feature-extract / resize / frame-sample run as Arrow-batched
 mapInPandas stages: the Spark-side plumbing (schemas, batch iteration,
-partition sizing) is real and tested. Codecs: PNG and 16-bit-PCM WAV
-decode/encode are REAL and library-free (pipeline/codecs.py — stdlib
-zlib/struct/wave + numpy); formats that require codec libraries the
-container lacks (JPEG, MP3, video) raise a clearly-marked
-NotImplementedError, and a deterministic byte-statistics fake remains
-available (fake_decode=True) for format-agnostic plumbing tests. At
+partition sizing) is real and tested. Codecs: PNG, 16-bit-PCM WAV, and
+baseline grayscale JPEG decode/encode are REAL and library-free
+(pipeline/codecs.py — stdlib zlib/struct/wave + numpy;
+pipeline/jpeg.py — T.81 baseline Huffman+DCT); formats that require
+codec libraries the container lacks (color/progressive JPEG, MP3, video)
+raise a clearly-marked NotImplementedError, and a deterministic
+byte-statistics fake remains available (fake_decode=True) for
+format-agnostic plumbing tests. At
 scale, each batch is one Arrow RecordBatch; set
 spark.sql.execution.arrow.maxRecordsPerBatch to bound decoded-frame
 memory.
@@ -69,16 +71,21 @@ def attach_media(
 
 
 def _decode_image(data: bytes) -> "object":
-    """Real decode for PNG (pipeline/codecs.py, pure stdlib); other image
-    formats need codec libraries this container lacks and raise."""
+    """Real decode for PNG and baseline grayscale JPEG (pipeline/codecs.py,
+    pipeline/jpeg.py — pure stdlib+numpy); other image formats need codec
+    libraries this container lacks and raise."""
     from cassandra_pmem_spark.pipeline.codecs import decode_png, is_png
+    from cassandra_pmem_spark.pipeline.jpeg import decode_jpeg, is_jpeg
 
     if is_png(data):
         return decode_png(data)
+    if is_jpeg(data):
+        return decode_jpeg(data)
     raise NotImplementedError(
-        "only PNG decodes without codec libraries (JPEG/WebP/... need "
-        "Pillow/libvips — not present in this container); or use "
-        "extract_image_features(fake_decode=True) for format-agnostic plumbing"
+        "only PNG and baseline grayscale JPEG decode without codec "
+        "libraries (WebP/color-JPEG/... need Pillow/libvips — not present "
+        "in this container); or use extract_image_features(fake_decode=True) "
+        "for format-agnostic plumbing"
     )
 
 
@@ -151,6 +158,36 @@ def png_encode_stage(media: DataFrame, width: int = 32) -> DataFrame:
     return media.select("item_id", "data").mapInPandas(run, PNG_STAGE_SCHEMA)
 
 
+def jpeg_encode_stage(media: DataFrame, width: int = 16) -> DataFrame:
+    """Encode each item's payload bytes as a deterministic baseline JPEG
+    (pure-stdlib encoder, pipeline/jpeg.py): bytes are forced even
+    (v & ~1), padded to a width-multiple, and each byte becomes a uniform
+    8×8 block. Block-uniform even values round-trip bit-exactly through
+    the Annex K tables (jpeg.py module docstring derives why), so the
+    decoded-pixel histogram is recomputable from the source text — that is
+    what makes the REAL lossy-format pipeline oracle-checkable."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from cassandra_pmem_spark.pipeline.jpeg import encode_jpeg_gray
+
+        for pdf in batches:
+            rows = []
+            for item_id, data in zip(pdf["item_id"], pdf["data"]):
+                raw = bytes(data or b"\x00") or b"\x00"
+                h = (len(raw) + width - 1) // width
+                grid = (
+                    np.frombuffer(raw.ljust(h * width, b"\x00"), np.uint8).reshape(h, width)
+                    & 0xFE
+                )
+                img = np.repeat(np.repeat(grid, 8, axis=0), 8, axis=1)
+                rows.append((int(item_id), encode_jpeg_gray(img)))
+            yield pd.DataFrame(rows, columns=["item_id", "data"])
+
+    return media.select("item_id", "data").mapInPandas(run, PNG_STAGE_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: expand each item into (item_id, frame_ts)
     rows using metadata only — pure built-ins, no decode. The decode of the
@@ -170,20 +207,25 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def _resize_image(data: bytes, width: int, height: int) -> bytes:
-    """Real resize for PNG: decode → nearest-neighbor → re-encode
-    (pipeline/codecs.py). Other formats raise — they need codec libs."""
+    """Real resize for PNG and baseline grayscale JPEG: decode →
+    nearest-neighbor → re-encode in the same format. Other formats raise —
+    they need codec libs."""
     from cassandra_pmem_spark.pipeline.codecs import (
         decode_png,
         encode_png,
         is_png,
         resize_nearest,
     )
+    from cassandra_pmem_spark.pipeline.jpeg import decode_jpeg, encode_jpeg_gray, is_jpeg
 
     if is_png(data):
         return encode_png(resize_nearest(decode_png(data), width, height))
+    if is_jpeg(data):
+        return encode_jpeg_gray(resize_nearest(decode_jpeg(data), width, height))
     raise NotImplementedError(
-        "only PNG resizes without codec libraries; use "
-        "resize_images(fake_resize=True) for format-agnostic plumbing"
+        "only PNG and baseline grayscale JPEG resize without codec "
+        "libraries; use resize_images(fake_resize=True) for format-agnostic "
+        "plumbing"
     )
 
 

@@ -86,9 +86,9 @@ _PRIORITY: tuple[str, ...] = (
     "mv_refresh_batch",
     "bucketed_colocated_join",
     "streaming_cdc_dedup",
-    # -- (5) round-1-only cql rows, re-verified with the spare slots
+    "multimodal_features_jpeg",
+    # -- (5) round-1-only cql rows, re-verified with the spare slot
     "cql_collection_access",
-    "cql_tuple_relation",
 )
 # deliberately past the window (redundant driver evidence):
 # tpch_q1_pricing_summary IS entry() — the driver smoke-checks it every

@@ -278,6 +278,73 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_features_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy-format pipeline, oracle-checked: each document's utf8
+    bytes (forced even, one byte per uniform 8×8 block) become a baseline
+    JPEG through the pure-stdlib encoder, and the feature stage decodes
+    them back through the actual Huffman+IDCT decoder (pipeline/jpeg.py) —
+    no fake path. Block-uniform even values round-trip BIT-EXACTLY through
+    the Annex K tables (jpeg.py docstring derives why), so DuckDB can
+    recompute the decoded-pixel histogram from the text: each evenized
+    byte appears 64× in the decoded image, which cancels in the histogram
+    proportions. A hash match proves the full JPEG encode→entropy-decode→
+    IDCT chain reproduced every block."""
+    from cassandra_pmem_spark.pipeline.multimodal import jpeg_encode_stage
+
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "blob", F.col("text").cast("binary")
+    )
+    media = attach_media(docs, "blob", "image", "image/jpeg", "doc_id")
+    feats = extract_image_features(jpeg_encode_stage(media), dim=8, fake_decode=False)
+    return feats.select(
+        "item_id",
+        F.round("byte_entropy", 6).alias("byte_entropy"),
+        *[F.col("feature")[i].cast("double").alias(f"f{i}") for i in range(8)],
+    )
+
+
+def _multimodal_features_jpeg_oracle(dim: int = 8, width: int = 16) -> str:
+    """Mirror of the JPEG encode→decode→histogram pipeline: decoded pixels
+    are the EVENIZED utf8 bytes (v & ~1) zero-padded to a `width`-multiple,
+    each repeated 64× — the repetition cancels in the proportions, so the
+    oracle aggregates the evenized byte multiset directly."""
+    span = 256 // dim
+    feat_cols = ", ".join(
+        f"CAST(CAST(COALESCE(SUM(a.c / t.n) FILTER (WHERE a.v // {span} = {i}), 0)"
+        f" AS FLOAT) AS DOUBLE) AS f{i}"
+        for i in range(dim)
+    )
+    return f"""
+WITH b AS (
+  SELECT doc_id, encode(text) AS blob, octet_length(encode(text)) AS len0
+  FROM documents
+), dims AS (
+  SELECT doc_id, blob, len0,
+         ((greatest(len0, 1) + {width - 1}) // {width}) * {width} AS padded
+  FROM b
+), pos AS (
+  SELECT doc_id, hex(blob) AS h, unnest(range(len0)) AS i FROM dims
+), raw_bytes AS (
+  SELECT doc_id,
+         (('0x' || substr(h, CAST(2 * i + 1 AS INT), 2))::INT // 2) * 2 AS v
+  FROM pos
+  UNION ALL
+  SELECT doc_id, 0 AS v
+  FROM (SELECT doc_id, unnest(range(padded - len0)) FROM dims)
+), agg AS (
+  SELECT doc_id, v, CAST(count(*) AS DOUBLE) AS c
+  FROM raw_bytes GROUP BY doc_id, v
+), tot AS (
+  SELECT doc_id, SUM(c) AS n FROM agg GROUP BY doc_id
+)
+SELECT a.doc_id AS item_id,
+  round(-SUM((a.c / t.n) * log2(a.c / t.n)), 6) AS byte_entropy,
+  {feat_cols}
+FROM agg a JOIN tot t USING (doc_id)
+GROUP BY a.doc_id
+"""
+
+
 def _minhash_oracle() -> str:
     sig_exprs = ", ".join(
         f"list_min(list_transform(shingles, s -> md5(concat(s, '#', {i}))))"
@@ -661,4 +728,8 @@ QUERIES = {
         "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents",
     ),
     "multimodal_features": (multimodal_features, _multimodal_features_oracle()),
+    "multimodal_features_jpeg": (
+        multimodal_features_jpeg,
+        _multimodal_features_jpeg_oracle(),
+    ),
 }

@@ -191,3 +191,97 @@ class TestRealDecodeStages:
         assert r.n_samples == 100
         assert r.rms == pytest.approx(0.5, abs=1e-4)
         assert r.zero_crossings == 99
+
+
+class TestJpeg:
+    """Baseline grayscale JPEG (pipeline/jpeg.py — T.81 subset,
+    Annex K tables)."""
+
+    def test_is_jpeg(self):
+        from cassandra_pmem_spark.pipeline.jpeg import encode_jpeg_gray, is_jpeg
+
+        enc = encode_jpeg_gray(np.zeros((8, 8), np.uint8))
+        assert is_jpeg(enc)
+        assert not is_jpeg(b"\x89PNG")
+        assert enc.startswith(b"\xff\xd8") and enc.endswith(b"\xff\xd9")
+
+    def test_block_uniform_even_roundtrip_exact(self):
+        # the oracle-exactness property: uniform 8x8 blocks of even values
+        # survive DCT->quant->huffman->decode bit-exactly (DC step 16
+        # divides 8*(v-128) when v is even; AC quantizes to 0)
+        from cassandra_pmem_spark.pipeline.jpeg import decode_jpeg, encode_jpeg_gray
+
+        grid = (_rng(3).integers(0, 256, (7, 16), dtype=np.uint8)) & 0xFE
+        img = np.repeat(np.repeat(grid, 8, axis=0), 8, axis=1)
+        assert np.array_equal(decode_jpeg(encode_jpeg_gray(img)), img)
+
+    def test_large_dc_jumps_exact(self):
+        from cassandra_pmem_spark.pipeline.jpeg import decode_jpeg, encode_jpeg_gray
+
+        grid = np.array([[0, 254, 2, 250, 4, 128]], dtype=np.uint8)
+        img = np.repeat(np.repeat(grid, 8, axis=0), 8, axis=1)
+        assert np.array_equal(decode_jpeg(encode_jpeg_gray(img)), img)
+
+    def test_lossy_general_image_close(self):
+        from cassandra_pmem_spark.pipeline.jpeg import decode_jpeg, encode_jpeg_gray
+
+        x = np.linspace(0, 255, 64)
+        img = np.clip(np.add.outer(x, x) / 2, 0, 255).astype(np.uint8)
+        dec = decode_jpeg(encode_jpeg_gray(img))
+        assert dec.shape == img.shape
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 8
+
+    def test_non_multiple_of_8_dims(self):
+        from cassandra_pmem_spark.pipeline.jpeg import decode_jpeg, encode_jpeg_gray
+
+        img = (_rng(5).integers(0, 256, (13, 21), dtype=np.uint8)) & 0xFE
+        assert decode_jpeg(encode_jpeg_gray(img)).shape == (13, 21)
+
+    def test_rejects_non_jpeg_and_bad_streams(self):
+        from cassandra_pmem_spark.pipeline.jpeg import decode_jpeg
+
+        with pytest.raises(ValueError):
+            decode_jpeg(b"not a jpeg at all")
+
+    def test_entropy_data_has_no_bare_ff(self):
+        # byte stuffing: every 0xFF inside entropy data must be 0xFF00
+        from cassandra_pmem_spark.pipeline.jpeg import encode_jpeg_gray
+
+        img = np.full((8, 8), 254, np.uint8)  # DC=1008/16=63 -> many 1-bits
+        enc = encode_jpeg_gray(img)
+        body = enc[2:-2]
+        i = body.find(b"\xff\xda")
+        scan = body[i + 2 + struct.unpack(">H", body[i + 2 : i + 4])[0] :]
+        j = 0
+        while j < len(scan) - 1:
+            if scan[j] == 0xFF:
+                assert scan[j + 1] == 0x00
+                j += 2
+            else:
+                j += 1
+
+    def test_image_features_real_jpeg_decode(self, spark):
+        from cassandra_pmem_spark.pipeline.multimodal import (
+            extract_image_features,
+            jpeg_encode_stage,
+        )
+
+        # 256 bytes over 4 distinct even values, equally likely -> decoded
+        # histogram entropy exactly 2 bits (each byte repeated 64x cancels)
+        payload = bytes([0, 64, 128, 192] * 64)
+        df = spark.createDataFrame([(2, payload)], "item_id long, data binary")
+        out = extract_image_features(
+            jpeg_encode_stage(df), dim=8, fake_decode=False
+        ).collect()
+        assert len(out) == 1
+        assert out[0].byte_entropy == pytest.approx(2.0)
+        assert len(out[0].feature) == 8
+
+    def test_resize_images_real_jpeg(self, spark):
+        from cassandra_pmem_spark.pipeline.jpeg import decode_jpeg, encode_jpeg_gray
+        from cassandra_pmem_spark.pipeline.multimodal import resize_images
+
+        jpg = encode_jpeg_gray((_rng(9).integers(0, 256, (24, 16), dtype=np.uint8)))
+        df = spark.createDataFrame([(7, jpg)], "item_id long, data binary")
+        rows = resize_images(df, width=8, height=6, fake_resize=False).collect()
+        assert decode_jpeg(bytes(rows[0].data)).shape == (6, 8)
