@@ -87,9 +87,11 @@ _PRIORITY: tuple[str, ...] = (
     "bucketed_colocated_join",
     "streaming_cdc_dedup",
     "multimodal_features_jpeg",
-    # -- (5) round-1-only cql rows, re-verified with the spare slot
-    "cql_collection_access",
+    "streaming_stateful_counters",
 )
+# group (5) re-verification slots are gone this round: never-green names
+# outrank re-verification under the staleness rule (COVERAGE.md); the
+# round-1-green cql rows stay covered by the local full-registry gate
 # deliberately past the window (redundant driver evidence):
 # tpch_q1_pricing_summary IS entry() — the driver smoke-checks it every
 # round; every round-2-green query left out above is unedited since its

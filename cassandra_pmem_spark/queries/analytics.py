@@ -249,7 +249,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.readStream.schema(TABLES["events"].schema).parquet(d)
 
 
-def _run_stream_to_memory(out: DataFrame, prefix: str) -> DataFrame:
+def _run_stream_to_memory(out: DataFrame, prefix: str, mode: str = "append") -> DataFrame:
     """availableNow → memory sink with a fresh checkpoint; returns the sink
     table (the run IS one complete micro-batch lifecycle).
 
@@ -276,7 +276,7 @@ def _run_stream_to_memory(out: DataFrame, prefix: str) -> DataFrame:
         q = (
             out.writeStream.format("memory")
             .queryName(name)
-            .outputMode("append")
+            .outputMode(mode)
             .option("checkpointLocation", ck)
             .trigger(availableNow=True)
             .start()
@@ -354,6 +354,23 @@ def streaming_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"),
     )
+
+
+def streaming_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator, REAL streaming run, oracle-verified
+    (db/CounterMutation.java:49 running-total analog): per-user counter
+    totals folded in applyInPandasWithState (streaming/stateful.py:29),
+    update-mode memory sink. The staged source is one file → one
+    availableNow micro-batch → exactly one emitted row per user, so the
+    plain batch aggregate is an exact oracle. Deltas fold as Python ints —
+    commutative and exact, like the reference's counter cells."""
+    from cassandra_pmem_spark.streaming.stateful import running_counters
+
+    ev = _events_stream(spark, sf_dir).withColumn(
+        "delta", F.floor(F.col("value") * 100).cast("long")
+    )
+    out = running_counters(ev.select("user_id", "delta"), key_col="user_id", delta_col="delta")
+    return _run_stream_to_memory(out, "st_counter", mode="update")
 
 
 def streaming_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -504,6 +521,11 @@ QUERIES = {
         streaming_session_real,
         _SESSION_ORACLE.rstrip()
         + "\nHAVING max(ts) + INTERVAL 30 MINUTE <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)\n",
+    ),
+    "streaming_stateful_counters": (
+        streaming_stateful_counters,
+        "SELECT user_id, SUM(CAST(floor(value * 100) AS BIGINT)) AS total, "
+        "count(*) AS n_updates FROM events GROUP BY 1",
     ),
     "streaming_cdc_dedup": (
         streaming_cdc_dedup,
