@@ -111,21 +111,23 @@ class _DdlParser(_Parser):
             return True
         return False
 
-    def column_type(self) -> tuple[T.DataType, str | None, bool]:
+    def column_type(self) -> tuple[T.DataType, str | None, bool, bool]:
         """Like cql_type, but ALSO reports the top-level collection kind
-        ('list' | 'set' | 'map' | None) and frozen-ness — Spark erases both
-        (set<t> and list<t> are ArrayType; frozen<X> stores like X), yet the
-        reference's mutation-validation rules depend on them
-        (Lists/Sets/Maps.java operation dispatch; FrozenCollectionsTest)."""
+        ('list' | 'set' | 'map' | None), frozen-ness, and counter-ness —
+        Spark erases all three (set<t> and list<t> are ArrayType; frozen<X>
+        stores like X; counter is a long), yet the reference's
+        mutation-validation rules depend on them (Lists/Sets/Maps.java
+        operation dispatch; FrozenCollectionsTest; Operation.java:169
+        counter setter rejection)."""
         name = self.peek().text.lower()
         if name == "frozen":
             self.next()
             self.expect_op("<")
-            dtype, kind, _ = self.column_type()
+            dtype, kind, _, _ = self.column_type()
             self.expect_op(">")
-            return dtype, kind, True
+            return dtype, kind, True, False
         kind = name if name in ("list", "set", "map") else None
-        return self.cql_type(), kind, False
+        return self.cql_type(), kind, False, name == "counter"
 
     def cql_type(self) -> T.DataType:
         """type := native | list<t> | set<t> | map<k,v> | tuple<t,...>
@@ -238,6 +240,7 @@ class _DdlParser(_Parser):
         self.last_keyspace = ks  # registry records table->keyspace for cascade
         self.last_collection_kinds: dict[str, str] = {}
         self.last_frozen: set[str] = set()
+        self.last_counters: set[str] = set()
         self.expect_punct("(")
 
         cols: list[tuple[str, T.DataType]] = []
@@ -261,11 +264,13 @@ class _DdlParser(_Parser):
                 self.expect_punct(")")
             else:
                 col = self.ident()
-                typ, kind, frozen = self.column_type()
+                typ, kind, frozen, is_counter = self.column_type()
                 if kind is not None:
                     self.last_collection_kinds[col] = kind
                 if frozen:
                     self.last_frozen.add(col)
+                if is_counter:
+                    self.last_counters.add(col)
                 is_static = self.accept_kw("static")
                 cols.append((col, typ))
                 if is_static:
@@ -321,6 +326,17 @@ class _DdlParser(_Parser):
             raise InvalidRequest(
                 f"CLUSTERING ORDER BY columns {sorted(bad_order)} are not clustering columns"
             )
+        if self.last_counters:
+            # CreateTableStatement.java:229 — a counter table's non-key
+            # columns must ALL be counters
+            plain = declared - set(pk_cols) - set(ck_cols) - self.last_counters
+            if plain:
+                raise InvalidRequest("Cannot mix counter and non counter columns in the same table")
+            bad_key = self.last_counters & (set(pk_cols) | set(ck_cols))
+            if bad_key:
+                raise InvalidRequest(
+                    f"counter type is not supported for PRIMARY KEY column {sorted(bad_key)[0]!r}"
+                )
 
         meta = TableMeta(
             name,
@@ -433,6 +449,7 @@ class SchemaRegistry:
         # frozen-ness; the reference's mutation validation needs both
         self.collection_kinds: dict[str, dict[str, str]] = {}
         self.frozen_columns: dict[str, frozenset[str]] = {}
+        self.counter_columns: dict[str, frozenset[str]] = {}
 
     def table(self, name: str) -> TableMeta:
         if name not in self.tables:
@@ -449,6 +466,7 @@ class SchemaRegistry:
         self.table_keyspace.pop(table, None)
         self.collection_kinds.pop(table, None)
         self.frozen_columns.pop(table, None)
+        self.counter_columns.pop(table, None)
         self._drop_table_indexes(table)
 
     def execute(self, cql: str) -> None:
@@ -477,6 +495,9 @@ class SchemaRegistry:
                     )
                     self.frozen_columns[meta.name] = frozenset(
                         getattr(p, "last_frozen", ())
+                    )
+                    self.counter_columns[meta.name] = frozenset(
+                        getattr(p, "last_counters", ())
                     )
             elif nxt in ("index", "custom"):
                 idx = p.create_index()
@@ -545,6 +566,7 @@ class CqlDatabase:
             info = CollectionInfo(
                 kinds=self.registry.collection_kinds.get(table, {}),
                 frozen=self.registry.frozen_columns.get(table, frozenset()),
+                counters=self.registry.counter_columns.get(table, frozenset()),
             )
             self._sessions[table] = CqlWriteSession(
                 self.spark, self.registry.table(table), collection_info=info

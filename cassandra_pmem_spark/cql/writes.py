@@ -49,12 +49,20 @@ from cassandra_pmem_spark.operators.upsert import upsert_lww_cells
 class CollectionInfo:
     """Schema facts Spark's type system erases but the reference's mutation
     validation needs: the declared collection kind per column ('list' |
-    'set' | 'map' — set<t> and list<t> are both ArrayType in Spark) and
-    which columns were declared frozen<...> (frozen collections only accept
-    full-value writes; FrozenCollectionsTest.testInvalidOperations)."""
+    'set' | 'map' — set<t> and list<t> are both ArrayType in Spark), which
+    columns were declared frozen<...> (frozen collections only accept
+    full-value writes; FrozenCollectionsTest.testInvalidOperations), and
+    which were declared counter (counters fold, they are never set —
+    cql3/Operation.java:169, UpdateStatement.java counter branch)."""
 
     kinds: dict
     frozen: frozenset
+    counters: frozenset = frozenset()
+
+
+# Attributes.java:47 — 20 years in seconds; TTLs beyond it are rejected,
+# TTL 0 means "no expiry" (Attributes.getTimeToLive)
+MAX_TTL = 20 * 365 * 24 * 60 * 60
 
 
 @dataclass
@@ -319,7 +327,7 @@ import re as _re
 
 # BEGIN [UNLOGGED|COUNTER] BATCH prefix / APPLY BATCH suffix; statement
 # bodies in between are split on ';' *outside string literals*
-_BATCH_OPEN_RE = _re.compile(r"^\s*begin\s+(?:unlogged\s+|counter\s+)?batch\b", _re.I)
+_BATCH_OPEN_RE = _re.compile(r"^\s*begin\s+(?:(unlogged|counter)\s+)?batch\b", _re.I)
 _APPLY_RE = _re.compile(r"^\s*apply\s+batch\s*;?\s*$", _re.I)
 
 
@@ -401,6 +409,11 @@ class CqlWriteSession:
                 raise InvalidRequest("malformed BATCH: expected BEGIN [UNLOGGED|COUNTER] BATCH")
             pieces = _split_statements(cql[m.end():])
             first = pieces[0]
+            if _re.match(r"\s*using\s+ttl\b", first, _re.I) or _re.match(
+                r"\s*using\s+timestamp\s+(?:\?|-?\d+)\s+and\s+ttl\b", first, _re.I
+            ):
+                # BatchStatement.java:172
+                raise InvalidRequest("Global TTL on the BATCH statement is not supported.")
             mu = _re.match(r"\s*using\s+timestamp\s+(\?|-?\d+)\s*", first, _re.I)
             batch_ts: int | None = None
             if mu:
@@ -413,6 +426,7 @@ class CqlWriteSession:
                 pieces[0] = first[mu.end():]
             if not _APPLY_RE.match(pieces[-1]):
                 raise InvalidRequest("BATCH must end with APPLY BATCH")
+            self._validate_batch(m.group(1), batch_ts is not None, pieces[:-1], params, cursor)
             if batch_ts is None:
                 batch_ts = self._tick()
             for stmt in pieces[:-1]:
@@ -428,15 +442,56 @@ class CqlWriteSession:
             self._range_tombs.clear()
             self._base = None
             return True
+        if head not in ("insert", "update", "delete"):
+            if forced_ts is not None:
+                # BatchStatement accepts only modification statements
+                raise InvalidRequest("Only INSERT, UPDATE and DELETE are allowed in BATCH")
+            raise InvalidRequest(f"unsupported write statement {head!r}")
+        counters = self.collection_info.counters if self.collection_info else frozenset()
         p = _WriteParser(_tokenize(cql))
         if head == "insert":
             _, cells, using, cond = p.insert_statement(params, cursor)
+            if counters:
+                # UpdateStatement.java:145
+                raise InvalidRequest(
+                    "INSERT statements are not allowed on counter tables, use UPDATE instead"
+                )
+            if cond is not None and "timestamp" in using:
+                # ModificationStatement.java:261
+                raise InvalidRequest("Cannot provide custom timestamp for conditional updates")
+            self._check_ttl(using)
             if not self._condition_holds(cond, self._key_of(cells)):
                 return False
             self._record(cells, using, forced_ts=forced_ts)
         elif head == "update":
             _, sets, deltas, key, using, cond, elem_ops = p.update_statement(params, cursor)
             self._validate_elem_ops(elem_ops)
+            # counter-column rules (Operation.java:169,309; ModificationStatement
+            # .java:114,262-263) — enforceable when the DDL declared counters
+            bad_ctr = set(sets) & counters
+            if bad_ctr:
+                raise InvalidRequest(
+                    f"Cannot set the value of counter column {sorted(bad_ctr)[0]} "
+                    "(counters can only be incremented/decremented, not set)"
+                )
+            if counters:
+                non_ctr = set(deltas) - counters
+                if non_ctr:
+                    raise InvalidRequest(
+                        f"Invalid operation for non counter column {sorted(non_ctr)[0]}"
+                    )
+            if deltas:
+                if cond is not None:
+                    raise InvalidRequest(
+                        "Conditional updates are not supported on counter tables"
+                    )
+                if "timestamp" in using:
+                    raise InvalidRequest("Cannot provide custom timestamp for counter updates")
+                if "ttl" in using:
+                    raise InvalidRequest("Cannot provide custom TTL for counter updates")
+            if cond is not None and "timestamp" in using:
+                raise InvalidRequest("Cannot provide custom timestamp for conditional updates")
+            self._check_ttl(using)
             # PK columns cannot appear in SET (UpdateStatement.java checks;
             # the reference raises InvalidRequest — silently upserting a
             # different key would corrupt the partition)
@@ -453,6 +508,11 @@ class CqlWriteSession:
         elif head == "delete":
             _, cols, key, ranges, using, cond, elem_dels = p.delete_statement(params, cursor)
             self._validate_elem_ops(elem_dels)
+            if "ttl" in using:
+                # grammar: usingClauseDelete carries TIMESTAMP only (Parser.g)
+                raise InvalidRequest("Cannot provide TTL for DELETE statements")
+            if cond is not None and "timestamp" in using:
+                raise InvalidRequest("Cannot provide custom timestamp for conditional updates")
             wt = using.get("timestamp", forced_ts if forced_ts is not None else self._tick())
             if ranges:
                 # range tombstone: partition key fully EQ, no LWT, no columns
@@ -476,9 +536,69 @@ class CqlWriteSession:
                 self._cell_tombs.append(CellTombstone(self._key_of(key), cols, wt))
             else:
                 self._row_tombs.append(RowTombstone(self._key_of(key), wt))
-        else:
-            raise InvalidRequest(f"unsupported write statement {head!r}")
         return True
+
+    def _check_ttl(self, using: dict) -> None:
+        """Attributes.getTimeToLive bounds (Attributes.java:126-134,
+        CASSANDRA-14092): negative rejected, beyond MAX_TTL rejected,
+        TTL 0 unsets (no expiry)."""
+        ttl = using.get("ttl")
+        if ttl is None:
+            return
+        if ttl < 0:
+            raise InvalidRequest(f"A TTL must be greater or equal to 0, but was {ttl}")
+        if ttl > MAX_TTL:
+            raise InvalidRequest(f"ttl is too large. requested ({ttl}) maximum ({MAX_TTL})")
+        if ttl == 0:
+            del using["ttl"]
+
+    def _validate_batch(
+        self, kind: str | None, has_batch_ts: bool, pieces: list, params: list, cursor: list
+    ) -> None:
+        """BatchStatement.verifyBatchType/attrs validation
+        (BatchStatement.java:170-216), run as a DRY PARSE over the inner
+        statements BEFORE any of them mutates session state — a rejected
+        batch must apply nothing. The dry pass reads params through a
+        cloned cursor so the real pass binds identically."""
+        kind = (kind or "logged").lower()
+        dry = [cursor[0]]
+        has_counter = has_non_counter = any_cond = any_ts = False
+        for stmt in pieces:
+            stmt = stmt.strip()
+            if not stmt:
+                continue
+            head = stmt.split(None, 1)[0].lower()
+            if head not in ("insert", "update", "delete"):
+                raise InvalidRequest("Only INSERT, UPDATE and DELETE are allowed in BATCH")
+            p = _WriteParser(_tokenize(stmt))
+            if head == "insert":
+                _, _, using, cond = p.insert_statement(params, dry)
+                is_ctr = False
+            elif head == "update":
+                _, _, deltas, _, using, cond, _ = p.update_statement(params, dry)
+                is_ctr = bool(deltas)
+            else:
+                _, _, _, _, using, cond, _ = p.delete_statement(params, dry)
+                is_ctr = False
+            has_counter |= is_ctr
+            has_non_counter |= not is_ctr
+            any_cond |= cond is not None
+            any_ts |= "timestamp" in using
+        # reference raise order (BatchStatement.java:174-216)
+        if has_batch_ts and any_cond:
+            raise InvalidRequest("Cannot provide custom timestamp for conditional BATCH")
+        if has_batch_ts and kind == "counter":
+            raise InvalidRequest("Cannot provide custom timestamp for counter BATCH")
+        if has_batch_ts and any_ts:
+            raise InvalidRequest("Timestamp must be set either on BATCH or individual statements")
+        if has_batch_ts and has_counter:
+            raise InvalidRequest("Cannot provide custom timestamp for a BATCH containing counters")
+        if kind == "counter" and has_non_counter:
+            raise InvalidRequest("Cannot include non-counter statement in a counter batch")
+        if has_counter and has_non_counter:
+            raise InvalidRequest("Counter and non-counter mutations cannot exist in the same batch")
+        if kind == "logged" and has_counter:
+            raise InvalidRequest("Cannot include a counter statement in a logged batch")
 
     def _validate_elem_ops(self, elem_ops: list) -> None:
         """Reference rejection rules for textual collection mutations

@@ -385,3 +385,194 @@ class TestCollectionMutationRejections:
         bad = df.select(list_set_index("l", 5, "X", strict=True).alias("out"))
         with pytest.raises(Exception, match="out of bound"):
             bad.collect()
+
+
+COUNTER_META = TableMeta(
+    "cnt",
+    T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("m", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ]
+    ),
+    partition_key=("k",),
+)
+
+
+class TestReferenceWriteLimits:
+    """Ports of the reference's write-validation rejection rules:
+    Attributes.java:126-134 (TTL bounds), ModificationStatement.java:114,
+    261-263 (conditional/counter timestamp+TTL), Operation.java:169,309
+    (counter setters), UpdateStatement.java:145 (INSERT on counter table),
+    BatchStatement.java:170-216 (batch kind/timestamp matrix),
+    CreateTableStatement.java:229 (mixed counter tables)."""
+
+    @pytest.fixture()
+    def csess(self, spark):
+        from cassandra_pmem_spark.cql.writes import CollectionInfo
+
+        info = CollectionInfo(kinds={}, frozen=frozenset(), counters=frozenset({"n", "m"}))
+        return CqlWriteSession(spark, COUNTER_META, collection_info=info)
+
+    # -- TTL bounds (Attributes.java, TTLTest.java) -------------------------
+
+    def test_negative_ttl_rejected(self, sess):
+        with pytest.raises(InvalidRequest, match="greater or equal to 0"):
+            sess.execute("INSERT INTO kv (k, c, a) VALUES (1, 1, 'x') USING TTL -5")
+
+    def test_ttl_above_20_years_rejected(self, sess):
+        with pytest.raises(InvalidRequest, match="ttl is too large"):
+            sess.execute("INSERT INTO kv (k, c, a) VALUES (1, 1, 'x') USING TTL 630720001")
+
+    def test_ttl_at_cap_accepted(self, sess):
+        sess.execute("INSERT INTO kv (k, c, a) VALUES (1, 1, 'x') USING TTL 630720000")
+        assert sess._mutations[-1].ttl == 630720000
+
+    def test_ttl_zero_means_no_expiry(self, sess):
+        sess.execute("INSERT INTO kv (k, c, a) VALUES (1, 1, 'x') USING TIMESTAMP 10 AND TTL 0")
+        assert sess._mutations[-1].ttl is None
+        assert rows(sess.table(now=10**9), "a") == [("x",)]
+
+    def test_delete_cannot_carry_ttl(self, sess):
+        with pytest.raises(InvalidRequest, match="TTL for DELETE"):
+            sess.execute("DELETE FROM kv USING TTL 5 WHERE k = 1 AND c = 1")
+
+    # -- LWT x timestamp (ModificationStatement.java:261) -------------------
+
+    def test_conditional_insert_rejects_custom_timestamp(self, sess):
+        with pytest.raises(InvalidRequest, match="custom timestamp for conditional"):
+            sess.execute(
+                "INSERT INTO kv (k, c, a) VALUES (1, 1, 'x') IF NOT EXISTS USING TIMESTAMP 5"
+            )
+
+    def test_conditional_update_rejects_custom_timestamp(self, sess):
+        with pytest.raises(InvalidRequest, match="custom timestamp for conditional"):
+            sess.execute("UPDATE kv USING TIMESTAMP 5 SET a = 'x' WHERE k = 1 AND c = 1 IF EXISTS")
+
+    # -- counter tables (Operation.java, UpdateStatement.java:145) ----------
+
+    def test_insert_on_counter_table_rejected(self, csess):
+        with pytest.raises(InvalidRequest, match="not allowed on counter tables"):
+            csess.execute("INSERT INTO cnt (k, n) VALUES (1, 5)")
+
+    def test_counter_column_cannot_be_set(self, csess):
+        with pytest.raises(InvalidRequest, match="Cannot set the value of counter column"):
+            csess.execute("UPDATE cnt SET n = 5 WHERE k = 1")
+
+    def test_delta_on_non_counter_column_rejected(self, csess):
+        with pytest.raises(InvalidRequest, match="non counter column"):
+            csess.execute("UPDATE cnt SET v = v + 1 WHERE k = 1")
+
+    def test_counter_update_rejects_condition(self, csess):
+        with pytest.raises(InvalidRequest, match="not supported on counter tables"):
+            csess.execute("UPDATE cnt SET n = n + 1 WHERE k = 1 IF EXISTS")
+
+    def test_counter_update_rejects_custom_timestamp(self, csess):
+        with pytest.raises(InvalidRequest, match="custom timestamp for counter"):
+            csess.execute("UPDATE cnt USING TIMESTAMP 5 SET n = n + 1 WHERE k = 1")
+
+    def test_counter_update_rejects_ttl(self, csess):
+        with pytest.raises(InvalidRequest, match="TTL for counter"):
+            csess.execute("UPDATE cnt USING TTL 5 SET n = n + 1 WHERE k = 1")
+
+    def test_counter_table_happy_path_folds(self, csess):
+        csess.execute("UPDATE cnt SET n = n + 5, m = m + 1 WHERE k = 1")
+        csess.execute("UPDATE cnt SET n = n - 2 WHERE k = 1")
+        assert rows(csess.table(), "k", "n", "m") == [(1, 3, 1)]
+
+    # -- BATCH kind/timestamp matrix (BatchStatement.java:170-216) ----------
+
+    def test_logged_batch_rejects_counter_statement(self, sess):
+        with pytest.raises(InvalidRequest, match="counter statement in a logged batch"):
+            sess.execute(
+                "BEGIN BATCH UPDATE kv SET n = n + 1 WHERE k = 1 AND c = 1; APPLY BATCH"
+            )
+
+    def test_counter_batch_rejects_non_counter_statement(self, sess):
+        with pytest.raises(InvalidRequest, match="non-counter statement in a counter batch"):
+            sess.execute(
+                "BEGIN COUNTER BATCH INSERT INTO kv (k, c, a) VALUES (1, 1, 'x'); APPLY BATCH"
+            )
+
+    def test_counter_batch_happy_path(self, sess):
+        sess.execute(
+            "BEGIN COUNTER BATCH "
+            "UPDATE kv SET n = n + 5 WHERE k = 1 AND c = 1; "
+            "UPDATE kv SET n = n + 3 WHERE k = 1 AND c = 1; "
+            "APPLY BATCH"
+        )
+        assert rows(sess.table(), "k", "n") == [(1, 8)]
+
+    def test_mixed_counter_and_plain_rejected_even_unlogged(self, sess):
+        with pytest.raises(InvalidRequest, match="cannot exist in the same batch"):
+            sess.execute(
+                "BEGIN UNLOGGED BATCH "
+                "UPDATE kv SET n = n + 1 WHERE k = 1 AND c = 1; "
+                "INSERT INTO kv (k, c, a) VALUES (2, 2, 'x'); "
+                "APPLY BATCH"
+            )
+
+    def test_batch_timestamp_conflicts_with_inner_timestamp(self, sess):
+        with pytest.raises(InvalidRequest, match="either on BATCH or individual"):
+            sess.execute(
+                "BEGIN BATCH USING TIMESTAMP 9 "
+                "INSERT INTO kv (k, c, a) VALUES (1, 1, 'x') USING TIMESTAMP 5; "
+                "APPLY BATCH"
+            )
+
+    def test_batch_timestamp_conflicts_with_conditions(self, sess):
+        with pytest.raises(InvalidRequest, match="conditional BATCH"):
+            sess.execute(
+                "BEGIN BATCH USING TIMESTAMP 9 "
+                "INSERT INTO kv (k, c, a) VALUES (1, 1, 'x') IF NOT EXISTS; "
+                "APPLY BATCH"
+            )
+
+    def test_batch_global_ttl_rejected(self, sess):
+        with pytest.raises(InvalidRequest, match="Global TTL"):
+            sess.execute(
+                "BEGIN BATCH USING TTL 5 "
+                "INSERT INTO kv (k, c, a) VALUES (1, 1, 'x'); "
+                "APPLY BATCH"
+            )
+
+    def test_truncate_not_allowed_in_batch(self, sess):
+        with pytest.raises(InvalidRequest, match="allowed in BATCH"):
+            sess.execute("BEGIN BATCH TRUNCATE kv; APPLY BATCH")
+
+    def test_rejected_batch_applies_nothing(self, sess):
+        # validation is a dry pass BEFORE any inner statement mutates state
+        with pytest.raises(InvalidRequest):
+            sess.execute(
+                "BEGIN BATCH "
+                "INSERT INTO kv (k, c, a) VALUES (1, 1, 'x'); "
+                "UPDATE kv SET n = n + 1 WHERE k = 1 AND c = 1; "
+                "APPLY BATCH"
+            )
+        assert sess._mutations == []
+
+    # -- counter DDL (CreateTableStatement.java:229) ------------------------
+
+    def test_ddl_rejects_mixed_counter_table(self):
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+        s = CqlDatabase(None)
+        with pytest.raises(InvalidRequest, match="Cannot mix counter"):
+            s.execute("CREATE TABLE bad (k bigint PRIMARY KEY, n counter, v text)")
+
+    def test_ddl_rejects_counter_primary_key(self):
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+        s = CqlDatabase(None)
+        with pytest.raises(InvalidRequest, match="PRIMARY KEY"):
+            s.execute("CREATE TABLE bad (k counter PRIMARY KEY, n counter)")
+
+    def test_ddl_counter_table_routes_to_enforcing_session(self):
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+        s = CqlDatabase(None)
+        s.execute("CREATE TABLE good (k bigint PRIMARY KEY, n counter)")
+        with pytest.raises(InvalidRequest, match="not allowed on counter tables"):
+            s.execute("INSERT INTO good (k, n) VALUES (1, 5)")
