@@ -387,9 +387,25 @@ class _DdlParser(_Parser):
         fields = list(meta.schema.fields)
         if self.accept_kw("add"):
             col = self.ident()
-            typ = self.cql_type()
+            typ, kind, frozen, is_counter = self.column_type()
             if col in {f.name for f in fields}:
                 raise InvalidRequest(f"column {col!r} already exists")
+            # counter purity holds under ALTER too (AlterTableStatement:
+            # a table is either all-counter or no-counter outside its keys)
+            table_counters = self.registry.counter_columns.get(name, frozenset())
+            if is_counter != bool(table_counters):
+                raise InvalidRequest(
+                    "Cannot mix counter and non counter columns in the same table"
+                )
+            # record the Spark-erased facts for the new column
+            if kind is not None:
+                self.registry.collection_kinds.setdefault(name, {})[col] = kind
+            if frozen:
+                self.registry.frozen_columns[name] = (
+                    self.registry.frozen_columns.get(name, frozenset()) | {col}
+                )
+            if is_counter:
+                self.registry.counter_columns[name] = table_counters | {col}
             fields.append(T.StructField(col, typ))
         elif self.accept_kw("drop"):
             col = self.ident()
@@ -397,6 +413,13 @@ class _DdlParser(_Parser):
                 raise InvalidRequest(f"cannot drop PRIMARY KEY column {col!r}")
             if col not in {f.name for f in fields}:
                 raise InvalidRequest(f"unknown column {col!r}")
+            self.registry.collection_kinds.get(name, {}).pop(col, None)
+            self.registry.frozen_columns[name] = (
+                self.registry.frozen_columns.get(name, frozenset()) - {col}
+            )
+            self.registry.counter_columns[name] = (
+                self.registry.counter_columns.get(name, frozenset()) - {col}
+            )
             fields = [f for f in fields if f.name != col]
         elif self.accept_kw("rename"):
             old = self.ident()

@@ -576,3 +576,28 @@ class TestReferenceWriteLimits:
         s.execute("CREATE TABLE good (k bigint PRIMARY KEY, n counter)")
         with pytest.raises(InvalidRequest, match="not allowed on counter tables"):
             s.execute("INSERT INTO good (k, n) VALUES (1, 5)")
+
+    def test_alter_add_counter_to_regular_table_rejected(self):
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+        s = CqlDatabase(None)
+        s.execute("CREATE TABLE reg (k bigint PRIMARY KEY, v text)")
+        with pytest.raises(InvalidRequest, match="Cannot mix counter"):
+            s.execute("ALTER TABLE reg ADD n counter")
+
+    def test_alter_add_regular_to_counter_table_rejected(self):
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+        s = CqlDatabase(None)
+        s.execute("CREATE TABLE ctr (k bigint PRIMARY KEY, n counter)")
+        with pytest.raises(InvalidRequest, match="Cannot mix counter"):
+            s.execute("ALTER TABLE ctr ADD v text")
+
+    def test_alter_add_counter_to_counter_table_enforced(self):
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+        s = CqlDatabase(None)
+        s.execute("CREATE TABLE ctr2 (k bigint PRIMARY KEY, n counter)")
+        s.execute("ALTER TABLE ctr2 ADD m counter")
+        with pytest.raises(InvalidRequest, match="Cannot set the value of counter column"):
+            s.execute("UPDATE ctr2 SET m = 5 WHERE k = 1")
