@@ -430,6 +430,12 @@ def _compile(t: CqlTable, st: SelectStatement) -> DataFrame:
             path = ".".join(s.args)
             projection.append(F.col(path).alias(s.alias or path))
         elif s.kind in ("writetime", "ttl"):
+            if s.args[0] in meta.primary_key:
+                # SelectTest.java: writetime/ttl are cell-level facts; key
+                # columns have no cells of their own
+                raise InvalidRequest(
+                    f"Cannot use selection function {s.kind} on PRIMARY KEY part {s.args[0]}"
+                )
             shadow = f"_{s.kind}_{s.args[0]}"
             projection.append(F.col(shadow).alias(s.alias or f"{s.kind}({s.args[0]})"))
         elif s.kind == "token":

@@ -217,3 +217,40 @@ class TestExecute:
         data = rows(got)
         assert all((a, b) > (100, 2) and (a, b) <= (120, 1) for a, b in data)
         assert len(data) > 0
+
+    def test_writetime_on_primary_key_rejected(self, spark):
+        # SelectTest.java: "Cannot use selection function writeTime on
+        # PRIMARY KEY part" — key columns have no cells
+        with pytest.raises(InvalidRequest, match="PRIMARY KEY part"):
+            execute_cql(
+                spark,
+                "SELECT writetime(o_orderkey) FROM orders WHERE o_custkey = 1",
+                SF_SMALL,
+            )
+
+    def test_ttl_on_primary_key_rejected(self, spark):
+        with pytest.raises(InvalidRequest, match="PRIMARY KEY part"):
+            execute_cql(
+                spark,
+                "SELECT ttl(o_orderdate) FROM orders WHERE o_custkey = 1",
+                SF_SMALL,
+            )
+
+    def test_in_with_duplicate_values_returns_each_row_once(self, spark):
+        # a partition named twice in IN is read once (single partition
+        # read per key — SelectTest IN semantics)
+        once = rows(
+            execute_cql(
+                spark,
+                "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN (5, 7)",
+                SF_SMALL,
+            )
+        )
+        doubled = rows(
+            execute_cql(
+                spark,
+                "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN (5, 5, 7, 7)",
+                SF_SMALL,
+            )
+        )
+        assert once == doubled and len(once) == 2
