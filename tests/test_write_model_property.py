@@ -116,3 +116,132 @@ class TestWriteModelProperty:
             key=str,
         )
         assert got == model.visible(), f"ops={ops}"
+
+
+@st.composite
+def op_ext(draw):
+    kind = draw(
+        st.sampled_from(
+            [
+                "insert", "update_a", "del_row", "del_col_a",
+                "insert_ttl", "range_del", "batch_ins_del", "batch_del_ins",
+            ]
+        )
+    )
+    key = draw(st.sampled_from(_KEYS))
+    val = draw(st.sampled_from(_VALS))
+    ttl = draw(st.sampled_from([5, 50]))
+    return kind, key, val, ttl
+
+
+class ModelTtl:
+    """Extended model: per-cell (value, writetime, expiry); a cell is
+    visible at `now` iff it isn't shadowed by a tombstone and
+    (expiry is None or expiry > now) — LivenessInfo semantics."""
+
+    def __init__(self):
+        self.cells: dict = {}
+
+    def write(self, key, cols: dict, wt: int, ttl: int | None = None):
+        d = self.cells.setdefault(key, {})
+        exp = wt + ttl if ttl is not None else None
+        for col, val in cols.items():
+            if col not in d or d[col][1] < wt:
+                d[col] = (val, wt, exp)
+
+    def delete_cells(self, key, cols, wt: int):
+        d = self.cells.get(key, {})
+        for col in list(cols):
+            if col in d and d[col][1] <= wt:
+                del d[col]
+
+    def delete_range(self, k: int, c_lo: int, wt: int):
+        for (kk, cc) in list(self.cells):
+            if kk == k and cc >= c_lo:
+                self.delete_cells((kk, cc), ["a", "b"], wt)
+
+    def visible(self, now: int):
+        out = []
+        for (k, c), d in self.cells.items():
+            live = {
+                col: v
+                for col, (v, _wt, exp) in d.items()
+                if exp is None or exp > now
+            }
+            if live:
+                out.append((k, c, live.get("a"), live.get("b")))
+        return sorted(out, key=str)
+
+
+class TestWriteModelPropertyTtlBatch:
+    """Sweeps TTL expiry, clustering-range tombstones, and shared-timestamp
+    batches (insert-then-delete and delete-then-insert both resolve to the
+    tombstone at an equal timestamp) against the extended model."""
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(ops=st.lists(op_ext(), min_size=1, max_size=8))
+    def test_session_matches_model_with_ttl_and_batches(self, spark, ops):
+        sess = CqlWriteSession(spark, META)
+        model = ModelTtl()
+        for wt, (kind, (k, c), val, ttl) in enumerate(ops, start=1):
+            if kind == "insert":
+                sess.execute(
+                    f"INSERT INTO kv (k, c, a, b) VALUES ({k}, {c}, '{val}', 'b{val}') "
+                    f"USING TIMESTAMP {wt}"
+                )
+                model.write((k, c), {"a": val, "b": f"b{val}"}, wt)
+            elif kind == "update_a":
+                sess.execute(
+                    f"UPDATE kv USING TIMESTAMP {wt} SET a = '{val}' WHERE k = {k} AND c = {c}"
+                )
+                model.write((k, c), {"a": val}, wt)
+            elif kind == "del_row":
+                sess.execute(f"DELETE FROM kv USING TIMESTAMP {wt} WHERE k = {k} AND c = {c}")
+                model.delete_cells((k, c), ["a", "b"], wt)
+            elif kind == "del_col_a":
+                sess.execute(f"DELETE a FROM kv USING TIMESTAMP {wt} WHERE k = {k} AND c = {c}")
+                model.delete_cells((k, c), ["a"], wt)
+            elif kind == "insert_ttl":
+                sess.execute(
+                    f"INSERT INTO kv (k, c, a) VALUES ({k}, {c}, '{val}') "
+                    f"USING TIMESTAMP {wt} AND TTL {ttl}"
+                )
+                model.write((k, c), {"a": val}, wt, ttl=ttl)
+            elif kind == "range_del":
+                sess.execute(
+                    f"DELETE FROM kv USING TIMESTAMP {wt} WHERE k = {k} AND c >= {c}"
+                )
+                model.delete_range(k, c, wt)
+            elif kind == "batch_ins_del":
+                sess.execute(
+                    f"BEGIN UNLOGGED BATCH USING TIMESTAMP {wt} "
+                    f"INSERT INTO kv (k, c, a) VALUES ({k}, {c}, '{val}'); "
+                    f"DELETE FROM kv WHERE k = {k} AND c = {c}; "
+                    "APPLY BATCH"
+                )
+                model.write((k, c), {"a": val}, wt)
+                model.delete_cells((k, c), ["a", "b"], wt)
+            elif kind == "batch_del_ins":
+                sess.execute(
+                    f"BEGIN UNLOGGED BATCH USING TIMESTAMP {wt} "
+                    f"DELETE FROM kv WHERE k = {k} AND c = {c}; "
+                    f"INSERT INTO kv (k, c, a) VALUES ({k}, {c}, '{val}'); "
+                    "APPLY BATCH"
+                )
+                model.write((k, c), {"a": val}, wt)
+                model.delete_cells((k, c), ["a", "b"], wt)
+
+        for now in (3, 8, 60, 10_000):
+            got = sorted(
+                (
+                    tuple(r)
+                    for r in sess.table(now=now).select("k", "c", "a", "b").collect()
+                ),
+                key=str,
+            )
+            assert got == model.visible(now), f"now={now} ops={ops}"
