@@ -98,7 +98,7 @@ def _tokenize(s: str) -> list[_Tok]:
 
 @dataclass
 class Selector:
-    kind: str          # star | col | agg | writetime | ttl | token | cast
+    kind: str          # star | col | agg | writetime | ttl | token | cast | term | field
     args: list[str] = field(default_factory=list)
     alias: str | None = None
     fn: str | None = None
@@ -196,6 +196,18 @@ class _Parser:
         if self.accept_punct("*"):
             return Selector("star")
         t = self.next()
+        if t.kind in ("number", "string"):
+            # constant in selection clause (CASSANDRA-9243;
+            # cql3/selection/Selectable.WithTerm) — named by its literal
+            # text like the reference names constant columns
+            if t.kind == "number":
+                val = float(t.text) if "." in t.text else int(t.text)
+            else:
+                val = t.text[1:-1].replace("''", "'")
+            sel = Selector("term", [val], alias=t.text if t.kind == "number" else val)
+            if self.accept_kw("as"):
+                sel.alias = self.ident()
+            return sel
         if t.kind != "ident":
             raise InvalidRequest(f"bad selector near {t.text!r}")
         name = t.text
@@ -429,6 +441,8 @@ def _compile(t: CqlTable, st: SelectStatement) -> DataFrame:
         elif s.kind == "field":
             path = ".".join(s.args)
             projection.append(F.col(path).alias(s.alias or path))
+        elif s.kind == "term":
+            projection.append(F.lit(s.args[0]).alias(s.alias))
         elif s.kind in ("writetime", "ttl"):
             if s.args[0] in meta.primary_key:
                 # SelectTest.java: writetime/ttl are cell-level facts; key

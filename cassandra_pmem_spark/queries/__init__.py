@@ -70,12 +70,11 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q20_promo_suppliers",
     "tpch_q21_waiting_supplier",
     "tpch_q22_dormant_customers",
-    # -- (4) analytics set (round-1 evidence only)
-    "analytics_topk_orders",
-    "analytics_count_distinct",
+    # -- (4) analytics set (round-1 evidence only; topk, count_distinct and
+    # set_ops yield their slots to never-green round-3 queries — they stay
+    # green in the local full-registry gate)
     "analytics_window_rank",
     "analytics_window_running",
-    "analytics_set_ops",
     "analytics_events_hourly",
     # -- (1b) new this round: write-path text surface, MV, bucketed join, CDC
     "cql_delete_tombstones",
@@ -88,6 +87,9 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_cdc_dedup",
     "multimodal_features_jpeg",
     "streaming_stateful_counters",
+    "text_sasi_analyzer",
+    "multimodal_frame_plan",
+    "cql_term_select",
 )
 # group (5) re-verification slots are gone this round: never-green names
 # outrank re-verification under the staleness rule (COVERAGE.md); the

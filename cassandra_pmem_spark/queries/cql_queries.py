@@ -324,6 +324,20 @@ def cql_parsed_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cql_term_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-literal terms in the selection clause (CASSANDRA-9243;
+    cql3/selection/Selectable.WithTerm): int, float, and string constants
+    projected alongside columns through the CQL text path."""
+    from cassandra_pmem_spark.cql.parser import execute_cql
+
+    return execute_cql(
+        spark,
+        "SELECT o_orderkey, 42 AS answer, 2.5 AS ratio, 'tagged' AS tag "
+        "FROM orders WHERE o_custkey = 7",
+        sf_dir,
+    )
+
+
 def cql_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fromjson(s) typed parsing (FromJsonFct.java:79; Json.parseJson:281):
     events.props JSON text → typed struct, filtered on the parsed field."""
@@ -517,6 +531,11 @@ QUERIES = {
     "cql_parsed_select": (
         cql_parsed_select,
         "SELECT o_orderkey, o_orderdate, o_totalprice FROM orders WHERE o_custkey = 42",
+    ),
+    "cql_term_select": (
+        cql_term_select,
+        "SELECT o_orderkey, 42 AS answer, 2.5 AS ratio, 'tagged' AS tag "
+        "FROM orders WHERE o_custkey = 7",
     ),
     "cql_from_json": (
         cql_from_json,

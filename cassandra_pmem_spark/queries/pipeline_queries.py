@@ -232,6 +232,68 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", md5_fingerprint("text").alias("fp"))
 
 
+def text_sasi_analyzer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SASI analyzer chain, oracle-verified (index/sasi/analyzer/
+    StandardAnalyzer.java, NonTokenizingAnalyzer.java): lowercase +
+    non-letter/digit tokenization + stopword drop, the CONTAINS-mode term
+    match over the analyzed stream, and the non-tokenizing case-fold/trim
+    mode — DuckDB mirrors the whole chain with regexp_split + list_filter
+    on the same unicode classes. Scalar projections only (first term,
+    term count, match flag) so the driver canonicalizer sorts cleanly."""
+    from cassandra_pmem_spark.pipeline.text import (
+        non_tokenizing_analyzer,
+        standard_analyzer,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    terms = standard_analyzer("text")
+    return docs.select(
+        "doc_id",
+        F.size(terms).alias("n_terms"),
+        F.element_at(terms, 1).alias("first_term"),
+        non_tokenizing_analyzer("source").alias("norm_source"),
+        F.array_contains(terms, "data").alias("has_data"),
+    )
+
+
+_SASI_STOPS = "['the','and','of','to','a','in','is','that','it','for']"
+_SASI_ORACLE = f"""
+WITH a AS (
+  SELECT doc_id,
+    list_filter(
+      regexp_split_to_array(lower(trim(text)), '[^\\p{{L}}\\p{{N}}]+'),
+      t -> t <> '' AND NOT list_contains({_SASI_STOPS}, t)) AS terms,
+    trim(lower(source)) AS norm_source
+  FROM documents
+)
+SELECT doc_id, len(terms) AS n_terms, terms[1] AS first_term, norm_source,
+       list_contains(terms, 'data') AS has_data
+FROM a
+"""
+
+
+def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan, oracle-verified (multimodal.py
+    frame_sample_plan): each media item expands to (item_id, frame_ts_ms)
+    rows from METADATA only — the explode runs JVM-side and the expensive
+    decode stage would see exactly the sampled frames. duration_ms is the
+    payload byte length here, so DuckDB regenerates the same series."""
+    from cassandra_pmem_spark.pipeline.multimodal import frame_sample_plan
+
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "blob", F.col("text").cast("binary")
+    )
+    media = attach_media(docs, "blob", "video", "video/x-fake", "doc_id")
+    return frame_sample_plan(media, every_ms=500)
+
+
+_FRAME_PLAN_ORACLE = """
+SELECT doc_id AS item_id,
+       unnest(range(0, octet_length(encode(text)) + 1, 500)) AS frame_ts_ms
+FROM documents
+"""
+
+
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media (data, meta) layout over utf8 bytes of documents.text —
     metadata predicates never touch the binary column."""
@@ -732,4 +794,6 @@ QUERIES = {
         multimodal_features_jpeg,
         _multimodal_features_jpeg_oracle(),
     ),
+    "text_sasi_analyzer": (text_sasi_analyzer, _SASI_ORACLE),
+    "multimodal_frame_plan": (multimodal_frame_plan, _FRAME_PLAN_ORACLE),
 }
