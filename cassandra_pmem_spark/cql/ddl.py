@@ -581,6 +581,7 @@ class CqlDatabase:
         self.strict = strict
         self.registry = SchemaRegistry()
         self._sessions: dict[str, Any] = {}
+        self.current_keyspace: str | None = None
 
     def _session(self, table: str):
         from cassandra_pmem_spark.cql.writes import CollectionInfo, CqlWriteSession
@@ -637,8 +638,27 @@ class CqlDatabase:
 
     def execute(self, cql: str, params: list[Any] | None = None) -> DataFrame | bool | None:
         head = cql.strip().split(None, 1)[0].lower()
+        if head == "use":
+            # USE <keyspace> (cql3/statements/UseStatement.java;
+            # UseTest.java): later unqualified CREATE TABLEs are scoped to
+            # it, so DROP KEYSPACE cascades to them
+            toks = _tokenize(cql)
+            if len(toks) != 3 or toks[1].kind != "ident":
+                raise InvalidRequest("USE takes exactly one keyspace name")
+            ks = toks[1].text
+            if ks not in self.registry.keyspaces:
+                raise InvalidRequest(f"unknown keyspace {ks!r}")
+            self.current_keyspace = ks
+            return None
         if head in self._DDL_HEADS:
+            before = set(self.registry.tables)
             self.registry.execute(cql)
+            # an unqualified CREATE TABLE issued AFTER a USE lands in the
+            # USE'd keyspace; pre-USE tables keep their (lack of) scope
+            if self.current_keyspace is not None:
+                for t in set(self.registry.tables) - before:
+                    if self.registry.table_keyspace.get(t) is None:
+                        self.registry.table_keyspace[t] = self.current_keyspace
             # sync live write sessions with the new schema: ADD/DROP swap
             # the meta in place (buffered mutations carry over — absent
             # columns read as null, dropped cells are ignored at merge);

@@ -226,3 +226,36 @@ class TestQualifiedDmlAndCascade:
         assert db.registry.table("rt").primary_key == ("k",)
         out = db.execute("SELECT k, v FROM rt WHERE k = 1")
         assert [tuple(r) for r in out.collect()] == [(1, "x")]
+
+
+class TestUseKeyspace:
+    """USE statement (cql3/statements/UseStatement.java; UseTest.java)."""
+
+    def test_use_unknown_keyspace_rejected(self, spark):
+        db = CqlDatabase(spark)
+        with pytest.raises(InvalidRequest, match="unknown keyspace"):
+            db.execute("USE nope")
+
+    def test_use_scopes_unqualified_creates_for_cascade(self, spark):
+        db = CqlDatabase(spark)
+        db.execute("CREATE KEYSPACE ksu WITH REPLICATION = {'class': 'SimpleStrategy'}")
+        db.execute("USE ksu")
+        db.execute("CREATE TABLE scoped (k bigint PRIMARY KEY, v text)")
+        assert db.registry.table_keyspace["scoped"] == "ksu"
+        db.execute("DROP KEYSPACE ksu")
+        assert "scoped" not in db.registry.tables
+
+    def test_use_bad_arity_rejected(self, spark):
+        db = CqlDatabase(spark)
+        with pytest.raises(InvalidRequest, match="exactly one"):
+            db.execute("USE a b")
+
+    def test_pre_use_tables_stay_unscoped(self, spark):
+        db = CqlDatabase(spark)
+        db.execute("CREATE TABLE before_use (k bigint PRIMARY KEY)")
+        db.execute("CREATE KEYSPACE ksv WITH REPLICATION = {'class': 'SimpleStrategy'}")
+        db.execute("USE ksv")
+        db.execute("CREATE TABLE after_use (k bigint PRIMARY KEY)")
+        db.execute("DROP KEYSPACE ksv")
+        assert "before_use" in db.registry.tables
+        assert "after_use" not in db.registry.tables
