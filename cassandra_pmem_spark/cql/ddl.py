@@ -582,6 +582,10 @@ class CqlDatabase:
         self.registry = SchemaRegistry()
         self._sessions: dict[str, Any] = {}
         self.current_keyspace: str | None = None
+        # ONE coordinator timeline shared by every table session: a write
+        # to table A always outranks an earlier write to table B, and a
+        # multi-table BATCH stamps one timestamp across sessions
+        self._write_clock: list[int] = [0]
 
     def _session(self, table: str):
         from cassandra_pmem_spark.cql.writes import CollectionInfo, CqlWriteSession
@@ -593,7 +597,10 @@ class CqlDatabase:
                 counters=self.registry.counter_columns.get(table, frozenset()),
             )
             self._sessions[table] = CqlWriteSession(
-                self.spark, self.registry.table(table), collection_info=info
+                self.spark,
+                self.registry.table(table),
+                collection_info=info,
+                clock=self._write_clock,
             )
         return self._sessions[table]
 
@@ -685,9 +692,9 @@ class CqlDatabase:
                         )
                     sess.meta = new_meta
             return None
+        if head == "begin":
+            return self._execute_batch(cql, params or [])
         if head in self._DML_HEADS:
-            # a BATCH routes to the session of its first DML target —
-            # multi-table batches are out of scope for the text surface
             return self._session(self._dml_table(cql)).execute(cql, params)
         if head == "select":
             from cassandra_pmem_spark.cql.parser import _compile, parse_select
@@ -698,3 +705,58 @@ class CqlDatabase:
             meta = self.registry.table(table)
             return _compile(CqlTable(self._session(table).table(), meta, self.strict), st)
         raise InvalidRequest(f"unsupported statement {head!r}")
+
+    def _execute_batch(self, cql: str, params: list[Any]) -> bool:
+        """BATCH across table sessions. A single-table batch delegates to
+        that table's session (which owns counter/timestamp semantics); a
+        multi-table batch validates the whole BatchStatement matrix —
+        including the cross-table condition rule (BatchStatement.java:234)
+        — as a dry pass, then applies every inner statement with ONE
+        shared coordinator timestamp from the database clock."""
+        import re as _re2
+
+        from cassandra_pmem_spark.cql.writes import (
+            _APPLY_RE,
+            _BATCH_OPEN_RE,
+            _split_statements,
+            validate_batch_pieces,
+        )
+
+        m = _BATCH_OPEN_RE.match(cql)
+        if not m:
+            raise InvalidRequest("malformed BATCH: expected BEGIN [UNLOGGED|COUNTER] BATCH")
+        pieces = _split_statements(cql[m.end():])
+        first = pieces[0]
+        if _re2.match(r"\s*using\s+ttl\b", first, _re2.I) or _re2.match(
+            r"\s*using\s+timestamp\s+(?:\?|-?\d+)\s+and\s+ttl\b", first, _re2.I
+        ):
+            raise InvalidRequest("Global TTL on the BATCH statement is not supported.")
+        cursor = [0]
+        batch_ts: int | None = None
+        mu = _re2.match(r"\s*using\s+timestamp\s+(\?|-?\d+)\s*", first, _re2.I)
+        if mu:
+            tok = mu.group(1)
+            if tok == "?":
+                batch_ts = int(params[cursor[0]])
+                cursor[0] += 1
+            else:
+                batch_ts = int(tok)
+            pieces[0] = first[mu.end():]
+        if not _APPLY_RE.match(pieces[-1]):
+            raise InvalidRequest("BATCH must end with APPLY BATCH")
+        inner = [s.strip() for s in pieces[:-1] if s.strip()]
+        tables = [self._dml_table(s) for s in inner]
+        if len(set(tables)) <= 1:
+            target = tables[0] if tables else None
+            if target is None:
+                return True  # empty batch is a no-op
+            return self._session(target).execute(cql, params)
+        validate_batch_pieces(
+            m.group(1), batch_ts is not None, inner, params, cursor, multi_table=True
+        )
+        if batch_ts is None:
+            self._write_clock[0] += 1
+            batch_ts = self._write_clock[0]
+        for stmt, t in zip(inner, tables):
+            self._session(t)._execute(stmt, params, cursor, forced_ts=batch_ts)
+        return True

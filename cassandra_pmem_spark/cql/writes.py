@@ -374,6 +374,7 @@ class CqlWriteSession:
         meta: TableMeta,
         base: DataFrame | None = None,
         collection_info: CollectionInfo | None = None,
+        clock: list[int] | None = None,
     ):
         self.spark = spark
         self.meta = meta
@@ -382,7 +383,11 @@ class CqlWriteSession:
         self._row_tombs: list[RowTombstone] = []
         self._cell_tombs: list[CellTombstone] = []
         self._range_tombs: list[RangeTombstoneStmt] = []
-        self._clock = 0
+        # `clock` is a shared [counter] when a CqlDatabase coordinates
+        # several table sessions — one coordinator timeline means a write
+        # to table A always outranks an earlier write to table B, like the
+        # reference's single coordinator clock
+        self._clock_ref = clock if clock is not None else [0]
         self._base = base
 
     # -- statement entry (ModificationStatement.execute analog) ---------------
@@ -555,50 +560,7 @@ class CqlWriteSession:
     def _validate_batch(
         self, kind: str | None, has_batch_ts: bool, pieces: list, params: list, cursor: list
     ) -> None:
-        """BatchStatement.verifyBatchType/attrs validation
-        (BatchStatement.java:170-216), run as a DRY PARSE over the inner
-        statements BEFORE any of them mutates session state — a rejected
-        batch must apply nothing. The dry pass reads params through a
-        cloned cursor so the real pass binds identically."""
-        kind = (kind or "logged").lower()
-        dry = [cursor[0]]
-        has_counter = has_non_counter = any_cond = any_ts = False
-        for stmt in pieces:
-            stmt = stmt.strip()
-            if not stmt:
-                continue
-            head = stmt.split(None, 1)[0].lower()
-            if head not in ("insert", "update", "delete"):
-                raise InvalidRequest("Only INSERT, UPDATE and DELETE are allowed in BATCH")
-            p = _WriteParser(_tokenize(stmt))
-            if head == "insert":
-                _, _, using, cond = p.insert_statement(params, dry)
-                is_ctr = False
-            elif head == "update":
-                _, _, deltas, _, using, cond, _ = p.update_statement(params, dry)
-                is_ctr = bool(deltas)
-            else:
-                _, _, _, _, using, cond, _ = p.delete_statement(params, dry)
-                is_ctr = False
-            has_counter |= is_ctr
-            has_non_counter |= not is_ctr
-            any_cond |= cond is not None
-            any_ts |= "timestamp" in using
-        # reference raise order (BatchStatement.java:174-216)
-        if has_batch_ts and any_cond:
-            raise InvalidRequest("Cannot provide custom timestamp for conditional BATCH")
-        if has_batch_ts and kind == "counter":
-            raise InvalidRequest("Cannot provide custom timestamp for counter BATCH")
-        if has_batch_ts and any_ts:
-            raise InvalidRequest("Timestamp must be set either on BATCH or individual statements")
-        if has_batch_ts and has_counter:
-            raise InvalidRequest("Cannot provide custom timestamp for a BATCH containing counters")
-        if kind == "counter" and has_non_counter:
-            raise InvalidRequest("Cannot include non-counter statement in a counter batch")
-        if has_counter and has_non_counter:
-            raise InvalidRequest("Counter and non-counter mutations cannot exist in the same batch")
-        if kind == "logged" and has_counter:
-            raise InvalidRequest("Cannot include a counter statement in a logged batch")
+        validate_batch_pieces(kind, has_batch_ts, pieces, params, cursor)
 
     def _validate_elem_ops(self, elem_ops: list) -> None:
         """Reference rejection rules for textual collection mutations
@@ -686,8 +648,8 @@ class CqlWriteSession:
         return True
 
     def _tick(self) -> int:
-        self._clock += 1
-        return self._clock
+        self._clock_ref[0] += 1
+        return self._clock_ref[0]
 
     def _key_of(self, cells: dict) -> tuple:
         missing = [k for k in self.meta.primary_key if k not in cells]
@@ -836,3 +798,60 @@ class CqlWriteSession:
             merged = merged.filter(~(any_key_cond & all_null))
 
         return merged.select(*fields)
+
+
+def validate_batch_pieces(
+    kind: str | None,
+    has_batch_ts: bool,
+    pieces: list,
+    params: list,
+    cursor: list,
+    multi_table: bool = False,
+) -> None:
+    """BatchStatement.verifyBatchType/attrs validation
+    (BatchStatement.java:170-234), run as a DRY PARSE over the inner
+    statements BEFORE any of them mutates session state — a rejected
+    batch must apply nothing. The dry pass reads params through a cloned
+    cursor so the real pass binds identically. With multi_table=True the
+    cross-table condition rule (BatchStatement.java:234) also applies."""
+    kind = (kind or "logged").lower()
+    dry = [cursor[0]]
+    has_counter = has_non_counter = any_cond = any_ts = False
+    for stmt in pieces:
+        stmt = stmt.strip()
+        if not stmt:
+            continue
+        head = stmt.split(None, 1)[0].lower()
+        if head not in ("insert", "update", "delete"):
+            raise InvalidRequest("Only INSERT, UPDATE and DELETE are allowed in BATCH")
+        p = _WriteParser(_tokenize(stmt))
+        if head == "insert":
+            _, _, using, cond = p.insert_statement(params, dry)
+            is_ctr = False
+        elif head == "update":
+            _, _, deltas, _, using, cond, _ = p.update_statement(params, dry)
+            is_ctr = bool(deltas)
+        else:
+            _, _, _, _, using, cond, _ = p.delete_statement(params, dry)
+            is_ctr = False
+        has_counter |= is_ctr
+        has_non_counter |= not is_ctr
+        any_cond |= cond is not None
+        any_ts |= "timestamp" in using
+    # reference raise order (BatchStatement.java:174-234)
+    if has_batch_ts and any_cond:
+        raise InvalidRequest("Cannot provide custom timestamp for conditional BATCH")
+    if has_batch_ts and kind == "counter":
+        raise InvalidRequest("Cannot provide custom timestamp for counter BATCH")
+    if has_batch_ts and any_ts:
+        raise InvalidRequest("Timestamp must be set either on BATCH or individual statements")
+    if has_batch_ts and has_counter:
+        raise InvalidRequest("Cannot provide custom timestamp for a BATCH containing counters")
+    if kind == "counter" and has_non_counter:
+        raise InvalidRequest("Cannot include non-counter statement in a counter batch")
+    if has_counter and has_non_counter:
+        raise InvalidRequest("Counter and non-counter mutations cannot exist in the same batch")
+    if kind == "logged" and has_counter:
+        raise InvalidRequest("Cannot include a counter statement in a logged batch")
+    if multi_table and any_cond:
+        raise InvalidRequest("Batch with conditions cannot span multiple tables")

@@ -259,3 +259,102 @@ class TestUseKeyspace:
         db.execute("DROP KEYSPACE ksv")
         assert "before_use" in db.registry.tables
         assert "after_use" not in db.registry.tables
+
+
+class TestMultiTableBatch:
+    """Multi-table BATCH through CqlDatabase: one coordinator timestamp
+    across table sessions, the full BatchStatement validation matrix, and
+    the cross-table condition rule (BatchStatement.java:234)."""
+
+    def _db(self, spark):
+        db = CqlDatabase(spark)
+        db.execute("CREATE TABLE t1 (k bigint PRIMARY KEY, v text)")
+        db.execute("CREATE TABLE t2 (k bigint PRIMARY KEY, v text)")
+        return db
+
+    def test_multi_table_batch_applies_all(self, spark):
+        db = self._db(spark)
+        db.execute(
+            "BEGIN BATCH "
+            "INSERT INTO t1 (k, v) VALUES (1, 'a'); "
+            "INSERT INTO t2 (k, v) VALUES (2, 'b'); "
+            "UPDATE t1 SET v = 'a2' WHERE k = 3; "
+            "APPLY BATCH"
+        )
+        assert sorted(tuple(r) for r in db.execute("SELECT k, v FROM t1").collect()) == [
+            (1, "a"),
+            (3, "a2"),
+        ]
+        assert [tuple(r) for r in db.execute("SELECT k, v FROM t2").collect()] == [(2, "b")]
+
+    def test_shared_coordinator_clock_orders_across_tables(self, spark):
+        db = self._db(spark)
+        # batch at the shared tick; a LATER single-statement write to the
+        # other table ticks higher on the same clock and outranks it
+        db.execute(
+            "BEGIN BATCH "
+            "INSERT INTO t1 (k, v) VALUES (1, 'old'); "
+            "INSERT INTO t2 (k, v) VALUES (1, 'old'); "
+            "APPLY BATCH"
+        )
+        db.execute("INSERT INTO t1 (k, v) VALUES (1, 'new')")
+        db.execute(
+            "BEGIN BATCH "
+            "INSERT INTO t1 (k, v) VALUES (9, 'x'); "
+            "DELETE FROM t2 WHERE k = 1; "
+            "APPLY BATCH"
+        )
+        assert sorted(tuple(r) for r in db.execute("SELECT k, v FROM t1").collect()) == [
+            (1, "new"),
+            (9, "x"),
+        ]
+        assert db.execute("SELECT k, v FROM t2").collect() == []
+
+    def test_conditions_cannot_span_tables(self, spark):
+        db = self._db(spark)
+        with pytest.raises(InvalidRequest, match="cannot span multiple tables"):
+            db.execute(
+                "BEGIN BATCH "
+                "INSERT INTO t1 (k, v) VALUES (1, 'a') IF NOT EXISTS; "
+                "INSERT INTO t2 (k, v) VALUES (2, 'b'); "
+                "APPLY BATCH"
+            )
+
+    def test_rejected_multi_table_batch_applies_nothing(self, spark):
+        db = self._db(spark)
+        db.execute("CREATE TABLE tc (k bigint PRIMARY KEY, n counter)")
+        with pytest.raises(InvalidRequest, match="cannot exist in the same batch"):
+            db.execute(
+                "BEGIN BATCH "
+                "INSERT INTO t1 (k, v) VALUES (1, 'a'); "
+                "UPDATE tc SET n = n + 1 WHERE k = 1; "
+                "APPLY BATCH"
+            )
+        assert db.execute("SELECT k, v FROM t1").collect() == []
+        assert db.execute("SELECT k, n FROM tc").collect() == []
+
+    def test_multi_table_batch_with_explicit_timestamp(self, spark):
+        db = self._db(spark)
+        db.execute(
+            "BEGIN BATCH USING TIMESTAMP 100 "
+            "INSERT INTO t1 (k, v) VALUES (1, 'batch100'); "
+            "INSERT INTO t2 (k, v) VALUES (1, 'batch100'); "
+            "APPLY BATCH"
+        )
+        # an older explicit timestamp loses in BOTH tables
+        db.execute("INSERT INTO t1 (k, v) VALUES (1, 'older') USING TIMESTAMP 50")
+        db.execute("INSERT INTO t2 (k, v) VALUES (1, 'older') USING TIMESTAMP 50")
+        assert [r.v for r in db.execute("SELECT v FROM t1").collect()] == ["batch100"]
+        assert [r.v for r in db.execute("SELECT v FROM t2").collect()] == ["batch100"]
+
+    def test_bind_markers_span_tables(self, spark):
+        db = self._db(spark)
+        db.execute(
+            "BEGIN BATCH "
+            "INSERT INTO t1 (k, v) VALUES (?, ?); "
+            "INSERT INTO t2 (k, v) VALUES (?, ?); "
+            "APPLY BATCH",
+            params=[1, "one", 2, "two"],
+        )
+        assert [tuple(r) for r in db.execute("SELECT k, v FROM t1").collect()] == [(1, "one")]
+        assert [tuple(r) for r in db.execute("SELECT k, v FROM t2").collect()] == [(2, "two")]
