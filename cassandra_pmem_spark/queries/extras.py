@@ -241,11 +241,13 @@ def analytics_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def cql_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full DDL text path (Parser.g:209 createTableStatement;
-    CreateTableStatement.java): CREATE KEYSPACE + CREATE TABLE with
-    composite pk/clustering from CQL text, load the 25 nation rows through
-    one BATCH of bound INSERTs (shared `?` cursor), read back through the
-    parsed SELECT surface. The 25-row collect is bounded by the fixed
-    nation cardinality (TPC-H nation never scales with sf)."""
+    CreateTableStatement.java; UseStatement.java; BatchStatement.java):
+    CREATE KEYSPACE, USE it (so the unqualified CREATE TABLEs scope to it),
+    create TWO tables, load both — 25 nation + 5 region rows — through ONE
+    multi-table BATCH of bound INSERTs (one shared `?` cursor, one
+    coordinator timestamp across both table sessions), read back through
+    the parsed SELECT surface and join. Collects are bounded by the fixed
+    nation/region cardinalities (neither scales with sf)."""
     from cassandra_pmem_spark.cql.ddl import CqlDatabase
 
     db = CqlDatabase(spark)
@@ -253,22 +255,32 @@ def cql_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CREATE KEYSPACE ddl_ks WITH REPLICATION = "
         "{'class': 'SimpleStrategy', 'replication_factor': 1}"
     )
+    db.execute("USE ddl_ks")
     db.execute(
-        "CREATE TABLE ddl_ks.nation_ddl (n_regionkey int, n_nationkey int, "
+        "CREATE TABLE nation_ddl (n_regionkey int, n_nationkey int, "
         "n_name text, PRIMARY KEY (n_regionkey, n_nationkey)) "
         "WITH CLUSTERING ORDER BY (n_nationkey ASC)"
     )
-    rows = load_table(spark, "nation", sf_dir).collect()  # 25 rows, fixed
+    db.execute("CREATE TABLE region_ddl (r_regionkey int PRIMARY KEY, r_name text)")
+    assert db.registry.table_keyspace["nation_ddl"] == "ddl_ks"  # USE scoped it
+    nrows = load_table(spark, "nation", sf_dir).collect()  # 25 rows, fixed
+    rrows = load_table(spark, "region", sf_dir).collect()  # 5 rows, fixed
     stmts = "; ".join(
-        "INSERT INTO nation_ddl (n_regionkey, n_nationkey, n_name) VALUES (?, ?, ?)"
-        for _ in rows
+        ["INSERT INTO nation_ddl (n_regionkey, n_nationkey, n_name) VALUES (?, ?, ?)"] * len(nrows)
+        + ["INSERT INTO region_ddl (r_regionkey, r_name) VALUES (?, ?)"] * len(rrows)
     )
     params: list = []
-    for r in rows:
+    for r in nrows:
         params += [r.n_regionkey, r.n_nationkey, r.n_name]
+    for r in rrows:
+        params += [r.r_regionkey, r.r_name]
     db.execute(f"BEGIN BATCH {stmts}; APPLY BATCH", params)
-    return db.execute(
+    n = db.execute(
         "SELECT n_regionkey, n_nationkey, n_name FROM nation_ddl WHERE n_regionkey = 2"
+    )
+    r = db.execute("SELECT r_regionkey, r_name FROM region_ddl WHERE r_regionkey = 2")
+    return n.join(r, n.n_regionkey == r.r_regionkey).select(
+        "n_regionkey", "n_nationkey", "n_name", "r_name"
     )
 
 
@@ -425,7 +437,9 @@ QUERIES = {
     ),
     "cql_ddl_roundtrip": (
         cql_ddl_roundtrip,
-        "SELECT n_regionkey, n_nationkey, n_name FROM nation WHERE n_regionkey = 2",
+        "SELECT n_regionkey, n_nationkey, n_name, r_name "
+        "FROM nation JOIN region ON n_regionkey = r_regionkey "
+        "WHERE n_regionkey = 2",
     ),
     "cql_udt_access": (
         cql_udt_access,
