@@ -23,81 +23,81 @@ from pyspark.sql import DataFrame, SparkSession
 
 # First-50 window budget, rotated by STALENESS each round (COVERAGE.md
 # rule: edited since last green driver evidence ⇒ re-enter the window).
-# Round-3 groups: (1) never-green or new queries; (2) queries whose code
-# changed this round (dedup cache removal, streaming state-partition
-# sizing, DDL/write-parser rework, token routing); (3) TPC-H q2–q22 —
-# q2–q16 carry only round-1 evidence and all dim joins were rerouted
-# through maybe_broadcast in round 2, whose estimator was memoized this
-# round; (4) analytics set (round-1 evidence only); (5) remaining slots
-# re-verify round-1-only cql rows. Round-2-green, untouched queries
-# (text_*, dedup exact/minhash/simhash/ngram, sim brute/neardup,
-# multimodal_meta, extras, upsert/ttl/counter, …) rest outside.
+# Round-4 groups: (1) the four round-3 reds (oracle SUM dtype fixed this
+# round — VERDICT r3 "What's wrong" #1) plus sim_ivf_topk (designed
+# rows-only) anchored by its oracle twin; (2) queries whose shared
+# machinery changes this round (keyspace-scoped table registry, BATCH
+# prepare-then-apply atomicity, ALTER session sync, dedup unpersist,
+# JPEG flush padding); (3) round-1-only evidence, now three rounds old;
+# (4) round-2 evidence, now two rounds old — oldest first, fills the
+# window to exactly 50. TPC-H q2–q22, streaming real/session, token
+# scans, sim_lsh, multimodal_features carry fresh r3 evidence and rest
+# outside; tpch_q1 IS entry(), smoke-checked every round.
 _PRIORITY: tuple[str, ...] = (
-    # -- (1) never-green in any round, or new this round
-    "cql_collection_mutations",
-    "multimodal_features",
-    "sim_lsh_topk",
-    "sim_ivf_rerank",
-    "sim_ivf_topk",
-    "cql_token_scan_text",
-    "cql_token_scan_composite",
-    # -- (2) code changed this round
-    "dedup_lsh_pairs",
-    "streaming_tumbling_real",
-    "streaming_session_real",
-    "cql_ddl_roundtrip",
-    "cql_udt_access",
-    "cql_token_scan",
-    # -- (3) TPC-H q2–q22
-    "tpch_q2_min_supplier",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_parts",
-    "tpch_q12_late_shipments",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_part_supplier_counts",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_volume_customer",
-    "tpch_q19_disjunctive",
-    "tpch_q20_promo_suppliers",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_dormant_customers",
-    # -- (4) analytics set (round-1 evidence only; topk, count_distinct and
-    # set_ops yield their slots to never-green round-3 queries — they stay
-    # green in the local full-registry gate)
-    "analytics_window_rank",
-    "analytics_window_running",
-    "analytics_events_hourly",
-    # -- (1b) new this round: write-path text surface, MV, bucketed join, CDC
-    "cql_delete_tombstones",
-    "cql_lwt_conditional",
-    "cql_batch_apply",
-    "cql_truncate_reload",
+    # -- (1) round-3 red rows, fixed this round + rows-only IVF and twin
     "cql_udf_select",
-    "mv_refresh_batch",
     "bucketed_colocated_join",
     "streaming_cdc_dedup",
-    "multimodal_features_jpeg",
     "streaming_stateful_counters",
-    "text_sasi_analyzer",
-    "multimodal_frame_plan",
-    "cql_term_select",
+    "sim_ivf_topk",
+    "sim_ivf_rerank",
+    # -- (2) shared machinery edited this round (DDL registry keyed by
+    # keyspace, batch atomicity, ALTER collection-info sync, USE parsing,
+    # dedup cache unpersist, jpeg bit-writer padding)
+    "cql_ddl_roundtrip",
+    "cql_batch_apply",
+    "cql_lwt_conditional",
+    "cql_delete_tombstones",
+    "cql_truncate_reload",
+    "cql_counter_fold",
+    "cql_collection_mutations",
+    "dedup_lsh_pairs",
+    "dedup_cascade_docs",
+    "dedup_minhash_jaccard",
+    "multimodal_features_jpeg",
+    # -- (3) round-1-only evidence (three rounds stale)
+    "cql_point_lookup",
+    "cql_collection_access",
+    "cql_tuple_relation",
+    "cql_map_entry",
+    "cql_like",
+    "cql_time_fcts",
+    "cql_cast_arithmetic",
+    "cql_blob_conv",
+    "cql_upsert_lww_rows",
+    "cql_global_agg",
+    "cql_per_partition_limit",
+    "cql_distinct_partitions",
+    "analytics_topk_orders",
+    "analytics_set_ops",
+    "analytics_count_distinct",
+    # -- (4) round-2 evidence (two rounds stale), oldest-first fill to 50
+    "cql_multipoint_in",
+    "csv_roundtrip",
+    "virtual_system_tables",
+    "cql_parsed_select",
+    "cql_clustering_slice",
+    "cql_contains",
+    "cql_is_not_null",
+    "cql_group_by_pk_prefix",
+    "cql_uda_weighted_avg",
+    "cql_static_column",
+    "cql_group_limit",
+    "cql_select_json",
+    "cql_duration_arithmetic",
+    "cql_upsert_lww_cells",
+    "cql_ttl_expiry",
+    "dedup_exact_docs",
+    "dedup_simhash",
+    "sim_bruteforce_topk",
 )
-# group (5) re-verification slots are gone this round: never-green names
-# outrank re-verification under the staleness rule (COVERAGE.md); the
-# round-1-green cql rows stay covered by the local full-registry gate
-# deliberately past the window (redundant driver evidence):
-# tpch_q1_pricing_summary IS entry() — the driver smoke-checks it every
-# round; every round-2-green query left out above is unedited since its
-# evidence was recorded
+# Deliberately outside the window this round (fresh r3 evidence or
+# unedited r2 evidence that rotates in next round): tpch q2–q22,
+# streaming_{tumbling,session}_real, cql_token_scan*, sim_lsh_topk,
+# multimodal_features/_meta/_frame_plan, text_*, dedup_ngram_jaccard,
+# sim_neardup_exact, analytics window/hourly, mv_refresh_batch,
+# cql_udt_access, analytics_explode_wordcount, cql_term_select,
+# text_sasi_analyzer.
 
 
 def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:

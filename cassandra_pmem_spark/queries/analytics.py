@@ -524,13 +524,13 @@ QUERIES = {
     ),
     "streaming_stateful_counters": (
         streaming_stateful_counters,
-        "SELECT user_id, SUM(CAST(floor(value * 100) AS BIGINT)) AS total, "
+        "SELECT user_id, CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total, "
         "count(*) AS n_updates FROM events GROUP BY 1",
     ),
     "streaming_cdc_dedup": (
         streaming_cdc_dedup,
         "SELECT event_type, count(*) AS n, "
-        "SUM(CAST(floor(value * 100) AS BIGINT)) AS cents "
+        "CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents "
         "FROM events GROUP BY 1",
     ),
 }

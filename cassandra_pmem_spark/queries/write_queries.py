@@ -246,7 +246,7 @@ SELECT CASE WHEN o_totalprice > 200000 THEN 'high'
        CASE WHEN o_orderpriority = '5-LOW' THEN NULL
             ELSE CAST(substr(o_orderpriority, 1, 1) AS INT) END AS urgency,
        COUNT(*) AS n,
-       SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+       CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
 FROM orders GROUP BY 1, 2
 """
 
@@ -322,7 +322,7 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BUCKETED_ORACLE = """
 SELECT o_orderpriority, COUNT(*) AS n_items,
-       SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS cents
+       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS cents
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE o_orderkey < 5000
 GROUP BY 1

@@ -45,3 +45,27 @@ def test_query_matches_oracle(spark, duck, name):
     d_norm = normalize_rows(drows, dcols)
     mism = [(a, b) for a, b in zip(s_norm, d_norm) if a != b]
     assert not mism, f"{name}: first mismatches: {mism[:3]}"
+
+    # The driver hashes per-pandas-dtype: equal VALUES with skewed dtype
+    # kinds (e.g. DuckDB SUM(BIGINT)->HUGEINT->float64 vs Spark int64) is
+    # still a red row. Guard the kinds, not just the normalized values.
+    from scripts.driver_gate import dtype_kind_mismatches
+
+    hard, _soft = dtype_kind_mismatches(sdf.toPandas(), duck.execute(sql).df())
+    assert not hard, f"{name}: numeric dtype kind skew vs oracle: {hard}"
+
+
+def test_gate_catches_hugeint_float_skew(spark, duck):
+    """Regression stage for the round-3 defect class: a bare SUM(BIGINT)
+    DuckDB oracle materializes float64 while Spark returns int64 — the
+    gate's dtype check must flag it even though values compare equal."""
+    from scripts.driver_gate import dtype_kind_mismatches
+
+    spdf = spark.createDataFrame([(10194974,)], "cents long").toPandas()
+    bad = duck.execute("SELECT SUM(CAST(10194974 AS BIGINT)) AS cents").df()
+    hard, soft = dtype_kind_mismatches(spdf, bad)
+    assert hard == ["cents: spark=int!=oracle=float"] and soft == []
+    good = duck.execute(
+        "SELECT CAST(SUM(CAST(10194974 AS BIGINT)) AS BIGINT) AS cents"
+    ).df()
+    assert dtype_kind_mismatches(spdf, good) == ([], [])
