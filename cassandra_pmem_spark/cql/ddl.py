@@ -69,15 +69,78 @@ class KeyspaceMeta:
 @dataclass
 class IndexMeta:
     name: str
-    table: str
+    table: tuple[str | None, str]  # canonical (keyspace, table) key
     column: str
     custom_class: str | None = None
 
 
+class TableNamespace(dict):
+    """Tables keyed by ``(keyspace | None, name)``, mirroring the
+    reference's keyspace-scoped schema model (schema/KeyspaceMetadata.java
+    holds a per-keyspace tables map), so two keyspaces can own same-named
+    tables. Bare-string access resolves: the current keyspace first, then
+    the unscoped name, then a UNIQUE suffix match across keyspaces —
+    an ambiguous bare name raises instead of picking one arbitrarily."""
+
+    def resolve(
+        self,
+        name: str,
+        keyspace: str | None = None,
+        current: str | None = None,
+        missing_ok: bool = False,
+    ) -> tuple[str | None, str] | None:
+        if keyspace is not None:
+            key = (keyspace, name)
+            if dict.__contains__(self, key):
+                return key
+            if missing_ok:
+                return None
+            raise InvalidRequest(f"unknown table {keyspace}.{name}")
+        if current is not None and dict.__contains__(self, (current, name)):
+            return (current, name)
+        if dict.__contains__(self, (None, name)):
+            return (None, name)
+        matches = [k for k in self if k[1] == name]
+        if len(matches) == 1:
+            return matches[0]
+        if matches:
+            raise InvalidRequest(
+                f"table name {name!r} is ambiguous across keyspaces "
+                f"{sorted(k[0] for k in matches)}; qualify it"
+            )
+        if missing_ok:
+            return None
+        raise InvalidRequest(f"unknown table {name!r}")
+
+    def _key(self, k):
+        return k if isinstance(k, tuple) else self.resolve(k)
+
+    def __contains__(self, k) -> bool:
+        if isinstance(k, tuple):
+            return dict.__contains__(self, k)
+        return any(key[1] == k for key in self)
+
+    def __getitem__(self, k):
+        return dict.__getitem__(self, self._key(k))
+
+    def __setitem__(self, k, v) -> None:
+        if not isinstance(k, tuple):
+            k = self.resolve(k, missing_ok=True) or (None, k)
+        dict.__setitem__(self, k, v)
+
+    def __delitem__(self, k) -> None:
+        dict.__delitem__(self, self._key(k))
+
+    def pop(self, k, *default):
+        key = self._key(k) if isinstance(k, tuple) or k in self else k
+        return dict.pop(self, key, *default)
+
+
 class _DdlParser(_Parser):
-    def __init__(self, toks, registry: "SchemaRegistry"):
+    def __init__(self, toks, registry: "SchemaRegistry", current_keyspace: str | None = None):
         super().__init__(toks)
         self.registry = registry
+        self.current_keyspace = current_keyspace
 
     # -- shared bits ----------------------------------------------------------
 
@@ -237,7 +300,12 @@ class _DdlParser(_Parser):
         self.expect_kw("table")
         ine = self.if_not_exists()
         ks, name = self.qualified_name()
-        self.last_keyspace = ks  # registry records table->keyspace for cascade
+        # an unqualified CREATE issued after USE scopes to the USE'd
+        # keyspace (UseStatement.java); a named keyspace must exist
+        eff_ks = ks if ks is not None else self.current_keyspace
+        if ks is not None and ks not in self.registry.keyspaces:
+            raise InvalidRequest(f"unknown keyspace {ks!r}")
+        self.last_key = (eff_ks, name)  # canonical registry key
         self.last_collection_kinds: dict[str, str] = {}
         self.last_frozen: set[str] = set()
         self.last_counters: set[str] = set()
@@ -347,7 +415,10 @@ class _DdlParser(_Parser):
             ),
             static_columns=tuple(statics),
         )
-        if name in self.registry.tables:
+        # exact-key existence only: the same bare name may live in two
+        # different keyspaces (CreateTest.java duplicate-table rejection
+        # is per-keyspace)
+        if self.last_key in self.registry.tables:
             if ine:
                 return None
             raise InvalidRequest(f"table {name!r} already exists")
@@ -361,7 +432,10 @@ class _DdlParser(_Parser):
         if not (self.peek().kind == "ident" and self.peek().text.lower() == "on"):
             idx_name = self.ident()
         self.expect_kw("on")
-        _, table = self.qualified_name()
+        t_ks, table = self.qualified_name()
+        table_key = self.registry.tables.resolve(
+            table, keyspace=t_ks, current=self.current_keyspace
+        )
         self.expect_punct("(")
         col = self.ident()
         self.expect_punct(")")
@@ -378,12 +452,16 @@ class _DdlParser(_Parser):
             if ine:
                 return None
             raise InvalidRequest(f"index {name!r} already exists")
-        return IndexMeta(name, table, col, cls)
+        return IndexMeta(name, table_key, col, cls)
 
     def alter_table(self) -> TableMeta:
         self.expect_kw("table")
-        _, name = self.qualified_name()
-        meta = self.registry.table(name)
+        ks, name = self.qualified_name()
+        key = self.registry.tables.resolve(
+            name, keyspace=ks, current=self.current_keyspace
+        )
+        self.last_key = key
+        meta = self.registry.tables[key]
         fields = list(meta.schema.fields)
         if self.accept_kw("add"):
             col = self.ident()
@@ -392,20 +470,20 @@ class _DdlParser(_Parser):
                 raise InvalidRequest(f"column {col!r} already exists")
             # counter purity holds under ALTER too (AlterTableStatement:
             # a table is either all-counter or no-counter outside its keys)
-            table_counters = self.registry.counter_columns.get(name, frozenset())
+            table_counters = self.registry.counter_columns.get(key, frozenset())
             if is_counter != bool(table_counters):
                 raise InvalidRequest(
                     "Cannot mix counter and non counter columns in the same table"
                 )
             # record the Spark-erased facts for the new column
             if kind is not None:
-                self.registry.collection_kinds.setdefault(name, {})[col] = kind
+                self.registry.collection_kinds.setdefault(key, {})[col] = kind
             if frozen:
-                self.registry.frozen_columns[name] = (
-                    self.registry.frozen_columns.get(name, frozenset()) | {col}
+                self.registry.frozen_columns[key] = (
+                    self.registry.frozen_columns.get(key, frozenset()) | {col}
                 )
             if is_counter:
-                self.registry.counter_columns[name] = table_counters | {col}
+                self.registry.counter_columns[key] = table_counters | {col}
             fields.append(T.StructField(col, typ))
         elif self.accept_kw("drop"):
             col = self.ident()
@@ -413,12 +491,12 @@ class _DdlParser(_Parser):
                 raise InvalidRequest(f"cannot drop PRIMARY KEY column {col!r}")
             if col not in {f.name for f in fields}:
                 raise InvalidRequest(f"unknown column {col!r}")
-            self.registry.collection_kinds.get(name, {}).pop(col, None)
-            self.registry.frozen_columns[name] = (
-                self.registry.frozen_columns.get(name, frozenset()) - {col}
+            self.registry.collection_kinds.get(key, {}).pop(col, None)
+            self.registry.frozen_columns[key] = (
+                self.registry.frozen_columns.get(key, frozenset()) - {col}
             )
-            self.registry.counter_columns[name] = (
-                self.registry.counter_columns.get(name, frozenset()) - {col}
+            self.registry.counter_columns[key] = (
+                self.registry.counter_columns.get(key, frozenset()) - {col}
             )
             fields = [f for f in fields if f.name != col]
         elif self.accept_kw("rename"):
@@ -460,41 +538,42 @@ class SchemaRegistry:
 
     def __init__(self):
         self.keyspaces: dict[str, KeyspaceMeta] = {}
-        self.tables: dict[str, TableMeta] = {}
+        # (keyspace | None, name) -> TableMeta; bare-name reads resolve
+        # through TableNamespace (unique suffix match), matching the
+        # reference's keyspace-scoped schema (KeyspaceMetadata.java)
+        self.tables: TableNamespace = TableNamespace()
         self.types: dict[str, T.StructType] = {}
         self.indexes: dict[str, IndexMeta] = {}
-        # table -> owning keyspace (None for unqualified CREATEs). The table
-        # namespace itself stays flat (a documented simplification); the
-        # mapping exists so DROP KEYSPACE can cascade to member tables the
-        # way the reference's schema model scopes them.
-        self.table_keyspace: dict[str, str | None] = {}
         # Spark's type system erases collection kind (set vs list) and
-        # frozen-ness; the reference's mutation validation needs both
-        self.collection_kinds: dict[str, dict[str, str]] = {}
-        self.frozen_columns: dict[str, frozenset[str]] = {}
-        self.counter_columns: dict[str, frozenset[str]] = {}
+        # frozen-ness; the reference's mutation validation needs both.
+        # All three are keyed by the canonical (keyspace, name) table key.
+        self.collection_kinds: dict[tuple, dict[str, str]] = {}
+        self.frozen_columns: dict[tuple, frozenset[str]] = {}
+        self.counter_columns: dict[tuple, frozenset[str]] = {}
 
-    def table(self, name: str) -> TableMeta:
-        if name not in self.tables:
-            raise InvalidRequest(f"unknown table {name!r}")
-        return self.tables[name]
+    def table(
+        self, name, keyspace: str | None = None, current: str | None = None
+    ) -> TableMeta:
+        if isinstance(name, tuple):
+            keyspace, name = name
+        key = self.tables.resolve(name, keyspace=keyspace, current=current)
+        return self.tables[key]
 
-    def _drop_table_indexes(self, table: str) -> None:
-        for idx in [n for n, m in self.indexes.items() if m.table == table]:
+    def _drop_table_indexes(self, table_key: tuple) -> None:
+        for idx in [n for n, m in self.indexes.items() if m.table == table_key]:
             del self.indexes[idx]
 
-    def _forget_table(self, table: str) -> None:
-        """Remove a table's auxiliary records (keyspace link, collection
-        metadata, indexes); the tables entry itself is deleted by DROP."""
-        self.table_keyspace.pop(table, None)
-        self.collection_kinds.pop(table, None)
-        self.frozen_columns.pop(table, None)
-        self.counter_columns.pop(table, None)
-        self._drop_table_indexes(table)
+    def _forget_table(self, table_key: tuple) -> None:
+        """Remove a table's auxiliary records (collection metadata,
+        indexes); the tables entry itself is deleted by DROP."""
+        self.collection_kinds.pop(table_key, None)
+        self.frozen_columns.pop(table_key, None)
+        self.counter_columns.pop(table_key, None)
+        self._drop_table_indexes(table_key)
 
-    def execute(self, cql: str) -> None:
+    def execute(self, cql: str, current_keyspace: str | None = None) -> None:
         head = cql.strip().split(None, 1)[0].lower()
-        p = _DdlParser(_tokenize(cql), self)
+        p = _DdlParser(_tokenize(cql), self, current_keyspace)
         if head == "create":
             p.expect_kw("create")
             nxt = p.peek().text.lower()
@@ -509,39 +588,46 @@ class SchemaRegistry:
             elif nxt == "table" or nxt == "columnfamily":
                 meta = p.create_table()
                 if meta is not None:
-                    self.tables[meta.name] = meta
-                    self.table_keyspace[meta.name] = getattr(
-                        p, "last_keyspace", None
-                    )
-                    self.collection_kinds[meta.name] = getattr(
+                    key = p.last_key
+                    self.tables[key] = meta
+                    self.collection_kinds[key] = getattr(
                         p, "last_collection_kinds", {}
                     )
-                    self.frozen_columns[meta.name] = frozenset(
+                    self.frozen_columns[key] = frozenset(
                         getattr(p, "last_frozen", ())
                     )
-                    self.counter_columns[meta.name] = frozenset(
+                    self.counter_columns[key] = frozenset(
                         getattr(p, "last_counters", ())
                     )
             elif nxt in ("index", "custom"):
                 idx = p.create_index()
                 if idx is not None:
-                    self.table(idx.table)  # must exist
-                    self.indexes[idx.name] = idx
+                    self.indexes[idx.name] = idx  # table resolved at parse
             else:
                 raise InvalidRequest(f"unsupported CREATE {nxt.upper()}")
         elif head == "alter":
             p.expect_kw("alter")
             meta = p.alter_table()
-            self.tables[meta.name] = meta
+            self.tables[p.last_key] = meta
         elif head == "drop":
             p.expect_kw("drop")
             kind = p.ident().lower()
             ife = p.if_exists()
-            _, name = p.qualified_name()
+            ks_q, name = p.qualified_name()
             p._end()
+            if kind == "table":
+                key = self.tables.resolve(
+                    name, keyspace=ks_q, current=current_keyspace, missing_ok=True
+                )
+                if key is None:
+                    if ife:
+                        return
+                    raise InvalidRequest(f"unknown table {name!r}")
+                dict.__delitem__(self.tables, key)
+                self._forget_table(key)
+                return
             store = {
                 "keyspace": self.keyspaces,
-                "table": self.tables,
                 "type": self.types,
                 "index": self.indexes,
             }.get(kind)
@@ -557,13 +643,9 @@ class SchemaRegistry:
             # model: a dropped keyspace takes its tables (and their
             # indexes) with it; a dropped table takes its indexes
             if kind == "keyspace":
-                for t in [
-                    t for t, ks in self.table_keyspace.items() if ks == key
-                ]:
-                    self.tables.pop(t, None)
-                    self._forget_table(t)
-            elif kind == "table":
-                self._forget_table(key)
+                for tk in [tk for tk in list(self.tables) if tk[0] == key]:
+                    dict.__delitem__(self.tables, tk)
+                    self._forget_table(tk)
         else:
             raise InvalidRequest(f"not a DDL statement: {head!r}")
 
@@ -587,30 +669,50 @@ class CqlDatabase:
         # multi-table BATCH stamps one timestamp across sessions
         self._write_clock: list[int] = [0]
 
-    def _session(self, table: str):
-        from cassandra_pmem_spark.cql.writes import CollectionInfo, CqlWriteSession
+    def _table_key(self, table) -> tuple[str | None, str]:
+        """Canonical (keyspace, name) registry key for a DML/SELECT target:
+        a qualified ``ks.t`` resolves exactly; a bare name resolves through
+        the current keyspace, then the unscoped namespace, then a unique
+        suffix match (TableNamespace.resolve)."""
+        ks, name = table if isinstance(table, tuple) else (None, table)
+        return self.registry.tables.resolve(
+            name, keyspace=ks, current=self.current_keyspace
+        )
 
-        if table not in self._sessions:
-            info = CollectionInfo(
-                kinds=self.registry.collection_kinds.get(table, {}),
-                frozen=self.registry.frozen_columns.get(table, frozenset()),
-                counters=self.registry.counter_columns.get(table, frozenset()),
-            )
-            self._sessions[table] = CqlWriteSession(
+    def _collection_info(self, key: tuple):
+        from cassandra_pmem_spark.cql.writes import CollectionInfo
+
+        return CollectionInfo(
+            kinds=self.registry.collection_kinds.get(key, {}),
+            frozen=self.registry.frozen_columns.get(key, frozenset()),
+            counters=self.registry.counter_columns.get(key, frozenset()),
+        )
+
+    def _session(self, table):
+        return self._session_for_key(self._table_key(table))
+
+    def _session_for_key(self, key: tuple):
+        """Session for an already-canonical registry key (no re-resolution
+        — a (None, t) key must not re-resolve into the USE'd keyspace)."""
+        from cassandra_pmem_spark.cql.writes import CqlWriteSession
+
+        if key not in self._sessions:
+            self._sessions[key] = CqlWriteSession(
                 self.spark,
-                self.registry.table(table),
-                collection_info=info,
+                self.registry.tables[key],
+                collection_info=self._collection_info(key),
                 clock=self._write_clock,
             )
-        return self._sessions[table]
+        return self._sessions[key]
 
     @staticmethod
-    def _dml_table(cql: str) -> str:
-        """Target table of a DML statement (INSERT INTO t / UPDATE t /
-        DELETE ... FROM t / TRUNCATE t); batches route per inner statement.
-        Walks the token stream positionally so a keyspace-qualified target
-        (``ks.t`` tokenizes as ident '.' ident) resolves to the TABLE, not
-        the keyspace (mirrors _WriteParser._table_name)."""
+    def _dml_table(cql: str) -> tuple[str | None, str]:
+        """(keyspace | None, table) target of a DML statement (INSERT INTO
+        t / UPDATE t / DELETE ... FROM t / TRUNCATE t); batches route per
+        inner statement. Walks the token stream positionally so a
+        keyspace-qualified target (``ks.t`` tokenizes as ident '.' ident)
+        keeps BOTH parts — two keyspaces may own same-named tables
+        (mirrors _WriteParser._table_name)."""
         toks = _tokenize(cql)
         for i, t in enumerate(toks):
             if t.kind != "ident" or t.text.lower() not in (
@@ -639,8 +741,8 @@ class CqlDatabase:
                     and toks[j + 1].text == "."
                     and toks[j + 2].kind == "ident"
                 ):
-                    name = toks[j + 2].text  # ks.table -> table
-                return name
+                    return name, toks[j + 2].text  # ks.table
+                return None, name
         raise InvalidRequest(f"cannot find target table in {cql[:40]!r}")
 
     def execute(self, cql: str, params: list[Any] | None = None) -> DataFrame | bool | None:
@@ -650,6 +752,9 @@ class CqlDatabase:
             # UseTest.java): later unqualified CREATE TABLEs are scoped to
             # it, so DROP KEYSPACE cascades to them
             toks = _tokenize(cql)
+            # tolerate the statement terminator every other head accepts
+            if len(toks) > 2 and toks[-2].kind == "punct" and toks[-2].text == ";":
+                toks = toks[:-2] + toks[-1:]
             if len(toks) != 3 or toks[1].kind != "ident":
                 raise InvalidRequest("USE takes exactly one keyspace name")
             ks = toks[1].text
@@ -658,24 +763,18 @@ class CqlDatabase:
             self.current_keyspace = ks
             return None
         if head in self._DDL_HEADS:
-            before = set(self.registry.tables)
-            self.registry.execute(cql)
-            # an unqualified CREATE TABLE issued AFTER a USE lands in the
-            # USE'd keyspace; pre-USE tables keep their (lack of) scope
-            if self.current_keyspace is not None:
-                for t in set(self.registry.tables) - before:
-                    if self.registry.table_keyspace.get(t) is None:
-                        self.registry.table_keyspace[t] = self.current_keyspace
+            # the parser scopes unqualified CREATEs to the USE'd keyspace
+            self.registry.execute(cql, current_keyspace=self.current_keyspace)
             # sync live write sessions with the new schema: ADD/DROP swap
             # the meta in place (buffered mutations carry over — absent
             # columns read as null, dropped cells are ignored at merge);
             # a DROP TABLE discards the session. RENAME would orphan
             # buffered cell names, so it refuses under buffered writes.
-            for name in list(self._sessions):
-                if name not in self.registry.tables:
-                    del self._sessions[name]
+            for key in list(self._sessions):
+                if key not in self.registry.tables:
+                    del self._sessions[key]
                     continue
-                sess, new_meta = self._sessions[name], self.registry.tables[name]
+                sess, new_meta = self._sessions[key], self.registry.tables[key]
                 if sess.meta is not new_meta:
                     if (
                         set(new_meta.primary_key) != set(sess.meta.primary_key)
@@ -686,11 +785,17 @@ class CqlDatabase:
                         # the new pk names while the live session (and its
                         # buffered mutations) keeps the old ones, and every
                         # later statement sees inconsistent schema
-                        self.registry.tables[name] = sess.meta
+                        self.registry.tables[key] = sess.meta
                         raise InvalidRequest(
                             "cannot RENAME primary key columns while writes are buffered"
                         )
                     sess.meta = new_meta
+                    # refresh the Spark-erased facts too: an ALTER can add
+                    # or drop counter/frozen/collection columns, and a
+                    # cached session holding stale CollectionInfo would
+                    # e.g. let `SET ctr = 5` through on a column ALTERed
+                    # in as a counter (Operation.java setter rejection)
+                    sess.collection_info = self._collection_info(key)
             return None
         if head == "begin":
             return self._execute_batch(cql, params or [])
@@ -701,9 +806,12 @@ class CqlDatabase:
             from cassandra_pmem_spark.cql.table import CqlTable
 
             st = parse_select(cql, params)
-            table = st.table.split(".")[-1]
-            meta = self.registry.table(table)
-            return _compile(CqlTable(self._session(table).table(), meta, self.strict), st)
+            ks, _, tbl = st.table.rpartition(".")
+            key = self._table_key((ks or None, tbl))
+            meta = self.registry.tables[key]
+            return _compile(
+                CqlTable(self._session_for_key(key).table(), meta, self.strict), st
+            )
         raise InvalidRequest(f"unsupported statement {head!r}")
 
     def _execute_batch(self, cql: str, params: list[Any]) -> bool:
@@ -745,18 +853,31 @@ class CqlDatabase:
         if not _APPLY_RE.match(pieces[-1]):
             raise InvalidRequest("BATCH must end with APPLY BATCH")
         inner = [s.strip() for s in pieces[:-1] if s.strip()]
-        tables = [self._dml_table(s) for s in inner]
-        if len(set(tables)) <= 1:
-            target = tables[0] if tables else None
-            if target is None:
+        # resolve every target to its canonical (keyspace, name) key so a
+        # qualified ks.t and a bare t under USE ks share ONE session
+        keys = [self._table_key(self._dml_table(s)) for s in inner]
+        if len(set(keys)) <= 1:
+            if not keys:
                 return True  # empty batch is a no-op
-            return self._session(target).execute(cql, params)
+            return self._session_for_key(keys[0]).execute(cql, params)
         validate_batch_pieces(
             m.group(1), batch_ts is not None, inner, params, cursor, multi_table=True
         )
+        # prepare-then-apply atomicity across sessions: per-statement
+        # semantic checks fire during the real pass, so snapshot every
+        # involved session's buffers (all share one clock ref — each
+        # snapshot records the same pre-batch clock value) and roll all of
+        # them back if any inner statement rejects.
+        sessions = {k: self._session_for_key(k) for k in set(keys)}
+        snaps = {k: s._snapshot() for k, s in sessions.items()}
         if batch_ts is None:
             self._write_clock[0] += 1
             batch_ts = self._write_clock[0]
-        for stmt, t in zip(inner, tables):
-            self._session(t)._execute(stmt, params, cursor, forced_ts=batch_ts)
+        try:
+            for stmt, k in zip(inner, keys):
+                sessions[k]._execute(stmt, params, cursor, forced_ts=batch_ts)
+        except Exception:
+            for k, s in sessions.items():
+                s._restore(snaps[k])
+            raise
         return True

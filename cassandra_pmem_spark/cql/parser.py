@@ -315,8 +315,9 @@ class _Parser:
             selectors.append(self.selector())
         self.expect_kw("from")
         table = self.ident()
-        if self.accept_punct("."):  # keyspace.table — keyspace ignored
-            table = self.ident()
+        if self.accept_punct("."):  # keyspace.table — keep both parts so
+            # the database layer can resolve the keyspace-scoped key
+            table = f"{table}.{self.ident()}"
         st = SelectStatement(table, selectors, json=json, distinct=distinct)
         if self.accept_kw("where"):
             st.relations.append(self.relation(params, cursor))
@@ -482,5 +483,7 @@ def execute_cql(
     strict=True applies the reference's prepare-time gates; params bind `?`
     markers positionally (prepared-statement analog, QueryProcessor:402)."""
     st = parse_select(cql, params)
-    t = cql_table(spark, st.table, sf_dir, strict=strict)
+    # the fixture loader has no keyspace dimension — a qualified ks.t
+    # resolves by table name here (CqlDatabase routes scoped lookups)
+    t = cql_table(spark, st.table.rpartition(".")[2], sf_dir, strict=strict)
     return _compile(t, st)

@@ -432,11 +432,27 @@ class CqlWriteSession:
             if not _APPLY_RE.match(pieces[-1]):
                 raise InvalidRequest("BATCH must end with APPLY BATCH")
             self._validate_batch(m.group(1), batch_ts is not None, pieces[:-1], params, cursor)
+            # prepare-then-apply atomicity (BatchStatement.java executes
+            # only after every inner statement validated): the dry pass
+            # above covers the batch matrix, but per-statement semantic
+            # checks (TTL bounds, PK-in-SET, counter rules, unknown
+            # columns) fire during the real pass — snapshot the buffers so
+            # a late rejection rolls back the earlier statements' writes,
+            # and a failed LWT condition applies nothing at all.
+            snap = self._snapshot()
             if batch_ts is None:
                 batch_ts = self._tick()
-            for stmt in pieces[:-1]:
-                if stmt.strip():
-                    self._execute(stmt.strip(), params, cursor, forced_ts=batch_ts)
+            applied = True
+            try:
+                for stmt in pieces[:-1]:
+                    if stmt.strip():
+                        applied &= self._execute(stmt.strip(), params, cursor, forced_ts=batch_ts)
+            except Exception:
+                self._restore(snap)
+                raise
+            if not applied:
+                self._restore(snap)
+                return False
             return True
         if head == "truncate":
             # TRUNCATE (cql3/statements/TruncateStatement.java): drop all
@@ -646,6 +662,27 @@ class CqlWriteSession:
             if not ops[op](cur, val):
                 return False
         return True
+
+    def _snapshot(self) -> tuple:
+        """Buffer watermark for batch rollback. Inner batch statements only
+        APPEND to the four buffers (TRUNCATE, which clears them, is
+        rejected inside BATCH), so restoring = truncating back to the
+        recorded lengths and rewinding the shared coordinator clock."""
+        return (
+            len(self._mutations),
+            len(self._row_tombs),
+            len(self._cell_tombs),
+            len(self._range_tombs),
+            self._clock_ref[0],
+        )
+
+    def _restore(self, snap: tuple) -> None:
+        n_mut, n_row, n_cell, n_rng, clock = snap
+        del self._mutations[n_mut:]
+        del self._row_tombs[n_row:]
+        del self._cell_tombs[n_cell:]
+        del self._range_tombs[n_rng:]
+        self._clock_ref[0] = clock
 
     def _tick(self) -> int:
         self._clock_ref[0] += 1

@@ -147,8 +147,11 @@ class _BitWriter:
                 self.buf.append(0x00)
 
     def flush(self) -> bytes:
-        if self.n:
-            self.put(0x7F, 7 - ((self.n - 1) % 8) + 1)  # pad with 1-bits
+        # final-byte padding must be ALL 1-bits (T.81 F.1.2.3); the pad
+        # width is exactly what remains to the byte boundary
+        pad = (8 - self.n % 8) % 8
+        if pad:
+            self.put((1 << pad) - 1, pad)
         return bytes(self.buf)
 
 

@@ -262,7 +262,7 @@ def cql_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WITH CLUSTERING ORDER BY (n_nationkey ASC)"
     )
     db.execute("CREATE TABLE region_ddl (r_regionkey int PRIMARY KEY, r_name text)")
-    assert db.registry.table_keyspace["nation_ddl"] == "ddl_ks"  # USE scoped it
+    assert ("ddl_ks", "nation_ddl") in db.registry.tables  # USE scoped it
     nrows = load_table(spark, "nation", sf_dir).collect()  # 25 rows, fixed
     rrows = load_table(spark, "region", sf_dir).collect()  # 5 rows, fixed
     stmts = "; ".join(

@@ -241,7 +241,7 @@ class TestUseKeyspace:
         db.execute("CREATE KEYSPACE ksu WITH REPLICATION = {'class': 'SimpleStrategy'}")
         db.execute("USE ksu")
         db.execute("CREATE TABLE scoped (k bigint PRIMARY KEY, v text)")
-        assert db.registry.table_keyspace["scoped"] == "ksu"
+        assert ("ksu", "scoped") in db.registry.tables
         db.execute("DROP KEYSPACE ksu")
         assert "scoped" not in db.registry.tables
 
@@ -358,3 +358,108 @@ class TestMultiTableBatch:
         )
         assert [tuple(r) for r in db.execute("SELECT k, v FROM t1").collect()] == [(1, "one")]
         assert [tuple(r) for r in db.execute("SELECT k, v FROM t2").collect()] == [(2, "two")]
+
+
+class TestKeyspaceScopedNamespace:
+    """Tables keyed by (keyspace, name) — schema/KeyspaceMetadata.java's
+    per-keyspace tables map: same-named tables coexist across keyspaces,
+    qualified DML resolves unambiguously, bare names resolve through the
+    USE'd keyspace. Rejection shapes from CreateTest.java
+    (testCreateTableWithSmallintColumns-style duplicate / unknown-keyspace
+    rejections are per-keyspace)."""
+
+    def _two_ks(self, spark):
+        db = CqlDatabase(spark)
+        db.execute("CREATE KEYSPACE ka WITH REPLICATION = {'class': 'SimpleStrategy'}")
+        db.execute("CREATE KEYSPACE kb WITH REPLICATION = {'class': 'SimpleStrategy'}")
+        db.execute("CREATE TABLE ka.pets (k bigint PRIMARY KEY, v text)")
+        db.execute("CREATE TABLE kb.pets (k bigint PRIMARY KEY, v text)")
+        return db
+
+    def test_same_name_coexists_and_qualified_dml_routes(self, spark):
+        db = self._two_ks(spark)
+        assert ("ka", "pets") in db.registry.tables
+        assert ("kb", "pets") in db.registry.tables
+        db.execute("INSERT INTO ka.pets (k, v) VALUES (1, 'cat')")
+        db.execute("INSERT INTO kb.pets (k, v) VALUES (1, 'dog')")
+        assert [r.v for r in db.execute("SELECT v FROM ka.pets").collect()] == ["cat"]
+        assert [r.v for r in db.execute("SELECT v FROM kb.pets").collect()] == ["dog"]
+
+    def test_bare_name_ambiguous_without_use(self, spark):
+        db = self._two_ks(spark)
+        with pytest.raises(InvalidRequest, match="ambiguous"):
+            db.execute("INSERT INTO pets (k, v) VALUES (1, 'x')")
+
+    def test_use_scopes_bare_dml_and_select(self, spark):
+        db = self._two_ks(spark)
+        db.execute("USE ka")
+        db.execute("INSERT INTO pets (k, v) VALUES (1, 'cat')")
+        db.execute("USE kb")
+        db.execute("INSERT INTO pets (k, v) VALUES (1, 'dog')")
+        assert [r.v for r in db.execute("SELECT v FROM pets").collect()] == ["dog"]
+        db.execute("USE ka")
+        assert [r.v for r in db.execute("SELECT v FROM pets").collect()] == ["cat"]
+
+    def test_duplicate_create_rejected_per_keyspace(self, spark):
+        db = self._two_ks(spark)
+        with pytest.raises(InvalidRequest, match="already exists"):
+            db.execute("CREATE TABLE ka.pets (k bigint PRIMARY KEY)")
+        db.execute("CREATE TABLE ka.pets2 (k bigint PRIMARY KEY)")  # fine
+
+    def test_create_in_unknown_keyspace_rejected(self, spark):
+        db = CqlDatabase(spark)
+        with pytest.raises(InvalidRequest, match="unknown keyspace"):
+            db.execute("CREATE TABLE nowhere.t (k bigint PRIMARY KEY)")
+
+    def test_drop_keyspace_takes_only_its_table(self, spark):
+        db = self._two_ks(spark)
+        db.execute("DROP KEYSPACE ka")
+        assert ("ka", "pets") not in db.registry.tables
+        assert ("kb", "pets") in db.registry.tables
+        # the survivor is now unambiguous by bare name
+        db.execute("INSERT INTO pets (k, v) VALUES (2, 'fish')")
+        assert [r.v for r in db.execute("SELECT v FROM pets").collect()] == ["fish"]
+
+    def test_alter_resolves_through_use(self, spark):
+        db = self._two_ks(spark)
+        db.execute("USE ka")
+        db.execute("ALTER TABLE pets ADD extra bigint")
+        names_a = {f.name for f in db.registry.tables[("ka", "pets")].schema.fields}
+        names_b = {f.name for f in db.registry.tables[("kb", "pets")].schema.fields}
+        assert "extra" in names_a and "extra" not in names_b
+
+    def test_use_tolerates_trailing_semicolon(self, spark):
+        db = CqlDatabase(spark)
+        db.execute("CREATE KEYSPACE kq WITH REPLICATION = {'class': 'SimpleStrategy'}")
+        db.execute("USE kq;")
+        assert db.current_keyspace == "kq"
+
+
+class TestAlterSessionCollectionSync:
+    """A cached CqlWriteSession must see collection/counter/frozen facts
+    added or dropped by a later ALTER (Operation.java counter-setter
+    rejection must hold across the DDL sync)."""
+
+    def test_counter_added_by_alter_rejects_set(self, spark):
+        db = CqlDatabase(spark)
+        db.execute("CREATE TABLE ctr (k bigint PRIMARY KEY, n counter)")
+        # touch the table so a session with pre-ALTER CollectionInfo exists
+        db.execute("UPDATE ctr SET n = n + 1 WHERE k = 1")
+        db.execute("ALTER TABLE ctr ADD m counter")
+        with pytest.raises(InvalidRequest, match="counter"):
+            db.execute("UPDATE ctr SET m = 5 WHERE k = 1")
+        db.execute("UPDATE ctr SET m = m + 3 WHERE k = 1")  # delta is fine
+        out = db.execute("SELECT k, n, m FROM ctr")
+        assert [tuple(r) for r in out.collect()] == [(1, 1, 3)]
+
+    def test_dropped_frozen_column_forgotten(self, spark):
+        db = CqlDatabase(spark)
+        db.execute(
+            "CREATE TABLE fz (k bigint PRIMARY KEY, s frozen<set<bigint>>, v text)"
+        )
+        db.execute("INSERT INTO fz (k, v) VALUES (1, 'x')")  # cache session
+        db.execute("ALTER TABLE fz DROP s")
+        db.execute("ALTER TABLE fz ADD s text")
+        sess = db._session(("None", "fz")) if False else db._session((None, "fz"))
+        assert "s" not in sess.collection_info.frozen
+        assert "s" not in sess.collection_info.kinds

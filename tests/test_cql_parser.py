@@ -61,7 +61,8 @@ class TestParse:
 
     def test_string_escapes_and_keyspace(self):
         st = parse_select("SELECT a FROM ks.t WHERE b = 'it''s'")
-        assert st.table == "t" and st.relations[0].values == ["it's"]
+        # the qualified name keeps both parts (keyspace-scoped resolution)
+        assert st.table == "ks.t" and st.relations[0].values == ["it's"]
 
     def test_syntax_errors(self):
         for bad in (

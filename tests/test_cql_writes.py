@@ -261,6 +261,73 @@ class TestBatch:
         with pytest.raises(InvalidRequest, match="APPLY BATCH"):
             sess.execute("BEGIN BATCH INSERT INTO kv (k, c, a) VALUES (1, 1, 'x')")
 
+    def test_rejected_batch_applies_nothing(self, sess):
+        # prepare-then-apply (BatchStatement.java): per-statement semantic
+        # validation that only fires at apply time (here: TTL bounds) must
+        # not leave the earlier statements' mutations buffered
+        with pytest.raises(InvalidRequest, match="TTL"):
+            sess.execute(
+                """
+                BEGIN BATCH
+                  INSERT INTO kv (k, c, a) VALUES (1, 1, 'kept?');
+                  INSERT INTO kv (k, c, a) VALUES (2, 1, 'bad') USING TTL -5;
+                APPLY BATCH
+                """
+            )
+        assert rows(sess.table(), "k") == []
+
+    def test_rejected_batch_pk_in_set_applies_nothing(self, sess):
+        with pytest.raises(InvalidRequest, match="PRIMARY KEY part"):
+            sess.execute(
+                """
+                BEGIN BATCH
+                  INSERT INTO kv (k, c, a) VALUES (1, 1, 'kept?');
+                  UPDATE kv SET c = 9 WHERE k = 1 AND c = 1;
+                APPLY BATCH
+                """
+            )
+        assert rows(sess.table(), "k") == []
+
+    def test_rejected_batch_unknown_column_applies_nothing(self, sess):
+        with pytest.raises(InvalidRequest):
+            sess.execute(
+                """
+                BEGIN BATCH
+                  INSERT INTO kv (k, c, a) VALUES (1, 1, 'kept?');
+                  INSERT INTO kv (k, c, nope) VALUES (2, 1, 'bad');
+                APPLY BATCH
+                """
+            )
+        assert rows(sess.table(), "k") == []
+
+    def test_failed_condition_rolls_back_whole_batch(self, sess):
+        # a conditional batch is all-or-nothing: when the IF does not
+        # apply, even the unconditional statements in the batch are void
+        applied = sess.execute(
+            """
+            BEGIN BATCH
+              INSERT INTO kv (k, c, a) VALUES (1, 1, 'uncond');
+              UPDATE kv SET a = 'cond' WHERE k = 9 AND c = 9 IF EXISTS;
+            APPLY BATCH
+            """
+        )
+        assert applied is False
+        assert rows(sess.table(), "k") == []
+
+    def test_rejected_batch_keeps_pre_batch_rows(self, sess):
+        # rollback must truncate to the pre-batch watermark, not clear
+        sess.execute("INSERT INTO kv (k, c, a) VALUES (7, 7, 'pre')")
+        with pytest.raises(InvalidRequest, match="TTL"):
+            sess.execute(
+                """
+                BEGIN BATCH
+                  DELETE FROM kv WHERE k = 7 AND c = 7;
+                  INSERT INTO kv (k, c, a) VALUES (8, 8, 'bad') USING TTL -5;
+                APPLY BATCH
+                """
+            )
+        assert rows(sess.table(), "k", "a") == [(7, "pre")]
+
 
 class TestPrimaryKeyInSet:
     def test_update_set_on_partition_key_rejected(self, sess):
