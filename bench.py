@@ -64,17 +64,26 @@ def main() -> None:
     # the component that actually scales with cluster workload
     registry["streaming_tumbling_real"][0](spark, sf_dir).count()
 
+    # 3 repeats per query: `queries`/`value` keep reporting the min (the
+    # signal least polluted by scheduler/GC noise, continuous with prior
+    # rounds); the medians quantify run-to-run dispersion so a single noisy
+    # run (e.g. round-3's +38% tpch_q3 with unchanged code) is visibly
+    # noise, not a regression.
+    REPEATS = 3
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in HEADLINE:
         fn, _ = registry[name]
-        best = float("inf")
-        for _ in range(2):  # min of 2: damps scheduler/GC noise in the signal
+        runs: list[float] = []
+        for _ in range(REPEATS):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
-            best = min(best, time.perf_counter() - t0)
+            runs.append(time.perf_counter() - t0)
             assert n >= 0
-        timings[name] = round(best, 4)
+        runs.sort()
+        timings[name] = round(runs[0], 4)
+        medians[name] = round(runs[len(runs) // 2], 4)
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -84,6 +93,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "repeats": REPEATS,
+                "value_median": round(sum(medians.values()), 4),
+                "queries_median": medians,
             }
         )
     )
