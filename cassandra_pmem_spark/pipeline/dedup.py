@@ -151,6 +151,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     shingle: int = 3,
+    cache: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH.
 
@@ -188,7 +189,15 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bh")
-    banded = banded.cache()
+    # The cache is measured, not cosmetic: without it the signature pass
+    # runs for both join sides (exchange reuse does NOT cover this shape;
+    # sf0.1: 1.27 s cached vs 1.52 s not). It cannot be unpersisted after
+    # the lazy return, so one-shot queries carry it until the session ends
+    # — a long-lived session should pass cache=False or call
+    # spark.catalog.clearCache() between pipeline runs (contract also
+    # noted in SCALE.md).
+    if cache:
+        banded = banded.cache()
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -367,6 +376,7 @@ def dedup_cascade(
     num_hashes: int = 32,
     bands: int = 8,
     shingle: int = 3,
+    cache: bool = True,
 ) -> DataFrame:
     """End-to-end near-dedup cascade — the production pipeline in one call:
 
@@ -381,10 +391,17 @@ def dedup_cascade(
     High-similarity pairs collide in some band with prob ≈ 1-(1-J^r)^b
     (0.985 at J=0.8 with r=4,b=8) — tune bands to the threshold.
 
-    The survivor frame is cached: it feeds candidate generation, both
-    sides of the verification join, and the final anti-join."""
-    d1 = exact_dedup(df, text_col, id_col).cache()
-    cand = minhash_lsh_pairs(d1, id_col, text_col, num_hashes, bands, shingle)
+    The survivor frame feeds candidate generation, both sides of the
+    verification join, and the final anti-join. Caching it is measured to
+    matter — 1.11 s cached vs 2.37 s not at sf0.1 (the four subtrees are
+    shaped differently, so exchange reuse does not cover them). The cache
+    cannot be unpersisted after the lazy return; one-shot queries carry it
+    until session end. A long-lived session should pass cache=False or
+    spark.catalog.clearCache() between pipeline runs (SCALE.md)."""
+    d1 = exact_dedup(df, text_col, id_col)
+    if cache:
+        d1 = d1.cache()
+    cand = minhash_lsh_pairs(d1, id_col, text_col, num_hashes, bands, shingle, cache=cache)
     verified = ngram_jaccard_pairs(
         d1, cand.select("a", "b"), id_col, text_col, shingle
     ).filter(F.col("jaccard") >= jaccard_threshold)

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from cassandra_pmem_spark.catalog import load_table
 from cassandra_pmem_spark.pipeline.dedup import (
+    dedup_cascade,
     minhash_signature,
     ngram_jaccard_pairs,
     simhash64,
@@ -293,3 +294,24 @@ class TestRollingFingerprint:
         assert fp[1] != fp[3]
         overlap = len(fp[1] & fp[3]) / len(fp[1] | fp[3])
         assert overlap > 0.5, f"local edit should preserve most fingerprints, got {overlap}"
+
+
+class TestCacheLifecycle:
+    def test_cascade_cache_false_leaves_no_persistent_rdds(self, spark):
+        """Long-lived-session contract: with cache=False the cascade (and
+        the LSH pass inside it) must leave NOTHING pinned in executor
+        storage once the query completes."""
+        spark.catalog.clearCache()  # isolate from other tests' caches
+        docs = load_table(spark, "documents", SF_SMALL)
+        out = dedup_cascade(docs, cache=False)
+        n = out.count()
+        assert n > 0
+        jsc = spark.sparkContext._jsc.sc()
+        assert jsc.getPersistentRDDs().size() == 0
+
+    def test_cascade_cached_and_uncached_agree(self, spark):
+        docs = load_table(spark, "documents", SF_SMALL)
+        a = sorted(r.doc_id for r in dedup_cascade(docs, cache=False).collect())
+        b = sorted(r.doc_id for r in dedup_cascade(docs, cache=True).collect())
+        assert a == b
+        spark.catalog.clearCache()  # don't leak this test's caches onward
