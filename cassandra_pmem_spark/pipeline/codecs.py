@@ -9,11 +9,11 @@ but two canonical formats are fully decodable with the standard library:
 - WAV (16-bit PCM): the stdlib ``wave`` module.
 
 These back the REAL decode path in multimodal.py, together with the
-baseline grayscale JPEG codec in pipeline/jpeg.py (T.81 Huffman+DCT,
-also library-free); formats that genuinely require codec libraries
-(color/progressive JPEG, MP3, H.264, …) remain clearly-marked
-NotImplementedError stubs. Encoders exist so tests and fixtures
-round-trip without any external tool.
+baseline JPEG codec in pipeline/jpeg.py (T.81 Huffman+DCT, grayscale
+and 4:2:0/4:4:4 YCbCr color, also library-free); formats that genuinely
+require codec libraries (progressive JPEG, MP3, H.264, …) remain
+clearly-marked NotImplementedError stubs. Encoders exist so tests and
+fixtures round-trip without any external tool.
 
 Scale note: decode runs inside Arrow-batched ``mapInPandas`` workers
 (multimodal.py), one image per row; the unfilter loop for filters 1/3/4

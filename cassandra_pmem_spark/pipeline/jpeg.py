@@ -1,23 +1,30 @@
-"""Pure-stdlib baseline JPEG codec (grayscale subset), no external libraries.
+"""Pure-stdlib baseline JPEG codec (grayscale + YCbCr color), no external
+libraries.
 
 Implements the ITU-T T.81 baseline sequential DCT process for 8-bit
-single-component (grayscale) images, using the Annex K example tables:
-luminance quantization (Table K.1) and luminance DC/AC Huffman tables
-(Tables K.3/K.5). Both directions are real:
+images using the Annex K example tables: luminance/chrominance
+quantization (Tables K.1/K.2) and DC/AC Huffman tables (K.3-K.6). Both
+directions are real:
 
 - ``encode_jpeg_gray``: level shift → 8×8 forward DCT (vectorized einsum)
   → quantize → zigzag → DC-differential + run-length Huffman coding with
   0xFF byte stuffing → SOI/DQT/SOF0/DHT/SOS/EOI stream;
+- ``encode_jpeg_color``: RGB → BT.601 YCbCr (JFIF full-range), optional
+  4:2:0 chroma subsampling (2×2 mean), interleaved MCU entropy coding
+  with per-component DC predictors — SOF0 with sampling factors 2,2/1,1
+  and separate luma/chroma quant + Huffman tables;
 - ``decode_jpeg``: marker parse (APPn/COM skipped), canonical Huffman
-  reconstruction from the DHT bits/values lists, entropy decode with
-  unstuffing, dequantize → dezigzag → IDCT (vectorized) → clip.
+  reconstruction from the DHT bits/values lists, interleaved MCU entropy
+  decode with unstuffing, dequantize → dezigzag → IDCT (vectorized) →
+  chroma upsample (sample replication) → YCbCr→RGB. Returns (h, w)
+  uint8 for 1-component streams, (h, w, 3) RGB for 3-component.
 
 Supported subset (everything else raises NotImplementedError with the
-reason): baseline SOF0, 8-bit precision, exactly one component, no
-restart intervals. Progressive (SOF2), arithmetic coding, 12-bit, and
-multi-component chroma-subsampled streams need nothing conceptually new
-but are out of scope for fixture-sized use — the decoder REALLY decodes
-any conforming grayscale baseline JPEG, not just this encoder's output.
+reason): baseline SOF0, 8-bit precision, 1 or 3 components with integer
+subsampling ratios, single interleaved scan, no restart intervals.
+Progressive (SOF2), arithmetic coding, 12-bit, and 4-component CMYK
+streams remain out of scope — the decoder REALLY decodes conforming
+grayscale and YCbCr baseline JPEGs, not just this encoder's output.
 
 Exactness note for oracle-backed tests (multimodal_features_jpeg): JPEG is
 lossy in general, but an image whose every 8×8 block is a uniform EVEN
@@ -58,9 +65,28 @@ QUANT_LUMA = np.array(
     dtype=np.int32,
 )
 
+# Table K.2 — chrominance quantization, natural (row-major) order
+QUANT_CHROMA = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.int32,
+)
+
 # Table K.3 — luminance DC: BITS (#codes of length 1..16) and HUFFVAL
 DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
 DC_VALS = tuple(range(12))
+
+# Table K.4 — chrominance DC
+DC_BITS_CHROMA = (0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+DC_VALS_CHROMA = tuple(range(12))
 
 # Table K.5 — luminance AC
 AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
@@ -85,6 +111,32 @@ AC_VALS = (
     0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
     0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+)
+
+# Table K.6 — chrominance AC
+AC_BITS_CHROMA = (0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+AC_VALS_CHROMA = (
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
     0xF9, 0xFA,
 )
 
@@ -155,6 +207,54 @@ class _BitWriter:
         return bytes(self.buf)
 
 
+def _encode_block(bw: _BitWriter, blk: np.ndarray, pred: int, dc_codes: dict, ac_codes: dict) -> int:
+    """Entropy-code one zigzag block (T.81 F.1.2); returns the new DC
+    predictor for the block's component."""
+    t, bits = _magnitude(int(blk[0]) - pred)
+    pred = int(blk[0])
+    c, ln = dc_codes[t]
+    bw.put(c, ln)
+    if t:
+        bw.put(bits, t)
+    run = 0
+    nz = np.nonzero(blk[1:])[0]
+    last = nz[-1] + 1 if nz.size else 0
+    for k in range(1, last + 1):
+        v = int(blk[k])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            c, ln = ac_codes[0xF0]  # ZRL
+            bw.put(c, ln)
+            run -= 16
+        t, bits = _magnitude(v)
+        c, ln = ac_codes[(run << 4) | t]
+        bw.put(c, ln)
+        bw.put(bits, t)
+        run = 0
+    if last < 63:
+        c, ln = ac_codes[0x00]  # EOB
+        bw.put(c, ln)
+    return pred
+
+
+def _plane_zigzag(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """(ph, pw) float plane (level-shifted) → (#blocks, 64) quantized
+    zigzag rows, blocks in row-major block order."""
+    ph, pw = plane.shape
+    blocks = (
+        plane.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+    coeffs = np.einsum("ij,njk,lk->nil", _DCT_C, blocks, _DCT_C)
+    quant = np.round(coeffs / qtab).astype(np.int32)
+    return quant.reshape(-1, 64)[:, ZIGZAG]
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+
 def encode_jpeg_gray(img: np.ndarray) -> bytes:
     """uint8 (h, w) grayscale → baseline JPEG bytes (Annex K tables,
     edge-replicated padding to 8-multiples)."""
@@ -166,59 +266,107 @@ def encode_jpeg_gray(img: np.ndarray) -> bytes:
         raise ValueError("empty image")
     ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
     padded = np.pad(img, ((0, ph - h), (0, pw - w)), mode="edge")
-
-    blocks = (
-        padded.reshape(ph // 8, 8, pw // 8, 8)
-        .transpose(0, 2, 1, 3)
-        .reshape(-1, 8, 8)
-        .astype(np.float64)
-        - 128.0
-    )
-    coeffs = np.einsum("ij,njk,lk->nil", _DCT_C, blocks, _DCT_C)
-    quant = np.round(coeffs / QUANT_LUMA).astype(np.int32)
-    zz = quant.reshape(-1, 64)[:, ZIGZAG]
+    zz = _plane_zigzag(padded.astype(np.float64) - 128.0, QUANT_LUMA)
 
     dc_codes = _build_codes(DC_BITS, DC_VALS)
     ac_codes = _build_codes(AC_BITS, AC_VALS)
     bw = _BitWriter()
     pred = 0
     for blk in zz:
-        t, bits = _magnitude(int(blk[0]) - pred)
-        pred = int(blk[0])
-        c, ln = dc_codes[t]
-        bw.put(c, ln)
-        if t:
-            bw.put(bits, t)
-        run = 0
-        nz = np.nonzero(blk[1:])[0]
-        last = nz[-1] + 1 if nz.size else 0
-        for k in range(1, last + 1):
-            v = int(blk[k])
-            if v == 0:
-                run += 1
-                continue
-            while run >= 16:
-                c, ln = ac_codes[0xF0]  # ZRL
-                bw.put(c, ln)
-                run -= 16
-            t, bits = _magnitude(v)
-            c, ln = ac_codes[(run << 4) | t]
-            bw.put(c, ln)
-            bw.put(bits, t)
-            run = 0
-        if last < 63:
-            c, ln = ac_codes[0x00]  # EOB
-            bw.put(c, ln)
+        pred = _encode_block(bw, blk, pred, dc_codes, ac_codes)
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(payload) + 2) + payload
-
-    dqt = seg(0xFFDB, b"\x00" + bytes(QUANT_LUMA.ravel()[ZIGZAG].astype(np.uint8)))
-    sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
-    dht = seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS)) + seg(
+    dqt = _seg(0xFFDB, b"\x00" + bytes(QUANT_LUMA.ravel()[ZIGZAG].astype(np.uint8)))
+    sof = _seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    dht = _seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS)) + _seg(
         0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS)
     )
-    sos = seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+    sos = _seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+    return b"\xff\xd8" + dqt + sof + dht + sos + bw.flush() + b"\xff\xd9"
+
+
+def rgb_to_ycbcr(rgb: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(h, w, 3) uint8 RGB → float64 Y, Cb, Cr planes (JFIF full-range
+    BT.601, T-871 §7)."""
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return y, cb, cr
+
+
+def ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    """float Y/Cb/Cr planes → (h, w, 3) uint8 RGB (inverse of the above)."""
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def encode_jpeg_color(img: np.ndarray, subsample: bool = True) -> bytes:
+    """uint8 (h, w, 3) RGB → baseline YCbCr JPEG bytes. 4:2:0 chroma
+    subsampling (2×2 mean) by default, 4:4:4 with subsample=False.
+    Interleaved single scan, per-component DC predictors, luma tables
+    K.1/K.3/K.5 for Y and chroma tables K.2/K.4/K.6 for Cb/Cr — the
+    header layout every baseline color JPEG in the wild uses."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("encode_jpeg_color takes an (h, w, 3) RGB array")
+    h, w = img.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    mcu = 16 if subsample else 8
+    ph, pw = -(-h // mcu) * mcu, -(-w // mcu) * mcu
+    padded = np.pad(img, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+    y, cb, cr = rgb_to_ycbcr(padded)
+    if subsample:
+        # 2×2 mean (the common decimation filter); chroma plane is
+        # (ph/2, pw/2), itself a multiple of 8 because ph,pw are 16-mults
+        cb = cb.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        cr = cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+
+    zz_y = _plane_zigzag(y - 128.0, QUANT_LUMA)
+    zz_cb = _plane_zigzag(cb - 128.0, QUANT_CHROMA)
+    zz_cr = _plane_zigzag(cr - 128.0, QUANT_CHROMA)
+
+    dc_l = _build_codes(DC_BITS, DC_VALS)
+    ac_l = _build_codes(AC_BITS, AC_VALS)
+    dc_c = _build_codes(DC_BITS_CHROMA, DC_VALS_CHROMA)
+    ac_c = _build_codes(AC_BITS_CHROMA, AC_VALS_CHROMA)
+
+    bw = _BitWriter()
+    hsamp = 2 if subsample else 1
+    ybw = pw // 8  # Y blocks per row
+    cbw = (pw // (2 * 8)) if subsample else ybw  # chroma blocks per row
+    mcux, mcuy = pw // mcu, ph // mcu
+    preds = [0, 0, 0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for by in range(hsamp):
+                for bx in range(hsamp):
+                    idx = (my * hsamp + by) * ybw + (mx * hsamp + bx)
+                    preds[0] = _encode_block(bw, zz_y[idx], preds[0], dc_l, ac_l)
+            cidx = my * cbw + mx
+            preds[1] = _encode_block(bw, zz_cb[cidx], preds[1], dc_c, ac_c)
+            preds[2] = _encode_block(bw, zz_cr[cidx], preds[2], dc_c, ac_c)
+
+    sampling = 0x22 if subsample else 0x11
+    dqt = _seg(
+        0xFFDB, b"\x00" + bytes(QUANT_LUMA.ravel()[ZIGZAG].astype(np.uint8))
+    ) + _seg(0xFFDB, b"\x01" + bytes(QUANT_CHROMA.ravel()[ZIGZAG].astype(np.uint8)))
+    sof = _seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, sampling, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    dht = (
+        _seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
+        + _seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
+        + _seg(0xFFC4, b"\x01" + bytes(DC_BITS_CHROMA) + bytes(DC_VALS_CHROMA))
+        + _seg(0xFFC4, b"\x11" + bytes(AC_BITS_CHROMA) + bytes(AC_VALS_CHROMA))
+    )
+    sos = _seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 0x3F, 0]))
     return b"\xff\xd8" + dqt + sof + dht + sos + bw.flush() + b"\xff\xd9"
 
 
@@ -261,16 +409,18 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline grayscale JPEG → uint8 (h, w). Supports SOF0, 8-bit, one
-    component, no restart intervals (progressive / multi-component /
-    arithmetic streams raise NotImplementedError)."""
+    """Baseline JPEG → uint8 (h, w) for 1-component streams, (h, w, 3)
+    RGB for 3-component YCbCr (any integer sampling ratio — 4:4:4, 4:2:2,
+    4:2:0). Single interleaved scan, SOF0, 8-bit, no restart intervals
+    (progressive / arithmetic / CMYK streams raise NotImplementedError)."""
     if not is_jpeg(data):
         raise ValueError("not a JPEG (bad SOI)")
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[tuple[int, int], dict] = {}
     h = w = None
-    comp_q = comp_dc = comp_ac = 0
+    comps: list[list[int]] = []  # per component: [id, hi, vi, tq]
+    scan: list[tuple[int, int, int]] = []  # per scan comp: (comp_idx, td, ta)
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -307,26 +457,47 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             prec, h, w, ncomp = struct.unpack(">BHHB", payload[:6])
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision supported")
-            if ncomp != 1:
+            if ncomp not in (1, 3):
                 raise NotImplementedError(
-                    "only single-component (grayscale) baseline JPEG supported"
+                    f"{ncomp}-component baseline JPEG not supported (1=gray, 3=YCbCr)"
                 )
-            comp_q = payload[8]
+            comps = [
+                [payload[6 + 3 * i], payload[7 + 3 * i] >> 4,
+                 payload[7 + 3 * i] & 0xF, payload[8 + 3 * i]]
+                for i in range(ncomp)
+            ]
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(f"non-baseline SOF 0xFF{marker:02X} not supported")
         elif marker == 0xDD:
             raise NotImplementedError("restart intervals (DRI) not supported")
         elif marker == 0xDA:  # SOS — entropy data follows
-            comp_dc, comp_ac = payload[2] >> 4, payload[2] & 0xF
+            ns = payload[0]
+            if ns != len(comps):
+                raise NotImplementedError(
+                    "multi-scan (non-interleaved) baseline JPEG not supported"
+                )
+            by_id = {c[0]: i for i, c in enumerate(comps)}
+            for i in range(ns):
+                cs, tdta = payload[1 + 2 * i], payload[2 + 2 * i]
+                scan.append((by_id[cs], tdta >> 4, tdta & 0xF))
             pos += ln
             break
         pos += ln
-    if h is None:
+    if h is None or not comps:
         raise ValueError("JPEG missing SOF0")
 
-    dc_tab, ac_tab = htabs[(0, comp_dc)], htabs[(1, comp_ac)]
-    q = qtabs[comp_q]
-    bh, bw_ = -(-h // 8), -(-w // 8)
+    # a single-component scan is non-interleaved: MCU = one data unit and
+    # the declared sampling factors don't shape the scan (T.81 A.2.2)
+    if len(comps) == 1:
+        comps[0][1] = comps[0][2] = 1
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    for _, hi, vi, _tq in comps:
+        if hi < 1 or vi < 1 or hmax % hi or vmax % vi:
+            raise NotImplementedError(
+                f"non-integer subsampling ratio {hi}x{vi} vs {hmax}x{vmax}"
+            )
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
     br = _BitReader(data, pos)
 
     def read_sym(tab: dict) -> int:
@@ -339,13 +510,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 return sym
         raise ValueError("invalid Huffman code")
 
-    zz = np.zeros((bh * bw_, 64), np.int32)
-    pred = 0
-    for b in range(bh * bw_):
+    def read_block(zz_row: np.ndarray, dc_tab: dict, ac_tab: dict, pred: int) -> int:
         t = read_sym(dc_tab)
-        diff = _extend(br.bits(t), t) if t else 0
-        pred += diff
-        zz[b, 0] = pred
+        pred += _extend(br.bits(t), t) if t else 0
+        zz_row[0] = pred
         k = 1
         while k < 64:
             rs = read_sym(ac_tab)
@@ -358,15 +526,42 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             k += r
             if k > 63:
                 raise ValueError("AC run past end of block")
-            zz[b, k] = _extend(br.bits(t), t)
+            zz_row[k] = _extend(br.bits(t), t)
             k += 1
+        return pred
 
-    coeffs = np.zeros((bh * bw_, 64), np.float64)
-    coeffs[:, ZIGZAG] = zz * q.ravel()[ZIGZAG]
-    coeffs = coeffs.reshape(-1, 8, 8)
-    pix = np.einsum("ji,njk,kl->nil", _DCT_C, coeffs, _DCT_C) + 128.0
-    pix = np.clip(np.round(pix), 0, 255).astype(np.uint8)
-    out = (
-        pix.reshape(bh, bw_, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8)
-    )
-    return out[:h, :w]
+    # per-component coefficient stores, block row-major within component
+    cbw = [mcux * c[1] for c in comps]  # blocks per row
+    cbh = [mcuy * c[2] for c in comps]
+    zz = [np.zeros((cbh[i] * cbw[i], 64), np.int32) for i in range(len(comps))]
+    preds = [0] * len(comps)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, td, ta in scan:
+                _, hi, vi, _tq = comps[ci]
+                dc_tab, ac_tab = htabs[(0, td)], htabs[(1, ta)]
+                for by in range(vi):
+                    for bx in range(hi):
+                        row = (my * vi + by) * cbw[ci] + (mx * hi + bx)
+                        preds[ci] = read_block(zz[ci][row], dc_tab, ac_tab, preds[ci])
+
+    planes = []
+    for i, (_cid, hi, vi, tq) in enumerate(comps):
+        q = qtabs[tq]
+        coeffs = np.zeros((cbh[i] * cbw[i], 64), np.float64)
+        coeffs[:, ZIGZAG] = zz[i] * q.ravel()[ZIGZAG]
+        coeffs = coeffs.reshape(-1, 8, 8)
+        pix = np.einsum("ji,njk,kl->nil", _DCT_C, coeffs, _DCT_C) + 128.0
+        plane = (
+            pix.reshape(cbh[i], cbw[i], 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(cbh[i] * 8, cbw[i] * 8)
+        )
+        # upsample by sample replication to the full sampling grid
+        if hi != hmax or vi != vmax:
+            plane = np.repeat(np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1)
+        planes.append(plane[:h, :w])
+
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    return ycbcr_to_rgb(planes[0], planes[1], planes[2])

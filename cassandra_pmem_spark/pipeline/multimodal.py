@@ -10,11 +10,12 @@ predicate pushdown on metadata never touches the bytes.
 Decode / feature-extract / resize / frame-sample run as Arrow-batched
 mapInPandas stages: the Spark-side plumbing (schemas, batch iteration,
 partition sizing) is real and tested. Codecs: PNG, 16-bit-PCM WAV, and
-baseline grayscale JPEG decode/encode are REAL and library-free
-(pipeline/codecs.py — stdlib zlib/struct/wave + numpy;
-pipeline/jpeg.py — T.81 baseline Huffman+DCT); formats that require
-codec libraries the container lacks (color/progressive JPEG, MP3, video)
-raise a clearly-marked NotImplementedError, and a deterministic
+baseline JPEG — grayscale AND 4:2:0/4:4:4 YCbCr color — decode/encode
+are REAL and library-free (pipeline/codecs.py — stdlib zlib/struct/wave
++ numpy; pipeline/jpeg.py — T.81 baseline Huffman+DCT, interleaved
+MCUs); formats that require codec libraries the container lacks
+(progressive JPEG, MP3, video) raise a clearly-marked
+NotImplementedError, and a deterministic
 byte-statistics fake remains available (fake_decode=True) for
 format-agnostic plumbing tests. At
 scale, each batch is one Arrow RecordBatch; set
@@ -71,21 +72,23 @@ def attach_media(
 
 
 def _decode_image(data: bytes) -> "object":
-    """Real decode for PNG and baseline grayscale JPEG (pipeline/codecs.py,
-    pipeline/jpeg.py — pure stdlib+numpy); other image formats need codec
-    libraries this container lacks and raise."""
+    """Real decode for PNG and baseline JPEG — grayscale AND 4:2:0/4:4:4
+    YCbCr color (pipeline/codecs.py, pipeline/jpeg.py — pure
+    stdlib+numpy); other image formats need codec libraries this
+    container lacks and raise."""
     from cassandra_pmem_spark.pipeline.codecs import decode_png, is_png
     from cassandra_pmem_spark.pipeline.jpeg import decode_jpeg, is_jpeg
 
     if is_png(data):
         return decode_png(data)
     if is_jpeg(data):
-        return decode_jpeg(data)
+        return decode_jpeg(data)  # (h, w) gray or (h, w, 3) RGB
     raise NotImplementedError(
-        "only PNG and baseline grayscale JPEG decode without codec "
-        "libraries (WebP/color-JPEG/... need Pillow/libvips — not present "
-        "in this container); or use extract_image_features(fake_decode=True) "
-        "for format-agnostic plumbing"
+        "only PNG and baseline JPEG (gray + YCbCr color) decode without "
+        "codec libraries (WebP/progressive-JPEG/... need Pillow/libvips — "
+        "not present in this container); or use "
+        "extract_image_features(fake_decode=True) for format-agnostic "
+        "plumbing"
     )
 
 
@@ -188,6 +191,40 @@ def jpeg_encode_stage(media: DataFrame, width: int = 16) -> DataFrame:
     return media.select("item_id", "data").mapInPandas(run, PNG_STAGE_SCHEMA)
 
 
+def jpeg_encode_color_stage(media: DataFrame, width: int = 16) -> DataFrame:
+    """Encode each item's payload bytes as a deterministic 4:2:0 COLOR
+    baseline JPEG: evenized bytes become achromatic RGB (R=G=B=v) uniform
+    8×8 blocks. Achromatic even-valued blocks round-trip bit-exactly
+    through the full color chain — Y = v exactly (the BT.601 luma weights
+    sum to 1), Cb = Cr = 128 exactly (the chroma weights cancel), so every
+    chroma coefficient quantizes to 0 and the luma path reduces to the
+    grayscale exactness argument (jpeg.py docstring). The decoded RGB
+    histogram therefore has the same PROPORTIONS as the gray variant
+    (each byte contributes 3 identical channel samples), making the color
+    pipeline oracle-checkable with the same SQL."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from cassandra_pmem_spark.pipeline.jpeg import encode_jpeg_color
+
+        for pdf in batches:
+            rows = []
+            for item_id, data in zip(pdf["item_id"], pdf["data"]):
+                raw = bytes(data or b"\x00") or b"\x00"
+                h = (len(raw) + width - 1) // width
+                grid = (
+                    np.frombuffer(raw.ljust(h * width, b"\x00"), np.uint8).reshape(h, width)
+                    & 0xFE
+                )
+                gray = np.repeat(np.repeat(grid, 8, axis=0), 8, axis=1)
+                rgb = np.stack([gray, gray, gray], axis=-1)
+                rows.append((int(item_id), encode_jpeg_color(rgb)))
+            yield pd.DataFrame(rows, columns=["item_id", "data"])
+
+    return media.select("item_id", "data").mapInPandas(run, PNG_STAGE_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: expand each item into (item_id, frame_ts)
     rows using metadata only — pure built-ins, no decode. The decode of the
@@ -221,9 +258,12 @@ def _resize_image(data: bytes, width: int, height: int) -> bytes:
     if is_png(data):
         return encode_png(resize_nearest(decode_png(data), width, height))
     if is_jpeg(data):
-        return encode_jpeg_gray(resize_nearest(decode_jpeg(data), width, height))
+        from cassandra_pmem_spark.pipeline.jpeg import encode_jpeg_color
+
+        px = resize_nearest(decode_jpeg(data), width, height)
+        return encode_jpeg_color(px) if px.ndim == 3 else encode_jpeg_gray(px)
     raise NotImplementedError(
-        "only PNG and baseline grayscale JPEG resize without codec "
+        "only PNG and baseline JPEG (gray + color) resize without codec "
         "libraries; use resize_images(fake_resize=True) for format-agnostic "
         "plumbing"
     )

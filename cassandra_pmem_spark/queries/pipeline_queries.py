@@ -365,6 +365,32 @@ def multimodal_features_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_features_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL color-JPEG pipeline, oracle-checked: evenized utf8 bytes
+    become achromatic RGB uniform blocks encoded as 4:2:0 YCbCr baseline
+    JPEG (pipeline/jpeg.py encode_jpeg_color — interleaved MCUs, chroma
+    tables K.2/K.4/K.6) and decoded back through the multi-component
+    Huffman+IDCT+upsample+YCbCr→RGB decoder. Achromatic even blocks
+    round-trip bit-exactly (jpeg_encode_color_stage docstring derives
+    why), and each byte contributes three identical channel samples, so
+    the decoded histogram PROPORTIONS equal the grayscale variant's —
+    the same DuckDB oracle covers both. A hash match proves the whole
+    color chain (RGB→YCbCr→subsample→quant→Huffman→decode→upsample→RGB)
+    reproduced every pixel."""
+    from cassandra_pmem_spark.pipeline.multimodal import jpeg_encode_color_stage
+
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "blob", F.col("text").cast("binary")
+    )
+    media = attach_media(docs, "blob", "image", "image/jpeg", "doc_id")
+    feats = extract_image_features(jpeg_encode_color_stage(media), dim=8, fake_decode=False)
+    return feats.select(
+        "item_id",
+        F.round("byte_entropy", 6).alias("byte_entropy"),
+        *[F.col("feature")[i].cast("double").alias(f"f{i}") for i in range(8)],
+    )
+
+
 def _multimodal_features_jpeg_oracle(dim: int = 8, width: int = 16) -> str:
     """Mirror of the JPEG encode→decode→histogram pipeline: decoded pixels
     are the EVENIZED utf8 bytes (v & ~1) zero-padded to a `width`-multiple,
@@ -792,6 +818,12 @@ QUERIES = {
     "multimodal_features": (multimodal_features, _multimodal_features_oracle()),
     "multimodal_features_jpeg": (
         multimodal_features_jpeg,
+        _multimodal_features_jpeg_oracle(),
+    ),
+    # same oracle as the gray variant: achromatic pixels triple every
+    # histogram count, which cancels in the proportions
+    "multimodal_features_jpeg_color": (
+        multimodal_features_jpeg_color,
         _multimodal_features_jpeg_oracle(),
     ),
     "text_sasi_analyzer": (text_sasi_analyzer, _SASI_ORACLE),

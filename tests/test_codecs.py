@@ -285,3 +285,95 @@ class TestJpeg:
         df = spark.createDataFrame([(7, jpg)], "item_id long, data binary")
         rows = resize_images(df, width=8, height=6, fake_resize=False).collect()
         assert decode_jpeg(bytes(rows[0].data)).shape == (6, 8)
+
+
+class TestJpegColor:
+    """Multi-component baseline JPEG (4:2:0 / 4:4:4 YCbCr — T.81
+    interleaved MCUs, Annex K chroma tables K.2/K.4/K.6)."""
+
+    def test_achromatic_even_420_roundtrip_exact(self):
+        # the color oracle-exactness property: achromatic (R=G=B) uniform
+        # even blocks give Y=v exactly and Cb=Cr=128 exactly, so every
+        # chroma coefficient quantizes to 0 and luma follows the gray
+        # exactness argument — bit-exact through the full 4:2:0 chain
+        from cassandra_pmem_spark.pipeline.jpeg import decode_jpeg, encode_jpeg_color
+
+        grid = (_rng(11).integers(0, 256, (5, 16), dtype=np.uint8)) & 0xFE
+        gray = np.repeat(np.repeat(grid, 8, axis=0), 8, axis=1)
+        rgb = np.stack([gray, gray, gray], axis=-1)
+        out = decode_jpeg(encode_jpeg_color(rgb))
+        assert out.shape == rgb.shape
+        assert np.array_equal(out, rgb)
+
+    def test_achromatic_even_444_roundtrip_exact(self):
+        from cassandra_pmem_spark.pipeline.jpeg import decode_jpeg, encode_jpeg_color
+
+        grid = (_rng(12).integers(0, 256, (3, 8), dtype=np.uint8)) & 0xFE
+        gray = np.repeat(np.repeat(grid, 8, axis=0), 8, axis=1)
+        rgb = np.stack([gray, gray, gray], axis=-1)
+        assert np.array_equal(decode_jpeg(encode_jpeg_color(rgb, subsample=False)), rgb)
+
+    def test_lossy_smooth_color_close(self):
+        from cassandra_pmem_spark.pipeline.jpeg import decode_jpeg, encode_jpeg_color
+
+        h, w = 48, 64
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack(
+            [
+                (xx * 255 // (w - 1)).astype(np.uint8),
+                (yy * 255 // (h - 1)).astype(np.uint8),
+                ((xx + yy) * 255 // (h + w - 2)).astype(np.uint8),
+            ],
+            axis=-1,
+        )
+        for sub in (True, False):
+            dec = decode_jpeg(encode_jpeg_color(img, subsample=sub))
+            assert dec.shape == img.shape
+            err = np.abs(dec.astype(int) - img.astype(int))
+            assert err.mean() < 4.0, f"subsample={sub}: mean err {err.mean()}"
+
+    def test_non_mcu_multiple_dims(self):
+        from cassandra_pmem_spark.pipeline.jpeg import decode_jpeg, encode_jpeg_color
+
+        img = _rng(13).integers(0, 256, (19, 27, 3), dtype=np.uint8)
+        assert decode_jpeg(encode_jpeg_color(img)).shape == (19, 27, 3)
+        assert decode_jpeg(encode_jpeg_color(img, subsample=False)).shape == (19, 27, 3)
+
+    def test_ycbcr_conversion_inverts(self):
+        from cassandra_pmem_spark.pipeline.jpeg import rgb_to_ycbcr, ycbcr_to_rgb
+
+        rgb = _rng(14).integers(0, 256, (9, 9, 3), dtype=np.uint8)
+        y, cb, cr = rgb_to_ycbcr(rgb)
+        back = ycbcr_to_rgb(y, cb, cr)
+        assert np.abs(back.astype(int) - rgb.astype(int)).max() <= 1
+
+    def test_gray_decoder_still_gray_shape(self):
+        # 1-component streams keep returning 2-D arrays
+        from cassandra_pmem_spark.pipeline.jpeg import decode_jpeg, encode_jpeg_gray
+
+        img = (_rng(15).integers(0, 256, (16, 16), dtype=np.uint8)) & 0xFE
+        assert decode_jpeg(encode_jpeg_gray(img)).ndim == 2
+
+    def test_color_stage_histogram_matches_gray_proportions(self, spark):
+        from cassandra_pmem_spark.pipeline.multimodal import (
+            extract_image_features,
+            jpeg_encode_color_stage,
+        )
+
+        payload = bytes([0, 64, 128, 192] * 64)
+        df = spark.createDataFrame([(3, payload)], "item_id long, data binary")
+        out = extract_image_features(
+            jpeg_encode_color_stage(df), dim=8, fake_decode=False
+        ).collect()
+        # 4 equally-likely decoded values -> entropy exactly 2 bits, same
+        # as the gray stage (3 identical channel samples cancel)
+        assert out[0].byte_entropy == pytest.approx(2.0)
+
+    def test_resize_color_jpeg_reencodes_color(self, spark):
+        from cassandra_pmem_spark.pipeline.jpeg import decode_jpeg, encode_jpeg_color
+        from cassandra_pmem_spark.pipeline.multimodal import resize_images
+
+        jpg = encode_jpeg_color(_rng(16).integers(0, 256, (32, 24, 3), dtype=np.uint8))
+        df = spark.createDataFrame([(8, jpg)], "item_id long, data binary")
+        rows = resize_images(df, width=12, height=10, fake_resize=False).collect()
+        assert decode_jpeg(bytes(rows[0].data)).shape == (10, 12, 3)
