@@ -288,7 +288,24 @@ def _murmur3_bytes_np(B: "np.ndarray", lens: "np.ndarray") -> "np.ndarray":
 
 
 def serialize_pk_value(v, dtype) -> bytes:
-    """One partition-key component's raw serialization (db/marshal/*)."""
+    """One partition-key component's raw serialization (db/marshal/*).
+
+    Covered marshal types (each cited to its reference serializer):
+    - LongType.java / Int32Type.java / ShortType.java / ByteType.java —
+      big-endian two's-complement at the type's width;
+    - UTF8Type.java — raw utf8 bytes;
+    - DoubleType.java / FloatType.java — big-endian IEEE-754 bit pattern;
+    - BooleanType.java — one byte, 0 or 1;
+    - SimpleDateType.java — UNSIGNED 4-byte days-since-epoch with the
+      epoch centered at 2^31 (so day 0 serializes as 0x80000000);
+    - TimestampType.java — epoch millis as a big-endian int64 (the
+      Timestamp path in token_column pre-converts via unix_millis so the
+      value here is already a long — see functions/token.py);
+    - DecimalType.java — 4-byte int scale, then the unscaled value as a
+      BigInteger.toByteArray() minimal two's-complement varint;
+    - IntegerType.java (CQL varint) — the varint bytes alone;
+    - BytesType.java — the blob verbatim.
+    """
     import struct
 
     from pyspark.sql import types as T
@@ -299,6 +316,45 @@ def serialize_pk_value(v, dtype) -> bytes:
         return struct.pack(">i", int(v))  # Int32Type.java big-endian int32
     if isinstance(dtype, T.StringType):
         return str(v).encode("utf-8")  # UTF8Type.java raw utf8
+    if isinstance(dtype, T.ShortType):
+        return struct.pack(">h", int(v))  # ShortType.java
+    if isinstance(dtype, T.ByteType):
+        return struct.pack(">b", int(v))  # ByteType.java
+    if isinstance(dtype, T.DoubleType):
+        return struct.pack(">d", float(v))  # DoubleType.java IEEE-754 bits
+    if isinstance(dtype, T.FloatType):
+        return struct.pack(">f", float(v))  # FloatType.java
+    if isinstance(dtype, T.BooleanType):
+        return b"\x01" if v else b"\x00"  # BooleanType.java
+    if isinstance(dtype, T.DateType):
+        import datetime
+
+        days = (v - datetime.date(1970, 1, 1)).days
+        # SimpleDateType.java: unsigned int, epoch at 2^31
+        return struct.pack(">I", (days + (1 << 31)) & 0xFFFFFFFF)
+    if isinstance(dtype, T.TimestampType):
+        # TimestampType.java: epoch millis int64. NOTE: naive timestamps
+        # are interpreted in the session timezone; token_column avoids
+        # this path by pre-converting through unix_millis (TZ-exact)
+        import pandas as _pd
+
+        return struct.pack(">q", int(_pd.Timestamp(v).value // 1_000_000))
+    if isinstance(dtype, T.DecimalType):
+        from decimal import Decimal
+
+        d = v if isinstance(v, Decimal) else Decimal(str(v))
+        _sign, _digits, exp = d.as_tuple()
+        scale = -exp if exp < 0 else 0
+        unscaled = int(d.scaleb(scale))
+        vb = unscaled.to_bytes(unscaled.bit_length() // 8 + 1, "big", signed=True)
+        if dtype.scale == 0:
+            # the DDL maps CQL varint to DecimalType(38,0): IntegerType.java
+            # serializes the BigInteger.toByteArray() bytes alone
+            return vb
+        # DecimalType.java: int scale + unscaled varint
+        return struct.pack(">i", scale) + vb
+    if isinstance(dtype, T.BinaryType):
+        return bytes(v)  # BytesType.java verbatim
     raise TypeError(f"unsupported partition-key type for token(): {dtype}")
 
 

@@ -7,16 +7,22 @@ over partition keys, enabling token-range scans and token-ordered paging.
 
 Hash selection:
 
-- single-column **bigint** keys → the bit-exact Cassandra Murmur3 token
-  (functions/murmur3.py, fixed-8-byte vectorized Arrow kernel);
-- any other key whose column types are all long/int/text — single OR
-  composite — → the general-length Murmur3 kernel over the reference
-  serialization (single column: the type's raw bytes; composite:
-  CompositeType.java's length-prefixed layout). Also bit-exact.
-- keys containing an unsupported type (double, array, …) → xxhash64
-  (JVM builtin): same query semantics (stable hash order), different
-  values. Documented deviation per SURVEY §2.8 — now reached only by
-  key types the reference itself would not use as partition keys here.
+- single-column **bigint** (and **timestamp**, which serializes as its
+  epoch-millis int64 — TimestampType.java) keys → the bit-exact Cassandra
+  Murmur3 token (functions/murmur3.py, fixed-8-byte vectorized kernel);
+- any other key whose column types are all in the covered marshal set —
+  long/int/smallint/tinyint/text/double/float/boolean/date/timestamp/
+  decimal/varint/blob, single OR composite — → the general-length
+  Murmur3 kernel over the reference serialization (single column: the
+  type's raw bytes per db/marshal/*; composite: CompositeType.java's
+  length-prefixed layout). Also bit-exact.
+- keys containing a type with no covered serializer (collections, UDTs —
+  which the reference itself cannot use as partition-key components
+  unfrozen) → xxhash64 (JVM builtin): same query semantics (stable hash
+  order), different values. Documented deviation per SURVEY §2.8.
+
+Timestamp columns pre-convert JVM-side through unix_millis, so the
+token is exact regardless of the session timezone.
 
 Pass the table schema to get the murmur3 paths; without it the caller
 gets the xxhash64 analog (type-blind, always safe).
@@ -30,7 +36,30 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_MURMUR_TYPES = (T.LongType, T.IntegerType, T.StringType)
+_MURMUR_TYPES = (
+    T.LongType,
+    T.IntegerType,
+    T.StringType,
+    T.ShortType,
+    T.ByteType,
+    T.DoubleType,
+    T.FloatType,
+    T.BooleanType,
+    T.DateType,
+    T.TimestampType,
+    T.DecimalType,
+    T.BinaryType,
+)
+
+
+def _component(col: str, dtype):
+    """(column expression, effective marshal dtype) for one key component.
+    Timestamps become their epoch-millis long JVM-side (unix_millis is
+    timezone-independent on TimestampType), matching TimestampType.java's
+    serialized form exactly."""
+    if isinstance(dtype, T.TimestampType):
+        return F.unix_millis(F.col(col)), T.LongType()
+    return F.col(col), dtype
 
 
 def token_column(
@@ -40,16 +69,17 @@ def token_column(
     if schema is not None:
         by_name = {f.name: f.dataType for f in schema.fields}
         dtypes = [by_name.get(c) for c in cols]
-        if len(cols) == 1 and isinstance(dtypes[0], T.LongType):
-            from cassandra_pmem_spark.functions.murmur3 import murmur3_token_column
-
-            return murmur3_token_column(cols[0])
         if all(isinstance(dt, _MURMUR_TYPES) for dt in dtypes):
+            exprs, eff = zip(*[_component(c, dt) for c, dt in zip(cols, dtypes)])
+            if len(cols) == 1 and isinstance(eff[0], T.LongType):
+                from cassandra_pmem_spark.functions.murmur3 import murmur3_token_column
+
+                return murmur3_token_column(exprs[0])
             from cassandra_pmem_spark.functions.murmur3 import (
                 murmur3_token_key_columns,
             )
 
-            return murmur3_token_key_columns(cols, dtypes)
+            return murmur3_token_key_columns(list(exprs), list(eff))
     return F.xxhash64(*[F.col(c) for c in cols])
 
 

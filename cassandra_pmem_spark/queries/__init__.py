@@ -56,6 +56,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_minhash_jaccard",
     "multimodal_features_jpeg",
     "multimodal_features_jpeg_color",  # NEW this round (color codec)
+    "cql_token_scan_timestamp",  # NEW this round (temporal-key Murmur3)
     # -- (3) round-1-only evidence (three rounds stale)
     "cql_point_lookup",
     "cql_collection_access",
@@ -89,10 +90,10 @@ _PRIORITY: tuple[str, ...] = (
     "cql_upsert_lww_cells",
     "cql_ttl_expiry",
     "dedup_exact_docs",
-    "dedup_simhash",
 )
-# sim_bruteforce_topk (r2 evidence) yielded its slot to the new color-JPEG
-# query; it rotates into the round-5 window with the rest of the r2 set.
+# sim_bruteforce_topk and dedup_simhash (r2 evidence) yielded their slots
+# to the two new never-green queries (color JPEG, timestamp token); they
+# rotate into the round-5 window with the rest of the r2 set.
 # Deliberately outside the window this round (fresh r3 evidence or
 # unedited r2 evidence that rotates in next round): tpch q2–q22,
 # streaming_{tumbling,session}_real, cql_token_scan*, sim_lsh_topk,

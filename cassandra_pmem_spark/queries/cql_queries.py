@@ -146,6 +146,24 @@ def cql_token_scan_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cql_token_scan_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """token() over a TIMESTAMP partition key — TimestampType.java
+    serializes epoch millis as a big-endian int64, so the key pre-converts
+    JVM-side through unix_millis (timezone-exact) and rides the fixed-8
+    bigint Murmur3 kernel; the DuckDB twin hashes epoch_ms(ts) through the
+    same SQL step chain. Closes the round-3 deviation for temporal key
+    types (Murmur3Partitioner.java:214-246)."""
+    from cassandra_pmem_spark.functions.token import token_column
+
+    ev = load_table(spark, "events", sf_dir).filter(F.col("event_id") < 1500)
+    tok = token_column(["ts"], TABLES["events"].schema)
+    return (
+        ev.withColumn("token", tok)
+        .orderBy("token")
+        .select("event_id", "ts", "token")
+    )
+
+
 def cql_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONTAINS on a set<text> column (Operator.java:117) — the collection is
     materialized per partition (collect_set), then filtered."""
@@ -467,6 +485,12 @@ QUERIES = {
     "cql_token_scan_composite": (
         cql_token_scan_composite,
         _token_composite_oracle(),
+    ),
+    "cql_token_scan_timestamp": (
+        cql_token_scan_timestamp,
+        f"SELECT event_id, ts, token FROM "
+        f"{murmur3_token_subquery('(SELECT event_id, ts, epoch_ms(ts) AS ts_ms FROM events WHERE event_id < 1500)', 'ts_ms', ['event_id', 'ts'])} "
+        f"ORDER BY token",
     ),
     "cql_contains": (
         cql_contains,

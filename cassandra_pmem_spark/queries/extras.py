@@ -241,13 +241,15 @@ def analytics_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def cql_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full DDL text path (Parser.g:209 createTableStatement;
-    CreateTableStatement.java; UseStatement.java; BatchStatement.java):
-    CREATE KEYSPACE, USE it (so the unqualified CREATE TABLEs scope to it),
-    create TWO tables, load both — 25 nation + 5 region rows — through ONE
-    multi-table BATCH of bound INSERTs (one shared `?` cursor, one
-    coordinator timestamp across both table sessions), read back through
-    the parsed SELECT surface and join. Collects are bounded by the fixed
-    nation/region cardinalities (neither scales with sf)."""
+    CreateTableStatement.java; UseStatement.java; BatchStatement.java;
+    schema/KeyspaceMetadata.java keyspace-scoped tables): CREATE two
+    keyspaces holding a SAME-NAMED table (the decoy stays empty — proving
+    scoped resolution routes DML/SELECT to the USE'd keyspace's table),
+    USE one, create TWO tables, load both — 25 nation + 5 region rows —
+    through ONE multi-table BATCH of bound INSERTs (one shared `?`
+    cursor, one coordinator timestamp across both table sessions), read
+    back through the parsed SELECT surface and join. Collects are bounded
+    by the fixed nation/region cardinalities (neither scales with sf)."""
     from cassandra_pmem_spark.cql.ddl import CqlDatabase
 
     db = CqlDatabase(spark)
@@ -255,7 +257,18 @@ def cql_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CREATE KEYSPACE ddl_ks WITH REPLICATION = "
         "{'class': 'SimpleStrategy', 'replication_factor': 1}"
     )
-    db.execute("USE ddl_ks")
+    db.execute(
+        "CREATE KEYSPACE ddl_decoy WITH REPLICATION = "
+        "{'class': 'SimpleStrategy', 'replication_factor': 1}"
+    )
+    # same-named table in the OTHER keyspace: if scoped resolution were
+    # broken, the unqualified DML below would hit this empty decoy and
+    # the result would be empty (caught by the row-count compare)
+    db.execute(
+        "CREATE TABLE ddl_decoy.nation_ddl (n_regionkey int, n_nationkey int, "
+        "n_name text, PRIMARY KEY (n_regionkey, n_nationkey))"
+    )
+    db.execute("USE ddl_ks;")
     db.execute(
         "CREATE TABLE nation_ddl (n_regionkey int, n_nationkey int, "
         "n_name text, PRIMARY KEY (n_regionkey, n_nationkey)) "
@@ -263,6 +276,7 @@ def cql_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     db.execute("CREATE TABLE region_ddl (r_regionkey int PRIMARY KEY, r_name text)")
     assert ("ddl_ks", "nation_ddl") in db.registry.tables  # USE scoped it
+    assert ("ddl_decoy", "nation_ddl") in db.registry.tables  # coexists
     nrows = load_table(spark, "nation", sf_dir).collect()  # 25 rows, fixed
     rrows = load_table(spark, "region", sf_dir).collect()  # 5 rows, fixed
     stmts = "; ".join(
@@ -275,6 +289,7 @@ def cql_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rrows:
         params += [r.r_regionkey, r.r_name]
     db.execute(f"BEGIN BATCH {stmts}; APPLY BATCH", params)
+    assert db.execute("SELECT n_nationkey FROM ddl_decoy.nation_ddl").count() == 0
     n = db.execute(
         "SELECT n_regionkey, n_nationkey, n_name FROM nation_ddl WHERE n_regionkey = 2"
     )

@@ -176,3 +176,119 @@ class TestMurmur3GeneralLength:
             assert r.t_comp == murmur3_token_bytes_py(
                 serialize_partition_key((r.k, r.s), [T.LongType(), T.StringType()])
             )
+
+
+class TestMarshalSerializations:
+    """db/marshal/* partition-key serializations added in round 4
+    (Murmur3Partitioner hashes these bytes; each layout is pinned here
+    against the reference serializer's documented wire form)."""
+
+    def _ser(self, v, dt):
+        from cassandra_pmem_spark.functions.murmur3 import serialize_pk_value
+
+        return serialize_pk_value(v, dt)
+
+    def test_fixed_width_numerics(self):
+        import struct
+
+        from pyspark.sql import types as T
+
+        assert self._ser(-2, T.ShortType()) == struct.pack(">h", -2)
+        assert self._ser(7, T.ByteType()) == b"\x07"
+        assert self._ser(1.5, T.DoubleType()) == struct.pack(">d", 1.5)
+        assert self._ser(-0.25, T.FloatType()) == struct.pack(">f", -0.25)
+        assert self._ser(True, T.BooleanType()) == b"\x01"
+        assert self._ser(False, T.BooleanType()) == b"\x00"
+
+    def test_date_unsigned_epoch_center(self):
+        # SimpleDateType.java: day 0 = 0x80000000, day -1 = 0x7FFFFFFF
+        import datetime
+
+        from pyspark.sql import types as T
+
+        epoch = datetime.date(1970, 1, 1)
+        assert self._ser(epoch, T.DateType()) == b"\x80\x00\x00\x00"
+        assert self._ser(epoch - datetime.timedelta(days=1), T.DateType()) == b"\x7f\xff\xff\xff"
+        assert self._ser(epoch + datetime.timedelta(days=2), T.DateType()) == b"\x80\x00\x00\x02"
+
+    def test_varint_minimal_twos_complement(self):
+        # IntegerType.java == BigInteger.toByteArray(): minimal bytes
+        from decimal import Decimal
+
+        from pyspark.sql import types as T
+
+        varint = T.DecimalType(38, 0)
+        assert self._ser(Decimal(0), varint) == b"\x00"
+        assert self._ser(Decimal(-1), varint) == b"\xff"
+        assert self._ser(Decimal(255), varint) == b"\x00\xff"
+        assert self._ser(Decimal(-256), varint) == b"\xff\x00"
+
+    def test_decimal_scale_prefix(self):
+        # DecimalType.java: int scale + unscaled varint ("1.25" = scale 2,
+        # unscaled 125)
+        from decimal import Decimal
+
+        from pyspark.sql import types as T
+
+        got = self._ser(Decimal("1.25"), T.DecimalType(38, 18))
+        assert got == b"\x00\x00\x00\x02" + b"\x7d"
+
+    def test_blob_verbatim(self):
+        from pyspark.sql import types as T
+
+        assert self._ser(b"\x00\xff\x10", T.BinaryType()) == b"\x00\xff\x10"
+
+    def test_timestamp_epoch_millis(self):
+        import struct
+
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        ts = pd.Timestamp("1970-01-01 00:00:01")
+        assert self._ser(ts, T.TimestampType()) == struct.pack(">q", 1000)
+
+    def test_double_key_token_matches_bytes_port(self, spark):
+        # a double partition key routes through the general kernel over
+        # the IEEE-754 big-endian bytes — pin Spark against the scalar port
+        import struct
+
+        from pyspark.sql import types as T
+
+        from cassandra_pmem_spark.functions.murmur3 import murmur3_token_bytes_py
+        from cassandra_pmem_spark.functions.token import token_column
+
+        vals = [0.0, -1.5, 3.141592653589793, 1e300, -2e-5]
+        df = spark.createDataFrame([(v,) for v in vals], "value double")
+        tok = token_column(["value"], T.StructType([T.StructField("value", T.DoubleType())]))
+        got = {r.value: r.token for r in df.withColumn("token", tok).collect()}
+        want = {v: murmur3_token_bytes_py(struct.pack(">d", v)) for v in vals}
+        assert got == want
+
+    def test_timestamp_key_token_matches_bytes_port(self, spark):
+        # unix_millis pre-conversion -> fixed-8 long kernel; compare against
+        # hashing the epoch-millis int64 bytes directly
+        import struct
+
+        from pyspark.sql import types as T
+
+        from cassandra_pmem_spark.functions.murmur3 import murmur3_token_bytes_py
+        from cassandra_pmem_spark.functions.token import token_column
+
+        import datetime
+
+        rows = [
+            (1, datetime.datetime(1970, 1, 1, 0, 0, 1)),
+            (2, datetime.datetime(1997, 6, 15, 12, 30, 0)),
+            (3, datetime.datetime(2038, 1, 19, 3, 14, 7)),
+        ]
+        df = spark.createDataFrame(rows, "id long, ts timestamp")
+        schema = T.StructType(
+            [T.StructField("id", T.LongType()), T.StructField("ts", T.TimestampType())]
+        )
+        got = {
+            r.id: r.token
+            for r in df.withColumn("token", token_column(["ts"], schema)).collect()
+        }
+        ms = {1: 1000, 2: 866377800000, 3: 2147483647000}
+        want = {i: murmur3_token_bytes_py(struct.pack(">q", m)) for i, m in ms.items()}
+        assert got == want
