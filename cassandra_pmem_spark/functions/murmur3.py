@@ -343,9 +343,17 @@ def serialize_pk_value(v, dtype) -> bytes:
         from decimal import Decimal
 
         d = v if isinstance(v, Decimal) else Decimal(str(v))
-        _sign, _digits, exp = d.as_tuple()
-        scale = -exp if exp < 0 else 0
-        unscaled = int(d.scaleb(scale))
+        # exact unscaled value from the digit tuple — context arithmetic
+        # (scaleb/quantize) silently ROUNDS past the 28-digit default
+        # precision, which a 38-digit varint overflows
+        sign, digits, exp = d.as_tuple()
+        unscaled = int("".join(map(str, digits)) or "0")
+        if exp > 0:
+            unscaled *= 10**exp
+            exp = 0
+        if sign:
+            unscaled = -unscaled
+        scale = -exp
         vb = unscaled.to_bytes(unscaled.bit_length() // 8 + 1, "big", signed=True)
         if dtype.scale == 0:
             # the DDL maps CQL varint to DecimalType(38,0): IntegerType.java

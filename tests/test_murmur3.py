@@ -292,3 +292,34 @@ class TestMarshalSerializations:
         ms = {1: 1000, 2: 866377800000, 3: 2147483647000}
         want = {i: murmur3_token_bytes_py(struct.pack(">q", m)) for i, m in ms.items()}
         assert got == want
+
+    @given(
+        n=st.integers(min_value=-(10**30), max_value=10**30),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_varint_roundtrip_property(self, n):
+        # minimal two's-complement must decode back to the integer and
+        # never carry a redundant leading byte (BigInteger.toByteArray())
+        from decimal import Decimal
+
+        from pyspark.sql import types as T
+
+        from cassandra_pmem_spark.functions.murmur3 import serialize_pk_value
+
+        b = serialize_pk_value(Decimal(n), T.DecimalType(38, 0))
+        assert int.from_bytes(b, "big", signed=True) == n
+        if len(b) > 1:
+            # minimality: dropping the first byte must change the value
+            assert int.from_bytes(b[1:], "big", signed=True) != n
+
+    @given(v=st.floats(allow_nan=False, width=64))
+    @settings(max_examples=200, deadline=None)
+    def test_double_serialization_roundtrip_property(self, v):
+        import struct
+
+        from pyspark.sql import types as T
+
+        from cassandra_pmem_spark.functions.murmur3 import serialize_pk_value
+
+        b = serialize_pk_value(v, T.DoubleType())
+        assert len(b) == 8 and struct.unpack(">d", b)[0] == v

@@ -165,3 +165,35 @@ class TestSkew:
             "__salt", F.abs(F.xxhash64(*[F.col(c) for c in li.columns])) % 8
         )
         assert salted.select("__salt").distinct().count() > 1
+
+
+class TestRound4Plans:
+    def test_timestamp_token_scan_pushes_bound_filter(self, spark):
+        """The event_id bound must reach the Parquet scan — at 100 TB the
+        token UDF only sees the filtered slice, never the full table."""
+        from cassandra_pmem_spark.queries.cql_queries import cql_token_scan_timestamp
+
+        plan = plan_of(cql_token_scan_timestamp(spark, SF_SMALL))
+        assert "PushedFilters" in plan and "LessThan(event_id,1500)" in plan
+        # projection pruning: untouched wide columns stay out of the scan
+        assert "props" not in plan
+
+    def test_color_jpeg_pipeline_is_shuffle_free(self, spark):
+        """Encode → decode → features is a pure mapInPandas chain: zero
+        Exchanges; the stage parallelism is the scan parallelism."""
+        from cassandra_pmem_spark.pipeline.multimodal import (
+            extract_image_features,
+            jpeg_encode_color_stage,
+        )
+
+        docs = (
+            load_table(spark, "documents", SF_SMALL)
+            .select(
+                F.col("doc_id").alias("item_id"),
+                F.col("text").cast("binary").alias("data"),
+            )
+        )
+        feats = extract_image_features(
+            jpeg_encode_color_stage(docs), dim=8, fake_decode=False
+        )
+        assert "Exchange" not in plan_of(feats)

@@ -245,3 +245,66 @@ class TestWriteModelPropertyTtlBatch:
                 key=str,
             )
             assert got == model.visible(now), f"now={now} ops={ops}"
+
+
+class TestBatchAtomicityProperty:
+    """Property: a batch containing ONE invalid statement (at any random
+    position) leaves the session state EXACTLY as before — the round-4
+    prepare-then-apply contract, swept over positions and prior state."""
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        pre=st.lists(op(), min_size=0, max_size=4),
+        good=st.lists(op(), min_size=1, max_size=4),
+        bad_pos=st.integers(min_value=0, max_value=4),
+        bad_kind=st.sampled_from(
+            ["ttl", "pk_in_set", "unknown_col", "batch_head"]
+        ),
+    )
+    def test_poisoned_batch_is_a_noop(self, spark, pre, good, bad_pos, bad_kind):
+        from cassandra_pmem_spark.cql.validator import InvalidRequest
+
+        def stmt_of(o):
+            kind, (k, c), v = o
+            if kind == "insert":
+                return f"INSERT INTO kv (k, c, a) VALUES ({k}, {c}, '{v}')"
+            if kind == "update_a":
+                return f"UPDATE kv SET a = '{v}' WHERE k = {k} AND c = {c}"
+            if kind == "update_b":
+                return f"UPDATE kv SET b = '{v}' WHERE k = {k} AND c = {c}"
+            if kind == "del_row":
+                return f"DELETE FROM kv WHERE k = {k} AND c = {c}"
+            return f"DELETE a FROM kv WHERE k = {k} AND c = {c}"
+
+        bad_stmt = {
+            "ttl": "INSERT INTO kv (k, c, a) VALUES (9, 9, 'x') USING TTL -1",
+            "pk_in_set": "UPDATE kv SET c = 5 WHERE k = 9 AND c = 9",
+            "unknown_col": "INSERT INTO kv (k, c, nope) VALUES (9, 9, 'x')",
+            "batch_head": "SELECT * FROM kv",
+        }[bad_kind]
+
+        sess = CqlWriteSession(spark, META)
+        for i, o in enumerate(pre):
+            sess.execute(stmt_of(o) + f" USING TIMESTAMP {100 + i}"
+                         if o[0] in ("insert",) else stmt_of(o))
+        before = sorted(tuple(r) for r in sess.table().collect())
+        snap_lens = (
+            len(sess._mutations), len(sess._row_tombs),
+            len(sess._cell_tombs), len(sess._range_tombs), sess._clock_ref[0],
+        )
+
+        inner = [stmt_of(o) for o in good]
+        inner.insert(min(bad_pos, len(inner)), bad_stmt)
+        with pytest.raises(InvalidRequest):
+            sess.execute("BEGIN BATCH " + "; ".join(inner) + "; APPLY BATCH")
+
+        after_lens = (
+            len(sess._mutations), len(sess._row_tombs),
+            len(sess._cell_tombs), len(sess._range_tombs), sess._clock_ref[0],
+        )
+        assert after_lens == snap_lens
+        assert sorted(tuple(r) for r in sess.table().collect()) == before
