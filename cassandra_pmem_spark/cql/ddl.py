@@ -448,7 +448,9 @@ class _DdlParser(_Parser):
             cls = t.text[1:-1]
         self._end()
         name = idx_name or f"{table}_{col}_idx"
-        if name in self.registry.indexes:
+        # per-keyspace uniqueness: the same default name may exist for a
+        # same-named table in another keyspace
+        if (table_key[0], name) in self.registry.indexes:
             if ine:
                 return None
             raise InvalidRequest(f"index {name!r} already exists")
@@ -543,7 +545,10 @@ class SchemaRegistry:
         # reference's keyspace-scoped schema (KeyspaceMetadata.java)
         self.tables: TableNamespace = TableNamespace()
         self.types: dict[str, T.StructType] = {}
-        self.indexes: dict[str, IndexMeta] = {}
+        # index names are unique per KEYSPACE in the reference
+        # (schema/IndexMetadata.java lives inside KeyspaceMetadata) — same
+        # scoped-namespace shape as tables
+        self.indexes: TableNamespace = TableNamespace()
         # Spark's type system erases collection kind (set vs list) and
         # frozen-ness; the reference's mutation validation needs both.
         # All three are keyed by the canonical (keyspace, name) table key.
@@ -602,7 +607,8 @@ class SchemaRegistry:
             elif nxt in ("index", "custom"):
                 idx = p.create_index()
                 if idx is not None:
-                    self.indexes[idx.name] = idx  # table resolved at parse
+                    # scoped by the owning table's keyspace
+                    self.indexes[(idx.table[0], idx.name)] = idx
             else:
                 raise InvalidRequest(f"unsupported CREATE {nxt.upper()}")
         elif head == "alter":

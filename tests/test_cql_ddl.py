@@ -463,3 +463,39 @@ class TestAlterSessionCollectionSync:
         sess = db._session(("None", "fz")) if False else db._session((None, "fz"))
         assert "s" not in sess.collection_info.frozen
         assert "s" not in sess.collection_info.kinds
+
+    def _two_ks(self, spark):
+        db = CqlDatabase(spark)
+        db.execute("CREATE KEYSPACE ka WITH REPLICATION = {'class': 'SimpleStrategy'}")
+        db.execute("CREATE KEYSPACE kb WITH REPLICATION = {'class': 'SimpleStrategy'}")
+        db.execute("CREATE TABLE ka.pets (k bigint PRIMARY KEY, v text)")
+        db.execute("CREATE TABLE kb.pets (k bigint PRIMARY KEY, v text)")
+        return db
+
+    def test_index_namespace_scoped_per_keyspace(self, spark):
+        # IndexMetadata lives inside KeyspaceMetadata in the reference:
+        # the same default index name coexists across keyspaces, cascades
+        # with its own table only, and duplicate-per-keyspace is rejected
+        db = self._two_ks(spark)
+        db.execute("CREATE INDEX ON ka.pets (v)")
+        db.execute("CREATE INDEX ON kb.pets (v)")
+        assert ("ka", "pets_v_idx") in db.registry.indexes
+        assert ("kb", "pets_v_idx") in db.registry.indexes
+        with pytest.raises(InvalidRequest, match="already exists"):
+            db.execute("CREATE INDEX ON ka.pets (v)")
+        db.execute("DROP TABLE ka.pets")
+        assert ("ka", "pets_v_idx") not in db.registry.indexes
+        assert ("kb", "pets_v_idx") in db.registry.indexes
+
+    def test_qualified_drop_and_alter_route_by_keyspace(self, spark):
+        db = self._two_ks(spark)
+        db.execute("ALTER TABLE kb.pets ADD extra bigint")
+        assert "extra" in {
+            f.name for f in db.registry.tables[("kb", "pets")].schema.fields
+        }
+        assert "extra" not in {
+            f.name for f in db.registry.tables[("ka", "pets")].schema.fields
+        }
+        db.execute("DROP TABLE kb.pets")
+        assert ("kb", "pets") not in db.registry.tables
+        assert ("ka", "pets") in db.registry.tables
