@@ -21,10 +21,11 @@ directions are real:
 
 Supported subset (everything else raises NotImplementedError with the
 reason): baseline SOF0, 8-bit precision, 1 or 3 components with integer
-subsampling ratios, single interleaved scan, no restart intervals.
-Progressive (SOF2), arithmetic coding, 12-bit, and 4-component CMYK
-streams remain out of scope — the decoder REALLY decodes conforming
-grayscale and YCbCr baseline JPEGs, not just this encoder's output.
+subsampling ratios, single interleaved scan, restart intervals (DRI +
+RSTm re-sync with DC-predictor reset, both directions). Progressive
+(SOF2), arithmetic coding, 12-bit, and 4-component CMYK streams remain
+out of scope — the decoder REALLY decodes conforming grayscale and
+YCbCr baseline JPEGs, not just this encoder's output.
 
 Exactness note for oracle-backed tests (multimodal_features_jpeg): JPEG is
 lossy in general, but an image whose every 8×8 block is a uniform EVEN
@@ -206,6 +207,14 @@ class _BitWriter:
             self.put((1 << pad) - 1, pad)
         return bytes(self.buf)
 
+    def restart(self, m: int) -> None:
+        """Byte-align (1-bit padding, stuffing applies) and emit RSTm
+        (T.81 F.1.2.3 / E.1.4) — the decoder re-aligns and resets DC."""
+        pad = (8 - self.n % 8) % 8
+        if pad:
+            self.put((1 << pad) - 1, pad)
+        self.buf += bytes([0xFF, 0xD0 + (m & 7)])
+
 
 def _encode_block(bw: _BitWriter, blk: np.ndarray, pred: int, dc_codes: dict, ac_codes: dict) -> int:
     """Entropy-code one zigzag block (T.81 F.1.2); returns the new DC
@@ -255,9 +264,12 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">HH", marker, len(payload) + 2) + payload
 
 
-def encode_jpeg_gray(img: np.ndarray) -> bytes:
+def encode_jpeg_gray(img: np.ndarray, restart_interval: int = 0) -> bytes:
     """uint8 (h, w) grayscale → baseline JPEG bytes (Annex K tables,
-    edge-replicated padding to 8-multiples)."""
+    edge-replicated padding to 8-multiples). restart_interval > 0 emits a
+    DRI segment and an RSTm marker every that-many MCUs (one MCU = one
+    block in a non-interleaved single-component scan) — the wild-JPEG
+    error-resilience layout."""
     img = np.asarray(img, dtype=np.uint8)
     if img.ndim != 2:
         raise ValueError("encode_jpeg_gray takes a 2-D grayscale array")
@@ -272,7 +284,12 @@ def encode_jpeg_gray(img: np.ndarray) -> bytes:
     ac_codes = _build_codes(AC_BITS, AC_VALS)
     bw = _BitWriter()
     pred = 0
-    for blk in zz:
+    rst = 0
+    for i, blk in enumerate(zz):
+        if restart_interval and i and i % restart_interval == 0:
+            bw.restart(rst)
+            rst = (rst + 1) & 7
+            pred = 0
         pred = _encode_block(bw, blk, pred, dc_codes, ac_codes)
 
     dqt = _seg(0xFFDB, b"\x00" + bytes(QUANT_LUMA.ravel()[ZIGZAG].astype(np.uint8)))
@@ -280,8 +297,9 @@ def encode_jpeg_gray(img: np.ndarray) -> bytes:
     dht = _seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS)) + _seg(
         0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS)
     )
+    dri = _seg(0xFFDD, struct.pack(">H", restart_interval)) if restart_interval else b""
     sos = _seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
-    return b"\xff\xd8" + dqt + sof + dht + sos + bw.flush() + b"\xff\xd9"
+    return b"\xff\xd8" + dqt + sof + dht + dri + sos + bw.flush() + b"\xff\xd9"
 
 
 def rgb_to_ycbcr(rgb: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -304,12 +322,15 @@ def ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
     return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
 
 
-def encode_jpeg_color(img: np.ndarray, subsample: bool = True) -> bytes:
+def encode_jpeg_color(
+    img: np.ndarray, subsample: bool = True, restart_interval: int = 0
+) -> bytes:
     """uint8 (h, w, 3) RGB → baseline YCbCr JPEG bytes. 4:2:0 chroma
     subsampling (2×2 mean) by default, 4:4:4 with subsample=False.
     Interleaved single scan, per-component DC predictors, luma tables
     K.1/K.3/K.5 for Y and chroma tables K.2/K.4/K.6 for Cb/Cr — the
-    header layout every baseline color JPEG in the wild uses."""
+    header layout every baseline color JPEG in the wild uses.
+    restart_interval > 0 emits DRI + RSTm every that-many MCUs."""
     img = np.asarray(img, dtype=np.uint8)
     if img.ndim != 3 or img.shape[2] != 3:
         raise ValueError("encode_jpeg_color takes an (h, w, 3) RGB array")
@@ -341,8 +362,15 @@ def encode_jpeg_color(img: np.ndarray, subsample: bool = True) -> bytes:
     cbw = (pw // (2 * 8)) if subsample else ybw  # chroma blocks per row
     mcux, mcuy = pw // mcu, ph // mcu
     preds = [0, 0, 0]
+    mcu_idx = 0
+    rst = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                bw.restart(rst)
+                rst = (rst + 1) & 7
+                preds = [0, 0, 0]
+            mcu_idx += 1
             for by in range(hsamp):
                 for bx in range(hsamp):
                     idx = (my * hsamp + by) * ybw + (mx * hsamp + bx)
@@ -366,8 +394,9 @@ def encode_jpeg_color(img: np.ndarray, subsample: bool = True) -> bytes:
         + _seg(0xFFC4, b"\x01" + bytes(DC_BITS_CHROMA) + bytes(DC_VALS_CHROMA))
         + _seg(0xFFC4, b"\x11" + bytes(AC_BITS_CHROMA) + bytes(AC_VALS_CHROMA))
     )
+    dri = _seg(0xFFDD, struct.pack(">H", restart_interval)) if restart_interval else b""
     sos = _seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 0x3F, 0]))
-    return b"\xff\xd8" + dqt + sof + dht + sos + bw.flush() + b"\xff\xd9"
+    return b"\xff\xd8" + dqt + sof + dht + dri + sos + bw.flush() + b"\xff\xd9"
 
 
 class _BitReader:
@@ -385,11 +414,32 @@ class _BitReader:
             if nxt == 0x00:
                 self.pos += 1  # stuffed byte
             elif 0xD0 <= nxt <= 0xD7:
-                raise NotImplementedError("restart markers (DRI) not supported")
+                raise ValueError(
+                    "restart marker inside an MCU (corrupt stream or wrong DRI)"
+                )
             else:
                 raise ValueError(f"unexpected marker 0xFF{nxt:02X} in entropy data")
         self.acc = (self.acc << 8) | b
         self.n += 8
+
+    def sync_restart(self) -> int:
+        """Byte-align and consume the next RSTm marker (T.81 E.2.4);
+        returns m. Skips the stuffed 0xFF00 a 1-bit pad byte can leave."""
+        self.acc = 0
+        self.n = 0  # drop padding bits of the current byte
+        while True:
+            b = self.data[self.pos]
+            if b != 0xFF:
+                self.pos += 1  # residual pad byte
+                continue
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2  # stuffed pad byte 0xFF
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                self.pos += 2
+                return nxt & 7
+            raise ValueError(f"expected restart marker, got 0xFF{nxt:02X}")
 
     def bit(self) -> int:
         if self.n == 0:
@@ -411,14 +461,15 @@ def _extend(v: int, t: int) -> int:
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JPEG → uint8 (h, w) for 1-component streams, (h, w, 3)
     RGB for 3-component YCbCr (any integer sampling ratio — 4:4:4, 4:2:2,
-    4:2:0). Single interleaved scan, SOF0, 8-bit, no restart intervals
-    (progressive / arithmetic / CMYK streams raise NotImplementedError)."""
+    4:2:0). Single interleaved scan, SOF0, 8-bit, restart intervals
+    honored (progressive / arithmetic / CMYK raise NotImplementedError)."""
     if not is_jpeg(data):
         raise ValueError("not a JPEG (bad SOI)")
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[tuple[int, int], dict] = {}
     h = w = None
+    restart_interval = 0
     comps: list[list[int]] = []  # per component: [id, hi, vi, tq]
     scan: list[tuple[int, int, int]] = []  # per scan comp: (comp_idx, td, ta)
     while pos + 4 <= len(data):
@@ -468,8 +519,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             ]
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(f"non-baseline SOF 0xFF{marker:02X} not supported")
-        elif marker == 0xDD:
-            raise NotImplementedError("restart intervals (DRI) not supported")
+        elif marker == 0xDD:  # DRI — MCUs between restart markers
+            restart_interval = struct.unpack(">H", payload[:2])[0]
         elif marker == 0xDA:  # SOS — entropy data follows
             ns = payload[0]
             if ns != len(comps):
@@ -535,8 +586,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     cbh = [mcuy * c[2] for c in comps]
     zz = [np.zeros((cbh[i] * cbw[i], 64), np.int32) for i in range(len(comps))]
     preds = [0] * len(comps)
+    mcu_idx = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                # T.81 E.2.4: byte-align, consume RSTm, reset DC predictors
+                br.sync_restart()
+                preds = [0] * len(comps)
+            mcu_idx += 1
             for ci, td, ta in scan:
                 _, hi, vi, _tq = comps[ci]
                 dc_tab, ac_tab = htabs[(0, td)], htabs[(1, ta)]

@@ -377,3 +377,44 @@ class TestJpegColor:
         df = spark.createDataFrame([(8, jpg)], "item_id long, data binary")
         rows = resize_images(df, width=12, height=10, fake_resize=False).collect()
         assert decode_jpeg(bytes(rows[0].data)).shape == (10, 12, 3)
+
+
+class TestJpegRestartIntervals:
+    """DRI/RSTm support (T.81 E.1.4/E.2.4): byte-aligned restart markers
+    with DC-predictor reset, on both encode and decode."""
+
+    def test_gray_exact_roundtrip_with_restarts(self):
+        from cassandra_pmem_spark.pipeline.jpeg import decode_jpeg, encode_jpeg_gray
+
+        grid = (_rng(31).integers(0, 256, (6, 9), dtype=np.uint8)) & 0xFE
+        img = np.repeat(np.repeat(grid, 8, axis=0), 8, axis=1)
+        for ri in (1, 3, 7, 53):
+            enc = encode_jpeg_gray(img, restart_interval=ri)
+            assert b"\xff\xdd" in enc  # DRI segment present
+            assert np.array_equal(decode_jpeg(enc), img), f"ri={ri}"
+
+    def test_color_restart_decode_matches_restart_free(self):
+        from cassandra_pmem_spark.pipeline.jpeg import decode_jpeg, encode_jpeg_color
+
+        img = _rng(32).integers(0, 256, (40, 56, 3), dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg_color(img))
+        for ri in (1, 2, 5):
+            got = decode_jpeg(encode_jpeg_color(img, restart_interval=ri))
+            assert np.array_equal(got, base), f"ri={ri}"
+
+    def test_restart_markers_cycle_mod_8(self):
+        from cassandra_pmem_spark.pipeline.jpeg import encode_jpeg_gray
+
+        # 10 blocks, ri=1 -> 9 restarts: markers must cycle D0..D7,D0
+        img = np.repeat(np.repeat(np.arange(10, dtype=np.uint8).reshape(1, 10) * 8, 8, 0), 8, 1)
+        enc = encode_jpeg_gray(img, restart_interval=1)
+        ms = []
+        i = enc.find(b"\xff\xda")
+        j = i + 2
+        while j < len(enc) - 1:
+            if enc[j] == 0xFF and 0xD0 <= enc[j + 1] <= 0xD7:
+                ms.append(enc[j + 1] - 0xD0)
+                j += 2
+            else:
+                j += 1
+        assert ms == [0, 1, 2, 3, 4, 5, 6, 7, 0]
