@@ -301,13 +301,29 @@ def cql_time_fcts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def cql_blob_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """blobAsBigint/bigintAsBlob round trip (BytesConversionFcts.java:36)."""
+    """blobAsX/XAsBlob reinterpret casts (BytesConversionFcts.java:36) —
+    round 4 extends the exercised pairs beyond bigint: int (negative-safe
+    4-byte), smallint, timestamp (epoch-millis int64, via unix_millis so
+    the hex is timezone-exact), and a boolean byte; each emitted as the
+    serialized hex plus the round-tripped value so DuckDB can recompute
+    both sides of the reinterpretation."""
+    from cassandra_pmem_spark.functions import blob as B
+
     orders = load_table(spark, "orders", sf_dir).filter(F.col("o_orderkey") < 100)
     blob = bigint_as_blob("o_orderkey")
+    negkey = (F.col("o_orderkey") * -1).cast("int")
+    smallk = (F.col("o_orderkey") % 1000).cast("short")
+    is_urgent = F.col("o_orderpriority") == "1-URGENT"
     return orders.select(
         "o_orderkey",
         F.lower(F.hex(blob)).alias("hex16"),
         blob_as_bigint(blob).alias("roundtrip"),
+        F.lower(F.hex(B.int_as_blob(negkey))).alias("neg_int_hex"),
+        B.blob_as_int(B.int_as_blob(negkey)).alias("neg_int_rt"),
+        B.blob_as_smallint(B.smallint_as_blob(smallk)).alias("small_rt"),
+        F.lower(F.hex(B.timestamp_as_blob("o_orderdate"))).alias("ts_hex"),
+        B.blob_as_timestamp(B.timestamp_as_blob("o_orderdate")).alias("ts_rt"),
+        F.lower(F.hex(B.boolean_as_blob(is_urgent))).alias("bool_hex"),
     )
 
 
@@ -584,7 +600,14 @@ QUERIES = {
     "cql_blob_conv": (
         cql_blob_conv,
         "SELECT o_orderkey, lower(lpad(to_hex(o_orderkey), 16, '0')) AS hex16, "
-        "o_orderkey AS roundtrip FROM orders WHERE o_orderkey < 100",
+        "o_orderkey AS roundtrip, "
+        "lower(lpad(to_hex((4294967296 - o_orderkey) % 4294967296), 8, '0')) AS neg_int_hex, "
+        "CAST(-o_orderkey AS INT) AS neg_int_rt, "
+        "CAST(o_orderkey % 1000 AS SMALLINT) AS small_rt, "
+        "lower(lpad(to_hex(epoch_ms(o_orderdate)), 16, '0')) AS ts_hex, "
+        "o_orderdate AS ts_rt, "
+        "CASE WHEN o_orderpriority = '1-URGENT' THEN '01' ELSE '00' END AS bool_hex "
+        "FROM orders WHERE o_orderkey < 100",
     ),
     "cql_group_by_pk_prefix": (
         cql_group_by_pk_prefix,

@@ -269,3 +269,114 @@ class TestJsonlSource:
         bad = [r for r in rows if r["_corrupt_record"] is not None]
         assert {r["doc_id"] for r in good} == {1, 2}
         assert len(bad) == 1 and "not json" in bad[0]["_corrupt_record"]
+
+
+class TestBlobConversionMatrix:
+    """The full BytesConversionFcts pair set (round 4): every native
+    type's reinterpret cast round-trips, and each serialized form matches
+    the db/marshal wire bytes the Murmur3 marshal serializer pins."""
+
+    def test_fixed_width_integer_roundtrips(self, spark):
+        from cassandra_pmem_spark.functions import blob as B
+
+        df = spark.createDataFrame(
+            [(-(2**31), -300, -2, True), (2**31 - 1, 300, 7, False), (0, 0, 0, True)],
+            "i int, s short, t tinyint, b boolean",
+        )
+        out = df.select(
+            B.blob_as_int(B.int_as_blob("i")).alias("i2"),
+            B.blob_as_smallint(B.smallint_as_blob("s")).alias("s2"),
+            B.blob_as_tinyint(B.tinyint_as_blob("t")).alias("t2"),
+            B.blob_as_boolean(B.boolean_as_blob("b")).alias("b2"),
+            "i", "s", "t", "b",
+        ).collect()
+        for r in out:
+            assert (r.i2, r.s2, r.t2, r.b2) == (r.i, r.s, r.t, r.b)
+
+    def test_widths_match_marshal_serializer(self, spark):
+        import struct
+
+        from pyspark.sql import types as T
+
+        from cassandra_pmem_spark.functions import blob as B
+        from cassandra_pmem_spark.functions.murmur3 import serialize_pk_value
+
+        df = spark.createDataFrame([(-300, -2, 123456)], "s short, t tinyint, i int")
+        r = df.select(
+            B.smallint_as_blob("s").alias("sb"),
+            B.tinyint_as_blob("t").alias("tb"),
+            B.int_as_blob("i").alias("ib"),
+        ).collect()[0]
+        assert bytes(r.sb) == serialize_pk_value(-300, T.ShortType()) == struct.pack(">h", -300)
+        assert bytes(r.tb) == serialize_pk_value(-2, T.ByteType())
+        assert bytes(r.ib) == serialize_pk_value(123456, T.IntegerType())
+
+    def test_temporal_roundtrips(self, spark):
+        import datetime
+
+        from cassandra_pmem_spark.functions import blob as B
+
+        df = spark.createDataFrame(
+            [
+                (datetime.datetime(1997, 6, 15, 12, 30), datetime.date(1970, 1, 1)),
+                (datetime.datetime(2038, 1, 19, 3, 14, 7), datetime.date(1969, 12, 31)),
+            ],
+            "ts timestamp, d date",
+        )
+        out = df.select(
+            B.blob_as_timestamp(B.timestamp_as_blob("ts")).alias("ts2"),
+            B.blob_as_date(B.date_as_blob("d")).alias("d2"),
+            F.lower(F.hex(B.date_as_blob("d"))).alias("dhex"),
+            "ts", "d",
+        ).collect()
+        for r in out:
+            assert r.ts2 == r.ts and r.d2 == r.d
+        # SimpleDateType pinning: epoch day -> 0x80000000
+        assert out[0].dhex == "80000000"
+        assert out[1].dhex == "7fffffff"
+
+    def test_uuid_roundtrip(self, spark):
+        from cassandra_pmem_spark.functions import blob as B
+
+        u = "6ba7b810-9dad-11d1-80b4-00c04fd430c8"
+        df = spark.createDataFrame([(u,)], "u string")
+        r = df.select(
+            B.blob_as_uuid(B.uuid_as_blob("u")).alias("u2"),
+            F.octet_length(B.uuid_as_blob("u")).alias("n"),
+        ).collect()[0]
+        assert r.u2 == u and r.n == 16
+
+    def test_float_double_bit_patterns(self, spark):
+        import struct
+
+        from cassandra_pmem_spark.functions import blob as B
+
+        df = spark.createDataFrame([(1.5, -0.25), (-2e-5, 3.5)], "d double, f float")
+        out = df.select(
+            B.blob_as_double(B.double_as_blob("d")).alias("d2"),
+            B.blob_as_float(B.float_as_blob("f")).alias("f2"),
+            F.lower(F.hex(B.double_as_blob("d"))).alias("dh"),
+            "d", "f",
+        ).collect()
+        for r in out:
+            assert r.d2 == r.d and abs(r.f2 - r.f) < 1e-6
+        assert out[0].dh == struct.pack(">d", 1.5).hex()
+
+    def test_varint_roundtrip_and_minimality(self, spark):
+        from decimal import Decimal
+
+        from cassandra_pmem_spark.functions import blob as B
+
+        vals = [Decimal(0), Decimal(-1), Decimal(255), Decimal(-256), Decimal(10**30)]
+        df = spark.createDataFrame([(v,) for v in vals], "v decimal(38,0)")
+        out = df.select(
+            B.blob_as_varint(B.varint_as_blob("v")).alias("v2"),
+            F.octet_length(B.varint_as_blob("v")).alias("n"),
+            "v",
+        ).collect()
+        got = {r.v: (r.v2, r.n) for r in out}
+        assert got[Decimal(0)] == (Decimal(0), 1)
+        assert got[Decimal(-1)] == (Decimal(-1), 1)
+        assert got[Decimal(255)] == (Decimal(255), 2)  # leading 0x00
+        assert got[Decimal(-256)] == (Decimal(-256), 2)
+        assert got[Decimal(10**30)][0] == Decimal(10**30)
