@@ -57,6 +57,7 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_features_jpeg",
     "multimodal_features_jpeg_color",  # NEW this round (color codec)
     "cql_token_scan_timestamp",  # NEW this round (temporal-key Murmur3)
+    "cql_allow_filtering",  # NEW this round (strict gate, both ways)
     # -- (3) round-1-only evidence (three rounds stale)
     "cql_point_lookup",
     "cql_collection_access",
@@ -89,11 +90,11 @@ _PRIORITY: tuple[str, ...] = (
     "cql_duration_arithmetic",
     "cql_upsert_lww_cells",
     "cql_ttl_expiry",
-    "dedup_exact_docs",
 )
-# sim_bruteforce_topk and dedup_simhash (r2 evidence) yielded their slots
-# to the two new never-green queries (color JPEG, timestamp token); they
-# rotate into the round-5 window with the rest of the r2 set.
+# sim_bruteforce_topk, dedup_simhash, and dedup_exact_docs (r2 evidence)
+# yielded their slots to the three new never-green queries (color JPEG,
+# timestamp token, allow-filtering gate); they rotate into the round-5
+# window with the rest of the r2 set.
 # Deliberately outside the window this round (fresh r3 evidence or
 # unedited r2 evidence that rotates in next round): tpch q2–q22,
 # streaming_{tumbling,session}_real, cql_token_scan*, sim_lsh_topk,

@@ -358,6 +358,28 @@ def cql_parsed_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cql_allow_filtering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALLOW FILTERING strict-gate BOTH ways through the text surface
+    (StatementRestrictions.java:556 "Cannot execute this query ... use
+    ALLOW FILTERING"): the same non-key predicate is rejected without the
+    clause (asserted in-line) and executes with it — upgrading the gate
+    from unit-only to driver-gated evidence. Oracle: plain SQL over the
+    same predicate."""
+    from cassandra_pmem_spark.cql.parser import execute_cql
+    from cassandra_pmem_spark.cql.validator import InvalidRequest
+
+    bare = (
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+        "WHERE o_totalprice > 480000"
+    )
+    try:
+        execute_cql(spark, bare, sf_dir)
+        raise AssertionError("non-key predicate must require ALLOW FILTERING")
+    except InvalidRequest:
+        pass
+    return execute_cql(spark, bare + " ALLOW FILTERING", sf_dir)
+
+
 def cql_term_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed-literal terms in the selection clause (CASSANDRA-9243;
     cql3/selection/Selectable.WithTerm): int, float, and string constants
@@ -576,6 +598,11 @@ QUERIES = {
         cql_term_select,
         "SELECT o_orderkey, 42 AS answer, 2.5 AS ratio, 'tagged' AS tag "
         "FROM orders WHERE o_custkey = 7",
+    ),
+    "cql_allow_filtering": (
+        cql_allow_filtering,
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+        "WHERE o_totalprice > 480000",
     ),
     "cql_from_json": (
         cql_from_json,
