@@ -11,7 +11,7 @@ but two canonical formats are fully decodable with the standard library:
 These back the REAL decode path in multimodal.py, together with the
 baseline JPEG codec in pipeline/jpeg.py (T.81 Huffman+DCT, grayscale
 and 4:2:0/4:4:4 YCbCr color, also library-free); formats that genuinely
-require codec libraries (progressive JPEG, MP3, H.264, …) remain
+require codec libraries (MP3, H.264, …) remain
 clearly-marked NotImplementedError stubs. Encoders exist so tests and
 fixtures round-trip without any external tool.
 

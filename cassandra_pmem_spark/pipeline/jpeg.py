@@ -13,19 +13,28 @@ directions are real:
   4:2:0 chroma subsampling (2×2 mean), interleaved MCU entropy coding
   with per-component DC predictors — SOF0 with sampling factors 2,2/1,1
   and separate luma/chroma quant + Huffman tables;
+- ``encode_jpeg_progressive``: SOF2 multi-scan encoder (gray or color) —
+  interleaved DC first pass + DC refinement, then per-component AC first
+  (spectral band 1..63 at Al=1, cross-block EOB runs) and AC refinement
+  (correction bits), exercising every progressive decode path;
 - ``decode_jpeg``: marker parse (APPn/COM skipped), canonical Huffman
-  reconstruction from the DHT bits/values lists, interleaved MCU entropy
-  decode with unstuffing, dequantize → dezigzag → IDCT (vectorized) →
-  chroma upsample (sample replication) → YCbCr→RGB. Returns (h, w)
-  uint8 for 1-component streams, (h, w, 3) RGB for 3-component.
+  reconstruction from the DHT bits/values lists, multi-scan entropy
+  decode with unstuffing — sequential interleaved MCUs AND the four
+  progressive passes (T.81 G.2: DC first/refine, AC first/refine with
+  EOB runs and successive approximation) — dequantize → dezigzag → IDCT
+  (vectorized) → chroma upsample (sample replication) → YCbCr→RGB.
+  Returns (h, w) uint8 for 1-component streams, (h, w, 3) RGB for
+  3-component.
 
 Supported subset (everything else raises NotImplementedError with the
-reason): baseline SOF0, 8-bit precision, 1 or 3 components with integer
-subsampling ratios, single interleaved scan, restart intervals (DRI +
-RSTm re-sync with DC-predictor reset, both directions). Progressive
-(SOF2), arithmetic coding, 12-bit, and 4-component CMYK streams remain
-out of scope — the decoder REALLY decodes conforming grayscale and
-YCbCr baseline JPEGs, not just this encoder's output.
+reason): sequential SOF0 and progressive SOF2, 8-bit precision, 1 or 3
+components with integer subsampling ratios, restart intervals (DRI +
+RSTm re-sync with DC-predictor reset, both directions). Arithmetic
+coding, 12-bit, hierarchical, and 4-component CMYK streams remain out
+of scope — the decoder REALLY decodes conforming grayscale and YCbCr
+JPEGs, not just this encoder's output. The tests pin progressive
+against sequential: both encoders quantize to the SAME coefficients, so
+their decodes must agree pixel-for-pixel.
 
 Exactness note for oracle-backed tests (multimodal_features_jpeg): JPEG is
 lossy in general, but an image whose every 8×8 block is a uniform EVEN
@@ -399,6 +408,258 @@ def encode_jpeg_color(
     return b"\xff\xd8" + dqt + sof + dht + dri + sos + bw.flush() + b"\xff\xd9"
 
 
+# near-flat Huffman table carrying every RS symbol — progressive AC
+# scans need EOBn symbols (r<<4, r=1..14) that the Annex K sequential AC
+# tables do not define. A DHT length bucket holds at most 255 codes, so
+# the 256 symbols split 255@len9 + 1@len10; canonical assignment keeps
+# it prefix-free and never produces an all-ones code.
+_FLAT_AC_BITS = tuple(255 if i == 8 else (1 if i == 9 else 0) for i in range(16))
+_FLAT_AC_VALS = tuple(range(256))
+
+
+def _enc_ac_first(bw, blocks, ac_codes, Ss, Se, Al) -> None:
+    """Progressive AC first pass for one component (T.81 G.1.2.2):
+    band coefficients truncated toward zero by 2^Al, runlength-coded with
+    cross-block EOB runs."""
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun > 0:
+            r = eobrun.bit_length() - 1  # floor(log2), <= 14 by the cap
+            c, ln = ac_codes[r << 4]
+            bw.put(c, ln)
+            if r:
+                bw.put(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for blk in blocks:
+        vals = [
+            (abs(int(blk[k])) >> Al) * (1 if blk[k] > 0 else -1)
+            for k in range(Ss, Se + 1)
+        ]
+        nz = [i for i, v in enumerate(vals) if v != 0]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x3FFF:  # keep r <= 14 lengths codable
+                flush_eob()
+            continue
+        flush_eob()
+        r = 0
+        for i in range(nz[-1] + 1):
+            v = vals[i]
+            if v == 0:
+                r += 1
+                continue
+            while r > 15:
+                c, ln = ac_codes[0xF0]  # ZRL
+                bw.put(c, ln)
+                r -= 16
+            s, bits = _magnitude(v)
+            c, ln = ac_codes[(r << 4) | s]
+            bw.put(c, ln)
+            bw.put(bits, s)
+            r = 0
+        if nz[-1] < Se - Ss:
+            eobrun += 1
+    flush_eob()
+
+
+def _enc_ac_refine(bw, blocks, ac_codes, Ss, Se, Al) -> None:
+    """Progressive AC refinement pass (T.81 G.1.2.3): newly-significant
+    coefficients coded as (run, 1)+sign; already-significant ones emit one
+    correction bit each, buffered behind the next coded symbol."""
+    eobrun = 0
+    pending: list[int] = []  # correction bits awaiting the next EOBn flush
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun > 0:
+            r = eobrun.bit_length() - 1
+            c, ln = ac_codes[r << 4]
+            bw.put(c, ln)
+            if r:
+                bw.put(eobrun - (1 << r), r)
+            for b in pending:
+                bw.put(b, 1)
+            pending.clear()
+            eobrun = 0
+
+    for blk in blocks:
+        absv = [abs(int(blk[k])) >> Al for k in range(Ss, Se + 1)]
+        newly = [i + Ss for i, t in enumerate(absv) if t == 1]
+        eob_pos = newly[-1] if newly else None  # last newly-significant k
+        r = 0
+        corr: list[int] = []  # this block's bits since the last symbol
+        for i in range(Ss, Se + 1):
+            t = absv[i - Ss]
+            if t == 0:
+                r += 1
+                continue
+            # the decoder reads positionally, so pending ZRLs must flush at
+            # EVERY nonzero coefficient inside the EOB span — a history
+            # coefficient past 16 zero-history positions belongs to the
+            # NEXT symbol's advance, not this ZRL's
+            while r > 15 and eob_pos is not None and i <= eob_pos:
+                flush_eob()
+                c, ln = ac_codes[0xF0]
+                bw.put(c, ln)
+                r -= 16
+                for b in corr:
+                    bw.put(b, 1)
+                corr.clear()
+            if t > 1:
+                corr.append((abs(int(blk[i])) >> Al) & 1)
+                continue
+            # newly significant (t == 1)
+            flush_eob()
+            c, ln = ac_codes[(r << 4) | 1]
+            bw.put(c, ln)
+            bw.put(1 if blk[i] > 0 else 0, 1)
+            for b in corr:
+                bw.put(b, 1)
+            corr.clear()
+            r = 0
+        if r > 0 or corr:
+            eobrun += 1
+            pending.extend(corr)
+            if eobrun == 0x3FFF:
+                flush_eob()
+    flush_eob()
+
+
+def encode_jpeg_progressive(img: np.ndarray, subsample: bool = True) -> bytes:
+    """Progressive (SOF2) JPEG encoder — gray (h, w) or RGB (h, w, 3).
+    Fixed four-pass scan script exercising every progressive decode path:
+    interleaved DC first (Al=1), DC refinement, then per component AC
+    first (Ss=1..63, Al=1, EOB-run coded) and AC refinement (correction
+    bits). Coefficients match the sequential encoder exactly (same quant
+    tables), so decode(progressive) == decode(sequential) pixel-for-pixel
+    — the cross-check the tests pin."""
+    img = np.asarray(img, dtype=np.uint8)
+    color = img.ndim == 3
+    if color:
+        h, w = img.shape[:2]
+        mcu = 16 if subsample else 8
+        ph, pw = -(-h // mcu) * mcu, -(-w // mcu) * mcu
+        padded = np.pad(img, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+        y, cb, cr = rgb_to_ycbcr(padded)
+        if subsample:
+            cb = cb.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            cr = cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        planes = [
+            (_plane_zigzag(y - 128.0, QUANT_LUMA), 2 if subsample else 1),
+            (_plane_zigzag(cb - 128.0, QUANT_CHROMA), 1),
+            (_plane_zigzag(cr - 128.0, QUANT_CHROMA), 1),
+        ]
+    else:
+        h, w = img.shape
+        ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+        padded = np.pad(img, ((0, ph - h), (0, pw - w)), mode="edge")
+        planes = [(_plane_zigzag(padded.astype(np.float64) - 128.0, QUANT_LUMA), 1)]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+
+    hsamp = planes[0][1]
+    mcux = (pw // (8 * hsamp)) if color else pw // 8
+    mcuy = (ph // (8 * hsamp)) if color else ph // 8
+    ybw = pw // 8
+
+    dc_l = _build_codes(DC_BITS, DC_VALS)
+    dc_c = _build_codes(DC_BITS_CHROMA, DC_VALS_CHROMA)
+    flat_ac = _build_codes(_FLAT_AC_BITS, _FLAT_AC_VALS)
+    dc_codes = [dc_l] + [dc_c] * (len(planes) - 1)
+
+    def dc_first_scan() -> bytes:
+        """Interleaved DC pass at Al=1 (arithmetic shift per G.1.2.1)."""
+        bw = _BitWriter()
+        preds = [0] * len(planes)
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (zzc, samp) in enumerate(planes):
+                    for by in range(samp):
+                        for bx in range(hsamp if ci == 0 and color else 1):
+                            if ci == 0 and color and hsamp == 2:
+                                idx = (my * 2 + by) * ybw + (mx * 2 + bx)
+                            else:
+                                idx = (my * samp + by) * (
+                                    ybw if ci == 0 else mcux
+                                ) + mx * samp + bx
+                            v = int(zzc[idx][0]) >> 1  # Al = 1
+                            s, bits = _magnitude(v - preds[ci])
+                            preds[ci] = v
+                            c, ln = dc_codes[ci][s]
+                            bw.put(c, ln)
+                            if s:
+                                bw.put(bits, s)
+        return bw.flush()
+
+    def dc_refine_scan() -> bytes:
+        bw = _BitWriter()
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (zzc, samp) in enumerate(planes):
+                    for by in range(samp):
+                        for bx in range(hsamp if ci == 0 and color else 1):
+                            if ci == 0 and color and hsamp == 2:
+                                idx = (my * 2 + by) * ybw + (mx * 2 + bx)
+                            else:
+                                idx = (my * samp + by) * (
+                                    ybw if ci == 0 else mcux
+                                ) + mx * samp + bx
+                            bw.put(int(zzc[idx][0]) & 1, 1)
+        return bw.flush()
+
+    def seg_sos(comp_specs: list, Ss: int, Se: int, Ah: int, Al: int) -> bytes:
+        body = bytes([len(comp_specs)])
+        for cid, td, ta in comp_specs:
+            body += bytes([cid, (td << 4) | ta])
+        return _seg(0xFFDA, body + bytes([Ss, Se, (Ah << 4) | Al]))
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xFFDB, b"\x00" + bytes(QUANT_LUMA.ravel()[ZIGZAG].astype(np.uint8)))
+    if color:
+        out += _seg(
+            0xFFDB, b"\x01" + bytes(QUANT_CHROMA.ravel()[ZIGZAG].astype(np.uint8))
+        )
+        sampling = 0x22 if subsample else 0x11
+        sof_comps = bytes([1, sampling, 0, 2, 0x11, 1, 3, 0x11, 1])
+        out += _seg(0xFFC2, struct.pack(">BHHB", 8, h, w, 3) + sof_comps)
+    else:
+        out += _seg(0xFFC2, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    out += _seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
+    if color:
+        out += _seg(0xFFC4, b"\x01" + bytes(DC_BITS_CHROMA) + bytes(DC_VALS_CHROMA))
+    out += _seg(
+        0xFFC4, b"\x10" + bytes(_FLAT_AC_BITS) + bytes(_FLAT_AC_VALS)
+    )
+
+    ids = [1, 2, 3] if color else [1]
+    dc_specs = [(ids[i], 0 if i == 0 else 1, 0) for i in range(len(planes))]
+    out += seg_sos(dc_specs, 0, 0, 0, 1) + dc_first_scan()
+    out += seg_sos(dc_specs, 0, 0, 1, 0) + dc_refine_scan()
+    for ci, (zzc, samp) in enumerate(planes):
+        # non-interleaved AC scans cover only the component's TRUE block
+        # grid (T.81 A.2.2) — MCU-padding blocks are not coded, so select
+        # the real (by, bx) rows out of the padded plane
+        if ci == 0:
+            cw, chh, bpr = w, h, ybw
+        else:
+            cw = -(-w // 2) if subsample else w
+            chh = -(-h // 2) if subsample else h
+            bpr = (pw // 16) if subsample else ybw
+        tbw, tbh = -(-cw // 8), -(-chh // 8)
+        true_blocks = [zzc[by * bpr + bx] for by in range(tbh) for bx in range(tbw)]
+        bw_ = _BitWriter()
+        _enc_ac_first(bw_, true_blocks, flat_ac, 1, 63, 1)
+        out += seg_sos([(ids[ci], 0, 0)], 1, 63, 0, 1) + bw_.flush()
+        bw_ = _BitWriter()
+        _enc_ac_refine(bw_, true_blocks, flat_ac, 1, 63, 0)
+        out += seg_sos([(ids[ci], 0, 0)], 1, 63, 1, 0) + bw_.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 class _BitReader:
     def __init__(self, data: bytes, pos: int):
         self.data = data
@@ -458,11 +719,198 @@ def _extend(v: int, t: int) -> int:
     return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
 
 
+def _decode_scan(
+    data: bytes,
+    start: int,
+    comps: list,
+    scan_comps: list,
+    zz: list,
+    cbw: list,
+    cbh: list,
+    true_dims: list,
+    mcux: int,
+    mcuy: int,
+    htabs: dict,
+    band: tuple,
+    restart_interval: int,
+    progressive: bool,
+) -> int:
+    """Decode one entropy-coded scan into the per-component coefficient
+    stores. Handles sequential full-block scans, and the four progressive
+    passes (T.81 G.2): DC first (diff<<Al), DC refinement (one raw bit),
+    AC first (band decode with EOB runs), AC refinement (correction bits).
+    Returns the stream position of the next marker."""
+    Ss, Se, Ah, Al = band
+    br = _BitReader(data, start)
+
+    def read_sym(tab: dict) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | br.bit()
+            length += 1
+            sym = tab.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+    def read_block_full(blk, dc_tab, ac_tab, pred: int) -> int:
+        t = read_sym(dc_tab)
+        pred += _extend(br.bits(t), t) if t else 0
+        blk[0] = pred
+        k = 1
+        while k < 64:
+            rs = read_sym(ac_tab)
+            r, t = rs >> 4, rs & 0xF
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += r
+            if k > 63:
+                raise ValueError("AC run past end of block")
+            blk[k] = _extend(br.bits(t), t)
+            k += 1
+        return pred
+
+    def read_dc_first(blk, dc_tab, pred: int) -> int:
+        t = read_sym(dc_tab)
+        pred += _extend(br.bits(t), t) if t else 0
+        blk[0] = pred << Al
+        return pred
+
+    def read_dc_refine(blk) -> None:
+        if br.bit():
+            blk[0] = int(blk[0]) | (1 << Al)
+
+    state = {"eobrun": 0}
+
+    def read_ac_first(blk, ac_tab) -> None:
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        k = Ss
+        while k <= Se:
+            rs = read_sym(ac_tab)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r != 15:
+                    state["eobrun"] = (1 << r) + (br.bits(r) if r else 0) - 1
+                    return
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > Se:
+                raise ValueError("AC run past end of band")
+            blk[k] = _extend(br.bits(s), s) << Al
+            k += 1
+
+    def _refine_one(blk, k) -> None:
+        if br.bit():
+            v = int(blk[k])
+            if (abs(v) & (1 << Al)) == 0:
+                blk[k] = v + ((1 << Al) if v > 0 else -(1 << Al))
+
+    def read_ac_refine(blk, ac_tab) -> None:
+        p1 = 1 << Al
+        k = Ss
+        if state["eobrun"] == 0:
+            while k <= Se:
+                rs = read_sym(ac_tab)
+                r, s = rs >> 4, rs & 0xF
+                val = 0
+                if s == 0:
+                    if r != 15:
+                        state["eobrun"] = (1 << r) + (br.bits(r) if r else 0)
+                        break
+                    # r == 15: skip 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise ValueError("AC refinement symbol with s > 1")
+                    val = p1 if br.bit() else -p1
+                # advance: refine nonzero-history coeffs, count r zero-history
+                while k <= Se:
+                    if blk[k] != 0:
+                        _refine_one(blk, k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= Se:
+                    blk[k] = val
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= Se:
+                if blk[k] != 0:
+                    _refine_one(blk, k)
+                k += 1
+            state["eobrun"] -= 1
+
+    def handle(ci: int, row: int, td: int, ta: int, preds: list) -> None:
+        blk = zz[ci][row]
+        if not progressive:
+            preds[ci] = read_block_full(blk, htabs[(0, td)], htabs[(1, ta)], preds[ci])
+        elif Ss == 0:
+            if Ah == 0:
+                preds[ci] = read_dc_first(blk, htabs[(0, td)], preds[ci])
+            else:
+                read_dc_refine(blk)
+        else:
+            if Ah == 0:
+                read_ac_first(blk, htabs[(1, ta)])
+            else:
+                read_ac_refine(blk, htabs[(1, ta)])
+
+    preds = [0] * len(comps)
+    if len(scan_comps) > 1:
+        # interleaved: MCU order over the padded grid
+        mcu_idx = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                    br.sync_restart()
+                    preds = [0] * len(comps)
+                    state["eobrun"] = 0
+                mcu_idx += 1
+                for ci, td, ta in scan_comps:
+                    _, hi, vi, _tq = comps[ci]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            row = (my * vi + by) * cbw[ci] + (mx * hi + bx)
+                            handle(ci, row, td, ta, preds)
+    else:
+        # non-interleaved: the component's TRUE block grid (T.81 A.2.2 —
+        # MCU-padding blocks are not coded in a single-component scan)
+        ci, td, ta = scan_comps[0]
+        bwi, bhi = true_dims[ci]
+        unit = 0
+        for by in range(bhi):
+            for bx in range(bwi):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    br.sync_restart()
+                    preds = [0] * len(comps)
+                    state["eobrun"] = 0
+                unit += 1
+                handle(ci, by * cbw[ci] + bx, td, ta, preds)
+
+    # advance to the next marker: drop padding bits, skip pad bytes and
+    # stuffed 0xFF00 pairs
+    p = br.pos
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] != 0x00:
+            return p
+        p += 1
+    return p
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG → uint8 (h, w) for 1-component streams, (h, w, 3)
-    RGB for 3-component YCbCr (any integer sampling ratio — 4:4:4, 4:2:2,
-    4:2:0). Single interleaved scan, SOF0, 8-bit, restart intervals
-    honored (progressive / arithmetic / CMYK raise NotImplementedError)."""
+    """JPEG → uint8 (h, w) for 1-component streams, (h, w, 3) RGB for
+    3-component YCbCr (any integer sampling ratio — 4:4:4, 4:2:2, 4:2:0).
+    Baseline sequential (SOF0) AND progressive (SOF2: spectral selection +
+    successive approximation, multi-scan), 8-bit, restart intervals
+    honored (arithmetic coding / hierarchical / CMYK raise
+    NotImplementedError)."""
     if not is_jpeg(data):
         raise ValueError("not a JPEG (bad SOI)")
     pos = 2
@@ -470,9 +918,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     htabs: dict[tuple[int, int], dict] = {}
     h = w = None
     restart_interval = 0
+    progressive = False
     comps: list[list[int]] = []  # per component: [id, hi, vi, tq]
-    scan: list[tuple[int, int, int]] = []  # per scan comp: (comp_idx, td, ta)
-    while pos + 4 <= len(data):
+    hmax = vmax = mcux = mcuy = 0
+    cbw: list[int] = []
+    cbh: list[int] = []
+    true_dims: list[tuple[int, int]] = []
+    zz: list[np.ndarray] = []
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("marker expected")
         marker = data[pos + 1]
@@ -504,103 +957,80 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     for sym, (code, length) in _build_codes(bits, vals).items()
                 }
                 p += 17 + nv
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, ncomp = struct.unpack(">BHHB", payload[:6])
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision supported")
             if ncomp not in (1, 3):
                 raise NotImplementedError(
-                    f"{ncomp}-component baseline JPEG not supported (1=gray, 3=YCbCr)"
+                    f"{ncomp}-component JPEG not supported (1=gray, 3=YCbCr)"
                 )
             comps = [
                 [payload[6 + 3 * i], payload[7 + 3 * i] >> 4,
                  payload[7 + 3 * i] & 0xF, payload[8 + 3 * i]]
                 for i in range(ncomp)
             ]
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise NotImplementedError(f"non-baseline SOF 0xFF{marker:02X} not supported")
+            # a single-component image is effectively non-interleaved:
+            # sampling factors don't shape its scans (T.81 A.2.2)
+            if ncomp == 1:
+                comps[0][1] = comps[0][2] = 1
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            for _, hi, vi, _tq in comps:
+                if hi < 1 or vi < 1 or hmax % hi or vmax % vi:
+                    raise NotImplementedError(
+                        f"non-integer subsampling ratio {hi}x{vi} vs {hmax}x{vmax}"
+                    )
+            mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+            cbw = [mcux * c[1] for c in comps]
+            cbh = [mcuy * c[2] for c in comps]
+            # TRUE component block dims (T.81 A.1.1 / A.2.2): component
+            # size = ceil(dim * sampling / max_sampling), blocks = ceil/8
+            def _ceil_div(a: int, b: int) -> int:
+                return (a + b - 1) // b
+
+            true_dims = [
+                (
+                    _ceil_div(_ceil_div(w * c[1], hmax), 8),
+                    _ceil_div(_ceil_div(h * c[2], vmax), 8),
+                )
+                for c in comps
+            ]
+            zz = [np.zeros((cbh[i] * cbw[i], 64), np.int32) for i in range(ncomp)]
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError(f"unsupported SOF 0xFF{marker:02X}")
         elif marker == 0xDD:  # DRI — MCUs between restart markers
             restart_interval = struct.unpack(">H", payload[:2])[0]
-        elif marker == 0xDA:  # SOS — entropy data follows
+        elif marker == 0xDA:  # SOS — one entropy-coded scan
+            if not comps:
+                raise ValueError("SOS before SOF")
             ns = payload[0]
-            if ns != len(comps):
-                raise NotImplementedError(
-                    "multi-scan (non-interleaved) baseline JPEG not supported"
-                )
             by_id = {c[0]: i for i, c in enumerate(comps)}
+            scan_comps = []
             for i in range(ns):
                 cs, tdta = payload[1 + 2 * i], payload[2 + 2 * i]
-                scan.append((by_id[cs], tdta >> 4, tdta & 0xF))
-            pos += ln
-            break
+                scan_comps.append((by_id[cs], tdta >> 4, tdta & 0xF))
+            band = (
+                payload[1 + 2 * ns],
+                payload[2 + 2 * ns],
+                payload[3 + 2 * ns] >> 4,
+                payload[3 + 2 * ns] & 0xF,
+            )
+            if not progressive:
+                if ns != len(comps):
+                    raise NotImplementedError(
+                        "multi-scan (non-interleaved) sequential JPEG not supported"
+                    )
+                band = (0, 63, 0, 0)
+            pos = _decode_scan(
+                data, pos + ln, comps, scan_comps, zz, cbw, cbh, true_dims,
+                mcux, mcuy, htabs, band, restart_interval, progressive,
+            )
+            continue
         pos += ln
     if h is None or not comps:
-        raise ValueError("JPEG missing SOF0")
-
-    # a single-component scan is non-interleaved: MCU = one data unit and
-    # the declared sampling factors don't shape the scan (T.81 A.2.2)
-    if len(comps) == 1:
-        comps[0][1] = comps[0][2] = 1
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    for _, hi, vi, _tq in comps:
-        if hi < 1 or vi < 1 or hmax % hi or vmax % vi:
-            raise NotImplementedError(
-                f"non-integer subsampling ratio {hi}x{vi} vs {hmax}x{vmax}"
-            )
-    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
-    br = _BitReader(data, pos)
-
-    def read_sym(tab: dict) -> int:
-        code, length = 0, 0
-        while length < 16:
-            code = (code << 1) | br.bit()
-            length += 1
-            sym = tab.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid Huffman code")
-
-    def read_block(zz_row: np.ndarray, dc_tab: dict, ac_tab: dict, pred: int) -> int:
-        t = read_sym(dc_tab)
-        pred += _extend(br.bits(t), t) if t else 0
-        zz_row[0] = pred
-        k = 1
-        while k < 64:
-            rs = read_sym(ac_tab)
-            r, t = rs >> 4, rs & 0xF
-            if rs == 0x00:  # EOB
-                break
-            if rs == 0xF0:  # ZRL
-                k += 16
-                continue
-            k += r
-            if k > 63:
-                raise ValueError("AC run past end of block")
-            zz_row[k] = _extend(br.bits(t), t)
-            k += 1
-        return pred
-
-    # per-component coefficient stores, block row-major within component
-    cbw = [mcux * c[1] for c in comps]  # blocks per row
-    cbh = [mcuy * c[2] for c in comps]
-    zz = [np.zeros((cbh[i] * cbw[i], 64), np.int32) for i in range(len(comps))]
-    preds = [0] * len(comps)
-    mcu_idx = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
-                # T.81 E.2.4: byte-align, consume RSTm, reset DC predictors
-                br.sync_restart()
-                preds = [0] * len(comps)
-            mcu_idx += 1
-            for ci, td, ta in scan:
-                _, hi, vi, _tq = comps[ci]
-                dc_tab, ac_tab = htabs[(0, td)], htabs[(1, ta)]
-                for by in range(vi):
-                    for bx in range(hi):
-                        row = (my * vi + by) * cbw[ci] + (mx * hi + bx)
-                        preds[ci] = read_block(zz[ci][row], dc_tab, ac_tab, preds[ci])
+        raise ValueError("JPEG missing SOF")
 
     planes = []
     for i, (_cid, hi, vi, tq) in enumerate(comps):

@@ -13,8 +13,8 @@ partition sizing) is real and tested. Codecs: PNG, 16-bit-PCM WAV, and
 baseline JPEG — grayscale AND 4:2:0/4:4:4 YCbCr color — decode/encode
 are REAL and library-free (pipeline/codecs.py — stdlib zlib/struct/wave
 + numpy; pipeline/jpeg.py — T.81 baseline Huffman+DCT, interleaved
-MCUs); formats that require codec libraries the container lacks
-(progressive JPEG, MP3, video) raise a clearly-marked
+MCUs, progressive SOF2); formats that require codec libraries the
+container lacks (MP3, video) raise a clearly-marked
 NotImplementedError, and a deterministic
 byte-statistics fake remains available (fake_decode=True) for
 format-agnostic plumbing tests. At
@@ -85,7 +85,7 @@ def _decode_image(data: bytes) -> "object":
         return decode_jpeg(data)  # (h, w) gray or (h, w, 3) RGB
     raise NotImplementedError(
         "only PNG and baseline JPEG (gray + YCbCr color) decode without "
-        "codec libraries (WebP/progressive-JPEG/... need Pillow/libvips — "
+        "codec libraries (WebP/AVIF/... need Pillow/libvips — "
         "not present in this container); or use "
         "extract_image_features(fake_decode=True) for format-agnostic "
         "plumbing"
@@ -220,6 +220,35 @@ def jpeg_encode_color_stage(media: DataFrame, width: int = 16) -> DataFrame:
                 gray = np.repeat(np.repeat(grid, 8, axis=0), 8, axis=1)
                 rgb = np.stack([gray, gray, gray], axis=-1)
                 rows.append((int(item_id), encode_jpeg_color(rgb)))
+            yield pd.DataFrame(rows, columns=["item_id", "data"])
+
+    return media.select("item_id", "data").mapInPandas(run, PNG_STAGE_SCHEMA)
+
+
+def jpeg_encode_progressive_stage(media: DataFrame, width: int = 16) -> DataFrame:
+    """Encode each item's payload bytes as a deterministic PROGRESSIVE
+    (SOF2) grayscale JPEG — same evenized uniform-block construction as
+    jpeg_encode_stage, so the multi-scan DC/AC successive-approximation
+    path round-trips bit-exactly too (a uniform even block has only a DC
+    coefficient; the DC first+refine scans reconstruct it losslessly and
+    every AC scan is pure EOB runs)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from cassandra_pmem_spark.pipeline.jpeg import encode_jpeg_progressive
+
+        for pdf in batches:
+            rows = []
+            for item_id, data in zip(pdf["item_id"], pdf["data"]):
+                raw = bytes(data or b"\x00") or b"\x00"
+                h = (len(raw) + width - 1) // width
+                grid = (
+                    np.frombuffer(raw.ljust(h * width, b"\x00"), np.uint8).reshape(h, width)
+                    & 0xFE
+                )
+                img = np.repeat(np.repeat(grid, 8, axis=0), 8, axis=1)
+                rows.append((int(item_id), encode_jpeg_progressive(img)))
             yield pd.DataFrame(rows, columns=["item_id", "data"])
 
     return media.select("item_id", "data").mapInPandas(run, PNG_STAGE_SCHEMA)

@@ -391,6 +391,30 @@ def multimodal_features_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def multimodal_features_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL progressive-JPEG pipeline, oracle-checked: the SOF2 multi-scan
+    encoder (DC first + refinement, per-component AC first + refinement
+    with EOB runs — pipeline/jpeg.py encode_jpeg_progressive) feeds the
+    multi-scan successive-approximation decoder. Evenized uniform blocks
+    round-trip bit-exactly through the progressive path too, so the SAME
+    DuckDB oracle as the sequential variant verifies the whole T.81 G
+    machinery end-to-end."""
+    from cassandra_pmem_spark.pipeline.multimodal import jpeg_encode_progressive_stage
+
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "blob", F.col("text").cast("binary")
+    )
+    media = attach_media(docs, "blob", "image", "image/jpeg", "doc_id")
+    feats = extract_image_features(
+        jpeg_encode_progressive_stage(media), dim=8, fake_decode=False
+    )
+    return feats.select(
+        "item_id",
+        F.round("byte_entropy", 6).alias("byte_entropy"),
+        *[F.col("feature")[i].cast("double").alias(f"f{i}") for i in range(8)],
+    )
+
+
 def _multimodal_features_jpeg_oracle(dim: int = 8, width: int = 16) -> str:
     """Mirror of the JPEG encode→decode→histogram pipeline: decoded pixels
     are the EVENIZED utf8 bytes (v & ~1) zero-padded to a `width`-multiple,
@@ -824,6 +848,11 @@ QUERIES = {
     # histogram count, which cancels in the proportions
     "multimodal_features_jpeg_color": (
         multimodal_features_jpeg_color,
+        _multimodal_features_jpeg_oracle(),
+    ),
+    # and again for the SOF2 multi-scan path: identical decoded pixels
+    "multimodal_features_jpeg_progressive": (
+        multimodal_features_jpeg_progressive,
         _multimodal_features_jpeg_oracle(),
     ),
     "text_sasi_analyzer": (text_sasi_analyzer, _SASI_ORACLE),

@@ -418,3 +418,56 @@ class TestJpegRestartIntervals:
             else:
                 j += 1
         assert ms == [0, 1, 2, 3, 4, 5, 6, 7, 0]
+
+
+class TestJpegProgressive:
+    """Progressive (SOF2) multi-scan codec — T.81 G: DC first/refine,
+    AC first/refine with EOB runs and successive approximation. The
+    anchor property: the progressive and sequential encoders quantize to
+    IDENTICAL coefficients, so their decodes must agree pixel-for-pixel
+    (an independent cross-check, not a self-roundtrip)."""
+
+    def test_gray_progressive_matches_sequential(self):
+        from cassandra_pmem_spark.pipeline.jpeg import (
+            decode_jpeg,
+            encode_jpeg_gray,
+            encode_jpeg_progressive,
+        )
+
+        for shape in [(8, 8), (16, 24), (13, 21), (64, 64)]:
+            img = _rng(41).integers(0, 256, shape, dtype=np.uint8)
+            seq = decode_jpeg(encode_jpeg_gray(img))
+            pro = decode_jpeg(encode_jpeg_progressive(img))
+            assert np.array_equal(seq, pro), shape
+
+    def test_color_progressive_matches_sequential(self):
+        from cassandra_pmem_spark.pipeline.jpeg import (
+            decode_jpeg,
+            encode_jpeg_color,
+            encode_jpeg_progressive,
+        )
+
+        # includes non-MCU-aligned dims: the AC scans cover only the true
+        # component grid while DC scans cover the padded MCU grid
+        for shape in [(32, 48, 3), (19, 27, 3), (40, 56, 3), (17, 23, 3)]:
+            img = _rng(43).integers(0, 256, shape, dtype=np.uint8)
+            for sub in (True, False):
+                seq = decode_jpeg(encode_jpeg_color(img, subsample=sub))
+                pro = decode_jpeg(encode_jpeg_progressive(img, subsample=sub))
+                assert np.array_equal(seq, pro), (shape, sub)
+
+    def test_sof2_marker_and_multiscan_layout(self):
+        from cassandra_pmem_spark.pipeline.jpeg import encode_jpeg_progressive
+
+        enc = encode_jpeg_progressive(_rng(44).integers(0, 256, (16, 16), np.uint8))
+        assert b"\xff\xc2" in enc and b"\xff\xc0" not in enc
+        assert enc.count(b"\xff\xda") == 4  # DC first + refine, AC first + refine
+
+    def test_exactness_constructions_survive_progressive(self):
+        from cassandra_pmem_spark.pipeline.jpeg import decode_jpeg, encode_jpeg_progressive
+
+        grid = (_rng(45).integers(0, 128, (3, 16), dtype=np.uint8) * 2)
+        gray = np.repeat(np.repeat(grid, 8, 0), 8, 1)
+        assert np.array_equal(decode_jpeg(encode_jpeg_progressive(gray)), gray)
+        rgb = np.stack([gray, gray, gray], axis=-1)
+        assert np.array_equal(decode_jpeg(encode_jpeg_progressive(rgb)), rgb)
