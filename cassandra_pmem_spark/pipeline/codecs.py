@@ -181,3 +181,182 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
         f.setframerate(rate)
         f.writeframes(pcm.tobytes())
     return buf.getvalue()
+
+
+# -- MP3 frame-header walk (metadata only, no audio decode) -------------------
+#
+# ISO/IEC 11172-3 §2.4.1.3 (MPEG-1) / 13818-3 (MPEG-2, 2.5 extension):
+# a Layer III stream is a sequence of frames, each starting with a 4-byte
+# header (11-bit sync, version, layer, bitrate index, sample-rate index,
+# padding bit). Frame byte length and samples-per-frame follow from the
+# header alone, so duration/bitrate are computable WITHOUT decoding —
+# the metadata path a 100 TB pipeline actually runs. The audio decode
+# itself (Huffman + IMDCT + synthesis filterbank) remains a documented
+# stub (needs no external lib in principle, but is out of scope).
+
+_MP3_BITRATES_V1_L3 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+_MP3_BITRATES_V2_L3 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+# version field (2 bits): 0 = MPEG-2.5, 2 = MPEG-2, 3 = MPEG-1
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+
+
+def _mp3_skip_id3(data: bytes) -> int:
+    """Offset past an ID3v2 tag (syncsafe 28-bit size at bytes 6..9)."""
+    if data[:3] == b"ID3" and len(data) >= 10:
+        size = (
+            ((data[6] & 0x7F) << 21)
+            | ((data[7] & 0x7F) << 14)
+            | ((data[8] & 0x7F) << 7)
+            | (data[9] & 0x7F)
+        )
+        return 10 + size
+    return 0
+
+
+def is_mp3(data: bytes) -> bool:
+    p = _mp3_skip_id3(data)
+    return (
+        len(data) >= p + 4
+        and data[p] == 0xFF
+        and (data[p + 1] & 0xE0) == 0xE0
+        and (data[p + 1] >> 1) & 0x3 == 0x1  # layer III
+    )
+
+
+def mp3_stream_info(data: bytes) -> dict:
+    """Walk every frame header: returns {frames, sample_rate, duration_ms,
+    bitrate_kbps (mean), vbr}. Raises on a malformed stream."""
+    pos = _mp3_skip_id3(data)
+    frames = 0
+    total_ms = 0.0
+    bitrates: set[int] = set()
+    bitrate_sum = 0
+    rate = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF or (data[pos + 1] & 0xE0) != 0xE0:
+            raise ValueError(f"lost MP3 frame sync at byte {pos}")
+        version = (data[pos + 1] >> 3) & 0x3
+        layer = (data[pos + 1] >> 1) & 0x3
+        if version == 1 or layer != 0x1:
+            raise ValueError("not a Layer III frame header")
+        bidx = data[pos + 2] >> 4
+        ridx = (data[pos + 2] >> 2) & 0x3
+        pad = (data[pos + 2] >> 1) & 0x1
+        if bidx in (0, 15) or ridx == 3:
+            raise ValueError("free-format/invalid bitrate or bad sample-rate index")
+        v1 = version == 3
+        kbps = (_MP3_BITRATES_V1_L3 if v1 else _MP3_BITRATES_V2_L3)[bidx]
+        rate = _MP3_RATES[version][ridx]
+        spf = 1152 if v1 else 576  # samples per Layer III frame
+        flen = (spf // 8) * kbps * 1000 // rate + pad
+        frames += 1
+        total_ms += spf * 1000.0 / rate
+        bitrates.add(kbps)
+        bitrate_sum += kbps
+        pos += flen
+    if frames == 0:
+        raise ValueError("no MP3 frames")
+    return {
+        "frames": frames,
+        "sample_rate": rate,
+        "duration_ms": int(round(total_ms)),
+        "bitrate_kbps": bitrate_sum // frames,
+        "vbr": len(bitrates) > 1,
+    }
+
+
+def build_mp3_frames(
+    n_frames: int, kbps: int = 128, rate: int = 44100, fill: int = 0x55
+) -> bytes:
+    """Deterministic fixture builder: n valid MPEG-1 Layer III frame
+    headers with constant-fill payloads (valid STRUCTURE, silent garbage
+    audio — this is a header-walk fixture, not an encoder)."""
+    bidx = _MP3_BITRATES_V1_L3.index(kbps)
+    ridx = (44100, 48000, 32000).index(rate)
+    hdr = bytes([0xFF, 0xFB, (bidx << 4) | (ridx << 2), 0x00])
+    flen = 144 * kbps * 1000 // rate
+    return (hdr + bytes([fill]) * (flen - 4)) * n_frames
+
+
+# -- MP4 / ISO BMFF box walk (metadata only) ----------------------------------
+#
+# ISO/IEC 14496-12: an MP4 file is a tree of length-prefixed boxes.
+# Duration and track count live in moov/mvhd and moov/trak — a pure
+# structural walk, no codec anywhere. Frame/sample DECODE (H.264 etc.)
+# remains a documented stub.
+
+
+def is_mp4(data: bytes) -> bool:
+    return len(data) >= 8 and data[4:8] == b"ftyp"
+
+
+def _mp4_boxes(data: bytes, start: int, end: int):
+    pos = start
+    while pos + 8 <= end:
+        size = struct.unpack(">I", data[pos : pos + 4])[0]
+        typ = data[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:
+            size = struct.unpack(">Q", data[pos + 8 : pos + 16])[0]
+            hdr = 16
+        elif size == 0:
+            size = end - pos  # box extends to end of enclosing scope
+        if size < hdr or pos + size > end:
+            raise ValueError(f"bad MP4 box size at {pos}")
+        yield typ, pos + hdr, pos + size
+        pos += size
+
+
+def mp4_info(data: bytes) -> dict:
+    """{major_brand, timescale, duration_ms, track_count, top_boxes}."""
+    if not is_mp4(data):
+        raise ValueError("not an MP4 (missing ftyp)")
+    major = None
+    timescale = duration = None
+    tracks = 0
+    top = []
+    for typ, body, bend in _mp4_boxes(data, 0, len(data)):
+        top.append(typ.decode("latin1"))
+        if typ == b"ftyp":
+            major = data[body : body + 4].decode("latin1")
+        elif typ == b"moov":
+            for btyp, b2, e2 in _mp4_boxes(data, body, bend):
+                if btyp == b"mvhd":
+                    ver = data[b2]
+                    if ver == 1:
+                        timescale = struct.unpack(">I", data[b2 + 20 : b2 + 24])[0]
+                        duration = struct.unpack(">Q", data[b2 + 24 : b2 + 32])[0]
+                    else:
+                        timescale = struct.unpack(">I", data[b2 + 12 : b2 + 16])[0]
+                        duration = struct.unpack(">I", data[b2 + 16 : b2 + 20])[0]
+                elif btyp == b"trak":
+                    tracks += 1
+    if timescale is None:
+        raise ValueError("MP4 missing moov/mvhd")
+    return {
+        "major_brand": major,
+        "timescale": timescale,
+        "duration_ms": int(round(duration * 1000.0 / timescale)),
+        "track_count": tracks,
+        "top_boxes": top,
+    }
+
+
+def build_mp4_stub(duration_ms: int, n_tracks: int = 1, timescale: int = 1000) -> bytes:
+    """Deterministic fixture builder: minimal ftyp+moov(mvhd+trak...)
+    structure with a valid box tree and mvhd timing (no media data)."""
+
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", len(payload) + 8) + typ + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    dur = duration_ms * timescale // 1000
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # creation/modification
+        + struct.pack(">II", timescale, dur)
+        + b"\x00" * 80,  # rate/volume/matrix/next-track (zeroed)
+    )
+    traks = b"".join(box(b"trak", b"") for _ in range(n_tracks))
+    return ftyp + box(b"moov", mvhd + traks)

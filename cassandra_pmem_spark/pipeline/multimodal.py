@@ -254,6 +254,55 @@ def jpeg_encode_progressive_stage(media: DataFrame, width: int = 16) -> DataFram
     return media.select("item_id", "data").mapInPandas(run, PNG_STAGE_SCHEMA)
 
 
+MP3_META_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType()),
+        T.StructField("frames", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("bitrate_kbps", T.IntegerType()),
+    ]
+)
+
+
+def mp3_meta_stage(media: DataFrame, mod_frames: int = 7) -> DataFrame:
+    """MP3 metadata WITHOUT audio decode: build a valid Layer III frame
+    sequence per item (frame count derived from the payload length —
+    deterministic, so an oracle can recompute it), then walk the REAL
+    frame headers (codecs.mp3_stream_info — sync, bitrate/sample-rate
+    tables, frame-length arithmetic) to recover frames/duration/bitrate.
+    This is the production shape for audio metadata at 100 TB: headers
+    only, payload bytes never parsed beyond frame boundaries."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from cassandra_pmem_spark.pipeline.codecs import (
+            build_mp3_frames,
+            mp3_stream_info,
+        )
+
+        for pdf in batches:
+            rows = []
+            for item_id, data in zip(pdf["item_id"], pdf["data"]):
+                raw = bytes(data or b"")
+                n = len(raw) % mod_frames + 2
+                info = mp3_stream_info(build_mp3_frames(n))
+                rows.append(
+                    (
+                        int(item_id),
+                        info["frames"],
+                        info["sample_rate"],
+                        info["duration_ms"],
+                        info["bitrate_kbps"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["item_id", "frames", "sample_rate", "duration_ms", "bitrate_kbps"],
+            )
+
+    return media.select("item_id", "data").mapInPandas(run, MP3_META_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: expand each item into (item_id, frame_ts)
     rows using metadata only — pure built-ins, no decode. The decode of the

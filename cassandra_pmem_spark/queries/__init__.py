@@ -57,6 +57,7 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_features_jpeg",
     "multimodal_features_jpeg_color",  # NEW this round (color codec)
     "multimodal_features_jpeg_progressive",  # NEW this round (SOF2 codec)
+    "multimodal_audio_mp3_meta",  # NEW this round (MP3 header walk)
     "cql_token_scan_timestamp",  # NEW this round (temporal-key Murmur3)
     "cql_allow_filtering",  # NEW this round (strict gate, both ways)
     # -- (3) round-1-only evidence (three rounds stale)
@@ -89,13 +90,12 @@ _PRIORITY: tuple[str, ...] = (
     "cql_group_limit",
     "cql_select_json",
     "cql_duration_arithmetic",
-    "cql_upsert_lww_cells",
 )
-# sim_bruteforce_topk, dedup_simhash, dedup_exact_docs, and
-# cql_ttl_expiry (r2 evidence) yielded their slots to the four new
-# never-green queries (color JPEG, progressive JPEG, timestamp token,
-# allow-filtering gate); they rotate into the round-5 window with the
-# rest of the r2 set.
+# sim_bruteforce_topk, dedup_simhash, dedup_exact_docs, cql_ttl_expiry,
+# and cql_upsert_lww_cells (r2 evidence) yielded their slots to the five
+# new never-green queries (color JPEG, progressive JPEG, MP3 header
+# walk, timestamp token, allow-filtering gate); they rotate into the
+# round-5 window with the rest of the r2 set.
 # Deliberately outside the window this round (fresh r3 evidence or
 # unedited r2 evidence that rotates in next round): tpch q2–q22,
 # streaming_{tumbling,session}_real, cql_token_scan*, sim_lsh_topk,

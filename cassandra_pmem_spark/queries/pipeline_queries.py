@@ -415,6 +415,34 @@ def multimodal_features_jpeg_progressive(spark: SparkSession, sf_dir: str) -> Da
     )
 
 
+def multimodal_audio_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 metadata extraction (header walk only — ISO 11172-3 §2.4.1.3):
+    each document deterministically becomes a valid MPEG-1 Layer III
+    frame sequence (frame count = byte-length mod 7 + 2), and the REAL
+    frame-header walker recovers frames / sample rate / duration /
+    bitrate from sync words and the bitrate/sample-rate tables. The
+    oracle recomputes all four from the length formula — a hash match
+    proves the frame-length arithmetic walked every header."""
+    from cassandra_pmem_spark.pipeline.multimodal import mp3_meta_stage
+
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "blob", F.col("text").cast("binary")
+    )
+    media = attach_media(docs, "blob", "audio", "audio/mpeg", "doc_id")
+    return mp3_meta_stage(media)
+
+
+_MP3_META_ORACLE = """
+SELECT doc_id AS item_id,
+  CAST(octet_length(encode(text)) % 7 + 2 AS BIGINT) AS frames,
+  CAST(44100 AS INT) AS sample_rate,
+  CAST(round((octet_length(encode(text)) % 7 + 2) * 1152.0 * 1000.0 / 44100.0)
+       AS BIGINT) AS duration_ms,
+  CAST(128 AS INT) AS bitrate_kbps
+FROM documents
+"""
+
+
 def _multimodal_features_jpeg_oracle(dim: int = 8, width: int = 16) -> str:
     """Mirror of the JPEG encode→decode→histogram pipeline: decoded pixels
     are the EVENIZED utf8 bytes (v & ~1) zero-padded to a `width`-multiple,
@@ -855,6 +883,7 @@ QUERIES = {
         multimodal_features_jpeg_progressive,
         _multimodal_features_jpeg_oracle(),
     ),
+    "multimodal_audio_mp3_meta": (multimodal_audio_mp3_meta, _MP3_META_ORACLE),
     "text_sasi_analyzer": (text_sasi_analyzer, _SASI_ORACLE),
     "multimodal_frame_plan": (multimodal_frame_plan, _FRAME_PLAN_ORACLE),
 }

@@ -471,3 +471,68 @@ class TestJpegProgressive:
         assert np.array_equal(decode_jpeg(encode_jpeg_progressive(gray)), gray)
         rgb = np.stack([gray, gray, gray], axis=-1)
         assert np.array_equal(decode_jpeg(encode_jpeg_progressive(rgb)), rgb)
+
+
+class TestMp3Mp4Metadata:
+    """MP3 frame-header walk (ISO 11172-3 §2.4.1.3) and MP4/ISO-BMFF box
+    walk (ISO 14496-12) — metadata only, no audio/video decode."""
+
+    def test_mp3_frame_walk_counts_and_duration(self):
+        from cassandra_pmem_spark.pipeline.codecs import (
+            build_mp3_frames,
+            is_mp3,
+            mp3_stream_info,
+        )
+
+        s = build_mp3_frames(9, kbps=128, rate=44100)
+        assert is_mp3(s)
+        info = mp3_stream_info(s)
+        assert info["frames"] == 9
+        assert info["sample_rate"] == 44100
+        assert info["bitrate_kbps"] == 128 and info["vbr"] is False
+        assert info["duration_ms"] == round(9 * 1152 * 1000 / 44100)
+
+    def test_mp3_vbr_detected_across_mixed_frames(self):
+        from cassandra_pmem_spark.pipeline.codecs import build_mp3_frames, mp3_stream_info
+
+        s = build_mp3_frames(3, kbps=128) + build_mp3_frames(2, kbps=192)
+        info = mp3_stream_info(s)
+        assert info["frames"] == 5 and info["vbr"] is True
+        assert info["bitrate_kbps"] == (3 * 128 + 2 * 192) // 5
+
+    def test_mp3_id3v2_tag_skipped(self):
+        from cassandra_pmem_spark.pipeline.codecs import (
+            build_mp3_frames,
+            is_mp3,
+            mp3_stream_info,
+        )
+
+        tag = b"ID3\x03\x00\x00" + bytes([0, 0, 0, 20]) + b"\x00" * 20
+        s = tag + build_mp3_frames(4)
+        assert is_mp3(s)
+        assert mp3_stream_info(s)["frames"] == 4
+
+    def test_mp3_bad_sync_rejected(self):
+        from cassandra_pmem_spark.pipeline.codecs import build_mp3_frames, mp3_stream_info
+
+        s = bytearray(build_mp3_frames(3))
+        s[0] = 0x00  # break the first sync word
+        with pytest.raises(ValueError, match="sync"):
+            mp3_stream_info(bytes(s))
+
+    def test_mp4_box_walk(self):
+        from cassandra_pmem_spark.pipeline.codecs import build_mp4_stub, is_mp4, mp4_info
+
+        m = build_mp4_stub(7250, n_tracks=3)
+        assert is_mp4(m)
+        info = mp4_info(m)
+        assert info["duration_ms"] == 7250
+        assert info["track_count"] == 3
+        assert info["major_brand"] == "isom"
+        assert info["top_boxes"] == ["ftyp", "moov"]
+
+    def test_mp4_not_mp4_rejected(self):
+        from cassandra_pmem_spark.pipeline.codecs import mp4_info
+
+        with pytest.raises(ValueError):
+            mp4_info(b"\x00\x00\x00\x08free")
