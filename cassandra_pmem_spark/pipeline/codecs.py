@@ -44,45 +44,24 @@ def is_wav(data: bytes) -> bool:
     return data[:4] == b"RIFF" and data[8:12] == b"WAVE"
 
 
-def decode_png(data: bytes) -> np.ndarray:
-    """PNG → uint8 array of shape (h, w, channels). Supports bit depth 8,
-    color types 0/2/3/4/6, no Adam7 interlacing (the overwhelmingly common
-    subset; everything else raises)."""
-    if not is_png(data):
-        raise ValueError("not a PNG (bad signature)")
-    pos, idat, palette = 8, [], None
-    w = h = bit = color = interlace = None
-    while pos + 8 <= len(data):
-        ln, typ = struct.unpack(">I4s", data[pos : pos + 8])
-        pos += 8
-        chunk = data[pos : pos + ln]
-        pos += ln + 4  # payload + crc
-        if typ == b"IHDR":
-            w, h, bit, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", chunk)
-        elif typ == b"PLTE":
-            palette = np.frombuffer(chunk, np.uint8).reshape(-1, 3)
-        elif typ == b"IDAT":
-            idat.append(chunk)
-        elif typ == b"IEND":
-            break
-    if w is None:
-        raise ValueError("PNG missing IHDR")
-    if bit != 8:
-        raise NotImplementedError(f"only 8-bit PNG supported (got bit depth {bit})")
-    if interlace:
-        raise NotImplementedError("Adam7 interlaced PNG not supported")
-    if color not in _COLOR_CHANNELS:
-        raise ValueError(f"bad PNG color type {color}")
-    ch = _COLOR_CHANNELS[color]
-    stride = w * ch
-    raw = zlib.decompress(b"".join(idat))
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG data length mismatch")
+# Adam7 pass geometry: (x0, y0, dx, dy) per pass (PNG spec §8.2)
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
-    out = np.empty((h, stride), np.uint16)
+
+def _unfilter(raw: bytes, p: int, rows: int, stride: int, ch: int) -> tuple[np.ndarray, int]:
+    """Reverse the per-row PNG filters (spec filters 0-4) for one scanline
+    group; returns ((rows, stride) uint16 array, new offset)."""
+    out = np.empty((rows, stride), np.uint16)
     prev = np.zeros(stride, np.uint16)
-    p = 0
-    for y in range(h):
+    for y in range(rows):
         f = raw[p]
         p += 1
         line = np.frombuffer(raw[p : p + stride], np.uint8).astype(np.uint16)
@@ -114,8 +93,62 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError(f"bad PNG filter byte {f}")
         out[y] = cur
         prev = cur
+    return out, p
 
-    img = out.astype(np.uint8).reshape(h, w, ch)
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG → uint8 array of shape (h, w, channels). Supports bit depth 8,
+    color types 0/2/3/4/6, both non-interlaced and Adam7-interlaced
+    streams (each of the seven passes is its own filtered scanline group
+    scattered onto the sample grid — spec §8.2); everything else raises."""
+    if not is_png(data):
+        raise ValueError("not a PNG (bad signature)")
+    pos, idat, palette = 8, [], None
+    w = h = bit = color = interlace = None
+    while pos + 8 <= len(data):
+        ln, typ = struct.unpack(">I4s", data[pos : pos + 8])
+        pos += 8
+        chunk = data[pos : pos + ln]
+        pos += ln + 4  # payload + crc
+        if typ == b"IHDR":
+            w, h, bit, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", chunk)
+        elif typ == b"PLTE":
+            palette = np.frombuffer(chunk, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(chunk)
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if bit != 8:
+        raise NotImplementedError(f"only 8-bit PNG supported (got bit depth {bit})")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
+    if color not in _COLOR_CHANNELS:
+        raise ValueError(f"bad PNG color type {color}")
+    ch = _COLOR_CHANNELS[color]
+    raw = zlib.decompress(b"".join(idat))
+
+    if interlace == 0:
+        stride = w * ch
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG data length mismatch")
+        out, _ = _unfilter(raw, 0, h, stride, ch)
+        img = out.astype(np.uint8).reshape(h, w, ch)
+    else:
+        img = np.zeros((h, w, ch), np.uint8)
+        p = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue  # empty pass contributes no scanlines
+            rows, p = _unfilter(raw, p, ph, pw * ch, ch)
+            pass_img = rows.astype(np.uint8).reshape(ph, pw, ch)
+            img[y0::dy, x0::dx] = pass_img
+        if p != len(raw):
+            raise ValueError("PNG data length mismatch")
+
     if color == 3:
         if palette is None:
             raise ValueError("palette PNG missing PLTE")
@@ -123,14 +156,25 @@ def decode_png(data: bytes) -> np.ndarray:
     return img
 
 
-def encode_png(img: np.ndarray) -> bytes:
-    """uint8 (h, w[, channels]) → PNG bytes (filter 0 rows)."""
+def encode_png(img: np.ndarray, interlace: bool = False) -> bytes:
+    """uint8 (h, w[, channels]) → PNG bytes (filter 0 rows). With
+    interlace=True, emit the seven Adam7 passes (spec §8.2) — each pass
+    its own scanline group over the subsampled grid."""
     img = np.ascontiguousarray(img, np.uint8)
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, ch = img.shape
     color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            parts += [b"\x00" + np.ascontiguousarray(sub[y]).tobytes() for y in range(sub.shape[0])]
+        raw = b"".join(parts)
+    else:
+        raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
 
     def chunk(typ: bytes, payload: bytes) -> bytes:
         return (
@@ -140,7 +184,7 @@ def encode_png(img: np.ndarray) -> bytes:
             + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1 if interlace else 0)
     return (
         PNG_SIGNATURE
         + chunk(b"IHDR", ihdr)

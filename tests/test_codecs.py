@@ -536,3 +536,37 @@ class TestMp3Mp4Metadata:
 
         with pytest.raises(ValueError):
             mp4_info(b"\x00\x00\x00\x08free")
+
+
+class TestPngAdam7:
+    """Adam7 interlaced PNG (spec §8.2): seven per-pass scanline groups
+    scattered onto the sample grid, each pass filtered independently."""
+
+    def test_roundtrip_shapes_and_channels(self):
+        from cassandra_pmem_spark.pipeline.codecs import decode_png, encode_png
+
+        for shape in [(8, 8), (13, 21), (1, 1), (2, 3), (7, 1), (1, 9), (33, 47)]:
+            for ch in (None, 3, 4):
+                s = shape if ch is None else (*shape, ch)
+                img = _rng(52).integers(0, 256, s, dtype=np.uint8)
+                want = img[:, :, None] if ch is None else img
+                dec = decode_png(encode_png(img, interlace=True))
+                assert np.array_equal(dec, want), s
+
+    def test_interlace_flag_in_ihdr(self):
+        from cassandra_pmem_spark.pipeline.codecs import encode_png
+
+        img = _rng(53).integers(0, 256, (9, 9), dtype=np.uint8)
+        plain = encode_png(img)
+        inter = encode_png(img, interlace=True)
+        # IHDR interlace byte is the 13th payload byte (offset 8+8+12)
+        assert plain[8 + 8 + 12] == 0 and inter[8 + 8 + 12] == 1
+        assert plain != inter
+
+    def test_interlaced_matches_plain_decode(self):
+        from cassandra_pmem_spark.pipeline.codecs import decode_png, encode_png
+
+        img = _rng(54).integers(0, 256, (24, 17, 3), dtype=np.uint8)
+        a = decode_png(encode_png(img))
+        b = decode_png(encode_png(img, interlace=True))
+        assert np.array_equal(a, b)
