@@ -203,13 +203,27 @@ def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """WAV → (samples float64 in [-1, 1) shaped (n, channels), rate).
-    16-bit PCM only (what ``wave`` reads without codecs)."""
+    8-bit (unsigned, offset-128), 16-bit, and 24-bit PCM — the widths
+    the RIFF/PCM spec defines for linear integer samples."""
     with wave.open(io.BytesIO(data), "rb") as f:
-        if f.getsampwidth() != 2:
-            raise NotImplementedError("only 16-bit PCM WAV supported")
+        width = f.getsampwidth()
         nch, rate, n = f.getnchannels(), f.getframerate(), f.getnframes()
-        pcm = np.frombuffer(f.readframes(n), dtype="<i2").reshape(-1, nch)
-    return pcm.astype(np.float64) / 32768.0, rate
+        raw = f.readframes(n)
+    if width == 2:
+        pcm = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        # 8-bit PCM is UNSIGNED with the zero level at 128
+        pcm = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif width == 3:
+        # 24-bit little-endian: widen to int32 via a zero pad byte, then
+        # arithmetic-shift the sign into place
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        padded = np.zeros((b.shape[0], 4), np.uint8)
+        padded[:, 1:] = b
+        pcm = (padded.view("<i4").ravel() >> 8).astype(np.float64) / 8388608.0
+    else:
+        raise NotImplementedError(f"{8 * width}-bit PCM WAV not supported")
+    return pcm.reshape(-1, nch), rate
 
 
 def encode_wav(samples: np.ndarray, rate: int) -> bytes:

@@ -570,3 +570,44 @@ class TestPngAdam7:
         a = decode_png(encode_png(img))
         b = decode_png(encode_png(img, interlace=True))
         assert np.array_equal(a, b)
+
+
+class TestWavWidths:
+    """8/16/24-bit PCM decode (RIFF linear PCM widths)."""
+
+    def _wav(self, width, frames):
+        import io as _io
+        import wave as _wave
+
+        buf = _io.BytesIO()
+        with _wave.open(buf, "wb") as f:
+            f.setnchannels(1)
+            f.setsampwidth(width)
+            f.setframerate(8000)
+            f.writeframes(frames)
+        return buf.getvalue()
+
+    def test_8bit_unsigned_offset(self):
+        from cassandra_pmem_spark.pipeline.codecs import decode_wav
+
+        s, rate = decode_wav(self._wav(1, bytes([0, 128, 255])))
+        assert rate == 8000
+        assert s[:, 0].tolist() == [-1.0, 0.0, 127 / 128]
+
+    def test_24bit_signed(self):
+        import struct as _s
+
+        from cassandra_pmem_spark.pipeline.codecs import decode_wav
+
+        vals = [0, 1, -1, 8388607, -8388608]
+        frames = b"".join(_s.pack("<i", v)[:3] for v in vals)
+        s, _ = decode_wav(self._wav(3, frames))
+        assert s[:, 0].tolist() == [v / 8388608.0 for v in vals]
+
+    def test_16bit_unchanged(self):
+        import struct as _s
+
+        from cassandra_pmem_spark.pipeline.codecs import decode_wav
+
+        s, _ = decode_wav(self._wav(2, _s.pack("<3h", 0, 16384, -32768)))
+        assert s[:, 0].tolist() == [0.0, 0.5, -1.0]
