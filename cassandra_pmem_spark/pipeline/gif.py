@@ -1,0 +1,428 @@
+"""Pure-stdlib GIF89a codec — REAL LZW in both directions, animation,
+interlace, transparency, and frame-disposal compositing.
+
+This is the repo's "video" decode path: an animated GIF is a container of
+timed frames, and the decoder below walks every block of the public GIF89a
+specification (CompuServe, 1989/1990; also W3C note "GIF89a") —
+
+  * logical screen descriptor + global color table,
+  * graphic control extensions (delay, transparency index, disposal),
+  * application/comment extensions (sub-block skip),
+  * image descriptors with optional local color tables and interlacing
+    (the 4-pass 8/8, 8/8+4, 4/4+2, 2/2+1 row schedule),
+  * variable-width LSB-first LZW code streams with CLEAR/EOI handling and
+    the 12-bit table-full reset,
+
+and composites sub-rectangle frames onto the logical screen honoring
+disposal methods 0/1 (leave), 2 (restore to background) and 3 (restore to
+previous), so the caller receives full-canvas frames exactly as a player
+would show them.
+
+Reference parity note: the reference engine treats media as opaque blobs
+(`db/marshal/BytesType.java`) — codec work happens outside it.  Here the
+decode runs INSIDE the pipeline as Arrow-batched `mapInPandas` stages
+(pipeline/multimodal.py), which is the Spark-first shape for a 100 TB
+corpus: frames never leave the executor that scanned the blob.
+
+Everything below is numpy + stdlib only (no Pillow/imageio in this
+container); LZW is the original Welch 1984 algorithm with the GIF bit
+packing.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+GIF_SIGNATURES = (b"GIF87a", b"GIF89a")
+
+
+def is_gif(data: bytes) -> bool:
+    return len(data) >= 6 and data[:6] in GIF_SIGNATURES
+
+
+def grayscale_palette() -> np.ndarray:
+    """The 256-entry achromatic palette (i, i, i) used by the encoder's
+    default — lets index arrays round-trip as literal byte values."""
+    g = np.arange(256, dtype=np.uint8)
+    return np.stack([g, g, g], axis=1)
+
+
+# -- LZW (GIF variant: LSB-first variable-width codes, CLEAR/EOI) ------------
+
+
+def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    """Index bytes → GIF LZW code stream (without sub-block framing)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    data = indices.tobytes()
+
+    out = bytearray()
+    acc = 0  # bit accumulator, LSB-first
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    w = b""
+    for ch in data:
+        wk = w + bytes([ch])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        table[wk] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code >= 4096:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        w = bytes([ch])
+    if w:
+        emit(table[w], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(stream: bytes, min_code_size: int, expected: int) -> np.ndarray:
+    """GIF LZW code stream → index bytes (length `expected`)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = min_code_size + 1
+    prev: bytes | None = None
+
+    acc = 0
+    nbits = 0
+    pos = 0
+    n = len(stream)
+    while len(out) < expected:
+        while nbits < width:
+            if pos >= n:
+                raise ValueError("truncated LZW stream")
+            acc |= stream[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"LZW code {code} out of range")
+        out.extend(entry)
+        if prev is not None and len(table) == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    return np.frombuffer(bytes(out[:expected]), dtype=np.uint8)
+
+
+# -- interlace ---------------------------------------------------------------
+
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _interlace_order(h: int) -> np.ndarray:
+    rows = []
+    for start, step in _INTERLACE_PASSES:
+        rows.extend(range(start, h, step))
+    return np.asarray(rows, dtype=np.int64)
+
+
+def _deinterlace(img: np.ndarray) -> np.ndarray:
+    out = np.empty_like(img)
+    out[_interlace_order(img.shape[0])] = img
+    return out
+
+
+def _interlace(img: np.ndarray) -> np.ndarray:
+    return img[_interlace_order(img.shape[0])]
+
+
+# -- encode ------------------------------------------------------------------
+
+
+def _sub_blocks(payload: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(payload), 255):
+        chunk = payload[i : i + 255]
+        out.append(len(chunk))
+        out.extend(chunk)
+    out.append(0)
+    return bytes(out)
+
+
+def _color_table_bits(n_colors: int) -> int:
+    bits = 1
+    while (1 << bits) < n_colors:
+        bits += 1
+    return bits
+
+
+def encode_gif(
+    frames: list[np.ndarray],
+    delays_cs: list[int] | None = None,
+    palette: np.ndarray | None = None,
+    interlace: bool = False,
+    offsets: list[tuple[int, int]] | None = None,
+    screen: tuple[int, int] | None = None,
+    disposals: list[int] | None = None,
+    transparent_index: int | None = None,
+    loop: bool = True,
+) -> bytes:
+    """Palette-index frames → animated GIF89a.
+
+    frames: (h, w) uint8 index arrays (may be sub-rectangles with
+    per-frame (left, top) `offsets` against a `screen` canvas).
+    delays_cs: per-frame delay in centiseconds (GCE units).
+    palette: (n, 3) uint8; defaults to the 256-gray identity palette.
+    """
+    if not frames:
+        raise ValueError("need at least one frame")
+    pal = grayscale_palette() if palette is None else np.asarray(palette, np.uint8)
+    if pal.ndim != 2 or pal.shape[1] != 3:
+        raise ValueError("palette must be (n, 3)")
+    bits = _color_table_bits(pal.shape[0])
+    table = np.zeros((1 << bits, 3), np.uint8)
+    table[: pal.shape[0]] = pal
+
+    offs = offsets or [(0, 0)] * len(frames)
+    if screen is None:
+        sw = max(o[0] + f.shape[1] for o, f in zip(offs, frames))
+        sh = max(o[1] + f.shape[0] for o, f in zip(offs, frames))
+    else:
+        sw, sh = screen
+    delays = delays_cs or [0] * len(frames)
+    disps = disposals or [0] * len(frames)
+
+    out = bytearray()
+    out.extend(b"GIF89a")
+    out.extend(struct.pack("<HH", sw, sh))
+    out.append(0x80 | 0x70 | (bits - 1))  # GCT present, color res 8, size
+    out.append(0)  # background color index
+    out.append(0)  # aspect
+    out.extend(table.tobytes())
+    if loop and len(frames) > 1:
+        out.extend(b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00")
+    mcs = max(2, bits)
+    for frame, (left, top), delay, disp in zip(frames, offs, delays, disps):
+        f = np.ascontiguousarray(np.asarray(frame, np.uint8))
+        if f.ndim != 2:
+            raise ValueError("frames must be 2-D index arrays")
+        packed = (disp & 7) << 2
+        tidx = 0
+        if transparent_index is not None:
+            packed |= 1
+            tidx = transparent_index
+        out.extend(struct.pack("<BBBBHBB", 0x21, 0xF9, 4, packed, delay, tidx, 0))
+        h, w = f.shape
+        out.append(0x2C)
+        out.extend(struct.pack("<HHHH", left, top, w, h))
+        out.append(0x40 if interlace else 0x00)  # no LCT
+        out.append(mcs)
+        body = _interlace(f) if interlace else f
+        out.extend(_sub_blocks(_lzw_encode(body.ravel(), mcs)))
+    out.append(0x3B)
+    return bytes(out)
+
+
+# -- decode ------------------------------------------------------------------
+
+
+def _read_sub_blocks(data: bytes, pos: int) -> tuple[bytes, int]:
+    parts = []
+    while True:
+        if pos >= len(data):
+            raise ValueError("truncated sub-block chain")
+        n = data[pos]
+        pos += 1
+        if n == 0:
+            break
+        parts.append(data[pos : pos + n])
+        pos += n
+    return b"".join(parts), pos
+
+
+def decode_gif(data: bytes) -> tuple[list[np.ndarray], list[int]]:
+    """GIF bytes → (composited full-canvas RGB frames, delays in cs).
+
+    Each returned frame is (screen_h, screen_w, 3) uint8 — what a player
+    presents after applying the frame's sub-rectangle, transparency, and
+    the PREVIOUS frame's disposal method."""
+    if not is_gif(data):
+        raise ValueError("not a GIF")
+    sw, sh = struct.unpack_from("<HH", data, 6)
+    packed = data[10]
+    bg_index = data[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = np.frombuffer(data[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+        pos += 3 * n
+
+    bg_rgb = gct[bg_index] if gct is not None and bg_index < len(gct) else np.zeros(3, np.uint8)
+    canvas = np.zeros((sh, sw, 3), np.uint8)
+    canvas[:, :] = bg_rgb
+
+    frames: list[np.ndarray] = []
+    delays: list[int] = []
+    delay = 0
+    transparent: int | None = None
+    disposal = 0
+
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = data[pos]
+            pos += 1
+            if label == 0xF9:  # graphic control
+                size = data[pos]
+                gce = data[pos + 1 : pos + 1 + size]
+                pos += 1 + size
+                if data[pos] != 0:
+                    raise ValueError("unterminated GCE")
+                pos += 1
+                flags = gce[0]
+                delay = struct.unpack_from("<H", gce, 1)[0]
+                disposal = (flags >> 2) & 7
+                transparent = gce[3] if flags & 1 else None
+            else:  # application / comment / plain-text: skip sub-blocks
+                _, pos = _read_sub_blocks(data, pos)
+        elif block == 0x2C:  # image descriptor
+            left, top, w, h = struct.unpack_from("<HHHH", data, pos)
+            pos += 8
+            iflags = data[pos]
+            pos += 1
+            pal = gct
+            if iflags & 0x80:  # local color table
+                n = 2 << (iflags & 7)
+                pal = np.frombuffer(data[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("no color table for image")
+            mcs = data[pos]
+            pos += 1
+            stream, pos = _read_sub_blocks(data, pos)
+            idx = _lzw_decode(stream, mcs, w * h).reshape(h, w)
+            if iflags & 0x40:
+                idx = _deinterlace(idx)
+
+            saved = canvas.copy() if disposal == 3 else None
+            rect = canvas[top : top + h, left : left + w]
+            rgb = pal[idx]
+            if transparent is not None:
+                mask = idx != transparent
+                rect[mask] = rgb[mask]
+            else:
+                rect[:, :] = rgb
+            frames.append(canvas.copy())
+            delays.append(delay)
+            # apply disposal for the NEXT frame
+            if disposal == 2:
+                canvas[top : top + h, left : left + w] = bg_rgb
+            elif disposal == 3 and saved is not None:
+                canvas = saved
+            delay, transparent, disposal = 0, None, 0
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02X}")
+    if not frames:
+        raise ValueError("GIF contains no frames")
+    return frames, delays
+
+
+def rgb_to_indexed(img: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(h, w, 3) RGB → (index array, palette) for re-encoding. Raises if
+    the image has more than 256 distinct colors (GIF's hard limit — a
+    real pipeline would median-cut quantize first)."""
+    flat = np.asarray(img, np.uint8).reshape(-1, 3)
+    pal, inv = np.unique(flat, axis=0, return_inverse=True)
+    if pal.shape[0] > 256:
+        raise ValueError(f"{pal.shape[0]} colors exceed GIF's 256-color limit")
+    return inv.reshape(img.shape[:2]).astype(np.uint8), pal
+
+
+def gif_info(data: bytes) -> dict:
+    """Metadata-only walk (no pixel decode): screen size, frame count,
+    per-frame delays — the headers-only pass a 100 TB pipeline runs
+    before deciding which items to decode."""
+    if not is_gif(data):
+        raise ValueError("not a GIF")
+    sw, sh = struct.unpack_from("<HH", data, 6)
+    packed = data[10]
+    pos = 13
+    if packed & 0x80:
+        pos += 3 * (2 << (packed & 7))
+    n_frames = 0
+    delays: list[int] = []
+    delay = 0
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            label = data[pos]
+            pos += 1
+            if label == 0xF9:
+                size = data[pos]
+                delay = struct.unpack_from("<H", data, pos + 2)[0]
+                pos += 1 + size + 1
+            else:
+                _, pos = _read_sub_blocks(data, pos)
+        elif block == 0x2C:
+            _, _, w, h = struct.unpack_from("<HHHH", data, pos)
+            pos += 8
+            iflags = data[pos]
+            pos += 1
+            if iflags & 0x80:
+                pos += 3 * (2 << (iflags & 7))
+            pos += 1  # min code size
+            _, pos = _read_sub_blocks(data, pos)
+            n_frames += 1
+            delays.append(delay)
+            delay = 0
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02X}")
+    return {
+        "width": sw,
+        "height": sh,
+        "n_frames": n_frames,
+        "delays_cs": delays,
+        "duration_cs": sum(delays),
+    }

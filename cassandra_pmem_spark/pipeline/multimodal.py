@@ -9,12 +9,15 @@ predicate pushdown on metadata never touches the bytes.
 
 Decode / feature-extract / resize / frame-sample run as Arrow-batched
 mapInPandas stages: the Spark-side plumbing (schemas, batch iteration,
-partition sizing) is real and tested. Codecs: PNG, 16-bit-PCM WAV, and
-baseline JPEG — grayscale AND 4:2:0/4:4:4 YCbCr color — decode/encode
-are REAL and library-free (pipeline/codecs.py — stdlib zlib/struct/wave
-+ numpy; pipeline/jpeg.py — T.81 baseline Huffman+DCT, interleaved
-MCUs, progressive SOF2); formats that require codec libraries the
-container lacks (MP3, video) raise a clearly-marked
+partition sizing) is real and tested. Codecs: PNG, 8/16/24-bit-PCM WAV,
+baseline JPEG — grayscale AND 4:2:0/4:4:4 YCbCr color — AND animated
+GIF (LZW, interlace, disposal compositing) decode/encode are REAL and
+library-free (pipeline/codecs.py — stdlib zlib/struct/wave + numpy;
+pipeline/jpeg.py — T.81 baseline Huffman+DCT, interleaved MCUs,
+progressive SOF2; pipeline/gif.py — GIF89a). Animated GIF is the real
+VIDEO path: timed frames decode and frame-sample through the same
+mapInPandas shape. Formats that require codec libraries the container
+lacks (MP3 audio decode, MP4 sample decode) raise a clearly-marked
 NotImplementedError, and a deterministic
 byte-statistics fake remains available (fake_decode=True) for
 format-agnostic plumbing tests. At
@@ -72,20 +75,29 @@ def attach_media(
 
 
 def _decode_image(data: bytes) -> "object":
-    """Real decode for PNG and baseline JPEG — grayscale AND 4:2:0/4:4:4
-    YCbCr color (pipeline/codecs.py, pipeline/jpeg.py — pure
-    stdlib+numpy); other image formats need codec libraries this
-    container lacks and raise."""
+    """Real decode for PNG, baseline JPEG — grayscale AND 4:2:0/4:4:4
+    YCbCr color — and GIF (first frame of an animation; achromatic
+    palettes collapse to a 2-D gray array). Pure stdlib+numpy
+    (pipeline/codecs.py, pipeline/jpeg.py, pipeline/gif.py); other image
+    formats need codec libraries this container lacks and raise."""
     from cassandra_pmem_spark.pipeline.codecs import decode_png, is_png
+    from cassandra_pmem_spark.pipeline.gif import decode_gif, is_gif
     from cassandra_pmem_spark.pipeline.jpeg import decode_jpeg, is_jpeg
 
     if is_png(data):
         return decode_png(data)
     if is_jpeg(data):
         return decode_jpeg(data)  # (h, w) gray or (h, w, 3) RGB
+    if is_gif(data):
+        frame = decode_gif(data)[0][0]  # (h, w, 3) composited first frame
+        if (frame[..., 0] == frame[..., 1]).all() and (
+            frame[..., 0] == frame[..., 2]
+        ).all():
+            return frame[..., 0]
+        return frame
     raise NotImplementedError(
-        "only PNG and baseline JPEG (gray + YCbCr color) decode without "
-        "codec libraries (WebP/AVIF/... need Pillow/libvips — "
+        "only PNG, baseline JPEG (gray + YCbCr color), and GIF decode "
+        "without codec libraries (WebP/AVIF/... need Pillow/libvips — "
         "not present in this container); or use "
         "extract_image_features(fake_decode=True) for format-agnostic "
         "plumbing"
@@ -303,6 +315,71 @@ def mp3_meta_stage(media: DataFrame, mod_frames: int = 7) -> DataFrame:
     return media.select("item_id", "data").mapInPandas(run, MP3_META_SCHEMA)
 
 
+GIF_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("delay_cs", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("min_px", T.LongType()),
+        T.StructField("max_px", T.LongType()),
+    ]
+)
+
+
+def gif_frames_stage(
+    media: DataFrame, size: int = 16, mod_frames: int = 5
+) -> DataFrame:
+    """REAL video decode + frame walk: each item deterministically becomes
+    an animated GIF (frame count = byte-length mod `mod_frames` + 2; frame
+    i is a uniform `size`×`size` canvas with palette index
+    (L*7 + i*13) % 256 and GCE delay (i%4 + 1)*5 cs), and the REAL GIF89a
+    decoder (pipeline/gif.py — LZW, graphic-control extensions, disposal
+    compositing) walks the animation back into timed frames. Emitted
+    min_px == max_px proves every pixel of every frame survived the
+    LZW encode→decode round trip and the palette mapping; delay_cs proves
+    the GCE walk. One output row per frame — the exploded shape
+    frame-sampling composes with (join on item_id, filter on cumulative
+    delay). At 100 TB this is a zero-shuffle mapInPandas chain: frames
+    never leave the executor that scanned the blob."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from cassandra_pmem_spark.pipeline.gif import decode_gif, encode_gif
+
+        for pdf in batches:
+            rows = []
+            for item_id, data in zip(pdf["item_id"], pdf["data"]):
+                length = len(bytes(data or b""))
+                n = length % mod_frames + 2
+                frames = [
+                    np.full((size, size), (length * 7 + i * 13) % 256, np.uint8)
+                    for i in range(n)
+                ]
+                delays = [(i % 4 + 1) * 5 for i in range(n)]
+                blob = encode_gif(frames, delays_cs=delays)
+                decoded, out_delays = decode_gif(blob)
+                for i, (frame, d) in enumerate(zip(decoded, out_delays)):
+                    rows.append(
+                        (
+                            int(item_id),
+                            len(decoded),
+                            i,
+                            int(d),
+                            int(frame.shape[1]),
+                            int(frame.shape[0]),
+                            int(frame.min()),
+                            int(frame.max()),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in GIF_FRAMES_SCHEMA])
+
+    return media.select("item_id", "data").mapInPandas(run, GIF_FRAMES_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: expand each item into (item_id, frame_ts)
     rows using metadata only — pure built-ins, no decode. The decode of the
@@ -340,10 +417,21 @@ def _resize_image(data: bytes, width: int, height: int) -> bytes:
 
         px = resize_nearest(decode_jpeg(data), width, height)
         return encode_jpeg_color(px) if px.ndim == 3 else encode_jpeg_gray(px)
+    from cassandra_pmem_spark.pipeline.gif import (
+        decode_gif,
+        encode_gif,
+        is_gif,
+        rgb_to_indexed,
+    )
+
+    if is_gif(data):
+        frame = resize_nearest(decode_gif(data)[0][0], width, height)
+        idx, pal = rgb_to_indexed(frame)
+        return encode_gif([idx], palette=pal)
     raise NotImplementedError(
-        "only PNG and baseline JPEG (gray + color) resize without codec "
-        "libraries; use resize_images(fake_resize=True) for format-agnostic "
-        "plumbing"
+        "only PNG, baseline JPEG (gray + color), and GIF resize without "
+        "codec libraries; use resize_images(fake_resize=True) for "
+        "format-agnostic plumbing"
     )
 
 

@@ -432,6 +432,45 @@ def multimodal_audio_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mp3_meta_stage(media)
 
 
+def multimodal_video_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-video decode, oracle-checked: each document
+    deterministically becomes an animated GIF (pipeline/gif.py — a full
+    GIF89a codec: LZW both directions, graphic-control extensions,
+    disposal compositing) and the REAL decoder walks it back into timed
+    frames — one row per frame with the frame's delay and its exact
+    uniform pixel value (min_px == max_px). The oracle recomputes frame
+    count, delays, and pixel values from the construction arithmetic — a
+    hash match proves the LZW bit-stream, the palette mapping, and the
+    GCE delay walk reproduced every frame of every item. This is the
+    repo's video modality: the same headers+frames shape MP4/ISO-BMFF
+    walkers feed, but with the sample decode REAL."""
+    from cassandra_pmem_spark.pipeline.multimodal import gif_frames_stage
+
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "blob", F.col("text").cast("binary")
+    )
+    media = attach_media(docs, "blob", "video", "image/gif", "doc_id")
+    return gif_frames_stage(media)
+
+
+_GIF_FRAMES_ORACLE = """
+WITH f AS (
+  SELECT doc_id, octet_length(encode(text)) AS L,
+         unnest(range(0, octet_length(encode(text)) % 5 + 2)) AS i
+  FROM documents
+)
+SELECT doc_id AS item_id,
+  CAST(L % 5 + 2 AS BIGINT) AS n_frames,
+  CAST(i AS BIGINT) AS frame_idx,
+  CAST((i % 4 + 1) * 5 AS INT) AS delay_cs,
+  CAST(16 AS INT) AS width,
+  CAST(16 AS INT) AS height,
+  CAST((L * 7 + i * 13) % 256 AS BIGINT) AS min_px,
+  CAST((L * 7 + i * 13) % 256 AS BIGINT) AS max_px
+FROM f
+"""
+
+
 _MP3_META_ORACLE = """
 SELECT doc_id AS item_id,
   CAST(octet_length(encode(text)) % 7 + 2 AS BIGINT) AS frames,
@@ -884,6 +923,7 @@ QUERIES = {
         _multimodal_features_jpeg_oracle(),
     ),
     "multimodal_audio_mp3_meta": (multimodal_audio_mp3_meta, _MP3_META_ORACLE),
+    "multimodal_video_gif_frames": (multimodal_video_gif_frames, _GIF_FRAMES_ORACLE),
     "text_sasi_analyzer": (text_sasi_analyzer, _SASI_ORACLE),
     "multimodal_frame_plan": (multimodal_frame_plan, _FRAME_PLAN_ORACLE),
 }

@@ -611,3 +611,163 @@ class TestWavWidths:
 
         s, _ = decode_wav(self._wav(2, _s.pack("<3h", 0, 16384, -32768)))
         assert s[:, 0].tolist() == [0.0, 0.5, -1.0]
+
+
+class TestGif:
+    """GIF89a codec (pipeline/gif.py): real LZW both directions, animation
+    timing, interlace, sub-rectangle compositing, transparency, disposal."""
+
+    def test_single_frame_roundtrip_exact(self):
+        from cassandra_pmem_spark.pipeline.gif import decode_gif, encode_gif, is_gif
+
+        img = _rng(60).integers(0, 256, (57, 83), dtype=np.uint8)
+        blob = encode_gif([img])
+        assert is_gif(blob) and blob[:6] == b"GIF89a"
+        frames, delays = decode_gif(blob)
+        assert len(frames) == 1 and delays == [0]
+        for c in range(3):  # achromatic palette: every channel = indices
+            assert np.array_equal(frames[0][:, :, c], img)
+
+    def test_lzw_table_growth_and_reset(self):
+        # 300x300 random bytes force the code table through every width
+        # up to 12 bits and past the 4096-entry CLEAR/reset at least once
+        from cassandra_pmem_spark.pipeline.gif import decode_gif, encode_gif
+
+        img = _rng(61).integers(0, 256, (300, 300), dtype=np.uint8)
+        frames, _ = decode_gif(encode_gif([img]))
+        assert np.array_equal(frames[0][:, :, 0], img)
+
+    def test_lzw_compresses_runs(self):
+        from cassandra_pmem_spark.pipeline.gif import decode_gif, encode_gif
+
+        img = np.repeat(np.arange(50, dtype=np.uint8), 2000).reshape(250, 400)
+        blob = encode_gif([img])
+        assert len(blob) < img.size // 10  # long runs actually compress
+        assert np.array_equal(decode_gif(blob)[0][0][:, :, 0], img)
+
+    def test_animation_frames_and_delays(self):
+        from cassandra_pmem_spark.pipeline.gif import decode_gif, encode_gif, gif_info
+
+        rng = _rng(62)
+        imgs = [rng.integers(0, 256, (21, 34), dtype=np.uint8) for _ in range(6)]
+        blob = encode_gif(imgs, delays_cs=[5, 10, 15, 20, 25, 30])
+        frames, delays = decode_gif(blob)
+        assert delays == [5, 10, 15, 20, 25, 30]
+        for got, want in zip(frames, imgs):
+            assert np.array_equal(got[:, :, 0], want)
+        info = gif_info(blob)
+        assert info["n_frames"] == 6 and info["duration_cs"] == 105
+        assert (info["width"], info["height"]) == (34, 21)
+
+    def test_interlaced_roundtrip(self):
+        from cassandra_pmem_spark.pipeline.gif import decode_gif, encode_gif
+
+        for h in (1, 2, 4, 5, 8, 9, 61):
+            img = _rng(63).integers(0, 256, (h, 13), dtype=np.uint8)
+            frames, _ = decode_gif(encode_gif([img], interlace=True))
+            assert np.array_equal(frames[0][:, :, 0], img), h
+
+    def test_subrect_compositing(self):
+        from cassandra_pmem_spark.pipeline.gif import decode_gif, encode_gif
+
+        base = np.full((20, 30), 7, np.uint8)
+        patch = np.full((5, 6), 200, np.uint8)
+        blob = encode_gif([base, patch], offsets=[(0, 0), (10, 8)], screen=(30, 20))
+        frames, _ = decode_gif(blob)
+        want = base.copy()
+        want[8:13, 10:16] = 200
+        assert np.array_equal(frames[1][:, :, 0], want)
+
+    def test_transparency_preserves_canvas(self):
+        from cassandra_pmem_spark.pipeline.gif import decode_gif, encode_gif
+
+        base = np.full((6, 6), 7, np.uint8)
+        over = np.full((6, 6), 99, np.uint8)
+        over[2, :] = 42  # the transparent index
+        frames, _ = decode_gif(encode_gif([base, over], transparent_index=42))
+        want = np.full((6, 6), 99, np.uint8)
+        want[2, :] = 7  # transparent row shows the prior canvas
+        assert np.array_equal(frames[1][:, :, 0], want)
+
+    def test_disposal_restore_background_and_previous(self):
+        from cassandra_pmem_spark.pipeline.gif import decode_gif, encode_gif
+
+        base = np.full((8, 8), 5, np.uint8)
+        patch = np.full((3, 3), 200, np.uint8)
+        tail = np.full((1, 1), 9, np.uint8)
+        # disposal 2: patch rect restores to background (index 0) after frame 2
+        frames, _ = decode_gif(
+            encode_gif(
+                [base, patch, tail],
+                offsets=[(0, 0), (2, 2), (7, 7)],
+                screen=(8, 8),
+                disposals=[0, 2, 0],
+            )
+        )
+        assert frames[1][3, 3, 0] == 200
+        assert frames[2][3, 3, 0] == 0  # restored to background color
+        # disposal 3: patch rect restores to the PREVIOUS canvas
+        frames, _ = decode_gif(
+            encode_gif(
+                [base, patch, tail],
+                offsets=[(0, 0), (2, 2), (7, 7)],
+                screen=(8, 8),
+                disposals=[0, 3, 0],
+            )
+        )
+        assert frames[1][3, 3, 0] == 200
+        assert frames[2][3, 3, 0] == 5  # restored to frame-1 pixel
+
+    def test_custom_palette_maps_rgb(self):
+        from cassandra_pmem_spark.pipeline.gif import decode_gif, encode_gif
+
+        pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [10, 20, 30]], np.uint8)
+        idx = _rng(64).integers(0, 4, (16, 16), dtype=np.uint8)
+        frames, _ = decode_gif(encode_gif([idx], palette=pal))
+        assert np.array_equal(frames[0], pal[idx])
+
+    def test_rgb_to_indexed_roundtrip_and_limit(self):
+        from cassandra_pmem_spark.pipeline.gif import rgb_to_indexed
+
+        pal = np.array([[1, 2, 3], [9, 9, 9]], np.uint8)
+        img = pal[_rng(65).integers(0, 2, (10, 10))]
+        idx, pal2 = rgb_to_indexed(img)
+        assert np.array_equal(pal2[idx], img)
+        rng = _rng(66)
+        big = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+        with pytest.raises(ValueError, match="256-color limit"):
+            rgb_to_indexed(big)
+
+    def test_decode_image_dispatch_and_resize(self):
+        from cassandra_pmem_spark.pipeline.gif import decode_gif, encode_gif
+        from cassandra_pmem_spark.pipeline.multimodal import (
+            _decode_image,
+            _resize_image,
+        )
+
+        img = _rng(67).integers(0, 256, (24, 18), dtype=np.uint8)
+        blob = encode_gif([img])
+        dec = _decode_image(blob)
+        assert dec.ndim == 2 and np.array_equal(dec, img)  # achromatic → gray
+        out = _resize_image(blob, 9, 12)
+        frames, _ = decode_gif(out)
+        assert np.array_equal(frames[0][:, :, 0], resize_nearest(img, 9, 12))
+
+    def test_gif_frames_stage(self, spark):
+        import pandas as pd
+
+        from cassandra_pmem_spark.pipeline.multimodal import (
+            attach_media,
+            gif_frames_stage,
+        )
+
+        pdf = pd.DataFrame({"doc_id": [1, 2], "blob": [b"abcd", b"hello world"]})
+        df = spark.createDataFrame(pdf)
+        media = attach_media(df, "blob", "video", "image/gif", "doc_id")
+        rows = gif_frames_stage(media, size=4).toPandas()
+        # doc 1: L=4 → 4%5+2 = 6 frames; doc 2: L=11 → 11%5+2 = 3 frames
+        got = rows.groupby("item_id")["frame_idx"].count().to_dict()
+        assert got == {1: 6, 2: 3}
+        r = rows[(rows.item_id == 2) & (rows.frame_idx == 1)].iloc[0]
+        assert r.min_px == r.max_px == (11 * 7 + 13) % 256
+        assert r.delay_cs == 10 and r.width == 4 and r.height == 4
