@@ -226,6 +226,222 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     return pcm.reshape(-1, nch), rate
 
 
+# -- compressed WAV: G.711 mu-law / A-law and IMA ADPCM ----------------------
+#
+# ITU-T G.711 (1972/1988, public): 8-bit logarithmic companding, the
+# telephony formats RIFF registers as wFormatTag 7 (mu-law) and 6 (A-law).
+# IMA/DVI ADPCM (IMA Digital Audio Focus Group, 1992, public): 4-bit
+# adaptive differential PCM, RIFF wFormatTag 0x11, block-structured with a
+# (predictor, step index) header per channel per block. Python's stdlib
+# `wave` module refuses non-PCM data, so these paths parse RIFF directly.
+
+
+def _riff_chunks(data: bytes) -> dict[bytes, bytes]:
+    """RIFF/WAVE container walk → {chunk id: payload} (first occurrence)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    out: dict[bytes, bytes] = {}
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = np.frombuffer(data[pos + 4 : pos + 8], "<u4")
+        body = data[pos + 8 : pos + 8 + int(size)]
+        out.setdefault(cid, body)
+        pos += 8 + int(size) + (int(size) & 1)  # chunks are word-aligned
+    return out
+
+
+def _ulaw_decode_table() -> np.ndarray:
+    """G.711 mu-law byte → linear int16 (the canonical +-32124 table)."""
+    codes = np.arange(256, dtype=np.int64)
+    u = ~codes & 0xFF
+    exp = (u >> 4) & 7
+    mant = u & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(u & 0x80, -mag, mag).astype(np.int16)
+
+
+def _alaw_decode_table() -> np.ndarray:
+    """G.711 A-law byte → linear int16 (the canonical +-32256 table:
+    even bits inverted by XOR 0x55; segment 0 adds 8, segment 1 adds
+    0x108, higher segments shift — sign bit SET means positive)."""
+    a = np.arange(256, dtype=np.int64) ^ 0x55
+    seg = (a >> 4) & 7
+    mant = (a & 0x0F) << 4
+    mag = np.where(seg == 0, mant + 8, (mant + 0x108) << np.maximum(seg - 1, 0))
+    return np.where(a & 0x80, mag, -mag).astype(np.int16)
+
+
+_ULAW_TABLE = _ulaw_decode_table()
+_ALAW_TABLE = _alaw_decode_table()
+
+
+def _linear_to_ulaw(pcm: np.ndarray) -> np.ndarray:
+    """int16 → G.711 mu-law bytes (vectorized segment search)."""
+    x = np.asarray(pcm, np.int64)
+    sign = x < 0
+    mag = np.minimum(np.abs(x), 32635) + 0x84
+    exp = (np.floor(np.log2(mag)).astype(np.int64) - 7).clip(0, 7)
+    mant = (mag >> (exp + 3)) & 0x0F
+    code = ~((exp << 4) | mant) & 0xFF
+    return np.where(sign, code & 0x7F, code | 0x80).astype(np.uint8)
+
+
+def _linear_to_alaw(pcm: np.ndarray) -> np.ndarray:
+    """int16 → G.711 A-law bytes (13-bit segment search, per the
+    canonical public-domain companding algorithm)."""
+    x = np.asarray(pcm, np.int64) >> 3
+    mask = np.where(x >= 0, 0xD5, 0x55)
+    x = np.where(x >= 0, x, -x - 1)
+    bounds = np.array([0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF])
+    seg = np.searchsorted(bounds, x, side="left")
+    seg_c = np.minimum(seg, 7)
+    shift = np.where(seg_c < 2, 1, seg_c)
+    code = (seg_c << 4) | ((x >> shift) & 0x0F)
+    code = np.where(seg >= 8, 0x7F, code)
+    return (code ^ mask).astype(np.uint8)
+
+
+_IMA_STEPS = np.array(
+    # the 89-entry IMA step-size table (IMA ADPCM reference, public)
+    [7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+     41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+     190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+     724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+     2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+     6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+     16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767],
+    dtype=np.int64,
+)
+_IMA_INDEX_DELTA = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+
+
+def _ima_decode_block(block: bytes) -> np.ndarray:
+    """One mono IMA ADPCM block → int16 samples (header sample + nibbles)."""
+    pred = int(np.frombuffer(block[:2], "<i2")[0])
+    index = min(max(block[2], 0), 88)
+    out = [pred]
+    nibbles = np.frombuffer(block[4:], np.uint8)
+    for byte in nibbles:
+        for nib in (byte & 0x0F, byte >> 4):
+            step = int(_IMA_STEPS[index])
+            diff = step >> 3
+            if nib & 1:
+                diff += step >> 2
+            if nib & 2:
+                diff += step >> 1
+            if nib & 4:
+                diff += step
+            pred = pred - diff if nib & 8 else pred + diff
+            pred = max(-32768, min(32767, pred))
+            index = min(max(index + int(_IMA_INDEX_DELTA[nib & 7]), 0), 88)
+            out.append(pred)
+    return np.asarray(out, np.int16)
+
+
+def _ima_encode_block(pcm: np.ndarray, index: int = 0) -> bytes:
+    """int16 samples → one mono IMA ADPCM block (first sample verbatim)."""
+    pred = int(pcm[0])
+    out = bytearray(struct.pack("<hBB", pred, index, 0))
+    nibbles = []
+    for s in np.asarray(pcm[1:], np.int64):
+        step = int(_IMA_STEPS[index])
+        delta = int(s) - pred
+        nib = 8 if delta < 0 else 0
+        delta = abs(delta)
+        diff = step >> 3
+        if delta >= step:
+            nib |= 4
+            delta -= step
+            diff += step
+        if delta >= step >> 1:
+            nib |= 2
+            delta -= step >> 1
+            diff += step >> 1
+        if delta >= step >> 2:
+            nib |= 1
+            diff += step >> 2
+        pred = pred - diff if nib & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        index = min(max(index + int(_IMA_INDEX_DELTA[nib & 7]), 0), 88)
+        nibbles.append(nib)
+    if len(nibbles) % 2:
+        nibbles.append(0)
+    for lo, hi in zip(nibbles[::2], nibbles[1::2]):
+        out.append(lo | (hi << 4))
+    return bytes(out)
+
+
+def decode_wav_any(data: bytes) -> tuple[np.ndarray, int, int]:
+    """WAV of ANY supported format → (int16 PCM (n, ch), rate, format tag).
+
+    Formats: 1 (linear PCM 8/16/24-bit, via decode_wav), 6 (G.711 A-law),
+    7 (G.711 mu-law), 0x11 (IMA ADPCM, mono). Compressed paths parse the
+    RIFF container directly — stdlib `wave` rejects them."""
+    chunks = _riff_chunks(data)
+    fmt = chunks.get(b"fmt ")
+    if fmt is None or b"data" not in chunks:
+        raise ValueError("WAV missing fmt/data chunk")
+    tag, nch, rate = struct.unpack_from("<HHI", fmt, 0)
+    body = chunks[b"data"]
+    if tag == 1:
+        pcm, rate2 = decode_wav(data)
+        return (np.clip(np.round(pcm * 32768.0), -32768, 32767).astype(np.int16), rate2, tag)
+    if tag in (6, 7):
+        table = _ALAW_TABLE if tag == 6 else _ULAW_TABLE
+        pcm = table[np.frombuffer(body, np.uint8)]
+        return pcm.reshape(-1, nch), rate, tag
+    if tag == 0x11:
+        if nch != 1:
+            raise NotImplementedError("IMA ADPCM decode is mono-only here")
+        block_align = struct.unpack_from("<H", fmt, 12)[0]
+        blocks = [
+            _ima_decode_block(body[i : i + block_align])
+            for i in range(0, len(body) - block_align + 1, block_align)
+        ]
+        pcm = np.concatenate(blocks) if blocks else np.zeros(0, np.int16)
+        return pcm.reshape(-1, 1), rate, tag
+    raise NotImplementedError(f"WAV format tag {tag} not supported")
+
+
+def _wav_container(tag: int, nch: int, rate: int, bits: int, block_align: int,
+                   body: bytes, extra: bytes = b"") -> bytes:
+    fmt = struct.pack(
+        "<HHIIHH", tag, nch, rate, rate * block_align // max(block_align, 1),
+        block_align, bits,
+    ) + extra
+    out = bytearray(b"RIFF\x00\x00\x00\x00WAVEfmt ")
+    out.extend(struct.pack("<I", len(fmt)))
+    out.extend(fmt)
+    out.extend(b"data" + struct.pack("<I", len(body)))
+    out.extend(body)
+    if len(body) & 1:
+        out.append(0)
+    struct.pack_into("<I", out, 4, len(out) - 8)
+    return bytes(out)
+
+
+def encode_wav_g711(codes: np.ndarray, rate: int, law: str = "ulaw") -> bytes:
+    """Raw G.711 code bytes → mono WAV (format tag 7 mu-law / 6 A-law)."""
+    body = np.asarray(codes, np.uint8).tobytes()
+    tag = 7 if law == "ulaw" else 6
+    return _wav_container(tag, 1, rate, 8, 1, body)
+
+
+def encode_wav_adpcm(pcm: np.ndarray, rate: int, block_align: int = 8) -> bytes:
+    """int16 mono samples → IMA ADPCM WAV (format tag 0x11).
+
+    Each block holds 1 + (block_align - 4) * 2 samples; the trailing
+    partial block is dropped (standard encoder behavior)."""
+    per_block = 1 + (block_align - 4) * 2
+    x = np.asarray(pcm, np.int16).ravel()
+    body = bytearray()
+    for i in range(0, len(x) - per_block + 1, per_block):
+        body.extend(_ima_encode_block(x[i : i + per_block]))
+    extra = struct.pack("<HH", 2, per_block)  # cbSize, samples per block
+    return _wav_container(0x11, 1, rate, 4, block_align, bytes(body), extra)
+
+
 def encode_wav(samples: np.ndarray, rate: int) -> bytes:
     """float in [-1, 1) shaped (n[, channels]) → 16-bit PCM WAV bytes."""
     x = np.asarray(samples, np.float64)

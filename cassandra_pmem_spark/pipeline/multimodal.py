@@ -380,6 +380,78 @@ def gif_frames_stage(
     return media.select("item_id", "data").mapInPandas(run, GIF_FRAMES_SCHEMA)
 
 
+G711_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sum_ulaw", T.LongType()),
+        T.StructField("sum_alaw", T.LongType()),
+        T.StructField("sum_adpcm", T.LongType()),
+    ]
+)
+
+
+def g711_audio_stage(media: DataFrame) -> DataFrame:
+    """REAL compressed-audio decode: each item deterministically becomes
+    three WAV files — G.711 mu-law (format tag 7), G.711 A-law (tag 6),
+    and mono IMA ADPCM (tag 0x11) — and the REAL decoders
+    (codecs.decode_wav_any: RIFF walk + the canonical G.711 expansion
+    tables + the IMA nibble loop) recover linear PCM. The G.711 payload
+    is n = L%50+10 code bytes (L + i*17) % 256; the ADPCM payload is two
+    all-zero-nibble blocks whose predictors are (L*31 + j*997) % 4096 -
+    2048 (an all-zero nibble at step index 0 has diff = 7>>3 = 0, so each
+    9-sample block decodes to its predictor exactly — the closed form the
+    oracle recomputes; the ADAPTIVE path is covered by round-trip SNR
+    unit tests). Emitted integer sums over the decoded int16 samples let
+    DuckDB re-derive every value from embedded copies of the public
+    G.711 tables."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from cassandra_pmem_spark.pipeline.codecs import (
+            decode_wav_any,
+            encode_wav_g711,
+        )
+
+        for pdf in batches:
+            rows = []
+            for item_id, data in zip(pdf["item_id"], pdf["data"]):
+                length = len(bytes(data or b""))
+                n = length % 50 + 10
+                codes = ((length + np.arange(n) * 17) % 256).astype(np.uint8)
+                sums = []
+                for law in ("ulaw", "alaw"):
+                    pcm, rate, tag = decode_wav_any(
+                        encode_wav_g711(codes, 8000, law)
+                    )
+                    assert rate == 8000 and tag == (7 if law == "ulaw" else 6)
+                    sums.append(int(pcm.astype(np.int64).sum()))
+                import struct as _s
+
+                body = b"".join(
+                    _s.pack("<hBB", (length * 31 + j * 997) % 4096 - 2048, 0, 0)
+                    + b"\x00" * 4
+                    for j in range(2)
+                )
+                adpcm = _wav_adpcm_container(body)
+                pcm, _, tag = decode_wav_any(adpcm)
+                assert tag == 0x11
+                rows.append(
+                    (int(item_id), n, sums[0], sums[1], int(pcm.astype(np.int64).sum()))
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in G711_AUDIO_SCHEMA])
+
+    return media.select("item_id", "data").mapInPandas(run, G711_AUDIO_SCHEMA)
+
+
+def _wav_adpcm_container(body: bytes) -> bytes:
+    from cassandra_pmem_spark.pipeline.codecs import _wav_container
+    import struct as _s
+
+    return _wav_container(0x11, 1, 8000, 4, 8, body, _s.pack("<HH", 2, 9))
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: expand each item into (item_id, frame_ts)
     rows using metadata only — pure built-ins, no decode. The decode of the
@@ -481,9 +553,10 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 def extract_audio_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
     """Audio feature stage: RMS + zero-crossing counts per item, same
     mapInPandas shape as the image path. fake_decode=False REALLY decodes
-    16-bit-PCM WAV (codecs.py, stdlib `wave`; compressed formats raise —
-    they need soundfile/ffmpeg); fake_decode=True interprets the raw
-    payload as headerless int16 PCM (format-agnostic, deterministic)."""
+    WAV — linear PCM 8/16/24-bit, G.711 mu-law/A-law, and mono IMA ADPCM
+    (codecs.decode_wav_any; MP3 audio decode still needs ffmpeg and
+    raises); fake_decode=True interprets the raw payload as headerless
+    int16 PCM (format-agnostic, deterministic)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -499,13 +572,17 @@ def extract_audio_features(media: DataFrame, fake_decode: bool = True) -> DataFr
                         / 32768.0
                     )
                 else:
-                    from cassandra_pmem_spark.pipeline.codecs import decode_wav, is_wav
+                    from cassandra_pmem_spark.pipeline.codecs import (
+                        decode_wav_any,
+                        is_wav,
+                    )
 
                     if not is_wav(raw):
                         raise NotImplementedError(
-                            "only 16-bit PCM WAV decodes without codec libraries"
+                            "only WAV (PCM / G.711 / IMA ADPCM) decodes "
+                            "without codec libraries"
                         )
-                    x = decode_wav(raw)[0].ravel()
+                    x = decode_wav_any(raw)[0].ravel().astype(np.float64) / 32768.0
                 n = int(x.size)
                 if n:
                     rms = float(np.sqrt((x * x).mean()))

@@ -58,6 +58,8 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_features_jpeg_color",  # NEW this round (color codec)
     "multimodal_features_jpeg_progressive",  # NEW this round (SOF2 codec)
     "multimodal_audio_mp3_meta",  # NEW this round (MP3 header walk)
+    "multimodal_video_gif_frames",  # NEW this round (real GIF89a video decode)
+    "multimodal_audio_g711_adpcm",  # NEW this round (G.711 + IMA ADPCM decode)
     "cql_token_scan_timestamp",  # NEW this round (temporal-key Murmur3)
     "cql_allow_filtering",  # NEW this round (strict gate, both ways)
     # -- (3) round-1-only evidence (three rounds stale)
@@ -88,14 +90,13 @@ _PRIORITY: tuple[str, ...] = (
     "cql_uda_weighted_avg",
     "cql_static_column",
     "cql_group_limit",
-    "cql_select_json",
-    "cql_duration_arithmetic",
 )
 # sim_bruteforce_topk, dedup_simhash, dedup_exact_docs, cql_ttl_expiry,
-# and cql_upsert_lww_cells (r2 evidence) yielded their slots to the five
-# new never-green queries (color JPEG, progressive JPEG, MP3 header
-# walk, timestamp token, allow-filtering gate); they rotate into the
-# round-5 window with the rest of the r2 set.
+# cql_upsert_lww_cells, cql_select_json, and cql_duration_arithmetic
+# (r2 evidence) yielded their slots to the seven new never-green queries
+# (color JPEG, progressive JPEG, MP3 header walk, GIF video decode,
+# G.711+ADPCM audio decode, timestamp token, allow-filtering gate); they
+# rotate into the round-5 window with the rest of the r2 set.
 # Deliberately outside the window this round (fresh r3 evidence or
 # unedited r2 evidence that rotates in next round): tpch q2–q22,
 # streaming_{tumbling,session}_real, cql_token_scan*, sim_lsh_topk,

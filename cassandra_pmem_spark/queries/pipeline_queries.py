@@ -471,6 +471,48 @@ FROM f
 """
 
 
+def multimodal_audio_g711_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-audio decode, oracle-checked: deterministic G.711
+    mu-law, G.711 A-law, and IMA ADPCM WAV files per document, decoded by
+    the REAL decoders (codecs.decode_wav_any — manual RIFF walk, the
+    canonical G.711 expansion tables, the IMA nibble loop). The oracle
+    embeds the SAME public G.711 tables as SQL literals (the
+    literal-plane trick sim_lsh_topk established) and recomputes the
+    int16 sample sums — a hash match proves byte-for-byte agreement of
+    both 256-entry companding tables, the RIFF/fmt parse, and the ADPCM
+    block walk."""
+    from cassandra_pmem_spark.pipeline.multimodal import g711_audio_stage
+
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "blob", F.col("text").cast("binary")
+    )
+    media = attach_media(docs, "blob", "audio", "audio/wav", "doc_id")
+    return g711_audio_stage(media)
+
+
+def _g711_oracle() -> str:
+    from cassandra_pmem_spark.pipeline.codecs import _ALAW_TABLE, _ULAW_TABLE
+
+    ulaw = ",".join(str(int(v)) for v in _ULAW_TABLE)
+    alaw = ",".join(str(int(v)) for v in _ALAW_TABLE)
+    return f"""
+WITH g AS (
+  SELECT doc_id, octet_length(encode(text)) AS L FROM documents
+), s AS (
+  SELECT doc_id, L, unnest(range(0, L % 50 + 10)) AS i FROM g
+)
+SELECT doc_id AS item_id,
+  CAST(L % 50 + 10 AS BIGINT) AS n_samples,
+  CAST(SUM(list_extract([{ulaw}], CAST((L + i * 17) % 256 AS INT) + 1))
+       AS BIGINT) AS sum_ulaw,
+  CAST(SUM(list_extract([{alaw}], CAST((L + i * 17) % 256 AS INT) + 1))
+       AS BIGINT) AS sum_alaw,
+  CAST(9 * (((L * 31) % 4096) - 2048 + ((L * 31 + 997) % 4096) - 2048)
+       AS BIGINT) AS sum_adpcm
+FROM s GROUP BY doc_id, L
+"""
+
+
 _MP3_META_ORACLE = """
 SELECT doc_id AS item_id,
   CAST(octet_length(encode(text)) % 7 + 2 AS BIGINT) AS frames,
@@ -924,6 +966,7 @@ QUERIES = {
     ),
     "multimodal_audio_mp3_meta": (multimodal_audio_mp3_meta, _MP3_META_ORACLE),
     "multimodal_video_gif_frames": (multimodal_video_gif_frames, _GIF_FRAMES_ORACLE),
+    "multimodal_audio_g711_adpcm": (multimodal_audio_g711_adpcm, _g711_oracle()),
     "text_sasi_analyzer": (text_sasi_analyzer, _SASI_ORACLE),
     "multimodal_frame_plan": (multimodal_frame_plan, _FRAME_PLAN_ORACLE),
 }

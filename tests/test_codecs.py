@@ -771,3 +771,116 @@ class TestGif:
         r = rows[(rows.item_id == 2) & (rows.frame_idx == 1)].iloc[0]
         assert r.min_px == r.max_px == (11 * 7 + 13) % 256
         assert r.delay_cs == 10 and r.width == 4 and r.height == 4
+
+
+class TestG711Adpcm:
+    """G.711 mu-law/A-law companding and IMA ADPCM (codecs.py): canonical
+    table anchors, code idempotence, round-trip error bounds, and the
+    RIFF walk behind decode_wav_any."""
+
+    def test_g711_table_anchors(self):
+        from cassandra_pmem_spark.pipeline.codecs import _ALAW_TABLE, _ULAW_TABLE
+
+        assert _ULAW_TABLE[0x00] == -32124 and _ULAW_TABLE[0x80] == 32124
+        assert _ULAW_TABLE[0xFF] == 0
+        assert _ALAW_TABLE[0x55] == -8 and _ALAW_TABLE[0xD5] == 8
+        assert _ALAW_TABLE.max() == 32256 and _ALAW_TABLE.min() == -32256
+
+    def test_g711_code_idempotence(self):
+        from cassandra_pmem_spark.pipeline.codecs import (
+            _ALAW_TABLE,
+            _ULAW_TABLE,
+            _linear_to_alaw,
+            _linear_to_ulaw,
+        )
+
+        codes = np.arange(256, dtype=np.uint8)
+        assert (_linear_to_alaw(_ALAW_TABLE[codes]) == codes).all()
+        ru = _linear_to_ulaw(_ULAW_TABLE[codes])
+        bad = codes[ru != codes]
+        # 0x7F is the canonical negative-zero alias of 0xFF
+        assert bad.tolist() == [0x7F]
+
+    def test_g711_roundtrip_error_bound(self):
+        from cassandra_pmem_spark.pipeline.codecs import (
+            _ALAW_TABLE,
+            _ULAW_TABLE,
+            _linear_to_alaw,
+            _linear_to_ulaw,
+        )
+
+        x = _rng(70).integers(-32000, 32000, 5000).astype(np.int16)
+        for table, enc in ((_ULAW_TABLE, _linear_to_ulaw), (_ALAW_TABLE, _linear_to_alaw)):
+            d = table[enc(x)].astype(np.int64)
+            rel = np.abs(d - x) / np.maximum(np.abs(x.astype(np.int64)), 256)
+            assert rel.max() < 0.05  # logarithmic quantization bound
+
+    def test_decode_wav_any_g711(self):
+        from cassandra_pmem_spark.pipeline.codecs import (
+            _ALAW_TABLE,
+            _ULAW_TABLE,
+            decode_wav_any,
+            encode_wav_g711,
+        )
+
+        codes = (np.arange(300) % 256).astype(np.uint8)
+        for law, tag, table in (("ulaw", 7, _ULAW_TABLE), ("alaw", 6, _ALAW_TABLE)):
+            pcm, rate, got = decode_wav_any(encode_wav_g711(codes, 8000, law))
+            assert (got, rate, pcm.shape) == (tag, 8000, (300, 1))
+            assert np.array_equal(pcm.ravel(), table[codes])
+
+    def test_decode_wav_any_pcm_passthrough(self):
+        from cassandra_pmem_spark.pipeline.codecs import decode_wav_any, encode_wav
+
+        pcm, rate, tag = decode_wav_any(encode_wav(np.linspace(-0.5, 0.5, 64), 16000))
+        assert tag == 1 and rate == 16000 and pcm.shape == (64, 1)
+        assert pcm.dtype == np.int16
+
+    def test_adpcm_zero_nibbles_hold_predictor(self):
+        import struct as _s
+
+        from cassandra_pmem_spark.pipeline.codecs import _ima_decode_block
+
+        blk = _s.pack("<hBB", 1234, 0, 0) + b"\x00" * 4
+        assert _ima_decode_block(blk).tolist() == [1234] * 9
+
+    def test_adpcm_roundtrip_snr(self):
+        from cassandra_pmem_spark.pipeline.codecs import decode_wav_any, encode_wav_adpcm
+
+        t = np.arange(4000)
+        sig = (8000 * np.sin(t / 30) + 2000 * np.sin(t / 7)).astype(np.int16)
+        dec, rate, tag = decode_wav_any(encode_wav_adpcm(sig, 8000, block_align=256))
+        assert tag == 0x11 and rate == 8000
+        d = dec.ravel().astype(np.float64)
+        s = sig[: len(d)].astype(np.float64)
+        snr = 10 * np.log10((s**2).sum() / ((s - d) ** 2).sum())
+        assert snr > 25  # 4-bit ADPCM keeps smooth signals within ~26+ dB
+
+    def test_adpcm_index_clamps(self):
+        import struct as _s
+
+        from cassandra_pmem_spark.pipeline.codecs import _ima_decode_block
+
+        # nibble 7 (max positive) repeatedly drives the step index to 88
+        # without overflow; predictor saturates at int16 max
+        blk = _s.pack("<hBB", 30000, 80, 0) + b"\x77" * 16
+        out = _ima_decode_block(blk)
+        assert out.max() == 32767 and len(out) == 33
+
+    def test_audio_features_real_decode_g711(self, spark):
+        import pandas as pd
+
+        from cassandra_pmem_spark.pipeline.codecs import _ULAW_TABLE, encode_wav_g711
+        from cassandra_pmem_spark.pipeline.multimodal import (
+            attach_media,
+            extract_audio_features,
+        )
+
+        codes = (np.arange(200) % 256).astype(np.uint8)
+        wav = encode_wav_g711(codes, 8000, "ulaw")
+        df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "blob": [wav]}))
+        media = attach_media(df, "blob", "audio", "audio/wav", "doc_id")
+        row = extract_audio_features(media, fake_decode=False).toPandas().iloc[0]
+        want = _ULAW_TABLE[codes].astype(np.float64) / 32768.0
+        assert row.n_samples == 200
+        assert abs(row.rms - float(np.sqrt((want**2).mean()))) < 1e-12
