@@ -109,6 +109,21 @@ def with_murmur3_token(df: DataFrame, key_col: str, name: str = "token") -> Data
     return df.withColumn(name, murmur3_token_column(key_col))
 
 
+_murmur3_token_udf_once = pandas_udf(_murmur3_token_fn, LongType()).asNondeterministic()
+
+
+def murmur3_token_column_once(col):
+    """murmur3_token_column, pinned to ONE evaluation per row. The hash IS
+    deterministic — the non-determinism marker only stops Catalyst's
+    filter pushdown from substituting the UDF alias into the pushed
+    predicate, which would run the Arrow kernel twice per row (measured
+    on the stratified-sample plan: ArrowEvalPython appeared once below
+    the filter and again for the projection). Use this form whenever a
+    filter and a projection share the token."""
+    c = F.col(col) if isinstance(col, str) else col
+    return _murmur3_token_udf_once(c.cast("long"))
+
+
 # --- DuckDB SQL backend (oracle twin) ----------------------------------------
 #
 # All arithmetic runs unsigned mod 2^64 in HUGEINT (xor() accepts HUGEINT).

@@ -60,6 +60,8 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_audio_mp3_meta",  # NEW this round (MP3 header walk)
     "multimodal_video_gif_frames",  # NEW this round (real GIF89a video decode)
     "multimodal_audio_g711_adpcm",  # NEW this round (G.711 + IMA ADPCM decode)
+    "pipeline_pack_sequences",  # NEW this round (training sequence packing)
+    "pipeline_stratified_sample",  # NEW this round (deterministic sampling)
     "cql_token_scan_timestamp",  # NEW this round (temporal-key Murmur3)
     "cql_allow_filtering",  # NEW this round (strict gate, both ways)
     # -- (3) round-1-only evidence (three rounds stale)
@@ -88,15 +90,15 @@ _PRIORITY: tuple[str, ...] = (
     "cql_is_not_null",
     "cql_group_by_pk_prefix",
     "cql_uda_weighted_avg",
-    "cql_static_column",
-    "cql_group_limit",
 )
 # sim_bruteforce_topk, dedup_simhash, dedup_exact_docs, cql_ttl_expiry,
-# cql_upsert_lww_cells, cql_select_json, and cql_duration_arithmetic
-# (r2 evidence) yielded their slots to the seven new never-green queries
-# (color JPEG, progressive JPEG, MP3 header walk, GIF video decode,
-# G.711+ADPCM audio decode, timestamp token, allow-filtering gate); they
-# rotate into the round-5 window with the rest of the r2 set.
+# cql_upsert_lww_cells, cql_select_json, cql_duration_arithmetic,
+# cql_static_column, and cql_group_limit (r2 evidence) yielded their
+# slots to the nine new never-green queries (color JPEG, progressive
+# JPEG, MP3 header walk, GIF video decode, G.711+ADPCM audio decode,
+# sequence packing, stratified sampling, timestamp token,
+# allow-filtering gate); they rotate into the round-5 window with the
+# rest of the r2 set.
 # Deliberately outside the window this round (fresh r3 evidence or
 # unedited r2 evidence that rotates in next round): tpch q2–q22,
 # streaming_{tumbling,session}_real, cql_token_scan*, sim_lsh_topk,

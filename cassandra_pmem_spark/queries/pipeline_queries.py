@@ -513,6 +513,73 @@ FROM s GROUP BY doc_id, L
 """
 
 
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training (pipeline/packing.py pack_sequences):
+    shard by id, concatenate in id order, chunk the token stream into
+    512-token bins — pure window arithmetic (exclusive running sum +
+    integer division), no UDF, one shuffle. The oracle is the same window
+    SQL in DuckDB; a hash match proves offsets, bin assignment, and
+    boundary-straddle flags agree document-by-document."""
+    from cassandra_pmem_spark.pipeline.packing import pack_sequences
+
+    docs = load_table(spark, "documents", sf_dir)
+    return pack_sequences(docs, capacity=512, n_shards=4)
+
+
+_PACK_ORACLE = """
+WITH t AS (
+  SELECT doc_id, CAST(doc_id % 4 AS INT) AS shard,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+), s AS (
+  -- window SUM(BIGINT) promotes to HUGEINT (pandas float64): outer CAST
+  SELECT doc_id, shard, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tokens AS BIGINT) AS start_offset
+  FROM t
+)
+SELECT doc_id, shard, n_tokens, start_offset,
+  CAST(start_offset // 512 AS BIGINT) AS bin_id,
+  (start_offset // 512) <>
+    ((start_offset + greatest(n_tokens - 1, 0)) // 512) AS is_split
+FROM s
+"""
+
+
+def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (pipeline/packing.py
+    stratified_sample): keep a document iff pmod(murmur3_token(doc_id),
+    10000) clears its language's rate threshold — English downsampled to
+    35%, Spanish 60%, German 80%, everything else kept. Hash-thresholding
+    (not rand()) makes the sample bit-reproducible at any parallelism;
+    the oracle re-derives the SAME Murmur3 token through the nested-
+    subquery SQL kernel, so a hash match proves both the partitioner hash
+    and the per-stratum thresholds."""
+    from cassandra_pmem_spark.pipeline.packing import stratified_sample
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
+    return stratified_sample(
+        docs, rates={"en": 0.35, "es": 0.60, "de": 0.80}, default_rate=1.0
+    )
+
+
+def _stratified_oracle() -> str:
+    from cassandra_pmem_spark.functions.murmur3 import murmur3_token_subquery
+
+    sub = murmur3_token_subquery("documents", "doc_id", ["doc_id", "lang"])
+    return f"""
+SELECT doc_id, lang,
+  CAST(((token % 10000) + 10000) % 10000 AS BIGINT) AS sample_bucket,
+  CAST(CASE lang WHEN 'en' THEN 3500 WHEN 'es' THEN 6000
+                 WHEN 'de' THEN 8000 ELSE 10000 END AS BIGINT) AS keep_below
+FROM {sub}
+WHERE ((token % 10000) + 10000) % 10000 <
+      CASE lang WHEN 'en' THEN 3500 WHEN 'es' THEN 6000
+                WHEN 'de' THEN 8000 ELSE 10000 END
+"""
+
+
 _MP3_META_ORACLE = """
 SELECT doc_id AS item_id,
   CAST(octet_length(encode(text)) % 7 + 2 AS BIGINT) AS frames,
@@ -967,6 +1034,8 @@ QUERIES = {
     "multimodal_audio_mp3_meta": (multimodal_audio_mp3_meta, _MP3_META_ORACLE),
     "multimodal_video_gif_frames": (multimodal_video_gif_frames, _GIF_FRAMES_ORACLE),
     "multimodal_audio_g711_adpcm": (multimodal_audio_g711_adpcm, _g711_oracle()),
+    "pipeline_pack_sequences": (pipeline_pack_sequences, _PACK_ORACLE),
+    "pipeline_stratified_sample": (pipeline_stratified_sample, _stratified_oracle()),
     "text_sasi_analyzer": (text_sasi_analyzer, _SASI_ORACLE),
     "multimodal_frame_plan": (multimodal_frame_plan, _FRAME_PLAN_ORACLE),
 }

@@ -315,3 +315,81 @@ class TestCacheLifecycle:
         b = sorted(r.doc_id for r in dedup_cascade(docs, cache=True).collect())
         assert a == b
         spark.catalog.clearCache()  # don't leak this test's caches onward
+
+
+class TestPackingAndSampling:
+    """Training-data assembly ops (pipeline/packing.py)."""
+
+    def _docs(self, spark, n=40):
+        import pandas as pd
+
+        rows = [
+            (i, " ".join(["w"] * (i % 7 + 1)), ["en", "de", "fr"][i % 3])
+            for i in range(n)
+        ]
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+        )
+
+    def test_pack_offsets_are_contiguous_per_shard(self, spark):
+        from cassandra_pmem_spark.pipeline.packing import pack_sequences
+
+        out = pack_sequences(self._docs(spark), capacity=10, n_shards=3).toPandas()
+        for _, g in out.sort_values("doc_id").groupby("shard"):
+            # exclusive running sum: each start = previous start + tokens
+            starts = g.start_offset.tolist()
+            toks = g.n_tokens.tolist()
+            assert starts[0] == 0
+            for k in range(1, len(starts)):
+                assert starts[k] == starts[k - 1] + toks[k - 1]
+            # bin id is the integer division; split flag marks straddlers
+            for s, t, b, sp in zip(starts, toks, g.bin_id, g.is_split):
+                assert b == s // 10
+                assert sp == (s // 10 != (s + max(t - 1, 0)) // 10)
+
+    def test_pack_single_shuffle(self, spark):
+        import re
+
+        from cassandra_pmem_spark.pipeline.packing import pack_sequences
+
+        plan = (
+            pack_sequences(self._docs(spark), capacity=10, n_shards=3)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert len(re.findall(r"Exchange", plan)) == 1  # the shard window only
+
+    def test_stratified_sample_deterministic_and_thresholded(self, spark):
+        from cassandra_pmem_spark.functions.murmur3 import murmur3_token_py
+        from cassandra_pmem_spark.pipeline.packing import stratified_sample
+
+        docs = self._docs(spark, 60)
+        rates = {"en": 0.3, "de": 0.9}
+        a = stratified_sample(docs, rates, default_rate=1.0).toPandas()
+        b = stratified_sample(docs.repartition(7), rates, default_rate=1.0).toPandas()
+        # reproducible at any parallelism
+        assert sorted(a.doc_id) == sorted(b.doc_id)
+        # the rule is exactly the murmur3 threshold
+        for _, r in a.iterrows():
+            bucket = murmur3_token_py(int(r.doc_id)) % 10_000
+            rate = rates.get(r.lang, 1.0)
+            assert bucket == r.sample_bucket
+            assert bucket < rate * 10_000
+        # 'fr' (default 1.0) keeps everything
+        assert (a.lang == "fr").sum() == 20
+
+    def test_stratified_sample_single_udf_eval(self, spark):
+        import re
+
+        from cassandra_pmem_spark.pipeline.packing import stratified_sample
+
+        plan = (
+            stratified_sample(self._docs(spark), {"en": 0.5})
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # the non-determinism pin keeps Catalyst from duplicating the
+        # Arrow kernel into the pushed-down filter
+        assert len(re.findall(r"ArrowEvalPython", plan)) == 1
