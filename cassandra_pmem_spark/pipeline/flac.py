@@ -1,0 +1,596 @@
+"""Pure-stdlib FLAC codec — real lossless compressed-audio decode/encode.
+
+Implements the public FLAC format specification (xiph.org, "FLAC format";
+now also RFC 9639) for the profile a training-data pipeline meets:
+
+  decode: STREAMINFO + metadata-block walk, frame sync + header parse
+          (block size / sample rate / channel assignment / sample size
+          codes, UTF-8-coded frame number, CRC-8), all four subframe
+          types — CONSTANT, VERBATIM, FIXED orders 0-4, LPC orders 1-32
+          with quantized coefficients — Rice-coded residuals (both 4- and
+          5-bit parameter widths, partition orders 0-15, escape codes),
+          wasted-bits shifts, and all four channel assignments
+          (independent, left/side, right/side, mid/side).
+
+  encode: CONSTANT / VERBATIM / FIXED subframes with per-frame best-order
+          selection, single- or multi-partition Rice residuals with
+          per-partition parameter fit, independent or mid-side stereo,
+          16-bit samples, CRC-8/CRC-16 footers — a real compressing
+          encoder (the fixed-predictor tier of the reference encoder).
+
+Lossless means decode(encode(x)) == x EXACTLY — that equality is what the
+oracle-backed registry query proves end-to-end, and what the unit tests
+assert for every subframe type, Rice parameter, and stereo mode.
+
+Reference parity note: the reference engine stores media as opaque blobs
+(`db/marshal/BytesType.java`); codec work happens outside it. Here decode
+runs inside Arrow-batched mapInPandas stages (pipeline/multimodal.py) —
+scan-parallel, zero-shuffle, the Spark-first shape for a 100 TB corpus.
+
+Bit order is MSB-first throughout (unlike GIF's LSB-first LZW). Rice
+coding is sequential per residual; frames here are small (fixture scale),
+and a production path would batch frames per Arrow batch exactly as the
+JPEG codec does.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+FLAC_MAGIC = b"fLaC"
+
+_FIXED_COEFFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+_BLOCK_SIZE_CODES = {192: 1, 576: 2, 1152: 3, 2304: 4, 4608: 5,
+                     256: 8, 512: 9, 1024: 10, 2048: 11, 4096: 12,
+                     8192: 13, 16384: 14, 32768: 15}
+_SAMPLE_RATE_CODES = {88200: 1, 176400: 2, 192000: 3, 8000: 4, 16000: 5,
+                      22050: 6, 24000: 7, 32000: 8, 44100: 9, 48000: 10,
+                      96000: 11}
+
+
+def is_flac(data: bytes) -> bool:
+    return len(data) >= 4 and data[:4] == FLAC_MAGIC
+
+
+# -- bit I/O (MSB-first) -------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, bits: int) -> None:
+        self.acc = (self.acc << bits) | (value & ((1 << bits) - 1))
+        self.n += bits
+        while self.n >= 8:
+            self.n -= 8
+            self.buf.append((self.acc >> self.n) & 0xFF)
+        self.acc &= (1 << self.n) - 1
+
+    def write_unary(self, q: int) -> None:
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)  # q zero bits then a one bit
+
+    def align(self) -> None:
+        if self.n:
+            self.write(0, 8 - self.n)
+
+    def bytes(self) -> bytes:
+        assert self.n == 0
+        return bytes(self.buf)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.byte = pos
+        self.bit = 0
+
+    def read(self, bits: int) -> int:
+        out = 0
+        while bits:
+            if self.byte >= len(self.data):
+                raise ValueError("truncated FLAC bit stream")
+            avail = 8 - self.bit
+            take = min(bits, avail)
+            cur = self.data[self.byte]
+            out = (out << take) | ((cur >> (avail - take)) & ((1 << take) - 1))
+            self.bit += take
+            bits -= take
+            if self.bit == 8:
+                self.bit = 0
+                self.byte += 1
+        return out
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+    def read_signed(self, bits: int) -> int:
+        v = self.read(bits)
+        return v - (1 << bits) if v >> (bits - 1) else v
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.byte += 1
+
+
+# -- CRCs (FLAC frame header CRC-8 poly 0x07, frame CRC-16 poly 0x8005) -------
+
+
+def _crc_table(poly: int, width: int) -> np.ndarray:
+    top = 1 << (width - 1)
+    mask = (1 << width) - 1
+    tab = np.zeros(256, np.uint32)
+    for i in range(256):
+        c = i << (width - 8)
+        for _ in range(8):
+            c = ((c << 1) ^ poly) if c & top else (c << 1)
+        tab[i] = c & mask
+    return tab
+
+
+_CRC8_TAB = _crc_table(0x07, 8)
+_CRC16_TAB = _crc_table(0x8005, 16)
+
+
+def _crc8(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c = int(_CRC8_TAB[c ^ b])
+    return c
+
+
+def _crc16(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c = int(_CRC16_TAB[((c >> 8) ^ b) & 0xFF]) ^ ((c << 8) & 0xFFFF)
+    return c
+
+
+def _utf8_coded(n: int) -> bytes:
+    """FLAC's UTF-8-style variable-length frame-number coding."""
+    if n < 0x80:
+        return bytes([n])
+    out = []
+    bits = n.bit_length()
+    nbytes = 2
+    while bits > 6 * (nbytes - 1) + (7 - nbytes):
+        nbytes += 1
+    for i in range(nbytes - 1):
+        out.append(0x80 | ((n >> (6 * i)) & 0x3F))
+    lead = (0xFF << (8 - nbytes)) & 0xFF | (n >> (6 * (nbytes - 1)))
+    return bytes([lead] + out[::-1])
+
+
+def _read_utf8_coded(r: "_BitReader") -> int:
+    first = r.read(8)
+    if first < 0x80:
+        return first
+    nbytes = 0
+    mask = 0x80
+    while first & mask:
+        nbytes += 1
+        mask >>= 1
+    n = first & (mask - 1)
+    for _ in range(nbytes - 1):
+        n = (n << 6) | (r.read(8) & 0x3F)
+    return n
+
+
+# -- encode --------------------------------------------------------------------
+
+
+def _rice_cost(resid: np.ndarray, p: int) -> int:
+    z = np.where(resid >= 0, resid.astype(np.int64) * 2, -2 * resid.astype(np.int64) - 1)
+    return int((z >> p).sum()) + len(z) * (1 + p)
+
+
+def _best_rice(resid: np.ndarray) -> int:
+    if not len(resid):
+        return 0
+    mean = float(np.abs(resid).mean())
+    p0 = max(0, int(np.log2(mean + 1)))
+    best, best_cost = 0, None
+    for p in range(max(0, p0 - 2), min(14, p0 + 3)):
+        c = _rice_cost(resid, p)
+        if best_cost is None or c < best_cost:
+            best, best_cost = p, c
+    return best
+
+
+def _write_rice(w: "_BitWriter", resid: np.ndarray, partition_order: int, n: int,
+                pred_order: int) -> None:
+    w.write(0, 2)  # coding method 0: 4-bit rice params
+    w.write(partition_order, 4)
+    parts = 1 << partition_order
+    idx = 0
+    for j in range(parts):
+        cnt = (n >> partition_order) - (pred_order if j == 0 else 0)
+        seg = resid[idx : idx + cnt]
+        idx += cnt
+        p = _best_rice(seg)
+        w.write(p, 4)
+        z = np.where(seg >= 0, seg.astype(np.int64) * 2, -2 * seg.astype(np.int64) - 1)
+        for v in z:
+            w.write_unary(int(v) >> p)
+            if p:
+                w.write(int(v) & ((1 << p) - 1), p)
+
+
+def _fixed_residual(x: np.ndarray, order: int) -> np.ndarray:
+    r = x.astype(np.int64)
+    for _ in range(order):
+        r = np.diff(r)
+    return r
+
+
+def _lpc_quantized(x: np.ndarray, order: int, precision: int = 15):
+    """Levinson-Durbin LPC fit + FLAC coefficient quantization.
+
+    Returns (qcoefs, shift, residual) or None when the signal is too
+    short/degenerate. Standard method: autocorrelation → Levinson
+    recursion → scale coefficients into `precision` signed bits with
+    error feedback, residual e[i] = x[i] - (Σ qc[k]·x[i-1-k] >> shift)."""
+    n = len(x)
+    if n <= order * 2:
+        return None
+    xf = x.astype(np.float64)
+    ac = np.array([np.dot(xf[: n - k], xf[k:]) for k in range(order + 1)])
+    if ac[0] == 0:
+        return None
+    err = ac[0]
+    lpc = np.zeros(0)
+    for i in range(order):
+        r = ac[i + 1] - (np.dot(lpc, ac[i:0:-1]) if i else 0.0)
+        if err <= 0:
+            return None
+        k = r / err
+        lpc = np.append(lpc - k * lpc[::-1], k)
+        err *= 1.0 - k * k
+    cmax = np.abs(lpc).max()
+    if cmax == 0:
+        return None
+    # choose the shift that puts the largest coefficient just inside
+    # `precision` signed bits
+    shift = precision - 1 - int(np.floor(np.log2(cmax))) - 1
+    shift = max(0, min(15, shift))
+    qc = []
+    e = 0.0
+    lim = 1 << (precision - 1)
+    for c in lpc:
+        v = c * (1 << shift) + e
+        q = int(np.clip(round(v), -lim, lim - 1))
+        e = v - q
+        qc.append(q)
+    xi = x.astype(np.int64)
+    hist = np.stack([xi[order - 1 - k : n - 1 - k] for k in range(order)])
+    pred = (np.asarray(qc, np.int64) @ hist) >> shift
+    resid = xi[order:] - pred
+    return qc, shift, resid
+
+
+def _encode_subframe(w: "_BitWriter", x: np.ndarray, bps: int) -> None:
+    x = x.astype(np.int64)
+    n = len(x)
+    if n and (x == x[0]).all():
+        w.write(0, 1)  # padding
+        w.write(0, 6)  # CONSTANT
+        w.write(0, 1)  # no wasted bits
+        w.write(int(x[0]) & ((1 << bps) - 1), bps)
+        return
+    # pick the fixed order with the cheapest residual sum (reference
+    # encoder heuristic: minimize sum of |residual|)
+    best_order, best_cost = 0, None
+    for order in range(min(4, n - 1) + 1):
+        cost = int(np.abs(_fixed_residual(x, order)).sum())
+        if best_cost is None or cost < best_cost:
+            best_order, best_cost = order, cost
+    resid = _fixed_residual(x, best_order)
+    verbatim_bits = n * bps
+    fixed_bits = best_order * bps + _rice_cost(resid, _best_rice(resid)) + 6
+    lpc = _lpc_quantized(x, order=8)
+    lpc_bits = None
+    if lpc is not None:
+        qc, shift, lresid = lpc
+        lpc_bits = (
+            8 * bps + 4 + 5 + 8 * 15 + _rice_cost(lresid, _best_rice(lresid)) + 6
+        )
+    if lpc_bits is not None and lpc_bits < fixed_bits and lpc_bits < verbatim_bits:
+        qc, shift, lresid = lpc
+        w.write(0, 1)
+        w.write(32 + 8 - 1, 6)  # LPC, order 8
+        w.write(0, 1)
+        for v in x[:8]:  # warm-up
+            w.write(int(v) & ((1 << bps) - 1), bps)
+        w.write(15 - 1, 4)  # precision 15
+        w.write(shift & 0x1F, 5)
+        for c in qc:
+            w.write(c & 0x7FFF, 15)
+        _write_rice(w, lresid, 0, n, 8)
+        return
+    if fixed_bits >= verbatim_bits:
+        w.write(0, 1)
+        w.write(1, 6)  # VERBATIM
+        w.write(0, 1)
+        for v in x:
+            w.write(int(v) & ((1 << bps) - 1), bps)
+        return
+    w.write(0, 1)
+    w.write(0b001000 | best_order, 6)  # FIXED, order
+    w.write(0, 1)
+    for v in x[:best_order]:  # warm-up
+        w.write(int(v) & ((1 << bps) - 1), bps)
+    _write_rice(w, resid, 0, n, best_order)
+
+
+def encode_flac(
+    samples: np.ndarray,
+    rate: int = 44100,
+    block_size: int = 4096,
+    stereo_mode: str = "independent",
+) -> bytes:
+    """int16 samples (n,) or (n, 2) → FLAC bytes.
+
+    stereo_mode: 'independent' or 'mid-side' (decorrelation per frame)."""
+    x = np.asarray(samples, np.int64)
+    if x.ndim == 1:
+        x = x[:, None]
+    n_total, nch = x.shape
+    if nch not in (1, 2):
+        raise ValueError("mono or stereo only")
+    bps = 16
+
+    out = bytearray(FLAC_MAGIC)
+    info = _BitWriter()
+    info.write(block_size, 16)
+    info.write(block_size, 16)
+    info.write(0, 24)  # min frame size unknown
+    info.write(0, 24)
+    info.write(rate, 20)
+    info.write(nch - 1, 3)
+    info.write(bps - 1, 5)
+    info.write(n_total, 36)
+    info.align()
+    info_bytes = info.bytes() + b"\x00" * 16  # MD5 unset (allowed)
+    out.append(0x80)  # last-metadata-block | STREAMINFO (type 0)
+    out.extend(struct.pack(">I", len(info_bytes))[1:])
+    out.extend(info_bytes)
+
+    for frame_no, start in enumerate(range(0, n_total, block_size)):
+        blk = x[start : start + block_size]
+        n = blk.shape[0]
+        w = _BitWriter()
+        w.write(0b11111111111110, 14)
+        w.write(0, 1)  # reserved
+        w.write(0, 1)  # fixed block size stream
+        bs_code = _BLOCK_SIZE_CODES.get(n, 7)  # 7: 16-bit at end of header
+        w.write(bs_code, 4)
+        sr_code = _SAMPLE_RATE_CODES.get(rate, 0)
+        w.write(sr_code, 4)
+        mid_side = nch == 2 and stereo_mode == "mid-side"
+        w.write(0b1010 if mid_side else nch - 1, 4)
+        w.write(0b100, 3)  # sample size: 16 bits
+        w.write(0, 1)  # reserved
+        for b in _utf8_coded(frame_no):
+            w.write(b, 8)
+        if bs_code == 7:
+            w.write(n - 1, 16)
+        header_so_far = bytes(w.buf)  # header is byte-aligned here
+        assert w.n == 0
+        w.write(_crc8(header_so_far), 8)
+
+        if mid_side:
+            left = blk[:, 0]
+            right = blk[:, 1]
+            mid = (left + right) >> 1
+            side = left - right
+            _encode_subframe(w, mid, bps)
+            _encode_subframe(w, side, bps + 1)
+        else:
+            for ch in range(nch):
+                _encode_subframe(w, blk[:, ch], bps)
+        w.align()
+        frame = bytes(w.buf)
+        out.extend(frame)
+        out.extend(struct.pack(">H", _crc16(frame)))
+    return bytes(out)
+
+
+# -- decode --------------------------------------------------------------------
+
+
+def _decode_subframe(r: "_BitReader", n: int, bps: int) -> np.ndarray:
+    if r.read(1) != 0:
+        raise ValueError("subframe padding bit set")
+    code = r.read(6)
+    wasted = 0
+    if r.read(1):  # wasted bits: unary count - 1
+        wasted = r.read_unary() + 1
+        bps -= wasted
+    if code == 0:  # CONSTANT
+        v = r.read_signed(bps)
+        out = np.full(n, v, np.int64)
+    elif code == 1:  # VERBATIM
+        out = np.array([r.read_signed(bps) for _ in range(n)], np.int64)
+    elif 8 <= code <= 12:  # FIXED
+        order = code - 8
+        warm = [r.read_signed(bps) for _ in range(order)]
+        resid = _read_rice(r, n, order)
+        out = _predict_fixed(warm, resid, order)
+    elif code >= 32:  # LPC
+        order = code - 31
+        warm = [r.read_signed(bps) for _ in range(order)]
+        precision = r.read(4) + 1
+        shift = r.read_signed(5)
+        coefs = [r.read_signed(precision) for _ in range(order)]
+        resid = _read_rice(r, n, order)
+        out = _predict_lpc(warm, resid, coefs, shift)
+    else:
+        raise ValueError(f"reserved subframe type {code}")
+    return out << wasted if wasted else out
+
+
+def _read_rice(r: "_BitReader", n: int, pred_order: int) -> np.ndarray:
+    method = r.read(2)
+    if method > 1:
+        raise ValueError("reserved residual coding method")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    partition_order = r.read(4)
+    parts = 1 << partition_order
+    out = []
+    for j in range(parts):
+        cnt = (n >> partition_order) - (pred_order if j == 0 else 0)
+        p = r.read(pbits)
+        if p == escape:  # verbatim residuals at fixed width
+            width = r.read(5)
+            out.extend(r.read_signed(width) if width else 0 for _ in range(cnt))
+            continue
+        for _ in range(cnt):
+            q = r.read_unary()
+            z = (q << p) | (r.read(p) if p else 0)
+            out.append((z >> 1) ^ -(z & 1))  # un-zigzag
+    return np.asarray(out, np.int64)
+
+
+def _predict_fixed(warm: list[int], resid: np.ndarray, order: int) -> np.ndarray:
+    out = list(warm)
+    co = _FIXED_COEFFS[order]
+    for e in resid:
+        pred = sum(c * out[-k] for k, c in enumerate(co, 1))
+        out.append(int(e) + pred)
+    return np.asarray(out, np.int64)
+
+
+def _predict_lpc(warm: list[int], resid: np.ndarray, coefs: list[int], shift: int) -> np.ndarray:
+    out = list(warm)
+    order = len(coefs)
+    for e in resid:
+        acc = sum(coefs[k] * out[-1 - k] for k in range(order))
+        out.append(int(e) + (acc >> shift))
+    return np.asarray(out, np.int64)
+
+
+_BS_TABLE = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608, 8: 256, 9: 512,
+             10: 1024, 11: 2048, 12: 4096, 13: 8192, 14: 16384, 15: 32768}
+_SR_TABLE = {1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+             7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000}
+_BPS_TABLE = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+
+def flac_info(data: bytes) -> dict:
+    """STREAMINFO walk (headers only, no sample decode)."""
+    if not is_flac(data):
+        raise ValueError("not a FLAC stream")
+    pos = 4
+    info = None
+    while True:
+        hdr = data[pos]
+        (size,) = struct.unpack(">I", b"\x00" + data[pos + 1 : pos + 4])
+        body = data[pos + 4 : pos + 4 + size]
+        if hdr & 0x7F == 0:  # STREAMINFO
+            r = _BitReader(body)
+            info = {
+                "min_block": r.read(16),
+                "max_block": r.read(16),
+                "min_frame": r.read(24),
+                "max_frame": r.read(24),
+                "sample_rate": r.read(20),
+                "channels": r.read(3) + 1,
+                "bits_per_sample": r.read(5) + 1,
+                "total_samples": r.read(36),
+            }
+        pos += 4 + size
+        if hdr & 0x80:
+            break
+    if info is None:
+        raise ValueError("missing STREAMINFO")
+    return info
+
+
+def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
+    """FLAC bytes → (int samples (n, channels), sample rate). Bit-exact."""
+    info = flac_info(data)
+    nch, bps = info["channels"], info["bits_per_sample"]
+    # skip metadata blocks
+    pos = 4
+    while True:
+        hdr = data[pos]
+        (size,) = struct.unpack(">I", b"\x00" + data[pos + 1 : pos + 4])
+        pos += 4 + size
+        if hdr & 0x80:
+            break
+
+    chans: list[list[np.ndarray]] = [[] for _ in range(nch)]
+    total = 0
+    while pos < len(data) and total < info["total_samples"]:
+        r = _BitReader(data, pos)
+        if r.read(14) != 0b11111111111110:
+            raise ValueError("lost frame sync")
+        r.read(1)
+        r.read(1)  # blocking strategy
+        bs_code = r.read(4)
+        sr_code = r.read(4)
+        chan_code = r.read(4)
+        size_code = r.read(3)
+        r.read(1)
+        _read_utf8_coded(r)
+        if bs_code == 6:
+            n = r.read(8) + 1
+        elif bs_code == 7:
+            n = r.read(16) + 1
+        else:
+            n = _BS_TABLE[bs_code]
+        if sr_code == 12:
+            r.read(8)
+        elif sr_code in (13, 14):
+            r.read(16)
+        header_len = r.byte + (1 if r.bit else 0) - pos
+        if _crc8(data[pos : pos + header_len]) != r.read(8):
+            raise ValueError("frame header CRC-8 mismatch")
+        fbps = _BPS_TABLE.get(size_code, bps)
+
+        if chan_code <= 7:  # independent
+            subs = [_decode_subframe(r, n, fbps) for _ in range(chan_code + 1)]
+        elif chan_code == 8:  # left/side
+            left = _decode_subframe(r, n, fbps)
+            side = _decode_subframe(r, n, fbps + 1)
+            subs = [left, left - side]
+        elif chan_code == 9:  # right/side
+            side = _decode_subframe(r, n, fbps + 1)
+            right = _decode_subframe(r, n, fbps)
+            subs = [right + side, right]
+        elif chan_code == 10:  # mid/side
+            mid = _decode_subframe(r, n, fbps)
+            side = _decode_subframe(r, n, fbps + 1)
+            left = mid * 2 + (side & 1) + side
+            subs = [left >> 1, (left >> 1) - side]
+        else:
+            raise ValueError(f"reserved channel assignment {chan_code}")
+        r.align()
+        frame_end = r.byte
+        if _crc16(data[pos:frame_end]) != struct.unpack(">H", data[frame_end : frame_end + 2])[0]:
+            raise ValueError("frame CRC-16 mismatch")
+        pos = frame_end + 2
+        for c, s in enumerate(subs):
+            chans[c].append(s)
+        total += n
+    cols = [np.concatenate(c) if c else np.zeros(0, np.int64) for c in chans]
+    return np.stack(cols, axis=1), info["sample_rate"] or 0

@@ -452,6 +452,66 @@ def _wav_adpcm_container(body: bytes) -> bytes:
     return _wav_container(0x11, 1, 8000, 4, 8, body, _s.pack("<HH", 2, 9))
 
 
+FLAC_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sum_left", T.LongType()),
+        T.StructField("sum_right", T.LongType()),
+        T.StructField("min_left", T.LongType()),
+        T.StructField("max_right", T.LongType()),
+        T.StructField("compressed", T.BooleanType()),
+    ]
+)
+
+
+def flac_audio_stage(media: DataFrame) -> DataFrame:
+    """REAL lossless-codec audio pipeline: each item deterministically
+    becomes a stereo int16 signal (n = L%400+50 samples; left_i =
+    (L*13 + i*i*7) % 4001 - 2000, right_i = (L*29 + i*11) % 4001 - 2000 —
+    the quadratic left channel defeats low-order predictors so Rice
+    coding carries real residuals), encoded as mid-side FLAC
+    (pipeline/flac.py: Levinson-Durbin LPC / fixed predictors, Rice
+    residuals, CRC-8/16) and decoded back bit-exactly. The emitted
+    integer sums/extrema over the DECODED samples are recomputable from
+    the construction arithmetic alone — a hash match proves the entire
+    lossless chain (prediction, Rice, mid-side decorrelation, CRCs)
+    reproduced every sample. `compressed` additionally asserts the
+    encoder actually compressed (blob < raw PCM bytes)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from cassandra_pmem_spark.pipeline.flac import decode_flac, encode_flac
+
+        for pdf in batches:
+            rows = []
+            for item_id, data in zip(pdf["item_id"], pdf["data"]):
+                length = len(bytes(data or b""))
+                n = length % 400 + 50
+                i = np.arange(n, dtype=np.int64)
+                left = (length * 13 + i * i * 7) % 4001 - 2000
+                right = (length * 29 + i * 11) % 4001 - 2000
+                st = np.stack([left, right], axis=1).astype(np.int16)
+                blob = encode_flac(st, 16000, stereo_mode="mid-side")
+                dec, rate = decode_flac(blob)
+                assert rate == 16000
+                rows.append(
+                    (
+                        int(item_id),
+                        int(dec.shape[0]),
+                        int(dec[:, 0].sum()),
+                        int(dec[:, 1].sum()),
+                        int(dec[:, 0].min()),
+                        int(dec[:, 1].max()),
+                        len(blob) < 4 * n,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in FLAC_AUDIO_SCHEMA])
+
+    return media.select("item_id", "data").mapInPandas(run, FLAC_AUDIO_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: expand each item into (item_id, frame_ts)
     rows using metadata only — pure built-ins, no decode. The decode of the
@@ -576,13 +636,21 @@ def extract_audio_features(media: DataFrame, fake_decode: bool = True) -> DataFr
                         decode_wav_any,
                         is_wav,
                     )
+                    from cassandra_pmem_spark.pipeline.flac import (
+                        decode_flac,
+                        is_flac,
+                    )
 
-                    if not is_wav(raw):
+                    if is_wav(raw):
+                        pcm = decode_wav_any(raw)[0]
+                    elif is_flac(raw):
+                        pcm = decode_flac(raw)[0]
+                    else:
                         raise NotImplementedError(
-                            "only WAV (PCM / G.711 / IMA ADPCM) decodes "
-                            "without codec libraries"
+                            "only WAV (PCM / G.711 / IMA ADPCM) and FLAC "
+                            "decode without codec libraries"
                         )
-                    x = decode_wav_any(raw)[0].ravel().astype(np.float64) / 32768.0
+                    x = pcm.ravel().astype(np.float64) / 32768.0
                 n = int(x.size)
                 if n:
                     rms = float(np.sqrt((x * x).mean()))

@@ -580,6 +580,46 @@ WHERE ((token % 10000) + 10000) % 10000 <
 """
 
 
+def multimodal_audio_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossless-audio pipeline, oracle-checked: deterministic stereo
+    signals per document, encoded as mid-side FLAC (Levinson-Durbin LPC +
+    fixed predictors, Rice residuals, CRC-8/16 — pipeline/flac.py, from
+    the public xiph.org spec) and decoded back BIT-EXACTLY. Because FLAC
+    is lossless, the oracle recomputes the decoded-sample sums directly
+    from the construction arithmetic — a hash match proves prediction,
+    Rice coding, mid-side decorrelation, and both CRCs reproduced every
+    sample of every item."""
+    from cassandra_pmem_spark.pipeline.multimodal import flac_audio_stage
+
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "blob", F.col("text").cast("binary")
+    )
+    media = attach_media(docs, "blob", "audio", "audio/flac", "doc_id")
+    return flac_audio_stage(media)
+
+
+_FLAC_ORACLE = """
+WITH g AS (
+  SELECT doc_id, octet_length(encode(text)) AS L FROM documents
+), s AS (
+  SELECT doc_id, L, unnest(range(0, L % 400 + 50)) AS i FROM g
+), v AS (
+  SELECT doc_id, L, i,
+         (L * 13 + i * i * 7) % 4001 - 2000 AS lft,
+         (L * 29 + i * 11) % 4001 - 2000 AS rgt
+  FROM s
+)
+SELECT doc_id AS item_id,
+  CAST(L % 400 + 50 AS BIGINT) AS n_samples,
+  CAST(SUM(lft) AS BIGINT) AS sum_left,
+  CAST(SUM(rgt) AS BIGINT) AS sum_right,
+  CAST(MIN(lft) AS BIGINT) AS min_left,
+  CAST(MAX(rgt) AS BIGINT) AS max_right,
+  TRUE AS compressed
+FROM v GROUP BY doc_id, L
+"""
+
+
 _MP3_META_ORACLE = """
 SELECT doc_id AS item_id,
   CAST(octet_length(encode(text)) % 7 + 2 AS BIGINT) AS frames,
@@ -1034,6 +1074,7 @@ QUERIES = {
     "multimodal_audio_mp3_meta": (multimodal_audio_mp3_meta, _MP3_META_ORACLE),
     "multimodal_video_gif_frames": (multimodal_video_gif_frames, _GIF_FRAMES_ORACLE),
     "multimodal_audio_g711_adpcm": (multimodal_audio_g711_adpcm, _g711_oracle()),
+    "multimodal_audio_flac": (multimodal_audio_flac, _FLAC_ORACLE),
     "pipeline_pack_sequences": (pipeline_pack_sequences, _PACK_ORACLE),
     "pipeline_stratified_sample": (pipeline_stratified_sample, _stratified_oracle()),
     "text_sasi_analyzer": (text_sasi_analyzer, _SASI_ORACLE),

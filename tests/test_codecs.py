@@ -884,3 +884,121 @@ class TestG711Adpcm:
         want = _ULAW_TABLE[codes].astype(np.float64) / 32768.0
         assert row.n_samples == 200
         assert abs(row.rms - float(np.sqrt((want**2).mean()))) < 1e-12
+
+
+class TestFlac:
+    """FLAC codec (pipeline/flac.py — public xiph.org spec): lossless
+    round trips across every subframe type, Rice parameters, stereo
+    decorrelation modes, CRCs, and the STREAMINFO walk."""
+
+    def test_mono_roundtrip_and_compression(self):
+        from cassandra_pmem_spark.pipeline.flac import (
+            decode_flac,
+            encode_flac,
+            is_flac,
+        )
+
+        t = np.arange(10000)
+        sig = (6000 * np.sin(t / 50) + 1500 * np.sin(t / 11)).astype(np.int16)
+        blob = encode_flac(sig, 44100)
+        assert is_flac(blob)
+        dec, rate = decode_flac(blob)
+        assert rate == 44100
+        assert np.array_equal(dec.ravel(), sig.astype(np.int64))
+        assert len(blob) < len(sig)  # < 50% of the 2-byte PCM
+
+    def test_noise_falls_back_losslessly(self):
+        from cassandra_pmem_spark.pipeline.flac import decode_flac, encode_flac
+
+        x = _rng(80).integers(-32768, 32768, 5000).astype(np.int16)
+        dec, _ = decode_flac(encode_flac(x, 8000))
+        assert np.array_equal(dec.ravel(), x.astype(np.int64))
+
+    def test_constant_subframe(self):
+        from cassandra_pmem_spark.pipeline.flac import decode_flac, encode_flac
+
+        x = np.full(3000, -123, np.int16)
+        blob = encode_flac(x, 8000)
+        assert len(blob) < 200  # constant blocks are a handful of bytes
+        dec, _ = decode_flac(blob)
+        assert np.array_equal(dec.ravel(), x.astype(np.int64))
+
+    def test_lpc_engages_and_wins(self):
+        import cassandra_pmem_spark.pipeline.flac as fl
+
+        rng = _rng(81)
+        t = np.arange(20000)
+        sig = (
+            9000 * np.sin(t / 80) + 3000 * np.sin(t / 13) + rng.normal(0, 50, len(t))
+        ).astype(np.int16)
+        blob = fl.encode_flac(sig, 44100)
+        dec, _ = fl.decode_flac(blob)
+        assert np.array_equal(dec.ravel(), sig.astype(np.int64))
+        orig = fl._lpc_quantized
+        fl._lpc_quantized = lambda *a, **k: None
+        try:
+            blob_fixed = fl.encode_flac(sig, 44100)
+        finally:
+            fl._lpc_quantized = orig
+        assert len(blob) < len(blob_fixed)  # the LPC tier actually helps
+
+    def test_stereo_modes_roundtrip(self):
+        from cassandra_pmem_spark.pipeline.flac import decode_flac, encode_flac
+
+        rng = _rng(82)
+        for n in (17, 192, 500, 4096, 9001):
+            x = (3000 * np.sin(np.arange(n) / 9) + rng.normal(0, 20, n)).astype(
+                np.int16
+            )
+            st = np.stack([x, (x // 3 + 7).astype(np.int16)], axis=1)
+            for mode in ("independent", "mid-side"):
+                dec, _ = decode_flac(
+                    encode_flac(st, 8000, block_size=192, stereo_mode=mode)
+                )
+                assert np.array_equal(dec, st.astype(np.int64)), (n, mode)
+
+    def test_partial_blocks_and_tiny_inputs(self):
+        from cassandra_pmem_spark.pipeline.flac import decode_flac, encode_flac
+
+        rng = _rng(83)
+        for n in (1, 2, 191, 192, 193, 4097):
+            x = rng.integers(-1000, 1000, n).astype(np.int16)
+            dec, _ = decode_flac(encode_flac(x, 8000, block_size=192))
+            assert np.array_equal(dec.ravel(), x.astype(np.int64)), n
+
+    def test_streaminfo_walk(self):
+        from cassandra_pmem_spark.pipeline.flac import encode_flac, flac_info
+
+        sig = _rng(84).integers(-100, 100, 7777).astype(np.int16)
+        info = flac_info(encode_flac(sig, 22050, block_size=1024))
+        assert info["total_samples"] == 7777
+        assert info["sample_rate"] == 22050
+        assert info["channels"] == 1 and info["bits_per_sample"] == 16
+        assert info["min_block"] == info["max_block"] == 1024
+
+    def test_crc_detects_corruption(self):
+        from cassandra_pmem_spark.pipeline.flac import decode_flac, encode_flac
+
+        sig = (1000 * np.sin(np.arange(3000) / 20)).astype(np.int16)
+        blob = bytearray(encode_flac(sig, 8000))
+        blob[-20] ^= 0x40  # flip a bit in the last frame body
+        with pytest.raises(ValueError, match="CRC"):
+            decode_flac(bytes(blob))
+
+    def test_audio_features_real_decode_flac(self, spark):
+        import pandas as pd
+
+        from cassandra_pmem_spark.pipeline.flac import encode_flac
+        from cassandra_pmem_spark.pipeline.multimodal import (
+            attach_media,
+            extract_audio_features,
+        )
+
+        sig = (2000 * np.sin(np.arange(500) / 15)).astype(np.int16)
+        blob = encode_flac(sig, 16000)
+        df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "blob": [blob]}))
+        media = attach_media(df, "blob", "audio", "audio/flac", "doc_id")
+        row = extract_audio_features(media, fake_decode=False).toPandas().iloc[0]
+        want = sig.astype(np.float64) / 32768.0
+        assert row.n_samples == 500
+        assert abs(row.rms - float(np.sqrt((want**2).mean()))) < 1e-12
