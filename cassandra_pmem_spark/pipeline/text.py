@@ -139,6 +139,30 @@ def rolling_fingerprint(col: Column | str, gram: int = 8, window: int = 4) -> Co
     return F.array_sort(F.array_distinct(mins))
 
 
+def html_to_text(col: Column | str) -> Column:
+    """HTML → plain text extraction (the WET-conversion step of a crawl
+    pipeline), pure JVM-side expressions: drop <script>/<style> blocks
+    (non-greedy dotall — NO backreferences, so the same pattern runs on
+    RE2-based engines like the DuckDB oracle), strip remaining tags,
+    decode the common entities (&amp; LAST to avoid double-decoding),
+    collapse whitespace. Zero shuffles, codegen-friendly — this is the
+    cleaning op that runs over every crawled page at 100 TB."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.regexp_replace(c, r"(?is)<script\b.*?</script\s*>", " ")
+    out = F.regexp_replace(out, r"(?is)<style\b.*?</style\s*>", " ")
+    out = F.regexp_replace(out, r"(?s)<[^>]*>", " ")
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+    ):
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
 # -- SASI analyzer equivalents (index/sasi/analyzer/) -------------------------
 
 def standard_analyzer(

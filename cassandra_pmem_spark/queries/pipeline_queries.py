@@ -620,6 +620,122 @@ FROM v GROUP BY doc_id, L
 """
 
 
+def source_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL web-archive ingestion, oracle-checked: each document becomes a
+    WARC file (sources/warc.py — ISO 28500 record layout with PER-RECORD
+    gzip members, the Common Crawl distribution shape) holding L%4+1
+    conversion records whose payloads are the document text plus a
+    per-record suffix, and the REAL parser (multi-member gzip inflate +
+    header parse + Content-Length slicing) reads every record back. The
+    oracle recomputes URIs, lengths, and payload MD5s from the
+    construction — a hash match proves the container round trip is
+    byte-exact through gzip."""
+    from cassandra_pmem_spark.sources.warc import warc_ingest_stage
+    from cassandra_pmem_spark.pipeline.multimodal import attach_media
+
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "blob", F.col("text").cast("binary")
+    )
+    media = attach_media(docs, "blob", "text", "application/warc", "doc_id")
+
+    import pandas as pd
+    from typing import Iterator
+    from pyspark.sql import types as T
+
+    fixture_schema = T.StructType(
+        [T.StructField("item_id", T.LongType()), T.StructField("data", T.BinaryType())]
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from cassandra_pmem_spark.sources.warc import build_warc
+
+        for pdf in batches:
+            rows = []
+            for item_id, data in zip(pdf["item_id"], pdf["data"]):
+                raw = bytes(data or b"")
+                k = len(raw) % 4 + 1
+                recs = [
+                    {
+                        "type": "conversion",
+                        "uri": f"http://crawl.test/{int(item_id)}/{j}",
+                        "payload": raw + b"#" * j,
+                        "id": f"{int(item_id)}-{j}",
+                    }
+                    for j in range(k)
+                ]
+                rows.append((int(item_id), build_warc(recs, per_record_gzip=True)))
+            yield pd.DataFrame(rows, columns=["item_id", "data"])
+
+    fixtures = media.select("item_id", "data").mapInPandas(build, fixture_schema)
+    return warc_ingest_stage(fixtures)
+
+
+_WARC_ORACLE = """
+WITH g AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS L FROM documents
+), s AS (
+  SELECT doc_id, text, L, unnest(range(0, L % 4 + 1)) AS j FROM g
+)
+SELECT doc_id AS item_id,
+  CAST(j AS BIGINT) AS rec_idx,
+  'conversion' AS warc_type,
+  'http://crawl.test/' || doc_id || '/' || j AS target_uri,
+  CAST(L + j AS BIGINT) AS content_length,
+  md5(text || repeat('#', CAST(j AS INT))) AS payload_md5
+FROM s
+"""
+
+
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → plain-text extraction (pipeline/text.html_to_text — the
+    WET-conversion cleaning step): each document is wrapped in a
+    deterministic HTML page with script/style blocks, entities, and
+    markup, and the pure-expression extractor strips it back out. The
+    oracle runs the SAME regex chain in DuckDB (patterns are
+    RE2-compatible by construction: non-greedy dotall, no
+    backreferences) — a hash match proves both engines clean every page
+    identically."""
+    from cassandra_pmem_spark.pipeline.text import html_to_text
+
+    docs = load_table(spark, "documents", sf_dir)
+    html = F.concat(
+        F.lit(
+            '<html><head><title>Doc</title><script type="text/javascript">'
+            "var x = 1 < 2; // &amp; tricky</script><style>p { color: red; }"
+            "</style></head><body><h1>Heading &amp; more</h1><p>"
+        ),
+        F.col("text"),
+        F.lit('</p><br/><div class="x">tail &lt;y&gt; &#39;q&#39;</div></body></html>'),
+    )
+    return docs.select("doc_id", html_to_text(html).alias("clean"))
+
+
+_HTML_ORACLE = r"""
+WITH h AS (
+  SELECT doc_id,
+    '<html><head><title>Doc</title><script type="text/javascript">var x = 1 < 2; // &amp; tricky</script><style>p { color: red; }</style></head><body><h1>Heading &amp; more</h1><p>'
+    || text ||
+    '</p><br/><div class="x">tail &lt;y&gt; &#39;q&#39;</div></body></html>' AS page
+  FROM documents
+), c AS (
+  SELECT doc_id,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(page, '(?is)<script\b.*?</script\s*>', ' ', 'g'),
+        '(?is)<style\b.*?</style\s*>', ' ', 'g'),
+      '(?s)<[^>]*>', ' ', 'g') AS t
+  FROM h
+)
+SELECT doc_id,
+  trim(regexp_replace(
+    replace(replace(replace(replace(replace(replace(t,
+      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+      '&nbsp;', ' '), '&amp;', '&'),
+    '\s+', ' ', 'g')) AS clean
+FROM c
+"""
+
+
 _MP3_META_ORACLE = """
 SELECT doc_id AS item_id,
   CAST(octet_length(encode(text)) % 7 + 2 AS BIGINT) AS frames,
@@ -1075,6 +1191,8 @@ QUERIES = {
     "multimodal_video_gif_frames": (multimodal_video_gif_frames, _GIF_FRAMES_ORACLE),
     "multimodal_audio_g711_adpcm": (multimodal_audio_g711_adpcm, _g711_oracle()),
     "multimodal_audio_flac": (multimodal_audio_flac, _FLAC_ORACLE),
+    "source_warc_ingest": (source_warc_ingest, _WARC_ORACLE),
+    "text_html_extract": (text_html_extract, _HTML_ORACLE),
     "pipeline_pack_sequences": (pipeline_pack_sequences, _PACK_ORACLE),
     "pipeline_stratified_sample": (pipeline_stratified_sample, _stratified_oracle()),
     "text_sasi_analyzer": (text_sasi_analyzer, _SASI_ORACLE),

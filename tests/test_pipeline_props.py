@@ -393,3 +393,87 @@ class TestPackingAndSampling:
         # the non-determinism pin keeps Catalyst from duplicating the
         # Arrow kernel into the pushed-down filter
         assert len(re.findall(r"ArrowEvalPython", plan)) == 1
+
+
+class TestWarcAndHtml:
+    """Crawl-corpus ingestion: WARC container (sources/warc.py) and
+    HTML→text extraction (pipeline/text.html_to_text)."""
+
+    def test_warc_roundtrip_plain_and_gzip(self):
+        from cassandra_pmem_spark.sources.warc import build_warc, is_warc, parse_warc
+
+        recs = [
+            {"type": "response", "uri": "http://a/1", "payload": b"hello \x00\xff world"},
+            {"type": "conversion", "uri": "http://a/2", "payload": b""},
+            {"type": "conversion", "uri": "", "payload": b"x" * 70000},
+        ]
+        for gz in (False, True):
+            blob = build_warc(recs, per_record_gzip=gz)
+            assert is_warc(blob)
+            out = parse_warc(blob)
+            assert [r["payload"] for r in out] == [r["payload"] for r in recs]
+            assert [r["uri"] for r in out] == ["http://a/1", "http://a/2", ""]
+            assert out[0]["type"] == "response"
+
+    def test_warc_gzip_members_split_per_record(self):
+        from cassandra_pmem_spark.sources.warc import build_warc
+
+        recs = [{"type": "conversion", "uri": "u", "payload": b"p%d" % i} for i in range(5)]
+        blob = build_warc(recs, per_record_gzip=True)
+        # five independent gzip members — the crawl layout readers rely on
+        assert blob.count(b"\x1f\x8b\x08") == 5
+
+    def test_warc_truncated_payload_raises(self):
+        from cassandra_pmem_spark.sources.warc import build_warc, parse_warc
+
+        blob = build_warc([{"uri": "u", "payload": b"abcdef"}], per_record_gzip=False)
+        with pytest.raises(ValueError, match="truncated"):
+            parse_warc(blob[:-10])
+
+    def test_html_to_text_semantics(self, spark):
+        import pandas as pd
+
+        from cassandra_pmem_spark.pipeline.text import html_to_text
+
+        cases = pd.DataFrame(
+            {
+                "i": [1, 2, 3, 4],
+                "h": [
+                    "<p>plain  <b>bold</b>\ttext</p>",
+                    '<script>if (a < b) { x("</div>"); }</script>after',
+                    "<style>p{}</style>A &amp;lt; B &#39;q&#39; &nbsp;end",
+                    "no markup at all",
+                ],
+            }
+        )
+        df = spark.createDataFrame(cases)
+        out = dict(
+            df.select("i", html_to_text("h").alias("t")).toPandas().values.tolist()
+        )
+        assert out[1] == "plain bold text"
+        assert out[2] == "after"  # script content (with stray tags) dropped
+        # single-pass entity decode: &amp;lt; becomes the LITERAL text &lt;
+        assert out[3] == "A &lt; B 'q' end"
+        assert out[4] == "no markup at all"
+
+    def test_warc_ingest_stage(self, spark):
+        import hashlib
+
+        import pandas as pd
+
+        from cassandra_pmem_spark.sources.warc import build_warc, warc_ingest_stage
+
+        blob = build_warc(
+            [
+                {"type": "conversion", "uri": "http://x/0", "payload": b"abc"},
+                {"type": "response", "uri": "http://x/1", "payload": b"defg"},
+            ]
+        )
+        df = spark.createDataFrame(pd.DataFrame({"item_id": [7], "data": [blob]}))
+        rows = warc_ingest_stage(df).toPandas().sort_values("rec_idx")
+        assert rows.warc_type.tolist() == ["conversion", "response"]
+        assert rows.content_length.tolist() == [3, 4]
+        assert rows.payload_md5.tolist() == [
+            hashlib.md5(b"abc").hexdigest(),
+            hashlib.md5(b"defg").hexdigest(),
+        ]
