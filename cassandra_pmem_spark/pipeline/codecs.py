@@ -616,6 +616,184 @@ def mp4_info(data: bytes) -> dict:
     }
 
 
+def _mp4_box(typ: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", len(payload) + 8) + typ + payload
+
+
+def build_mp4_with_samples(
+    payloads: list[bytes],
+    durations: list[int],
+    timescale: int = 1000,
+    samples_per_chunk: int = 4,
+) -> bytes:
+    """Deterministic ISO-BMFF fixture with REAL sample tables: per-sample
+    payloads land in an mdat box, and the stbl machinery — stts (run-
+    length time-to-sample), stsz (sizes), stsc (sample-to-chunk runs),
+    stco (absolute chunk offsets) — indexes them exactly as a camera/mux
+    writes them. The last chunk may be short (the spec's implicit rule:
+    chunk count comes from stco, trailing samples fill the final chunk)."""
+    n = len(payloads)
+    sizes = [len(p) for p in payloads]
+
+    # stts: run-length encode the duration sequence
+    runs: list[tuple[int, int]] = []
+    for d in durations:
+        if runs and runs[-1][1] == d:
+            runs[-1] = (runs[-1][0] + 1, d)
+        else:
+            runs.append((1, d))
+    stts = _mp4_box(
+        b"stts",
+        b"\x00\x00\x00\x00"
+        + struct.pack(">I", len(runs))
+        + b"".join(struct.pack(">II", c, d) for c, d in runs),
+    )
+    stsz = _mp4_box(
+        b"stsz",
+        b"\x00\x00\x00\x00"
+        + struct.pack(">II", 0, n)  # sample_size 0 → per-sample table
+        + b"".join(struct.pack(">I", s) for s in sizes),
+    )
+    stsc = _mp4_box(
+        b"stsc",
+        b"\x00\x00\x00\x00"
+        + struct.pack(">I", 1)
+        + struct.pack(">III", 1, samples_per_chunk, 1),
+    )
+    n_chunks = (n + samples_per_chunk - 1) // samples_per_chunk
+
+    # chunk offsets are absolute file offsets — computed once the sizes
+    # of everything before mdat's payload are known, so assemble moov
+    # with a placeholder stco first to learn its length
+    def assemble(chunk_offsets: list[int]) -> bytes:
+        stco = _mp4_box(
+            b"stco",
+            b"\x00\x00\x00\x00"
+            + struct.pack(">I", n_chunks)
+            + b"".join(struct.pack(">I", o) for o in chunk_offsets),
+        )
+        stbl = _mp4_box(b"stbl", stts + stsz + stsc + stco)
+        mdhd = _mp4_box(
+            b"mdhd",
+            b"\x00\x00\x00\x00"
+            + struct.pack(">II", 0, 0)
+            + struct.pack(">II", timescale, sum(durations))
+            + struct.pack(">HH", 0x55C4, 0),
+        )
+        mdia = _mp4_box(b"mdia", mdhd + _mp4_box(b"minf", stbl))
+        dur = sum(durations)
+        mvhd = _mp4_box(
+            b"mvhd",
+            b"\x00\x00\x00\x00"
+            + struct.pack(">II", 0, 0)
+            + struct.pack(">II", timescale, dur)
+            + b"\x00" * 80,
+        )
+        moov = _mp4_box(b"moov", mvhd + _mp4_box(b"trak", mdia))
+        return moov
+
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    moov_len = len(assemble([0] * n_chunks))
+    mdat_payload_start = len(ftyp) + moov_len + 8  # mdat header is 8 bytes
+    offsets = []
+    pos = mdat_payload_start
+    for k in range(n_chunks):
+        offsets.append(pos)
+        for s in sizes[k * samples_per_chunk : (k + 1) * samples_per_chunk]:
+            pos += s
+    moov = assemble(offsets)
+    assert len(moov) == moov_len
+    return ftyp + moov + _mp4_box(b"mdat", b"".join(payloads))
+
+
+def mp4_sample_table(data: bytes) -> list[dict]:
+    """Walk the first track's stbl and compose the REAL per-sample index:
+    [{idx, dts, duration, size, offset}] with absolute file offsets —
+    the stts/stsz/stsc/stco composition every video pipeline runs to
+    fetch sample N without decoding anything (ISO/IEC 14496-12 §8.5-8.7).
+    Chunk k's samples sit back-to-back from its stco offset; the stsc
+    run table maps chunks to samples-per-chunk with the final chunk
+    absorbing the remainder."""
+    if not is_mp4(data):
+        raise ValueError("not an MP4 (missing ftyp)")
+    stts = stsz = stsc = stco = None
+
+    def walk(start: int, end: int, path: tuple = ()) -> None:
+        nonlocal stts, stsz, stsc, stco
+        for typ, body, bend in _mp4_boxes(data, start, end):
+            if typ in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+                if not (typ == b"trak" and stco is not None):  # first track only
+                    walk(body, bend, path + (typ,))
+            elif typ == b"stts" and stts is None:
+                (cnt,) = struct.unpack(">I", data[body + 4 : body + 8])
+                stts = [
+                    struct.unpack(">II", data[body + 8 + 8 * i : body + 16 + 8 * i])
+                    for i in range(cnt)
+                ]
+            elif typ == b"stsz" and stsz is None:
+                fixed, cnt = struct.unpack(">II", data[body + 4 : body + 12])
+                if fixed:
+                    stsz = [fixed] * cnt
+                else:
+                    stsz = [
+                        struct.unpack(">I", data[body + 12 + 4 * i : body + 16 + 4 * i])[0]
+                        for i in range(cnt)
+                    ]
+            elif typ == b"stsc" and stsc is None:
+                (cnt,) = struct.unpack(">I", data[body + 4 : body + 8])
+                stsc = [
+                    struct.unpack(">III", data[body + 8 + 12 * i : body + 20 + 12 * i])
+                    for i in range(cnt)
+                ]
+            elif typ in (b"stco", b"co64") and stco is None:
+                (cnt,) = struct.unpack(">I", data[body + 4 : body + 8])
+                w, fmt = (4, ">I") if typ == b"stco" else (8, ">Q")
+                stco = [
+                    struct.unpack(fmt, data[body + 8 + w * i : body + 8 + w * (i + 1)])[0]
+                    for i in range(cnt)
+                ]
+
+    walk(0, len(data))
+    if None in (stts, stsz, stsc, stco):
+        raise ValueError("MP4 missing sample tables (stts/stsz/stsc/stco)")
+
+    durations: list[int] = []
+    for cnt, delta in stts:
+        durations.extend([delta] * cnt)
+    n = len(stsz)
+    if len(durations) != n:
+        raise ValueError("stts/stsz sample count mismatch")
+
+    # chunk k (1-based) uses the stsc run with the largest first_chunk <= k
+    out = []
+    dts = 0
+    sample = 0
+    for k, chunk_off in enumerate(stco, start=1):
+        spc = None
+        for first, per, _desc in stsc:
+            if first <= k:
+                spc = per
+            else:
+                break
+        off = chunk_off
+        for _ in range(min(spc, n - sample)):
+            out.append(
+                {
+                    "idx": sample,
+                    "dts": dts,
+                    "duration": durations[sample],
+                    "size": stsz[sample],
+                    "offset": off,
+                }
+            )
+            dts += durations[sample]
+            off += stsz[sample]
+            sample += 1
+    if sample != n:
+        raise ValueError("stco chunks do not cover all samples")
+    return out
+
+
 def build_mp4_stub(duration_ms: int, n_tracks: int = 1, timescale: int = 1000) -> bytes:
     """Deterministic fixture builder: minimal ftyp+moov(mvhd+trak...)
     structure with a valid box tree and mvhd timing (no media data)."""

@@ -61,6 +61,7 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_video_gif_frames",  # NEW this round (real GIF89a video decode)
     "multimodal_audio_g711_adpcm",  # NEW this round (G.711 + IMA ADPCM decode)
     "multimodal_audio_flac",  # NEW this round (lossless FLAC codec)
+    "multimodal_video_mp4_samples",  # NEW this round (ISO-BMFF sample tables)
     "source_warc_ingest",  # NEW this round (WARC/WET crawl container)
     "text_html_extract",  # NEW this round (HTML→text cleaning)
     "pipeline_pack_sequences",  # NEW this round (training sequence packing)
@@ -89,18 +90,17 @@ _PRIORITY: tuple[str, ...] = (
     "virtual_system_tables",
     "cql_parsed_select",
     "cql_clustering_slice",
-    "cql_contains",
 )
 # sim_bruteforce_topk, dedup_simhash, dedup_exact_docs, cql_ttl_expiry,
 # cql_upsert_lww_cells, cql_select_json, cql_duration_arithmetic,
 # cql_static_column, cql_group_limit, cql_uda_weighted_avg,
-# cql_is_not_null, and cql_group_by_pk_prefix (r2 evidence) yielded
-# their slots to the twelve new never-green queries (color JPEG,
-# progressive JPEG, MP3 header walk, GIF video decode, G.711+ADPCM
-# audio decode, FLAC lossless audio, WARC ingest, HTML extraction,
-# sequence packing, stratified sampling, timestamp token,
-# allow-filtering gate); they rotate into the round-5 window with the
-# rest of the r2 set.
+# cql_is_not_null, cql_group_by_pk_prefix, and cql_contains (r2
+# evidence) yielded their slots to the thirteen new never-green queries
+# (color JPEG, progressive JPEG, MP3 header walk, GIF video decode,
+# MP4 sample tables, G.711+ADPCM audio decode, FLAC lossless audio,
+# WARC ingest, HTML extraction, sequence packing, stratified sampling,
+# timestamp token, allow-filtering gate); they rotate into the round-5
+# window with the rest of the r2 set.
 # Deliberately outside the window this round (fresh r3 evidence or
 # unedited r2 evidence that rotates in next round): tpch q2–q22,
 # streaming_{tumbling,session}_real, cql_token_scan*, sim_lsh_topk,

@@ -736,6 +736,49 @@ FROM c
 """
 
 
+def multimodal_video_mp4_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ISO-BMFF sample-table composition, oracle-checked
+    (pipeline/codecs.py build_mp4_with_samples + mp4_sample_table):
+    deterministic MP4 files with real stts/stsz/stsc/stco tables over an
+    mdat, parsed back into a per-sample index that RETRIEVES each
+    payload by absolute offset. The oracle recomputes dts (exclusive
+    duration prefix-sum), sizes, relative offsets (exclusive size
+    prefix-sum), and payload MD5s from the construction — a hash match
+    proves the chunk-run walk located every sample byte-exactly."""
+    from cassandra_pmem_spark.pipeline.multimodal import mp4_samples_stage
+
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "blob", F.col("text").cast("binary")
+    )
+    media = attach_media(docs, "blob", "video", "video/mp4", "doc_id")
+    return mp4_samples_stage(media)
+
+
+_MP4_SAMPLES_ORACLE = """
+WITH g AS (
+  SELECT doc_id, octet_length(encode(text)) AS L FROM documents
+), s AS (
+  SELECT doc_id, L, unnest(range(0, L % 20 + 5)) AS i FROM g
+), v AS (
+  SELECT doc_id, L, i,
+         (i % 3 + 1) * 100 AS dur,
+         (L + 7 * i) % 50 + 1 AS sz,
+         (L + i) % 94 + 33 AS code
+  FROM s
+)
+SELECT doc_id AS item_id,
+  CAST(i AS BIGINT) AS sample_idx,
+  CAST(SUM(dur) OVER w - dur AS BIGINT) AS dts,
+  CAST(dur AS INT) AS duration,
+  CAST(sz AS INT) AS size,
+  CAST(SUM(sz) OVER w - sz AS BIGINT) AS offset_rel,
+  md5(repeat(chr(CAST(code AS INT)), CAST(sz AS INT))) AS payload_md5
+FROM v
+WINDOW w AS (PARTITION BY doc_id ORDER BY i
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 _MP3_META_ORACLE = """
 SELECT doc_id AS item_id,
   CAST(octet_length(encode(text)) % 7 + 2 AS BIGINT) AS frames,
@@ -1189,6 +1232,7 @@ QUERIES = {
     ),
     "multimodal_audio_mp3_meta": (multimodal_audio_mp3_meta, _MP3_META_ORACLE),
     "multimodal_video_gif_frames": (multimodal_video_gif_frames, _GIF_FRAMES_ORACLE),
+    "multimodal_video_mp4_samples": (multimodal_video_mp4_samples, _MP4_SAMPLES_ORACLE),
     "multimodal_audio_g711_adpcm": (multimodal_audio_g711_adpcm, _g711_oracle()),
     "multimodal_audio_flac": (multimodal_audio_flac, _FLAC_ORACLE),
     "source_warc_ingest": (source_warc_ingest, _WARC_ORACLE),

@@ -1002,3 +1002,54 @@ class TestFlac:
         want = sig.astype(np.float64) / 32768.0
         assert row.n_samples == 500
         assert abs(row.rms - float(np.sqrt((want**2).mean()))) < 1e-12
+
+
+class TestMp4SampleTables:
+    """ISO-BMFF sample tables (ISO/IEC 14496-12 §8.5-8.7): the
+    stts/stsz/stsc/stco composition that locates sample N by file offset."""
+
+    def test_index_retrieves_every_payload(self):
+        from cassandra_pmem_spark.pipeline.codecs import (
+            build_mp4_with_samples,
+            mp4_sample_table,
+        )
+
+        payloads = [bytes([33 + i % 94]) * ((i * 7) % 50 + 1) for i in range(17)]
+        durs = [(i % 3 + 1) * 100 for i in range(17)]
+        blob = build_mp4_with_samples(payloads, durs, samples_per_chunk=4)
+        table = mp4_sample_table(blob)
+        assert len(table) == 17
+        dts = 0
+        for i, row in enumerate(table):
+            assert (row["idx"], row["dts"], row["duration"]) == (i, dts, durs[i])
+            assert blob[row["offset"] : row["offset"] + row["size"]] == payloads[i]
+            dts += durs[i]
+
+    def test_short_last_chunk_and_single_chunk(self):
+        from cassandra_pmem_spark.pipeline.codecs import (
+            build_mp4_with_samples,
+            mp4_sample_table,
+        )
+
+        # 6 samples, chunk size 50 → one chunk holds everything
+        blob = build_mp4_with_samples([b"zz"] * 6, [10] * 6, samples_per_chunk=50)
+        table = mp4_sample_table(blob)
+        assert [r["size"] for r in table] == [2] * 6
+        assert len({r["offset"] for r in table}) == 6  # distinct back-to-back
+        # single sample
+        assert len(mp4_sample_table(build_mp4_with_samples([b"a"], [5]))) == 1
+
+    def test_mvhd_duration_agrees_with_stts(self):
+        from cassandra_pmem_spark.pipeline.codecs import (
+            build_mp4_with_samples,
+            mp4_info,
+        )
+
+        blob = build_mp4_with_samples([b"x"] * 10, [100] * 10, timescale=1000)
+        assert mp4_info(blob)["duration_ms"] == 1000
+
+    def test_missing_tables_raise(self):
+        from cassandra_pmem_spark.pipeline.codecs import build_mp4_stub, mp4_sample_table
+
+        with pytest.raises(ValueError, match="sample tables"):
+            mp4_sample_table(build_mp4_stub(1000))
