@@ -1053,3 +1053,95 @@ class TestMp4SampleTables:
 
         with pytest.raises(ValueError, match="sample tables"):
             mp4_sample_table(build_mp4_stub(1000))
+
+
+class TestCodecProperties:
+    """Hypothesis round-trip properties: ANY input must survive the
+    lossless codecs bit-exactly — shapes, values, and frame counts the
+    example-based tests didn't think of."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @staticmethod
+    def _img(draw, st, max_side=40):
+        h = draw(st.integers(1, max_side))
+        w = draw(st.integers(1, max_side))
+        seed = draw(st.integers(0, 2**32 - 1))
+        return np.random.default_rng(seed).integers(0, 256, (h, w), dtype=np.uint8)
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.data())
+    def test_gif_any_frame_roundtrips(self, data):
+        from hypothesis import strategies as st
+
+        from cassandra_pmem_spark.pipeline.gif import decode_gif, encode_gif
+
+        img = self._img(data.draw, st)
+        interlace = data.draw(st.booleans())
+        frames, _ = decode_gif(encode_gif([img], interlace=interlace))
+        assert np.array_equal(frames[0][:, :, 0], img)
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.data())
+    def test_gif_any_animation_roundtrips(self, data):
+        from hypothesis import strategies as st
+
+        from cassandra_pmem_spark.pipeline.gif import decode_gif, encode_gif
+
+        n = data.draw(st.integers(1, 6))
+        seed = data.draw(st.integers(0, 2**32 - 1))
+        rng = np.random.default_rng(seed)
+        h, w = int(rng.integers(1, 25)), int(rng.integers(1, 25))
+        imgs = [rng.integers(0, 256, (h, w), dtype=np.uint8) for _ in range(n)]
+        delays = [int(d) for d in rng.integers(0, 600, n)]
+        frames, out_delays = decode_gif(encode_gif(imgs, delays_cs=delays))
+        assert out_delays == delays
+        for got, want in zip(frames, imgs):
+            assert np.array_equal(got[:, :, 0], want)
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.data())
+    def test_flac_any_signal_roundtrips(self, data):
+        from hypothesis import strategies as st
+
+        from cassandra_pmem_spark.pipeline.flac import decode_flac, encode_flac
+
+        seed = data.draw(st.integers(0, 2**32 - 1))
+        n = data.draw(st.integers(1, 3000))
+        stereo = data.draw(st.booleans())
+        mode = data.draw(st.sampled_from(["independent", "mid-side"]))
+        block = data.draw(st.sampled_from([192, 256, 1024, 4096]))
+        rng = np.random.default_rng(seed)
+        kind = data.draw(st.sampled_from(["noise", "smooth", "const", "extreme"]))
+        if kind == "noise":
+            x = rng.integers(-32768, 32768, n).astype(np.int16)
+        elif kind == "smooth":
+            x = (8000 * np.sin(np.arange(n) / 23)).astype(np.int16)
+        elif kind == "const":
+            x = np.full(n, int(rng.integers(-32768, 32768)), np.int16)
+        else:
+            x = rng.choice(
+                np.array([-32768, -32767, -1, 0, 1, 32766, 32767], np.int16), n
+            )
+        sig = np.stack([x, x[::-1]], axis=1) if stereo else x
+        dec, _ = decode_flac(encode_flac(sig, 8000, block_size=block, stereo_mode=mode))
+        want = sig.astype(np.int64) if stereo else sig.astype(np.int64)[:, None]
+        assert np.array_equal(dec, want)
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.data())
+    def test_g711_tables_inverse_on_code_points(self, data):
+        from hypothesis import strategies as st
+
+        from cassandra_pmem_spark.pipeline.codecs import (
+            _ALAW_TABLE,
+            _ULAW_TABLE,
+            _linear_to_alaw,
+            _linear_to_ulaw,
+        )
+
+        code = data.draw(st.integers(0, 255))
+        assert int(_linear_to_alaw(_ALAW_TABLE[np.array([code])])[0]) == code
+        if code != 0x7F:  # negative-zero alias
+            assert int(_linear_to_ulaw(_ULAW_TABLE[np.array([code])])[0]) == code
