@@ -132,12 +132,17 @@ def _lzw_decode(stream: bytes, min_code_size: int, expected: int) -> np.ndarray:
             continue
         if code == eoi:
             break
+        # deferred-clear streams (real-world GIFs): once the table is full
+        # the encoder keeps emitting 12-bit codes WITHOUT adding entries —
+        # the decoder must stop adding too or the KwKwK check drifts
+        full = len(table) >= 4096
         if prev is None:
             entry = table[code]
         elif code < len(table):
             entry = table[code]
-            table.append(prev + entry[:1])
-        elif code == len(table):  # the KwKwK case
+            if not full:
+                table.append(prev + entry[:1])
+        elif code == len(table) and not full:  # the KwKwK case
             entry = prev + prev[:1]
             table.append(entry)
         else:

@@ -1145,3 +1145,58 @@ class TestCodecProperties:
         assert int(_linear_to_alaw(_ALAW_TABLE[np.array([code])])[0]) == code
         if code != 0x7F:  # negative-zero alias
             assert int(_linear_to_ulaw(_ULAW_TABLE[np.array([code])])[0]) == code
+
+
+class TestGifDeferredClear:
+    """Real-world GIFs keep emitting 12-bit codes with a FULL code table
+    instead of sending CLEAR ("deferred clear", permitted by the spec).
+    The decoder must stop adding table entries at 4096 or the KwKwK
+    bookkeeping drifts and output corrupts silently."""
+
+    @staticmethod
+    def _encode_deferred(data: bytes, mcs: int) -> bytes:
+        clear = 1 << mcs
+        eoi = clear + 1
+        out = bytearray()
+        acc = 0
+        nbits = 0
+
+        def emit(code, width):
+            nonlocal acc, nbits
+            acc |= code << nbits
+            nbits += width
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        table = {bytes([i]): i for i in range(clear)}
+        next_code = eoi + 1
+        width = mcs + 1
+        emit(clear, width)
+        w = b""
+        for ch in data:
+            wk = w + bytes([ch])
+            if wk in table:
+                w = wk
+                continue
+            emit(table[w], width)
+            if next_code < 4096:  # table full → emit without adding
+                table[wk] = next_code
+                next_code += 1
+                if next_code == (1 << width) + 1 and width < 12:
+                    width += 1
+            w = bytes([ch])
+        if w:
+            emit(table[w], width)
+        emit(eoi, width)
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    def test_deferred_clear_stream_decodes(self):
+        from cassandra_pmem_spark.pipeline.gif import _lzw_decode
+
+        data = _rng(90).integers(0, 256, 60000, dtype=np.uint8).tobytes()
+        dec = _lzw_decode(self._encode_deferred(data, 8), 8, len(data))
+        assert dec.tobytes() == data
