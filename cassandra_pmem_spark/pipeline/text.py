@@ -163,6 +163,67 @@ def html_to_text(col: Column | str) -> Column:
     return F.trim(F.regexp_replace(out, r"\s+", " "))
 
 
+def repetition_signals(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals — the corpus-cleaning statistics
+    large-scale pretraining pipelines filter on (duplicate-word mass,
+    most-common word/bigram coverage). Per-document counting is
+    embarrassingly parallel, so it runs as ONE Arrow-batched pandas
+    stage (a Counter per document; no shuffle, no cross-document state).
+    Outputs are integer numerators/denominators, not fractions — exact,
+    hash-stable, and the thresholding division is a trivial downstream
+    expression. Tokenization is whitespace-split on space-trimmed
+    lowered text, mirroring the ws-token oracle convention."""
+    import re
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_words", T.LongType()),
+            T.StructField("n_distinct_words", T.LongType()),
+            T.StructField("top_word_count", T.LongType()),
+            T.StructField("top_bigram_count", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from collections import Counter
+
+        ws = re.compile(r"\s+")
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in ws.split(str(text or "").strip(" ").lower()) if t]
+                wc = Counter(toks)
+                bc = Counter(
+                    a + " " + b for a, b in zip(toks, toks[1:])
+                )
+                rows.append(
+                    (
+                        int(doc_id),
+                        len(toks),
+                        len(wc),
+                        max(wc.values()) if wc else 0,
+                        max(bc.values()) if bc else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_words",
+                    "n_distinct_words",
+                    "top_word_count",
+                    "top_bigram_count",
+                ],
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
 # -- SASI analyzer equivalents (index/sasi/analyzer/) -------------------------
 
 def standard_analyzer(

@@ -779,6 +779,46 @@ WINDOW w AS (PARTITION BY doc_id ORDER BY i
 """
 
 
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition statistics (pipeline/text.py
+    repetition_signals): word count, distinct-word count, most-common
+    word and bigram multiplicities per document — the duplicate-mass
+    signals pretraining corpus filters threshold on. The oracle
+    recomputes all four with DuckDB list/window SQL over the identical
+    tokenization; integer outputs keep the comparison exact."""
+    from cassandra_pmem_spark.pipeline.text import repetition_signals
+
+    docs = load_table(spark, "documents", sf_dir)
+    return repetition_signals(docs)
+
+
+_REPETITION_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '')
+      AS words
+  FROM documents
+), e AS (
+  SELECT doc_id, words, unnest(range(1, len(words) + 1)) AS i FROM w
+), t AS (
+  SELECT doc_id, len(words) AS n, words[i] AS word,
+         CASE WHEN i < len(words) THEN words[i] || ' ' || words[i + 1] END AS bg
+  FROM e
+), wc AS (
+  SELECT doc_id, n, word, COUNT(*) AS c FROM t GROUP BY doc_id, n, word
+), bc AS (
+  SELECT doc_id, bg, COUNT(*) AS c FROM t WHERE bg IS NOT NULL GROUP BY doc_id, bg
+)
+SELECT wc.doc_id,
+  CAST(MAX(wc.n) AS BIGINT) AS n_words,
+  CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+  CAST(MAX(wc.c) AS BIGINT) AS top_word_count,
+  CAST(COALESCE((SELECT MAX(c) FROM bc WHERE bc.doc_id = wc.doc_id), 0) AS BIGINT)
+    AS top_bigram_count
+FROM wc GROUP BY wc.doc_id
+"""
+
+
 _MP3_META_ORACLE = """
 SELECT doc_id AS item_id,
   CAST(octet_length(encode(text)) % 7 + 2 AS BIGINT) AS frames,
@@ -1237,6 +1277,7 @@ QUERIES = {
     "multimodal_audio_flac": (multimodal_audio_flac, _FLAC_ORACLE),
     "source_warc_ingest": (source_warc_ingest, _WARC_ORACLE),
     "text_html_extract": (text_html_extract, _HTML_ORACLE),
+    "text_repetition_signals": (text_repetition_signals, _REPETITION_ORACLE),
     "pipeline_pack_sequences": (pipeline_pack_sequences, _PACK_ORACLE),
     "pipeline_stratified_sample": (pipeline_stratified_sample, _stratified_oracle()),
     "text_sasi_analyzer": (text_sasi_analyzer, _SASI_ORACLE),

@@ -477,3 +477,43 @@ class TestWarcAndHtml:
             hashlib.md5(b"abc").hexdigest(),
             hashlib.md5(b"defg").hexdigest(),
         ]
+
+
+class TestRepetitionSignals:
+    """Gopher-style duplicate-mass statistics (pipeline/text.py)."""
+
+    def test_counts_exact(self, spark):
+        import pandas as pd
+
+        from cassandra_pmem_spark.pipeline.text import repetition_signals
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "the cat the cat the dog",
+                    "a b c d",
+                    "  x   X\tx  ",  # case-fold + whitespace runs
+                ],
+            }
+        )
+        out = (
+            repetition_signals(spark.createDataFrame(docs))
+            .toPandas()
+            .set_index("doc_id")
+        )
+        # doc 1: 6 words, 3 distinct; "the"×3; bigram "the cat"×2
+        assert out.loc[1].tolist() == [6, 3, 3, 2]
+        # doc 2: all unique; every bigram unique
+        assert out.loc[2].tolist() == [4, 4, 1, 1]
+        # doc 3: "x"×3 after lowering; bigram "x x"×2
+        assert out.loc[3].tolist() == [3, 1, 3, 2]
+
+    def test_empty_text(self, spark):
+        import pandas as pd
+
+        from cassandra_pmem_spark.pipeline.text import repetition_signals
+
+        docs = pd.DataFrame({"doc_id": [1], "text": [""]})
+        row = repetition_signals(spark.createDataFrame(docs)).toPandas().iloc[0]
+        assert row.tolist() == [1, 0, 0, 0, 0]
