@@ -1,0 +1,89 @@
+"""Deterministic HyperLogLog — a distinct-count sketch whose registers
+are bit-exact reproducible across engines.
+
+Spark's builtin `approx_count_distinct` (HLL++) and DuckDB's
+`approx_count_distinct` use different hash functions and register
+layouts, so their sketches can't be compared, merged across systems, or
+oracle-checked. This operator rebuilds the classic Flajolet HLL on the
+repo's bit-exact Cassandra Murmur3 token (functions/murmur3.py — the
+same kernel the token-scan oracles recompute in SQL), making the sketch
+a pure deterministic function of the key set:
+
+    u      = pmod(token, 2^52)        (non-negative, exact in doubles —
+                                       so the SQL twin needs no int64
+                                       bit tricks)
+    bucket = u mod 2^p                (register index, p=8 → 256)
+    w      = u div 2^p                (a 44-bit window)
+    rank   = 44 - floor(log2(w))      (position of the leading 1-bit;
+                                       45 when w = 0)
+    register[bucket] = max(rank)
+
+Same registers on Spark, DuckDB, or any engine with integer arithmetic —
+which is what lets sketches built by different systems over shards of a
+100 TB corpus be MERGED (register-wise max) and audited. The estimate is
+the standard bias-corrected harmonic mean with the small-range
+(linear-counting) correction; it's a trivial driver-side fold over the
+256-row register frame.
+
+Scale posture: one shuffle (the groupBy over at most 2^p registers, with
+map-side partial max), Arrow-batched hashing, register frame is O(2^p)
+regardless of input size.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cassandra_pmem_spark.functions.murmur3 import murmur3_token_column_once
+
+_WINDOW_BITS = 44  # 52 usable bits minus p=8 for the bucket index
+_U_MOD = 1 << 52
+
+
+def hll_registers(df: DataFrame, key_col: str, p: int = 8) -> DataFrame:
+    """(bucket, register) frame — the deterministic HLL sketch of the
+    distinct values of ``key_col`` (bigint). Buckets with no keys are
+    absent (their register is implicitly 0); `hll_estimate` accounts
+    for them."""
+    m = 1 << p
+    token = murmur3_token_column_once(F.col(key_col))
+    u = F.pmod(token, F.lit(_U_MOD))
+    bucket = F.pmod(u, F.lit(m)).cast("long")
+    w = F.floor(u / F.lit(m)).cast("long")
+    window = _WINDOW_BITS + 8 - p  # bits left above the bucket index
+    rank = (
+        F.when(w == 0, F.lit(window + 1))
+        .otherwise(F.lit(window) - F.floor(F.log2(w)))
+        .cast("long")
+    )
+    return (
+        df.select(bucket.alias("bucket"), rank.alias("rank"))
+        .groupBy("bucket")
+        .agg(F.max("rank").alias("register"))
+    )
+
+
+def hll_estimate(registers: dict[int, int], p: int = 8) -> float:
+    """Standard HLL estimate from a {bucket: register} dict (absent
+    buckets are zero): alpha_m * m^2 / sum(2^-reg), with the linear-
+    counting small-range correction."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    s = sum(2.0 ** -registers.get(j, 0) for j in range(m))
+    est = alpha * m * m / s
+    zeros = sum(1 for j in range(m) if registers.get(j, 0) == 0)
+    if est <= 2.5 * m and zeros:
+        est = m * math.log(m / zeros)
+    return est
+
+
+def hll_merge(*register_frames: DataFrame) -> DataFrame:
+    """Merge sketches built independently (e.g. per shard, per engine):
+    register-wise max — the property that makes the sketch distributive."""
+    out = register_frames[0]
+    for other in register_frames[1:]:
+        out = out.unionByName(other)
+    return out.groupBy("bucket").agg(F.max("register").alias("register"))

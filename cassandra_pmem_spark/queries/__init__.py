@@ -65,6 +65,7 @@ _PRIORITY: tuple[str, ...] = (
     "source_warc_ingest",  # NEW this round (WARC/WET crawl container)
     "text_html_extract",  # NEW this round (HTML→text cleaning)
     "text_repetition_signals",  # NEW this round (Gopher repetition stats)
+    "sketch_hll_registers",  # NEW this round (cross-engine HLL sketch)
     "pipeline_pack_sequences",  # NEW this round (training sequence packing)
     "pipeline_stratified_sample",  # NEW this round (deterministic sampling)
     "cql_token_scan_timestamp",  # NEW this round (temporal-key Murmur3)
@@ -89,13 +90,12 @@ _PRIORITY: tuple[str, ...] = (
     "cql_multipoint_in",
     "csv_roundtrip",
     "virtual_system_tables",
-    "cql_parsed_select",
 )
 # sim_bruteforce_topk, dedup_simhash, dedup_exact_docs, cql_ttl_expiry,
 # cql_upsert_lww_cells, cql_select_json, cql_duration_arithmetic,
 # cql_static_column, cql_group_limit, cql_uda_weighted_avg,
 # cql_is_not_null, cql_group_by_pk_prefix, cql_contains, and
-# cql_clustering_slice (r2 evidence) yielded their slots to the
+# cql_clustering_slice, cql_parsed_select (r2 evidence) yielded their slots to the
 # fourteen new never-green queries (color JPEG, progressive JPEG, MP3
 # header walk, GIF video decode, MP4 sample tables, G.711+ADPCM audio
 # decode, FLAC lossless audio, WARC ingest, HTML extraction, Gopher

@@ -819,6 +819,37 @@ FROM wc GROUP BY wc.doc_id
 """
 
 
+def sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog registers over orders.o_orderkey
+    (pipeline/sketch.py): the sketch is a pure function of the bit-exact
+    Murmur3 token, so the DuckDB oracle rebuilds the IDENTICAL 256
+    registers through the nested-subquery SQL hash kernel — the property
+    that lets sketches from different engines over different shards be
+    merged and audited. (Spark's HLL++ and DuckDB's approx sketches
+    can't do this — their hashes differ.)"""
+    from cassandra_pmem_spark.pipeline.sketch import hll_registers
+
+    orders = load_table(spark, "orders", sf_dir)
+    return hll_registers(orders, "o_orderkey", p=8)
+
+
+def _hll_oracle() -> str:
+    from cassandra_pmem_spark.functions.murmur3 import murmur3_token_subquery
+
+    sub = murmur3_token_subquery("orders", "o_orderkey", ["o_orderkey"])
+    u = f"(((token % {1 << 52}) + {1 << 52}) % {1 << 52})"
+    return f"""
+WITH t AS (
+  SELECT {u} % 256 AS bucket, {u} // 256 AS w FROM {sub}
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+  CAST(MAX(CASE WHEN w = 0 THEN 45
+                ELSE 44 - CAST(floor(log2(w)) AS BIGINT) END) AS BIGINT)
+    AS register
+FROM t GROUP BY bucket
+"""
+
+
 _MP3_META_ORACLE = """
 SELECT doc_id AS item_id,
   CAST(octet_length(encode(text)) % 7 + 2 AS BIGINT) AS frames,
@@ -1278,6 +1309,7 @@ QUERIES = {
     "source_warc_ingest": (source_warc_ingest, _WARC_ORACLE),
     "text_html_extract": (text_html_extract, _HTML_ORACLE),
     "text_repetition_signals": (text_repetition_signals, _REPETITION_ORACLE),
+    "sketch_hll_registers": (sketch_hll_registers, _hll_oracle()),
     "pipeline_pack_sequences": (pipeline_pack_sequences, _PACK_ORACLE),
     "pipeline_stratified_sample": (pipeline_stratified_sample, _stratified_oracle()),
     "text_sasi_analyzer": (text_sasi_analyzer, _SASI_ORACLE),
