@@ -95,13 +95,14 @@ _PRIORITY: tuple[str, ...] = (
 # cql_upsert_lww_cells, cql_select_json, cql_duration_arithmetic,
 # cql_static_column, cql_group_limit, cql_uda_weighted_avg,
 # cql_is_not_null, cql_group_by_pk_prefix, cql_contains, and
-# cql_clustering_slice, cql_parsed_select (r2 evidence) yielded their slots to the
-# fourteen new never-green queries (color JPEG, progressive JPEG, MP3
-# header walk, GIF video decode, MP4 sample tables, G.711+ADPCM audio
-# decode, FLAC lossless audio, WARC ingest, HTML extraction, Gopher
-# repetition stats, sequence packing, stratified sampling, timestamp
-# token, allow-filtering gate); they rotate into the round-5
-# window with the rest of the r2 set.
+# cql_clustering_slice, and cql_parsed_select (r2 evidence) yielded
+# their slots to the sixteen new never-green queries (color JPEG,
+# progressive JPEG, MP3 header walk, GIF video decode, MP4 sample
+# tables, G.711+ADPCM audio decode, FLAC lossless audio, WARC ingest,
+# HTML extraction, Gopher repetition stats, cross-engine HLL sketch,
+# sequence packing, stratified sampling, timestamp token,
+# allow-filtering gate); they rotate into the round-5 window with the
+# rest of the r2 set.
 # Deliberately outside the window this round (fresh r3 evidence or
 # unedited r2 evidence that rotates in next round): tpch q2–q22,
 # streaming_{tumbling,session}_real, cql_token_scan*, sim_lsh_topk,
