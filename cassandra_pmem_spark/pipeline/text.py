@@ -224,6 +224,76 @@ def repetition_signals(df: DataFrame, text_col: str = "text", id_col: str = "doc
     return df.select(id_col, text_col).mapInPandas(run, schema)
 
 
+def bm25_term_scores(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance per (document, query term) — the retrieval /
+    quality-scoring primitive (Robertson-Spärck Jones, public). Plan
+    shape: ONE pass computes per-doc term frequencies as pure array
+    expressions (no explode-shuffle), ONE single-row global aggregate
+    (corpus size, total length, per-term document frequencies)
+    broadcasts back, and a generator explode emits the (doc, term) rows.
+    Zero data shuffles at any corpus size — the only exchange carries
+    one row of corpus statistics. Per-row scores are emitted (not
+    summed), so every value is a fixed-order float expression both
+    engines compute identically (rounded 6 dp)."""
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    def _tf(term: str):
+        # NB: a 2-arg lambda would be read as (element, index) by
+        # F.filter — close over the term explicitly
+        return F.size(F.filter(words, lambda x: x == F.lit(term)))
+
+    base = df.select(
+        F.col(id_col),
+        F.size(words).alias("dl"),
+        *[_tf(t).alias(f"tf_{i}") for i, t in enumerate(terms)],
+    )
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    joined = base.crossJoin(F.broadcast(stats))
+    per_term = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("term"),
+                F.col(f"tf_{i}").cast("long").alias("tf"),
+                F.col(f"df_{i}").cast("long").alias("df"),
+            )
+            for i, t in enumerate(terms)
+        ]
+    )
+    x = joined.select(
+        id_col, "dl", "n_docs", "sum_dl", F.explode(per_term).alias("s")
+    )
+    tf = F.col("s.tf")
+    dfq = F.col("s.df")
+    idf = F.log((F.col("n_docs") - dfq + 0.5) / (dfq + 0.5) + 1.0)
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    score = idf * (tf * F.lit(k1 + 1)) / (
+        tf + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("dl") / avgdl)
+    )
+    return x.select(
+        id_col,
+        F.col("s.term").alias("term"),
+        tf.alias("tf"),
+        dfq.alias("df"),
+        F.col("dl").cast("long").alias("dl"),
+        F.round(score, 6).alias("bm25"),
+    )
+
+
 # -- SASI analyzer equivalents (index/sasi/analyzer/) -------------------------
 
 def standard_analyzer(

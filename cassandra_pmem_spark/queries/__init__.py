@@ -66,6 +66,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_html_extract",  # NEW this round (HTML→text cleaning)
     "text_repetition_signals",  # NEW this round (Gopher repetition stats)
     "sketch_hll_registers",  # NEW this round (cross-engine HLL sketch)
+    "text_bm25_scores",  # NEW this round (BM25 retrieval scoring)
     "pipeline_pack_sequences",  # NEW this round (training sequence packing)
     "pipeline_stratified_sample",  # NEW this round (deterministic sampling)
     "cql_token_scan_timestamp",  # NEW this round (temporal-key Murmur3)
@@ -89,7 +90,6 @@ _PRIORITY: tuple[str, ...] = (
     # -- (4) round-2 evidence (two rounds stale), oldest-first fill to 50
     "cql_multipoint_in",
     "csv_roundtrip",
-    "virtual_system_tables",
 )
 # sim_bruteforce_topk, dedup_simhash, dedup_exact_docs, cql_ttl_expiry,
 # cql_upsert_lww_cells, cql_select_json, cql_duration_arithmetic,

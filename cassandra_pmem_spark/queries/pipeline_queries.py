@@ -850,6 +850,61 @@ FROM t GROUP BY bucket
 """
 
 
+_BM25_TERMS = ["join", "hash", "vector", "data"]
+
+
+def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance per (document, query term) — pipeline/text.py
+    bm25_term_scores. One single-row corpus-stats aggregate broadcasts
+    back over the doc frame; per-row scores are fixed-order float
+    expressions the DuckDB oracle computes from the same formula text,
+    so the comparison is exact at 6 dp."""
+    from cassandra_pmem_spark.pipeline.text import bm25_term_scores
+
+    docs = load_table(spark, "documents", sf_dir)
+    return bm25_term_scores(docs, _BM25_TERMS)
+
+
+def _bm25_oracle(k1: float = 1.2, b: float = 0.75) -> str:
+    tf_cols = ",\n    ".join(
+        f"len(list_filter(words, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n    ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT doc_id, '{t}' AS term, CAST(tf{i} AS BIGINT) AS tf,
+  CAST(df{i} AS BIGINT) AS df, CAST(dl AS BIGINT) AS dl,
+  round(ln((n_docs - df{i} + 0.5) / (df{i} + 0.5) + 1.0)
+        * (tf{i} * {k1 + 1})
+        / (tf{i} + {k1} * ({1 - b} + {b} * dl
+             / (CAST(sum_dl AS DOUBLE) / n_docs))), 6) AS bm25
+FROM x"""
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '')
+      AS words
+  FROM documents
+), d AS (
+  SELECT doc_id, len(words) AS dl,
+    {tf_cols}
+  FROM w
+), g AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+    {df_cols}
+  FROM d
+), x AS (
+  SELECT d.*, g.* FROM d, g
+)
+{arms}
+"""
+
+
 _MP3_META_ORACLE = """
 SELECT doc_id AS item_id,
   CAST(octet_length(encode(text)) % 7 + 2 AS BIGINT) AS frames,
@@ -1310,6 +1365,7 @@ QUERIES = {
     "text_html_extract": (text_html_extract, _HTML_ORACLE),
     "text_repetition_signals": (text_repetition_signals, _REPETITION_ORACLE),
     "sketch_hll_registers": (sketch_hll_registers, _hll_oracle()),
+    "text_bm25_scores": (text_bm25_scores, _bm25_oracle()),
     "pipeline_pack_sequences": (pipeline_pack_sequences, _PACK_ORACLE),
     "pipeline_stratified_sample": (pipeline_stratified_sample, _stratified_oracle()),
     "text_sasi_analyzer": (text_sasi_analyzer, _SASI_ORACLE),

@@ -570,3 +570,63 @@ class TestHllSketch:
         r1 = dict(hll_registers(once, "k").toPandas().itertuples(index=False, name=None))
         r3 = dict(hll_registers(thrice, "k").toPandas().itertuples(index=False, name=None))
         assert r1 == r3
+
+
+class TestBm25:
+    """BM25 term scoring (pipeline/text.bm25_term_scores)."""
+
+    def test_hand_computed_scores(self, spark):
+        import math
+
+        import pandas as pd
+
+        from cassandra_pmem_spark.pipeline.text import bm25_term_scores
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": ["cat dog cat", "dog dog dog dog", "bird"],
+            }
+        )
+        out = (
+            bm25_term_scores(spark.createDataFrame(docs), ["cat", "dog"])
+            .toPandas()
+            .set_index(["doc_id", "term"])
+        )
+        n, sum_dl = 3, 8
+        k1, b = 1.2, 0.75
+
+        def bm25(tf, df, dl):
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            return round(
+                idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / (sum_dl / n))),
+                6,
+            )
+
+        r = out.loc[(1, "cat")]
+        assert (r.tf, r.df, r.dl) == (2, 1, 3)
+        assert abs(r.bm25 - bm25(2, 1, 3)) < 1e-9
+        r = out.loc[(2, "dog")]
+        assert (r.tf, r.df, r.dl) == (4, 2, 4)
+        assert abs(r.bm25 - bm25(4, 2, 4)) < 1e-9
+        assert out.loc[(3, "cat")].tf == 0 and out.loc[(3, "cat")].bm25 == 0.0
+
+    def test_plan_is_broadcast_only(self, spark):
+        import re
+
+        import pandas as pd
+
+        from cassandra_pmem_spark.pipeline.text import bm25_term_scores
+
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "text": ["a b"]})
+        )
+        plan = (
+            bm25_term_scores(docs, ["a"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # the only exchanges carry the 1-row corpus stats (agg + broadcast)
+        assert len(re.findall(r"BroadcastExchange", plan)) == 1
+        assert "SortMergeJoin" not in plan
