@@ -80,6 +80,53 @@ def hll_estimate(registers: dict[int, int], p: int = 8) -> float:
     return est
 
 
+def bloom_build(df: DataFrame, key_col: str, m_bits: int = 4096, k: int = 4) -> DataFrame:
+    """Deterministic Bloom filter over ``key_col`` (bigint) → a
+    (word, bits) frame of 32-bit words packed into BIGINTs.
+
+    The reference engine keeps a Bloom filter per SSTable to skip reads
+    (`utils/BloomFilter.java`); the Spark-era analog is the RUNTIME
+    FILTER — build the filter over a dimension's join keys, broadcast
+    it, and prune fact rows before the shuffle. Positions come from
+    Kirsch-Mitzenmacher double hashing (public) on the bit-exact
+    Murmur3 token, so — like the HLL above — the words are a pure
+    function of the key set and rebuild identically in the DuckDB
+    oracle. 32-bit words (not 64) keep every value positive in signed
+    int64, dodging cross-engine sign pitfalls. One shuffle over at most
+    m_bits/32 words with map-side partial bit_or."""
+    m = int(m_bits)
+    token = murmur3_token_column_once(F.col(key_col))
+    u = F.pmod(token, F.lit(_U_MOD))
+    h1 = F.pmod(u, F.lit(m))
+    h2 = F.pmod(F.floor(u / F.lit(m)), F.lit(m))
+    pos = F.explode(
+        F.array(*[F.pmod(h1 + F.lit(i) * h2, F.lit(m)) for i in range(k)])
+    ).alias("pos")
+    staged = df.select(pos).select(
+        F.floor(F.col("pos") / 32).cast("long").alias("word"),
+        F.expr("shiftleft(1L, CAST(pos % 32 AS INT))").alias("bit"),
+    )
+    return staged.groupBy("word").agg(F.bit_or("bit").alias("bits"))
+
+
+def bloom_positions(key: int, m_bits: int = 4096, k: int = 4) -> list[int]:
+    """Driver-side twin of the hashing above (for membership checks)."""
+    from cassandra_pmem_spark.functions.murmur3 import murmur3_token_py
+
+    u = murmur3_token_py(int(key)) % _U_MOD
+    h1 = u % m_bits
+    h2 = (u // m_bits) % m_bits
+    return [(h1 + i * h2) % m_bits for i in range(k)]
+
+
+def bloom_might_contain(words: dict[int, int], key: int, m_bits: int = 4096, k: int = 4) -> bool:
+    """Membership test against a {word: bits} dict from `bloom_build`."""
+    for pos in bloom_positions(key, m_bits, k):
+        if not (words.get(pos // 32, 0) >> (pos % 32)) & 1:
+            return False
+    return True
+
+
 def hll_merge(*register_frames: DataFrame) -> DataFrame:
     """Merge sketches built independently (e.g. per shard, per engine):
     register-wise max — the property that makes the sketch distributive."""

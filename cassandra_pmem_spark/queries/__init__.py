@@ -67,6 +67,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_repetition_signals",  # NEW this round (Gopher repetition stats)
     "sketch_hll_registers",  # NEW this round (cross-engine HLL sketch)
     "text_bm25_scores",  # NEW this round (BM25 retrieval scoring)
+    "sketch_bloom_words",  # NEW this round (cross-engine Bloom filter)
     "pipeline_pack_sequences",  # NEW this round (training sequence packing)
     "pipeline_stratified_sample",  # NEW this round (deterministic sampling)
     "cql_token_scan_timestamp",  # NEW this round (temporal-key Murmur3)
@@ -89,18 +90,18 @@ _PRIORITY: tuple[str, ...] = (
     "analytics_count_distinct",
     # -- (4) round-2 evidence (two rounds stale), oldest-first fill to 50
     "cql_multipoint_in",
-    "csv_roundtrip",
 )
 # sim_bruteforce_topk, dedup_simhash, dedup_exact_docs, cql_ttl_expiry,
 # cql_upsert_lww_cells, cql_select_json, cql_duration_arithmetic,
 # cql_static_column, cql_group_limit, cql_uda_weighted_avg,
-# cql_is_not_null, cql_group_by_pk_prefix, cql_contains, and
-# cql_clustering_slice, and cql_parsed_select (r2 evidence) yielded
-# their slots to the sixteen new never-green queries (color JPEG,
-# progressive JPEG, MP3 header walk, GIF video decode, MP4 sample
-# tables, G.711+ADPCM audio decode, FLAC lossless audio, WARC ingest,
-# HTML extraction, Gopher repetition stats, cross-engine HLL sketch,
-# sequence packing, stratified sampling, timestamp token,
+# cql_is_not_null, cql_group_by_pk_prefix, cql_contains,
+# cql_clustering_slice, cql_parsed_select, csv_roundtrip, and
+# virtual_system_tables (r2 evidence) yielded their slots to the
+# eighteen new never-green queries (color JPEG, progressive JPEG, MP3
+# header walk, GIF video decode, MP4 sample tables, G.711+ADPCM audio
+# decode, FLAC lossless audio, WARC ingest, HTML extraction, Gopher
+# repetition stats, cross-engine HLL sketch, BM25 scoring, cross-engine
+# Bloom filter, sequence packing, stratified sampling, timestamp token,
 # allow-filtering gate); they rotate into the round-5 window with the
 # rest of the r2 set.
 # Deliberately outside the window this round (fresh r3 evidence or

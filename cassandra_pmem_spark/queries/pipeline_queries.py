@@ -850,6 +850,37 @@ FROM t GROUP BY bucket
 """
 
 
+def sketch_bloom_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bloom filter words over customer.c_custkey
+    (pipeline/sketch.py bloom_build) — the runtime-filter analog of the
+    reference's per-SSTable Bloom filters (utils/BloomFilter.java). The
+    oracle rebuilds the IDENTICAL packed words through the SQL Murmur3
+    kernel + Kirsch-Mitzenmacher double hashing, proving the filter a
+    second engine builds would prune exactly the same keys."""
+    from cassandra_pmem_spark.pipeline.sketch import bloom_build
+
+    customer = load_table(spark, "customer", sf_dir)
+    return bloom_build(customer, "c_custkey", m_bits=16384, k=4)
+
+
+def _bloom_oracle(m_bits: int = 16384, k: int = 4) -> str:
+    from cassandra_pmem_spark.functions.murmur3 import murmur3_token_subquery
+
+    sub = murmur3_token_subquery("customer", "c_custkey", ["c_custkey"])
+    u = f"(((token % {1 << 52}) + {1 << 52}) % {1 << 52})"
+    ks = ", ".join(str(i) for i in range(k))
+    return f"""
+WITH h AS (
+  SELECT {u} % {m_bits} AS h1, ({u} // {m_bits}) % {m_bits} AS h2 FROM {sub}
+), p AS (
+  SELECT (h1 + i * h2) % {m_bits} AS pos FROM h, unnest([{ks}]) AS t(i)
+)
+SELECT CAST(pos // 32 AS BIGINT) AS word,
+       CAST(bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS BIGINT) AS bits
+FROM p GROUP BY pos // 32
+"""
+
+
 _BM25_TERMS = ["join", "hash", "vector", "data"]
 
 
@@ -1366,6 +1397,7 @@ QUERIES = {
     "text_repetition_signals": (text_repetition_signals, _REPETITION_ORACLE),
     "sketch_hll_registers": (sketch_hll_registers, _hll_oracle()),
     "text_bm25_scores": (text_bm25_scores, _bm25_oracle()),
+    "sketch_bloom_words": (sketch_bloom_words, _bloom_oracle()),
     "pipeline_pack_sequences": (pipeline_pack_sequences, _PACK_ORACLE),
     "pipeline_stratified_sample": (pipeline_stratified_sample, _stratified_oracle()),
     "text_sasi_analyzer": (text_sasi_analyzer, _SASI_ORACLE),

@@ -630,3 +630,65 @@ class TestBm25:
         # the only exchanges carry the 1-row corpus stats (agg + broadcast)
         assert len(re.findall(r"BroadcastExchange", plan)) == 1
         assert "SortMergeJoin" not in plan
+
+
+class TestBloomFilter:
+    """Deterministic cross-engine Bloom filter (pipeline/sketch.py) —
+    the runtime-filter analog of the reference's per-SSTable filters."""
+
+    def test_no_false_negatives_and_bounded_fpr(self, spark):
+        import pandas as pd
+
+        from cassandra_pmem_spark.pipeline.sketch import (
+            bloom_build,
+            bloom_might_contain,
+        )
+
+        keys = list(range(2000))
+        df = spark.createDataFrame(pd.DataFrame({"k": keys}))
+        words = dict(
+            bloom_build(df, "k", m_bits=32768, k=4)
+            .toPandas()
+            .itertuples(index=False, name=None)
+        )
+        assert all(bloom_might_contain(words, k, 32768) for k in keys)
+        absent = range(10**7, 10**7 + 3000)
+        fpr = sum(bloom_might_contain(words, x, 32768) for x in absent) / 3000
+        assert fpr < 0.03  # ~0.9% theoretical at 16.4 bits/key
+
+    def test_parallelism_independent(self, spark):
+        import pandas as pd
+
+        from cassandra_pmem_spark.pipeline.sketch import bloom_build
+
+        df = spark.createDataFrame(pd.DataFrame({"k": range(500)}))
+        a = dict(bloom_build(df, "k").toPandas().itertuples(index=False, name=None))
+        b = dict(
+            bloom_build(df.repartition(11), "k")
+            .toPandas()
+            .itertuples(index=False, name=None)
+        )
+        assert a == b
+
+    def test_runtime_filter_prunes_join(self, spark):
+        """The intended use: build over the dim keys, prune fact rows
+        before the shuffle — every surviving row must truly join OR be
+        one of the bounded false positives."""
+        import pandas as pd
+
+        from cassandra_pmem_spark.pipeline.sketch import (
+            bloom_build,
+            bloom_might_contain,
+        )
+
+        dim_keys = set(range(0, 1000, 7))
+        dim = spark.createDataFrame(pd.DataFrame({"k": sorted(dim_keys)}))
+        words = dict(
+            bloom_build(dim, "k", m_bits=8192)
+            .toPandas()
+            .itertuples(index=False, name=None)
+        )
+        fact_keys = list(range(1000))
+        kept = [k for k in fact_keys if bloom_might_contain(words, k, 8192)]
+        assert dim_keys <= set(kept)  # pruning is sound
+        assert len(kept) < len(fact_keys) * 0.5  # and actually prunes
