@@ -794,6 +794,102 @@ def mp4_sample_table(data: bytes) -> list[dict]:
     return out
 
 
+# -- Y4M (YUV4MPEG2) uncompressed video ---------------------------------------
+#
+# The interchange format video tools exchange raw frames in (public,
+# documented with the mjpegtools distribution): an ASCII stream header
+# "YUV4MPEG2 W.. H.. F<num>:<den> ... C<space>" then per frame a "FRAME\n"
+# marker followed by planar YUV bytes. Supported here: Cmono (Y only),
+# C444 (3 full planes), C420jpeg (2x2-subsampled chroma).
+
+
+def is_y4m(data: bytes) -> bool:
+    return data.startswith(b"YUV4MPEG2 ")
+
+
+def encode_y4m(
+    frames: "list[np.ndarray]", fps: tuple[int, int] = (25, 1), chroma: str = "mono"
+) -> bytes:
+    """Y frames (h, w) [mono] or YUV frames (h, w, 3) [444/420] → Y4M."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    out = bytearray(
+        f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A0:0 C{chroma}\n".encode()
+    )
+    for f in frames:
+        f = np.asarray(f, np.uint8)
+        out.extend(b"FRAME\n")
+        if chroma == "mono":
+            out.extend(np.ascontiguousarray(f[:, :, 0] if f.ndim == 3 else f).tobytes())
+        elif chroma == "444":
+            for c in range(3):
+                out.extend(np.ascontiguousarray(f[:, :, c]).tobytes())
+        elif chroma == "420jpeg":
+            out.extend(np.ascontiguousarray(f[:, :, 0]).tobytes())
+            for c in (1, 2):
+                sub = f[:, :, c].reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+                out.extend(np.round(sub).astype(np.uint8).tobytes())
+        else:
+            raise ValueError(f"unsupported chroma mode {chroma}")
+    return bytes(out)
+
+
+def decode_y4m(data: bytes) -> tuple["list[np.ndarray]", tuple[int, int], str]:
+    """Y4M → (frames, (fps_num, fps_den), chroma). Mono frames are (h, w);
+    444/420 frames are (h, w, 3) with chroma upsampled (nearest)."""
+    if not is_y4m(data):
+        raise ValueError("not a Y4M stream")
+    nl = data.index(b"\n")
+    w = h = None
+    fps = (25, 1)
+    chroma = "420jpeg"
+    for tok in data[10:nl].decode().split():
+        if tok[0] == "W":
+            w = int(tok[1:])
+        elif tok[0] == "H":
+            h = int(tok[1:])
+        elif tok[0] == "F":
+            a, b = tok[1:].split(":")
+            fps = (int(a), int(b))
+        elif tok[0] == "C":
+            chroma = tok[1:]
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    if chroma == "mono":
+        fsize, planes = w * h, 1
+    elif chroma == "444":
+        fsize, planes = 3 * w * h, 3
+    elif chroma.startswith("420"):
+        fsize, planes = w * h + 2 * (w // 2) * (h // 2), 3
+    else:
+        raise NotImplementedError(f"chroma mode {chroma}")
+    frames = []
+    pos = nl + 1
+    while pos < len(data):
+        fnl = data.index(b"\n", pos)
+        if data[pos:fnl].split(b" ")[0] != b"FRAME":
+            raise ValueError("missing FRAME marker")
+        body = data[fnl + 1 : fnl + 1 + fsize]
+        if len(body) != fsize:
+            raise ValueError("truncated Y4M frame")
+        y = np.frombuffer(body[: w * h], np.uint8).reshape(h, w)
+        if planes == 1:
+            frames.append(y)
+        elif chroma == "444":
+            u = np.frombuffer(body[w * h : 2 * w * h], np.uint8).reshape(h, w)
+            v = np.frombuffer(body[2 * w * h :], np.uint8).reshape(h, w)
+            frames.append(np.stack([y, u, v], axis=-1))
+        else:
+            cw, ch = w // 2, h // 2
+            u = np.frombuffer(body[w * h : w * h + cw * ch], np.uint8).reshape(ch, cw)
+            v = np.frombuffer(body[w * h + cw * ch :], np.uint8).reshape(ch, cw)
+            up = lambda p: np.repeat(np.repeat(p, 2, axis=0), 2, axis=1)
+            frames.append(np.stack([y, up(u), up(v)], axis=-1))
+        pos = fnl + 1 + fsize
+    return frames, fps, chroma
+
+
 def build_mp4_stub(duration_ms: int, n_tracks: int = 1, timescale: int = 1000) -> bytes:
     """Deterministic fixture builder: minimal ftyp+moov(mvhd+trak...)
     structure with a valid box tree and mvhd timing (no media data)."""

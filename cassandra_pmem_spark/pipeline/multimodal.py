@@ -575,6 +575,66 @@ def mp4_samples_stage(media: DataFrame) -> DataFrame:
     return media.select("item_id", "data").mapInPandas(run, MP4_SAMPLES_SCHEMA)
 
 
+Y4M_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("fps_num", T.IntegerType()),
+        T.StructField("frame_ts_ms", T.LongType()),
+        T.StructField("min_px", T.LongType()),
+        T.StructField("max_px", T.LongType()),
+    ]
+)
+
+
+def y4m_frames_stage(media: DataFrame, size: int = 8, mod_frames: int = 6) -> DataFrame:
+    """REAL uncompressed-video walk (YUV4MPEG2 — the raw interchange
+    format video tools pipe between each other): each item becomes a
+    mono Y4M stream (n = L%6+2 frames of uniform Y value (L*5+i*11)%256
+    at L%30+1 fps) and the REAL parser walks header + FRAME markers back
+    into timed frames; frame_ts_ms derives from the container's
+    fps metadata. min_px == max_px proves every Y plane byte survived."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from cassandra_pmem_spark.pipeline.codecs import decode_y4m, encode_y4m
+
+        for pdf in batches:
+            rows = []
+            for item_id, data in zip(pdf["item_id"], pdf["data"]):
+                length = len(bytes(data or b""))
+                n = length % mod_frames + 2
+                fps = (length % 30 + 1, 1)
+                frames = [
+                    np.full((size, size), (length * 5 + i * 11) % 256, np.uint8)
+                    for i in range(n)
+                ]
+                decoded, out_fps, chroma = decode_y4m(
+                    encode_y4m(frames, fps=fps, chroma="mono")
+                )
+                assert chroma == "mono"
+                for i, frame in enumerate(decoded):
+                    rows.append(
+                        (
+                            int(item_id),
+                            len(decoded),
+                            i,
+                            out_fps[0],
+                            # integer floor division: Python round() is
+                            # half-even, SQL round() half-away — floor is
+                            # the cross-engine-safe timestamp grid
+                            i * 1000 * out_fps[1] // out_fps[0],
+                            int(frame.min()),
+                            int(frame.max()),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in Y4M_FRAMES_SCHEMA])
+
+    return media.select("item_id", "data").mapInPandas(run, Y4M_FRAMES_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: expand each item into (item_id, frame_ts)
     rows using metadata only — pure built-ins, no decode. The decode of the

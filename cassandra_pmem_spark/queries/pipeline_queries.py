@@ -850,6 +850,38 @@ FROM t GROUP BY bucket
 """
 
 
+def multimodal_video_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL uncompressed-video frame walk, oracle-checked
+    (pipeline/codecs.py encode_y4m/decode_y4m — YUV4MPEG2): timed frames
+    with timestamps derived from the container's fps metadata. The
+    oracle recomputes frame counts, fps, timestamps, and pixel values
+    from the construction arithmetic."""
+    from cassandra_pmem_spark.pipeline.multimodal import y4m_frames_stage
+
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "blob", F.col("text").cast("binary")
+    )
+    media = attach_media(docs, "blob", "video", "video/x-yuv4mpeg", "doc_id")
+    return y4m_frames_stage(media)
+
+
+_Y4M_FRAMES_ORACLE = """
+WITH f AS (
+  SELECT doc_id, octet_length(encode(text)) AS L,
+         unnest(range(0, octet_length(encode(text)) % 6 + 2)) AS i
+  FROM documents
+)
+SELECT doc_id AS item_id,
+  CAST(L % 6 + 2 AS BIGINT) AS n_frames,
+  CAST(i AS BIGINT) AS frame_idx,
+  CAST(L % 30 + 1 AS INT) AS fps_num,
+  CAST((i * 1000) // (L % 30 + 1) AS BIGINT) AS frame_ts_ms,
+  CAST((L * 5 + i * 11) % 256 AS BIGINT) AS min_px,
+  CAST((L * 5 + i * 11) % 256 AS BIGINT) AS max_px
+FROM f
+"""
+
+
 def sketch_bloom_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Bloom filter words over customer.c_custkey
     (pipeline/sketch.py bloom_build) — the runtime-filter analog of the
@@ -1398,6 +1430,7 @@ QUERIES = {
     "sketch_hll_registers": (sketch_hll_registers, _hll_oracle()),
     "text_bm25_scores": (text_bm25_scores, _bm25_oracle()),
     "sketch_bloom_words": (sketch_bloom_words, _bloom_oracle()),
+    "multimodal_video_y4m_frames": (multimodal_video_y4m_frames, _Y4M_FRAMES_ORACLE),
     "pipeline_pack_sequences": (pipeline_pack_sequences, _PACK_ORACLE),
     "pipeline_stratified_sample": (pipeline_stratified_sample, _stratified_oracle()),
     "text_sasi_analyzer": (text_sasi_analyzer, _SASI_ORACLE),

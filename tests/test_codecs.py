@@ -1200,3 +1200,49 @@ class TestGifDeferredClear:
         data = _rng(90).integers(0, 256, 60000, dtype=np.uint8).tobytes()
         dec = _lzw_decode(self._encode_deferred(data, 8), 8, len(data))
         assert dec.tobytes() == data
+
+
+class TestY4m:
+    """YUV4MPEG2 uncompressed video (codecs.py): header parse, FRAME
+    walk, planar layouts (mono / 444 / 420jpeg)."""
+
+    def test_mono_roundtrip(self):
+        from cassandra_pmem_spark.pipeline.codecs import (
+            decode_y4m,
+            encode_y4m,
+            is_y4m,
+        )
+
+        fs = [_rng(95).integers(0, 256, (12, 16), dtype=np.uint8) for _ in range(4)]
+        blob = encode_y4m(fs, fps=(30, 1), chroma="mono")
+        assert is_y4m(blob)
+        out, fps, chroma = decode_y4m(blob)
+        assert fps == (30, 1) and chroma == "mono" and len(out) == 4
+        for a, b in zip(out, fs):
+            assert np.array_equal(a, b)
+
+    def test_444_lossless(self):
+        from cassandra_pmem_spark.pipeline.codecs import decode_y4m, encode_y4m
+
+        fs = [_rng(96).integers(0, 256, (8, 10, 3), dtype=np.uint8) for _ in range(3)]
+        out, _, _ = decode_y4m(encode_y4m(fs, chroma="444"))
+        for a, b in zip(out, fs):
+            assert np.array_equal(a, b)
+
+    def test_420_y_lossless_uniform_chroma_exact(self):
+        from cassandra_pmem_spark.pipeline.codecs import decode_y4m, encode_y4m
+
+        f = np.zeros((8, 8, 3), np.uint8)
+        f[:, :, 0] = _rng(97).integers(0, 256, (8, 8))
+        f[:, :, 1] = 77
+        f[:, :, 2] = 200
+        out, _, _ = decode_y4m(encode_y4m([f], chroma="420jpeg"))
+        assert np.array_equal(out[0][:, :, 0], f[:, :, 0])
+        assert (out[0][:, :, 1] == 77).all() and (out[0][:, :, 2] == 200).all()
+
+    def test_truncated_frame_raises(self):
+        from cassandra_pmem_spark.pipeline.codecs import decode_y4m, encode_y4m
+
+        blob = encode_y4m([np.zeros((4, 4), np.uint8)], chroma="mono")
+        with pytest.raises(ValueError, match="truncated"):
+            decode_y4m(blob[:-3])
