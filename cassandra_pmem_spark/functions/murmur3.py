@@ -369,7 +369,15 @@ def serialize_pk_value(v, dtype) -> bytes:
         if sign:
             unscaled = -unscaled
         scale = -exp
-        vb = unscaled.to_bytes(unscaled.bit_length() // 8 + 1, "big", signed=True)
+        # BigInteger.toByteArray() minimal length: for n >= 0 one leading
+        # 0-bit must fit; for n < 0 the boundary values -2^(8k-1) fit in
+        # exactly k bytes (naive bit_length()//8+1 pads -128 to FF 80)
+        nbytes = (
+            unscaled.bit_length() // 8 + 1
+            if unscaled >= 0
+            else (unscaled + 1).bit_length() // 8 + 1
+        )
+        vb = unscaled.to_bytes(nbytes, "big", signed=True)
         if dtype.scale == 0:
             # the DDL maps CQL varint to DecimalType(38,0): IntegerType.java
             # serializes the BigInteger.toByteArray() bytes alone

@@ -127,6 +127,48 @@ def bloom_might_contain(words: dict[int, int], key: int, m_bits: int = 4096, k: 
     return True
 
 
+def runtime_filtered_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    m_bits: int = 16384,
+    k: int = 4,
+):
+    """Bloom-pruned join: build the filter over the dimension's keys
+    (bounded — the words frame is at most m_bits/32 rows), inline the
+    packed words as plan LITERALS, and drop fact rows that cannot join
+    BEFORE the shuffle. Result is identical to the plain join (false
+    positives survive the pre-filter but die in the join); the win is
+    shuffle volume — at a 1% dim selectivity, ~99% of fact rows never
+    leave their scan task. This is the manual form of dynamic runtime
+    filtering, and the Spark-era use of the reference's per-SSTable
+    Bloom filters (utils/BloomFilter.java)."""
+    rows = bloom_build(dim, dim_key, m_bits, k).collect()
+    words = [0] * (m_bits // 32)
+    for r in rows:
+        words[int(r["word"])] = int(r["bits"])
+    arr = F.array(*[F.lit(w) for w in words])
+
+    # materialize the token ONCE: the nondeterministic pin keeps Catalyst
+    # from inlining the Arrow kernel into every downstream reference
+    staged = fact.withColumn("_tok", murmur3_token_column_once(F.col(fact_key)))
+    u = F.pmod(F.col("_tok"), F.lit(_U_MOD))
+    staged = (
+        staged.withColumn("_h1", F.pmod(u, F.lit(m_bits)))
+        .withColumn("_h2", F.pmod(F.floor(u / F.lit(m_bits)), F.lit(m_bits)))
+        .drop("_tok")
+    )
+    cond = F.lit(True)
+    for i in range(k):
+        pos = F.pmod(F.col("_h1") + F.lit(i) * F.col("_h2"), F.lit(m_bits))
+        word = F.element_at(arr, (F.floor(pos / 32) + 1).cast("int"))
+        bit = F.expr(f"shiftleft(1L, CAST(pmod(_h1 + {i} * _h2, {m_bits}) % 32 AS INT))")
+        cond = cond & (word.bitwiseAND(bit) != 0)
+    pruned = staged.where(cond).drop("_h1", "_h2")
+    return pruned.join(dim, pruned[fact_key] == dim[dim_key])
+
+
 def hll_merge(*register_frames: DataFrame) -> DataFrame:
     """Merge sketches built independently (e.g. per shard, per engine):
     register-wise max — the property that makes the sketch distributive."""

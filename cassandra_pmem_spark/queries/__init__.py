@@ -69,6 +69,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_bm25_scores",  # NEW this round (BM25 retrieval scoring)
     "sketch_bloom_words",  # NEW this round (cross-engine Bloom filter)
     "multimodal_video_y4m_frames",  # NEW this round (YUV4MPEG2 frame walk)
+    "sketch_runtime_filtered_join",  # NEW this round (Bloom-pruned join)
     "pipeline_pack_sequences",  # NEW this round (training sequence packing)
     "pipeline_stratified_sample",  # NEW this round (deterministic sampling)
     "cql_token_scan_timestamp",  # NEW this round (temporal-key Murmur3)
@@ -88,19 +89,20 @@ _PRIORITY: tuple[str, ...] = (
     "cql_distinct_partitions",
     "analytics_topk_orders",
     "analytics_set_ops",
-    "analytics_count_distinct",
 )
 # sim_bruteforce_topk, dedup_simhash, dedup_exact_docs, cql_ttl_expiry,
 # cql_upsert_lww_cells, cql_select_json, cql_duration_arithmetic,
 # cql_static_column, cql_group_limit, cql_uda_weighted_avg,
 # cql_is_not_null, cql_group_by_pk_prefix, cql_contains,
 # cql_clustering_slice, cql_parsed_select, csv_roundtrip,
-# virtual_system_tables, and cql_multipoint_in (r2 evidence) yielded their slots to the
-# nineteen new never-green queries (color JPEG, progressive JPEG, MP3
+# virtual_system_tables, cql_multipoint_in (r2 evidence), and
+# analytics_count_distinct (r1 evidence) yielded their slots to the
+# twenty new never-green queries (color JPEG, progressive JPEG, MP3
 # header walk, GIF video decode, MP4 sample tables, G.711+ADPCM audio
 # decode, FLAC lossless audio, WARC ingest, HTML extraction, Gopher
 # repetition stats, cross-engine HLL sketch, BM25 scoring, cross-engine
-# Bloom filter, Y4M frame walk, sequence packing, stratified sampling,
+# Bloom filter, Bloom-pruned join, Y4M frame walk, sequence packing,
+# stratified sampling,
 # timestamp token,
 # allow-filtering gate); they rotate into the round-5 window with the
 # rest of the r2 set.

@@ -913,6 +913,43 @@ FROM p GROUP BY pos // 32
 """
 
 
+def sketch_runtime_filtered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned fact⋈dim join (pipeline/sketch.runtime_filtered_join):
+    the filter built over BUILDING customers' keys is inlined as plan
+    literals and drops non-joining orders BEFORE the shuffle — the manual
+    dynamic-runtime-filter, and the Spark-era use of the reference's
+    per-SSTable Bloom filters. The oracle is the PLAIN join (the Bloom
+    pre-filter is semantically transparent; false positives die in the
+    join) — a hash match proves the pruning dropped nothing it
+    shouldn't."""
+    from cassandra_pmem_spark.pipeline.sketch import runtime_filtered_join
+
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir).where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    j = runtime_filtered_join(orders, cust, "o_custkey", "c_custkey")
+    return (
+        j.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+
+
+_RTF_JOIN_ORACLE = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY 1
+"""
+
+
 _BM25_TERMS = ["join", "hash", "vector", "data"]
 
 
@@ -1431,6 +1468,7 @@ QUERIES = {
     "text_bm25_scores": (text_bm25_scores, _bm25_oracle()),
     "sketch_bloom_words": (sketch_bloom_words, _bloom_oracle()),
     "multimodal_video_y4m_frames": (multimodal_video_y4m_frames, _Y4M_FRAMES_ORACLE),
+    "sketch_runtime_filtered_join": (sketch_runtime_filtered_join, _RTF_JOIN_ORACLE),
     "pipeline_pack_sequences": (pipeline_pack_sequences, _PACK_ORACLE),
     "pipeline_stratified_sample": (pipeline_stratified_sample, _stratified_oracle()),
     "text_sasi_analyzer": (text_sasi_analyzer, _SASI_ORACLE),

@@ -692,3 +692,53 @@ class TestBloomFilter:
         kept = [k for k in fact_keys if bloom_might_contain(words, k, 8192)]
         assert dim_keys <= set(kept)  # pruning is sound
         assert len(kept) < len(fact_keys) * 0.5  # and actually prunes
+
+
+class TestRuntimeFilteredJoin:
+    """Bloom-pruned join (pipeline/sketch.runtime_filtered_join)."""
+
+    def test_equivalent_to_plain_join_and_prunes(self, spark):
+        import pandas as pd
+
+        from cassandra_pmem_spark.pipeline.sketch import runtime_filtered_join
+
+        fact = spark.createDataFrame(
+            pd.DataFrame({"fk": list(range(1000)), "v": list(range(1000))})
+        )
+        dim = spark.createDataFrame(
+            pd.DataFrame({"dk": list(range(0, 1000, 11)), "name": ["d"] * 91})
+        )
+        j = runtime_filtered_join(fact, dim, "fk", "dk")
+        got = j.select("fk", "v", "name").toPandas().sort_values("fk").reset_index(drop=True)
+        plain = (
+            fact.join(dim, fact.fk == dim.dk)
+            .select("fk", "v", "name")
+            .toPandas()
+            .sort_values("fk")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, plain)
+
+    def test_single_hash_eval_and_filter_before_join(self, spark):
+        import re
+
+        import pandas as pd
+
+        from cassandra_pmem_spark.pipeline.sketch import runtime_filtered_join
+
+        fact = spark.createDataFrame(pd.DataFrame({"fk": range(200)}))
+        dim = spark.createDataFrame(pd.DataFrame({"dk": range(0, 200, 13)}))
+        plan = (
+            runtime_filtered_join(fact, dim, "fk", "dk")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert len(re.findall(r"ArrowEvalPython", plan)) == 1
+        # the bitwise membership filter sits on the fact side BELOW the
+        # join operator (deeper in the tree = later in the plan text)
+        join_at = min(
+            plan.index(s) for s in ("SortMergeJoin", "BroadcastHashJoin") if s in plan
+        )
+        filters = [m.start() for m in re.finditer(r"Filter", plan)]
+        assert any(f > join_at for f in filters), "no pre-join membership filter"
