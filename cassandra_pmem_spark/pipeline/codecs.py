@@ -31,6 +31,24 @@ import zlib
 
 import numpy as np
 
+
+def _corrupt_guard(fmt):
+    """Normalize low-level slicing/unpack errors on corrupt input to
+    ValueError — callers (Arrow ingest stages) branch on ValueError."""
+    import functools
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def inner(*args, **kwargs):
+            try:
+                return fn(*args, **kwargs)
+            except (struct.error, IndexError) as e:
+                raise ValueError(f"corrupt {fmt} stream: {e}") from e
+
+        return inner
+
+    return deco
+
 PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
 _COLOR_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
@@ -96,6 +114,7 @@ def _unfilter(raw: bytes, p: int, rows: int, stride: int, ch: int) -> tuple[np.n
     return out, p
 
 
+@_corrupt_guard("PNG")
 def decode_png(data: bytes) -> np.ndarray:
     """PNG → uint8 array of shape (h, w, channels). Supports bit depth 8,
     color types 0/2/3/4/6, both non-interlaced and Adam7-interlaced
@@ -372,6 +391,7 @@ def _ima_encode_block(pcm: np.ndarray, index: int = 0) -> bytes:
     return bytes(out)
 
 
+@_corrupt_guard("WAV")
 def decode_wav_any(data: bytes) -> tuple[np.ndarray, int, int]:
     """WAV of ANY supported format → (int16 PCM (n, ch), rate, format tag).
 
@@ -497,6 +517,7 @@ def is_mp3(data: bytes) -> bool:
     )
 
 
+@_corrupt_guard("MP3")
 def mp3_stream_info(data: bytes) -> dict:
     """Walk every frame header: returns {frames, sample_rate, duration_ms,
     bitrate_kbps (mean), vbr}. Raises on a malformed stream."""
@@ -581,6 +602,7 @@ def _mp4_boxes(data: bytes, start: int, end: int):
         pos += size
 
 
+@_corrupt_guard("MP4")
 def mp4_info(data: bytes) -> dict:
     """{major_brand, timescale, duration_ms, track_count, top_boxes}."""
     if not is_mp4(data):
@@ -706,6 +728,7 @@ def build_mp4_with_samples(
     return ftyp + moov + _mp4_box(b"mdat", b"".join(payloads))
 
 
+@_corrupt_guard("MP4")
 def mp4_sample_table(data: bytes) -> list[dict]:
     """Walk the first track's stbl and compose the REAL per-sample index:
     [{idx, dts, duration, size, offset}] with absolute file offsets —
@@ -835,6 +858,7 @@ def encode_y4m(
     return bytes(out)
 
 
+@_corrupt_guard("Y4M")
 def decode_y4m(data: bytes) -> tuple["list[np.ndarray]", tuple[int, int], str]:
     """Y4M → (frames, (fps_num, fps_den), chroma). Mono frames are (h, w);
     444/420 frames are (h, w, 3) with chroma upsampled (nearest)."""

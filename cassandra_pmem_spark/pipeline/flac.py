@@ -35,9 +35,24 @@ JPEG codec does.
 
 from __future__ import annotations
 
+import functools
 import struct
 
 import numpy as np
+
+
+def _corrupt_guard(fn):
+    """Normalize low-level slicing/unpack errors on corrupt input to
+    ValueError — callers (Arrow ingest stages) branch on ValueError."""
+
+    @functools.wraps(fn)
+    def inner(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except (struct.error, IndexError) as e:
+            raise ValueError(f"corrupt FLAC stream: {e}") from e
+
+    return inner
 
 FLAC_MAGIC = b"fLaC"
 
@@ -495,6 +510,7 @@ _SR_TABLE = {1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
 _BPS_TABLE = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
 
 
+@_corrupt_guard
 def flac_info(data: bytes) -> dict:
     """STREAMINFO walk (headers only, no sample decode)."""
     if not is_flac(data):
@@ -525,6 +541,7 @@ def flac_info(data: bytes) -> dict:
     return info
 
 
+@_corrupt_guard
 def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
     """FLAC bytes → (int samples (n, channels), sample rate). Bit-exact."""
     info = flac_info(data)

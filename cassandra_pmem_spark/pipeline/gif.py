@@ -31,9 +31,24 @@ packing.
 
 from __future__ import annotations
 
+import functools
 import struct
 
 import numpy as np
+
+
+def _corrupt_guard(fn):
+    """Normalize low-level slicing/unpack errors on corrupt input to
+    ValueError — callers (Arrow ingest stages) branch on ValueError."""
+
+    @functools.wraps(fn)
+    def inner(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except (struct.error, IndexError) as e:
+            raise ValueError(f"corrupt GIF stream: {e}") from e
+
+    return inner
 
 GIF_SIGNATURES = (b"GIF87a", b"GIF89a")
 
@@ -280,15 +295,28 @@ def _read_sub_blocks(data: bytes, pos: int) -> tuple[bytes, int]:
     return b"".join(parts), pos
 
 
-def decode_gif(data: bytes) -> tuple[list[np.ndarray], list[int]]:
+@_corrupt_guard
+def decode_gif(
+    data: bytes, max_pixels: int = 1 << 26
+) -> tuple[list[np.ndarray], list[int]]:
     """GIF bytes → (composited full-canvas RGB frames, delays in cs).
 
     Each returned frame is (screen_h, screen_w, 3) uint8 — what a player
     presents after applying the frame's sub-rectangle, transparency, and
-    the PREVIOUS frame's disposal method."""
+    the PREVIOUS frame's disposal method.
+
+    max_pixels caps total decoded output (canvas × frames): header fields
+    are 16-bit, so a hostile 6-byte header can claim a 65535×65535 canvas
+    — a ~13 GB allocation from a few bytes (decompression bomb). A
+    corpus-scale decoder must bound output by a budget, not trust
+    headers."""
     if not is_gif(data):
         raise ValueError("not a GIF")
     sw, sh = struct.unpack_from("<HH", data, 6)
+    if sw * sh > max_pixels:
+        raise ValueError(
+            f"GIF canvas {sw}x{sh} exceeds the {max_pixels}-pixel decode budget"
+        )
     packed = data[10]
     bg_index = data[11]
     pos = 13
@@ -344,6 +372,10 @@ def decode_gif(data: bytes) -> tuple[list[np.ndarray], list[int]]:
             mcs = data[pos]
             pos += 1
             stream, pos = _read_sub_blocks(data, pos)
+            if (len(frames) + 1) * sw * sh > max_pixels:
+                raise ValueError(
+                    f"decoded frames exceed the {max_pixels}-pixel budget"
+                )
             idx = _lzw_decode(stream, mcs, w * h).reshape(h, w)
             if iflags & 0x40:
                 idx = _deinterlace(idx)
@@ -382,6 +414,7 @@ def rgb_to_indexed(img: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return inv.reshape(img.shape[:2]).astype(np.uint8), pal
 
 
+@_corrupt_guard
 def gif_info(data: bytes) -> dict:
     """Metadata-only walk (no pixel decode): screen size, frame count,
     per-frame delays — the headers-only pass a 100 TB pipeline runs

@@ -58,6 +58,24 @@ import struct
 
 import numpy as np
 
+
+def _corrupt_guard(fmt):
+    """Normalize low-level slicing/unpack errors on corrupt input to
+    ValueError — callers (Arrow ingest stages) branch on ValueError."""
+    import functools
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def inner(*args, **kwargs):
+            try:
+                return fn(*args, **kwargs)
+            except (struct.error, IndexError) as e:
+                raise ValueError(f"corrupt {fmt} stream: {e}") from e
+
+        return inner
+
+    return deco
+
 # -- Annex K tables ----------------------------------------------------------
 
 # Table K.1 — luminance quantization, natural (row-major) order
@@ -904,6 +922,7 @@ def _decode_scan(
     return p
 
 
+@_corrupt_guard("JPEG")
 def decode_jpeg(data: bytes) -> np.ndarray:
     """JPEG → uint8 (h, w) for 1-component streams, (h, w, 3) RGB for
     3-component YCbCr (any integer sampling ratio — 4:4:4, 4:2:2, 4:2:0).

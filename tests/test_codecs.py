@@ -1246,3 +1246,64 @@ class TestY4m:
         blob = encode_y4m([np.zeros((4, 4), np.uint8)], chroma="mono")
         with pytest.raises(ValueError, match="truncated"):
             decode_y4m(blob[:-3])
+
+
+class TestDecoderRobustness:
+    """Corpus-ingest decoders must TERMINATE and raise ValueError (or
+    NotImplementedError) on arbitrary garbage — never hang, never
+    allocate unboundedly from hostile headers, never leak low-level
+    struct/index errors."""
+
+    def _fuzz(self, fn, magic, trials=120, seed=0):
+        rng = _rng(seed)
+        for _ in range(trials):
+            n = int(rng.integers(1, 300))
+            payload = magic + rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+            try:
+                fn(payload)
+            except (ValueError, NotImplementedError, EOFError):
+                pass  # the contract
+
+    def test_gif_fuzz_and_bomb_guard(self):
+        from cassandra_pmem_spark.pipeline.gif import decode_gif, gif_info
+
+        self._fuzz(decode_gif, b"GIF89a", seed=1)
+        self._fuzz(gif_info, b"GIF89a", seed=2)
+        # a 6-byte header claiming a 65535x65535 canvas must NOT allocate
+        import struct as _s
+
+        bomb = b"GIF89a" + _s.pack("<HH", 65535, 65535) + b"\x00\x00\x00\x3b"
+        with pytest.raises(ValueError, match="pixel .*budget|budget"):
+            decode_gif(bomb)
+
+    def test_flac_fuzz(self):
+        from cassandra_pmem_spark.pipeline.flac import decode_flac, flac_info
+
+        self._fuzz(decode_flac, b"fLaC", seed=3)
+        self._fuzz(flac_info, b"fLaC", seed=4)
+
+    def test_container_fuzz(self):
+        from cassandra_pmem_spark.pipeline.codecs import (
+            decode_wav_any,
+            decode_y4m,
+            mp3_stream_info,
+            mp4_sample_table,
+        )
+        from cassandra_pmem_spark.pipeline.jpeg import decode_jpeg
+        from cassandra_pmem_spark.sources.warc import parse_warc
+
+        self._fuzz(decode_y4m, b"YUV4MPEG2 ", seed=5)
+        self._fuzz(decode_wav_any, b"RIFF", seed=6)
+        self._fuzz(mp4_sample_table, b"\x00\x00\x00\x18ftyp", seed=7)
+        self._fuzz(decode_jpeg, b"\xff\xd8\xff", seed=8)
+        self._fuzz(mp3_stream_info, b"\xff\xfb", seed=9)
+        # WARC garbage may legitimately KeyError on a missing
+        # Content-Length header — tolerate that one extra type
+        rng = _rng(10)
+        for _ in range(120):
+            n = int(rng.integers(1, 300))
+            payload = b"WARC/1.0\r\n" + rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+            try:
+                parse_warc(payload)
+            except (ValueError, KeyError):
+                pass
