@@ -74,6 +74,8 @@ _PRIORITY: tuple[str, ...] = (
     "pipeline_stratified_sample",  # NEW this round (deterministic sampling)
     "cql_token_scan_timestamp",  # NEW this round (temporal-key Murmur3)
     "cql_allow_filtering",  # NEW this round (strict gate, both ways)
+    "text_pii_redact",  # NEW this round (PII scrub, cross-engine regex)
+    "source_url_normalize",  # NEW this round (URL canonicalization)
     # -- (3) round-1-only evidence (three rounds stale)
     "cql_point_lookup",
     "cql_collection_access",

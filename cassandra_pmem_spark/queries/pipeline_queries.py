@@ -1373,6 +1373,179 @@ GROUP BY a.doc_id
 """
 
 
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (pipeline/pii.py): each document gets a
+    deterministic doc_id-derived contact block — an email always, an
+    IPv4 on every 3rd doc, an SSN-shaped id on every 5th, a card-shaped
+    number on every 7th, a phone on every 2nd — then the pure-expression
+    detector chain counts hits per kind and rewrites them to typed
+    tokens. The oracle builds the IDENTICAL text and runs the IDENTICAL
+    RE2-compatible patterns in DuckDB; the md5 of the redacted text
+    proves both engines scrub every byte the same way."""
+    from cassandra_pmem_spark.pipeline.pii import pii_counts, redact_pii
+
+    docs = load_table(spark, "documents", sf_dir)
+    d = F.col("doc_id")
+    s = lambda e: e.cast("string")  # noqa: E731
+    payload = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), s(d), F.lit("@example.com"),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit(" from 10."), s(d % 256), F.lit("."),
+                s((d * 7) % 256), F.lit("."), s((d * 13) % 256),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 0,
+            F.concat(F.lit(" ssn 123-45-"), F.lpad(s(d % 10000), 4, "0")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 7 == 0,
+            F.concat(
+                F.lit(" card 4111 1111 1111 "), F.lpad(s(d % 10000), 4, "0")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 2 == 0,
+            F.concat(
+                F.lit(" call (555) "), F.lpad(s(d % 1000), 3, "0"),
+                F.lit("-"), F.lpad(s((d * 3) % 10000), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    out = pii_counts(
+        docs.select("doc_id", payload.alias("text")), "text"
+    )
+    # DuckDB's len(regexp_extract_all()) is BIGINT; match the dtype kind
+    return out.select(
+        "doc_id",
+        *[
+            F.col(n).cast("long").alias(n)
+            for n in ("n_email", "n_ssn", "n_card", "n_ipv4", "n_phone")
+        ],
+        F.md5(redact_pii("text")).alias("redacted_md5"),
+    )
+
+
+def source_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (pipeline/urls.py — the key-building step a
+    crawl pipeline runs before URL-level dedup): deterministic messy
+    URLs (mixed-case scheme/host, default and explicit ports, empty
+    paths, unsorted query params, fragments) are normalized, and host +
+    registered domain extracted. The oracle builds the IDENTICAL URLs
+    and applies the IDENTICAL RE2-compatible rule chain in DuckDB."""
+    from cassandra_pmem_spark.pipeline.urls import (
+        normalize_url,
+        registered_domain,
+        url_host,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    d = F.col("doc_id")
+    s = lambda e: e.cast("string")  # noqa: E731
+    suffix = (
+        F.when(d % 4 == 0, F.lit(".Example.CO.UK"))
+        .when(d % 4 == 1, F.lit(".example.com"))
+        .when(d % 4 == 2, F.lit(".test.org"))
+        .otherwise(F.lit(".demo.net"))
+    )
+    port = (
+        F.when((d % 5 == 0) & (d % 2 == 0), F.lit(":443"))
+        .when((d % 5 == 0) & (d % 2 == 1), F.lit(":80"))
+        .when(d % 5 == 1, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("Http")),
+        F.lit("://WWW.Host"), s(d % 20), suffix, port,
+        F.when(d % 3 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("/p/"), s(d % 50))
+        ),
+        F.when(
+            d % 4 != 0,
+            F.concat(F.lit("?zz="), s(d % 9), F.lit("&aa="), s(d % 7)),
+        ).otherwise(F.lit("")),
+        F.when(d % 2 == 0, F.concat(F.lit("#Sec"), s(d % 4))).otherwise(
+            F.lit("")
+        ),
+    )
+    built = docs.select("doc_id", url.alias("url"))
+    host = url_host("url")
+    return built.select(
+        "doc_id",
+        normalize_url("url").alias("url_norm"),
+        host.alias("host"),
+        registered_domain(host).alias("domain"),
+    )
+
+
+def _url_normalize_oracle() -> str:
+    from cassandra_pmem_spark.pipeline.urls import (
+        domain_sql,
+        host_sql,
+        normalize_sql,
+    )
+
+    build = (
+        "CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'Http' END"
+        " || '://WWW.Host' || CAST(doc_id % 20 AS VARCHAR)"
+        " || CASE WHEN doc_id % 4 = 0 THEN '.Example.CO.UK'"
+        " WHEN doc_id % 4 = 1 THEN '.example.com'"
+        " WHEN doc_id % 4 = 2 THEN '.test.org' ELSE '.demo.net' END"
+        " || CASE WHEN doc_id % 5 = 0 AND doc_id % 2 = 0 THEN ':443'"
+        " WHEN doc_id % 5 = 0 AND doc_id % 2 = 1 THEN ':80'"
+        " WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END"
+        " || CASE WHEN doc_id % 3 = 0 THEN ''"
+        " ELSE '/p/' || CAST(doc_id % 50 AS VARCHAR) END"
+        " || CASE WHEN doc_id % 4 <> 0 THEN '?zz='"
+        " || CAST(doc_id % 9 AS VARCHAR) || '&aa='"
+        " || CAST(doc_id % 7 AS VARCHAR) ELSE '' END"
+        " || CASE WHEN doc_id % 2 = 0 THEN '#Sec'"
+        " || CAST(doc_id % 4 AS VARCHAR) ELSE '' END"
+    )
+    return f"""
+WITH built AS (
+  SELECT doc_id, {build} AS url FROM documents
+)
+SELECT doc_id,
+  {normalize_sql("url")} AS url_norm,
+  {host_sql("url")} AS host,
+  {domain_sql(host_sql("url"))} AS domain
+FROM built
+"""
+
+
+def _pii_oracle() -> str:
+    from cassandra_pmem_spark.pipeline.pii import counts_sql, redaction_sql
+
+    build = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'"
+        " || CASE WHEN doc_id % 3 = 0 THEN ' from 10.'"
+        " || CAST(doc_id % 256 AS VARCHAR) || '.'"
+        " || CAST((doc_id * 7) % 256 AS VARCHAR) || '.'"
+        " || CAST((doc_id * 13) % 256 AS VARCHAR) ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-'"
+        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+        " || CASE WHEN doc_id % 7 = 0 THEN ' card 4111 1111 1111 '"
+        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+        " || CASE WHEN doc_id % 2 = 0 THEN ' call (555) '"
+        " || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'"
+        " || lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+    )
+    counts = ",\n  ".join(counts_sql("text"))
+    return f"""
+WITH built AS (
+  SELECT doc_id, {build} AS text FROM documents
+)
+SELECT doc_id,
+  {counts},
+  md5({redaction_sql("text")}) AS redacted_md5
+FROM built
+"""
+
+
 QUERIES = {
     "dedup_exact_docs": (
         dedup_exact_docs,
@@ -1471,6 +1644,8 @@ QUERIES = {
     "sketch_runtime_filtered_join": (sketch_runtime_filtered_join, _RTF_JOIN_ORACLE),
     "pipeline_pack_sequences": (pipeline_pack_sequences, _PACK_ORACLE),
     "pipeline_stratified_sample": (pipeline_stratified_sample, _stratified_oracle()),
+    "text_pii_redact": (text_pii_redact, _pii_oracle()),
+    "source_url_normalize": (source_url_normalize, _url_normalize_oracle()),
     "text_sasi_analyzer": (text_sasi_analyzer, _SASI_ORACLE),
     "multimodal_frame_plan": (multimodal_frame_plan, _FRAME_PLAN_ORACLE),
 }

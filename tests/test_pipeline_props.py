@@ -742,3 +742,111 @@ class TestRuntimeFilteredJoin:
         )
         filters = [m.start() for m in re.finditer(r"Filter", plan)]
         assert any(f > join_at for f in filters), "no pre-join membership filter"
+
+
+class TestPiiRedaction:
+    def test_counts_and_redaction(self, spark):
+        import pandas as pd
+
+        from cassandra_pmem_spark.pipeline.pii import pii_counts, redact_pii
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "text": [
+                        "mail a.b+c@x-y.co and d@e.io now",
+                        "ssn 123-45-6789 then phone 555-123-4567",
+                        "card 4111 1111 1111 1234 ip 192.168.0.1",
+                        "call (555) 012-3456 or (555)987-6543",
+                        "nothing here",
+                    ]
+                }
+            )
+        )
+        got = pii_counts(df, "text").select(
+            "n_email", "n_ssn", "n_card", "n_ipv4", "n_phone"
+        ).collect()
+        assert [tuple(r) for r in got] == [
+            (2, 0, 0, 0, 0),
+            (0, 1, 0, 0, 1),
+            (0, 0, 1, 1, 0),
+            (0, 0, 0, 0, 2),
+            (0, 0, 0, 0, 0),
+        ]
+        red = [
+            r[0]
+            for r in df.select(redact_pii("text").alias("r")).collect()
+        ]
+        assert red[0] == "mail <EMAIL> and <EMAIL> now"
+        # SSN claimed before the looser phone pattern can eat its digits
+        assert red[1] == "ssn <SSN> then phone <PHONE>"
+        assert red[2] == "card <CARD> ip <IPV4>"
+        assert red[3] == "call <PHONE> or <PHONE>"
+        assert red[4] == "nothing here"
+
+    def test_patterns_re2_compatible(self):
+        """Every pattern must run unchanged on DuckDB's RE2 — that is
+        the cross-engine contract of the oracle."""
+        import duckdb
+
+        from cassandra_pmem_spark.pipeline.pii import PII_PATTERNS
+
+        con = duckdb.connect()
+        for kind, pat in PII_PATTERNS:
+            n = con.execute(
+                "SELECT len(regexp_extract_all("
+                "'a@b.co 1.2.3.4 123-45-6789 555-123-4567 "
+                "4111 1111 1111 1111', ?))",
+                [pat],
+            ).fetchone()[0]
+            assert n >= 1, f"{kind} pattern found nothing under RE2"
+
+
+class TestUrlNormalize:
+    def test_rules(self, spark):
+        import pandas as pd
+
+        from cassandra_pmem_spark.pipeline.urls import (
+            normalize_url,
+            registered_domain,
+            url_host,
+        )
+
+        cases = {
+            # scheme+host lowercase, default port stripped, empty path
+            "HTTPS://WWW.Ex.COM:443#frag": "https://www.ex.com/",
+            "Http://A.B:80/x": "http://a.b/x",
+            # non-default port kept; https does NOT strip :80
+            "http://a.b:8080/x": "http://a.b:8080/x",
+            "https://a.b:80/": "https://a.b:80/",
+            # query params sorted, fragment dropped, path case kept
+            "http://h.io/P?b=2&a=1#s": "http://h.io/P?a=1&b=2",
+            # malformed: passes through trimmed
+            "  not a url  ": "not a url",
+        }
+        df = spark.createDataFrame(pd.DataFrame({"url": list(cases)}))
+        got = dict(
+            df.select("url", normalize_url("url").alias("n")).collect()
+        )
+        assert got == cases
+        hosts = dict(
+            df.select("url", url_host("url").alias("h")).collect()
+        )
+        assert hosts["HTTPS://WWW.Ex.COM:443#frag"] == "www.ex.com"
+        dom = dict(
+            df.select(
+                "url", registered_domain(url_host("url")).alias("d")
+            ).collect()
+        )
+        assert dom["HTTPS://WWW.Ex.COM:443#frag"] == "ex.com"
+
+    def test_two_level_tld(self, spark):
+        import pandas as pd
+
+        from cassandra_pmem_spark.pipeline.urls import registered_domain
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"h": ["www.shop.example.co.uk", "a.b.co.jp", "x.org"]})
+        )
+        got = [r[0] for r in df.select(registered_domain(F.col("h"))).collect()]
+        assert got == ["example.co.uk", "b.co.jp", "x.org"]
