@@ -407,3 +407,84 @@ def dedup_cascade(
     ).filter(F.col("jaccard") >= jaccard_threshold)
     drop = verified.select(F.col("b").alias(id_col)).distinct()
     return d1.join(drop, id_col, "left_anti")
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 15,
+) -> DataFrame:
+    """Connected components of the near-duplicate graph — the transitive-
+    closure step a real dedup pipeline runs after pair generation: a~b
+    and b~c must land in ONE cluster even when a~c is below threshold,
+    or survivor selection double-keeps chained duplicates.
+
+    Min-label propagation: every vertex starts as its own label; each
+    round sends labels one hop along (bidirectional) edges and keeps the
+    minimum; stop when a round changes nothing. Rounds needed = graph
+    diameter, and near-dup components are shallow (chains of edit
+    generations — single digits even at corpus scale), so the loop is
+    bounded in practice and `max_iter` caps the worst case. Each round
+    is one shuffle join + one min-aggregation, all JVM-side; labels are
+    localCheckpoint-ed per round so plan depth stays flat. For graphs
+    with adversarially long paths, swap the per-round body for the
+    large-star/small-star rounds of Kiveris et al. (O(log n) rounds,
+    same join/agg primitives) — the driver loop shape is identical.
+
+    Returns (id_col, component) with component = min reachable id.
+    """
+    # materialize the (possibly expensive — LSH + verify) edge frame ONCE;
+    # the loop re-reads it every round
+    e = (
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = vertices.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("comp")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        msgs = e.join(labels, e["src"] == labels["id"]).select(
+            F.col("dst").alias("id"), F.col("comp")
+        )
+        nxt = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            nxt.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = nxt
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col), "comp")
+
+
+def near_dup_components(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 16,
+    shingle: int = 3,
+) -> DataFrame:
+    """Cluster-grade dedup: exact dedup → LSH candidates → exact-Jaccard
+    verified edges → connected components. Returns every surviving doc
+    with its cluster label (min id of its component); downstream keeps
+    one representative per `comp` or feeds cluster sizes to filters."""
+    d1 = exact_dedup(df, text_col, id_col).cache()
+    cand = minhash_lsh_pairs(d1, id_col, text_col, num_hashes, bands, shingle)
+    edges = ngram_jaccard_pairs(
+        d1, cand.select("a", "b"), id_col, text_col, shingle
+    ).filter(F.col("jaccard") >= jaccard_threshold)
+    try:
+        return connected_components(edges, d1, id_col)
+    finally:
+        d1.unpersist()

@@ -76,6 +76,7 @@ _PRIORITY: tuple[str, ...] = (
     "cql_allow_filtering",  # NEW this round (strict gate, both ways)
     "text_pii_redact",  # NEW this round (PII scrub, cross-engine regex)
     "source_url_normalize",  # NEW this round (URL canonicalization)
+    "dedup_connected_components",  # NEW this round (transitive closure)
     # -- (3) round-1-only evidence (three rounds stale)
     "cql_point_lookup",
     "cql_collection_access",

@@ -1429,6 +1429,78 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive-closure dedup clustering (pipeline/dedup.py
+    near_dup_components): exact dedup → banded-LSH candidates →
+    exact-Jaccard edges → iterative min-label propagation. The corpus
+    plants two GENERATIONS of near-duplicates (base + ' alpha beta',
+    base + ' gamma delta') so clusters form triangles/chains that only
+    transitive closure groups correctly. The oracle recomputes the SAME
+    edge set exhaustively and closes it with a recursive CTE — DuckDB's
+    fixpoint engine checking Spark's distributed label-propagation
+    loop round for round."""
+    from cassandra_pmem_spark.pipeline.dedup import near_dup_components
+
+    base = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id", "text")
+    )
+    gen1 = base.filter(F.col("doc_id") < 12).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" alpha beta")).alias("text"),
+    )
+    gen2 = base.filter(F.col("doc_id") < 6).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" gamma delta")).alias("text"),
+    )
+    corpus = base.union(gen1).union(gen2)
+    return near_dup_components(corpus, jaccard_threshold=0.7)
+
+
+_CC_ORACLE = f"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 150
+  UNION ALL
+  SELECT doc_id + 100000, text || ' alpha beta' FROM documents WHERE doc_id < 12
+  UNION ALL
+  SELECT doc_id + 200000, text || ' gamma delta' FROM documents WHERE doc_id < 6
+), normed AS (
+  SELECT doc_id, {_NORM_SQL} AS norm FROM corpus
+), s1 AS (
+  SELECT min(doc_id) AS doc_id, norm FROM normed GROUP BY norm
+), w AS (
+  SELECT doc_id, string_split(norm, ' ') AS words FROM s1
+), sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, greatest(len(words) - 2, 1) + 1),
+                  i -> array_to_string(words[i:i+2], ' '))) AS shingles
+  FROM w
+), ds AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id
+), inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM ds x JOIN ds y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT a, b FROM inter
+  JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.7
+), edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL
+  SELECT b, a FROM pairs
+), reach(id, lbl) AS (
+  SELECT doc_id, doc_id FROM s1
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id, min(lbl) AS comp FROM reach GROUP BY id
+"""
+
+
 def source_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (pipeline/urls.py — the key-building step a
     crawl pipeline runs before URL-level dedup): deterministic messy
@@ -1646,6 +1718,7 @@ QUERIES = {
     "pipeline_stratified_sample": (pipeline_stratified_sample, _stratified_oracle()),
     "text_pii_redact": (text_pii_redact, _pii_oracle()),
     "source_url_normalize": (source_url_normalize, _url_normalize_oracle()),
+    "dedup_connected_components": (dedup_connected_components, _CC_ORACLE),
     "text_sasi_analyzer": (text_sasi_analyzer, _SASI_ORACLE),
     "multimodal_frame_plan": (multimodal_frame_plan, _FRAME_PLAN_ORACLE),
 }

@@ -850,3 +850,56 @@ class TestUrlNormalize:
         )
         got = [r[0] for r in df.select(registered_domain(F.col("h"))).collect()]
         assert got == ["example.co.uk", "b.co.jp", "x.org"]
+
+
+class TestConnectedComponents:
+    def test_chain_is_one_component(self, spark):
+        """a-b and b-c edges with NO a-c edge: transitive closure must
+        still produce a single component — the case pairwise keep-min
+        dedup gets wrong."""
+        from cassandra_pmem_spark.pipeline.dedup import connected_components
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+            ["a", "b"],
+        )
+        verts = spark.createDataFrame(
+            [(i,) for i in (1, 2, 3, 4, 10, 11, 20, 21, 22, 99)], ["doc_id"]
+        )
+        got = {
+            r["doc_id"]: r["comp"]
+            for r in connected_components(edges, verts).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                       20: 20, 21: 20, 22: 20, 99: 99}
+
+    def test_edgeless_graph_is_identity(self, spark):
+        from cassandra_pmem_spark.pipeline.dedup import connected_components
+
+        edges = spark.createDataFrame([], "a BIGINT, b BIGINT")
+        verts = spark.createDataFrame([(i,) for i in range(5)], ["doc_id"])
+        got = {
+            r["doc_id"]: r["comp"]
+            for r in connected_components(edges, verts).collect()
+        }
+        assert got == {i: i for i in range(5)}
+
+    def test_near_dup_components_clusters_generations(self, spark):
+        """base, base+' alpha beta', base+' gamma delta' must share one
+        cluster labelled by the smallest id."""
+        from cassandra_pmem_spark.pipeline.dedup import near_dup_components
+
+        base = load_table(spark, "documents", SF_SMALL).filter(
+            F.col("doc_id") < 30
+        ).select("doc_id", "text")
+        gen1 = base.filter(F.col("doc_id") < 4).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" alpha beta")).alias("text"),
+        )
+        got = {
+            r["doc_id"]: r["comp"]
+            for r in near_dup_components(base.union(gen1)).collect()
+        }
+        for i in range(4):
+            if i in got and i + 100000 in got:
+                assert got[i + 100000] == got[i]
