@@ -77,6 +77,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_pii_redact",  # NEW this round (PII scrub, cross-engine regex)
     "source_url_normalize",  # NEW this round (URL canonicalization)
     "dedup_connected_components",  # NEW this round (transitive closure)
+    "text_decontaminate",  # NEW this round (benchmark n-gram overlap)
     # -- (3) round-1-only evidence (three rounds stale)
     "cql_point_lookup",
     "cql_collection_access",

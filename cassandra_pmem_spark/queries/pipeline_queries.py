@@ -1501,6 +1501,51 @@ SELECT id AS doc_id, min(lbl) AS comp FROM reach GROUP BY id
 """
 
 
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (pipeline/decontaminate.py): the
+    benchmark set is 12-word snippets cut from every 50th document, and
+    each training doc is flagged when it shares any 8-word gram with
+    the benchmark — the GPT-3/PaLM n-gram-overlap rule with the
+    broadcast-probe plan shape. The oracle rebuilds identical grams
+    with DuckDB list SQL and recomputes hit counts exhaustively."""
+    from cassandra_pmem_spark.pipeline.decontaminate import contamination
+    from cassandra_pmem_spark.pipeline.dedup import normalize_text
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    words = F.split(normalize_text("text"), " ")
+    bench = docs.filter(F.col("doc_id") % 50 == 7).select(
+        F.array_join(F.slice(words, 3, 12), " ").alias("text")
+    )
+    return contamination(docs, bench)
+
+
+_DECONTAM_GRAMS = (
+    "list_distinct(list_transform(range(1, greatest(len(words) - 7, 1) + 1), "
+    "i -> array_to_string(words[i:i+7], ' ')))"
+)
+
+_DECONTAM_ORACLE = f"""
+WITH normed AS (
+  SELECT doc_id, {_NORM_SQL} AS norm FROM documents
+), w AS (
+  SELECT doc_id, string_split(norm, ' ') AS words FROM normed
+), bsnip AS (
+  SELECT array_to_string(words[3:14], ' ') AS snip FROM w WHERE doc_id % 50 = 7
+), bgrams AS (
+  SELECT DISTINCT unnest({_DECONTAM_GRAMS}) AS g
+  FROM (SELECT string_split(snip, ' ') AS words FROM bsnip)
+), dgrams AS (
+  SELECT doc_id, unnest({_DECONTAM_GRAMS}) AS g FROM w
+), hits AS (
+  SELECT doc_id, count(*) AS n_hits FROM dgrams JOIN bgrams USING (g) GROUP BY 1
+)
+SELECT n.doc_id,
+  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+  COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM normed n LEFT JOIN hits h ON n.doc_id = h.doc_id
+"""
+
+
 def source_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (pipeline/urls.py — the key-building step a
     crawl pipeline runs before URL-level dedup): deterministic messy
@@ -1719,6 +1764,7 @@ QUERIES = {
     "text_pii_redact": (text_pii_redact, _pii_oracle()),
     "source_url_normalize": (source_url_normalize, _url_normalize_oracle()),
     "dedup_connected_components": (dedup_connected_components, _CC_ORACLE),
+    "text_decontaminate": (text_decontaminate, _DECONTAM_ORACLE),
     "text_sasi_analyzer": (text_sasi_analyzer, _SASI_ORACLE),
     "multimodal_frame_plan": (multimodal_frame_plan, _FRAME_PLAN_ORACLE),
 }

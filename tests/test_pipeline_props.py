@@ -903,3 +903,51 @@ class TestConnectedComponents:
         for i in range(4):
             if i in got and i + 100000 in got:
                 assert got[i + 100000] == got[i]
+
+
+class TestDecontamination:
+    def test_planted_overlap_is_flagged(self, spark):
+        import pandas as pd
+
+        from cassandra_pmem_spark.pipeline.decontaminate import contamination
+
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2, 3],
+                    "text": [
+                        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+                        "one two three four five six seven eight nine ten",
+                        "totally unrelated words that share nothing with the eval set",
+                    ],
+                }
+            )
+        )
+        bench = spark.createDataFrame(
+            pd.DataFrame(
+                {"text": ["alpha beta gamma delta epsilon zeta eta theta"]}
+            )
+        )
+        got = {
+            r["doc_id"]: (r["n_hits"], r["contaminated"])
+            for r in contamination(docs, bench).collect()
+        }
+        # doc 1 contains the full 8-gram; docs 2/3 share no 8-gram
+        assert got[1] == (1, True)
+        assert got[2] == (0, False)
+        assert got[3] == (0, False)
+
+    def test_probe_is_broadcast(self, spark):
+        """The benchmark gram set must reach the corpus side as a
+        broadcast — no shuffle of the 100 TB side for the probe."""
+        from cassandra_pmem_spark.pipeline.decontaminate import contamination
+
+        docs = load_table(spark, "documents", SF_SMALL).select("doc_id", "text")
+        bench = docs.limit(5).select("text")
+        plan = (
+            contamination(docs, bench)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
