@@ -1,0 +1,384 @@
+"""Chunked block compression — the reference's SSTable compression
+surface re-expressed for blob columns.
+
+The reference compresses data files in fixed-size chunks, each chunk
+compressed independently and followed by a CRC32 of the compressed
+bytes (io/compress/CompressedSequentialWriter.java:186-275), with the
+chunk length a table parameter defaulting to 16 KiB
+(schema/CompressionParams.java:58) and the codec one of LZ4 (default),
+Snappy, or Deflate (io/compress/{LZ4,Snappy,Deflate}Compressor.java).
+Independent chunks are what make the format seekable AND
+parallel-decodable — exactly the property a Spark pipeline needs to
+fan a compressed blob column out across executors.
+
+This module implements the two non-stdlib codecs from their public
+format specs — the LZ4 block format (lz4.org lz4_Block_format.md) and
+the Snappy raw format (google/snappy format_description.txt) — in pure
+stdlib Python, Deflate via zlib, plus a self-contained chunk container
+carrying (algo, chunk_length, total length, per-chunk CRC32). Chunk
+decode verifies every CRC like CompressedRandomAccessReader does, and
+raises `CorruptChunk` on mismatch (CorruptBlockException analog).
+
+Encoders are greedy hash-table matchers (the same strategy as LZ4
+"fast" mode); any spec-conforming encoding is valid, and the
+correctness contract is byte-exact round-trip, which the oracle proves
+by matching md5(decompress(compress(x))) against md5 of the
+construction.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+MAGIC = b"CPMC"
+ALGO_LZ4, ALGO_SNAPPY, ALGO_DEFLATE = 1, 2, 3
+ALGO_NAMES = {ALGO_LZ4: "lz4", ALGO_SNAPPY: "snappy", ALGO_DEFLATE: "deflate"}
+ALGO_IDS = {v: k for k, v in ALGO_NAMES.items()}
+DEFAULT_CHUNK_LENGTH = 16 * 1024  # CompressionParams.DEFAULT_CHUNK_LENGTH
+
+
+class CorruptChunk(ValueError):
+    """Chunk checksum or framing mismatch (CorruptBlockException analog)."""
+
+
+# ---------------------------------------------------------------- LZ4 block
+
+
+def _lz4_ext(out: bytearray, v: int) -> None:
+    while v >= 255:
+        out.append(255)
+        v -= 255
+    out.append(v)
+
+
+def lz4_block_compress(src: bytes) -> bytes:
+    """LZ4 block format, greedy single-probe hash matcher.
+
+    Spec rules honored: matches start at least 12 bytes before block
+    end, match bytes stay out of the last 5 (both from
+    lz4_Block_format.md "End of block restrictions"), offsets ≤ 65535,
+    min match 4; the final sequence is literals-only."""
+    n = len(src)
+    out = bytearray()
+    if n == 0:
+        return b"\x00"  # one token: 0 literals, no match — empty block
+    table: dict[bytes, int] = {}
+    anchor = 0
+    pos = 0
+    mflimit = n - 12
+    copy_limit = n - 5
+    while pos < mflimit:
+        key = src[pos : pos + 4]
+        cand = table.get(key)
+        table[key] = pos
+        if cand is not None and pos - cand <= 65535:
+            mlen = 4
+            while pos + mlen < copy_limit and src[cand + mlen] == src[pos + mlen]:
+                mlen += 1
+            lits = src[anchor:pos]
+            ll, ml = len(lits), mlen - 4
+            out.append((min(ll, 15) << 4) | min(ml, 15))
+            if ll >= 15:
+                _lz4_ext(out, ll - 15)
+            out += lits
+            out += (pos - cand).to_bytes(2, "little")
+            if ml >= 15:
+                _lz4_ext(out, ml - 15)
+            pos += mlen
+            anchor = pos
+        else:
+            pos += 1
+    lits = src[anchor:]
+    ll = len(lits)
+    out.append(min(ll, 15) << 4)
+    if ll >= 15:
+        _lz4_ext(out, ll - 15)
+    out += lits
+    return bytes(out)
+
+
+def lz4_block_decompress(src: bytes, out_size: int) -> bytes:
+    """LZ4 block decode (the format every LZ4 implementation emits)."""
+    out = bytearray()
+    i, n = 0, len(src)
+    while i < n:
+        token = src[i]
+        i += 1
+        ll = token >> 4
+        if ll == 15:
+            while True:
+                b = src[i]
+                i += 1
+                ll += b
+                if b != 255:
+                    break
+        if i + ll > n:
+            raise CorruptChunk("literal run past end of block")
+        out += src[i : i + ll]
+        i += ll
+        if i >= n:
+            break  # literals-only final sequence
+        offset = src[i] | (src[i + 1] << 8)
+        i += 2
+        if offset == 0 or offset > len(out):
+            raise CorruptChunk(f"bad match offset {offset}")
+        ml = token & 15
+        if ml == 15:
+            while True:
+                b = src[i]
+                i += 1
+                ml += b
+                if b != 255:
+                    break
+        ml += 4
+        start = len(out) - offset
+        if offset >= ml:
+            out += out[start : start + ml]
+        else:  # overlapping match: byte-at-a-time semantics
+            for k in range(ml):
+                out.append(out[start + k])
+    if len(out) != out_size:
+        raise CorruptChunk(f"decoded {len(out)} bytes, expected {out_size}")
+    return bytes(out)
+
+
+# ------------------------------------------------------------- Snappy raw
+
+
+def _varint(v: int) -> bytes:
+    out = bytearray()
+    while v >= 0x80:
+        out.append((v & 0x7F) | 0x80)
+        v >>= 7
+    out.append(v)
+    return bytes(out)
+
+
+def snappy_compress(src: bytes) -> bytes:
+    """Snappy raw format: uncompressed-length varint preamble, then
+    literal and 2-byte-offset copy elements (greedy matcher; copies are
+    emitted in ≤64-byte pieces, the copy-2 length ceiling)."""
+    n = len(src)
+    out = bytearray(_varint(n))
+
+    def emit_literal(lits: bytes) -> None:
+        m = len(lits)
+        if m == 0:
+            return
+        if m <= 60:
+            out.append((m - 1) << 2)
+        else:  # tags 60..63: 1..4 little-endian length bytes
+            nbytes = ((m - 1).bit_length() + 7) // 8
+            out.append((59 + nbytes) << 2)
+            out.extend((m - 1).to_bytes(nbytes, "little"))
+        out.extend(lits)
+
+    table: dict[bytes, int] = {}
+    anchor = 0
+    pos = 0
+    while pos + 4 <= n:
+        key = src[pos : pos + 4]
+        cand = table.get(key)
+        table[key] = pos
+        if cand is not None and pos - cand <= 65535:
+            mlen = 4
+            while pos + mlen < n and src[cand + mlen] == src[pos + mlen]:
+                mlen += 1
+            emit_literal(src[anchor:pos])
+            off = pos - cand
+            left = mlen
+            while left > 0:  # copy-2 length field holds 1..64
+                piece = min(left, 64)
+                out.append(((piece - 1) << 2) | 2)
+                out += off.to_bytes(2, "little")
+                left -= piece
+            pos += mlen
+            anchor = pos
+        else:
+            pos += 1
+    emit_literal(src[anchor:])
+    return bytes(out)
+
+
+def snappy_decompress(src: bytes) -> bytes:
+    """Snappy raw decode, all four element kinds."""
+    # varint preamble
+    out_size = 0
+    shift = 0
+    i = 0
+    while True:
+        b = src[i]
+        i += 1
+        out_size |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    out = bytearray()
+    n = len(src)
+    while i < n:
+        tag = src[i]
+        i += 1
+        kind = tag & 3
+        if kind == 0:  # literal
+            m = tag >> 2
+            if m >= 60:
+                extra = m - 59
+                m = int.from_bytes(src[i : i + extra], "little")
+                i += extra
+            m += 1
+            out += src[i : i + m]
+            i += m
+            continue
+        if kind == 1:  # copy, 1-byte offset
+            ml = ((tag >> 2) & 7) + 4
+            off = ((tag >> 5) << 8) | src[i]
+            i += 1
+        elif kind == 2:  # copy, 2-byte offset
+            ml = (tag >> 2) + 1
+            off = int.from_bytes(src[i : i + 2], "little")
+            i += 2
+        else:  # copy, 4-byte offset
+            ml = (tag >> 2) + 1
+            off = int.from_bytes(src[i : i + 4], "little")
+            i += 4
+        if off == 0 or off > len(out):
+            raise CorruptChunk(f"bad snappy offset {off}")
+        start = len(out) - off
+        if off >= ml:
+            out += out[start : start + ml]
+        else:
+            for k in range(ml):
+                out.append(out[start + k])
+    if len(out) != out_size:
+        raise CorruptChunk(f"decoded {len(out)} bytes, expected {out_size}")
+    return bytes(out)
+
+
+# -------------------------------------------------- chunk container (CRC32)
+
+
+def _compress_one(algo: int, chunk: bytes) -> bytes:
+    if algo == ALGO_LZ4:
+        return lz4_block_compress(chunk)
+    if algo == ALGO_SNAPPY:
+        return snappy_compress(chunk)
+    if algo == ALGO_DEFLATE:
+        return zlib.compress(chunk, 6)
+    raise ValueError(f"unknown algo {algo}")
+
+
+def _decompress_one(algo: int, comp: bytes, out_size: int) -> bytes:
+    if algo == ALGO_LZ4:
+        return lz4_block_decompress(comp, out_size)
+    if algo == ALGO_SNAPPY:
+        out = snappy_decompress(comp)
+    elif algo == ALGO_DEFLATE:
+        out = zlib.decompress(comp)
+    else:
+        raise ValueError(f"unknown algo {algo}")
+    if len(out) != out_size:
+        raise CorruptChunk(f"decoded {len(out)} bytes, expected {out_size}")
+    return out
+
+
+def compress_blob(
+    data: bytes, algo: str = "lz4", chunk_length: int = DEFAULT_CHUNK_LENGTH
+) -> bytes:
+    """Pack `data` as independently-compressed chunks with per-chunk
+    CRC32 of the COMPRESSED bytes (the CompressedSequentialWriter
+    layout, self-contained in one cell):
+
+        'CPMC' | u8 algo | u32 chunk_length | u64 total_len |
+        per chunk: u32 comp_len | comp bytes | u32 crc32(comp)
+    """
+    aid = ALGO_IDS[algo]
+    out = bytearray(MAGIC)
+    out += struct.pack("<BIQ", aid, chunk_length, len(data))
+    for off in range(0, len(data), chunk_length):
+        chunk = data[off : off + chunk_length]
+        comp = _compress_one(aid, chunk)
+        out += struct.pack("<I", len(comp))
+        out += comp
+        out += struct.pack("<I", zlib.crc32(comp) & 0xFFFFFFFF)
+    return bytes(out)
+
+
+def blob_info(data: bytes) -> tuple[str, int, int, int]:
+    """(algo, chunk_length, total_len, n_chunks) without decompressing."""
+    if data[:4] != MAGIC:
+        raise CorruptChunk("bad magic")
+    aid, chunk_length, total = struct.unpack_from("<BIQ", data, 4)
+    n_chunks = max((total + chunk_length - 1) // chunk_length, 0)
+    return ALGO_NAMES[aid], chunk_length, total, int(n_chunks)
+
+
+def decompress_blob(data: bytes) -> bytes:
+    """Unpack a compress_blob cell, verifying every chunk CRC."""
+    if data[:4] != MAGIC:
+        raise CorruptChunk("bad magic")
+    aid, chunk_length, total = struct.unpack_from("<BIQ", data, 4)
+    i = 17
+    out = bytearray()
+    remaining = total
+    while remaining > 0:
+        (clen,) = struct.unpack_from("<I", data, i)
+        i += 4
+        comp = data[i : i + clen]
+        if len(comp) != clen:
+            raise CorruptChunk("truncated chunk")
+        i += clen
+        (crc,) = struct.unpack_from("<I", data, i)
+        i += 4
+        if zlib.crc32(comp) & 0xFFFFFFFF != crc:
+            raise CorruptChunk("chunk CRC mismatch")
+        out_size = min(chunk_length, remaining)
+        out += _decompress_one(aid, comp, out_size)
+        remaining -= out_size
+    return bytes(out)
+
+
+# ----------------------------------------------------------- Spark stage
+
+
+COMPRESSED_STATS_SCHEMA = (
+    "doc_id BIGINT, algo STRING, n_chunks BIGINT, orig_len BIGINT, "
+    "payload_md5 STRING"
+)
+
+
+def compressed_roundtrip_stage(df, id_col="doc_id", payload_col="payload",
+                               algo_col="algo", chunk_length=DEFAULT_CHUNK_LENGTH):
+    """Arrow-batched compress→store→decompress round trip: each row's
+    payload is chunk-compressed with its row's codec, the container is
+    parsed back (CRC-verified, CorruptChunk on damage) and the DECODED
+    bytes are fingerprinted. Emitting md5(decompressed) is what lets a
+    SQL oracle prove the whole codec chain bit-exact without being able
+    to run LZ4 itself. mapInPandas (narrow, no shuffle) — each executor
+    round-trips only its own rows, the 100 TB shape for a compressed
+    blob column."""
+    import hashlib
+
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "algo", "n_chunks", "orig_len", "payload_md5")}
+            for rid, payload, algo in zip(
+                pdf[id_col], pdf[payload_col], pdf[algo_col]
+            ):
+                data = payload.encode("utf-8")
+                blob = compress_blob(data, algo, chunk_length)
+                back = decompress_blob(blob)
+                if back != data:
+                    raise CorruptChunk(f"round-trip mismatch for id {rid}")
+                a, _, total, nch = blob_info(blob)
+                out["doc_id"].append(int(rid))
+                out["algo"].append(a)
+                out["n_chunks"].append(int(nch))
+                out["orig_len"].append(int(total))
+                out["payload_md5"].append(hashlib.md5(back).hexdigest())
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(gen, COMPRESSED_STATS_SCHEMA)

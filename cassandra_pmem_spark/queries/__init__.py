@@ -78,6 +78,7 @@ _PRIORITY: tuple[str, ...] = (
     "source_url_normalize",  # NEW this round (URL canonicalization)
     "dedup_connected_components",  # NEW this round (transitive closure)
     "text_decontaminate",  # NEW this round (benchmark n-gram overlap)
+    "source_compressed_chunks",  # NEW this round (LZ4/Snappy/Deflate chunks)
     # -- (3) round-1-only evidence (three rounds stale)
     "cql_point_lookup",
     "cql_collection_access",

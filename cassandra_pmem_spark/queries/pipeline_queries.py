@@ -1501,6 +1501,51 @@ SELECT id AS doc_id, min(lbl) AS comp FROM reach GROUP BY id
 """
 
 
+def source_compressed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL chunked block compression, oracle-checked
+    (pipeline/compression.py — the reference's SSTable compression
+    layout: independent fixed-size chunks + per-chunk CRC32,
+    CompressedSequentialWriter.java:186-275, with the LZ4 block format
+    and Snappy raw format implemented from their public specs and
+    Deflate via zlib): each doc's payload (text repeated doc_id%100+1
+    times) is compressed with the codec doc_id%3 selects at 4 KiB
+    chunks, the container parsed back, every CRC verified, and the
+    DECODED bytes fingerprinted. The oracle recomputes length, chunk
+    count and md5 from the construction — a hash match proves
+    decompress(compress(x)) == x across all three codecs."""
+    from cassandra_pmem_spark.pipeline.compression import (
+        compressed_roundtrip_stage,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    d = F.col("doc_id")
+    built = docs.select(
+        "doc_id",
+        F.expr("repeat(text, CAST(doc_id % 100 + 1 AS INT))").alias("payload"),
+        F.when(d % 3 == 0, F.lit("lz4"))
+        .when(d % 3 == 1, F.lit("snappy"))
+        .otherwise(F.lit("deflate"))
+        .alias("algo"),
+    )
+    return compressed_roundtrip_stage(built, chunk_length=4096)
+
+
+_COMPRESSED_ORACLE = """
+WITH built AS (
+  SELECT doc_id,
+    repeat(text, CAST(doc_id % 100 + 1 AS INT)) AS payload,
+    CASE WHEN doc_id % 3 = 0 THEN 'lz4'
+         WHEN doc_id % 3 = 1 THEN 'snappy' ELSE 'deflate' END AS algo
+  FROM documents
+)
+SELECT doc_id, algo,
+  CAST((octet_length(encode(payload)) + 4095) // 4096 AS BIGINT) AS n_chunks,
+  CAST(octet_length(encode(payload)) AS BIGINT) AS orig_len,
+  md5(payload) AS payload_md5
+FROM built
+"""
+
+
 def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (pipeline/decontaminate.py): the
     benchmark set is 12-word snippets cut from every 50th document, and
@@ -1765,6 +1810,7 @@ QUERIES = {
     "source_url_normalize": (source_url_normalize, _url_normalize_oracle()),
     "dedup_connected_components": (dedup_connected_components, _CC_ORACLE),
     "text_decontaminate": (text_decontaminate, _DECONTAM_ORACLE),
+    "source_compressed_chunks": (source_compressed_chunks, _COMPRESSED_ORACLE),
     "text_sasi_analyzer": (text_sasi_analyzer, _SASI_ORACLE),
     "multimodal_frame_plan": (multimodal_frame_plan, _FRAME_PLAN_ORACLE),
 }

@@ -1307,3 +1307,137 @@ class TestDecoderRobustness:
                 parse_warc(payload)
             except (ValueError, KeyError):
                 pass
+
+
+class TestBlockCompression:
+    """LZ4 block / Snappy raw / Deflate + the chunked-CRC32 container
+    (the reference's CompressedSequentialWriter layout)."""
+
+    CASES = [
+        b"",
+        b"a",
+        b"abcd",
+        b"hello world " * 1000,
+        b"abcabcabcabc" * 50,
+        b"a" * 37,  # overlapping match (offset < length)
+        bytes(range(256)) * 4,  # no matches
+    ]
+
+    def test_lz4_round_trip(self):
+        from cassandra_pmem_spark.pipeline.compression import (
+            lz4_block_compress,
+            lz4_block_decompress,
+        )
+
+        for c in self.CASES:
+            assert lz4_block_decompress(lz4_block_compress(c), len(c)) == c
+
+    def test_snappy_round_trip(self):
+        from cassandra_pmem_spark.pipeline.compression import (
+            snappy_compress,
+            snappy_decompress,
+        )
+
+        for c in self.CASES:
+            assert snappy_decompress(snappy_compress(c)) == c
+
+    def test_lz4_end_of_block_rules(self):
+        """T.81-style conformance: final sequence is literals-only and
+        the last 5 bytes are never produced by a match — decode any
+        compressed output byte-for-byte and confirm the tail bytes
+        arrive as literals."""
+        from cassandra_pmem_spark.pipeline.compression import (
+            lz4_block_compress,
+        )
+
+        src = b"ababababababababababababababab"  # highly matchable
+        comp = lz4_block_compress(src)
+
+        def read_ext(i):  # linear-extension byte run
+            v = 0
+            while comp[i] == 255:
+                v += 255
+                i += 1
+            return v + comp[i], i + 1
+
+        # walk to the final sequence: its token must have match nibble 0
+        i = 0
+        last_token = None
+        while i < len(comp):
+            token = comp[i]
+            last_token = token
+            i += 1
+            ll = token >> 4
+            if ll == 15:
+                ext, i = read_ext(i)
+                ll += ext
+            i += ll
+            if i >= len(comp):
+                break  # literals-only final sequence
+            i += 2  # offset
+            if token & 15 == 15:
+                _, i = read_ext(i)
+        assert last_token & 0x0F == 0, "final sequence has a match"
+
+    def test_hypothesis_round_trips(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from cassandra_pmem_spark.pipeline.compression import (
+            compress_blob,
+            decompress_blob,
+        )
+
+        @settings(max_examples=60, deadline=None)
+        @given(
+            st.binary(max_size=3000),
+            st.sampled_from(["lz4", "snappy", "deflate"]),
+        )
+        def check(data, algo):
+            assert decompress_blob(compress_blob(data, algo, 512)) == data
+
+        check()
+
+    def test_container_multi_chunk_and_info(self):
+        from cassandra_pmem_spark.pipeline.compression import (
+            blob_info,
+            compress_blob,
+            decompress_blob,
+        )
+
+        data = b"the quick brown fox jumps " * 800  # ~20 KB
+        blob = compress_blob(data, "lz4", 4096)
+        algo, cl, total, nch = blob_info(blob)
+        assert (algo, cl, total, nch) == ("lz4", 4096, len(data), 6)
+        assert decompress_blob(blob) == data
+        assert len(blob) < len(data) / 3  # repetitive text must shrink
+
+    def test_crc_corruption_detected(self):
+        from cassandra_pmem_spark.pipeline.compression import (
+            CorruptChunk,
+            compress_blob,
+            decompress_blob,
+        )
+
+        blob = bytearray(compress_blob(b"x" * 5000, "deflate", 1024))
+        blob[25] ^= 0x40  # flip a bit inside a compressed chunk
+        with pytest.raises(CorruptChunk):
+            decompress_blob(bytes(blob))
+
+    def test_snappy_decodes_copy1_and_copy4(self):
+        """Decoder must accept element kinds our encoder never emits."""
+        from cassandra_pmem_spark.pipeline.compression import (
+            snappy_decompress,
+        )
+
+        # literal 'abcd', then copy-1: len 4, offset 4
+        raw = bytes([8, (3 << 2) | 0]) + b"abcd" + bytes([((4 - 4) << 2) | 1 | 0, 4])
+        assert snappy_decompress(raw) == b"abcdabcd"
+        # literal 'ab', copy-4: len 2, offset 2 (4-byte LE)
+        raw4 = (
+            bytes([4, (1 << 2) | 0])
+            + b"ab"
+            + bytes([((2 - 1) << 2) | 3])
+            + (2).to_bytes(4, "little")
+        )
+        assert snappy_decompress(raw4) == b"abab"
