@@ -784,3 +784,72 @@ def extract_audio_features(media: DataFrame, fake_decode: bool = True) -> DataFr
             yield pd.DataFrame(rows, columns=["item_id", "n_samples", "rms", "zero_crossings"])
 
     return media.select("item_id", "data").mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+AVI_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("t_ms", T.LongType()),
+        T.StructField("fps_rate", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("min_px", T.LongType()),
+        T.StructField("max_px", T.LongType()),
+    ]
+)
+
+
+def avi_frames_stage(media: DataFrame, size: int = 16) -> DataFrame:
+    """REAL compressed-video decode: each item deterministically becomes
+    an MJPEG AVI (pipeline/avi.py — RIFF walk + per-frame baseline JPEG
+    through pipeline/jpeg.py, idx1 cross-checked): n = L%5+2 frames of
+    the uniform even value ((L*5 + i*7) % 128)*2 at rate ∈ {5, 8, 10}
+    fps (L%3), and the decoder walks the container and entropy-decodes
+    every frame. Uniform even blocks round-trip the lossy codec
+    BIT-EXACTLY (jpeg.py docstring), so min_px == max_px == the
+    construction value and the oracle can recompute every row; t_ms is
+    the frame timestamp scale*1000*i/rate (integral for these rates).
+    Zero-shuffle mapInPandas — frames never leave the scanning
+    executor."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from cassandra_pmem_spark.pipeline.avi import (
+            decode_avi_mjpeg,
+            encode_avi_mjpeg,
+        )
+
+        for pdf in batches:
+            rows = []
+            for item_id, data in zip(pdf["item_id"], pdf["data"]):
+                length = len(bytes(data or b""))
+                n = length % 5 + 2
+                rate = (5, 8, 10)[length % 3]
+                frames = [
+                    np.full(
+                        (size, size), ((length * 5 + i * 7) % 128) * 2, np.uint8
+                    )
+                    for i in range(n)
+                ]
+                blob = encode_avi_mjpeg(frames, rate=rate)
+                dec, (out_rate, out_scale), (w, h) = decode_avi_mjpeg(blob)
+                for i, frame in enumerate(dec):
+                    rows.append(
+                        (
+                            int(item_id),
+                            len(dec),
+                            i,
+                            i * 1000 * out_scale // out_rate,
+                            int(out_rate),
+                            int(w),
+                            int(h),
+                            int(frame.min()),
+                            int(frame.max()),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in AVI_FRAMES_SCHEMA])
+
+    return media.select("item_id", "data").mapInPandas(run, AVI_FRAMES_SCHEMA)

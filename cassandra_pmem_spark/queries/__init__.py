@@ -79,6 +79,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_connected_components",  # NEW this round (transitive closure)
     "text_decontaminate",  # NEW this round (benchmark n-gram overlap)
     "source_compressed_chunks",  # NEW this round (LZ4/Snappy/Deflate chunks)
+    "multimodal_video_mjpeg_avi",  # NEW this round (MJPEG-in-AVI decode)
     # -- (3) round-1-only evidence (three rounds stale)
     "cql_point_lookup",
     "cql_collection_access",

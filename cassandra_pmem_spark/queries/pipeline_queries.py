@@ -471,6 +471,47 @@ FROM f
 """
 
 
+def multimodal_video_mjpeg_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-video decode, oracle-checked: each document
+    deterministically becomes an MJPEG AVI (pipeline/avi.py — RIFF/AVI
+    container per the public spec with avih/strh/strf headers and an
+    idx1 index the decoder cross-checks; every frame a real baseline
+    JPEG through pipeline/jpeg.py's Huffman+IDCT), and the decoder
+    walks it back into timed frames. Uniform even frames round-trip the
+    lossy codec bit-exactly, so the oracle recomputes frame counts,
+    fps, timestamps, and exact pixel values from the construction — a
+    hash match proves the container walk AND the per-frame entropy
+    decode. Alongside GIF (palette video) and Y4M (raw video), this is
+    the DCT-compressed video modality."""
+    from cassandra_pmem_spark.pipeline.multimodal import avi_frames_stage
+
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "blob", F.col("text").cast("binary")
+    )
+    media = attach_media(docs, "blob", "video", "video/x-msvideo", "doc_id")
+    return avi_frames_stage(media)
+
+
+_AVI_FRAMES_ORACLE = """
+WITH f AS (
+  SELECT doc_id, octet_length(encode(text)) AS L,
+         unnest(range(0, octet_length(encode(text)) % 5 + 2)) AS i
+  FROM documents
+)
+SELECT doc_id AS item_id,
+  CAST(L % 5 + 2 AS BIGINT) AS n_frames,
+  CAST(i AS BIGINT) AS frame_idx,
+  CAST(i * 1000 // (CASE L % 3 WHEN 0 THEN 5 WHEN 1 THEN 8 ELSE 10 END)
+       AS BIGINT) AS t_ms,
+  CAST(CASE L % 3 WHEN 0 THEN 5 WHEN 1 THEN 8 ELSE 10 END AS INT) AS fps_rate,
+  CAST(16 AS INT) AS width,
+  CAST(16 AS INT) AS height,
+  CAST(((L * 5 + i * 7) % 128) * 2 AS BIGINT) AS min_px,
+  CAST(((L * 5 + i * 7) % 128) * 2 AS BIGINT) AS max_px
+FROM f
+"""
+
+
 def multimodal_audio_g711_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL compressed-audio decode, oracle-checked: deterministic G.711
     mu-law, G.711 A-law, and IMA ADPCM WAV files per document, decoded by
@@ -1793,6 +1834,7 @@ QUERIES = {
     ),
     "multimodal_audio_mp3_meta": (multimodal_audio_mp3_meta, _MP3_META_ORACLE),
     "multimodal_video_gif_frames": (multimodal_video_gif_frames, _GIF_FRAMES_ORACLE),
+    "multimodal_video_mjpeg_avi": (multimodal_video_mjpeg_avi, _AVI_FRAMES_ORACLE),
     "multimodal_video_mp4_samples": (multimodal_video_mp4_samples, _MP4_SAMPLES_ORACLE),
     "multimodal_audio_g711_adpcm": (multimodal_audio_g711_adpcm, _g711_oracle()),
     "multimodal_audio_flac": (multimodal_audio_flac, _FLAC_ORACLE),

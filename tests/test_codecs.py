@@ -1441,3 +1441,77 @@ class TestBlockCompression:
             + (2).to_bytes(4, "little")
         )
         assert snappy_decompress(raw4) == b"abab"
+
+
+class TestAviMjpeg:
+    """RIFF/AVI container + MJPEG frames through the real JPEG codec."""
+
+    def test_uniform_even_frames_bit_exact(self):
+        from cassandra_pmem_spark.pipeline.avi import (
+            decode_avi_mjpeg,
+            encode_avi_mjpeg,
+        )
+
+        frames = [
+            np.full((16, 16), ((37 * 5 + i * 7) % 128) * 2, np.uint8)
+            for i in range(4)
+        ]
+        dec, (rate, scale), (w, h) = decode_avi_mjpeg(
+            encode_avi_mjpeg(frames, rate=8)
+        )
+        assert (rate, scale, w, h, len(dec)) == (8, 1, 16, 16, 4)
+        for a, b in zip(frames, dec):
+            assert (a == b).all()
+
+    def test_lossy_frames_decode_to_right_shape(self):
+        from cassandra_pmem_spark.pipeline.avi import (
+            decode_avi_mjpeg,
+            encode_avi_mjpeg,
+        )
+
+        rng = _rng(3)
+        frames = [
+            rng.integers(0, 256, (24, 32), dtype=np.uint8) for _ in range(3)
+        ]
+        dec, _, (w, h) = decode_avi_mjpeg(encode_avi_mjpeg(frames, rate=5))
+        assert (w, h) == (32, 24)
+        assert [f.shape for f in dec] == [(24, 32)] * 3
+        # lossy but close: uniform-ish error bound on random noise is
+        # loose; just require the codec didn't collapse the signal
+        for a, b in zip(frames, dec):
+            assert abs(float(a.mean()) - float(b.mean())) < 16
+
+    def test_idx1_mismatch_rejected(self):
+        from cassandra_pmem_spark.pipeline.avi import (
+            decode_avi_mjpeg,
+            encode_avi_mjpeg,
+        )
+
+        avi = bytearray(
+            encode_avi_mjpeg([np.full((8, 8), 100, np.uint8)] * 2, rate=10)
+        )
+        pos = bytes(avi).rfind(b"idx1")
+        avi[pos + 16] ^= 1  # first entry's offset field
+        with pytest.raises(ValueError, match="idx1"):
+            decode_avi_mjpeg(bytes(avi))
+
+    def test_frame_count_cross_checked_against_avih(self):
+        from cassandra_pmem_spark.pipeline.avi import (
+            decode_avi_mjpeg,
+            encode_avi_mjpeg,
+        )
+
+        avi = bytearray(
+            encode_avi_mjpeg([np.full((8, 8), 100, np.uint8)] * 3, rate=10)
+        )
+        pos = bytes(avi).find(b"avih")
+        # dwTotalFrames sits 16 bytes into the avih payload
+        avi[pos + 8 + 16] = 9
+        with pytest.raises(ValueError, match="declares"):
+            decode_avi_mjpeg(bytes(avi))
+
+    def test_not_avi_rejected(self):
+        from cassandra_pmem_spark.pipeline.avi import decode_avi_mjpeg
+
+        with pytest.raises(ValueError, match="RIFF"):
+            decode_avi_mjpeg(b"RIFF\x04\x00\x00\x00WAVE")
