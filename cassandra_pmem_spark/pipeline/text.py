@@ -324,3 +324,69 @@ def analyzed_match(df: DataFrame, text_col: str, term: str) -> DataFrame:
     """SASI CONTAINS-mode search: rows whose analyzed token stream contains
     the analyzed term (Expression.Op.CONTAINS over StandardAnalyzer output)."""
     return df.filter(F.array_contains(standard_analyzer(text_col), term.lower()))
+
+
+def char_trigrams(col: Column | str) -> Column:
+    """Character trigrams of the normalized text (array<string>).
+    Pure expressions: substring over a position sequence — no UDF, no
+    explode until the caller wants one."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    n = F.length(s)
+    return F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2), lambda i: F.substring(s, i, 3)
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_lm_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Character-trigram language-model scoring — the CCNet/KenLM-style
+    perplexity quality signal: train P(c₃|c₁c₂) = n(c₁c₂c₃)/n(c₁c₂) on
+    the corpus itself, then score every document by its mean trigram
+    log-probability.
+
+    The 100 TB shape: the MODEL is tiny (char-trigram vocabulary is
+    bounded ≈ charset³) so both count tables aggregate down to a few
+    MB and broadcast back — the corpus is read in one pass for counts
+    and one pass for scoring, and no document-sized data ever shuffles
+    (only (doc_id, ±micro-log) pairs into the final per-doc sum).
+
+    Cross-engine exactness: each trigram's log₂-probability is rounded
+    to MICRO-LOG INTEGERS (×1e6) BEFORE aggregation, so the per-doc sum
+    is exact integer arithmetic — immune to float summation order,
+    which differs between Spark partitions and the DuckDB oracle. The
+    perplexity double is then derived from those exact integers with
+    one pow() per doc.
+
+    Returns (id_col, n_trigrams, sum_micro_log, ppl)."""
+    tris = df.select(
+        F.col(id_col), F.explode(char_trigrams(text_col)).alias("tri")
+    )
+    c3 = tris.groupBy("tri").agg(F.count("*").alias("n3"))
+    c2 = (
+        tris.select(F.substring("tri", 1, 2).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count("*").alias("n2"))
+    )
+    micro = F.round(
+        F.log2(F.col("n3").cast("double") / F.col("n2")) * 1e6
+    ).cast("long")
+    scored = (
+        tris.join(F.broadcast(c3), "tri")
+        .withColumn("bg", F.substring("tri", 1, 2))
+        .join(F.broadcast(c2), "bg")
+        .select(F.col(id_col), micro.alias("ml"))
+    )
+    n = F.count("*")
+    total = F.sum("ml")
+    return scored.groupBy(id_col).agg(
+        n.alias("n_trigrams"),
+        total.alias("sum_micro_log"),
+        F.round(
+            F.pow(F.lit(2.0), -total.cast("double") / (n * 1e6)), 4
+        ).alias("ppl"),
+    )

@@ -80,6 +80,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_decontaminate",  # NEW this round (benchmark n-gram overlap)
     "source_compressed_chunks",  # NEW this round (LZ4/Snappy/Deflate chunks)
     "multimodal_video_mjpeg_avi",  # NEW this round (MJPEG-in-AVI decode)
+    "text_ngram_lm_ppl",  # NEW this round (char-trigram LM perplexity)
     # -- (3) round-1-only evidence (three rounds stale)
     "cql_point_lookup",
     "cql_collection_access",

@@ -1542,6 +1542,44 @@ SELECT id AS doc_id, min(lbl) AS comp FROM reach GROUP BY id
 """
 
 
+def text_ngram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram LM perplexity scoring (pipeline/text.ngram_lm_scores
+    — the CCNet-style quality filter): the model trains on the corpus
+    itself, both count tables broadcast back, and per-doc scores
+    aggregate exact micro-log integers so float summation order cannot
+    skew either engine. The oracle rebuilds the identical model and
+    scores in DuckDB SQL."""
+    from cassandra_pmem_spark.pipeline.text import ngram_lm_scores
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return ngram_lm_scores(docs)
+
+
+_NGRAM_LM_ORACLE = f"""
+WITH normed AS (
+  SELECT doc_id, {_NORM_SQL} AS s FROM documents
+), t AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, greatest(length(s) - 2, 0) + 1),
+                          i -> substring(s, CAST(i AS INT), 3))) AS tri
+  FROM normed
+), c3 AS (
+  SELECT tri, count(*) AS n3 FROM t GROUP BY 1
+), c2 AS (
+  SELECT substring(tri, 1, 2) AS bg, count(*) AS n2 FROM t GROUP BY 1
+), s AS (
+  SELECT doc_id,
+    CAST(round(log2(CAST(n3 AS DOUBLE) / n2) * 1000000) AS BIGINT) AS ml
+  FROM t JOIN c3 USING (tri) JOIN c2 ON substring(t.tri, 1, 2) = c2.bg
+)
+SELECT doc_id,
+  count(*) AS n_trigrams,
+  CAST(sum(ml) AS BIGINT) AS sum_micro_log,
+  round(pow(2, -CAST(sum(ml) AS DOUBLE) / (count(*) * 1000000.0)), 4) AS ppl
+FROM s GROUP BY 1
+"""
+
+
 def source_compressed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL chunked block compression, oracle-checked
     (pipeline/compression.py — the reference's SSTable compression
@@ -1853,6 +1891,7 @@ QUERIES = {
     "dedup_connected_components": (dedup_connected_components, _CC_ORACLE),
     "text_decontaminate": (text_decontaminate, _DECONTAM_ORACLE),
     "source_compressed_chunks": (source_compressed_chunks, _COMPRESSED_ORACLE),
+    "text_ngram_lm_ppl": (text_ngram_lm_ppl, _NGRAM_LM_ORACLE),
     "text_sasi_analyzer": (text_sasi_analyzer, _SASI_ORACLE),
     "multimodal_frame_plan": (multimodal_frame_plan, _FRAME_PLAN_ORACLE),
 }
