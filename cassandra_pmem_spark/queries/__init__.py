@@ -81,6 +81,9 @@ _PRIORITY: tuple[str, ...] = (
     "source_compressed_chunks",  # NEW this round (LZ4/Snappy/Deflate chunks)
     "multimodal_video_mjpeg_avi",  # NEW this round (MJPEG-in-AVI decode)
     "text_ngram_lm_ppl",  # NEW this round (char-trigram LM perplexity)
+    # -- (2b) edited this round (full blobAsX/XAsBlob pair set) — must
+    # keep driver evidence ahead of stale-but-unedited rows
+    "cql_blob_conv",
     # -- (3) round-1-only evidence (three rounds stale)
     "cql_point_lookup",
     "cql_collection_access",
@@ -89,7 +92,6 @@ _PRIORITY: tuple[str, ...] = (
     "cql_like",
     "cql_time_fcts",
     "cql_cast_arithmetic",
-    "cql_blob_conv",
     "cql_upsert_lww_rows",
     "cql_global_agg",
     "cql_per_partition_limit",
