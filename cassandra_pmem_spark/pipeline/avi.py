@@ -97,11 +97,23 @@ def encode_avi_mjpeg(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def decode_avi_mjpeg(data: bytes):
+def decode_avi_mjpeg(data: bytes, max_pixels: int = 1 << 26):
     """Walk the RIFF tree, decode every video chunk through the real
     JPEG decoder, and cross-check the idx1 index.
 
+    max_pixels caps TOTAL decoded output across frames — hostile
+    headers must not size allocations (same decompression-bomb budget
+    as decode_gif). Low-level struct/index errors on truncated input
+    surface as ValueError, the Arrow-stage contract.
+
     Returns (frames, (rate, scale), (width, height))."""
+    try:
+        return _decode_avi_mjpeg(data, max_pixels)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"corrupt AVI stream: {e}") from e
+
+
+def _decode_avi_mjpeg(data: bytes, max_pixels: int):
     if not is_avi(data):
         raise ValueError("not a RIFF/AVI file")
     riff_len = struct.unpack_from("<I", data, 4)[0]
@@ -166,7 +178,20 @@ def decode_avi_mjpeg(data: bytes):
         got = [(off, len(j)) for off, j in chunks]
         if got != idx_entries:
             raise ValueError("idx1 index disagrees with movi chunks")
-    frames = [decode_jpeg(j) for _, j in chunks]
+    frames = []
+    budget = max_pixels
+    for _, j in chunks:
+        if budget <= 0:
+            raise ValueError(
+                f"decoded frames exceed the {max_pixels}-pixel budget"
+            )
+        # each frame draws on the SHARED remaining budget, so neither a
+        # single giant frame nor many small ones can overrun it
+        frame = decode_jpeg(j, max_pixels=budget)
+        budget -= frame.shape[0] * frame.shape[1] * (
+            frame.shape[2] if frame.ndim == 3 else 1
+        )
+        frames.append(frame)
     if total_frames is not None and total_frames != len(frames):
         raise ValueError(
             f"avih declares {total_frames} frames, movi holds {len(frames)}"

@@ -99,7 +99,16 @@ def lz4_block_compress(src: bytes) -> bytes:
 
 
 def lz4_block_decompress(src: bytes, out_size: int) -> bytes:
-    """LZ4 block decode (the format every LZ4 implementation emits)."""
+    """LZ4 block decode (the format every LZ4 implementation emits).
+    Output is bounded by out_size DURING decode; truncated or hostile
+    streams raise CorruptChunk."""
+    try:
+        return _lz4_block_decompress(src, out_size)
+    except IndexError as e:
+        raise CorruptChunk(f"truncated LZ4 block: {e}") from e
+
+
+def _lz4_block_decompress(src: bytes, out_size: int) -> bytes:
     out = bytearray()
     i, n = 0, len(src)
     while i < n:
@@ -117,6 +126,8 @@ def lz4_block_decompress(src: bytes, out_size: int) -> bytes:
             raise CorruptChunk("literal run past end of block")
         out += src[i : i + ll]
         i += ll
+        if len(out) > out_size:  # bound DURING decode: hostile runs must
+            raise CorruptChunk("output overruns declared size")
         if i >= n:
             break  # literals-only final sequence
         offset = src[i] | (src[i + 1] << 8)
@@ -132,6 +143,8 @@ def lz4_block_decompress(src: bytes, out_size: int) -> bytes:
                 if b != 255:
                     break
         ml += 4
+        if len(out) + ml > out_size:  # not allocate past the contract
+            raise CorruptChunk("match overruns declared size")
         start = len(out) - offset
         if offset >= ml:
             out += out[start : start + ml]
@@ -202,7 +215,15 @@ def snappy_compress(src: bytes) -> bytes:
 
 
 def snappy_decompress(src: bytes) -> bytes:
-    """Snappy raw decode, all four element kinds."""
+    """Snappy raw decode, all four element kinds. Truncated or hostile
+    streams raise CorruptChunk."""
+    try:
+        return _snappy_decompress(src)
+    except IndexError as e:
+        raise CorruptChunk(f"truncated snappy stream: {e}") from e
+
+
+def _snappy_decompress(src: bytes) -> bytes:
     # varint preamble
     out_size = 0
     shift = 0
@@ -214,6 +235,8 @@ def snappy_decompress(src: bytes) -> bytes:
         if not b & 0x80:
             break
         shift += 7
+        if shift > 63:
+            raise CorruptChunk("snappy length varint too long")
     out = bytearray()
     n = len(src)
     while i < n:
@@ -274,7 +297,15 @@ def _decompress_one(algo: int, comp: bytes, out_size: int) -> bytes:
     if algo == ALGO_SNAPPY:
         out = snappy_decompress(comp)
     elif algo == ALGO_DEFLATE:
-        out = zlib.decompress(comp)
+        try:
+            # bound inflation at the declared size: a deflate bomb must
+            # not expand past the contract (+1 detects overrun cheaply)
+            d = zlib.decompressobj()
+            out = d.decompress(comp, out_size + 1)
+        except zlib.error as e:
+            raise CorruptChunk(f"bad deflate stream: {e}") from e
+        if len(out) > out_size or d.unconsumed_tail:
+            raise CorruptChunk("deflate output overruns declared size")
     else:
         raise ValueError(f"unknown algo {algo}")
     if len(out) != out_size:
@@ -313,11 +344,29 @@ def blob_info(data: bytes) -> tuple[str, int, int, int]:
     return ALGO_NAMES[aid], chunk_length, total, int(n_chunks)
 
 
-def decompress_blob(data: bytes) -> bytes:
-    """Unpack a compress_blob cell, verifying every chunk CRC."""
+def decompress_blob(data: bytes, max_output: int = 1 << 28) -> bytes:
+    """Unpack a compress_blob cell, verifying every chunk CRC.
+
+    max_output bounds the declared total BEFORE any allocation — a
+    hostile header claiming 2^63 bytes must not size a buffer
+    (decompression-bomb budget); a zero chunk_length is rejected for
+    the same reason (it would never drain `remaining`)."""
+    try:
+        return _decompress_blob(data, max_output)
+    except (struct.error, IndexError) as e:
+        raise CorruptChunk(f"truncated container: {e}") from e
+
+
+def _decompress_blob(data: bytes, max_output: int) -> bytes:
     if data[:4] != MAGIC:
         raise CorruptChunk("bad magic")
     aid, chunk_length, total = struct.unpack_from("<BIQ", data, 4)
+    if chunk_length <= 0:
+        raise CorruptChunk("zero chunk length")
+    if total > max_output:
+        raise CorruptChunk(
+            f"declared size {total} exceeds the {max_output}-byte budget"
+        )
     i = 17
     out = bytearray()
     remaining = total

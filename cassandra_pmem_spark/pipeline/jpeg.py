@@ -923,13 +923,16 @@ def _decode_scan(
 
 
 @_corrupt_guard("JPEG")
-def decode_jpeg(data: bytes) -> np.ndarray:
+def decode_jpeg(data: bytes, max_pixels: int = 1 << 26) -> np.ndarray:
     """JPEG → uint8 (h, w) for 1-component streams, (h, w, 3) RGB for
     3-component YCbCr (any integer sampling ratio — 4:4:4, 4:2:2, 4:2:0).
     Baseline sequential (SOF0) AND progressive (SOF2: spectral selection +
     successive approximation, multi-scan), 8-bit, restart intervals
     honored (arithmetic coding / hierarchical / CMYK raise
-    NotImplementedError)."""
+    NotImplementedError). max_pixels caps h×w×components BEFORE any
+    plane allocation — a hostile SOF claiming 65535×65535 must not
+    size a ~4 GB buffer (decompression-bomb budget, same contract as
+    decode_gif)."""
     if not is_jpeg(data):
         raise ValueError("not a JPEG (bad SOI)")
     pos = 2
@@ -984,6 +987,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if ncomp not in (1, 3):
                 raise NotImplementedError(
                     f"{ncomp}-component JPEG not supported (1=gray, 3=YCbCr)"
+                )
+            if h * w * ncomp > max_pixels:
+                raise ValueError(
+                    f"JPEG {w}x{h}x{ncomp} exceeds the "
+                    f"{max_pixels}-pixel decode budget"
                 )
             comps = [
                 [payload[6 + 3 * i], payload[7 + 3 * i] >> 4,

@@ -1515,3 +1515,75 @@ class TestAviMjpeg:
 
         with pytest.raises(ValueError, match="RIFF"):
             decode_avi_mjpeg(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+class TestNewDecoderRobustness:
+    """AVI and compression-container decoders: same termination/budget
+    contract as TestDecoderRobustness."""
+
+    def _fuzz(self, fn, magic, trials=120, seed=0):
+        rng = _rng(seed)
+        for _ in range(trials):
+            n = int(rng.integers(1, 300))
+            payload = magic + rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+            try:
+                fn(payload)
+            except (ValueError, NotImplementedError, EOFError):
+                pass
+
+    def test_avi_fuzz(self):
+        from cassandra_pmem_spark.pipeline.avi import decode_avi_mjpeg
+
+        self._fuzz(decode_avi_mjpeg, b"RIFF\xff\xff\x00\x00AVI ", seed=11)
+
+    def test_blob_fuzz(self):
+        from cassandra_pmem_spark.pipeline.compression import (
+            decompress_blob,
+            lz4_block_decompress,
+            snappy_decompress,
+        )
+
+        self._fuzz(decompress_blob, b"CPMC", seed=12)
+        self._fuzz(lambda d: lz4_block_decompress(d, 4096), b"", seed=13)
+        self._fuzz(snappy_decompress, b"", seed=14)
+
+    def test_blob_declared_size_bomb_guard(self):
+        import struct as _s
+
+        from cassandra_pmem_spark.pipeline.compression import (
+            CorruptChunk,
+            decompress_blob,
+        )
+
+        bomb = b"CPMC" + _s.pack("<BIQ", 1, 16384, 1 << 62)
+        with pytest.raises(CorruptChunk, match="budget"):
+            decompress_blob(bomb)
+        zero_chunk = b"CPMC" + _s.pack("<BIQ", 1, 0, 100)
+        with pytest.raises(CorruptChunk, match="zero chunk"):
+            decompress_blob(zero_chunk)
+
+    def test_jpeg_sof_bomb_guard(self):
+        from cassandra_pmem_spark.pipeline.jpeg import decode_jpeg
+
+        # SOI + SOF0 claiming 65535x65535 grayscale
+        sof = (
+            b"\xff\xd8"
+            + b"\xff\xc0\x00\x0b\x08\xff\xff\xff\xff\x01\x01\x11\x00"
+        )
+        with pytest.raises(ValueError, match="budget"):
+            decode_jpeg(sof)
+
+    def test_avi_shared_frame_budget(self):
+        import numpy as np
+
+        from cassandra_pmem_spark.pipeline.avi import (
+            decode_avi_mjpeg,
+            encode_avi_mjpeg,
+        )
+
+        avi = encode_avi_mjpeg(
+            [np.full((64, 64), 100, np.uint8)] * 4, rate=10
+        )
+        with pytest.raises(ValueError, match="budget"):
+            decode_avi_mjpeg(avi, max_pixels=3 * 64 * 64)
+        assert len(decode_avi_mjpeg(avi, max_pixels=4 * 64 * 64)[0]) == 4
