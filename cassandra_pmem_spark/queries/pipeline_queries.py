@@ -1542,6 +1542,33 @@ SELECT id AS doc_id, min(lbl) AS comp FROM reach GROUP BY id
 """
 
 
+def source_tar_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset tar-shard round trip, oracle-checked (sources/tar.py
+    — the POSIX ustar layout written and walked from the raw spec with
+    header checksums verified; stdlib tarfile cross-validates the
+    writer in unit tests): each Arrow batch becomes one shard with
+    three members per document, parsed back and regrouped by sample
+    key. The oracle recomputes keys, member counts, byte lengths, and
+    the md5 of the .txt member — a hash match proves the archive
+    round trip byte-exact. This is THE container multimodal training
+    corpora ship in (shard-sequential reads, no central index)."""
+    from cassandra_pmem_spark.sources.tar import webdataset_stage
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return webdataset_stage(docs)
+
+
+_WEBDATASET_ORACLE = """
+SELECT doc_id,
+  lpad(CAST(doc_id AS VARCHAR), 12, '0') AS sample_key,
+  CAST(3 AS BIGINT) AS n_members,
+  CAST(octet_length(encode(text)) AS BIGINT) AS txt_bytes,
+  md5(text) AS txt_md5,
+  doc_id % 10 AS cls_val
+FROM documents
+"""
+
+
 def text_ngram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-trigram LM perplexity scoring (pipeline/text.ngram_lm_scores
     — the CCNet-style quality filter): the model trains on the corpus
@@ -1892,6 +1919,7 @@ QUERIES = {
     "text_decontaminate": (text_decontaminate, _DECONTAM_ORACLE),
     "source_compressed_chunks": (source_compressed_chunks, _COMPRESSED_ORACLE),
     "text_ngram_lm_ppl": (text_ngram_lm_ppl, _NGRAM_LM_ORACLE),
+    "source_tar_webdataset": (source_tar_webdataset, _WEBDATASET_ORACLE),
     "text_sasi_analyzer": (text_sasi_analyzer, _SASI_ORACLE),
     "multimodal_frame_plan": (multimodal_frame_plan, _FRAME_PLAN_ORACLE),
 }

@@ -1587,3 +1587,67 @@ class TestNewDecoderRobustness:
         with pytest.raises(ValueError, match="budget"):
             decode_avi_mjpeg(avi, max_pixels=3 * 64 * 64)
         assert len(decode_avi_mjpeg(avi, max_pixels=4 * 64 * 64)[0]) == 4
+
+
+class TestTarWebdataset:
+    def test_writer_is_stdlib_readable(self):
+        """Spec-validity proof: Python's tarfile must read our shards."""
+        import io
+        import tarfile
+
+        from cassandra_pmem_spark.sources.tar import build_tar
+
+        t = build_tar([("a.txt", b"hello"), ("b.bin", b"\x00\xff" * 400)])
+        tf = tarfile.open(fileobj=io.BytesIO(t))
+        assert {m.name for m in tf.getmembers()} == {"a.txt", "b.bin"}
+        assert tf.extractfile("b.bin").read() == b"\x00\xff" * 400
+
+    def test_reader_reads_stdlib_output(self):
+        """And the converse: our walker must read tarfile's output."""
+        import io
+        import tarfile
+
+        from cassandra_pmem_spark.sources.tar import parse_tar
+
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+            for name, data in [("x.txt", b"abc"), ("y.json", b"{}")]:
+                info = tarfile.TarInfo(name)
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+        got = dict(parse_tar(buf.getvalue()))
+        assert got == {"x.txt": b"abc", "y.json": b"{}"}
+
+    def test_round_trip_and_grouping(self):
+        from cassandra_pmem_spark.sources.tar import (
+            build_tar,
+            group_samples,
+            parse_tar,
+        )
+
+        members = [
+            ("000001.txt", b"t1"),
+            ("000001.json", b"{}"),
+            ("000002.txt", b"t2"),
+            ("dir/000002.cls", b"7"),
+        ]
+        g = group_samples(parse_tar(build_tar(members)))
+        assert g["000001"] == {"txt": b"t1", "json": b"{}"}
+        assert g["000002"] == {"txt": b"t2", "cls": b"7"}
+
+    def test_checksum_mismatch_rejected(self):
+        from cassandra_pmem_spark.sources.tar import build_tar, parse_tar
+
+        t = bytearray(build_tar([("a.txt", b"hello")]))
+        t[0] ^= 1  # damage the name; checksum now wrong
+        with pytest.raises(ValueError, match="checksum"):
+            parse_tar(bytes(t))
+
+    def test_truncation_and_budget(self):
+        from cassandra_pmem_spark.sources.tar import build_tar, parse_tar
+
+        t = build_tar([("a.txt", b"x" * 5000)])
+        with pytest.raises(ValueError, match="truncated|terminator"):
+            parse_tar(t[: 512 + 100])
+        with pytest.raises(ValueError, match="budget"):
+            parse_tar(t, max_output=1000)
