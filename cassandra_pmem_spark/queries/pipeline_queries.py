@@ -1542,6 +1542,48 @@ SELECT id AS doc_id, min(lbl) AS comp FROM reach GROUP BY id
 """
 
 
+def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantized ANN (pipeline/quantization.py): one global
+    max-abs scale trains on the corpus, both sides quantize to
+    [-127,127], and ranking is by EXACT int64 dot products — fully
+    deterministic, so the oracle reproduces every score bit for bit
+    with DuckDB list arithmetic (not a float-tolerance check). Queries
+    are the first 8 corpus vectors; k=10."""
+    from cassandra_pmem_spark.pipeline.quantization import sq8_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sq8_topk(emb, queries, k=10)
+
+
+_SQ8_ORACLE = """
+WITH s AS (
+  SELECT max(list_max(list_transform(embedding, x -> abs(x)))) AS scale
+  FROM embeddings
+), c AS (
+  SELECT vec_id,
+    list_transform(embedding,
+                   x -> CAST(round(x / scale * 127) AS INT)) AS codes
+  FROM embeddings, s
+), q AS (
+  SELECT vec_id AS query_id, codes AS qcodes FROM c WHERE vec_id < 8
+), scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+    CAST(list_sum(list_transform(range(1, len(c.codes) + 1),
+         i -> CAST(c.codes[i] AS BIGINT) * q.qcodes[i])) AS BIGINT) AS score
+  FROM c, q
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score
+FROM ranked WHERE rank <= 10
+"""
+
+
 def source_tar_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebDataset tar-shard round trip, oracle-checked (sources/tar.py
     — the POSIX ustar layout written and walked from the raw spec with
@@ -1920,6 +1962,7 @@ QUERIES = {
     "source_compressed_chunks": (source_compressed_chunks, _COMPRESSED_ORACLE),
     "text_ngram_lm_ppl": (text_ngram_lm_ppl, _NGRAM_LM_ORACLE),
     "source_tar_webdataset": (source_tar_webdataset, _WEBDATASET_ORACLE),
+    "sim_sq8_topk": (sim_sq8_topk, _SQ8_ORACLE),
     "text_sasi_analyzer": (text_sasi_analyzer, _SASI_ORACLE),
     "multimodal_frame_plan": (multimodal_frame_plan, _FRAME_PLAN_ORACLE),
 }

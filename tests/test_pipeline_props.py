@@ -1001,3 +1001,56 @@ class TestNgramLmScores:
             ngram_lm_scores(docs)._jdf.queryExecution().executedPlan().toString()
         )
         assert plan.count("BroadcastHashJoin") >= 2
+
+
+class TestSq8Quantization:
+    def test_recall_vs_bruteforce(self, spark):
+        """Int8 quantization of unit-ish embeddings must preserve the
+        cosine ranking almost perfectly (64-dim, scale on max|x|)."""
+        from cassandra_pmem_spark.pipeline.quantization import sq8_topk
+
+        emb = load_table(spark, "embeddings", SF_SMALL)
+        queries = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        exact = {
+            (r["query_id"], r["neighbor_id"])
+            for r in brute_force_topk(emb, queries, k=5).collect()
+        }
+        quant = {
+            (r["query_id"], r["neighbor_id"])
+            for r in sq8_topk(emb, queries, k=5).collect()
+        }
+        recall = len(exact & quant) / len(exact)
+        assert recall >= 0.9, f"SQ8 recall {recall:.2f}"
+
+    def test_codes_bounded_and_integer(self, spark):
+        from cassandra_pmem_spark.pipeline.quantization import (
+            corpus_scale,
+            sq8_codes,
+        )
+
+        emb = load_table(spark, "embeddings", SF_SMALL)
+        codes = sq8_codes(emb, corpus_scale(emb))
+        mx = codes.select(
+            F.max(F.array_max("codes")).alias("hi"),
+            F.min(F.array_min("codes")).alias("lo"),
+        ).collect()[0]
+        assert -127 <= mx["lo"] and mx["hi"] <= 127
+        # at least one component must hit the rail (it defined the scale)
+        assert mx["hi"] == 127 or mx["lo"] == -127
+
+    def test_self_match_ranks_first(self, spark):
+        from cassandra_pmem_spark.pipeline.quantization import sq8_topk
+
+        emb = load_table(spark, "embeddings", SF_SMALL)
+        queries = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        top1 = {
+            r["query_id"]: r["neighbor_id"]
+            for r in sq8_topk(emb, queries, k=1).collect()
+        }
+        # integer dot of a vector with itself maximizes among near-unit
+        # vectors — the query must retrieve itself
+        assert all(q == n for q, n in top1.items())
