@@ -83,6 +83,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_ngram_lm_ppl",  # NEW this round (char-trigram LM perplexity)
     "source_tar_webdataset",  # NEW this round (ustar/WebDataset shards)
     "sim_sq8_topk",  # NEW this round (int8-quantized ANN, integer-exact)
+    "sim_pq_adc_topk",  # NEW this round (product quantization + ADC)
     # -- (2b) edited this round (full blobAsX/XAsBlob pair set) — must
     # keep driver evidence ahead of stale-but-unedited rows
     "cql_blob_conv",

@@ -1584,6 +1584,64 @@ FROM ranked WHERE rank <= 10
 """
 
 
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization + ADC retrieval, integer-exact
+    (pipeline/quantization.pq_adc_topk): SQ8-quantize with one
+    corpus-trained scale, build 8 codebooks from the subvectors of the
+    first 16 corpus vectors (the anchored-quantizer construction), store
+    m=8 PQ codes per vector, and score queries by table lookups — every
+    number an int64, so the oracle recomputes assignment, tables, and
+    ranks exactly with nested DuckDB list lambdas. Queries are the
+    first 5 corpus vectors; k=10."""
+    from cassandra_pmem_spark.pipeline.quantization import pq_adc_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_adc_topk(emb, queries, k=10)
+
+
+_PQ_DIST = (
+    "list_transform(range(0, 16), c -> "
+    "list_sum(list_transform(range(1, 9), i -> "
+    "(xi[j*8 + i] - A[c + 1][j*8 + i]) * (xi[j*8 + i] - A[c + 1][j*8 + i]))))"
+)
+
+_PQ_ADC_ORACLE = f"""
+WITH s AS (
+  SELECT max(list_max(list_transform(embedding, x -> abs(x)))) AS scale
+  FROM embeddings
+), ic AS (
+  SELECT vec_id,
+    list_transform(embedding,
+                   x -> CAST(round(x / scale * 127) AS BIGINT)) AS xi
+  FROM embeddings, s
+), anch AS (
+  SELECT list(xi ORDER BY vec_id) AS A FROM ic WHERE vec_id < 16
+), codes AS (
+  SELECT vec_id,
+    list_transform(range(0, 8), j ->
+      list_indexof({_PQ_DIST}, list_min({_PQ_DIST})) - 1) AS pq
+  FROM ic, anch
+), q AS (
+  SELECT vec_id AS query_id, xi AS qi FROM ic WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, codes.vec_id AS neighbor_id,
+    CAST(list_sum(list_transform(range(0, 8), j ->
+      list_sum(list_transform(range(1, 9), i ->
+        q.qi[j*8 + i] * A[pq[j + 1] + 1][j*8 + i])))) AS BIGINT) AS score
+  FROM codes, q, anch
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score
+FROM ranked WHERE rank <= 10
+"""
+
+
 def source_tar_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebDataset tar-shard round trip, oracle-checked (sources/tar.py
     — the POSIX ustar layout written and walked from the raw spec with
@@ -1963,6 +2021,7 @@ QUERIES = {
     "text_ngram_lm_ppl": (text_ngram_lm_ppl, _NGRAM_LM_ORACLE),
     "source_tar_webdataset": (source_tar_webdataset, _WEBDATASET_ORACLE),
     "sim_sq8_topk": (sim_sq8_topk, _SQ8_ORACLE),
+    "sim_pq_adc_topk": (sim_pq_adc_topk, _PQ_ADC_ORACLE),
     "text_sasi_analyzer": (text_sasi_analyzer, _SASI_ORACLE),
     "multimodal_frame_plan": (multimodal_frame_plan, _FRAME_PLAN_ORACLE),
 }

