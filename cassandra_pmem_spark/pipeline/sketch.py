@@ -176,3 +176,51 @@ def hll_merge(*register_frames: DataFrame) -> DataFrame:
     for other in register_frames[1:]:
         out = out.unionByName(other)
     return out.groupBy("bucket").agg(F.max("register").alias("register"))
+
+
+def countmin_build(
+    df: DataFrame, key_col: str, width: int = 512, depth: int = 4
+) -> DataFrame:
+    """Deterministic Count-Min sketch over ``key_col`` (bigint) → a
+    (row, pos, cnt) cell frame.
+
+    The frequency-estimation sibling of the HLL/Bloom sketches above —
+    the structure a planner consults for JOIN-SKEW detection (estimate
+    any key's frequency in O(depth) lookups, without a groupBy over
+    every key) and the one that merges across shards by cell-wise ADD.
+    Positions come from the same Kirsch-Mitzenmacher double hashing on
+    the bit-exact Murmur3 token as `bloom_build`, so the cells are a
+    pure function of the key multiset and rebuild identically in the
+    DuckDB oracle. Estimates are one-sided: est(key) ≥ true(key), with
+    overshoot ≤ e·N/width at probability 1−e^-depth.
+
+    One shuffle over at most width·depth cells with map-side partial
+    counts — sketch size is fixed regardless of input."""
+    w = int(width)
+    token = murmur3_token_column_once(F.col(key_col))
+    u = F.pmod(token, F.lit(_U_MOD))
+    h1 = F.pmod(u, F.lit(w))
+    h2 = F.pmod(F.floor(u / F.lit(w)), F.lit(w))
+    staged = df.select(
+        F.posexplode(
+            F.array(*[F.pmod(h1 + F.lit(i) * h2, F.lit(w)) for i in range(depth)])
+        ).alias("row", "pos")
+    )
+    return staged.groupBy("row", "pos").agg(F.count("*").alias("cnt"))
+
+
+def countmin_estimate(
+    cells: dict[tuple[int, int], int],
+    key: int,
+    width: int = 512,
+    depth: int = 4,
+) -> int:
+    """Point frequency estimate from a {(row, pos): cnt} dict."""
+    from cassandra_pmem_spark.functions.murmur3 import murmur3_token_py
+
+    u = murmur3_token_py(int(key)) % _U_MOD
+    h1 = u % width
+    h2 = (u // width) % width
+    return min(
+        cells.get((i, (h1 + i * h2) % width), 0) for i in range(depth)
+    )

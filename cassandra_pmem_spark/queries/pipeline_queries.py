@@ -891,6 +891,37 @@ FROM t GROUP BY bucket
 """
 
 
+def sketch_countmin_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Count-Min sketch over orders.o_custkey
+    (pipeline/sketch.countmin_build — the frequency/heavy-hitter
+    sibling of the HLL and Bloom sketches, the structure join-skew
+    detection consults): cells are a pure function of the key multiset
+    through the bit-exact Murmur3 token + Kirsch-Mitzenmacher double
+    hashing, so the DuckDB oracle rebuilds the IDENTICAL (row, pos,
+    cnt) cells — cross-engine mergeable by cell-wise add."""
+    from cassandra_pmem_spark.pipeline.sketch import countmin_build
+
+    orders = load_table(spark, "orders", sf_dir)
+    return countmin_build(orders, "o_custkey", width=512, depth=4)
+
+
+def _countmin_oracle(width: int = 512, depth: int = 4) -> str:
+    from cassandra_pmem_spark.functions.murmur3 import murmur3_token_subquery
+
+    sub = murmur3_token_subquery("orders", "o_custkey", ["o_custkey"])
+    u = f"(((token % {1 << 52}) + {1 << 52}) % {1 << 52})"
+    return f"""
+WITH h AS (
+  SELECT {u} % {width} AS h1, ({u} // {width}) % {width} AS h2 FROM {sub}
+), cells AS (
+  SELECT CAST(r.range AS INT) AS row,
+         CAST((h1 + r.range * h2) % {width} AS BIGINT) AS pos
+  FROM h, range(0, {depth}) r
+)
+SELECT row, pos, count(*) AS cnt FROM cells GROUP BY 1, 2
+"""
+
+
 def multimodal_video_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL uncompressed-video frame walk, oracle-checked
     (pipeline/codecs.py encode_y4m/decode_y4m — YUV4MPEG2): timed frames
@@ -2007,6 +2038,7 @@ QUERIES = {
     "text_html_extract": (text_html_extract, _HTML_ORACLE),
     "text_repetition_signals": (text_repetition_signals, _REPETITION_ORACLE),
     "sketch_hll_registers": (sketch_hll_registers, _hll_oracle()),
+    "sketch_countmin_cells": (sketch_countmin_cells, _countmin_oracle()),
     "text_bm25_scores": (text_bm25_scores, _bm25_oracle()),
     "sketch_bloom_words": (sketch_bloom_words, _bloom_oracle()),
     "multimodal_video_y4m_frames": (multimodal_video_y4m_frames, _Y4M_FRAMES_ORACLE),

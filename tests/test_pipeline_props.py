@@ -1099,3 +1099,57 @@ class TestPqAdc:
             scores = [r["score"] for r in sorted(rs, key=lambda r: r["rank"])]
             assert scores == sorted(scores, reverse=True)
             assert len(rs) == 5
+
+
+class TestCountMinSketch:
+    def test_one_sided_error_and_accuracy(self, spark):
+        """est(key) >= true(key) for EVERY key (Count-Min never
+        undercounts), and overshoot stays within the e*N/width bound
+        for most keys."""
+        from cassandra_pmem_spark.pipeline.sketch import (
+            countmin_build,
+            countmin_estimate,
+        )
+
+        orders = load_table(spark, "orders", SF_SMALL)
+        cells = {
+            (r["row"], r["pos"]): r["cnt"]
+            for r in countmin_build(orders, "o_custkey").collect()
+        }
+        true = {
+            r["o_custkey"]: r["n"]
+            for r in orders.groupBy("o_custkey").agg(F.count("*").alias("n")).collect()
+        }
+        n_total = sum(true.values())
+        bound = 2.72 * n_total / 512
+        overshoots = []
+        for key, t in true.items():
+            est = countmin_estimate(cells, key)
+            assert est >= t, f"undercount for {key}: {est} < {t}"
+            overshoots.append(est - t)
+        within = sum(1 for o in overshoots if o <= bound) / len(overshoots)
+        assert within >= 0.95, f"only {within:.0%} within the CM bound"
+
+    def test_shard_merge_is_cellwise_add(self, spark):
+        """Sketching shards independently then adding cells must equal
+        sketching the union — the cross-engine merge contract."""
+        import pandas as pd
+
+        from cassandra_pmem_spark.pipeline.sketch import countmin_build
+
+        orders = load_table(spark, "orders", SF_SMALL)
+        a = orders.filter(F.col("o_orderkey") % 2 == 0)
+        b = orders.filter(F.col("o_orderkey") % 2 == 1)
+
+        def cells(df):
+            return {
+                (r["row"], r["pos"]): r["cnt"]
+                for r in countmin_build(df, "o_custkey").collect()
+            }
+
+        ca, cb, cu = cells(a), cells(b), cells(orders)
+        merged = {}
+        for d in (ca, cb):
+            for k, v in d.items():
+                merged[k] = merged.get(k, 0) + v
+        assert merged == cu
