@@ -224,3 +224,59 @@ def countmin_estimate(
     return min(
         cells.get((i, (h1 + i * h2) % width), 0) for i in range(depth)
     )
+
+
+def histogram_bins(
+    df: DataFrame, value_col: str, bins: int = 64
+) -> DataFrame:
+    """Deterministic equi-width histogram over ``value_col`` → a
+    (bin, cnt) frame plus the global [lo, hi] carried on every row.
+
+    The quantile sibling of the sketches above: Spark's
+    `approx_percentile` and DuckDB's quantile sketches use different
+    internal summaries and cannot be compared or merged across engines,
+    but an equi-width histogram with data-derived bounds is a pure
+    function of the value multiset — same cells everywhere, mergeable
+    by cell-wise add when bounds agree, and `histogram_quantile`
+    interpolates any percentile from it with bounded error (hi−lo)/bins.
+
+    Both engines compute bin = floor((x−lo)/(hi−lo)·bins) with the same
+    IEEE double operations in the same order, so even edge-of-bin
+    values land identically. Plan: one tiny min/max aggregate broadcast
+    back, then one shuffle over ≤ bins cells with map-side partial
+    counts."""
+    b = int(bins)
+    bounds = F.broadcast(
+        df.agg(
+            F.min(value_col).alias("__lo"), F.max(value_col).alias("__hi")
+        )
+    )
+    x = F.col(value_col)
+    raw = F.floor((x - F.col("__lo")) / (F.col("__hi") - F.col("__lo")) * b)
+    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(b - 1)).cast("long")
+    return (
+        df.crossJoin(bounds)
+        .select(bin_.alias("bin"), "__lo", "__hi")
+        .groupBy("bin", "__lo", "__hi")
+        .agg(F.count("*").alias("cnt"))
+        .select("bin", "cnt", F.col("__lo").alias("lo"), F.col("__hi").alias("hi"))
+    )
+
+
+def histogram_quantile(
+    cells: list[tuple[int, int]], lo: float, hi: float, q: float, bins: int = 64
+) -> float:
+    """Linear-interpolated quantile from (bin, cnt) cells; error is
+    bounded by one bin width."""
+    counts = dict(cells)
+    total = sum(counts.values())
+    target = q * total
+    run = 0.0
+    width = (hi - lo) / bins
+    for b in range(bins):
+        c = counts.get(b, 0)
+        if run + c >= target and c > 0:
+            frac = (target - run) / c
+            return lo + (b + frac) * width
+        run += c
+    return hi

@@ -922,6 +922,31 @@ SELECT row, pos, count(*) AS cnt FROM cells GROUP BY 1, 2
 """
 
 
+def sketch_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic equi-width histogram over events.value
+    (pipeline/sketch.histogram_bins — the quantile sibling of the
+    HLL/Bloom/Count-Min sketches; engine-native approx-percentile
+    summaries can't be compared or merged cross-engine, this one can):
+    both engines compute bin = floor((x−lo)/(hi−lo)·64) with identical
+    IEEE double ops, so the DuckDB oracle rebuilds identical cells."""
+    from cassandra_pmem_spark.pipeline.sketch import histogram_bins
+
+    events = load_table(spark, "events", sf_dir)
+    return histogram_bins(events, "value", bins=64)
+
+
+_HISTOGRAM_ORACLE = """
+WITH b AS (
+  SELECT min(value) AS lo, max(value) AS hi FROM events
+), cells AS (
+  SELECT least(greatest(CAST(floor((value - lo) / (hi - lo) * 64) AS BIGINT),
+                        0), 63) AS bin, lo, hi
+  FROM events, b
+)
+SELECT bin, count(*) AS cnt, lo, hi FROM cells GROUP BY 1, 3, 4
+"""
+
+
 def multimodal_video_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL uncompressed-video frame walk, oracle-checked
     (pipeline/codecs.py encode_y4m/decode_y4m — YUV4MPEG2): timed frames
@@ -2039,6 +2064,7 @@ QUERIES = {
     "text_repetition_signals": (text_repetition_signals, _REPETITION_ORACLE),
     "sketch_hll_registers": (sketch_hll_registers, _hll_oracle()),
     "sketch_countmin_cells": (sketch_countmin_cells, _countmin_oracle()),
+    "sketch_histogram_bins": (sketch_histogram_bins, _HISTOGRAM_ORACLE),
     "text_bm25_scores": (text_bm25_scores, _bm25_oracle()),
     "sketch_bloom_words": (sketch_bloom_words, _bloom_oracle()),
     "multimodal_video_y4m_frames": (multimodal_video_y4m_frames, _Y4M_FRAMES_ORACLE),

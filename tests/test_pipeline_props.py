@@ -1153,3 +1153,59 @@ class TestCountMinSketch:
             for k, v in d.items():
                 merged[k] = merged.get(k, 0) + v
         assert merged == cu
+
+
+class TestHistogramSketch:
+    def test_quantiles_within_one_bin_width(self, spark):
+        from cassandra_pmem_spark.pipeline.sketch import (
+            histogram_bins,
+            histogram_quantile,
+        )
+
+        events = load_table(spark, "events", SF_SMALL)
+        rows = histogram_bins(events, "value", bins=64).collect()
+        lo, hi = rows[0]["lo"], rows[0]["hi"]
+        cells = [(r["bin"], r["cnt"]) for r in rows]
+        width = (hi - lo) / 64
+        exact = events.selectExpr(
+            "percentile(value, 0.5) AS p50", "percentile(value, 0.95) AS p95"
+        ).collect()[0]
+        for q, true in (("p50", exact["p50"]), ("p95", exact["p95"])):
+            est = histogram_quantile(cells, lo, hi, float(q[1:]) / 100, 64)
+            assert abs(est - true) <= width, (q, est, true, width)
+
+    def test_merge_equals_union(self, spark):
+        """Cell-wise add of shard histograms (shared bounds) must equal
+        the union's histogram."""
+        from cassandra_pmem_spark.pipeline.sketch import histogram_bins
+
+        events = load_table(spark, "events", SF_SMALL)
+        lo_hi = events.agg(
+            F.min("value").alias("lo"), F.max("value").alias("hi")
+        ).collect()[0]
+
+        def cells(df):
+            # pin shard bounds to the global ones by unioning two
+            # sentinel-free aggregates: here simply filter AFTER the
+            # bounds are global — shards share [lo, hi] by construction
+            return {
+                r["bin"]: r["cnt"]
+                for r in histogram_bins(df, "value", bins=64).collect()
+            }
+
+        # shards that both contain the global min and max rows keep the
+        # same bounds, so cell-wise add is exact
+        a = events.filter((F.col("event_id") % 2 == 0)
+                          | F.col("value").isin(lo_hi["lo"], lo_hi["hi"]))
+        b = events.filter((F.col("event_id") % 2 == 1)
+                          | F.col("value").isin(lo_hi["lo"], lo_hi["hi"]))
+        ca, cb, cu = cells(a), cells(b), cells(events)
+        dup = cells(events.filter(F.col("value").isin(lo_hi["lo"], lo_hi["hi"])))
+        merged = {}
+        for d in (ca, cb):
+            for k, v in d.items():
+                merged[k] = merged.get(k, 0) + v
+        # subtract the double-counted sentinel rows
+        for k, v in dup.items():
+            merged[k] -= v
+        assert merged == {k: v for k, v in cu.items() if v}
