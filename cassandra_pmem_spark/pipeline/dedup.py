@@ -488,3 +488,52 @@ def near_dup_components(
         return connected_components(edges, d1, id_col)
     finally:
         d1.unpersist()
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count_to_drop: int = 2,
+) -> DataFrame:
+    """Corpus-level LINE deduplication (the CCNet pre-pass): drop every
+    line whose normalized form appears in ≥ `min_count_to_drop`
+    documents corpus-wide — boilerplate (headers, nav bars, cookie
+    banners) repeats across pages even when no two full documents
+    match, and document-level dedup can't see it.
+
+    Shape: explode lines (narrow), count DISTINCT documents per
+    normalized line hash (one shuffle over 8-byte keys), broadcast
+    nothing — the counts join back by hash. Lines keep their original
+    index so the surviving text reassembles in order. Returns
+    (id_col, clean_text, n_lines, n_dropped)."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "line"),
+    ).withColumn("h", F.xxhash64(F.trim(F.lower(F.col("line")))))
+    counts = lines.groupBy("h").agg(
+        F.countDistinct(id_col).alias("n_docs")
+    )
+    tagged = lines.join(counts, "h").withColumn(
+        "keep", F.col("n_docs") < min_count_to_drop
+    )
+    return tagged.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("keep"),
+                            F.struct(F.col("idx"), F.col("line")),
+                        )
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped"),
+    )

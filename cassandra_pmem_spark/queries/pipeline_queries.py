@@ -922,6 +922,60 @@ SELECT row, pos, count(*) AS cnt FROM cells GROUP BY 1, 2
 """
 
 
+def dedup_line_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level line deduplication (pipeline/dedup.line_dedup — the
+    CCNet boilerplate pre-pass): each doc becomes four lines — a header
+    every doc shares, the body, a footer shared by doc_id%7, a banner
+    shared per source — and lines appearing in ≥2 documents are
+    dropped corpus-wide while survivors reassemble in order. The
+    oracle recomputes the same drop set grouping by the normalized
+    line itself (the hash-vs-string grouping equivalence the exact-
+    dedup oracle already relies on)."""
+    from cassandra_pmem_spark.pipeline.dedup import line_dedup
+
+    docs = load_table(spark, "documents", sf_dir)
+    built = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("COMMON HEADER"),
+            F.col("text"),
+            F.concat(F.lit("FOOTER "), (F.col("doc_id") % 7).cast("string")),
+            F.concat(F.lit("BANNER "), F.col("source")),
+        ).alias("text"),
+    )
+    return line_dedup(built)
+
+
+_LINE_DEDUP_ORACLE = """
+WITH built AS (
+  SELECT doc_id,
+    'COMMON HEADER' || chr(10) || text || chr(10)
+    || 'FOOTER ' || CAST(doc_id % 7 AS VARCHAR) || chr(10)
+    || 'BANNER ' || source AS text
+  FROM documents
+), w AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls FROM built
+), l AS (
+  SELECT doc_id, unnest(range(1, len(ls) + 1)) AS idx, ls FROM w
+), lines AS (
+  SELECT doc_id, CAST(idx AS INT) AS idx, ls[idx] AS line,
+         trim(lower(ls[idx])) AS norm
+  FROM l
+), counts AS (
+  SELECT norm, count(DISTINCT doc_id) AS n_docs FROM lines GROUP BY 1
+), tagged AS (
+  SELECT lines.*, counts.n_docs < 2 AS keep FROM lines JOIN counts USING (norm)
+)
+SELECT doc_id,
+  COALESCE(string_agg(line, chr(10) ORDER BY idx) FILTER (WHERE keep), '')
+    AS clean_text,
+  count(*) AS n_lines,
+  CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM tagged GROUP BY doc_id
+"""
+
+
 def sketch_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic equi-width histogram over events.value
     (pipeline/sketch.histogram_bins — the quantile sibling of the
@@ -2065,6 +2119,7 @@ QUERIES = {
     "sketch_hll_registers": (sketch_hll_registers, _hll_oracle()),
     "sketch_countmin_cells": (sketch_countmin_cells, _countmin_oracle()),
     "sketch_histogram_bins": (sketch_histogram_bins, _HISTOGRAM_ORACLE),
+    "dedup_line_level": (dedup_line_level, _LINE_DEDUP_ORACLE),
     "text_bm25_scores": (text_bm25_scores, _bm25_oracle()),
     "sketch_bloom_words": (sketch_bloom_words, _bloom_oracle()),
     "multimodal_video_y4m_frames": (multimodal_video_y4m_frames, _Y4M_FRAMES_ORACLE),

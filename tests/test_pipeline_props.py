@@ -1209,3 +1209,45 @@ class TestHistogramSketch:
         for k, v in dup.items():
             merged[k] -= v
         assert merged == {k: v for k, v in cu.items() if v}
+
+
+class TestLineDedup:
+    def test_boilerplate_dropped_order_kept(self, spark):
+        import pandas as pd
+
+        from cassandra_pmem_spark.pipeline.dedup import line_dedup
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2, 3],
+                    "text": [
+                        "COMMON\nunique one\nmid shared\ntail one",
+                        "COMMON\nunique two\nmid shared\ntail two",
+                        "COMMON\nunique three\ntail three",
+                    ],
+                }
+            )
+        )
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_lines"], r["n_dropped"])
+            for r in line_dedup(df).collect()
+        }
+        assert got[1] == ("unique one\ntail one", 4, 2)
+        assert got[2] == ("unique two\ntail two", 4, 2)
+        assert got[3] == ("unique three\ntail three", 3, 1)
+
+    def test_within_doc_repeat_survives(self, spark):
+        """A line repeated INSIDE one doc but nowhere else counts one
+        distinct doc — it must survive (count is per-document)."""
+        import pandas as pd
+
+        from cassandra_pmem_spark.pipeline.dedup import line_dedup
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {"doc_id": [1, 2], "text": ["echo\necho\nbody", "other\nlines"]}
+            )
+        )
+        got = {r["doc_id"]: r["clean_text"] for r in line_dedup(df).collect()}
+        assert got[1] == "echo\necho\nbody"
