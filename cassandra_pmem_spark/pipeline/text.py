@@ -414,3 +414,43 @@ def ngram_lm_scores(
             F.pow(F.lit(2.0), -total.cast("double") / (n * 1e6)), 4
         ).alias("ppl"),
     )
+
+
+def c4_filters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 3,
+    min_sentences: int = 2,
+) -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2020, §2.2) as one codegen
+    pass: keep only lines that end in terminal punctuation, have at
+    least `min_words_per_line` words, and don't mention javascript;
+    then drop whole documents that contain "lorem ipsum" or curly
+    braces, or whose surviving text has fewer than `min_sentences`
+    sentences. Pure array/regexp expressions — the whole rule set runs
+    at scan speed with zero shuffles, and every pattern is
+    RE2-compatible so the oracle applies the identical rules.
+
+    Returns (id_col, clean_text, n_kept_lines, n_sentences, kept)."""
+    c = F.col(text_col)
+    lines = F.split(c, "\n")
+    kept_lines = F.filter(
+        lines,
+        lambda l: l.rlike(r'[.!?"]$')
+        & (F.size(F.split(F.trim(l), r"\s+")) >= min_words_per_line)
+        & ~F.lower(l).contains("javascript"),
+    )
+    clean = F.array_join(kept_lines, "\n")
+    n_sent = F.regexp_count(clean, F.lit(r"[.!?]"))
+    has_lorem = F.lower(c).contains("lorem ipsum")
+    has_brace = c.contains("{") | c.contains("}")
+    return df.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        F.size(kept_lines).cast("long").alias("n_kept_lines"),
+        n_sent.cast("long").alias("n_sentences"),
+        (
+            ~has_lorem & ~has_brace & (n_sent >= min_sentences)
+        ).alias("kept"),
+    )

@@ -87,6 +87,7 @@ _PRIORITY: tuple[str, ...] = (
     "sketch_countmin_cells",  # NEW this round (Count-Min frequency sketch)
     "sketch_histogram_bins",  # NEW this round (equi-width quantile histogram)
     "dedup_line_level",  # NEW this round (corpus-wide line/boilerplate dedup)
+    "text_c4_filters",  # NEW this round (C4 cleaning rule set)
     # -- (2b) edited this round (full blobAsX/XAsBlob pair set) — must
     # keep driver evidence ahead of stale-but-unedited rows
     "cql_blob_conv",

@@ -922,6 +922,68 @@ SELECT row, pos, count(*) AS cnt FROM cells GROUP BY 1, 2
 """
 
 
+def text_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning rule set (pipeline/text.c4_filters): line rules
+    (terminal punctuation, ≥3 words, no 'javascript') + document rules
+    (no lorem ipsum, no braces, ≥2 surviving sentences), exercised by a
+    deterministic five-line page per doc that trips each rule on a
+    different doc_id residue. The oracle applies the identical
+    RE2-compatible conditions with DuckDB list_filter."""
+    from cassandra_pmem_spark.pipeline.text import c4_filters
+
+    docs = load_table(spark, "documents", sf_dir)
+    d = F.col("doc_id")
+    built = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(
+                F.col("text"),
+                F.when(d % 13 == 0, F.lit(" {x}.")).otherwise(F.lit(".")),
+            ),
+            F.lit("short one."),
+            F.lit("please enable javascript to continue."),
+            F.lit("this line has no terminal punctuation"),
+            F.when(d % 11 == 0, F.lit("lorem ipsum dolor sit amet."))
+            .otherwise(F.lit("a fine closing sentence appears here.")),
+        ).alias("text"),
+    )
+    return c4_filters(built)
+
+
+_C4_LINE_COND = (
+    "regexp_matches(l, '[.!?\"]$') "
+    "AND len(string_split_regex(trim(l), '\\s+')) >= 3 "
+    "AND NOT contains(lower(l), 'javascript')"
+)
+
+_C4_ORACLE = f"""
+WITH built AS (
+  SELECT doc_id,
+    text || CASE WHEN doc_id % 13 = 0 THEN ' {{x}}.' ELSE '.' END || chr(10)
+    || 'short one.' || chr(10)
+    || 'please enable javascript to continue.' || chr(10)
+    || 'this line has no terminal punctuation' || chr(10)
+    || CASE WHEN doc_id % 11 = 0 THEN 'lorem ipsum dolor sit amet.'
+            ELSE 'a fine closing sentence appears here.' END AS text
+  FROM documents
+), f AS (
+  SELECT doc_id, text,
+    list_filter(string_split(text, chr(10)), l -> {_C4_LINE_COND}) AS kl
+  FROM built
+), c AS (
+  SELECT doc_id, text, kl, array_to_string(kl, chr(10)) AS clean FROM f
+)
+SELECT doc_id, clean AS clean_text,
+  CAST(len(kl) AS BIGINT) AS n_kept_lines,
+  CAST(len(regexp_extract_all(clean, '[.!?]')) AS BIGINT) AS n_sentences,
+  (NOT contains(lower(text), 'lorem ipsum')
+   AND NOT contains(text, '{{') AND NOT contains(text, '}}')
+   AND len(regexp_extract_all(clean, '[.!?]')) >= 2) AS kept
+FROM c
+"""
+
+
 def dedup_line_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level line deduplication (pipeline/dedup.line_dedup — the
     CCNet boilerplate pre-pass): each doc becomes four lines — a header
@@ -2120,6 +2182,7 @@ QUERIES = {
     "sketch_countmin_cells": (sketch_countmin_cells, _countmin_oracle()),
     "sketch_histogram_bins": (sketch_histogram_bins, _HISTOGRAM_ORACLE),
     "dedup_line_level": (dedup_line_level, _LINE_DEDUP_ORACLE),
+    "text_c4_filters": (text_c4_filters, _C4_ORACLE),
     "text_bm25_scores": (text_bm25_scores, _bm25_oracle()),
     "sketch_bloom_words": (sketch_bloom_words, _bloom_oracle()),
     "multimodal_video_y4m_frames": (multimodal_video_y4m_frames, _Y4M_FRAMES_ORACLE),

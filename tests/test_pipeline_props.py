@@ -1251,3 +1251,54 @@ class TestLineDedup:
         )
         got = {r["doc_id"]: r["clean_text"] for r in line_dedup(df).collect()}
         assert got[1] == "echo\necho\nbody"
+
+
+class TestC4Filters:
+    def test_rule_matrix(self, spark):
+        import pandas as pd
+
+        from cassandra_pmem_spark.pipeline.text import c4_filters
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2, 3, 4],
+                    "text": [
+                        "a good first sentence.\nand a good second one!",
+                        "lorem ipsum dolor sit amet.\nanother full sentence here.",
+                        "var x = {a: 1};\ntwo fine sentences stand here.\nplus one more again.",
+                        "only a fragment without punctuation\nshort one.",
+                    ],
+                }
+            )
+        )
+        got = {
+            r["doc_id"]: (r["n_kept_lines"], r["kept"])
+            for r in c4_filters(df).collect()
+        }
+        assert got[1] == (2, True)
+        assert got[2][1] is False  # lorem ipsum page
+        assert got[3][1] is False  # curly braces page
+        assert got[4] == (0, False)  # nothing survives the line rules
+
+    def test_javascript_line_dropped(self, spark):
+        import pandas as pd
+
+        from cassandra_pmem_spark.pipeline.text import c4_filters
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [1],
+                    "text": [
+                        "please enable JavaScript to view this site.\n"
+                        "a real sentence lives here.\n"
+                        "and another proper one follows!"
+                    ],
+                }
+            )
+        )
+        r = c4_filters(df).collect()[0]
+        assert r["n_kept_lines"] == 2
+        assert "JavaScript" not in r["clean_text"]
+        assert r["kept"] is True
