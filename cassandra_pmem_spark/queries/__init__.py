@@ -88,6 +88,11 @@ _PRIORITY: tuple[str, ...] = (
     "sketch_histogram_bins",  # NEW this round (equi-width quantile histogram)
     "dedup_line_level",  # NEW this round (corpus-wide line/boilerplate dedup)
     "text_c4_filters",  # NEW this round (C4 cleaning rule set)
+    # -- NEW this round but past the 50-row window (the driver records
+    # only the first 50): local-gate green now, rotate into the round-5
+    # window for driver evidence
+    "source_orc_roundtrip",  # ORC write/read round trip
+    "source_arrow_ipc",  # Arrow IPC interchange round trip
     # -- (2b) edited this round (full blobAsX/XAsBlob pair set) — must
     # keep driver evidence ahead of stale-but-unedited rows
     "cql_blob_conv",

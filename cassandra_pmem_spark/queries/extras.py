@@ -136,6 +136,70 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write + read round trip — Spark's second first-class columnar
+    format (zlib-compressed stripes, predicate pushdown, column pruning
+    — the same scan properties the parquet tier gets). Export a
+    lineitem slice to ORC, re-read it, and aggregate with a filter that
+    exercises pushdown into the ORC reader. The oracle computes the
+    identical aggregate straight from parquet — equality proves the
+    format round trip value-exact."""
+    path = os.path.join(_SCRATCH, "orc_roundtrip")
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_orderkey") < 2000
+    )
+    li.write.mode("overwrite").option("compression", "zlib").orc(path)
+    back = spark.read.orc(path).filter(F.col("l_quantity") > 10)
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "cents"
+        ),
+    )
+
+
+def source_arrow_ipc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow IPC (Feather v2) round trip — the columnar interchange
+    format Spark's own Pandas UDFs speak on the wire: each Arrow batch
+    of documents serializes to an IPC stream buffer (pyarrow), reads
+    back, and every value is verified. Emits per-doc md5 of the text
+    AFTER the round trip, so the oracle (md5 straight off parquet)
+    proves byte-exactness through the IPC encoder/decoder. mapInPandas,
+    zero shuffles — at 100 TB this is the executor-local interchange
+    shape (e.g. handing batches to a GPU tokenizer process)."""
+    import hashlib
+
+    import pandas as pd
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+
+    def run(batches):
+        import pyarrow as pa
+        import pyarrow.ipc as ipc
+
+        for pdf in batches:
+            table = pa.Table.from_pandas(pdf, preserve_index=False)
+            sink = pa.BufferOutputStream()
+            with ipc.new_stream(sink, table.schema) as w:
+                w.write_table(table)
+            back = ipc.open_stream(sink.getvalue()).read_all()
+            if not back.equals(table):
+                raise ValueError("Arrow IPC round trip mismatch")
+            out = back.to_pandas()
+            yield pd.DataFrame(
+                {
+                    "doc_id": out["doc_id"].astype("int64"),
+                    "text_md5": [
+                        hashlib.md5(t.encode("utf-8")).hexdigest()
+                        for t in out["text"]
+                    ],
+                }
+            )
+
+    return docs.mapInPandas(run, "doc_id BIGINT, text_md5 STRING")
+
+
 def analytics_explode_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UDTF surplus (SURVEY §2.11 — CQL has no table functions): explode =
     UNNEST; top-20 words across documents with total tie-break order."""
@@ -386,6 +450,21 @@ QUERIES = {
           CAST(SUM(CAST(floor(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
         FROM orders WHERE o_orderkey < 500 GROUP BY o_orderstatus
         """,
+    ),
+    "source_orc_roundtrip": (
+        source_orc_roundtrip,
+        """
+        SELECT l_returnflag, count(*) AS n,
+          CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+          CAST(SUM(CAST(floor(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+            AS cents
+        FROM lineitem WHERE l_orderkey < 2000 AND l_quantity > 10
+        GROUP BY l_returnflag
+        """,
+    ),
+    "source_arrow_ipc": (
+        source_arrow_ipc,
+        "SELECT doc_id, md5(text) AS text_md5 FROM documents",
     ),
     "cql_is_not_null": (
         cql_is_not_null,
