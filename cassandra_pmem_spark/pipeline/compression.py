@@ -32,8 +32,9 @@ import struct
 import zlib
 
 MAGIC = b"CPMC"
-ALGO_LZ4, ALGO_SNAPPY, ALGO_DEFLATE = 1, 2, 3
-ALGO_NAMES = {ALGO_LZ4: "lz4", ALGO_SNAPPY: "snappy", ALGO_DEFLATE: "deflate"}
+ALGO_LZ4, ALGO_SNAPPY, ALGO_DEFLATE, ALGO_BZ2, ALGO_LZMA = 1, 2, 3, 4, 5
+ALGO_NAMES = {ALGO_LZ4: "lz4", ALGO_SNAPPY: "snappy", ALGO_DEFLATE: "deflate",
+              ALGO_BZ2: "bz2", ALGO_LZMA: "lzma"}
 ALGO_IDS = {v: k for k, v in ALGO_NAMES.items()}
 DEFAULT_CHUNK_LENGTH = 16 * 1024  # CompressionParams.DEFAULT_CHUNK_LENGTH
 
@@ -288,6 +289,14 @@ def _compress_one(algo: int, chunk: bytes) -> bytes:
         return snappy_compress(chunk)
     if algo == ALGO_DEFLATE:
         return zlib.compress(chunk, 6)
+    if algo == ALGO_BZ2:  # high-ratio stdlib tiers: the zstd-class
+        import bz2        # ratio slot the container lacks a codec for
+
+        return bz2.compress(chunk, 9)
+    if algo == ALGO_LZMA:
+        import lzma
+
+        return lzma.compress(chunk, preset=6)
     raise ValueError(f"unknown algo {algo}")
 
 
@@ -306,6 +315,26 @@ def _decompress_one(algo: int, comp: bytes, out_size: int) -> bytes:
             raise CorruptChunk(f"bad deflate stream: {e}") from e
         if len(out) > out_size or d.unconsumed_tail:
             raise CorruptChunk("deflate output overruns declared size")
+    elif algo == ALGO_BZ2:
+        import bz2
+
+        try:
+            d = bz2.BZ2Decompressor()
+            out = d.decompress(comp, out_size + 1)
+        except OSError as e:
+            raise CorruptChunk(f"bad bzip2 stream: {e}") from e
+        if len(out) > out_size:
+            raise CorruptChunk("bzip2 output overruns declared size")
+    elif algo == ALGO_LZMA:
+        import lzma
+
+        try:
+            d = lzma.LZMADecompressor()
+            out = d.decompress(comp, out_size + 1)
+        except lzma.LZMAError as e:
+            raise CorruptChunk(f"bad lzma stream: {e}") from e
+        if len(out) > out_size:
+            raise CorruptChunk("lzma output overruns declared size")
     else:
         raise ValueError(f"unknown algo {algo}")
     if len(out) != out_size:

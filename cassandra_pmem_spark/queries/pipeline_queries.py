@@ -1885,8 +1885,8 @@ def source_compressed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout: independent fixed-size chunks + per-chunk CRC32,
     CompressedSequentialWriter.java:186-275, with the LZ4 block format
     and Snappy raw format implemented from their public specs and
-    Deflate via zlib): each doc's payload (text repeated doc_id%100+1
-    times) is compressed with the codec doc_id%3 selects at 4 KiB
+    Deflate/bzip2/LZMA via stdlib): each doc's payload (text repeated doc_id%100+1
+    times) is compressed with the codec doc_id%5 selects at 4 KiB
     chunks, the container parsed back, every CRC verified, and the
     DECODED bytes fingerprinted. The oracle recomputes length, chunk
     count and md5 from the construction — a hash match proves
@@ -1900,9 +1900,11 @@ def source_compressed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     built = docs.select(
         "doc_id",
         F.expr("repeat(text, CAST(doc_id % 100 + 1 AS INT))").alias("payload"),
-        F.when(d % 3 == 0, F.lit("lz4"))
-        .when(d % 3 == 1, F.lit("snappy"))
-        .otherwise(F.lit("deflate"))
+        F.when(d % 5 == 0, F.lit("lz4"))
+        .when(d % 5 == 1, F.lit("snappy"))
+        .when(d % 5 == 2, F.lit("deflate"))
+        .when(d % 5 == 3, F.lit("bz2"))
+        .otherwise(F.lit("lzma"))
         .alias("algo"),
     )
     return compressed_roundtrip_stage(built, chunk_length=4096)
@@ -1912,8 +1914,10 @@ _COMPRESSED_ORACLE = """
 WITH built AS (
   SELECT doc_id,
     repeat(text, CAST(doc_id % 100 + 1 AS INT)) AS payload,
-    CASE WHEN doc_id % 3 = 0 THEN 'lz4'
-         WHEN doc_id % 3 = 1 THEN 'snappy' ELSE 'deflate' END AS algo
+    CASE WHEN doc_id % 5 = 0 THEN 'lz4'
+         WHEN doc_id % 5 = 1 THEN 'snappy'
+         WHEN doc_id % 5 = 2 THEN 'deflate'
+         WHEN doc_id % 5 = 3 THEN 'bz2' ELSE 'lzma' END AS algo
   FROM documents
 )
 SELECT doc_id, algo,

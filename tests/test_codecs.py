@@ -1391,7 +1391,7 @@ class TestBlockCompression:
         @settings(max_examples=60, deadline=None)
         @given(
             st.binary(max_size=3000),
-            st.sampled_from(["lz4", "snappy", "deflate"]),
+            st.sampled_from(["lz4", "snappy", "deflate", "bz2", "lzma"]),
         )
         def check(data, algo):
             assert decompress_blob(compress_blob(data, algo, 512)) == data
