@@ -113,3 +113,75 @@ def stratified_sample(
         .withColumn("keep_below", expr)
         .where(F.col("sample_bucket") < F.col("keep_below"))
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    epoch: int = 0,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Deterministic training-epoch shuffle: every epoch deals the
+    corpus into `n_shards` shards in a pseudo-random order that is a
+    pure function of (id, epoch) — rerun it anywhere, any parallelism,
+    and every document lands in the same shard at the same position.
+    Trainers stream shard files sequentially; a NEW epoch permutes both
+    the shard assignment and the intra-shard order without any state.
+
+    key   = murmur3_token(id·1000003 + epoch)   (bit-exact kernel — the
+                                                 oracle recomputes it)
+    shard = pmod(key, n_shards)
+    pos   = row_number over (shard ORDER BY key, id)
+
+    The window partitions BY SHARD — no global ordering, so the rank
+    parallelizes across shards (each is one partition's sort, the same
+    per-shard shape `pack_sequences` uses). One shuffle."""
+    key = murmur3_token_column_once(
+        F.col(id_col) * F.lit(1000003) + F.lit(epoch)
+    )
+    staged = df.select(
+        F.col(id_col),
+        key.alias("__key"),
+    ).select(
+        id_col,
+        F.pmod(F.col("__key"), F.lit(n_shards)).cast("int").alias("shard"),
+        F.col("__key"),
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("__key"), F.col(id_col))
+    return staged.select(
+        id_col,
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Context-window chunking: split each document's whitespace tokens
+    into `window`-token chunks starting every `window − overlap` tokens
+    (the overlap keeps context across boundaries — the standard prep
+    for fixed-context training and embedding indexes). Pure array
+    expressions: sequence of starts → slice per start → posexplode;
+    narrow (no shuffle), and chunks stay on the scanning executor.
+
+    Returns (id_col, chunk_idx, n_tokens, chunk_text)."""
+    if overlap >= window:
+        raise ValueError("overlap must be smaller than window")
+    step = window - overlap
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(words), F.lit(1)), F.lit(step))
+    chunks = F.transform(starts, lambda s: F.slice(words, s, window))
+    exploded = df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "toks")
+    )
+    return exploded.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.array_join("toks", " ").alias("chunk_text"),
+    )

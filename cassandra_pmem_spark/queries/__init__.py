@@ -93,6 +93,8 @@ _PRIORITY: tuple[str, ...] = (
     # window for driver evidence
     "source_orc_roundtrip",  # ORC write/read round trip
     "source_arrow_ipc",  # Arrow IPC interchange round trip
+    "pipeline_epoch_shuffle",  # deterministic per-epoch shard shuffle
+    "pipeline_chunk_documents",  # context-window chunking with overlap
     # -- (2b) edited this round (full blobAsX/XAsBlob pair set) — must
     # keep driver evidence ahead of stale-but-unedited rows
     "cql_blob_conv",

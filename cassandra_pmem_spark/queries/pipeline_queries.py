@@ -891,6 +891,63 @@ FROM t GROUP BY bucket
 """
 
 
+def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-epoch shuffle (pipeline/packing.
+    epoch_shuffle): the corpus deals into 8 shards in a (doc, epoch)-
+    keyed pseudo-random order through the bit-exact Murmur3 kernel —
+    same shard and position at any parallelism, new permutation per
+    epoch, no state. The oracle re-derives the key via the SQL hash
+    kernel and replays the per-shard ranking."""
+    from cassandra_pmem_spark.pipeline.packing import epoch_shuffle
+
+    docs = load_table(spark, "documents", sf_dir)
+    return epoch_shuffle(docs, epoch=2, n_shards=8)
+
+
+def _epoch_shuffle_oracle(epoch: int = 2, n_shards: int = 8) -> str:
+    from cassandra_pmem_spark.functions.murmur3 import murmur3_token_subquery
+
+    sub = murmur3_token_subquery(
+        "documents", f"doc_id * 1000003 + {epoch}", ["doc_id"]
+    )
+    shard = f"((token % {n_shards}) + {n_shards}) % {n_shards}"
+    return f"""
+SELECT doc_id, CAST({shard} AS INT) AS shard,
+  CAST(row_number() OVER (PARTITION BY {shard} ORDER BY token, doc_id)
+       AS BIGINT) AS pos
+FROM {sub}
+"""
+
+
+def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (pipeline/packing.chunk_documents):
+    64-token windows every 48 tokens (16-token overlap) — the standard
+    prep for fixed-context training and embedding indexes; pure array
+    expressions, no shuffle. The oracle recomputes every chunk with
+    DuckDB range/slice arithmetic."""
+    from cassandra_pmem_spark.pipeline.packing import chunk_documents
+
+    docs = load_table(spark, "documents", sf_dir)
+    return chunk_documents(docs, window=64, overlap=16)
+
+
+_CHUNK_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+  FROM documents
+), c AS (
+  SELECT doc_id, words,
+         unnest(range(1, greatest(len(words), 1) + 1, 48)) AS s
+  FROM w
+)
+SELECT doc_id,
+  CAST((s - 1) // 48 AS BIGINT) AS chunk_idx,
+  CAST(len(words[s:s+63]) AS BIGINT) AS n_tokens,
+  array_to_string(words[s:s+63], ' ') AS chunk_text
+FROM c
+"""
+
+
 def sketch_countmin_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Count-Min sketch over orders.o_custkey
     (pipeline/sketch.countmin_build — the frequency/heavy-hitter
@@ -2193,6 +2250,8 @@ QUERIES = {
     "sketch_runtime_filtered_join": (sketch_runtime_filtered_join, _RTF_JOIN_ORACLE),
     "pipeline_pack_sequences": (pipeline_pack_sequences, _PACK_ORACLE),
     "pipeline_stratified_sample": (pipeline_stratified_sample, _stratified_oracle()),
+    "pipeline_epoch_shuffle": (pipeline_epoch_shuffle, _epoch_shuffle_oracle()),
+    "pipeline_chunk_documents": (pipeline_chunk_documents, _CHUNK_ORACLE),
     "text_pii_redact": (text_pii_redact, _pii_oracle()),
     "source_url_normalize": (source_url_normalize, _url_normalize_oracle()),
     "dedup_connected_components": (dedup_connected_components, _CC_ORACLE),

@@ -1302,3 +1302,47 @@ class TestC4Filters:
         assert r["n_kept_lines"] == 2
         assert "JavaScript" not in r["clean_text"]
         assert r["kept"] is True
+
+
+class TestEpochShuffleAndChunking:
+    def test_epoch_shuffle_deterministic_and_permuting(self, spark):
+        from cassandra_pmem_spark.pipeline.packing import epoch_shuffle
+
+        docs = load_table(spark, "documents", SF_SMALL)
+        a = {r["doc_id"]: (r["shard"], r["pos"])
+             for r in epoch_shuffle(docs.repartition(3), epoch=1).collect()}
+        b = {r["doc_id"]: (r["shard"], r["pos"])
+             for r in epoch_shuffle(docs.repartition(11), epoch=1).collect()}
+        assert a == b  # parallelism-independent
+        c = {r["doc_id"]: (r["shard"], r["pos"])
+             for r in epoch_shuffle(docs, epoch=2).collect()}
+        assert a != c  # a new epoch permutes
+        # every (shard, pos) pair is unique and positions are 1..n_shard
+        seen = set(a.values())
+        assert len(seen) == len(a)
+        by_shard = {}
+        for s, p in a.values():
+            by_shard.setdefault(s, []).append(p)
+        for s, ps in by_shard.items():
+            assert sorted(ps) == list(range(1, len(ps) + 1))
+
+    def test_chunking_overlap_and_coverage(self, spark):
+        import pandas as pd
+
+        from cassandra_pmem_spark.pipeline.packing import chunk_documents
+
+        text = " ".join(f"w{i}" for i in range(100))
+        df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": [text]}))
+        rows = sorted(
+            chunk_documents(df, window=40, overlap=10).collect(),
+            key=lambda r: r["chunk_idx"],
+        )
+        # starts every 30 tokens: 0, 30, 60, 90 → lengths 40, 40, 40, 10
+        assert [r["n_tokens"] for r in rows] == [40, 40, 40, 10]
+        # overlap: chunk k's last 10 tokens = chunk k+1's first 10
+        for a, b in zip(rows, rows[1:]):
+            assert a["chunk_text"].split()[-10:] == b["chunk_text"].split()[:10]
+        # coverage: union of chunks = the document
+        assert set(" ".join(r["chunk_text"] for r in rows).split()) == set(
+            text.split()
+        )
