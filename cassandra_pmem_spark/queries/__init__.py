@@ -98,6 +98,7 @@ _PRIORITY: tuple[str, ...] = (
     "source_arrow_ipc",  # Arrow IPC interchange round trip
     "pipeline_epoch_shuffle",  # deterministic per-epoch shard shuffle
     "pipeline_chunk_documents",  # context-window chunking with overlap
+    "graph_pagerank_exact",  # integer-exact iterative PageRank
     # -- (2b) edited this round (full blobAsX/XAsBlob pair set) — must
     # keep driver evidence ahead of stale-but-unedited rows
     "cql_blob_conv",

@@ -948,6 +948,59 @@ FROM c
 """
 
 
+def graph_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact damped PageRank (pipeline/graph.pagerank_exact —
+    the second iterative-join algorithm next to connected components):
+    a deterministic 3-out-degree citation graph over documents, five
+    iterations in integer micro-units with floor arithmetic, so the
+    result is bit-identical at any parallelism and the oracle replays
+    the SAME five iterations as unrolled SQL CTEs."""
+    from cassandra_pmem_spark.pipeline.graph import pagerank_exact
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    n = docs.count()
+    d = F.col("doc_id")
+    edges = (
+        docs.select(d.alias("src"), ((d * 7 + 1) % n).alias("dst"))
+        .union(docs.select(d.alias("src"), ((d * 13 + 2) % n).alias("dst")))
+        .union(docs.select(d.alias("src"), ((d * 31 + 5) % n).alias("dst")))
+    )
+    return pagerank_exact(docs, edges, iters=5)
+
+
+def _pagerank_oracle(iters: int = 5, scale_total: int = 10**12) -> str:
+    nsub = "(SELECT c FROM n)"
+    r0 = f"({scale_total} // {nsub})"
+    teleport = f"((15 * {r0}) // 100)"
+    ctes = [
+        "n AS (SELECT count(*) AS c FROM documents)",
+        f"""edges AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % {nsub} AS dst FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 13 + 2) % {nsub} FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 31 + 5) % {nsub} FROM documents
+)""",
+        "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1)",
+        "e AS (SELECT edges.src, edges.dst, deg.deg FROM edges JOIN deg USING (src))",
+        f"pr0 AS (SELECT doc_id AS id, CAST({r0} AS BIGINT) AS r FROM documents)",
+    ]
+    for k in range(iters):
+        ctes.append(
+            f"""pr{k + 1} AS (
+  SELECT p.id, CAST({teleport} + COALESCE(i.inflow, 0) AS BIGINT) AS r
+  FROM pr{k} p LEFT JOIN (
+    SELECT e.dst AS id, SUM((85 * p2.r) // (100 * e.deg)) AS inflow
+    FROM e JOIN pr{k} p2 ON e.src = p2.id GROUP BY 1
+  ) i ON p.id = i.id
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id AS doc_id, r AS rank FROM pr{iters}"
+    )
+
+
 def sketch_countmin_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Count-Min sketch over orders.o_custkey
     (pipeline/sketch.countmin_build — the frequency/heavy-hitter
@@ -2252,6 +2305,7 @@ QUERIES = {
     "pipeline_stratified_sample": (pipeline_stratified_sample, _stratified_oracle()),
     "pipeline_epoch_shuffle": (pipeline_epoch_shuffle, _epoch_shuffle_oracle()),
     "pipeline_chunk_documents": (pipeline_chunk_documents, _CHUNK_ORACLE),
+    "graph_pagerank_exact": (graph_pagerank_exact, _pagerank_oracle()),
     "text_pii_redact": (text_pii_redact, _pii_oracle()),
     "source_url_normalize": (source_url_normalize, _url_normalize_oracle()),
     "dedup_connected_components": (dedup_connected_components, _CC_ORACLE),

@@ -1346,3 +1346,53 @@ class TestEpochShuffleAndChunking:
         assert set(" ".join(r["chunk_text"] for r in rows).split()) == set(
             text.split()
         )
+
+
+class TestPagerank:
+    def test_parallelism_independent_and_mass_bounded(self, spark):
+        import pandas as pd
+
+        from cassandra_pmem_spark.pipeline.graph import pagerank_exact
+
+        verts = spark.createDataFrame(
+            pd.DataFrame({"doc_id": list(range(20))})
+        )
+        edges = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "src": list(range(20)) * 2,
+                    "dst": [(i * 3 + 1) % 20 for i in range(20)]
+                    + [(i * 7 + 4) % 20 for i in range(20)],
+                }
+            )
+        )
+        a = {
+            r["doc_id"]: r["rank"]
+            for r in pagerank_exact(verts.repartition(2), edges, iters=4).collect()
+        }
+        b = {
+            r["doc_id"]: r["rank"]
+            for r in pagerank_exact(verts.repartition(9), edges.repartition(5), iters=4).collect()
+        }
+        assert a == b  # bit-identical at any parallelism
+        total = sum(a.values())
+        assert total <= 10**12  # floors only shave mass, never create it
+        assert total >= 0.9 * 10**12
+
+    def test_sink_heavy_node_ranks_higher(self, spark):
+        """A node every other node links to must out-rank a node with a
+        single in-link."""
+        import pandas as pd
+
+        from cassandra_pmem_spark.pipeline.graph import pagerank_exact
+
+        verts = spark.createDataFrame(pd.DataFrame({"doc_id": [0, 1, 2, 3]}))
+        edges = spark.createDataFrame(
+            pd.DataFrame({"src": [1, 2, 3, 0], "dst": [0, 0, 0, 1]})
+        )
+        got = {
+            r["doc_id"]: r["rank"]
+            for r in pagerank_exact(verts, edges, iters=5).collect()
+        }
+        assert got[0] > got[1] > got[2]
+        assert got[2] == got[3]  # symmetric no-inlink nodes tie exactly
