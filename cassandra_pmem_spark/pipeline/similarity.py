@@ -421,3 +421,45 @@ def ivf_topk(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: "np.ndarray",
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
+    embedding space with a coarse quantizer, then drop the larger-id
+    member of every within-cluster pair whose cosine exceeds the
+    threshold — textual dedup can't see paraphrases; this tier can.
+
+    The pairwise stage is confined WITHIN clusters (the property that
+    makes SemDeDup run at corpus scale: k clusters cut candidate pairs
+    by ~k), and assignment is the same Arrow-batched argmin matmul the
+    IVF index uses — centroids inline as literals, no extra shuffle.
+    Returns the surviving rows of `corpus`."""
+    C = np.asarray(centroids, dtype=np.float64)
+    assign_udf = _matmul_udf(C, "argmin")
+    a = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        assign_udf(F.col(vec_col).cast("array<double>")).alias("__list"),
+    )
+    l, r = a.alias("l"), a.alias("r")
+    pairs = l.join(
+        r,
+        (F.col("l.__list") == F.col("r.__list"))
+        & (F.col("l.id") < F.col("r.id")),
+    ).select(
+        F.col("l.id").alias("keep_id"),
+        F.col("r.id").alias("drop_id"),
+        cosine(F.col("l.v"), F.col("r.v")).alias("cos"),
+    )
+    drop = (
+        pairs.filter(F.col("cos") >= threshold)
+        .select(F.col("drop_id").alias(id_col))
+        .distinct()
+    )
+    return corpus.join(drop, id_col, "left_anti")

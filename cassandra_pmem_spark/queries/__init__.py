@@ -99,6 +99,7 @@ _PRIORITY: tuple[str, ...] = (
     "pipeline_epoch_shuffle",  # deterministic per-epoch shard shuffle
     "pipeline_chunk_documents",  # context-window chunking with overlap
     "graph_pagerank_exact",  # integer-exact iterative PageRank
+    "sim_semantic_dedup",  # SemDeDup within-cluster embedding dedup
     # -- (2b) edited this round (full blobAsX/XAsBlob pair set) — must
     # keep driver evidence ahead of stale-but-unedited rows
     "cql_blob_conv",

@@ -948,6 +948,66 @@ FROM c
 """
 
 
+def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (pipeline/similarity.semantic_dedup — SemDeDup):
+    embeddings plus planted exact copies cluster under the anchored
+    quantizer (vec_id<16 — the sim_ivf_rerank construction, so the
+    oracle can replay assignment in SQL), and within-cluster pairs
+    with cosine ≥ 0.99 lose their larger id. The copies land in their
+    source's cluster at cosine 1.0 and must all drop; the oracle
+    recomputes assignment, pairs, and the survivor set exactly."""
+    import numpy as np
+
+    from cassandra_pmem_spark.pipeline.similarity import semantic_dedup
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    planted = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.union(planted)
+    anchors = np.array(
+        [
+            r[0]
+            for r in emb.filter(F.col("vec_id") < 16)
+            .orderBy("vec_id")
+            .select(F.col("embedding").cast("array<double>"))
+            .collect()
+        ]
+    )
+    return semantic_dedup(corpus, anchors, threshold=0.99).select("vec_id")
+
+
+_SEMANTIC_DEDUP_ORACLE = """
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding::DOUBLE[] FROM embeddings WHERE vec_id < 20
+), a AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS av FROM embeddings WHERE vec_id < 16
+), cdist AS (
+  SELECT c.vec_id, a.cid,
+    list_dot_product(c.v, c.v) - 2 * list_dot_product(c.v, a.av)
+      + list_dot_product(a.av, a.av) AS d
+  FROM corpus c, a
+), assign AS (
+  SELECT vec_id, cid AS list_id FROM (
+    SELECT vec_id, cid,
+      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM cdist) WHERE rn = 1
+), drops AS (
+  SELECT DISTINCT r.vec_id AS drop_id
+  FROM corpus l
+  JOIN assign la ON la.vec_id = l.vec_id
+  JOIN assign ra ON ra.list_id = la.list_id
+  JOIN corpus r ON r.vec_id = ra.vec_id AND l.vec_id < r.vec_id
+  WHERE list_dot_product(l.v, r.v)
+    / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v)))
+    >= 0.99
+)
+SELECT vec_id FROM corpus WHERE vec_id NOT IN (SELECT drop_id FROM drops)
+"""
+
+
 def graph_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact damped PageRank (pipeline/graph.pagerank_exact —
     the second iterative-join algorithm next to connected components):
@@ -2306,6 +2366,7 @@ QUERIES = {
     "pipeline_epoch_shuffle": (pipeline_epoch_shuffle, _epoch_shuffle_oracle()),
     "pipeline_chunk_documents": (pipeline_chunk_documents, _CHUNK_ORACLE),
     "graph_pagerank_exact": (graph_pagerank_exact, _pagerank_oracle()),
+    "sim_semantic_dedup": (sim_semantic_dedup, _SEMANTIC_DEDUP_ORACLE),
     "text_pii_redact": (text_pii_redact, _pii_oracle()),
     "source_url_normalize": (source_url_normalize, _url_normalize_oracle()),
     "dedup_connected_components": (dedup_connected_components, _CC_ORACLE),

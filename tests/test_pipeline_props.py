@@ -1396,3 +1396,32 @@ class TestPagerank:
         }
         assert got[0] > got[1] > got[2]
         assert got[2] == got[3]  # symmetric no-inlink nodes tie exactly
+
+
+class TestSemanticDedup:
+    def test_planted_copies_dropped_originals_kept(self, spark):
+        import numpy as np
+
+        from cassandra_pmem_spark.pipeline.similarity import semantic_dedup
+
+        emb = load_table(spark, "embeddings", SF_SMALL)
+        planted = emb.filter(F.col("vec_id") < 10).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+        )
+        anchors = np.array(
+            [
+                r[0]
+                for r in emb.filter(F.col("vec_id") < 16)
+                .orderBy("vec_id")
+                .select(F.col("embedding").cast("array<double>"))
+                .collect()
+            ]
+        )
+        got = {
+            r["vec_id"]
+            for r in semantic_dedup(
+                emb.union(planted), anchors, threshold=0.99
+            ).collect()
+        }
+        assert all(i + 100000 not in got for i in range(10))
+        assert all(i in got for i in range(10))
