@@ -100,6 +100,7 @@ _PRIORITY: tuple[str, ...] = (
     "pipeline_chunk_documents",  # context-window chunking with overlap
     "graph_pagerank_exact",  # integer-exact iterative PageRank
     "sim_semantic_dedup",  # SemDeDup within-cluster embedding dedup
+    "streaming_sketch_merge",  # foreachBatch HLL merge under redelivery
     # -- (2b) edited this round (full blobAsX/XAsBlob pair set) — must
     # keep driver evidence ahead of stale-but-unedited rows
     "cql_blob_conv",

@@ -1061,6 +1061,87 @@ def _pagerank_oracle(iters: int = 5, scale_total: int = 10**12) -> str:
     )
 
 
+def streaming_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming sketch maintenance with an exact oracle: the
+    events table is staged TWICE (an at-least-once redelivery), each
+    file arrives as its own micro-batch (maxFilesPerTrigger=1), and
+    foreachBatch merges per-batch HLL registers into an accumulator by
+    register-wise max. Because the deterministic HLL is a pure function
+    of the key SET, redelivered data changes nothing — the merged
+    registers must equal one batch pass over the table, which is
+    exactly what the oracle computes via the SQL hash kernel. This is
+    the sketch-idempotence property that makes streaming cardinality
+    exact under retries, with NO dedup state at all."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from cassandra_pmem_spark.catalog import TABLES
+    from cassandra_pmem_spark.pipeline.sketch import hll_registers
+
+    sf_tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    d = f"/root/repo/.scratch/stream_sketch_{sf_tag}"
+    os.makedirs(d, exist_ok=True)
+    src = f"{sf_dir}/events.parquet"
+    for copy in ("a", "b"):  # the same data twice = redelivery
+        dst = os.path.join(d, f"events_{copy}.parquet")
+        s = os.stat(src)
+        if (
+            not os.path.exists(dst)
+            or os.path.getsize(dst) != s.st_size
+            or os.path.getmtime(dst) < s.st_mtime
+        ):
+            shutil.copy2(src, dst)
+
+    stream = (
+        spark.readStream.schema(TABLES["events"].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    acc: dict[int, int] = {}
+    batches = []
+
+    def merge(batch_df, batch_id):
+        rows = hll_registers(batch_df, "user_id", p=8).collect()  # ≤256
+        batches.append(len(rows))
+        for r in rows:
+            acc[r["bucket"]] = max(acc.get(r["bucket"], 0), r["register"])
+
+    ck = tempfile.mkdtemp(prefix="cps_sketch_ck_")
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+    assert len(batches) >= 2, "redelivery staging must yield ≥2 micro-batches"
+    return spark.createDataFrame(
+        sorted(acc.items()), "bucket BIGINT, register BIGINT"
+    )
+
+
+def _streaming_hll_oracle() -> str:
+    from cassandra_pmem_spark.functions.murmur3 import murmur3_token_subquery
+
+    sub = murmur3_token_subquery("events", "user_id", ["user_id"])
+    u = f"(((token % {1 << 52}) + {1 << 52}) % {1 << 52})"
+    return f"""
+WITH t AS (
+  SELECT {u} % 256 AS bucket, {u} // 256 AS w FROM {sub}
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+  CAST(MAX(CASE WHEN w = 0 THEN 45
+                ELSE 44 - CAST(floor(log2(w)) AS BIGINT) END) AS BIGINT)
+    AS register
+FROM t GROUP BY bucket
+"""
+
+
 def sketch_countmin_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Count-Min sketch over orders.o_custkey
     (pipeline/sketch.countmin_build — the frequency/heavy-hitter
@@ -2367,6 +2448,7 @@ QUERIES = {
     "pipeline_chunk_documents": (pipeline_chunk_documents, _CHUNK_ORACLE),
     "graph_pagerank_exact": (graph_pagerank_exact, _pagerank_oracle()),
     "sim_semantic_dedup": (sim_semantic_dedup, _SEMANTIC_DEDUP_ORACLE),
+    "streaming_sketch_merge": (streaming_sketch_merge, _streaming_hll_oracle()),
     "text_pii_redact": (text_pii_redact, _pii_oracle()),
     "source_url_normalize": (source_url_normalize, _url_normalize_oracle()),
     "dedup_connected_components": (dedup_connected_components, _CC_ORACLE),
