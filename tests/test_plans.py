@@ -197,3 +197,67 @@ class TestRound4Plans:
             jpeg_encode_color_stage(docs), dim=8, fake_decode=False
         )
         assert "Exchange" not in plan_of(feats)
+
+
+class TestThirdWavePlans:
+    """Physical-plan shape asserts for the second-session round-4
+    operators — the 100 TB contract, checked in the plan text."""
+
+    def test_pii_and_urls_are_shuffle_free(self, spark):
+        from cassandra_pmem_spark.pipeline.pii import pii_counts, redact_pii
+        from cassandra_pmem_spark.pipeline.urls import normalize_url
+
+        docs = load_table(spark, "documents", SF_SMALL)
+        out = pii_counts(docs, "text").select(redact_pii("text").alias("r"))
+        assert "Exchange" not in plan_of(out)
+        assert "Exchange" not in plan_of(
+            docs.select(normalize_url("text").alias("u"))
+        )
+
+    def test_chunking_is_narrow(self, spark):
+        from cassandra_pmem_spark.pipeline.packing import chunk_documents
+
+        docs = load_table(spark, "documents", SF_SMALL)
+        assert "Exchange" not in plan_of(chunk_documents(docs))
+
+    def test_epoch_shuffle_single_exchange(self, spark):
+        from cassandra_pmem_spark.pipeline.packing import epoch_shuffle
+
+        docs = load_table(spark, "documents", SF_SMALL)
+        plan = plan_of(epoch_shuffle(docs))
+        assert plan.count("Exchange") == 1  # the per-shard rank window
+
+    def test_sq8_broadcasts_queries_and_scans_corpus_once(self, spark):
+        from cassandra_pmem_spark.pipeline.quantization import sq8_topk
+
+        emb = load_table(spark, "embeddings", SF_SMALL)
+        queries = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        plan = plan_of(sq8_topk(emb, queries, k=3))
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        # the integer dot product runs as expressions, not Python
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    def test_decontaminate_probe_stays_off_the_corpus_shuffle(self, spark):
+        from cassandra_pmem_spark.pipeline.decontaminate import contamination
+
+        docs = load_table(spark, "documents", SF_SMALL).select("doc_id", "text")
+        bench = docs.limit(3).select("text")
+        plan = plan_of(contamination(docs, bench))
+        assert "BroadcastHashJoin" in plan
+
+    def test_countmin_and_histogram_partial_aggregate(self, spark):
+        """Sketch builds must map-side combine: a partial_count /
+        partial aggregation before the exchange."""
+        from cassandra_pmem_spark.pipeline.sketch import (
+            countmin_build,
+            histogram_bins,
+        )
+
+        orders = load_table(spark, "orders", SF_SMALL)
+        plan = plan_of(countmin_build(orders, "o_custkey"))
+        assert "partial_count" in plan or "partial" in plan.lower()
+        events = load_table(spark, "events", SF_SMALL)
+        plan2 = plan_of(histogram_bins(events, "value"))
+        assert "partial" in plan2.lower()
