@@ -1,0 +1,151 @@
+"""Time-series join and rollup operators Spark lacks as built-ins:
+as-of join, interval (range) join, and the hypertable rollup cascade.
+
+All three are compositions of existing DataFrame operators chosen for
+their 100 TB shape, per the build brief's custom-operator ladder
+(composition first, Pandas-UDF only when semantics force it — none of
+these do):
+
+- **as-of join** — the union-and-window formulation: tag both sides,
+  union, one window per key ordered by (ts, side) carrying the most
+  recent right-side payload forward. ONE shuffle (the window
+  partition), NO per-row range probe, no candidate explosion — the
+  shape kdb/Timescale/Flink implement natively and Spark expresses as
+  sort-within-partition.
+- **range join** — bucketize intervals to fixed-width buckets, explode
+  (narrow — intervals cover few buckets), equi-join points on
+  (key, bucket), then filter the exact containment predicate. Turns an
+  inequality join Catalyst would nest-loop into an equi-shuffle whose
+  fan-out tracks true interval coverage.
+- **hypertable rollup** — the continuous-aggregate cascade: coarse
+  aggregates derive from FINE PARTIALS, never from raw data (count and
+  sum are decomposable). Correctness contract: rolling partials up
+  must equal aggregating raw directly — exactly what the oracle
+  checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """For every left row, attach the right row with the greatest
+    `right_ts` ≤ `left_ts` for the same key (inclusive — a right row at
+    the exact timestamp is visible). Left rows before any right row
+    keep NULLs (left-join semantics). Right (key, ts) pairs should be
+    unique — with duplicates the picked row is the union order's last,
+    which no as-of engine defines either.
+
+    Implementation: union both sides with a side tag, one window per
+    key ordered by (ts, side) with rows-unbounded-preceding, carry the
+    last non-null right payload forward, keep left rows. One shuffle."""
+    rv = F.struct(
+        F.col(right_ts).alias("__rts"), *[F.col(c) for c in value_cols]
+    )
+    r2 = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),  # right sorts first at equal ts
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{f.name}:{f.dataType.simpleString()}"
+                                 for f in left.schema.fields) + ">"
+        ).alias("__lrow"),
+        rv.alias("__rv"),
+    )
+    l2 = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
+        F.lit(None).cast(r2.schema["__rv"].dataType).alias("__rv"),
+    )
+    u = r2.unionByName(l2)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    picked = F.last("__rv", ignorenulls=True).over(w)
+    out = u.select("__lrow", picked.alias("__pick")).filter(
+        F.col("__lrow").isNotNull()
+    )
+    return out.select(
+        *[F.col("__lrow")[c].alias(c) for c in left.columns],
+        F.col("__pick")["__rts"].alias(f"{prefix}{right_ts}"),
+        *[F.col("__pick")[c].alias(f"{prefix}{c}") for c in value_cols],
+    )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key: str,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 600,
+) -> DataFrame:
+    """(point, interval) pairs where the point's timestamp falls in
+    [start, end) and the keys match — via bucketized equi-join: each
+    interval explodes to the buckets it covers (narrow), points hash to
+    one bucket, and the exact predicate filters after the equi-join."""
+    b = F.lit(bucket_seconds)
+    ivl = intervals.select(
+        "*",
+        F.explode(
+            F.sequence(
+                (F.unix_timestamp(F.col(start_col)) / b).cast("long"),
+                (
+                    (F.unix_timestamp(F.col(end_col)) - F.lit(1)) / b
+                ).cast("long"),
+            )
+        ).alias("__bucket"),
+    )
+    pts = points.select(
+        "*",
+        (F.unix_timestamp(F.col(point_ts)) / b).cast("long").alias("__bucket"),
+    )
+    joined = pts.join(ivl, on=[key, "__bucket"]).filter(
+        (F.col(point_ts) >= F.col(start_col))
+        & (F.col(point_ts) < F.col(end_col))
+    )
+    return joined.drop("__bucket")
+
+
+def rollup_cascade(
+    df: DataFrame,
+    ts_col: str,
+    group_cols: list[str],
+    agg_exprs: dict[str, str],
+    fine: str = "15 minutes",
+    coarse_trunc: str = "hour",
+) -> DataFrame:
+    """Continuous-aggregate rollup: aggregate raw data once at `fine`
+    windows, then derive the coarse tier from the PARTIALS (counts and
+    sums re-sum; that is what makes them decomposable). At 100 TB the
+    fine tier is what the ingest path maintains incrementally; coarse
+    tiers never touch raw data again.
+
+    agg_exprs maps output name → 'count' | a sum-able column name."""
+    fine_aggs = [
+        (F.count("*") if src == "count" else F.sum(src)).alias(name)
+        for name, src in agg_exprs.items()
+    ]
+    fine_df = df.groupBy(
+        *group_cols, F.window(F.col(ts_col), fine).alias("__w")
+    ).agg(*fine_aggs)
+    coarse = fine_df.groupBy(
+        *group_cols,
+        F.date_trunc(coarse_trunc, F.col("__w.start")).alias("bucket"),
+    ).agg(*[F.sum(name).alias(name) for name in agg_exprs])
+    return coarse

@@ -101,6 +101,9 @@ _PRIORITY: tuple[str, ...] = (
     "graph_pagerank_exact",  # integer-exact iterative PageRank
     "sim_semantic_dedup",  # SemDeDup within-cluster embedding dedup
     "streaming_sketch_merge",  # foreachBatch HLL merge under redelivery
+    "temporal_asof_join",  # as-of join vs DuckDB native ASOF oracle
+    "temporal_range_join",  # bucketized interval join
+    "temporal_rollup_cascade",  # hypertable continuous-aggregate rollup
     # -- (2b) edited this round (full blobAsX/XAsBlob pair set) — must
     # keep driver evidence ahead of stale-but-unedited rows
     "cql_blob_conv",

@@ -449,7 +449,117 @@ SELECT user_id, min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS sessio
 FROM sessions GROUP BY user_id, sess
 """
 
+def temporal_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN (operators/temporal.asof_join — the time-series join
+    Spark lacks as a built-in, via the one-shuffle union-and-window
+    formulation): every event attaches its user's most recent hourly
+    click rollup at or before its timestamp; events before the user's
+    first click hour keep NULLs. The oracle is DuckDB's NATIVE ASOF
+    LEFT JOIN — the semantics are checked against an engine that ships
+    the operator."""
+    from cassandra_pmem_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, "events", sf_dir)
+    right = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(
+            "user_id", F.date_trunc("hour", F.col("ts")).alias("rts")
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    left = ev.select("event_id", "user_id", "ts")
+    return asof_join(
+        left, right, key="user_id", left_ts="ts", right_ts="rts",
+        value_cols=["cents"],
+    )
+
+
+_ASOF_ORACLE = """
+WITH r AS (
+  SELECT user_id, date_trunc('hour', ts) AS rts,
+    CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+), l AS (
+  SELECT event_id, user_id, ts FROM events
+)
+SELECT l.event_id, l.user_id, l.ts,
+  r.rts AS asof_rts, r.cents AS asof_cents
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.rts
+"""
+
+
+def temporal_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join (operators/temporal.range_join): every
+    event that falls inside a same-user 10-minute error window pairs
+    with that window — via the bucketized equi-join that keeps Catalyst
+    off the nested-loop path. The oracle is the plain inequality join;
+    equality proves the bucket decomposition loses and invents
+    nothing."""
+    from cassandra_pmem_spark.operators.temporal import range_join
+
+    ev = load_table(spark, "events", sf_dir)
+    intervals = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("interval_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("end_ts"),
+    )
+    points = ev.select(F.col("event_id").alias("point_id"), "user_id", "ts")
+    out = range_join(
+        points, intervals, key="user_id", point_ts="ts",
+        start_col="start_ts", end_col="end_ts",
+    )
+    return out.select("point_id", "interval_id", "user_id")
+
+
+_RANGE_JOIN_ORACLE = """
+SELECT p.event_id AS point_id, i.event_id AS interval_id, p.user_id
+FROM events p
+JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') i
+  ON p.user_id = i.user_id
+ AND p.ts >= i.ts AND p.ts < i.ts + INTERVAL 10 MINUTE
+"""
+
+
+def temporal_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable rollup cascade (operators/temporal.rollup_cascade —
+    the continuous-aggregate contract): hourly aggregates derived from
+    15-minute PARTIALS, never from raw data. The oracle aggregates the
+    raw table directly at the hour — equality proves the
+    partial-merge decomposition exact."""
+    from cassandra_pmem_spark.operators.temporal import rollup_cascade
+
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        "cents", F.floor(F.col("value") * 100).cast("long")
+    )
+    out = rollup_cascade(
+        ev, "ts", ["event_type"], {"n_events": "count", "cents": "cents"},
+        fine="15 minutes", coarse_trunc="hour",
+    )
+    return out.select(
+        "event_type",
+        "bucket",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("cents").cast("long").alias("cents"),
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT event_type, date_trunc('hour', ts) AS bucket,
+  count(*) AS n_events,
+  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events GROUP BY 1, 2
+"""
+
+
 QUERIES = {
+    "temporal_asof_join": (temporal_asof_join, _ASOF_ORACLE),
+    "temporal_range_join": (temporal_range_join, _RANGE_JOIN_ORACLE),
+    "temporal_rollup_cascade": (temporal_rollup_cascade, _ROLLUP_ORACLE),
     "tpch_q1_pricing_summary": (tpch_q1_pricing_summary, _Q1_ORACLE),
     "tpch_q3_shipping_priority": (tpch_q3_shipping_priority, _Q3_ORACLE),
     "tpch_q5_local_supplier": (tpch_q5_local_supplier, _Q5_ORACLE),

@@ -492,3 +492,94 @@ class TestTypedAggregates:
         df = spark.createDataFrame([(1,), (2,)], T.StructType([T.StructField("v", T.LongType())]))
         field = df.agg(cql_sum("v", "int").alias("s")).schema["s"]
         assert field.dataType.simpleString() == "int"
+
+
+class TestTemporalOperators:
+    def test_asof_semantics(self, spark):
+        """Inclusive boundary, latest-wins, NULL before first right row."""
+        import datetime as dt
+
+        import pandas as pd
+
+        from cassandra_pmem_spark.operators.temporal import asof_join
+
+        t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+        left = spark.createDataFrame(
+            pd.DataFrame(
+                {"pid": [1, 2, 3, 4], "k": [1, 1, 1, 2],
+                 "ts": [t(0), t(10), t(20), t(5)]}
+            )
+        )
+        right = spark.createDataFrame(
+            pd.DataFrame(
+                {"k": [1, 1], "rts": [t(10), t(15)], "v": [100, 200]}
+            )
+        )
+        got = {
+            r["pid"]: (r["asof_rts"], r["asof_v"])
+            for r in asof_join(
+                left, right, key="k", left_ts="ts", right_ts="rts",
+                value_cols=["v"],
+            ).collect()
+        }
+        assert got[1] == (None, None)  # before any right row
+        assert got[2] == (t(10), 100)  # exact-timestamp row IS visible
+        assert got[3] == (t(15), 200)  # latest wins
+        assert got[4] == (None, None)  # other key sees nothing
+
+    def test_range_join_boundaries_and_bucket_crossing(self, spark):
+        import datetime as dt
+
+        import pandas as pd
+
+        from cassandra_pmem_spark.operators.temporal import range_join
+
+        t = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)  # noqa: E731
+        # interval [t(595), t(1195)) crosses the 600-second bucket edge
+        intervals = spark.createDataFrame(
+            pd.DataFrame(
+                {"iid": [1], "k": [1], "s": [t(595)], "e": [t(1195)]}
+            )
+        )
+        points = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "pid": [1, 2, 3, 4, 5],
+                    "k": [1, 1, 1, 1, 2],
+                    "ts": [t(594), t(595), t(700), t(1195), t(700)],
+                }
+            )
+        )
+        got = {
+            r["pid"]
+            for r in range_join(
+                points, intervals, key="k", point_ts="ts",
+                start_col="s", end_col="e",
+            ).collect()
+        }
+        # start inclusive, end exclusive, key must match, bucket edge ok
+        assert got == {2, 3}
+
+    def test_rollup_partials_equal_direct(self, spark):
+        from cassandra_pmem_spark.catalog import load_table
+        from cassandra_pmem_spark.operators.temporal import rollup_cascade
+        from tests.conftest import SF_SMALL
+
+        ev = load_table(spark, "events", SF_SMALL).withColumn(
+            "cents", F.floor(F.col("value") * 100).cast("long")
+        )
+        via_partials = {
+            (r["event_type"], r["bucket"]): (r["n"], r["c"])
+            for r in rollup_cascade(
+                ev, "ts", ["event_type"], {"n": "count", "c": "cents"}
+            ).collect()
+        }
+        direct = {
+            (r["event_type"], r["bucket"]): (r["n"], r["c"])
+            for r in ev.groupBy(
+                "event_type", F.date_trunc("hour", "ts").alias("bucket")
+            )
+            .agg(F.count("*").alias("n"), F.sum("cents").alias("c"))
+            .collect()
+        }
+        assert via_partials == direct
