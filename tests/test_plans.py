@@ -261,3 +261,26 @@ class TestThirdWavePlans:
         events = load_table(spark, "events", SF_SMALL)
         plan2 = plan_of(histogram_bins(events, "value"))
         assert "partial" in plan2.lower()
+
+
+class TestTemporalPlans:
+    def test_asof_join_is_one_exchange(self, spark):
+        """The union-and-window as-of join must spend exactly one
+        shuffle (the per-key window) — no join exchange at all."""
+        import datetime as dt
+
+        import pandas as pd
+
+        from cassandra_pmem_spark.operators.temporal import asof_join
+
+        t0 = dt.datetime(2024, 1, 1)
+        left = spark.createDataFrame(
+            pd.DataFrame({"pid": [1], "k": [1], "ts": [t0]})
+        )
+        right = spark.createDataFrame(
+            pd.DataFrame({"k": [1], "rts": [t0], "v": [1]})
+        )
+        plan = plan_of(
+            asof_join(left, right, "k", "ts", "rts", ["v"])
+        )
+        assert plan.count("Exchange") == 1
