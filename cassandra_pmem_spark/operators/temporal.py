@@ -149,3 +149,45 @@ def rollup_cascade(
         F.date_trunc(coarse_trunc, F.col("__w.start")).alias("bucket"),
     ).agg(*[F.sum(name).alias(name) for name in agg_exprs])
     return coarse
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_seconds: int = 600,
+) -> DataFrame:
+    """(left, right) pairs whose half-open intervals overlap —
+    [s1, e1) ∩ [s2, e2) ≠ ∅ ⟺ s1 < e2 AND s2 < e1 — via the same
+    bucket decomposition as `range_join`, applied to BOTH sides: each
+    interval explodes to its covered buckets, the equi-join on
+    (key, bucket) proposes candidates, the exact predicate decides,
+    and a dropDuplicates removes multi-bucket double-hits. Candidate
+    volume tracks true overlap density, never the cross product."""
+    b = F.lit(bucket_seconds)
+
+    def bucketed(df, start, end):
+        return df.select(
+            "*",
+            F.explode(
+                F.sequence(
+                    (F.unix_timestamp(F.col(start)) / b).cast("long"),
+                    ((F.unix_timestamp(F.col(end)) - F.lit(1)) / b).cast(
+                        "long"
+                    ),
+                )
+            ).alias("__bucket"),
+        )
+
+    l2 = bucketed(left, left_start, left_end)
+    r2 = bucketed(right, right_start, right_end)
+    joined = l2.join(r2, on=[key, "__bucket"]).filter(
+        (F.col(left_start) < F.col(right_end))
+        & (F.col(right_start) < F.col(left_end))
+    )
+    out_cols = [c for c in joined.columns if c != "__bucket"]
+    return joined.select(*out_cols).dropDuplicates()

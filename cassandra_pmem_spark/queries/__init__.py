@@ -104,6 +104,7 @@ _PRIORITY: tuple[str, ...] = (
     "temporal_asof_join",  # as-of join vs DuckDB native ASOF oracle
     "temporal_range_join",  # bucketized interval join
     "temporal_rollup_cascade",  # hypertable continuous-aggregate rollup
+    "temporal_overlap_join",  # interval-interval overlap join
     # -- (2b) edited this round (full blobAsX/XAsBlob pair set) — must
     # keep driver evidence ahead of stale-but-unedited rows
     "cql_blob_conv",

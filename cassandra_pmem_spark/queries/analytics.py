@@ -556,8 +556,46 @@ FROM events GROUP BY 1, 2
 """
 
 
+def temporal_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (operators/temporal.interval_overlap_join):
+    same-user 10-minute error windows × 10-minute purchase windows that
+    overlap in time — the both-sides bucket decomposition of the range
+    join. The oracle is the plain inequality join."""
+    from cassandra_pmem_spark.operators.temporal import interval_overlap_join
+
+    ev = load_table(spark, "events", sf_dir)
+
+    def windows(kind, idc):
+        return ev.filter(F.col("event_type") == kind).select(
+            F.col("event_id").alias(idc),
+            "user_id",
+            F.col("ts").alias(f"{idc}_start"),
+            (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias(f"{idc}_end"),
+        )
+
+    out = interval_overlap_join(
+        windows("error", "err_id"),
+        windows("purchase", "buy_id"),
+        key="user_id",
+        left_start="err_id_start", left_end="err_id_end",
+        right_start="buy_id_start", right_end="buy_id_end",
+    )
+    return out.select("err_id", "buy_id", "user_id")
+
+
+_OVERLAP_ORACLE = """
+SELECT e.event_id AS err_id, p.event_id AS buy_id, e.user_id
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id
+ AND e.ts < p.ts + INTERVAL 10 MINUTE
+ AND p.ts < e.ts + INTERVAL 10 MINUTE
+"""
+
+
 QUERIES = {
     "temporal_asof_join": (temporal_asof_join, _ASOF_ORACLE),
+    "temporal_overlap_join": (temporal_overlap_join, _OVERLAP_ORACLE),
     "temporal_range_join": (temporal_range_join, _RANGE_JOIN_ORACLE),
     "temporal_rollup_cascade": (temporal_rollup_cascade, _ROLLUP_ORACLE),
     "tpch_q1_pricing_summary": (tpch_q1_pricing_summary, _Q1_ORACLE),

@@ -583,3 +583,38 @@ class TestTemporalOperators:
             .collect()
         }
         assert via_partials == direct
+
+
+class TestOverlapJoin:
+    def test_boundary_semantics(self, spark):
+        import datetime as dt
+
+        import pandas as pd
+
+        from cassandra_pmem_spark.operators.temporal import (
+            interval_overlap_join,
+        )
+
+        t = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)  # noqa: E731
+        left = spark.createDataFrame(
+            pd.DataFrame(
+                {"lid": [1, 2], "k": [1, 1],
+                 "ls": [t(0), t(2000)], "le": [t(600), t(2600)]}
+            )
+        )
+        right = spark.createDataFrame(
+            pd.DataFrame(
+                {"rid": [10, 11, 12], "k": [1, 1, 1],
+                 "rs": [t(600), t(599), t(2599)],
+                 "re": [t(1200), t(1199), t(3199)]}
+            )
+        )
+        got = {
+            (r["lid"], r["rid"])
+            for r in interval_overlap_join(
+                left, right, "k", "ls", "le", "rs", "re"
+            ).collect()
+        }
+        # half-open: [0,600) and [600,1200) do NOT overlap; one second
+        # of overlap does; multi-bucket candidates dedupe to one pair
+        assert got == {(1, 11), (2, 12)}
