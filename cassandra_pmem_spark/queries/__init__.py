@@ -105,6 +105,9 @@ _PRIORITY: tuple[str, ...] = (
     "temporal_range_join",  # bucketized interval join
     "temporal_rollup_cascade",  # hypertable continuous-aggregate rollup
     "temporal_overlap_join",  # interval-interval overlap join
+    "analytics_scd2_intervals",  # SCD2 validity intervals from a change log
+    "analytics_funnel",  # ordered funnel (conditional-min aggregates)
+    "analytics_retention_cohorts",  # cohort retention triangle
     # -- (2b) edited this round (full blobAsX/XAsBlob pair set) — must
     # keep driver evidence ahead of stale-but-unedited rows
     "cql_blob_conv",

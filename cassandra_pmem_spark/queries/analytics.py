@@ -593,9 +593,124 @@ JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
 """
 
 
+def analytics_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 history derivation: treating each user's events as a
+    change log, every row becomes a validity interval [ts, next_ts)
+    via one lead() window — the warehouse pattern that turns mutation
+    logs into as-of-queryable history (the batch analog of the
+    reference's timestamped cells). Open intervals carry NULL
+    valid_to. One shuffle (the per-user window)."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+
+
+_SCD2_ORACLE = """
+SELECT user_id, event_id, ts AS valid_from,
+  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+  event_type,
+  CAST(floor(value * 100) AS BIGINT) AS cents
+FROM events
+"""
+
+
+def analytics_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: per user, did signup → click → purchase
+    happen IN ORDER (each stage strictly after the previous one's first
+    occurrence)? Expressed as three conditional-min aggregates + order
+    predicates — one shuffle, no self-joins, the product-analytics
+    shape that scales as a single grouped pass."""
+    ev = load_table(spark, "events", sf_dir)
+
+    def first_ts(kind):
+        return F.min(F.when(F.col("event_type") == kind, F.col("ts")))
+
+    agg = ev.groupBy("user_id").agg(
+        first_ts("signup").alias("t_signup"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    reached_click = F.col("t_signup").isNotNull() & (
+        F.col("t_click") > F.col("t_signup")
+    )
+    reached_purchase = reached_click & (F.col("t_purchase") > F.col("t_click"))
+    return agg.select(
+        "user_id",
+        F.col("t_signup").isNotNull().alias("s1_signup"),
+        F.coalesce(reached_click, F.lit(False)).alias("s2_click"),
+        F.coalesce(reached_purchase, F.lit(False)).alias("s3_purchase"),
+    )
+
+
+_FUNNEL_ORACLE = """
+WITH a AS (
+  SELECT user_id,
+    min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+    min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY 1
+)
+SELECT user_id,
+  t_signup IS NOT NULL AS s1_signup,
+  COALESCE(t_signup IS NOT NULL AND t_click > t_signup, FALSE) AS s2_click,
+  COALESCE(t_signup IS NOT NULL AND t_click > t_signup
+           AND t_purchase > t_click, FALSE) AS s3_purchase
+FROM a
+"""
+
+
+def analytics_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users grouped by first-activity day
+    (their cohort), counted by how many days after the cohort day they
+    were active — the signup-retention triangle. Two aggregations (the
+    per-user first-day frame is small and re-joins broadcastable); day
+    arithmetic is exact integer date math in both engines."""
+    ev = load_table(spark, "events", sf_dir)
+    first = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    active = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    return (
+        active.join(F.broadcast(first), "user_id")
+        .select(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+_RETENTION_ORACLE = """
+WITH first AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY 1
+), active AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+)
+SELECT f.cohort_day,
+  CAST(a.day - f.cohort_day AS BIGINT) AS day_offset,
+  count(*) AS n_users
+FROM active a JOIN first f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "temporal_asof_join": (temporal_asof_join, _ASOF_ORACLE),
     "temporal_overlap_join": (temporal_overlap_join, _OVERLAP_ORACLE),
+    "analytics_scd2_intervals": (analytics_scd2_intervals, _SCD2_ORACLE),
+    "analytics_funnel": (analytics_funnel, _FUNNEL_ORACLE),
+    "analytics_retention_cohorts": (
+        analytics_retention_cohorts,
+        _RETENTION_ORACLE,
+    ),
     "temporal_range_join": (temporal_range_join, _RANGE_JOIN_ORACLE),
     "temporal_rollup_cascade": (temporal_rollup_cascade, _ROLLUP_ORACLE),
     "tpch_q1_pricing_summary": (tpch_q1_pricing_summary, _Q1_ORACLE),
