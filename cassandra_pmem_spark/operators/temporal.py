@@ -151,6 +151,56 @@ def rollup_cascade(
     return coarse
 
 
+def gapfill_locf(
+    df: DataFrame,
+    key_cols: list[str],
+    bucket_col: str,
+    value_cols: list[str],
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Dense time-series gap filling with last-observation-carried-
+    forward — the hypertable `time_bucket_gapfill + locf` contract
+    (continuous dashboards over sparse series). Input is an already
+    bucketed/aggregated frame (one row per key × observed bucket,
+    `bucket_col` a long bucket index = floor(epoch/bucket_seconds));
+    output is the DENSE per-key grid from each key's first to last
+    observation, missing buckets carrying the most recent observed
+    value forward and flagged `is_gap`.
+
+    Shape: grid generation is a per-key min/max aggregate + a narrow
+    `explode(sequence(...))` — grid size is what the RESULT needs, no
+    cross join against a calendar dimension; the left join and the
+    LOCF window both hash on the same key set, so AQE coalesces them
+    into the one partitioning the output needs. Nothing is
+    driver-side; per-key series length bounds window memory exactly as
+    the as-of join above."""
+    lo, hi = f"__lo_{bucket_col}", f"__hi_{bucket_col}"
+    span = df.groupBy(*key_cols).agg(
+        F.min(bucket_col).alias(lo), F.max(bucket_col).alias(hi)
+    )
+    grid = span.select(
+        *key_cols,
+        F.explode(F.sequence(F.col(lo), F.col(hi))).alias(bucket_col),
+    )
+    dense = grid.join(df, on=[*key_cols, bucket_col], how="left")
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = [
+        F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols
+    ]
+    return dense.select(
+        *key_cols,
+        F.timestamp_seconds(
+            F.col(bucket_col) * F.lit(bucket_seconds)
+        ).alias("bucket"),
+        *filled,
+        F.col(value_cols[0]).isNull().alias("is_gap"),
+    )
+
+
 def interval_overlap_join(
     left: DataFrame,
     right: DataFrame,

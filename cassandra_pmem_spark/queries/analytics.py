@@ -556,6 +556,53 @@ FROM events GROUP BY 1, 2
 """
 
 
+def temporal_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series per event_type with LOCF
+    (operators/temporal.gapfill_locf — the hypertable
+    time_bucket_gapfill+locf contract): hours with no events appear in
+    the output carrying the previous hour's cents forward, flagged
+    is_gap. The oracle regenerates the dense grid with
+    generate_series and replays LOCF as an IGNORE NULLS window —
+    equality proves grid + fill exact."""
+    from cassandra_pmem_spark.operators.temporal import gapfill_locf
+
+    ev = load_table(spark, "events", sf_dir)
+    hourly = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("b"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    return gapfill_locf(
+        hourly, ["event_type"], "b", ["cents", "n_events"],
+        bucket_seconds=3600,
+    )
+
+
+_GAPFILL_ORACLE = """
+WITH agg AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS b,
+         CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT event_type, min(b) AS lo, max(b) AS hi FROM agg GROUP BY 1
+), grid AS (
+  SELECT event_type, unnest(generate_series(lo, hi)) AS b FROM span
+)
+SELECT g.event_type,
+  make_timestamp(g.b * 3600 * 1000000) AS bucket,
+  last_value(a.cents IGNORE NULLS) OVER w AS cents,
+  last_value(a.n_events IGNORE NULLS) OVER w AS n_events,
+  a.cents IS NULL AS is_gap
+FROM grid g LEFT JOIN agg a USING (event_type, b)
+WINDOW w AS (PARTITION BY g.event_type ORDER BY g.b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 def temporal_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-overlap join (operators/temporal.interval_overlap_join):
     same-user 10-minute error windows × 10-minute purchase windows that
@@ -712,6 +759,7 @@ QUERIES = {
         _RETENTION_ORACLE,
     ),
     "temporal_range_join": (temporal_range_join, _RANGE_JOIN_ORACLE),
+    "temporal_gapfill_locf": (temporal_gapfill_locf, _GAPFILL_ORACLE),
     "temporal_rollup_cascade": (temporal_rollup_cascade, _ROLLUP_ORACLE),
     "tpch_q1_pricing_summary": (tpch_q1_pricing_summary, _Q1_ORACLE),
     "tpch_q3_shipping_priority": (tpch_q3_shipping_priority, _Q3_ORACLE),

@@ -200,6 +200,63 @@ def source_arrow_ipc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(run, "doc_id BIGINT, text_md5 STRING")
 
 
+def source_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout demonstration (sources/zorder.py — the
+    Delta/Iceberg OPTIMIZE ZORDER BY analog for multi-dim file
+    skipping): interleave (user_id, hour) bits into a 32-bit Morton
+    code with pure codegen bit arithmetic and report, per 256th of the
+    Z-range, the count plus the min/max rectangle each Z-bucket covers
+    in BOTH dimensions — the footer-stats locality that lets parquet
+    prune files for filters on EITHER column. The oracle replays the
+    identical mask-shift spread steps (sources/zorder.morton_sql), so
+    equality proves the interleave bit-exact."""
+    from cassandra_pmem_spark.sources.zorder import morton_code
+
+    ev = load_table(spark, "events", sf_dir)
+    # 8-bit dims so the fixture's value ranges fill the code space:
+    # each Z-bucket (top 8 of the 16 interleaved bits) then covers a
+    # 16×16 rectangle — narrow in BOTH dimensions at once.
+    a = F.col("user_id").cast("long").bitwiseAND(F.lit(0xFF))
+    b = (
+        F.floor(F.unix_timestamp("ts") / 3600)
+        .cast("long")
+        .bitwiseAND(F.lit(0xFF))
+    )
+    coded = ev.select(
+        a.alias("a8"),
+        b.alias("b8"),
+        F.shiftright(morton_code(a, b), 8).alias("zbucket"),
+    )
+    return coded.groupBy("zbucket").agg(
+        F.count("*").alias("n"),
+        F.min("a8").alias("a_min"),
+        F.max("a8").alias("a_max"),
+        F.min("b8").alias("b_min"),
+        F.max("b8").alias("b_max"),
+    )
+
+
+def _zorder_oracle() -> str:
+    from cassandra_pmem_spark.sources.zorder import morton_sql
+
+    z = morton_sql(
+        "CAST(user_id AS BIGINT) & 255",
+        "CAST(floor(epoch(ts) / 3600) AS BIGINT) & 255",
+    )
+    return f"""
+    WITH coded AS (
+      SELECT (CAST(user_id AS BIGINT) & 255) AS a8,
+             (CAST(floor(epoch(ts) / 3600) AS BIGINT) & 255) AS b8,
+             ({z} >> 8) AS zbucket
+      FROM events
+    )
+    SELECT zbucket, count(*) AS n,
+           min(a8) AS a_min, max(a8) AS a_max,
+           min(b8) AS b_min, max(b8) AS b_max
+    FROM coded GROUP BY 1
+    """
+
+
 def analytics_explode_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UDTF surplus (SURVEY §2.11 — CQL has no table functions): explode =
     UNNEST; top-20 words across documents with total tie-break order."""
@@ -466,6 +523,7 @@ QUERIES = {
         source_arrow_ipc,
         "SELECT doc_id, md5(text) AS text_md5 FROM documents",
     ),
+    "source_zorder_layout": (source_zorder_layout, _zorder_oracle()),
     "cql_is_not_null": (
         cql_is_not_null,
         "SELECT event_id, CAST(props->>'k' AS INT) AS k FROM events "

@@ -584,6 +584,41 @@ class TestTemporalOperators:
         }
         assert via_partials == direct
 
+    def test_gapfill_locf_semantics(self, spark):
+        """Grid spans each key's own [first, last] bucket; gaps carry
+        the previous value forward and are flagged; keys don't leak."""
+        import pandas as pd
+
+        from cassandra_pmem_spark.operators.temporal import gapfill_locf
+
+        sparse = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "k": ["a", "a", "a", "b"],
+                    "b": [100, 101, 104, 200],
+                    "v": [10, 20, 50, 7],
+                }
+            )
+        )
+        rows = gapfill_locf(
+            sparse, ["k"], "b", ["v"], bucket_seconds=3600
+        ).collect()
+        got = {
+            (r["k"], int(r["bucket"].timestamp()) // 3600): (
+                r["v"], r["is_gap"],
+            )
+            for r in rows
+        }
+        # key a: dense 100..104 — 102/103 are LOCF'd gaps
+        assert got[("a", 100)] == (10, False)
+        assert got[("a", 101)] == (20, False)
+        assert got[("a", 102)] == (20, True)
+        assert got[("a", 103)] == (20, True)
+        assert got[("a", 104)] == (50, False)
+        # key b: a single observation ⇒ single-row grid, no leakage
+        assert got[("b", 200)] == (7, False)
+        assert len(got) == 6
+
 
 class TestOverlapJoin:
     def test_boundary_semantics(self, spark):

@@ -284,3 +284,92 @@ class TestTemporalPlans:
             asof_join(left, right, "k", "ts", "rts", ["v"])
         )
         assert plan.count("Exchange") == 1
+
+
+class TestZorderLayout:
+    def test_morton_matches_python_reference(self, spark):
+        """The mask-shift spread must equal naive bit interleaving."""
+        import pandas as pd
+
+        from cassandra_pmem_spark.sources.zorder import morton_code
+
+        def ref(a, b):
+            z = 0
+            for i in range(16):
+                z |= ((a >> i) & 1) << (2 * i)
+                z |= ((b >> i) & 1) << (2 * i + 1)
+            return z
+
+        vals = [(0, 0), (1, 0), (0, 1), (65535, 65535), (1234, 4321),
+                (255, 256), (32768, 1)]
+        df = spark.createDataFrame(
+            pd.DataFrame({"a": [v[0] for v in vals],
+                          "b": [v[1] for v in vals]})
+        )
+        got = [
+            r["z"]
+            for r in df.select(
+                morton_code(F.col("a"), F.col("b")).alias("z")
+            ).collect()
+        ]
+        assert got == [ref(a, b) for a, b in vals]
+
+    def test_zorder_write_prunes_in_both_dimensions(self, spark, tmp_path):
+        """Range-partitioning files by the Morton code must leave every
+        file covering a narrow min/max rectangle in BOTH dimensions —
+        the footer stats a 100 TB scan prunes on. Compare against a
+        single-dimension sort layout, where the second dimension's
+        per-file span stays full-range."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from cassandra_pmem_spark.sources.zorder import zorder_write
+
+        n = 1 << 12
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "x": [i % 64 for i in range(n)],
+                    "y": [(i * 37) % 64 for i in range(n)],
+                }
+            )
+        )
+        path = str(tmp_path / "zord")
+        zorder_write(df, "x", "y", path, n_files=16)
+
+        import glob
+
+        spans = []
+        for f in sorted(glob.glob(path + "/part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            lo = {"x": 64, "y": 64}
+            hi = {"x": -1, "y": -1}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    if name in lo:
+                        st = col.statistics
+                        lo[name] = min(lo[name], st.min)
+                        hi[name] = max(hi[name], st.max)
+            spans.append((hi["x"] - lo["x"], hi["y"] - lo["y"]))
+        assert len(spans) >= 8
+        # every file covers well under the full 0..63 range in BOTH dims
+        assert all(sx <= 32 and sy <= 32 for sx, sy in spans), spans
+        # and a point filter on EITHER dim overlaps only a minority of
+        # files (the pruning a single-dim sort gives one dim only)
+        files = []
+        for f in sorted(glob.glob(path + "/part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            stats = {}
+            for ci in range(md.num_columns):
+                col = md.row_group(0).column(ci)
+                stats[col.path_in_schema] = (
+                    col.statistics.min, col.statistics.max,
+                )
+            files.append(stats)
+        for dim in ("x", "y"):
+            matching = sum(
+                1 for st in files if st[dim][0] <= 5 <= st[dim][1]
+            )
+            assert matching <= len(files) // 2, (dim, matching, files)
