@@ -537,3 +537,46 @@ def line_dedup(
         .cast("long")
         .alias("n_dropped"),
     )
+
+
+def edit_distance_join(words: DataFrame, word_col: str = "w") -> DataFrame:
+    """All pairs of distinct words within Levenshtein distance ≤ 1, via
+    the SymSpell deletion-neighborhood decomposition (Garbe's public
+    symmetric-delete algorithm): each word's candidate key set is
+    {itself} ∪ {every single-character deletion}. Two words at distance
+    exactly 1 always share a key — a substitution shares the deletion
+    at the substituted position; an insertion/deletion makes the
+    shorter word itself a deletion variant of the longer — so an
+    equi-join on keys proposes a complete candidate set and the exact
+    levenshtein() predicate (JVM built-in) decides. Completeness is
+    what the registry oracle proves: the DuckDB twin is the plain
+    quadratic self-join.
+
+    Shape: the explode is narrow (≤ len+1 keys per word); candidates
+    hash-join on short string keys and track true neighborhood
+    density, never |words|² — the same bucket-propose-verify contract
+    as the MinHash LSH path above.
+
+    Returns (w1, w2, dist) with w1 < w2, dist ∈ {1}."""
+    deletions = F.expr(
+        f"transform(sequence(1, length({word_col})), "
+        f"i -> concat(substring({word_col}, 1, i-1), "
+        f"substring({word_col}, i+1)))"
+    )
+    variants = words.select(
+        F.col(word_col),
+        F.explode(
+            F.array_union(F.array(F.col(word_col)), deletions)
+        ).alias("__var"),
+    )
+    va = variants.select(F.col(word_col).alias("w1"), "__var")
+    vb = variants.select(F.col(word_col).alias("w2"), "__var")
+    cand = (
+        va.join(vb, "__var")
+        .filter(F.col("w1") < F.col("w2"))
+        .select("w1", "w2")
+        .distinct()
+    )
+    return cand.filter(F.levenshtein("w1", "w2") <= 1).select(
+        "w1", "w2", F.levenshtein("w1", "w2").cast("long").alias("dist")
+    )

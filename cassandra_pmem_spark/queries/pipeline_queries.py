@@ -2341,6 +2341,64 @@ FROM built
 """
 
 
+def text_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 word pairs over the corpus vocabulary
+    (pipeline/dedup.edit_distance_join — SymSpell deletion-
+    neighborhood blocking): the top-2000 words by frequency
+    (deterministic (count DESC, word) order) self-join through their
+    single-deletion key sets, then the exact levenshtein() predicate
+    decides. The synthetic vocabulary has no natural distance-1
+    neighbors, so the query plants them: every ≥5-char word also
+    contributes its first-char-beheaded form (a deletion ⇒ distance
+    exactly 1), the same planted-fixture idiom as dedup_line_level.
+    The oracle is the plain quadratic self-join with DuckDB's native
+    levenshtein — equality proves the deletion-neighborhood candidate
+    set COMPLETE, the property that lets the distributed form replace
+    the |V|² comparison at corpus scale."""
+    from cassandra_pmem_spark.pipeline.dedup import edit_distance_join
+
+    docs = load_table(spark, "documents", sf_dir)
+    top = (
+        docs.select(
+            F.explode(F.split("text", " ")).alias("raw")
+        )
+        .select(F.lower("raw").alias("w"))
+        .filter(F.col("w").rlike("^[a-z]{4,12}$"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("w"))
+        .limit(2000)
+        .select("w")
+    )
+    typos = top.filter(F.length("w") >= 5).select(
+        F.expr("substring(w, 2)").alias("w")
+    )
+    return edit_distance_join(top.union(typos).distinct())
+
+
+_FUZZY_JOIN_ORACLE = """
+WITH top AS (
+  SELECT w FROM (
+    SELECT lower(w) AS w, count(*) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    WHERE regexp_matches(lower(w), '^[a-z]{4,12}$')
+    GROUP BY 1
+  ) ORDER BY cnt DESC, w LIMIT 2000
+), vocab AS (
+  SELECT DISTINCT w FROM (
+    SELECT w FROM top
+    UNION ALL
+    SELECT substr(w, 2) AS w FROM top WHERE length(w) >= 5
+  )
+)
+SELECT a.w AS w1, b.w AS w2, levenshtein(a.w, b.w) AS dist
+FROM vocab a JOIN vocab b
+  ON a.w < b.w
+ AND abs(length(a.w) - length(b.w)) <= 1
+ AND levenshtein(a.w, b.w) <= 1
+"""
+
+
 QUERIES = {
     "dedup_exact_docs": (
         dedup_exact_docs,
@@ -2437,6 +2495,7 @@ QUERIES = {
     "sketch_countmin_cells": (sketch_countmin_cells, _countmin_oracle()),
     "sketch_histogram_bins": (sketch_histogram_bins, _HISTOGRAM_ORACLE),
     "dedup_line_level": (dedup_line_level, _LINE_DEDUP_ORACLE),
+    "text_fuzzy_join": (text_fuzzy_join, _FUZZY_JOIN_ORACLE),
     "text_c4_filters": (text_c4_filters, _C4_ORACLE),
     "text_bm25_scores": (text_bm25_scores, _bm25_oracle()),
     "sketch_bloom_words": (sketch_bloom_words, _bloom_oracle()),

@@ -296,6 +296,56 @@ class TestRollingFingerprint:
         assert overlap > 0.5, f"local edit should preserve most fingerprints, got {overlap}"
 
 
+class TestEditDistanceJoin:
+    def test_deletion_neighborhood_is_complete(self, spark):
+        """SymSpell blocking must find EVERY distance-≤1 pair the brute
+        force finds: substitution, deletion/insertion, and reject
+        distance-2 lookalikes."""
+        import itertools
+
+        import pandas as pd
+
+        from cassandra_pmem_spark.pipeline.dedup import edit_distance_join
+
+        words = [
+            "spark", "spork", "sprk", "sparks",  # sub / del / ins chains
+            "stark", "shark", "sharp",           # more subs
+            "quartz", "quirtz",                  # sub in the middle
+            "abcd", "dcba",                      # far apart — must NOT pair
+        ]
+
+        def lev(a, b):
+            m = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+            for i in range(len(a) + 1):
+                m[i][0] = i
+            for j in range(len(b) + 1):
+                m[0][j] = j
+            for i in range(1, len(a) + 1):
+                for j in range(1, len(b) + 1):
+                    m[i][j] = min(
+                        m[i - 1][j] + 1,
+                        m[i][j - 1] + 1,
+                        m[i - 1][j - 1] + (a[i - 1] != b[j - 1]),
+                    )
+            return m[len(a)][len(b)]
+
+        expected = {
+            tuple(sorted(p))
+            for p in itertools.combinations(words, 2)
+            if lev(*p) <= 1
+        }
+        df = spark.createDataFrame(pd.DataFrame({"w": words}))
+        got = {
+            (r["w1"], r["w2"])
+            for r in edit_distance_join(df).collect()
+        }
+        assert got == expected
+        assert ("spark", "spork") in got  # substitution
+        assert ("spark", "sprk") in got  # deletion
+        assert ("spark", "sparks") in got  # insertion
+        assert ("abcd", "dcba") not in got
+
+
 class TestCacheLifecycle:
     def test_cascade_cache_false_leaves_no_persistent_rdds(self, spark):
         """Long-lived-session contract: with cache=False the cascade (and
