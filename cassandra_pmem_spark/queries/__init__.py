@@ -108,6 +108,9 @@ _PRIORITY: tuple[str, ...] = (
     "temporal_gapfill_locf",  # dense gap-filled series with LOCF
     "source_zorder_layout",  # Morton-interleave multi-dim layout
     "text_fuzzy_join",  # SymSpell edit-distance-1 join
+    "analytics_sessionization",  # batch gaps-and-islands sessions
+    "analytics_pivot",  # PIVOT into per-type columns
+    "analytics_salted_join",  # skew-salted join == plain join
     "analytics_scd2_intervals",  # SCD2 validity intervals from a change log
     "analytics_funnel",  # ordered funnel (conditional-min aggregates)
     "analytics_retention_cohorts",  # cohort retention triangle

@@ -603,6 +603,126 @@ WINDOW w AS (PARTITION BY g.event_type ORDER BY g.b
 """
 
 
+def analytics_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a new session starts
+    when a user's inter-event gap exceeds 6 hours; session ids are the
+    running count of session starts — one lag + one running sum over
+    the SAME per-user window (one shuffle), then per-session stats.
+    This is the batch twin of streaming/windows.py session windows;
+    the oracle replays the identical two-window SQL."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(w)
+    tagged = ev.withColumn(
+        "__new_s",
+        F.when(gap.isNull() | (gap > 21600), F.lit(1)).otherwise(F.lit(0)),
+    ).withColumn(
+        "session_idx",
+        F.sum("__new_s")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    return tagged.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+
+
+_SESSIONIZATION_ORACLE = """
+WITH t AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch(ts) - epoch(lag(ts) OVER w) > 21600
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, value,
+    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      AS session_idx
+  FROM t
+)
+SELECT user_id, session_idx, count(*) AS n_events,
+  min(ts) AS session_start, max(ts) AS session_end,
+  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM s GROUP BY 1, 2
+"""
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def analytics_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT surplus (SURVEY §2.4 — CQL has none): per user-cohort
+    event counts pivoted into one column per event type. The pivot
+    value list is the fixture's closed event_type domain (TESTDATA.md)
+    — explicit values keep the plan static (no dry-run distinct scan)
+    and the output schema deterministic; absent combinations coalesce
+    to 0 exactly as the oracle's COUNT(*) FILTER does."""
+    ev = load_table(spark, "events", sf_dir)
+    pv = (
+        ev.groupBy((F.col("user_id") % 10).alias("cohort"))
+        .pivot("event_type", list(_EVENT_TYPES))
+        .count()
+    )
+    return pv.select(
+        "cohort",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+    )
+
+
+_PIVOT_ORACLE = """
+SELECT user_id % 10 AS cohort,
+  COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+  COUNT(*) FILTER (WHERE event_type = 'error') AS n_error,
+  COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+  COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+  COUNT(*) FILTER (WHERE event_type = 'view') AS n_view
+FROM events GROUP BY 1
+"""
+
+
+def analytics_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join (operators/skew.salted_join): events (big,
+    skewed side) join a per-type dimension through an 8-bucket salt —
+    the big side salts, the small side replicates 8×, so a hot key's
+    rows spread across 8 tasks instead of one. The oracle is the PLAIN
+    join + aggregate — equality proves salting is a pure physical
+    rewrite with no semantic residue (no lost/duplicated rows)."""
+    from cassandra_pmem_spark.operators.skew import salted_join
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type", "user_id", "value"
+    )
+    dim = load_table(spark, "events", sf_dir).groupBy("event_type").agg(
+        F.count("*").alias("type_total")
+    )
+    joined = salted_join(ev, dim, on=["event_type"])
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"),
+        F.max("type_total").alias("type_total"),
+    )
+
+
+_SALTED_JOIN_ORACLE = """
+WITH dim AS (
+  SELECT event_type, count(*) AS type_total FROM events GROUP BY 1
+)
+SELECT e.event_type, count(*) AS n,
+  CAST(SUM(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT) AS cents,
+  max(d.type_total) AS type_total
+FROM events e JOIN dim d USING (event_type)
+GROUP BY 1
+"""
+
+
 def temporal_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-overlap join (operators/temporal.interval_overlap_join):
     same-user 10-minute error windows × 10-minute purchase windows that
@@ -760,6 +880,12 @@ QUERIES = {
     ),
     "temporal_range_join": (temporal_range_join, _RANGE_JOIN_ORACLE),
     "temporal_gapfill_locf": (temporal_gapfill_locf, _GAPFILL_ORACLE),
+    "analytics_sessionization": (
+        analytics_sessionization,
+        _SESSIONIZATION_ORACLE,
+    ),
+    "analytics_pivot": (analytics_pivot, _PIVOT_ORACLE),
+    "analytics_salted_join": (analytics_salted_join, _SALTED_JOIN_ORACLE),
     "temporal_rollup_cascade": (temporal_rollup_cascade, _ROLLUP_ORACLE),
     "tpch_q1_pricing_summary": (tpch_q1_pricing_summary, _Q1_ORACLE),
     "tpch_q3_shipping_priority": (tpch_q3_shipping_priority, _Q3_ORACLE),
