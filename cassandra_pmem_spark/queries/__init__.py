@@ -111,6 +111,8 @@ _PRIORITY: tuple[str, ...] = (
     "analytics_sessionization",  # batch gaps-and-islands sessions
     "analytics_pivot",  # PIVOT into per-type columns
     "analytics_salted_join",  # skew-salted join == plain join
+    "text_bpe_train",  # real BPE merge training, unrolled-CTE oracle
+    "text_bpe_encode",  # BPE encode with the learned merge table
     "analytics_scd2_intervals",  # SCD2 validity intervals from a change log
     "analytics_funnel",  # ordered funnel (conditional-min aggregates)
     "analytics_retention_cohorts",  # cohort retention triangle

@@ -2399,6 +2399,85 @@ FROM vocab a JOIN vocab b
 """
 
 
+_BPE_MERGES = 6
+
+
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BPE vocabulary training over the corpus (pipeline/bpe.py —
+    Sennrich et al.'s merge loop, not a regex stand-in): six rounds of
+    full-corpus adjacent-pair counting, deterministic argmax
+    (freq DESC, pair), and leftmost-non-overlapping merge application.
+    The oracle replays ALL six rounds as unrolled chained CTEs (the
+    PageRank idiom) — pair counts, tie-breaks, and private-use merge
+    symbols identical — so hash equality proves the distributed
+    trainer exact, round by round."""
+    from cassandra_pmem_spark.pipeline.bpe import train_bpe
+
+    docs = load_table(spark, "documents", sf_dir)
+    merges = train_bpe(docs, n_merges=_BPE_MERGES)
+    return spark.createDataFrame(
+        [(int(r), p, int(f)) for r, p, f in merges],
+        "round BIGINT, pair STRING, freq BIGINT",
+    )
+
+
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode with the learned BPE table (pipeline/bpe.apply_bpe — a
+    chain of narrow replace projections, zero shuffles) and aggregate
+    token counts per source; the oracle re-derives the merge table via
+    the same unrolled CTEs and measures the same post-merge lengths."""
+    from cassandra_pmem_spark.pipeline.bpe import apply_bpe, train_bpe
+
+    docs = load_table(spark, "documents", sf_dir)
+    merges = train_bpe(docs, n_merges=_BPE_MERGES)
+    enc = apply_bpe(docs, merges)
+    return enc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+def _bpe_rounds_cte(n: int, carry_source: bool) -> str:
+    from cassandra_pmem_spark.pipeline.bpe import PUA_BASE
+
+    src = ", source" if carry_source else ""
+    parts = [f"r0 AS (SELECT text{src} FROM documents)"]
+    for r in range(1, n + 1):
+        prev = f"r{r - 1}"
+        parts.append(
+            f"p{r} AS (SELECT substr(text, i, 2) AS pair, "
+            f"count(*) AS freq FROM (SELECT text, "
+            f"unnest(range(1, length(text))) AS i FROM {prev}) "
+            f"GROUP BY 1)"
+        )
+        parts.append(
+            f"m{r} AS (SELECT pair, freq FROM p{r} "
+            f"ORDER BY freq DESC, pair LIMIT 1)"
+        )
+        parts.append(
+            f"r{r} AS (SELECT replace(text, (SELECT pair FROM m{r}), "
+            f"chr({PUA_BASE + r - 1})) AS text{src} FROM {prev})"
+        )
+    return "WITH " + ",\n".join(parts)
+
+
+def _bpe_train_oracle() -> str:
+    body = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, pair, freq FROM m{r}"
+        for r in range(1, _BPE_MERGES + 1)
+    )
+    return f"{_bpe_rounds_cte(_BPE_MERGES, carry_source=False)}\n{body}"
+
+
+def _bpe_encode_oracle() -> str:
+    return (
+        f"{_bpe_rounds_cte(_BPE_MERGES, carry_source=True)}\n"
+        f"SELECT source, count(*) AS n_docs, "
+        f"CAST(SUM(length(text)) AS BIGINT) AS total_tokens "
+        f"FROM r{_BPE_MERGES} GROUP BY 1"
+    )
+
+
 QUERIES = {
     "dedup_exact_docs": (
         dedup_exact_docs,
@@ -2496,6 +2575,8 @@ QUERIES = {
     "sketch_histogram_bins": (sketch_histogram_bins, _HISTOGRAM_ORACLE),
     "dedup_line_level": (dedup_line_level, _LINE_DEDUP_ORACLE),
     "text_fuzzy_join": (text_fuzzy_join, _FUZZY_JOIN_ORACLE),
+    "text_bpe_train": (text_bpe_train, _bpe_train_oracle()),
+    "text_bpe_encode": (text_bpe_encode, _bpe_encode_oracle()),
     "text_c4_filters": (text_c4_filters, _C4_ORACLE),
     "text_bm25_scores": (text_bm25_scores, _bm25_oracle()),
     "sketch_bloom_words": (sketch_bloom_words, _bloom_oracle()),

@@ -296,6 +296,70 @@ class TestRollingFingerprint:
         assert overlap > 0.5, f"local edit should preserve most fingerprints, got {overlap}"
 
 
+class TestBpe:
+    def test_train_matches_pure_python_reference(self, spark):
+        """The distributed merge loop must reproduce the sequential
+        Sennrich reference exactly: same pairs, same frequencies, same
+        tie-breaks, overlaps counted per position."""
+        from collections import Counter
+
+        import pandas as pd
+
+        from cassandra_pmem_spark.pipeline.bpe import (
+            PUA_BASE,
+            apply_bpe,
+            train_bpe,
+        )
+
+        texts = ["banana band", "banana", "ananas", "aa aa aaa"]
+
+        def ref_train(corpus, n):
+            merges = []
+            for r in range(1, n + 1):
+                c = Counter()
+                for t in corpus:
+                    for i in range(len(t) - 1):
+                        c[t[i : i + 2]] += 1
+                if not c:
+                    break
+                # max freq, lexicographically smallest pair on ties
+                pair, freq = min(
+                    c.items(), key=lambda kv: (-kv[1], kv[0])
+                )
+                if freq < 2:
+                    break
+                merges.append((r, pair, freq))
+                sym = chr(PUA_BASE + r - 1)
+                corpus = [t.replace(pair, sym) for t in corpus]
+            return merges, corpus
+
+        expected_merges, expected_corpus = ref_train(texts, 4)
+        df = spark.createDataFrame(pd.DataFrame({"text": texts}))
+        got = train_bpe(df, n_merges=4)
+        assert got == expected_merges
+
+        enc = {
+            r["text"]: r["n_tokens"]
+            for r in apply_bpe(df, got).collect()
+        }
+        # token counts equal the reference's post-merge lengths
+        ref_lens = dict(zip(texts, [len(t) for t in expected_corpus]))
+        assert enc == ref_lens
+        # merging strictly compresses this corpus
+        assert all(enc[t] < len(t) for t in texts if len(t) > 3)
+
+    def test_train_early_stops_without_repeats(self, spark):
+        import pandas as pd
+
+        from cassandra_pmem_spark.pipeline.bpe import train_bpe
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"text": ["abcdefg"]})
+        )
+        # every adjacent pair occurs once — nothing reaches freq ≥ 2
+        assert train_bpe(df, n_merges=3) == []
+
+
 class TestEditDistanceJoin:
     def test_deletion_neighborhood_is_complete(self, spark):
         """SymSpell blocking must find EVERY distance-≤1 pair the brute
