@@ -113,6 +113,8 @@ _PRIORITY: tuple[str, ...] = (
     "analytics_salted_join",  # skew-salted join == plain join
     "text_bpe_train",  # real BPE merge training, unrolled-CTE oracle
     "text_bpe_encode",  # BPE encode with the learned merge table
+    "streaming_stream_join",  # real stream-stream watermarked join
+    "analytics_cube",  # CUBE with grouping_id disambiguation
     "analytics_scd2_intervals",  # SCD2 validity intervals from a change log
     "analytics_funnel",  # ordered funnel (conditional-min aggregates)
     "analytics_retention_cohorts",  # cohort retention triangle

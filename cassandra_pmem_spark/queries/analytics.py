@@ -373,6 +373,59 @@ def streaming_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream_to_memory(out, "st_counter", mode="update")
 
 
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream inner join with watermarks on both sides:
+    clicks ⋈ purchases for the same user where the purchase lands
+    within 2 hours after the click — the attribution-join shape.
+    Structured Streaming requires both watermarks plus the event-time
+    range bound so each side's buffered state can be evicted once the
+    watermark passes; with an availableNow run over a finite source an
+    INNER join emits exactly every matching pair (the watermark only
+    gates state cleanup, not inner-join emission), so the plain batch
+    interval join is an exact oracle."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND purchase_ts >= click_ts "
+            "AND purchase_ts < click_ts + INTERVAL 2 HOURS"
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"), "click_id", "purchase_id"
+    )
+    return _run_stream_to_memory(joined, "st_join")
+
+
+_STREAM_JOIN_ORACLE = """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+FROM (SELECT user_id, event_id, ts FROM events
+      WHERE event_type = 'click') c
+JOIN (SELECT user_id, event_id, ts FROM events
+      WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 2 HOUR
+"""
+
+
 def streaming_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (gap 30 min) — F.session_window, batch mode; the
     streaming twin is tested with a memory source."""
@@ -959,6 +1012,7 @@ QUERIES = {
         _SESSION_ORACLE.rstrip()
         + "\nHAVING max(ts) + INTERVAL 30 MINUTE <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)\n",
     ),
+    "streaming_stream_join": (streaming_stream_join, _STREAM_JOIN_ORACLE),
     "streaming_stateful_counters": (
         streaming_stateful_counters,
         "SELECT user_id, CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total, "

@@ -284,6 +284,37 @@ def analytics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def analytics_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE surplus (SURVEY §2.4): all four grouping-set combinations
+    of (year, priority) with grouping_id disambiguating subtotal rows
+    from data nulls — Spark's grouping_id() and DuckDB's
+    GROUPING(a, b) emit the same bitmask in the same argument order."""
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.cube(
+            F.year("o_orderdate").alias("o_year"),
+            F.col("o_orderpriority"),
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            ),
+        )
+    )
+
+
+_CUBE_ORACLE = """
+SELECT year(o_orderdate) AS o_year, o_orderpriority,
+  CAST(GROUPING(year(o_orderdate), o_orderpriority) AS BIGINT) AS gid,
+  count(*) AS n,
+  CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM orders
+GROUP BY CUBE (year(o_orderdate), o_orderpriority)
+"""
+
+
 def cql_is_not_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IS NOT NULL restriction (SingleColumnRestriction.java:592 — the MV
     definition predicate) over the parsed props field."""
@@ -524,6 +555,7 @@ QUERIES = {
         "SELECT doc_id, md5(text) AS text_md5 FROM documents",
     ),
     "source_zorder_layout": (source_zorder_layout, _zorder_oracle()),
+    "analytics_cube": (analytics_cube, _CUBE_ORACLE),
     "cql_is_not_null": (
         cql_is_not_null,
         "SELECT event_id, CAST(props->>'k' AS INT) AS k FROM events "
