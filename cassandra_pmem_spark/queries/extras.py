@@ -284,6 +284,46 @@ def analytics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction round trip (sources/compaction.py — the
+    SSTable-compaction analog, db/compaction/CompactionManager.java:
+    fold many small segments into few sized ones, rows untouched):
+    fragment the events table into 64 tiny files, compact them back to
+    size-targeted user_id-clustered files through the
+    write-audit-publish path, and aggregate the compacted copy. The
+    oracle aggregates the ORIGINAL parquet — equality proves
+    compaction changed layout only. The query itself asserts the file
+    count actually dropped."""
+    from cassandra_pmem_spark.sources.compaction import (
+        _n_data_files,
+        compact_parquet_dir,
+    )
+
+    path = os.path.join(_SCRATCH, "compaction_events")
+    ev = load_table(spark, "events", sf_dir)
+    ev.repartition(64).write.mode("overwrite").parquet(path)
+    stats = compact_parquet_dir(
+        spark, path, target_bytes=8 * 1024 * 1024, sort_cols=["user_id"]
+    )
+    if stats["files_after"] >= stats["files_before"]:
+        raise ValueError(f"compaction did not reduce files: {stats}")
+    assert _n_data_files(path) == stats["files_after"]
+    back = spark.read.parquet(path)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+_COMPACTION_ORACLE = """
+SELECT event_type, count(*) AS n,
+  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1
+"""
+
+
 def analytics_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE surplus (SURVEY §2.4): all four grouping-set combinations
     of (year, priority) with grouping_id disambiguating subtotal rows
@@ -556,6 +596,10 @@ QUERIES = {
     ),
     "source_zorder_layout": (source_zorder_layout, _zorder_oracle()),
     "analytics_cube": (analytics_cube, _CUBE_ORACLE),
+    "source_compaction_roundtrip": (
+        source_compaction_roundtrip,
+        _COMPACTION_ORACLE,
+    ),
     "cql_is_not_null": (
         cql_is_not_null,
         "SELECT event_id, CAST(props->>'k' AS INT) AS k FROM events "

@@ -373,3 +373,114 @@ class TestZorderLayout:
                 1 for st in files if st[dim][0] <= 5 <= st[dim][1]
             )
             assert matching <= len(files) // 2, (dim, matching, files)
+
+
+class TestCompaction:
+    def test_compaction_reduces_files_and_preserves_rows(
+        self, spark, tmp_path
+    ):
+        import glob
+
+        import pandas as pd
+
+        from cassandra_pmem_spark.sources.compaction import (
+            compact_parquet_dir,
+        )
+
+        path = str(tmp_path / "frag")
+        df = spark.createDataFrame(
+            pd.DataFrame({"k": list(range(10_000)),
+                          "v": [i * 3 for i in range(10_000)]})
+        )
+        df.repartition(40).write.parquet(path)
+        n_before = len(glob.glob(path + "/part-*.parquet"))
+        rows_before = spark.read.parquet(path).count()
+        checksum_before = (
+            spark.read.parquet(path).agg(F.sum("v")).collect()[0][0]
+        )
+
+        stats = compact_parquet_dir(
+            spark, path, target_bytes=1 << 30, sort_cols=["k"]
+        )
+        n_after = len(glob.glob(path + "/part-*.parquet"))
+        assert stats["files_before"] == n_before >= 40
+        assert stats["files_after"] == n_after == 1
+        assert spark.read.parquet(path).count() == rows_before
+        assert (
+            spark.read.parquet(path).agg(F.sum("v")).collect()[0][0]
+            == checksum_before
+        )
+        # no staging/old residue after publish
+        assert not glob.glob(str(tmp_path / "frag.compact-*"))
+
+    def test_compaction_clusters_footers_on_sort_cols(self, spark, tmp_path):
+        """With a range sort, rewritten files must carry non-overlapping
+        min/max key ranges — compaction doubles as re-clustering."""
+        import glob
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from cassandra_pmem_spark.sources.compaction import (
+            compact_parquet_dir,
+        )
+
+        path = str(tmp_path / "clust")
+        df = spark.createDataFrame(
+            pd.DataFrame({"k": [(i * 7919) % 10_000 for i in range(10_000)]})
+        )
+        df.repartition(16).write.parquet(path)
+        size = sum(
+            __import__("os").path.getsize(f)
+            for f in glob.glob(path + "/part-*.parquet")
+        )
+        compact_parquet_dir(
+            spark, path, target_bytes=max(1, size // 4), sort_cols=["k"]
+        )
+        ranges = []
+        for f in glob.glob(path + "/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            st = md.row_group(0).column(0).statistics
+            ranges.append((st.min, st.max))
+        ranges.sort()
+        assert len(ranges) >= 3
+        for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+            assert hi1 <= lo2  # non-overlapping key ranges
+
+
+class TestDynamicPartitionPruning:
+    def test_dpp_subquery_appears_for_partitioned_fact(self, spark, tmp_path):
+        """Joining a date-partitioned fact on its partition column with a
+        filtered dim must plan a dynamicpruning partition filter — the
+        runtime partition skip that replaces the reference's token-range
+        elimination at the lake layer."""
+        import pandas as pd
+
+        fact_path = str(tmp_path / "fact")
+        fact = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "p": [i % 20 for i in range(5_000)],
+                    "v": list(range(5_000)),
+                }
+            )
+        )
+        fact.write.partitionBy("p").parquet(fact_path)
+        # the dim must be a real source relation: a LocalRelation dim gets
+        # its filter constant-folded away (ConvertToLocalRelation), leaving
+        # no selective predicate for the DPP rule to key on. partition
+        # values are directory names, inferred as int32 on read — the dim
+        # key must match exactly, a cast on the partition column also
+        # disables DPP
+        dim_path = str(tmp_path / "dim")
+        spark.createDataFrame(
+            pd.DataFrame({"p": pd.array(range(20), dtype="int32"),
+                          "name": [chr(97 + i % 5) for i in range(20)]})
+        ).write.parquet(dim_path)
+        dim = spark.read.parquet(dim_path)
+        fct = spark.read.parquet(fact_path)
+        joined = fct.join(dim.filter(F.col("name") == "a"), "p").agg(
+            F.sum("v")
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
