@@ -324,6 +324,65 @@ FROM events GROUP BY 1
 """
 
 
+def source_snapshot_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-table time travel (sources/snapshots.py — SSTable
+    immutability + `nodetool snapshot` re-expressed as a manifest
+    layer over immutable parquet): create v1 (clicks+views), append v2
+    (the rest), overwrite v3 (errors only), rollback to v2 as v4 —
+    then read ALL FOUR versions back and aggregate each. Every prior
+    version stays readable after overwrite AND after rollback; the
+    oracle recomputes each version's expected membership straight from
+    the source predicates."""
+    import shutil
+
+    from cassandra_pmem_spark.sources.snapshots import SnapshotTable
+
+    path = os.path.join(_SCRATCH, "snapshot_events")
+    shutil.rmtree(path, ignore_errors=True)
+    ev = load_table(spark, "events", sf_dir)
+
+    t = SnapshotTable(path)
+    t.create(ev.filter(F.col("event_type").isin("click", "view")))
+    t.append(ev.filter(~F.col("event_type").isin("click", "view")))
+    t.overwrite(ev.filter(F.col("event_type") == "error"))
+    t.rollback(2)
+
+    frames = []
+    for v in (1, 2, 3, 4):
+        frames.append(
+            t.read(spark, v).agg(
+                F.lit(v).cast("long").alias("version"),
+                F.count("*").alias("n"),
+                F.sum(F.floor(F.col("value") * 100).cast("long")).alias(
+                    "cents"
+                ),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+_SNAPSHOT_ORACLE = """
+SELECT CAST(1 AS BIGINT) AS version, count(*) AS n,
+  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events WHERE event_type IN ('click', 'view')
+UNION ALL
+SELECT 2, count(*),
+  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 3, count(*),
+  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+FROM events WHERE event_type = 'error'
+UNION ALL
+SELECT 4, count(*),
+  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+FROM events
+"""
+
+
 def analytics_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE surplus (SURVEY §2.4): all four grouping-set combinations
     of (year, priority) with grouping_id disambiguating subtotal rows
@@ -599,6 +658,10 @@ QUERIES = {
     "source_compaction_roundtrip": (
         source_compaction_roundtrip,
         _COMPACTION_ORACLE,
+    ),
+    "source_snapshot_timetravel": (
+        source_snapshot_timetravel,
+        _SNAPSHOT_ORACLE,
     ),
     "cql_is_not_null": (
         cql_is_not_null,

@@ -1,0 +1,160 @@
+"""Snapshot table layer: versioned, time-travelable parquet tables.
+
+The reference gets snapshot isolation from SSTable immutability — a
+read operates on the fixed set of segments alive when it started, and
+`nodetool snapshot` is just a hardlink of that set
+(`db/ColumnFamilyStore.java` snapshot paths). The lake-native
+re-expression is a manifest layer over immutable parquet files, the
+core idea of Iceberg/Delta reduced to its essentials:
+
+- data files are immutable, written once under `data/` with unique
+  names; a VERSION is a JSON manifest listing exactly the files that
+  are members of that version;
+- `append` writes new files and a manifest = parent's list + new
+  files; `overwrite` writes a manifest listing only the new files —
+  the OLD files stay on disk, so every prior version remains readable
+  (time travel) and `rollback` is O(1): a new manifest that repeats an
+  old file list, no data movement;
+- commits are atomic: the manifest is staged and `os.rename`d into
+  place, and the rename's fail-if-exists semantics (via `os.link`
+  on POSIX would be the cluster-grade fence; locally rename into a
+  fresh version path suffices) makes two racing writers produce two
+  distinct version numbers or one clean failure — never a torn
+  manifest;
+- readers resolve a version ONCE and then hold an immutable file
+  list; concurrent appends/overwrites/rollbacks cannot change what an
+  in-flight reader sees.
+
+Version numbers are dense integers (no wall-clock in the metadata —
+determinism is a correctness feature here, see SCALE.md). At cluster
+scale the manifest would carry per-file min/max stats for pruning;
+`sources/zorder.py` + `compaction.py` provide the layout half.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_SNAPDIR = "_snapshots"
+
+
+class SnapshotTable:
+    def __init__(self, path: str):
+        self.path = path.rstrip("/")
+        self.data_dir = os.path.join(self.path, "data")
+        self.snap_dir = os.path.join(self.path, _SNAPDIR)
+
+    # -- metadata ---------------------------------------------------------
+
+    def versions(self) -> list[int]:
+        if not os.path.isdir(self.snap_dir):
+            return []
+        out = []
+        for f in os.listdir(self.snap_dir):
+            if f.startswith("v") and f.endswith(".json"):
+                out.append(int(f[1:-5]))
+        return sorted(out)
+
+    def current_version(self) -> int:
+        vs = self.versions()
+        if not vs:
+            raise ValueError(f"not a snapshot table: {self.path}")
+        return vs[-1]
+
+    def manifest(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        p = os.path.join(self.snap_dir, f"v{v}.json")
+        with open(p) as fh:
+            return json.load(fh)
+
+    # -- commits ----------------------------------------------------------
+
+    def _write_files(self, df: DataFrame) -> list[str]:
+        """Stage the frame as immutable uniquely-named parquet files and
+        return their table-relative paths."""
+        stage = os.path.join(self.data_dir, f"stage-{uuid.uuid4().hex}")
+        df.write.mode("errorifexists").parquet(stage)
+        names = []
+        for f in sorted(os.listdir(stage)):
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                final = f"part-{uuid.uuid4().hex}.parquet"
+                os.rename(
+                    os.path.join(stage, f),
+                    os.path.join(self.data_dir, final),
+                )
+                names.append(os.path.join("data", final))
+        # remove the staging residue (_SUCCESS etc.)
+        for f in os.listdir(stage):
+            os.remove(os.path.join(stage, f))
+        os.rmdir(stage)
+        return names
+
+    def _commit(self, files: list[str], op: str, parent: int | None) -> int:
+        version = 1 if parent is None else parent + 1
+        os.makedirs(self.snap_dir, exist_ok=True)
+        tmp = os.path.join(
+            self.snap_dir, f".tmp-{uuid.uuid4().hex}.json"
+        )
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "version": version,
+                    "parent": parent,
+                    "op": op,
+                    "files": sorted(files),
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+        final = os.path.join(self.snap_dir, f"v{version}.json")
+        if os.path.exists(final):
+            os.remove(tmp)
+            raise RuntimeError(
+                f"concurrent commit: version {version} already exists"
+            )
+        os.rename(tmp, final)
+        return version
+
+    def create(self, df: DataFrame) -> int:
+        if self.versions():
+            raise ValueError(f"table already exists: {self.path}")
+        os.makedirs(self.data_dir, exist_ok=True)
+        return self._commit(self._write_files(df), "create", None)
+
+    def append(self, df: DataFrame) -> int:
+        parent = self.current_version()
+        prev = self.manifest(parent)["files"]
+        return self._commit(
+            prev + self._write_files(df), "append", parent
+        )
+
+    def overwrite(self, df: DataFrame) -> int:
+        parent = self.current_version()
+        return self._commit(self._write_files(df), "overwrite", parent)
+
+    def rollback(self, to_version: int) -> int:
+        """O(1): commit a new version whose file list repeats an old
+        one — no data moves, history stays intact."""
+        parent = self.current_version()
+        old = self.manifest(to_version)["files"]
+        return self._commit(old, f"rollback:{to_version}", parent)
+
+    # -- reads ------------------------------------------------------------
+
+    def read(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame:
+        """Resolve the version's immutable file list once; the returned
+        frame is pinned to those files no matter what commits later."""
+        files = [
+            os.path.join(self.path, f)
+            for f in self.manifest(version)["files"]
+        ]
+        if not files:
+            raise ValueError("empty snapshot")
+        return spark.read.parquet(*files)

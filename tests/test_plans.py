@@ -484,3 +484,74 @@ class TestDynamicPartitionPruning:
         )
         plan = joined._jdf.queryExecution().executedPlan().toString()
         assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+class TestSnapshotTable:
+    def test_versions_time_travel_and_rollback(self, spark, tmp_path):
+        import pandas as pd
+
+        from cassandra_pmem_spark.sources.snapshots import SnapshotTable
+
+        t = SnapshotTable(str(tmp_path / "snap"))
+        d1 = spark.createDataFrame(pd.DataFrame({"k": [1, 2], "v": [10, 20]}))
+        d2 = spark.createDataFrame(pd.DataFrame({"k": [3], "v": [30]}))
+        d3 = spark.createDataFrame(pd.DataFrame({"k": [9], "v": [90]}))
+
+        assert t.create(d1) == 1
+        assert t.append(d2) == 2
+        assert t.overwrite(d3) == 3
+        assert t.rollback(1) == 4
+        assert t.versions() == [1, 2, 3, 4]
+
+        def rows(v):
+            return sorted(
+                (r["k"], r["v"]) for r in t.read(spark, v).collect()
+            )
+
+        assert rows(1) == [(1, 10), (2, 20)]
+        assert rows(2) == [(1, 10), (2, 20), (3, 30)]
+        assert rows(3) == [(9, 90)]  # overwrite replaced membership...
+        assert rows(2) == [(1, 10), (2, 20), (3, 30)]  # ...old still reads
+        assert rows(4) == rows(1)  # rollback = old list, no data moved
+        # rollback didn't erase history
+        assert rows(3) == [(9, 90)]
+
+    def test_reader_isolation_across_commits(self, spark, tmp_path):
+        """A frame resolved at version N keeps reading N's files even
+        after later overwrites — SSTable-style snapshot isolation."""
+        import pandas as pd
+
+        from cassandra_pmem_spark.sources.snapshots import SnapshotTable
+
+        t = SnapshotTable(str(tmp_path / "iso"))
+        t.create(
+            spark.createDataFrame(pd.DataFrame({"k": [1, 2], "v": [1, 2]}))
+        )
+        reader = t.read(spark)  # resolves v1's file list NOW
+        t.overwrite(
+            spark.createDataFrame(pd.DataFrame({"k": [7], "v": [7]}))
+        )
+        assert sorted(r["k"] for r in reader.collect()) == [1, 2]
+        assert sorted(r["k"] for r in t.read(spark).collect()) == [7]
+
+    def test_concurrent_commit_conflict_raises(self, spark, tmp_path):
+        import glob
+
+        import pandas as pd
+        import pytest as _pytest
+
+        from cassandra_pmem_spark.sources.snapshots import SnapshotTable
+
+        path = str(tmp_path / "conflict")
+        t1, t2 = SnapshotTable(path), SnapshotTable(path)
+        df = spark.createDataFrame(pd.DataFrame({"k": [1], "v": [1]}))
+        t1.create(df)
+        # both handles target version 2; the second commit must fail
+        # cleanly (no torn manifest) rather than overwrite
+        files = t2.manifest(1)["files"]
+        t1.append(df)
+        with _pytest.raises(RuntimeError, match="concurrent commit"):
+            t2._commit(files, "append", parent=1)
+        assert t2.versions() == [1, 2]
+        # no .tmp manifest residue
+        assert not glob.glob(path + "/_snapshots/.tmp-*")
