@@ -117,6 +117,7 @@ _PRIORITY: tuple[str, ...] = (
     "analytics_cube",  # CUBE with grouping_id disambiguation
     "source_compaction_roundtrip",  # small-file compaction, rows exact
     "source_snapshot_timetravel",  # versioned manifests, time travel
+    "source_snapshot_incremental",  # delta-file incremental refresh
     "analytics_scd2_intervals",  # SCD2 validity intervals from a change log
     "analytics_funnel",  # ordered funnel (conditional-min aggregates)
     "analytics_retention_cohorts",  # cohort retention triangle

@@ -383,6 +383,58 @@ FROM events
 """
 
 
+def source_snapshot_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregation over snapshot deltas: after an append,
+    refresh a per-type aggregate by reading ONLY the files the new
+    version added (manifest set difference) and merging the partials
+    with the previous result — count/sum decomposability, the same
+    contract as the rollup cascade, applied at the FILE level. The
+    oracle aggregates the full final state directly; equality proves
+    partials-over-delta-files ≡ recompute-from-scratch. At 100 TB this
+    is the difference between reprocessing a table and reprocessing a
+    day."""
+    import shutil
+
+    from cassandra_pmem_spark.sources.snapshots import SnapshotTable
+
+    path = os.path.join(_SCRATCH, "snapshot_incr")
+    shutil.rmtree(path, ignore_errors=True)
+    ev = load_table(spark, "events", sf_dir)
+
+    t = SnapshotTable(path)
+    t.create(ev.filter(F.col("user_id") % 3 != 0))
+    t.append(ev.filter(F.col("user_id") % 3 == 0))
+
+    def agg(df):
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+
+    base = agg(t.read(spark, 1))
+    delta_files = sorted(
+        set(t.manifest(2)["files"]) - set(t.manifest(1)["files"])
+    )
+    delta = agg(
+        spark.read.parquet(*[os.path.join(path, f) for f in delta_files])
+    )
+    return (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("cents").alias("cents"),
+        )
+    )
+
+
+_SNAPSHOT_INCR_ORACLE = """
+SELECT event_type, count(*) AS n,
+  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events GROUP BY 1
+"""
+
+
 def analytics_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE surplus (SURVEY §2.4): all four grouping-set combinations
     of (year, priority) with grouping_id disambiguating subtotal rows
@@ -662,6 +714,10 @@ QUERIES = {
     "source_snapshot_timetravel": (
         source_snapshot_timetravel,
         _SNAPSHOT_ORACLE,
+    ),
+    "source_snapshot_incremental": (
+        source_snapshot_incremental,
+        _SNAPSHOT_INCR_ORACLE,
     ),
     "cql_is_not_null": (
         cql_is_not_null,
