@@ -435,6 +435,52 @@ FROM events GROUP BY 1
 """
 
 
+def source_snapshot_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read deletes + tombstone materialization
+    (sources/snapshots.delete_keys / materialize_deletes — the
+    DeletionInfo tombstone and its major compaction, lake-native):
+    delete every event of users ≡ 0 (mod 7) by writing ONLY key files,
+    read the anti-joined view, then materialize (rewrite live rows,
+    drop delete files) and read again — both reads must agree with
+    each other and with the oracle's NOT-IN recompute, proving
+    merge-on-read ≡ compacted."""
+    import shutil
+
+    from cassandra_pmem_spark.sources.snapshots import SnapshotTable
+
+    path = os.path.join(_SCRATCH, "snapshot_del")
+    shutil.rmtree(path, ignore_errors=True)
+    ev = load_table(spark, "events", sf_dir)
+
+    t = SnapshotTable(path)
+    t.create(ev)
+    doomed = ev.filter(F.col("user_id") % 7 == 0).select("event_id")
+    v_mor = t.delete_keys(doomed, ["event_id"])
+    v_mat = t.materialize_deletes(spark)
+
+    def agg(df, tag):
+        return df.agg(
+            F.lit(tag).alias("read_path"),
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+
+    return agg(t.read(spark, v_mor), "merge_on_read").unionByName(
+        agg(t.read(spark, v_mat), "materialized")
+    )
+
+
+_SNAPSHOT_DELETES_ORACLE = """
+SELECT 'merge_on_read' AS read_path, count(*) AS n,
+  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events WHERE user_id % 7 <> 0
+UNION ALL
+SELECT 'materialized', count(*),
+  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+FROM events WHERE user_id % 7 <> 0
+"""
+
+
 def analytics_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE surplus (SURVEY §2.4): all four grouping-set combinations
     of (year, priority) with grouping_id disambiguating subtotal rows
@@ -718,6 +764,10 @@ QUERIES = {
     "source_snapshot_incremental": (
         source_snapshot_incremental,
         _SNAPSHOT_INCR_ORACLE,
+    ),
+    "source_snapshot_deletes": (
+        source_snapshot_deletes,
+        _SNAPSHOT_DELETES_ORACLE,
     ),
     "cql_is_not_null": (
         cql_is_not_null,

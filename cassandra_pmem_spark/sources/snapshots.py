@@ -93,7 +93,14 @@ class SnapshotTable:
         os.rmdir(stage)
         return names
 
-    def _commit(self, files: list[str], op: str, parent: int | None) -> int:
+    def _commit(
+        self,
+        files: list[str],
+        op: str,
+        parent: int | None,
+        delete_files: list[str] | None = None,
+        key_cols: list[str] | None = None,
+    ) -> int:
         version = 1 if parent is None else parent + 1
         os.makedirs(self.snap_dir, exist_ok=True)
         tmp = os.path.join(
@@ -106,6 +113,8 @@ class SnapshotTable:
                     "parent": parent,
                     "op": op,
                     "files": sorted(files),
+                    "delete_files": sorted(delete_files or []),
+                    "key_cols": key_cols or [],
                 },
                 fh,
                 indent=1,
@@ -128,12 +137,18 @@ class SnapshotTable:
 
     def append(self, df: DataFrame) -> int:
         parent = self.current_version()
-        prev = self.manifest(parent)["files"]
+        m = self.manifest(parent)
         return self._commit(
-            prev + self._write_files(df), "append", parent
+            m["files"] + self._write_files(df),
+            "append",
+            parent,
+            delete_files=m.get("delete_files"),
+            key_cols=m.get("key_cols"),
         )
 
     def overwrite(self, df: DataFrame) -> int:
+        """New membership; pending deletes are irrelevant to it and are
+        dropped from the new version (old versions keep theirs)."""
         parent = self.current_version()
         return self._commit(self._write_files(df), "overwrite", parent)
 
@@ -141,8 +156,46 @@ class SnapshotTable:
         """O(1): commit a new version whose file list repeats an old
         one — no data moves, history stays intact."""
         parent = self.current_version()
-        old = self.manifest(to_version)["files"]
-        return self._commit(old, f"rollback:{to_version}", parent)
+        old = self.manifest(to_version)
+        return self._commit(
+            old["files"],
+            f"rollback:{to_version}",
+            parent,
+            delete_files=old.get("delete_files"),
+            key_cols=old.get("key_cols"),
+        )
+
+    def delete_keys(self, keys: DataFrame, key_cols: list[str]) -> int:
+        """Merge-on-read row deletes — the lake-native tombstone
+        (`db/DeletionInfo.java` / Iceberg v2 equality-delete files):
+        the commit writes only the KEY tuples as delete files; reads
+        anti-join them. Nothing is rewritten at delete time — delete
+        cost is O(|keys|), exactly like writing a tombstone cell."""
+        parent = self.current_version()
+        m = self.manifest(parent)
+        if m.get("key_cols") and m["key_cols"] != key_cols:
+            raise ValueError(
+                f"delete key mismatch: table uses {m['key_cols']}"
+            )
+        new_dels = self._write_files(keys.select(*key_cols))
+        return self._commit(
+            m["files"],
+            "delete",
+            parent,
+            delete_files=m.get("delete_files", []) + new_dels,
+            key_cols=key_cols,
+        )
+
+    def materialize_deletes(self, spark: SparkSession) -> int:
+        """Major compaction for tombstones: rewrite the live rows (the
+        anti-joined read) into fresh files and commit a version with no
+        delete files — reads stop paying the anti-join, history keeps
+        the merge-on-read versions."""
+        parent = self.current_version()
+        live = self.read(spark, parent)
+        return self._commit(
+            self._write_files(live), "materialize", parent
+        )
 
     # -- reads ------------------------------------------------------------
 
@@ -150,11 +203,18 @@ class SnapshotTable:
         self, spark: SparkSession, version: int | None = None
     ) -> DataFrame:
         """Resolve the version's immutable file list once; the returned
-        frame is pinned to those files no matter what commits later."""
-        files = [
-            os.path.join(self.path, f)
-            for f in self.manifest(version)["files"]
-        ]
+        frame is pinned to those files no matter what commits later.
+        Pending delete files apply as a broadcast-eligible anti-join on
+        the declared key columns (merge-on-read)."""
+        m = self.manifest(version)
+        files = [os.path.join(self.path, f) for f in m["files"]]
         if not files:
             raise ValueError("empty snapshot")
-        return spark.read.parquet(*files)
+        df = spark.read.parquet(*files)
+        dels = m.get("delete_files") or []
+        if dels:
+            keys = spark.read.parquet(
+                *[os.path.join(self.path, f) for f in dels]
+            ).dropDuplicates()
+            df = df.join(keys, on=m["key_cols"], how="left_anti")
+        return df

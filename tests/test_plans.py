@@ -555,3 +555,58 @@ class TestSnapshotTable:
         assert t2.versions() == [1, 2]
         # no .tmp manifest residue
         assert not glob.glob(path + "/_snapshots/.tmp-*")
+
+
+class TestSnapshotDeletes:
+    def test_merge_on_read_equals_materialized(self, spark, tmp_path):
+        import pandas as pd
+
+        from cassandra_pmem_spark.sources.snapshots import SnapshotTable
+
+        t = SnapshotTable(str(tmp_path / "mor"))
+        t.create(
+            spark.createDataFrame(
+                pd.DataFrame({"k": [1, 2, 3, 4], "v": [10, 20, 30, 40]})
+            )
+        )
+        keys = spark.createDataFrame(pd.DataFrame({"k": [2, 4]}))
+        v_mor = t.delete_keys(keys, ["k"])
+        live_mor = sorted(
+            (r["k"], r["v"]) for r in t.read(spark, v_mor).collect()
+        )
+        assert live_mor == [(1, 10), (3, 30)]
+        # v1 is untouched history
+        assert t.read(spark, 1).count() == 4
+
+        v_mat = t.materialize_deletes(spark)
+        assert t.manifest(v_mat)["delete_files"] == []
+        live_mat = sorted(
+            (r["k"], r["v"]) for r in t.read(spark, v_mat).collect()
+        )
+        assert live_mat == live_mor
+        # deletes accumulate; a second delete on the compacted table
+        # starts a fresh tombstone set
+        v2 = t.delete_keys(
+            spark.createDataFrame(pd.DataFrame({"k": [1]})), ["k"]
+        )
+        assert sorted(
+            r["k"] for r in t.read(spark, v2).collect()
+        ) == [3]
+
+    def test_delete_key_mismatch_rejected(self, spark, tmp_path):
+        import pandas as pd
+        import pytest as _pytest
+
+        from cassandra_pmem_spark.sources.snapshots import SnapshotTable
+
+        t = SnapshotTable(str(tmp_path / "morkeys"))
+        t.create(
+            spark.createDataFrame(pd.DataFrame({"k": [1], "v": [1]}))
+        )
+        t.delete_keys(
+            spark.createDataFrame(pd.DataFrame({"k": [1]})), ["k"]
+        )
+        with _pytest.raises(ValueError, match="delete key mismatch"):
+            t.delete_keys(
+                spark.createDataFrame(pd.DataFrame({"v": [1]})), ["v"]
+            )
