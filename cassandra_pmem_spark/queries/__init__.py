@@ -119,6 +119,7 @@ _PRIORITY: tuple[str, ...] = (
     "source_snapshot_timetravel",  # versioned manifests, time travel
     "source_snapshot_incremental",  # delta-file incremental refresh
     "source_snapshot_deletes",  # merge-on-read tombstones + compaction
+    "source_snapshot_merge",  # MERGE INTO versioned storage (LWW)
     "analytics_scd2_intervals",  # SCD2 validity intervals from a change log
     "analytics_funnel",  # ordered funnel (conditional-min aggregates)
     "analytics_retention_cohorts",  # cohort retention triangle

@@ -481,6 +481,54 @@ FROM events WHERE user_id % 7 <> 0
 """
 
 
+def source_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO versioned storage (sources/snapshots.merge — the CDC
+    apply path): the events table (writetime = event_id, unique and
+    monotone) takes an upsert batch containing BOTH newer mutations
+    (event_id ≡ 0 mod 10: value bumped by 1000, higher writetime —
+    must WIN) and stale replays (event_id ≡ 1 mod 10: altered value
+    but writetime 0 — must LOSE, the at-least-once redelivery case).
+    One LWW hash aggregate decides; survivors commit as an overwrite,
+    so v1 remains readable. The oracle computes the expected post-merge
+    state per row with a CASE."""
+    import shutil
+
+    from cassandra_pmem_spark.sources.snapshots import SnapshotTable
+
+    path = os.path.join(_SCRATCH, "snapshot_merge")
+    shutil.rmtree(path, ignore_errors=True)
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        "writetime", F.col("event_id")
+    )
+
+    t = SnapshotTable(path)
+    t.create(ev)
+    fresh = ev.filter(F.col("event_id") % 10 == 0).withColumn(
+        "value", F.col("value") + 1000.0
+    ).withColumn("writetime", F.col("event_id") + F.lit(10**9))
+    stale = ev.filter(F.col("event_id") % 10 == 1).withColumn(
+        "value", F.col("value") + 5555.0
+    ).withColumn("writetime", F.lit(0).cast("long"))
+    v2 = t.merge(
+        spark, fresh.unionByName(stale), ["event_id"], "writetime"
+    )
+
+    merged = t.read(spark, v2)
+    return merged.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+
+
+_SNAPSHOT_MERGE_ORACLE = """
+SELECT event_type, count(*) AS n,
+  CAST(SUM(CAST(floor(
+    CASE WHEN event_id % 10 = 0 THEN value + 1000.0 ELSE value END * 100
+  ) AS BIGINT)) AS BIGINT) AS cents
+FROM events GROUP BY 1
+"""
+
+
 def analytics_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE surplus (SURVEY §2.4): all four grouping-set combinations
     of (year, priority) with grouping_id disambiguating subtotal rows
@@ -768,6 +816,10 @@ QUERIES = {
     "source_snapshot_deletes": (
         source_snapshot_deletes,
         _SNAPSHOT_DELETES_ORACLE,
+    ),
+    "source_snapshot_merge": (
+        source_snapshot_merge,
+        _SNAPSHOT_MERGE_ORACLE,
     ),
     "cql_is_not_null": (
         cql_is_not_null,

@@ -186,6 +186,29 @@ class SnapshotTable:
             key_cols=key_cols,
         )
 
+    def merge(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        key_cols: list[str],
+        writetime_col: str = "writetime",
+    ) -> int:
+        """MERGE INTO: apply an upsert batch (full-row mutations carrying
+        a writetime) to the current version with row-granular LWW — the
+        CDC-apply path against versioned storage. Current rows and
+        updates union into ONE max_by hash aggregate
+        (operators/upsert.upsert_lww_rows: one shuffle on the key, no
+        window sort), and the survivors commit as an overwrite, so the
+        pre-merge version stays readable and a bad batch is one O(1)
+        rollback away."""
+        from cassandra_pmem_spark.operators.upsert import upsert_lww_rows
+
+        current = self.read(spark)
+        merged = upsert_lww_rows(
+            current.unionByName(updates), key_cols, writetime_col
+        )
+        return self.overwrite(merged)
+
     def materialize_deletes(self, spark: SparkSession) -> int:
         """Major compaction for tombstones: rewrite the live rows (the
         anti-joined read) into fresh files and commit a version with no
