@@ -529,6 +529,53 @@ FROM events GROUP BY 1
 """
 
 
+def source_snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-column schema evolution without rewriting history
+    (sources/snapshots.read mergeSchema — the reference's ALTER TABLE
+    ADD semantics, schema/AlterTableStatement.java: existing data is
+    untouched, old rows read the new column as NULL): v1 files lack
+    `cents`, the v2 append carries it; a single read unions the footer
+    schemas. The oracle splits on the same membership predicate and
+    NULL-fills the old half."""
+    import shutil
+
+    from cassandra_pmem_spark.sources.snapshots import SnapshotTable
+
+    path = os.path.join(_SCRATCH, "snapshot_schema")
+    shutil.rmtree(path, ignore_errors=True)
+    ev = load_table(spark, "events", sf_dir)
+
+    t = SnapshotTable(path)
+    old = ev.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    new = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    t.create(old)
+    t.append(new)
+    merged = t.read(spark)
+    return merged.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.count("cents").alias("n_with_cents"),
+        F.sum(F.coalesce(F.col("cents"), F.lit(0))).alias("cents"),
+    )
+
+
+_SNAPSHOT_SCHEMA_ORACLE = """
+SELECT event_type, count(*) AS n,
+  count(CASE WHEN event_id % 2 = 1 THEN 1 END) AS n_with_cents,
+  CAST(SUM(CASE WHEN event_id % 2 = 1
+                THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END)
+       AS BIGINT) AS cents
+FROM events GROUP BY 1
+"""
+
+
 def analytics_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE surplus (SURVEY §2.4): all four grouping-set combinations
     of (year, priority) with grouping_id disambiguating subtotal rows
@@ -820,6 +867,10 @@ QUERIES = {
     "source_snapshot_merge": (
         source_snapshot_merge,
         _SNAPSHOT_MERGE_ORACLE,
+    ),
+    "source_snapshot_schema_evolution": (
+        source_snapshot_schema_evolution,
+        _SNAPSHOT_SCHEMA_ORACLE,
     ),
     "cql_is_not_null": (
         cql_is_not_null,

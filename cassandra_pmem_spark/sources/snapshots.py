@@ -228,12 +228,16 @@ class SnapshotTable:
         """Resolve the version's immutable file list once; the returned
         frame is pinned to those files no matter what commits later.
         Pending delete files apply as a broadcast-eligible anti-join on
-        the declared key columns (merge-on-read)."""
+        the declared key columns (merge-on-read). Schema evolution:
+        files written before a column was added simply lack it —
+        `mergeSchema` unions the footer schemas and old rows read the
+        added column as NULL, the same add-column semantics as the
+        reference's ALTER TABLE ADD (no rewrite of existing data)."""
         m = self.manifest(version)
         files = [os.path.join(self.path, f) for f in m["files"]]
         if not files:
             raise ValueError("empty snapshot")
-        df = spark.read.parquet(*files)
+        df = spark.read.option("mergeSchema", "true").parquet(*files)
         dels = m.get("delete_files") or []
         if dels:
             keys = spark.read.parquet(
