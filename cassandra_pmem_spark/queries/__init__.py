@@ -121,6 +121,7 @@ _PRIORITY: tuple[str, ...] = (
     "source_snapshot_deletes",  # merge-on-read tombstones + compaction
     "source_snapshot_merge",  # MERGE INTO versioned storage (LWW)
     "source_snapshot_schema_evolution",  # add-column without rewrite
+    "source_snapshot_pruned_scan",  # manifest min/max file skipping
     "analytics_scd2_intervals",  # SCD2 validity intervals from a change log
     "analytics_funnel",  # ordered funnel (conditional-min aggregates)
     "analytics_retention_cohorts",  # cohort retention triangle

@@ -576,6 +576,50 @@ FROM events GROUP BY 1
 """
 
 
+def source_snapshot_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest min/max file pruning (sources/snapshots.prune_files /
+    read_range — the Iceberg-manifest read path; lake analog of the
+    reference's per-SSTable min/max clustering bounds,
+    io/sstable/metadata/StatsMetadata.java): the table is written
+    range-clustered on user_id into 8 files, each manifest entry
+    carries footer min/max, and a [3, 7] range read plans its file
+    list from the MANIFEST alone — the query raises if pruning failed
+    to skip files. The oracle is the plain BETWEEN recompute; equality
+    proves skipped files could not have matched."""
+    import shutil
+
+    from cassandra_pmem_spark.sources.snapshots import SnapshotTable
+
+    path = os.path.join(_SCRATCH, "snapshot_prune")
+    shutil.rmtree(path, ignore_errors=True)
+    ev = load_table(spark, "events", sf_dir)
+
+    t = SnapshotTable(path)
+    t.create(ev.repartitionByRange(8, "user_id"))
+    kept, total = t.prune_files("user_id", 3, 7)
+    if not (0 < len(kept) < total):
+        raise ValueError(
+            f"manifest pruning ineffective: kept {len(kept)} of {total}"
+        )
+    return t.read_range(spark, "user_id", 3, 7).groupBy(
+        "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"),
+        F.min("user_id").alias("u_min"),
+        F.max("user_id").alias("u_max"),
+    )
+
+
+_SNAPSHOT_PRUNE_ORACLE = """
+SELECT event_type, count(*) AS n,
+  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+  min(user_id) AS u_min, max(user_id) AS u_max
+FROM events WHERE user_id BETWEEN 3 AND 7
+GROUP BY 1
+"""
+
+
 def analytics_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE surplus (SURVEY §2.4): all four grouping-set combinations
     of (year, priority) with grouping_id disambiguating subtotal rows
@@ -871,6 +915,10 @@ QUERIES = {
     "source_snapshot_schema_evolution": (
         source_snapshot_schema_evolution,
         _SNAPSHOT_SCHEMA_ORACLE,
+    ),
+    "source_snapshot_pruned_scan": (
+        source_snapshot_pruned_scan,
+        _SNAPSHOT_PRUNE_ORACLE,
     ),
     "cql_is_not_null": (
         cql_is_not_null,

@@ -26,9 +26,11 @@ core idea of Iceberg/Delta reduced to its essentials:
   in-flight reader sees.
 
 Version numbers are dense integers (no wall-clock in the metadata —
-determinism is a correctness feature here, see SCALE.md). At cluster
-scale the manifest would carry per-file min/max stats for pruning;
-`sources/zorder.py` + `compaction.py` provide the layout half.
+determinism is a correctness feature here, see SCALE.md). Manifests
+carry per-file min/max stats (footer-derived at commit time), so
+`read_range` plans its file list from the manifest alone — the
+Iceberg-manifest read path; `sources/zorder.py` + `compaction.py`
+provide the layout half that makes those ranges narrow.
 """
 
 from __future__ import annotations
@@ -93,6 +95,30 @@ class SnapshotTable:
         os.rmdir(stage)
         return names
 
+    def _file_stats(self, rel_path: str) -> dict:
+        """Per-file min/max for int/string columns, read once from the
+        parquet footer at commit time — the Iceberg-manifest pruning
+        stats. Values are stored JSON-safe (ints and strings only;
+        other types are skipped, which only disables pruning on them)."""
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(os.path.join(self.path, rel_path)).metadata
+        lo: dict = {}
+        hi: dict = {}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                mn, mx = st.min, st.max
+                if not isinstance(mn, (int, str)) or isinstance(mn, bool):
+                    continue
+                name = col.path_in_schema
+                lo[name] = mn if name not in lo else min(lo[name], mn)
+                hi[name] = mx if name not in hi else max(hi[name], mx)
+        return {c: [lo[c], hi[c]] for c in lo}
+
     def _commit(
         self,
         files: list[str],
@@ -100,8 +126,15 @@ class SnapshotTable:
         parent: int | None,
         delete_files: list[str] | None = None,
         key_cols: list[str] | None = None,
+        stats: dict | None = None,
     ) -> int:
         version = 1 if parent is None else parent + 1
+        all_stats = dict(stats or {})
+        for f in list(files) + list(delete_files or []):
+            if f not in all_stats:
+                all_stats[f] = self._file_stats(f)
+        all_stats = {f: all_stats[f] for f in sorted(all_stats)
+                     if f in files or f in (delete_files or [])}
         os.makedirs(self.snap_dir, exist_ok=True)
         tmp = os.path.join(
             self.snap_dir, f".tmp-{uuid.uuid4().hex}.json"
@@ -115,6 +148,7 @@ class SnapshotTable:
                     "files": sorted(files),
                     "delete_files": sorted(delete_files or []),
                     "key_cols": key_cols or [],
+                    "stats": all_stats,
                 },
                 fh,
                 indent=1,
@@ -144,6 +178,7 @@ class SnapshotTable:
             parent,
             delete_files=m.get("delete_files"),
             key_cols=m.get("key_cols"),
+            stats=m.get("stats"),
         )
 
     def overwrite(self, df: DataFrame) -> int:
@@ -163,6 +198,7 @@ class SnapshotTable:
             parent,
             delete_files=old.get("delete_files"),
             key_cols=old.get("key_cols"),
+            stats=old.get("stats"),
         )
 
     def delete_keys(self, keys: DataFrame, key_cols: list[str]) -> int:
@@ -184,6 +220,7 @@ class SnapshotTable:
             parent,
             delete_files=m.get("delete_files", []) + new_dels,
             key_cols=key_cols,
+            stats=m.get("stats"),
         )
 
     def merge(
@@ -221,6 +258,54 @@ class SnapshotTable:
         )
 
     # -- reads ------------------------------------------------------------
+
+    def prune_files(
+        self, col: str, lo, hi, version: int | None = None
+    ) -> tuple[list[str], int]:
+        """Manifest-level file skipping (the Iceberg-manifest read
+        path): keep only files whose stored [min, max] for `col`
+        overlaps [lo, hi]. Files with no stats for the column are kept
+        (pruning is an optimization, never a filter). Returns
+        (kept_files, total_files) — planning happens entirely on the
+        manifest, no footer reads, no Spark job."""
+        m = self.manifest(version)
+        stats = m.get("stats", {})
+        kept = []
+        for f in m["files"]:
+            st = stats.get(f, {}).get(col)
+            if st is None or not (st[1] < lo or st[0] > hi):
+                kept.append(f)
+        return kept, len(m["files"])
+
+    def read_range(
+        self,
+        spark: SparkSession,
+        col: str,
+        lo,
+        hi,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Range read through manifest pruning: only overlapping files
+        reach `spark.read` (the scan task count shrinks with the
+        selectivity), and the exact [lo, hi] filter still applies —
+        pruning can only skip files that cannot match."""
+        from pyspark.sql import functions as F
+
+        m = self.manifest(version)
+        kept, _total = self.prune_files(col, lo, hi, version)
+        if not kept:
+            base = self.read(spark, version)
+            return base.filter(F.lit(False))
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(self.path, f) for f in kept]
+        )
+        dels = m.get("delete_files") or []
+        if dels:
+            keys = spark.read.parquet(
+                *[os.path.join(self.path, f) for f in dels]
+            ).dropDuplicates()
+            df = df.join(keys, on=m["key_cols"], how="left_anti")
+        return df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
 
     def read(
         self, spark: SparkSession, version: int | None = None

@@ -610,3 +610,41 @@ class TestSnapshotDeletes:
             t.delete_keys(
                 spark.createDataFrame(pd.DataFrame({"v": [1]})), ["v"]
             )
+
+
+class TestManifestPruning:
+    def test_prune_keeps_overlaps_and_statless_files(self, spark, tmp_path):
+        import json
+        import os
+
+        import pandas as pd
+
+        from cassandra_pmem_spark.sources.snapshots import SnapshotTable
+
+        t = SnapshotTable(str(tmp_path / "prune"))
+        t.create(
+            spark.createDataFrame(
+                pd.DataFrame({"k": list(range(100)), "v": range(100)})
+            ).repartitionByRange(4, "k")
+        )
+        kept, total = t.prune_files("k", 10, 30)
+        assert total == 4 and 0 < len(kept) < 4
+        # pruned read equals filtered full read
+        got = sorted(
+            r["k"] for r in t.read_range(spark, "k", 10, 30).collect()
+        )
+        assert got == list(range(10, 31))
+        # boundary: a file whose max == lo must be KEPT (inclusive)
+        m = t.manifest()
+        some = m["files"][0]
+        lo_k, hi_k = m["stats"][some]["k"]
+        kept2, _ = t.prune_files("k", hi_k, hi_k + 1000)
+        assert some in kept2
+        # a file with no stats for the column is never pruned
+        m["stats"][some] = {}
+        path = os.path.join(t.snap_dir, f"v{m['version']}.json")
+        with open(path, "w") as fh:
+            json.dump(m, fh)
+        kept3, _ = t.prune_files("k", 10**6, 10**6 + 1)
+        assert some in kept3  # statless ⇒ kept; others pruned
+        assert len(kept3) == 1
