@@ -499,3 +499,45 @@ class TestAlterSessionCollectionSync:
         db.execute("DROP TABLE kb.pets")
         assert ("kb", "pets") not in db.registry.tables
         assert ("ka", "pets") in db.registry.tables
+
+
+class TestCli:
+    def test_split_statements_keeps_batch_whole(self):
+        from cassandra_pmem_spark.__main__ import split_statements
+
+        text = (
+            "INSERT INTO t (k) VALUES (1); "
+            "BEGIN BATCH INSERT INTO t (k) VALUES (2); "
+            "INSERT INTO t (k) VALUES (3); APPLY BATCH; "
+            "SELECT * FROM t"
+        )
+        got = split_statements(text)
+        assert len(got) == 3
+        assert got[0].startswith("INSERT")
+        assert got[1].lower().startswith("begin batch")
+        assert got[1].lower().endswith("apply batch")
+        assert got[2].startswith("SELECT")
+
+    def test_cli_routes_db_and_facade(self, spark, capsys):
+        from cassandra_pmem_spark.__main__ import run_statement
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+        from tests.conftest import SF_SMALL
+
+        db = CqlDatabase(spark)
+        for stmt in (
+            "CREATE KEYSPACE cli_ks WITH replication = "
+            "{'class': 'SimpleStrategy', 'replication_factor': 1}",
+            "USE cli_ks",
+            "CREATE TABLE c (k int PRIMARY KEY, v int)",
+            "INSERT INTO c (k, v) VALUES (1, 10)",
+        ):
+            assert run_statement(db, spark, stmt, SF_SMALL, 50) == "OK"
+        out = run_statement(db, spark, "SELECT * FROM c", SF_SMALL, 50)
+        assert "10" in out and "1 rows shown" in out
+        # facade path: a lake table not in the registry
+        out2 = run_statement(
+            db, spark,
+            "SELECT o_orderkey FROM orders WHERE o_custkey = 42 LIMIT 3",
+            SF_SMALL, 50,
+        )
+        assert "rows shown" in out2
