@@ -595,7 +595,7 @@ def source_snapshot_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
 
     t = SnapshotTable(path)
-    t.create(ev.repartitionByRange(8, "user_id"))
+    t.create(ev, cluster_by=["user_id"])
     kept, total = t.prune_files("user_id", 3, 7)
     if not (0 < len(kept) < total):
         raise ValueError(

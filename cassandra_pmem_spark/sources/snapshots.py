@@ -75,9 +75,22 @@ class SnapshotTable:
 
     # -- commits ----------------------------------------------------------
 
-    def _write_files(self, df: DataFrame) -> list[str]:
+    def _write_files(
+        self,
+        df: DataFrame,
+        cluster_by: list[str] | None = None,
+        n_files: int = 8,
+    ) -> list[str]:
         """Stage the frame as immutable uniquely-named parquet files and
-        return their table-relative paths."""
+        return their table-relative paths. `cluster_by` range-partitions
+        and sorts the new files on those columns so their manifest
+        min/max ranges come out narrow and non-overlapping — the layout
+        half of manifest pruning (pair with a `sources/zorder.morton_code`
+        column for multi-dimensional clustering)."""
+        if cluster_by:
+            df = df.repartitionByRange(
+                n_files, *cluster_by
+            ).sortWithinPartitions(*cluster_by)
         stage = os.path.join(self.data_dir, f"stage-{uuid.uuid4().hex}")
         df.write.mode("errorifexists").parquet(stage)
         names = []
@@ -163,11 +176,15 @@ class SnapshotTable:
         os.rename(tmp, final)
         return version
 
-    def create(self, df: DataFrame) -> int:
+    def create(
+        self, df: DataFrame, cluster_by: list[str] | None = None
+    ) -> int:
         if self.versions():
             raise ValueError(f"table already exists: {self.path}")
         os.makedirs(self.data_dir, exist_ok=True)
-        return self._commit(self._write_files(df), "create", None)
+        return self._commit(
+            self._write_files(df, cluster_by), "create", None
+        )
 
     def append(self, df: DataFrame) -> int:
         parent = self.current_version()

@@ -648,3 +648,33 @@ class TestManifestPruning:
         kept3, _ = t.prune_files("k", 10**6, 10**6 + 1)
         assert some in kept3  # statless ⇒ kept; others pruned
         assert len(kept3) == 1
+
+
+class TestZorderSnapshotCompose:
+    def test_zorder_clustered_snapshot_prunes_both_dims(self, spark, tmp_path):
+        """Clustering a snapshot table by a Morton column makes manifest
+        pruning effective on BOTH interleaved dimensions — the full
+        composition: zorder layout → footer stats → manifest planning."""
+        import pandas as pd
+
+        from cassandra_pmem_spark.sources.snapshots import SnapshotTable
+        from cassandra_pmem_spark.sources.zorder import morton_code
+
+        n = 1 << 12
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "x": [i % 64 for i in range(n)],
+                    "y": [(i * 37) % 64 for i in range(n)],
+                }
+            )
+        ).withColumn("z", morton_code(F.col("x"), F.col("y")))
+        t = SnapshotTable(str(tmp_path / "zsnap"))
+        t.create(df, cluster_by=["z"])
+        for dim in ("x", "y"):
+            kept, total = t.prune_files(dim, 5, 8)
+            assert total >= 4 and len(kept) < total, (dim, kept, total)
+        # pruned range read still exact
+        got = t.read_range(spark, "x", 5, 8).count()
+        want = df.filter((F.col("x") >= 5) & (F.col("x") <= 8)).count()
+        assert got == want
