@@ -274,6 +274,39 @@ class SnapshotTable:
             self._write_files(live), "materialize", parent
         )
 
+    def expire_versions(self, keep_last: int = 2) -> dict:
+        """Retention GC (Iceberg expireSnapshots / the reference's
+        snapshot cleanup): drop all but the newest `keep_last` version
+        manifests, then delete data/delete files referenced ONLY by
+        expired versions. Files shared with any surviving version stay
+        — immutability makes the liveness check a set union over the
+        surviving manifests, no reference counting. Time travel to
+        expired versions is gone by definition; surviving reads are
+        untouched. Returns {expired_versions, deleted_files}."""
+        vs = self.versions()
+        keep = set(vs[-keep_last:]) if keep_last > 0 else set()
+        expired = [v for v in vs if v not in keep]
+        if not expired:
+            return {"expired_versions": [], "deleted_files": 0}
+        live: set[str] = set()
+        for v in keep:
+            m = self.manifest(v)
+            live.update(m["files"])
+            live.update(m.get("delete_files") or [])
+        dead: set[str] = set()
+        for v in expired:
+            m = self.manifest(v)
+            for f in list(m["files"]) + list(m.get("delete_files") or []):
+                if f not in live:
+                    dead.add(f)
+        for f in sorted(dead):
+            p = os.path.join(self.path, f)
+            if os.path.exists(p):
+                os.remove(p)
+        for v in expired:
+            os.remove(os.path.join(self.snap_dir, f"v{v}.json"))
+        return {"expired_versions": expired, "deleted_files": len(dead)}
+
     # -- reads ------------------------------------------------------------
 
     def prune_files(

@@ -678,3 +678,48 @@ class TestZorderSnapshotCompose:
         got = t.read_range(spark, "x", 5, 8).count()
         want = df.filter((F.col("x") >= 5) & (F.col("x") <= 8)).count()
         assert got == want
+
+
+class TestSnapshotExpiry:
+    def test_expire_deletes_only_orphaned_files(self, spark, tmp_path):
+        import glob
+
+        import pandas as pd
+
+        from cassandra_pmem_spark.sources.snapshots import SnapshotTable
+
+        t = SnapshotTable(str(tmp_path / "gc"))
+        d = lambda ks: spark.createDataFrame(  # noqa: E731
+            pd.DataFrame({"k": ks, "v": [x * 10 for x in ks]})
+        )
+        t.create(d([1, 2]))       # v1
+        t.append(d([3]))          # v2 shares v1's files
+        t.overwrite(d([9]))       # v3: fresh membership
+        t.append(d([10]))         # v4
+
+        files_before = len(glob.glob(str(tmp_path / "gc/data/*.parquet")))
+        out = t.expire_versions(keep_last=2)
+        assert out["expired_versions"] == [1, 2]
+        assert out["deleted_files"] > 0
+        assert t.versions() == [3, 4]
+        # v1/v2-only files gone from disk; v3/v4 still read perfectly
+        files_after = len(glob.glob(str(tmp_path / "gc/data/*.parquet")))
+        assert files_after == files_before - out["deleted_files"]
+        assert sorted(r["k"] for r in t.read(spark, 4).collect()) == [9, 10]
+        assert sorted(r["k"] for r in t.read(spark, 3).collect()) == [9]
+
+    def test_expire_keeps_files_shared_with_live_versions(self, spark, tmp_path):
+        import pandas as pd
+
+        from cassandra_pmem_spark.sources.snapshots import SnapshotTable
+
+        t = SnapshotTable(str(tmp_path / "gcshare"))
+        df = spark.createDataFrame(pd.DataFrame({"k": [1], "v": [1]}))
+        t.create(df)   # v1
+        t.append(df)   # v2 = v1's files + new
+        t.append(df)   # v3 = v2's files + new
+        out = t.expire_versions(keep_last=1)
+        # v1/v2 expired, but their files live on inside v3's manifest
+        assert out["expired_versions"] == [1, 2]
+        assert out["deleted_files"] == 0
+        assert t.read(spark, 3).count() == 3
