@@ -239,3 +239,63 @@ class TestMaterializedView:
         )
         assert _norm(got.collect()) == _norm(want.collect())
         assert got.count() > 0
+
+
+class TestExactlyOnceSnapshotSink:
+    def test_redelivered_batch_id_is_a_noop(self, spark, tmp_path):
+        import pandas as pd
+
+        from cassandra_pmem_spark.sources.snapshots import SnapshotTable
+        from cassandra_pmem_spark.streaming.snapshot_sink import (
+            applied_batch_ids,
+            exactly_once_appender,
+        )
+
+        t = SnapshotTable(str(tmp_path / "sink"))
+        t.create(spark.createDataFrame(pd.DataFrame({"k": [0], "v": [0]})))
+        apply = exactly_once_appender(t)
+        b1 = spark.createDataFrame(pd.DataFrame({"k": [1, 2], "v": [1, 2]}))
+        b2 = spark.createDataFrame(pd.DataFrame({"k": [3], "v": [3]}))
+        apply(b1, 0)
+        apply(b2, 1)
+        n = t.read(spark).count()
+        # crash-replay: the SAME (batch, id) pair arrives again
+        apply(b1, 0)
+        apply(b2, 1)
+        assert t.read(spark).count() == n == 4
+        assert applied_batch_ids(t) == {0, 1}
+
+    def test_full_stream_rerun_is_idempotent(self, spark, stream_dir, tmp_path):
+        """A fresh checkpoint forces Structured Streaming to redeliver
+        the whole source as batch 0 — the sink must recognize the id
+        and commit nothing new."""
+        import pandas as pd
+
+        from cassandra_pmem_spark.sources.snapshots import SnapshotTable
+        from cassandra_pmem_spark.streaming.snapshot_sink import (
+            exactly_once_appender,
+        )
+
+        t = SnapshotTable(str(tmp_path / "sink2"))
+        t.create(
+            spark.createDataFrame([], "event_id BIGINT")
+        )
+        apply = exactly_once_appender(t)
+
+        def run(cp):
+            src = _read_stream(spark, stream_dir).select("event_id")
+            q = (
+                src.writeStream.foreachBatch(apply)
+                .option("checkpointLocation", str(tmp_path / cp))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run("cp1")
+        n = t.read(spark).count()
+        v = t.current_version()
+        assert n > 0
+        run("cp2")  # fresh checkpoint ⇒ full redelivery as batch 0
+        assert t.read(spark).count() == n
+        assert t.current_version() == v  # no new version committed
