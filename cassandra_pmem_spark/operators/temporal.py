@@ -38,24 +38,36 @@ def asof_join(
     right_ts: str,
     value_cols: list[str],
     prefix: str = "asof_",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For every left row, attach the right row with the greatest
-    `right_ts` ≤ `left_ts` for the same key (inclusive — a right row at
-    the exact timestamp is visible). Left rows before any right row
-    keep NULLs (left-join semantics). Right (key, ts) pairs should be
-    unique — with duplicates the picked row is the union order's last,
-    which no as-of engine defines either.
+    """For every left row, attach the matching right row for the same
+    key: direction="backward" (default) picks the greatest `right_ts`
+    ≤ `left_ts` (most recent reading at-or-before — the kdb aj /
+    pandas merge_asof default); direction="forward" picks the
+    smallest `right_ts` ≥ `left_ts` (the next reading at-or-after —
+    merge_asof direction='forward'). Both inclusive at the exact
+    timestamp; unmatched left rows keep NULLs (left-join semantics).
+    Right (key, ts) pairs should be unique — with duplicates the
+    picked row is the union order's nearest, which no as-of engine
+    defines either.
 
-    Implementation: union both sides with a side tag, one window per
-    key ordered by (ts, side) with rows-unbounded-preceding, carry the
-    last non-null right payload forward, keep left rows. One shuffle."""
+    Implementation: union both sides with a side tag, ONE window per
+    key ordered by (ts, side); backward carries the last non-null
+    right payload forward (rows-unbounded-preceding), forward takes
+    the first non-null right payload in the frame ahead
+    (rows-unbounded-following). One shuffle either way."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown as-of direction {direction!r}")
+    backward = direction == "backward"
     rv = F.struct(
         F.col(right_ts).alias("__rts"), *[F.col(c) for c in value_cols]
     )
     r2 = right.select(
         F.col(key).alias("__k"),
         F.col(right_ts).alias("__ts"),
-        F.lit(0).alias("__side"),  # right sorts first at equal ts
+        # backward scans [start..current]: right must sort BEFORE left at
+        # equal ts to be visible; forward scans [current..end]: AFTER
+        F.lit(0 if backward else 1).alias("__side"),
         F.lit(None).cast(
             "struct<" + ",".join(f"{f.name}:{f.dataType.simpleString()}"
                                  for f in left.schema.fields) + ">"
@@ -65,17 +77,18 @@ def asof_join(
     l2 = left.select(
         F.col(key).alias("__k"),
         F.col(left_ts).alias("__ts"),
-        F.lit(1).alias("__side"),
+        F.lit(1 if backward else 0).alias("__side"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
         F.lit(None).cast(r2.schema["__rv"].dataType).alias("__rv"),
     )
     u = r2.unionByName(l2)
-    w = (
-        Window.partitionBy("__k")
-        .orderBy("__ts", "__side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    picked = F.last("__rv", ignorenulls=True).over(w)
+    base = Window.partitionBy("__k").orderBy("__ts", "__side")
+    if backward:
+        w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        picked = F.last("__rv", ignorenulls=True).over(w)
+    else:
+        w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        picked = F.first("__rv", ignorenulls=True).over(w)
     out = u.select("__lrow", picked.alias("__pick")).filter(
         F.col("__lrow").isNotNull()
     )

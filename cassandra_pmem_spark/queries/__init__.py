@@ -102,6 +102,7 @@ _PRIORITY: tuple[str, ...] = (
     "sim_semantic_dedup",  # SemDeDup within-cluster embedding dedup
     "streaming_sketch_merge",  # foreachBatch HLL merge under redelivery
     "temporal_asof_join",  # as-of join vs DuckDB native ASOF oracle
+    "temporal_asof_forward",  # forward as-of vs DuckDB ASOF <=
     "temporal_range_join",  # bucketized interval join
     "temporal_rollup_cascade",  # hypertable continuous-aggregate rollup
     "temporal_overlap_join",  # interval-interval overlap join

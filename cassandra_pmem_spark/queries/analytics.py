@@ -545,6 +545,50 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.rts
 """
 
 
+def temporal_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward AS-OF JOIN (operators/temporal.asof_join
+    direction='forward' — pandas merge_asof direction='forward'):
+    every event attaches its user's NEXT hourly click rollup at or
+    after its timestamp; events after the user's last click hour keep
+    NULLs. Same one-shuffle union-and-window shape as backward, with
+    the frame ahead instead of behind. The oracle is DuckDB's native
+    ASOF LEFT JOIN with the <= comparison — forward semantics checked
+    against an engine that ships the operator."""
+    from cassandra_pmem_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, "events", sf_dir)
+    right = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(
+            "user_id", F.date_trunc("hour", F.col("ts")).alias("rts")
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    left = ev.select("event_id", "user_id", "ts")
+    return asof_join(
+        left, right, key="user_id", left_ts="ts", right_ts="rts",
+        value_cols=["cents"], direction="forward",
+    )
+
+
+_ASOF_FORWARD_ORACLE = """
+WITH r AS (
+  SELECT user_id, date_trunc('hour', ts) AS rts,
+    CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+), l AS (
+  SELECT event_id, user_id, ts FROM events
+)
+SELECT l.event_id, l.user_id, l.ts,
+  r.rts AS asof_rts, r.cents AS asof_cents
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.rts
+"""
+
+
 def temporal_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval (range) join (operators/temporal.range_join): every
     event that falls inside a same-user 10-minute error window pairs
@@ -924,6 +968,7 @@ GROUP BY 1, 2
 
 QUERIES = {
     "temporal_asof_join": (temporal_asof_join, _ASOF_ORACLE),
+    "temporal_asof_forward": (temporal_asof_forward, _ASOF_FORWARD_ORACLE),
     "temporal_overlap_join": (temporal_overlap_join, _OVERLAP_ORACLE),
     "analytics_scd2_intervals": (analytics_scd2_intervals, _SCD2_ORACLE),
     "analytics_funnel": (analytics_funnel, _FUNNEL_ORACLE),

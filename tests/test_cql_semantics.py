@@ -527,6 +527,39 @@ class TestTemporalOperators:
         assert got[3] == (t(15), 200)  # latest wins
         assert got[4] == (None, None)  # other key sees nothing
 
+    def test_asof_forward_semantics(self, spark):
+        """Inclusive boundary, nearest-next wins, NULL after last
+        right row — the mirror of the backward contract."""
+        import datetime as dt
+
+        import pandas as pd
+
+        from cassandra_pmem_spark.operators.temporal import asof_join
+
+        t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+        left = spark.createDataFrame(
+            pd.DataFrame(
+                {"pid": [1, 2, 3, 4], "k": [1, 1, 1, 2],
+                 "ts": [t(0), t(10), t(20), t(5)]}
+            )
+        )
+        right = spark.createDataFrame(
+            pd.DataFrame(
+                {"k": [1, 1], "rts": [t(5), t(10)], "v": [50, 100]}
+            )
+        )
+        got = {
+            r["pid"]: (r["asof_rts"], r["asof_v"])
+            for r in asof_join(
+                left, right, key="k", left_ts="ts", right_ts="rts",
+                value_cols=["v"], direction="forward",
+            ).collect()
+        }
+        assert got[1] == (t(5), 50)  # nearest next wins
+        assert got[2] == (t(10), 100)  # exact-timestamp row IS visible
+        assert got[3] == (None, None)  # after the last right row
+        assert got[4] == (None, None)  # other key sees nothing
+
     def test_range_join_boundaries_and_bucket_crossing(self, spark):
         import datetime as dt
 
