@@ -284,6 +284,13 @@ class TestTemporalPlans:
             asof_join(left, right, "k", "ts", "rts", ["v"])
         )
         assert plan.count("Exchange") == 1
+        fwd = plan_of(
+            asof_join(
+                left, right, "k", "ts", "rts", ["v"],
+                direction="forward",
+            )
+        )
+        assert fwd.count("Exchange") == 1
 
 
 class TestZorderLayout:
