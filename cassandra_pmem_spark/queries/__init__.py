@@ -22,78 +22,21 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 # First-50 window budget, rotated by STALENESS each round (COVERAGE.md
-# rule: edited since last green driver evidence ⇒ re-enter the window).
-# Round-4 groups: (1) the four round-3 reds (oracle SUM dtype fixed this
-# round — VERDICT r3 "What's wrong" #1) plus sim_ivf_topk (designed
-# rows-only) anchored by its oracle twin; (2) queries whose shared
-# machinery changes this round (keyspace-scoped table registry, BATCH
-# prepare-then-apply atomicity, ALTER session sync, dedup unpersist,
-# JPEG flush padding); then the round's NEW operator classes, in the
-# order they landed — these fill the window to exactly 50, so the last
-# few new queries plus the stale round-1 evidence queue BEHIND the
-# window and rotate into round 5 (they are local-gate green now; the
-# judge sees that via COVERAGE.md). TPC-H q2–q22, streaming
-# real/session, token scans, sim_lsh, multimodal_features carry fresh
-# r3 evidence and rest outside; tpch_q1 IS entry(), smoke-checked
-# every round.
+# rule: edited since last green driver evidence ⇒ re-enter the window;
+# never-evidenced entries outrank everything).
+# Round-5 layout (VERDICT r4 "Next round" #1: spend the whole window on
+# evidence debt): (1) the 32 registry queries that have NEVER had a
+# driver row — the round-4 temporal / snapshot-storage / batch-analytics
+# / BPE / graph / ORC / Arrow tier that landed past the window; (2) the
+# queries added or edited THIS round (uuid/timeuuid/inet Murmur3 tokens,
+# per-cell collection writetime, tuple-relation statement parsing,
+# vectorized FLAC); (3) the oldest r1-era evidence rows. That fills the
+# window to exactly 50. tpch_q1 IS entry(), smoke-checked every round.
+# Remaining r1-era rows (analytics_count_distinct,
+# streaming_tumbling_batch, streaming_session_batch) queue first for
+# round 6 along with the r2 set.
 _PRIORITY: tuple[str, ...] = (
-    # -- (1) round-3 red rows, fixed this round + rows-only IVF and twin
-    "cql_udf_select",
-    "bucketed_colocated_join",
-    "streaming_cdc_dedup",
-    "streaming_stateful_counters",
-    "sim_ivf_topk",
-    "sim_ivf_rerank",
-    # -- (2) shared machinery edited this round (DDL registry keyed by
-    # keyspace, batch atomicity, ALTER collection-info sync, USE parsing,
-    # dedup cache unpersist, jpeg bit-writer padding)
-    "cql_ddl_roundtrip",
-    "cql_batch_apply",
-    "cql_lwt_conditional",
-    "cql_delete_tombstones",
-    "cql_truncate_reload",
-    "cql_counter_fold",
-    "cql_collection_mutations",
-    "dedup_lsh_pairs",
-    "dedup_cascade_docs",
-    "dedup_minhash_jaccard",
-    "multimodal_features_jpeg",
-    "multimodal_features_jpeg_color",  # NEW this round (color codec)
-    "multimodal_features_jpeg_progressive",  # NEW this round (SOF2 codec)
-    "multimodal_audio_mp3_meta",  # NEW this round (MP3 header walk)
-    "multimodal_video_gif_frames",  # NEW this round (real GIF89a video decode)
-    "multimodal_audio_g711_adpcm",  # NEW this round (G.711 + IMA ADPCM decode)
-    "multimodal_audio_flac",  # NEW this round (lossless FLAC codec)
-    "multimodal_video_mp4_samples",  # NEW this round (ISO-BMFF sample tables)
-    "source_warc_ingest",  # NEW this round (WARC/WET crawl container)
-    "text_html_extract",  # NEW this round (HTML→text cleaning)
-    "text_repetition_signals",  # NEW this round (Gopher repetition stats)
-    "sketch_hll_registers",  # NEW this round (cross-engine HLL sketch)
-    "text_bm25_scores",  # NEW this round (BM25 retrieval scoring)
-    "sketch_bloom_words",  # NEW this round (cross-engine Bloom filter)
-    "multimodal_video_y4m_frames",  # NEW this round (YUV4MPEG2 frame walk)
-    "sketch_runtime_filtered_join",  # NEW this round (Bloom-pruned join)
-    "pipeline_pack_sequences",  # NEW this round (training sequence packing)
-    "pipeline_stratified_sample",  # NEW this round (deterministic sampling)
-    "cql_token_scan_timestamp",  # NEW this round (temporal-key Murmur3)
-    "cql_allow_filtering",  # NEW this round (strict gate, both ways)
-    "text_pii_redact",  # NEW this round (PII scrub, cross-engine regex)
-    "source_url_normalize",  # NEW this round (URL canonicalization)
-    "dedup_connected_components",  # NEW this round (transitive closure)
-    "text_decontaminate",  # NEW this round (benchmark n-gram overlap)
-    "source_compressed_chunks",  # NEW this round (LZ4/Snappy/Deflate chunks)
-    "multimodal_video_mjpeg_avi",  # NEW this round (MJPEG-in-AVI decode)
-    "text_ngram_lm_ppl",  # NEW this round (char-trigram LM perplexity)
-    "source_tar_webdataset",  # NEW this round (ustar/WebDataset shards)
-    "sim_sq8_topk",  # NEW this round (int8-quantized ANN, integer-exact)
-    "sim_pq_adc_topk",  # NEW this round (product quantization + ADC)
-    "sketch_countmin_cells",  # NEW this round (Count-Min frequency sketch)
-    "sketch_histogram_bins",  # NEW this round (equi-width quantile histogram)
-    "dedup_line_level",  # NEW this round (corpus-wide line/boilerplate dedup)
-    "text_c4_filters",  # NEW this round (C4 cleaning rule set)
-    # -- NEW this round but past the 50-row window (the driver records
-    # only the first 50): local-gate green now, rotate into the round-5
-    # window for driver evidence
+    # -- (1) never driver-evidenced (landed past round 4's window)
     "source_orc_roundtrip",  # ORC write/read round trip
     "source_arrow_ipc",  # Arrow IPC interchange round trip
     "pipeline_epoch_shuffle",  # deterministic per-epoch shard shuffle
@@ -126,13 +69,14 @@ _PRIORITY: tuple[str, ...] = (
     "analytics_scd2_intervals",  # SCD2 validity intervals from a change log
     "analytics_funnel",  # ordered funnel (conditional-min aggregates)
     "analytics_retention_cohorts",  # cohort retention triangle
-    # -- (2b) edited this round (full blobAsX/XAsBlob pair set) — must
-    # keep driver evidence ahead of stale-but-unedited rows
+    # -- (2) added or edited this round (must carry fresh evidence)
+    "cql_token_scan_uuid",  # NEW: uuid/timeuuid/inet Murmur3 key tokens
+    "cql_collection_writetime",  # NEW: per-cell collection writetime/TTL
+    "cql_tuple_relation",  # UPGRADED: parsed (a,b)>(x,y) / tuple-IN statement
+    "multimodal_audio_flac",  # EDITED: vectorized Rice decode (perf)
+    # -- (3) r1-only evidence, oldest first
     "cql_blob_conv",
-    # -- (3) round-1-only evidence (three rounds stale)
-    "cql_point_lookup",
     "cql_collection_access",
-    "cql_tuple_relation",
     "cql_map_entry",
     "cql_like",
     "cql_time_fcts",
@@ -143,30 +87,19 @@ _PRIORITY: tuple[str, ...] = (
     "cql_distinct_partitions",
     "analytics_topk_orders",
     "analytics_set_ops",
+    "cql_latest_events",
+    "cql_from_json",
 )
-# sim_bruteforce_topk, dedup_simhash, dedup_exact_docs, cql_ttl_expiry,
-# cql_upsert_lww_cells, cql_select_json, cql_duration_arithmetic,
-# cql_static_column, cql_group_limit, cql_uda_weighted_avg,
-# cql_is_not_null, cql_group_by_pk_prefix, cql_contains,
-# cql_clustering_slice, cql_parsed_select, csv_roundtrip,
-# virtual_system_tables, cql_multipoint_in (r2 evidence), and
-# analytics_count_distinct (r1 evidence) yielded their slots to the
-# twenty new never-green queries (color JPEG, progressive JPEG, MP3
-# header walk, GIF video decode, MP4 sample tables, G.711+ADPCM audio
-# decode, FLAC lossless audio, WARC ingest, HTML extraction, Gopher
-# repetition stats, cross-engine HLL sketch, BM25 scoring, cross-engine
-# Bloom filter, Bloom-pruned join, Y4M frame walk, sequence packing,
-# stratified sampling,
-# timestamp token,
-# allow-filtering gate); they rotate into the round-5 window with the
-# rest of the r2 set.
-# Deliberately outside the window this round (fresh r3 evidence or
-# unedited r2 evidence that rotates in next round): tpch q2–q22,
-# streaming_{tumbling,session}_real, cql_token_scan*, sim_lsh_topk,
-# multimodal_features/_meta/_frame_plan, text_*, dedup_ngram_jaccard,
-# sim_neardup_exact, analytics window/hourly, mv_refresh_batch,
-# cql_udt_access, analytics_explode_wordcount, cql_term_select,
-# text_sasi_analyzer.
+# Deliberately outside the window this round: everything with r3/r4
+# driver evidence (the full round-4 window set, tpch q2–q22, token
+# scans, sim_lsh, multimodal features, sketches, dedup tier) plus the
+# r2-era set (cql_point_lookup — r2, not r1: it re-entered the round-2
+# window — plus cql_multipoint_in, cql_clustering_slice, cql_contains,
+# cql_upsert_lww_cells, cql_ttl_expiry, cql_select_json,
+# cql_parsed_select, csv_roundtrip, virtual_system_tables, …) and three
+# r1 rows that did not fit (analytics_count_distinct,
+# streaming_tumbling_batch, streaming_session_batch) — those three plus
+# the r2 set lead round 6's window.
 
 
 def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
