@@ -302,6 +302,22 @@ def _murmur3_bytes_np(B: "np.ndarray", lens: "np.ndarray") -> "np.ndarray":
     return np.where(s == np.int64(LONG_MIN), np.int64(LONG_MAX), s)
 
 
+class UuidMarshal:
+    """Marker marshal dtype for uuid/timeuuid partition keys held as text.
+
+    db/marshal/UUIDType.java (and TimeUUIDType.java — identical wire form,
+    they differ only in comparison order): the 16 raw bytes, most-significant
+    long then least-significant long, each big-endian — i.e. the canonical
+    hex string's pairs in order, dashes removed."""
+
+
+class InetMarshal:
+    """Marker marshal dtype for inet partition keys held as text.
+
+    db/marshal/InetAddressType.java: InetAddress.getAddress() bytes —
+    4 for IPv4, 16 for IPv6."""
+
+
 def serialize_pk_value(v, dtype) -> bytes:
     """One partition-key component's raw serialization (db/marshal/*).
 
@@ -319,12 +335,22 @@ def serialize_pk_value(v, dtype) -> bytes:
     - DecimalType.java — 4-byte int scale, then the unscaled value as a
       BigInteger.toByteArray() minimal two's-complement varint;
     - IntegerType.java (CQL varint) — the varint bytes alone;
-    - BytesType.java — the blob verbatim.
+    - BytesType.java — the blob verbatim;
+    - UuidMarshal (uuid/timeuuid text) — 16 bytes msb||lsb big-endian;
+    - InetMarshal (inet text) — the 4/16 address bytes.
     """
     import struct
 
     from pyspark.sql import types as T
 
+    if isinstance(dtype, UuidMarshal):
+        import uuid as _uuid
+
+        return _uuid.UUID(str(v)).bytes  # UUIDType.java msb||lsb big-endian
+    if isinstance(dtype, InetMarshal):
+        import ipaddress
+
+        return ipaddress.ip_address(str(v)).packed  # InetAddressType.java
     if isinstance(dtype, T.LongType):
         return struct.pack(">q", int(v))  # LongType.java big-endian int64
     if isinstance(dtype, T.IntegerType):
@@ -624,6 +650,27 @@ def bigint_pair_composite_byte_exprs(a_col: str, b_col: str) -> tuple[list[str],
         exprs += [be_byte(col, j) for j in range(8)]
         exprs.append("0::HUGEINT")  # end-of-component
     return exprs, 22
+
+
+def uuid_key_byte_exprs(col: str) -> tuple[list[str], int]:
+    """Byte expressions for a uuid/timeuuid partition key held as canonical
+    36-char text: the UUIDType.java wire form is the 16 raw bytes msb||lsb
+    big-endian, i.e. the dashless hex pairs in order. Fixed 16 bytes —
+    exactly one body block, empty tail (the only layout that exercises the
+    SQL twin's block path with zero tail bytes)."""
+    h = f"replace({col}, '-', '')"
+    exprs = [
+        f"('0x' || substr({h}, {2 * i + 1}, 2))::BIGINT::HUGEINT" for i in range(16)
+    ]
+    return exprs, 16
+
+
+def inet4_key_byte_exprs(col: str) -> tuple[list[str], int]:
+    """Byte expressions for an IPv4 inet partition key held as dotted-quad
+    text (InetAddressType.java: the 4 address bytes). Fixed 4 bytes —
+    tail-only."""
+    exprs = [f"split_part({col}, '.', {i + 1})::BIGINT::HUGEINT" for i in range(4)]
+    return exprs, 4
 
 
 # --- pure-Python ground truth (tests only) -----------------------------------

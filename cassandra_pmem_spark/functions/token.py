@@ -16,6 +16,12 @@ Hash selection:
   Murmur3 kernel over the reference serialization (single column: the
   type's raw bytes per db/marshal/*; composite: CompositeType.java's
   length-prefixed layout). Also bit-exact.
+- **uuid / timeuuid / inet** keys (held as text columns — Spark has no
+  native uuid/inet types) → the general-length kernel over the reference
+  wire forms (UUIDType.java/TimeUUIDType.java 16-byte msb||lsb,
+  InetAddressType.java 4/16 address bytes). Because the Spark dtype is
+  just StringType, the caller names these via ``cql_types``
+  (column → 'uuid'|'timeuuid'|'inet'). Also bit-exact.
 - keys containing a type with no covered serializer (collections, UDTs —
   which the reference itself cannot use as partition-key components
   unfrozen) → xxhash64 (JVM builtin): same query semantics (stable hash
@@ -63,13 +69,20 @@ def _component(col: str, dtype):
 
 
 def token_column(
-    partition_key: Sequence[str] | str, schema: T.StructType | None = None
+    partition_key: Sequence[str] | str,
+    schema: T.StructType | None = None,
+    cql_types: dict[str, str] | None = None,
 ) -> Column:
+    from cassandra_pmem_spark.functions.murmur3 import InetMarshal, UuidMarshal
+
+    marshal_by_cql = {"uuid": UuidMarshal, "timeuuid": UuidMarshal, "inet": InetMarshal}
     cols = [partition_key] if isinstance(partition_key, str) else list(partition_key)
-    if schema is not None:
-        by_name = {f.name: f.dataType for f in schema.fields}
-        dtypes = [by_name.get(c) for c in cols]
-        if all(isinstance(dt, _MURMUR_TYPES) for dt in dtypes):
+    if schema is not None or cql_types:
+        by_name = {f.name: f.dataType for f in schema.fields} if schema else {}
+        overrides = {c: marshal_by_cql[t]() for c, t in (cql_types or {}).items()}
+        dtypes = [overrides.get(c, by_name.get(c)) for c in cols]
+        ok_types = _MURMUR_TYPES + (UuidMarshal, InetMarshal)
+        if all(isinstance(dt, ok_types) for dt in dtypes):
             exprs, eff = zip(*[_component(c, dt) for c, dt in zip(cols, dtypes)])
             if len(cols) == 1 and isinstance(eff[0], T.LongType):
                 from cassandra_pmem_spark.functions.murmur3 import murmur3_token_column

@@ -123,3 +123,57 @@ def map_set_key(m: Column | str, k, v) -> Column:  # Maps.SetterByKey:349
 
 def map_remove_key(m: Column | str, k) -> Column:  # Maps.DiscarderByKey
     return F.map_filter(_c(m), lambda key, _: key != F.lit(k))
+
+
+# -- per-cell liveness: multi-cell collection reconcile -----------------------
+
+def merge_collection_cells(
+    mutations,
+    key,
+    cell_key_col: str = "ck",
+    value_col: str = "v",
+    writetime_col: str = "writetime",
+    expiry_col: str | None = None,
+    now=None,
+):
+    """Per-cell reconcile for a multi-cell collection column.
+
+    The reference stores one liveness per collection cell — each map entry
+    / set element carries its own (timestamp, ttl) (db/rows/Cell.java;
+    db/LivenessInfo.java), merged cell-by-cell at read
+    (db/rows/Cells.java reconcile). That is what makes
+    ``WRITETIME(m['k'])`` / ``TTL(m['k'])`` well-defined per element
+    (cql3/selection/WritetimeOrTTLSelector.java), and lets one element of
+    a map expire while its siblings survive.
+
+    Input: one row per written cell — ``key…, cell_key_col, value_col,
+    writetime_col[, expiry_col]``; a NULL value is a cell tombstone.
+    Reconcile order (Cells.reconcile): highest writetime wins; timestamp
+    ties prefer the tombstone, then the greater value. The surviving cell
+    is dropped if it is a tombstone or expired at ``now``.
+
+    One hash aggregate (map-side partial combine, single shuffle on the
+    (key, cell key) pair) — no window sort, no Python on the data path.
+    Returns one row per *live* cell with its own writetime and expiry.
+    """
+    fields = [
+        F.col(writetime_col).alias("wt"),
+        F.col(value_col).isNull().cast("int").alias("tomb"),
+        F.col(value_col).alias("v"),
+    ]
+    if expiry_col is not None:
+        fields.append(F.col(expiry_col).alias("exp"))
+    newest = mutations.groupBy(*key, cell_key_col).agg(
+        F.max(F.struct(*fields)).alias("__cell")
+    )
+    out = newest.select(
+        *key,
+        cell_key_col,
+        F.col("__cell.v").alias(value_col),
+        F.col("__cell.wt").alias(writetime_col),
+        *([F.col("__cell.exp").alias(expiry_col)] if expiry_col is not None else []),
+    ).filter(F.col(value_col).isNotNull())
+    if expiry_col is not None:
+        now_e = F.current_timestamp() if now is None else F.lit(now).cast("timestamp")
+        out = out.filter(F.col(expiry_col).isNull() | (F.col(expiry_col) > now_e))
+    return out

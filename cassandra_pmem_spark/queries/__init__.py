@@ -24,17 +24,16 @@ from pyspark.sql import DataFrame, SparkSession
 # First-50 window budget, rotated by STALENESS each round (COVERAGE.md
 # rule: edited since last green driver evidence ⇒ re-enter the window;
 # never-evidenced entries outrank everything).
-# Round-5 layout (VERDICT r4 "Next round" #1: spend the whole window on
-# evidence debt): (1) the 32 registry queries that have NEVER had a
+# Round-6 layout — round 5 shipped this window with two names that had no
+# implementation behind them, which broke all_queries() and zeroed
+# CORRECTNESS_r05; both queries now exist (cql_queries.py), so the layout
+# re-lands intact: (1) the 32 registry queries that have NEVER had a
 # driver row — the round-4 temporal / snapshot-storage / batch-analytics
 # / BPE / graph / ORC / Arrow tier that landed past the window; (2) the
-# queries added or edited THIS round (uuid/timeuuid/inet Murmur3 tokens,
-# per-cell collection writetime, tuple-relation statement parsing,
-# vectorized FLAC); (3) the oldest r1-era evidence rows. That fills the
-# window to exactly 50. tpch_q1 IS entry(), smoke-checked every round.
-# Remaining r1-era rows (analytics_count_distinct,
-# streaming_tumbling_batch, streaming_session_batch) queue first for
-# round 6 along with the r2 set.
+# two queries NEW in round 6; (3) the oldest evidence rows (r1-era).
+# That fills the window to exactly 50. tpch_q1 IS entry(), smoke-checked
+# every round. Remaining r1-era rows (streaming_tumbling_batch,
+# streaming_session_batch) plus the r2 set queue first for round 7.
 _PRIORITY: tuple[str, ...] = (
     # -- (1) never driver-evidenced (landed past round 4's window)
     "source_orc_roundtrip",  # ORC write/read round trip
@@ -69,12 +68,12 @@ _PRIORITY: tuple[str, ...] = (
     "analytics_scd2_intervals",  # SCD2 validity intervals from a change log
     "analytics_funnel",  # ordered funnel (conditional-min aggregates)
     "analytics_retention_cohorts",  # cohort retention triangle
-    # -- (2) added or edited this round (must carry fresh evidence)
-    "cql_token_scan_uuid",  # NEW: uuid/timeuuid/inet Murmur3 key tokens
-    "cql_collection_writetime",  # NEW: per-cell collection writetime/TTL
-    "cql_tuple_relation",  # UPGRADED: parsed (a,b)>(x,y) / tuple-IN statement
-    "multimodal_audio_flac",  # EDITED: vectorized Rice decode (perf)
-    # -- (3) r1-only evidence, oldest first
+    # -- (2) new in round 6 (implemented in cql_queries.py, oracle-backed)
+    "cql_token_scan_uuid",  # uuid/timeuuid/inet Murmur3 key tokens
+    "cql_collection_writetime",  # per-cell collection writetime/TTL
+    # -- (3) oldest evidence first (r1-era)
+    "cql_tuple_relation",
+    "analytics_count_distinct",
     "cql_blob_conv",
     "cql_collection_access",
     "cql_map_entry",
@@ -96,10 +95,10 @@ _PRIORITY: tuple[str, ...] = (
 # r2-era set (cql_point_lookup — r2, not r1: it re-entered the round-2
 # window — plus cql_multipoint_in, cql_clustering_slice, cql_contains,
 # cql_upsert_lww_cells, cql_ttl_expiry, cql_select_json,
-# cql_parsed_select, csv_roundtrip, virtual_system_tables, …) and three
-# r1 rows that did not fit (analytics_count_distinct,
-# streaming_tumbling_batch, streaming_session_batch) — those three plus
-# the r2 set lead round 6's window.
+# cql_parsed_select, csv_roundtrip, virtual_system_tables, …) and two
+# r1 rows that did not fit (streaming_tumbling_batch,
+# streaming_session_batch) — those two plus the r2 set lead round 7's
+# window.
 
 
 def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:

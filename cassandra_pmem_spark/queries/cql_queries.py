@@ -164,6 +164,58 @@ def cql_token_scan_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cql_token_scan_uuid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """token() over UUID, TIMEUUID and INET partition keys — the three
+    marshal types the covered set previously lacked (fell back to
+    xxhash64). Wire forms per db/marshal/UUIDType.java and
+    TimeUUIDType.java (16 bytes, msb||lsb big-endian — identical
+    serialization, they differ only in clustering comparison order) and
+    InetAddressType.java (the raw 4/16 address bytes), hashed with the
+    general-length Murmur3 kernel (Murmur3Partitioner.java:214-246).
+    Spark has no uuid/inet types, so the text columns are tagged via
+    token_column(..., cql_types=...). Keys are derived deterministically
+    from customer (md5 → canonical uuid; version nibble forced to 1 for
+    the timeuuid; dotted-quad from the key) so the DuckDB twin rebuilds
+    byte-identical inputs. The 16-byte uuid layout is the one key shape
+    whose SQL twin runs a full body block with an empty tail."""
+    from cassandra_pmem_spark.functions.token import token_column
+
+    cust = load_table(spark, "customer", sf_dir).filter(F.col("c_custkey") < 500)
+    h = F.md5(F.col("c_name").cast("binary"))
+    u = F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.substring(h, 13, 4),
+        F.substring(h, 17, 4),
+        F.substring(h, 21, 12),
+    )
+    tu = F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.concat(F.lit("1"), F.substring(h, 14, 3)),
+        F.substring(h, 17, 4),
+        F.substring(h, 21, 12),
+    )
+    ck = F.col("c_custkey")
+    ip = F.concat_ws(
+        ".",
+        F.lit("10"),
+        (ck % 256).cast("string"),
+        ((ck * 7) % 256).cast("string"),
+        ((ck * 13) % 256).cast("string"),
+    )
+    df = cust.select("c_custkey", u.alias("u"), tu.alias("tu"), ip.alias("ip"))
+    return (
+        df.withColumn("token_uuid", token_column(["u"], cql_types={"u": "uuid"}))
+        .withColumn("token_timeuuid", token_column(["tu"], cql_types={"tu": "timeuuid"}))
+        .withColumn("token_inet", token_column(["ip"], cql_types={"ip": "inet"}))
+        .select("c_custkey", "token_uuid", "token_timeuuid", "token_inet")
+        .orderBy("token_uuid")
+    )
+
+
 def cql_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONTAINS on a set<text> column (Operator.java:117) — the collection is
     materialized per partition (collect_set), then filtered."""
@@ -253,6 +305,67 @@ def cql_ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     live = filter_expired(ev, "expiry_ts", now="2024-01-20 00:00:00")
     return live.groupBy("event_type").agg(F.count("*").alias("n_live"))
+
+
+def cql_collection_writetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell writetime/TTL on a multi-cell map column (db/rows/Cell.java
+    — one liveness per cell; Cells.reconcile; WritetimeOrTTLSelector.java:
+    WRITETIME(m) is the key-ordered per-cell timestamp list, and
+    WRITETIME(m['k']) / TTL(m['k']) read one cell's liveness).
+
+    The events log is read as a cell-mutation stream over a
+    map<text,bigint> keyed by event_type: 'view' events write a cell
+    tombstone (null value), 'click' cells carry a 7-day TTL, everything
+    reconciles per cell (merge_collection_cells) and is read at a frozen
+    now — so within one user's map, expired click cells vanish while
+    sibling cells survive, which is exactly the element-granular liveness
+    a per-column shadow cannot express."""
+    from cassandra_pmem_spark.operators.collections import merge_collection_cells
+
+    now = "2024-01-20 00:00:00"
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        F.col("event_type").alias("ck"),
+        F.when(
+            F.col("event_type") != "view",
+            F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100).cast("long"),
+        ).alias("v"),
+        F.col("event_id").alias("writetime"),
+        F.when(
+            F.col("event_type") == "click", F.col("ts") + F.expr("INTERVAL 7 DAYS")
+        ).alias("expiry_ts"),
+    )
+    cells = merge_collection_cells(
+        ev,
+        key=["user_id"],
+        cell_key_col="ck",
+        value_col="v",
+        writetime_col="writetime",
+        expiry_col="expiry_ts",
+        now=now,
+    )
+    ent = F.array_sort(F.collect_list(F.struct("ck", "v", "writetime")))
+    g = cells.groupBy("user_id").agg(
+        ent.alias("ent"),
+        F.max(F.when(F.col("ck") == "click", F.col("writetime"))).alias("click_wt"),
+        F.max(F.when(F.col("ck") == "click", F.col("expiry_ts"))).alias("click_exp"),
+        F.count("*").alias("n_cells"),
+    )
+    # Driver-facing outputs are scalar (see cql_collection_mutations): the
+    # key-ordered map and its per-cell writetime list join to strings.
+    fmt = lambda field: F.array_join(  # noqa: E731
+        F.transform("ent", lambda e: F.concat(e["ck"], F.lit(":"), e[field].cast("string"))),
+        ",",
+    )
+    ttl = F.unix_timestamp("click_exp") - F.unix_timestamp(F.lit(now).cast("timestamp"))
+    return g.select(
+        "user_id",
+        fmt("v").alias("map_col"),
+        fmt("writetime").alias("wt_col"),
+        F.col("click_wt"),
+        ttl.cast("long").alias("click_ttl"),
+        F.col("n_cells"),
+    )
 
 
 def cql_counter_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -475,6 +588,77 @@ def _token_composite_oracle() -> str:
     )
 
 
+def _token_uuid_oracle() -> str:
+    from cassandra_pmem_spark.functions.murmur3 import (
+        inet4_key_byte_exprs,
+        murmur3_token_general_subquery,
+        uuid_key_byte_exprs,
+    )
+
+    src = (
+        "(SELECT c_custkey, "
+        "concat_ws('-', substr(h,1,8), substr(h,9,4), substr(h,13,4), "
+        "substr(h,17,4), substr(h,21,12)) AS u, "
+        "concat_ws('-', substr(h,1,8), substr(h,9,4), '1' || substr(h,14,3), "
+        "substr(h,17,4), substr(h,21,12)) AS tu, "
+        "concat_ws('.', '10', (c_custkey % 256)::VARCHAR, "
+        "((c_custkey * 7) % 256)::VARCHAR, ((c_custkey * 13) % 256)::VARCHAR) AS ip "
+        "FROM (SELECT c_custkey, md5(c_name) AS h FROM customer "
+        "WHERE c_custkey < 500))"
+    )
+    be_u, _ = uuid_key_byte_exprs("u")
+    s1 = murmur3_token_general_subquery(
+        src, be_u, "16", ["c_custkey", "tu", "ip"], "token_uuid", fixed_len=16
+    )
+    be_tu, _ = uuid_key_byte_exprs("tu")
+    s2 = murmur3_token_general_subquery(
+        s1, be_tu, "16", ["c_custkey", "ip", "token_uuid"], "token_timeuuid", fixed_len=16
+    )
+    be_ip, _ = inet4_key_byte_exprs("ip")
+    s3 = murmur3_token_general_subquery(
+        s2,
+        be_ip,
+        "4",
+        ["c_custkey", "token_uuid", "token_timeuuid"],
+        "token_inet",
+        fixed_len=4,
+    )
+    return (
+        f"SELECT c_custkey, token_uuid, token_timeuuid, token_inet FROM {s3} "
+        f"ORDER BY token_uuid"
+    )
+
+
+_COLLECTION_WRITETIME_ORACLE = """
+WITH cells AS (
+  SELECT user_id, event_type AS ck,
+         CASE WHEN event_type <> 'view'
+              THEN floor(coalesce(value, 0) * 100)::BIGINT END AS v,
+         event_id AS wt,
+         CASE WHEN event_type = 'click' THEN ts + INTERVAL 7 DAY END AS exp
+  FROM events
+), newest AS (
+  SELECT user_id, ck, v, wt, exp,
+         row_number() OVER (PARTITION BY user_id, ck
+                            ORDER BY wt DESC, (v IS NULL) DESC, v DESC) AS rn
+  FROM cells
+), live AS (
+  SELECT * FROM newest
+  WHERE rn = 1 AND v IS NOT NULL
+    AND (exp IS NULL OR exp > TIMESTAMP '2024-01-20 00:00:00')
+)
+SELECT user_id,
+       string_agg(ck || ':' || v::VARCHAR, ',' ORDER BY ck) AS map_col,
+       string_agg(ck || ':' || wt::VARCHAR, ',' ORDER BY ck) AS wt_col,
+       max(CASE WHEN ck = 'click' THEN wt END) AS click_wt,
+       date_diff('second', TIMESTAMP '2024-01-20 00:00:00',
+                 max(CASE WHEN ck = 'click' THEN exp END)) AS click_ttl,
+       count(*) AS n_cells
+FROM live
+GROUP BY user_id
+"""
+
+
 QUERIES = {
     "cql_point_lookup": (
         cql_point_lookup,
@@ -523,6 +707,14 @@ QUERIES = {
     "cql_token_scan_composite": (
         cql_token_scan_composite,
         _token_composite_oracle(),
+    ),
+    "cql_token_scan_uuid": (
+        cql_token_scan_uuid,
+        _token_uuid_oracle(),
+    ),
+    "cql_collection_writetime": (
+        cql_collection_writetime,
+        _COLLECTION_WRITETIME_ORACLE,
     ),
     "cql_token_scan_timestamp": (
         cql_token_scan_timestamp,

@@ -686,3 +686,57 @@ class TestOverlapJoin:
         # half-open: [0,600) and [600,1200) do NOT overlap; one second
         # of overlap does; multi-bucket candidates dedupe to one pair
         assert got == {(1, 11), (2, 12)}
+
+
+class TestCollectionCellLiveness:
+    """Per-cell liveness on multi-cell collections (db/rows/Cell.java,
+    Cells.reconcile, db/LivenessInfo.java): each map cell carries its own
+    writetime + expiry, reconciled and expired independently."""
+
+    def _merge(self, spark, rows, **kw):
+        from cassandra_pmem_spark.operators.collections import merge_collection_cells
+
+        df = spark.createDataFrame(
+            rows, "pk long, ck string, v long, writetime long, expiry_ts timestamp"
+        )
+        out = merge_collection_cells(
+            df, key=["pk"], expiry_col="expiry_ts", now="2024-01-10 00:00:00", **kw
+        )
+        return {(r.pk, r.ck): (r.v, r.writetime) for r in out.collect()}
+
+    def test_per_cell_lww_and_tombstone(self, spark):
+        rows = [
+            (1, "a", 10, 100, None),
+            (1, "a", 20, 200, None),   # newer write to the same cell wins
+            (1, "b", 30, 100, None),
+            (1, "b", None, 200, None), # newer cell tombstone deletes only b
+            (1, "c", None, 100, None),
+            (1, "c", 40, 200, None),   # write newer than tombstone survives
+        ]
+        got = self._merge(spark, rows)
+        assert got == {(1, "a"): (20, 200), (1, "c"): (40, 200)}
+
+    def test_timestamp_tie_prefers_tombstone(self, spark):
+        # Cells.reconcile: equal timestamps -> tombstone wins; both live ->
+        # greater value wins
+        rows = [
+            (1, "a", 10, 100, None),
+            (1, "a", None, 100, None),
+            (1, "b", 7, 100, None),
+            (1, "b", 9, 100, None),
+        ]
+        got = self._merge(spark, rows)
+        assert got == {(1, "b"): (9, 100)}
+
+    def test_per_cell_ttl_expiry(self, spark):
+        import datetime
+
+        exp_past = datetime.datetime(2024, 1, 5)
+        exp_future = datetime.datetime(2024, 1, 20)
+        rows = [
+            (1, "a", 10, 100, exp_past),    # expired at now=Jan 10
+            (1, "b", 20, 100, exp_future),  # sibling cell survives
+            (1, "c", 30, 100, None),        # no TTL
+        ]
+        got = self._merge(spark, rows)
+        assert got == {(1, "b"): (20, 100), (1, "c"): (30, 100)}

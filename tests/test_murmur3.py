@@ -323,3 +323,105 @@ class TestMarshalSerializations:
 
         b = serialize_pk_value(v, T.DoubleType())
         assert len(b) == 8 and struct.unpack(">d", b)[0] == v
+
+
+class TestMurmur3UuidInet:
+    """uuid / timeuuid / inet partition-key tokens: wire forms per
+    db/marshal/UUIDType.java, TimeUUIDType.java (16 bytes msb||lsb
+    big-endian) and InetAddressType.java (raw address bytes); tokens via
+    the general-length kernel. Ground truth: murmur3_token_bytes_py over
+    the serialized form."""
+
+    UUIDS = [
+        "00000000-0000-0000-0000-000000000000",
+        "ffffffff-ffff-ffff-ffff-ffffffffffff",
+        "6ba7b810-9dad-11d1-80b4-00c04fd430c8",  # the RFC 4122 DNS namespace
+        "123e4567-e89b-12d3-a456-426614174000",
+        "deadbeef-cafe-1bad-8000-0123456789ab",
+    ]
+    IPS = ["0.0.0.0", "255.255.255.255", "10.1.2.3", "192.168.0.1", "127.0.0.1"]
+
+    def test_uuid_serialization_is_msb_lsb_big_endian(self):
+        import uuid as uuid_lib
+
+        from cassandra_pmem_spark.functions.murmur3 import (
+            UuidMarshal,
+            serialize_pk_value,
+        )
+
+        for s in self.UUIDS:
+            b = serialize_pk_value(s, UuidMarshal())
+            assert b == bytes.fromhex(s.replace("-", "")) == uuid_lib.UUID(s).bytes
+            assert len(b) == 16
+
+    def test_inet_serialization(self):
+        from cassandra_pmem_spark.functions.murmur3 import (
+            InetMarshal,
+            serialize_pk_value,
+        )
+
+        assert serialize_pk_value("10.1.2.3", InetMarshal()) == bytes([10, 1, 2, 3])
+        # InetAddressType.java stores getAddress() bytes: 16 for IPv6
+        assert len(serialize_pk_value("2001:db8::1", InetMarshal())) == 16
+
+    def test_uuid_twin_matches_port(self):
+        from cassandra_pmem_spark.functions.murmur3 import (
+            murmur3_token_bytes_py,
+            murmur3_token_general_subquery,
+            uuid_key_byte_exprs,
+        )
+
+        con = duckdb.connect()
+        lits = ",".join(f"('{u}')" for u in self.UUIDS)
+        exprs, flen = uuid_key_byte_exprs("u")
+        sub = murmur3_token_general_subquery(
+            f"(VALUES {lits}) v(u)", exprs, str(flen), ["u"], fixed_len=flen
+        )
+        got = dict(con.execute(f"SELECT u, token FROM {sub}").fetchall())
+        con.close()
+        assert got == {
+            u: murmur3_token_bytes_py(bytes.fromhex(u.replace("-", "")))
+            for u in self.UUIDS
+        }
+
+    def test_inet4_twin_matches_port(self):
+        from cassandra_pmem_spark.functions.murmur3 import (
+            inet4_key_byte_exprs,
+            murmur3_token_bytes_py,
+            murmur3_token_general_subquery,
+        )
+
+        con = duckdb.connect()
+        lits = ",".join(f"('{ip}')" for ip in self.IPS)
+        exprs, flen = inet4_key_byte_exprs("ip")
+        sub = murmur3_token_general_subquery(
+            f"(VALUES {lits}) v(ip)", exprs, str(flen), ["ip"], fixed_len=flen
+        )
+        got = dict(con.execute(f"SELECT ip, token FROM {sub}").fetchall())
+        con.close()
+        assert got == {
+            ip: murmur3_token_bytes_py(bytes(int(o) for o in ip.split(".")))
+            for ip in self.IPS
+        }
+
+    def test_spark_token_routes_uuid_timeuuid_inet_to_murmur3(self, spark):
+        from cassandra_pmem_spark.functions.murmur3 import murmur3_token_bytes_py
+        from cassandra_pmem_spark.functions.token import token_column
+
+        rows = [(u, ip) for u, ip in zip(self.UUIDS, self.IPS)]
+        df = spark.createDataFrame(rows, "u string, ip string")
+        out = df.select(
+            "u",
+            "ip",
+            token_column(["u"], cql_types={"u": "uuid"}).alias("tu"),
+            token_column(["u"], cql_types={"u": "timeuuid"}).alias("ttu"),
+            token_column(["ip"], cql_types={"ip": "inet"}).alias("tip"),
+        ).collect()
+        for r in out:
+            want_u = murmur3_token_bytes_py(bytes.fromhex(r.u.replace("-", "")))
+            assert r.tu == want_u
+            # timeuuid shares the uuid wire form — token-identical
+            assert r.ttu == want_u
+            assert r.tip == murmur3_token_bytes_py(
+                bytes(int(o) for o in r.ip.split("."))
+            )
