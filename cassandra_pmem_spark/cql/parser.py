@@ -261,12 +261,17 @@ class _Parser:
             while self.accept_punct(","):
                 cols.append(self.ident())
             self.expect_punct(")")
+            if self.accept_kw("in"):
+                # (a, b) IN ((1, 2), (3, 4)) — Parser.g:443 tupleOfTupleOfIdentifiers;
+                # MultiColumnRestriction.InRestrictionWithValues
+                self.expect_punct("(")
+                tuples = [self._tuple_literal(params, cursor, len(cols))]
+                while self.accept_punct(","):
+                    tuples.append(self._tuple_literal(params, cursor, len(cols)))
+                self.expect_punct(")")
+                return Relation("tuple", cols, Op.IN, tuples)
             op = self._op()
-            self.expect_punct("(")
-            vals = [self.literal(params, cursor)]
-            while self.accept_punct(","):
-                vals.append(self.literal(params, cursor))
-            self.expect_punct(")")
+            vals = self._tuple_literal(params, cursor, len(cols))
             return Relation("tuple", cols, op, vals)
         t = self.peek()
         if t.kind == "ident" and t.text.lower() == "token":
@@ -296,6 +301,21 @@ class _Parser:
             return Relation("simple", [col], Op.LIKE, [self.literal(params, cursor)])
         op = self._op()
         return Relation("simple", [col], op, [self.literal(params, cursor)])
+
+    def _tuple_literal(self, params: list[Any], cursor: list[int], arity: int) -> tuple:
+        """One parenthesized literal tuple ``(v1, …, vN)``; arity must match
+        the relation's column count (the reference rejects mismatched tuple
+        sizes — MultiColumnRestriction 'Expected N elements')."""
+        self.expect_punct("(")
+        vals = [self.literal(params, cursor)]
+        while self.accept_punct(","):
+            vals.append(self.literal(params, cursor))
+        self.expect_punct(")")
+        if len(vals) != arity:
+            raise InvalidRequest(
+                f"Expected {arity} elements in value tuple, but got {len(vals)}"
+            )
+        return tuple(vals)
 
     def _op(self) -> Op:
         t = self.next()

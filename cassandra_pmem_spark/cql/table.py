@@ -97,9 +97,11 @@ class CqlTable:
         return t
 
     def where_tuple(self, columns: Sequence[str], op: Op | str, values: Sequence[Any]) -> "CqlTable":
-        """Multi-column (tuple) relation: ``(a, b) > (1, 2)`` — lexicographic
-        on a clustering prefix (cql3/restrictions/MultiColumnRestriction.java).
-        Spark structs compare lexicographically, so this stays JVM-side."""
+        """Multi-column (tuple) relation (cql3/restrictions/
+        MultiColumnRestriction.java): ``(a, b) > (1, 2)`` — lexicographic on
+        a clustering prefix — or ``(a, b) IN ((1, 2), (3, 4))`` (the
+        InRestriction form; for IN, ``values`` is a sequence of tuples).
+        Spark structs compare lexicographically, so both stay JVM-side."""
         op = Op(op) if isinstance(op, str) else op
         t = self._copy()
         for c in columns:
@@ -108,10 +110,19 @@ class CqlTable:
         # sides, so cast/alias the literal tuple to the column shape.
         dtypes = dict(self._df.dtypes)
         lhs = F.struct(*[F.col(c) for c in columns])
-        rhs = F.struct(
-            *[F.lit(v).cast(dtypes[c]).alias(c) for c, v in zip(columns, values)]
-        )
-        t._conditions.append(_OP_TO_COLUMN[op](lhs, rhs))
+
+        def rhs(tup):
+            return F.struct(
+                *[F.lit(v).cast(dtypes[c]).alias(c) for c, v in zip(columns, tup)]
+            )
+
+        if op == Op.IN:
+            cond = F.lit(False)
+            for tup in values:
+                cond = cond | (lhs == rhs(tup))
+            t._conditions.append(cond)
+        else:
+            t._conditions.append(_OP_TO_COLUMN[op](lhs, rhs(values)))
         return t
 
     def where_token(self, op: Op | str, value: int) -> "CqlTable":

@@ -68,11 +68,11 @@ _PRIORITY: tuple[str, ...] = (
     "analytics_scd2_intervals",  # SCD2 validity intervals from a change log
     "analytics_funnel",  # ordered funnel (conditional-min aggregates)
     "analytics_retention_cohorts",  # cohort retention triangle
-    # -- (2) new in round 6 (implemented in cql_queries.py, oracle-backed)
+    # -- (2) new or edited in round 6 (implemented, oracle-backed)
     "cql_token_scan_uuid",  # uuid/timeuuid/inet Murmur3 key tokens
     "cql_collection_writetime",  # per-cell collection writetime/TTL
+    "cql_tuple_relation",  # now parsed-statement slices + tuple-IN form
     # -- (3) oldest evidence first (r1-era)
-    "cql_tuple_relation",
     "analytics_count_distinct",
     "cql_blob_conv",
     "cql_collection_access",

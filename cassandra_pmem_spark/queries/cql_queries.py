@@ -85,14 +85,21 @@ def cql_distinct_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def cql_tuple_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-column tuple relation, lexicographic
-    (cql3/restrictions/MultiColumnRestriction.java; Parser.g:443)."""
-    return (
-        cql_table(spark, "lineitem", sf_dir)
-        .where_tuple(("l_orderkey", "l_linenumber"), Op.GT, (1000, 3))
-        .where_tuple(("l_orderkey", "l_linenumber"), Op.LTE, (1200, 2))
-        .select("l_orderkey", "l_linenumber")
-        .df()
+    """Multi-column tuple relations through the parsed statement path:
+    lexicographic slices AND the tuple-IN form ``(a, b) IN ((…), (…))``
+    (cql3/restrictions/MultiColumnRestriction.java SliceRestriction +
+    InRestrictionWithValues; Parser.g:443 tupleOfTupleOfIdentifiers)."""
+    from cassandra_pmem_spark.cql.parser import execute_cql
+
+    return execute_cql(
+        spark,
+        "SELECT l_orderkey, l_linenumber FROM lineitem "
+        "WHERE (l_orderkey, l_linenumber) > (1000, 3) "
+        "AND (l_orderkey, l_linenumber) <= (1200, 2) "
+        "AND (l_orderkey, l_linenumber) IN "
+        "((1000, 6), (1001, 1), (999999, 1))",
+        sf_dir,
+        strict=False,
     )
 
 
@@ -689,10 +696,14 @@ QUERIES = {
     "cql_tuple_relation": (
         cql_tuple_relation,
         # lexicographic expansion: DuckDB folds two struct comparisons on the
-        # same operand into an (unsupported) struct BETWEEN
+        # same operand into an (unsupported) struct BETWEEN; the IN list
+        # expands to per-pair equality
         "SELECT l_orderkey, l_linenumber FROM lineitem "
         "WHERE (l_orderkey > 1000 OR (l_orderkey = 1000 AND l_linenumber > 3)) "
-        "AND (l_orderkey < 1200 OR (l_orderkey = 1200 AND l_linenumber <= 2))",
+        "AND (l_orderkey < 1200 OR (l_orderkey = 1200 AND l_linenumber <= 2)) "
+        "AND ((l_orderkey = 1000 AND l_linenumber = 6) "
+        "OR (l_orderkey = 1001 AND l_linenumber = 1) "
+        "OR (l_orderkey = 999999 AND l_linenumber = 1))",
     ),
     "cql_token_scan": (
         cql_token_scan,

@@ -219,6 +219,43 @@ class TestExecute:
         assert all((a, b) > (100, 2) and (a, b) <= (120, 1) for a, b in data)
         assert len(data) > 0
 
+    def test_tuple_in_statement_form(self, spark):
+        # (a, b) IN ((…), (…)) — Parser.g:443 tupleOfTupleOfIdentifiers;
+        # MultiColumnRestriction.InRestrictionWithValues. Duplicate source
+        # rows matching an IN pair are all kept (IN filters, not dedups).
+        got = execute_cql(
+            spark,
+            "SELECT l_orderkey, l_linenumber FROM lineitem "
+            "WHERE (l_orderkey, l_linenumber) IN ((1001, 1), (1000, 5), (999999, 1))",
+            SF_SMALL,
+            strict=False,
+        )
+        data = rows(got)
+        assert len(data) > 0
+        assert set(data) <= {(1001, 1), (1000, 5)}
+
+    def test_tuple_in_arity_mismatch_rejected(self, spark):
+        # the reference rejects tuples whose size differs from the column
+        # list ("Expected N elements") — MultiColumnRestriction
+        with pytest.raises(InvalidRequest, match="Expected 2 elements"):
+            execute_cql(
+                spark,
+                "SELECT l_orderkey FROM lineitem "
+                "WHERE (l_orderkey, l_linenumber) IN ((1, 2), (3, 4, 5))",
+                SF_SMALL,
+                strict=False,
+            )
+
+    def test_tuple_comparison_arity_mismatch_rejected(self, spark):
+        with pytest.raises(InvalidRequest, match="Expected 2 elements"):
+            execute_cql(
+                spark,
+                "SELECT l_orderkey FROM lineitem "
+                "WHERE (l_orderkey, l_linenumber) > (1, 2, 3)",
+                SF_SMALL,
+                strict=False,
+            )
+
     def test_writetime_on_primary_key_rejected(self, spark):
         # SelectTest.java: "Cannot use selection function writeTime on
         # PRIMARY KEY part" — key columns have no cells
