@@ -27,10 +27,13 @@ Reference parity note: the reference engine stores media as opaque blobs
 runs inside Arrow-batched mapInPandas stages (pipeline/multimodal.py) —
 scan-parallel, zero-shuffle, the Spark-first shape for a 100 TB corpus.
 
-Bit order is MSB-first throughout (unlike GIF's LSB-first LZW). Rice
-coding is sequential per residual; frames here are small (fixture scale),
-and a production path would batch frames per Arrow batch exactly as the
-JPEG codec does.
+Bit order is MSB-first throughout (unlike GIF's LSB-first LZW). The Rice
+hot paths are numpy-vectorized on both sides: encode lays out each
+partition's bit pattern with one cumsum + packbits, decode resolves the
+sequential code-start dependency by pointer doubling over the one-bit
+positions (log2(n) gathers per partition), and VERBATIM/escape samples
+batch through a reshape-matmul. Only LPC reconstruction remains a true
+per-sample recurrence (integer IIR with per-step shift truncation).
 """
 
 from __future__ import annotations
@@ -98,6 +101,26 @@ class _BitWriter:
             self.write(0, 32)
             q -= 32
         self.write(1, q + 1)  # q zero bits then a one bit
+
+    def write_bits_array(self, bits: "np.ndarray") -> None:
+        """Append a 0/1 uint8 array in MSB-first stream order — the
+        vectorized bulk path (np.packbits) for Rice partitions; only the
+        <8 leftover bits re-enter the scalar accumulator."""
+        if self.n:
+            lead = np.array(
+                [(self.acc >> (self.n - 1 - i)) & 1 for i in range(self.n)], np.uint8
+            )
+            bits = np.concatenate([lead, bits])
+            self.acc = 0
+            self.n = 0
+        nbytes = len(bits) >> 3
+        if nbytes:
+            self.buf.extend(np.packbits(bits[: nbytes * 8]).tobytes())
+        acc = 0
+        for b in bits[nbytes * 8 :]:
+            acc = (acc << 1) | int(b)
+        self.acc = acc
+        self.n = len(bits) - nbytes * 8
 
     def align(self) -> None:
         if self.n:
@@ -242,11 +265,21 @@ def _write_rice(w: "_BitWriter", resid: np.ndarray, partition_order: int, n: int
         idx += cnt
         p = _best_rice(seg)
         w.write(p, 4)
+        if not cnt:
+            continue
+        # whole-partition bit layout built vectorized: code i occupies
+        # [q_i zeros][1][p-bit remainder]; terminator and remainder
+        # positions follow from one cumsum over the code lengths
         z = np.where(seg >= 0, seg.astype(np.int64) * 2, -2 * seg.astype(np.int64) - 1)
-        for v in z:
-            w.write_unary(int(v) >> p)
-            if p:
-                w.write(int(v) & ((1 << p) - 1), p)
+        q = z >> p
+        ends = np.cumsum(q + 1 + p)
+        term = ends - 1 - p
+        bits = np.zeros(int(ends[-1]), np.uint8)
+        bits[term] = 1
+        if p:
+            cols = term[:, None] + 1 + np.arange(p)
+            bits[cols] = ((z[:, None] >> np.arange(p - 1, -1, -1)) & 1).astype(np.uint8)
+        w.write_bits_array(bits)
 
 
 def _fixed_residual(x: np.ndarray, order: int) -> np.ndarray:
@@ -443,7 +476,7 @@ def _decode_subframe(r: "_BitReader", n: int, bps: int) -> np.ndarray:
         v = r.read_signed(bps)
         out = np.full(n, v, np.int64)
     elif code == 1:  # VERBATIM
-        out = np.array([r.read_signed(bps) for _ in range(n)], np.int64)
+        out = _read_fixed_signed_np(r, n, bps)
     elif 8 <= code <= 12:  # FIXED
         order = code - 8
         warm = [r.read_signed(bps) for _ in range(order)]
@@ -462,6 +495,88 @@ def _decode_subframe(r: "_BitReader", n: int, bps: int) -> np.ndarray:
     return out << wasted if wasted else out
 
 
+def _reader_window(r: "_BitReader", want_bits: int) -> tuple[np.ndarray, int]:
+    """Unpack a bit window starting at the reader's current byte: returns
+    (0/1 uint8 array, intra-byte offset of the reader within it). Capped
+    at end-of-data — callers detect truncation by running out of bits."""
+    end_byte = min(len(r.data), (r.byte * 8 + r.bit + want_bits + 7) // 8)
+    arr = np.unpackbits(
+        np.frombuffer(r.data, np.uint8, count=end_byte - r.byte, offset=r.byte)
+    )
+    return arr, r.bit
+
+
+def _reader_advance(r: "_BitReader", nbits: int) -> None:
+    ab = r.byte * 8 + r.bit + nbits
+    r.byte, r.bit = ab >> 3, ab & 7
+
+
+def _read_fixed_signed_np(r: "_BitReader", cnt: int, width: int) -> np.ndarray:
+    """cnt signed width-bit integers, vectorized (VERBATIM subframes and
+    escaped Rice partitions)."""
+    if not cnt or not width:
+        return np.zeros(cnt, np.int64)
+    total = cnt * width
+    bits, off = _reader_window(r, total)
+    if off + total > len(bits):
+        raise ValueError("truncated FLAC bit stream")
+    m = bits[off : off + total].reshape(cnt, width).astype(np.int64)
+    v = m @ (np.int64(1) << np.arange(width - 1, -1, -1, dtype=np.int64))
+    v = np.where(m[:, 0] == 1, v - (np.int64(1) << np.int64(width)), v)
+    _reader_advance(r, total)
+    return v
+
+
+def _read_rice_codes_np(r: "_BitReader", cnt: int, p: int) -> np.ndarray:
+    """cnt Rice(p) codes, vectorized. The sequential dependency (each
+    code's start is the previous terminator + 1 + p) is resolved by
+    pointer doubling over the one-bit positions: jump[j] = index of the
+    first one >= ones[j]+1+p, then the orbit idx_i = jump^i(idx_0) fills
+    by powers of two (log2(cnt) vectorized gathers). The window over the
+    byte stream starts at the Rice-optimal expectation (~p+2 bits/code)
+    and grows 4x on underrun."""
+    if not cnt:
+        return np.zeros(0, np.int64)
+    remaining = (len(r.data) - r.byte) * 8 - r.bit
+    window = min(remaining, cnt * (p + 2) + 64)
+    while True:
+        bits, off = _reader_window(r, window)
+        ones = np.flatnonzero(bits)
+        ones = ones[ones >= off]
+        m = len(ones)
+        idx = None
+        if m:
+            jump = np.concatenate(
+                [np.searchsorted(ones, ones + 1 + p), [m]]
+            )  # sentinel m -> m: "no further terminator in window"
+            idx = np.empty(cnt, np.int64)
+            idx[0] = 0
+            filled, T = 1, jump
+            while filled < cnt:
+                take = min(filled, cnt - filled)
+                idx[filled : filled + take] = T[idx[:take]]
+                filled += take
+                if filled < cnt:
+                    T = T[T]
+        if idx is None or idx[-1] >= m or int(ones[idx[-1]]) + 1 + p > len(bits):
+            if window >= remaining:
+                raise ValueError("truncated FLAC bit stream")
+            window = min(remaining, window * 4)
+            continue
+        term = ones[idx]
+        starts = np.empty(cnt, np.int64)
+        starts[0] = off
+        starts[1:] = term[:-1] + 1 + p
+        z = (term - starts).astype(np.int64) << p
+        if p:
+            cols = term[:, None] + 1 + np.arange(p)
+            z |= bits[cols].astype(np.int64) @ (
+                np.int64(1) << np.arange(p - 1, -1, -1, dtype=np.int64)
+            )
+        _reader_advance(r, int(term[-1]) + 1 + p - off)
+        return (z >> 1) ^ -(z & 1)  # un-zigzag
+
+
 def _read_rice(r: "_BitReader", n: int, pred_order: int) -> np.ndarray:
     method = r.read(2)
     if method > 1:
@@ -476,30 +591,46 @@ def _read_rice(r: "_BitReader", n: int, pred_order: int) -> np.ndarray:
         p = r.read(pbits)
         if p == escape:  # verbatim residuals at fixed width
             width = r.read(5)
-            out.extend(r.read_signed(width) if width else 0 for _ in range(cnt))
+            out.append(_read_fixed_signed_np(r, cnt, width))
             continue
-        for _ in range(cnt):
-            q = r.read_unary()
-            z = (q << p) | (r.read(p) if p else 0)
-            out.append((z >> 1) ^ -(z & 1))  # un-zigzag
-    return np.asarray(out, np.int64)
+        out.append(_read_rice_codes_np(r, cnt, p))
+    return np.concatenate(out) if out else np.zeros(0, np.int64)
 
 
 def _predict_fixed(warm: list[int], resid: np.ndarray, order: int) -> np.ndarray:
-    out = list(warm)
-    co = _FIXED_COEFFS[order]
-    for e in resid:
-        pred = sum(c * out[-k] for k, c in enumerate(co, 1))
-        out.append(int(e) + pred)
-    return np.asarray(out, np.int64)
+    """Fixed-order reconstruction, vectorized: the residual is the order-th
+    difference of the signal, so reconstruction is `order` repeated
+    cumulative sums, each seeded with the last (j-1)-th difference of the
+    warm-up samples — no per-sample Python."""
+    wa = np.asarray(warm, np.int64)
+    if order == 0:
+        return resid.astype(np.int64)
+    cur = resid.astype(np.int64)
+    for j in range(order, 0, -1):
+        init = np.diff(wa, n=j - 1)[-1]
+        cur = np.cumsum(cur) + init
+    return np.concatenate([wa, cur])
 
 
 def _predict_lpc(warm: list[int], resid: np.ndarray, coefs: list[int], shift: int) -> np.ndarray:
-    out = list(warm)
+    """LPC reconstruction — a true integer IIR (each sample feeds the next
+    through a per-step >> truncation), so it cannot be cumsum-vectorized
+    like the fixed orders. The per-sample loop is instead compiled per
+    subframe with the coefficients baked in as literals (no per-step
+    coefficient indexing or generator dispatch) — measured ~4x over the
+    naive sum() loop at order 8."""
     order = len(coefs)
-    for e in resid:
-        acc = sum(coefs[k] * out[-1 - k] for k in range(order))
-        out.append(int(e) + (acc >> shift))
+    terms = " + ".join(f"({int(coefs[k])}) * o[-{k + 1}]" for k in range(order))
+    src = (
+        "def _f(o, r):\n"
+        " ap = o.append\n"
+        " for e in r:\n"
+        f"  ap(e + (({terms}) >> {int(shift)}))\n"
+    )
+    ns: dict = {}
+    exec(compile(src, "<lpc-predictor>", "exec"), ns)  # noqa: S102 — codegen from ints only
+    out = [int(v) for v in warm]
+    ns["_f"](out, resid.tolist())
     return np.asarray(out, np.int64)
 
 

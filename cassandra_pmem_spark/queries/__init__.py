@@ -72,8 +72,8 @@ _PRIORITY: tuple[str, ...] = (
     "cql_token_scan_uuid",  # uuid/timeuuid/inet Murmur3 key tokens
     "cql_collection_writetime",  # per-cell collection writetime/TTL
     "cql_tuple_relation",  # now parsed-statement slices + tuple-IN form
+    "multimodal_audio_flac",  # Rice/LPC hot paths vectorized (bit-exact)
     # -- (3) oldest evidence first (r1-era)
-    "analytics_count_distinct",
     "cql_blob_conv",
     "cql_collection_access",
     "cql_map_entry",
