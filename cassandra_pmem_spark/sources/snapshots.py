@@ -140,6 +140,7 @@ class SnapshotTable:
         delete_files: list[str] | None = None,
         key_cols: list[str] | None = None,
         stats: dict | None = None,
+        stream_batch: int | None = None,
     ) -> int:
         version = 1 if parent is None else parent + 1
         all_stats = dict(stats or {})
@@ -148,6 +149,15 @@ class SnapshotTable:
                 all_stats[f] = self._file_stats(f)
         all_stats = {f: all_stats[f] for f in sorted(all_stats)
                      if f in files or f in (delete_files or [])}
+        # The applied-stream-batch ledger rides in EVERY manifest, carried
+        # forward from the parent — so the exactly-once redelivery check
+        # (streaming/snapshot_sink.py) survives expire_versions() pruning
+        # the manifests that originally stamped the ids.
+        ledger: list[int] = []
+        if parent is not None:
+            ledger = list(self.manifest(parent).get("stream_batches", []))
+        if stream_batch is not None and stream_batch not in ledger:
+            ledger.append(stream_batch)
         os.makedirs(self.snap_dir, exist_ok=True)
         tmp = os.path.join(
             self.snap_dir, f".tmp-{uuid.uuid4().hex}.json"
@@ -162,18 +172,23 @@ class SnapshotTable:
                     "delete_files": sorted(delete_files or []),
                     "key_cols": key_cols or [],
                     "stats": all_stats,
+                    "stream_batches": ledger,
                 },
                 fh,
                 indent=1,
                 sort_keys=True,
             )
         final = os.path.join(self.snap_dir, f"v{version}.json")
-        if os.path.exists(final):
-            os.remove(tmp)
+        try:
+            # atomic publish: link() fails with EEXIST if another writer
+            # already claimed this version — no check-then-rename window
+            os.link(tmp, final)
+        except FileExistsError:
             raise RuntimeError(
                 f"concurrent commit: version {version} already exists"
-            )
-        os.rename(tmp, final)
+            ) from None
+        finally:
+            os.remove(tmp)
         return version
 
     def create(

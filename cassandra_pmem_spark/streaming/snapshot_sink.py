@@ -11,11 +11,13 @@ batch id durably IN THE SAME COMMIT as the data, and a redelivered id
 becomes a no-op.
 
 The snapshot layer gives that for free: a manifest commit is atomic
-(staged rename), so stamping the batch id into the manifest `op`
-field makes "data + applied-marker" one atomic unit. On redelivery
-the sink scans the manifest chain for the id and skips — no side
-channel, no two-phase dance, and the audit trail (which batch
-produced which version) is the version history itself.
+(link-fenced publish), so stamping the batch id into the manifest
+makes "data + applied-marker" one atomic unit. Every manifest carries
+the cumulative `stream_batches` ledger forward from its parent, so
+the redelivery check reads ONLY the current manifest — it keeps
+working after `expire_versions()` prunes the historical manifests
+that first recorded the ids. The audit trail (which batch produced
+which version) is the version history's `op` fields while they live.
 """
 
 from __future__ import annotations
@@ -26,9 +28,14 @@ from cassandra_pmem_spark.sources.snapshots import SnapshotTable
 
 
 def applied_batch_ids(table: SnapshotTable) -> set[int]:
-    """Batch ids already committed, read from the manifest chain."""
+    """Batch ids already committed: the current manifest's cumulative
+    ledger (vacuum-proof), plus an op-field scan of whatever manifests
+    still exist (covers tables written before the ledger field)."""
     out: set[int] = set()
-    for v in table.versions():
+    vs = table.versions()
+    if vs:
+        out.update(table.manifest(vs[-1]).get("stream_batches", []))
+    for v in vs:
         op = table.manifest(v).get("op", "")
         if op.startswith("stream-batch:"):
             out.add(int(op.split(":", 1)[1]))
@@ -54,6 +61,7 @@ def exactly_once_appender(table: SnapshotTable):
             delete_files=m.get("delete_files"),
             key_cols=m.get("key_cols"),
             stats=m.get("stats"),
+            stream_batch=batch_id,
         )
 
     return apply

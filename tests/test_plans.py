@@ -557,9 +557,13 @@ class TestSnapshotTable:
         # cleanly (no torn manifest) rather than overwrite
         files = t2.manifest(1)["files"]
         t1.append(df)
+        winner = t2.manifest(2)
         with _pytest.raises(RuntimeError, match="concurrent commit"):
             t2._commit(files, "append", parent=1)
         assert t2.versions() == [1, 2]
+        # the losing commit must not have touched the winner's manifest
+        # (the link() publish is atomic — no check-then-rename window)
+        assert t2.manifest(2) == winner
         # no .tmp manifest residue
         assert not glob.glob(path + "/_snapshots/.tmp-*")
 

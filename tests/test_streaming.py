@@ -265,6 +265,38 @@ class TestExactlyOnceSnapshotSink:
         assert t.read(spark).count() == n == 4
         assert applied_batch_ids(t) == {0, 1}
 
+    def test_ledger_survives_vacuum(self, spark, tmp_path):
+        """expire_versions() must not erase the exactly-once guarantee:
+        the applied-batch ledger is carried forward into every manifest,
+        so a batch redelivered after its original manifest was expired
+        is still recognized and skipped."""
+        import pandas as pd
+
+        from cassandra_pmem_spark.sources.snapshots import SnapshotTable
+        from cassandra_pmem_spark.streaming.snapshot_sink import (
+            applied_batch_ids,
+            exactly_once_appender,
+        )
+
+        t = SnapshotTable(str(tmp_path / "sink3"))
+        t.create(spark.createDataFrame(pd.DataFrame({"k": [0], "v": [0]})))
+        apply = exactly_once_appender(t)
+        batches = [
+            spark.createDataFrame(pd.DataFrame({"k": [i], "v": [i]}))
+            for i in (1, 2, 3)
+        ]
+        for i, b in enumerate(batches):
+            apply(b, i)
+        n = t.read(spark).count()
+        # vacuum past the manifests that stamped batches 0 and 1
+        gone = t.expire_versions(keep_last=1)
+        assert gone["expired_versions"]
+        assert applied_batch_ids(t) == {0, 1, 2}
+        # crash replay redelivers an already-vacuumed batch id
+        apply(batches[0], 0)
+        assert t.read(spark).count() == n
+        assert t.current_version() == 4  # nothing new committed
+
     def test_full_stream_rerun_is_idempotent(self, spark, stream_dir, tmp_path):
         """A fresh checkpoint forces Structured Streaming to redeliver
         the whole source as batch 0 — the sink must recognize the id
