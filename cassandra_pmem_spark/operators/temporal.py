@@ -113,7 +113,12 @@ def range_join(
     interval explodes to the buckets it covers (narrow), points hash to
     one bucket, and the exact predicate filters after the equi-join."""
     b = F.lit(bucket_seconds)
-    ivl = intervals.select(
+    # degenerate intervals (end <= start) are empty under half-open
+    # semantics and can never match — and left unguarded they would
+    # explode to a DESCENDING bucket sequence (Spark's sequence(lo, hi)
+    # counts down when hi < lo), inflating candidate volume with rows the
+    # exact predicate then discards. Drop them before the explode.
+    ivl = intervals.filter(F.col(end_col) > F.col(start_col)).select(
         "*",
         F.explode(
             F.sequence(
@@ -227,14 +232,18 @@ def interval_overlap_join(
     """(left, right) pairs whose half-open intervals overlap —
     [s1, e1) ∩ [s2, e2) ≠ ∅ ⟺ s1 < e2 AND s2 < e1 — via the same
     bucket decomposition as `range_join`, applied to BOTH sides: each
-    interval explodes to its covered buckets, the equi-join on
-    (key, bucket) proposes candidates, the exact predicate decides,
-    and a dropDuplicates removes multi-bucket double-hits. Candidate
-    volume tracks true overlap density, never the cross product."""
+    interval explodes to its covered buckets and the equi-join on
+    (key, bucket) proposes candidates. An overlapping pair co-occurs in
+    EVERY bucket both intervals cover, so the pair is kept only in its
+    first common bucket — max of the two start buckets — which dedups
+    multi-bucket double-hits exactly, with no dropDuplicates shuffle and
+    without collapsing genuinely duplicate input rows. Candidate volume
+    tracks true overlap density, never the cross product."""
     b = F.lit(bucket_seconds)
 
     def bucketed(df, start, end):
-        return df.select(
+        # end <= start: empty under half-open semantics; see range_join
+        return df.filter(F.col(end) > F.col(start)).select(
             "*",
             F.explode(
                 F.sequence(
@@ -248,9 +257,13 @@ def interval_overlap_join(
 
     l2 = bucketed(left, left_start, left_end)
     r2 = bucketed(right, right_start, right_end)
+    first_common = F.greatest(
+        (F.unix_timestamp(F.col(left_start)) / b).cast("long"),
+        (F.unix_timestamp(F.col(right_start)) / b).cast("long"),
+    )
     joined = l2.join(r2, on=[key, "__bucket"]).filter(
         (F.col(left_start) < F.col(right_end))
         & (F.col(right_start) < F.col(left_end))
+        & (F.col("__bucket") == first_common)
     )
-    out_cols = [c for c in joined.columns if c != "__bucket"]
-    return joined.select(*out_cols).dropDuplicates()
+    return joined.drop("__bucket")

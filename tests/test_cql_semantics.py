@@ -687,6 +687,43 @@ class TestOverlapJoin:
         # of overlap does; multi-bucket candidates dedupe to one pair
         assert got == {(1, 11), (2, 12)}
 
+    def test_duplicate_rows_and_degenerate_intervals(self, spark):
+        import datetime as dt
+
+        import pandas as pd
+
+        from cassandra_pmem_spark.operators.temporal import (
+            interval_overlap_join,
+            range_join,
+        )
+
+        t = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)  # noqa: E731
+        # two IDENTICAL left rows spanning many buckets: the first-common-
+        # bucket dedup must keep both (a dropDuplicates would collapse
+        # them), and each must pair with the right row exactly once
+        left = spark.createDataFrame(
+            pd.DataFrame(
+                {"k": [1, 1, 1], "ls": [t(0), t(0), t(5000)],
+                 "le": [t(3000), t(3000), t(4000)]}  # third: end < start
+            )
+        )
+        right = spark.createDataFrame(
+            pd.DataFrame({"k": [1], "rs": [t(100)], "re": [t(2900)]})
+        )
+        got = interval_overlap_join(
+            left, right, "k", "ls", "le", "rs", "re"
+        ).collect()
+        assert len(got) == 2  # both duplicates survive, once each
+        # the degenerate interval [5000, 4000) matched nothing and did
+        # not explode (sequence would count DOWN for end < start)
+        pts = spark.createDataFrame(
+            pd.DataFrame({"k": [1], "ts": [t(4500)]})
+        )
+        ivl = spark.createDataFrame(
+            pd.DataFrame({"k": [1], "s": [t(5000)], "e": [t(4000)]})
+        )
+        assert range_join(pts, ivl, "k", "ts", "s", "e").count() == 0
+
 
 class TestCollectionCellLiveness:
     """Per-cell liveness on multi-cell collections (db/rows/Cell.java,

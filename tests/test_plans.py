@@ -420,6 +420,50 @@ class TestCompaction:
         # no staging/old residue after publish
         assert not glob.glob(str(tmp_path / "frag.compact-*"))
 
+    def test_crash_between_renames_rolls_forward(self, spark, tmp_path):
+        """A crash after the audit marker is stamped but mid-swap must
+        recover to the COMPACTED data, not a missing table."""
+        import os
+
+        import pandas as pd
+
+        from cassandra_pmem_spark.sources.compaction import (
+            _AUDIT_MARKER,
+            recover_compaction,
+        )
+
+        path = str(tmp_path / "fwd")
+        df = spark.createDataFrame(pd.DataFrame({"k": list(range(100))}))
+        df.repartition(4).write.parquet(path)
+        # simulate: staging written + audited, old moved aside, then crash
+        staging, old = path + ".compact-staging", path + ".compact-old"
+        spark.read.parquet(path).repartition(1).write.parquet(staging)
+        with open(os.path.join(staging, _AUDIT_MARKER), "w") as fh:
+            fh.write("100\n")
+        os.rename(path, old)
+        assert recover_compaction(path) == "rolled-forward"
+        assert spark.read.parquet(path).count() == 100
+        assert not os.path.isdir(old) and not os.path.isdir(staging)
+
+    def test_crash_before_audit_rolls_back(self, spark, tmp_path):
+        """Without the audit marker the original directory is restored
+        and the unaudited staging discarded."""
+        import os
+
+        import pandas as pd
+
+        from cassandra_pmem_spark.sources.compaction import recover_compaction
+
+        path = str(tmp_path / "bwd")
+        df = spark.createDataFrame(pd.DataFrame({"k": list(range(50))}))
+        df.repartition(2).write.parquet(path)
+        staging, old = path + ".compact-staging", path + ".compact-old"
+        spark.read.parquet(path).limit(10).write.parquet(staging)  # torn
+        os.rename(path, old)
+        assert recover_compaction(path) == "rolled-back"
+        assert spark.read.parquet(path).count() == 50
+        assert not os.path.isdir(old) and not os.path.isdir(staging)
+
     def test_compaction_clusters_footers_on_sort_cols(self, spark, tmp_path):
         """With a range sort, rewritten files must carry non-overlapping
         min/max key ranges — compaction doubles as re-clustering."""
