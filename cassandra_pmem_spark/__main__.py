@@ -3,6 +3,8 @@
     python -m cassandra_pmem_spark -e "SELECT ... ; INSERT ... ;"
     python -m cassandra_pmem_spark -f script.cql
     python -m cassandra_pmem_spark            # REPL on stdin
+    python -m cassandra_pmem_spark -f s.cql --record results.json
+    python -m cassandra_pmem_spark -f s.cql --compare results.json
 
 Statement routing mirrors the reference's QueryProcessor front door:
 DDL/DML/USE/BATCH/TRUNCATE go to the write model (`cql/ddl.CqlDatabase`
@@ -12,11 +14,21 @@ parquet read facade (`cql/parser.execute_cql`) over the `--sf-dir`
 tables (`region nation customer supplier part orders lineitem events
 documents embeddings`) — so the same prompt queries both the mounted
 analytics lake and tables you just CREATEd.
+
+`--record` / `--compare` are the fqltool analog (the reference's query
+replay + result-diff harness, tools/fqltool/.../commands/Replay.java and
+Compare.java:44): `--record` replays the script and writes each
+statement's canonical result (sorted columns, sorted stringified rows —
+the same shape the oracle gate hashes) to a result store; `--compare`
+replays the same script later and diffs per statement, printing one
+OK/MISMATCH verdict line each and exiting 3 on any mismatch — a
+regression-corpus runner for mixed DDL/DML/SELECT scripts.
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import re
 import sys
@@ -48,30 +60,100 @@ def split_statements(text: str) -> list[str]:
     return [s for s in out if s]
 
 
-def run_statement(db, spark, stmt: str, sf_dir: str, max_rows: int):
-    """Route one statement; returns printable output or None."""
+def _route(db, spark, stmt: str, sf_dir: str):
+    """Route one statement; returns a DataFrame, True/False (conditional
+    applied), or None (DDL/DML acknowledgement)."""
     from cassandra_pmem_spark.cql.parser import execute_cql
 
     head = stmt.split(None, 1)[0].lower()
     if head == "select":
         m = _FROM_RE.search(stmt)
         target = m.group(1) if m else ""
-        in_db = False
         try:
             db._table_key(tuple(target.split(".", 1)) if "." in target else target)
             in_db = True
         except Exception:
             in_db = False
-        df = db.execute(stmt) if in_db else execute_cql(spark, stmt, sf_dir)
-        pdf = df.limit(max_rows).toPandas()
-        return pdf.to_string(index=False) + f"\n({len(pdf)} rows shown)"
-    result = db.execute(stmt)
+        return db.execute(stmt) if in_db else execute_cql(spark, stmt, sf_dir)
+    return db.execute(stmt)
+
+
+def run_statement(db, spark, stmt: str, sf_dir: str, max_rows: int):
+    """Route one statement; returns printable output or None."""
+    result = _route(db, spark, stmt, sf_dir)
     if result is None or result is True:
         return "OK"
     if result is False:
         return "[applied: false]"
     pdf = result.limit(max_rows).toPandas()
-    return pdf.to_string(index=False)
+    out = pdf.to_string(index=False)
+    if stmt.split(None, 1)[0].lower() == "select":
+        out += f"\n({len(pdf)} rows shown)"
+    return out
+
+
+def canonical_result(db, spark, stmt: str, sf_dir: str) -> dict:
+    """One statement's result in the oracle gate's canonical shape:
+    sorted column names + sorted stringified rows (floats via repr), or
+    an {"ack": ...} marker for non-result statements. Errors canonicalize
+    too — a replay that starts failing where the recording succeeded is a
+    reportable diff, not a crash."""
+    try:
+        result = _route(db, spark, stmt, sf_dir)
+    except Exception as ex:
+        return {"error": type(ex).__name__}
+    if result is None or isinstance(result, bool):
+        return {"ack": "OK" if result in (None, True) else "[applied: false]"}
+    pdf = result.toPandas()
+    cols = sorted(pdf.columns)
+    rows = sorted(
+        tuple(repr(v) if isinstance(v, float) else str(v) for v in row)
+        for row in pdf[cols].itertuples(index=False, name=None)
+    )
+    return {"columns": cols, "rows": [list(r) for r in rows]}
+
+
+def replay_and_compare(db, spark, statements, sf_dir, baseline: list) -> int:
+    """fqltool-compare analog: re-execute each statement, diff its
+    canonical result against the recorded baseline, print one verdict
+    line per statement. Returns the number of mismatches."""
+    mismatches = 0
+    if len(baseline) != len(statements):
+        print(
+            f"MISMATCH: script has {len(statements)} statements, "
+            f"baseline recorded {len(baseline)}"
+        )
+        mismatches += 1
+    for i, stmt in enumerate(statements):
+        label = f"#{i + 1} {stmt[:60]}{'…' if len(stmt) > 60 else ''}"
+        if i >= len(baseline):
+            print(f"MISMATCH {label}: not in baseline")
+            mismatches += 1
+            continue
+        want = baseline[i]
+        if want.get("statement") != stmt:
+            print(f"MISMATCH {label}: statement text differs from recording")
+            mismatches += 1
+            continue
+        got = canonical_result(db, spark, stmt, sf_dir)
+        exp = want["result"]
+        if got == exp:
+            print(f"OK       {label}")
+            continue
+        mismatches += 1
+        detail = "result differs"
+        if got.get("columns") != exp.get("columns"):
+            detail = f"columns {exp.get('columns')} -> {got.get('columns')}"
+        elif "rows" in got and "rows" in exp and len(got["rows"]) != len(exp["rows"]):
+            detail = f"row count {len(exp['rows'])} -> {len(got['rows'])}"
+        elif "rows" in got and "rows" in exp:
+            diff = [
+                (a, b) for a, b in zip(exp["rows"], got["rows"]) if a != b
+            ]
+            if diff:
+                detail = f"first differing row: {diff[0][0]} -> {diff[0][1]}"
+        print(f"MISMATCH {label}: {detail}")
+    return mismatches
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -84,6 +166,19 @@ def main(argv: list[str] | None = None) -> int:
         help="parquet table directory for the read facade",
     )
     ap.add_argument("--max-rows", type=int, default=50)
+    ap.add_argument(
+        "--record",
+        metavar="FILE",
+        help="replay the script and write each statement's canonical "
+        "result to FILE (fqltool-record analog)",
+    )
+    ap.add_argument(
+        "--compare",
+        metavar="FILE",
+        help="replay the script and diff per-statement results against a "
+        "previous --record FILE (fqltool-compare analog); exit 3 on any "
+        "mismatch",
+    )
     args = ap.parse_args(argv)
 
     from cassandra_pmem_spark.cql.ddl import CqlDatabase
@@ -101,8 +196,30 @@ def main(argv: list[str] | None = None) -> int:
     else:
         text = sys.stdin.read()
 
+    statements = split_statements(text)
+
+    if args.compare:
+        with open(args.compare) as fh:
+            baseline = json.load(fh)
+        n = replay_and_compare(db, spark, statements, args.sf_dir, baseline)
+        print(f"{len(statements) - n}/{len(statements)} statements match")
+        return 3 if n else 0
+
+    if args.record:
+        store = [
+            {
+                "statement": stmt,
+                "result": canonical_result(db, spark, stmt, args.sf_dir),
+            }
+            for stmt in statements
+        ]
+        with open(args.record, "w") as fh:
+            json.dump(store, fh, indent=1)
+        print(f"recorded {len(store)} statements -> {args.record}")
+        return 0
+
     rc = 0
-    for stmt in split_statements(text):
+    for stmt in statements:
         try:
             out = run_statement(db, spark, stmt, args.sf_dir, args.max_rows)
             if out:

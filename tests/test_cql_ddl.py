@@ -541,3 +541,50 @@ class TestCli:
             SF_SMALL, 50,
         )
         assert "rows shown" in out2
+
+    SCRIPT = (
+        "CREATE KEYSPACE rep_ks WITH replication = "
+        "{'class': 'SimpleStrategy', 'replication_factor': 1}; "
+        "USE rep_ks; "
+        "CREATE TABLE r (k int PRIMARY KEY, v int); "
+        "INSERT INTO r (k, v) VALUES (1, 10); "
+        "INSERT INTO r (k, v) VALUES (2, 20); "
+        "SELECT k, v FROM r; "
+        "SELECT n_name FROM nation WHERE n_nationkey = 3"
+    )
+
+    def test_record_then_compare_green(self, spark, tmp_path, capsys):
+        """fqltool record/replay/compare analog: a mixed DDL/DML/SELECT
+        script recorded then replayed against its own baseline matches
+        statement-for-statement."""
+        from cassandra_pmem_spark.__main__ import main
+        from tests.conftest import SF_SMALL
+
+        store = str(tmp_path / "base.json")
+        assert main(["-e", self.SCRIPT, "--sf-dir", SF_SMALL, "--record", store]) == 0
+        assert main(["-e", self.SCRIPT, "--sf-dir", SF_SMALL, "--compare", store]) == 0
+        out = capsys.readouterr().out
+        assert "7/7 statements match" in out
+        assert "MISMATCH" not in out
+
+    def test_compare_detects_injected_mismatch(self, spark, tmp_path, capsys):
+        """An injected result drift in the baseline must be caught and
+        reported per statement, with a nonzero exit."""
+        import json
+
+        from cassandra_pmem_spark.__main__ import main
+        from tests.conftest import SF_SMALL
+
+        store = str(tmp_path / "base.json")
+        assert main(["-e", self.SCRIPT, "--sf-dir", SF_SMALL, "--record", store]) == 0
+        with open(store) as fh:
+            base = json.load(fh)
+        # corrupt the recorded SELECT k, v result: flip one value
+        sel = next(e for e in base if e["statement"].startswith("SELECT k"))
+        sel["result"]["rows"][0][1] = "999"
+        with open(store, "w") as fh:
+            json.dump(base, fh)
+        assert main(["-e", self.SCRIPT, "--sf-dir", SF_SMALL, "--compare", store]) == 3
+        out = capsys.readouterr().out
+        assert "MISMATCH #6" in out and "first differing row" in out
+        assert "6/7 statements match" in out
