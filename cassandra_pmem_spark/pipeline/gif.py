@@ -67,105 +67,163 @@ def grayscale_palette() -> np.ndarray:
 # -- LZW (GIF variant: LSB-first variable-width codes, CLEAR/EOI) ------------
 
 
+def _pack_codes_lsb(codes: list[int], widths: list[int]) -> bytes:
+    """(code, width) list → LSB-first byte stream, packed in one
+    vectorized pass (index-matrix scatter + np.packbits) instead of a
+    per-bit accumulator loop.
+
+    No masking needed: a code always fits its width, so lanes past the
+    width carry 0 and scatter into positions owned by LATER codes — whose
+    own writes land later in flat order and win. Every real bit position
+    is written exactly once by its owning code."""
+    cs = np.asarray(codes, np.int64)
+    ws = np.asarray(widths, np.int64)
+    offs = np.concatenate([[0], np.cumsum(ws)])
+    total = int(offs[-1])
+    lanes = np.arange(12)
+    bits = np.zeros(total + 12, np.uint8)  # +12: last code's lane spill
+    idx = offs[:-1, None] + lanes
+    vals = ((cs[:, None] >> lanes) & 1).astype(np.uint8)
+    bits[idx.reshape(-1)] = vals.reshape(-1)
+    return np.packbits(bits[:total], bitorder="little").tobytes()
+
+
 def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
-    """Index bytes → GIF LZW code stream (without sub-block framing)."""
+    """Index bytes → GIF LZW code stream (without sub-block framing).
+
+    The dictionary walk is keyed on (prefix code, next byte) int pairs —
+    no byte-string concatenation or O(len) hashing per symbol — and bit
+    packing happens once at the end, vectorized (_pack_codes_lsb)."""
     clear = 1 << min_code_size
     eoi = clear + 1
     data = indices.tobytes()
 
-    out = bytearray()
-    acc = 0  # bit accumulator, LSB-first
-    nbits = 0
-
-    def emit(code: int, width: int) -> None:
-        nonlocal acc, nbits
-        acc |= code << nbits
-        nbits += width
-        while nbits >= 8:
-            out.append(acc & 0xFF)
-            acc >>= 8
-            nbits -= 8
-
-    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    codes: list[int] = [clear]
+    widths: list[int] = [min_code_size + 1]
+    table: dict[tuple[int, int], int] = {}
     next_code = eoi + 1
     width = min_code_size + 1
-    emit(clear, width)
-    w = b""
+    w = -1  # current prefix CODE (single bytes are their own codes)
     for ch in data:
-        wk = w + bytes([ch])
-        if wk in table:
-            w = wk
+        if w < 0:
+            w = ch
             continue
-        emit(table[w], width)
-        table[wk] = next_code
+        c = table.get((w, ch))
+        if c is not None:
+            w = c
+            continue
+        codes.append(w)
+        widths.append(width)
+        table[(w, ch)] = next_code
         next_code += 1
         if next_code == (1 << width) + 1 and width < 12:
             width += 1
         if next_code >= 4096:
-            emit(clear, width)
-            table = {bytes([i]): i for i in range(clear)}
+            codes.append(clear)
+            widths.append(width)
+            table.clear()
             next_code = eoi + 1
             width = min_code_size + 1
-        w = bytes([ch])
-    if w:
-        emit(table[w], width)
-    emit(eoi, width)
-    if nbits:
-        out.append(acc & 0xFF)
-    return bytes(out)
+        w = ch
+    if w >= 0:
+        codes.append(w)
+        widths.append(width)
+    codes.append(eoi)
+    widths.append(width)
+    return _pack_codes_lsb(codes, widths)
+
+
+@functools.lru_cache(maxsize=16)
+def _lzw_width_schedule(min_code_size: int) -> np.ndarray:
+    """Code widths after a CLEAR are deterministic in the code count: the
+    table grows by exactly one entry per code (from the second code on,
+    until full at 4096), so width bumps happen at fixed positions. This
+    schedule is what lets the decoder extract whole batches of codes from
+    the bit stream vectorized, without consulting the table."""
+    clear = 1 << min_code_size
+    ws = np.empty(4200, np.int64)
+    width = min_code_size + 1
+    size = clear + 2
+    for k in range(4200):
+        ws[k] = width
+        if k >= 1:  # reading code k appends one entry (scalar semantics)
+            if size < 4096:
+                size += 1
+            if size == (1 << width) and width < 12:
+                width += 1
+    return ws
 
 
 def _lzw_decode(stream: bytes, min_code_size: int, expected: int) -> np.ndarray:
-    """GIF LZW code stream → index bytes (length `expected`)."""
+    """GIF LZW code stream → index bytes (length `expected`).
+
+    Bit extraction is vectorized: between CLEAR codes the width schedule
+    is deterministic (_lzw_width_schedule), so batches of codes come out
+    of the unpacked bit array via one gather + matmul; only the table
+    walk itself — the irreducibly sequential LZW part — runs per code."""
     clear = 1 << min_code_size
     eoi = clear + 1
+    bits = np.unpackbits(np.frombuffer(stream, np.uint8), bitorder="little")
+    total_bits = len(bits)
+    pows = 1 << np.arange(12, dtype=np.int64)
+    lanes = np.arange(12)
 
     out = bytearray()
     table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
-    width = min_code_size + 1
     prev: bytes | None = None
+    pos = 0  # bit position
+    k = 0  # codes consumed since the last CLEAR
+    sched = _lzw_width_schedule(min_code_size)
 
-    acc = 0
-    nbits = 0
-    pos = 0
-    n = len(stream)
     while len(out) < expected:
-        while nbits < width:
-            if pos >= n:
-                raise ValueError("truncated LZW stream")
-            acc |= stream[pos] << nbits
-            pos += 1
-            nbits += 8
-        code = acc & ((1 << width) - 1)
-        acc >>= width
-        nbits -= width
+        # every non-control code emits ≥1 byte, so remaining+2 codes always
+        # cover the rest; the 4096 cap bounds the re-extraction discarded
+        # when a CLEAR lands mid-batch (a table cycle is ≤ ~4096 codes, so
+        # batches stay O(cycle) instead of O(remaining) each)
+        nmax = min(expected - len(out) + 2, 4096)
+        ws = sched[k : k + nmax]
+        if len(ws) < nmax:
+            # deferred-clear territory: the table filled long ago (the
+            # schedule saturates at width 12 well before its end), and a
+            # stream that never CLEARs stays at 12 bits forever
+            ws = np.concatenate([ws, np.full(nmax - len(ws), 12, np.int64)])
+        offs = pos + np.concatenate([[0], np.cumsum(ws[:-1])])
+        n_fit = int((offs + ws <= total_bits).sum())  # fits are a prefix
+        if n_fit == 0:
+            raise ValueError("truncated LZW stream")
+        ws, offs = ws[:n_fit], offs[:n_fit]
+        idx = np.minimum(offs[:, None] + lanes, total_bits - 1)
+        codes = ((bits[idx] * (lanes < ws[:, None])) @ pows).tolist()
 
-        if code == clear:
-            table = [bytes([i]) for i in range(clear)] + [b"", b""]
-            width = min_code_size + 1
-            prev = None
-            continue
-        if code == eoi:
-            break
-        # deferred-clear streams (real-world GIFs): once the table is full
-        # the encoder keeps emitting 12-bit codes WITHOUT adding entries —
-        # the decoder must stop adding too or the KwKwK check drifts
-        full = len(table) >= 4096
-        if prev is None:
-            entry = table[code]
-        elif code < len(table):
-            entry = table[code]
-            if not full:
-                table.append(prev + entry[:1])
-        elif code == len(table) and not full:  # the KwKwK case
-            entry = prev + prev[:1]
-            table.append(entry)
-        else:
-            raise ValueError(f"LZW code {code} out of range")
-        out.extend(entry)
-        if prev is not None and len(table) == (1 << width) and width < 12:
-            width += 1
-        prev = entry
+        for i, code in enumerate(codes):
+            pos += int(ws[i])
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                prev = None
+                k = 0
+                break  # widths beyond a clear were mis-scheduled: re-batch
+            k += 1
+            if code == eoi:
+                return np.frombuffer(bytes(out[:expected]), dtype=np.uint8)
+            # deferred-clear streams (real-world GIFs): once the table is
+            # full the encoder keeps emitting 12-bit codes WITHOUT adding
+            # entries — the decoder must stop adding too or KwKwK drifts
+            full = len(table) >= 4096
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if not full:
+                    table.append(prev + entry[:1])
+            elif code == len(table) and not full:  # the KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError(f"LZW code {code} out of range")
+            out.extend(entry)
+            prev = entry
+            if len(out) >= expected:
+                break
     return np.frombuffer(bytes(out[:expected]), dtype=np.uint8)
 
 
