@@ -31,6 +31,8 @@ from __future__ import annotations
 import struct
 import zlib
 
+import numpy as np
+
 MAGIC = b"CPMC"
 ALGO_LZ4, ALGO_SNAPPY, ALGO_DEFLATE, ALGO_BZ2, ALGO_LZMA = 1, 2, 3, 4, 5
 ALGO_NAMES = {ALGO_LZ4: "lz4", ALGO_SNAPPY: "snappy", ALGO_DEFLATE: "deflate",
@@ -53,6 +55,34 @@ def _lz4_ext(out: bytearray, v: int) -> None:
     out.append(v)
 
 
+def _u32_keys(src: bytes) -> list[int]:
+    """The 4-byte little-endian word at every position, precomputed
+    vectorized — exact int dict keys for the matchers (a u32 IS the four
+    bytes: no hashing, no collisions, no per-position bytes slicing)."""
+    n = len(src)
+    if n < 4:
+        return []
+    a = np.frombuffer(src, np.uint8).astype(np.uint32)
+    return (
+        a[: n - 3] | (a[1 : n - 2] << 8) | (a[2 : n - 1] << 16) | (a[3:] << 24)
+    ).tolist()
+
+
+def _extend_match(src: bytes, cand: int, pos: int, limit: int) -> int:
+    """Longest common extension of src[cand+4:] vs src[pos+4:], bounded so
+    pos+result stays < limit. 8-byte slice equality (C memcmp) does the
+    bulk; the final block finishes per byte — identical greedy semantics
+    to a per-byte loop, ~8x fewer interpreter steps."""
+    mlen = 4
+    while pos + mlen + 8 <= limit and (
+        src[cand + mlen : cand + mlen + 8] == src[pos + mlen : pos + mlen + 8]
+    ):
+        mlen += 8
+    while pos + mlen < limit and src[cand + mlen] == src[pos + mlen]:
+        mlen += 1
+    return mlen
+
+
 def lz4_block_compress(src: bytes) -> bytes:
     """LZ4 block format, greedy single-probe hash matcher.
 
@@ -64,19 +94,18 @@ def lz4_block_compress(src: bytes) -> bytes:
     out = bytearray()
     if n == 0:
         return b"\x00"  # one token: 0 literals, no match — empty block
-    table: dict[bytes, int] = {}
+    keys = _u32_keys(src)
+    table: dict[int, int] = {}
     anchor = 0
     pos = 0
     mflimit = n - 12
     copy_limit = n - 5
     while pos < mflimit:
-        key = src[pos : pos + 4]
+        key = keys[pos]
         cand = table.get(key)
         table[key] = pos
         if cand is not None and pos - cand <= 65535:
-            mlen = 4
-            while pos + mlen < copy_limit and src[cand + mlen] == src[pos + mlen]:
-                mlen += 1
+            mlen = _extend_match(src, cand, pos, copy_limit)
             lits = src[anchor:pos]
             ll, ml = len(lits), mlen - 4
             out.append((min(ll, 15) << 4) | min(ml, 15))
@@ -149,9 +178,9 @@ def _lz4_block_decompress(src: bytes, out_size: int) -> bytes:
         start = len(out) - offset
         if offset >= ml:
             out += out[start : start + ml]
-        else:  # overlapping match: byte-at-a-time semantics
-            for k in range(ml):
-                out.append(out[start + k])
+        else:  # overlapping match: byte-at-a-time == tiling the pattern
+            pattern = bytes(out[start:])
+            out += (pattern * (ml // offset + 1))[:ml]
     if len(out) != out_size:
         raise CorruptChunk(f"decoded {len(out)} bytes, expected {out_size}")
     return bytes(out)
@@ -188,17 +217,16 @@ def snappy_compress(src: bytes) -> bytes:
             out.extend((m - 1).to_bytes(nbytes, "little"))
         out.extend(lits)
 
-    table: dict[bytes, int] = {}
+    keys = _u32_keys(src)
+    table: dict[int, int] = {}
     anchor = 0
     pos = 0
     while pos + 4 <= n:
-        key = src[pos : pos + 4]
+        key = keys[pos]
         cand = table.get(key)
         table[key] = pos
         if cand is not None and pos - cand <= 65535:
-            mlen = 4
-            while pos + mlen < n and src[cand + mlen] == src[pos + mlen]:
-                mlen += 1
+            mlen = _extend_match(src, cand, pos, n)
             emit_literal(src[anchor:pos])
             off = pos - cand
             left = mlen
@@ -271,9 +299,9 @@ def _snappy_decompress(src: bytes) -> bytes:
         start = len(out) - off
         if off >= ml:
             out += out[start : start + ml]
-        else:
-            for k in range(ml):
-                out.append(out[start + k])
+        else:  # overlapping: byte-at-a-time == tiling the pattern
+            pattern = bytes(out[start:])
+            out += (pattern * (ml // off + 1))[:ml]
     if len(out) != out_size:
         raise CorruptChunk(f"decoded {len(out)} bytes, expected {out_size}")
     return bytes(out)
