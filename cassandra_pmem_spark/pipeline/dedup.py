@@ -466,6 +466,94 @@ def connected_components(
     return labels.select(F.col("id").alias(id_col), "comp")
 
 
+def connected_components_star(
+    edges: DataFrame,
+    vertices: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", MRC'14 — the published algorithm, reimplemented on
+    DataFrame joins/aggregations):
+
+    - large-star: per node u, hook every LARGER neighbor to
+      m = min(N(u) ∪ {u});
+    - small-star: orient edges toward the larger endpoint, then hook u
+      and its smaller neighbors to m.
+
+    Both rounds are one groupBy-min + one join — the same primitives as
+    min-label propagation — but the edge set contracts geometrically:
+    convergence in O(log n) rounds regardless of graph DIAMETER, where
+    label propagation needs diameter rounds. Near-dup graphs are
+    shallow, so `connected_components` is the default; this is the
+    scale path for adversarially long chains (e.g. serial edit
+    generations). At convergence the edges form a star forest: every
+    node points at its component min. Same return shape:
+    (id_col, component)."""
+    # canonical orientation u > v, no self-loops, deduped
+    e = (
+        edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        .filter(F.col("x") != F.col("y"))
+        .select(
+            F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def bidirectional(ed):
+        return ed.union(ed.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    def canonical(ed):
+        return (
+            ed.filter(F.col("x") != F.col("y"))
+            .select(
+                F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v")
+            )
+            .distinct()
+        )
+
+    for _ in range(max_iter):
+        # large-star(E): m(u) over ALL neighbors ∪ u; STRICTLY LARGER
+        # neighbors hook to m — the new edge set
+        nbrs = bidirectional(e)
+        mins = nbrs.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        e_mid = canonical(
+            nbrs.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("x"), F.col("m").alias("y"))
+        )
+        # small-star(large-star(E)): orient toward the larger endpoint;
+        # u and its smaller neighbors all hook to their min
+        small_in = bidirectional(e_mid).filter(F.col("v") < F.col("u"))
+        smins = small_in.groupBy("u").agg(F.min("v").alias("m"))
+        nxt = canonical(
+            small_in.join(smins, "u")
+            .select(F.col("v").alias("x"), F.col("m").alias("y"))
+            .union(smins.select(F.col("u").alias("x"), F.col("m").alias("y")))
+        ).localCheckpoint(eager=True)
+        unchanged = (
+            nxt.exceptAll(e).limit(1).count() == 0
+            and e.exceptAll(nxt).limit(1).count() == 0
+        )
+        e = nxt
+        if unchanged:
+            break
+    # star forest: (u, v) = (member, root); roots + isolated vertices
+    # label themselves. groupBy-min guards the (converged) uniqueness.
+    member = e.groupBy("u").agg(F.min("v").alias("comp")).select(
+        F.col("u").alias("id"), "comp"
+    )
+    allv = vertices.select(F.col(id_col).alias("id"))
+    labels = allv.join(member, "id", "left").select(
+        "id", F.coalesce("comp", F.col("id")).alias("comp")
+    )
+    return labels.select(F.col("id").alias(id_col), "comp")
+
+
 def near_dup_components(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -474,18 +562,23 @@ def near_dup_components(
     num_hashes: int = 32,
     bands: int = 16,
     shingle: int = 3,
+    algorithm: str = "label",
 ) -> DataFrame:
     """Cluster-grade dedup: exact dedup → LSH candidates → exact-Jaccard
     verified edges → connected components. Returns every surviving doc
     with its cluster label (min id of its component); downstream keeps
-    one representative per `comp` or feeds cluster sizes to filters."""
+    one representative per `comp` or feeds cluster sizes to filters.
+    algorithm: 'label' (min-label propagation, rounds = diameter — the
+    default for shallow near-dup graphs) or 'star' (large-star/small-star,
+    O(log n) rounds — the deep-chain scale path)."""
     d1 = exact_dedup(df, text_col, id_col).cache()
     cand = minhash_lsh_pairs(d1, id_col, text_col, num_hashes, bands, shingle)
     edges = ngram_jaccard_pairs(
         d1, cand.select("a", "b"), id_col, text_col, shingle
     ).filter(F.col("jaccard") >= jaccard_threshold)
+    cc = connected_components_star if algorithm == "star" else connected_components
     try:
-        return connected_components(edges, d1, id_col)
+        return cc(edges, d1, id_col)
     finally:
         d1.unpersist()
 

@@ -1922,6 +1922,33 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_components(corpus, jaccard_threshold=0.7)
 
 
+def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same transitive-closure clustering contract as
+    dedup_connected_components, computed with the alternating
+    large-star/small-star rounds (Kiveris et al., MRC'14 —
+    pipeline/dedup.connected_components_star): O(log n) rounds
+    regardless of graph diameter, vs rounds = diameter for label
+    propagation. Same corpus, same edges, same oracle — the recursive
+    CTE fixpoint must agree with the star contraction exactly."""
+    from cassandra_pmem_spark.pipeline.dedup import near_dup_components
+
+    base = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id", "text")
+    )
+    gen1 = base.filter(F.col("doc_id") < 12).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" alpha beta")).alias("text"),
+    )
+    gen2 = base.filter(F.col("doc_id") < 6).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" gamma delta")).alias("text"),
+    )
+    corpus = base.union(gen1).union(gen2)
+    return near_dup_components(corpus, jaccard_threshold=0.7, algorithm="star")
+
+
 _CC_ORACLE = f"""
 WITH RECURSIVE corpus AS (
   SELECT doc_id, text FROM documents WHERE doc_id < 150
@@ -2592,6 +2619,7 @@ QUERIES = {
     "text_pii_redact": (text_pii_redact, _pii_oracle()),
     "source_url_normalize": (source_url_normalize, _url_normalize_oracle()),
     "dedup_connected_components": (dedup_connected_components, _CC_ORACLE),
+    "dedup_components_star": (dedup_components_star, _CC_ORACLE),
     "text_decontaminate": (text_decontaminate, _DECONTAM_ORACLE),
     "source_compressed_chunks": (source_compressed_chunks, _COMPRESSED_ORACLE),
     "text_ngram_lm_ppl": (text_ngram_lm_ppl, _NGRAM_LM_ORACLE),

@@ -1539,3 +1539,67 @@ class TestSemanticDedup:
         }
         assert all(i + 100000 not in got for i in range(10))
         assert all(i in got for i in range(10))
+
+
+class TestStarComponents:
+    """large-star/small-star connected components (Kiveris et al.) — the
+    O(log n)-round scale path. Ground truth: python union-find."""
+
+    @staticmethod
+    def _uf_components(n_vertices, edges):
+        parent = list(range(n_vertices))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {v: find(v) for v in range(n_vertices)}
+
+    def test_long_chain_beats_diameter_bound(self, spark):
+        # a 120-node path has diameter 119: label propagation would need
+        # 119 rounds; the star rounds must close it within 12
+        from cassandra_pmem_spark.pipeline.dedup import connected_components_star
+
+        n = 120
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "a long, b long"
+        )
+        verts = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        got = {
+            r.doc_id: r.comp
+            for r in connected_components_star(edges, verts, max_iter=12).collect()
+        }
+        assert got == {i: 0 for i in range(n)}
+
+    def test_matches_union_find_with_isolated_vertices(self, spark):
+        from cassandra_pmem_spark.pipeline.dedup import (
+            connected_components,
+            connected_components_star,
+        )
+
+        n = 60
+        # deterministic clumpy graph + deliberately isolated vertices
+        pairs = [(i, (i * i) % 37) for i in range(0, 37)] + [
+            (40 + i, 40 + ((i + 1) % 5)) for i in range(5)
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        want = self._uf_components(n, pairs)
+        edges = spark.createDataFrame(pairs, "a long, b long")
+        verts = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        star = {
+            r.doc_id: r.comp
+            for r in connected_components_star(edges, verts).collect()
+        }
+        assert star == want
+        # and the two algorithms agree with each other
+        label = {
+            r.doc_id: r.comp
+            for r in connected_components(edges, verts, max_iter=40).collect()
+        }
+        assert label == want
