@@ -115,6 +115,60 @@ def stratified_sample(
     )
 
 
+def domain_mixture_sample(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    target_total: float = 1000.0,
+    domain_col: str = "lang",
+    id_col: str = "doc_id",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Temperature-scaled domain mixture sampling — the multilingual-
+    pretraining mixing rule (exponentiated domain weights, as in the
+    mBERT/XLM-R recipes): domain d is sampled with probability
+
+        r_d = min(1, target_total · p_d / n_d),   p_d = n_d^α / Σ n^α
+
+    so α < 1 flattens the mixture: tail domains keep a larger fraction
+    of their documents than head domains, while expected output size
+    stays ≈ target_total. The keep decision reuses stratified_sample's
+    deterministic Murmur3-bucket rule (threshold = floor(r_d·buckets +
+    0.5)), so the sample is a pure function of (id, domain counts) —
+    bit-reproducible at any parallelism, and recomputable by the DuckDB
+    oracle.
+
+    Shape: one tiny count aggregate per domain, a broadcast 1-row total,
+    and a broadcast rates join back onto the scan — the document side
+    never shuffles."""
+    counts = docs.groupBy(domain_col).agg(F.count("*").alias("__n"))
+    w = counts.withColumn(
+        "__w", F.pow(F.col("__n").cast("double"), F.lit(float(alpha)))
+    )
+    tot = w.agg(F.sum("__w").alias("__tw"))
+    rates = w.crossJoin(F.broadcast(tot)).select(
+        domain_col,
+        F.least(
+            F.lit(buckets).cast("long"),
+            F.floor(
+                F.lit(float(target_total))
+                * F.col("__w")
+                / F.col("__tw")
+                / F.col("__n")
+                * F.lit(buckets)
+                + F.lit(0.5)
+            ).cast("long"),
+        ).alias("keep_below"),
+        F.col("__n").alias("domain_total"),
+    )
+    bucket = F.pmod(murmur3_token_column_once(F.col(id_col)), F.lit(buckets))
+    return (
+        docs.join(F.broadcast(rates), domain_col)
+        .withColumn("sample_bucket", bucket.cast("long"))
+        .where(F.col("sample_bucket") < F.col("keep_below"))
+        .select(id_col, domain_col, "sample_bucket", "keep_below", "domain_total")
+    )
+
+
 def epoch_shuffle(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -621,6 +621,42 @@ WHERE ((token % 10000) + 10000) % 10000 <
 """
 
 
+def pipeline_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixture sampling
+    (pipeline/packing.domain_mixture_sample — the multilingual
+    pretraining mixing rule p_d ∝ n_d^α): α=0.5 flattens the language
+    mixture toward the tail, per-language keep thresholds derive from
+    the corpus counts, and the keep decision is the deterministic
+    Murmur3-bucket rule. The oracle recomputes counts, exponentiated
+    weights, thresholds, AND the bit-exact token buckets — a hash match
+    proves the whole mixing rule end to end."""
+    from cassandra_pmem_spark.pipeline.packing import domain_mixture_sample
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
+    return domain_mixture_sample(docs, alpha=0.5, target_total=300.0)
+
+
+def _domain_mixture_oracle() -> str:
+    from cassandra_pmem_spark.functions.murmur3 import murmur3_token_subquery
+
+    sub = murmur3_token_subquery("documents", "doc_id", ["doc_id", "lang"])
+    return f"""
+WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+ w AS (SELECT lang, n, pow(n::DOUBLE, 0.5) AS wt FROM counts),
+ tot AS (SELECT sum(wt) AS tw FROM w),
+ rates AS (
+   SELECT lang, n AS domain_total,
+          least(10000::BIGINT,
+                floor(300.0 * wt / tw / n * 10000 + 0.5)::BIGINT) AS keep_below
+   FROM w, tot)
+SELECT t.doc_id, t.lang,
+       CAST(((token % 10000) + 10000) % 10000 AS BIGINT) AS sample_bucket,
+       r.keep_below, r.domain_total
+FROM {sub} t JOIN rates r USING (lang)
+WHERE ((token % 10000) + 10000) % 10000 < r.keep_below
+"""
+
+
 def multimodal_audio_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL lossless-audio pipeline, oracle-checked: deterministic stereo
     signals per document, encoded as mid-side FLAC (Levinson-Durbin LPC +
@@ -2611,6 +2647,7 @@ QUERIES = {
     "sketch_runtime_filtered_join": (sketch_runtime_filtered_join, _RTF_JOIN_ORACLE),
     "pipeline_pack_sequences": (pipeline_pack_sequences, _PACK_ORACLE),
     "pipeline_stratified_sample": (pipeline_stratified_sample, _stratified_oracle()),
+    "pipeline_domain_mixture": (pipeline_domain_mixture, _domain_mixture_oracle()),
     "pipeline_epoch_shuffle": (pipeline_epoch_shuffle, _epoch_shuffle_oracle()),
     "pipeline_chunk_documents": (pipeline_chunk_documents, _CHUNK_ORACLE),
     "graph_pagerank_exact": (graph_pagerank_exact, _pagerank_oracle()),

@@ -1603,3 +1603,31 @@ class TestStarComponents:
             for r in connected_components(edges, verts, max_iter=40).collect()
         }
         assert label == want
+
+
+class TestDomainMixture:
+    def test_alpha_flattens_toward_tail(self, spark):
+        """alpha < 1 must keep a LARGER fraction of small domains than of
+        large ones, while the expected total tracks target_total."""
+        import pandas as pd
+
+        from cassandra_pmem_spark.pipeline.packing import domain_mixture_sample
+
+        rows = (
+            [(i, "big") for i in range(3000)]
+            + [(3000 + i, "mid") for i in range(600)]
+            + [(4000 + i, "tiny") for i in range(80)]
+        )
+        docs = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "lang"])
+        )
+        out = domain_mixture_sample(docs, alpha=0.5, target_total=500.0)
+        pdf = out.toPandas()
+        kept = pdf.groupby("lang").size().to_dict()
+        frac = {d: kept.get(d, 0) / n for d, n in
+                {"big": 3000, "mid": 600, "tiny": 80}.items()}
+        assert frac["tiny"] > frac["mid"] > frac["big"]
+        assert 350 < len(pdf) < 650  # ≈ target_total
+        # deterministic: a rerun keeps exactly the same ids
+        again = domain_mixture_sample(docs, alpha=0.5, target_total=500.0)
+        assert set(pdf.doc_id) == {r.doc_id for r in again.collect()}
