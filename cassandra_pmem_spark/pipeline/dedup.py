@@ -20,7 +20,7 @@ across runs and cluster sizes.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -581,6 +581,79 @@ def near_dup_components(
         return cc(edges, d1, id_col)
     finally:
         d1.unpersist()
+
+
+def substring_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Substring-level (span) deduplication — the ExactSubstr policy of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better" (ACL'22), at token granularity: any window of ≥ k tokens
+    that occurs anywhere else in the corpus is removed from every
+    occurrence EXCEPT the first (ordered by (doc id, position)). Doc- and
+    line-level dedup miss boilerplate spliced into otherwise-unique
+    documents; span-level removal is what actually de-memorizes the
+    corpus.
+
+    Spark-first shape (the paper's single-machine suffix array does not
+    distribute; sliding windows + first-occurrence ownership computes the
+    same token-granular policy):
+      1. explode k-token windows (narrow: id, pos, gram);
+      2. one shuffle groups occurrences by gram — row_number over
+         (doc id, pos) marks every non-first occurrence as a duplicate
+         window;
+      3. duplicate windows explode to their ≤ k covered token indices
+         (distinct — second shuffle, bounded by k × dup windows);
+      4. tokens anti-join coverage and reassemble in order.
+    Windows join on the gram STRING so the oracle is collision-free; at
+    100 TB you would pre-hash grams to 8 bytes (xxhash64) and accept the
+    ~2^-64 collision rate, shrinking shuffle width ~10x.
+
+    Returns (id_col, clean_text, n_tokens, n_removed)."""
+    words = F.split(F.col(text_col), " ")
+    toks = df.select(F.col(id_col), words.alias("__w"), F.size(words).alias("__n"))
+    win_idx = F.when(
+        F.col("__n") >= k, F.sequence(F.lit(1), F.col("__n") - F.lit(k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    wins = toks.select(
+        id_col,
+        F.explode(win_idx).alias("pos"),
+        F.col("__w"),
+    ).select(
+        id_col,
+        "pos",
+        F.array_join(F.slice("__w", F.col("pos"), k), " ").alias("gram"),
+    )
+    w_rank = Window.partitionBy("gram").orderBy(F.col(id_col), F.col("pos"))
+    dups = (
+        wins.withColumn("__rn", F.row_number().over(w_rank))
+        .filter(F.col("__rn") > 1)
+        .select(id_col, "pos")
+    )
+    covered = dups.select(
+        id_col, F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))).alias("tidx")
+    ).distinct()
+    tokens = toks.select(
+        id_col, F.col("__n"), F.posexplode("__w").alias("__p", "word")
+    ).select(id_col, "__n", (F.col("__p") + 1).alias("tidx"), "word")
+    kept = tokens.join(covered, [id_col, "tidx"], "left_anti")
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("tidx", "word"))),
+                    lambda e: e["word"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.first("__n").cast("long").alias("n_tokens"),
+            (F.first("__n") - F.count("*")).cast("long").alias("n_removed"),
+        )
+    )
 
 
 def line_dedup(

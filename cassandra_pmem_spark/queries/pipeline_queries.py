@@ -621,6 +621,73 @@ WHERE ((token % 10000) + 10000) % 10000 <
 """
 
 
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level (span) dedup — pipeline/dedup.substring_dedup, the
+    ExactSubstr policy of Lee et al. ACL'22 at token granularity: every
+    8-token window occurring elsewhere in the corpus is removed from all
+    but its first (doc id, position) occurrence. The corpus plants
+    SPLICED documents (first 12 words of a base doc + a unique tail), so
+    doc-level dedup sees nothing while span-level removal must strip the
+    duplicated prefix and keep the tail. The oracle recomputes windows,
+    first-occurrence ownership, token coverage, and reassembly in SQL."""
+    from cassandra_pmem_spark.pipeline.dedup import substring_dedup
+
+    base = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", "text")
+    )
+    spliced = base.filter(F.col("doc_id") < 8).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(
+            F.array_join(F.slice(F.split(F.col("text"), " "), 1, 12), " "),
+            F.lit(" spliced tail marker "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return substring_dedup(base.union(spliced), k=8)
+
+
+_SUBSTRING_DEDUP_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 300
+  UNION ALL
+  SELECT doc_id + 500000,
+         array_to_string(list_slice(string_split(text, ' '), 1, 12), ' ')
+           || ' spliced tail marker ' || doc_id::VARCHAR
+  FROM documents WHERE doc_id < 8
+), toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS n
+  FROM corpus
+), wins AS (
+  SELECT doc_id, u.i AS pos,
+         array_to_string(list_slice(w, u.i, u.i + 7), ' ') AS gram
+  FROM toks, UNNEST(range(1, greatest(n - 7, 0) + 1)) AS u(i)
+), ranked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+  FROM wins
+), covered AS (
+  SELECT DISTINCT doc_id, pos + o.j AS tidx
+  FROM ranked, UNNEST(range(0, 8)) AS o(j)
+  WHERE rn > 1
+), tokens AS (
+  SELECT doc_id, n, u.i AS tidx, w[u.i] AS word
+  FROM toks, UNNEST(range(1, n + 1)) AS u(i)
+), kept AS (
+  SELECT t.doc_id, t.n, t.tidx, t.word
+  FROM tokens t ANTI JOIN covered c USING (doc_id, tidx)
+)
+SELECT doc_id,
+       string_agg(word, ' ' ORDER BY tidx) AS clean_text,
+       CAST(max(n) AS BIGINT) AS n_tokens,
+       CAST(max(n) - count(*) AS BIGINT) AS n_removed
+FROM kept
+GROUP BY doc_id
+"""
+
+
 def pipeline_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled domain mixture sampling
     (pipeline/packing.domain_mixture_sample — the multilingual
@@ -2657,6 +2724,7 @@ QUERIES = {
     "source_url_normalize": (source_url_normalize, _url_normalize_oracle()),
     "dedup_connected_components": (dedup_connected_components, _CC_ORACLE),
     "dedup_components_star": (dedup_components_star, _CC_ORACLE),
+    "dedup_substring_spans": (dedup_substring_spans, _SUBSTRING_DEDUP_ORACLE),
     "text_decontaminate": (text_decontaminate, _DECONTAM_ORACLE),
     "source_compressed_chunks": (source_compressed_chunks, _COMPRESSED_ORACLE),
     "text_ngram_lm_ppl": (text_ngram_lm_ppl, _NGRAM_LM_ORACLE),

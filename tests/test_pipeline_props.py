@@ -1631,3 +1631,46 @@ class TestDomainMixture:
         # deterministic: a rerun keeps exactly the same ids
         again = domain_mixture_sample(docs, alpha=0.5, target_total=500.0)
         assert set(pdf.doc_id) == {r.doc_id for r in again.collect()}
+
+
+class TestSubstringDedup:
+    def test_first_occurrence_owns_and_tail_survives(self, spark):
+        import pandas as pd
+
+        from cassandra_pmem_spark.pipeline.dedup import substring_dedup
+
+        boiler = "one two three four five six seven eight"  # 8 tokens
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2, 3],
+                    "text": [
+                        boiler + " alpha beta",
+                        boiler + " gamma delta",  # prefix duplicated
+                        "totally unique short text here",  # < k tokens
+                    ],
+                }
+            )
+        )
+        got = {r.doc_id: r for r in substring_dedup(docs, k=8).collect()}
+        # doc 1 (lowest id) owns the boilerplate span and keeps everything
+        assert got[1].clean_text == boiler + " alpha beta"
+        assert got[1].n_removed == 0
+        # doc 2 loses exactly the 8 duplicated tokens, keeps its tail
+        assert got[2].clean_text == "gamma delta"
+        assert got[2].n_removed == 8
+        # short docs have no windows and pass through untouched
+        assert got[3].n_removed == 0
+
+    def test_same_doc_repeat_keeps_only_first(self, spark):
+        import pandas as pd
+
+        from cassandra_pmem_spark.pipeline.dedup import substring_dedup
+
+        span = "a b c d e f g h"
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [7], "text": [span + " X " + span]})
+        )
+        r = substring_dedup(docs, k=8).collect()[0]
+        assert r.clean_text == span + " X"
+        assert r.n_removed == 8
