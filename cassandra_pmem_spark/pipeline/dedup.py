@@ -328,6 +328,21 @@ def simhash64(col: Column | str) -> Column:
     return _simhash(col, 64, F.xxhash64)
 
 
+def hamming_pairs(
+    hashes: DataFrame,
+    id_col: str = "id",
+    hash_col: str = "sh",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs over any 64-bit signature column: bucket on 4 ×
+    16-bit chunks (a pair with hamming ≤ 3 shares at least one exact
+    chunk — pigeonhole), equi-join per chunk, verify exact bit_count on
+    collisions only. Shared by SimHash text dedup and perceptual image
+    dedup — candidate volume tracks true near-dup density."""
+    sh = hashes.select(F.col(id_col).alias("id"), F.col(hash_col).alias("sh"))
+    return _hamming_chunk_join(sh, max_hamming)
+
+
 def simhash_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
 ) -> DataFrame:
@@ -335,6 +350,10 @@ def simhash_pairs(
     hamming ≤ 3 shares at least one exact chunk — pigeonhole), then verify
     hamming distance on collisions only."""
     sh = df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("sh"))
+    return _hamming_chunk_join(sh, max_hamming)
+
+
+def _hamming_chunk_join(sh: DataFrame, max_hamming: int) -> DataFrame:
     chunks = sh.select(
         "id",
         "sh",

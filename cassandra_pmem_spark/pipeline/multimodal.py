@@ -173,6 +173,49 @@ def png_encode_stage(media: DataFrame, width: int = 32) -> DataFrame:
     return media.select("item_id", "data").mapInPandas(run, PNG_STAGE_SCHEMA)
 
 
+def image_dhash_stage(
+    media: DataFrame, width: int = 9, height: int = 8
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) over REAL decoded images: each
+    item's PNG/JPEG/GIF payload decodes through the stdlib codecs, is
+    nearest-neighbor resampled to (height × width) luma, and hashed on
+    the row-wise gradient — bit i = p[y, x] > p[y, x+1], i = y·(width-1)+x.
+    Small pixel perturbations flip only the bits whose comparisons they
+    touch, so near-duplicate images land within a small hamming radius —
+    feed the output to dedup.hamming_pairs for the banded join. Color
+    images collapse by channel mean. Arrow-batched mapInPandas, zero
+    shuffle; returns (item_id, dhash) with dhash a signed 64-bit long."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for item_id, data in zip(pdf["item_id"], pdf["data"]):
+                img = _decode_image(bytes(data))
+                arr = np.asarray(img)
+                if arr.ndim == 3:
+                    arr = arr.mean(axis=2)
+                h, w = arr.shape
+                ys = np.arange(height) * h // height
+                xs = np.arange(width) * w // width
+                g = arr[np.ix_(ys, xs)].astype(np.int64)
+                bits = (g[:, :-1] > g[:, 1:]).ravel()
+                val = 0
+                for i, b in enumerate(bits):
+                    if b:
+                        val |= 1 << i
+                if val >= 1 << 63:
+                    val -= 1 << 64
+                ids.append(item_id)
+                hashes.append(val)
+            yield pd.DataFrame(
+                {"item_id": ids, "dhash": pd.array(hashes, dtype="int64")}
+            )
+
+    return media.mapInPandas(run, "item_id long, dhash long")
+
+
 def jpeg_encode_stage(media: DataFrame, width: int = 16) -> DataFrame:
     """Encode each item's payload bytes as a deterministic baseline JPEG
     (pure-stdlib encoder, pipeline/jpeg.py): bytes are forced even

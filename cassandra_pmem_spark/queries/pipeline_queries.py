@@ -688,6 +688,94 @@ GROUP BY doc_id
 """
 
 
+def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup over a REAL lossless codec path: every doc
+    gets a deterministic 9×8 grayscale image (one shared base per group
+    of 8 ids, one pixel perturbed per member), encoded as PNG
+    (pipeline/codecs.py), decoded back through the real PNG decoder,
+    dHash-signed on the row gradient (multimodal.image_dhash_stage), and
+    near-dup pairs come from the banded hamming join
+    (dedup.hamming_pairs — 4×16-bit chunks, pigeonhole-complete for
+    hamming ≤ 3). PNG is lossless, so the oracle recomputes the dHash
+    bits straight from the construction arithmetic and replays the
+    chunk join in SQL — a hash match proves codec round-trip, signature,
+    banding, and verification together."""
+    from cassandra_pmem_spark.pipeline.dedup import hamming_pairs
+    from cassandra_pmem_spark.pipeline.multimodal import image_dhash_stage
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from cassandra_pmem_spark.pipeline.codecs import encode_png
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                g = d // 8
+                xs = np.arange(9)
+                ys = np.arange(8)
+                base = g * 31 + xs[None, :] * 7 + ys[:, None] * 13
+                img = ((base * base) % 251).astype(np.uint8)
+                img[0, 0] = ((g * 31) ** 2 + (d % 3) * 2) % 251
+                ids.append(d)
+                blobs.append(encode_png(img))
+            yield pd.DataFrame({"item_id": ids, "data": blobs})
+
+    media = docs.mapInPandas(synth, "item_id long, data binary")
+    hashes = image_dhash_stage(media)
+    pairs = hamming_pairs(hashes, id_col="item_id", hash_col="dhash", max_hamming=2)
+    return pairs.select("a", "b", F.col("hamming").cast("int").alias("hamming"))
+
+
+def _image_dedup_oracle() -> str:
+    g = "(doc_id // 8)"
+
+    def pix(x: int, y: int) -> str:
+        if x == 0 and y == 0:
+            return f"((({g} * 31) * ({g} * 31) + (doc_id % 3) * 2) % 251)"
+        b = f"({g} * 31 + {x * 7 + y * 13})"
+        return f"(({b} * {b}) % 251)"
+
+    terms = []
+    for y in range(8):
+        for x in range(8):
+            i = y * 8 + x
+            terms.append(
+                f"(CASE WHEN {pix(x, y)} > {pix(x + 1, y)} "
+                f"THEN {1 << i}::HUGEINT ELSE 0::HUGEINT END)"
+            )
+    dh_u = " + ".join(terms)
+    return f"""
+WITH hashes AS (
+  SELECT doc_id AS id, ({dh_u}) AS dhu FROM documents WHERE doc_id < 200
+), signed AS (
+  SELECT id, dhu,
+         (CASE WHEN dhu >= {1 << 63}::HUGEINT
+               THEN (dhu - {1 << 64}::HUGEINT)::BIGINT
+               ELSE dhu::BIGINT END) AS dh
+  FROM hashes
+), chunks AS (
+  SELECT id, dh, v.i, (dhu // v.d) % 65536 AS ch
+  FROM signed, (VALUES (0, 1::HUGEINT), (1, 65536::HUGEINT),
+                       (2, 4294967296::HUGEINT),
+                       (3, 281474976710656::HUGEINT)) v(i, d)
+), cand AS (
+  SELECT DISTINCT l.id AS a, r.id AS b,
+         CAST(bit_count(xor(l.dh, r.dh)) AS INTEGER) AS hamming
+  FROM chunks l JOIN chunks r ON l.i = r.i AND l.ch = r.ch AND l.id < r.id
+)
+SELECT a, b, hamming FROM cand WHERE hamming <= 2
+"""
+
+
 def pipeline_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled domain mixture sampling
     (pipeline/packing.domain_mixture_sample — the multilingual
@@ -2725,6 +2813,7 @@ QUERIES = {
     "dedup_connected_components": (dedup_connected_components, _CC_ORACLE),
     "dedup_components_star": (dedup_components_star, _CC_ORACLE),
     "dedup_substring_spans": (dedup_substring_spans, _SUBSTRING_DEDUP_ORACLE),
+    "multimodal_image_dedup": (multimodal_image_dedup, _image_dedup_oracle()),
     "text_decontaminate": (text_decontaminate, _DECONTAM_ORACLE),
     "source_compressed_chunks": (source_compressed_chunks, _COMPRESSED_ORACLE),
     "text_ngram_lm_ppl": (text_ngram_lm_ppl, _NGRAM_LM_ORACLE),

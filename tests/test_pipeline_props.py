@@ -1674,3 +1674,29 @@ class TestSubstringDedup:
         r = substring_dedup(docs, k=8).collect()[0]
         assert r.clean_text == span + " X"
         assert r.n_removed == 8
+
+
+class TestImageDhash:
+    def test_perturbation_stays_near_and_distinct_stays_far(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from cassandra_pmem_spark.pipeline.codecs import encode_png
+        from cassandra_pmem_spark.pipeline.multimodal import image_dhash_stage
+
+        rng_a = ((np.arange(72).reshape(8, 9) * 31 + 7) ** 2 % 251).astype(np.uint8)
+        near = rng_a.copy()
+        near[3, 4] = (int(near[3, 4]) + 3) % 251  # one-pixel edit
+        far = ((np.arange(72).reshape(8, 9) * 17 + 100) ** 2 % 251).astype(np.uint8)
+        media = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "item_id": [1, 2, 3],
+                    "data": [encode_png(rng_a), encode_png(near), encode_png(far)],
+                }
+            )
+        )
+        got = {r.item_id: r.dhash for r in image_dhash_stage(media).collect()}
+        ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")  # noqa: E731
+        assert ham(got[1], got[2]) <= 2  # one pixel touches ≤2 row-gradient bits
+        assert ham(got[1], got[3]) > 10  # unrelated images are far apart
