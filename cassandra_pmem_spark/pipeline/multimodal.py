@@ -216,6 +216,53 @@ def image_dhash_stage(
     return media.mapInPandas(run, "item_id long, dhash long")
 
 
+def audio_fingerprint_stage(
+    media: DataFrame, block: int = 64, nblocks: int = 65
+) -> DataFrame:
+    """Acoustic fingerprint over REAL decoded audio (the chromaprint
+    idea reduced to its gradient core): each item's FLAC payload decodes
+    bit-exactly (pipeline/flac.py), the first channel folds to
+    `nblocks` per-block integer means, and the signature is the
+    block-energy gradient — bit i = mean[i] > mean[i+1], a 64-bit hash
+    (nblocks = 65) where a local edit flips only the bits whose
+    comparisons it touches. Feed to dedup.hamming_pairs exactly like
+    image dHash. Arrow-batched mapInPandas, zero shuffle; returns
+    (item_id, afp long, n_samples long)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from cassandra_pmem_spark.pipeline.flac import decode_flac
+
+        for pdf in batches:
+            ids, fps, lens = [], [], []
+            for item_id, data in zip(pdf["item_id"], pdf["data"]):
+                samples, _rate = decode_flac(bytes(data))
+                ch = samples[:, 0].astype(np.int64)
+                n = (len(ch) // block) * block
+                means = ch[:n].reshape(-1, block).sum(axis=1) // block
+                means = means[:nblocks]
+                bits = means[:-1] > means[1:]
+                val = 0
+                for i, b in enumerate(bits):
+                    if b:
+                        val |= 1 << i
+                if val >= 1 << 63:
+                    val -= 1 << 64
+                ids.append(item_id)
+                fps.append(val)
+                lens.append(len(ch))
+            yield pd.DataFrame(
+                {
+                    "item_id": ids,
+                    "afp": pd.array(fps, dtype="int64"),
+                    "n_samples": pd.array(lens, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(run, "item_id long, afp long, n_samples long")
+
+
 def jpeg_encode_stage(media: DataFrame, width: int = 16) -> DataFrame:
     """Encode each item's payload bytes as a deterministic baseline JPEG
     (pure-stdlib encoder, pipeline/jpeg.py): bytes are forced even

@@ -776,6 +776,93 @@ SELECT a, b, hamming FROM cand WHERE hamming <= 2
 """
 
 
+def multimodal_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic near-dup detection over the REAL lossless audio path:
+    every doc gets a deterministic piecewise-constant mono signal (one
+    shared base per group of 8 ids, block 0 perturbed per member),
+    encoded as FLAC (pipeline/flac.py), decoded back bit-exactly,
+    fingerprinted on the block-energy gradient
+    (multimodal.audio_fingerprint_stage), and paired by the same banded
+    hamming join as image dHash (dedup.hamming_pairs). FLAC is lossless
+    and the blocks are constant, so the oracle recomputes every block
+    value — and therefore the signature bits and the chunk join — in
+    closed-form SQL."""
+    from cassandra_pmem_spark.pipeline.dedup import hamming_pairs
+    from cassandra_pmem_spark.pipeline.multimodal import audio_fingerprint_stage
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from cassandra_pmem_spark.pipeline.flac import encode_flac
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                g = d // 8
+                b = np.arange(65)
+                base = g * 53 + b * 17
+                vals = (base * base) % 1201 - 600
+                vals[0] = (g * 53) ** 2 % 1201 - 600 + (d % 3) * 2
+                sig = np.repeat(vals, 64).astype(np.int16)
+                ids.append(d)
+                blobs.append(encode_flac(sig, rate=8000, block_size=1024))
+            yield pd.DataFrame({"item_id": ids, "data": blobs})
+
+    media = docs.mapInPandas(synth, "item_id long, data binary")
+    fp = audio_fingerprint_stage(media)
+    pairs = hamming_pairs(fp, id_col="item_id", hash_col="afp", max_hamming=2)
+    return pairs.select("a", "b", F.col("hamming").cast("int").alias("hamming"))
+
+
+def _audio_dedup_oracle() -> str:
+    g = "(doc_id // 8)"
+
+    def val(b: int) -> str:
+        if b == 0:
+            return (
+                f"((({g} * 53) * ({g} * 53)) % 1201 - 600 + (doc_id % 3) * 2)"
+            )
+        e = f"({g} * 53 + {b * 17})"
+        return f"(({e} * {e}) % 1201 - 600)"
+
+    terms = []
+    for i in range(64):
+        terms.append(
+            f"(CASE WHEN {val(i)} > {val(i + 1)} "
+            f"THEN {1 << i}::HUGEINT ELSE 0::HUGEINT END)"
+        )
+    fp_u = " + ".join(terms)
+    return f"""
+WITH hashes AS (
+  SELECT doc_id AS id, ({fp_u}) AS fpu FROM documents WHERE doc_id < 200
+), signed AS (
+  SELECT id, fpu,
+         (CASE WHEN fpu >= {1 << 63}::HUGEINT
+               THEN (fpu - {1 << 64}::HUGEINT)::BIGINT
+               ELSE fpu::BIGINT END) AS fp
+  FROM hashes
+), chunks AS (
+  SELECT id, fp, v.i, (fpu // v.d) % 65536 AS ch
+  FROM signed, (VALUES (0, 1::HUGEINT), (1, 65536::HUGEINT),
+                       (2, 4294967296::HUGEINT),
+                       (3, 281474976710656::HUGEINT)) v(i, d)
+), cand AS (
+  SELECT DISTINCT l.id AS a, r.id AS b,
+         CAST(bit_count(xor(l.fp, r.fp)) AS INTEGER) AS hamming
+  FROM chunks l JOIN chunks r ON l.i = r.i AND l.ch = r.ch AND l.id < r.id
+)
+SELECT a, b, hamming FROM cand WHERE hamming <= 2
+"""
+
+
 def pipeline_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled domain mixture sampling
     (pipeline/packing.domain_mixture_sample — the multilingual
@@ -2814,6 +2901,7 @@ QUERIES = {
     "dedup_components_star": (dedup_components_star, _CC_ORACLE),
     "dedup_substring_spans": (dedup_substring_spans, _SUBSTRING_DEDUP_ORACLE),
     "multimodal_image_dedup": (multimodal_image_dedup, _image_dedup_oracle()),
+    "multimodal_audio_dedup": (multimodal_audio_dedup, _audio_dedup_oracle()),
     "text_decontaminate": (text_decontaminate, _DECONTAM_ORACLE),
     "source_compressed_chunks": (source_compressed_chunks, _COMPRESSED_ORACLE),
     "text_ngram_lm_ppl": (text_ngram_lm_ppl, _NGRAM_LM_ORACLE),
