@@ -778,3 +778,61 @@ class TestSnapshotExpiry:
         assert out["expired_versions"] == [1, 2]
         assert out["deleted_files"] == 0
         assert t.read(spark, 3).count() == 3
+
+
+class TestRound6Plans:
+    """Plan-shape locks for the round-6 operators: the shuffle counts
+    below ARE the design — a regression here is a scale regression."""
+
+    def test_overlap_join_has_no_dedup_shuffle(self, spark):
+        import datetime as dt
+
+        import pandas as pd
+
+        from cassandra_pmem_spark.operators.temporal import interval_overlap_join
+
+        t = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)  # noqa: E731
+        left = spark.createDataFrame(
+            pd.DataFrame({"k": [1], "ls": [t(0)], "le": [t(600)]})
+        )
+        right = spark.createDataFrame(
+            pd.DataFrame({"k": [1], "rs": [t(0)], "re": [t(600)]})
+        )
+        plan = plan_of(
+            interval_overlap_join(left, right, "k", "ls", "le", "rs", "re")
+        )
+        # at most the two join inputs shuffle (broadcast may elide one);
+        # the old dropDuplicates cost an extra full-width Exchange + two
+        # HashAggregates ABOVE the join — the first-common-bucket filter
+        # must leave nothing above it but the projection
+        assert plan.count("Exchange") <= 2, plan
+        above_join = plan.split("Join")[0]
+        assert "HashAggregate" not in above_join, plan
+
+    def test_image_dhash_stage_is_zero_shuffle(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from cassandra_pmem_spark.pipeline.codecs import encode_png
+        from cassandra_pmem_spark.pipeline.multimodal import image_dhash_stage
+
+        img = (np.arange(72).reshape(8, 9) % 251).astype(np.uint8)
+        media = spark.createDataFrame(
+            pd.DataFrame({"item_id": [1], "data": [encode_png(img)]})
+        )
+        assert "Exchange" not in plan_of(image_dhash_stage(media))
+
+    def test_domain_mixture_scan_side_never_shuffles(self, spark):
+        import pandas as pd
+
+        from cassandra_pmem_spark.pipeline.packing import domain_mixture_sample
+
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(100), "lang": ["en", "de"] * 50})
+        )
+        plan = plan_of(domain_mixture_sample(docs, alpha=0.5, target_total=50.0))
+        # the rates side aggregates (shuffles) a tiny per-domain count;
+        # the document side joins it BROADCAST — no hash-join shuffle of
+        # the corpus itself
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
