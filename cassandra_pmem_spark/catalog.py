@@ -58,6 +58,12 @@ class TableMeta:
     partition_key: tuple[str, ...]
     clustering: tuple[ClusteringColumn, ...] = ()
     static_columns: tuple[str, ...] = ()
+    # CQL type names Spark's schema erases but token() must see:
+    # uuid/timeuuid/inet columns store as StringType yet hash their
+    # marshal wire forms (UUIDType/TimeUUIDType 16-byte msb||lsb,
+    # InetAddressType address bytes) — (column, cql_type_name) pairs,
+    # recorded by the DDL and consumed by CqlTable.where_token.
+    cql_key_types: tuple[tuple[str, str], ...] = ()
 
     @property
     def primary_key(self) -> tuple[str, ...]:

@@ -315,6 +315,7 @@ class _DdlParser(_Parser):
         statics: list[str] = []
         pk_cols: list[str] | None = None
         ck_cols: list[str] = []
+        special_types: dict[str, str] = {}  # uuid/timeuuid/inet wire forms
         while True:
             if self.accept_kw("primary"):
                 # PRIMARY KEY ((p1, p2), c1, c2) | PRIMARY KEY (p, c1, ...)
@@ -332,7 +333,10 @@ class _DdlParser(_Parser):
                 self.expect_punct(")")
             else:
                 col = self.ident()
+                raw_type = self.peek().text.lower()
                 typ, kind, frozen, is_counter = self.column_type()
+                if raw_type in ("uuid", "timeuuid", "inet"):
+                    special_types[col] = raw_type
                 if kind is not None:
                     self.last_collection_kinds[col] = kind
                 if frozen:
@@ -414,6 +418,7 @@ class _DdlParser(_Parser):
                 ClusteringColumn(c, clustering_order.get(c, True)) for c in ck_cols
             ),
             static_columns=tuple(statics),
+            cql_key_types=tuple(sorted(special_types.items())),
         )
         # exact-key existence only: the same bare name may live in two
         # different keyspaces (CreateTest.java duplicate-table rejection

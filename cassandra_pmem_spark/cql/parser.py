@@ -476,7 +476,13 @@ def _compile(t: CqlTable, st: SelectStatement) -> DataFrame:
         elif s.kind == "token":
             if tuple(s.args) != tuple(meta.partition_key):
                 raise InvalidRequest("token() selector requires the full partition key")
-            projection.append(token_column(s.args, meta.schema).alias(s.alias or "token"))
+            projection.append(
+                token_column(
+                    s.args,
+                    meta.schema,
+                    dict(getattr(meta, "cql_key_types", ()) or ()) or None,
+                ).alias(s.alias or "token")
+            )
         elif s.kind == "cast":
             col, typ = s.args
             if typ.lower() not in _CAST_TYPES:

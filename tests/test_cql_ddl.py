@@ -161,6 +161,38 @@ class TestCqlDatabase:
         out = db.execute("SELECT player, points FROM scores WHERE team = 'red'")
         assert sorted(tuple(r) for r in out.collect()) == [(1, 10), (2, 30)]
 
+    def test_uuid_pk_tokens_use_wire_form(self, spark):
+        """A DDL-created table with a uuid partition key must hash the
+        UUIDType 16-byte wire form (msb||lsb), NOT the 36-char text —
+        TableMeta.cql_key_types carries the type name Spark's StringType
+        erases, and both the token() selector and relation honor it."""
+        from cassandra_pmem_spark.functions.murmur3 import murmur3_token_bytes_py
+
+        db = CqlDatabase(spark)
+        db.execute("CREATE KEYSPACE uks WITH REPLICATION = {'class': 'SimpleStrategy'}")
+        db.execute("CREATE TABLE uks.u (id uuid PRIMARY KEY, v bigint)")
+        uuids = [
+            "6ba7b810-9dad-11d1-80b4-00c04fd430c8",
+            "123e4567-e89b-12d3-a456-426614174000",
+            "00000000-0000-0000-0000-000000000001",
+        ]
+        for i, u in enumerate(uuids):
+            db.execute(f"INSERT INTO u (id, v) VALUES ('{u}', {i})")
+        got = {
+            r.id: r.token
+            for r in db.execute("SELECT id, token(id) FROM u").collect()
+        }
+        want = {
+            u: murmur3_token_bytes_py(bytes.fromhex(u.replace("-", "")))
+            for u in uuids
+        }
+        assert got == want
+        # the token relation routes through the same wire form
+        tmin = min(want.values())
+        keep = {u for u, t in want.items() if t > tmin}
+        rows = db.execute(f"SELECT id FROM u WHERE token(id) > {tmin}").collect()
+        assert {r.id for r in rows} == keep
+
     def test_alter_keeps_buffered_writes(self, spark):
         db = CqlDatabase(spark)
         db.execute("CREATE TABLE t (k bigint PRIMARY KEY, v text)")
