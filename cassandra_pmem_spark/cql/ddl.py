@@ -820,9 +820,12 @@ class CqlDatabase:
             ks, _, tbl = st.table.rpartition(".")
             key = self._table_key((ks or None, tbl))
             meta = self.registry.tables[key]
-            return _compile(
-                CqlTable(self._session_for_key(key).table(), meta, self.strict), st
-            )
+            sess = self._session_for_key(key)
+            # SELECT reads at the session's current logical time: TTL'd
+            # cells past their expiry vanish (PurgeFunction analog), and
+            # the liveness shadows feed the writetime()/ttl() selectors
+            df = sess.table(now=sess._clock_ref[0], with_shadows=True)
+            return _compile(CqlTable(df, meta, self.strict), st)
         raise InvalidRequest(f"unsupported statement {head!r}")
 
     def _execute_batch(self, cql: str, params: list[Any]) -> bool:

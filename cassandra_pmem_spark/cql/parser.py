@@ -456,7 +456,10 @@ def _compile(t: CqlTable, st: SelectStatement) -> DataFrame:
     projection = []
     for s in st.selectors:
         if s.kind == "star":
-            return t.df()
+            # project the DECLARED columns: the db-table frame also carries
+            # liveness shadows (_writetime_/_ttl_) for the selectors below,
+            # which `*` must not leak
+            return t.select(*[f.name for f in meta.schema.fields]).df()
         if s.kind == "col":
             projection.append(F.col(s.args[0]).alias(s.alias) if s.alias else F.col(s.args[0]))
         elif s.kind == "field":

@@ -723,8 +723,14 @@ class CqlWriteSession:
 
     # -- read path ------------------------------------------------------------
 
-    def table(self, now: int | None = None) -> DataFrame:
-        """Visible state — what a SELECT over this table reads."""
+    def table(self, now: int | None = None, with_shadows: bool = False) -> DataFrame:
+        """Visible state — what a SELECT over this table reads.
+
+        with_shadows=True keeps each value column's liveness alongside it:
+        ``_writetime_{col}`` (the WRITETIME(col) selector's source) and
+        ``_ttl_{col}`` = remaining time at ``now`` (the TTL(col) selector;
+        NULL for cells written without TTL), both in the session's
+        logical-clock unit."""
         meta = self.meta
         fields = [f.name for f in meta.schema.fields]
         key_cols = list(meta.primary_key)
@@ -762,7 +768,11 @@ class CqlWriteSession:
             log = log.filter(F.col("__expiry").isNull() | (F.col("__expiry") > F.lit(now)))
 
         merged = upsert_lww_cells(
-            log, key=key_cols, value_cols=value_cols, writetime_col="__writetime"
+            log,
+            key=key_cols,
+            value_cols=value_cols,
+            writetime_col="__writetime",
+            expiry_col="__expiry",
         )
 
         # counter folding (CounterMutation.java:49): deltas replayed on top
@@ -779,6 +789,8 @@ class CqlWriteSession:
                 )
 
         # cell tombstones: null out cells whose surviving writetime <= delete ts
+        # (their liveness shadows go with them — a deleted cell has no
+        # writetime/ttl to SELECT)
         for ct in self._cell_tombs:
             cond = F.lit(True)
             for kc, kv in zip(key_cols, ct.key):
@@ -791,6 +803,10 @@ class CqlWriteSession:
                 merged = merged.withColumn(
                     col, F.when(dead, F.lit(None)).otherwise(F.col(col))
                 )
+                for sh in (f"_writetime_{col}", f"_expiry_{col}"):
+                    merged = merged.withColumn(
+                        sh, F.when(dead, F.lit(None)).otherwise(F.col(sh))
+                    )
 
         # row + range tombstones (db/DeletionTime.java, RangeTombstone.java):
         # a delete at t shadows every matching cell with writetime <= t — so
@@ -828,13 +844,27 @@ class CqlWriteSession:
                     ).withColumn(
                         f"_writetime_{col}",
                         F.when(dead, F.lit(None)).otherwise(F.col(f"_writetime_{col}")),
+                    ).withColumn(
+                        f"_expiry_{col}",
+                        F.when(dead, F.lit(None)).otherwise(F.col(f"_expiry_{col}")),
                     )
             all_null = F.lit(True)
             for col in value_cols:
                 all_null = all_null & F.col(f"_writetime_{col}").isNull()
             merged = merged.filter(~(any_key_cond & all_null))
 
-        return merged.select(*fields)
+        if not with_shadows:
+            return merged.select(*fields)
+        # TTL(col): remaining liveness at `now` (defaults to the session's
+        # current logical clock); NULL for cells written without TTL
+        now_eff = self._clock_ref[0] if now is None else now
+        shadows = []
+        for col in value_cols:
+            shadows.append(F.col(f"_writetime_{col}"))
+            shadows.append(
+                (F.col(f"_expiry_{col}") - F.lit(now_eff)).alias(f"_ttl_{col}")
+            )
+        return merged.select(*fields, *shadows)
 
 
 def validate_batch_pieces(

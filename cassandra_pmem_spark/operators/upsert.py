@@ -54,6 +54,7 @@ def upsert_lww_cells(
     key: Sequence[str],
     value_cols: Sequence[str],
     writetime_col: str = "writetime",
+    expiry_col: str | None = None,
 ) -> DataFrame:
     """Cell-granular LWW: per column, the non-null value with the highest
     writetime wins — two writes touching disjoint columns both survive.
@@ -61,12 +62,16 @@ def upsert_lww_cells(
     This is the subtle one (SURVEY §7 risk register): a row-level
     row_number() dedup is WRONG here. Uses max_by(value, writetime) filtered
     to non-null cells, i.e. per-cell reconcile like db/rows/Cells.reconcile.
-    Single hash aggregate; fully JVM-side."""
+    Single hash aggregate; fully JVM-side. With ``expiry_col``, each
+    surviving cell also carries its own expiry as ``_expiry_{col}`` (the
+    liveness the TTL(col) selector reads — db/LivenessInfo.java)."""
     aggs = []
     for c in value_cols:
         wt = F.when(F.col(c).isNotNull(), F.col(writetime_col))
         aggs.append(F.max_by(F.col(c), wt).alias(c))
         aggs.append(F.max(wt).alias(f"_writetime_{c}"))
+        if expiry_col is not None:
+            aggs.append(F.max_by(F.col(expiry_col), wt).alias(f"_expiry_{c}"))
     return mutations.groupBy(*key).agg(*aggs)
 
 

@@ -161,6 +161,37 @@ class TestCqlDatabase:
         out = db.execute("SELECT player, points FROM scores WHERE team = 'red'")
         assert sorted(tuple(r) for r in out.collect()) == [(1, 10), (2, 30)]
 
+    def test_writetime_and_ttl_selectors_on_db_tables(self, spark):
+        """SELECT writetime(col) / ttl(col) on a DDL table reads the
+        per-cell liveness shadows (previously the merged frame dropped
+        them and the selector crashed): cell-granular writetimes survive
+        partial updates, TTL is the remaining liveness at read time, and
+        expired cells vanish from statement SELECTs."""
+        db = CqlDatabase(spark)
+        db.execute("CREATE KEYSPACE wts WITH REPLICATION = {'class': 'SimpleStrategy'}")
+        db.execute("CREATE TABLE wts.t (k bigint PRIMARY KEY, v bigint, w text)")
+        db.execute("INSERT INTO t (k, v, w) VALUES (1, 10, 'a') USING TIMESTAMP 111")
+        db.execute("INSERT INTO t (k, v) VALUES (1, 20) USING TIMESTAMP 222")
+        got = {
+            r.k: (r["writetime(v)"], r["writetime(w)"])
+            for r in db.execute("SELECT k, writetime(v), writetime(w) FROM t").collect()
+        }
+        # v's cell was rewritten at 222; w keeps its original 111
+        assert got == {1: (222, 111)}
+        db.execute("INSERT INTO t (k, v) VALUES (2, 30) USING TTL 100")
+        ttls = {
+            r.k: r["ttl(v)"] for r in db.execute("SELECT k, ttl(v) FROM t").collect()
+        }
+        assert ttls[1] is None  # no TTL ⇒ NULL (SelectTest.java)
+        assert 0 < ttls[2] <= 100
+        # star must not leak the shadow columns
+        assert db.execute("SELECT * FROM t").columns == ["k", "v", "w"]
+        # a cell past its expiry vanishes at read time
+        db.execute("INSERT INTO t (k, v) VALUES (3, 99) USING TTL 1")
+        for _ in range(3):
+            db.execute("INSERT INTO t (k, v) VALUES (4, 1)")
+        assert 3 not in {r.k for r in db.execute("SELECT k FROM t").collect()}
+
     def test_uuid_pk_tokens_use_wire_form(self, spark):
         """A DDL-created table with a uuid partition key must hash the
         UUIDType 16-byte wire form (msb||lsb), NOT the 36-char text —
