@@ -223,8 +223,25 @@ class _Parser:
                     sel = Selector("agg", [col], fn=low)
             elif low in ("writetime", "ttl"):
                 col = self.ident()
-                self.expect_punct(")")
-                sel = Selector(low, [col])
+                if self.accept_punct("["):
+                    # WRITETIME(m['k']) / TTL(m['k']) — one map cell's
+                    # liveness (cql3/selection/WritetimeOrTTLSelector over
+                    # an element selection; cells carry it per entry)
+                    t2 = self.next()
+                    if t2.kind == "string":
+                        ekey = t2.text[1:-1].replace("''", "'")
+                    elif t2.kind == "number":
+                        ekey = float(t2.text) if "." in t2.text else int(t2.text)
+                    else:
+                        raise InvalidRequest(
+                            f"{low} element key must be a literal, got {t2.text!r}"
+                        )
+                    self.expect_punct("]")
+                    self.expect_punct(")")
+                    sel = Selector(f"{low}_elem", [col, ekey])
+                else:
+                    self.expect_punct(")")
+                    sel = Selector(low, [col])
             elif low == "token":
                 cols = [self.ident()]
                 while self.accept_punct(","):
@@ -476,6 +493,17 @@ def _compile(t: CqlTable, st: SelectStatement) -> DataFrame:
                 )
             shadow = f"_{s.kind}_{s.args[0]}"
             projection.append(F.col(shadow).alias(s.alias or f"{s.kind}({s.args[0]})"))
+        elif s.kind in ("writetime_elem", "ttl_elem"):
+            col, ekey = s.args
+            fn = "writetime" if s.kind == "writetime_elem" else "ttl"
+            if col in meta.primary_key:
+                raise InvalidRequest(
+                    f"Cannot use selection function {fn} on PRIMARY KEY part {col}"
+                )
+            shadow = ("_cellwt_" if fn == "writetime" else "_cellttl_") + col
+            projection.append(
+                F.col(shadow)[F.lit(ekey)].alias(s.alias or f"{fn}({col}[{ekey}])")
+            )
         elif s.kind == "token":
             if tuple(s.args) != tuple(meta.partition_key):
                 raise InvalidRequest("token() selector requires the full partition key")

@@ -72,6 +72,9 @@ class Mutation:
     writetime: int
     ttl: int | None = None     # relative TTL for this mutation's cells
     counter_deltas: dict = field(default_factory=dict)
+    # per-cell map mutations: col -> {map key -> value | None (tombstone)}
+    # (Maps.SetterByKey / DiscarderByKey — each entry its own liveness)
+    elem_cells: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -161,14 +164,15 @@ class _WriteParser(_Parser):
             col = self.ident()
             if self.accept_punct("["):
                 # SET col[key] = v — Lists.SetterByIndex / Maps.SetterByKey
-                # syntax; recorded for validation (see _validate_elem_ops)
+                # syntax; validated by _validate_elem_ops, APPLIED for maps
+                # (per-cell mutation with its own liveness)
                 elem_key = self.literal(params, cursor)
                 self.expect_punct("]")
                 t = self.next()
                 if t.kind != "op" or t.text != "=":
                     raise InvalidRequest(f"expected = in SET, got {t.text!r}")
-                self.literal(params, cursor)  # the element value
-                elem_ops.append(("set_elem", col, elem_key))
+                elem_val = self.literal(params, cursor)
+                elem_ops.append(("set_elem", col, elem_key, elem_val))
                 if not self.accept_punct(","):
                     break
                 continue
@@ -525,7 +529,15 @@ class CqlWriteSession:
                 return False
             cells = dict(key)
             cells.update(sets)
-            self._record(cells, using, deltas=deltas, forced_ts=forced_ts)
+            elem_cells: dict = {}
+            for op in elem_ops:
+                if op[0] == "set_elem":
+                    _, ecol, ekey, eval_ = op
+                    elem_cells.setdefault(ecol, {})[ekey] = eval_
+            self._record(
+                cells, using, deltas=deltas, forced_ts=forced_ts,
+                elem_cells=elem_cells,
+            )
         elif head == "delete":
             _, cols, key, ranges, using, cond, elem_dels = p.delete_statement(params, cursor)
             self._validate_elem_ops(elem_dels)
@@ -553,9 +565,19 @@ class CqlWriteSession:
                 return True
             if not self._condition_holds(cond, self._key_of(key)):
                 return False
+            if elem_dels:
+                # DELETE m['k'] — per-cell tombstone: a cell-level delete
+                # mutation shadows only that map entry (Maps.DiscarderByKey
+                # semantics; the entry's own liveness decides the merge)
+                elem_cells: dict = {}
+                for _, ecol, ekey in elem_dels:
+                    elem_cells.setdefault(ecol, {})[ekey] = None
+                self._mutations.append(
+                    Mutation(self._key_of(key), dict(key), wt, elem_cells=elem_cells)
+                )
             if cols:
                 self._cell_tombs.append(CellTombstone(self._key_of(key), cols, wt))
-            else:
+            elif not elem_dels:
                 self._row_tombs.append(RowTombstone(self._key_of(key), wt))
         return True
 
@@ -587,8 +609,11 @@ class CqlWriteSession:
         - sets have no element assignment and no element delete (remove is
           ``s = s - {...}``; Sets.java defines no SetterByIndex/ByKey);
         - element ops on a non-collection column are invalid;
-        - the remaining (reference-legal) list/map element writes are not
-          implemented by this text surface — they raise a clearly-marked
+        - MAP element set/delete are legal and APPLIED per cell (each map
+          entry carries its own liveness — Maps.SetterByKey:349 /
+          DiscarderByKey, db/rows/Cell.java) — they pass validation;
+        - list element writes and textual add/discard are not implemented
+          by this text surface — they raise a clearly-marked
           InvalidRequest pointing at the DataFrame operators
           (operators/collections.py), which implement the semantics.
         """
@@ -596,7 +621,7 @@ class CqlWriteSession:
             return
         by_name = {f.name: f.dataType for f in self.meta.schema.fields}
         info = self.collection_info
-        for op, col, _arg in elem_ops:
+        for op, col, *_rest in elem_ops:
             dt = by_name.get(col)
             if dt is None:
                 raise InvalidRequest(f"undefined column {col!r}")
@@ -625,6 +650,8 @@ class CqlWriteSession:
                     f"invalid deletion operation on set column {col!r}: "
                     "remove elements with s = s - {...}"
                 )
+            if kind == "map" and op in ("set_elem", "del_elem"):
+                continue  # legal — applied as a per-cell mutation
             raise InvalidRequest(
                 f"collection element writes on {col!r} are not supported by "
                 "the text surface; use the DataFrame operators "
@@ -700,9 +727,10 @@ class CqlWriteSession:
         using: dict,
         deltas: dict | None = None,
         forced_ts: int | None = None,
+        elem_cells: dict | None = None,
     ) -> None:
         known = {f.name for f in self.meta.schema.fields}
-        unknown = (set(cells) | set(deltas or {})) - known
+        unknown = (set(cells) | set(deltas or {}) | set(elem_cells or {})) - known
         if unknown:
             raise InvalidRequest(f"unknown columns {sorted(unknown)}")
         if "timestamp" in using:
@@ -718,6 +746,7 @@ class CqlWriteSession:
                 wt,
                 ttl=using.get("ttl"),
                 counter_deltas=deltas or {},
+                elem_cells=elem_cells or {},
             )
         )
 
@@ -733,23 +762,38 @@ class CqlWriteSession:
         logical-clock unit."""
         meta = self.meta
         fields = [f.name for f in meta.schema.fields]
+        by_name = {f.name: f for f in meta.schema.fields}
         key_cols = list(meta.primary_key)
         value_cols = [c for c in fields if c not in key_cols]
+        # map columns with per-cell mutations merge cell-by-cell; every
+        # other column keeps the atomic cell-LWW path
+        elem_cols = sorted({c for m in self._mutations for c in m.elem_cells})
+        scalar_cols = [c for c in value_cols if c not in elem_cols]
 
-        # mutation log rows: values + per-mutation writetime/expiry shadows
-        log_schema = T.StructType(
-            list(meta.schema.fields)
-            + [
-                T.StructField("__writetime", T.LongType()),
-                T.StructField("__expiry", T.LongType()),
-            ]
-        )
+        # mutation log rows: values + per-mutation writetime/expiry shadows;
+        # per elem col, the fragment map (__frag) and the full-write flag
+        # (__full — a full map value is a complex deletion + cells)
+        extra_fields = [
+            T.StructField("__writetime", T.LongType()),
+            T.StructField("__expiry", T.LongType()),
+        ]
+        for c in elem_cols:
+            mt = by_name[c].dataType
+            extra_fields.append(
+                T.StructField(f"__frag_{c}", T.MapType(mt.keyType, mt.valueType, True))
+            )
+            extra_fields.append(T.StructField(f"__full_{c}", T.BooleanType()))
+        log_schema = T.StructType(list(meta.schema.fields) + extra_fields)
         rows = []
         for m in self._mutations:
             row = dict.fromkeys(fields)
             row.update(m.cells)
             expiry = (m.writetime + m.ttl) if m.ttl is not None else None
-            rows.append(tuple(row[c] for c in fields) + (m.writetime, expiry))
+            extras: list = [m.writetime, expiry]
+            for c in elem_cols:
+                extras.append(m.elem_cells.get(c))
+                extras.append(c in m.cells and m.cells[c] is not None)
+            rows.append(tuple(row[c] for c in fields) + tuple(extras))
 
         log = self.spark.createDataFrame(rows, log_schema) if rows else None
         if self._base is not None:
@@ -758,22 +802,52 @@ class CqlWriteSession:
                 .withColumn("__writetime", F.lit(0).cast("long"))
                 .withColumn("__expiry", F.lit(None).cast("long"))
             )
+            for c in elem_cols:
+                mt = by_name[c].dataType
+                base = base.withColumn(
+                    f"__frag_{c}",
+                    F.lit(None).cast(T.MapType(mt.keyType, mt.valueType, True)),
+                ).withColumn(f"__full_{c}", F.col(c).isNotNull())
             log = base.unionByName(log) if log is not None else base
         if log is None:
             return self.spark.createDataFrame([], meta.schema)
+
+        # complex deletions never expire — compute them BEFORE the TTL
+        # purge (a full map write at wt shadows older cells at wt-1,
+        # CompactionIterator / ComplexColumnData deletion semantics)
+        log_all = log
 
         # TTL expiry is per-cell at read time: expired mutations simply
         # vanish from the log before the merge (PurgeFunction analog)
         if now is not None:
             log = log.filter(F.col("__expiry").isNull() | (F.col("__expiry") > F.lit(now)))
 
-        merged = upsert_lww_cells(
-            log,
-            key=key_cols,
-            value_cols=value_cols,
-            writetime_col="__writetime",
-            expiry_col="__expiry",
-        )
+        if scalar_cols:
+            merged = upsert_lww_cells(
+                log,
+                key=key_cols,
+                value_cols=scalar_cols,
+                writetime_col="__writetime",
+                expiry_col="__expiry",
+            )
+        else:  # every value column is per-cell: pk universe only
+            merged = log.select(*key_cols).distinct()
+        for c in elem_cols:
+            merged = merged.join(
+                self._merge_elem_col(log, log_all, key_cols, c), key_cols, "left"
+            ).withColumn(
+                f"_writetime_{c}",
+                F.when(
+                    F.size(F.map_values(F.col(f"_cellwt_{c}"))) > 0,
+                    F.array_max(F.map_values(F.col(f"_cellwt_{c}"))),
+                ),
+            ).withColumn(
+                f"_expiry_{c}",
+                F.when(
+                    F.size(F.map_values(F.col(f"_cellexp_{c}"))) > 0,
+                    F.array_max(F.map_values(F.col(f"_cellexp_{c}"))),
+                ),
+            )
 
         # counter folding (CounterMutation.java:49): deltas replayed on top
         for m in self._mutations:
@@ -790,12 +864,16 @@ class CqlWriteSession:
 
         # cell tombstones: null out cells whose surviving writetime <= delete ts
         # (their liveness shadows go with them — a deleted cell has no
-        # writetime/ttl to SELECT)
+        # writetime/ttl to SELECT). For per-cell map columns the shadow is
+        # cell-granular: only entries written at or before the delete die.
         for ct in self._cell_tombs:
             cond = F.lit(True)
             for kc, kv in zip(key_cols, ct.key):
                 cond = cond & (F.col(kc) == F.lit(kv))
             for col in ct.columns:
+                if col in elem_cols:
+                    merged = self._shadow_elem_cells(merged, col, cond, ct.writetime)
+                    continue
                 dead = cond & (
                     F.col(f"_writetime_{col}").isNull()
                     | (F.col(f"_writetime_{col}") <= F.lit(ct.writetime))
@@ -834,7 +912,9 @@ class CqlWriteSession:
             any_key_cond = F.lit(False)
             for cond, wt in shadow_preds:
                 any_key_cond = any_key_cond | cond
-                for col in value_cols:
+                for col in elem_cols:
+                    merged = self._shadow_elem_cells(merged, col, cond, wt)
+                for col in scalar_cols:
                     dead = cond & (
                         F.col(f"_writetime_{col}").isNull()
                         | (F.col(f"_writetime_{col}") <= F.lit(wt))
@@ -864,7 +944,100 @@ class CqlWriteSession:
             shadows.append(
                 (F.col(f"_expiry_{col}") - F.lit(now_eff)).alias(f"_ttl_{col}")
             )
+        for col in elem_cols:
+            # per-cell liveness maps: WRITETIME(m['k']) / TTL(m['k'])
+            shadows.append(F.col(f"_cellwt_{col}"))
+            shadows.append(
+                F.transform_values(
+                    F.col(f"_cellexp_{col}"), lambda _k, v: v - F.lit(now_eff)
+                ).alias(f"_cellttl_{col}")
+            )
         return merged.select(*fields, *shadows)
+
+    def _merge_elem_col(self, log, log_all, key_cols, col):
+        """Per-cell merge of one map column (db/rows/Cells.reconcile at
+        map-entry granularity): full map writes contribute a complex
+        deletion at wt-1 plus their entries
+        (db/rows/ComplexColumnData.java deletion semantics — the write's
+        own cells at wt survive their own deletion); fragments contribute
+        their entries, a None value being a cell tombstone
+        (Maps.DiscarderByKey). Reconcile per map key by (writetime,
+        tombstone-wins, value); survivors reassemble into the map plus
+        per-cell writetime/expiry shadow maps."""
+        sel = [
+            F.col("__writetime").alias("__wt"),
+            F.col("__expiry").alias("__exp"),
+        ]
+        full_cells = (
+            log.filter(F.col(f"__full_{col}") & F.col(col).isNotNull())
+            .select(*key_cols, *sel, F.explode(col).alias("__k", "__v"))
+        )
+        frag_cells = (
+            log.filter(F.col(f"__frag_{col}").isNotNull())
+            .select(*key_cols, *sel, F.explode(f"__frag_{col}").alias("__k", "__v"))
+        )
+        cells = full_cells.unionByName(frag_cells)
+        packed = F.struct(
+            F.col("__wt").alias("wt"),
+            F.col("__v").isNull().cast("int").alias("tomb"),
+            F.col("__v").alias("v"),
+            F.col("__exp").alias("exp"),
+        )
+        newest = cells.groupBy(*key_cols, "__k").agg(F.max(packed).alias("__c"))
+        # complex deletions from log_all: a TTL-expired full write still
+        # shadows (deletions do not expire)
+        dels = (
+            log_all.filter(F.col(f"__full_{col}"))
+            .groupBy(*key_cols)
+            .agg((F.max("__writetime") - 1).alias("__del"))
+        )
+        live = newest.join(dels, key_cols, "left").filter(
+            (F.col("__del").isNull() | (F.col("__c.wt") > F.col("__del")))
+            & F.col("__c.v").isNotNull()
+        )
+
+        def ent(val):
+            return F.array_sort(F.collect_list(F.struct(F.col("__k"), val)))
+
+        return live.groupBy(*key_cols).agg(
+            F.map_from_entries(ent(F.col("__c.v"))).alias(col),
+            F.map_from_entries(ent(F.col("__c.wt"))).alias(f"_cellwt_{col}"),
+            F.map_from_entries(ent(F.col("__c.exp"))).alias(f"_cellexp_{col}"),
+        )
+
+    def _shadow_elem_cells(self, merged, col, cond, wt):
+        """Tombstone shadowing at map-cell granularity: under `cond`, drop
+        every entry whose own writetime <= the delete timestamp, then
+        recompute the column-level liveness from the survivors."""
+        survivors = F.map_filter(
+            F.col(f"_cellwt_{col}"), lambda _k, cwt: cwt > F.lit(wt)
+        )
+        keep = lambda m: F.map_filter(  # noqa: E731
+            m, lambda k, _v: F.col(f"_cellwt_{col}")[k] > F.lit(wt)
+        )
+        merged = (
+            merged.withColumn(
+                col, F.when(cond, keep(F.col(col))).otherwise(F.col(col))
+            )
+            .withColumn(
+                f"_cellexp_{col}",
+                F.when(cond, keep(F.col(f"_cellexp_{col}"))).otherwise(
+                    F.col(f"_cellexp_{col}")
+                ),
+            )
+            .withColumn(
+                f"_cellwt_{col}",
+                F.when(cond, survivors).otherwise(F.col(f"_cellwt_{col}")),
+            )
+        )
+        alive = F.size(F.map_values(F.col(f"_cellwt_{col}"))) > 0
+        return merged.withColumn(
+            f"_writetime_{col}",
+            F.when(alive, F.array_max(F.map_values(F.col(f"_cellwt_{col}")))),
+        ).withColumn(
+            f"_expiry_{col}",
+            F.when(alive, F.array_max(F.map_values(F.col(f"_cellexp_{col}")))),
+        )
 
 
 def validate_batch_pieces(

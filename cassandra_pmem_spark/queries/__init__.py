@@ -78,6 +78,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_substring_spans",  # ExactSubstr span-level dedup
     "multimodal_image_dedup",  # dHash over real PNG + banded hamming join
     "multimodal_audio_dedup",  # FLAC block-energy fingerprint dedup
+    "cql_map_cell_liveness",  # statement-form per-cell map writetime
     # -- (3) oldest evidence first (r1-era)
     "cql_blob_conv",
     "cql_collection_access",
@@ -87,7 +88,6 @@ _PRIORITY: tuple[str, ...] = (
     "cql_cast_arithmetic",
     "cql_upsert_lww_rows",
     "cql_global_agg",
-    "cql_per_partition_limit",
 )
 # Deliberately outside the window this round: everything with r3/r4
 # driver evidence (the full round-4 window set, tpch q2–q22, token
@@ -95,11 +95,11 @@ _PRIORITY: tuple[str, ...] = (
 # r2-era set (cql_point_lookup — r2, not r1: it re-entered the round-2
 # window — plus cql_multipoint_in, cql_clustering_slice, cql_contains,
 # cql_upsert_lww_cells, cql_ttl_expiry, cql_select_json,
-# cql_parsed_select, csv_roundtrip, virtual_system_tables, …) and seven
-# r1 rows that did not fit (cql_distinct_partitions,
-# analytics_topk_orders, analytics_set_ops, cql_latest_events,
-# cql_from_json, streaming_tumbling_batch, streaming_session_batch) —
-# those plus the r2 set lead round 7's window.
+# cql_parsed_select, csv_roundtrip, virtual_system_tables, …) and eight
+# r1 rows that did not fit (cql_per_partition_limit,
+# cql_distinct_partitions, analytics_topk_orders, analytics_set_ops,
+# cql_latest_events, cql_from_json, streaming_tumbling_batch,
+# streaming_session_batch) — those plus the r2 set lead round 7's window.
 
 
 def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:

@@ -329,8 +329,99 @@ GROUP BY 1
 """
 
 
+_MAP_META = TableMeta(
+    "user_props",
+    T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("m", T.MapType(T.StringType(), T.LongType(), True)),
+        ]
+    ),
+    partition_key=("user_id",),
+)
+
+
+def cql_map_cell_liveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATEMENT-form per-cell map liveness (Maps.SetterByKey:349 /
+    DiscarderByKey; db/rows/Cell.java one liveness per entry;
+    WritetimeOrTTLSelector over element selection): the base maps come
+    from the events log (latest cents per event_type, full-map writes at
+    writetime 0), then three bounded element statements mutate single
+    CELLS — overwrite m['click'], create m['bonus'], delete m['view'] —
+    and the read runs through the parsed SELECT with WRITETIME(m['k'])
+    element selectors. The oracle replays the same cell stream (base
+    cells at wt 0 + the literal mutations) through SQL LWW and must
+    reproduce maps AND per-cell writetimes exactly."""
+    from cassandra_pmem_spark.cql.parser import _compile, parse_select
+    from cassandra_pmem_spark.cql.table import CqlTable
+
+    ev = load_table(spark, "events", sf_dir).filter(F.col("user_id") < 40)
+    cents = F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100).cast("long")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.max_by(cents, "event_id").alias("cents")
+    )
+    base = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "cents")))
+        ).alias("m")
+    )
+    sess = CqlWriteSession(spark, _MAP_META, base=base)
+    sess.execute("UPDATE user_props USING TIMESTAMP 1000 SET m['click'] = -1 WHERE user_id = 1")
+    sess.execute("UPDATE user_props USING TIMESTAMP 1001 SET m['bonus'] = 777 WHERE user_id = 2")
+    sess.execute("DELETE m['view'] FROM user_props USING TIMESTAMP 1002 WHERE user_id = 3")
+    st = parse_select(
+        "SELECT user_id, m, writetime(m['click']) AS click_wt, "
+        "writetime(m['bonus']) AS bonus_wt FROM user_props",
+        [],
+    )
+    df = _compile(
+        CqlTable(
+            sess.table(now=sess._clock_ref[0], with_shadows=True), _MAP_META, False
+        ),
+        st,
+    )
+    # driver-facing scalars: the map joins to a key-sorted string
+    ent = F.array_sort(F.map_entries("m"))
+    return df.select(
+        "user_id",
+        F.array_join(
+            F.transform(ent, lambda e: F.concat(e["key"], F.lit(":"), e["value"].cast("string"))),
+            ",",
+        ).alias("map_col"),
+        "click_wt",
+        "bonus_wt",
+    )
+
+
+_MAP_CELL_ORACLE = """
+WITH cents AS (
+  SELECT user_id, event_type,
+         arg_max(CAST(floor(coalesce(value, 0) * 100) AS BIGINT), event_id) AS cents
+  FROM events WHERE user_id < 40 GROUP BY user_id, event_type
+), cells AS (
+  SELECT user_id, event_type AS k, cents AS v, 0 AS wt FROM cents
+  UNION ALL SELECT 1, 'click', -1, 1000
+  UNION ALL SELECT 2, 'bonus', 777, 1001
+), ranked AS (
+  SELECT user_id, k, v, wt,
+         row_number() OVER (PARTITION BY user_id, k ORDER BY wt DESC) AS rn
+  FROM cells
+), live AS (
+  SELECT user_id, k, v, wt FROM ranked
+  WHERE rn = 1 AND NOT (user_id = 3 AND k = 'view')
+)
+SELECT user_id,
+       string_agg(k || ':' || v::VARCHAR, ',' ORDER BY k) AS map_col,
+       max(CASE WHEN k = 'click' THEN wt END) AS click_wt,
+       max(CASE WHEN k = 'bonus' THEN wt END) AS bonus_wt
+FROM live
+GROUP BY user_id
+"""
+
+
 QUERIES = {
     "cql_delete_tombstones": (cql_delete_tombstones, _DELETE_TOMBSTONES_ORACLE),
+    "cql_map_cell_liveness": (cql_map_cell_liveness, _MAP_CELL_ORACLE),
     "cql_lwt_conditional": (cql_lwt_conditional, _LWT_ORACLE),
     "cql_batch_apply": (cql_batch_apply, _BATCH_ORACLE),
     "cql_truncate_reload": (cql_truncate_reload, _TRUNCATE_ORACLE),

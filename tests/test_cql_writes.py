@@ -425,10 +425,22 @@ class TestCollectionMutationRejections:
         with pytest.raises(InvalidRequest, match="operators/collections"):
             db.execute("UPDATE coll SET l[0] = 'x' WHERE k = 0")
 
-    def test_legal_map_element_write_surfaced_as_unsupported(self, spark):
+    def test_map_element_write_applies_per_cell(self, spark):
+        """Map element writes are APPLIED with per-cell liveness
+        (Maps.SetterByKey/DiscarderByKey; db/rows/Cell.java): each entry
+        reconciles on its own writetime, element deletes kill only their
+        entry, and WRITETIME(m['k']) reads the cell's timestamp."""
         db = self._db(spark)
-        with pytest.raises(InvalidRequest, match="operators/collections"):
-            db.execute("UPDATE coll SET m['a'] = 1 WHERE k = 0")
+        db.execute("UPDATE coll USING TIMESTAMP 100 SET m['a'] = 1 WHERE k = 0")
+        db.execute("UPDATE coll USING TIMESTAMP 300 SET m['b'] = 2 WHERE k = 0")
+        db.execute("UPDATE coll USING TIMESTAMP 200 SET m['a'] = 9 WHERE k = 0")
+        row = db.execute(
+            "SELECT m, writetime(m['a']), writetime(m['b']) FROM coll WHERE k = 0"
+        ).collect()[0]
+        assert row[0] == {"a": 9, "b": 2}
+        assert (row[1], row[2]) == (200, 300)
+        db.execute("DELETE m['a'] FROM coll USING TIMESTAMP 400 WHERE k = 0")
+        assert db.execute("SELECT m FROM coll WHERE k = 0").collect()[0][0] == {"b": 2}
 
     def test_collection_add_on_plain_set_surfaced_as_unsupported(self, spark):
         db = self._db(spark)
