@@ -75,6 +75,10 @@ class Mutation:
     # per-cell map mutations: col -> {map key -> value | None (tombstone)}
     # (Maps.SetterByKey / DiscarderByKey — each entry its own liveness)
     elem_cells: dict = field(default_factory=dict)
+    # primary-key liveness (db/LivenessInfo.java): INSERT stamps the row
+    # itself alive; UPDATE does not — an UPDATE-built row is visible only
+    # through its live cells, the reference's row-vs-cell liveness rule
+    row_live: bool = True
 
 
 @dataclass
@@ -536,7 +540,7 @@ class CqlWriteSession:
                     elem_cells.setdefault(ecol, {})[ekey] = eval_
             self._record(
                 cells, using, deltas=deltas, forced_ts=forced_ts,
-                elem_cells=elem_cells,
+                elem_cells=elem_cells, row_live=bool(deltas),
             )
         elif head == "delete":
             _, cols, key, ranges, using, cond, elem_dels = p.delete_statement(params, cursor)
@@ -573,7 +577,10 @@ class CqlWriteSession:
                 for _, ecol, ekey in elem_dels:
                     elem_cells.setdefault(ecol, {})[ekey] = None
                 self._mutations.append(
-                    Mutation(self._key_of(key), dict(key), wt, elem_cells=elem_cells)
+                    Mutation(
+                        self._key_of(key), dict(key), wt,
+                        elem_cells=elem_cells, row_live=False,
+                    )
                 )
             if cols:
                 self._cell_tombs.append(CellTombstone(self._key_of(key), cols, wt))
@@ -728,6 +735,7 @@ class CqlWriteSession:
         deltas: dict | None = None,
         forced_ts: int | None = None,
         elem_cells: dict | None = None,
+        row_live: bool = True,
     ) -> None:
         known = {f.name for f in self.meta.schema.fields}
         unknown = (set(cells) | set(deltas or {}) | set(elem_cells or {})) - known
@@ -747,6 +755,7 @@ class CqlWriteSession:
                 ttl=using.get("ttl"),
                 counter_deltas=deltas or {},
                 elem_cells=elem_cells or {},
+                row_live=row_live,
             )
         )
 
@@ -776,6 +785,7 @@ class CqlWriteSession:
         extra_fields = [
             T.StructField("__writetime", T.LongType()),
             T.StructField("__expiry", T.LongType()),
+            T.StructField("__row_live_wt", T.LongType()),
         ]
         for c in elem_cols:
             mt = by_name[c].dataType
@@ -789,7 +799,7 @@ class CqlWriteSession:
             row = dict.fromkeys(fields)
             row.update(m.cells)
             expiry = (m.writetime + m.ttl) if m.ttl is not None else None
-            extras: list = [m.writetime, expiry]
+            extras: list = [m.writetime, expiry, m.writetime if m.row_live else None]
             for c in elem_cols:
                 extras.append(m.elem_cells.get(c))
                 extras.append(c in m.cells and m.cells[c] is not None)
@@ -801,6 +811,7 @@ class CqlWriteSession:
                 self._base.select(*fields)
                 .withColumn("__writetime", F.lit(0).cast("long"))
                 .withColumn("__expiry", F.lit(None).cast("long"))
+                .withColumn("__row_live_wt", F.lit(0).cast("long"))
             )
             for c in elem_cols:
                 mt = by_name[c].dataType
@@ -832,6 +843,10 @@ class CqlWriteSession:
             )
         else:  # every value column is per-cell: pk universe only
             merged = log.select(*key_cols).distinct()
+        liveness = log.groupBy(*key_cols).agg(
+            F.max("__row_live_wt").alias("__rlwt")
+        )
+        merged = merged.join(liveness, key_cols, "left")
         for c in elem_cols:
             merged = merged.join(
                 self._merge_elem_col(log, log_all, key_cols, c), key_cols, "left"
@@ -912,6 +927,12 @@ class CqlWriteSession:
             any_key_cond = F.lit(False)
             for cond, wt in shadow_preds:
                 any_key_cond = any_key_cond | cond
+                merged = merged.withColumn(
+                    "__rlwt",
+                    F.when(
+                        cond & (F.col("__rlwt") <= F.lit(wt)), F.lit(None)
+                    ).otherwise(F.col("__rlwt")),
+                )
                 for col in elem_cols:
                     merged = self._shadow_elem_cells(merged, col, cond, wt)
                 for col in scalar_cols:
@@ -928,10 +949,10 @@ class CqlWriteSession:
                         f"_expiry_{col}",
                         F.when(dead, F.lit(None)).otherwise(F.col(f"_expiry_{col}")),
                     )
-            all_null = F.lit(True)
-            for col in value_cols:
-                all_null = all_null & F.col(f"_writetime_{col}").isNull()
-            merged = merged.filter(~(any_key_cond & all_null))
+        visible = F.col("__rlwt").isNotNull()
+        for col in value_cols:
+            visible = visible | F.col(f"_writetime_{col}").isNotNull()
+        merged = merged.filter(visible)
 
         if not with_shadows:
             return merged.select(*fields)

@@ -680,3 +680,49 @@ class TestReferenceWriteLimits:
         s.execute("ALTER TABLE ctr2 ADD m counter")
         with pytest.raises(InvalidRequest, match="Cannot set the value of counter column"):
             s.execute("UPDATE ctr2 SET m = 5 WHERE k = 1")
+
+
+class TestRowLiveness:
+    """Primary-key liveness (db/LivenessInfo.java; db/rows/Row.java
+    hasLiveData): a row is visible iff INSERT stamped it alive or any
+    cell is live — UPDATE grants no row liveness of its own."""
+
+    def _db(self, spark):
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+        db = CqlDatabase(spark)
+        db.execute("CREATE KEYSPACE rl WITH REPLICATION = {'class': 'SimpleStrategy'}")
+        db.execute("CREATE TABLE rl.t (k bigint PRIMARY KEY, v bigint, m map<text, bigint>)")
+        return db
+
+    def _keys(self, db):
+        return sorted(r.k for r in db.execute("SELECT k FROM t").collect())
+
+    def test_insert_key_only_is_visible_update_null_is_not(self, spark):
+        db = self._db(spark)
+        db.execute("INSERT INTO t (k) VALUES (1)")  # row liveness, no cells
+        db.execute("UPDATE t SET v = null WHERE k = 2")  # no liveness, no cells
+        db.execute("DELETE m['x'] FROM t WHERE k = 3")  # pure cell tombstone
+        assert self._keys(db) == [1]
+
+    def test_update_with_live_cell_is_visible(self, spark):
+        db = self._db(spark)
+        db.execute("UPDATE t SET v = 5 WHERE k = 4")
+        assert self._keys(db) == [4]
+
+    def test_row_delete_then_key_only_reinsert_resurrects(self, spark):
+        # the classic liveness case: the reinsert carries no cells, only
+        # primary-key liveness newer than the tombstone
+        db = self._db(spark)
+        db.execute("INSERT INTO t (k, v) VALUES (9, 1) USING TIMESTAMP 100")
+        db.execute("DELETE FROM t USING TIMESTAMP 200 WHERE k = 9")
+        db.execute("INSERT INTO t (k) VALUES (9) USING TIMESTAMP 300")
+        rows = db.execute("SELECT k, v FROM t").collect()
+        assert [(r.k, r.v) for r in rows] == [(9, None)]
+
+    def test_ttl_expires_row_liveness(self, spark):
+        db = self._db(spark)
+        db.execute("INSERT INTO t (k) VALUES (6) USING TTL 1")
+        for _ in range(3):
+            db.execute("INSERT INTO t (k) VALUES (7)")
+        assert 6 not in self._keys(db)
