@@ -726,3 +726,28 @@ class TestRowLiveness:
         for _ in range(3):
             db.execute("INSERT INTO t (k) VALUES (7)")
         assert 6 not in self._keys(db)
+
+
+class TestMapComplexDeletion:
+    def test_full_map_write_shadows_older_cells(self, spark):
+        """A full map value (INSERT JSON) is a complex deletion + cells
+        (db/rows/ComplexColumnData.java): older element cells die, the
+        write's own entries live, newer element writes compose on top,
+        and a LATE-arriving element older than the full write stays
+        shadowed."""
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+        db = CqlDatabase(spark)
+        db.execute("CREATE KEYSPACE cdx WITH REPLICATION = {'class': 'SimpleStrategy'}")
+        db.execute("CREATE TABLE cdx.t (k bigint PRIMARY KEY, m map<text, bigint>)")
+        db.execute("UPDATE t USING TIMESTAMP 100 SET m['old'] = 1 WHERE k = 1")
+        db.execute(
+            'INSERT INTO t JSON \'{"k": 1, "m": {"fresh": 7}}\' USING TIMESTAMP 200'
+        )
+        assert db.execute("SELECT m FROM t").collect()[0][0] == {"fresh": 7}
+        db.execute("UPDATE t USING TIMESTAMP 300 SET m['extra'] = 9 WHERE k = 1")
+        db.execute("UPDATE t USING TIMESTAMP 150 SET m['stale'] = 5 WHERE k = 1")
+        assert db.execute("SELECT m FROM t").collect()[0][0] == {
+            "fresh": 7,
+            "extra": 9,
+        }
