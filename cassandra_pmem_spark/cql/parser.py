@@ -491,6 +491,15 @@ def _compile(t: CqlTable, st: SelectStatement) -> DataFrame:
                 raise InvalidRequest(
                     f"Cannot use selection function {s.kind} on PRIMARY KEY part {s.args[0]}"
                 )
+            cellmap = ("_cellwt_" if s.kind == "writetime" else "_cellttl_") + s.args[0]
+            if cellmap in t._df.columns:
+                # multi-cell column: WRITETIME(m)/TTL(m) is the KEY-ORDERED
+                # per-cell list (cql3/selection/WritetimeOrTTLSelector —
+                # one liveness per cell, CASSANDRA-8877)
+                keys = F.array_sort(F.map_keys(F.col(cellmap)))
+                expr = F.transform(keys, lambda k: F.col(cellmap)[k])
+                projection.append(expr.alias(s.alias or f"{s.kind}({s.args[0]})"))
+                continue
             shadow = f"_{s.kind}_{s.args[0]}"
             projection.append(F.col(shadow).alias(s.alias or f"{s.kind}({s.args[0]})"))
         elif s.kind in ("writetime_elem", "ttl_elem"):

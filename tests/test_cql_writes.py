@@ -751,3 +751,21 @@ class TestMapComplexDeletion:
             "fresh": 7,
             "extra": 9,
         }
+
+
+class TestWritetimeListForm:
+    def test_multicell_writetime_is_key_ordered_list(self, spark):
+        """WRITETIME(m) on a multi-cell map returns the key-ordered
+        per-cell timestamp list (CASSANDRA-8877 / WritetimeOrTTLSelector),
+        while scalar columns keep the single value."""
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+        db = CqlDatabase(spark)
+        db.execute("CREATE KEYSPACE wlf WITH REPLICATION = {'class': 'SimpleStrategy'}")
+        db.execute("CREATE TABLE wlf.t (k bigint PRIMARY KEY, m map<text, bigint>, v bigint)")
+        db.execute("UPDATE t USING TIMESTAMP 100 SET m['b'] = 2 WHERE k = 1")
+        db.execute("UPDATE t USING TIMESTAMP 200 SET m['a'] = 1 WHERE k = 1")
+        db.execute("INSERT INTO t (k, v) VALUES (1, 5) USING TIMESTAMP 300")
+        r = db.execute("SELECT writetime(m), writetime(v) FROM t").collect()[0]
+        assert r[0] == [200, 100]  # key order: a, b
+        assert r[1] == 300
