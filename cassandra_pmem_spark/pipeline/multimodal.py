@@ -263,6 +263,58 @@ def audio_fingerprint_stage(
     return media.mapInPandas(run, "item_id long, afp long, n_samples long")
 
 
+def video_fingerprint_stage(
+    media: DataFrame, width: int = 9, height: int = 8
+) -> DataFrame:
+    """Temporal video fingerprint over REAL decoded animations: each
+    composited frame gets the image dHash (row-gradient bits over a
+    resampled luma grid), and the video-level signature takes every bit
+    by MAJORITY across frames — a single re-encoded, watermarked, or
+    glitched frame cannot flip a bit most frames agree on. Pairs come
+    from the same banded hamming join as image/audio dedup
+    (dedup.hamming_pairs). Arrow-batched mapInPandas, zero shuffle;
+    returns (item_id, vfp long, n_frames int)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from cassandra_pmem_spark.pipeline.gif import decode_gif
+
+        for pdf in batches:
+            ids, fps, nframes = [], [], []
+            for item_id, data in zip(pdf["item_id"], pdf["data"]):
+                frames, _delays = decode_gif(bytes(data))
+                counts = np.zeros((height - 0) * (width - 1), np.int64)
+                for fr in frames:
+                    arr = np.asarray(fr)
+                    if arr.ndim == 3:
+                        arr = arr.mean(axis=2)
+                    h, w = arr.shape
+                    ys = np.arange(height) * h // height
+                    xs = np.arange(width) * w // width
+                    g = arr[np.ix_(ys, xs)].astype(np.int64)
+                    counts += (g[:, :-1] > g[:, 1:]).ravel().astype(np.int64)
+                bits = counts * 2 > len(frames)
+                val = 0
+                for i, b in enumerate(bits):
+                    if b:
+                        val |= 1 << i
+                if val >= 1 << 63:
+                    val -= 1 << 64
+                ids.append(item_id)
+                fps.append(val)
+                nframes.append(len(frames))
+            yield pd.DataFrame(
+                {
+                    "item_id": ids,
+                    "vfp": pd.array(fps, dtype="int64"),
+                    "n_frames": pd.array(nframes, dtype="int32"),
+                }
+            )
+
+    return media.mapInPandas(run, "item_id long, vfp long, n_frames int")
+
+
 def jpeg_encode_stage(media: DataFrame, width: int = 16) -> DataFrame:
     """Encode each item's payload bytes as a deterministic baseline JPEG
     (pure-stdlib encoder, pipeline/jpeg.py): bytes are forced even

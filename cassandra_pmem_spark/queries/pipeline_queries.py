@@ -863,6 +863,110 @@ SELECT a, b, hamming FROM cand WHERE hamming <= 2
 """
 
 
+def multimodal_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal video near-dup detection over the REAL animated-GIF
+    path: every doc gets a deterministic 5-frame 9×8 animation (one
+    shared base per group of 8 ids, one pixel of one frame perturbed per
+    member), encoded as GIF89a and decoded through the real LZW decoder,
+    fingerprinted by per-bit MAJORITY over the frames' dHashes
+    (multimodal.video_fingerprint_stage) — frame-level edits are
+    absorbed unless most frames change — and paired by the shared banded
+    hamming join. GIF is lossless for palette frames, so the oracle
+    recomputes every frame bit, the majority vote, and the chunk join in
+    closed-form SQL."""
+    from cassandra_pmem_spark.pipeline.dedup import hamming_pairs
+    from cassandra_pmem_spark.pipeline.multimodal import video_fingerprint_stage
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from cassandra_pmem_spark.pipeline.gif import encode_gif, grayscale_palette
+
+        pal = grayscale_palette()
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                g = d // 8
+                xs = np.arange(9)
+                ys = np.arange(8)
+                frames = []
+                for f in range(5):
+                    base = g * 31 + xs[None, :] * 7 + ys[:, None] * 13 + f * 29
+                    img = ((base * base) % 251).astype(np.uint8)
+                    if f == d % 5:
+                        img[0, 0] = ((g * 31 + f * 29) ** 2 + (d % 3) * 2) % 251
+                    frames.append(img)
+                ids.append(d)
+                blobs.append(encode_gif(frames, palette=pal))
+            yield pd.DataFrame({"item_id": ids, "data": blobs})
+
+    media = docs.mapInPandas(synth, "item_id long, data binary")
+    fp = video_fingerprint_stage(media)
+    pairs = hamming_pairs(fp, id_col="item_id", hash_col="vfp", max_hamming=2)
+    return pairs.select("a", "b", F.col("hamming").cast("int").alias("hamming"))
+
+
+def _video_dedup_oracle() -> str:
+    g = "(doc_id // 8)"
+
+    def pix(x: int, y: int) -> str:
+        b = f"({g} * 31 + {x * 7 + y * 13} + u.f * 29)"
+        base = f"(({b} * {b}) % 251)"
+        if x == 0 and y == 0:
+            pert = (
+                f"((({g} * 31 + u.f * 29) * ({g} * 31 + u.f * 29) "
+                f"+ (doc_id % 3) * 2) % 251)"
+            )
+            return f"(CASE WHEN u.f = doc_id % 5 THEN {pert} ELSE {base} END)"
+        return base
+
+    bit_cols = []
+    for y in range(8):
+        for x in range(8):
+            i = y * 8 + x
+            bit_cols.append(
+                f"(CASE WHEN {pix(x, y)} > {pix(x + 1, y)} THEN 1 ELSE 0 END) AS b{i}"
+            )
+    maj_terms = [
+        f"(CASE WHEN 2 * sum(b{i}) > 5 THEN {1 << i}::HUGEINT ELSE 0::HUGEINT END)"
+        for i in range(64)
+    ]
+    return f"""
+WITH fb AS (
+  SELECT doc_id, {', '.join(bit_cols)}
+  FROM documents, UNNEST(range(0, 5)) u(f)
+  WHERE doc_id < 200
+), maj AS (
+  SELECT doc_id AS id, ({' + '.join(maj_terms)}) AS fpu
+  FROM fb GROUP BY doc_id
+), signed AS (
+  SELECT id, fpu,
+         (CASE WHEN fpu >= {1 << 63}::HUGEINT
+               THEN (fpu - {1 << 64}::HUGEINT)::BIGINT
+               ELSE fpu::BIGINT END) AS fp
+  FROM maj
+), chunks AS (
+  SELECT id, fp, v.i, (fpu // v.d) % 65536 AS ch
+  FROM signed, (VALUES (0, 1::HUGEINT), (1, 65536::HUGEINT),
+                       (2, 4294967296::HUGEINT),
+                       (3, 281474976710656::HUGEINT)) v(i, d)
+), cand AS (
+  SELECT DISTINCT l.id AS a, r.id AS b,
+         CAST(bit_count(xor(l.fp, r.fp)) AS INTEGER) AS hamming
+  FROM chunks l JOIN chunks r ON l.i = r.i AND l.ch = r.ch AND l.id < r.id
+)
+SELECT a, b, hamming FROM cand WHERE hamming <= 2
+"""
+
+
 def pipeline_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled domain mixture sampling
     (pipeline/packing.domain_mixture_sample — the multilingual
@@ -2902,6 +3006,7 @@ QUERIES = {
     "dedup_substring_spans": (dedup_substring_spans, _SUBSTRING_DEDUP_ORACLE),
     "multimodal_image_dedup": (multimodal_image_dedup, _image_dedup_oracle()),
     "multimodal_audio_dedup": (multimodal_audio_dedup, _audio_dedup_oracle()),
+    "multimodal_video_dedup": (multimodal_video_dedup, _video_dedup_oracle()),
     "text_decontaminate": (text_decontaminate, _DECONTAM_ORACLE),
     "source_compressed_chunks": (source_compressed_chunks, _COMPRESSED_ORACLE),
     "text_ngram_lm_ppl": (text_ngram_lm_ppl, _NGRAM_LM_ORACLE),

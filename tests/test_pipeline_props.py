@@ -1700,3 +1700,44 @@ class TestImageDhash:
         ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")  # noqa: E731
         assert ham(got[1], got[2]) <= 2  # one pixel touches ≤2 row-gradient bits
         assert ham(got[1], got[3]) > 10  # unrelated images are far apart
+
+
+class TestVideoFingerprint:
+    def test_single_frame_edit_absorbed_by_majority(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from cassandra_pmem_spark.pipeline.gif import encode_gif, grayscale_palette
+        from cassandra_pmem_spark.pipeline.multimodal import video_fingerprint_stage
+
+        pal = grayscale_palette()
+        # a static scene: every bit is 0-or-5 across frames, so one
+        # corrupted frame can never reach the 3-vote majority
+        img = (((np.arange(72).reshape(8, 9) * 13) ** 2) % 251).astype(np.uint8)
+        base_frames = [img.copy() for _ in range(5)]
+        glitched = [f.copy() for f in base_frames]
+        glitched[2][:, :] = 0  # one frame entirely corrupted
+        other = [
+            (((np.arange(72).reshape(8, 9) * 17 + f * 31 + 90) ** 2) % 251).astype(
+                np.uint8
+            )
+            for f in range(5)
+        ]
+        media = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "item_id": [1, 2, 3],
+                    "data": [
+                        encode_gif(base_frames, palette=pal),
+                        encode_gif(glitched, palette=pal),
+                        encode_gif(other, palette=pal),
+                    ],
+                }
+            )
+        )
+        got = {r.item_id: r for r in video_fingerprint_stage(media).collect()}
+        assert got[1].n_frames == 5
+        ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")  # noqa: E731
+        # a whole corrupted frame is outvoted 4-1 on every bit
+        assert ham(got[1].vfp, got[2].vfp) == 0
+        assert ham(got[1].vfp, got[3].vfp) > 10
