@@ -157,6 +157,37 @@ class _WriteParser(_Parser):
         self._end()
         return table, dict(zip(cols, vals)), using, cond
 
+    def collection_literal(self, params: list[Any], cursor: list[int]):
+        """``[a, b]`` list / ``{a, b}`` set / ``{k: v}`` map literal
+        (Parser.g collectionLiteral). Returns (kind, value) with kind in
+        'list' | 'set' | 'map' | 'empty' (bare ``{}`` — set or map, the
+        column's declared type decides)."""
+        t = self.next()
+        if t.text == "[":
+            vals = []
+            if not self.accept_punct("]"):
+                vals.append(self.literal(params, cursor))
+                while self.accept_punct(","):
+                    vals.append(self.literal(params, cursor))
+                self.expect_punct("]")
+            return ("list", vals)
+        if self.accept_punct("}"):
+            return ("empty", None)
+        first = self.literal(params, cursor)
+        if self.accept_punct(":"):
+            m = {first: self.literal(params, cursor)}
+            while self.accept_punct(","):
+                k = self.literal(params, cursor)
+                self.expect_punct(":")
+                m[k] = self.literal(params, cursor)
+            self.expect_punct("}")
+            return ("map", m)
+        vals = [first]
+        while self.accept_punct(","):
+            vals.append(self.literal(params, cursor))
+        self.expect_punct("}")
+        return ("set", vals)
+
     def update_statement(self, params: list[Any], cursor: list[int] | None = None):
         cursor = [0] if cursor is None else cursor
         self.expect_kw("update")
@@ -193,11 +224,26 @@ class _WriteParser(_Parser):
                     raise InvalidRequest("counter update must be col = col +/- n")
                 p = self.peek()
                 if p.kind == "punct" and p.text in "{[":
-                    self._skim_collection_literal()
-                    elem_ops.append(("coll_delta", col, sign.text))
+                    lit = self.collection_literal(params, cursor)
+                    elem_ops.append(("coll_delta", col, sign.text, lit))
                 else:
                     n = self.literal(params, cursor)
                     deltas[col] = n if sign.text == "+" else -n
+            elif nxt.kind == "punct" and nxt.text in "{[":
+                lit = self.collection_literal(params, cursor)
+                after = self.peek()
+                if after.kind == "op" and after.text == "+":
+                    # SET l = [x] + l — Lists.Prepender
+                    self.next()
+                    rhs = self.ident()
+                    if rhs != col:
+                        raise InvalidRequest(
+                            "prepend must target the same column: "
+                            f"SET {col} = [...] + {col}"
+                        )
+                    elem_ops.append(("coll_prepend", col, lit))
+                else:
+                    elem_ops.append(("coll_set", col, lit))
             else:
                 sets[col] = self.literal(params, cursor)
             if not self.accept_punct(","):
@@ -207,19 +253,6 @@ class _WriteParser(_Parser):
         cond = self.if_clause(params, cursor)
         self._end()
         return table, sets, deltas, key, using, cond, elem_ops
-
-    def _skim_collection_literal(self) -> None:
-        """Consume a balanced {...} / [...] literal (the value itself is not
-        needed — every textual collection mutation ends in validation)."""
-        t = self.next()
-        close = {"{": "}", "[": "]"}[t.text]
-        depth = 1
-        while depth:
-            t = self.next()
-            if t.kind == "punct" and t.text in "{[":
-                depth += 1
-            elif t.kind == "punct" and t.text in "}]":
-                depth -= 1
 
     def delete_statement(self, params: list[Any], cursor: list[int] | None = None):
         cursor = [0] if cursor is None else cursor
@@ -531,13 +564,63 @@ class CqlWriteSession:
                 )
             if not self._condition_holds(cond, self._key_of(key)):
                 return False
-            cells = dict(key)
-            cells.update(sets)
             elem_cells: dict = {}
+            rmw_row: list = [None]  # lazy point read for read-modify-write ops
+
+            def current_value(c):
+                if rmw_row[0] is None:
+                    rmw_row[0] = self._read_visible(self._key_of(key)) or {}
+                return rmw_row[0].get(c)
+
             for op in elem_ops:
-                if op[0] == "set_elem":
+                kind, _frozen = self._collection_kind(op[1])
+                if op[0] == "set_elem" and kind == "map":
                     _, ecol, ekey, eval_ = op
                     elem_cells.setdefault(ecol, {})[ekey] = eval_
+                elif op[0] == "set_elem":
+                    # list index write: the reference reads the row to
+                    # resolve the index (Lists.SetterByIndex) — same here
+                    _, ecol, idx, eval_ = op
+                    cur = list(current_value(ecol) or [])
+                    if not isinstance(idx, int) or idx < 0 or idx >= len(cur):
+                        raise InvalidRequest(
+                            f"List index {idx} out of bound, list has size {len(cur)}"
+                        )
+                    cur[idx] = eval_
+                    sets[ecol] = cur
+                elif op[0] == "coll_set":
+                    _, ecol, (_lk, val) = op
+                    if kind == "set":
+                        sets[ecol] = sorted(set(val or []))
+                    elif kind == "map":
+                        sets[ecol] = dict(val or {})
+                    else:
+                        sets[ecol] = list(val or [])
+                elif op[0] == "coll_prepend":
+                    _, ecol, (_lk, val) = op
+                    sets[ecol] = list(val or []) + list(current_value(ecol) or [])
+                elif op[0] == "coll_delta":
+                    _, ecol, sign, (_lk, val) = op
+                    cur = current_value(ecol)
+                    if kind == "set":
+                        cs, vs = set(cur or []), set(val or [])
+                        sets[ecol] = sorted(cs | vs if sign == "+" else cs - vs)
+                    elif kind == "list":
+                        cl, vl = list(cur or []), list(val or [])
+                        if sign == "+":
+                            sets[ecol] = cl + vl
+                        else:  # Lists.Discarder removes ALL occurrences
+                            sets[ecol] = [x for x in cl if x not in vl]
+                    else:  # map: + put (RHS wins), - remove keys
+                        cm = dict(cur or {})
+                        if sign == "+":
+                            cm.update(val or {})
+                        else:
+                            for mk in val or []:
+                                cm.pop(mk, None)
+                        sets[ecol] = cm
+            cells = dict(key)
+            cells.update(sets)
             self._record(
                 cells, using, deltas=deltas, forced_ts=forced_ts,
                 elem_cells=elem_cells, row_live=bool(deltas),
@@ -572,16 +655,39 @@ class CqlWriteSession:
             if elem_dels:
                 # DELETE m['k'] — per-cell tombstone: a cell-level delete
                 # mutation shadows only that map entry (Maps.DiscarderByKey
-                # semantics; the entry's own liveness decides the merge)
+                # semantics; the entry's own liveness decides the merge).
+                # DELETE l[i] resolves the index by reading the row
+                # (Lists.DiscarderByIndex) and rewrites the shifted list.
                 elem_cells: dict = {}
+                list_sets: dict = {}
+                row_cache: list = [None]
                 for _, ecol, ekey in elem_dels:
-                    elem_cells.setdefault(ecol, {})[ekey] = None
-                self._mutations.append(
-                    Mutation(
-                        self._key_of(key), dict(key), wt,
-                        elem_cells=elem_cells, row_live=False,
+                    kind, _frozen = self._collection_kind(ecol)
+                    if kind == "map":
+                        elem_cells.setdefault(ecol, {})[ekey] = None
+                        continue
+                    if row_cache[0] is None:
+                        row_cache[0] = self._read_visible(self._key_of(key)) or {}
+                    cur = list(row_cache[0].get(ecol) or [])
+                    if not isinstance(ekey, int) or ekey < 0 or ekey >= len(cur):
+                        raise InvalidRequest(
+                            f"List index {ekey} out of bound, list has size {len(cur)}"
+                        )
+                    del cur[ekey]
+                    list_sets[ecol] = cur
+                if elem_cells:
+                    self._mutations.append(
+                        Mutation(
+                            self._key_of(key), dict(key), wt,
+                            elem_cells=elem_cells, row_live=False,
+                        )
                     )
-                )
+                if list_sets:
+                    cells2 = dict(key)
+                    cells2.update(list_sets)
+                    self._mutations.append(
+                        Mutation(self._key_of(key), cells2, wt, row_live=False)
+                    )
             if cols:
                 self._cell_tombs.append(CellTombstone(self._key_of(key), cols, wt))
             elif not elem_dels:
@@ -607,41 +713,58 @@ class CqlWriteSession:
     ) -> None:
         validate_batch_pieces(kind, has_batch_ts, pieces, params, cursor)
 
+    def _collection_kind(self, col: str) -> tuple[str | None, bool]:
+        """(declared collection kind | None, frozen?) for a column."""
+        by_name = {f.name: f.dataType for f in self.meta.schema.fields}
+        dt = by_name.get(col)
+        if dt is None:
+            raise InvalidRequest(f"undefined column {col!r}")
+        info = self.collection_info
+        kind = (info.kinds.get(col) if info else None) or (
+            "map"
+            if isinstance(dt, T.MapType)
+            else "list" if isinstance(dt, T.ArrayType) else None
+        )
+        return kind, bool(info and col in info.frozen)
+
     def _validate_elem_ops(self, elem_ops: list) -> None:
         """Reference rejection rules for textual collection mutations
         (CollectionsTest / FrozenCollectionsTest ports):
 
-        - frozen collections accept only full-value writes — element
-          assignment, element delete, and add/discard all raise;
+        - frozen collections accept only full-value writes (coll_set) —
+          element assignment, element delete, add/discard, prepend raise;
         - sets have no element assignment and no element delete (remove is
           ``s = s - {...}``; Sets.java defines no SetterByIndex/ByKey);
-        - element ops on a non-collection column are invalid;
-        - MAP element set/delete are legal and APPLIED per cell (each map
-          entry carries its own liveness — Maps.SetterByKey:349 /
-          DiscarderByKey, db/rows/Cell.java) — they pass validation;
-        - list element writes and textual add/discard are not implemented
-          by this text surface — they raise a clearly-marked
-          InvalidRequest pointing at the DataFrame operators
-          (operators/collections.py), which implement the semantics.
+        - prepend is list-only; add/discard literals must shape-match the
+          column (a map takes ``m + {k: v}`` and ``m - {keys}``);
+        - element ops on a non-collection column are invalid.
+
+        Everything legal is APPLIED: map element set/delete per cell
+        (own liveness), list index set/delete and add/discard/prepend by
+        read-modify-write — the reference itself reads before writing for
+        list index operations (Lists.SetterByIndex/DiscarderByIndex), so
+        that path is exact parity; for set/map add/discard the fold
+        happens at statement time rather than cell merge time, a
+        documented granularity deviation.
         """
         if not elem_ops:
             return
-        by_name = {f.name: f.dataType for f in self.meta.schema.fields}
-        info = self.collection_info
-        for op, col, *_rest in elem_ops:
-            dt = by_name.get(col)
-            if dt is None:
-                raise InvalidRequest(f"undefined column {col!r}")
-            kind = (info.kinds.get(col) if info else None) or (
-                "map"
-                if isinstance(dt, T.MapType)
-                else "list" if isinstance(dt, T.ArrayType) else None
-            )
-            frozen = bool(info and col in info.frozen)
+        for op, col, *rest in elem_ops:
+            kind, frozen = self._collection_kind(col)
             if kind is None:
                 raise InvalidRequest(
                     f"invalid element operation on non-collection column {col!r}"
                 )
+            if op == "coll_set":
+                lk = rest[0][0]
+                # bare {} is ambiguous set-or-map; [] only parses as list
+                allowed = {"list": ("list",), "set": ("set", "empty"),
+                           "map": ("map", "empty")}[kind]
+                if lk not in allowed:
+                    raise InvalidRequest(
+                        f"invalid {lk} literal for {kind} column {col!r}"
+                    )
+                continue  # full-value writes are legal even on frozen
             if frozen:
                 raise InvalidRequest(
                     f"invalid operation on frozen collection column {col!r}: "
@@ -657,13 +780,28 @@ class CqlWriteSession:
                     f"invalid deletion operation on set column {col!r}: "
                     "remove elements with s = s - {...}"
                 )
-            if kind == "map" and op in ("set_elem", "del_elem"):
-                continue  # legal — applied as a per-cell mutation
-            raise InvalidRequest(
-                f"collection element writes on {col!r} are not supported by "
-                "the text surface; use the DataFrame operators "
-                "(operators/collections.py)"
-            )
+            if op == "coll_prepend" and kind != "list":
+                raise InvalidRequest(
+                    f"prepend is only defined for lists, not {kind} column {col!r}"
+                )
+            if op == "coll_delta":
+                sign, (lk, _v) = rest[0], rest[1]
+                if kind == "list" and lk not in ("list", "empty"):
+                    raise InvalidRequest(
+                        f"list add/discard on {col!r} takes a [...] literal"
+                    )
+                if kind == "set" and lk not in ("set", "empty"):
+                    raise InvalidRequest(
+                        f"set add/discard on {col!r} takes a {{...}} literal"
+                    )
+                if kind == "map" and sign == "+" and lk not in ("map", "empty"):
+                    raise InvalidRequest(
+                        f"map put on {col!r} takes a {{k: v}} literal"
+                    )
+                if kind == "map" and sign == "-" and lk not in ("set", "empty"):
+                    raise InvalidRequest(
+                        f"map key removal on {col!r} takes a {{keys}} literal"
+                    )
 
     def _condition_holds(self, cond, key: tuple) -> bool:
         """LWT condition evaluation (ColumnCondition.Bound.appliesTo:228;
@@ -673,11 +811,7 @@ class CqlWriteSession:
         only the compare semantics carry over."""
         if cond is None:
             return True
-        current = self.table()
-        flt = F.lit(True)
-        for kc, kv in zip(self.meta.primary_key, key):
-            flt = flt & (F.col(kc) == F.lit(kv))
-        row = current.filter(flt).limit(1).collect()
+        row = self._read_visible_rows(key)
         if cond[0] == "exists":
             return bool(row)
         if cond[0] == "not_exists":
@@ -696,6 +830,20 @@ class CqlWriteSession:
             if not ops[op](cur, val):
                 return False
         return True
+
+    def _read_visible_rows(self, key: tuple) -> list:
+        """Point read of the current visible row for a full primary key —
+        the reference's read-before-write (LWT conditions, list index
+        resolution). Bounded: one key, limit 1."""
+        current = self.table()
+        flt = F.lit(True)
+        for kc, kv in zip(self.meta.primary_key, key):
+            flt = flt & (F.col(kc) == F.lit(kv))
+        return current.filter(flt).limit(1).collect()
+
+    def _read_visible(self, key: tuple) -> dict | None:
+        row = self._read_visible_rows(key)
+        return row[0].asDict() if row else None
 
     def _snapshot(self) -> tuple:
         """Buffer watermark for batch rollback. Inner batch statements only

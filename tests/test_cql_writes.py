@@ -418,12 +418,21 @@ class TestCollectionMutationRejections:
         with pytest.raises(InvalidRequest, match="undefined column"):
             db.execute("UPDATE coll SET ghost[0] = 1 WHERE k = 0")
 
-    def test_legal_list_element_write_surfaced_as_unsupported(self, spark):
-        # reference-LEGAL (Lists.SetterByIndex) — this surface rejects it
-        # with an explicit pointer at the implementing DataFrame operators
+    def test_list_index_write_reads_then_writes(self, spark):
+        # Lists.SetterByIndex: the reference resolves the index by reading
+        # the row first — same here; out-of-bounds raises its message
         db = self._db(spark)
-        with pytest.raises(InvalidRequest, match="operators/collections"):
-            db.execute("UPDATE coll SET l[0] = 'x' WHERE k = 0")
+        db.execute("UPDATE coll SET l = ['a', 'b', 'c'] WHERE k = 0")
+        db.execute("UPDATE coll SET l[1] = 'B' WHERE k = 0")
+        assert db.execute("SELECT l FROM coll WHERE k = 0").collect()[0][0] == [
+            "a", "B", "c",
+        ]
+        db.execute("DELETE l[0] FROM coll WHERE k = 0")
+        assert db.execute("SELECT l FROM coll WHERE k = 0").collect()[0][0] == [
+            "B", "c",
+        ]
+        with pytest.raises(InvalidRequest, match="out of bound"):
+            db.execute("UPDATE coll SET l[9] = 'x' WHERE k = 0")
 
     def test_map_element_write_applies_per_cell(self, spark):
         """Map element writes are APPLIED with per-cell liveness
@@ -442,10 +451,15 @@ class TestCollectionMutationRejections:
         db.execute("DELETE m['a'] FROM coll USING TIMESTAMP 400 WHERE k = 0")
         assert db.execute("SELECT m FROM coll WHERE k = 0").collect()[0][0] == {"b": 2}
 
-    def test_collection_add_on_plain_set_surfaced_as_unsupported(self, spark):
+    def test_set_add_discard_keeps_invariant(self, spark):
+        # Sets.Adder/Discarder through statement text: sorted + unique
         db = self._db(spark)
-        with pytest.raises(InvalidRequest, match="operators/collections"):
-            db.execute("UPDATE coll SET s = s + {'x'} WHERE k = 0")
+        db.execute("UPDATE coll SET s = {'z', 'a'} WHERE k = 0")
+        db.execute("UPDATE coll SET s = s + {'m', 'a'} WHERE k = 0")
+        db.execute("UPDATE coll SET s = s - {'z'} WHERE k = 0")
+        assert db.execute("SELECT s FROM coll WHERE k = 0").collect()[0][0] == [
+            "a", "m",
+        ]
 
     def test_scalar_writes_still_work_alongside(self, spark):
         db = self._db(spark)
