@@ -419,9 +419,122 @@ GROUP BY user_id
 """
 
 
+_CT_META = TableMeta(
+    "ct",
+    T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("l", T.ArrayType(T.StringType())),
+            T.StructField("s", T.ArrayType(T.StringType())),
+            T.StructField("m", T.MapType(T.StringType(), T.LongType(), True)),
+        ]
+    ),
+    partition_key=("user_id",),
+)
+
+
+def cql_collection_text_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full TEXTUAL collection mutation surface in one statement-driven
+    query (cql3/Operation.java:155-497 — Lists.Appender/Prepender/
+    SetterByIndex/DiscarderByIndex, Sets.Adder/Discarder, Maps.Putter/
+    DiscarderByKey): per-user list/set/map built from the events log as
+    the session base, then eight bounded statements exercise append,
+    prepend, set add/discard, map put/key-removal, and the
+    read-before-write list index ops. The oracle rebuilds the base and
+    applies each op as a per-user CASE — results must match element for
+    element, order for order."""
+    from cassandra_pmem_spark.operators.collections import sorted_entries
+    from cassandra_pmem_spark.cql.writes import CollectionInfo
+
+    ev = load_table(spark, "events", sf_dir).filter(F.col("user_id") < 30)
+    seq = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+        lambda x: x["event_type"],
+    )
+    lists = ev.groupBy("user_id").agg(
+        seq.alias("l"), F.array_sort(F.collect_set("event_type")).alias("s")
+    )
+    cents = F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100).cast("long")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.max_by(cents, "event_id").alias("cents")
+    )
+    maps = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "cents")))
+        ).alias("m")
+    )
+    base = lists.join(maps, "user_id")
+    info = CollectionInfo(kinds={"l": "list", "s": "set", "m": "map"}, frozen=frozenset())
+    sess = CqlWriteSession(spark, _CT_META, base=base, collection_info=info)
+    sess.execute("UPDATE ct SET l = l + ['end'] WHERE user_id = 1")
+    sess.execute("UPDATE ct SET l = ['start'] + l WHERE user_id = 2")
+    sess.execute("UPDATE ct SET s = s + {'extra'} WHERE user_id = 3")
+    sess.execute("UPDATE ct SET s = s - {'view'} WHERE user_id = 4")
+    sess.execute("UPDATE ct SET m = m + {'bonus': 100} WHERE user_id = 5")
+    sess.execute("UPDATE ct SET m = m - {'view'} WHERE user_id = 6")
+    sess.execute("DELETE l[0] FROM ct WHERE user_id = 7")
+    sess.execute("UPDATE ct SET l[0] = 'first' WHERE user_id = 8")
+    out = sess.table()
+    return out.select(
+        "user_id",
+        F.array_join("l", ",").alias("list_col"),
+        F.array_join("s", ",").alias("set_col"),
+        F.array_join(
+            F.transform(
+                sorted_entries("m"),
+                lambda e: F.concat(e["key"], F.lit(":"), e["value"].cast("string")),
+            ),
+            ",",
+        ).alias("map_col"),
+    )
+
+
+_COLLECTION_TEXT_ORACLE = """
+WITH ev AS (
+  SELECT user_id, ts, event_id, event_type, value FROM events WHERE user_id < 30
+), lst AS (
+  SELECT user_id, list(event_type ORDER BY ts, event_id) AS l,
+         list_sort(list_distinct(list(event_type))) AS s
+  FROM ev GROUP BY user_id
+), lmod AS (
+  SELECT user_id,
+    CASE user_id
+      WHEN 1 THEN l || ['end']
+      WHEN 2 THEN ['start'] || l
+      WHEN 7 THEN l[2:]
+      WHEN 8 THEN ['first'] || l[2:]
+      ELSE l END AS l,
+    CASE user_id
+      WHEN 3 THEN list_sort(list_distinct(s || ['extra']))
+      WHEN 4 THEN list_filter(s, x -> x != 'view')
+      ELSE s END AS s
+  FROM lst
+), per_type AS (
+  SELECT user_id, event_type,
+         arg_max(CAST(floor(coalesce(value, 0) * 100) AS BIGINT), event_id) AS cents
+  FROM ev GROUP BY user_id, event_type
+), entries AS (
+  SELECT user_id, event_type, cents FROM per_type
+  WHERE NOT (user_id = 6 AND event_type = 'view')
+  UNION ALL SELECT 5, 'bonus', 100
+), mp AS (
+  SELECT user_id,
+    array_to_string(
+      list_sort(list(event_type || ':' || CAST(cents AS VARCHAR))), ',') AS map_col
+  FROM entries GROUP BY user_id
+)
+SELECT lmod.user_id,
+       array_to_string(lmod.l, ',') AS list_col,
+       array_to_string(lmod.s, ',') AS set_col,
+       mp.map_col
+FROM lmod JOIN mp ON lmod.user_id = mp.user_id
+"""
+
+
 QUERIES = {
     "cql_delete_tombstones": (cql_delete_tombstones, _DELETE_TOMBSTONES_ORACLE),
     "cql_map_cell_liveness": (cql_map_cell_liveness, _MAP_CELL_ORACLE),
+    "cql_collection_text_ops": (cql_collection_text_ops, _COLLECTION_TEXT_ORACLE),
     "cql_lwt_conditional": (cql_lwt_conditional, _LWT_ORACLE),
     "cql_batch_apply": (cql_batch_apply, _BATCH_ORACLE),
     "cql_truncate_reload": (cql_truncate_reload, _TRUNCATE_ORACLE),
