@@ -308,3 +308,105 @@ class TestBatchAtomicityProperty:
         )
         assert after_lens == snap_lens
         assert sorted(tuple(r) for r in sess.table().collect()) == before
+
+
+MAP_META = TableMeta(
+    "pm",
+    T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("m", T.MapType(T.StringType(), T.LongType(), True)),
+        ]
+    ),
+    partition_key=("k",),
+)
+
+
+class MapCellModel:
+    """Reference map-cell semantics: one (value, writetime) per entry,
+    None = cell tombstone; a full map write is a complex deletion at
+    wt-1 plus its cells; row visible iff INSERT liveness or a live cell."""
+
+    def __init__(self):
+        self.cells: dict = {}  # k -> {mk: (val | None, wt)}
+        self.cdel: dict = {}   # k -> complex deletion ts
+        self.live: set = set()
+
+    def _cell(self, k, mk, v, wt):
+        cur = self.cells.setdefault(k, {})
+        if mk not in cur or cur[mk][1] < wt:
+            cur[mk] = (v, wt)
+
+    def full(self, k, d, wt):
+        self.cdel[k] = max(self.cdel.get(k, -1), wt - 1)
+        for mk, v in d.items():
+            self._cell(k, mk, v, wt)
+
+    def visible(self) -> dict:
+        out = {}
+        for k in set(self.cells) | self.live:
+            dd = self.cdel.get(k, -1)
+            m = {
+                mk: v
+                for mk, (v, wt) in self.cells.get(k, {}).items()
+                if v is not None and wt > dd
+            }
+            if m:
+                out[k] = m
+            elif k in self.live:
+                out[k] = None
+        return out
+
+
+@st.composite
+def map_ops(draw):
+    n = draw(st.integers(min_value=6, max_value=16))
+    ops = [
+        (
+            draw(st.sampled_from(["full", "set_elem", "del_elem", "live"])),
+            draw(st.sampled_from([1, 2])),
+            draw(st.sampled_from(["a", "b"])),
+            draw(st.integers(min_value=1, max_value=3)),
+            draw(st.booleans()),  # for full: include second key too
+        )
+        for _ in range(n)
+    ]
+    wts = draw(st.permutations(list(range(1, n + 1))))
+    return list(zip(ops, wts))
+
+
+class TestMapCellProperty:
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(ops=map_ops())
+    def test_session_matches_map_cell_model(self, spark, ops):
+        sess = CqlWriteSession(spark, MAP_META)
+        model = MapCellModel()
+        for (kind, k, mk, v, both), wt in ops:
+            if kind == "full":
+                d = {mk: v}
+                if both:
+                    d["b" if mk == "a" else "a"] = v + 1
+                lit = ", ".join(f"'{mk2}': {v2}" for mk2, v2 in d.items())
+                sess.execute(
+                    f"UPDATE pm USING TIMESTAMP {wt} SET m = {{{lit}}} WHERE k = {k}"
+                )
+                model.full(k, d, wt)
+            elif kind == "set_elem":
+                sess.execute(
+                    f"UPDATE pm USING TIMESTAMP {wt} SET m['{mk}'] = {v} WHERE k = {k}"
+                )
+                model._cell(k, mk, v, wt)
+            elif kind == "del_elem":
+                sess.execute(
+                    f"DELETE m['{mk}'] FROM pm USING TIMESTAMP {wt} WHERE k = {k}"
+                )
+                model._cell(k, mk, None, wt)
+            else:
+                sess.execute(f"INSERT INTO pm (k) VALUES ({k}) USING TIMESTAMP {wt}")
+                model.live.add(k)
+        got = {r.k: r.m for r in sess.table().collect()}
+        assert got == model.visible()
