@@ -144,9 +144,18 @@ class _WriteParser(_Parser):
         self.expect_punct(")")
         self.expect_kw("values")
         self.expect_punct("(")
-        vals = [self.literal(params, cursor)]
+
+        def value():
+            p = self.peek()
+            if p.kind == "punct" and p.text in "{[":
+                # collection literal — tagged for kind-aware conversion
+                # at execute time (the parser has no schema)
+                return ("__coll__",) + self.collection_literal(params, cursor)
+            return self.literal(params, cursor)
+
+        vals = [value()]
         while self.accept_punct(","):
-            vals.append(self.literal(params, cursor))
+            vals.append(value())
         self.expect_punct(")")
         if len(cols) != len(vals):
             raise InvalidRequest("INSERT column/value count mismatch")
@@ -513,6 +522,12 @@ class CqlWriteSession:
         p = _WriteParser(_tokenize(cql))
         if head == "insert":
             _, cells, using, cond = p.insert_statement(params, cursor)
+            cells = {
+                c: self._convert_coll(c, v)
+                if isinstance(v, tuple) and v[:1] == ("__coll__",)
+                else v
+                for c, v in cells.items()
+            }
             if counters:
                 # UpdateStatement.java:145
                 raise InvalidRequest(
@@ -712,6 +727,26 @@ class CqlWriteSession:
         self, kind: str | None, has_batch_ts: bool, pieces: list, params: list, cursor: list
     ) -> None:
         validate_batch_pieces(kind, has_batch_ts, pieces, params, cursor)
+
+    def _convert_coll(self, col: str, tagged: tuple):
+        """Kind-aware conversion of a parsed collection literal (INSERT
+        values): shape-checked against the declared column, set invariant
+        normalized. Full-value writes are legal on frozen collections."""
+        _, lk, val = tagged
+        kind, _frozen = self._collection_kind(col)
+        if kind is None:
+            raise InvalidRequest(
+                f"invalid collection literal for non-collection column {col!r}"
+            )
+        allowed = {"list": ("list",), "set": ("set", "empty"),
+                   "map": ("map", "empty")}[kind]
+        if lk not in allowed:
+            raise InvalidRequest(f"invalid {lk} literal for {kind} column {col!r}")
+        if kind == "set":
+            return sorted(set(val or []))
+        if kind == "map":
+            return dict(val or {})
+        return list(val or [])
 
     def _collection_kind(self, col: str) -> tuple[str | None, bool]:
         """(declared collection kind | None, frozen?) for a column."""

@@ -783,3 +783,26 @@ class TestWritetimeListForm:
         r = db.execute("SELECT writetime(m), writetime(v) FROM t").collect()[0]
         assert r[0] == [200, 100]  # key order: a, b
         assert r[1] == 300
+
+
+class TestInsertCollectionLiterals:
+    def test_insert_values_take_collection_literals(self, spark):
+        """INSERT VALUES accepts [list] / {set} / {k: v} literals with
+        kind-aware conversion: list order kept, set invariant normalized,
+        shape mismatches rejected."""
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+        db = CqlDatabase(spark)
+        db.execute("CREATE KEYSPACE icl WITH REPLICATION = {'class': 'SimpleStrategy'}")
+        db.execute(
+            "CREATE TABLE icl.t (k bigint PRIMARY KEY, l list<text>, "
+            "s set<text>, m map<text, bigint>)"
+        )
+        db.execute(
+            "INSERT INTO t (k, l, s, m) VALUES "
+            "(1, ['b', 'a'], {'z', 'a', 'z'}, {'x': 1})"
+        )
+        r = db.execute("SELECT l, s, m FROM t").collect()[0]
+        assert r.l == ["b", "a"] and r.s == ["a", "z"] and r.m == {"x": 1}
+        with pytest.raises(InvalidRequest, match="invalid map literal"):
+            db.execute("INSERT INTO t (k, l) VALUES (2, {'not': 1})")
