@@ -95,11 +95,14 @@ _PRIORITY: tuple[str, ...] = (
 # r2-era set (cql_point_lookup — r2, not r1: it re-entered the round-2
 # window — plus cql_multipoint_in, cql_clustering_slice, cql_contains,
 # cql_upsert_lww_cells, cql_ttl_expiry, cql_select_json,
-# cql_parsed_select, csv_roundtrip, virtual_system_tables, …) and eight
+# cql_parsed_select, csv_roundtrip, virtual_system_tables, …), eight
 # r1 rows that did not fit (cql_per_partition_limit,
 # cql_distinct_partitions, analytics_topk_orders, analytics_set_ops,
 # cql_latest_events, cql_from_json, streaming_tumbling_batch,
-# streaming_session_batch) — those plus the r2 set lead round 7's window.
+# streaming_session_batch), and two round-6 queries added after the
+# window filled (multimodal_video_dedup, cql_collection_text_ops) —
+# those two never-evidenced rows lead round 7's window, then the r1/r2
+# backlog.
 
 
 def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
