@@ -324,6 +324,52 @@ FROM events GROUP BY 1
 """
 
 
+def streaming_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end exactly-once from a replayable stream into versioned
+    storage (streaming/snapshot_sink.py over sources/snapshots.py): the
+    events stream runs TWICE through foreachBatch into one snapshot
+    table — the second run on a FRESH checkpoint, which forces
+    Structured Streaming to redeliver the whole source as batch 0. The
+    applied-batch ledger rides inside each atomic manifest commit, so
+    the replay must be a no-op: the oracle aggregates the source
+    directly, and any duplicated delivery would double every count."""
+    import shutil
+    import tempfile
+
+    from cassandra_pmem_spark.catalog import TABLES
+    from cassandra_pmem_spark.queries.analytics import _events_stream
+    from cassandra_pmem_spark.sources.snapshots import SnapshotTable
+    from cassandra_pmem_spark.streaming.snapshot_sink import exactly_once_appender
+
+    path = os.path.join(_SCRATCH, "eo_sink_events")
+    shutil.rmtree(path, ignore_errors=True)
+    t = SnapshotTable(path)
+    t.create(spark.createDataFrame([], TABLES["events"].schema))
+    apply = exactly_once_appender(t)
+    for _attempt in range(2):  # second run = full redelivery, must no-op
+        ck = tempfile.mkdtemp(prefix="cps_eo_ck_")
+        try:
+            q = (
+                _events_stream(spark, sf_dir)
+                .writeStream.foreachBatch(apply)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+        finally:
+            shutil.rmtree(ck, ignore_errors=True)
+    return (
+        t.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("user_id").alias("sum_users"),
+            F.sum(F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100).cast("long")).alias("cents"),
+        )
+    )
+
+
 def source_snapshot_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-table time travel (sources/snapshots.py — SSTable
     immutability + `nodetool snapshot` re-expressed as a manifest
@@ -895,6 +941,15 @@ QUERIES = {
     "source_compaction_roundtrip": (
         source_compaction_roundtrip,
         _COMPACTION_ORACLE,
+    ),
+    "streaming_exactly_once_sink": (
+        streaming_exactly_once_sink,
+        """
+        SELECT event_type, count(*) AS n,
+               CAST(SUM(user_id) AS BIGINT) AS sum_users,
+               CAST(SUM(CAST(floor(coalesce(value, 0) * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY event_type
+        """,
     ),
     "source_snapshot_timetravel": (
         source_snapshot_timetravel,
