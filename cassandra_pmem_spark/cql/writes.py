@@ -1137,6 +1137,23 @@ class CqlWriteSession:
             visible = visible | F.col(f"_writetime_{col}").isNotNull()
         merged = merged.filter(visible)
 
+        # non-frozen empty collections read as NULL (CQL stores no cells
+        # for them — writing {} / [] deletes the column; frozen
+        # collections are single cells and keep their empty value)
+        info = self.collection_info
+        for col in value_cols:
+            dt = by_name[col].dataType
+            if not isinstance(dt, (T.ArrayType, T.MapType)):
+                continue
+            if info and col in info.frozen:
+                continue
+            sz = F.size(
+                F.map_keys(F.col(col)) if isinstance(dt, T.MapType) else F.col(col)
+            )
+            merged = merged.withColumn(
+                col, F.when(sz == 0, F.lit(None)).otherwise(F.col(col))
+            )
+
         if not with_shadows:
             return merged.select(*fields)
         # TTL(col): remaining liveness at `now` (defaults to the session's

@@ -806,3 +806,22 @@ class TestInsertCollectionLiterals:
         assert r.l == ["b", "a"] and r.s == ["a", "z"] and r.m == {"x": 1}
         with pytest.raises(InvalidRequest, match="invalid map literal"):
             db.execute("INSERT INTO t (k, l) VALUES (2, {'not': 1})")
+
+
+class TestEmptyCollectionsReadNull:
+    def test_empty_nonfrozen_collections_read_as_null(self, spark):
+        """CQL stores no cells for an empty non-frozen collection: writing
+        [] / {} or discarding the last element deletes the column (reads
+        NULL); frozen collections are single cells and keep empty values."""
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+        db = CqlDatabase(spark)
+        db.execute("CREATE KEYSPACE ecn WITH REPLICATION = {'class': 'SimpleStrategy'}")
+        db.execute(
+            "CREATE TABLE ecn.t (k bigint PRIMARY KEY, l list<text>, s set<text>)"
+        )
+        db.execute("INSERT INTO t (k, l, s) VALUES (1, ['a'], {'x'})")
+        db.execute("UPDATE t SET l = [] WHERE k = 1")
+        db.execute("UPDATE t SET s = s - {'x'} WHERE k = 1")
+        r = db.execute("SELECT l, s FROM t").collect()[0]
+        assert r.l is None and r.s is None
