@@ -104,6 +104,19 @@ class RangeTombstoneStmt:
     writetime: int
 
 
+def _expand_in_keys(d: dict) -> list[dict]:
+    """Cartesian expansion of IN-tagged key relations: UPDATE/DELETE with
+    ``ck IN (…)`` apply once per clustering combination
+    (StatementRestrictions / UpdateStatement addUpdateForKey loop)."""
+    combos: list[dict] = [{}]
+    for col, v in d.items():
+        if isinstance(v, tuple) and v[:1] == ("__in__",):
+            combos = [dict(c, **{col: x}) for c in combos for x in v[1]]
+        else:
+            combos = [dict(c, **{col: v}) for c in combos]
+    return combos
+
+
 class _WriteParser(_Parser):
     """Statement parsers for the write grammar (Parser.g:478,544,578)."""
 
@@ -316,25 +329,46 @@ class _WriteParser(_Parser):
                 break
         return ("conds", conds)
 
+    def _in_values(self, params, cursor) -> tuple:
+        """IN (v1, v2, …) on a key column (StatementRestrictions: UPDATE/
+        DELETE multiply the operation across the clustering combinations).
+        Tagged for expansion at execute time."""
+        self.expect_punct("(")
+        vals = [self.literal(params, cursor)]
+        while self.accept_punct(","):
+            vals.append(self.literal(params, cursor))
+        self.expect_punct(")")
+        return ("__in__", vals)
+
     def _key_relations(self, params, cursor) -> dict:
         out = {}
         while True:
             col = self.ident()
-            t = self.next()
-            if t.kind != "op" or t.text != "=":
-                raise InvalidRequest("write WHERE clauses support = on key columns only")
-            out[col] = self.literal(params, cursor)
+            if self.accept_kw("in"):
+                out[col] = self._in_values(params, cursor)
+            else:
+                t = self.next()
+                if t.kind != "op" or t.text != "=":
+                    raise InvalidRequest(
+                        "write WHERE clauses support =/IN on key columns only"
+                    )
+                out[col] = self.literal(params, cursor)
             if not self.accept_kw("and"):
                 break
         return out
 
     def _key_relations_with_ranges(self, params, cursor):
-        """DELETE WHERE clauses: EQ on key columns plus optional range
+        """DELETE WHERE clauses: EQ/IN on key columns plus optional range
         restrictions on a clustering column (range tombstones —
         db/RangeTombstone.java; DeleteStatement slice deletes)."""
         eq, ranges = {}, {}
         while True:
             col = self.ident()
+            if self.accept_kw("in"):
+                eq[col] = self._in_values(params, cursor)
+                if not self.accept_kw("and"):
+                    break
+                continue
             t = self.next()
             if t.kind != "op":
                 raise InvalidRequest("expected comparison in WHERE")
@@ -577,69 +611,21 @@ class CqlWriteSession:
                 raise InvalidRequest(
                     f"PRIMARY KEY part {sorted(bad_pk)} found in SET part"
                 )
-            if not self._condition_holds(cond, self._key_of(key)):
+            combos = _expand_in_keys(key)
+            if cond is not None and len(combos) != 1:
+                # ModificationStatement: IN is not supported with conditions
+                raise InvalidRequest(
+                    "IN on the clustering key columns is not supported "
+                    "with conditional updates"
+                )
+            if not self._condition_holds(cond, self._key_of(combos[0])):
                 return False
-            elem_cells: dict = {}
-            rmw_row: list = [None]  # lazy point read for read-modify-write ops
-
-            def current_value(c):
-                if rmw_row[0] is None:
-                    rmw_row[0] = self._read_visible(self._key_of(key)) or {}
-                return rmw_row[0].get(c)
-
-            for op in elem_ops:
-                kind, _frozen = self._collection_kind(op[1])
-                if op[0] == "set_elem" and kind == "map":
-                    _, ecol, ekey, eval_ = op
-                    elem_cells.setdefault(ecol, {})[ekey] = eval_
-                elif op[0] == "set_elem":
-                    # list index write: the reference reads the row to
-                    # resolve the index (Lists.SetterByIndex) — same here
-                    _, ecol, idx, eval_ = op
-                    cur = list(current_value(ecol) or [])
-                    if not isinstance(idx, int) or idx < 0 or idx >= len(cur):
-                        raise InvalidRequest(
-                            f"List index {idx} out of bound, list has size {len(cur)}"
-                        )
-                    cur[idx] = eval_
-                    sets[ecol] = cur
-                elif op[0] == "coll_set":
-                    _, ecol, (_lk, val) = op
-                    if kind == "set":
-                        sets[ecol] = sorted(set(val or []))
-                    elif kind == "map":
-                        sets[ecol] = dict(val or {})
-                    else:
-                        sets[ecol] = list(val or [])
-                elif op[0] == "coll_prepend":
-                    _, ecol, (_lk, val) = op
-                    sets[ecol] = list(val or []) + list(current_value(ecol) or [])
-                elif op[0] == "coll_delta":
-                    _, ecol, sign, (_lk, val) = op
-                    cur = current_value(ecol)
-                    if kind == "set":
-                        cs, vs = set(cur or []), set(val or [])
-                        sets[ecol] = sorted(cs | vs if sign == "+" else cs - vs)
-                    elif kind == "list":
-                        cl, vl = list(cur or []), list(val or [])
-                        if sign == "+":
-                            sets[ecol] = cl + vl
-                        else:  # Lists.Discarder removes ALL occurrences
-                            sets[ecol] = [x for x in cl if x not in vl]
-                    else:  # map: + put (RHS wins), - remove keys
-                        cm = dict(cur or {})
-                        if sign == "+":
-                            cm.update(val or {})
-                        else:
-                            for mk in val or []:
-                                cm.pop(mk, None)
-                        sets[ecol] = cm
-            cells = dict(key)
-            cells.update(sets)
-            self._record(
-                cells, using, deltas=deltas, forced_ts=forced_ts,
-                elem_cells=elem_cells, row_live=bool(deltas),
-            )
+            if len(combos) > 1 and forced_ts is None and "timestamp" not in using:
+                forced_ts = self._tick()  # ONE statement timestamp for all rows
+            for ckey in combos:
+                self._apply_update_row(
+                    ckey, dict(sets), deltas, elem_ops, using, forced_ts
+                )
         elif head == "delete":
             _, cols, key, ranges, using, cond, elem_dels = p.delete_statement(params, cursor)
             self._validate_elem_ops(elem_dels)
@@ -663,10 +649,24 @@ class CqlWriteSession:
                 bad = [c for c in ranges if c not in {c.name for c in self.meta.clustering}]
                 if bad:
                     raise InvalidRequest(f"range delete only on clustering columns; got {bad}")
-                self._range_tombs.append(RangeTombstoneStmt(dict(key), dict(ranges), wt))
+                for ckey in _expand_in_keys(key):
+                    self._range_tombs.append(
+                        RangeTombstoneStmt(dict(ckey), dict(ranges), wt)
+                    )
                 return True
-            if not self._condition_holds(cond, self._key_of(key)):
+            combos = _expand_in_keys(key)
+            if cond is not None and len(combos) != 1:
+                raise InvalidRequest(
+                    "IN on the clustering key columns is not supported "
+                    "with conditional updates"
+                )
+            if not self._condition_holds(cond, self._key_of(combos[0])):
                 return False
+            for key in combos:  # one tombstone set per clustering combination
+                self._apply_delete_row(key, cols, elem_dels, wt)
+        return True
+
+    def _apply_delete_row(self, key: dict, cols: list, elem_dels: list, wt: int) -> None:
             if elem_dels:
                 # DELETE m['k'] — per-cell tombstone: a cell-level delete
                 # mutation shadows only that map entry (Maps.DiscarderByKey
@@ -707,7 +707,6 @@ class CqlWriteSession:
                 self._cell_tombs.append(CellTombstone(self._key_of(key), cols, wt))
             elif not elem_dels:
                 self._row_tombs.append(RowTombstone(self._key_of(key), wt))
-        return True
 
     def _check_ttl(self, using: dict) -> None:
         """Attributes.getTimeToLive bounds (Attributes.java:126-134,
@@ -727,6 +726,74 @@ class CqlWriteSession:
         self, kind: str | None, has_batch_ts: bool, pieces: list, params: list, cursor: list
     ) -> None:
         validate_batch_pieces(kind, has_batch_ts, pieces, params, cursor)
+
+    def _apply_update_row(
+        self, key: dict, sets: dict, deltas: dict, elem_ops: list,
+        using: dict, forced_ts: int | None,
+    ) -> None:
+        """One expanded-key UPDATE application: element/collection ops
+        resolved (read-modify-write reads THIS row), then recorded."""
+        elem_cells: dict = {}
+        rmw_row: list = [None]  # lazy point read for read-modify-write ops
+
+        def current_value(c):
+            if rmw_row[0] is None:
+                rmw_row[0] = self._read_visible(self._key_of(key)) or {}
+            return rmw_row[0].get(c)
+
+        for op in elem_ops:
+            kind, _frozen = self._collection_kind(op[1])
+            if op[0] == "set_elem" and kind == "map":
+                _, ecol, ekey, eval_ = op
+                elem_cells.setdefault(ecol, {})[ekey] = eval_
+            elif op[0] == "set_elem":
+                # list index write: the reference reads the row to
+                # resolve the index (Lists.SetterByIndex) — same here
+                _, ecol, idx, eval_ = op
+                cur = list(current_value(ecol) or [])
+                if not isinstance(idx, int) or idx < 0 or idx >= len(cur):
+                    raise InvalidRequest(
+                        f"List index {idx} out of bound, list has size {len(cur)}"
+                    )
+                cur[idx] = eval_
+                sets[ecol] = cur
+            elif op[0] == "coll_set":
+                _, ecol, (_lk, val) = op
+                if kind == "set":
+                    sets[ecol] = sorted(set(val or []))
+                elif kind == "map":
+                    sets[ecol] = dict(val or {})
+                else:
+                    sets[ecol] = list(val or [])
+            elif op[0] == "coll_prepend":
+                _, ecol, (_lk, val) = op
+                sets[ecol] = list(val or []) + list(current_value(ecol) or [])
+            elif op[0] == "coll_delta":
+                _, ecol, sign, (_lk, val) = op
+                cur = current_value(ecol)
+                if kind == "set":
+                    cs, vs = set(cur or []), set(val or [])
+                    sets[ecol] = sorted(cs | vs if sign == "+" else cs - vs)
+                elif kind == "list":
+                    cl, vl = list(cur or []), list(val or [])
+                    if sign == "+":
+                        sets[ecol] = cl + vl
+                    else:  # Lists.Discarder removes ALL occurrences
+                        sets[ecol] = [x for x in cl if x not in vl]
+                else:  # map: + put (RHS wins), - remove keys
+                    cm = dict(cur or {})
+                    if sign == "+":
+                        cm.update(val or {})
+                    else:
+                        for mk in val or []:
+                            cm.pop(mk, None)
+                    sets[ecol] = cm
+        cells = dict(key)
+        cells.update(sets)
+        self._record(
+            cells, using, deltas=deltas, forced_ts=forced_ts,
+            elem_cells=elem_cells, row_live=bool(deltas),
+        )
 
     def _convert_coll(self, col: str, tagged: tuple):
         """Kind-aware conversion of a parsed collection literal (INSERT

@@ -825,3 +825,35 @@ class TestEmptyCollectionsReadNull:
         db.execute("UPDATE t SET s = s - {'x'} WHERE k = 1")
         r = db.execute("SELECT l, s FROM t").collect()[0]
         assert r.l is None and r.s is None
+
+
+class TestInOnKeyColumns:
+    """UPDATE/DELETE with ck IN (…): one operation per clustering
+    combination, sharing a single statement timestamp; conditions
+    reject IN (ModificationStatement)."""
+
+    def _db(self, spark):
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+        db = CqlDatabase(spark)
+        db.execute("CREATE KEYSPACE kin WITH REPLICATION = {'class': 'SimpleStrategy'}")
+        db.execute("CREATE TABLE kin.t (k bigint, c bigint, v text, PRIMARY KEY (k, c))")
+        for c in range(1, 5):
+            db.execute(f"INSERT INTO t (k, c, v) VALUES (1, {c}, 'r{c}')")
+        return db
+
+    def test_delete_and_update_expand(self, spark):
+        db = self._db(spark)
+        db.execute("DELETE FROM t WHERE k = 1 AND c IN (2, 3)")
+        assert sorted(r.c for r in db.execute("SELECT c FROM t").collect()) == [1, 4]
+        db.execute("UPDATE t SET v = 'X' WHERE k = 1 AND c IN (1, 4)")
+        got = sorted((r.c, r.v) for r in db.execute("SELECT c, v FROM t").collect())
+        assert got == [(1, "X"), (4, "X")]
+        # the expanded rows share ONE statement timestamp
+        wts = {r[0] for r in db.execute("SELECT writetime(v) FROM t").collect()}
+        assert len(wts) == 1
+
+    def test_condition_with_in_rejected(self, spark):
+        db = self._db(spark)
+        with pytest.raises(InvalidRequest, match="IN on the clustering key"):
+            db.execute("UPDATE t SET v = 'Y' WHERE k = 1 AND c IN (1, 4) IF EXISTS")
