@@ -857,3 +857,22 @@ class TestInOnKeyColumns:
         db = self._db(spark)
         with pytest.raises(InvalidRequest, match="IN on the clustering key"):
             db.execute("UPDATE t SET v = 'Y' WHERE k = 1 AND c IN (1, 4) IF EXISTS")
+
+
+class TestTtlElementSelector:
+    def test_ttl_of_map_element_reads_cell_liveness(self, spark):
+        """TTL(m['k']) returns the remaining liveness of ONE cell; sibling
+        cells without TTL read NULL, and TTL(m) is the key-ordered list."""
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+        db = CqlDatabase(spark)
+        db.execute("CREATE KEYSPACE tte WITH REPLICATION = {'class': 'SimpleStrategy'}")
+        db.execute("CREATE TABLE tte.t (k bigint PRIMARY KEY, m map<text, bigint>)")
+        db.execute("UPDATE t USING TTL 50 SET m['a'] = 1 WHERE k = 1")
+        db.execute("UPDATE t SET m['b'] = 2 WHERE k = 1")
+        r = db.execute(
+            "SELECT ttl(m['a']) AS ta, ttl(m['b']) AS tb, ttl(m) AS tl FROM t"
+        ).collect()[0]
+        assert r.ta is not None and 0 < r.ta <= 50
+        assert r.tb is None
+        assert r.tl == [r.ta, None]  # key order: a, b
