@@ -99,10 +99,10 @@ _PRIORITY: tuple[str, ...] = (
 # r1 rows that did not fit (cql_per_partition_limit,
 # cql_distinct_partitions, analytics_topk_orders, analytics_set_ops,
 # cql_latest_events, cql_from_json, streaming_tumbling_batch,
-# streaming_session_batch), and two round-6 queries added after the
-# window filled (multimodal_video_dedup, cql_collection_text_ops) —
-# those two never-evidenced rows lead round 7's window, then the r1/r2
-# backlog.
+# streaming_session_batch), and three round-6 queries added after the
+# window filled (multimodal_video_dedup, cql_collection_text_ops,
+# streaming_exactly_once_sink) — those never-evidenced rows lead round
+# 7's window, then the r1/r2 backlog.
 
 
 def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
