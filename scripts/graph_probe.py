@@ -53,6 +53,21 @@ def main() -> None:
     t_cc = time.time() - t0
     expected = (n + 3) // 4
 
+    # star variant: same graph, PLUS one long chain (n/100 nodes) whose
+    # diameter would force label propagation past its round budget —
+    # large-star/small-star closes it in O(log n) rounds regardless
+    from cassandra_pmem_spark.pipeline.dedup import connected_components_star
+
+    chain_len = max(2, n // 100)
+    chain = spark.range(chain_len - 1).select(
+        (F.col("id") + n).alias("a"), (F.col("id") + n + 1).alias("b")
+    )
+    star_verts = spark.range(n + chain_len).select(F.col("id").alias("doc_id"))
+    t0 = time.time()
+    star = connected_components_star(cc_edges.union(chain), star_verts)
+    star_comps = star.select("comp").distinct().count()
+    t_star = time.time() - t0
+
     print(
         json.dumps(
             {
@@ -62,6 +77,10 @@ def main() -> None:
                 "cc_sec": round(t_cc, 2),
                 "cc_components": comps,
                 "cc_components_expected": expected,
+                "star_sec": round(t_star, 2),
+                "star_components": star_comps,
+                "star_components_expected": expected + 1,
+                "star_chain_diameter": chain_len - 1,
             }
         )
     )
