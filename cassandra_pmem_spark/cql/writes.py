@@ -104,6 +104,13 @@ class RangeTombstoneStmt:
     writetime: int
 
 
+def _has_in_relation(d: dict) -> bool:
+    """True if any key column was written with an IN relation — the
+    reference's ModificationStatement rejects conditions combined with
+    IN syntactically, regardless of the list's length."""
+    return any(isinstance(v, tuple) and v[:1] == ("__in__",) for v in d.values())
+
+
 def _expand_in_keys(d: dict) -> list[dict]:
     """Cartesian expansion of IN-tagged key relations: UPDATE/DELETE with
     ``ck IN (…)`` apply once per clustering combination
@@ -612,8 +619,10 @@ class CqlWriteSession:
                     f"PRIMARY KEY part {sorted(bad_pk)} found in SET part"
                 )
             combos = _expand_in_keys(key)
-            if cond is not None and len(combos) != 1:
-                # ModificationStatement: IN is not supported with conditions
+            if cond is not None and _has_in_relation(key):
+                # ModificationStatement rejects ANY IN relation with
+                # conditions — even a single-element list (the check is
+                # syntactic, not on the expanded combo count)
                 raise InvalidRequest(
                     "IN on the clustering key columns is not supported "
                     "with conditional updates"
@@ -655,7 +664,7 @@ class CqlWriteSession:
                     )
                 return True
             combos = _expand_in_keys(key)
-            if cond is not None and len(combos) != 1:
+            if cond is not None and _has_in_relation(key):
                 raise InvalidRequest(
                     "IN on the clustering key columns is not supported "
                     "with conditional updates"
@@ -936,8 +945,11 @@ class CqlWriteSession:
     def _read_visible_rows(self, key: tuple) -> list:
         """Point read of the current visible row for a full primary key —
         the reference's read-before-write (LWT conditions, list index
-        resolution). Bounded: one key, limit 1."""
-        current = self.table()
+        resolution). Bounded: one key, limit 1. Reads at the session
+        clock so TTL-expired cells are dead to conditions, matching the
+        reference's nowInSec read (StorageProxy.cas reads at the
+        request's nowInSeconds; an expired cell never satisfies IF)."""
+        current = self.table(now=self._clock_ref[0])
         flt = F.lit(True)
         for kc, kv in zip(self.meta.primary_key, key):
             flt = flt & (F.col(kc) == F.lit(kv))
@@ -1199,14 +1211,13 @@ class CqlWriteSession:
                         f"_expiry_{col}",
                         F.when(dead, F.lit(None)).otherwise(F.col(f"_expiry_{col}")),
                     )
-        visible = F.col("__rlwt").isNotNull()
-        for col in value_cols:
-            visible = visible | F.col(f"_writetime_{col}").isNotNull()
-        merged = merged.filter(visible)
-
-        # non-frozen empty collections read as NULL (CQL stores no cells
-        # for them — writing {} / [] deletes the column; frozen
-        # collections are single cells and keep their empty value)
+        # non-frozen empty collections are a COMPLEX DELETION, not a
+        # value: writing {} / [] stores no cells, so the column is dead —
+        # value NULL and no liveness (WRITETIME must be NULL, and an
+        # UPDATE-created row whose only column is an empty collection is
+        # not visible at all). Runs BEFORE the row-visibility filter so
+        # the dead column cannot keep the row alive. Frozen collections
+        # are single cells and keep their empty value.
         info = self.collection_info
         for col in value_cols:
             dt = by_name[col].dataType
@@ -1214,12 +1225,26 @@ class CqlWriteSession:
                 continue
             if info and col in info.frozen:
                 continue
+            if col in elem_cols:
+                continue  # per-cell path already stores no cells for {}
             sz = F.size(
                 F.map_keys(F.col(col)) if isinstance(dt, T.MapType) else F.col(col)
             )
+            dead = sz == 0
             merged = merged.withColumn(
-                col, F.when(sz == 0, F.lit(None)).otherwise(F.col(col))
+                col, F.when(dead, F.lit(None)).otherwise(F.col(col))
+            ).withColumn(
+                f"_writetime_{col}",
+                F.when(dead, F.lit(None)).otherwise(F.col(f"_writetime_{col}")),
+            ).withColumn(
+                f"_expiry_{col}",
+                F.when(dead, F.lit(None)).otherwise(F.col(f"_expiry_{col}")),
             )
+
+        visible = F.col("__rlwt").isNotNull()
+        for col in value_cols:
+            visible = visible | F.col(f"_writetime_{col}").isNotNull()
+        merged = merged.filter(visible)
 
         if not with_shadows:
             return merged.select(*fields)

@@ -659,18 +659,29 @@ def substring_dedup(
         id_col, F.col("__n"), F.posexplode("__w").alias("__p", "word")
     ).select(id_col, "__n", (F.col("__p") + 1).alias("tidx"), "word")
     kept = tokens.join(covered, [id_col, "tidx"], "left_anti")
+    surv = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tidx", "word"))),
+                lambda e: e["word"],
+            ),
+            " ",
+        ).alias("__clean"),
+        F.count("*").alias("__kept"),
+    )
+    # left-join back onto the full doc universe: a document whose every
+    # token is covered still appears, with clean_text='' and
+    # n_removed=n_tokens (no silent document loss in corpus accounting)
     return (
-        kept.groupBy(id_col)
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("tidx", "word"))),
-                    lambda e: e["word"],
-                ),
-                " ",
-            ).alias("clean_text"),
-            F.first("__n").cast("long").alias("n_tokens"),
-            (F.first("__n") - F.count("*")).cast("long").alias("n_removed"),
+        toks.select(id_col, "__n")
+        .join(surv, [id_col], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__clean"), F.lit("")).alias("clean_text"),
+            F.col("__n").cast("long").alias("n_tokens"),
+            (F.col("__n") - F.coalesce(F.col("__kept"), F.lit(0))).cast("long").alias(
+                "n_removed"
+            ),
         )
     )
 

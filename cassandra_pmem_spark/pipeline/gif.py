@@ -72,20 +72,21 @@ def _pack_codes_lsb(codes: list[int], widths: list[int]) -> bytes:
     vectorized pass (index-matrix scatter + np.packbits) instead of a
     per-bit accumulator loop.
 
-    No masking needed: a code always fits its width, so lanes past the
-    width carry 0 and scatter into positions owned by LATER codes — whose
-    own writes land later in flat order and win. Every real bit position
-    is written exactly once by its owning code."""
+    Lanes past each code's width are masked out before the scatter so
+    every bit position is written by exactly one code — numpy documents
+    duplicate-index fancy assignment as unspecified, so overlapping
+    writes must not be relied on."""
     cs = np.asarray(codes, np.int64)
     ws = np.asarray(widths, np.int64)
     offs = np.concatenate([[0], np.cumsum(ws)])
     total = int(offs[-1])
     lanes = np.arange(12)
-    bits = np.zeros(total + 12, np.uint8)  # +12: last code's lane spill
+    bits = np.zeros(total, np.uint8)
     idx = offs[:-1, None] + lanes
     vals = ((cs[:, None] >> lanes) & 1).astype(np.uint8)
-    bits[idx.reshape(-1)] = vals.reshape(-1)
-    return np.packbits(bits[:total], bitorder="little").tobytes()
+    mask = (lanes < ws[:, None]).reshape(-1)
+    bits[idx.reshape(-1)[mask]] = vals.reshape(-1)[mask]
+    return np.packbits(bits, bitorder="little").tobytes()
 
 
 def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:

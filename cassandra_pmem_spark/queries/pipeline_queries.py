@@ -678,13 +678,18 @@ WITH corpus AS (
 ), kept AS (
   SELECT t.doc_id, t.n, t.tidx, t.word
   FROM tokens t ANTI JOIN covered c USING (doc_id, tidx)
+), survivors AS (
+  SELECT doc_id,
+         string_agg(word, ' ' ORDER BY tidx) AS clean,
+         count(*) AS kept_n
+  FROM kept
+  GROUP BY doc_id
 )
-SELECT doc_id,
-       string_agg(word, ' ' ORDER BY tidx) AS clean_text,
-       CAST(max(n) AS BIGINT) AS n_tokens,
-       CAST(max(n) - count(*) AS BIGINT) AS n_removed
-FROM kept
-GROUP BY doc_id
+SELECT t.doc_id,
+       COALESCE(s.clean, '') AS clean_text,
+       CAST(t.n AS BIGINT) AS n_tokens,
+       CAST(t.n - COALESCE(s.kept_n, 0) AS BIGINT) AS n_removed
+FROM toks t LEFT JOIN survivors s USING (doc_id)
 """
 
 

@@ -876,3 +876,58 @@ class TestTtlElementSelector:
         assert r.ta is not None and 0 < r.ta <= 50
         assert r.tb is None
         assert r.tl == [r.ta, None]  # key order: a, b
+
+
+class TestAdviceRound6Regressions:
+    """Round-6 advisor findings on the write model, pinned."""
+
+    def test_lwt_condition_sees_ttl_expiry(self, sess):
+        """IF conditions read at the session clock (nowInSec), so a
+        TTL-expired cell is dead to them — StorageProxy.cas reads at the
+        request's nowInSeconds, never resurrecting expired cells."""
+        sess.execute(
+            "INSERT INTO kv (k, c, a) VALUES (1, 1, 'fades') "
+            "USING TIMESTAMP 100 AND TTL 50"
+        )
+        sess._clock_ref[0] = 200  # past expiry (100 + 50)
+        applied = sess.execute(
+            "UPDATE kv SET b = 'won' WHERE k = 1 AND c = 1 IF a = 'fades'"
+        )
+        assert applied is False
+
+    def test_lwt_condition_sees_live_ttl_cell(self, sess):
+        sess.execute(
+            "INSERT INTO kv (k, c, a) VALUES (1, 1, 'lives') "
+            "USING TIMESTAMP 100 AND TTL 50"
+        )
+        sess._clock_ref[0] = 120  # before expiry
+        applied = sess.execute(
+            "UPDATE kv SET b = 'won' WHERE k = 1 AND c = 1 IF a = 'lives'"
+        )
+        assert applied is True
+
+    def test_single_element_in_with_condition_rejected(self, sess):
+        """ModificationStatement rejects ANY IN relation with conditions —
+        the check is syntactic, a one-element list is still rejected."""
+        sess.execute("INSERT INTO kv (k, c, a) VALUES (1, 5, 'x')")
+        with pytest.raises(InvalidRequest, match="IN on the clustering key"):
+            sess.execute("UPDATE kv SET a = 'y' WHERE k = 1 AND c IN (5) IF EXISTS")
+        with pytest.raises(InvalidRequest, match="IN on the clustering key"):
+            sess.execute("DELETE FROM kv WHERE k = 1 AND c IN (5) IF EXISTS")
+
+    def test_empty_collection_write_is_column_deletion(self, spark):
+        """SET l = [] is a complex deletion: no live cells, so WRITETIME
+        reads NULL and an UPDATE-created row with only an empty
+        collection is not visible (matches the per-cell map path)."""
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+        db = CqlDatabase(spark)
+        db.execute("CREATE KEYSPACE ecd WITH REPLICATION = {'class': 'SimpleStrategy'}")
+        db.execute("CREATE TABLE ecd.t (k bigint PRIMARY KEY, l list<text>)")
+        # UPDATE (no row liveness) writing an empty list: row must not exist
+        db.execute("UPDATE t SET l = [] WHERE k = 1")
+        assert db.execute("SELECT k FROM t").collect() == []
+        # INSERT keeps pk liveness but the column is dead: WRITETIME NULL
+        db.execute("INSERT INTO t (k, l) VALUES (2, [])")
+        r = db.execute("SELECT k, l, writetime(l) AS wl FROM t").collect()
+        assert len(r) == 1 and r[0].k == 2 and r[0].l is None and r[0].wl is None
