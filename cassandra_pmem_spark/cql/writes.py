@@ -104,11 +104,26 @@ class RangeTombstoneStmt:
     writetime: int
 
 
-def _has_in_relation(d: dict) -> bool:
-    """True if any key column was written with an IN relation — the
-    reference's ModificationStatement rejects conditions combined with
-    IN syntactically, regardless of the list's length."""
-    return any(isinstance(v, tuple) and v[:1] == ("__in__",) for v in d.values())
+def _in_relation_cols(d: dict) -> list[str]:
+    """Key columns restricted by a (multi-valued) IN relation."""
+    return [c for c, v in d.items() if isinstance(v, tuple) and v[:1] == ("__in__",)]
+
+
+def _reject_in_with_conditions(key: dict, meta, kind: str) -> None:
+    """ModificationStatement.java:502 — conditions cannot combine with a
+    multi-valued IN; the message names the key part ('partition key' vs
+    'clustering key columns') and the statement verb ('updates' vs
+    'deletions')."""
+    in_cols = _in_relation_cols(key)
+    if not in_cols:
+        return
+    if any(c in set(meta.partition_key) for c in in_cols):
+        raise InvalidRequest(
+            f"IN on the partition key is not supported with conditional {kind}"
+        )
+    raise InvalidRequest(
+        f"IN on the clustering key columns is not supported with conditional {kind}"
+    )
 
 
 def _expand_in_keys(d: dict) -> list[dict]:
@@ -345,6 +360,12 @@ class _WriteParser(_Parser):
         while self.accept_punct(","):
             vals.append(self.literal(params, cursor))
         self.expect_punct(")")
+        if len(vals) == 1:
+            # SingleColumnRelation.java:208 normalizes a one-element
+            # literal IN to an EQ restriction at prepare time, so
+            # `c IN (5) IF EXISTS` is accepted (only bind-marker `IN ?`
+            # stays an IN restriction regardless of bound length).
+            return vals[0]
         return ("__in__", vals)
 
     def _key_relations(self, params, cursor) -> dict:
@@ -619,14 +640,8 @@ class CqlWriteSession:
                     f"PRIMARY KEY part {sorted(bad_pk)} found in SET part"
                 )
             combos = _expand_in_keys(key)
-            if cond is not None and _has_in_relation(key):
-                # ModificationStatement rejects ANY IN relation with
-                # conditions — even a single-element list (the check is
-                # syntactic, not on the expanded combo count)
-                raise InvalidRequest(
-                    "IN on the clustering key columns is not supported "
-                    "with conditional updates"
-                )
+            if cond is not None:
+                _reject_in_with_conditions(key, self.meta, "updates")
             if not self._condition_holds(cond, self._key_of(combos[0])):
                 return False
             if len(combos) > 1 and forced_ts is None and "timestamp" not in using:
@@ -664,11 +679,8 @@ class CqlWriteSession:
                     )
                 return True
             combos = _expand_in_keys(key)
-            if cond is not None and _has_in_relation(key):
-                raise InvalidRequest(
-                    "IN on the clustering key columns is not supported "
-                    "with conditional updates"
-                )
+            if cond is not None:
+                _reject_in_with_conditions(key, self.meta, "deletions")
             if not self._condition_holds(cond, self._key_of(combos[0])):
                 return False
             for key in combos:  # one tombstone set per clustering combination
@@ -1198,10 +1210,19 @@ class CqlWriteSession:
                 for col in elem_cols:
                     merged = self._shadow_elem_cells(merged, col, cond, wt)
                 for col in scalar_cols:
-                    dead = cond & (
-                        F.col(f"_writetime_{col}").isNull()
-                        | (F.col(f"_writetime_{col}") <= F.lit(wt))
+                    # Materialize deadness FIRST: the chained withColumns
+                    # below mutate columns that `dead` references, and a
+                    # lazily-bound expression would re-evaluate against
+                    # the already-nulled column (wrong answer).
+                    merged = merged.withColumn(
+                        f"__dead_{col}",
+                        cond
+                        & (
+                            F.col(f"_writetime_{col}").isNull()
+                            | (F.col(f"_writetime_{col}") <= F.lit(wt))
+                        ),
                     )
+                    dead = F.col(f"__dead_{col}")
                     merged = merged.withColumn(
                         col, F.when(dead, F.lit(None)).otherwise(F.col(col))
                     ).withColumn(
@@ -1210,7 +1231,7 @@ class CqlWriteSession:
                     ).withColumn(
                         f"_expiry_{col}",
                         F.when(dead, F.lit(None)).otherwise(F.col(f"_expiry_{col}")),
-                    )
+                    ).drop(f"__dead_{col}")
         # non-frozen empty collections are a COMPLEX DELETION, not a
         # value: writing {} / [] stores no cells, so the column is dead —
         # value NULL and no liveness (WRITETIME must be NULL, and an
@@ -1230,7 +1251,12 @@ class CqlWriteSession:
             sz = F.size(
                 F.map_keys(F.col(col)) if isinstance(dt, T.MapType) else F.col(col)
             )
-            dead = sz == 0
+            # `sz == 0` references `col`, which the first withColumn
+            # nulls; materialize deadness in a temp column so the shadow
+            # columns see the PRE-mutation value (a lazily-bound `dead`
+            # would re-evaluate size(NULL) and never clear the shadows).
+            merged = merged.withColumn(f"__dead_{col}", sz == 0)
+            dead = F.col(f"__dead_{col}")
             merged = merged.withColumn(
                 col, F.when(dead, F.lit(None)).otherwise(F.col(col))
             ).withColumn(
@@ -1239,7 +1265,7 @@ class CqlWriteSession:
             ).withColumn(
                 f"_expiry_{col}",
                 F.when(dead, F.lit(None)).otherwise(F.col(f"_expiry_{col}")),
-            )
+            ).drop(f"__dead_{col}")
 
         visible = F.col("__rlwt").isNotNull()
         for col in value_cols:

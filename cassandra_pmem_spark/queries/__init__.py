@@ -24,85 +24,80 @@ from pyspark.sql import DataFrame, SparkSession
 # First-50 window budget, rotated by STALENESS each round (COVERAGE.md
 # rule: edited since last green driver evidence ⇒ re-enter the window;
 # never-evidenced entries outrank everything).
-# Round-6 layout — round 5 shipped this window with two names that had no
-# implementation behind them, which broke all_queries() and zeroed
-# CORRECTNESS_r05; both queries now exist (cql_queries.py), so the layout
-# re-lands intact: (1) the 32 registry queries that have NEVER had a
-# driver row — the round-4 temporal / snapshot-storage / batch-analytics
-# / BPE / graph / ORC / Arrow tier that landed past the window; (2) the
-# two queries NEW in round 6; (3) the oldest evidence rows (r1-era).
-# That fills the window to exactly 50. tpch_q1 IS entry(), smoke-checked
-# every round. Remaining r1-era rows (streaming_tumbling_batch,
-# streaming_session_batch) plus the r2 set queue first for round 7.
+# Round-8 layout: (1) the three registry queries that have NEVER had a
+# driver row; (2) the write-path set — cql/writes.py was edited in r6,
+# r7 AND r8 (empty-collection complex deletion, one-element-IN
+# normalization) so its r2/r4-era evidence is stale-by-edit; (3) the
+# r1-era rows; (4) the r2-era backlog, oldest evidence first. tpch_q1
+# IS entry(), smoke-checked every round, so it stays out. New round-8
+# queries displace the tail of tier (4) as they land.
 _PRIORITY: tuple[str, ...] = (
-    # -- (1) never driver-evidenced (landed past round 4's window)
-    "source_orc_roundtrip",  # ORC write/read round trip
-    "source_arrow_ipc",  # Arrow IPC interchange round trip
-    "pipeline_epoch_shuffle",  # deterministic per-epoch shard shuffle
-    "pipeline_chunk_documents",  # context-window chunking with overlap
-    "graph_pagerank_exact",  # integer-exact iterative PageRank
-    "sim_semantic_dedup",  # SemDeDup within-cluster embedding dedup
-    "streaming_sketch_merge",  # foreachBatch HLL merge under redelivery
-    "temporal_asof_join",  # as-of join vs DuckDB native ASOF oracle
-    "temporal_asof_forward",  # forward as-of vs DuckDB ASOF <=
-    "temporal_range_join",  # bucketized interval join
-    "temporal_rollup_cascade",  # hypertable continuous-aggregate rollup
-    "temporal_overlap_join",  # interval-interval overlap join
-    "temporal_gapfill_locf",  # dense gap-filled series with LOCF
-    "source_zorder_layout",  # Morton-interleave multi-dim layout
-    "text_fuzzy_join",  # SymSpell edit-distance-1 join
-    "analytics_sessionization",  # batch gaps-and-islands sessions
-    "analytics_pivot",  # PIVOT into per-type columns
-    "analytics_salted_join",  # skew-salted join == plain join
-    "text_bpe_train",  # real BPE merge training, unrolled-CTE oracle
-    "text_bpe_encode",  # BPE encode with the learned merge table
-    "streaming_stream_join",  # real stream-stream watermarked join
-    "analytics_cube",  # CUBE with grouping_id disambiguation
-    "source_compaction_roundtrip",  # small-file compaction, rows exact
-    "source_snapshot_timetravel",  # versioned manifests, time travel
-    "source_snapshot_incremental",  # delta-file incremental refresh
-    "source_snapshot_deletes",  # merge-on-read tombstones + compaction
-    "source_snapshot_merge",  # MERGE INTO versioned storage (LWW)
-    "source_snapshot_schema_evolution",  # add-column without rewrite
-    "source_snapshot_pruned_scan",  # manifest min/max file skipping
-    "analytics_scd2_intervals",  # SCD2 validity intervals from a change log
-    "analytics_funnel",  # ordered funnel (conditional-min aggregates)
-    "analytics_retention_cohorts",  # cohort retention triangle
-    # -- (2) new or edited in round 6 (implemented, oracle-backed)
-    "cql_token_scan_uuid",  # uuid/timeuuid/inet Murmur3 key tokens
-    "cql_collection_writetime",  # per-cell collection writetime/TTL
-    "cql_tuple_relation",  # now parsed-statement slices + tuple-IN form
-    "multimodal_audio_flac",  # Rice/LPC hot paths vectorized (bit-exact)
-    "dedup_components_star",  # large-star/small-star O(log n) components
-    "pipeline_domain_mixture",  # temperature-scaled domain mixing
-    "dedup_substring_spans",  # ExactSubstr span-level dedup
-    "multimodal_image_dedup",  # dHash over real PNG + banded hamming join
-    "multimodal_audio_dedup",  # FLAC block-energy fingerprint dedup
-    "cql_map_cell_liveness",  # statement-form per-cell map writetime
-    # -- (3) oldest evidence first (r1-era)
-    "cql_blob_conv",
-    "cql_collection_access",
-    "cql_map_entry",
-    "cql_like",
-    "cql_time_fcts",
-    "cql_cast_arithmetic",
-    "cql_upsert_lww_rows",
-    "cql_global_agg",
+    # -- (1) never driver-evidenced
+    "cql_collection_text_ops",  # list append/prepend/discard + set ops
+    "multimodal_video_dedup",  # majority-vote frame-fingerprint dedup
+    "streaming_exactly_once_sink",  # idempotent snapshot sink replay
+    # -- (2) write-path machinery edited r6+r7+r8 (evidence stale-by-edit)
+    "cql_batch_apply",  # BATCH prepare-then-apply atomicity
+    "cql_lwt_conditional",  # IF EXISTS / IF col=… conditions
+    "cql_delete_tombstones",  # row/range/column/element tombstones
+    "cql_truncate_reload",  # TRUNCATE drops mutations + tombstones
+    "cql_counter_fold",  # counter delta folding
+    "cql_collection_mutations",  # +/- collection write ops
+    "cql_ddl_roundtrip",  # KEYSPACE/TABLE/TYPE/ALTER statement DDL
+    "cql_ttl_expiry",  # USING TTL + expiry at read clock
+    "cql_upsert_lww_cells",  # cell-level LWW disjoint-column writes
+    # -- (3) round-8 additions (each name uncommented only once its
+    #    implementation lands — the assert below fires on ghosts)
+    "sim_ivf_topk",  # IVF ANN — re-windowed to earn an oracle-backed row
+    # -- (4) r1-era evidence (oldest rows in the registry)
+    "streaming_tumbling_batch",
+    "streaming_session_batch",
+    "cql_per_partition_limit",
+    "cql_distinct_partitions",
+    "cql_latest_events",
+    "cql_from_json",
+    "analytics_topk_orders",
+    "analytics_set_ops",
+    "analytics_count_distinct",
+    # -- (5) r2-era backlog, as many as fit
+    "cql_point_lookup",
+    "cql_multipoint_in",
+    "cql_clustering_slice",
+    "cql_contains",
+    "cql_is_not_null",
+    "cql_group_by_pk_prefix",
+    "cql_group_limit",
+    "cql_static_column",
+    "cql_select_json",
+    "cql_parsed_select",
+    "cql_duration_arithmetic",
+    "cql_uda_weighted_avg",
+    "csv_roundtrip",
+    "jsonl_roundtrip",
+    "virtual_system_tables",
+    "streaming_sliding_batch",
+    "analytics_explode_wordcount",
+    "analytics_rollup",
+    "analytics_salted_agg",
+    "dedup_exact_docs",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "sim_bruteforce_topk",
+    "sim_neardup_exact",
+    # tail — displaced first as round-8 queries land
+    "multimodal_meta",
+    "text_fingerprint",
+    "text_langid",
+    "text_quality",
 )
-# Deliberately outside the window this round: everything with r3/r4
-# driver evidence (the full round-4 window set, tpch q2–q22, token
-# scans, sim_lsh, multimodal features, sketches, dedup tier) plus the
-# r2-era set (cql_point_lookup — r2, not r1: it re-entered the round-2
-# window — plus cql_multipoint_in, cql_clustering_slice, cql_contains,
-# cql_upsert_lww_cells, cql_ttl_expiry, cql_select_json,
-# cql_parsed_select, csv_roundtrip, virtual_system_tables, …), eight
-# r1 rows that did not fit (cql_per_partition_limit,
-# cql_distinct_partitions, analytics_topk_orders, analytics_set_ops,
-# cql_latest_events, cql_from_json, streaming_tumbling_batch,
-# streaming_session_batch), and three round-6 queries added after the
-# window filled (multimodal_video_dedup, cql_collection_text_ops,
-# streaming_exactly_once_sink) — those never-evidenced rows lead round
-# 7's window, then the r1/r2 backlog.
+# Deliberately outside the window this round: the full r7-green set
+# (round-4 temporal/snapshot/BPE/graph tier + the round-6 tier — all
+# re-evidenced in the r7 window), the r3/r4 sets (tpch q2–q22, token
+# scans, sketches, dedup/multimodal tiers), and seven r2-era rows that
+# did not fit (multimodal_meta, text_fingerprint, text_langid,
+# text_quality, text_token_counts, cql_allow_filtering — r4 —
+# cql_term_select — r3). Those queue first for round 9 along with
+# whatever round 8 edits.
 
 
 def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:

@@ -906,14 +906,47 @@ class TestAdviceRound6Regressions:
         )
         assert applied is True
 
-    def test_single_element_in_with_condition_rejected(self, sess):
-        """ModificationStatement rejects ANY IN relation with conditions —
-        the check is syntactic, a one-element list is still rejected."""
+    def test_single_element_in_with_condition_accepted(self, sess):
+        """SingleColumnRelation.java:208 normalizes a one-element literal
+        IN to an EQ restriction at prepare time, so `c IN (5) IF EXISTS`
+        is ACCEPTED (only multi-element IN combines-with-conditions is
+        rejected)."""
         sess.execute("INSERT INTO kv (k, c, a) VALUES (1, 5, 'x')")
-        with pytest.raises(InvalidRequest, match="IN on the clustering key"):
-            sess.execute("UPDATE kv SET a = 'y' WHERE k = 1 AND c IN (5) IF EXISTS")
-        with pytest.raises(InvalidRequest, match="IN on the clustering key"):
-            sess.execute("DELETE FROM kv WHERE k = 1 AND c IN (5) IF EXISTS")
+        applied = sess.execute("UPDATE kv SET a = 'y' WHERE k = 1 AND c IN (5) IF EXISTS")
+        assert applied is True
+        assert rows(sess.table(), "a") == [("y",)]
+        applied = sess.execute("DELETE FROM kv WHERE k = 1 AND c IN (5) IF EXISTS")
+        assert applied is True
+        assert rows(sess.table()) == []
+
+    def test_multi_element_in_with_condition_messages(self, sess):
+        """ModificationStatement.java:502 message conformance: the key
+        part ('partition key' vs 'clustering key columns') and the verb
+        ('updates' vs 'deletions') both match the reference."""
+        with pytest.raises(
+            InvalidRequest,
+            match="IN on the clustering key columns is not supported "
+            "with conditional updates",
+        ):
+            sess.execute("UPDATE kv SET a = 'y' WHERE k = 1 AND c IN (5, 6) IF EXISTS")
+        with pytest.raises(
+            InvalidRequest,
+            match="IN on the clustering key columns is not supported "
+            "with conditional deletions",
+        ):
+            sess.execute("DELETE FROM kv WHERE k = 1 AND c IN (5, 6) IF EXISTS")
+        with pytest.raises(
+            InvalidRequest,
+            match="IN on the partition key is not supported "
+            "with conditional updates",
+        ):
+            sess.execute("UPDATE kv SET a = 'y' WHERE k IN (1, 2) AND c = 5 IF EXISTS")
+        with pytest.raises(
+            InvalidRequest,
+            match="IN on the partition key is not supported "
+            "with conditional deletions",
+        ):
+            sess.execute("DELETE FROM kv WHERE k IN (1, 2) AND c = 5 IF EXISTS")
 
     def test_empty_collection_write_is_column_deletion(self, spark):
         """SET l = [] is a complex deletion: no live cells, so WRITETIME
