@@ -25,6 +25,7 @@ from dataclasses import dataclass, field
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from cassandra_pmem_spark.catalog import ClusteringColumn, TableMeta
@@ -72,6 +73,136 @@ class IndexMeta:
     table: tuple[str | None, str]  # canonical (keyspace, table) key
     column: str
     custom_class: str | None = None
+
+
+def _substitute_args(body: str, mapping: dict[str, str]) -> str:
+    """Inline actual SQL fragments for the formal parameter names of a
+    LANGUAGE sql body (word-boundary identifier replacement). The
+    UDFunction.java:382 invocation analog — expansion instead of a
+    callout keeps evaluation inside Catalyst whole-stage codegen."""
+    import re as _re
+
+    return _re.sub(
+        r"[A-Za-z_][A-Za-z0-9_]*",
+        lambda m: f"({mapping[m.group(0)]})" if m.group(0) in mapping else m.group(0),
+        body,
+    )
+
+
+# CQL type text → Spark SQL type text for CAST targets in assembled
+# expressions (db/marshal/* names; tuple<…> becomes a struct with the
+# same positional fields _1, _2, … cql_type() uses — the LANGUAGE sql
+# body addresses them as state._1 etc.)
+_SQL_TYPE_TEXT: dict[str, str] = {
+    "tinyint": "TINYINT", "smallint": "SMALLINT", "int": "INT",
+    "bigint": "BIGINT", "counter": "BIGINT", "float": "FLOAT",
+    "double": "DOUBLE", "decimal": "DECIMAL(38,18)",
+    "varint": "DECIMAL(38,0)", "text": "STRING", "varchar": "STRING",
+    "ascii": "STRING", "boolean": "BOOLEAN", "date": "DATE",
+    "timestamp": "TIMESTAMP",
+}
+
+
+def _cql_type_to_sql(cql_type: str) -> str:
+    t = cql_type.strip().lower()
+    if t.startswith("tuple<") and t.endswith(">"):
+        inner = [x.strip() for x in t[len("tuple<"):-1].split(",")]
+        fields = ", ".join(
+            f"_{i + 1}: {_cql_type_to_sql(x)}" for i, x in enumerate(inner)
+        )
+        return f"STRUCT<{fields}>"
+    if t in _SQL_TYPE_TEXT:
+        return _SQL_TYPE_TEXT[t]
+    raise InvalidRequest(f"unsupported type {cql_type!r} in function signature")
+
+
+@dataclass
+class FunctionDef:
+    """CREATE FUNCTION definition (cql3/functions/UDFunction.java:69;
+    grammar Parser.g createFunction rule). This engine's body dialect is
+    LANGUAGE sql — a Spark SQL expression over the formal argument names
+    — because Spark cannot host the reference's sandboxed Java/JS
+    bytecode (UDFByteCodeVerifier.java); expansion inlines the body at
+    every call site, so a statement-created function runs JVM-side in
+    whole-stage codegen rather than as a Python callout."""
+
+    name: str
+    args: tuple[tuple[str, str], ...]  # (formal name, CQL type text)
+    returns: str  # CQL type text
+    called_on_null: bool  # CALLED vs RETURNS NULL ON NULL INPUT
+    body: str  # Spark SQL expression
+
+    def expand(self, actuals: list[str]) -> str:
+        """SQL for a call with the given actual fragments. RETURNS NULL
+        ON NULL INPUT short-circuits without evaluating the body
+        (UDFunction.java `calledOnNullInput`)."""
+        if len(actuals) != len(self.args):
+            raise InvalidRequest(
+                f"function {self.name} takes {len(self.args)} arguments, "
+                f"got {len(actuals)}"
+            )
+        expr = _substitute_args(
+            self.body, {a: act for (a, _), act in zip(self.args, actuals)}
+        )
+        if not self.called_on_null and actuals:
+            checks = " OR ".join(f"({a}) IS NULL" for a in actuals)
+            expr = f"CASE WHEN {checks} THEN NULL ELSE ({expr}) END"
+        return f"({expr})"
+
+
+@dataclass
+class AggregateDef:
+    """CREATE AGGREGATE definition (cql3/functions/UDAggregate.java:
+    44-53: SFUNC + STYPE + FINALFUNC + INITCOND; grammar Parser.g
+    createAggregate rule). Spark realization: the whole fold compiles to
+    one `aggregate(collect_list(struct(v)), init, merge, finish)`
+    higher-order expression — per-group state folds stay JVM-side, with
+    map-side partial collect and no Python. Values ride inside a struct
+    so SQL nulls reach the state function (CALLED ON NULL INPUT) or are
+    skipped leaving the state untouched (RETURNS NULL ON NULL INPUT —
+    the reference skips invocation the same way)."""
+
+    name: str
+    arg_types: tuple[str, ...]
+    sfunc: str
+    stype: str
+    finalfunc: str | None
+    initcond_sql: str | None  # raw SQL literal text, or None
+
+    def expand(self, sfn: FunctionDef, ffn: FunctionDef | None, actual: str) -> str:
+        state, val = sfn.args[0][0], sfn.args[1][0]
+        merge = _substitute_args(sfn.body, {state: "acc", val: "v.v"})
+        if not sfn.called_on_null:
+            merge = f"IF(v.v IS NULL, acc, ({merge}))"
+        init = f"CAST({self.initcond_sql or 'NULL'} AS {_cql_type_to_sql(self.stype)})"
+        expr = (
+            f"aggregate(collect_list(struct(({actual}) AS v)), {init}, "
+            f"(acc, v) -> ({merge})"
+        )
+        if ffn is not None:
+            fin = _substitute_args(ffn.body, {ffn.args[0][0]: "acc"})
+            expr += f", acc -> ({fin})"
+        return expr + ")"
+
+
+@dataclass
+class ViewMeta:
+    """CREATE MATERIALIZED VIEW definition (CreateViewStatement.java:95;
+    db/view/View.java). The view is a derived table: selected columns of
+    the base, re-keyed on the view primary key, rows filtered by the
+    statement's WHERE restrictions (every view PK column IS NOT NULL at
+    minimum). Spark analog: the view never stores rows — SELECTs compile
+    over a filter+project of the base session's visible frame, so it is
+    always current (ViewUpdateGenerator's incremental maintenance is the
+    identity here; the streaming analog lives in streaming/mv.py)."""
+
+    name: str
+    base_key: tuple[str | None, str]
+    meta: TableMeta  # view-shaped schema: view PK, selected columns
+    selected: tuple[str, ...]
+    # WHERE relations beyond IS NOT NULL: (column, op, literal) — only
+    # base-PK columns may carry them (CreateViewStatement.java:272)
+    relations: tuple[tuple[str, str, Any], ...] = ()
 
 
 class TableNamespace(dict):
@@ -461,6 +592,410 @@ class _DdlParser(_Parser):
             raise InvalidRequest(f"index {name!r} already exists")
         return IndexMeta(name, table_key, col, cls)
 
+    def create_view(self) -> ViewMeta | None:
+        """CREATE MATERIALIZED VIEW (Parser.g:851 createMaterializedView-
+        Statement; CreateViewStatement.java:95-300): parse the AS SELECT /
+        WHERE / PRIMARY KEY shape and apply the reference's gates in the
+        reference's order. Returns None when IF NOT EXISTS suppressed a
+        duplicate."""
+        self.expect_kw("materialized")
+        self.expect_kw("view")
+        ine = self.if_not_exists()
+        ks, name = self.qualified_name()
+        eff_ks = ks if ks is not None else self.current_keyspace
+        if ks is not None and ks not in self.registry.keyspaces:
+            raise InvalidRequest(f"Keyspace '{ks}' doesn't exist")
+        self.last_key = (eff_ks, name)
+        self.expect_kw("as")
+        self.expect_kw("select")
+
+        # SELECT clause: * or bare column names only
+        # (CreateViewStatement.java:160-171 — no aliases, no expressions)
+        raw_cols: list[str] | None = None
+        if not self.accept_punct("*"):
+            raw_cols = [self.ident()]
+            while self.accept_punct(","):
+                raw_cols.append(self.ident())
+            for c in raw_cols:
+                if c.lower() == "as":
+                    raise InvalidRequest(
+                        "Cannot use aliases when defining a materialized view"
+                    )
+        self.expect_kw("from")
+        b_ks, b_name = self.qualified_name()
+        if b_ks is not None and eff_ks is not None and b_ks != eff_ks:
+            # CreateViewStatement.java:383
+            raise InvalidRequest(
+                "Cannot create a materialized view on a table in a different keyspace"
+            )
+        base_key = self.registry.tables.resolve(
+            b_name,
+            keyspace=b_ks,
+            current=self.current_keyspace,
+            missing_ok=True,
+        )
+        if base_key is None:
+            if self.registry.views.resolve(
+                b_name, keyspace=b_ks, current=self.current_keyspace, missing_ok=True
+            ):
+                # CreateViewStatement.java:138
+                raise InvalidRequest(
+                    "Materialized views cannot be created against other "
+                    "materialized views"
+                )
+            raise InvalidRequest(f"Base table '{b_name}' doesn't exist")
+        base = self.registry.tables[base_key]
+        if self.registry.counter_columns.get(base_key):
+            # CreateViewStatement.java:135
+            raise InvalidRequest(
+                "Materialized views are not supported on counter tables"
+            )
+
+        base_cols = {f.name: f for f in base.schema.fields}
+        if raw_cols is None:
+            selected = [f.name for f in base.schema.fields]
+        else:
+            unknown = [c for c in raw_cols if c not in base_cols]
+            if unknown:
+                raise InvalidRequest(
+                    f"Undefined column name {unknown[0]} in base table"
+                )
+            selected = list(dict.fromkeys(raw_cols))
+        bad_static = [c for c in selected if c in base.static_columns]
+        if bad_static:
+            # CreateViewStatement.java:177
+            raise InvalidRequest(
+                f"Cannot include static column '{bad_static[0]}' in "
+                f"materialized view '{name}'"
+            )
+
+        # WHERE clause: `col IS NOT NULL` plus literal relations on
+        # base-PK columns (CreateViewStatement.java:246-274; bind markers
+        # rejected at :386)
+        isnotnull: set[str] = set()
+        relations: list[tuple[str, str, Any]] = []
+        if self.accept_kw("where"):
+            while True:
+                col = self.ident()
+                if self.accept_kw("is"):
+                    self.expect_kw("not")
+                    self.expect_kw("null")
+                    isnotnull.add(col)
+                else:
+                    t = self.next()
+                    if t.kind != "op" or t.text not in ("=", "<", "<=", ">", ">="):
+                        raise InvalidRequest(
+                            f"unsupported materialized-view restriction {t.text!r}"
+                        )
+                    if self.peek().kind == "punct" and self.peek().text == "?":
+                        raise InvalidRequest(
+                            "Bind variables are not allowed in CREATE "
+                            "MATERIALIZED VIEW statements"
+                        )
+                    relations.append((col, t.text, self.literal([], [0])))
+                if not self.accept_kw("and"):
+                    break
+
+        # PRIMARY KEY ((p…), c…) | (p, c…)
+        self.expect_kw("primary")
+        self.expect_kw("key")
+        self.expect_punct("(")
+        if self.accept_punct("("):
+            pk_cols = [self.ident()]
+            while self.accept_punct(","):
+                pk_cols.append(self.ident())
+            self.expect_punct(")")
+        else:
+            pk_cols = [self.ident()]
+        ck_cols: list[str] = []
+        while self.accept_punct(","):
+            ck_cols.append(self.ident())
+        self.expect_punct(")")
+
+        clustering_order: dict[str, bool] = {}
+        if self.accept_kw("with"):
+            while True:
+                if self.accept_kw("clustering"):
+                    self.expect_kw("order")
+                    self.expect_kw("by")
+                    self.expect_punct("(")
+                    while True:
+                        c = self.ident()
+                        asc = True
+                        if self.accept_kw("desc"):
+                            asc = False
+                        else:
+                            self.accept_kw("asc")
+                        clustering_order[c] = asc
+                        if not self.accept_punct(","):
+                            break
+                    self.expect_punct(")")
+                else:
+                    opt = self.ident()
+                    if opt.lower() == "default_time_to_live":
+                        # CreateViewStatement.java:284
+                        raise InvalidRequest(
+                            "Cannot set default_time_to_live for a materialized "
+                            "view. Data in a materialized view always expire at "
+                            "the same time than the corresponding data in the "
+                            "parent table."
+                        )
+                    self.expect_op("=")
+                    self._skip_option_value()
+                if not self.accept_kw("and"):
+                    break
+        self._end()
+
+        bad_order = set(clustering_order) - set(ck_cols)
+        if bad_order:
+            # CreateViewStatement.java:216
+            raise InvalidRequest(
+                "Clustering key columns must exactly match columns in "
+                "CLUSTERING ORDER BY directive"
+            )
+        if not pk_cols:
+            raise InvalidRequest(
+                f"Must provide at least one partition key column for "
+                f"materialized view '{name}'"
+            )
+        seen: set[str] = set()
+        for c in pk_cols + ck_cols:
+            # a PK column must exist in the base AND be selected
+            # (CreateViewStatement.java:192)
+            if c not in base_cols or c not in selected:
+                raise InvalidRequest(
+                    f"Unknown column '{c}' referenced in PRIMARY KEY for "
+                    f"materialized view '{name}'"
+                )
+            if c in seen:
+                raise InvalidRequest(
+                    f"Duplicate column '{c}' in PRIMARY KEY clause for "
+                    f"materialized view '{name}'"
+                )
+            seen.add(c)
+        view_pk = pk_cols + ck_cols
+        missing_base_pk = [c for c in base.primary_key if c not in seen]
+        if missing_base_pk:
+            # CreateViewStatement.java:230
+            raise InvalidRequest(
+                f"Cannot create materialized view '{name}' without primary "
+                f"key columns {', '.join(missing_base_pk)} from base table "
+                f"'{b_name}'"
+            )
+        extra = [c for c in view_pk if c not in base.primary_key]
+        if len(extra) > 1:
+            # CreateViewStatement.java:238
+            raise InvalidRequest(
+                "Cannot include more than one non-primary key column in "
+                f"materialized view primary key (got {', '.join(extra)})"
+            )
+        restricted = isnotnull | {c for c, _, _ in relations}
+        unrestricted = [c for c in view_pk if c not in restricted]
+        if unrestricted:
+            # CreateViewStatement.java:264
+            raise InvalidRequest(
+                f"Primary key columns {', '.join(unrestricted)} must be "
+                "restricted with 'IS NOT NULL' or otherwise"
+            )
+        bad_rel = [c for c, _, _ in relations if c not in base.primary_key]
+        if bad_rel:
+            # CreateViewStatement.java:272 (CASSANDRA-13798)
+            raise InvalidRequest(
+                "Non-primary key columns can only be restricted with "
+                f"'IS NOT NULL' (got: {', '.join(bad_rel)} restricted illegally)"
+            )
+
+        # view schema: PK first, then the remaining selected columns in
+        # base order (TableMetadata.Builder.kind(VIEW))
+        rest = [c for c in selected if c not in seen]
+        schema = T.StructType(
+            [T.StructField(c, base_cols[c].dataType) for c in view_pk + rest]
+        )
+        vmeta = TableMeta(
+            name,
+            schema,
+            partition_key=tuple(pk_cols),
+            clustering=tuple(
+                ClusteringColumn(c, clustering_order.get(c, True)) for c in ck_cols
+            ),
+            cql_key_types=tuple(
+                (c, t) for c, t in base.cql_key_types if c in set(selected)
+            ),
+        )
+        if self.last_key in self.registry.views:
+            if ine:
+                return None
+            raise InvalidRequest(f"materialized view {name!r} already exists")
+        if self.last_key in self.registry.tables:
+            # CreateViewStatement.java:120
+            raise InvalidRequest(
+                f"Cannot create materialized view '{name}' - a table with "
+                "the same name already exists"
+            )
+        return ViewMeta(name, base_key, vmeta, tuple(selected), tuple(relations))
+
+    def _cql_type_text(self) -> str:
+        """Raw normalized CQL type text (for signature matching between
+        SFUNC/STYPE declarations — UDAggregate.java:44 stateType checks)."""
+        start = self.i
+        self.cql_type()  # validates the shape
+        return "".join(t.text for t in self.toks[start:self.i]).lower()
+
+    def _function_key(self, orreplace: bool) -> tuple[bool, tuple[str | None, str]]:
+        """Shared CREATE FUNCTION/AGGREGATE head: [IF NOT EXISTS] name.
+        OR REPLACE + IF NOT EXISTS conflict (CreateFunctionStatement.java
+        'Cannot use both ... directives')."""
+        ine = self.if_not_exists()
+        if ine and orreplace:
+            raise InvalidRequest(
+                "Cannot use both 'OR REPLACE' and 'IF NOT EXISTS' directives"
+            )
+        ks, name = self.qualified_name()
+        eff_ks = ks if ks is not None else self.current_keyspace
+        if ks is not None and ks not in self.registry.keyspaces:
+            raise InvalidRequest(f"Keyspace '{ks}' doesn't exist")
+        self.last_key = (eff_ks, name)
+        return ine, self.last_key
+
+    def create_function_stmt(self, orreplace: bool) -> FunctionDef | None:
+        """CREATE [OR REPLACE] FUNCTION (Parser.g createFunction rule;
+        CreateFunctionStatement.java; UDFunction.java:69). Body language
+        is LANGUAGE sql — see FunctionDef."""
+        self.expect_kw("function")
+        ine, key = self._function_key(orreplace)
+        self.expect_punct("(")
+        args: list[tuple[str, str]] = []
+        if not self.accept_punct(")"):
+            while True:
+                args.append((self.ident(), self._cql_type_text()))
+                if not self.accept_punct(","):
+                    break
+            self.expect_punct(")")
+        if self.accept_kw("called"):
+            called = True
+        else:
+            self.expect_kw("returns")
+            self.expect_kw("null")
+            called = False
+        self.expect_kw("on")
+        self.expect_kw("null")
+        self.expect_kw("input")
+        self.expect_kw("returns")
+        returns = self._cql_type_text()
+        self.expect_kw("language")
+        lang = self.ident().lower()
+        if lang != "sql":
+            # the reference hosts sandboxed java/javascript bytecode
+            # (UDFByteCodeVerifier.java); a Spark engine cannot — the
+            # supported dialect is a Spark SQL expression body
+            raise InvalidRequest(
+                f"LANGUAGE {lang} is not supported; this engine executes "
+                "LANGUAGE sql bodies (a Spark SQL expression over the "
+                "argument names)"
+            )
+        self.expect_kw("as")
+        t = self.next()
+        if t.kind != "string":
+            raise InvalidRequest("function body must be a string literal")
+        body = t.text[1:-1].replace("''", "'")
+        self._end()
+        if key in self.registry.functions and not orreplace:
+            if ine:
+                return None
+            raise InvalidRequest(f"Function '{key[1]}' already exists")
+        return FunctionDef(key[1], tuple(args), returns, called, body)
+
+    def create_aggregate_stmt(self, orreplace: bool) -> AggregateDef | None:
+        """CREATE [OR REPLACE] AGGREGATE (Parser.g createAggregate rule;
+        CreateAggregateStatement.java; UDAggregate.java:44-53): validates
+        the SFUNC/FINALFUNC signatures against STYPE at prepare time like
+        the reference."""
+        self.expect_kw("aggregate")
+        ine, key = self._function_key(orreplace)
+        self.expect_punct("(")
+        arg_types: list[str] = []
+        if not self.accept_punct(")"):
+            while True:
+                arg_types.append(self._cql_type_text())
+                if not self.accept_punct(","):
+                    break
+            self.expect_punct(")")
+        if len(arg_types) != 1:
+            raise InvalidRequest(
+                "only single-argument aggregates are supported "
+                "(one value column per fold)"
+            )
+        self.expect_kw("sfunc")
+        sfunc = self.ident()
+        self.expect_kw("stype")
+        stype = self._cql_type_text()
+        finalfunc = None
+        if self.accept_kw("finalfunc"):
+            finalfunc = self.ident()
+        initcond_sql = None
+        if self.accept_kw("initcond"):
+            initcond_sql = self._initcond_sql(stype)
+        self._end()
+
+        # SFUNC signature: (stype, arg_types...) -> stype
+        # (CreateAggregateStatement.java stateFunction checks)
+        sfn = self._resolve_fn(sfunc)
+        expect = [stype] + arg_types
+        declared = [a[1] for a in sfn.args]
+        if declared != expect or sfn.returns != stype:
+            raise InvalidRequest(
+                f"State function {sfunc} must take ({', '.join(expect)}) "
+                f"and return {stype}"
+            )
+        if finalfunc is not None:
+            ffn = self._resolve_fn(finalfunc)
+            if [a[1] for a in ffn.args] != [stype]:
+                raise InvalidRequest(
+                    f"Final function {finalfunc} must take ({stype})"
+                )
+        if key in self.registry.aggregates and not orreplace:
+            if ine:
+                return None
+            raise InvalidRequest(f"Aggregate '{key[1]}' already exists")
+        return AggregateDef(
+            key[1], tuple(arg_types), sfunc, stype, finalfunc, initcond_sql
+        )
+
+    def _resolve_fn(self, name: str) -> FunctionDef:
+        k = self.registry.functions.resolve(
+            name, current=self.current_keyspace, missing_ok=True
+        )
+        if k is None:
+            raise InvalidRequest(f"Unknown function {name}")
+        return self.registry.functions[k]
+
+    def _initcond_sql(self, stype: str) -> str:
+        """INITCOND literal → SQL text. A tuple literal (a, b, …) becomes
+        a named_struct over the STYPE tuple's positional fields (the _1,
+        _2, … naming cql_type() assigns)."""
+        if self.accept_punct("("):
+            vals = [self.next().text]
+            while self.accept_punct(","):
+                vals.append(self.next().text)
+            self.expect_punct(")")
+            st = stype.strip().lower()
+            if not st.startswith("tuple<"):
+                raise InvalidRequest("tuple INITCOND requires a tuple STYPE")
+            inner = [x.strip() for x in st[len("tuple<"):-1].split(",")]
+            if len(inner) != len(vals):
+                raise InvalidRequest(
+                    f"INITCOND arity {len(vals)} != STYPE arity {len(inner)}"
+                )
+            parts = ", ".join(
+                f"'_{i + 1}', CAST({v} AS {_cql_type_to_sql(tp)})"
+                for i, (v, tp) in enumerate(zip(vals, inner))
+            )
+            return f"named_struct({parts})"
+        t = self.next()
+        if t.kind not in ("number", "string") and t.text.lower() != "null":
+            raise InvalidRequest(f"bad INITCOND literal {t.text!r}")
+        return t.text
+
     def alter_table(self) -> TableMeta:
         self.expect_kw("table")
         ks, name = self.qualified_name()
@@ -549,6 +1084,13 @@ class SchemaRegistry:
         # through TableNamespace (unique suffix match), matching the
         # reference's keyspace-scoped schema (KeyspaceMetadata.java)
         self.tables: TableNamespace = TableNamespace()
+        # materialized views: same keyspace-scoped namespace shape as
+        # tables (schema/Views.java holds them beside the tables map)
+        self.views: TableNamespace = TableNamespace()
+        # statement-created functions/aggregates (schema/UserFunctions.java
+        # — keyspace-scoped like tables; one overload per name here)
+        self.functions: TableNamespace = TableNamespace()
+        self.aggregates: TableNamespace = TableNamespace()
         self.types: dict[str, T.StructType] = {}
         # index names are unique per KEYSPACE in the reference
         # (schema/IndexMetadata.java lives inside KeyspaceMetadata) — same
@@ -586,7 +1128,25 @@ class SchemaRegistry:
         p = _DdlParser(_tokenize(cql), self, current_keyspace)
         if head == "create":
             p.expect_kw("create")
+            orreplace = False
+            if p.accept_kw("or"):
+                p.expect_kw("replace")
+                orreplace = True
             nxt = p.peek().text.lower()
+            if orreplace and nxt not in ("function", "aggregate"):
+                raise InvalidRequest(
+                    f"CREATE OR REPLACE is not supported for {nxt.upper()}"
+                )
+            if nxt == "function":
+                fd = p.create_function_stmt(orreplace)
+                if fd is not None:
+                    self.functions[p.last_key] = fd
+                return
+            if nxt == "aggregate":
+                ad = p.create_aggregate_stmt(orreplace)
+                if ad is not None:
+                    self.aggregates[p.last_key] = ad
+                return
             if nxt == "keyspace":
                 ks = p.create_keyspace()
                 if ks is not None:
@@ -614,26 +1174,100 @@ class SchemaRegistry:
                 if idx is not None:
                     # scoped by the owning table's keyspace
                     self.indexes[(idx.table[0], idx.name)] = idx
+            elif nxt == "materialized":
+                vm = p.create_view()
+                if vm is not None:
+                    self.views[p.last_key] = vm
             else:
                 raise InvalidRequest(f"unsupported CREATE {nxt.upper()}")
         elif head == "alter":
             p.expect_kw("alter")
             meta = p.alter_table()
+            # AlterTableStatement.java:262 — a column a view selects
+            # cannot be dropped out from under it
+            old = self.tables[p.last_key]
+            dropped = {f.name for f in old.schema.fields} - {
+                f.name for f in meta.schema.fields
+            }
+            if dropped:
+                for vm in self.views.values():
+                    if vm.base_key != p.last_key:
+                        continue
+                    used = dropped & set(vm.selected)
+                    if used:
+                        raise InvalidRequest(
+                            f"Cannot drop column {sorted(used)[0]} on base "
+                            f"table {old.name} with materialized views"
+                        )
             self.tables[p.last_key] = meta
         elif head == "drop":
             p.expect_kw("drop")
             kind = p.ident().lower()
+            if kind == "materialized":
+                p.expect_kw("view")
+                kind = "materialized view"
             ife = p.if_exists()
             ks_q, name = p.qualified_name()
             p._end()
+            if kind == "materialized view":
+                vkey = self.views.resolve(
+                    name, keyspace=ks_q, current=current_keyspace, missing_ok=True
+                )
+                if vkey is None:
+                    if ife:
+                        return
+                    raise InvalidRequest(f"unknown materialized view {name!r}")
+                dict.__delitem__(self.views, vkey)
+                return
+            if kind in ("function", "aggregate"):
+                store = self.functions if kind == "function" else self.aggregates
+                fkey = store.resolve(
+                    name, keyspace=ks_q, current=current_keyspace, missing_ok=True
+                )
+                if fkey is None:
+                    if ife:
+                        return
+                    raise InvalidRequest(f"unknown {kind} {name!r}")
+                if kind == "function":
+                    # DropFunctionStatement: a function referenced by an
+                    # aggregate cannot be dropped out from under it
+                    users = [
+                        ak[1]
+                        for ak, ad in self.aggregates.items()
+                        if name in (ad.sfunc, ad.finalfunc)
+                    ]
+                    if users:
+                        raise InvalidRequest(
+                            f"Function '{name}' is still referenced by "
+                            f"aggregates ({', '.join(sorted(users))})"
+                        )
+                dict.__delitem__(store, fkey)
+                return
             if kind == "table":
                 key = self.tables.resolve(
                     name, keyspace=ks_q, current=current_keyspace, missing_ok=True
                 )
                 if key is None:
+                    if self.views.resolve(
+                        name, keyspace=ks_q, current=current_keyspace, missing_ok=True
+                    ):
+                        # DropTableStatement.java:66
+                        raise InvalidRequest(
+                            "Cannot use DROP TABLE on a materialized view. "
+                            "Please use DROP MATERIALIZED VIEW instead."
+                        )
                     if ife:
                         return
                     raise InvalidRequest(f"unknown table {name!r}")
+                dependent = [
+                    vk[1] for vk, vm in self.views.items() if vm.base_key == key
+                ]
+                if dependent:
+                    # DropTableStatement.java:71
+                    raise InvalidRequest(
+                        "Cannot drop a table when materialized views still "
+                        f"depend on it ({', '.join(sorted(dependent))})"
+                    )
                 dict.__delitem__(self.tables, key)
                 self._forget_table(key)
                 return
@@ -657,6 +1291,11 @@ class SchemaRegistry:
                 for tk in [tk for tk in list(self.tables) if tk[0] == key]:
                     dict.__delitem__(self.tables, tk)
                     self._forget_table(tk)
+                for vk in [vk for vk in list(self.views) if vk[0] == key]:
+                    dict.__delitem__(self.views, vk)
+                for store in (self.functions, self.aggregates):
+                    for fk in [fk for fk in list(store) if fk[0] == key]:
+                        dict.__delitem__(store, fk)
         else:
             raise InvalidRequest(f"not a DDL statement: {head!r}")
 
@@ -715,6 +1354,39 @@ class CqlDatabase:
                 clock=self._write_clock,
             )
         return self._sessions[key]
+
+    def _view_frame(self, vkey: tuple) -> DataFrame:
+        """Derive a materialized view's visible frame from its base
+        session (db/view/View.java select + ViewUpdateGenerator.java:45
+        row mapping). The view PK contains every base PK column plus at
+        most one base regular column, so base rows map 1:1 onto view rows
+        — derivation is a filter (view-PK IS NOT NULL + the statement's
+        WHERE relations) and a projection; no re-aggregation, and the
+        per-column liveness shadows pass straight through (view cells
+        carry the base cells' timestamps)."""
+        vm = self.registry.views[vkey]
+        sess = self._session_for_key(vm.base_key)
+        df = sess.table(now=sess._clock_ref[0], with_shadows=True)
+        cond = F.lit(True)
+        for c in vm.meta.primary_key:
+            cond = cond & F.col(c).isNotNull()
+        ops = {
+            "=": lambda l, r: l == r,
+            "<": lambda l, r: l < r,
+            "<=": lambda l, r: l <= r,
+            ">": lambda l, r: l > r,
+            ">=": lambda l, r: l >= r,
+        }
+        for c, op, v in vm.relations:
+            cond = cond & ops[op](F.col(c), F.lit(v))
+        keep = list(vm.meta.schema.fieldNames())
+        shadows = [
+            s
+            for c in keep
+            for s in (f"_writetime_{c}", f"_ttl_{c}")
+            if s in df.columns
+        ]
+        return df.filter(cond).select(*keep, *shadows)
 
     @staticmethod
     def _dml_table(cql: str) -> tuple[str | None, str]:
@@ -811,13 +1483,50 @@ class CqlDatabase:
         if head == "begin":
             return self._execute_batch(cql, params or [])
         if head in self._DML_HEADS:
-            return self._session(self._dml_table(cql)).execute(cql, params)
+            tks, tname = self._dml_table(cql)
+            if (
+                self.registry.tables.resolve(
+                    tname, keyspace=tks, current=self.current_keyspace, missing_ok=True
+                )
+                is None
+                and self.registry.views.resolve(
+                    tname, keyspace=tks, current=self.current_keyspace, missing_ok=True
+                )
+                is not None
+            ):
+                if head == "truncate":
+                    # TruncateStatement.java:66
+                    raise InvalidRequest(
+                        "Cannot TRUNCATE materialized view directly; must "
+                        "truncate base table instead"
+                    )
+                # ModificationStatement.java:264
+                raise InvalidRequest("Cannot directly modify a materialized view")
+            return self._session((tks, tname)).execute(cql, params)
         if head == "select":
             from cassandra_pmem_spark.cql.parser import _compile, parse_select
             from cassandra_pmem_spark.cql.table import CqlTable
 
             st = parse_select(cql, params)
             ks, _, tbl = st.table.rpartition(".")
+            tkey = self.registry.tables.resolve(
+                tbl, keyspace=ks or None, current=self.current_keyspace, missing_ok=True
+            )
+            if tkey is None and (
+                vkey := self.registry.views.resolve(
+                    tbl,
+                    keyspace=ks or None,
+                    current=self.current_keyspace,
+                    missing_ok=True,
+                )
+            ):
+                return _compile(
+                    CqlTable(self._view_frame(vkey), self.registry.views[vkey].meta,
+                             self.strict),
+                    st,
+                    registry=self.registry,
+                    current_keyspace=self.current_keyspace,
+                )
             key = self._table_key((ks or None, tbl))
             meta = self.registry.tables[key]
             sess = self._session_for_key(key)
@@ -825,7 +1534,12 @@ class CqlDatabase:
             # cells past their expiry vanish (PurgeFunction analog), and
             # the liveness shadows feed the writetime()/ttl() selectors
             df = sess.table(now=sess._clock_ref[0], with_shadows=True)
-            return _compile(CqlTable(df, meta, self.strict), st)
+            return _compile(
+                CqlTable(df, meta, self.strict),
+                st,
+                registry=self.registry,
+                current_keyspace=self.current_keyspace,
+            )
         raise InvalidRequest(f"unsupported statement {head!r}")
 
     def _execute_batch(self, cql: str, params: list[Any]) -> bool:

@@ -255,7 +255,26 @@ class _Parser:
                 self.expect_punct(")")
                 sel = Selector("cast", [col, typ])
             else:
-                raise InvalidRequest(f"unknown function {name!r} in selection")
+                # user-defined scalar function or aggregate call
+                # (Selectable.WithFunction) — args are column names or
+                # literals; resolution against the schema's function
+                # registry happens at compile time (prepare analog)
+                call_args: list[tuple[str, Any]] = []
+                if not self.accept_punct(")"):
+                    while True:
+                        tok = self.peek()
+                        if tok.kind == "ident":
+                            call_args.append(("col", self.ident()))
+                        elif tok.kind in ("number", "string"):
+                            call_args.append(("lit", self.next().text))
+                        else:
+                            raise InvalidRequest(
+                                f"bad argument near {tok.text!r} in call to {name!r}"
+                            )
+                        if not self.accept_punct(","):
+                            break
+                    self.expect_punct(")")
+                sel = Selector("call", [name, call_args])
         else:
             if self.peek().kind == "punct" and self.peek().text == ".":
                 # UDT field access a.b[.c…] (Selectable.WithFieldSelection,
@@ -404,8 +423,53 @@ _CAST_TYPES = {
 }
 
 
-def _compile(t: CqlTable, st: SelectStatement) -> DataFrame:
+def _call_sql(s, registry, current_keyspace) -> tuple[str, str]:
+    """Resolve a Selector('call') against the schema registry's
+    statement-created functions: returns ('agg'|'fn', assembled SQL).
+    Aggregates shadow scalar functions of the same name, mirroring the
+    reference's separate FunctionName spaces."""
+    name, args = s.args
+    actuals = [a[1] if a[0] == "col" else str(a[1]) for a in args]
+    if registry is not None:
+        ak = registry.aggregates.resolve(
+            name, current=current_keyspace, missing_ok=True
+        )
+        if ak is not None:
+            ad = registry.aggregates[ak]
+            if len(actuals) != 1:
+                raise InvalidRequest(
+                    f"aggregate {name} takes 1 argument, got {len(actuals)}"
+                )
+            sfn = registry.functions[
+                registry.functions.resolve(ad.sfunc, current=current_keyspace)
+            ]
+            ffn = None
+            if ad.finalfunc is not None:
+                ffn = registry.functions[
+                    registry.functions.resolve(ad.finalfunc, current=current_keyspace)
+                ]
+            return "agg", ad.expand(sfn, ffn, actuals[0])
+        fk = registry.functions.resolve(
+            name, current=current_keyspace, missing_ok=True
+        )
+        if fk is not None:
+            return "fn", registry.functions[fk].expand(actuals)
+    raise InvalidRequest(f"Unknown function '{name}' in selection")
+
+
+def _compile(
+    t: CqlTable,
+    st: SelectStatement,
+    registry=None,
+    current_keyspace: str | None = None,
+) -> DataFrame:
     meta = t.meta
+    # resolve user-defined calls up front: an aggregate call joins the
+    # has_agg group-by path, a scalar call compiles into the projection
+    calls: dict[int, tuple[str, str]] = {}
+    for s in st.selectors:
+        if s.kind == "call":
+            calls[id(s)] = _call_sql(s, registry, current_keyspace)
     for r in st.relations:
         if r.kind == "tuple":
             t = t.where_tuple(r.columns, r.op, r.values)
@@ -426,7 +490,10 @@ def _compile(t: CqlTable, st: SelectStatement) -> DataFrame:
     if st.per_partition_limit is not None:
         t = t.per_partition_limit(st.per_partition_limit)
 
-    has_agg = any(s.kind == "agg" for s in st.selectors)
+    has_agg = any(
+        s.kind == "agg" or calls.get(id(s), ("", ""))[0] == "agg"
+        for s in st.selectors
+    )
     if t.strict:
         validate_limits(st.limit, st.per_partition_limit, st.distinct, has_agg)
         if st.distinct and any(
@@ -448,7 +515,11 @@ def _compile(t: CqlTable, st: SelectStatement) -> DataFrame:
         return t.df()
 
     if has_agg:
-        if any(s.kind not in ("agg", "col") for s in st.selectors):
+        if any(
+            s.kind not in ("agg", "col")
+            and calls.get(id(s), ("", ""))[0] != "agg"
+            for s in st.selectors
+        ):
             raise InvalidRequest("aggregates mix only with GROUP BY columns")
         group_cols = st.group_by
         plain = [s.args[0] for s in st.selectors if s.kind == "col"]
@@ -462,6 +533,9 @@ def _compile(t: CqlTable, st: SelectStatement) -> DataFrame:
         df = t.df()
         aggs = []
         for s in st.selectors:
+            if s.kind == "call":
+                aggs.append(F.expr(calls[id(s)][1]).alias(s.alias or s.args[0]))
+                continue
             if s.kind != "agg":
                 continue
             name = s.alias or (f"{s.fn}_{s.args[0]}" if s.args[0] != "*" else "count")
@@ -479,6 +553,10 @@ def _compile(t: CqlTable, st: SelectStatement) -> DataFrame:
             return t.select(*[f.name for f in meta.schema.fields]).df()
         if s.kind == "col":
             projection.append(F.col(s.args[0]).alias(s.alias) if s.alias else F.col(s.args[0]))
+        elif s.kind == "call":
+            # scalar UDF call: the LANGUAGE sql body expanded inline —
+            # runs in whole-stage codegen, no callout
+            projection.append(F.expr(calls[id(s)][1]).alias(s.alias or s.args[0]))
         elif s.kind == "field":
             path = ".".join(s.args)
             projection.append(F.col(path).alias(s.alias or path))

@@ -46,8 +46,11 @@ _PRIORITY: tuple[str, ...] = (
     "cql_ddl_roundtrip",  # KEYSPACE/TABLE/TYPE/ALTER statement DDL
     "cql_ttl_expiry",  # USING TTL + expiry at read clock
     "cql_upsert_lww_cells",  # cell-level LWW disjoint-column writes
-    # -- (3) round-8 additions (each name uncommented only once its
+    # -- (3) round-8 additions (each name added only once its
     #    implementation lands — the assert below fires on ghosts)
+    "cql_create_mv_statement",  # CREATE MATERIALIZED VIEW statement form
+    "cql_udf_statement",  # CREATE FUNCTION statement form (LANGUAGE sql)
+    "cql_uda_statement",  # CREATE AGGREGATE statement form (HOF fold)
     "sim_ivf_topk",  # IVF ANN — re-windowed to earn an oracle-backed row
     # -- (4) r1-era evidence (oldest rows in the registry)
     "streaming_tumbling_batch",
@@ -86,9 +89,6 @@ _PRIORITY: tuple[str, ...] = (
     "sim_neardup_exact",
     # tail — displaced first as round-8 queries land
     "multimodal_meta",
-    "text_fingerprint",
-    "text_langid",
-    "text_quality",
 )
 # Deliberately outside the window this round: the full r7-green set
 # (round-4 temporal/snapshot/BPE/graph tier + the round-6 tier — all

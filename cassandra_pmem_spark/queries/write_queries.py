@@ -474,6 +474,11 @@ def cql_collection_text_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess.execute("UPDATE ct SET m = m - {'view'} WHERE user_id = 6")
     sess.execute("DELETE l[0] FROM ct WHERE user_id = 7")
     sess.execute("UPDATE ct SET l[0] = 'first' WHERE user_id = 8")
+    # empty-collection literal = COMPLEX DELETION (Lists.Setter →
+    # ComplexColumnData deletion, no cells): the column reads NULL, not
+    # []; the row stays visible through its other live columns
+    sess.execute("UPDATE ct SET l = [] WHERE user_id = 9")
+    sess.execute("UPDATE ct SET m = {} WHERE user_id = 10")
     out = sess.table()
     return out.select(
         "user_id",
@@ -503,6 +508,7 @@ WITH ev AS (
       WHEN 2 THEN ['start'] || l
       WHEN 7 THEN l[2:]
       WHEN 8 THEN ['first'] || l[2:]
+      WHEN 9 THEN NULL
       ELSE l END AS l,
     CASE user_id
       WHEN 3 THEN list_sort(list_distinct(s || ['extra']))
@@ -526,13 +532,191 @@ WITH ev AS (
 SELECT lmod.user_id,
        array_to_string(lmod.l, ',') AS list_col,
        array_to_string(lmod.s, ',') AS set_col,
-       mp.map_col
+       CASE WHEN lmod.user_id = 10 THEN NULL ELSE mp.map_col END AS map_col
 FROM lmod JOIN mp ON lmod.user_id = mp.user_id
+"""
+
+
+def cql_create_mv_statement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE MATERIALIZED VIEW via statement text end-to-end
+    (Parser.g:851; CreateViewStatement.java:95-300; db/view/View.java;
+    ViewUpdateGenerator.java:45; ViewTest.java shapes): create a base
+    table keyed on n_nationkey, a view re-keyed ((n_regionkey),
+    n_nationkey) — n_regionkey is the one permitted non-PK base column —
+    load 25 nation rows through one BATCH of bound INSERTs, then prove
+    the view is maintained: a base row with a NULL view-PK column never
+    appears in the view, and a base UPDATE is visible through it. The
+    view partition read (WHERE n_regionkey = …) is the denormalization
+    the reference builds MVs for. Collects bounded by the fixed 25-row
+    nation cardinality."""
+    from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+    db = CqlDatabase(spark)
+    db.execute(
+        "CREATE KEYSPACE mv_stmt WITH REPLICATION = "
+        "{'class': 'SimpleStrategy', 'replication_factor': 1}"
+    )
+    db.execute("USE mv_stmt")
+    db.execute(
+        "CREATE TABLE nation_base (n_nationkey int PRIMARY KEY, "
+        "n_regionkey int, n_name text)"
+    )
+    db.execute(
+        "CREATE MATERIALIZED VIEW nation_by_region AS "
+        "SELECT n_nationkey, n_regionkey, n_name FROM nation_base "
+        "WHERE n_nationkey IS NOT NULL AND n_regionkey IS NOT NULL "
+        "PRIMARY KEY (n_regionkey, n_nationkey)"
+    )
+    rows = load_table(spark, "nation", sf_dir).collect()  # 25 rows, fixed
+    stmts = "; ".join(
+        ["INSERT INTO nation_base (n_nationkey, n_regionkey, n_name) VALUES (?, ?, ?)"]
+        * len(rows)
+    )
+    params: list = []
+    for r in rows:
+        params += [r.n_nationkey, r.n_regionkey, r.n_name]
+    db.execute(f"BEGIN BATCH {stmts}; APPLY BATCH", params)
+    # NULL view-PK column: lives in the base, invisible in the view
+    db.execute("INSERT INTO nation_base (n_nationkey, n_name) VALUES (-990, 'LIMBO')")
+    assert db.execute("SELECT n_nationkey FROM nation_base").count() == len(rows) + 1
+    assert (
+        db.execute("SELECT n_nationkey FROM nation_by_region").count() == len(rows)
+    )
+    # base UPDATE propagates through the always-current derivation
+    db.execute("UPDATE nation_base SET n_name = 'RELABELED' WHERE n_nationkey = 8")
+    return db.execute(
+        "SELECT n_regionkey, n_nationkey, n_name FROM nation_by_region "
+        "WHERE n_regionkey = 2"
+    )
+
+
+_CREATE_MV_ORACLE = """
+SELECT n_regionkey, n_nationkey,
+       CASE WHEN n_nationkey = 8 THEN 'RELABELED' ELSE n_name END AS n_name
+FROM nation WHERE n_regionkey = 2
+"""
+
+
+def cql_udf_statement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE FUNCTION via statement text (Parser.g createFunction rule;
+    CreateFunctionStatement.java; UDFunction.java:69,382): a LANGUAGE sql
+    body — this engine's dialect, expanded inline so the call runs in
+    whole-stage codegen, the Spark-first replacement for the reference's
+    sandboxed Java bytecode — plus RETURNS NULL ON NULL INPUT
+    short-circuiting, exercised through the parsed SELECT surface over
+    orders loaded as a CQL table. No driver-side row work: the CQL
+    session reads the parquet frame directly as its base."""
+    from cassandra_pmem_spark.catalog import TABLES
+    from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+    db = CqlDatabase(spark)
+    db.execute("CREATE KEYSPACE udfks WITH REPLICATION = {'class': 'SimpleStrategy'}")
+    db.execute("USE udfks")
+    db.execute(
+        "CREATE TABLE orders_fn (o_orderkey bigint PRIMARY KEY, "
+        "o_totalprice double, o_orderpriority text)"
+    )
+    # statement-created scalar functions: a banding expression and a
+    # null-short-circuiting priority parser (nullif'd at the call site)
+    db.execute(
+        "CREATE FUNCTION price_band (p double) CALLED ON NULL INPUT "
+        "RETURNS text LANGUAGE sql AS "
+        "'CASE WHEN p > 200000 THEN ''high'' WHEN p > 100000 THEN ''mid'' "
+        "ELSE ''low'' END'"
+    )
+    db.execute(
+        "CREATE FUNCTION urgency (s text) RETURNS NULL ON NULL INPUT "
+        "RETURNS int LANGUAGE sql AS 'CAST(split(s, ''-'')[0] AS INT)'"
+    )
+    # route the parquet frame in as the session base (bounded: no collect)
+    sess = db._session_for_key(("udfks", "orders_fn"))
+    sess._base = (
+        load_table(spark, "orders", sf_dir)
+        .withColumn(
+            "o_orderpriority",
+            F.expr("nullif(o_orderpriority, '5-LOW')"),
+        )
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    )
+    return db.execute(
+        "SELECT price_band(o_totalprice) AS band, urgency(o_orderpriority) AS urg "
+        "FROM orders_fn"
+    ).groupBy("band", "urg").agg(F.count(F.lit(1)).alias("n"))
+
+
+_UDF_STMT_ORACLE = """
+SELECT CASE WHEN o_totalprice > 200000 THEN 'high'
+            WHEN o_totalprice > 100000 THEN 'mid' ELSE 'low' END AS band,
+       CASE WHEN o_orderpriority = '5-LOW' THEN NULL
+            ELSE CAST(string_split(o_orderpriority, '-')[1] AS INT) END AS urg,
+       count(*) AS n
+FROM orders GROUP BY 1, 2
+"""
+
+
+def cql_uda_statement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE AGGREGATE via statement text (Parser.g createAggregate
+    rule; CreateAggregateStatement.java; UDAggregate.java:44-53): SFUNC/
+    STYPE/FINALFUNC/INITCOND with a tuple<bigint,bigint> state, compiled
+    to ONE aggregate(collect_list(…), init, merge, finish) higher-order
+    expression — the whole fold stays JVM-side (no Python callout), with
+    the group-by shuffle as the only exchange. Integer-cents state keeps
+    the result decimal-exact against the oracle."""
+    from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+    db = CqlDatabase(spark)
+    db.execute("CREATE KEYSPACE udaks WITH REPLICATION = {'class': 'SimpleStrategy'}")
+    db.execute("USE udaks")
+    db.execute(
+        "CREATE TABLE li (l_suppkey bigint, l_orderkey bigint, l_linenumber int, "
+        "l_cents bigint, PRIMARY KEY (l_suppkey, l_orderkey, l_linenumber))"
+    )
+    db.execute(
+        "CREATE FUNCTION cents_acc (st tuple<bigint,bigint>, v bigint) "
+        "RETURNS NULL ON NULL INPUT RETURNS tuple<bigint,bigint> LANGUAGE sql "
+        "AS 'named_struct(''_1'', st._1 + v, ''_2'', st._2 + 1L)'"
+    )
+    db.execute(
+        "CREATE FUNCTION cents_avg (st tuple<bigint,bigint>) "
+        "CALLED ON NULL INPUT RETURNS bigint LANGUAGE sql "
+        "AS 'IF(st._2 = 0, NULL, CAST(st._1 / st._2 AS BIGINT))'"
+    )
+    db.execute(
+        "CREATE AGGREGATE avg_cents (bigint) SFUNC cents_acc "
+        "STYPE tuple<bigint,bigint> FINALFUNC cents_avg INITCOND (0, 0)"
+    )
+    sess = db._session_for_key(("udaks", "li"))
+    li = load_table(spark, "lineitem", sf_dir)
+    # the synthetic lineitem is TPC-H-ish, not TPC-H-exact: (l_orderkey,
+    # l_linenumber) duplicates exist, which the session's LWW merge would
+    # collapse nondeterministically — pre-aggregate onto the CQL pk so
+    # Spark and oracle see the same unique-keyed rows at any SF
+    sess._base = li.groupBy("l_suppkey", "l_orderkey", "l_linenumber").agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias("l_cents")
+    )
+    return db.execute(
+        "SELECT l_suppkey, avg_cents(l_cents) AS avg_c FROM li "
+        "GROUP BY l_suppkey"
+    )
+
+
+_UDA_STMT_ORACLE = """
+WITH c AS (
+  SELECT l_suppkey, l_orderkey, l_linenumber,
+         SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS cents
+  FROM lineitem GROUP BY 1, 2, 3
+)
+SELECT l_suppkey,
+       CAST(floor(SUM(cents) * 1.0 / COUNT(*)) AS BIGINT) AS avg_c
+FROM c GROUP BY l_suppkey
 """
 
 
 QUERIES = {
     "cql_delete_tombstones": (cql_delete_tombstones, _DELETE_TOMBSTONES_ORACLE),
+    "cql_create_mv_statement": (cql_create_mv_statement, _CREATE_MV_ORACLE),
+    "cql_udf_statement": (cql_udf_statement, _UDF_STMT_ORACLE),
+    "cql_uda_statement": (cql_uda_statement, _UDA_STMT_ORACLE),
     "cql_map_cell_liveness": (cql_map_cell_liveness, _MAP_CELL_ORACLE),
     "cql_collection_text_ops": (cql_collection_text_ops, _COLLECTION_TEXT_ORACLE),
     "cql_lwt_conditional": (cql_lwt_conditional, _LWT_ORACLE),

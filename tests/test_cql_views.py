@@ -1,0 +1,202 @@
+"""CREATE MATERIALIZED VIEW statement surface (CreateViewStatement.java:
+95-300; db/view/View.java; DropTableStatement.java:66-71;
+ModificationStatement.java:264; TruncateStatement.java:66; test shapes
+mirror test/unit/org/apache/cassandra/cql3/ViewTest.java)."""
+
+import pytest
+
+from cassandra_pmem_spark.cql.validator import InvalidRequest
+
+
+@pytest.fixture()
+def db(spark):
+    from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+    db = CqlDatabase(spark)
+    db.execute("CREATE KEYSPACE mvt WITH REPLICATION = {'class': 'SimpleStrategy'}")
+    db.execute("USE mvt")
+    db.execute(
+        "CREATE TABLE scores (game text, player text, score int, day int, "
+        "PRIMARY KEY (game, player))"
+    )
+    return db
+
+
+def _mk_view(db):
+    db.execute(
+        "CREATE MATERIALIZED VIEW high_scores AS "
+        "SELECT game, player, score, day FROM scores "
+        "WHERE game IS NOT NULL AND player IS NOT NULL AND score IS NOT NULL "
+        "PRIMARY KEY (game, score, player) "
+        "WITH CLUSTERING ORDER BY (score DESC, player ASC)"
+    )
+
+
+class TestViewDerivation:
+    def test_view_reflects_base_and_filters_null_pk(self, db):
+        _mk_view(db)
+        db.execute("INSERT INTO scores (game, player, score, day) VALUES ('chess', 'ann', 10, 1)")
+        db.execute("INSERT INTO scores (game, player, score, day) VALUES ('chess', 'bob', 30, 1)")
+        # NULL score: invisible in the view (score is a view PK column)
+        db.execute("INSERT INTO scores (game, player, day) VALUES ('chess', 'nil', 3)")
+        r = db.execute(
+            "SELECT player, score FROM high_scores WHERE game = 'chess' ORDER BY score DESC"
+        ).collect()
+        assert [(x.player, x.score) for x in r] == [("bob", 30), ("ann", 10)]
+        # base sees all three
+        assert db.execute("SELECT player FROM scores WHERE game = 'chess'").count() == 3
+
+    def test_base_update_propagates(self, db):
+        _mk_view(db)
+        db.execute("INSERT INTO scores (game, player, score) VALUES ('go', 'dee', 5)")
+        db.execute("UPDATE scores SET score = 50 WHERE game = 'go' AND player = 'dee'")
+        r = db.execute("SELECT score FROM high_scores WHERE game = 'go'").collect()
+        assert [x.score for x in r] == [50]
+
+    def test_base_delete_propagates(self, db):
+        _mk_view(db)
+        db.execute("INSERT INTO scores (game, player, score) VALUES ('go', 'dee', 5)")
+        db.execute("DELETE FROM scores WHERE game = 'go' AND player = 'dee'")
+        assert db.execute("SELECT score FROM high_scores WHERE game = 'go'").count() == 0
+
+    def test_writetime_passes_through_base_cells(self, db):
+        _mk_view(db)
+        db.execute(
+            "INSERT INTO scores (game, player, score, day) VALUES ('go', 'dee', 5, 7) "
+            "USING TIMESTAMP 4242"
+        )
+        r = db.execute(
+            "SELECT writetime(day) AS wt FROM high_scores WHERE game = 'go'"
+        ).collect()
+        assert [x.wt for x in r] == [4242]
+
+    def test_writetime_on_view_pk_part_rejected(self, db):
+        # score is a VIEW PK part even though it is a base regular column
+        _mk_view(db)
+        with pytest.raises(InvalidRequest, match="PRIMARY KEY part"):
+            db.execute("SELECT writetime(score) FROM high_scores")
+
+    def test_order_by_uses_view_clustering(self, db):
+        _mk_view(db)
+        for p, s in [("a", 1), ("b", 3), ("c", 2)]:
+            db.execute(
+                f"INSERT INTO scores (game, player, score) VALUES ('x', '{p}', {s})"
+            )
+        r = db.execute(
+            "SELECT player FROM high_scores WHERE game = 'x' ORDER BY score DESC"
+        ).collect()
+        assert [x.player for x in r] == ["b", "c", "a"]
+
+
+class TestViewGates:
+    def test_modify_view_rejected(self, db):
+        _mk_view(db)
+        with pytest.raises(InvalidRequest, match="Cannot directly modify"):
+            db.execute("INSERT INTO high_scores (game, player, score) VALUES ('x', 'y', 1)")
+        with pytest.raises(InvalidRequest, match="Cannot TRUNCATE materialized view"):
+            db.execute("TRUNCATE high_scores")
+
+    def test_drop_table_on_view_rejected(self, db):
+        _mk_view(db)
+        with pytest.raises(InvalidRequest, match="Cannot use DROP TABLE on a materialized view"):
+            db.execute("DROP TABLE high_scores")
+
+    def test_drop_base_with_dependent_view_rejected(self, db):
+        _mk_view(db)
+        with pytest.raises(InvalidRequest, match="still depend on it"):
+            db.execute("DROP TABLE scores")
+        db.execute("DROP MATERIALIZED VIEW high_scores")
+        db.execute("DROP TABLE scores")  # allowed once the view is gone
+
+    def test_view_pk_must_be_is_not_null_restricted(self, db):
+        with pytest.raises(InvalidRequest, match="must be restricted"):
+            db.execute(
+                "CREATE MATERIALIZED VIEW v AS SELECT game, player FROM scores "
+                "WHERE game IS NOT NULL PRIMARY KEY (game, player)"
+            )
+
+    def test_at_most_one_non_pk_column_in_view_pk(self, db):
+        with pytest.raises(InvalidRequest, match="more than one non-primary key column"):
+            db.execute(
+                "CREATE MATERIALIZED VIEW v AS SELECT game, player, score, day "
+                "FROM scores WHERE game IS NOT NULL AND player IS NOT NULL AND "
+                "score IS NOT NULL AND day IS NOT NULL "
+                "PRIMARY KEY (game, score, day, player)"
+            )
+
+    def test_all_base_pk_columns_required(self, db):
+        with pytest.raises(InvalidRequest, match="without primary key columns"):
+            db.execute(
+                "CREATE MATERIALIZED VIEW v AS SELECT player, score FROM scores "
+                "WHERE player IS NOT NULL AND score IS NOT NULL "
+                "PRIMARY KEY (score, player)"
+            )
+
+    def test_view_pk_column_must_be_selected(self, db):
+        with pytest.raises(InvalidRequest, match="Unknown column 'score' referenced"):
+            db.execute(
+                "CREATE MATERIALIZED VIEW v AS SELECT game, player, day FROM scores "
+                "WHERE game IS NOT NULL AND player IS NOT NULL AND score IS NOT NULL "
+                "PRIMARY KEY (game, score, player)"
+            )
+
+    def test_view_on_view_rejected(self, db):
+        _mk_view(db)
+        with pytest.raises(InvalidRequest, match="against other"):
+            db.execute(
+                "CREATE MATERIALIZED VIEW v2 AS SELECT game, player FROM high_scores "
+                "WHERE game IS NOT NULL AND player IS NOT NULL "
+                "PRIMARY KEY (game, player)"
+            )
+
+    def test_alter_drop_selected_column_rejected(self, db):
+        _mk_view(db)
+        with pytest.raises(InvalidRequest, match="Cannot drop column"):
+            db.execute("ALTER TABLE scores DROP day")
+
+    def test_counter_base_rejected(self, db):
+        db.execute("CREATE TABLE ctr (k int PRIMARY KEY, n counter)")
+        with pytest.raises(InvalidRequest, match="not supported on counter tables"):
+            db.execute(
+                "CREATE MATERIALIZED VIEW cv AS SELECT k, n FROM ctr "
+                "WHERE k IS NOT NULL AND n IS NOT NULL PRIMARY KEY (n, k)"
+            )
+
+    def test_non_pk_relation_rejected(self, db):
+        # CASSANDRA-13798: only IS NOT NULL on non-PK base columns
+        with pytest.raises(InvalidRequest, match="restricted illegally"):
+            db.execute(
+                "CREATE MATERIALIZED VIEW v AS SELECT game, player, score FROM scores "
+                "WHERE game IS NOT NULL AND player IS NOT NULL AND score > 0 "
+                "PRIMARY KEY (game, score, player)"
+            )
+
+    def test_base_pk_relation_filters_view(self, db):
+        # a literal relation on a base PK column restricts view content
+        db.execute(
+            "CREATE MATERIALIZED VIEW chess_only AS "
+            "SELECT game, player, score FROM scores "
+            "WHERE game = 'chess' AND player IS NOT NULL AND score IS NOT NULL "
+            "PRIMARY KEY (game, score, player)"
+        )
+        db.execute("INSERT INTO scores (game, player, score) VALUES ('chess', 'a', 1)")
+        db.execute("INSERT INTO scores (game, player, score) VALUES ('go', 'b', 2)")
+        r = db.execute("SELECT game FROM chess_only").collect()
+        assert [x.game for x in r] == ["chess"]
+
+    def test_duplicate_view_and_if_not_exists(self, db):
+        _mk_view(db)
+        with pytest.raises(InvalidRequest, match="already exists"):
+            _mk_view(db)
+        db.execute(
+            "CREATE MATERIALIZED VIEW IF NOT EXISTS high_scores AS "
+            "SELECT game, player, score FROM scores "
+            "WHERE game IS NOT NULL AND player IS NOT NULL AND score IS NOT NULL "
+            "PRIMARY KEY (game, score, player)"
+        )
+
+    def test_drop_keyspace_cascades_views(self, db):
+        _mk_view(db)
+        db.execute("DROP KEYSPACE mvt")
+        assert ("mvt", "high_scores") not in db.registry.views
+        assert ("mvt", "scores") not in db.registry.tables
