@@ -43,6 +43,12 @@ HEADLINE = [
     "tpch_q11_important_parts",
     "dedup_cascade_docs",
     "streaming_tumbling_real",
+    # round-8 additions: the round-6 operator tier (graph components,
+    # substring dedup, perceptual image dedup, as-of join)
+    "dedup_components_star",
+    "dedup_substring_spans",
+    "multimodal_image_dedup",
+    "temporal_asof_join",
 ]
 
 

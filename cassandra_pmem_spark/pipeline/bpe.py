@@ -49,14 +49,34 @@ def train_bpe(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 6,
+    train_cap: int | None = None,
 ) -> list[tuple[int, str, int]]:
     """Learn `n_merges` BPE merges over the corpus. Returns
     [(round, pair, freq)] with round starting at 1; merge symbol for
     round r is chr(PUA_BASE + r - 1). Stops early if no pair occurs
-    twice."""
+    twice.
+
+    `train_cap` bounds the TRAINING corpus (the quantizer-sample pattern,
+    similarity.py ivf_topk): a deterministic hash-ordered sample of at
+    most `train_cap` documents is cached once, and every merge round
+    aggregates only the sample — so a 32k-merge vocabulary costs 32k
+    tiny cached-sample jobs instead of 32k full-corpus passes. At 100 TB
+    this is the only sane shape (production tokenizers train on ~1e6-doc
+    samples); `apply_bpe` still encodes the FULL corpus with the learned
+    table. None = train on everything (exact small-corpus parity with
+    the unrolled-CTE oracle)."""
     corpus = df.select(F.col(text_col).alias("__t"))
     merges: list[tuple[int, str, int]] = []
     cached = None
+    if train_cap is not None:
+        # hash-ordered limit: deterministic at any parallelism, and the
+        # sample (not the corpus) is what every merge round re-reads
+        corpus = corpus.orderBy(F.xxhash64("__t").asc(), F.col("__t").asc()).limit(
+            train_cap
+        )
+        cached = corpus.cache()
+        cached.count()
+        corpus = cached
     try:
         for r in range(1, n_merges + 1):
             top = (

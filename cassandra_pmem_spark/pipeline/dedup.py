@@ -354,8 +354,18 @@ def simhash_pairs(
 
 
 def _hamming_chunk_join(sh: DataFrame, max_hamming: int) -> DataFrame:
-    chunks = sh.select(
-        "id",
+    """Chunk-bucketed hamming join with a degenerate-bucket guard: the
+    pigeonhole join runs over DISTINCT signatures, never raw rows. A
+    corpus of N identical signatures (monochrome images, boilerplate
+    text) collapses to ONE representative in the chunk buckets instead
+    of an N² hot bucket in a single task; id-level pairs are then
+    recovered by two ordinary equi-joins (same-signature pairs on the
+    signature key, cross-signature pairs by expanding each surviving
+    signature pair through its member lists) — both AQE-splittable
+    shuffles whose volume tracks the TRUE near-dup output, not the
+    candidate cross product."""
+    sigs = sh.select("sh").distinct()
+    chunks = sigs.select(
         "sh",
         F.explode(
             F.array(
@@ -368,23 +378,46 @@ def _hamming_chunk_join(sh: DataFrame, max_hamming: int) -> DataFrame:
                 ]
             )
         ).alias("cc"),
-    ).select("id", "sh", "cc.chunk", "cc.ch")
+    ).select("sh", "cc.chunk", "cc.ch")
     l, r = chunks.alias("l"), chunks.alias("r")
-    cand = (
+    sig_pairs = (
         l.join(
             r,
             (F.col("l.chunk") == F.col("r.chunk"))
             & (F.col("l.ch") == F.col("r.ch"))
-            & (F.col("l.id") < F.col("r.id")),
+            & (F.col("l.sh") < F.col("r.sh")),
         )
         .select(
-            F.col("l.id").alias("a"),
-            F.col("r.id").alias("b"),
+            F.col("l.sh").alias("sa"),
+            F.col("r.sh").alias("sb"),
             F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh"))).alias("hamming"),
         )
-        .dropDuplicates(["a", "b"])
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["sa", "sb"])
     )
-    return cand.filter(F.col("hamming") <= max_hamming)
+    # same-signature members: hamming 0 by definition
+    ml, mr = sh.alias("ml"), sh.alias("mr")
+    intra = ml.join(
+        mr,
+        (F.col("ml.sh") == F.col("mr.sh")) & (F.col("ml.id") < F.col("mr.id")),
+    ).select(
+        F.col("ml.id").alias("a"),
+        F.col("mr.id").alias("b"),
+        F.lit(0).alias("hamming"),
+    )
+    # cross-signature pairs expand through the member lists; ids from
+    # different signatures never collide, so least/greatest keeps the
+    # a < b contract without a dedup pass
+    inter = (
+        sig_pairs.join(ml, F.col("sa") == F.col("ml.sh"))
+        .join(mr, F.col("sb") == F.col("mr.sh"))
+        .select(
+            F.least(F.col("ml.id"), F.col("mr.id")).alias("a"),
+            F.greatest(F.col("ml.id"), F.col("mr.id")).alias("b"),
+            F.col("hamming"),
+        )
+    )
+    return intra.unionByName(inter)
 
 
 def dedup_cascade(

@@ -152,19 +152,37 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (k-means inverted-list) approximate top-k (rows-only: centroid
-    assignment is engine-specific). Recall vs brute force asserted in tests."""
+    """IVF inverted-list approximate top-k with a deterministic STRIDED
+    coarse quantizer (centroids = the ≤16 embeddings with vec_id ≡ 3
+    mod 37, id-ordered — spread across the id space, unlike
+    sim_ivf_rerank's contiguous vec_id<16 anchors), so assignment,
+    probing, and the exact-cosine tier are all reproducible in static
+    SQL and the driver row is hash-matched. The iterative k-means
+    trainer stays available in ivf_topk(train_cap=…) and keeps its
+    recall-vs-brute-force unit tests; this row pins the DATA PATH —
+    codegen'd nearest-centroid assignment, n_probe list pruning,
+    in-list exact rerank — which is identical whichever quantizer
+    produced the centroids. The ≤16-row anchor collect is bounded by
+    construction."""
+    import numpy as np
+
     from cassandra_pmem_spark.pipeline.similarity import ivf_topk
 
     emb = load_table(spark, "embeddings", sf_dir)
+    anchors = np.array(
+        [
+            r[0]
+            for r in emb.filter((F.col("vec_id") % 37) == 3)
+            .orderBy("vec_id")
+            .limit(16)
+            .select(F.col("embedding").cast("array<double>"))
+            .collect()
+        ]
+    )
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
-    # the trained quantizer is reused across calls for the same corpus —
-    # a real deployment builds the IVF index once and queries it many times
-    return ivf_topk(
-        emb, queries, k=10, n_centroids=16, n_probe=6, quantizer_cache_key=sf_dir
-    ).select(
+    return ivf_topk(emb, queries, k=10, n_probe=6, centroids=anchors).select(
         "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cosine_sim"
     )
 
@@ -2138,6 +2156,52 @@ SELECT query_id, neighbor_id, rank, cosine_sim FROM (
 """
 
 
+_IVF_TOPK_ORACLE = """
+WITH c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), a AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS av FROM embeddings
+  WHERE vec_id % 37 = 3 ORDER BY vec_id LIMIT 16
+), q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5
+), cdist AS (
+  SELECT c.vec_id, a.cid,
+    list_dot_product(c.v, c.v) - 2 * list_dot_product(c.v, a.av)
+      + list_dot_product(a.av, a.av) AS d
+  FROM c, a
+), assign AS (
+  SELECT vec_id, cid AS list_id FROM (
+    SELECT vec_id, cid,
+      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM cdist) WHERE rn = 1
+), qdist AS (
+  SELECT q.query_id, a.cid,
+    list_dot_product(q.qv, q.qv) - 2 * list_dot_product(q.qv, a.av)
+      + list_dot_product(a.av, a.av) AS d
+  FROM q, a
+), probes AS (
+  SELECT query_id, cid AS list_id FROM (
+    SELECT query_id, cid,
+      row_number() OVER (PARTITION BY query_id ORDER BY d, cid) AS rn
+    FROM qdist) WHERE rn <= 6
+), scored AS (
+  SELECT p.query_id, s.vec_id AS neighbor_id,
+    list_dot_product(c.v, q.qv)
+      / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv)))
+      AS cosine_sim
+  FROM probes p
+  JOIN assign s ON s.list_id = p.list_id
+  JOIN c ON c.vec_id = s.vec_id
+  JOIN q ON q.query_id = p.query_id
+)
+SELECT query_id, neighbor_id, rank, cosine_sim FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
 _IVF_RERANK_ORACLE = f"""
 WITH c AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -2939,7 +3003,7 @@ QUERIES = {
     "sim_bruteforce_topk": (sim_bruteforce_topk, _TOPK_ORACLE),
     "sim_neardup_exact": (sim_neardup_exact, _NEARDUP_ORACLE),
     "sim_lsh_topk": (sim_lsh_topk, _lsh_topk_oracle()),
-    "sim_ivf_topk": (sim_ivf_topk, None),  # k-means training is iterative — rows-only
+    "sim_ivf_topk": (sim_ivf_topk, _IVF_TOPK_ORACLE),
     "sim_ivf_rerank": (sim_ivf_rerank, _IVF_RERANK_ORACLE),
     "text_token_counts": (
         text_token_counts,

@@ -139,6 +139,48 @@ class TestSimhash:
         assert hamming(fp[1], fp[2]) < hamming(fp[2], fp[3])
 
 
+class TestHammingDegenerateBuckets:
+    def test_identical_signature_flood_is_guarded(self, spark):
+        """A degenerate corpus (every row the same 64-bit signature —
+        monochrome images) must not build an N² hot chunk bucket: the
+        chunk join runs over DISTINCT signatures (one representative
+        here), and the emitted pairs are exactly the true n(n-1)/2."""
+        from cassandra_pmem_spark.pipeline.dedup import hamming_pairs
+
+        n = 3000
+        df = spark.range(n).select(
+            F.col("id").alias("item_id"), F.lit(-4242424242).alias("h")
+        )
+        pairs = hamming_pairs(df, id_col="item_id", hash_col="h", max_hamming=2)
+        assert pairs.count() == n * (n - 1) // 2
+        # the banded stage itself saw ONE distinct signature: no chunk
+        # bucket ever held more than one row
+        assert pairs.filter(F.col("hamming") != 0).count() == 0
+
+    def test_pair_set_matches_bruteforce_with_heavy_group(self, spark):
+        """Mixed corpus — one heavy identical group plus scattered
+        near/far signatures — must produce exactly the brute-force pair
+        set (guard changes the plan, never the answer)."""
+        from cassandra_pmem_spark.pipeline.dedup import hamming_pairs
+
+        sigs = [0x5A5A] * 40 + [0x5A5B, 0x5A58, 0xFFFF00000000, 0x123456789, 0]
+        rows = [(i, s) for i, s in enumerate(sigs)]
+        df = spark.createDataFrame(rows, "item_id LONG, h LONG")
+        got = {
+            (r["a"], r["b"], r["hamming"])
+            for r in hamming_pairs(
+                df, id_col="item_id", hash_col="h", max_hamming=3
+            ).collect()
+        }
+        want = set()
+        for i in range(len(sigs)):
+            for j in range(i + 1, len(sigs)):
+                d = bin((sigs[i] ^ sigs[j]) & (2**64 - 1)).count("1")
+                if d <= 3:
+                    want.add((i, j, d))
+        assert got == want
+
+
 class TestMinhashLshCascade:
     def test_banded_lsh_finds_planted_neardups(self, spark):
         """The production cascade: banded LSH candidates → Jaccard estimate.
@@ -358,6 +400,24 @@ class TestBpe:
         )
         # every adjacent pair occurs once — nothing reaches freq ≥ 2
         assert train_bpe(df, n_merges=3) == []
+
+    def test_train_cap_bounds_sample_and_is_deterministic(self, spark):
+        """train_cap trains on a deterministic hash-ordered sample: a cap
+        covering the corpus equals uncapped training, a smaller cap still
+        learns a well-formed merge table and repeats run-to-run."""
+        import pandas as pd
+
+        from cassandra_pmem_spark.pipeline.bpe import train_bpe
+
+        texts = [f"banana band {i % 3}" for i in range(30)]
+        df = spark.createDataFrame(pd.DataFrame({"text": texts}))
+        assert train_bpe(df, n_merges=3, train_cap=1000) == train_bpe(
+            df, n_merges=3
+        )
+        capped = train_bpe(df, n_merges=3, train_cap=5)
+        assert capped == train_bpe(df, n_merges=3, train_cap=5)
+        assert [r for r, _, _ in capped] == list(range(1, len(capped) + 1))
+        assert all(f >= 2 and len(p) == 2 for _, p, f in capped)
 
 
 class TestEditDistanceJoin:
