@@ -94,6 +94,21 @@ class CellTombstone:
     writetime: int
 
 
+# List cell positions (Lists.java timeuuid cell names, CASSANDRA-style):
+# a fixed-width sortable STRING key `bucket || time(19) || seq(9)`.
+# Prepends (bucket 3) sort before every append/full-write cell (bucket
+# 5); a LATER prepend statement sorts earlier (time = OFFSET - wt,
+# mirroring the reference's reversed PrecisionTime), appends/full
+# writes later (time = OFFSET + wt). seq keeps intra-statement order.
+_LIST_TIME_OFFSET = 10**18 // 2
+PREPEND, APPEND = 3, 5
+
+
+def _list_key(bucket: int, wt: int, seq: int) -> str:
+    t = _LIST_TIME_OFFSET + (-wt if bucket == PREPEND else wt)
+    return f"{bucket}{t:019d}{seq:09d}"
+
+
 @dataclass
 class RangeTombstoneStmt:
     """Clustering-range delete (db/RangeTombstone.java; DELETE ... WHERE
@@ -658,7 +673,15 @@ class CqlWriteSession:
                 raise InvalidRequest("Cannot provide TTL for DELETE statements")
             if cond is not None and "timestamp" in using:
                 raise InvalidRequest("Cannot provide custom timestamp for conditional updates")
-            wt = using.get("timestamp", forced_ts if forced_ts is not None else self._tick())
+            # NB: don't use dict.get(default) here — it would evaluate
+            # _tick() eagerly and advance the coordinator clock even for
+            # explicit-timestamp deletes
+            if "timestamp" in using:
+                wt = using["timestamp"]
+            elif forced_ts is not None:
+                wt = forced_ts
+            else:
+                wt = self._tick()
             if ranges:
                 # range tombstone: partition key fully EQ, no LWT, no columns
                 if cond is not None:
@@ -695,34 +718,29 @@ class CqlWriteSession:
                 # DELETE l[i] resolves the index by reading the row
                 # (Lists.DiscarderByIndex) and rewrites the shifted list.
                 elem_cells: dict = {}
-                list_sets: dict = {}
-                row_cache: list = [None]
+                cell_cache: dict = {}
                 for _, ecol, ekey in elem_dels:
                     kind, _frozen = self._collection_kind(ecol)
                     if kind == "map":
                         elem_cells.setdefault(ecol, {})[ekey] = None
                         continue
-                    if row_cache[0] is None:
-                        row_cache[0] = self._read_visible(self._key_of(key)) or {}
-                    cur = list(row_cache[0].get(ecol) or [])
+                    # Lists.DiscarderByIndex: the read resolves the index
+                    # to a cell POSITION; the delete is a cell tombstone
+                    # there — sibling cells keep their own liveness
+                    if ecol not in cell_cache:
+                        cell_cache[ecol] = self._list_cells(self._key_of(key), ecol)
+                    cur = cell_cache[ecol]
                     if not isinstance(ekey, int) or ekey < 0 or ekey >= len(cur):
                         raise InvalidRequest(
                             f"List index {ekey} out of bound, list has size {len(cur)}"
                         )
-                    del cur[ekey]
-                    list_sets[ecol] = cur
+                    elem_cells.setdefault(ecol, {})[cur[ekey][0]] = None
                 if elem_cells:
                     self._mutations.append(
                         Mutation(
                             self._key_of(key), dict(key), wt,
                             elem_cells=elem_cells, row_live=False,
                         )
-                    )
-                if list_sets:
-                    cells2 = dict(key)
-                    cells2.update(list_sets)
-                    self._mutations.append(
-                        Mutation(self._key_of(key), cells2, wt, row_live=False)
                     )
             if cols:
                 self._cell_tombs.append(CellTombstone(self._key_of(key), cols, wt))
@@ -752,15 +770,39 @@ class CqlWriteSession:
         self, key: dict, sets: dict, deltas: dict, elem_ops: list,
         using: dict, forced_ts: int | None,
     ) -> None:
-        """One expanded-key UPDATE application: element/collection ops
-        resolved (read-modify-write reads THIS row), then recorded."""
-        elem_cells: dict = {}
-        rmw_row: list = [None]  # lazy point read for read-modify-write ops
+        """One expanded-key UPDATE application, at the reference's cell
+        granularity (cql3/Lists.java:408-574, Sets.java:322-377,
+        Maps.java:270-330):
 
-        def current_value(c):
-            if rmw_row[0] is None:
-                rmw_row[0] = self._read_visible(self._key_of(key)) or {}
-            return rmw_row[0].get(c)
+        - set add/discard, map put/key-discard, and list append/prepend
+          are PURE CELL WRITES — no read, exactly like the reference's
+          Adder/Discarder/Putter/Appender/Prepender — recorded as
+          per-cell fragments so every element keeps its own
+          (writetime, ttl);
+        - list index set/delete and discard-by-value read the row first
+          to resolve the target CELL POSITIONS (Lists.SetterByIndex /
+          DiscarderByIndex / Discarder read-before-write), then write or
+          tombstone those cells in place — surviving cells keep their
+          original liveness;
+        - full-value assignment stays a whole-column write (complex
+          deletion + fresh cells at the statement timestamp)."""
+        elem_cells: dict = {}
+        # the statement timestamp, hoisted so list cell positions embed
+        # it; _record reuses it (one tick per statement, same order)
+        if "timestamp" in using:
+            wt = using["timestamp"]
+        elif forced_ts is not None:
+            wt = forced_ts
+        else:
+            wt = self._tick()
+        cell_cache: dict = {}
+
+        def current_cells(c):
+            if c not in cell_cache:
+                cell_cache[c] = self._list_cells(self._key_of(key), c)
+            return cell_cache[c]
+
+        seq = [0]  # per-statement cell sequence (intra-statement order)
 
         for op in elem_ops:
             kind, _frozen = self._collection_kind(op[1])
@@ -768,16 +810,16 @@ class CqlWriteSession:
                 _, ecol, ekey, eval_ = op
                 elem_cells.setdefault(ecol, {})[ekey] = eval_
             elif op[0] == "set_elem":
-                # list index write: the reference reads the row to
-                # resolve the index (Lists.SetterByIndex) — same here
+                # Lists.SetterByIndex: read resolves the index to a cell
+                # position; the write replaces that cell's VALUE at the
+                # statement timestamp, keeping its position
                 _, ecol, idx, eval_ = op
-                cur = list(current_value(ecol) or [])
+                cur = current_cells(ecol)
                 if not isinstance(idx, int) or idx < 0 or idx >= len(cur):
                     raise InvalidRequest(
                         f"List index {idx} out of bound, list has size {len(cur)}"
                     )
-                cur[idx] = eval_
-                sets[ecol] = cur
+                elem_cells.setdefault(ecol, {})[cur[idx][0]] = eval_
             elif op[0] == "coll_set":
                 _, ecol, (_lk, val) = op
                 if kind == "set":
@@ -787,33 +829,50 @@ class CqlWriteSession:
                 else:
                     sets[ecol] = list(val or [])
             elif op[0] == "coll_prepend":
+                # Lists.Prepender: fresh cells positioned BEFORE every
+                # existing cell; a later prepend statement sorts before
+                # an earlier one, order within one statement preserved
                 _, ecol, (_lk, val) = op
-                sets[ecol] = list(val or []) + list(current_value(ecol) or [])
+                frag = elem_cells.setdefault(ecol, {})
+                for v in list(val or []):
+                    frag[_list_key(PREPEND, wt, seq[0])] = v
+                    seq[0] += 1
             elif op[0] == "coll_delta":
                 _, ecol, sign, (_lk, val) = op
-                cur = current_value(ecol)
                 if kind == "set":
-                    cs, vs = set(cur or []), set(val or [])
-                    sets[ecol] = sorted(cs | vs if sign == "+" else cs - vs)
+                    # Sets.Adder/Discarder: cell key = element, no read
+                    frag = elem_cells.setdefault(ecol, {})
+                    for v in sorted(set(val or [])):
+                        frag[v] = v if sign == "+" else None
                 elif kind == "list":
-                    cl, vl = list(cur or []), list(val or [])
+                    frag = elem_cells.setdefault(ecol, {})
                     if sign == "+":
-                        sets[ecol] = cl + vl
-                    else:  # Lists.Discarder removes ALL occurrences
-                        sets[ecol] = [x for x in cl if x not in vl]
-                else:  # map: + put (RHS wins), - remove keys
-                    cm = dict(cur or {})
+                        # Lists.Appender: cells after every existing one
+                        for v in list(val or []):
+                            frag[_list_key(APPEND, wt, seq[0])] = v
+                            seq[0] += 1
+                    else:
+                        # Lists.Discarder: read, tombstone EVERY cell
+                        # whose value matches (all occurrences)
+                        vs = set(val or [])
+                        for pos, v in current_cells(ecol):
+                            if v in vs:
+                                frag[pos] = None
+                else:
+                    # Maps.Putter / DiscarderByKey: per-entry cells, no
+                    # read — other entries keep their own liveness
+                    frag = elem_cells.setdefault(ecol, {})
                     if sign == "+":
-                        cm.update(val or {})
+                        for mk, mv in (val or {}).items():
+                            frag[mk] = mv
                     else:
                         for mk in val or []:
-                            cm.pop(mk, None)
-                    sets[ecol] = cm
+                            frag[mk] = None
         cells = dict(key)
         cells.update(sets)
         self._record(
             cells, using, deltas=deltas, forced_ts=forced_ts,
-            elem_cells=elem_cells, row_live=bool(deltas),
+            elem_cells=elem_cells, row_live=bool(deltas), wt=wt,
         )
 
     def _convert_coll(self, col: str, tagged: tuple):
@@ -862,13 +921,13 @@ class CqlWriteSession:
           column (a map takes ``m + {k: v}`` and ``m - {keys}``);
         - element ops on a non-collection column are invalid.
 
-        Everything legal is APPLIED: map element set/delete per cell
-        (own liveness), list index set/delete and add/discard/prepend by
-        read-modify-write — the reference itself reads before writing for
-        list index operations (Lists.SetterByIndex/DiscarderByIndex), so
-        that path is exact parity; for set/map add/discard the fold
-        happens at statement time rather than cell merge time, a
-        documented granularity deviation.
+        Everything legal is APPLIED at the reference's cell granularity:
+        map put/key-discard, set add/discard, and list append/prepend are
+        pure cell writes (Maps.Putter, Sets.Adder/Discarder,
+        Lists.Appender/Prepender — no read, each element keeps its own
+        writetime/ttl); list index set/delete and discard-by-value read
+        the row first to resolve cell positions, exactly like
+        Lists.SetterByIndex/DiscarderByIndex/Discarder.
         """
         if not elem_ops:
             return
@@ -971,6 +1030,29 @@ class CqlWriteSession:
         row = self._read_visible_rows(key)
         return row[0].asDict() if row else None
 
+    def _list_cells(self, key: tuple, col: str) -> list[tuple[str, Any]]:
+        """Position-ordered (cell key, value) pairs of one visible list —
+        the read-before-write Lists.SetterByIndex/DiscarderByIndex/
+        Discarder perform. When the column is already cell-tracked the
+        positions come from its cell-liveness map; a column with only
+        full-value history synthesizes the positions its winning write's
+        cells will get in the merge (APPEND bucket at the column
+        writetime). Bounded: one key, limit 1."""
+        df = self.table(now=self._clock_ref[0], with_shadows=True)
+        flt = F.lit(True)
+        for kc, kv in zip(self.meta.primary_key, key):
+            flt = flt & (F.col(kc) == F.lit(kv))
+        rows = df.filter(flt).limit(1).collect()
+        if not rows:
+            return []
+        row = rows[0].asDict()
+        vals = row.get(col) or []
+        cellwt = row.get(f"_cellwt_{col}")
+        if cellwt:
+            return list(zip(sorted(cellwt.keys()), vals))
+        wt = row.get(f"_writetime_{col}") or 0
+        return [(_list_key(APPEND, wt, i), v) for i, v in enumerate(vals)]
+
     def _snapshot(self) -> tuple:
         """Buffer watermark for batch rollback. Inner batch statements only
         APPEND to the four buffers (TRUNCATE, which clears them, is
@@ -1010,12 +1092,15 @@ class CqlWriteSession:
         forced_ts: int | None = None,
         elem_cells: dict | None = None,
         row_live: bool = True,
+        wt: int | None = None,
     ) -> None:
         known = {f.name for f in self.meta.schema.fields}
         unknown = (set(cells) | set(deltas or {}) | set(elem_cells or {})) - known
         if unknown:
             raise InvalidRequest(f"unknown columns {sorted(unknown)}")
-        if "timestamp" in using:
+        if wt is not None:
+            pass  # caller pre-computed the statement timestamp
+        elif "timestamp" in using:
             wt = using["timestamp"]
         elif forced_ts is not None:
             wt = forced_ts  # batch: one shared coordinator timestamp
@@ -1048,8 +1133,9 @@ class CqlWriteSession:
         by_name = {f.name: f for f in meta.schema.fields}
         key_cols = list(meta.primary_key)
         value_cols = [c for c in fields if c not in key_cols]
-        # map columns with per-cell mutations merge cell-by-cell; every
-        # other column keeps the atomic cell-LWW path
+        # collection columns with per-cell mutations merge cell-by-cell
+        # (maps keyed by entry key, sets by element, lists by position
+        # string); every other column keeps the atomic cell-LWW path
         elem_cols = sorted({c for m in self._mutations for c in m.elem_cells})
         scalar_cols = [c for c in value_cols if c not in elem_cols]
 
@@ -1062,9 +1148,8 @@ class CqlWriteSession:
             T.StructField("__row_live_wt", T.LongType()),
         ]
         for c in elem_cols:
-            mt = by_name[c].dataType
             extra_fields.append(
-                T.StructField(f"__frag_{c}", T.MapType(mt.keyType, mt.valueType, True))
+                T.StructField(f"__frag_{c}", self._cell_map_type(c, by_name[c].dataType))
             )
             extra_fields.append(T.StructField(f"__full_{c}", T.BooleanType()))
         log_schema = T.StructType(list(meta.schema.fields) + extra_fields)
@@ -1088,10 +1173,9 @@ class CqlWriteSession:
                 .withColumn("__row_live_wt", F.lit(0).cast("long"))
             )
             for c in elem_cols:
-                mt = by_name[c].dataType
                 base = base.withColumn(
                     f"__frag_{c}",
-                    F.lit(None).cast(T.MapType(mt.keyType, mt.valueType, True)),
+                    F.lit(None).cast(self._cell_map_type(c, by_name[c].dataType)),
                 ).withColumn(f"__full_{c}", F.col(c).isNotNull())
             log = base.unionByName(log) if log is not None else base
         if log is None:
@@ -1293,29 +1377,75 @@ class CqlWriteSession:
             )
         return merged.select(*fields, *shadows)
 
+    def _collection_kind_of(self, col: str) -> str:
+        """Declared collection kind for a cell-tracked column (mutations
+        with elem_cells only exist for columns the validator resolved a
+        kind for)."""
+        info = self.collection_info
+        return (info.kinds.get(col) if info else None) or "map"
+
+    def _cell_map_type(self, col: str, dt: T.DataType) -> T.MapType:
+        """Cell-fragment map type for one collection column: maps keep
+        (key → value), sets key cells by ELEMENT (Sets.java — the cell
+        name is the element, the value empty), lists by POSITION string
+        (Lists.java timeuuid cell names → `_list_key` encoding)."""
+        kind = self._collection_kind_of(col)
+        if isinstance(dt, T.MapType):
+            return T.MapType(dt.keyType, dt.valueType, True)
+        if kind == "set":
+            return T.MapType(dt.elementType, dt.elementType, True)
+        return T.MapType(T.StringType(), dt.elementType, True)
+
     def _merge_elem_col(self, log, log_all, key_cols, col):
-        """Per-cell merge of one map column (db/rows/Cells.reconcile at
-        map-entry granularity): full map writes contribute a complex
-        deletion at wt-1 plus their entries
-        (db/rows/ComplexColumnData.java deletion semantics — the write's
-        own cells at wt survive their own deletion); fragments contribute
-        their entries, a None value being a cell tombstone
-        (Maps.DiscarderByKey). Reconcile per map key by (writetime,
-        tombstone-wins, value); survivors reassemble into the map plus
-        per-cell writetime/expiry shadow maps."""
+        """Per-cell merge of one collection column (db/rows/
+        Cells.reconcile at cell granularity — map entries, set elements,
+        list positions): full-value writes contribute a complex deletion
+        at wt-1 plus their cells (db/rows/ComplexColumnData.java deletion
+        semantics — the write's own cells at wt survive their own
+        deletion); fragments contribute their cells, a None value being a
+        cell tombstone (Maps.DiscarderByKey, Sets.Discarder,
+        Lists.DiscarderByIndex). Reconcile per cell key by (writetime,
+        tombstone-wins, value); survivors reassemble into the declared
+        collection shape plus per-cell writetime/expiry shadow maps."""
+        kind = self._collection_kind_of(col)
         sel = [
             F.col("__writetime").alias("__wt"),
             F.col("__expiry").alias("__exp"),
         ]
-        full_cells = (
-            log.filter(F.col(f"__full_{col}") & F.col(col).isNotNull())
-            .select(*key_cols, *sel, F.explode(col).alias("__k", "__v"))
-        )
+        full = log.filter(F.col(f"__full_{col}") & F.col(col).isNotNull())
+        if kind == "map":
+            full_cells = full.select(
+                *key_cols, *sel, F.explode(col).alias("__k", "__v")
+            )
+        elif kind == "set":
+            full_cells = full.select(
+                *key_cols, *sel, F.explode(col).alias("__k")
+            ).withColumn("__v", F.col("__k"))
+        else:  # list: positions from the write's own (wt, index)
+            full_cells = full.select(
+                *key_cols, *sel, F.posexplode(col).alias("__pos", "__v")
+            ).select(
+                *key_cols,
+                "__wt",
+                "__exp",
+                F.concat(
+                    F.lit(str(APPEND)),
+                    F.lpad(
+                        (F.lit(_LIST_TIME_OFFSET) + F.col("__wt")).cast("string"),
+                        19,
+                        "0",
+                    ),
+                    F.lpad(F.col("__pos").cast("string"), 9, "0"),
+                ).alias("__k"),
+                "__v",
+            )
         frag_cells = (
             log.filter(F.col(f"__frag_{col}").isNotNull())
             .select(*key_cols, *sel, F.explode(f"__frag_{col}").alias("__k", "__v"))
         )
-        cells = full_cells.unionByName(frag_cells)
+        cells = full_cells.select(*key_cols, "__wt", "__exp", "__k", "__v").unionByName(
+            frag_cells.select(*key_cols, "__wt", "__exp", "__k", "__v")
+        )
         packed = F.struct(
             F.col("__wt").alias("wt"),
             F.col("__v").isNull().cast("int").alias("tomb"),
@@ -1336,27 +1466,54 @@ class CqlWriteSession:
         )
 
         def ent(val):
-            return F.array_sort(F.collect_list(F.struct(F.col("__k"), val)))
+            return F.array_sort(
+                F.collect_list(F.struct(F.col("__k").alias("k"), val.alias("v")))
+            )
 
+        if kind == "map":
+            value = F.map_from_entries(ent(F.col("__c.v"))).alias(col)
+        elif kind == "set":
+            value = F.array_sort(F.collect_list("__k")).alias(col)
+        else:  # list: values in position order
+            value = F.transform(ent(F.col("__c.v")), lambda e: e["v"]).alias(col)
         return live.groupBy(*key_cols).agg(
-            F.map_from_entries(ent(F.col("__c.v"))).alias(col),
+            value,
             F.map_from_entries(ent(F.col("__c.wt"))).alias(f"_cellwt_{col}"),
             F.map_from_entries(ent(F.col("__c.exp"))).alias(f"_cellexp_{col}"),
         )
 
     def _shadow_elem_cells(self, merged, col, cond, wt):
-        """Tombstone shadowing at map-cell granularity: under `cond`, drop
-        every entry whose own writetime <= the delete timestamp, then
-        recompute the column-level liveness from the survivors."""
-        survivors = F.map_filter(
-            F.col(f"_cellwt_{col}"), lambda _k, cwt: cwt > F.lit(wt)
-        )
+        """Tombstone shadowing at cell granularity: under `cond`, drop
+        every cell whose own writetime <= the delete timestamp, then
+        recompute the column-level liveness from the survivors. The
+        value rewrite follows the collection shape — map entries by key,
+        set elements by themselves, list values by their position in the
+        key-sorted cell order."""
+        kind = self._collection_kind_of(col)
+        cwt = F.col(f"_cellwt_{col}")
+        survivors = F.map_filter(cwt, lambda _k, w: w > F.lit(wt))
+        if kind == "map":
+            new_val = F.map_filter(
+                F.col(col), lambda k, _v: cwt[k] > F.lit(wt)
+            )
+        elif kind == "set":
+            new_val = F.filter(F.col(col), lambda x: cwt[x] > F.lit(wt))
+        else:
+            # i-th list value ↔ i-th key-sorted cell: zip, filter, project
+            ks = F.array_sort(F.map_keys(cwt))
+            new_val = F.transform(
+                F.filter(
+                    F.arrays_zip(ks.alias("k"), F.col(col).alias("v")),
+                    lambda e: cwt[e["k"]] > F.lit(wt),
+                ),
+                lambda e: e["v"],
+            )
         keep = lambda m: F.map_filter(  # noqa: E731
-            m, lambda k, _v: F.col(f"_cellwt_{col}")[k] > F.lit(wt)
+            m, lambda k, _v: cwt[k] > F.lit(wt)
         )
         merged = (
             merged.withColumn(
-                col, F.when(cond, keep(F.col(col))).otherwise(F.col(col))
+                col, F.when(cond, new_val).otherwise(F.col(col))
             )
             .withColumn(
                 f"_cellexp_{col}",

@@ -566,6 +566,7 @@ def connected_components_star(
             .distinct()
         )
 
+    prev_n = e.count()
     for _ in range(max_iter):
         # large-star(E): m(u) over ALL neighbors ∪ u; STRICTLY LARGER
         # neighbors hook to m — the new edge set
@@ -587,11 +588,13 @@ def connected_components_star(
             .select(F.col("v").alias("x"), F.col("m").alias("y"))
             .union(smins.select(F.col("u").alias("x"), F.col("m").alias("y")))
         ).localCheckpoint(eager=True)
-        unchanged = (
-            nxt.exceptAll(e).limit(1).count() == 0
-            and e.exceptAll(nxt).limit(1).count() == 0
-        )
-        e = nxt
+        # convergence: both sides are canonical+distinct, so equal counts
+        # plus an empty one-way difference ⇒ set equality. The count on a
+        # just-checkpointed frame is a cached scan, so non-converged
+        # rounds (counts differ) skip the exceptAll job entirely.
+        n = nxt.count()
+        unchanged = n == prev_n and nxt.exceptAll(e).limit(1).count() == 0
+        e, prev_n = nxt, n
         if unchanged:
             break
     # star forest: (u, v) = (member, root); roots + isolated vertices

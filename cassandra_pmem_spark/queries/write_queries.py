@@ -712,8 +712,113 @@ FROM c GROUP BY l_suppkey
 """
 
 
+def cql_list_cell_liveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List/set ELEMENT-granular liveness through statement text
+    (cql3/Lists.java:408-574 Appender/Prepender/SetterByIndex/
+    DiscarderByIndex timeuuid-position cells; Sets.java:322,364
+    element-keyed cells): per-user lists/sets built from the events log
+    as the session base (cells at writetime 0), then appends, prepends,
+    set add/discard, index set/delete and a TTL'd add — every statement
+    at an explicit timestamp — and the per-cell WRITETIME()/TTL()
+    selectors read back through the parsed SELECT surface. The oracle
+    recomputes both the surviving elements AND each surviving cell's
+    writetime/ttl as position-aligned strings; a whole-column-liveness
+    implementation (every element re-stamped at the statement time)
+    hash-mismatches immediately."""
+    from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+    db = CqlDatabase(spark)
+    db.execute("CREATE KEYSPACE lcl WITH REPLICATION = {'class': 'SimpleStrategy'}")
+    db.execute("USE lcl")
+    db.execute(
+        "CREATE TABLE cl (user_id bigint PRIMARY KEY, l list<text>, s set<text>)"
+    )
+    ev = load_table(spark, "events", sf_dir).filter(F.col("user_id") < 30)
+    seq = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+        lambda x: x["event_type"],
+    )
+    base = ev.groupBy("user_id").agg(
+        seq.alias("l"), F.array_sort(F.collect_set("event_type")).alias("s")
+    )
+    sess = db._session_for_key(("lcl", "cl"))
+    sess._base = base
+    db.execute("UPDATE cl USING TIMESTAMP 777 SET l = l + ['end'] WHERE user_id = 1")
+    db.execute("UPDATE cl USING TIMESTAMP 777 SET l = ['start'] + l WHERE user_id = 2")
+    db.execute("UPDATE cl USING TIMESTAMP 777 SET s = s + {'zz'} WHERE user_id = 3")
+    db.execute("UPDATE cl USING TIMESTAMP 777 SET s = s - {'view'} WHERE user_id = 4")
+    db.execute(
+        "UPDATE cl USING TIMESTAMP 777 AND TTL 5000 SET l = l + ['late'] "
+        "WHERE user_id = 6"
+    )
+    db.execute("DELETE l[0] FROM cl USING TIMESTAMP 777 WHERE user_id = 7")
+    db.execute("UPDATE cl USING TIMESTAMP 777 SET l[0] = 'first' WHERE user_id = 8")
+    out = db.execute(
+        "SELECT user_id, l, s, writetime(l) AS wl, writetime(s) AS ws, "
+        "ttl(l) AS tl FROM cl"
+    )
+    s = lambda c: F.transform(c, lambda x: x.cast("string"))  # noqa: E731
+    return out.select(
+        "user_id",
+        F.array_join("l", ",").alias("list_col"),
+        F.array_join("s", ",").alias("set_col"),
+        F.array_join(s(F.col("wl")), ",", "-").alias("wl_col"),
+        F.array_join(s(F.col("ws")), ",", "-").alias("ws_col"),
+        F.array_join(s(F.col("tl")), ",", "-").alias("tl_col"),
+    )
+
+
+_LIST_CELL_ORACLE = """
+WITH ev AS (
+  SELECT user_id, ts, event_id, event_type FROM events WHERE user_id < 30
+), lst AS (
+  SELECT user_id, list(event_type ORDER BY ts, event_id) AS l,
+         list_sort(list_distinct(list(event_type))) AS s
+  FROM ev GROUP BY user_id
+), mod AS (
+  SELECT user_id, len(l) AS n,
+    CASE user_id
+      WHEN 1 THEN l || ['end']
+      WHEN 2 THEN ['start'] || l
+      WHEN 6 THEN l || ['late']
+      WHEN 7 THEN l[2:]
+      WHEN 8 THEN ['first'] || l[2:]
+      ELSE l END AS l2,
+    CASE user_id
+      WHEN 3 THEN list_sort(list_distinct(s || ['zz']))
+      WHEN 4 THEN list_filter(s, x -> x != 'view')
+      ELSE s END AS s2
+  FROM lst
+), z AS (
+  SELECT *,
+    array_to_string(list_transform(range(n), x -> '0'), ',') AS zn,
+    array_to_string(list_transform(range(n - 1), x -> '0'), ',') AS zn1
+  FROM mod
+)
+SELECT user_id,
+  array_to_string(l2, ',') AS list_col,
+  array_to_string(s2, ',') AS set_col,
+  CASE user_id
+    WHEN 1 THEN zn || ',777'
+    WHEN 2 THEN '777,' || zn
+    WHEN 6 THEN zn || ',777'
+    WHEN 7 THEN zn1
+    WHEN 8 THEN CASE WHEN n > 1 THEN '777,' || zn1 ELSE '777' END
+    ELSE zn END AS wl_col,
+  array_to_string(
+    list_transform(s2, x ->
+      CASE WHEN user_id = 3 AND x = 'zz' THEN '777' ELSE '0' END), ',') AS ws_col,
+  array_to_string(
+    list_transform(range(len(l2)), i ->
+      CASE WHEN user_id = 6 AND i = len(l2) - 1 THEN '5777' ELSE '-' END),
+    ',') AS tl_col
+FROM z
+"""
+
+
 QUERIES = {
     "cql_delete_tombstones": (cql_delete_tombstones, _DELETE_TOMBSTONES_ORACLE),
+    "cql_list_cell_liveness": (cql_list_cell_liveness, _LIST_CELL_ORACLE),
     "cql_create_mv_statement": (cql_create_mv_statement, _CREATE_MV_ORACLE),
     "cql_udf_statement": (cql_udf_statement, _UDF_STMT_ORACLE),
     "cql_uda_statement": (cql_uda_statement, _UDA_STMT_ORACLE),

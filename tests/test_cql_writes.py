@@ -964,3 +964,94 @@ class TestAdviceRound6Regressions:
         db.execute("INSERT INTO t (k, l) VALUES (2, [])")
         r = db.execute("SELECT k, l, writetime(l) AS wl FROM t").collect()
         assert len(r) == 1 and r[0].k == 2 and r[0].l is None and r[0].wl is None
+
+
+class TestListSetCellLiveness:
+    """Element-granular list/set cells in the statement path
+    (cql3/Lists.java:408-574 Appender/Prepender/SetterByIndex/
+    DiscarderByIndex/Discarder timeuuid-position cells; Sets.java:322,364
+    Adder/Discarder element-keyed cells): adds/appends/discards are pure
+    cell writes, sibling cells keep their own (writetime, ttl)."""
+
+    @pytest.fixture()
+    def db(self, spark):
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+        db = CqlDatabase(spark)
+        db.execute("CREATE KEYSPACE lcl WITH REPLICATION = {'class': 'SimpleStrategy'}")
+        db.execute("USE lcl")
+        db.execute(
+            "CREATE TABLE t (k bigint PRIMARY KEY, l list<text>, "
+            "s set<text>, m map<text, bigint>)"
+        )
+        db.execute(
+            "INSERT INTO t (k, l, s, m) VALUES "
+            "(1, ['a','b'], {'x'}, {'p': 1}) USING TIMESTAMP 100"
+        )
+        return db
+
+    def _row(self, db, sel):
+        return db.execute(f"SELECT {sel} FROM t WHERE k = 1").collect()[0]
+
+    def test_append_and_adds_keep_sibling_writetimes(self, db):
+        db.execute("UPDATE t USING TIMESTAMP 200 SET l = l + ['c'] WHERE k = 1")
+        db.execute("UPDATE t USING TIMESTAMP 300 SET s = s + {'y'} WHERE k = 1")
+        db.execute("UPDATE t USING TIMESTAMP 400 SET m = m + {'q': 2} WHERE k = 1")
+        r = self._row(db, "l, s, m, writetime(l) AS wl, writetime(s) AS ws, writetime(m) AS wm")
+        assert r.l == ["a", "b", "c"] and r.wl == [100, 100, 200]
+        assert r.s == ["x", "y"] and r.ws == [100, 300]
+        assert r.m == {"p": 1, "q": 2} and r.wm == [100, 400]
+
+    def test_prepend_stacks_in_front_later_first(self, db):
+        # Lists.Prepender: a later prepend statement sorts before an
+        # earlier one; order within one statement is preserved
+        db.execute("UPDATE t USING TIMESTAMP 500 SET l = ['p1','p2'] + l WHERE k = 1")
+        db.execute("UPDATE t USING TIMESTAMP 600 SET l = ['p0'] + l WHERE k = 1")
+        r = self._row(db, "l, writetime(l) AS wl")
+        assert r.l == ["p0", "p1", "p2", "a", "b"]
+        assert r.wl == [600, 500, 500, 100, 100]
+
+    def test_discard_by_value_tombstones_matching_cells(self, db):
+        db.execute("UPDATE t USING TIMESTAMP 200 SET l = l + ['a'] WHERE k = 1")
+        # Lists.Discarder removes ALL occurrences, siblings keep liveness
+        db.execute("UPDATE t USING TIMESTAMP 300 SET l = l - ['a'] WHERE k = 1")
+        r = self._row(db, "l, writetime(l) AS wl")
+        assert r.l == ["b"] and r.wl == [100]
+
+    def test_set_discard_keeps_sibling_liveness(self, db):
+        db.execute("UPDATE t USING TIMESTAMP 300 SET s = s + {'y'} WHERE k = 1")
+        db.execute("UPDATE t USING TIMESTAMP 800 SET s = s - {'x'} WHERE k = 1")
+        r = self._row(db, "s, writetime(s) AS ws")
+        assert r.s == ["y"] and r.ws == [300]
+
+    def test_index_set_keeps_position_updates_writetime(self, db):
+        db.execute("UPDATE t USING TIMESTAMP 900 SET l[0] = 'A' WHERE k = 1")
+        r = self._row(db, "l, writetime(l) AS wl")
+        assert r.l == ["A", "b"] and r.wl == [900, 100]
+
+    def test_index_delete_removes_one_cell(self, db):
+        db.execute("DELETE l[0] FROM t USING TIMESTAMP 1000 WHERE k = 1")
+        r = self._row(db, "l, writetime(l) AS wl")
+        assert r.l == ["b"] and r.wl == [100]
+
+    def test_per_element_ttl_expires_one_cell(self, db):
+        db.execute("UPDATE t USING TIMESTAMP 1100 AND TTL 50 SET s = s + {'z'} WHERE k = 1")
+        r = self._row(db, "s, ttl(s) AS ts")
+        assert r.s == ["x", "z"]
+        assert r.ts[0] is None and r.ts[1] is not None
+        sess = db._session_for_key(("lcl", "t"))
+        sess._clock_ref[0] = 1200  # past 1100 + 50
+        r = self._row(db, "s, writetime(s) AS ws")
+        assert r.s == ["x"] and r.ws == [100]
+
+    def test_timestamp_tie_tombstone_wins(self, db):
+        # Cells.reconcile: equal timestamps -> the tombstone shadows
+        db.execute("UPDATE t USING TIMESTAMP 100 SET s = s - {'x'} WHERE k = 1")
+        r = db.execute("SELECT s FROM t WHERE k = 1").collect()[0]
+        assert r.s is None
+
+    def test_full_write_resets_cells(self, db):
+        db.execute("UPDATE t USING TIMESTAMP 200 SET l = l + ['c'] WHERE k = 1")
+        db.execute("UPDATE t USING TIMESTAMP 300 SET l = ['z'] WHERE k = 1")
+        r = self._row(db, "l, writetime(l) AS wl")
+        assert r.l == ["z"] and r.wl == [300]
