@@ -454,3 +454,104 @@ def c4_filters(
             ~has_lorem & ~has_brace & (n_sent >= min_sentences)
         ).alias("kept"),
     )
+
+
+def dsir_importance_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., "Data Selection for Language
+    Models via Importance Resampling", NeurIPS 2023 — the public hashed
+    n-gram recipe): fit bag-of-hashed-ngram multinomials on a small
+    TARGET corpus (the distribution you want more of) and on the RAW
+    corpus, then weight every raw document by
+    log p_target(x) − log p_raw(x); resampling keeps the top weights.
+
+    Features are unigrams + bigrams of the whitespace-normalized text,
+    hashed into `n_buckets` buckets with the portable md5 hash
+    (dedup.md5_hash32 — reproducible in any engine, so the DuckDB
+    oracle applies the identical bucketing). Add-one smoothing over the
+    bucket space.
+
+    The 100 TB shape: both models aggregate to ≤ n_buckets rows, the
+    log-ratio table broadcasts back, and the corpus is read in two
+    passes (counts + scoring) with only (doc, bucket, count) triples
+    ever shuffling — no document text moves after the scan.
+
+    Cross-engine exactness: each bucket's log-ratio is rounded to
+    MICRO-LOG INTEGERS (×1e6, the ngram_lm_scores idiom) BEFORE the
+    per-doc sum, so document weights are exact integer arithmetic —
+    immune to float summation order across partitions.
+
+    Returns (id_col, n_grams, w_micro): w_micro = Σ_b cnt_b · λ_b with
+    λ_b = round(1e6 · (log2((t_b+1)/(T+B)) − log2((r_b+1)/(R+B))))."""
+    from cassandra_pmem_spark.pipeline.dedup import md5_hash32, normalize_text
+
+    def feats(df: DataFrame) -> DataFrame:
+        words = F.split(normalize_text(text_col), " ")
+        d = df.select(F.col(id_col), words.alias("__w"))
+        grams = F.concat(
+            F.col("__w"),
+            F.when(
+                F.size("__w") < 2, F.array().cast("array<string>")
+            ).otherwise(
+                F.expr(
+                    "transform(sequence(1, size(__w) - 1), "
+                    "i -> concat(element_at(__w, i), ' ', element_at(__w, i + 1)))"
+                )
+            ),
+        )
+        return (
+            d.select(F.col(id_col), F.explode(grams).alias("__g"))
+            .select(
+                F.col(id_col),
+                (md5_hash32(F.col("__g")) % n_buckets).alias("bucket"),
+            )
+            .groupBy(id_col, "bucket")
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    rf = feats(raw)
+    # the two model frames are ≤ n_buckets rows; cache them so the
+    # corpus-total aggregates below reuse them instead of replaying the
+    # full scan+shuffle lineage — keeps the raw corpus at exactly two
+    # passes (model fit + scoring)
+    tf = feats(target).groupBy("bucket").agg(F.sum("cnt").alias("t")).cache()
+    rb = rf.groupBy("bucket").agg(F.sum("cnt").alias("r")).cache()
+    # corpus totals as 1-row frames cross-joined in (the scalar-broadcast
+    # pattern) — no driver collect
+    t_tot = tf.agg(F.sum("t").alias("t_total"))
+    r_tot = rb.agg(F.sum("r").alias("r_total"))
+    lam = (
+        rb.join(tf, "bucket", "left")
+        .crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(r_tot))
+        .select(
+            "bucket",
+            F.round(
+                (
+                    F.log2(
+                        (F.coalesce(F.col("t"), F.lit(0)) + 1).cast("double")
+                        / (F.col("t_total") + n_buckets)
+                    )
+                    - F.log2(
+                        (F.col("r") + 1).cast("double") / (F.col("r_total") + n_buckets)
+                    )
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("lam"),
+        )
+    )
+    return (
+        rf.join(F.broadcast(lam), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.sum(F.col("cnt") * F.col("lam")).alias("w_micro"),
+        )
+    )

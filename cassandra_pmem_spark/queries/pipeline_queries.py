@@ -2657,6 +2657,57 @@ FROM built
 """
 
 
+def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (pipeline/text.dsir_importance_weights
+    — Xie et al., NeurIPS 2023): target = the doc_id<50 slice standing
+    in for a high-quality corpus, raw = every document; each raw doc
+    gets the hashed-ngram log-ratio weight log p_target − log p_raw in
+    exact micro-log integers (unigram+bigram md5 buckets, add-one
+    smoothing). The oracle replays the identical bucketing, model fit,
+    and integer rounding in SQL — bucket hashing is the portable md5
+    hash, so both engines build byte-identical models."""
+    from cassandra_pmem_spark.pipeline.text import dsir_importance_weights
+
+    docs = load_table(spark, "documents", sf_dir)
+    target = docs.filter(F.col("doc_id") < 50)
+    return dsir_importance_weights(docs, target, n_buckets=512)
+
+
+_DSIR_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, {_NORM_SQL} AS norm FROM documents
+), w AS (
+  SELECT doc_id, string_split(norm, ' ') AS ws FROM docs
+), grams AS (
+  SELECT doc_id, unnest(
+    ws || list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])
+  ) AS g FROM w
+), feat AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5(g), 1, 8)) AS UBIGINT) % 512 AS bucket,
+    count(*) AS cnt
+  FROM grams GROUP BY 1, 2
+), tf AS (
+  SELECT bucket, SUM(cnt) AS t FROM feat WHERE doc_id < 50 GROUP BY bucket
+), rb AS (
+  SELECT bucket, SUM(cnt) AS r FROM feat GROUP BY bucket
+), lam AS (
+  SELECT rb.bucket,
+    CAST(round((
+      log2(CAST(COALESCE(tf.t, 0) + 1 AS DOUBLE)
+           / ((SELECT SUM(t) FROM tf) + 512))
+      - log2(CAST(rb.r + 1 AS DOUBLE) / ((SELECT SUM(r) FROM rb) + 512))
+    ) * 1e6) AS BIGINT) AS lam
+  FROM rb LEFT JOIN tf ON rb.bucket = tf.bucket
+)
+SELECT feat.doc_id,
+  CAST(SUM(cnt) AS BIGINT) AS n_grams,
+  CAST(SUM(cnt * lam) AS BIGINT) AS w_micro
+FROM feat JOIN lam ON feat.bucket = lam.bucket
+GROUP BY feat.doc_id
+"""
+
+
 def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (pipeline/decontaminate.py): the
     benchmark set is 12-word snippets cut from every 50th document, and
@@ -3077,6 +3128,7 @@ QUERIES = {
     "multimodal_audio_dedup": (multimodal_audio_dedup, _audio_dedup_oracle()),
     "multimodal_video_dedup": (multimodal_video_dedup, _video_dedup_oracle()),
     "text_decontaminate": (text_decontaminate, _DECONTAM_ORACLE),
+    "text_dsir_weights": (text_dsir_weights, _DSIR_ORACLE),
     "source_compressed_chunks": (source_compressed_chunks, _COMPRESSED_ORACLE),
     "text_ngram_lm_ppl": (text_ngram_lm_ppl, _NGRAM_LM_ORACLE),
     "source_tar_webdataset": (source_tar_webdataset, _WEBDATASET_ORACLE),

@@ -1801,3 +1801,46 @@ class TestVideoFingerprint:
         # a whole corrupted frame is outvoted 4-1 on every bit
         assert ham(got[1].vfp, got[2].vfp) == 0
         assert ham(got[1].vfp, got[3].vfp) > 10
+
+
+class TestDsirImportance:
+    def test_target_like_docs_outrank_noise(self, spark):
+        """DSIR (Xie et al.): documents drawn from the target
+        distribution must receive higher importance weights than
+        out-of-distribution noise."""
+        import pandas as pd
+
+        from cassandra_pmem_spark.pipeline.text import dsir_importance_weights
+
+        target_texts = [f"the quick brown fox jumps over dog {i}" for i in range(20)]
+        like = [f"quick brown fox and the lazy dog again {i}" for i in range(5)]
+        noise = [f"zzz qqq xxx vvv kkk jjj www {i}" for i in range(5)]
+        raw = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": range(30),
+                    "text": target_texts + like + noise,
+                }
+            )
+        )
+        target = raw.filter("doc_id < 20")
+        w = {
+            r["doc_id"]: r["w_micro"]
+            for r in dsir_importance_weights(raw, target).collect()
+        }
+        like_w = [w[i] for i in range(20, 25)]
+        noise_w = [w[i] for i in range(25, 30)]
+        assert min(like_w) > max(noise_w), (like_w, noise_w)
+
+    def test_weights_are_deterministic(self, spark):
+        import pandas as pd
+
+        from cassandra_pmem_spark.pipeline.text import dsir_importance_weights
+
+        raw = spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(10), "text": [f"alpha beta {i}" for i in range(10)]})
+        )
+        t = raw.filter("doc_id < 3")
+        a = sorted(tuple(r) for r in dsir_importance_weights(raw, t).collect())
+        b = sorted(tuple(r) for r in dsir_importance_weights(raw, t).collect())
+        assert a == b
