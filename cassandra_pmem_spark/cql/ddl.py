@@ -1507,6 +1507,13 @@ class CqlDatabase:
             from cassandra_pmem_spark.cql.parser import _compile, parse_select
             from cassandra_pmem_spark.cql.table import CqlTable
 
+            def _indexed(tkey2: tuple) -> frozenset:
+                return frozenset(
+                    im.column
+                    for im in self.registry.indexes.values()
+                    if im.table == tkey2
+                )
+
             st = parse_select(cql, params)
             ks, _, tbl = st.table.rpartition(".")
             tkey = self.registry.tables.resolve(
@@ -1535,7 +1542,7 @@ class CqlDatabase:
             # the liveness shadows feed the writetime()/ttl() selectors
             df = sess.table(now=sess._clock_ref[0], with_shadows=True)
             return _compile(
-                CqlTable(df, meta, self.strict),
+                CqlTable(df, meta, self.strict, _indexed(key)),
                 st,
                 registry=self.registry,
                 current_keyspace=self.current_keyspace,

@@ -55,10 +55,21 @@ _OP_TO_COLUMN = {
 class CqlTable:
     """Immutable-ish builder for a CQL-shaped read."""
 
-    def __init__(self, df: DataFrame, meta: TableMeta, strict: bool = False):
+    def __init__(
+        self,
+        df: DataFrame,
+        meta: TableMeta,
+        strict: bool = False,
+        indexed_columns: frozenset[str] = frozenset(),
+    ):
         self._df = df
         self.meta = meta
         self.strict = strict
+        # secondary-index columns (schema/IndexMetadata.java): a single
+        # EQ/CONTAINS restriction on one of these passes the ALLOW
+        # FILTERING gate (the 2i read path — physically still Catalyst
+        # pushdown + file skipping)
+        self.indexed_columns = indexed_columns
         self._restrictions: list[Restriction] = []
         self._conditions: list[Column] = []
         self._projection: list[Column] | None = None
@@ -70,7 +81,7 @@ class CqlTable:
         self._allow_filtering = False
 
     def _copy(self) -> "CqlTable":
-        t = CqlTable(self._df, self.meta, self.strict)
+        t = CqlTable(self._df, self.meta, self.strict, self.indexed_columns)
         t._restrictions = list(self._restrictions)
         t._conditions = list(self._conditions)
         t._projection = list(self._projection) if self._projection is not None else None
@@ -179,7 +190,9 @@ class CqlTable:
     def df(self) -> DataFrame:
         meta = self.meta
         if self.strict:
-            validate_restrictions(meta, self._restrictions, self._allow_filtering)
+            validate_restrictions(
+                meta, self._restrictions, self._allow_filtering, self.indexed_columns
+            )
             pk_restricted = {r.column for r in self._restrictions if r.op in (Op.EQ, Op.IN)} >= set(
                 meta.partition_key
             )

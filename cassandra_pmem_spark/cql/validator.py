@@ -59,7 +59,10 @@ _SLICE_OPS = {Op.LT, Op.LTE, Op.GT, Op.GTE}
 
 
 def validate_restrictions(
-    meta: TableMeta, restrictions: list[Restriction], allow_filtering: bool = False
+    meta: TableMeta,
+    restrictions: list[Restriction],
+    allow_filtering: bool = False,
+    indexed: frozenset[str] = frozenset(),
 ) -> None:
     """Classify WHERE relations like StatementRestrictions.java:126 and
     reject plans that would need filtering without ALLOW FILTERING.
@@ -70,7 +73,14 @@ def validate_restrictions(
         (full range scan) *provided* no regular-column predicates;
       * clustering: a prefix of EQ, optionally ending in one sliced column
         (ClusteringIndexSliceFilter);
-      * regular columns: nothing (we model no secondary indexes).
+      * regular columns: exactly ONE restriction served by a secondary
+        index — EQ (or CONTAINS/CONTAINS KEY on an indexed collection) on
+        a column in `indexed` (SecondaryIndexManager.getBestIndexFor;
+        any ADDITIONAL regular restriction is post-filtering and needs
+        ALLOW FILTERING, StatementRestrictions.needFiltering). The index
+        itself is semantic here: execution stays Catalyst predicate
+        pushdown + parquet file skipping, the SURVEY §4 analog of a 2i
+        lookup.
     """
     if allow_filtering:
         return
@@ -112,12 +122,17 @@ def validate_restrictions(
 
     regular = [r for r in restrictions if r.column not in pk_set and r.column not in ck_names]
     if regular:
-        if not pk_fully_eq or True:
-            # Regular-column predicates always need ALLOW FILTERING absent a
-            # secondary index (we deliberately model none — SURVEY §2.2).
+        index_served = (
+            len(regular) == 1
+            and regular[0].op in (Op.EQ, Op.CONTAINS, Op.CONTAINS_KEY)
+            and regular[0].column in indexed
+            and not restricted_ck
+        )
+        if not index_served:
             raise InvalidRequest(
                 f"Predicates on non-primary-key columns {[r.column for r in regular]} "
-                "require ALLOW FILTERING (RowFilter post-filtering)"
+                "require ALLOW FILTERING (RowFilter post-filtering; a single "
+                "EQ/CONTAINS restriction on an indexed column is served by the index)"
             )
     if restricted_ck and not pk_fully_eq:
         raise InvalidRequest(

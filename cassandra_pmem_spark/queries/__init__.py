@@ -52,6 +52,7 @@ _PRIORITY: tuple[str, ...] = (
     "cql_udf_statement",  # CREATE FUNCTION statement form (LANGUAGE sql)
     "cql_uda_statement",  # CREATE AGGREGATE statement form (HOF fold)
     "cql_list_cell_liveness",  # list/set element-granular writetime/TTL
+    "cql_indexed_lookup",  # 2i-served EQ without ALLOW FILTERING
     "text_dsir_weights",  # DSIR hashed-ngram importance resampling
     "sim_ivf_topk",  # IVF ANN — re-windowed to earn an oracle-backed row
     # -- (4) r1-era evidence (oldest rows in the registry)
@@ -87,7 +88,6 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_exact_docs",
     "dedup_ngram_jaccard",
     "dedup_simhash",
-    "sim_bruteforce_topk",
 )
 # Deliberately outside the window this round: the full r7-green set
 # (round-4 temporal/snapshot/BPE/graph tier + the round-6 tier — all

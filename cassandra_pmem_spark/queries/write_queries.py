@@ -712,6 +712,61 @@ FROM c GROUP BY l_suppkey
 """
 
 
+def cql_indexed_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary-index read path through statement text
+    (CreateIndexStatement.java; SecondaryIndexManager.getBestIndexFor;
+    StatementRestrictions.needFiltering): CREATE INDEX on a regular
+    column makes a single EQ restriction on it executable WITHOUT ALLOW
+    FILTERING — and the gate still fires for the unindexed column, a
+    non-EQ operator, and an extra regular restriction (the reference's
+    post-filtering rule). Physically the \"index\" stays Catalyst
+    predicate pushdown + parquet file skipping — the SURVEY §4 analog of
+    a 2i lookup, which is the right shape at 100 TB (no per-row index
+    table to maintain). Negative cases asserted inline; the returned
+    frame is the indexed scan."""
+    from cassandra_pmem_spark.cql.ddl import CqlDatabase
+    from cassandra_pmem_spark.cql.validator import InvalidRequest
+
+    db = CqlDatabase(spark)
+    db.execute("CREATE KEYSPACE idx_ks WITH REPLICATION = {'class': 'SimpleStrategy'}")
+    db.execute("USE idx_ks")
+    db.execute(
+        "CREATE TABLE ev (event_id bigint PRIMARY KEY, user_id bigint, "
+        "event_type text)"
+    )
+    sess = db._session_for_key(("idx_ks", "ev"))
+    sess._base = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type"
+    )
+    for bad in (
+        "SELECT event_id FROM ev WHERE event_type = 'view'",  # not yet indexed
+    ):
+        try:
+            db.execute(bad)
+            raise AssertionError(f"gate missed: {bad}")
+        except InvalidRequest:
+            pass
+    db.execute("CREATE INDEX ON ev (event_type)")
+    for bad in (
+        "SELECT event_id FROM ev WHERE user_id = 5",  # unindexed column
+        "SELECT event_id FROM ev WHERE event_type > 'a'",  # non-EQ on index
+        "SELECT event_id FROM ev WHERE event_type = 'view' AND user_id = 5",
+    ):
+        try:
+            db.execute(bad)
+            raise AssertionError(f"gate missed: {bad}")
+        except InvalidRequest:
+            pass
+    return db.execute(
+        "SELECT event_id, user_id, event_type FROM ev WHERE event_type = 'view'"
+    )
+
+
+_INDEXED_LOOKUP_ORACLE = """
+SELECT event_id, user_id, event_type FROM events WHERE event_type = 'view'
+"""
+
+
 def cql_list_cell_liveness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """List/set ELEMENT-granular liveness through statement text
     (cql3/Lists.java:408-574 Appender/Prepender/SetterByIndex/
@@ -819,6 +874,7 @@ FROM z
 QUERIES = {
     "cql_delete_tombstones": (cql_delete_tombstones, _DELETE_TOMBSTONES_ORACLE),
     "cql_list_cell_liveness": (cql_list_cell_liveness, _LIST_CELL_ORACLE),
+    "cql_indexed_lookup": (cql_indexed_lookup, _INDEXED_LOOKUP_ORACLE),
     "cql_create_mv_statement": (cql_create_mv_statement, _CREATE_MV_ORACLE),
     "cql_udf_statement": (cql_udf_statement, _UDF_STMT_ORACLE),
     "cql_uda_statement": (cql_uda_statement, _UDA_STMT_ORACLE),

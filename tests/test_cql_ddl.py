@@ -651,3 +651,66 @@ class TestCli:
         out = capsys.readouterr().out
         assert "MISMATCH #6" in out and "first differing row" in out
         assert "6/7 statements match" in out
+
+
+class TestSecondaryIndexGate:
+    """CREATE INDEX makes a single EQ restriction on the indexed column
+    executable without ALLOW FILTERING (SecondaryIndexManager.
+    getBestIndexFor; StatementRestrictions.needFiltering); everything
+    else keeps the post-filtering rejection."""
+
+    @pytest.fixture()
+    def db(self, spark):
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+        db = CqlDatabase(spark)
+        db.execute("CREATE KEYSPACE ixg WITH REPLICATION = {'class': 'SimpleStrategy'}")
+        db.execute("USE ixg")
+        db.execute(
+            "CREATE TABLE ev (event_id bigint PRIMARY KEY, user_id bigint, "
+            "event_type text, tags set<text>)"
+        )
+        db.execute(
+            "INSERT INTO ev (event_id, user_id, event_type, tags) "
+            "VALUES (1, 10, 'view', {'a'})"
+        )
+        db.execute(
+            "INSERT INTO ev (event_id, user_id, event_type, tags) "
+            "VALUES (2, 11, 'click', {'b'})"
+        )
+        return db
+
+    def test_unindexed_regular_predicate_needs_allow_filtering(self, db):
+        from cassandra_pmem_spark.cql.validator import InvalidRequest
+
+        with pytest.raises(InvalidRequest, match="ALLOW FILTERING"):
+            db.execute("SELECT event_id FROM ev WHERE event_type = 'view'")
+
+    def test_indexed_eq_served_without_allow_filtering(self, db):
+        db.execute("CREATE INDEX ON ev (event_type)")
+        r = db.execute("SELECT event_id FROM ev WHERE event_type = 'view'").collect()
+        assert [x.event_id for x in r] == [1]
+
+    def test_indexed_contains_served(self, db):
+        db.execute("CREATE INDEX ON ev (tags)")
+        r = db.execute("SELECT event_id FROM ev WHERE tags CONTAINS 'b'").collect()
+        assert [x.event_id for x in r] == [2]
+
+    def test_non_eq_and_extra_restrictions_still_gated(self, db):
+        from cassandra_pmem_spark.cql.validator import InvalidRequest
+
+        db.execute("CREATE INDEX ON ev (event_type)")
+        with pytest.raises(InvalidRequest, match="ALLOW FILTERING"):
+            db.execute("SELECT event_id FROM ev WHERE event_type > 'a'")
+        with pytest.raises(InvalidRequest, match="ALLOW FILTERING"):
+            db.execute(
+                "SELECT event_id FROM ev WHERE event_type = 'view' AND user_id = 10"
+            )
+
+    def test_drop_index_restores_gate(self, db):
+        from cassandra_pmem_spark.cql.validator import InvalidRequest
+
+        db.execute("CREATE INDEX ON ev (event_type)")
+        db.execute("DROP INDEX ev_event_type_idx")
+        with pytest.raises(InvalidRequest, match="ALLOW FILTERING"):
+            db.execute("SELECT event_id FROM ev WHERE event_type = 'view'")
