@@ -103,6 +103,10 @@ class CellTombstone:
 _LIST_TIME_OFFSET = 10**18 // 2
 PREPEND, APPEND = 3, 5
 
+# sentinel: a scalar LWT condition (no [element] accessor); None can't
+# serve — `IF m[null]`-style literals bind through the same slot
+_NO_ELEM = object()
+
 
 def _list_key(bucket: int, wt: int, seq: int) -> str:
     t = _LIST_TIME_OFFSET + (-wt if bucket == PREPEND else wt)
@@ -358,10 +362,16 @@ class _WriteParser(_Parser):
         conds = []
         while True:
             col = self.ident()
+            ekey = _NO_ELEM
+            if self.accept_punct("["):
+                # collection element condition (ColumnCondition.java:329
+                # ElementAccessBound — IF m['k'] = v / IF l[i] = v)
+                ekey = self.literal(params, cursor)
+                self.expect_punct("]")
             op = self.next()
             if op.kind != "op" or op.text not in ("=", "!=", "<", "<=", ">", ">="):
                 raise InvalidRequest(f"unsupported LWT condition operator {op.text!r}")
-            conds.append((col, op.text, self.literal(params, cursor)))
+            conds.append((col, ekey, op.text, self.literal(params, cursor)))
             if not self.accept_kw("and"):
                 break
         return ("conds", conds)
@@ -1005,8 +1015,24 @@ class CqlWriteSession:
         ops = {"=": operator.eq, "!=": operator.ne, "<": operator.lt,
                "<=": operator.le, ">": operator.gt, ">=": operator.ge}
         r = row[0].asDict()
-        for col, op, val in cond[1]:
+        for col, ekey, op, val in cond[1]:
             cur = r.get(col)
+            if ekey is not _NO_ELEM:
+                # ElementAccessBound: resolve the element; a missing map
+                # key or out-of-bounds list index reads null, and null
+                # never satisfies a comparison (appliesTo:255)
+                kind, _fz = self._collection_kind(col)
+                if kind == "map":
+                    cur = (cur or {}).get(ekey)
+                elif kind == "list":
+                    lst = cur or []
+                    ok_idx = isinstance(ekey, int) and 0 <= ekey < len(lst)
+                    cur = lst[ekey] if ok_idx else None
+                else:
+                    raise InvalidRequest(
+                        f"Invalid element access syntax for column {col!r} "
+                        "(element conditions apply to lists and maps only)"
+                    )
             if cur is None:
                 return False
             if not ops[op](cur, val):

@@ -106,3 +106,62 @@ class TestCreateFunction:
         df.createOrReplaceTempView("udf_in3")
         got = sorted(r[0] for r in spark.sql("SELECT f_vec(id) FROM udf_in3").collect())
         assert got == [0, 2, 4, 6, 8]
+
+
+class TestElementConditions:
+    """Collection element LWT conditions (ColumnCondition.java:329
+    ElementAccessBound): IF m['k'] op v and IF l[i] op v resolve the
+    element at the condition read; missing keys and out-of-bounds
+    indexes read null, which never satisfies a comparison."""
+
+    @pytest.fixture()
+    def db(self, spark):
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+        db = CqlDatabase(spark)
+        db.execute("CREATE KEYSPACE ecnd WITH REPLICATION = {'class': 'SimpleStrategy'}")
+        db.execute("USE ecnd")
+        db.execute(
+            "CREATE TABLE t (k bigint PRIMARY KEY, m map<text, bigint>, "
+            "l list<text>, s set<text>, v text)"
+        )
+        db.execute(
+            "INSERT INTO t (k, m, l, s, v) VALUES "
+            "(1, {'a': 5}, ['x', 'y'], {'q'}, 'v0')"
+        )
+        return db
+
+    def test_map_element_condition(self, db):
+        assert db.execute("UPDATE t SET v = 'w' WHERE k = 1 IF m['a'] = 5") is True
+        assert db.execute("UPDATE t SET v = 'x' WHERE k = 1 IF m['a'] = 6") is False
+        r = db.execute("SELECT v FROM t").collect()
+        assert [x.v for x in r] == ["w"]
+
+    def test_missing_map_key_never_applies(self, db):
+        assert db.execute("UPDATE t SET v = 'x' WHERE k = 1 IF m['zz'] = 1") is False
+        # != against a missing element also does not apply (null compare)
+        assert db.execute("UPDATE t SET v = 'x' WHERE k = 1 IF m['zz'] != 1") is False
+
+    def test_list_index_condition_and_bounds(self, db):
+        assert db.execute("UPDATE t SET v = 'w' WHERE k = 1 IF l[0] = 'x'") is True
+        assert db.execute("UPDATE t SET v = 'x' WHERE k = 1 IF l[9] = 'x'") is False
+
+    def test_mixed_scalar_and_element_conditions(self, db):
+        applied = db.execute(
+            "UPDATE t SET v = 'w' WHERE k = 1 IF v = 'v0' AND m['a'] != 9 AND l[1] = 'y'"
+        )
+        assert applied is True
+
+    def test_set_element_condition_rejected(self, db):
+        from cassandra_pmem_spark.cql.validator import InvalidRequest
+
+        with pytest.raises(InvalidRequest, match="element"):
+            db.execute("UPDATE t SET v = 'x' WHERE k = 1 IF s['q'] = 'q'")
+
+    def test_element_condition_binds_markers(self, db):
+        applied = db.execute(
+            "UPDATE t SET v = ? WHERE k = ? IF m[?] = ?", params=["w", 1, "a", 5]
+        )
+        assert applied is True
+        r = db.execute("SELECT v FROM t").collect()
+        assert [x.v for x in r] == ["w"]
