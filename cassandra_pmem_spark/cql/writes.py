@@ -1008,19 +1008,25 @@ class CqlWriteSession:
             return bool(row)
         if cond[0] == "not_exists":
             return not row
-        if not row:
-            return False  # column conditions on a missing row never apply
         import operator
 
         ops = {"=": operator.eq, "!=": operator.ne, "<": operator.lt,
                "<=": operator.le, ">": operator.gt, ">=": operator.ge}
-        r = row[0].asDict()
+        # a missing row reads every column as null — the reference's
+        # null-cell comparison rules apply unchanged (a CAS with
+        # `IF v = null` on a nonexistent row APPLIES)
+        r = row[0].asDict() if row else {}
         for col, ekey, op, val in cond[1]:
             cur = r.get(col)
             if ekey is not _NO_ELEM:
                 # ElementAccessBound: resolve the element; a missing map
-                # key or out-of-bounds list index reads null, and null
-                # never satisfies a comparison (appliesTo:255)
+                # key or out-of-bounds list index reads null
+                if ekey is None:
+                    kind0, _ = self._collection_kind(col)
+                    raise InvalidRequest(
+                        "Invalid null value for "
+                        f"{'map' if kind0 == 'map' else 'list'} element access"
+                    )
                 kind, _fz = self._collection_kind(col)
                 if kind == "map":
                     cur = (cur or {}).get(ekey)
@@ -1033,9 +1039,23 @@ class CqlWriteSession:
                         f"Invalid element access syntax for column {col!r} "
                         "(element conditions apply to lists and maps only)"
                     )
-            if cur is None:
-                return False
-            if not ops[op](cur, val):
+            # null comparison rules (ColumnCondition.java:241-258):
+            # a null CONDITION VALUE is legal for =/!= only; a null CELL
+            # satisfies only != against a non-null value
+            if val is None:
+                if op == "=":
+                    ok = cur is None
+                elif op == "!=":
+                    ok = cur is not None
+                else:
+                    raise InvalidRequest(
+                        f'Invalid comparison with null for operator "{op}"'
+                    )
+            elif cur is None:
+                ok = op == "!="
+            else:
+                ok = ops[op](cur, val)
+            if not ok:
                 return False
         return True
 

@@ -137,10 +137,12 @@ class TestElementConditions:
         r = db.execute("SELECT v FROM t").collect()
         assert [x.v for x in r] == ["w"]
 
-    def test_missing_map_key_never_applies(self, db):
+    def test_missing_map_key_null_comparison_rules(self, db):
+        # ColumnCondition.java:253-255 — a null element satisfies only !=
         assert db.execute("UPDATE t SET v = 'x' WHERE k = 1 IF m['zz'] = 1") is False
-        # != against a missing element also does not apply (null compare)
-        assert db.execute("UPDATE t SET v = 'x' WHERE k = 1 IF m['zz'] != 1") is False
+        assert db.execute("UPDATE t SET v = 'x' WHERE k = 1 IF m['zz'] != 1") is True
+        assert db.execute("UPDATE t SET v = 'y' WHERE k = 1 IF m['zz'] = null") is True
+        assert db.execute("UPDATE t SET v = 'z' WHERE k = 1 IF m['a'] = null") is False
 
     def test_list_index_condition_and_bounds(self, db):
         assert db.execute("UPDATE t SET v = 'w' WHERE k = 1 IF l[0] = 'x'") is True
@@ -165,3 +167,46 @@ class TestElementConditions:
         assert applied is True
         r = db.execute("SELECT v FROM t").collect()
         assert [x.v for x in r] == ["w"]
+
+
+class TestNullConditionSemantics:
+    """ColumnCondition.java:241-258: a null condition value is legal for
+    =/!= only; a null cell satisfies only !=; a missing row reads every
+    column as null (the classic `IF v = null` CAS on a fresh key
+    APPLIES)."""
+
+    @pytest.fixture()
+    def db(self, spark):
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+        db = CqlDatabase(spark)
+        db.execute("CREATE KEYSPACE ncs WITH REPLICATION = {'class': 'SimpleStrategy'}")
+        db.execute("USE ncs")
+        db.execute("CREATE TABLE t (k bigint PRIMARY KEY, a text, b text)")
+        db.execute("INSERT INTO t (k, a) VALUES (1, 'set')")
+        return db
+
+    def test_eq_null_matches_unset_column(self, db):
+        assert db.execute("UPDATE t SET b = 'won' WHERE k = 1 IF b = null") is True
+        assert db.execute("UPDATE t SET b = 'x' WHERE k = 1 IF a = null") is False
+
+    def test_neq_null_matches_set_column(self, db):
+        assert db.execute("UPDATE t SET b = 'won' WHERE k = 1 IF a != null") is True
+
+    def test_null_cell_satisfies_only_neq(self, db):
+        assert db.execute("UPDATE t SET b = 'x' WHERE k = 1 IF b = 'v'") is False
+        assert db.execute("UPDATE t SET b = 'won' WHERE k = 1 IF b != 'v'") is True
+
+    def test_ordering_op_with_null_rejected(self, db):
+        from cassandra_pmem_spark.cql.validator import InvalidRequest
+
+        with pytest.raises(InvalidRequest, match="Invalid comparison with null"):
+            db.execute("UPDATE t SET b = 'x' WHERE k = 1 IF a > null")
+
+    def test_missing_row_column_conditions(self, db):
+        # CAS on a nonexistent row: columns read null
+        assert db.execute("UPDATE t SET a = 'born' WHERE k = 99 IF a = null") is True
+        assert db.execute("UPDATE t SET a = 'x' WHERE k = 98 IF a = 'v'") is False
+        # the applied UPDATE wrote a cell but no row liveness: visible row
+        r = db.execute("SELECT k, a FROM t WHERE k = 99").collect()
+        assert [(x.k, x.a) for x in r] == [(99, "born")]
