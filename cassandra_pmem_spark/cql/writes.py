@@ -368,10 +368,22 @@ class _WriteParser(_Parser):
                 # ElementAccessBound — IF m['k'] = v / IF l[i] = v)
                 ekey = self.literal(params, cursor)
                 self.expect_punct("]")
-            op = self.next()
-            if op.kind != "op" or op.text not in ("=", "!=", "<", "<=", ">", ">="):
-                raise InvalidRequest(f"unsupported LWT condition operator {op.text!r}")
-            conds.append((col, ekey, op.text, self.literal(params, cursor)))
+            if self.accept_kw("in"):
+                # IN condition (ColumnCondition.SimpleBound.isSatisfiedBy
+                # — EQ against ANY listed value, per-element null rules)
+                self.expect_punct("(")
+                vals = [self.literal(params, cursor)]
+                while self.accept_punct(","):
+                    vals.append(self.literal(params, cursor))
+                self.expect_punct(")")
+                conds.append((col, ekey, "IN", vals))
+            else:
+                op = self.next()
+                if op.kind != "op" or op.text not in ("=", "!=", "<", "<=", ">", ">="):
+                    raise InvalidRequest(
+                        f"unsupported LWT condition operator {op.text!r}"
+                    )
+                conds.append((col, ekey, op.text, self.literal(params, cursor)))
             if not self.accept_kw("and"):
                 break
         return ("conds", conds)
@@ -1042,7 +1054,15 @@ class CqlWriteSession:
             # null comparison rules (ColumnCondition.java:241-258):
             # a null CONDITION VALUE is legal for =/!= only; a null CELL
             # satisfies only != against a non-null value
-            if val is None:
+            if op == "IN":
+                # EQ against any listed value; a null list element
+                # matches a null cell (per-element compareWithOperator)
+                ok = any(
+                    (x is None and cur is None)
+                    or (x is not None and cur is not None and cur == x)
+                    for x in val
+                )
+            elif val is None:
                 if op == "=":
                     ok = cur is None
                 elif op == "!=":

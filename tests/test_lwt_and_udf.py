@@ -210,3 +210,35 @@ class TestNullConditionSemantics:
         # the applied UPDATE wrote a cell but no row liveness: visible row
         r = db.execute("SELECT k, a FROM t WHERE k = 99").collect()
         assert [(x.k, x.a) for x in r] == [(99, "born")]
+
+
+class TestInConditions:
+    """IF v IN (…) (ColumnCondition.SimpleBound.isSatisfiedBy): EQ
+    against any listed value, per-element null rules — a null list
+    element matches an unset column."""
+
+    @pytest.fixture()
+    def db(self, spark):
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+        db = CqlDatabase(spark)
+        db.execute("CREATE KEYSPACE inc WITH REPLICATION = {'class': 'SimpleStrategy'}")
+        db.execute("USE inc")
+        db.execute("CREATE TABLE t (k bigint PRIMARY KEY, n bigint, m map<text, bigint>)")
+        db.execute("INSERT INTO t (k, n, m) VALUES (1, 5, {'a': 7})")
+        return db
+
+    def test_scalar_in(self, db):
+        assert db.execute("UPDATE t SET n = 6 WHERE k = 1 IF n IN (4, 5)") is True
+        assert db.execute("UPDATE t SET n = 9 WHERE k = 1 IF n IN (4, 5)") is False
+        r = db.execute("SELECT n FROM t").collect()
+        assert [x.n for x in r] == [6]
+
+    def test_null_element_matches_unset(self, db):
+        db.execute("INSERT INTO t (k) VALUES (2)")
+        assert db.execute("UPDATE t SET n = 1 WHERE k = 2 IF n IN (4, null)") is True
+        assert db.execute("UPDATE t SET n = 2 WHERE k = 1 IF n IN (null)") is False
+
+    def test_element_in(self, db):
+        assert db.execute("UPDATE t SET n = 7 WHERE k = 1 IF m['a'] IN (7, 8)") is True
+        assert db.execute("UPDATE t SET n = 8 WHERE k = 1 IF m['zz'] IN (7, 8)") is False
