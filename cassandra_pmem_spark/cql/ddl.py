@@ -77,16 +77,29 @@ class IndexMeta:
 
 def _substitute_args(body: str, mapping: dict[str, str]) -> str:
     """Inline actual SQL fragments for the formal parameter names of a
-    LANGUAGE sql body (word-boundary identifier replacement). The
-    UDFunction.java:382 invocation analog — expansion instead of a
-    callout keeps evaluation inside Catalyst whole-stage codegen."""
+    LANGUAGE sql body (word-boundary identifier replacement, OUTSIDE
+    string literals — a body like ``CASE WHEN s = 's' …`` must keep the
+    quoted ``'s'`` intact). The UDFunction.java:382 invocation analog —
+    expansion instead of a callout keeps evaluation inside Catalyst
+    whole-stage codegen."""
     import re as _re
 
-    return _re.sub(
-        r"[A-Za-z_][A-Za-z0-9_]*",
-        lambda m: f"({mapping[m.group(0)]})" if m.group(0) in mapping else m.group(0),
-        body,
-    )
+    out = []
+    # split keeps SQL string literals (with '' escapes) as whole parts
+    for part in _re.split(r"('(?:[^']|'')*')", body):
+        if part.startswith("'"):
+            out.append(part)
+        else:
+            out.append(
+                _re.sub(
+                    r"[A-Za-z_][A-Za-z0-9_]*",
+                    lambda m: f"({mapping[m.group(0)]})"
+                    if m.group(0) in mapping
+                    else m.group(0),
+                    part,
+                )
+            )
+    return "".join(out)
 
 
 # CQL type text → Spark SQL type text for CAST targets in assembled
@@ -203,6 +216,9 @@ class ViewMeta:
     # WHERE relations beyond IS NOT NULL: (column, op, literal) — only
     # base-PK columns may carry them (CreateViewStatement.java:272)
     relations: tuple[tuple[str, str, Any], ...] = ()
+    # every column the WHERE clause restricted IS NOT NULL — the view
+    # filters on ALL of them, not just its PK columns
+    isnotnull: tuple[str, ...] = ()
 
 
 class TableNamespace(dict):
@@ -789,6 +805,16 @@ class _DdlParser(_Parser):
                 "Cannot include more than one non-primary key column in "
                 f"materialized view primary key (got {', '.join(extra)})"
             )
+        bad_where = [
+            c
+            for c in sorted(isnotnull | {c for c, _, _ in relations})
+            if c not in base_cols
+        ]
+        if bad_where:
+            raise InvalidRequest(
+                f"Unknown column '{bad_where[0]}' in WHERE clause for "
+                f"materialized view '{name}'"
+            )
         restricted = isnotnull | {c for c, _, _ in relations}
         unrestricted = [c for c in view_pk if c not in restricted]
         if unrestricted:
@@ -832,7 +858,14 @@ class _DdlParser(_Parser):
                 f"Cannot create materialized view '{name}' - a table with "
                 "the same name already exists"
             )
-        return ViewMeta(name, base_key, vmeta, tuple(selected), tuple(relations))
+        return ViewMeta(
+            name,
+            base_key,
+            vmeta,
+            tuple(selected),
+            tuple(relations),
+            tuple(sorted(isnotnull)),
+        )
 
     def _cql_type_text(self) -> str:
         """Raw normalized CQL type text (for signature matching between
@@ -973,10 +1006,19 @@ class _DdlParser(_Parser):
         """INITCOND literal → SQL text. A tuple literal (a, b, …) becomes
         a named_struct over the STYPE tuple's positional fields (the _1,
         _2, … naming cql_type() assigns)."""
+        def lit_text() -> str:
+            # raw literal text, with negative numbers ('-' lexes as its
+            # own op token) re-joined
+            neg = ""
+            if self.peek().kind == "op" and self.peek().text == "-":
+                self.next()
+                neg = "-"
+            return neg + self.next().text
+
         if self.accept_punct("("):
-            vals = [self.next().text]
+            vals = [lit_text()]
             while self.accept_punct(","):
-                vals.append(self.next().text)
+                vals.append(lit_text())
             self.expect_punct(")")
             st = stype.strip().lower()
             if not st.startswith("tuple<"):
@@ -991,10 +1033,16 @@ class _DdlParser(_Parser):
                 for i, (v, tp) in enumerate(zip(vals, inner))
             )
             return f"named_struct({parts})"
+        neg = ""
+        if self.peek().kind == "op" and self.peek().text == "-":
+            self.next()
+            neg = "-"
         t = self.next()
         if t.kind not in ("number", "string") and t.text.lower() != "null":
             raise InvalidRequest(f"bad INITCOND literal {t.text!r}")
-        return t.text
+        if neg and t.kind != "number":
+            raise InvalidRequest(f"bad INITCOND literal -{t.text!r}")
+        return neg + t.text
 
     def alter_table(self) -> TableMeta:
         self.expect_kw("table")
@@ -1355,6 +1403,28 @@ class CqlDatabase:
             )
         return self._sessions[key]
 
+    def _check_view_target(self, tks: str | None, tname: str, head: str) -> None:
+        """Writes and TRUNCATE must not target a materialized view —
+        with the reference's per-statement messages
+        (ModificationStatement.java:264; TruncateStatement.java:66).
+        Applies to standalone statements AND batch inner statements."""
+        if (
+            self.registry.tables.resolve(
+                tname, keyspace=tks, current=self.current_keyspace, missing_ok=True
+            )
+            is None
+            and self.registry.views.resolve(
+                tname, keyspace=tks, current=self.current_keyspace, missing_ok=True
+            )
+            is not None
+        ):
+            if head == "truncate":
+                raise InvalidRequest(
+                    "Cannot TRUNCATE materialized view directly; must "
+                    "truncate base table instead"
+                )
+            raise InvalidRequest("Cannot directly modify a materialized view")
+
     def _view_frame(self, vkey: tuple) -> DataFrame:
         """Derive a materialized view's visible frame from its base
         session (db/view/View.java select + ViewUpdateGenerator.java:45
@@ -1368,7 +1438,9 @@ class CqlDatabase:
         sess = self._session_for_key(vm.base_key)
         df = sess.table(now=sess._clock_ref[0], with_shadows=True)
         cond = F.lit(True)
-        for c in vm.meta.primary_key:
+        # EVERY column the WHERE clause restricted IS NOT NULL filters
+        # the view — not just the view PK columns
+        for c in set(vm.meta.primary_key) | set(vm.isnotnull):
             cond = cond & F.col(c).isNotNull()
         ops = {
             "=": lambda l, r: l == r,
@@ -1380,10 +1452,18 @@ class CqlDatabase:
         for c, op, v in vm.relations:
             cond = cond & ops[op](F.col(c), F.lit(v))
         keep = list(vm.meta.schema.fieldNames())
+        # per-cell liveness maps ride along so WRITETIME()/TTL() of a
+        # multi-cell collection keeps its per-cell LIST shape through the
+        # view, same as on the base
         shadows = [
             s
             for c in keep
-            for s in (f"_writetime_{c}", f"_ttl_{c}")
+            for s in (
+                f"_writetime_{c}",
+                f"_ttl_{c}",
+                f"_cellwt_{c}",
+                f"_cellttl_{c}",
+            )
             if s in df.columns
         ]
         return df.filter(cond).select(*keep, *shadows)
@@ -1484,24 +1564,7 @@ class CqlDatabase:
             return self._execute_batch(cql, params or [])
         if head in self._DML_HEADS:
             tks, tname = self._dml_table(cql)
-            if (
-                self.registry.tables.resolve(
-                    tname, keyspace=tks, current=self.current_keyspace, missing_ok=True
-                )
-                is None
-                and self.registry.views.resolve(
-                    tname, keyspace=tks, current=self.current_keyspace, missing_ok=True
-                )
-                is not None
-            ):
-                if head == "truncate":
-                    # TruncateStatement.java:66
-                    raise InvalidRequest(
-                        "Cannot TRUNCATE materialized view directly; must "
-                        "truncate base table instead"
-                    )
-                # ModificationStatement.java:264
-                raise InvalidRequest("Cannot directly modify a materialized view")
+            self._check_view_target(tks, tname, head)
             return self._session((tks, tname)).execute(cql, params)
         if head == "select":
             from cassandra_pmem_spark.cql.parser import _compile, parse_select
@@ -1589,8 +1652,13 @@ class CqlDatabase:
             raise InvalidRequest("BATCH must end with APPLY BATCH")
         inner = [s.strip() for s in pieces[:-1] if s.strip()]
         # resolve every target to its canonical (keyspace, name) key so a
-        # qualified ks.t and a bare t under USE ks share ONE session
-        keys = [self._table_key(self._dml_table(s)) for s in inner]
+        # qualified ks.t and a bare t under USE ks share ONE session;
+        # inner statements get the same view-modification rejection as
+        # standalone ones (BatchStatement prepares each child)
+        targets = [self._dml_table(s) for s in inner]
+        for (tks, tname), stmt in zip(targets, inner):
+            self._check_view_target(tks, tname, stmt.split(None, 1)[0].lower())
+        keys = [self._table_key(t) for t in targets]
         if len(set(keys)) <= 1:
             if not keys:
                 return True  # empty batch is a no-op

@@ -95,22 +95,42 @@ class CellTombstone:
 
 
 # List cell positions (Lists.java timeuuid cell names, CASSANDRA-style):
-# a fixed-width sortable STRING key `bucket || time(19) || seq(9)`.
-# Prepends (bucket 3) sort before every append/full-write cell (bucket
-# 5); a LATER prepend statement sorts earlier (time = OFFSET - wt,
-# mirroring the reference's reversed PrecisionTime), appends/full
-# writes later (time = OFFSET + wt). seq keeps intra-statement order.
+# fixed-width sortable STRING keys, UNIQUE per cell like the reference's
+# timeuuids — two appends at the SAME explicit timestamp must both
+# survive, so the key carries a per-session statement number besides the
+# timestamp.
+#   full-write cell : "5" || time(19) || "0" || 000000000 || pos(6)
+#   append fragment : "5" || time(19) || "1" || stmt(9)   || idx(6)
+#   prepend fragment: "3" || rtime(19)       || rstmt(9)  || idx(6)
+# Prepends (bucket 3) sort before every append/full-write cell
+# (bucket 5); rtime = OFFSET - wt and rstmt = MAX - stmt make a LATER
+# prepend statement sort earlier (the reference's reversed
+# PrecisionTime), while idx keeps intra-statement order. At equal time a
+# full write's own cells (kind "0") precede same-timestamp appends
+# (kind "1"). Times clamp into the 19-digit field (logical-clock and
+# micros-since-epoch timestamps are far inside the range).
 _LIST_TIME_OFFSET = 10**18 // 2
+_STMT_MAX = 10**9 - 1
 PREPEND, APPEND = 3, 5
+
+
+def _clamped_time(wt: int, negate: bool = False) -> int:
+    t = _LIST_TIME_OFFSET + (-wt if negate else wt)
+    return min(max(t, 0), 9 * 10**18)  # stays inside a 64-bit long
+
+
+def _list_full_key(wt: int, pos: int) -> str:
+    return f"5{_clamped_time(wt):019d}0{0:09d}{pos:06d}"
+
+
+def _list_frag_key(bucket: int, wt: int, stmt: int, idx: int) -> str:
+    if bucket == PREPEND:
+        return f"3{_clamped_time(wt, negate=True):019d}{_STMT_MAX - stmt:09d}{idx:06d}"
+    return f"5{_clamped_time(wt):019d}1{stmt:09d}{idx:06d}"
 
 # sentinel: a scalar LWT condition (no [element] accessor); None can't
 # serve — `IF m[null]`-style literals bind through the same slot
 _NO_ELEM = object()
-
-
-def _list_key(bucket: int, wt: int, seq: int) -> str:
-    t = _LIST_TIME_OFFSET + (-wt if bucket == PREPEND else wt)
-    return f"{bucket}{t:019d}{seq:09d}"
 
 
 @dataclass
@@ -824,7 +844,13 @@ class CqlWriteSession:
                 cell_cache[c] = self._list_cells(self._key_of(key), c)
             return cell_cache[c]
 
-        seq = [0]  # per-statement cell sequence (intra-statement order)
+        # statement number for cell keys: the mutation-buffer length is
+        # monotonic per session and distinct per statement (each statement
+        # appends exactly one Mutation), so same-timestamp appends from
+        # different statements get DISTINCT cell keys like the
+        # reference's timeuuids; idx keeps intra-statement order
+        stmt_no = len(self._mutations)
+        seq = [0]
 
         for op in elem_ops:
             kind, _frozen = self._collection_kind(op[1])
@@ -857,7 +883,7 @@ class CqlWriteSession:
                 _, ecol, (_lk, val) = op
                 frag = elem_cells.setdefault(ecol, {})
                 for v in list(val or []):
-                    frag[_list_key(PREPEND, wt, seq[0])] = v
+                    frag[_list_frag_key(PREPEND, wt, stmt_no, seq[0])] = v
                     seq[0] += 1
             elif op[0] == "coll_delta":
                 _, ecol, sign, (_lk, val) = op
@@ -871,7 +897,7 @@ class CqlWriteSession:
                     if sign == "+":
                         # Lists.Appender: cells after every existing one
                         for v in list(val or []):
-                            frag[_list_key(APPEND, wt, seq[0])] = v
+                            frag[_list_frag_key(APPEND, wt, stmt_no, seq[0])] = v
                             seq[0] += 1
                     else:
                         # Lists.Discarder: read, tombstone EVERY cell
@@ -1028,7 +1054,12 @@ class CqlWriteSession:
         # null-cell comparison rules apply unchanged (a CAS with
         # `IF v = null` on a nonexistent row APPLIES)
         r = row[0].asDict() if row else {}
+        known = {f.name for f in self.meta.schema.fields}
         for col, ekey, op, val in cond[1]:
+            if col not in known:
+                # SelectStatement/Conditions prepare: a typo'd guard must
+                # ERROR, not silently read null and apply the write
+                raise InvalidRequest(f"Undefined column name {col}")
             cur = r.get(col)
             if ekey is not _NO_ELEM:
                 # ElementAccessBound: resolve the element; a missing map
@@ -1117,7 +1148,7 @@ class CqlWriteSession:
         if cellwt:
             return list(zip(sorted(cellwt.keys()), vals))
         wt = row.get(f"_writetime_{col}") or 0
-        return [(_list_key(APPEND, wt, i), v) for i, v in enumerate(vals)]
+        return [(_list_full_key(wt, i), v) for i, v in enumerate(vals)]
 
     def _snapshot(self) -> tuple:
         """Buffer watermark for batch rollback. Inner batch statements only
@@ -1454,7 +1485,8 @@ class CqlWriteSession:
         """Cell-fragment map type for one collection column: maps keep
         (key → value), sets key cells by ELEMENT (Sets.java — the cell
         name is the element, the value empty), lists by POSITION string
-        (Lists.java timeuuid cell names → `_list_key` encoding)."""
+        (Lists.java timeuuid cell names → the `_list_full_key` /
+        `_list_frag_key` encodings)."""
         kind = self._collection_kind_of(col)
         if isinstance(dt, T.MapType):
             return T.MapType(dt.keyType, dt.valueType, True)
@@ -1495,13 +1527,19 @@ class CqlWriteSession:
                 "__wt",
                 "__exp",
                 F.concat(
-                    F.lit(str(APPEND)),
+                    F.lit("5"),
                     F.lpad(
-                        (F.lit(_LIST_TIME_OFFSET) + F.col("__wt")).cast("string"),
+                        F.least(
+                            F.greatest(
+                                F.lit(_LIST_TIME_OFFSET) + F.col("__wt"), F.lit(0)
+                            ),
+                            F.lit(9 * 10**18),
+                        ).cast("string"),
                         19,
                         "0",
                     ),
-                    F.lpad(F.col("__pos").cast("string"), 9, "0"),
+                    F.lit("0" + "0" * 9),
+                    F.lpad(F.col("__pos").cast("string"), 6, "0"),
                 ).alias("__k"),
                 "__v",
             )

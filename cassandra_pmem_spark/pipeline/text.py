@@ -547,6 +547,13 @@ def dsir_importance_weights(
             .alias("lam"),
         )
     )
+    # materialize the (≤ n_buckets-row) log-ratio table and release the
+    # model caches — repeated calls must not leak cached frames into the
+    # shared context (the scoring join below reads the checkpoint, not
+    # the tf/rb lineage)
+    lam = lam.localCheckpoint(eager=True)
+    tf.unpersist()
+    rb.unpersist()
     return (
         rf.join(F.broadcast(lam), "bucket")
         .groupBy(id_col)

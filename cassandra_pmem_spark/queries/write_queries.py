@@ -606,7 +606,6 @@ def cql_udf_statement(spark: SparkSession, sf_dir: str) -> DataFrame:
     short-circuiting, exercised through the parsed SELECT surface over
     orders loaded as a CQL table. No driver-side row work: the CQL
     session reads the parquet frame directly as its base."""
-    from cassandra_pmem_spark.catalog import TABLES
     from cassandra_pmem_spark.cql.ddl import CqlDatabase
 
     db = CqlDatabase(spark)

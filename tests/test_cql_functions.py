@@ -181,3 +181,41 @@ class TestCreateAggregate:
         db.execute("DROP KEYSPACE fks")
         assert ("fks", "iavg") not in db.registry.aggregates
         assert ("fks", "avg_state") not in db.registry.functions
+
+
+class TestReviewRegressions:
+    def test_body_string_literals_survive_substitution(self, db):
+        """Formal-arg substitution must not rewrite identifiers inside
+        the body's string literals: CASE WHEN s = 's' compares against
+        the LITERAL 's', not the argument."""
+        db.execute(
+            "CREATE FUNCTION is_s (s text) CALLED ON NULL INPUT RETURNS int "
+            "LANGUAGE sql AS 'CASE WHEN s = ''s'' THEN 1 ELSE 0 END'"
+        )
+        db.execute("INSERT INTO sales (region, id, amount, note) VALUES ('e', 9, 1, 's')")
+        r = db.execute("SELECT id, is_s(note) AS f FROM sales").collect()
+        got = {x.id: x.f for x in r}
+        assert got[9] == 1 and got[0] == 0  # note 'a' != literal 's'
+
+    def test_negative_initcond(self, db):
+        db.execute(
+            "CREATE FUNCTION mx_state (st int, v int) CALLED ON NULL INPUT "
+            "RETURNS int LANGUAGE sql AS 'greatest(st, coalesce(v, st))'"
+        )
+        db.execute("CREATE AGGREGATE mx (int) SFUNC mx_state STYPE int INITCOND -1")
+        r = db.execute("SELECT mx(amount) AS m FROM sales").collect()
+        assert [x.m for x in r] == [40]
+
+    def test_negative_tuple_initcond(self, db):
+        db.execute(
+            "CREATE FUNCTION t_state (st tuple<bigint,bigint>, v int) "
+            "CALLED ON NULL INPUT RETURNS tuple<bigint,bigint> LANGUAGE sql "
+            "AS 'named_struct(''_1'', greatest(st._1, CAST(v AS BIGINT)), "
+            "''_2'', st._2 + 1L)'"
+        )
+        db.execute(
+            "CREATE AGGREGATE mx2 (int) SFUNC t_state "
+            "STYPE tuple<bigint,bigint> INITCOND (-1, 0)"
+        )
+        r = db.execute("SELECT mx2(amount) AS m FROM sales").collect()
+        assert [tuple(x.m) for x in r] == [(40, 4)]

@@ -200,3 +200,47 @@ class TestViewGates:
         db.execute("DROP KEYSPACE mvt")
         assert ("mvt", "high_scores") not in db.registry.views
         assert ("mvt", "scores") not in db.registry.tables
+
+
+class TestReviewRegressions:
+    def test_non_pk_is_not_null_filters_view(self, db):
+        # EVERY IS NOT NULL in the WHERE clause filters view content,
+        # not only the view PK columns
+        db.execute(
+            "CREATE MATERIALIZED VIEW vd AS SELECT game, player, day FROM scores "
+            "WHERE game IS NOT NULL AND player IS NOT NULL AND day IS NOT NULL "
+            "PRIMARY KEY (game, player)"
+        )
+        db.execute("INSERT INTO scores (game, player, score, day) VALUES ('x', 'a', 1, 7)")
+        db.execute("INSERT INTO scores (game, player, score) VALUES ('x', 'b', 2)")  # day NULL
+        r = db.execute("SELECT player FROM vd WHERE game = 'x'").collect()
+        assert [p.player for p in r] == ["a"]
+
+    def test_unknown_where_column_rejected(self, db):
+        with pytest.raises(InvalidRequest, match="Unknown column 'bogus'"):
+            db.execute(
+                "CREATE MATERIALIZED VIEW vb AS SELECT game, player FROM scores "
+                "WHERE game IS NOT NULL AND player IS NOT NULL AND bogus IS NOT NULL "
+                "PRIMARY KEY (game, player)"
+            )
+
+    def test_batch_inner_statement_cannot_modify_view(self, db):
+        _mk_view(db)
+        with pytest.raises(InvalidRequest, match="Cannot directly modify"):
+            db.execute(
+                "BEGIN BATCH INSERT INTO high_scores (game, player, score) "
+                "VALUES ('x', 'y', 1); APPLY BATCH"
+            )
+
+    def test_collection_writetime_keeps_list_shape_through_view(self, db):
+        # per-cell liveness maps ride through the view derivation
+        db.execute("CREATE TABLE kv2 (k bigint PRIMARY KEY, m map<text, bigint>)")
+        db.execute(
+            "CREATE MATERIALIZED VIEW kv2v AS SELECT k, m FROM kv2 "
+            "WHERE k IS NOT NULL PRIMARY KEY (k)"
+        )
+        db.execute("INSERT INTO kv2 (k, m) VALUES (1, {'a': 1}) USING TIMESTAMP 100")
+        db.execute("UPDATE kv2 USING TIMESTAMP 200 SET m['b'] = 2 WHERE k = 1")
+        base = db.execute("SELECT writetime(m) AS w FROM kv2").collect()[0].w
+        view = db.execute("SELECT writetime(m) AS w FROM kv2v").collect()[0].w
+        assert base == [100, 200] and view == [100, 200]

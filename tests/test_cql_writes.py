@@ -1055,3 +1055,25 @@ class TestListSetCellLiveness:
         db.execute("UPDATE t USING TIMESTAMP 300 SET l = ['z'] WHERE k = 1")
         r = self._row(db, "l, writetime(l) AS wl")
         assert r.l == ["z"] and r.wl == [300]
+
+    def test_same_timestamp_appends_both_survive(self, db):
+        # reference timeuuid cell names are unique: two appends at the
+        # SAME explicit timestamp keep BOTH cells, in issuance order
+        db.execute("UPDATE t USING TIMESTAMP 300 SET l = l + ['c'] WHERE k = 1")
+        db.execute("UPDATE t USING TIMESTAMP 300 SET l = l + ['d'] WHERE k = 1")
+        r = self._row(db, "l, writetime(l) AS wl")
+        assert r.l == ["a", "b", "c", "d"] and r.wl == [100, 100, 300, 300]
+
+    def test_same_timestamp_full_write_then_append(self, db):
+        # at one timestamp: the full write's own cells survive their
+        # complex deletion and a same-timestamp append lands after them
+        db.execute("UPDATE t USING TIMESTAMP 300 SET l = ['z'] WHERE k = 1")
+        db.execute("UPDATE t USING TIMESTAMP 300 SET l = l + ['w'] WHERE k = 1")
+        r = self._row(db, "l")
+        assert r.l == ["z", "w"]
+
+    def test_same_timestamp_prepends_later_statement_first(self, db):
+        db.execute("UPDATE t USING TIMESTAMP 300 SET l = ['p1'] + l WHERE k = 1")
+        db.execute("UPDATE t USING TIMESTAMP 300 SET l = ['p0'] + l WHERE k = 1")
+        r = self._row(db, "l")
+        assert r.l == ["p0", "p1", "a", "b"]

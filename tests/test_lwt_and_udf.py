@@ -242,3 +242,21 @@ class TestInConditions:
     def test_element_in(self, db):
         assert db.execute("UPDATE t SET n = 7 WHERE k = 1 IF m['a'] IN (7, 8)") is True
         assert db.execute("UPDATE t SET n = 8 WHERE k = 1 IF m['zz'] IN (7, 8)") is False
+
+
+class TestUndefinedConditionColumn:
+    def test_typoed_condition_column_errors(self, spark):
+        """A condition on a nonexistent column must ERROR (the reference's
+        'Undefined column name'), never silently read null and apply."""
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+        from cassandra_pmem_spark.cql.validator import InvalidRequest
+
+        db = CqlDatabase(spark)
+        db.execute("CREATE KEYSPACE ucc WITH REPLICATION = {'class': 'SimpleStrategy'}")
+        db.execute("USE ucc")
+        db.execute("CREATE TABLE t (k bigint PRIMARY KEY, a text)")
+        db.execute("INSERT INTO t (k, a) VALUES (1, 'x')")
+        with pytest.raises(InvalidRequest, match="Undefined column name"):
+            db.execute("UPDATE t SET a = 'y' WHERE k = 1 IF nosuhc = null")
+        r = db.execute("SELECT a FROM t").collect()
+        assert [x.a for x in r] == ["x"]  # the guarded write did NOT apply
