@@ -96,37 +96,33 @@ class CellTombstone:
 
 # List cell positions (Lists.java timeuuid cell names, CASSANDRA-style):
 # fixed-width sortable STRING keys, UNIQUE per cell like the reference's
-# timeuuids — two appends at the SAME explicit timestamp must both
-# survive, so the key carries a per-session statement number besides the
-# timestamp.
-#   full-write cell : "5" || time(19) || "0" || 000000000 || pos(6)
-#   append fragment : "5" || time(19) || "1" || stmt(9)   || idx(6)
-#   prepend fragment: "3" || rtime(19)       || rstmt(9)  || idx(6)
+# timeuuids. Positions follow ISSUANCE order — the reference mints cell
+# names from the coordinator's clock, NOT from USING TIMESTAMP — so the
+# key carries the session's statement number (base rows are statement 0,
+# the i-th buffered mutation is statement i+1):
+#   full-write cell : "5" || stmt(9) || "0" || pos(6)
+#   append fragment : "5" || stmt(9) || "1" || idx(6)
+#   prepend fragment: "3" || rstmt(9)       || idx(6)
 # Prepends (bucket 3) sort before every append/full-write cell
-# (bucket 5); rtime = OFFSET - wt and rstmt = MAX - stmt make a LATER
-# prepend statement sort earlier (the reference's reversed
-# PrecisionTime), while idx keeps intra-statement order. At equal time a
-# full write's own cells (kind "0") precede same-timestamp appends
-# (kind "1"). Times clamp into the 19-digit field (logical-clock and
-# micros-since-epoch timestamps are far inside the range).
-_LIST_TIME_OFFSET = 10**18 // 2
+# (bucket 5); rstmt = MAX - stmt makes a LATER prepend statement sort
+# earlier (the reference's reversed PrecisionTime) while idx keeps
+# intra-statement order. Within one statement a full write's own cells
+# (kind "0") precede its appends (kind "1"). USING TIMESTAMP only
+# drives LIVENESS (reconcile + deletion shadowing), exactly like the
+# reference: an append issued after a full write keeps its position
+# after that write's cells even when its explicit timestamp is older.
 _STMT_MAX = 10**9 - 1
 PREPEND, APPEND = 3, 5
 
 
-def _clamped_time(wt: int, negate: bool = False) -> int:
-    t = _LIST_TIME_OFFSET + (-wt if negate else wt)
-    return min(max(t, 0), 9 * 10**18)  # stays inside a 64-bit long
+def _list_full_key(stmt: int, pos: int) -> str:
+    return f"5{stmt:09d}0{pos:06d}"
 
 
-def _list_full_key(wt: int, pos: int) -> str:
-    return f"5{_clamped_time(wt):019d}0{0:09d}{pos:06d}"
-
-
-def _list_frag_key(bucket: int, wt: int, stmt: int, idx: int) -> str:
+def _list_frag_key(bucket: int, stmt: int, idx: int) -> str:
     if bucket == PREPEND:
-        return f"3{_clamped_time(wt, negate=True):019d}{_STMT_MAX - stmt:09d}{idx:06d}"
-    return f"5{_clamped_time(wt):019d}1{stmt:09d}{idx:06d}"
+        return f"3{_STMT_MAX - stmt:09d}{idx:06d}"
+    return f"5{stmt:09d}1{idx:06d}"
 
 # sentinel: a scalar LWT condition (no [element] accessor); None can't
 # serve — `IF m[null]`-style literals bind through the same slot
@@ -846,10 +842,10 @@ class CqlWriteSession:
 
         # statement number for cell keys: the mutation-buffer length is
         # monotonic per session and distinct per statement (each statement
-        # appends exactly one Mutation), so same-timestamp appends from
-        # different statements get DISTINCT cell keys like the
-        # reference's timeuuids; idx keeps intra-statement order
-        stmt_no = len(self._mutations)
+        # appends exactly one Mutation; +1 keeps base rows at statement
+        # 0), so cells from different statements get DISTINCT keys in
+        # issuance order like the reference's timeuuids
+        stmt_no = len(self._mutations) + 1
         seq = [0]
 
         for op in elem_ops:
@@ -883,7 +879,7 @@ class CqlWriteSession:
                 _, ecol, (_lk, val) = op
                 frag = elem_cells.setdefault(ecol, {})
                 for v in list(val or []):
-                    frag[_list_frag_key(PREPEND, wt, stmt_no, seq[0])] = v
+                    frag[_list_frag_key(PREPEND, stmt_no, seq[0])] = v
                     seq[0] += 1
             elif op[0] == "coll_delta":
                 _, ecol, sign, (_lk, val) = op
@@ -897,7 +893,7 @@ class CqlWriteSession:
                     if sign == "+":
                         # Lists.Appender: cells after every existing one
                         for v in list(val or []):
-                            frag[_list_frag_key(APPEND, wt, stmt_no, seq[0])] = v
+                            frag[_list_frag_key(APPEND, stmt_no, seq[0])] = v
                             seq[0] += 1
                     else:
                         # Lists.Discarder: read, tombstone EVERY cell
@@ -1132,9 +1128,9 @@ class CqlWriteSession:
         the read-before-write Lists.SetterByIndex/DiscarderByIndex/
         Discarder perform. When the column is already cell-tracked the
         positions come from its cell-liveness map; a column with only
-        full-value history synthesizes the positions its winning write's
-        cells will get in the merge (APPEND bucket at the column
-        writetime). Bounded: one key, limit 1."""
+        full-value history synthesizes the positions its winning full
+        write's cells will get once the column enters the per-cell merge
+        (that write's statement number). Bounded: one key, limit 1."""
         df = self.table(now=self._clock_ref[0], with_shadows=True)
         flt = F.lit(True)
         for kc, kv in zip(self.meta.primary_key, key):
@@ -1147,8 +1143,17 @@ class CqlWriteSession:
         cellwt = row.get(f"_cellwt_{col}")
         if cellwt:
             return list(zip(sorted(cellwt.keys()), vals))
-        wt = row.get(f"_writetime_{col}") or 0
-        return [(_list_full_key(wt, i), v) for i, v in enumerate(vals)]
+        # scalar-path history: the visible value belongs to the highest-
+        # (writetime, statement) full write (base = statement 0)
+        stmt_w, best_wt = 0, 0
+        for i, m in enumerate(self._mutations, start=1):
+            if (
+                m.key == key
+                and m.cells.get(col) is not None
+                and m.writetime >= best_wt
+            ):
+                stmt_w, best_wt = i, m.writetime
+        return [(_list_full_key(stmt_w, i), v) for i, v in enumerate(vals)]
 
     def _snapshot(self) -> tuple:
         """Buffer watermark for batch rollback. Inner batch statements only
@@ -1243,6 +1248,9 @@ class CqlWriteSession:
             T.StructField("__writetime", T.LongType()),
             T.StructField("__expiry", T.LongType()),
             T.StructField("__row_live_wt", T.LongType()),
+            # issuance order (base = 0, i-th mutation = i+1): drives list
+            # cell POSITIONS, while __writetime drives liveness
+            T.StructField("__stmt", T.LongType()),
         ]
         for c in elem_cols:
             extra_fields.append(
@@ -1251,11 +1259,16 @@ class CqlWriteSession:
             extra_fields.append(T.StructField(f"__full_{c}", T.BooleanType()))
         log_schema = T.StructType(list(meta.schema.fields) + extra_fields)
         rows = []
-        for m in self._mutations:
+        for i, m in enumerate(self._mutations, start=1):
             row = dict.fromkeys(fields)
             row.update(m.cells)
             expiry = (m.writetime + m.ttl) if m.ttl is not None else None
-            extras: list = [m.writetime, expiry, m.writetime if m.row_live else None]
+            extras: list = [
+                m.writetime,
+                expiry,
+                m.writetime if m.row_live else None,
+                i,
+            ]
             for c in elem_cols:
                 extras.append(m.elem_cells.get(c))
                 extras.append(c in m.cells and m.cells[c] is not None)
@@ -1268,6 +1281,7 @@ class CqlWriteSession:
                 .withColumn("__writetime", F.lit(0).cast("long"))
                 .withColumn("__expiry", F.lit(None).cast("long"))
                 .withColumn("__row_live_wt", F.lit(0).cast("long"))
+                .withColumn("__stmt", F.lit(0).cast("long"))
             )
             for c in elem_cols:
                 base = base.withColumn(
@@ -1519,26 +1533,17 @@ class CqlWriteSession:
             full_cells = full.select(
                 *key_cols, *sel, F.explode(col).alias("__k")
             ).withColumn("__v", F.col("__k"))
-        else:  # list: positions from the write's own (wt, index)
+        else:  # list: positions from the write's own (statement, index)
             full_cells = full.select(
-                *key_cols, *sel, F.posexplode(col).alias("__pos", "__v")
+                *key_cols, *sel, F.col("__stmt"), F.posexplode(col).alias("__pos", "__v")
             ).select(
                 *key_cols,
                 "__wt",
                 "__exp",
                 F.concat(
                     F.lit("5"),
-                    F.lpad(
-                        F.least(
-                            F.greatest(
-                                F.lit(_LIST_TIME_OFFSET) + F.col("__wt"), F.lit(0)
-                            ),
-                            F.lit(9 * 10**18),
-                        ).cast("string"),
-                        19,
-                        "0",
-                    ),
-                    F.lit("0" + "0" * 9),
+                    F.lpad(F.col("__stmt").cast("string"), 9, "0"),
+                    F.lit("0"),
                     F.lpad(F.col("__pos").cast("string"), 6, "0"),
                 ).alias("__k"),
                 "__v",

@@ -1077,3 +1077,15 @@ class TestListSetCellLiveness:
         db.execute("UPDATE t USING TIMESTAMP 300 SET l = ['p0'] + l WHERE k = 1")
         r = self._row(db, "l")
         assert r.l == ["p0", "p1", "a", "b"]
+
+    def test_positions_follow_issuance_not_explicit_timestamp(self, db):
+        """Cell positions come from the coordinator clock (timeuuid
+        issuance order), NOT from USING TIMESTAMP: an append issued
+        BEFORE a full write keeps its position before that write's
+        cells even with a newer explicit timestamp — and survives the
+        full write's complex deletion because its liveness IS newer."""
+        db.execute("UPDATE t USING TIMESTAMP 700 SET l = l + ['x'] WHERE k = 1")
+        db.execute("UPDATE t USING TIMESTAMP 500 SET l = ['z'] WHERE k = 1")
+        r = self._row(db, "l, writetime(l) AS wl")
+        # deletion at 499 kills a@100/b@100; x@700 survives, issued first
+        assert r.l == ["x", "z"] and r.wl == [700, 500]

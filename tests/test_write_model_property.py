@@ -410,3 +410,194 @@ class TestMapCellProperty:
                 model.live.add(k)
         got = {r.k: r.m for r in sess.table().collect()}
         assert got == model.visible()
+
+
+@st.composite
+def coll_op(draw):
+    kind = draw(
+        st.sampled_from(
+            [
+                "l_append", "l_prepend", "l_full", "l_discard",
+                "s_add", "s_discard", "s_full",
+            ]
+        )
+    )
+    vals = draw(st.lists(st.sampled_from(["a", "b"]), min_size=0, max_size=2))
+    # a SMALL timestamp pool: ties between writes, tombstones, and full
+    # writes are the interesting reconcile cases
+    wt = draw(st.integers(min_value=1, max_value=4))
+    return kind, vals, wt
+
+
+_COLL_META = TableMeta(
+    "ct",
+    T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("l", T.ArrayType(T.StringType())),
+            T.StructField("s", T.ArrayType(T.StringType())),
+        ]
+    ),
+    partition_key=("k",),
+)
+
+
+class CollModel:
+    """Independent model of the reference's collection cell semantics
+    (Lists.java/Sets.java + Cells.reconcile + ComplexColumnData
+    deletions). Cell keys are TUPLES ordered like timeuuid issuance —
+    prepends (0, MAX-stmt, idx) before appends/full cells
+    (1, stmt, kind, idx) — deliberately NOT reusing the engine's string
+    encoding, so encoding bugs are caught too. Versions reconcile by
+    (writetime, tombstone-wins, value); a full write contributes a
+    complex deletion at wt-1 plus fresh cells."""
+
+    BIG = 10**9
+
+    def __init__(self):
+        self.stmt = 0
+        self.l_versions: dict = {}
+        self.l_del = -1
+        self.s_versions: dict = {}
+        self.s_del = -1
+
+    @staticmethod
+    def _winner(vers):
+        return max(vers, key=lambda t: (t[0], t[1], t[2] or ""))
+
+    def _visible(self, versions, del_wt):
+        out = {}
+        for key, vers in versions.items():
+            wt, tomb, val = self._winner(vers)
+            if tomb == 0 and wt > del_wt:
+                out[key] = (val, wt)
+        return out
+
+    def l_append(self, vals, wt):
+        self.stmt += 1
+        for i, v in enumerate(vals):
+            self.l_versions.setdefault((1, self.stmt, 1, i), []).append((wt, 0, v))
+
+    def l_prepend(self, vals, wt):
+        self.stmt += 1
+        for i, v in enumerate(vals):
+            self.l_versions.setdefault((0, self.BIG - self.stmt, i), []).append(
+                (wt, 0, v)
+            )
+
+    def l_full(self, vals, wt):
+        self.stmt += 1
+        self.l_del = max(self.l_del, wt - 1)
+        for i, v in enumerate(vals):
+            self.l_versions.setdefault((1, self.stmt, 0, i), []).append((wt, 0, v))
+
+    def l_discard(self, vals, wt):
+        # Lists.Discarder reads the VISIBLE cells, then tombstones every
+        # matching position
+        self.stmt += 1
+        vs = set(vals)
+        for key, (val, _w) in self._visible(self.l_versions, self.l_del).items():
+            if val in vs:
+                self.l_versions.setdefault(key, []).append((wt, 1, None))
+
+    def s_add(self, vals, wt):
+        self.stmt += 1
+        for v in set(vals):
+            self.s_versions.setdefault(v, []).append((wt, 0, v))
+
+    def s_discard(self, vals, wt):
+        self.stmt += 1
+        for v in set(vals):
+            self.s_versions.setdefault(v, []).append((wt, 1, None))
+
+    def s_full(self, vals, wt):
+        self.stmt += 1
+        self.s_del = max(self.s_del, wt - 1)
+        for v in set(vals):
+            self.s_versions.setdefault(v, []).append((wt, 0, v))
+
+    def expected(self):
+        lv = self._visible(self.l_versions, self.l_del)
+        sv = self._visible(self.s_versions, self.s_del)
+        l = [lv[k][0] for k in sorted(lv)] or None
+        wl = [lv[k][1] for k in sorted(lv)] or None
+        s = sorted(sv) or None
+        ws = [sv[k][1] for k in sorted(sv)] or None
+        visible = bool(lv or sv)
+        return visible, l, wl, s, ws
+
+
+class TestCollectionCellProperty:
+    """Random list/set mutation interleavings (appends, prepends, full
+    writes, discards, tied timestamps) vs the independent cell model —
+    final values AND per-cell writetimes must agree."""
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(ops=st.lists(coll_op(), min_size=1, max_size=8))
+    def test_session_matches_collection_model(self, spark, ops):
+        from cassandra_pmem_spark.cql.writes import CollectionInfo
+
+        sess = CqlWriteSession(
+            spark,
+            _COLL_META,
+            collection_info=CollectionInfo(
+                kinds={"l": "list", "s": "set"}, frozen=frozenset()
+            ),
+        )
+        model = CollModel()
+        for kind, vals, wt in ops:
+            lit = "[" + ", ".join(f"'{v}'" for v in vals) + "]"
+            slit = "{" + ", ".join(f"'{v}'" for v in sorted(set(vals))) + "}"
+            if kind == "l_append":
+                sess.execute(f"UPDATE ct USING TIMESTAMP {wt} SET l = l + {lit} WHERE k = 1")
+                model.l_append(vals, wt)
+            elif kind == "l_prepend":
+                sess.execute(f"UPDATE ct USING TIMESTAMP {wt} SET l = {lit} + l WHERE k = 1")
+                model.l_prepend(vals, wt)
+            elif kind == "l_full":
+                sess.execute(f"UPDATE ct USING TIMESTAMP {wt} SET l = {lit} WHERE k = 1")
+                model.l_full(vals, wt)
+            elif kind == "l_discard":
+                sess.execute(f"UPDATE ct USING TIMESTAMP {wt} SET l = l - {lit} WHERE k = 1")
+                model.l_discard(vals, wt)
+            elif kind == "s_add":
+                if not vals:
+                    continue  # `s + {}` parses as an empty MAP literal
+                sess.execute(f"UPDATE ct USING TIMESTAMP {wt} SET s = s + {slit} WHERE k = 1")
+                model.s_add(vals, wt)
+            elif kind == "s_discard":
+                if not vals:
+                    continue
+                sess.execute(f"UPDATE ct USING TIMESTAMP {wt} SET s = s - {slit} WHERE k = 1")
+                model.s_discard(vals, wt)
+            elif kind == "s_full":
+                sess.execute(f"UPDATE ct USING TIMESTAMP {wt} SET s = {slit} WHERE k = 1")
+                model.s_full(vals, wt)
+
+        visible, l, wl, s_exp, ws = model.expected()
+        df = sess.table(with_shadows=True)
+        cols = ["l", "s"]
+        if "_cellwt_l" in df.columns:
+            cols.append("_cellwt_l")
+        if "_cellwt_s" in df.columns:
+            cols.append("_cellwt_s")
+        rows = df.select(*cols).collect()
+        if not visible:
+            assert rows == [], f"ops={ops}"
+            return
+        assert len(rows) == 1, f"ops={ops}"
+        got = rows[0].asDict()
+        assert (got["l"] or None) == l, f"l: ops={ops}"
+        assert (sorted(got["s"]) if got["s"] else None) == s_exp, f"s: ops={ops}"
+        # per-cell writetimes, position/element-ordered
+        cw = got.get("_cellwt_l")
+        got_wl = [cw[k] for k in sorted(cw)] if cw else None
+        assert got_wl == wl, f"wl: ops={ops}"
+        cs = got.get("_cellwt_s")
+        got_ws = [cs[k] for k in sorted(cs)] if cs else None
+        assert got_ws == ws, f"ws: ops={ops}"
