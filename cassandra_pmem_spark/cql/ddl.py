@@ -85,9 +85,14 @@ def _substitute_args(body: str, mapping: dict[str, str]) -> str:
     import re as _re
 
     out = []
-    # split keeps SQL string literals (with '' escapes) as whole parts
-    for part in _re.split(r"('(?:[^']|'')*')", body):
-        if part.startswith("'"):
+    # split keeps SQL string literals as whole parts — single- or
+    # double-quoted, with backslash escapes and '' doubling
+    for part in _re.split(
+        r"""('(?:[^'\\]|\\.|'')*'|"(?:[^"\\]|\\.)*")""", body
+    ):
+        if part is None or not part:
+            continue
+        if part.startswith(("'", '"')):
             out.append(part)
         else:
             out.append(
@@ -1008,12 +1013,17 @@ class _DdlParser(_Parser):
         _2, … naming cql_type() assigns)."""
         def lit_text() -> str:
             # raw literal text, with negative numbers ('-' lexes as its
-            # own op token) re-joined
+            # own op token) re-joined; kind-checked like the scalar path
             neg = ""
             if self.peek().kind == "op" and self.peek().text == "-":
                 self.next()
                 neg = "-"
-            return neg + self.next().text
+            t = self.next()
+            if t.kind not in ("number", "string") and t.text.lower() != "null":
+                raise InvalidRequest(f"bad INITCOND literal {neg}{t.text!r}")
+            if neg and t.kind != "number":
+                raise InvalidRequest(f"bad INITCOND literal -{t.text!r}")
+            return neg + t.text
 
         if self.accept_punct("("):
             vals = [lit_text()]

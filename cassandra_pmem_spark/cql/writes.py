@@ -100,9 +100,9 @@ class CellTombstone:
 # names from the coordinator's clock, NOT from USING TIMESTAMP — so the
 # key carries the session's statement number (base rows are statement 0,
 # the i-th buffered mutation is statement i+1):
-#   full-write cell : "5" || stmt(9) || "0" || pos(6)
-#   append fragment : "5" || stmt(9) || "1" || idx(6)
-#   prepend fragment: "3" || rstmt(9)       || idx(6)
+#   full-write cell : "5" || stmt(9) || "0" || pos(9)
+#   append fragment : "5" || stmt(9) || "1" || idx(9)
+#   prepend fragment: "3" || rstmt(9)       || idx(9)
 # Prepends (bucket 3) sort before every append/full-write cell
 # (bucket 5); rstmt = MAX - stmt makes a LATER prepend statement sort
 # earlier (the reference's reversed PrecisionTime) while idx keeps
@@ -115,14 +115,10 @@ _STMT_MAX = 10**9 - 1
 PREPEND, APPEND = 3, 5
 
 
-def _list_full_key(stmt: int, pos: int) -> str:
-    return f"5{stmt:09d}0{pos:06d}"
-
-
 def _list_frag_key(bucket: int, stmt: int, idx: int) -> str:
     if bucket == PREPEND:
-        return f"3{_STMT_MAX - stmt:09d}{idx:06d}"
-    return f"5{stmt:09d}1{idx:06d}"
+        return f"3{_STMT_MAX - stmt:09d}{idx:09d}"
+    return f"5{stmt:09d}1{idx:09d}"
 
 # sentinel: a scalar LWT condition (no [element] accessor); None can't
 # serve — `IF m[null]`-style literals bind through the same slot
@@ -1051,11 +1047,12 @@ class CqlWriteSession:
         # `IF v = null` on a nonexistent row APPLIES)
         r = row[0].asDict() if row else {}
         known = {f.name for f in self.meta.schema.fields}
-        for col, ekey, op, val in cond[1]:
+        # prepare-time validation over the WHOLE clause first: a typo'd
+        # guard must ERROR even when an earlier condition already failed
+        for col, _ekey, _op, _val in cond[1]:
             if col not in known:
-                # SelectStatement/Conditions prepare: a typo'd guard must
-                # ERROR, not silently read null and apply the write
                 raise InvalidRequest(f"Undefined column name {col}")
+        for col, ekey, op, val in cond[1]:
             cur = r.get(col)
             if ekey is not _NO_ELEM:
                 # ElementAccessBound: resolve the element; a missing map
@@ -1127,11 +1124,13 @@ class CqlWriteSession:
         """Position-ordered (cell key, value) pairs of one visible list —
         the read-before-write Lists.SetterByIndex/DiscarderByIndex/
         Discarder perform. When the column is already cell-tracked the
-        positions come from its cell-liveness map; a column with only
-        full-value history synthesizes the positions its winning full
-        write's cells will get once the column enters the per-cell merge
-        (that write's statement number). Bounded: one key, limit 1."""
-        df = self.table(now=self._clock_ref[0], with_shadows=True)
+        positions ALWAYS come from the real per-cell merge — the read
+        forces the column through it (force_elem), so tie-breaks and TTL
+        expiry match what a later merge will produce exactly; no
+        synthesized keys. Bounded: one key, limit 1."""
+        df = self.table(
+            now=self._clock_ref[0], with_shadows=True, force_elem={col}
+        )
         flt = F.lit(True)
         for kc, kv in zip(self.meta.primary_key, key):
             flt = flt & (F.col(kc) == F.lit(kv))
@@ -1140,20 +1139,8 @@ class CqlWriteSession:
             return []
         row = rows[0].asDict()
         vals = row.get(col) or []
-        cellwt = row.get(f"_cellwt_{col}")
-        if cellwt:
-            return list(zip(sorted(cellwt.keys()), vals))
-        # scalar-path history: the visible value belongs to the highest-
-        # (writetime, statement) full write (base = statement 0)
-        stmt_w, best_wt = 0, 0
-        for i, m in enumerate(self._mutations, start=1):
-            if (
-                m.key == key
-                and m.cells.get(col) is not None
-                and m.writetime >= best_wt
-            ):
-                stmt_w, best_wt = i, m.writetime
-        return [(_list_full_key(stmt_w, i), v) for i, v in enumerate(vals)]
+        cellwt = row.get(f"_cellwt_{col}") or {}
+        return list(zip(sorted(cellwt.keys()), vals))
 
     def _snapshot(self) -> tuple:
         """Buffer watermark for batch rollback. Inner batch statements only
@@ -1222,14 +1209,25 @@ class CqlWriteSession:
 
     # -- read path ------------------------------------------------------------
 
-    def table(self, now: int | None = None, with_shadows: bool = False) -> DataFrame:
+    def table(
+        self,
+        now: int | None = None,
+        with_shadows: bool = False,
+        force_elem: set | None = None,
+    ) -> DataFrame:
         """Visible state — what a SELECT over this table reads.
 
         with_shadows=True keeps each value column's liveness alongside it:
         ``_writetime_{col}`` (the WRITETIME(col) selector's source) and
         ``_ttl_{col}`` = remaining time at ``now`` (the TTL(col) selector;
         NULL for cells written without TTL), both in the session's
-        logical-clock unit."""
+        logical-clock unit.
+
+        force_elem routes the named collection columns through the
+        per-cell merge even without element mutations — the
+        read-before-write path uses it to see the EXACT cell keys a
+        later merge will produce (ties, TTL expiry and all), instead of
+        synthesizing them."""
         meta = self.meta
         fields = [f.name for f in meta.schema.fields]
         by_name = {f.name: f for f in meta.schema.fields}
@@ -1238,7 +1236,23 @@ class CqlWriteSession:
         # collection columns with per-cell mutations merge cell-by-cell
         # (maps keyed by entry key, sets by element, lists by position
         # string); every other column keeps the atomic cell-LWW path
-        elem_cols = sorted({c for m in self._mutations for c in m.elem_cells})
+        # every non-frozen collection column with a DECLARED kind merges
+        # per cell, matching the reference's multi-cell columns — tied
+        # full writes keep both cell sets (each complex deletion at wt-1
+        # shadows neither), which a whole-value LWW cannot express.
+        # Sessions without CollectionInfo (bare API metas) keep the
+        # scalar path for their collections.
+        auto_elem: set = set()
+        if self.collection_info:
+            for c in value_cols:
+                k = self.collection_info.kinds.get(c)
+                if k and c not in self.collection_info.frozen:
+                    auto_elem.add(c)
+        elem_cols = sorted(
+            {c for m in self._mutations for c in m.elem_cells}
+            | (force_elem or set())
+            | auto_elem
+        )
         scalar_cols = [c for c in value_cols if c not in elem_cols]
 
         # mutation log rows: values + per-mutation writetime/expiry shadows;
@@ -1499,8 +1513,9 @@ class CqlWriteSession:
         """Cell-fragment map type for one collection column: maps keep
         (key → value), sets key cells by ELEMENT (Sets.java — the cell
         name is the element, the value empty), lists by POSITION string
-        (Lists.java timeuuid cell names → the `_list_full_key` /
-        `_list_frag_key` encodings)."""
+        (Lists.java timeuuid cell names → the key encodings documented
+        at `_list_frag_key`; full-write cells build
+        "5" || stmt(9) || "0" || pos(9) in the merge itself)."""
         kind = self._collection_kind_of(col)
         if isinstance(dt, T.MapType):
             return T.MapType(dt.keyType, dt.valueType, True)
@@ -1544,7 +1559,7 @@ class CqlWriteSession:
                     F.lit("5"),
                     F.lpad(F.col("__stmt").cast("string"), 9, "0"),
                     F.lit("0"),
-                    F.lpad(F.col("__pos").cast("string"), 6, "0"),
+                    F.lpad(F.col("__pos").cast("string"), 9, "0"),
                 ).alias("__k"),
                 "__v",
             )

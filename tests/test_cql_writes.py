@@ -1089,3 +1089,25 @@ class TestListSetCellLiveness:
         r = self._row(db, "l, writetime(l) AS wl")
         # deletion at 499 kills a@100/b@100; x@700 survives, issued first
         assert r.l == ["x", "z"] and r.wl == [700, 500]
+
+    def test_index_ops_after_tied_full_writes(self, db):
+        """Read-before-write sees the REAL merged cells: two full writes
+        at one timestamp both keep their cells (neither's complex
+        deletion shadows the other), and an index op targets the cell
+        the user actually sees at that index."""
+        db.execute("UPDATE t USING TIMESTAMP 500 SET l = ['p'] WHERE k = 1")
+        db.execute("UPDATE t USING TIMESTAMP 500 SET l = ['q'] WHERE k = 1")
+        r = self._row(db, "l")
+        assert r.l == ["p", "q"]  # issuance order, both live
+        db.execute("UPDATE t USING TIMESTAMP 600 SET l[0] = 'X' WHERE k = 1")
+        r = self._row(db, "l, writetime(l) AS wl")
+        assert r.l == ["X", "q"] and r.wl == [600, 500]
+
+    def test_typo_after_failed_condition_still_errors(self, db):
+        from cassandra_pmem_spark.cql.validator import InvalidRequest
+
+        db.execute("INSERT INTO t (k, l) VALUES (5, ['z'])")
+        with pytest.raises(InvalidRequest, match="Undefined column name"):
+            db.execute(
+                "UPDATE t SET l = ['w'] WHERE k = 5 IF l[0] = 'nope' AND bogus = 1"
+            )
