@@ -1187,6 +1187,38 @@ class CqlWriteSession:
         unknown = (set(cells) | set(deltas or {}) | set(elem_cells or {})) - known
         if unknown:
             raise InvalidRequest(f"unknown columns {sorted(unknown)}")
+        # bind/literal TYPE validation at prepare time (the reference
+        # rejects mis-typed constants before any execution; without this
+        # a string bound to a bigint key surfaces as a Spark cast error
+        # deep inside the read plan)
+        by_name = {f.name: f.dataType for f in self.meta.schema.fields}
+        cells = dict(cells)
+        for col, val in cells.items():
+            if val is None:
+                continue
+            dt = by_name[col]
+            ok = True
+            if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+                ok = isinstance(val, int) and not isinstance(val, bool)
+            elif isinstance(dt, (T.DoubleType, T.FloatType, T.DecimalType)):
+                ok = isinstance(val, (int, float)) and not isinstance(val, bool)
+                if ok and isinstance(val, int) and isinstance(
+                    dt, (T.DoubleType, T.FloatType)
+                ):
+                    cells[col] = float(val)  # int literal widens, like CQL
+            elif isinstance(dt, T.StringType):
+                ok = isinstance(val, str)
+            elif isinstance(dt, T.BooleanType):
+                ok = isinstance(val, bool)
+            elif isinstance(dt, T.ArrayType):
+                ok = isinstance(val, (list, tuple))
+            elif isinstance(dt, T.MapType):
+                ok = isinstance(val, dict)
+            if not ok:
+                raise InvalidRequest(
+                    f"Invalid {type(val).__name__} constant ({val!r}) for "
+                    f'"{col}" of type {dt.simpleString()}'
+                )
         if wt is not None:
             pass  # caller pre-computed the statement timestamp
         elif "timestamp" in using:
@@ -1304,7 +1336,23 @@ class CqlWriteSession:
                 ).withColumn(f"__full_{c}", F.col(c).isNotNull())
             log = base.unionByName(log) if log is not None else base
         if log is None:
-            return self.spark.createDataFrame([], meta.schema)
+            # empty session: the zero-row frame still needs the shadow
+            # columns when asked for them — a writetime()/ttl() SELECT
+            # over an empty table must return 0 rows, not fail to resolve
+            schema_fields = list(meta.schema.fields)
+            if with_shadows:
+                for c in value_cols:
+                    schema_fields.append(T.StructField(f"_writetime_{c}", T.LongType()))
+                    schema_fields.append(T.StructField(f"_ttl_{c}", T.LongType()))
+                for c in elem_cols:
+                    kt = self._cell_map_type(c, by_name[c].dataType).keyType
+                    schema_fields.append(
+                        T.StructField(f"_cellwt_{c}", T.MapType(kt, T.LongType()))
+                    )
+                    schema_fields.append(
+                        T.StructField(f"_cellttl_{c}", T.MapType(kt, T.LongType()))
+                    )
+            return self.spark.createDataFrame([], T.StructType(schema_fields))
 
         # complex deletions never expire — compute them BEFORE the TTL
         # purge (a full map write at wt shadows older cells at wt-1,

@@ -1111,3 +1111,42 @@ class TestListSetCellLiveness:
             db.execute(
                 "UPDATE t SET l = ['w'] WHERE k = 5 IF l[0] = 'nope' AND bogus = 1"
             )
+
+    def test_writetime_select_on_empty_table(self, db):
+        """A writetime()/ttl() SELECT over a table with no writes must
+        return zero rows, not fail to resolve the shadow columns."""
+        db.execute("CREATE TABLE empty_t (k bigint PRIMARY KEY, v text, m map<text, bigint>)")
+        r = db.execute(
+            "SELECT k, writetime(v) AS wv, writetime(m) AS wm, ttl(v) AS tv "
+            "FROM empty_t"
+        ).collect()
+        assert r == []
+
+
+class TestBindTypeValidation:
+    """Mis-typed bind/literal values raise InvalidRequest at prepare —
+    the reference rejects them before execution; they must never leak a
+    cast failure out of the read plan."""
+
+    def test_string_for_bigint_key_rejected(self, sess):
+        with pytest.raises(InvalidRequest, match='for "k" of type bigint'):
+            sess.execute("INSERT INTO kv (k, c, a) VALUES (?, 1, 'x')", params=["zz"])
+
+    def test_number_for_text_rejected(self, sess):
+        with pytest.raises(InvalidRequest, match='for "a" of type string'):
+            sess.execute("INSERT INTO kv (k, c, a) VALUES (1, 1, ?)", params=[42])
+
+    def test_int_accepted_for_double(self, spark):
+        from cassandra_pmem_spark.catalog import TableMeta
+        from pyspark.sql import types as T2
+
+        meta = TableMeta(
+            "d",
+            T2.StructType(
+                [T2.StructField("k", T2.LongType()), T2.StructField("x", T2.DoubleType())]
+            ),
+            partition_key=("k",),
+        )
+        s = CqlWriteSession(spark, meta)
+        s.execute("INSERT INTO d (k, x) VALUES (1, 2)")  # int literal widens
+        assert [tuple(r) for r in s.table().collect()] == [(1, 2.0)]
