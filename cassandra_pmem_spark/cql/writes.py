@@ -466,13 +466,23 @@ class _WriteParser(_Parser):
         return eq, ranges
 
     def _using(self, params, cursor) -> dict:
+        def int_attr(name: str) -> int:
+            v = self.literal(params, cursor)
+            # Attributes.java: TIMESTAMP/TTL take integer constants; a
+            # mis-typed literal is a prepare error, not a crash
+            if isinstance(v, bool) or not isinstance(v, (int, float)):
+                raise InvalidRequest(
+                    f"Invalid {type(v).__name__} constant ({v!r}) for USING {name}"
+                )
+            return int(v)
+
         out = {}
         if self.accept_kw("using"):
             while True:
                 if self.accept_kw("timestamp"):
-                    out["timestamp"] = int(self.literal(params, cursor))
+                    out["timestamp"] = int_attr("TIMESTAMP")
                 elif self.accept_kw("ttl"):
-                    out["ttl"] = int(self.literal(params, cursor))
+                    out["ttl"] = int_attr("TTL")
                 else:
                     raise InvalidRequest("USING supports TIMESTAMP and TTL")
                 if not self.accept_kw("and"):
