@@ -660,7 +660,37 @@ class CqlWriteSession:
             self._check_ttl(using)
             if not self._condition_holds(cond, self._key_of(cells)):
                 return False
-            self._record(cells, using, forced_ts=forced_ts)
+            # an explicitly-null cell is a DELETE of that cell
+            # (Constants.Setter / Operation.java null handling) — the row
+            # liveness the INSERT stamps still applies
+            null_cols = [
+                c
+                for c, v in cells.items()
+                if v is None and c not in self.meta.primary_key
+            ]
+            bad_key = [
+                c for c in self.meta.primary_key if c in cells and cells[c] is None
+            ]
+            if bad_key:
+                raise InvalidRequest(
+                    f"Invalid null value for PRIMARY KEY part {bad_key[0]}"
+                )
+            if "timestamp" in using:
+                wt = using["timestamp"]
+            elif forced_ts is not None:
+                wt = forced_ts
+            else:
+                wt = self._tick()
+            self._record(
+                {c: v for c, v in cells.items() if c not in null_cols},
+                using,
+                forced_ts=forced_ts,
+                wt=wt,
+            )
+            if null_cols:
+                self._cell_tombs.append(
+                    CellTombstone(self._key_of(cells), null_cols, wt)
+                )
         elif head == "update":
             _, sets, deltas, key, using, cond, elem_ops = p.update_statement(params, cursor)
             self._validate_elem_ops(elem_ops)
@@ -918,12 +948,18 @@ class CqlWriteSession:
                     else:
                         for mk in val or []:
                             frag[mk] = None
+        # SET col = null is a cell DELETE (Constants.Setter null handling)
+        null_sets = [c for c, v in sets.items() if v is None]
         cells = dict(key)
-        cells.update(sets)
+        cells.update({c: v for c, v in sets.items() if c not in null_sets})
         self._record(
             cells, using, deltas=deltas, forced_ts=forced_ts,
             elem_cells=elem_cells, row_live=bool(deltas), wt=wt,
         )
+        if null_sets:
+            self._cell_tombs.append(
+                CellTombstone(self._key_of(cells), null_sets, wt)
+            )
 
     def _convert_coll(self, col: str, tagged: tuple):
         """Kind-aware conversion of a parsed collection literal (INSERT

@@ -1150,3 +1150,33 @@ class TestBindTypeValidation:
         s = CqlWriteSession(spark, meta)
         s.execute("INSERT INTO d (k, x) VALUES (1, 2)")  # int literal widens
         assert [tuple(r) for r in s.table().collect()] == [(1, 2.0)]
+
+
+class TestNullWriteIsDelete:
+    """Setting a column to null DELETES the cell (Constants.Setter /
+    Operation.java null handling) — it is a tombstone at the statement
+    timestamp, not a no-op."""
+
+    def test_insert_null_deletes_cell(self, sess):
+        sess.execute("INSERT INTO kv (k, c, a, b) VALUES (1, 1, 'x', 'y') USING TIMESTAMP 10")
+        sess.execute("INSERT INTO kv (k, c, a) VALUES (1, 1, null) USING TIMESTAMP 20")
+        assert rows(sess.table(), "a", "b") == [(None, "y")]
+
+    def test_update_null_deletes_cell(self, sess):
+        sess.execute("INSERT INTO kv (k, c, a) VALUES (1, 1, 'x') USING TIMESTAMP 10")
+        sess.execute("UPDATE kv USING TIMESTAMP 20 SET a = null WHERE k = 1 AND c = 1")
+        # row stays alive through INSERT liveness; the cell is gone
+        assert rows(sess.table(), "k", "a") == [(1, None)]
+
+    def test_older_null_write_loses(self, sess):
+        sess.execute("INSERT INTO kv (k, c, a) VALUES (1, 1, 'keep') USING TIMESTAMP 50")
+        sess.execute("UPDATE kv USING TIMESTAMP 40 SET a = null WHERE k = 1 AND c = 1")
+        assert rows(sess.table(), "a") == [("keep",)]
+
+    def test_null_pk_rejected(self, sess):
+        with pytest.raises(InvalidRequest, match="PRIMARY KEY part"):
+            sess.execute("INSERT INTO kv (k, c, a) VALUES (null, 1, 'x')")
+
+    def test_update_only_all_null_makes_no_row(self, sess):
+        sess.execute("UPDATE kv SET a = null WHERE k = 7 AND c = 7")
+        assert rows(sess.table(), "k") == []
