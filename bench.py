@@ -91,20 +91,42 @@ def main() -> None:
         timings[name] = round(runs[0], 4)
         medians[name] = round(runs[len(runs) // 2], 4)
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "repeats": REPEATS,
-                "value_median": round(sum(medians.values()), 4),
-                "queries_median": medians,
-            }
-        )
-    )
+    # The driver keeps only the LAST ~2,000 chars of bench output and
+    # parses the final line as JSON (BENCH_r08 failed to parse because the
+    # 28-query point+median maps pushed the single line past that tail).
+    # So: full-precision detail goes to a side file + an earlier stdout
+    # line, and the LAST line is a compact summary — point map only,
+    # 2-decimal values — sized to stay <1,900 chars even at ~40 queries.
+    detail = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "repeats": REPEATS,
+        "value_median": round(sum(medians.values()), 4),
+        "queries_median": medians,
+    }
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(detail))
+    compact = {
+        "metric": "headline_suite_seconds",
+        "value": round(total, 2),
+        "unit": "sec",
+        "sf": detail["sf"],
+        "repeats": REPEATS,
+        "value_median": round(detail["value_median"], 2),
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+    }
+    line = json.dumps(compact)
+    if len(line) > 1900:  # belt-and-braces: never exceed the driver tail
+        compact.pop("queries")
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -96,8 +96,10 @@ def _substitute_args(body: str, mapping: dict[str, str]) -> str:
             out.append(part)
         else:
             out.append(
+                # the lookbehind skips struct-field accesses: in x.s the
+                # trailing s is a FIELD of x, not the formal parameter s
                 _re.sub(
-                    r"[A-Za-z_][A-Za-z0-9_]*",
+                    r"\b(?<!\.)[A-Za-z_][A-Za-z0-9_]*",
                     lambda m: f"({mapping[m.group(0)]})"
                     if m.group(0) in mapping
                     else m.group(0),
@@ -121,10 +123,31 @@ _SQL_TYPE_TEXT: dict[str, str] = {
 }
 
 
+def _split_generics(body: str) -> list[str]:
+    """Split a parameterized-type body at depth-0 commas only, so
+    tuple<tuple<int,int>,text> yields ['tuple<int,int>', 'text'] rather
+    than mis-splitting the nested generic at its inner comma."""
+    parts: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    for ch in body:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur).strip())
+    return parts
+
+
 def _cql_type_to_sql(cql_type: str) -> str:
     t = cql_type.strip().lower()
     if t.startswith("tuple<") and t.endswith(">"):
-        inner = [x.strip() for x in t[len("tuple<"):-1].split(",")]
+        inner = _split_generics(t[len("tuple<"):-1])
         fields = ", ".join(
             f"_{i + 1}: {_cql_type_to_sql(x)}" for i, x in enumerate(inner)
         )
@@ -186,12 +209,21 @@ class AggregateDef:
     stype: str
     finalfunc: str | None
     initcond_sql: str | None  # raw SQL literal text, or None
+    # resolved (keyspace, name) keys of SFUNC/FINALFUNC, bound at CREATE
+    # AGGREGATE time (UDAggregate.java holds resolved ScalarFunction
+    # references, not names — a same-named function in the CALLER's
+    # keyspace must not hijack the fold at SELECT time)
+    sfunc_key: tuple[str | None, str] | None = None
+    finalfunc_key: tuple[str | None, str] | None = None
 
     def expand(self, sfn: FunctionDef, ffn: FunctionDef | None, actual: str) -> str:
         state, val = sfn.args[0][0], sfn.args[1][0]
         merge = _substitute_args(sfn.body, {state: "acc", val: "v.v"})
         if not sfn.called_on_null:
-            merge = f"IF(v.v IS NULL, acc, ({merge}))"
+            # RETURNS NULL ON NULL INPUT skips invocation when ANY arg is
+            # null — including the state (UDAggregate.java:227: a null
+            # accumulator keeps the aggregate null, the body never runs)
+            merge = f"IF(acc IS NULL OR v.v IS NULL, acc, ({merge}))"
         init = f"CAST({self.initcond_sql or 'NULL'} AS {_cql_type_to_sql(self.stype)})"
         expr = (
             f"aggregate(collect_list(struct(({actual}) AS v)), {init}, "
@@ -199,6 +231,10 @@ class AggregateDef:
         )
         if ffn is not None:
             fin = _substitute_args(ffn.body, {ffn.args[0][0]: "acc"})
+            if not ffn.called_on_null:
+                # a RETURNS NULL ON NULL INPUT finalfunc short-circuits
+                # on a null accumulator without evaluating the body
+                fin = f"IF(acc IS NULL, NULL, ({fin}))"
             expr += f", acc -> ({fin})"
         return expr + ")"
 
@@ -579,6 +615,14 @@ class _DdlParser(_Parser):
             if ine:
                 return None
             raise InvalidRequest(f"table {name!r} already exists")
+        if self.last_key in self.registry.views:
+            # mirror of the CreateViewStatement.java:120 collision the
+            # other way round — without this, the new table would shadow
+            # the view on SELECT resolution (tables resolve first)
+            raise InvalidRequest(
+                f"Cannot create table '{name}' - a materialized view with "
+                "the same name already exists"
+            )
         return meta
 
     def create_index(self) -> IndexMeta | None:
@@ -977,7 +1021,7 @@ class _DdlParser(_Parser):
 
         # SFUNC signature: (stype, arg_types...) -> stype
         # (CreateAggregateStatement.java stateFunction checks)
-        sfn = self._resolve_fn(sfunc)
+        sfunc_key, sfn = self._resolve_fn(sfunc)
         expect = [stype] + arg_types
         declared = [a[1] for a in sfn.args]
         if declared != expect or sfn.returns != stype:
@@ -985,8 +1029,9 @@ class _DdlParser(_Parser):
                 f"State function {sfunc} must take ({', '.join(expect)}) "
                 f"and return {stype}"
             )
+        finalfunc_key = None
         if finalfunc is not None:
-            ffn = self._resolve_fn(finalfunc)
+            finalfunc_key, ffn = self._resolve_fn(finalfunc)
             if [a[1] for a in ffn.args] != [stype]:
                 raise InvalidRequest(
                     f"Final function {finalfunc} must take ({stype})"
@@ -996,16 +1041,17 @@ class _DdlParser(_Parser):
                 return None
             raise InvalidRequest(f"Aggregate '{key[1]}' already exists")
         return AggregateDef(
-            key[1], tuple(arg_types), sfunc, stype, finalfunc, initcond_sql
+            key[1], tuple(arg_types), sfunc, stype, finalfunc, initcond_sql,
+            sfunc_key=sfunc_key, finalfunc_key=finalfunc_key,
         )
 
-    def _resolve_fn(self, name: str) -> FunctionDef:
+    def _resolve_fn(self, name: str) -> tuple[tuple[str | None, str], FunctionDef]:
         k = self.registry.functions.resolve(
             name, current=self.current_keyspace, missing_ok=True
         )
         if k is None:
             raise InvalidRequest(f"Unknown function {name}")
-        return self.registry.functions[k]
+        return k, self.registry.functions[k]
 
     def _initcond_sql(self, stype: str) -> str:
         """INITCOND literal → SQL text. A tuple literal (a, b, …) becomes
@@ -1025,34 +1071,36 @@ class _DdlParser(_Parser):
                 raise InvalidRequest(f"bad INITCOND literal -{t.text!r}")
             return neg + t.text
 
-        if self.accept_punct("("):
-            vals = [lit_text()]
-            while self.accept_punct(","):
-                vals.append(lit_text())
-            self.expect_punct(")")
-            st = stype.strip().lower()
-            if not st.startswith("tuple<"):
-                raise InvalidRequest("tuple INITCOND requires a tuple STYPE")
-            inner = [x.strip() for x in st[len("tuple<"):-1].split(",")]
-            if len(inner) != len(vals):
-                raise InvalidRequest(
-                    f"INITCOND arity {len(vals)} != STYPE arity {len(inner)}"
+        def value_sql(typ: str) -> str:
+            # recursive: a '(' opens a tuple literal whose element types
+            # come from the corresponding tuple<...> position, so nested
+            # INITCONDs like ((0, 0), 0) bind field-by-field
+            if self.peek().kind == "punct" and self.peek().text == "(":
+                self.next()
+                st = typ.strip().lower()
+                if not st.startswith("tuple<"):
+                    raise InvalidRequest("tuple INITCOND requires a tuple STYPE")
+                inner = _split_generics(st[len("tuple<"):-1])
+                vals = [value_sql(inner[0] if inner else "")]
+                while self.accept_punct(","):
+                    if len(vals) >= len(inner):
+                        raise InvalidRequest(
+                            f"INITCOND arity > STYPE arity {len(inner)}"
+                        )
+                    vals.append(value_sql(inner[len(vals)]))
+                self.expect_punct(")")
+                if len(inner) != len(vals):
+                    raise InvalidRequest(
+                        f"INITCOND arity {len(vals)} != STYPE arity {len(inner)}"
+                    )
+                parts = ", ".join(
+                    f"'_{i + 1}', CAST({v} AS {_cql_type_to_sql(tp)})"
+                    for i, (v, tp) in enumerate(zip(vals, inner))
                 )
-            parts = ", ".join(
-                f"'_{i + 1}', CAST({v} AS {_cql_type_to_sql(tp)})"
-                for i, (v, tp) in enumerate(zip(vals, inner))
-            )
-            return f"named_struct({parts})"
-        neg = ""
-        if self.peek().kind == "op" and self.peek().text == "-":
-            self.next()
-            neg = "-"
-        t = self.next()
-        if t.kind not in ("number", "string") and t.text.lower() != "null":
-            raise InvalidRequest(f"bad INITCOND literal {t.text!r}")
-        if neg and t.kind != "number":
-            raise InvalidRequest(f"bad INITCOND literal -{t.text!r}")
-        return neg + t.text
+                return f"named_struct({parts})"
+            return lit_text()
+
+        return value_sql(stype)
 
     def alter_table(self) -> TableMeta:
         self.expect_kw("table")
@@ -1288,11 +1336,18 @@ class SchemaRegistry:
                     raise InvalidRequest(f"unknown {kind} {name!r}")
                 if kind == "function":
                     # DropFunctionStatement: a function referenced by an
-                    # aggregate cannot be dropped out from under it
+                    # aggregate cannot be dropped out from under it —
+                    # compared by the RESOLVED key bound at CREATE time,
+                    # so a same-named function in another keyspace
+                    # doesn't spuriously block (or miss) the drop
                     users = [
                         ak[1]
                         for ak, ad in self.aggregates.items()
-                        if name in (ad.sfunc, ad.finalfunc)
+                        if fkey in (ad.sfunc_key, ad.finalfunc_key)
+                        or (
+                            ad.sfunc_key is None
+                            and name in (ad.sfunc, ad.finalfunc)
+                        )
                     ]
                     if users:
                         raise InvalidRequest(

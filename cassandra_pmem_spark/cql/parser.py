@@ -440,13 +440,19 @@ def _call_sql(s, registry, current_keyspace) -> tuple[str, str]:
                 raise InvalidRequest(
                     f"aggregate {name} takes 1 argument, got {len(actuals)}"
                 )
+            # SFUNC/FINALFUNC were resolved and key-bound at CREATE
+            # AGGREGATE time (UDAggregate holds function references, not
+            # names) — never re-resolve against the CALLER's keyspace, or
+            # a same-named function there would hijack the fold
             sfn = registry.functions[
-                registry.functions.resolve(ad.sfunc, current=current_keyspace)
+                ad.sfunc_key
+                or registry.functions.resolve(ad.sfunc, current=current_keyspace)
             ]
             ffn = None
             if ad.finalfunc is not None:
                 ffn = registry.functions[
-                    registry.functions.resolve(ad.finalfunc, current=current_keyspace)
+                    ad.finalfunc_key
+                    or registry.functions.resolve(ad.finalfunc, current=current_keyspace)
                 ]
             return "agg", ad.expand(sfn, ffn, actuals[0])
         fk = registry.functions.resolve(

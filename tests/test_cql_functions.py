@@ -219,3 +219,129 @@ class TestReviewRegressions:
         )
         r = db.execute("SELECT mx2(amount) AS m FROM sales").collect()
         assert [tuple(x.m) for x in r] == [(40, 4)]
+
+
+class TestAdviceRound9:
+    """Round-9 advisor findings: cross-keyspace function binding, null
+    state/finalfunc semantics, nested generics, field-access collision,
+    table-vs-view name collision."""
+
+    def test_aggregate_binds_sfunc_at_create_time(self, db):
+        """SFUNC/FINALFUNC resolve in the keyspace the aggregate was
+        created in; a same-named function in the CALLER's keyspace must
+        not hijack the fold (UDAggregate holds references, not names)."""
+        db.execute(
+            "CREATE FUNCTION s1 (st bigint, v int) CALLED ON NULL INPUT "
+            "RETURNS bigint LANGUAGE sql AS 'st + CAST(coalesce(v,0) AS BIGINT)'"
+        )
+        db.execute("CREATE AGGREGATE tot (int) SFUNC s1 STYPE bigint INITCOND 0")
+        # another keyspace with a DIFFERENT same-named function + same table
+        db.execute("CREATE KEYSPACE oks WITH REPLICATION = {'class': 'SimpleStrategy'}")
+        db.execute("USE oks")
+        db.execute(
+            "CREATE FUNCTION s1 (st bigint, v int) CALLED ON NULL INPUT "
+            "RETURNS bigint LANGUAGE sql AS 'st + 1000L'"
+        )
+        # caller sits in oks: the aggregate name 'tot' uniquely resolves
+        # to fks.tot, but its SFUNC must stay bound to fks.s1 even though
+        # oks.s1 shadows the bare name in the caller's keyspace
+        r = db.execute("SELECT tot(amount) AS t FROM fks.sales").collect()
+        assert [x.t for x in r] == [100]  # 10+20+30+40, not 4000
+
+    def test_drop_function_guard_uses_resolved_keys(self, db):
+        """A same-named function in ANOTHER keyspace is not blocked by
+        this keyspace's aggregate referencing its own s2."""
+        db.execute(
+            "CREATE FUNCTION s2 (st bigint, v int) CALLED ON NULL INPUT "
+            "RETURNS bigint LANGUAGE sql AS 'st + 1L'"
+        )
+        db.execute("CREATE AGGREGATE c2 (int) SFUNC s2 STYPE bigint INITCOND 0")
+        db.execute("CREATE KEYSPACE oks2 WITH REPLICATION = {'class': 'SimpleStrategy'}")
+        db.execute("USE oks2")
+        db.execute(
+            "CREATE FUNCTION s2 (st bigint, v int) CALLED ON NULL INPUT "
+            "RETURNS bigint LANGUAGE sql AS 'st + 2L'"
+        )
+        db.execute("DROP FUNCTION oks2.s2")  # unreferenced — must succeed
+        db.execute("USE fks")
+        with pytest.raises(InvalidRequest, match="still referenced"):
+            db.execute("DROP FUNCTION s2")
+
+    def test_rnoni_sfunc_null_state_stays_null(self, db):
+        """No INITCOND + RETURNS NULL ON NULL INPUT state function: the
+        reference never invokes on a null state — the aggregate stays
+        NULL even when a COALESCE in the body could produce a value."""
+        db.execute(
+            "CREATE FUNCTION zs (st bigint, v int) RETURNS NULL ON NULL INPUT "
+            "RETURNS bigint LANGUAGE sql AS 'coalesce(st, 0L) + 1L'"
+        )
+        db.execute("CREATE AGGREGATE znull (int) SFUNC zs STYPE bigint")
+        r = db.execute("SELECT znull(amount) AS z FROM sales").collect()
+        assert [x.z for x in r] == [None]
+
+    def test_rnoni_finalfunc_short_circuits_null_state(self, db):
+        db.execute(
+            "CREATE FUNCTION fs (st bigint, v int) RETURNS NULL ON NULL INPUT "
+            "RETURNS bigint LANGUAGE sql AS 'st + 1L'"
+        )
+        db.execute(
+            "CREATE FUNCTION ff (st bigint) RETURNS NULL ON NULL INPUT "
+            "RETURNS bigint LANGUAGE sql AS 'coalesce(st, -1L)'"
+        )
+        db.execute(
+            "CREATE AGGREGATE zfin (int) SFUNC fs STYPE bigint FINALFUNC ff"
+        )
+        r = db.execute("SELECT zfin(amount) AS z FROM sales").collect()
+        assert [x.z for x in r] == [None]  # not -1: finalfunc never ran
+
+    def test_nested_tuple_type_in_signature(self, db):
+        db.execute(
+            "CREATE FUNCTION nt (st tuple<tuple<bigint,bigint>,bigint>, v int) "
+            "CALLED ON NULL INPUT RETURNS tuple<tuple<bigint,bigint>,bigint> "
+            "LANGUAGE sql AS 'named_struct(''_1'', named_struct(''_1'', "
+            "st._1._1 + CAST(coalesce(v,0) AS BIGINT), ''_2'', st._1._2), "
+            "''_2'', st._2 + 1L)'"
+        )
+        db.execute(
+            "CREATE AGGREGATE ntag (int) SFUNC nt "
+            "STYPE tuple<tuple<bigint,bigint>,bigint> INITCOND ((0, 0), 0)"
+        )
+        r = db.execute("SELECT ntag(amount) AS m FROM sales").collect()
+        assert [(tuple(x.m._1), x.m._2) for x in r] == [((100, 0), 4)]
+
+    def test_field_access_colliding_with_formal_not_substituted(self, db):
+        """Formal parameter s must not rewrite the FIELD access st.s —
+        only bare identifiers are formals (negative lookbehind on '.')."""
+        # exercise a formal named exactly like a struct FIELD: '_1'
+        db.execute(
+            "CREATE FUNCTION fb (st tuple<bigint,bigint>, _1 int) "
+            "CALLED ON NULL INPUT RETURNS tuple<bigint,bigint> LANGUAGE sql "
+            "AS 'named_struct(''_1'', st._1 + CAST(coalesce(_1, 0) AS BIGINT), ''_2'', st._2)'"
+        )
+        db.execute(
+            "CREATE AGGREGATE fbg (int) SFUNC fb "
+            "STYPE tuple<bigint,bigint> INITCOND (0, 0)"
+        )
+        r = db.execute("SELECT fbg(amount) AS m FROM sales").collect()
+        assert [tuple(x.m) for x in r] == [(100, 0)]
+
+    def test_create_table_rejects_existing_view_name(self, db):
+        db.execute(
+            "CREATE MATERIALIZED VIEW mv9 AS SELECT region, id, amount "
+            "FROM sales WHERE region IS NOT NULL AND id IS NOT NULL "
+            "PRIMARY KEY (id, region)"
+        )
+        with pytest.raises(InvalidRequest, match="materialized view"):
+            db.execute("CREATE TABLE mv9 (k int PRIMARY KEY, v int)")
+
+    def test_nested_tuple_initcond_arity_error(self, db):
+        db.execute(
+            "CREATE FUNCTION na (st tuple<tuple<bigint,bigint>,bigint>, v int) "
+            "CALLED ON NULL INPUT RETURNS tuple<tuple<bigint,bigint>,bigint> "
+            "LANGUAGE sql AS 'st'"
+        )
+        with pytest.raises(InvalidRequest, match="arity"):
+            db.execute(
+                "CREATE AGGREGATE nag (int) SFUNC na "
+                "STYPE tuple<tuple<bigint,bigint>,bigint> INITCOND (1, 2, 3)"
+            )
