@@ -377,7 +377,18 @@ class _DdlParser(_Parser):
             dtype, kind, _, _ = self.column_type()
             self.expect_op(">")
             return dtype, kind, True, False
-        kind = name if name in ("list", "set", "map") else None
+        if name in ("list", "set", "map"):
+            kind = name
+        elif name in self.registry.types:
+            # a column of a user type is MULTI-CELL unless frozen<…>
+            # (db/marshal/UserType.java:52-63 isMultiCell; since
+            # CASSANDRA-7423 non-frozen UDTs store one cell per field)
+            kind = "udt"
+            # side-channel for schema bookkeeping: ALTER TYPE must find
+            # every table column declared with this type name
+            self._last_udt_typename = name
+        else:
+            kind = None
         return self.cql_type(), kind, False, name == "counter"
 
     def cql_type(self) -> T.DataType:
@@ -497,6 +508,7 @@ class _DdlParser(_Parser):
         self.last_collection_kinds: dict[str, str] = {}
         self.last_frozen: set[str] = set()
         self.last_counters: set[str] = set()
+        self.last_udt_columns: dict[str, str] = {}  # col -> type name
         self.expect_punct("(")
 
         cols: list[tuple[str, T.DataType]] = []
@@ -527,6 +539,8 @@ class _DdlParser(_Parser):
                     special_types[col] = raw_type
                 if kind is not None:
                     self.last_collection_kinds[col] = kind
+                if kind == "udt":
+                    self.last_udt_columns[col] = self._last_udt_typename
                 if frozen:
                     self.last_frozen.add(col)
                 if is_counter:
@@ -1102,6 +1116,61 @@ class _DdlParser(_Parser):
 
         return value_sql(stype)
 
+    def alter_type(self) -> tuple[str, T.StructType, dict[str, str]]:
+        """ALTER TYPE (Parser.g:971-972; cql3/statements/schema/
+        AlterTypeStatement.java:44): ADD field (existing values back-fill
+        null) and RENAME field [AND ...]. Altering a field's TYPE was
+        removed in 4.0 (CASSANDRA-14426) and is rejected with the
+        reference's message. Returns (type name, new struct,
+        {old field -> new field})."""
+        self.expect_kw("type")
+        _, name = self.qualified_name()
+        name = name.lower()
+        if name not in self.registry.types:
+            raise InvalidRequest(f"unknown type {name!r}")
+        old = self.registry.types[name]
+        renames: dict[str, str] = {}
+        if self.accept_kw("add"):
+            fname = self.ident()
+            ftype = self.cql_type()
+            if fname in old.fieldNames():
+                raise InvalidRequest(
+                    f"field {fname!r} already exists in type {name!r}"
+                )
+            new = T.StructType(list(old.fields) + [T.StructField(fname, ftype)])
+        elif self.accept_kw("rename"):
+            while True:
+                o = self.ident()
+                self.expect_kw("to")
+                n = self.ident()
+                if o not in old.fieldNames():
+                    raise InvalidRequest(
+                        f"unknown field {o!r} in type {name!r}"
+                    )
+                renames[o] = n
+                if not self.accept_kw("and"):
+                    break
+            newnames = [renames.get(f.name, f.name) for f in old.fields]
+            if len(set(newnames)) != len(newnames):
+                raise InvalidRequest(
+                    f"duplicate field names after RENAME in type {name!r}"
+                )
+            new = T.StructType(
+                [
+                    T.StructField(renames.get(f.name, f.name), f.dataType)
+                    for f in old.fields
+                ]
+            )
+        elif self.accept_kw("alter"):
+            # AlterTypeStatement.AlterField — removed in 4.0
+            raise InvalidRequest(
+                "Altering field types is no longer supported"
+            )
+        else:
+            raise InvalidRequest("ALTER TYPE supports ADD and RENAME")
+        self._end()
+        return name, new, renames
+
     def alter_table(self) -> TableMeta:
         self.expect_kw("table")
         ks, name = self.qualified_name()
@@ -1126,6 +1195,10 @@ class _DdlParser(_Parser):
             # record the Spark-erased facts for the new column
             if kind is not None:
                 self.registry.collection_kinds.setdefault(key, {})[col] = kind
+            if kind == "udt":
+                self.registry.udt_columns.setdefault(key, {})[col] = (
+                    self._last_udt_typename
+                )
             if frozen:
                 self.registry.frozen_columns[key] = (
                     self.registry.frozen_columns.get(key, frozenset()) | {col}
@@ -1140,6 +1213,7 @@ class _DdlParser(_Parser):
             if col not in {f.name for f in fields}:
                 raise InvalidRequest(f"unknown column {col!r}")
             self.registry.collection_kinds.get(key, {}).pop(col, None)
+            self.registry.udt_columns.get(key, {}).pop(col, None)
             self.registry.frozen_columns[key] = (
                 self.registry.frozen_columns.get(key, frozenset()) - {col}
             )
@@ -1208,6 +1282,13 @@ class SchemaRegistry:
         self.collection_kinds: dict[tuple, dict[str, str]] = {}
         self.frozen_columns: dict[tuple, frozenset[str]] = {}
         self.counter_columns: dict[tuple, frozenset[str]] = {}
+        # columns declared with a user type: table key -> {col -> type
+        # name} — ALTER TYPE propagation walks this (the reference keeps
+        # the same dependency via Schema.getTypes references)
+        self.udt_columns: dict[tuple, dict[str, str]] = {}
+        # (type name, {old field -> new field}) of the LAST ALTER TYPE —
+        # CqlDatabase's session sync consumes it to remap buffered cells
+        self.last_alter_type: tuple[str, dict[str, str]] | None = None
 
     def table(
         self, name, keyspace: str | None = None, current: str | None = None
@@ -1227,6 +1308,7 @@ class SchemaRegistry:
         self.collection_kinds.pop(table_key, None)
         self.frozen_columns.pop(table_key, None)
         self.counter_columns.pop(table_key, None)
+        self.udt_columns.pop(table_key, None)
         self._drop_table_indexes(table_key)
 
     def execute(self, cql: str, current_keyspace: str | None = None) -> None:
@@ -1275,6 +1357,9 @@ class SchemaRegistry:
                     self.counter_columns[key] = frozenset(
                         getattr(p, "last_counters", ())
                     )
+                    self.udt_columns[key] = dict(
+                        getattr(p, "last_udt_columns", {})
+                    )
             elif nxt in ("index", "custom"):
                 idx = p.create_index()
                 if idx is not None:
@@ -1288,6 +1373,32 @@ class SchemaRegistry:
                 raise InvalidRequest(f"unsupported CREATE {nxt.upper()}")
         elif head == "alter":
             p.expect_kw("alter")
+            self.last_alter_type = None
+            if p.peek().kind == "ident" and p.peek().text.lower() == "type":
+                name, new_struct, renames = p.alter_type()
+                self.types[name] = new_struct
+                self.last_alter_type = (name, renames)
+                # propagate to every table column declared with the type
+                # (the reference rewrites dependent TableMetadata the
+                # same way; AlterTypeStatement updates keyspace.types and
+                # all referencing tables)
+                import dataclasses as _dc
+
+                for tkey, colmap in self.udt_columns.items():
+                    cols = [c for c, tn in colmap.items() if tn == name]
+                    if not cols:
+                        continue
+                    tm = self.tables[tkey]
+                    nf = [
+                        T.StructField(f.name, new_struct)
+                        if f.name in cols
+                        else f
+                        for f in tm.schema.fields
+                    ]
+                    self.tables[tkey] = _dc.replace(
+                        tm, schema=T.StructType(nf)
+                    )
+                return
             meta = p.alter_table()
             # AlterTableStatement.java:262 — a column a view selects
             # cannot be dropped out from under it
@@ -1426,6 +1537,12 @@ class CqlDatabase:
         self.strict = strict
         self.registry = SchemaRegistry()
         self._sessions: dict[str, Any] = {}
+        # cached per-table index-cardinality estimates (the analog of
+        # SecondaryIndexManager's stored estimatedResultRows; refreshed
+        # on DDL, deliberately NOT per-write — estimates lag in the
+        # reference too)
+        self._index_stats: dict[tuple, dict] = {}
+        self.last_index_choice: tuple | None = None
         self.current_keyspace: str | None = None
         # ONE coordinator timeline shared by every table session: a write
         # to table A always outranks an earlier write to table B, and a
@@ -1593,6 +1710,7 @@ class CqlDatabase:
         if head in self._DDL_HEADS:
             # the parser scopes unqualified CREATEs to the USE'd keyspace
             self.registry.execute(cql, current_keyspace=self.current_keyspace)
+            self._index_stats.clear()  # DDL invalidates index estimates
             # sync live write sessions with the new schema: ADD/DROP swap
             # the meta in place (buffered mutations carry over — absent
             # columns read as null, dropped cells are ignored at merge);
@@ -1624,6 +1742,65 @@ class CqlDatabase:
                     # e.g. let `SET ctr = 5` through on a column ALTERed
                     # in as a counter (Operation.java setter rejection)
                     sess.collection_info = self._collection_info(key)
+                    # ALTER TYPE RENAME: remap buffered per-field cells,
+                    # field-cell tombstones, and the base frame's struct
+                    # field names so the merge sees the NEW schema
+                    # (AlterTypeStatement renames the field, the cell
+                    # path — the field index — is unchanged)
+                    at = self.registry.last_alter_type
+                    if at and at[1]:
+                        tname, renames = at
+                        cols = [
+                            c
+                            for c, tn in self.registry.udt_columns.get(
+                                key, {}
+                            ).items()
+                            if tn == tname
+                        ]
+                        for col in cols:
+                            for m in sess._mutations:
+                                if col in m.udt_cells:
+                                    m.udt_cells[col] = {
+                                        renames.get(f, f): v
+                                        for f, v in m.udt_cells[col].items()
+                                    }
+                            pref = col + "#"
+                            for ct in sess._cell_tombs:
+                                ct.columns = [
+                                    pref + renames.get(c[len(pref):], c[len(pref):])
+                                    if c.startswith(pref)
+                                    else c
+                                    for c in ct.columns
+                                ]
+                            if (
+                                sess._base is not None
+                                and col in sess._base.columns
+                            ):
+                                newdt = {
+                                    f.name: f.dataType
+                                    for f in new_meta.schema.fields
+                                }[col]
+                                rev = {n: o for o, n in renames.items()}
+                                old_fields = {
+                                    f.name
+                                    for f in sess._base.schema[col].dataType.fields
+                                }
+                                sess._base = sess._base.withColumn(
+                                    col,
+                                    F.struct(
+                                        *[
+                                            (
+                                                F.col(col).getField(
+                                                    rev.get(f.name, f.name)
+                                                )
+                                                if rev.get(f.name, f.name)
+                                                in old_fields
+                                                else F.lit(None).cast(f.dataType)
+                                            ).alias(f.name)
+                                            for f in newdt.fields
+                                        ]
+                                    ),
+                                )
             return None
         if head == "begin":
             return self._execute_batch(cql, params or [])
@@ -1635,12 +1812,43 @@ class CqlDatabase:
             from cassandra_pmem_spark.cql.parser import _compile, parse_select
             from cassandra_pmem_spark.cql.table import CqlTable
 
-            def _indexed(tkey2: tuple) -> frozenset:
-                return frozenset(
-                    im.column
-                    for im in self.registry.indexes.values()
+            def _indexed(tkey2: tuple) -> dict:
+                return {
+                    im.column: im.name or f"{tkey2[1]}_{im.column}_idx"
+                    for (_ks, _n), im in self.registry.indexes.items()
                     if im.table == tkey2
-                )
+                }
+
+            def _stats(tkey2: tuple):
+                """getEstimatedResultRows analog: estimated rows per EQ
+                match = row count / distinct values, from ONE cached
+                aggregation per table (the reference reads the index's
+                stored cardinality estimate — never a per-statement
+                scan; at cluster scale this would source from catalog
+                column statistics the same way)."""
+
+                def fn(cols: list) -> dict:
+                    cached = self._index_stats.get(tkey2)
+                    if cached is None or any(c not in cached for c in cols):
+                        sess2 = self._session_for_key(tkey2)
+                        frame = sess2.table()
+                        allc = sorted(set(cols) | set(_indexed(tkey2)))
+                        row = frame.agg(
+                            F.count(F.lit(1)).alias("__n"),
+                            *[
+                                F.approx_count_distinct(c).alias(f"__d{i}")
+                                for i, c in enumerate(allc)
+                            ],
+                        ).collect()[0]
+                        total = row["__n"]
+                        cached = {
+                            c: total / max(1, row[f"__d{i}"])
+                            for i, c in enumerate(allc)
+                        }
+                        self._index_stats[tkey2] = cached
+                    return cached
+
+                return fn
 
             st = parse_select(cql, params)
             ks, _, tbl = st.table.rpartition(".")
@@ -1669,12 +1877,20 @@ class CqlDatabase:
             # cells past their expiry vanish (PurgeFunction analog), and
             # the liveness shadows feed the writetime()/ttl() selectors
             df = sess.table(now=sess._clock_ref[0], with_shadows=True)
-            return _compile(
-                CqlTable(df, meta, self.strict, _indexed(key)),
+            sink: list = []
+            out = _compile(
+                CqlTable(
+                    df, meta, self.strict, _indexed(key),
+                    stats_fn=_stats(key), choice_sink=sink,
+                ),
                 st,
                 registry=self.registry,
                 current_keyspace=self.current_keyspace,
             )
+            # (index name, column) that served this statement, if any —
+            # the getBestIndexFor outcome, for tracing/tests
+            self.last_index_choice = sink[-1] if sink else None
+            return out
         raise InvalidRequest(f"unsupported statement {head!r}")
 
     def _execute_batch(self, cql: str, params: list[Any]) -> bool:

@@ -239,6 +239,14 @@ class _Parser:
                     self.expect_punct("]")
                     self.expect_punct(")")
                     sel = Selector(f"{low}_elem", [col, ekey])
+                elif self.accept_punct("."):
+                    # WRITETIME(u.f) / TTL(u.f) — one FIELD cell's
+                    # liveness of a non-frozen UDT column
+                    # (Selectable.WithFieldSelection under
+                    # WritetimeOrTTLSelector)
+                    fname = self.ident()
+                    self.expect_punct(")")
+                    sel = Selector(f"{low}_elem", [col, fname])
                 else:
                     self.expect_punct(")")
                     sel = Selector(low, [col])
@@ -579,8 +587,19 @@ def _compile(
             if cellmap in t._df.columns:
                 # multi-cell column: WRITETIME(m)/TTL(m) is the KEY-ORDERED
                 # per-cell list (cql3/selection/WritetimeOrTTLSelector —
-                # one liveness per cell, CASSANDRA-8877)
-                keys = F.array_sort(F.map_keys(F.col(cellmap)))
+                # one liveness per cell, CASSANDRA-8877). For a UDT the
+                # cell order is FIELD DECLARATION order (the field index
+                # is the cell path), not lexicographic.
+                from pyspark.sql import types as _T
+
+                dt = {f.name: f.dataType for f in meta.schema.fields}.get(s.args[0])
+                if isinstance(dt, _T.StructType):
+                    declared = F.array(*[F.lit(f.name) for f in dt.fields])
+                    keys = F.filter(
+                        declared, lambda k: F.map_contains_key(F.col(cellmap), k)
+                    )
+                else:
+                    keys = F.array_sort(F.map_keys(F.col(cellmap)))
                 expr = F.transform(keys, lambda k: F.col(cellmap)[k])
                 projection.append(expr.alias(s.alias or f"{s.kind}({s.args[0]})"))
                 continue

@@ -60,7 +60,9 @@ class CqlTable:
         df: DataFrame,
         meta: TableMeta,
         strict: bool = False,
-        indexed_columns: frozenset[str] = frozenset(),
+        indexed_columns: "frozenset[str] | dict[str, str]" = frozenset(),
+        stats_fn=None,
+        choice_sink: list | None = None,
     ):
         self._df = df
         self.meta = meta
@@ -68,8 +70,21 @@ class CqlTable:
         # secondary-index columns (schema/IndexMetadata.java): a single
         # EQ/CONTAINS restriction on one of these passes the ALLOW
         # FILTERING gate (the 2i read path — physically still Catalyst
-        # pushdown + file skipping)
-        self.indexed_columns = indexed_columns
+        # pushdown + file skipping). A dict maps column -> index NAME so
+        # index SELECTION (getBestIndexFor) can report which index serves.
+        if isinstance(indexed_columns, dict):
+            self.index_names = dict(indexed_columns)
+            self.indexed_columns = frozenset(indexed_columns)
+        else:
+            self.indexed_columns = indexed_columns
+            self.index_names = {c: f"idx_{c}" for c in indexed_columns}
+        # stats_fn() -> {column: estimated rows per EQ match} — the
+        # SecondaryIndexManager.getEstimatedResultRows analog; None means
+        # rank by name only (deterministic fallback)
+        self._stats_fn = stats_fn
+        # mutable sink the owning surface (CqlDatabase) reads back: df()
+        # appends (index name, column) when an index serves the statement
+        self._choice_sink = choice_sink
         self._restrictions: list[Restriction] = []
         self._conditions: list[Column] = []
         self._projection: list[Column] | None = None
@@ -81,7 +96,10 @@ class CqlTable:
         self._allow_filtering = False
 
     def _copy(self) -> "CqlTable":
-        t = CqlTable(self._df, self.meta, self.strict, self.indexed_columns)
+        t = CqlTable(
+            self._df, self.meta, self.strict, dict(self.index_names),
+            stats_fn=self._stats_fn, choice_sink=self._choice_sink,
+        )
         t._restrictions = list(self._restrictions)
         t._conditions = list(self._conditions)
         t._projection = list(self._projection) if self._projection is not None else None
@@ -200,6 +218,35 @@ class CqlTable:
             validate_limits(self._limit, self._per_partition_limit, self._distinct)
             if self._distinct:
                 validate_distinct(meta, self._distinct_cols)
+
+        # Index selection (SecondaryIndexManager.getBestIndexFor:1015,
+        # 1050): among the indexed, index-servable restrictions, the
+        # statement is served by the index with the FEWEST estimated
+        # result rows (name-ascending tiebreak); the remaining
+        # restrictions are RowFilter post-filtering — which is why they
+        # required ALLOW FILTERING at validation. The choice is semantic
+        # (execution stays one Catalyst plan either way) and is reported
+        # through the choice sink for system/tracing surfaces.
+        pk_all = set(meta.primary_key)
+        cand_cols = sorted(
+            {
+                r.column
+                for r in self._restrictions
+                if r.column in self.index_names
+                and r.op in (Op.EQ, Op.CONTAINS, Op.CONTAINS_KEY)
+                and r.column not in pk_all
+            }
+        )
+        if cand_cols and self._choice_sink is not None:
+            if len(cand_cols) == 1:
+                best = cand_cols[0]
+            else:
+                est = self._stats_fn(cand_cols) if self._stats_fn else {}
+                best = min(
+                    cand_cols,
+                    key=lambda c: (est.get(c, float("inf")), self.index_names[c]),
+                )
+            self._choice_sink.append((self.index_names[best], best))
 
         out = self._df
         for cond in self._conditions:

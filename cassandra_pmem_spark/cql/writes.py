@@ -75,6 +75,11 @@ class Mutation:
     # per-cell map mutations: col -> {map key -> value | None (tombstone)}
     # (Maps.SetterByKey / DiscarderByKey — each entry its own liveness)
     elem_cells: dict = field(default_factory=dict)
+    # per-FIELD cells of non-frozen UDT columns: col -> {field -> value}
+    # (UserTypes.SetterByField, cql3/UserTypes.java:371 — one cell per
+    # field, each with its own liveness; values are never None — a null
+    # field write is a CellTombstone on the synthetic "col#field" cell)
+    udt_cells: dict = field(default_factory=dict)
     # primary-key liveness (db/LivenessInfo.java): INSERT stamps the row
     # itself alive; UPDATE does not — an UPDATE-built row is visible only
     # through its live cells, the reference's row-vs-cell liveness rule
@@ -248,6 +253,20 @@ class _WriteParser(_Parser):
             return ("list", vals)
         if self.accept_punct("}"):
             return ("empty", None)
+        p = self.peek()
+        if p.kind == "ident" and p.text.lower() not in ("true", "false", "null"):
+            # {field: v, ...} with BARE identifier keys — a UDT literal
+            # (Cql.g usertypeLiteral; cql3/UserTypes.java literal parse:
+            # field names are identifiers, never quoted terms)
+            m: dict = {}
+            while True:
+                f = self.ident().lower()
+                self.expect_punct(":")
+                m[f] = self.literal(params, cursor)
+                if not self.accept_punct(","):
+                    break
+            self.expect_punct("}")
+            return ("udt", m)
         first = self.literal(params, cursor)
         if self.accept_punct(":"):
             m = {first: self.literal(params, cursor)}
@@ -283,6 +302,19 @@ class _WriteParser(_Parser):
                     raise InvalidRequest(f"expected = in SET, got {t.text!r}")
                 elem_val = self.literal(params, cursor)
                 elem_ops.append(("set_elem", col, elem_key, elem_val))
+                if not self.accept_punct(","):
+                    break
+                continue
+            if self.accept_punct("."):
+                # SET u.f = v — UserTypes.SetterByField (grammar
+                # Parser.g:1539 udtColumnOperation): one FIELD cell of a
+                # non-frozen UDT column, its own liveness
+                fname = self.ident()
+                t = self.next()
+                if t.kind != "op" or t.text != "=":
+                    raise InvalidRequest(f"expected = in SET, got {t.text!r}")
+                fval = self.literal(params, cursor)
+                elem_ops.append(("udt_set", col, fname, fval))
                 if not self.accept_punct(","):
                     break
                 continue
@@ -342,6 +374,10 @@ class _WriteParser(_Parser):
                     k = self.literal(params, cursor)
                     self.expect_punct("]")
                     elem_dels.append(("del_elem", c, k))
+                elif self.accept_punct("."):
+                    # DELETE u.f — UserTypes.DeleterByField
+                    # (Parser.g:1586): one field-cell tombstone
+                    elem_dels.append(("udt_del", c, self.ident()))
                 else:
                     cols.append(c)
                 if not self.accept_punct(","):
@@ -681,15 +717,41 @@ class CqlWriteSession:
                 wt = forced_ts
             else:
                 wt = self._tick()
+            # non-frozen UDT values decompose into per-FIELD cells at wt
+            # plus a complex deletion at wt-1 (UserTypes.Setter — the same
+            # model full map writes use); frozen UDTs stay one cell
+            live_cells = {c: v for c, v in cells.items() if c not in null_cols}
+            udt_cells: dict = {}
+            for c in self._nonfrozen_udt_cols():
+                if c in live_cells:
+                    v = live_cells.pop(c)
+                    if not isinstance(v, dict):
+                        raise InvalidRequest(
+                            f"Invalid {type(v).__name__} constant for UDT "
+                            f"column {c!r}"
+                        )
+                    udt_cells[c] = {f: x for f, x in v.items() if x is not None}
+                    self._cell_tombs.append(
+                        CellTombstone(
+                            self._key_of(cells),
+                            [f"{c}#{f}" for f in self._udt_fields(c)],
+                            wt - 1,
+                        )
+                    )
             self._record(
-                {c: v for c, v in cells.items() if c not in null_cols},
+                live_cells,
                 using,
                 forced_ts=forced_ts,
+                udt_cells=udt_cells,
                 wt=wt,
             )
             if null_cols:
                 self._cell_tombs.append(
-                    CellTombstone(self._key_of(cells), null_cols, wt)
+                    CellTombstone(
+                        self._key_of(cells),
+                        self._expand_udt_tomb_cols(null_cols),
+                        wt,
+                    )
                 )
         elif head == "update":
             _, sets, deltas, key, using, cond, elem_ops = p.update_statement(params, cursor)
@@ -793,8 +855,14 @@ class CqlWriteSession:
                 # (Lists.DiscarderByIndex) and rewrites the shifted list.
                 elem_cells: dict = {}
                 cell_cache: dict = {}
-                for _, ecol, ekey in elem_dels:
+                udt_tomb_cols: list = []
+                for dop, ecol, ekey in elem_dels:
                     kind, _frozen = self._collection_kind(ecol)
+                    if dop == "udt_del":
+                        # UserTypes.DeleterByField (cql3/UserTypes.java:398):
+                        # one field-cell tombstone, siblings untouched
+                        udt_tomb_cols.append(f"{ecol}#{ekey}")
+                        continue
                     if kind == "map":
                         elem_cells.setdefault(ecol, {})[ekey] = None
                         continue
@@ -816,8 +884,16 @@ class CqlWriteSession:
                             elem_cells=elem_cells, row_live=False,
                         )
                     )
+                if udt_tomb_cols:
+                    self._cell_tombs.append(
+                        CellTombstone(self._key_of(key), udt_tomb_cols, wt)
+                    )
             if cols:
-                self._cell_tombs.append(CellTombstone(self._key_of(key), cols, wt))
+                self._cell_tombs.append(
+                    CellTombstone(
+                        self._key_of(key), self._expand_udt_tomb_cols(cols), wt
+                    )
+                )
             elif not elem_dels:
                 self._row_tombs.append(RowTombstone(self._key_of(key), wt))
 
@@ -884,9 +960,45 @@ class CqlWriteSession:
         stmt_no = len(self._mutations) + 1
         seq = [0]
 
+        udt_cells: dict = {}
+        udt_null_fields: dict = {}
         for op in elem_ops:
             kind, _frozen = self._collection_kind(op[1])
-            if op[0] == "set_elem" and kind == "map":
+            if op[0] == "udt_set":
+                # UserTypes.SetterByField: ONE field cell at the statement
+                # timestamp; SET u.f = null is that field-cell's tombstone
+                _, ecol, fname, fval = op
+                if fval is None:
+                    if fname not in udt_null_fields.setdefault(ecol, []):
+                        udt_null_fields[ecol].append(fname)
+                    udt_cells.get(ecol, {}).pop(fname, None)
+                else:
+                    udt_cells.setdefault(ecol, {})[fname] = fval
+                    if fname in udt_null_fields.get(ecol, []):
+                        udt_null_fields[ecol].remove(fname)
+            elif op[0] == "coll_set" and kind == "udt":
+                _, ecol, (_lk, val) = op
+                if _frozen:
+                    # frozen UDT: one whole-value cell
+                    sets[ecol] = dict(val or {})
+                else:
+                    # full write of a multi-cell UDT = complex deletion at
+                    # wt-1 + one cell per non-null field at wt (the exact
+                    # model maps use; UserTypes.Setter → ComplexColumnData
+                    # deletion). An older surviving field cell (higher wt
+                    # than the deletion) still merges in.
+                    self._cell_tombs.append(
+                        CellTombstone(
+                            self._key_of(key),
+                            [f"{ecol}#{f}" for f in self._udt_fields(ecol)],
+                            wt - 1,
+                        )
+                    )
+                    udt_cells[ecol] = {
+                        f: v for f, v in (val or {}).items() if v is not None
+                    }
+                    udt_null_fields.pop(ecol, None)
+            elif op[0] == "set_elem" and kind == "map":
                 _, ecol, ekey, eval_ = op
                 elem_cells.setdefault(ecol, {})[ekey] = eval_
             elif op[0] == "set_elem":
@@ -948,18 +1060,36 @@ class CqlWriteSession:
                     else:
                         for mk in val or []:
                             frag[mk] = None
-        # SET col = null is a cell DELETE (Constants.Setter null handling)
+        # SET col = null is a cell DELETE (Constants.Setter null handling);
+        # for a non-frozen UDT that means every FIELD cell dies
         null_sets = [c for c, v in sets.items() if v is None]
         cells = dict(key)
         cells.update({c: v for c, v in sets.items() if c not in null_sets})
         self._record(
             cells, using, deltas=deltas, forced_ts=forced_ts,
-            elem_cells=elem_cells, row_live=bool(deltas), wt=wt,
+            elem_cells=elem_cells, udt_cells=udt_cells,
+            row_live=bool(deltas), wt=wt,
         )
-        if null_sets:
+        tomb_cols = self._expand_udt_tomb_cols(null_sets)
+        for ecol, fnames in udt_null_fields.items():
+            tomb_cols.extend(f"{ecol}#{f}" for f in fnames)
+        if tomb_cols:
             self._cell_tombs.append(
-                CellTombstone(self._key_of(cells), null_sets, wt)
+                CellTombstone(self._key_of(cells), tomb_cols, wt)
             )
+
+    def _expand_udt_tomb_cols(self, cols: list) -> list:
+        """Column-delete targets with non-frozen UDT columns expanded to
+        their per-field cells (deleting the column = deleting every field
+        cell; UserTypes.java full-column DeleterByField loop)."""
+        nonfrozen = set(self._nonfrozen_udt_cols())
+        out: list = []
+        for c in cols:
+            if c in nonfrozen:
+                out.extend(f"{c}#{f}" for f in self._udt_fields(c))
+            else:
+                out.append(c)
+        return out
 
     def _convert_coll(self, col: str, tagged: tuple):
         """Kind-aware conversion of a parsed collection literal (INSERT
@@ -972,14 +1102,42 @@ class CqlWriteSession:
                 f"invalid collection literal for non-collection column {col!r}"
             )
         allowed = {"list": ("list",), "set": ("set", "empty"),
-                   "map": ("map", "empty")}[kind]
+                   "map": ("map", "empty"), "udt": ("udt", "empty")}[kind]
         if lk not in allowed:
             raise InvalidRequest(f"invalid {lk} literal for {kind} column {col!r}")
+        if kind == "udt":
+            declared = self._udt_fields(col)
+            unknown = sorted(set(val or {}) - set(declared))
+            if unknown:
+                raise InvalidRequest(
+                    f"Unknown field {unknown[0]!r} in value of user defined "
+                    f"type for column {col!r}"
+                )
+            return dict(val or {})
         if kind == "set":
             return sorted(set(val or []))
         if kind == "map":
             return dict(val or {})
         return list(val or [])
+
+    def _udt_fields(self, col: str) -> list[str]:
+        """Declared field names, in DECLARATION order, of a UDT column
+        (UserType.java fieldNames — field position IS the cell path)."""
+        dt = {f.name: f.dataType for f in self.meta.schema.fields}.get(col)
+        if not isinstance(dt, T.StructType):
+            raise InvalidRequest(f"column {col!r} is not a user type")
+        return [f.name for f in dt.fields]
+
+    def _nonfrozen_udt_cols(self) -> list[str]:
+        """Columns declared as NON-frozen user types — the multi-cell
+        ones (UserType.java:52-63 isMultiCell)."""
+        info = self.collection_info
+        if not info:
+            return []
+        return [
+            c for c, k in info.kinds.items()
+            if k == "udt" and c not in info.frozen
+        ]
 
     def _collection_kind(self, col: str) -> tuple[str | None, bool]:
         """(declared collection kind | None, frozen?) for a column."""
@@ -1019,9 +1177,45 @@ class CqlWriteSession:
             return
         for op, col, *rest in elem_ops:
             kind, frozen = self._collection_kind(col)
+            if op in ("udt_set", "udt_del"):
+                # UserTypes.SetterByField / DeleterByField: field mutations
+                # exist only for NON-frozen user types
+                # (UpdateStatement/DeleteStatement checkContainsUDT)
+                if kind != "udt":
+                    raise InvalidRequest(
+                        f"Invalid field selection: {col!r} is not a user type"
+                    )
+                if frozen:
+                    raise InvalidRequest(
+                        f"Invalid operation on frozen UDT column {col!r}: "
+                        "frozen user types only support full-value writes"
+                    )
+                if rest[0] not in self._udt_fields(col):
+                    raise InvalidRequest(
+                        f"UDT column {col!r} does not have a field {rest[0]!r}"
+                    )
+                continue
             if kind is None:
                 raise InvalidRequest(
                     f"invalid element operation on non-collection column {col!r}"
+                )
+            if kind == "udt":
+                if op == "coll_set":
+                    lk = rest[0][0]
+                    if lk not in ("udt", "empty"):
+                        raise InvalidRequest(
+                            f"invalid {lk} literal for UDT column {col!r}"
+                        )
+                    declared = set(self._udt_fields(col))
+                    unknown = sorted(set(rest[0][1] or {}) - declared)
+                    if unknown:
+                        raise InvalidRequest(
+                            f"Unknown field {unknown[0]!r} in value of user "
+                            f"defined type for column {col!r}"
+                        )
+                    continue
+                raise InvalidRequest(
+                    f"invalid collection operation on UDT column {col!r}"
                 )
             if op == "coll_set":
                 lk = rest[0][0]
@@ -1226,11 +1420,15 @@ class CqlWriteSession:
         deltas: dict | None = None,
         forced_ts: int | None = None,
         elem_cells: dict | None = None,
+        udt_cells: dict | None = None,
         row_live: bool = True,
         wt: int | None = None,
     ) -> None:
         known = {f.name for f in self.meta.schema.fields}
-        unknown = (set(cells) | set(deltas or {}) | set(elem_cells or {})) - known
+        unknown = (
+            set(cells) | set(deltas or {}) | set(elem_cells or {})
+            | set(udt_cells or {})
+        ) - known
         if unknown:
             raise InvalidRequest(f"unknown columns {sorted(unknown)}")
         # bind/literal TYPE validation at prepare time (the reference
@@ -1238,11 +1436,11 @@ class CqlWriteSession:
         # a string bound to a bigint key surfaces as a Spark cast error
         # deep inside the read plan)
         by_name = {f.name: f.dataType for f in self.meta.schema.fields}
-        cells = dict(cells)
-        for col, val in cells.items():
-            if val is None:
-                continue
-            dt = by_name[col]
+
+        def checked(val, dt, label):
+            """Prepare-time constant/bind type validation (the reference
+            rejects mis-typed constants before any execution). Returns
+            the value, int→float widened for floating targets like CQL."""
             ok = True
             if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
                 ok = isinstance(val, int) and not isinstance(val, bool)
@@ -1251,7 +1449,7 @@ class CqlWriteSession:
                 if ok and isinstance(val, int) and isinstance(
                     dt, (T.DoubleType, T.FloatType)
                 ):
-                    cells[col] = float(val)  # int literal widens, like CQL
+                    return float(val)  # int literal widens, like CQL
             elif isinstance(dt, T.StringType):
                 ok = isinstance(val, str)
             elif isinstance(dt, T.BooleanType):
@@ -1260,11 +1458,32 @@ class CqlWriteSession:
                 ok = isinstance(val, (list, tuple))
             elif isinstance(dt, T.MapType):
                 ok = isinstance(val, dict)
+            elif isinstance(dt, T.StructType):
+                ok = isinstance(val, dict)
             if not ok:
                 raise InvalidRequest(
                     f"Invalid {type(val).__name__} constant ({val!r}) for "
-                    f'"{col}" of type {dt.simpleString()}'
+                    f'"{label}" of type {dt.simpleString()}'
                 )
+            return val
+
+        cells = dict(cells)
+        for col, val in cells.items():
+            if val is None:
+                continue
+            cells[col] = checked(val, by_name[col], col)
+        udt_cells = {c: dict(m) for c, m in (udt_cells or {}).items()}
+        for col, fcells in udt_cells.items():
+            dt = by_name[col]
+            if not isinstance(dt, T.StructType):
+                raise InvalidRequest(f"column {col!r} is not a user type")
+            ftypes = {f.name: f.dataType for f in dt.fields}
+            for fname, val in list(fcells.items()):
+                if fname not in ftypes:
+                    raise InvalidRequest(
+                        f"UDT column {col!r} does not have a field {fname!r}"
+                    )
+                fcells[fname] = checked(val, ftypes[fname], f"{col}.{fname}")
         if wt is not None:
             pass  # caller pre-computed the statement timestamp
         elif "timestamp" in using:
@@ -1281,6 +1500,7 @@ class CqlWriteSession:
                 ttl=using.get("ttl"),
                 counter_deltas=deltas or {},
                 elem_cells=elem_cells or {},
+                udt_cells=udt_cells,
                 row_live=row_live,
             )
         )
@@ -1324,14 +1544,28 @@ class CqlWriteSession:
         if self.collection_info:
             for c in value_cols:
                 k = self.collection_info.kinds.get(c)
-                if k and c not in self.collection_info.frozen:
+                if k and k != "udt" and c not in self.collection_info.frozen:
                     auto_elem.add(c)
         elem_cols = sorted(
             {c for m in self._mutations for c in m.elem_cells}
             | (force_elem or set())
             | auto_elem
         )
-        scalar_cols = [c for c in value_cols if c not in elem_cols]
+        # non-frozen UDT columns merge per FIELD cell: each field becomes
+        # a synthetic scalar column "col#field" with its own liveness
+        # (UserType.java:52-63 multi-cell; the field index is the cell
+        # path), reassembled into the struct after the merge
+        udt_cols = [c for c in value_cols if c in set(self._nonfrozen_udt_cols())]
+        udt_syn: dict[str, list[tuple[str, str, T.DataType]]] = {}
+        for c in udt_cols:
+            udt_syn[c] = [
+                (f"{c}#{f.name}", f.name, f.dataType)
+                for f in by_name[c].dataType.fields
+            ]
+        syn_names = [s for c in udt_cols for (s, _f, _t) in udt_syn[c]]
+        scalar_cols = [
+            c for c in value_cols if c not in elem_cols and c not in udt_cols
+        ] + syn_names
 
         # mutation log rows: values + per-mutation writetime/expiry shadows;
         # per elem col, the fragment map (__frag) and the full-write flag
@@ -1349,6 +1583,9 @@ class CqlWriteSession:
                 T.StructField(f"__frag_{c}", self._cell_map_type(c, by_name[c].dataType))
             )
             extra_fields.append(T.StructField(f"__full_{c}", T.BooleanType()))
+        for c in udt_cols:
+            for syn, _f, ftype in udt_syn[c]:
+                extra_fields.append(T.StructField(syn, ftype))
         log_schema = T.StructType(list(meta.schema.fields) + extra_fields)
         rows = []
         for i, m in enumerate(self._mutations, start=1):
@@ -1364,6 +1601,9 @@ class CqlWriteSession:
             for c in elem_cols:
                 extras.append(m.elem_cells.get(c))
                 extras.append(c in m.cells and m.cells[c] is not None)
+            for c in udt_cols:
+                fcells = m.udt_cells.get(c, {})
+                extras.extend(fcells.get(f) for (_s, f, _t) in udt_syn[c])
             rows.append(tuple(row[c] for c in fields) + tuple(extras))
 
         log = self.spark.createDataFrame(rows, log_schema) if rows else None
@@ -1380,6 +1620,28 @@ class CqlWriteSession:
                     f"__frag_{c}",
                     F.lit(None).cast(self._cell_map_type(c, by_name[c].dataType)),
                 ).withColumn(f"__full_{c}", F.col(c).isNotNull())
+            for c in udt_cols:
+                # base struct decomposes into field cells written at t=0;
+                # a field ADDed by ALTER TYPE after the base was captured
+                # back-fills null (AlterTypeStatement ADD semantics)
+                base_dt = self._base.schema[c].dataType
+                have = (
+                    {f.name for f in base_dt.fields}
+                    if isinstance(base_dt, T.StructType)
+                    else set()
+                )
+                for syn, f, ftype in udt_syn[c]:
+                    base = base.withColumn(
+                        syn,
+                        F.col(c).getField(f)
+                        if f in have
+                        else F.lit(None).cast(ftype),
+                    )
+                # the struct column itself is dead weight post-
+                # decomposition (reassembly rebuilds it) — null it at the
+                # DECLARED type so unionByName can't clash when the base
+                # was captured under a pre-ALTER TYPE shape
+                base = base.withColumn(c, F.lit(None).cast(by_name[c].dataType))
             log = base.unionByName(log) if log is not None else base
         if log is None:
             # empty session: the zero-row frame still needs the shadow
@@ -1397,6 +1659,13 @@ class CqlWriteSession:
                     )
                     schema_fields.append(
                         T.StructField(f"_cellttl_{c}", T.MapType(kt, T.LongType()))
+                    )
+                for c in udt_cols:
+                    schema_fields.append(
+                        T.StructField(f"_cellwt_{c}", T.MapType(T.StringType(), T.LongType()))
+                    )
+                    schema_fields.append(
+                        T.StructField(f"_cellttl_{c}", T.MapType(T.StringType(), T.LongType()))
                     )
             return self.spark.createDataFrame([], T.StructType(schema_fields))
 
@@ -1570,6 +1839,26 @@ class CqlWriteSession:
                 F.when(dead, F.lit(None)).otherwise(F.col(f"_expiry_{col}")),
             ).drop(f"__dead_{col}")
 
+        # reassemble non-frozen UDT structs from their surviving field
+        # cells; the column is NULL iff no field cell is live (a UDT with
+        # every field deleted reads as NULL, UserTypesTest shapes), and
+        # its column-level writetime/expiry are the per-cell maxima —
+        # matching what elem_cols expose post-merge
+        for c in udt_cols:
+            wts = [F.col(f"_writetime_{s}") for s, _f, _t in udt_syn[c]]
+            exps = [F.col(f"_expiry_{s}") for s, _f, _t in udt_syn[c]]
+            merged = merged.withColumn(
+                f"_writetime_{c}", F.greatest(*wts) if len(wts) > 1 else wts[0]
+            ).withColumn(
+                f"_expiry_{c}", F.greatest(*exps) if len(exps) > 1 else exps[0]
+            ).withColumn(
+                c,
+                F.when(
+                    F.col(f"_writetime_{c}").isNotNull(),
+                    F.struct(*[F.col(s).alias(f) for s, f, _t in udt_syn[c]]),
+                ).otherwise(F.lit(None).cast(by_name[c].dataType)),
+            )
+
         visible = F.col("__rlwt").isNotNull()
         for col in value_cols:
             visible = visible | F.col(f"_writetime_{col}").isNotNull()
@@ -1592,6 +1881,24 @@ class CqlWriteSession:
             shadows.append(
                 F.transform_values(
                     F.col(f"_cellexp_{col}"), lambda _k, v: v - F.lit(now_eff)
+                ).alias(f"_cellttl_{col}")
+            )
+        for col in udt_cols:
+            # field-cell liveness maps: WRITETIME(u.f) / TTL(u.f) and the
+            # WRITETIME(u) per-cell list (field-name keyed; live cells only)
+            names = F.array(*[F.lit(f) for _s, f, _t in udt_syn[col]])
+            wts = F.array(*[F.col(f"_writetime_{s}") for s, _f, _t in udt_syn[col]])
+            ttls = F.array(
+                *[F.col(f"_expiry_{s}") - F.lit(now_eff) for s, _f, _t in udt_syn[col]]
+            )
+            shadows.append(
+                F.map_filter(
+                    F.map_from_arrays(names, wts), lambda _k, v: v.isNotNull()
+                ).alias(f"_cellwt_{col}")
+            )
+            shadows.append(
+                F.map_filter(
+                    F.map_from_arrays(names, ttls), lambda _k, v: v.isNotNull()
                 ).alias(f"_cellttl_{col}")
             )
         return merged.select(*fields, *shadows)

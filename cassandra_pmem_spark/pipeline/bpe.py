@@ -63,17 +63,19 @@ def train_bpe(
     tiny cached-sample jobs instead of 32k full-corpus passes. At 100 TB
     this is the only sane shape (production tokenizers train on ~1e6-doc
     samples); `apply_bpe` still encodes the FULL corpus with the learned
-    table. None = train on everything (exact small-corpus parity with
-    the unrolled-CTE oracle)."""
+    table. None = train on everything. The sample key is md5(text) —
+    uniform pseudo-random, deterministic at any parallelism, and
+    computable bit-identically by other engines (DuckDB md5() yields the
+    same hex), so a capped run stays exactly oracle-reproducible."""
     corpus = df.select(F.col(text_col).alias("__t"))
     merges: list[tuple[int, str, int]] = []
     cached = None
     if train_cap is not None:
         # hash-ordered limit: deterministic at any parallelism, and the
         # sample (not the corpus) is what every merge round re-reads
-        corpus = corpus.orderBy(F.xxhash64("__t").asc(), F.col("__t").asc()).limit(
-            train_cap
-        )
+        corpus = corpus.orderBy(
+            F.md5(F.col("__t").cast("binary")).asc(), F.col("__t").asc()
+        ).limit(train_cap)
         cached = corpus.cache()
         cached.count()
         corpus = cached

@@ -32,71 +32,73 @@ from pyspark.sql import DataFrame, SparkSession
 # IS entry(), smoke-checked every round, so it stays out. New round-8
 # queries displace the tail of tier (4) as they land.
 _PRIORITY: tuple[str, ...] = (
-    # -- (1) never driver-evidenced
-    "cql_collection_text_ops",  # list append/prepend/discard + set ops
-    "multimodal_video_dedup",  # majority-vote frame-fingerprint dedup
-    "streaming_exactly_once_sink",  # idempotent snapshot sink replay
-    # -- (2) write-path machinery edited r6+r7+r8 (evidence stale-by-edit)
-    "cql_batch_apply",  # BATCH prepare-then-apply atomicity
-    "cql_lwt_conditional",  # IF EXISTS / IF col=… conditions
-    "cql_delete_tombstones",  # row/range/column/element tombstones
-    "cql_truncate_reload",  # TRUNCATE drops mutations + tombstones
-    "cql_counter_fold",  # counter delta folding
-    "cql_collection_mutations",  # +/- collection write ops
-    "cql_ddl_roundtrip",  # KEYSPACE/TABLE/TYPE/ALTER statement DDL
-    "cql_ttl_expiry",  # USING TTL + expiry at read clock
-    "cql_upsert_lww_cells",  # cell-level LWW disjoint-column writes
-    # -- (3) round-8 additions (each name added only once its
-    #    implementation lands — the assert below fires on ghosts)
-    "cql_create_mv_statement",  # CREATE MATERIALIZED VIEW statement form
-    "cql_udf_statement",  # CREATE FUNCTION statement form (LANGUAGE sql)
-    "cql_uda_statement",  # CREATE AGGREGATE statement form (HOF fold)
-    "cql_list_cell_liveness",  # list/set element-granular writetime/TTL
-    "cql_indexed_lookup",  # 2i-served EQ without ALLOW FILTERING
-    "text_dsir_weights",  # DSIR hashed-ngram importance resampling
-    "sim_ivf_topk",  # IVF ANN — re-windowed to earn an oracle-backed row
-    # -- (4) r1-era evidence (oldest rows in the registry)
-    "streaming_tumbling_batch",
-    "streaming_session_batch",
-    "cql_per_partition_limit",
-    "cql_distinct_partitions",
-    "cql_latest_events",
-    "cql_from_json",
-    "analytics_topk_orders",
-    "analytics_set_ops",
-    "analytics_count_distinct",
-    # -- (5) r2-era backlog, as many as fit
-    "cql_point_lookup",
-    "cql_multipoint_in",
-    "cql_clustering_slice",
-    "cql_contains",
-    "cql_is_not_null",
-    "cql_group_by_pk_prefix",
-    "cql_group_limit",
-    "cql_static_column",
-    "cql_select_json",
-    "cql_parsed_select",
-    "cql_duration_arithmetic",
+    # -- (1) never driver-evidenced (new round-9 operators)
+    "cql_udt_field_writes",  # non-frozen UDT per-field cells (r9)
+    "cql_alter_type",  # ALTER TYPE ADD/RENAME schema evolution (r9)
+    # -- (2) machinery edited in round 9 ⇒ evidence stale-by-edit
+    #    writes.py (UDT decomposition, _validate_elem_ops, table() merge)
+    "cql_batch_apply",
+    "cql_lwt_conditional",
+    "cql_delete_tombstones",
+    "cql_truncate_reload",
+    "cql_counter_fold",
+    "cql_collection_mutations",
+    "cql_ttl_expiry",
+    "cql_upsert_lww_cells",
+    "cql_collection_text_ops",
+    "cql_list_cell_liveness",
+    "cql_map_cell_liveness",
+    #    ddl.py / parser.py (UDA key binding, null-fold semantics, nested
+    #    generics, ALTER TYPE, writetime(u.f) selectors)
+    "cql_ddl_roundtrip",
+    "cql_create_mv_statement",
+    "cql_udf_statement",
+    "cql_uda_statement",
     "cql_uda_weighted_avg",
-    "csv_roundtrip",
-    "jsonl_roundtrip",
-    "virtual_system_tables",
-    "streaming_sliding_batch",
-    "analytics_explode_wordcount",
-    "analytics_rollup",
-    "analytics_salted_agg",
-    "dedup_exact_docs",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
+    "cql_udf_select",
+    "cql_parsed_select",
+    "cql_udt_access",
+    "cql_select_json",
+    #    table.py (index selectivity ranking)
+    "cql_indexed_lookup",
+    #    bpe.py (train_cap md5 sample — now the proven path)
+    "text_bpe_train",
+    "text_bpe_encode",
+    # -- (3) displaced r2-era rows (oldest evidence in the registry)
+    "multimodal_meta",
+    "sim_bruteforce_topk",
+    "sim_neardup_exact",
+    "text_fingerprint",
+    "text_langid",
+    "text_quality",
+    "text_token_counts",
+    # -- (4) r3-era backlog, oldest first
+    "cql_term_select",
+    "cql_token_scan",
+    "cql_token_scan_composite",
+    "cql_token_scan_text",
+    "analytics_events_hourly",
+    "analytics_window_rank",
+    "analytics_window_running",
+    "multimodal_features",
+    "multimodal_frame_plan",
+    "mv_refresh_batch",
+    "sim_lsh_topk",
+    "streaming_session_real",
+    "streaming_tumbling_real",
+    "text_sasi_analyzer",
+    "cql_allow_filtering",
+    "tpch_q2_min_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
 )
-# Deliberately outside the window this round: the full r7-green set
-# (round-4 temporal/snapshot/BPE/graph tier + the round-6 tier — all
-# re-evidenced in the r7 window), the r3/r4 sets (tpch q2–q22, token
-# scans, sketches, dedup/multimodal tiers), and seven r2-era rows that
-# did not fit (multimodal_meta, text_fingerprint, text_langid,
-# text_quality, text_token_counts, cql_allow_filtering — r4 —
-# cql_term_select — r3). Those queue first for round 9 along with
-# whatever round 8 edits.
+# Deliberately outside the window this round: the full r8-green set
+# (write-path r6/r7/r8 tier re-evidenced in the r8 window, the round-8
+# statement forms, r1-era rows, and the r2-era tier-5 backlog — all
+# green in CORRECTNESS_r08), and the r4 sets (token-scan variants,
+# sketches, dedup/multimodal tiers, tpch q10-q22 whose evidence is r3/r4
+# but which bench.py re-runs every round). Remaining r3/r4 rows queue
+# first for round 10 along with whatever round 9 edits.
 
 
 def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:

@@ -2929,6 +2929,11 @@ FROM vocab a JOIN vocab b
 
 
 _BPE_MERGES = 6
+# training-corpus cap for the registry exemplars: 200 of the 500 docs at
+# gate scale, so the TRUNCATING scale path (hash-ordered sample + cache,
+# bpe.py train_cap) is the hash-proven one. The sample key is md5(text) —
+# bit-identical in DuckDB — so the oracle reproduces the exact sample.
+_BPE_CAP = 200
 
 
 def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2937,13 +2942,15 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-corpus adjacent-pair counting, deterministic argmax
     (freq DESC, pair), and leftmost-non-overlapping merge application.
     The oracle replays ALL six rounds as unrolled chained CTEs (the
-    PageRank idiom) — pair counts, tie-breaks, and private-use merge
-    symbols identical — so hash equality proves the distributed
-    trainer exact, round by round."""
+    PageRank idiom) over the SAME md5-ordered 200-doc training sample —
+    pair counts, tie-breaks, and private-use merge symbols identical —
+    so hash equality proves the distributed trainer exact, round by
+    round, WITH the 100 TB-scale train_cap path engaged (every merge
+    round aggregates the cached sample, never the full corpus)."""
     from cassandra_pmem_spark.pipeline.bpe import train_bpe
 
     docs = load_table(spark, "documents", sf_dir)
-    merges = train_bpe(docs, n_merges=_BPE_MERGES)
+    merges = train_bpe(docs, n_merges=_BPE_MERGES, train_cap=_BPE_CAP)
     return spark.createDataFrame(
         [(int(r), p, int(f)) for r, p, f in merges],
         "round BIGINT, pair STRING, freq BIGINT",
@@ -2953,12 +2960,14 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encode with the learned BPE table (pipeline/bpe.apply_bpe — a
     chain of narrow replace projections, zero shuffles) and aggregate
-    token counts per source; the oracle re-derives the merge table via
-    the same unrolled CTEs and measures the same post-merge lengths."""
+    token counts per source; training runs on the capped md5-ordered
+    sample (the scale path), while ENCODING covers the full corpus —
+    the oracle re-derives the merge table from the same sample and
+    measures the same full-corpus post-merge lengths."""
     from cassandra_pmem_spark.pipeline.bpe import apply_bpe, train_bpe
 
     docs = load_table(spark, "documents", sf_dir)
-    merges = train_bpe(docs, n_merges=_BPE_MERGES)
+    merges = train_bpe(docs, n_merges=_BPE_MERGES, train_cap=_BPE_CAP)
     enc = apply_bpe(docs, merges)
     return enc.groupBy("source").agg(
         F.count("*").alias("n_docs"),
@@ -2970,9 +2979,14 @@ def _bpe_rounds_cte(n: int, carry_source: bool) -> str:
     from cassandra_pmem_spark.pipeline.bpe import PUA_BASE
 
     src = ", source" if carry_source else ""
-    parts = [f"r0 AS (SELECT text{src} FROM documents)"]
+    parts = [
+        f"s0 AS (SELECT text FROM documents ORDER BY md5(text), text "
+        f"LIMIT {_BPE_CAP})"
+    ]
+    if carry_source:
+        parts.append("r0 AS (SELECT text, source FROM documents)")
     for r in range(1, n + 1):
-        prev = f"r{r - 1}"
+        prev = f"s{r - 1}"
         parts.append(
             f"p{r} AS (SELECT substr(text, i, 2) AS pair, "
             f"count(*) AS freq FROM (SELECT text, "
@@ -2984,9 +2998,14 @@ def _bpe_rounds_cte(n: int, carry_source: bool) -> str:
             f"ORDER BY freq DESC, pair LIMIT 1)"
         )
         parts.append(
-            f"r{r} AS (SELECT replace(text, (SELECT pair FROM m{r}), "
-            f"chr({PUA_BASE + r - 1})) AS text{src} FROM {prev})"
+            f"s{r} AS (SELECT replace(text, (SELECT pair FROM m{r}), "
+            f"chr({PUA_BASE + r - 1})) AS text FROM {prev})"
         )
+        if carry_source:
+            parts.append(
+                f"r{r} AS (SELECT replace(text, (SELECT pair FROM m{r}), "
+                f"chr({PUA_BASE + r - 1})) AS text{src} FROM r{r - 1})"
+            )
     return "WITH " + ",\n".join(parts)
 
 

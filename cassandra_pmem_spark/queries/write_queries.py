@@ -756,13 +756,32 @@ def cql_indexed_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise AssertionError(f"gate missed: {bad}")
         except InvalidRequest:
             pass
-    return db.execute(
+    single = db.execute(
         "SELECT event_id, user_id, event_type FROM ev WHERE event_type = 'view'"
+    )
+    assert db.last_index_choice == ("ev_event_type_idx", "event_type")
+    # two-index selection (getBestIndexFor min-estimated-rows ranking):
+    # with BOTH columns indexed, the multi-restriction statement still
+    # needs ALLOW FILTERING (reference multi-index rule), and the engine
+    # serves it by the MORE SELECTIVE index — user_id (one row per ~user)
+    # beats event_type (a handful of distinct types)
+    db.execute("CREATE INDEX uid_idx ON ev (user_id)")
+    multi = db.execute(
+        "SELECT event_id, user_id, event_type FROM ev "
+        "WHERE event_type = 'view' AND user_id = 5 ALLOW FILTERING"
+    )
+    assert db.last_index_choice == ("uid_idx", "user_id"), db.last_index_choice
+    return single.withColumn("src", F.lit("single")).unionByName(
+        multi.withColumn("src", F.lit("multi"))
     )
 
 
 _INDEXED_LOOKUP_ORACLE = """
-SELECT event_id, user_id, event_type FROM events WHERE event_type = 'view'
+SELECT event_id, user_id, event_type, 'single' AS src
+FROM events WHERE event_type = 'view'
+UNION ALL
+SELECT event_id, user_id, event_type, 'multi' AS src
+FROM events WHERE event_type = 'view' AND user_id = 5
 """
 
 
@@ -870,9 +889,158 @@ FROM z
 """
 
 
+
+
+def cql_udt_field_writes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-frozen (multi-cell) UDT statement writes — UserTypes.SetterByField
+    (cql3/UserTypes.java:371) / DeleterByField (:398), grammar
+    Parser.g:1539,1586 udtColumnOperation, multi-cell flag
+    db/marshal/UserType.java:52-63: per-FIELD cells with their own
+    liveness. Base rows (cells at writetime 0) come from customer; eight
+    keys get per-field SET/DELETE, full-value rewrites (complex deletion
+    at wt-1 + field cells), a null-field tombstone, a TTL'd field write,
+    an out-of-order full write whose deletion must NOT shadow a newer
+    field cell, and per-field LWW — read back through WRITETIME(u) /
+    WRITETIME(u.f) / TTL(u.f) selectors. A whole-value-LWW
+    implementation (struct replaced atomically) hash-mismatches on keys
+    1, 4, 7 and 8 immediately."""
+    from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+    db = CqlDatabase(spark)
+    db.execute("CREATE KEYSPACE ufw WITH REPLICATION = {'class': 'SimpleStrategy'}")
+    db.execute("USE ufw")
+    db.execute("CREATE TYPE prof (name text, seg text, bal bigint)")
+    db.execute("CREATE TABLE cust (ck bigint PRIMARY KEY, p prof)")
+    base = (
+        load_table(spark, "customer", sf_dir)
+        .filter(F.col("c_custkey") <= 300)
+        .select(
+            F.col("c_custkey").alias("ck"),
+            F.struct(
+                F.col("c_name").alias("name"),
+                F.col("c_mktsegment").alias("seg"),
+                F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal"),
+            ).alias("p"),
+        )
+    )
+    sess = db._session_for_key(("ufw", "cust"))
+    sess._base = base
+    db.execute("UPDATE cust USING TIMESTAMP 500 SET p.seg = 'VIP' WHERE ck = 1")
+    db.execute("DELETE p.name FROM cust USING TIMESTAMP 500 WHERE ck = 2")
+    db.execute("UPDATE cust USING TIMESTAMP 500 SET p = {name: 'X'} WHERE ck = 3")
+    db.execute(
+        "UPDATE cust USING TIMESTAMP 500 AND TTL 9000 SET p.bal = 42 WHERE ck = 4"
+    )
+    db.execute("DELETE p FROM cust USING TIMESTAMP 500 WHERE ck = 5")
+    db.execute("UPDATE cust USING TIMESTAMP 500 SET p.name = null WHERE ck = 6")
+    db.execute("UPDATE cust USING TIMESTAMP 600 SET p.bal = 7 WHERE ck = 7")
+    db.execute("UPDATE cust USING TIMESTAMP 300 SET p = {name: 'Y'} WHERE ck = 7")
+    db.execute("UPDATE cust USING TIMESTAMP 100 SET p.seg = 'A' WHERE ck = 8")
+    db.execute("UPDATE cust USING TIMESTAMP 90 SET p.seg = 'B' WHERE ck = 8")
+    out = db.execute(
+        "SELECT ck, p.name AS nm, p.seg AS sg, p.bal AS bal, "
+        "writetime(p) AS wp, writetime(p.seg) AS wseg, ttl(p.bal) AS tbal "
+        "FROM cust"
+    )
+    return out.select(
+        "ck", "nm", "sg", "bal",
+        F.array_join(
+            F.transform(F.col("wp"), lambda x: x.cast("string")), ",", "-"
+        ).alias("wp_col"),
+        "wseg", "tbal",
+    )
+
+
+_UDT_FIELD_ORACLE = """
+WITH base AS (
+  SELECT c_custkey AS ck, c_name AS name, c_mktsegment AS seg,
+         CAST(floor(c_acctbal * 100) AS BIGINT) AS bal
+  FROM customer WHERE c_custkey <= 300
+)
+SELECT ck,
+  CASE ck WHEN 2 THEN NULL WHEN 3 THEN 'X' WHEN 5 THEN NULL
+          WHEN 6 THEN NULL WHEN 7 THEN 'Y' ELSE name END AS nm,
+  CASE ck WHEN 1 THEN 'VIP' WHEN 3 THEN NULL WHEN 5 THEN NULL
+          WHEN 7 THEN NULL WHEN 8 THEN 'A' ELSE seg END AS sg,
+  CASE ck WHEN 3 THEN NULL WHEN 4 THEN 42 WHEN 5 THEN NULL
+          WHEN 7 THEN 7 ELSE bal END AS bal,
+  CASE ck
+    WHEN 1 THEN '0,500,0'
+    WHEN 2 THEN '0,0'
+    WHEN 3 THEN '500'
+    WHEN 4 THEN '0,0,500'
+    WHEN 5 THEN ''
+    WHEN 6 THEN '0,0'
+    WHEN 7 THEN '300,600'
+    WHEN 8 THEN '0,100,0'
+    ELSE '0,0,0' END AS wp_col,
+  CASE ck WHEN 1 THEN 500 WHEN 3 THEN NULL WHEN 5 THEN NULL
+          WHEN 7 THEN NULL WHEN 8 THEN 100 ELSE 0 END AS wseg,
+  CASE ck WHEN 4 THEN 9500 ELSE NULL END AS tbal
+FROM base
+"""
+
+
+
+
+def cql_alter_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TYPE schema evolution through statement text (Parser.g:971-972;
+    cql3/statements/schema/AlterTypeStatement.java:44): ADD field (existing
+    values back-fill null — including the pre-ALTER base frame and
+    already-buffered mutations), RENAME field [AND ...] (buffered per-field
+    cells and the base struct remap; the cell path — the field index — is
+    unchanged, so liveness carries over), and the 4.0 rejection of field
+    TYPE alteration (CASSANDRA-14426), asserted inline. Writes straddle
+    both ALTERs so a re-prepare-from-scratch implementation (dropping
+    buffered cells) hash-mismatches."""
+    from cassandra_pmem_spark.cql.ddl import CqlDatabase
+    from cassandra_pmem_spark.cql.validator import InvalidRequest
+
+    db = CqlDatabase(spark)
+    db.execute("CREATE KEYSPACE alt_ks WITH REPLICATION = {'class': 'SimpleStrategy'}")
+    db.execute("USE alt_ks")
+    db.execute("CREATE TYPE loc (n text, r int)")
+    db.execute("CREATE TABLE sup (sk bigint PRIMARY KEY, l loc)")
+    base = load_table(spark, "supplier", sf_dir).select(
+        F.col("s_suppkey").alias("sk"),
+        F.struct(
+            F.col("s_name").alias("n"),
+            F.col("s_nationkey").cast("int").alias("r"),
+        ).alias("l"),
+    )
+    sess = db._session_for_key(("alt_ks", "sup"))
+    sess._base = base
+    db.execute("UPDATE sup USING TIMESTAMP 100 SET l.r = 99 WHERE sk = 1")
+    db.execute("ALTER TYPE loc ADD extra text")
+    db.execute("UPDATE sup USING TIMESTAMP 200 SET l.extra = 'E2' WHERE sk = 2")
+    db.execute("ALTER TYPE loc RENAME n TO nm AND r TO reg")
+    db.execute("UPDATE sup USING TIMESTAMP 300 SET l.nm = 'Renamed#3' WHERE sk = 3")
+    try:
+        db.execute("ALTER TYPE loc ALTER nm TYPE int")
+        raise AssertionError("field type alteration must be rejected")
+    except InvalidRequest:
+        pass
+    return db.execute(
+        "SELECT sk, l.nm AS nm, l.reg AS reg, l.extra AS extra, "
+        "writetime(l.reg) AS wreg FROM sup"
+    )
+
+
+_ALTER_TYPE_ORACLE = """
+SELECT s_suppkey AS sk,
+  CASE s_suppkey WHEN 3 THEN 'Renamed#3' ELSE s_name END AS nm,
+  CASE s_suppkey WHEN 1 THEN 99 ELSE CAST(s_nationkey AS INTEGER) END AS reg,
+  CASE s_suppkey WHEN 2 THEN 'E2' ELSE NULL END AS extra,
+  CASE s_suppkey WHEN 1 THEN 100 ELSE 0 END AS wreg
+FROM supplier
+"""
+
+
 QUERIES = {
     "cql_delete_tombstones": (cql_delete_tombstones, _DELETE_TOMBSTONES_ORACLE),
     "cql_list_cell_liveness": (cql_list_cell_liveness, _LIST_CELL_ORACLE),
+    "cql_udt_field_writes": (cql_udt_field_writes, _UDT_FIELD_ORACLE),
+    "cql_alter_type": (cql_alter_type, _ALTER_TYPE_ORACLE),
     "cql_indexed_lookup": (cql_indexed_lookup, _INDEXED_LOOKUP_ORACLE),
     "cql_create_mv_statement": (cql_create_mv_statement, _CREATE_MV_ORACLE),
     "cql_udf_statement": (cql_udf_statement, _UDF_STMT_ORACLE),

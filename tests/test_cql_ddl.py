@@ -714,3 +714,46 @@ class TestSecondaryIndexGate:
         db.execute("DROP INDEX ev_event_type_idx")
         with pytest.raises(InvalidRequest, match="ALLOW FILTERING"):
             db.execute("SELECT event_id FROM ev WHERE event_type = 'view'")
+
+
+class TestIndexSelection:
+    """SecondaryIndexManager.getBestIndexFor:1015,1050 — among several
+    indexed candidate restrictions the statement is served by the index
+    with the fewest estimated result rows (rows/distinct), name-ascending
+    tiebreak; single-candidate statements choose without a stats job."""
+
+    @pytest.fixture()
+    def db(self, spark):
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+        db = CqlDatabase(spark)
+        db.execute("CREATE KEYSPACE isel WITH REPLICATION = {'class': 'SimpleStrategy'}")
+        db.execute("USE isel")
+        db.execute("CREATE TABLE t (id int PRIMARY KEY, seg text, city text)")
+        for i in range(30):
+            db.execute(
+                f"INSERT INTO t (id, seg, city) VALUES ({i}, 'S{i % 2}', 'C{i % 15}')"
+            )
+        db.execute("CREATE INDEX seg_i ON t (seg)")
+        db.execute("CREATE INDEX city_i ON t (city)")
+        return db
+
+    def test_more_selective_index_wins(self, db):
+        db.execute(
+            "SELECT id FROM t WHERE seg = 'S0' AND city = 'C2' ALLOW FILTERING"
+        ).collect()
+        assert db.last_index_choice == ("city_i", "city")
+
+    def test_single_candidate_chosen_directly(self, db):
+        db.execute("SELECT id FROM t WHERE seg = 'S1'").collect()
+        assert db.last_index_choice == ("seg_i", "seg")
+
+    def test_no_index_no_choice(self, db):
+        db.execute("SELECT id FROM t").collect()
+        assert db.last_index_choice is None
+
+    def test_multi_index_still_needs_allow_filtering(self, db):
+        from cassandra_pmem_spark.cql.validator import InvalidRequest
+
+        with pytest.raises(InvalidRequest, match="ALLOW FILTERING"):
+            db.execute("SELECT id FROM t WHERE seg = 'S0' AND city = 'C2'")
