@@ -457,6 +457,87 @@ def mp3_meta_stage(media: DataFrame, mod_frames: int = 7) -> DataFrame:
     return media.select("item_id", "data").mapInPandas(run, MP3_META_SCHEMA)
 
 
+MP1_SUBBAND_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType()),
+        T.StructField("subband", T.IntegerType()),
+        T.StructField("nb", T.IntegerType()),
+        T.StructField("sf_idx", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sum_num", T.LongType()),
+        T.StructField("scaled_sum", T.LongType()),
+    ]
+)
+
+
+def mp1_subband_stage(media: DataFrame, mod_frames: int = 5) -> DataFrame:
+    """REAL MPEG-1 Layer I audio decode to requantized subband samples
+    (pipeline/mpeg_audio.py — ISO 11172-3 frame walk, bit allocation,
+    scalefactor indices, §2.4.3.1 requantization, all bit-level): each
+    item deterministically becomes a Layer I stream (frames = byte-length
+    mod `mod_frames` + 2; subbands 0..2 active with nb = sb+2 bits,
+    scalefactor index 3*((L+sb)%5) — a power-of-two scalefactor, so
+    scaled output is INTEGER-exact) and the REAL decoder walks it back.
+    sum_num is the exact integer numerator sum (s''' scaled by
+    (2^nb-1)*2^(nb-1)); scaled_sum additionally applies the scalefactor
+    (shift by 5-(L+sb)%5). PCM windowing intentionally stops at the
+    subband domain — the polyphase window is printed-table data (module
+    docstring). Zero-shuffle mapInPandas, like every codec stage."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from cassandra_pmem_spark.pipeline.mpeg_audio import (
+            build_mp1_frame,
+            decode_mp1,
+        )
+
+        for pdf in batches:
+            rows = []
+            for item_id, data in zip(pdf["item_id"], pdf["data"]):
+                raw = bytes(data or b"")
+                L = len(raw)
+                n_frames = L % mod_frames + 2
+                stream = b"".join(
+                    build_mp1_frame(
+                        {
+                            sb: (
+                                sb + 2,
+                                3 * ((L + sb) % 5),
+                                [
+                                    (L * 7 + (f * 12 + g) * 5 + sb * 3)
+                                    % ((1 << (sb + 2)) - 1)
+                                    for g in range(12)
+                                ],
+                            )
+                            for sb in range(3)
+                        }
+                    )
+                    for f in range(n_frames)
+                )
+                decoded = decode_mp1(stream)
+                agg: dict[int, list] = {}
+                for rec in decoded:
+                    a = agg.setdefault(
+                        rec["subband"], [rec["nb"], rec["sf_idx"], 0, 0]
+                    )
+                    a[2] += len(rec["samples"])
+                    a[3] += sum(rec["samples"])
+                for sb in sorted(agg):
+                    nb, sf_idx, n, s = agg[sb]
+                    shift = 5 - sf_idx // 3
+                    rows.append(
+                        (int(item_id), sb, nb, sf_idx, n, s, s * (1 << shift))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "item_id", "subband", "nb", "sf_idx",
+                    "n_samples", "sum_num", "scaled_sum",
+                ],
+            )
+
+    return media.select("item_id", "data").mapInPandas(run, MP1_SUBBAND_SCHEMA)
+
+
 GIF_FRAMES_SCHEMA = T.StructType(
     [
         T.StructField("item_id", T.LongType()),

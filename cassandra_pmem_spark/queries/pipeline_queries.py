@@ -3026,6 +3026,61 @@ def _bpe_encode_oracle() -> str:
     )
 
 
+
+
+def multimodal_audio_mp1_subband(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MPEG-1 Layer I audio decode, oracle-checked: each document
+    deterministically becomes a Layer I stream (pipeline/mpeg_audio.py —
+    bit-level encoder AND decoder from the public ISO 11172-3 spec:
+    96 kbit/s @ 32 kHz framing, 4-bit allocations, 6-bit scalefactor
+    indices, MSB-first coded samples) and the REAL decoder walks the
+    frames back through the §2.4.3.1 requantization. Requantized values
+    scaled by (2^nb-1)*2^(nb-1) are INTEGERS — 2^nb*(c - 2^(nb-1) + 1) —
+    and power-of-two scalefactors keep the scaled sum integer too, so
+    the oracle recomputes every decoded sample from the construction
+    arithmetic; a hash match proves sync walk, allocation parse,
+    scalefactor parse, and dequantization bit-exact. Synthesis stops at
+    the subband domain by design (the polyphase window is printed-table
+    data; COVERAGE.md §6)."""
+    from cassandra_pmem_spark.pipeline.multimodal import (
+        attach_media,
+        mp1_subband_stage,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "blob", F.col("text").cast("binary")
+    )
+    media = attach_media(docs, "blob", "audio", "audio/mpeg", "doc_id")
+    return mp1_subband_stage(media)
+
+
+_MP1_SUBBAND_ORACLE = """
+WITH g AS (
+  SELECT doc_id, octet_length(encode(text)) AS L FROM documents
+), sb AS (
+  SELECT doc_id, L, unnest([0, 1, 2]) AS subband FROM g
+), t AS (
+  SELECT doc_id, L, subband,
+         unnest(range(0, (L % 5 + 2) * 12)) AS i
+  FROM sb
+), v AS (
+  SELECT doc_id, L, subband,
+         subband + 2 AS nb,
+         (L * 7 + i * 5 + subband * 3) % ((1 << (subband + 2)) - 1) AS c
+  FROM t
+)
+SELECT doc_id AS item_id,
+  CAST(subband AS INT) AS subband,
+  CAST(nb AS INT) AS nb,
+  CAST(3 * ((L + subband) % 5) AS INT) AS sf_idx,
+  CAST(count(*) AS BIGINT) AS n_samples,
+  CAST(SUM((1 << nb) * (c - (1 << (nb - 1)) + 1)) AS BIGINT) AS sum_num,
+  CAST(SUM((1 << nb) * (c - (1 << (nb - 1)) + 1))
+       * (1 << (5 - (L + subband) % 5)) AS BIGINT) AS scaled_sum
+FROM v GROUP BY doc_id, L, subband, nb
+"""
+
+
 QUERIES = {
     "dedup_exact_docs": (
         dedup_exact_docs,
@@ -3110,6 +3165,7 @@ QUERIES = {
         _multimodal_features_jpeg_oracle(),
     ),
     "multimodal_audio_mp3_meta": (multimodal_audio_mp3_meta, _MP3_META_ORACLE),
+    "multimodal_audio_mp1_subband": (multimodal_audio_mp1_subband, _MP1_SUBBAND_ORACLE),
     "multimodal_video_gif_frames": (multimodal_video_gif_frames, _GIF_FRAMES_ORACLE),
     "multimodal_video_mjpeg_avi": (multimodal_video_mjpeg_avi, _AVI_FRAMES_ORACLE),
     "multimodal_video_mp4_samples": (multimodal_video_mp4_samples, _MP4_SAMPLES_ORACLE),

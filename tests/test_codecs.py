@@ -1651,3 +1651,63 @@ class TestTarWebdataset:
             parse_tar(t[: 512 + 100])
         with pytest.raises(ValueError, match="budget"):
             parse_tar(t, max_output=1000)
+
+
+class TestMpegAudioLayer1:
+    """ISO 11172-3 Layer I bit-level round trips (pipeline/mpeg_audio.py)."""
+
+    def test_roundtrip_exact(self):
+        from cassandra_pmem_spark.pipeline.mpeg_audio import (
+            build_mp1_frame,
+            decode_mp1,
+        )
+
+        codes = {
+            0: (2, 0, [0, 1, 2] * 4),
+            3: (4, 6, [(i * 5) % 15 for i in range(12)]),
+            17: (15, 12, [(i * 999) % 32766 for i in range(12)]),
+        }
+        stream = build_mp1_frame(codes) + build_mp1_frame({1: (3, 3, [5] * 12)})
+        recs = decode_mp1(stream)
+        assert [(r["frame"], r["subband"], r["nb"], r["sf_idx"]) for r in recs] == [
+            (0, 0, 2, 0), (0, 3, 4, 6), (0, 17, 15, 12), (1, 1, 3, 3),
+        ]
+        # numerator = 2^nb * (c - 2^(nb-1) + 1), per coded value
+        r0 = recs[0]
+        assert r0["samples"] == [4 * (c - 2 + 1) for c in codes[0][2]]
+        r17 = recs[2]
+        assert r17["samples"] == [
+            (1 << 15) * (c - (1 << 14) + 1) for c in codes[17][2]
+        ]
+
+    def test_frame_length_formula(self):
+        from cassandra_pmem_spark.pipeline.mpeg_audio import build_mp1_frame
+
+        # 96 kbit/s @ 32 kHz -> 12*96000/32000 = 36 slots * 4 = 144 bytes
+        assert len(build_mp1_frame({0: (2, 0, [0] * 12)})) == 144
+        # 128 kbit/s @ 48 kHz -> 12*128000/48000 = 32 slots = 128 bytes
+        assert len(
+            build_mp1_frame({0: (2, 0, [0] * 12)}, bitrate_idx=4, sr_idx=1)
+        ) == 128
+
+    def test_lost_sync_raises(self):
+        from cassandra_pmem_spark.pipeline.mpeg_audio import decode_mp1
+
+        with pytest.raises(ValueError, match="lost sync"):
+            decode_mp1(b"\x00\x00\x00\x00")
+
+    def test_layer2_frames_rejected(self):
+        from cassandra_pmem_spark.pipeline.mpeg_audio import decode_mp1
+
+        # header with layer bits = 10 (Layer II)
+        h = (0xFFF << 20) | (1 << 19) | (0b10 << 17) | (1 << 16) | (3 << 12) | (2 << 10)
+        with pytest.raises(NotImplementedError, match="Layer I"):
+            decode_mp1(h.to_bytes(4, "big") + b"\x00" * 140)
+
+    def test_matrixing_formula(self):
+        import math
+
+        from cassandra_pmem_spark.pipeline.mpeg_audio import synthesis_matrix
+
+        assert synthesis_matrix(16, 0) == pytest.approx(math.cos(math.pi / 2))
+        assert synthesis_matrix(0, 0) == pytest.approx(math.cos(16 * math.pi / 64))
