@@ -1507,6 +1507,19 @@ class SchemaRegistry:
                 if ife:
                     return
                 raise InvalidRequest(f"unknown {kind} {name!r}")
+            if kind == "type":
+                # DropTypeStatement.java: a type still referenced by a
+                # table column cannot be dropped out from under it
+                users = sorted(
+                    tk[1]
+                    for tk, colmap in self.udt_columns.items()
+                    if key in colmap.values()
+                )
+                if users:
+                    raise InvalidRequest(
+                        f"Cannot drop user type '{name}' as it is still "
+                        f"used by table {users[0]}"
+                    )
             del store[key]
             # cascade, mirroring the reference's keyspace-scoped schema
             # model: a dropped keyspace takes its tables (and their
@@ -1763,6 +1776,14 @@ class CqlDatabase:
                                     m.udt_cells[col] = {
                                         renames.get(f, f): v
                                         for f, v in m.udt_cells[col].items()
+                                    }
+                                # frozen UDT whole-value cells are dicts
+                                # keyed by field name — remap those too
+                                v = m.cells.get(col)
+                                if isinstance(v, dict):
+                                    m.cells[col] = {
+                                        renames.get(f, f): x
+                                        for f, x in v.items()
                                     }
                             pref = col + "#"
                             for ct in sess._cell_tombs:

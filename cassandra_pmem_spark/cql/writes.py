@@ -416,6 +416,10 @@ class _WriteParser(_Parser):
                 # ElementAccessBound — IF m['k'] = v / IF l[i] = v)
                 ekey = self.literal(params, cursor)
                 self.expect_punct("]")
+            elif self.accept_punct("."):
+                # UDT field condition (Parser.g:1609
+                # ColumnCondition.Raw.udtFieldCondition — IF u.f = v)
+                ekey = ("__udtf__", self.ident())
             if self.accept_kw("in"):
                 # IN condition (ColumnCondition.SimpleBound.isSatisfiedBy
                 # — EQ against ANY listed value, per-element null rules)
@@ -1294,7 +1298,22 @@ class CqlWriteSession:
                 raise InvalidRequest(f"Undefined column name {col}")
         for col, ekey, op, val in cond[1]:
             cur = r.get(col)
-            if ekey is not _NO_ELEM:
+            if isinstance(ekey, tuple) and ekey[:1] == ("__udtf__",):
+                # udtFieldCondition: one FIELD of a UDT column; a missing
+                # column (or dead field cell) reads null
+                fname = ekey[1]
+                kind, _fz = self._collection_kind(col)
+                if kind != "udt":
+                    raise InvalidRequest(
+                        f"Invalid field access for column {col!r}: "
+                        "not a user type"
+                    )
+                if fname not in self._udt_fields(col):
+                    raise InvalidRequest(
+                        f"UDT column {col!r} does not have a field {fname!r}"
+                    )
+                cur = None if cur is None else cur[fname]
+            elif ekey is not _NO_ELEM:
                 # ElementAccessBound: resolve the element; a missing map
                 # key or out-of-bounds list index reads null
                 if ekey is None:

@@ -937,6 +937,12 @@ def cql_udt_field_writes(spark: SparkSession, sf_dir: str) -> DataFrame:
     db.execute("UPDATE cust USING TIMESTAMP 300 SET p = {name: 'Y'} WHERE ck = 7")
     db.execute("UPDATE cust USING TIMESTAMP 100 SET p.seg = 'A' WHERE ck = 8")
     db.execute("UPDATE cust USING TIMESTAMP 90 SET p.seg = 'B' WHERE ck = 8")
+    # LWT field conditions (Parser.g:1609 udtFieldCondition): the applied
+    # one takes the session tick (wt=1 — conditional updates cannot carry
+    # USING TIMESTAMP), the failed one applies nothing
+    applied = db.execute("UPDATE cust SET p.seg = 'LWT' WHERE ck = 9 IF p.name != null")
+    missed = db.execute("UPDATE cust SET p.seg = 'NO' WHERE ck = 10 IF p.name = 'nope'")
+    assert applied is True and missed is False
     out = db.execute(
         "SELECT ck, p.name AS nm, p.seg AS sg, p.bal AS bal, "
         "writetime(p) AS wp, writetime(p.seg) AS wseg, ttl(p.bal) AS tbal "
@@ -961,7 +967,7 @@ SELECT ck,
   CASE ck WHEN 2 THEN NULL WHEN 3 THEN 'X' WHEN 5 THEN NULL
           WHEN 6 THEN NULL WHEN 7 THEN 'Y' ELSE name END AS nm,
   CASE ck WHEN 1 THEN 'VIP' WHEN 3 THEN NULL WHEN 5 THEN NULL
-          WHEN 7 THEN NULL WHEN 8 THEN 'A' ELSE seg END AS sg,
+          WHEN 7 THEN NULL WHEN 8 THEN 'A' WHEN 9 THEN 'LWT' ELSE seg END AS sg,
   CASE ck WHEN 3 THEN NULL WHEN 4 THEN 42 WHEN 5 THEN NULL
           WHEN 7 THEN 7 ELSE bal END AS bal,
   CASE ck
@@ -973,10 +979,11 @@ SELECT ck,
     WHEN 6 THEN '0,0'
     WHEN 7 THEN '300,600'
     WHEN 8 THEN '0,100,0'
+    WHEN 9 THEN '0,1,0'
     ELSE '0,0,0' END AS wp_col,
   CASE ck WHEN 1 THEN 500 WHEN 3 THEN NULL WHEN 5 THEN NULL
-          WHEN 7 THEN NULL WHEN 8 THEN 100 ELSE 0 END AS wseg,
-  CASE ck WHEN 4 THEN 9500 ELSE NULL END AS tbal
+          WHEN 7 THEN NULL WHEN 8 THEN 100 WHEN 9 THEN 1 ELSE 0 END AS wseg,
+  CASE ck WHEN 4 THEN 9499 ELSE NULL END AS tbal
 FROM base
 """
 

@@ -224,3 +224,71 @@ class TestAlterType:
     def test_rename_collision_rejected(self, db):
         with pytest.raises(InvalidRequest, match="duplicate"):
             db.execute("ALTER TYPE addr RENAME street TO city")
+
+
+class TestDropTypeAndFrozenRename:
+    def test_drop_type_in_use_rejected(self, db):
+        with pytest.raises(InvalidRequest, match="still used by table"):
+            db.execute("DROP TYPE addr")
+
+    def test_drop_unused_type_ok(self, db):
+        db.execute("CREATE TYPE orphan (x int)")
+        db.execute("DROP TYPE orphan")
+        assert "orphan" not in db.registry.types
+
+    def test_drop_type_after_table_drop_ok(self, db):
+        db.execute("DROP TABLE users")
+        db.execute("DROP TABLE fusers")
+        db.execute("DROP TYPE addr")
+        assert "addr" not in db.registry.types
+
+    def test_frozen_udt_rename_remaps_buffered_cells(self, db):
+        db.execute("INSERT INTO fusers (id, a) VALUES (1, {street: 'M', zip: 7})")
+        db.execute("ALTER TYPE addr RENAME street TO road")
+        r = db.execute("SELECT a.road AS r, a.zip AS z FROM fusers").collect()
+        assert (r[0].r, r[0].z) == ("M", 7)
+
+
+class TestUdtFieldConditions:
+    """Parser.g:1609 udtFieldCondition — IF u.f op v [IN ...]."""
+
+    def test_field_condition_applies(self, db):
+        db.execute("INSERT INTO users (id, a) VALUES (1, {city: 'R', zip: 7})")
+        ok = db.execute(
+            "UPDATE users SET name = 'hit' WHERE id = 1 IF a.city = 'R'"
+        )
+        assert ok
+        r = db.execute("SELECT name FROM users").collect()
+        assert [x.name for x in r] == ["hit"]
+
+    def test_field_condition_fails(self, db):
+        db.execute("INSERT INTO users (id, a) VALUES (1, {city: 'R'})")
+        ok = db.execute(
+            "UPDATE users SET name = 'x' WHERE id = 1 IF a.zip = 9"
+        )
+        assert not ok  # zip cell is null, = non-null fails
+
+    def test_field_condition_null_compare(self, db):
+        db.execute("INSERT INTO users (id, a) VALUES (1, {city: 'R'})")
+        assert db.execute(
+            "UPDATE users SET name = 'y' WHERE id = 1 IF a.zip = null"
+        )
+
+    def test_field_in_condition(self, db):
+        db.execute("INSERT INTO users (id, a) VALUES (1, {zip: 5})")
+        assert db.execute(
+            "UPDATE users SET name = 'z' WHERE id = 1 IF a.zip IN (4, 5)"
+        )
+        assert not db.execute(
+            "UPDATE users SET name = 'w' WHERE id = 1 IF a.zip IN (7, 8)"
+        )
+
+    def test_unknown_field_in_condition_rejected(self, db):
+        db.execute("INSERT INTO users (id, a) VALUES (1, {zip: 5})")
+        with pytest.raises(InvalidRequest, match="field"):
+            db.execute("UPDATE users SET name = 'q' WHERE id = 1 IF a.nope = 1")
+
+    def test_field_condition_on_non_udt_rejected(self, db):
+        db.execute("INSERT INTO users (id, name) VALUES (1, 'n')")
+        with pytest.raises(InvalidRequest, match="not a user type"):
+            db.execute("UPDATE users SET name = 'q' WHERE id = 1 IF name.x = 1")
