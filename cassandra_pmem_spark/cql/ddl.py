@@ -424,6 +424,12 @@ class _DdlParser(_Parser):
         if name in _NATIVE_TYPES:
             return _NATIVE_TYPES[name]
         if name in self.registry.types:
+            # record the reference for schema bookkeeping: DROP TYPE's
+            # in-use gate and ALTER TYPE propagation must see user types
+            # NESTED inside collections/tuples, not just direct columns
+            if not hasattr(self, "_type_refs"):
+                self._type_refs = set()
+            self._type_refs.add(name)
             return self.registry.types[name]
         raise InvalidRequest(f"unknown type {name!r}")
 
@@ -509,6 +515,7 @@ class _DdlParser(_Parser):
         self.last_frozen: set[str] = set()
         self.last_counters: set[str] = set()
         self.last_udt_columns: dict[str, str] = {}  # col -> type name
+        self.last_udt_refs: dict[str, frozenset] = {}  # col -> all type names
         self.expect_punct("(")
 
         cols: list[tuple[str, T.DataType]] = []
@@ -534,7 +541,10 @@ class _DdlParser(_Parser):
             else:
                 col = self.ident()
                 raw_type = self.peek().text.lower()
+                self._type_refs = set()
                 typ, kind, frozen, is_counter = self.column_type()
+                if self._type_refs:
+                    self.last_udt_refs[col] = frozenset(self._type_refs)
                 if raw_type in ("uuid", "timeuuid", "inet"):
                     special_types[col] = raw_type
                 if kind is not None:
@@ -1139,26 +1149,33 @@ class _DdlParser(_Parser):
                 )
             new = T.StructType(list(old.fields) + [T.StructField(fname, ftype)])
         elif self.accept_kw("rename"):
+            # RENAME clauses apply SEQUENTIALLY (AlterTypeStatement.Renames
+            # loop): a source renamed by an earlier clause is gone — so
+            # 'RENAME a TO b AND a TO c' fails on the second clause, and
+            # 'RENAME a TO b AND b TO c' composes to a -> c
+            work = list(old.fieldNames())
             while True:
                 o = self.ident()
                 self.expect_kw("to")
                 n = self.ident()
-                if o not in old.fieldNames():
+                if o not in work:
                     raise InvalidRequest(
                         f"unknown field {o!r} in type {name!r}"
                     )
-                renames[o] = n
+                if n in work:
+                    raise InvalidRequest(
+                        f"duplicate field names after RENAME in type {name!r}"
+                    )
+                work[work.index(o)] = n
                 if not self.accept_kw("and"):
                     break
-            newnames = [renames.get(f.name, f.name) for f in old.fields]
-            if len(set(newnames)) != len(newnames):
-                raise InvalidRequest(
-                    f"duplicate field names after RENAME in type {name!r}"
-                )
+            renames = {
+                f.name: w for f, w in zip(old.fields, work) if f.name != w
+            }
             new = T.StructType(
                 [
-                    T.StructField(renames.get(f.name, f.name), f.dataType)
-                    for f in old.fields
+                    T.StructField(w, f.dataType)
+                    for f, w in zip(old.fields, work)
                 ]
             )
         elif self.accept_kw("alter"):
@@ -1182,7 +1199,12 @@ class _DdlParser(_Parser):
         fields = list(meta.schema.fields)
         if self.accept_kw("add"):
             col = self.ident()
+            self._type_refs = set()
             typ, kind, frozen, is_counter = self.column_type()
+            if self._type_refs:
+                self.registry.udt_refs.setdefault(key, {})[col] = frozenset(
+                    self._type_refs
+                )
             if col in {f.name for f in fields}:
                 raise InvalidRequest(f"column {col!r} already exists")
             # counter purity holds under ALTER too (AlterTableStatement:
@@ -1214,6 +1236,7 @@ class _DdlParser(_Parser):
                 raise InvalidRequest(f"unknown column {col!r}")
             self.registry.collection_kinds.get(key, {}).pop(col, None)
             self.registry.udt_columns.get(key, {}).pop(col, None)
+            self.registry.udt_refs.get(key, {}).pop(col, None)
             self.registry.frozen_columns[key] = (
                 self.registry.frozen_columns.get(key, frozenset()) - {col}
             )
@@ -1286,6 +1309,9 @@ class SchemaRegistry:
         # name} — ALTER TYPE propagation walks this (the reference keeps
         # the same dependency via Schema.getTypes references)
         self.udt_columns: dict[tuple, dict[str, str]] = {}
+        # EVERY user type a column's declared type references, including
+        # nested uses (list<frozen<t>>, map<k, frozen<t>>, tuple<t, ...>)
+        self.udt_refs: dict[tuple, dict[str, frozenset]] = {}
         # (type name, {old field -> new field}) of the LAST ALTER TYPE —
         # CqlDatabase's session sync consumes it to remap buffered cells
         self.last_alter_type: tuple[str, dict[str, str]] | None = None
@@ -1309,6 +1335,7 @@ class SchemaRegistry:
         self.frozen_columns.pop(table_key, None)
         self.counter_columns.pop(table_key, None)
         self.udt_columns.pop(table_key, None)
+        self.udt_refs.pop(table_key, None)
         self._drop_table_indexes(table_key)
 
     def execute(self, cql: str, current_keyspace: str | None = None) -> None:
@@ -1360,6 +1387,9 @@ class SchemaRegistry:
                     self.udt_columns[key] = dict(
                         getattr(p, "last_udt_columns", {})
                     )
+                    self.udt_refs[key] = dict(
+                        getattr(p, "last_udt_refs", {})
+                    )
             elif nxt in ("index", "custom"):
                 idx = p.create_index()
                 if idx is not None:
@@ -1376,14 +1406,39 @@ class SchemaRegistry:
             self.last_alter_type = None
             if p.peek().kind == "ident" and p.peek().text.lower() == "type":
                 name, new_struct, renames = p.alter_type()
+                # validate BEFORE mutating the registry: a nested-usage
+                # rejection must leave types and tables untouched
+                import dataclasses as _dc
+
+                for tkey, refmap in self.udt_refs.items():
+                    direct = {
+                        c
+                        for c, tn in self.udt_columns.get(tkey, {}).items()
+                        if tn == name
+                    }
+                    nested_only = sorted(
+                        c
+                        for c, refs in refmap.items()
+                        if name in refs and c not in direct
+                    )
+                    if nested_only:
+                        # a type buried inside a collection/tuple column
+                        # cannot be rewritten in place without re-deriving
+                        # every nested value shape — refuse loudly rather
+                        # than leave the table schema stale (documented
+                        # engine boundary; the reference rewrites nested
+                        # types too)
+                        raise InvalidRequest(
+                            f"Cannot alter type '{name}': column "
+                            f"{nested_only[0]!r} of table {tkey[1]!r} uses "
+                            "it inside a collection or tuple"
+                        )
                 self.types[name] = new_struct
                 self.last_alter_type = (name, renames)
                 # propagate to every table column declared with the type
                 # (the reference rewrites dependent TableMetadata the
                 # same way; AlterTypeStatement updates keyspace.types and
                 # all referencing tables)
-                import dataclasses as _dc
-
                 for tkey, colmap in self.udt_columns.items():
                     cols = [c for c, tn in colmap.items() if tn == name]
                     if not cols:
@@ -1511,9 +1566,10 @@ class SchemaRegistry:
                 # DropTypeStatement.java: a type still referenced by a
                 # table column cannot be dropped out from under it
                 users = sorted(
-                    tk[1]
-                    for tk, colmap in self.udt_columns.items()
-                    if key in colmap.values()
+                    {tk[1] for tk, colmap in self.udt_columns.items()
+                     if key in colmap.values()}
+                    | {tk[1] for tk, refmap in self.udt_refs.items()
+                       if any(key in refs for refs in refmap.values())}
                 )
                 if users:
                     raise InvalidRequest(

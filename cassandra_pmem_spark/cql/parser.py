@@ -613,6 +613,32 @@ def _compile(
                     f"Cannot use selection function {fn} on PRIMARY KEY part {col}"
                 )
             shadow = ("_cellwt_" if fn == "writetime" else "_cellttl_") + col
+            if shadow not in t._df.columns:
+                from pyspark.sql import types as _T
+
+                dt = {f.name: f.dataType for f in meta.schema.fields}.get(col)
+                if isinstance(dt, _T.StructType):
+                    # FROZEN UDT: one cell holds every field, so a field
+                    # selector reads the column's single-cell liveness
+                    # (null when the field itself is null — no cell ever
+                    # stored a value for it)
+                    if ekey not in dt.fieldNames():
+                        raise InvalidRequest(
+                            f"UDT column {col!r} does not have a field "
+                            f"{ekey!r}"
+                        )
+                    scalar = f"_{fn}_{col}"
+                    projection.append(
+                        F.when(
+                            F.col(col).getField(ekey).isNotNull(),
+                            F.col(scalar),
+                        ).alias(s.alias or f"{fn}({col}.{ekey})")
+                    )
+                    continue
+                raise InvalidRequest(
+                    f"{fn}() element selector needs a multi-cell "
+                    f"collection or UDT column, got {col!r}"
+                )
             projection.append(
                 F.col(shadow)[F.lit(ekey)].alias(s.alias or f"{fn}({col}[{ekey}])")
             )

@@ -1064,6 +1064,29 @@ class CqlWriteSession:
                     else:
                         for mk in val or []:
                             frag[mk] = None
+        # a BOUND whole-UDT value (SET u = ?) arrives as a plain dict in
+        # `sets` — decompose it exactly like the parsed {…} literal path
+        # (complex deletion at wt-1 + field cells); a non-dict bind on a
+        # UDT column is a type error at prepare
+        for ecol in self._nonfrozen_udt_cols():
+            if ecol in sets and sets[ecol] is not None:
+                v = sets.pop(ecol)
+                if not isinstance(v, dict):
+                    raise InvalidRequest(
+                        f"Invalid {type(v).__name__} constant for UDT "
+                        f"column {ecol!r}"
+                    )
+                self._cell_tombs.append(
+                    CellTombstone(
+                        self._key_of(key),
+                        [f"{ecol}#{f}" for f in self._udt_fields(ecol)],
+                        wt - 1,
+                    )
+                )
+                udt_cells[ecol] = {
+                    f: x for f, x in v.items() if x is not None
+                }
+                udt_null_fields.pop(ecol, None)
         # SET col = null is a cell DELETE (Constants.Setter null handling);
         # for a non-frozen UDT that means every FIELD cell dies
         null_sets = [c for c, v in sets.items() if v is None]
@@ -1479,6 +1502,24 @@ class CqlWriteSession:
                 ok = isinstance(val, dict)
             elif isinstance(dt, T.StructType):
                 ok = isinstance(val, dict)
+                if ok:
+                    # frozen-UDT whole values validate PER FIELD too —
+                    # same prepare-time rules as the multi-cell path
+                    ftypes = {f.name: f.dataType for f in dt.fields}
+                    unknown = sorted(set(val) - set(ftypes))
+                    if unknown:
+                        raise InvalidRequest(
+                            f"Unknown field {unknown[0]!r} in value of "
+                            f"user defined type for \"{label}\""
+                        )
+                    return {
+                        f: (
+                            None
+                            if v is None
+                            else checked(v, ftypes[f], f"{label}.{f}")
+                        )
+                        for f, v in val.items()
+                    }
             if not ok:
                 raise InvalidRequest(
                     f"Invalid {type(val).__name__} constant ({val!r}) for "

@@ -292,3 +292,71 @@ class TestUdtFieldConditions:
         db.execute("INSERT INTO users (id, name) VALUES (1, 'n')")
         with pytest.raises(InvalidRequest, match="not a user type"):
             db.execute("UPDATE users SET name = 'q' WHERE id = 1 IF name.x = 1")
+
+
+class TestReviewRound9:
+    """Round-9 self-review findings: bound whole-UDT updates, nested type
+    references, frozen-UDT field liveness/validation, sequential RENAME."""
+
+    def test_bound_udt_update_decomposes(self, db):
+        db.execute("INSERT INTO users (id, a) VALUES (1, {street: 'M', zip: 7})")
+        db.execute(
+            "UPDATE users SET a = ? WHERE id = 1",
+            [{"city": "C"}],
+        )
+        r = db.execute("SELECT a FROM users").collect()
+        assert tuple(r[0].a) == (None, "C", None)
+
+    def test_bound_udt_update_creates_row(self, db):
+        db.execute("UPDATE users SET a = ? WHERE id = 5", [{"street": "S"}])
+        r = db.execute("SELECT id, a FROM users").collect()
+        assert [(x.id, tuple(x.a)) for x in r] == [(5, ("S", None, None))]
+
+    def test_bound_non_dict_rejected(self, db):
+        with pytest.raises(InvalidRequest, match="Invalid"):
+            db.execute("UPDATE users SET a = ? WHERE id = 1", [42])
+
+    def test_drop_type_nested_in_collection_rejected(self, db):
+        db.execute("CREATE TABLE lc (id int PRIMARY KEY, xs list<frozen<addr>>)")
+        with pytest.raises(InvalidRequest, match="still used"):
+            db.execute("DROP TYPE addr")
+        db.execute("DROP TABLE lc")
+        db.execute("DROP TABLE users")
+        db.execute("DROP TABLE fusers")
+        db.execute("DROP TYPE addr")  # now unreferenced
+
+    def test_alter_type_nested_usage_rejected_atomically(self, db):
+        db.execute("CREATE TABLE mc (id int PRIMARY KEY, m map<text, frozen<addr>>)")
+        with pytest.raises(InvalidRequest, match="inside a collection"):
+            db.execute("ALTER TYPE addr ADD country text")
+        # registry must be untouched by the failed ALTER
+        assert "country" not in db.registry.types["addr"].fieldNames()
+        assert "street" in db.registry.tables[("uks", "users")].schema["a"].dataType.fieldNames()
+
+    def test_frozen_udt_field_writetime(self, db):
+        db.execute("INSERT INTO fusers (id, a) VALUES (1, {street: 'M'})")
+        r = db.execute(
+            "SELECT WRITETIME(a.street) AS ws, WRITETIME(a.zip) AS wz FROM fusers"
+        ).collect()
+        assert r[0].ws == 1 and r[0].wz is None  # zip field is null: no value
+
+    def test_frozen_udt_unknown_field_writetime_rejected(self, db):
+        db.execute("INSERT INTO fusers (id, a) VALUES (1, {street: 'M'})")
+        with pytest.raises(InvalidRequest, match="field"):
+            db.execute("SELECT WRITETIME(a.nope) FROM fusers")
+
+    def test_frozen_udt_field_type_validated(self, db):
+        with pytest.raises(InvalidRequest, match="Invalid"):
+            db.execute("INSERT INTO fusers (id, a) VALUES (1, {street: 5})")
+        with pytest.raises(InvalidRequest, match="[Ff]ield"):
+            db.execute("INSERT INTO fusers (id, a) VALUES (1, {bogus: 'x'})")
+
+    def test_rename_same_source_twice_rejected(self, db):
+        with pytest.raises(InvalidRequest, match="unknown field"):
+            db.execute("ALTER TYPE addr RENAME street TO road AND street TO lane")
+
+    def test_rename_chain_composes(self, db):
+        db.execute("INSERT INTO users (id, a) VALUES (1, {street: 'M'})")
+        db.execute("ALTER TYPE addr RENAME street TO road AND road TO lane")
+        r = db.execute("SELECT a.lane AS v FROM users").collect()
+        assert [x.v for x in r] == ["M"]
