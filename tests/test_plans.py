@@ -836,3 +836,58 @@ class TestRound6Plans:
         # the corpus itself
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
         assert "SortMergeJoin" not in plan, plan
+
+
+class TestUdtMergePlan:
+    """SCALE.md round-9 claim: non-frozen UDT field cells ride the SAME
+    one-pass cell-LWW merge as scalar columns — decomposing a UDT into
+    per-field synthetic columns adds ZERO exchanges over an equivalent
+    all-scalar table."""
+
+    def _session(self, spark, udt: bool):
+        from pyspark.sql import types as T
+
+        from cassandra_pmem_spark.catalog import TableMeta
+        from cassandra_pmem_spark.cql.writes import CollectionInfo, CqlWriteSession
+
+        if udt:
+            schema = T.StructType(
+                [
+                    T.StructField("k", T.LongType()),
+                    T.StructField(
+                        "u",
+                        T.StructType(
+                            [
+                                T.StructField("a", T.StringType()),
+                                T.StructField("b", T.LongType()),
+                            ]
+                        ),
+                    ),
+                ]
+            )
+            info = CollectionInfo(kinds={"u": "udt"}, frozen=frozenset())
+        else:
+            schema = T.StructType(
+                [
+                    T.StructField("k", T.LongType()),
+                    T.StructField("a", T.StringType()),
+                    T.StructField("b", T.LongType()),
+                ]
+            )
+            info = None
+        meta = TableMeta("t", schema, partition_key=("k",))
+        s = CqlWriteSession(spark, meta, collection_info=info)
+        if udt:
+            s.execute("UPDATE t SET u.a = 'x' WHERE k = 1")
+            s.execute("INSERT INTO t (k, u) VALUES (2, {a: 'y', b: 3})")
+        else:
+            s.execute("UPDATE t SET a = 'x' WHERE k = 1")
+            s.execute("INSERT INTO t (k, a, b) VALUES (2, 'y', 3)")
+        return s
+
+    def test_udt_merge_adds_no_exchange(self, spark):
+        scalar_plan = plan_of(self._session(spark, udt=False).table())
+        udt_plan = plan_of(self._session(spark, udt=True).table())
+        n_scalar = scalar_plan.count("Exchange")
+        n_udt = udt_plan.count("Exchange")
+        assert n_udt == n_scalar, (n_udt, n_scalar)
