@@ -360,3 +360,26 @@ class TestReviewRound9:
         db.execute("ALTER TYPE addr RENAME street TO road AND road TO lane")
         r = db.execute("SELECT a.lane AS v FROM users").collect()
         assert [x.v for x in r] == ["M"]
+
+
+class TestUdtJson:
+    def test_insert_json_decomposes_udt(self, db):
+        db.execute(
+            'INSERT INTO users JSON \'{"id": 1, "a": {"street": "M", "zip": 7}}\''
+        )
+        r = db.execute("SELECT id, a FROM users").collect()
+        assert [(x.id, tuple(x.a)) for x in r] == [(1, ("M", None, 7))]
+        # field cells carry their own liveness even from the JSON path
+        db.execute("DELETE a.street FROM users WHERE id = 1")
+        r = db.execute("SELECT a FROM users").collect()
+        assert tuple(r[0].a) == (None, None, 7)
+
+    def test_select_json_serializes_udt(self, db):
+        db.execute("INSERT INTO users (id, a) VALUES (1, {zip: 5})")
+        r = db.execute("SELECT JSON id, a FROM users").collect()
+        import json
+
+        row = json.loads(r[0]["[json]"])
+        # engine-wide SELECT JSON convention (cql_select_json oracle):
+        # null fields are omitted from the serialized object
+        assert row["a"] == {"zip": 5}
