@@ -102,6 +102,10 @@ class Selector:
     args: list[str] = field(default_factory=list)
     alias: str | None = None
     fn: str | None = None
+    # aggregate over a nested selectable (Selectable.WithFunction —
+    # max(writetime(v)), avg(cast(x as int)), sum(u.f)); None = args[0]
+    # is a plain column name
+    inner: "Selector | None" = None
 
 
 @dataclass
@@ -218,9 +222,37 @@ class _Parser:
                     self.expect_punct(")")
                     sel = Selector("agg", ["*"], fn="count")
                 else:
-                    col = self.ident()
+                    # the argument is a SELECTABLE (Selectable.
+                    # WithFunction nests): a column, a UDT field path,
+                    # CAST(col AS t), or WRITETIME/TTL(col)
+                    p2 = self.peek()
+                    low2 = p2.text.lower() if p2.kind == "ident" else ""
+                    inner: Selector | None = None
+                    if low2 == "cast":
+                        self.next()
+                        self.expect_punct("(")
+                        c = self.ident()
+                        self.expect_kw("as")
+                        typ = self.ident()
+                        self.expect_punct(")")
+                        inner = Selector("cast", [c, typ])
+                        col = c
+                    elif low2 in ("writetime", "ttl"):
+                        self.next()
+                        self.expect_punct("(")
+                        c = self.ident()
+                        self.expect_punct(")")
+                        inner = Selector(low2, [c])
+                        col = c
+                    else:
+                        col = self.ident()
+                        if self.peek().kind == "punct" and self.peek().text == ".":
+                            path = [col]
+                            while self.accept_punct("."):
+                                path.append(self.ident())
+                            inner = Selector("field", path)
                     self.expect_punct(")")
-                    sel = Selector("agg", [col], fn=low)
+                    sel = Selector("agg", [col], fn=low, inner=inner)
             elif low in ("writetime", "ttl"):
                 col = self.ident()
                 if self.accept_punct("["):
@@ -431,6 +463,51 @@ _CAST_TYPES = {
 }
 
 
+_INTEGRAL_SQL = {
+    "ByteType()": "tinyint", "ShortType()": "smallint",
+    "IntegerType()": "int", "LongType()": "bigint",
+}
+
+
+def _integral_avg_source(s, meta, df_columns) -> tuple[str, str] | None:
+    """(SQL fragment, SQL type) of an avg() argument when it is INTEGRAL
+    — the cases where CQL's AvgFunction divides in integer arithmetic.
+    None for fractional/unknown sources (F.avg is correct there)."""
+    from pyspark.sql import types as _T
+
+    def integral(dt) -> str | None:
+        return {
+            _T.ByteType: "tinyint", _T.ShortType: "smallint",
+            _T.IntegerType: "int", _T.LongType: "bigint",
+        }.get(type(dt))
+
+    by_name = {f.name: f.dataType for f in meta.schema.fields}
+    inner = s.inner
+    if inner is None:
+        c = s.args[0]
+        if c == "*":
+            return None
+        st = integral(by_name.get(c))
+        return (c, st) if st else None
+    if inner.kind == "cast":
+        c, typ = inner.args
+        tl = typ.lower()
+        if tl in ("tinyint", "smallint", "int", "bigint"):
+            return (f"cast({c} as {tl})", tl)
+        return None
+    if inner.kind == "field":
+        dt = by_name.get(inner.args[0])
+        for part in inner.args[1:]:
+            if not isinstance(dt, _T.StructType) or part not in dt.fieldNames():
+                return None
+            dt = dt[part].dataType
+        st = integral(dt)
+        return (".".join(inner.args), st) if st else None
+    # writetime/ttl shadows are bigint
+    shadow = f"_{inner.kind}_{inner.args[0]}"
+    return (shadow, "bigint") if shadow in df_columns else None
+
+
 def _call_sql(s, registry, current_keyspace) -> tuple[str, str]:
     """Resolve a Selector('call') against the schema registry's
     statement-created functions: returns ('agg'|'fn', assembled SQL).
@@ -552,8 +629,60 @@ def _compile(
                 continue
             if s.kind != "agg":
                 continue
-            name = s.alias or (f"{s.fn}_{s.args[0]}" if s.args[0] != "*" else "count")
-            col = F.count(F.lit(1)) if s.args[0] == "*" else getattr(F, s.fn)(s.args[0])
+            inner = s.inner
+            if inner is None:
+                name = s.alias or (
+                    f"{s.fn}_{s.args[0]}" if s.args[0] != "*" else "count"
+                )
+                col = (
+                    F.count(F.lit(1))
+                    if s.args[0] == "*"
+                    else getattr(F, s.fn)(s.args[0])
+                )
+            else:
+                # nested selectable under the aggregate
+                if inner.kind == "cast":
+                    c, typ = inner.args
+                    if typ.lower() not in _CAST_TYPES:
+                        raise InvalidRequest(f"unsupported cast target {typ!r}")
+                    expr = F.col(c).cast(_CAST_TYPES[typ.lower()])
+                    label = f"cast_{c}"
+                elif inner.kind == "field":
+                    expr = F.col(".".join(inner.args))
+                    label = "_".join(inner.args)
+                else:  # writetime | ttl
+                    c = inner.args[0]
+                    if c in meta.primary_key:
+                        raise InvalidRequest(
+                            f"Cannot use selection function {inner.kind} on "
+                            f"PRIMARY KEY part {c}"
+                        )
+                    shadow = f"_{inner.kind}_{c}"
+                    if f"_cellwt_{c}" in t._df.columns:
+                        raise InvalidRequest(
+                            f"{inner.kind}() of a multi-cell column cannot "
+                            "be aggregated (it is a per-cell list)"
+                        )
+                    if shadow not in t._df.columns:
+                        raise InvalidRequest(
+                            f"{inner.kind}() is only available on table "
+                            "sessions (no liveness shadows here)"
+                        )
+                    expr = F.col(shadow)
+                    label = f"{inner.kind}_{c}"
+                name = s.alias or f"{s.fn}_{label}"
+                col = getattr(F, s.fn)(expr)
+            # CQL's avg over an integral type divides in integer
+            # arithmetic (AvgFunction uses BigInteger sum / count —
+            # truncation toward zero, which Spark's `div` matches);
+            # Spark's F.avg would return a double instead
+            if s.fn == "avg":
+                src = _integral_avg_source(s, meta, t._df.columns)
+                if src is not None:
+                    src_sql, src_type = src
+                    col = F.expr(
+                        f"sum({src_sql}) div count({src_sql})"
+                    ).cast(src_type)
             aggs.append(col.alias(name))
         out = df.groupBy(*group_cols).agg(*aggs) if group_cols else df.agg(*aggs)
         return out.limit(st.limit) if st.limit is not None else out

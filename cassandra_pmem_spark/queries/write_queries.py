@@ -1043,11 +1043,69 @@ FROM supplier
 """
 
 
+
+
+def cql_agg_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregates over NESTED selectables (Selectable.WithFunction —
+    cql3/selection/Selectable.java nesting): max(writetime(col)) reads
+    the liveness shadows under the fold, avg(cast(col as int)) applies
+    CQL's INTEGER avg (AggregateFcts.java:431-446 BigInteger division,
+    truncation toward zero — Spark's F.avg double would hash-mismatch),
+    and count(*) rides along. Base rows carry writetime 0; two inserted
+    rows at explicit timestamps prove the shadow feeds the max."""
+    from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+    db = CqlDatabase(spark)
+    db.execute("CREATE KEYSPACE agn WITH REPLICATION = {'class': 'SimpleStrategy'}")
+    db.execute("USE agn")
+    db.execute(
+        "CREATE TABLE ord (o_custkey bigint, o_orderkey bigint, "
+        "o_totalprice double, PRIMARY KEY (o_custkey, o_orderkey))"
+    )
+    base = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderkey") < 2000)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+    sess = db._session_for_key(("agn", "ord"))
+    sess._base = base
+    db.execute(
+        "INSERT INTO ord (o_custkey, o_orderkey, o_totalprice) "
+        "VALUES (-1, -1, 1000.9) USING TIMESTAMP 500"
+    )
+    db.execute(
+        "INSERT INTO ord (o_custkey, o_orderkey, o_totalprice) "
+        "VALUES (-1, -2, 2000.2) USING TIMESTAMP 300"
+    )
+    return db.execute(
+        "SELECT o_custkey, count(*) AS n, "
+        "max(writetime(o_totalprice)) AS mw, "
+        "avg(cast(o_totalprice as int)) AS ai "
+        "FROM ord GROUP BY o_custkey"
+    )
+
+
+_AGG_NESTED_ORACLE = """
+WITH b AS (
+  SELECT o_custkey, o_orderkey, o_totalprice, 0 AS wt
+  FROM orders WHERE o_orderkey < 2000
+  UNION ALL SELECT -1, -1, 1000.9, 500
+  UNION ALL SELECT -1, -2, 2000.2, 300
+)
+SELECT o_custkey,
+  count(*) AS n,
+  CAST(max(wt) AS BIGINT) AS mw,
+  CAST(SUM(CAST(trunc(o_totalprice) AS INTEGER)) // count(*) AS INTEGER) AS ai
+FROM b GROUP BY o_custkey
+"""
+
+
 QUERIES = {
     "cql_delete_tombstones": (cql_delete_tombstones, _DELETE_TOMBSTONES_ORACLE),
     "cql_list_cell_liveness": (cql_list_cell_liveness, _LIST_CELL_ORACLE),
     "cql_udt_field_writes": (cql_udt_field_writes, _UDT_FIELD_ORACLE),
     "cql_alter_type": (cql_alter_type, _ALTER_TYPE_ORACLE),
+    "cql_agg_nested": (cql_agg_nested, _AGG_NESTED_ORACLE),
     "cql_indexed_lookup": (cql_indexed_lookup, _INDEXED_LOOKUP_ORACLE),
     "cql_create_mv_statement": (cql_create_mv_statement, _CREATE_MV_ORACLE),
     "cql_udf_statement": (cql_udf_statement, _UDF_STMT_ORACLE),

@@ -292,3 +292,53 @@ class TestExecute:
             )
         )
         assert once == doubled and len(once) == 2
+
+
+class TestNestedAggregates:
+    """Selectable.WithFunction nesting: aggregates over writetime/cast/
+    field selectables, plus CQL integer-avg truncation on the statement
+    path (AggregateFcts.java:431-446)."""
+
+    @pytest.fixture()
+    def db(self, spark):
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+        db = CqlDatabase(spark)
+        db.execute("CREATE KEYSPACE nag WITH REPLICATION = {'class': 'SimpleStrategy'}")
+        db.execute("USE nag")
+        db.execute("CREATE TYPE pt (x int, y int)")
+        db.execute(
+            "CREATE TABLE t (k int, c int, v double, n int, u pt, "
+            "PRIMARY KEY (k, c))"
+        )
+        db.execute("INSERT INTO t (k, c, v, n, u) VALUES (1, 1, 2.7, 5, {x: 3})")
+        db.execute("INSERT INTO t (k, c, v, n, u) VALUES (1, 2, 3.9, 6, {x: 5})")
+        db.execute("UPDATE t USING TIMESTAMP 50 SET v = 9.9 WHERE k = 1 AND c = 3")
+        return db
+
+    def test_max_writetime(self, db):
+        r = db.execute("SELECT k, max(writetime(v)) AS mw FROM t GROUP BY k").collect()
+        assert [(x.k, x.mw) for x in r] == [(1, 50)]
+
+    def test_avg_cast_truncates_int(self, db):
+        r = db.execute("SELECT avg(cast(v as int)) AS a FROM t").collect()
+        # cast 2.7->2, 3.9->3, 9.9->9; avg = 14 div 3 = 4 (int, not 4.67)
+        assert [x.a for x in r] == [4]
+
+    def test_avg_int_column_truncates(self, db):
+        r = db.execute("SELECT avg(n) AS a FROM t").collect()
+        assert [x.a for x in r] == [5]  # (5+6) div 2, int
+
+    def test_sum_udt_field(self, db):
+        r = db.execute("SELECT sum(u.x) AS s FROM t").collect()
+        assert [x.s for x in r] == [8]
+
+    def test_avg_double_stays_double(self, db):
+        r = db.execute("SELECT avg(v) AS a FROM t").collect()
+        assert abs(x := r[0].a - (2.7 + 3.9 + 9.9) / 3) < 1e-9, x
+
+    def test_writetime_agg_on_pk_rejected(self, db):
+        from cassandra_pmem_spark.cql.validator import InvalidRequest
+
+        with pytest.raises(InvalidRequest, match="PRIMARY KEY"):
+            db.execute("SELECT max(writetime(k)) FROM t")
