@@ -601,3 +601,168 @@ class TestCollectionCellProperty:
         cs = got.get("_cellwt_s")
         got_ws = [cs[k] for k in sorted(cs)] if cs else None
         assert got_ws == ws, f"ws: ops={ops}"
+
+
+_UDT_META = TableMeta(
+    "kv2",
+    T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("c", T.LongType()),
+            T.StructField("a", T.StringType()),
+            T.StructField(
+                "u",
+                T.StructType(
+                    [
+                        T.StructField("x", T.IntegerType()),
+                        T.StructField("y", T.IntegerType()),
+                    ]
+                ),
+            ),
+        ]
+    ),
+    partition_key=("k",),
+    clustering=(ClusteringColumn("c"),),
+)
+
+_UKEYS = [(1, 1), (1, 2), (2, 1)]
+
+
+@st.composite
+def udt_op(draw):
+    kind = draw(
+        st.sampled_from(
+            [
+                "ins_scalar", "ins_udt", "upd_x", "upd_y", "upd_x_null",
+                "full_set", "set_u_null", "del_x", "del_u", "del_row",
+                "upd_a",
+            ]
+        )
+    )
+    key = draw(st.sampled_from(_UKEYS))
+    val = draw(st.integers(min_value=1, max_value=9))
+    return kind, key, val
+
+
+class UdtModel:
+    """Reference cell semantics for one non-frozen UDT column u(x, y)
+    plus a scalar a: per-field cells with their own LWW + tombstones;
+    full-value writes are a complex deletion at wt-1 + field cells
+    (UserTypes.Setter); row liveness only from INSERT."""
+
+    def __init__(self):
+        self.s: dict = {}
+
+    def _st(self, key):
+        return self.s.setdefault(
+            key,
+            {
+                "rt": 0, "row_live": 0,
+                "a": None, "a_tomb": 0,
+                "f": {}, "ftomb": {"x": 0, "y": 0},
+            },
+        )
+
+    def write_field(self, key, f, val, wt):
+        d = self._st(key)["f"]
+        if f not in d or d[f][1] < wt:
+            d[f] = (val, wt)
+
+    def tomb_field(self, key, f, wt):
+        t = self._st(key)["ftomb"]
+        t[f] = max(t[f], wt)
+
+    def apply(self, kind, key, val, wt):
+        st_ = self._st(key)
+        if kind == "ins_scalar":
+            st_["row_live"] = max(st_["row_live"], wt)
+            if st_["a"] is None or st_["a"][1] < wt:
+                st_["a"] = (f"s{val}", wt)
+        elif kind == "ins_udt":
+            st_["row_live"] = max(st_["row_live"], wt)
+            for f in ("x", "y"):
+                self.tomb_field(key, f, wt - 1)
+            self.write_field(key, "x", val, wt)
+            self.write_field(key, "y", val + 1, wt)
+        elif kind == "upd_x":
+            self.write_field(key, "x", val, wt)
+        elif kind == "upd_y":
+            self.write_field(key, "y", val, wt)
+        elif kind == "upd_x_null":
+            self.tomb_field(key, "x", wt)
+        elif kind == "full_set":
+            for f in ("x", "y"):
+                self.tomb_field(key, f, wt - 1)
+            self.write_field(key, "x", val, wt)
+        elif kind == "set_u_null" or kind == "del_u":
+            for f in ("x", "y"):
+                self.tomb_field(key, f, wt)
+        elif kind == "del_x":
+            self.tomb_field(key, "x", wt)
+        elif kind == "del_row":
+            st_["rt"] = max(st_["rt"], wt)
+        elif kind == "upd_a":
+            if st_["a"] is None or st_["a"][1] < wt:
+                st_["a"] = (f"s{val}", wt)
+
+    def visible(self):
+        out = []
+        for (k, c), st_ in self.s.items():
+            rt = st_["rt"]
+            a = None
+            if st_["a"] is not None and st_["a"][1] > max(st_["a_tomb"], rt):
+                a = st_["a"][0]
+            fv = {}
+            for f in ("x", "y"):
+                cell = st_["f"].get(f)
+                if cell is not None and cell[1] > max(st_["ftomb"][f], rt):
+                    fv[f] = cell[0]
+            u = (fv.get("x"), fv.get("y")) if fv else None
+            if st_["row_live"] > rt or a is not None or u is not None:
+                out.append((k, c, a, u))
+        return sorted(out, key=str)
+
+
+class TestUdtWriteModelProperty:
+    @settings(
+        max_examples=10,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.lists(udt_op(), min_size=1, max_size=8))
+    def test_udt_session_matches_model(self, spark, ops):
+        from cassandra_pmem_spark.cql.writes import CollectionInfo
+
+        sess = CqlWriteSession(
+            spark,
+            _UDT_META,
+            collection_info=CollectionInfo(kinds={"u": "udt"}, frozen=frozenset()),
+        )
+        model = UdtModel()
+        for i, (kind, (k, c), val) in enumerate(ops):
+            wt = (i + 1) * 10
+            where = f"WHERE k = {k} AND c = {c}"
+            stmt = {
+                "ins_scalar": f"INSERT INTO kv2 (k, c, a) VALUES ({k}, {c}, 's{val}') USING TIMESTAMP {wt}",
+                "ins_udt": f"INSERT INTO kv2 (k, c, u) VALUES ({k}, {c}, {{x: {val}, y: {val + 1}}}) USING TIMESTAMP {wt}",
+                "upd_x": f"UPDATE kv2 USING TIMESTAMP {wt} SET u.x = {val} {where}",
+                "upd_y": f"UPDATE kv2 USING TIMESTAMP {wt} SET u.y = {val} {where}",
+                "upd_x_null": f"UPDATE kv2 USING TIMESTAMP {wt} SET u.x = null {where}",
+                "full_set": f"UPDATE kv2 USING TIMESTAMP {wt} SET u = {{x: {val}}} {where}",
+                "set_u_null": f"UPDATE kv2 USING TIMESTAMP {wt} SET u = null {where}",
+                "del_x": f"DELETE u.x FROM kv2 USING TIMESTAMP {wt} {where}",
+                "del_u": f"DELETE u FROM kv2 USING TIMESTAMP {wt} {where}",
+                "del_row": f"DELETE FROM kv2 USING TIMESTAMP {wt} {where}",
+                "upd_a": f"UPDATE kv2 USING TIMESTAMP {wt} SET a = 's{val}' {where}",
+            }[kind]
+            sess.execute(stmt)
+            model.apply(kind, (k, c), val, wt)
+        got = sorted(
+            (
+                (r.k, r.c, r.a, tuple(r.u) if r.u is not None else None)
+                for r in sess.table().collect()
+            ),
+            key=str,
+        )
+        assert got == model.visible(), f"ops={ops}"
