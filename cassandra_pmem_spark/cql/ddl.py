@@ -1929,6 +1929,22 @@ class CqlDatabase:
 
             st = parse_select(cql, params)
             ks, _, tbl = st.table.rpartition(".")
+            if ks == "system_schema":
+                # schema introspection tables (SchemaKeyspace.java:124
+                # TABLES/COLUMNS/TYPES/INDEXES) — derived live from the
+                # registry, so DDL is immediately SELECT-visible, exactly
+                # how drivers read the reference's schema
+                from cassandra_pmem_spark.sources.virtual import (
+                    system_schema_frame,
+                )
+
+                sdf, smeta = system_schema_frame(self.spark, self.registry, tbl)
+                return _compile(
+                    CqlTable(sdf, smeta, self.strict),
+                    st,
+                    registry=self.registry,
+                    current_keyspace=self.current_keyspace,
+                )
             tkey = self.registry.tables.resolve(
                 tbl, keyspace=ks or None, current=self.current_keyspace, missing_ok=True
             )

@@ -37,6 +37,7 @@ _PRIORITY: tuple[str, ...] = (
     "cql_alter_type",  # ALTER TYPE ADD/RENAME schema evolution (r9)
     "multimodal_audio_mp1_subband",  # ISO 11172-3 Layer I decode (r9)
     "cql_agg_nested",  # aggregates over nested selectables (r9)
+    "cql_system_schema",  # SchemaKeyspace introspection tables (r9)
     # -- (2) machinery edited in round 9 ⇒ evidence stale-by-edit
     #    writes.py (UDT decomposition, _validate_elem_ops, table() merge)
     "cql_batch_apply",
@@ -90,7 +91,6 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_tumbling_real",
     "text_sasi_analyzer",
     "cql_allow_filtering",
-    "tpch_q2_min_supplier",
 )
 # Deliberately outside the window this round: the full r8-green set
 # (write-path r6/r7/r8 tier re-evidenced in the r8 window, the round-8

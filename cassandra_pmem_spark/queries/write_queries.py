@@ -1100,12 +1100,94 @@ FROM b GROUP BY o_custkey
 """
 
 
+
+
+def cql_system_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """system_schema introspection through the statement surface
+    (schema/SchemaKeyspace.java:124 — the TABLES/COLUMNS/TYPES/INDEXES
+    tables every driver reads to discover schema): scripted DDL (type,
+    tables with composite keys/statics/collections/UDTs, an index,
+    then an ALTER TYPE rename), read back via SELECTs over
+    system_schema.columns and system_schema.types. The oracle holds the
+    rows the DDL must produce — any drift in column kinds, positions, or
+    reconstructed CQL type text (including frozen<> and set-vs-list
+    disambiguation, which Spark's type system erases) hash-mismatches."""
+    from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+    db = CqlDatabase(spark)
+    db.execute("CREATE KEYSPACE iss WITH REPLICATION = {'class': 'SimpleStrategy'}")
+    db.execute("USE iss")
+    db.execute("CREATE TYPE loc (street text, zip int)")
+    db.execute(
+        "CREATE TABLE ev (u bigint, d date, seq int, kind text STATIC, "
+        "payload blob, place loc, fplace frozen<loc>, tags set<text>, "
+        "hist list<double>, attrs map<text, int>, "
+        "PRIMARY KEY ((u, d), seq))"
+    )
+    db.execute("CREATE INDEX kind_i ON ev (kind)")
+    db.execute("ALTER TYPE loc RENAME street TO road")
+    cols = db.execute(
+        "SELECT keyspace_name, table_name, column_name, kind, position, type "
+        "FROM system_schema.columns"
+    )
+    types = db.execute(
+        "SELECT type_name, field_names, field_types FROM system_schema.types"
+    )
+    idx = db.execute(
+        "SELECT table_name AS itable, index_name, target FROM system_schema.indexes"
+    )
+    return (
+        cols.withColumn("src", F.lit("col"))
+        .unionByName(
+            types.select(
+                F.lit("iss").alias("keyspace_name"),
+                F.col("type_name").alias("table_name"),
+                F.col("field_names").alias("column_name"),
+                F.lit("type").alias("kind"),
+                F.lit(-1).alias("position"),
+                F.col("field_types").alias("type"),
+                F.lit("type").alias("src"),
+            )
+        )
+        .unionByName(
+            idx.select(
+                F.lit("iss").alias("keyspace_name"),
+                F.col("itable").alias("table_name"),
+                F.col("index_name").alias("column_name"),
+                F.lit("index").alias("kind"),
+                F.lit(-1).alias("position"),
+                F.col("target").alias("type"),
+                F.lit("index").alias("src"),
+            )
+        )
+    )
+
+
+_SYSTEM_SCHEMA_ORACLE = """
+SELECT * FROM (VALUES
+  ('iss', 'ev', 'u',       'partition_key', 0,  'bigint',          'col'),
+  ('iss', 'ev', 'd',       'partition_key', 1,  'date',            'col'),
+  ('iss', 'ev', 'seq',     'clustering',    0,  'int',             'col'),
+  ('iss', 'ev', 'kind',    'static',        -1, 'text',            'col'),
+  ('iss', 'ev', 'payload', 'regular',       -1, 'blob',            'col'),
+  ('iss', 'ev', 'place',   'regular',       -1, 'loc',             'col'),
+  ('iss', 'ev', 'fplace',  'regular',       -1, 'frozen<loc>',     'col'),
+  ('iss', 'ev', 'tags',    'regular',       -1, 'set<text>',       'col'),
+  ('iss', 'ev', 'hist',    'regular',       -1, 'list<double>',    'col'),
+  ('iss', 'ev', 'attrs',   'regular',       -1, 'map<text, int>',  'col'),
+  ('iss', 'loc', 'road,zip', 'type',        -1, 'text,int',        'type'),
+  ('iss', 'ev', 'kind_i',  'index',         -1, 'kind',            'index')
+) AS t(keyspace_name, table_name, column_name, kind, position, type, src)
+"""
+
+
 QUERIES = {
     "cql_delete_tombstones": (cql_delete_tombstones, _DELETE_TOMBSTONES_ORACLE),
     "cql_list_cell_liveness": (cql_list_cell_liveness, _LIST_CELL_ORACLE),
     "cql_udt_field_writes": (cql_udt_field_writes, _UDT_FIELD_ORACLE),
     "cql_alter_type": (cql_alter_type, _ALTER_TYPE_ORACLE),
     "cql_agg_nested": (cql_agg_nested, _AGG_NESTED_ORACLE),
+    "cql_system_schema": (cql_system_schema, _SYSTEM_SCHEMA_ORACLE),
     "cql_indexed_lookup": (cql_indexed_lookup, _INDEXED_LOOKUP_ORACLE),
     "cql_create_mv_statement": (cql_create_mv_statement, _CREATE_MV_ORACLE),
     "cql_udf_statement": (cql_udf_statement, _UDF_STMT_ORACLE),

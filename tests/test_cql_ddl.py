@@ -757,3 +757,65 @@ class TestIndexSelection:
 
         with pytest.raises(InvalidRequest, match="ALLOW FILTERING"):
             db.execute("SELECT id FROM t WHERE seg = 'S0' AND city = 'C2'")
+
+
+class TestSystemSchema:
+    """SchemaKeyspace.java:124 introspection tables, live from the registry."""
+
+    @pytest.fixture()
+    def db(self, spark):
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+        db = CqlDatabase(spark)
+        db.execute("CREATE KEYSPACE ssk WITH REPLICATION = {'class': 'SimpleStrategy'}")
+        db.execute("USE ssk")
+        db.execute("CREATE TYPE pt (x int)")
+        db.execute("CREATE TABLE t (k int PRIMARY KEY, v text, u pt)")
+        return db
+
+    def test_ddl_immediately_visible(self, db):
+        names = [
+            r.table_name
+            for r in db.execute(
+                "SELECT table_name FROM system_schema.tables"
+            ).collect()
+        ]
+        assert names == ["t"]
+        db.execute("CREATE TABLE t2 (k int PRIMARY KEY)")
+        names = [
+            r.table_name
+            for r in db.execute(
+                "SELECT table_name FROM system_schema.tables"
+            ).collect()
+        ]
+        assert names == ["t", "t2"]
+
+    def test_columns_reflect_kinds_and_types(self, db):
+        rows = {
+            r.column_name: (r.kind, r.type)
+            for r in db.execute(
+                "SELECT column_name, kind, type FROM system_schema.columns"
+            ).collect()
+        }
+        assert rows == {
+            "k": ("partition_key", "int"),
+            "v": ("regular", "text"),
+            "u": ("regular", "pt"),
+        }
+
+    def test_drop_removes_rows(self, db):
+        db.execute("DROP TABLE t")
+        assert db.execute("SELECT table_name FROM system_schema.tables").count() == 0
+
+    def test_alter_type_visible(self, db):
+        db.execute("ALTER TYPE pt ADD y bigint")
+        r = db.execute(
+            "SELECT field_names, field_types FROM system_schema.types"
+        ).collect()
+        assert (r[0].field_names, r[0].field_types) == ("x,y", "int,bigint")
+
+    def test_unknown_system_table_rejected(self, db):
+        from cassandra_pmem_spark.cql.validator import InvalidRequest
+
+        with pytest.raises(InvalidRequest, match="system_schema"):
+            db.execute("SELECT * FROM system_schema.nope")
