@@ -49,6 +49,14 @@ HEADLINE = [
     "dedup_substring_spans",
     "multimodal_image_dedup",
     "temporal_asof_join",
+    # round-9 additions: the new DISTRIBUTED stages (MPEG-1 Layer I
+    # decode over mapInPandas, the train_cap'd BPE trainer). The other
+    # r9 operators (UDT cells, ALTER TYPE, system_schema) live on the
+    # statement path — correctness-gated, but their wall time is
+    # driver-side statement machinery, not engine throughput, so they
+    # stay out of the throughput suite like the rest of that tier.
+    "multimodal_audio_mp1_subband",
+    "text_bpe_train",
 ]
 
 

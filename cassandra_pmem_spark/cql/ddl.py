@@ -1880,7 +1880,7 @@ class CqlDatabase:
                                 )
             return None
         if head == "begin":
-            return self._execute_batch(cql, params or [])
+            return self._execute_batch(cql, params if params is not None else [])
         if head in self._DML_HEADS:
             tks, tname = self._dml_table(cql)
             self._check_view_target(tks, tname, head)

@@ -179,11 +179,32 @@ class _Parser:
     def literal(self, params: list[Any], cursor: list[int]) -> Any:
         t = self.next()
         if t.kind == "punct" and t.text == "?":
+            if isinstance(params, dict):
+                raise InvalidRequest(
+                    "positional ? markers cannot bind named parameters "
+                    "(use :name markers with a dict)"
+                )
             idx = cursor[0]
             cursor[0] += 1
             if idx >= len(params):
                 raise InvalidRequest("not enough bind values for ? markers")
             return params[idx]
+        if (
+            t.kind == "punct"
+            and t.text == ":"
+            and self.peek().kind == "ident"
+        ):
+            # named bind marker :name (Parser.g marker rule / QueryOptions
+            # named values): repeated names bind the SAME value, no cursor
+            name = self.next().text
+            if not isinstance(params, dict):
+                raise InvalidRequest(
+                    f"named bind marker :{name} needs named parameters "
+                    "(pass a dict)"
+                )
+            if name not in params:
+                raise InvalidRequest(f"no bind value for marker :{name}")
+            return params[name]
         if t.kind == "string":
             return t.text[1:-1].replace("''", "'")
         if t.kind == "number":
@@ -451,7 +472,7 @@ class _Parser:
 
 
 def parse_select(cql: str, params: list[Any] | None = None) -> SelectStatement:
-    return _Parser(_tokenize(cql)).select_statement(params or [])
+    return _Parser(_tokenize(cql)).select_statement(params if params is not None else [])
 
 
 _CAST_TYPES = {

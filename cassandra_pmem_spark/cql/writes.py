@@ -606,7 +606,7 @@ class CqlWriteSession:
     def execute(self, cql: str, params: list[Any] | None = None) -> bool:
         """Apply one statement. Returns the LWT [applied] flag — True for
         unconditional writes, the condition outcome for IF statements."""
-        return self._execute(cql, params or [], cursor=[0], forced_ts=None)
+        return self._execute(cql, params if params is not None else [], cursor=[0], forced_ts=None)
 
     def _execute(self, cql: str, params: list[Any], cursor: list[int], forced_ts: int | None) -> bool:
         head = cql.strip().split(None, 1)[0].lower()

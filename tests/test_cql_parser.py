@@ -342,3 +342,61 @@ class TestNestedAggregates:
 
         with pytest.raises(InvalidRequest, match="PRIMARY KEY"):
             db.execute("SELECT max(writetime(k)) FROM t")
+
+
+class TestNamedBindMarkers:
+    """Named bind markers :name (Parser.g marker rule; QueryOptions named
+    values): repeated names bind the same value, no positional cursor."""
+
+    @pytest.fixture()
+    def db(self, spark):
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+        db = CqlDatabase(spark)
+        db.execute("CREATE KEYSPACE nbm WITH REPLICATION = {'class': 'SimpleStrategy'}")
+        db.execute("USE nbm")
+        db.execute("CREATE TABLE t (k int PRIMARY KEY, v text, n int)")
+        return db
+
+    def test_insert_update_select_roundtrip(self, db):
+        db.execute(
+            "INSERT INTO t (k, v, n) VALUES (:k, :v, :n)",
+            {"k": 1, "v": "x", "n": 5},
+        )
+        db.execute(
+            "UPDATE t USING TTL :ttl SET v = :v WHERE k = :k",
+            {"ttl": 1000, "v": "y", "k": 2},
+        )
+        r = db.execute("SELECT k, v, n FROM t WHERE k = :k", {"k": 1}).collect()
+        assert [(x.k, x.v, x.n) for x in r] == [(1, "x", 5)]
+
+    def test_repeated_name_binds_same_value(self, db):
+        db.execute("INSERT INTO t (k, v) VALUES (:a, 'one')", {"a": 7})
+        db.execute(
+            "UPDATE t SET n = :a WHERE k = :a", {"a": 7}
+        )
+        r = db.execute("SELECT n FROM t").collect()
+        assert [x.n for x in r] == [7]
+
+    def test_mixing_positional_with_dict_rejected(self, db):
+        from cassandra_pmem_spark.cql.validator import InvalidRequest
+
+        with pytest.raises(InvalidRequest, match="positional"):
+            db.execute("INSERT INTO t (k, v) VALUES (?, :v)", {"v": "z"})
+
+    def test_missing_name_rejected(self, db):
+        from cassandra_pmem_spark.cql.validator import InvalidRequest
+
+        with pytest.raises(InvalidRequest, match="no bind value"):
+            db.execute("INSERT INTO t (k) VALUES (:missing)", {})
+
+    def test_named_in_batch(self, db):
+        db.execute(
+            "BEGIN BATCH "
+            "INSERT INTO t (k, v) VALUES (:k1, :v); "
+            "INSERT INTO t (k, v) VALUES (:k2, :v); "
+            "APPLY BATCH",
+            {"k1": 1, "k2": 2, "v": "b"},
+        )
+        r = db.execute("SELECT k, v FROM t").collect()
+        assert sorted((x.k, x.v) for x in r) == [(1, "b"), (2, "b")]
