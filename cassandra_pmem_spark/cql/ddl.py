@@ -488,13 +488,18 @@ class _DdlParser(_Parser):
     def create_type(self) -> tuple[str, T.StructType] | None:
         self.expect_kw("type")
         ine = self.if_not_exists()
-        _, name = self.qualified_name()
+        ks, name = self.qualified_name()
+        self.last_type_keyspace = ks if ks is not None else self.current_keyspace
+        self._type_refs = set()
         self.expect_punct("(")
         fields = [(self.ident(), self.cql_type())]
         while self.accept_punct(","):
             fields.append((self.ident(), self.cql_type()))
         self.expect_punct(")")
         self._end()
+        # types EMBEDDED in this type's fields (frozen<other> et al.) —
+        # DROP TYPE's gate and ALTER TYPE must see type-in-type usage
+        self.last_type_refs = frozenset(self._type_refs)
         if name.lower() in self.registry.types:
             if ine:
                 return None
@@ -516,6 +521,7 @@ class _DdlParser(_Parser):
         self.last_counters: set[str] = set()
         self.last_udt_columns: dict[str, str] = {}  # col -> type name
         self.last_udt_refs: dict[str, frozenset] = {}  # col -> all type names
+        self.last_column_type_text: dict[str, str] = {}  # col -> CQL text
         self.expect_punct("(")
 
         cols: list[tuple[str, T.DataType]] = []
@@ -542,7 +548,17 @@ class _DdlParser(_Parser):
                 col = self.ident()
                 raw_type = self.peek().text.lower()
                 self._type_refs = set()
+                tstart = self.i
                 typ, kind, frozen, is_counter = self.column_type()
+                # the DECLARED CQL type text, verbatim (normalized) — the
+                # system_schema.columns `type` cell; reconstruction from
+                # Spark types can't see nesting facts (set-vs-list, UDT
+                # names inside collections), the source text can
+                self.last_column_type_text[col] = (
+                    "".join(t.text for t in self.toks[tstart:self.i])
+                    .lower()
+                    .replace(",", ", ")
+                )
                 if self._type_refs:
                     self.last_udt_refs[col] = frozenset(self._type_refs)
                 if raw_type in ("uuid", "timeuuid", "inet"):
@@ -1200,11 +1216,14 @@ class _DdlParser(_Parser):
         if self.accept_kw("add"):
             col = self.ident()
             self._type_refs = set()
+            tstart = self.i
             typ, kind, frozen, is_counter = self.column_type()
-            if self._type_refs:
-                self.registry.udt_refs.setdefault(key, {})[col] = frozenset(
-                    self._type_refs
-                )
+            add_refs = frozenset(self._type_refs)
+            add_type_text = (
+                "".join(t.text for t in self.toks[tstart:self.i])
+                .lower()
+                .replace(",", ", ")
+            )
             if col in {f.name for f in fields}:
                 raise InvalidRequest(f"column {col!r} already exists")
             # counter purity holds under ALTER too (AlterTableStatement:
@@ -1214,13 +1233,18 @@ class _DdlParser(_Parser):
                 raise InvalidRequest(
                     "Cannot mix counter and non counter columns in the same table"
                 )
-            # record the Spark-erased facts for the new column
+            # record the Spark-erased facts for the new column — AFTER
+            # every validation above, so a rejected ALTER leaves no stale
+            # bookkeeping (a stale udt_refs entry would wedge DROP TYPE)
             if kind is not None:
                 self.registry.collection_kinds.setdefault(key, {})[col] = kind
             if kind == "udt":
                 self.registry.udt_columns.setdefault(key, {})[col] = (
                     self._last_udt_typename
                 )
+            if add_refs:
+                self.registry.udt_refs.setdefault(key, {})[col] = add_refs
+            self.registry.column_type_text.setdefault(key, {})[col] = add_type_text
             if frozen:
                 self.registry.frozen_columns[key] = (
                     self.registry.frozen_columns.get(key, frozenset()) | {col}
@@ -1237,6 +1261,7 @@ class _DdlParser(_Parser):
             self.registry.collection_kinds.get(key, {}).pop(col, None)
             self.registry.udt_columns.get(key, {}).pop(col, None)
             self.registry.udt_refs.get(key, {}).pop(col, None)
+            self.registry.column_type_text.get(key, {}).pop(col, None)
             self.registry.frozen_columns[key] = (
                 self.registry.frozen_columns.get(key, frozenset()) - {col}
             )
@@ -1312,6 +1337,12 @@ class SchemaRegistry:
         # EVERY user type a column's declared type references, including
         # nested uses (list<frozen<t>>, map<k, frozen<t>>, tuple<t, ...>)
         self.udt_refs: dict[tuple, dict[str, frozenset]] = {}
+        # type-in-type embedding (CREATE TYPE outer (i frozen<inner>)) and
+        # the keyspace a type was created under (types store by bare name)
+        self.type_refs: dict[str, frozenset] = {}
+        self.type_keyspaces: dict[str, str | None] = {}
+        # declared CQL type text per column (system_schema.columns)
+        self.column_type_text: dict[tuple, dict[str, str]] = {}
         # (type name, {old field -> new field}) of the LAST ALTER TYPE —
         # CqlDatabase's session sync consumes it to remap buffered cells
         self.last_alter_type: tuple[str, dict[str, str]] | None = None
@@ -1336,6 +1367,7 @@ class SchemaRegistry:
         self.counter_columns.pop(table_key, None)
         self.udt_columns.pop(table_key, None)
         self.udt_refs.pop(table_key, None)
+        self.column_type_text.pop(table_key, None)
         self._drop_table_indexes(table_key)
 
     def execute(self, cql: str, current_keyspace: str | None = None) -> None:
@@ -1370,6 +1402,12 @@ class SchemaRegistry:
                 out = p.create_type()
                 if out is not None:
                     self.types[out[0]] = out[1]
+                    self.type_refs[out[0]] = getattr(
+                        p, "last_type_refs", frozenset()
+                    )
+                    self.type_keyspaces[out[0]] = getattr(
+                        p, "last_type_keyspace", None
+                    )
             elif nxt == "table" or nxt == "columnfamily":
                 meta = p.create_table()
                 if meta is not None:
@@ -1390,6 +1428,9 @@ class SchemaRegistry:
                     self.udt_refs[key] = dict(
                         getattr(p, "last_udt_refs", {})
                     )
+                    self.column_type_text[key] = dict(
+                        getattr(p, "last_column_type_text", {})
+                    )
             elif nxt in ("index", "custom"):
                 idx = p.create_index()
                 if idx is not None:
@@ -1409,6 +1450,16 @@ class SchemaRegistry:
                 # validate BEFORE mutating the registry: a nested-usage
                 # rejection must leave types and tables untouched
                 import dataclasses as _dc
+
+                embedding = sorted(
+                    t for t, refs in self.type_refs.items() if name in refs
+                )
+                if embedding:
+                    raise InvalidRequest(
+                        f"Cannot alter type '{name}': user type "
+                        f"'{embedding[0]}' embeds it (in-place rewrite of "
+                        "embedding types is not supported by this engine)"
+                    )
 
                 for tkey, refmap in self.udt_refs.items():
                     direct = {
@@ -1576,6 +1627,18 @@ class SchemaRegistry:
                         f"Cannot drop user type '{name}' as it is still "
                         f"used by table {users[0]}"
                     )
+                embedding = sorted(
+                    t for t, refs in self.type_refs.items() if key in refs
+                )
+                if embedding:
+                    # DropTypeStatement: a type embedded in another type
+                    # cannot be dropped out from under it
+                    raise InvalidRequest(
+                        f"Cannot drop user type '{name}' as it is still "
+                        f"used by user type {embedding[0]}"
+                    )
+                self.type_refs.pop(key, None)
+                self.type_keyspaces.pop(key, None)
             del store[key]
             # cascade, mirroring the reference's keyspace-scoped schema
             # model: a dropped keyspace takes its tables (and their

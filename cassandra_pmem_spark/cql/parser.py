@@ -484,12 +484,6 @@ _CAST_TYPES = {
 }
 
 
-_INTEGRAL_SQL = {
-    "ByteType()": "tinyint", "ShortType()": "smallint",
-    "IntegerType()": "int", "LongType()": "bigint",
-}
-
-
 def _integral_avg_source(s, meta, df_columns) -> tuple[str, str] | None:
     """(SQL fragment, SQL type) of an avg() argument when it is INTEGRAL
     — the cases where CQL's AvgFunction divides in integer arithmetic.

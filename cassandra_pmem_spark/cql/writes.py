@@ -188,14 +188,12 @@ class _WriteParser(_Parser):
             # cql3/Json.parseJson:281 — keys are column names)
             import json as _json
 
-            t = self.next()
-            if t.kind == "punct" and t.text == "?":
-                raw = params[cursor[0]]
-                cursor[0] += 1
-            elif t.kind == "string":
-                raw = t.text[1:-1].replace("''", "'")
-            else:
-                raise InvalidRequest("INSERT JSON expects a JSON string literal or ?")
+            # literal() serves strings AND both marker kinds (?, :name)
+            raw = self.literal(params, cursor)
+            if not isinstance(raw, str):
+                raise InvalidRequest(
+                    "INSERT JSON expects a JSON string literal or a bind marker"
+                )
             try:
                 cells = _json.loads(raw)
             except ValueError as exc:
@@ -605,8 +603,22 @@ class CqlWriteSession:
 
     def execute(self, cql: str, params: list[Any] | None = None) -> bool:
         """Apply one statement. Returns the LWT [applied] flag — True for
-        unconditional writes, the condition outcome for IF statements."""
-        return self._execute(cql, params if params is not None else [], cursor=[0], forced_ts=None)
+        unconditional writes, the condition outcome for IF statements.
+
+        A REJECTED statement applies nothing: apply paths may buffer a
+        complex-deletion tombstone or a partial mutation before a later
+        validation raises (e.g. a mis-typed field in a decomposed UDT
+        write), so the whole statement rolls back to the entry snapshot
+        on any error — the reference validates before any mutation ever
+        forms; this restores the same all-or-nothing contract."""
+        snap = self._snapshot()
+        try:
+            return self._execute(
+                cql, params if params is not None else [], cursor=[0], forced_ts=None
+            )
+        except Exception:
+            self._restore(snap)
+            raise
 
     def _execute(self, cql: str, params: list[Any], cursor: list[int], forced_ts: int | None) -> bool:
         head = cql.strip().split(None, 1)[0].lower()
@@ -630,13 +642,30 @@ class CqlWriteSession:
             ):
                 # BatchStatement.java:172
                 raise InvalidRequest("Global TTL on the BATCH statement is not supported.")
-            mu = _re.match(r"\s*using\s+timestamp\s+(\?|-?\d+)\s*", first, _re.I)
+            mu = _re.match(
+                r"\s*using\s+timestamp\s+(\?|:[A-Za-z_]\w*|-?\d+)\s*", first, _re.I
+            )
             batch_ts: int | None = None
             if mu:
                 tok = mu.group(1)
                 if tok == "?":
+                    if isinstance(params, dict):
+                        raise InvalidRequest(
+                            "positional ? markers cannot bind named "
+                            "parameters (use :name markers with a dict)"
+                        )
                     batch_ts = int(params[cursor[0]])
                     cursor[0] += 1
+                elif tok.startswith(":"):
+                    bname = tok[1:]
+                    if not isinstance(params, dict):
+                        raise InvalidRequest(
+                            f"named bind marker :{bname} needs named "
+                            "parameters (pass a dict)"
+                        )
+                    if bname not in params:
+                        raise InvalidRequest(f"no bind value for marker :{bname}")
+                    batch_ts = int(params[bname])
                 else:
                     batch_ts = int(tok)
                 pieces[0] = first[mu.end():]

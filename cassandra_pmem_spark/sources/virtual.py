@@ -139,6 +139,7 @@ def system_schema_frame(spark: SparkSession, registry, name: str) -> tuple:
             kinds = registry.collection_kinds.get(key, {})
             frozen = registry.frozen_columns.get(key, frozenset())
             udts = registry.udt_columns.get(key, {})
+            declared = registry.column_type_text.get(key, {})
             special = dict(getattr(m, "cql_key_types", ()) or ())
             ck_names = [c.name for c in m.clustering]
             for f in m.schema.fields:
@@ -151,11 +152,14 @@ def system_schema_frame(spark: SparkSession, registry, name: str) -> tuple:
                     kind, pos = "static", -1
                 else:
                     kind, pos = "regular", -1
-                txt = special.get(c) or _cql_type_text(
-                    f.dataType, kinds.get(c), udts.get(c)
-                )
-                if c in frozen and (kinds.get(c) or udts.get(c)):
-                    txt = f"frozen<{txt}>"
+                txt = declared.get(c)
+                if txt is None:
+                    # API-built tables have no statement text — reconstruct
+                    txt = special.get(c) or _cql_type_text(
+                        f.dataType, kinds.get(c), udts.get(c)
+                    )
+                    if c in frozen and (kinds.get(c) or udts.get(c)):
+                        txt = f"frozen<{txt}>"
                 rows.append((key[0] or "", key[1], c, kind, pos, txt))
         meta = TableMeta(
             "columns", schema, partition_key=("keyspace_name",),
@@ -174,7 +178,7 @@ def system_schema_frame(spark: SparkSession, registry, name: str) -> tuple:
         )
         rows = [
             (
-                "",
+                registry.type_keyspaces.get(tn) or "",
                 tn,
                 ",".join(st.fieldNames()),
                 ",".join(

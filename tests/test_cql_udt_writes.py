@@ -383,3 +383,87 @@ class TestUdtJson:
         # engine-wide SELECT JSON convention (cql_select_json oracle):
         # null fields are omitted from the serialized object
         assert row["a"] == {"zip": 5}
+
+
+class TestReviewRound9b:
+    """Second self-review pass: statement rollback, stale bookkeeping,
+    type-in-type refs, nested type text, JSON/batch named markers."""
+
+    def test_rejected_bound_udt_write_applies_nothing(self, db):
+        db.execute("INSERT INTO users (id, a) VALUES (1, {street: 'M', zip: 7})")
+        with pytest.raises(InvalidRequest):
+            db.execute("UPDATE users SET a = ? WHERE id = 1", [{"street": 99}])
+        with pytest.raises(InvalidRequest):
+            db.execute("UPDATE users SET a = ? WHERE id = 1", [{"bogus": 1}])
+        r = db.execute("SELECT a FROM users").collect()
+        assert tuple(r[0].a) == ("M", None, 7)  # tombstone rolled back
+
+    def test_rejected_udt_literal_insert_applies_nothing(self, db):
+        db.execute("INSERT INTO users (id, a) VALUES (1, {street: 'M'})")
+        with pytest.raises(InvalidRequest):
+            db.execute("INSERT INTO users (id, a) VALUES (1, {zip: 'oops'})")
+        r = db.execute("SELECT a FROM users").collect()
+        assert tuple(r[0].a) == ("M", None, None)
+
+    def test_failed_alter_add_leaves_no_stale_refs(self, db):
+        db.execute("CREATE TABLE t9 (id int PRIMARY KEY, v int)")
+        with pytest.raises(InvalidRequest, match="already exists"):
+            db.execute("ALTER TABLE t9 ADD v list<frozen<addr>>")
+        db.execute("DROP TABLE users")
+        db.execute("DROP TABLE fusers")
+        db.execute("DROP TYPE addr")  # must not be blocked by stale refs
+
+    def test_drop_type_embedded_in_type_rejected(self, db):
+        db.execute("CREATE TYPE outer_t (i frozen<addr>)")
+        db.execute("DROP TABLE users")
+        db.execute("DROP TABLE fusers")
+        with pytest.raises(InvalidRequest, match="used by user type"):
+            db.execute("DROP TYPE addr")
+        db.execute("DROP TYPE outer_t")
+        db.execute("DROP TYPE addr")
+
+    def test_alter_type_embedded_rejected(self, db):
+        db.execute("CREATE TYPE outer2 (i frozen<addr>)")
+        with pytest.raises(InvalidRequest, match="embeds it"):
+            db.execute("ALTER TYPE addr ADD extra int")
+
+    def test_system_schema_nested_type_text(self, db):
+        db.execute(
+            "CREATE TABLE nst (id int PRIMARY KEY, xs list<frozen<addr>>, "
+            "m map<text, frozen<set<int>>>)"
+        )
+        rows = {
+            r.column_name: r.type
+            for r in db.execute(
+                "SELECT column_name, type FROM system_schema.columns "
+                "WHERE table_name = 'nst' ALLOW FILTERING"
+            ).collect()
+        }
+        assert rows["xs"] == "list<frozen<addr>>"
+        assert rows["m"] == "map<text, frozen<set<int>>>"
+
+    def test_system_schema_types_keyspace(self, db):
+        r = db.execute(
+            "SELECT keyspace_name, type_name FROM system_schema.types"
+        ).collect()
+        assert [(x.keyspace_name, x.type_name) for x in r] == [("uks", "addr")]
+
+    def test_insert_json_named_marker(self, db):
+        db.execute("INSERT INTO users JSON :row", {"row": '{"id": 3, "name": "j"}'})
+        r = db.execute("SELECT id, name FROM users").collect()
+        assert [(x.id, x.name) for x in r] == [(3, "j")]
+
+    def test_insert_json_positional_with_dict_rejected(self, db):
+        with pytest.raises(InvalidRequest, match="positional"):
+            db.execute("INSERT INTO users JSON ?", {"row": "{}"})
+
+    def test_batch_timestamp_named_marker(self, db):
+        db.execute("CREATE TABLE bt (k int PRIMARY KEY, v int)")
+        db.execute(
+            "BEGIN BATCH USING TIMESTAMP :ts "
+            "INSERT INTO bt (k, v) VALUES (1, 1); "
+            "APPLY BATCH",
+            {"ts": 777},
+        )
+        r = db.execute("SELECT writetime(v) AS w FROM bt").collect()
+        assert [x.w for x in r] == [777]
