@@ -1,0 +1,130 @@
+"""Constant FUNCTION TERMS in write statements (grammar Parser.g term :=
+function '(' terms ')'; cql3/functions/BytesConversionFcts.java:36,
+TimeFcts.java). The reference evaluates pure function terms at prepare
+time on the coordinator; the analog here is driver-side Python constant
+folding — the resulting VALUE then rides the ordinary mutation path, so
+nothing row-at-a-time ever reaches executors.
+
+Covers the deterministic native functions over the engine's type model
+(see functions/blob.py for the column-side pairs and the byte-layout
+contract these must match):
+
+- XAsBlob / blobAsX for text|ascii|varchar, bigint, int, smallint,
+  tinyint, boolean, double, float (big-endian two's-complement /
+  IEEE-754, exactly the marshal forms);
+- toUnixTimestamp / toTimestamp / toDate over string literals.
+
+Non-deterministic terms (now(), uuid()) are deliberately absent — the
+statement surface rejects them with a clear message instead of producing
+un-reproducible mutations.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Any
+
+from cassandra_pmem_spark.cql.validator import InvalidRequest
+
+_INT_WIDTHS = {"bigint": 8, "int": 4, "smallint": 2, "tinyint": 1}
+
+
+def _int_as_blob(v: Any, width: int, name: str) -> bytes:
+    if not isinstance(v, int) or isinstance(v, bool):
+        raise InvalidRequest(f"{name}() takes an integer literal, got {v!r}")
+    try:
+        return int(v).to_bytes(width, "big", signed=True)
+    except OverflowError as exc:
+        raise InvalidRequest(f"{name}({v}) out of range") from exc
+
+
+def _blob_as_int(v: Any, width: int, name: str) -> int:
+    if not isinstance(v, (bytes, bytearray)) or len(v) != width:
+        raise InvalidRequest(
+            f"{name}() takes a {width}-byte blob, got {v!r}"
+        )
+    return int.from_bytes(bytes(v), "big", signed=True)
+
+
+def evaluate_fn(name: str, args: list[Any]) -> Any:
+    """Evaluate one constant function term; raises InvalidRequest for
+    unknown names, non-deterministic functions, and arity/type errors."""
+    low = name.lower()
+    if low in ("now", "uuid", "currenttimestamp", "currentdate",
+               "currenttime", "currenttimeuuid"):
+        raise InvalidRequest(
+            f"{name}() is non-deterministic and not supported as a write "
+            "term in this engine (bind the value instead)"
+        )
+
+    def one() -> Any:
+        if len(args) != 1:
+            raise InvalidRequest(f"{name}() takes 1 argument, got {len(args)}")
+        return args[0]
+
+    for t, w in _INT_WIDTHS.items():
+        if low == f"{t}asblob":
+            return _int_as_blob(one(), w, name)
+        if low == f"blobas{t}":
+            return _blob_as_int(one(), w, name)
+    if low in ("textasblob", "asciiasblob", "varcharasblob"):
+        v = one()
+        if not isinstance(v, str):
+            raise InvalidRequest(f"{name}() takes a string literal")
+        return v.encode("utf-8")
+    if low in ("blobastext", "blobasascii", "blobasvarchar"):
+        v = one()
+        if not isinstance(v, (bytes, bytearray)):
+            raise InvalidRequest(f"{name}() takes a blob")
+        return bytes(v).decode("utf-8")
+    if low == "booleanasblob":
+        v = one()
+        if not isinstance(v, bool):
+            raise InvalidRequest(f"{name}() takes a boolean literal")
+        return b"\x01" if v else b"\x00"
+    if low == "blobasboolean":
+        v = one()
+        if not isinstance(v, (bytes, bytearray)) or len(v) != 1:
+            raise InvalidRequest(f"{name}() takes a 1-byte blob")
+        return v[0] != 0
+    if low == "doubleasblob":
+        v = one()
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            raise InvalidRequest(f"{name}() takes a numeric literal")
+        return struct.pack(">d", float(v))
+    if low == "blobasdouble":
+        v = one()
+        if not isinstance(v, (bytes, bytearray)) or len(v) != 8:
+            raise InvalidRequest(f"{name}() takes an 8-byte blob")
+        return struct.unpack(">d", bytes(v))[0]
+    if low == "floatasblob":
+        v = one()
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            raise InvalidRequest(f"{name}() takes a numeric literal")
+        return struct.pack(">f", float(v))
+    if low == "blobasfloat":
+        v = one()
+        if not isinstance(v, (bytes, bytearray)) or len(v) != 4:
+            raise InvalidRequest(f"{name}() takes a 4-byte blob")
+        return struct.unpack(">f", bytes(v))[0]
+    if low in ("totimestamp", "tounixtimestamp", "todate"):
+        # TimeFcts over string literals: 'YYYY-MM-DD[ hh:mm:ss]' — the
+        # deterministic subset (the timeuuid/now forms are not terms here)
+        import datetime as _dt
+
+        v = one()
+        if not isinstance(v, str):
+            raise InvalidRequest(f"{name}() takes a date/timestamp string here")
+        try:
+            if len(v) == 10:
+                dt = _dt.datetime.strptime(v, "%Y-%m-%d")
+            else:
+                dt = _dt.datetime.strptime(v, "%Y-%m-%d %H:%M:%S")
+        except ValueError as exc:
+            raise InvalidRequest(f"{name}({v!r}): {exc}") from exc
+        if low == "todate":
+            return dt.date()
+        if low == "tounixtimestamp":
+            return int(dt.replace(tzinfo=_dt.timezone.utc).timestamp() * 1000)
+        return dt
+    raise InvalidRequest(f"unknown function {name!r} in term")

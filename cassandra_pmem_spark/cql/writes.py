@@ -178,6 +178,32 @@ def _expand_in_keys(d: dict) -> list[dict]:
 class _WriteParser(_Parser):
     """Statement parsers for the write grammar (Parser.g:478,544,578)."""
 
+    def term(self, params: list[Any], cursor: list[int]) -> Any:
+        """literal | function '(' term [, ...] ')' (Parser.g term rule):
+        constant function terms fold driver-side at prepare
+        (cql/terms.py), exactly like the reference's pure-function
+        execution on the coordinator."""
+        p = self.peek()
+        if (
+            p.kind == "ident"
+            and p.text.lower() not in ("true", "false", "null")
+            and self.toks[self.i + 1].kind == "punct"
+            and self.toks[self.i + 1].text == "("
+        ):
+            from cassandra_pmem_spark.cql.terms import evaluate_fn
+
+            name = self.ident()
+            self.expect_punct("(")
+            args: list[Any] = []
+            if not self.accept_punct(")"):
+                while True:
+                    args.append(self.term(params, cursor))
+                    if not self.accept_punct(","):
+                        break
+                self.expect_punct(")")
+            return evaluate_fn(name, args)
+        return self.literal(params, cursor)
+
     def insert_statement(self, params: list[Any], cursor: list[int] | None = None):
         cursor = [0] if cursor is None else cursor
         self.expect_kw("insert")
@@ -200,12 +226,27 @@ class _WriteParser(_Parser):
                 raise InvalidRequest(f"invalid JSON row: {exc}") from exc
             if not isinstance(cells, dict):
                 raise InvalidRequest("INSERT JSON row must be a JSON object")
+            # DEFAULT NULL | DEFAULT UNSET (Parser.g jsonInsertStatement;
+            # CASSANDRA-11424, Json.java prepareAndCollectMarkers): the
+            # reference DEFAULT is NULL — a regular column omitted from
+            # the JSON map is written as null (i.e. expunged); UNSET
+            # leaves omitted columns untouched.
+            json_default = "null"
+            if self.accept_kw("default"):
+                if self.accept_kw("unset"):
+                    json_default = "unset"
+                elif self.peek().kind == "ident" and self.accept_kw("null"):
+                    json_default = "null"
+                else:
+                    raise InvalidRequest(
+                        "INSERT JSON DEFAULT must be followed by NULL or UNSET"
+                    )
             cond = self.if_clause(params, cursor)
             if cond is not None and cond[0] != "not_exists":
                 raise InvalidRequest("INSERT supports only IF NOT EXISTS")
             using = self._using(params, cursor)
             self._end()
-            return table, cells, using, cond
+            return table, cells, using, cond, json_default
         self.expect_punct("(")
         cols = [self.ident()]
         while self.accept_punct(","):
@@ -220,7 +261,7 @@ class _WriteParser(_Parser):
                 # collection literal — tagged for kind-aware conversion
                 # at execute time (the parser has no schema)
                 return ("__coll__",) + self.collection_literal(params, cursor)
-            return self.literal(params, cursor)
+            return self.term(params, cursor)
 
         vals = [value()]
         while self.accept_punct(","):
@@ -233,7 +274,7 @@ class _WriteParser(_Parser):
             raise InvalidRequest("INSERT supports only IF NOT EXISTS")
         using = self._using(params, cursor)
         self._end()
-        return table, dict(zip(cols, vals)), using, cond
+        return table, dict(zip(cols, vals)), using, cond, None
 
     def collection_literal(self, params: list[Any], cursor: list[int]):
         """``[a, b]`` list / ``{a, b}`` set / ``{k: v}`` map literal
@@ -298,7 +339,7 @@ class _WriteParser(_Parser):
                 t = self.next()
                 if t.kind != "op" or t.text != "=":
                     raise InvalidRequest(f"expected = in SET, got {t.text!r}")
-                elem_val = self.literal(params, cursor)
+                elem_val = self.term(params, cursor)
                 elem_ops.append(("set_elem", col, elem_key, elem_val))
                 if not self.accept_punct(","):
                     break
@@ -311,7 +352,7 @@ class _WriteParser(_Parser):
                 t = self.next()
                 if t.kind != "op" or t.text != "=":
                     raise InvalidRequest(f"expected = in SET, got {t.text!r}")
-                fval = self.literal(params, cursor)
+                fval = self.term(params, cursor)
                 elem_ops.append(("udt_set", col, fname, fval))
                 if not self.accept_punct(","):
                     break
@@ -350,7 +391,7 @@ class _WriteParser(_Parser):
                 else:
                     elem_ops.append(("coll_set", col, lit))
             else:
-                sets[col] = self.literal(params, cursor)
+                sets[col] = self.term(params, cursor)
             if not self.accept_punct(","):
                 break
         self.expect_kw("where")
@@ -711,7 +752,16 @@ class CqlWriteSession:
         counters = self.collection_info.counters if self.collection_info else frozenset()
         p = _WriteParser(_tokenize(cql))
         if head == "insert":
-            _, cells, using, cond = p.insert_statement(params, cursor)
+            _, cells, using, cond, json_default = p.insert_statement(params, cursor)
+            if json_default == "null":
+                # INSERT JSON without DEFAULT UNSET: every declared regular
+                # column absent from the JSON map is written as null
+                # (UpdateStatement.ParsedInsertJson / Json.java — the
+                # reference default), which the null-cell path below turns
+                # into a cell deletion at the statement timestamp.
+                for f in self.meta.schema.fields:
+                    if f.name not in cells and f.name not in self.meta.primary_key:
+                        cells[f.name] = None
             cells = {
                 c: self._convert_coll(c, v)
                 if isinstance(v, tuple) and v[:1] == ("__coll__",)
@@ -2176,7 +2226,7 @@ def validate_batch_pieces(
             raise InvalidRequest("Only INSERT, UPDATE and DELETE are allowed in BATCH")
         p = _WriteParser(_tokenize(stmt))
         if head == "insert":
-            _, _, using, cond = p.insert_statement(params, dry)
+            _, _, using, cond, _ = p.insert_statement(params, dry)
             is_ctr = False
         elif head == "update":
             _, _, deltas, _, using, cond, _ = p.update_statement(params, dry)

@@ -1181,7 +1181,63 @@ SELECT * FROM (VALUES
 """
 
 
+def cql_fn_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constant FUNCTION TERMS in write-statement values (grammar Parser.g
+    term := function '(' terms ')'; cql3/functions/BytesConversionFcts.java:36,
+    TimeFcts.java): XAsBlob/blobAsX reinterpret casts — including nested
+    composition — and toDate/toUnixTimestamp over literals, folded at
+    prepare exactly like the reference's coordinator-side pure-function
+    execution (cql/terms.py), then riding the ordinary mutation path.
+    The resulting typed values read back through the parsed SELECT
+    surface; byte layouts are the marshal forms (big-endian
+    two's-complement / IEEE-754), so the hex projections pin them."""
+    from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+    db = CqlDatabase(spark)
+    db.execute("CREATE KEYSPACE ftk WITH REPLICATION = {'class': 'SimpleStrategy'}")
+    db.execute("USE ftk")
+    db.execute(
+        "CREATE TABLE ft (k int PRIMARY KEY, b blob, bi bigint, d double, "
+        "t text, dt date, un bigint)"
+    )
+    db.execute("INSERT INTO ft (k, b) VALUES (1, textAsBlob('hi'))")
+    db.execute(
+        "INSERT INTO ft (k, bi) VALUES (2, blobAsBigint(bigintAsBlob(123456789012)))"
+    )
+    db.execute("INSERT INTO ft (k, d) VALUES (3, blobAsDouble(doubleAsBlob(2.5)))")
+    db.execute("INSERT INTO ft (k, t) VALUES (4, blobAsText(textAsBlob('round-trip')))")
+    db.execute(
+        "INSERT INTO ft (k, dt, un) VALUES "
+        "(5, toDate('2024-03-01'), toUnixTimestamp('2024-03-01 12:00:00'))"
+    )
+    db.execute("UPDATE ft SET b = intAsBlob(-2) WHERE k = 6")
+    out = db.execute("SELECT k, b, bi, d, t, dt, un FROM ft")
+    return out.select(
+        "k",
+        F.hex("b").alias("b_hex"),
+        "bi",
+        "d",
+        "t",
+        F.col("dt").cast("string").alias("dt"),
+        "un",
+    )
+
+
+_FN_TERMS_ORACLE = """
+SELECT * FROM (VALUES
+  (1, '6869', CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+     CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)),
+  (2, NULL, 123456789012, NULL, NULL, NULL, NULL),
+  (3, NULL, NULL, 2.5, NULL, NULL, NULL),
+  (4, NULL, NULL, NULL, 'round-trip', NULL, NULL),
+  (5, NULL, NULL, NULL, NULL, '2024-03-01', 1709294400000),
+  (6, 'FFFFFFFE', NULL, NULL, NULL, NULL, NULL)
+) t(k, b_hex, bi, d, t, dt, un)
+"""
+
+
 QUERIES = {
+    "cql_fn_terms": (cql_fn_terms, _FN_TERMS_ORACLE),
     "cql_delete_tombstones": (cql_delete_tombstones, _DELETE_TOMBSTONES_ORACLE),
     "cql_list_cell_liveness": (cql_list_cell_liveness, _LIST_CELL_ORACLE),
     "cql_udt_field_writes": (cql_udt_field_writes, _UDT_FIELD_ORACLE),

@@ -169,6 +169,38 @@ class TestInsertJson:
         sess.execute("INSERT INTO kv JSON ? USING TIMESTAMP 20", params=['{"k":1,"c":1,"a":"v2"}'])
         assert rows(sess.table(), "a") == [("v2",)]
 
+    def test_insert_json_default_null_expunges_omitted(self, sess):
+        """The reference DEFAULT for INSERT JSON is NULL: regular columns
+        omitted from the JSON map are written as null, i.e. deleted
+        (CASSANDRA-11424; UpdateStatement.ParsedInsertJson)."""
+        sess.execute("INSERT INTO kv (k, c, a, b) VALUES (1, 1, 'old_a', 'old_b')")
+        sess.execute('INSERT INTO kv JSON \'{"k": 1, "c": 1, "a": "new_a"}\'')
+        assert rows(sess.table(), "a", "b", "n") == [("new_a", None, None)]
+
+    def test_insert_json_explicit_default_null(self, sess):
+        sess.execute("INSERT INTO kv (k, c, b) VALUES (1, 1, 'old_b')")
+        sess.execute('INSERT INTO kv JSON \'{"k": 1, "c": 1}\' DEFAULT NULL')
+        assert rows(sess.table(), "a", "b") == [(None, None)]
+
+    def test_insert_json_default_unset_preserves_omitted(self, sess):
+        sess.execute("INSERT INTO kv (k, c, a, b) VALUES (1, 1, 'old_a', 'old_b')")
+        sess.execute(
+            'INSERT INTO kv JSON \'{"k": 1, "c": 1, "a": "new_a"}\' DEFAULT UNSET'
+        )
+        assert rows(sess.table(), "a", "b") == [("new_a", "old_b")]
+
+    def test_insert_json_default_unset_lww_still_applies(self, sess):
+        sess.execute("INSERT INTO kv JSON ? USING TIMESTAMP 10", params=['{"k":1,"c":1,"a":"v1","b":"w1"}'])
+        sess.execute(
+            "INSERT INTO kv JSON ? DEFAULT UNSET USING TIMESTAMP 20",
+            params=['{"k":1,"c":1,"a":"v2"}'],
+        )
+        assert rows(sess.table(), "a", "b") == [("v2", "w1")]
+
+    def test_insert_json_default_requires_null_or_unset(self, sess):
+        with pytest.raises(InvalidRequest, match="NULL or UNSET"):
+            sess.execute('INSERT INTO kv JSON \'{"k":1,"c":1}\' DEFAULT banana')
+
     def test_insert_json_rejects_bad_payloads(self, sess):
         with pytest.raises(InvalidRequest, match="invalid JSON"):
             sess.execute("INSERT INTO kv JSON '{not json'")
@@ -1180,3 +1212,63 @@ class TestNullWriteIsDelete:
     def test_update_only_all_null_makes_no_row(self, sess):
         sess.execute("UPDATE kv SET a = null WHERE k = 7 AND c = 7")
         assert rows(sess.table(), "k") == []
+
+
+class TestFunctionTerms:
+    """Constant function terms in write values (Parser.g term rule;
+    BytesConversionFcts.java:36) — folded at prepare, round-tripped
+    through the blob conversion pairs."""
+
+    @pytest.fixture()
+    def bsess(self, spark):
+        meta = TableMeta(
+            "bt",
+            T.StructType(
+                [
+                    T.StructField("k", T.LongType()),
+                    T.StructField("b", T.BinaryType()),
+                    T.StructField("n", T.LongType()),
+                    T.StructField("s", T.StringType()),
+                ]
+            ),
+            partition_key=("k",),
+        )
+        return CqlWriteSession(spark, meta)
+
+    def test_as_blob_and_back(self, bsess):
+        bsess.execute("INSERT INTO bt (k, b) VALUES (1, bigintAsBlob(3))")
+        bsess.execute(
+            "INSERT INTO bt (k, n) VALUES (2, blobAsBigint(bigintAsBlob(-9)))"
+        )
+        bsess.execute(
+            "INSERT INTO bt (k, s) VALUES (3, blobAsText(textAsBlob('hi')))"
+        )
+        rows = {r.k: (r.b, r.n, r.s) for r in bsess.table().collect()}
+        assert rows[1][0] == (3).to_bytes(8, "big")
+        assert rows[2][1] == -9
+        assert rows[3][2] == "hi"
+
+    def test_update_set_term(self, bsess):
+        bsess.execute("INSERT INTO bt (k, n) VALUES (1, 0)")
+        bsess.execute(
+            "UPDATE bt SET n = blobAsBigint(bigintAsBlob(77)) WHERE k = 1"
+        )
+        assert [r.n for r in bsess.table().collect()] == [77]
+
+    def test_nondeterministic_rejected(self, bsess):
+        with pytest.raises(InvalidRequest, match="non-deterministic"):
+            bsess.execute("INSERT INTO bt (k, s) VALUES (1, now())")
+
+    def test_unknown_function_rejected(self, bsess):
+        with pytest.raises(InvalidRequest, match="unknown function"):
+            bsess.execute("INSERT INTO bt (k, s) VALUES (1, nosuch(1))")
+
+    def test_width_checked(self, bsess):
+        with pytest.raises(InvalidRequest, match="out of range"):
+            bsess.execute("INSERT INTO bt (k, b) VALUES (1, tinyintAsBlob(300))")
+
+    def test_statement_still_rolls_back_on_bad_term(self, bsess):
+        bsess.execute("INSERT INTO bt (k, n) VALUES (1, 5)")
+        with pytest.raises(InvalidRequest):
+            bsess.execute("UPDATE bt SET n = blobAsBigint(textAsBlob('xx')) WHERE k = 1")
+        assert [r.n for r in bsess.table().collect()] == [5]
