@@ -215,6 +215,33 @@ class _Parser:
             return None
         raise InvalidRequest(f"expected literal, got {t.text!r}")
 
+    def term(self, params: list[Any], cursor: list[int]) -> Any:
+        """literal | function '(' term [, ...] ')' (Parser.g term rule):
+        constant function terms — blobAsX/XAsBlob, toDate/toTimestamp/
+        toUnixTimestamp — fold driver-side at prepare (cql/terms.py),
+        exactly like the reference's pure-function execution on the
+        coordinator. Serves relation values and write values alike."""
+        p = self.peek()
+        if (
+            p.kind == "ident"
+            and p.text.lower() not in ("true", "false", "null")
+            and self.toks[self.i + 1].kind == "punct"
+            and self.toks[self.i + 1].text == "("
+        ):
+            from cassandra_pmem_spark.cql.terms import evaluate_fn
+
+            name = self.ident()
+            self.expect_punct("(")
+            args: list[Any] = []
+            if not self.accept_punct(")"):
+                while True:
+                    args.append(self.term(params, cursor))
+                    if not self.accept_punct(","):
+                        break
+                self.expect_punct(")")
+            return evaluate_fn(name, args)
+        return self.literal(params, cursor)
+
     # -- selectors ------------------------------------------------------------
 
     def selector(self) -> Selector:
@@ -379,34 +406,34 @@ class _Parser:
                 cols.append(self.ident())
             self.expect_punct(")")
             op = self._op()
-            return Relation("token", cols, op, [self.literal(params, cursor)])
+            return Relation("token", cols, op, [self.term(params, cursor)])
         col = self.ident()
         if self.accept_kw("in"):
             self.expect_punct("(")
-            vals = [self.literal(params, cursor)]
+            vals = [self.term(params, cursor)]
             while self.accept_punct(","):
-                vals.append(self.literal(params, cursor))
+                vals.append(self.term(params, cursor))
             self.expect_punct(")")
             return Relation("in", [col], Op.IN, vals)
         if self.accept_kw("contains"):
             if self.accept_kw("key"):
                 return Relation("contains_key", [col], Op.CONTAINS_KEY,
-                                [self.literal(params, cursor)])
+                                [self.term(params, cursor)])
             return Relation("contains", [col], Op.CONTAINS,
-                            [self.literal(params, cursor)])
+                            [self.term(params, cursor)])
         if self.accept_kw("like"):
-            return Relation("simple", [col], Op.LIKE, [self.literal(params, cursor)])
+            return Relation("simple", [col], Op.LIKE, [self.term(params, cursor)])
         op = self._op()
-        return Relation("simple", [col], op, [self.literal(params, cursor)])
+        return Relation("simple", [col], op, [self.term(params, cursor)])
 
     def _tuple_literal(self, params: list[Any], cursor: list[int], arity: int) -> tuple:
         """One parenthesized literal tuple ``(v1, …, vN)``; arity must match
         the relation's column count (the reference rejects mismatched tuple
         sizes — MultiColumnRestriction 'Expected N elements')."""
         self.expect_punct("(")
-        vals = [self.literal(params, cursor)]
+        vals = [self.term(params, cursor)]
         while self.accept_punct(","):
-            vals.append(self.literal(params, cursor))
+            vals.append(self.term(params, cursor))
         self.expect_punct(")")
         if len(vals) != arity:
             raise InvalidRequest(

@@ -178,32 +178,6 @@ def _expand_in_keys(d: dict) -> list[dict]:
 class _WriteParser(_Parser):
     """Statement parsers for the write grammar (Parser.g:478,544,578)."""
 
-    def term(self, params: list[Any], cursor: list[int]) -> Any:
-        """literal | function '(' term [, ...] ')' (Parser.g term rule):
-        constant function terms fold driver-side at prepare
-        (cql/terms.py), exactly like the reference's pure-function
-        execution on the coordinator."""
-        p = self.peek()
-        if (
-            p.kind == "ident"
-            and p.text.lower() not in ("true", "false", "null")
-            and self.toks[self.i + 1].kind == "punct"
-            and self.toks[self.i + 1].text == "("
-        ):
-            from cassandra_pmem_spark.cql.terms import evaluate_fn
-
-            name = self.ident()
-            self.expect_punct("(")
-            args: list[Any] = []
-            if not self.accept_punct(")"):
-                while True:
-                    args.append(self.term(params, cursor))
-                    if not self.accept_punct(","):
-                        break
-                self.expect_punct(")")
-            return evaluate_fn(name, args)
-        return self.literal(params, cursor)
-
     def insert_statement(self, params: list[Any], cursor: list[int] | None = None):
         cursor = [0] if cursor is None else cursor
         self.expect_kw("insert")
@@ -508,7 +482,7 @@ class _WriteParser(_Parser):
                     raise InvalidRequest(
                         "write WHERE clauses support =/IN on key columns only"
                     )
-                out[col] = self.literal(params, cursor)
+                out[col] = self.term(params, cursor)
             if not self.accept_kw("and"):
                 break
         return out
@@ -529,10 +503,10 @@ class _WriteParser(_Parser):
             if t.kind != "op":
                 raise InvalidRequest("expected comparison in WHERE")
             if t.text == "=":
-                eq[col] = self.literal(params, cursor)
+                eq[col] = self.term(params, cursor)
             elif t.text in ("<", "<=", ">", ">="):
                 lo, hi = ranges.get(col, (None, None))
-                v = self.literal(params, cursor)
+                v = self.term(params, cursor)
                 if t.text in (">", ">="):
                     lo = (v, t.text == ">=")
                 else:

@@ -1190,7 +1190,9 @@ def cql_fn_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     execution (cql/terms.py), then riding the ordinary mutation path.
     The resulting typed values read back through the parsed SELECT
     surface; byte layouts are the marshal forms (big-endian
-    two's-complement / IEEE-754), so the hex projections pin them."""
+    two's-complement / IEEE-754), so the hex projections pin them.
+    Terms also serve as RELATION values (the insert-then-delete of
+    key 7 resolves its key through a folded term)."""
     from cassandra_pmem_spark.cql.ddl import CqlDatabase
 
     db = CqlDatabase(spark)
@@ -1211,6 +1213,10 @@ def cql_fn_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(5, toDate('2024-03-01'), toUnixTimestamp('2024-03-01 12:00:00'))"
     )
     db.execute("UPDATE ft SET b = intAsBlob(-2) WHERE k = 6")
+    # function terms as RELATION values too (term rule in relations):
+    # the folded constant rides the ordinary pushed-down predicate
+    db.execute("INSERT INTO ft (k, t) VALUES (7, 'doomed')")
+    db.execute("DELETE FROM ft WHERE k = blobAsInt(intAsBlob(7))")
     out = db.execute("SELECT k, b, bi, d, t, dt, un FROM ft")
     return out.select(
         "k",

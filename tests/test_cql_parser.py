@@ -400,3 +400,49 @@ class TestNamedBindMarkers:
         )
         r = db.execute("SELECT k, v FROM t").collect()
         assert sorted((x.k, x.v) for x in r) == [(1, "b"), (2, "b")]
+
+
+class TestRelationFunctionTerms:
+    """Constant function terms as relation values (Parser.g term rule in
+    relations; cql3/functions/BytesConversionFcts.java, TimeFcts.java) —
+    folded at prepare, so the pushed-down predicate is an ordinary typed
+    comparison."""
+
+    @pytest.fixture()
+    def db(self, spark):
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+        db = CqlDatabase(spark)
+        db.execute("CREATE KEYSPACE rft WITH REPLICATION = {'class': 'SimpleStrategy'}")
+        db.execute("USE rft")
+        db.execute("CREATE TABLE t (k int PRIMARY KEY, n bigint, s text)")
+        db.execute("INSERT INTO t (k, n, s) VALUES (1, 100, 'a')")
+        db.execute("INSERT INTO t (k, n, s) VALUES (2, 200, 'b')")
+        return db
+
+    def test_select_where_eq_term(self, db):
+        r = db.execute(
+            "SELECT k FROM t WHERE n = blobAsBigint(bigintAsBlob(200)) "
+            "ALLOW FILTERING"
+        ).collect()
+        assert [x.k for x in r] == [2]
+
+    def test_select_where_in_term(self, db):
+        r = db.execute(
+            "SELECT k FROM t WHERE k IN (blobAsInt(intAsBlob(1)), 2)"
+        ).collect()
+        assert sorted(x.k for x in r) == [1, 2]
+
+    def test_update_where_key_term(self, db):
+        db.execute("UPDATE t SET s = 'z' WHERE k = blobAsInt(intAsBlob(1))")
+        r = db.execute("SELECT s FROM t WHERE k = 1").collect()
+        assert [x.s for x in r] == ["z"]
+
+    def test_delete_where_key_term(self, db):
+        db.execute("DELETE FROM t WHERE k = blobAsInt(intAsBlob(2))")
+        r = db.execute("SELECT k FROM t").collect()
+        assert [x.k for x in r] == [1]
+
+    def test_nondeterministic_relation_term_rejected(self, db):
+        with pytest.raises(InvalidRequest, match="non-deterministic"):
+            db.execute("SELECT k FROM t WHERE k = now()")
