@@ -56,6 +56,11 @@ def evaluate_fn(name: str, args: list[Any]) -> Any:
             f"{name}() is non-deterministic and not supported as a write "
             "term in this engine (bind the value instead)"
         )
+    if any(a is None for a in args):
+        # the reference's native conversion/time functions are RETURNS
+        # NULL ON NULL INPUT (NativeScalarFunction) — fn(null) is null,
+        # not an error (a bound None must not reject the statement)
+        return None
 
     def one() -> Any:
         if len(args) != 1:
@@ -71,12 +76,21 @@ def evaluate_fn(name: str, args: list[Any]) -> Any:
         v = one()
         if not isinstance(v, str):
             raise InvalidRequest(f"{name}() takes a string literal")
+        if low == "asciiasblob" and not v.isascii():
+            # AsciiType rejects code points above 0x7F
+            raise InvalidRequest(f"{name}() takes an ASCII string literal")
         return v.encode("utf-8")
     if low in ("blobastext", "blobasascii", "blobasvarchar"):
         v = one()
         if not isinstance(v, (bytes, bytearray)):
             raise InvalidRequest(f"{name}() takes a blob")
-        return bytes(v).decode("utf-8")
+        if low == "blobasascii" and any(b > 0x7F for b in v):
+            # AsciiSerializer.validate rejects bytes above 0x7F
+            raise InvalidRequest(f"{name}() takes an ASCII blob")
+        try:
+            return bytes(v).decode("utf-8")
+        except UnicodeDecodeError as exc:
+            raise InvalidRequest(f"{name}(): invalid UTF-8 blob") from exc
     if low == "booleanasblob":
         v = one()
         if not isinstance(v, bool):
@@ -124,7 +138,12 @@ def evaluate_fn(name: str, args: list[Any]) -> Any:
             raise InvalidRequest(f"{name}({v!r}): {exc}") from exc
         if low == "todate":
             return dt.date()
+        # one UTC parse serves both functions (the engine session pins
+        # spark.sql.session.timeZone=UTC — session.py — and an AWARE
+        # datetime denotes the same instant under any session timezone,
+        # so toTimestamp and toUnixTimestamp always agree)
+        dt = dt.replace(tzinfo=_dt.timezone.utc)
         if low == "tounixtimestamp":
-            return int(dt.replace(tzinfo=_dt.timezone.utc).timestamp() * 1000)
+            return int(dt.timestamp() * 1000)
         return dt
     raise InvalidRequest(f"unknown function {name!r} in term")

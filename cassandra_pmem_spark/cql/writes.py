@@ -209,7 +209,7 @@ class _WriteParser(_Parser):
             if self.accept_kw("default"):
                 if self.accept_kw("unset"):
                     json_default = "unset"
-                elif self.peek().kind == "ident" and self.accept_kw("null"):
+                elif self.accept_kw("null"):
                     json_default = "null"
                 else:
                     raise InvalidRequest(
@@ -437,9 +437,9 @@ class _WriteParser(_Parser):
                 # IN condition (ColumnCondition.SimpleBound.isSatisfiedBy
                 # — EQ against ANY listed value, per-element null rules)
                 self.expect_punct("(")
-                vals = [self.literal(params, cursor)]
+                vals = [self.term(params, cursor)]
                 while self.accept_punct(","):
-                    vals.append(self.literal(params, cursor))
+                    vals.append(self.term(params, cursor))
                 self.expect_punct(")")
                 conds.append((col, ekey, "IN", vals))
             else:
@@ -448,7 +448,7 @@ class _WriteParser(_Parser):
                     raise InvalidRequest(
                         f"unsupported LWT condition operator {op.text!r}"
                     )
-                conds.append((col, ekey, op.text, self.literal(params, cursor)))
+                conds.append((col, ekey, op.text, self.term(params, cursor)))
             if not self.accept_kw("and"):
                 break
         return ("conds", conds)
@@ -458,9 +458,9 @@ class _WriteParser(_Parser):
         DELETE multiply the operation across the clustering combinations).
         Tagged for expansion at execute time."""
         self.expect_punct("(")
-        vals = [self.literal(params, cursor)]
+        vals = [self.term(params, cursor)]
         while self.accept_punct(","):
-            vals.append(self.literal(params, cursor))
+            vals.append(self.term(params, cursor))
         self.expect_punct(")")
         if len(vals) == 1:
             # SingleColumnRelation.java:208 normalizes a one-element

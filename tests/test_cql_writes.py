@@ -1272,3 +1272,56 @@ class TestFunctionTerms:
         with pytest.raises(InvalidRequest):
             bsess.execute("UPDATE bt SET n = blobAsBigint(textAsBlob('xx')) WHERE k = 1")
         assert [r.n for r in bsess.table().collect()] == [5]
+
+    def test_null_argument_propagates_null(self, bsess):
+        """Reference native conversion fns are RETURNS NULL ON NULL INPUT:
+        fn(null) is null, so a bound None writes a null cell (deletes),
+        never rejects the statement."""
+        bsess.execute("INSERT INTO bt (k, n, s) VALUES (1, 5, 'keep')")
+        bsess.execute(
+            "UPDATE bt SET n = blobAsBigint(?) WHERE k = 1", params=[None]
+        )
+        r = bsess.table().collect()
+        assert [(x.n, x.s) for x in r] == [(None, "keep")]
+
+    def test_invalid_utf8_blob_raises_invalid_request(self, bsess):
+        with pytest.raises(InvalidRequest, match="invalid UTF-8"):
+            bsess.execute(
+                "INSERT INTO bt (k, s) VALUES (1, blobAsText(bigintAsBlob(-1)))"
+            )
+
+    def test_ascii_range_checked_both_ways(self, bsess):
+        with pytest.raises(InvalidRequest, match="ASCII"):
+            bsess.execute(
+                "INSERT INTO bt (k, b) VALUES (1, asciiAsBlob('héllo'))"
+            )
+        with pytest.raises(InvalidRequest, match="ASCII"):
+            bsess.execute(
+                "INSERT INTO bt (k, s) VALUES (1, blobAsAscii(textAsBlob('héllo')))"
+            )
+
+    def test_write_in_restriction_accepts_terms(self, bsess):
+        bsess.execute("INSERT INTO bt (k, n) VALUES (1, 0)")
+        bsess.execute("INSERT INTO bt (k, n) VALUES (2, 0)")
+        bsess.execute(
+            "UPDATE bt SET n = 9 WHERE k IN (blobAsBigint(bigintAsBlob(1)), 2)"
+        )
+        assert sorted((r.k, r.n) for r in bsess.table().collect()) == [(1, 9), (2, 9)]
+
+    def test_lwt_condition_accepts_terms(self, bsess):
+        bsess.execute("INSERT INTO bt (k, n) VALUES (1, 5)")
+        ok = bsess.execute(
+            "UPDATE bt SET n = 6 WHERE k = 1 IF n = blobAsBigint(bigintAsBlob(5))"
+        )
+        assert ok is True
+        assert [r.n for r in bsess.table().collect()] == [6]
+
+    def test_to_timestamp_term_is_utc_instant(self, bsess):
+        """toTimestamp folds to an AWARE UTC datetime so the stored
+        instant matches toUnixTimestamp under any session timezone."""
+        from cassandra_pmem_spark.cql.terms import evaluate_fn
+
+        ts = evaluate_fn("toTimestamp", ["2024-03-01 12:00:00"])
+        un = evaluate_fn("toUnixTimestamp", ["2024-03-01 12:00:00"])
+        assert ts.tzinfo is not None
+        assert int(ts.timestamp() * 1000) == un == 1709294400000
