@@ -1824,6 +1824,30 @@ class CqlDatabase:
 
     def execute(self, cql: str, params: list[Any] | None = None) -> DataFrame | bool | None:
         head = cql.strip().split(None, 1)[0].lower()
+        if head in ("describe", "desc"):
+            # DESCRIBE — pasteable DDL reconstruction (bin/cqlsh.py:1350+
+            # describe_*; cql/describe.py documents the contract). Result
+            # is the 4-column (keyspace_name, type, name, create_statement)
+            # frame so it SELECTs like any other introspection surface.
+            from pyspark.sql import types as T
+
+            from cassandra_pmem_spark.cql.describe import describe_rows
+
+            target = cql.strip().split(None, 1)
+            rows = describe_rows(
+                self.registry,
+                target[1] if len(target) > 1 else "",
+                self.current_keyspace,
+            )
+            schema = T.StructType(
+                [
+                    T.StructField("keyspace_name", T.StringType()),
+                    T.StructField("type", T.StringType()),
+                    T.StructField("name", T.StringType()),
+                    T.StructField("create_statement", T.StringType()),
+                ]
+            )
+            return self.spark.createDataFrame(rows, schema)
         if head == "use":
             # USE <keyspace> (cql3/statements/UseStatement.java;
             # UseTest.java): later unqualified CREATE TABLEs are scoped to

@@ -833,6 +833,82 @@ def cql_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cql_describe_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE — pasteable DDL reconstruction from the live registry
+    (bin/cqlsh.py:1350-1474 describe_* over the driver metadata's
+    export_as_string; cql/describe.py). A full keyspace — type, UDF,
+    UDA, table with frozen-UDT/set/static columns and reversed
+    clustering, index, materialized view — is created through statement
+    text, then DESCRIBE KEYSPACE emits the recreate script; the oracle
+    pins every statement byte-for-byte, so any drift in the DDL
+    rendering (type text, PK shape, clustering order, quoting) fails the
+    hash. The PASTEABILITY of this exact output is separately pinned by
+    tests/test_cql_describe.py's fresh-database round trip."""
+    from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+    db = CqlDatabase(spark)
+    db.execute(
+        "CREATE KEYSPACE dsc WITH REPLICATION = "
+        "{'class': 'SimpleStrategy', 'replication_factor': '1'}"
+    )
+    db.execute("USE dsc")
+    db.execute("CREATE TYPE addr (street text, zip int)")
+    db.execute(
+        "CREATE TABLE users (org int, id int, name text, a frozen<addr>, "
+        "tags set<text>, note text STATIC, PRIMARY KEY (org, id)) "
+        "WITH CLUSTERING ORDER BY (id DESC)"
+    )
+    db.execute("CREATE INDEX users_name_idx ON users (name)")
+    db.execute(
+        "CREATE MATERIALIZED VIEW by_name AS SELECT org, id, name FROM users "
+        "WHERE org IS NOT NULL AND id IS NOT NULL AND name IS NOT NULL "
+        "PRIMARY KEY (name, org, id)"
+    )
+    db.execute(
+        "CREATE FUNCTION plus1 (x int) RETURNS NULL ON NULL INPUT "
+        "RETURNS int LANGUAGE sql AS 'x + 1'"
+    )
+    db.execute(
+        "CREATE FUNCTION acc2 (s int, v int) CALLED ON NULL INPUT "
+        "RETURNS int LANGUAGE sql AS 'coalesce(s, 0) + coalesce(v, 0)'"
+    )
+    db.execute("CREATE AGGREGATE mysum (int) SFUNC acc2 STYPE int INITCOND 0")
+    return db.execute("DESCRIBE KEYSPACE dsc")
+
+
+_DESCRIBE_ORACLE = r"""
+SELECT * FROM (VALUES
+  ('dsc', 'keyspace', 'dsc',
+   'CREATE KEYSPACE dsc WITH replication = {''class'': ''SimpleStrategy'', ''replication_factor'': ''1''} AND durable_writes = true;'),
+  ('dsc', 'type', 'addr',
+   'CREATE TYPE dsc.addr (' || chr(10) || '    street text,' || chr(10) || '    zip int' || chr(10) || ');'),
+  ('dsc', 'function', 'acc2',
+   'CREATE FUNCTION dsc.acc2 (s int, v int) CALLED ON NULL INPUT RETURNS int LANGUAGE sql AS ''coalesce(s, 0) + coalesce(v, 0)'';'),
+  ('dsc', 'function', 'plus1',
+   'CREATE FUNCTION dsc.plus1 (x int) RETURNS NULL ON NULL INPUT RETURNS int LANGUAGE sql AS ''x + 1'';'),
+  ('dsc', 'aggregate', 'mysum',
+   'CREATE AGGREGATE dsc.mysum (int) SFUNC acc2 STYPE int INITCOND 0;'),
+  ('dsc', 'table', 'users',
+   'CREATE TABLE dsc.users (' || chr(10) ||
+   '    org int,' || chr(10) ||
+   '    id int,' || chr(10) ||
+   '    name text,' || chr(10) ||
+   '    a frozen<addr>,' || chr(10) ||
+   '    tags set<text>,' || chr(10) ||
+   '    note text STATIC,' || chr(10) ||
+   '    PRIMARY KEY (org, id)' || chr(10) ||
+   ') WITH CLUSTERING ORDER BY (id DESC);'),
+  ('dsc', 'index', 'users_name_idx',
+   'CREATE INDEX users_name_idx ON dsc.users (name);'),
+  ('dsc', 'materialized_view', 'by_name',
+   'CREATE MATERIALIZED VIEW dsc.by_name AS' || chr(10) ||
+   '    SELECT org, id, name FROM dsc.users' || chr(10) ||
+   '    WHERE id IS NOT NULL AND name IS NOT NULL AND org IS NOT NULL' || chr(10) ||
+   '    PRIMARY KEY (name, org, id) WITH CLUSTERING ORDER BY (org ASC, id ASC);')
+) t(keyspace_name, type, name, create_statement)
+"""
+
+
 def cql_udt_access(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User-defined types end-to-end from text (db/marshal/UserType.java;
     CreateTypeStatement.java; Selectable.WithFieldSelection): CREATE TYPE +
@@ -1038,6 +1114,7 @@ QUERIES = {
         FROM orders GROUP BY ROLLUP(year(o_orderdate), o_orderpriority)
         """,
     ),
+    "cql_describe_schema": (cql_describe_schema, _DESCRIBE_ORACLE),
     "cql_ddl_roundtrip": (
         cql_ddl_roundtrip,
         "SELECT n_regionkey, n_nationkey, n_name, r_name "
