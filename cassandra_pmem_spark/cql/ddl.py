@@ -491,10 +491,25 @@ class _DdlParser(_Parser):
         ks, name = self.qualified_name()
         self.last_type_keyspace = ks if ks is not None else self.current_keyspace
         self._type_refs = set()
+        self.last_type_field_text: dict[str, str] = {}
         self.expect_punct("(")
-        fields = [(self.ident(), self.cql_type())]
+
+        def one_field() -> tuple[str, T.DataType]:
+            fname = self.ident()
+            tstart = self.i
+            ftype = self.cql_type()
+            # declared CQL type text verbatim — reconstruction from Spark
+            # types can't see set-vs-list (same capture create_table does)
+            self.last_type_field_text[fname] = (
+                "".join(t.text for t in self.toks[tstart:self.i])
+                .lower()
+                .replace(",", ", ")
+            )
+            return fname, ftype
+
+        fields = [one_field()]
         while self.accept_punct(","):
-            fields.append((self.ident(), self.cql_type()))
+            fields.append(one_field())
         self.expect_punct(")")
         self._end()
         # types EMBEDDED in this type's fields (frozen<other> et al.) —
@@ -1061,7 +1076,7 @@ class _DdlParser(_Parser):
 
         # SFUNC signature: (stype, arg_types...) -> stype
         # (CreateAggregateStatement.java stateFunction checks)
-        sfunc_key, sfn = self._resolve_fn(sfunc)
+        sfunc_key, sfn = self._resolve_fn(sfunc, keyspace=key[0])
         expect = [stype] + arg_types
         declared = [a[1] for a in sfn.args]
         if declared != expect or sfn.returns != stype:
@@ -1071,7 +1086,7 @@ class _DdlParser(_Parser):
             )
         finalfunc_key = None
         if finalfunc is not None:
-            finalfunc_key, ffn = self._resolve_fn(finalfunc)
+            finalfunc_key, ffn = self._resolve_fn(finalfunc, keyspace=key[0])
             if [a[1] for a in ffn.args] != [stype]:
                 raise InvalidRequest(
                     f"Final function {finalfunc} must take ({stype})"
@@ -1085,9 +1100,19 @@ class _DdlParser(_Parser):
             sfunc_key=sfunc_key, finalfunc_key=finalfunc_key,
         )
 
-    def _resolve_fn(self, name: str) -> tuple[tuple[str | None, str], FunctionDef]:
+    def _resolve_fn(
+        self, name: str, keyspace: str | None = None
+    ) -> tuple[tuple[str | None, str], FunctionDef]:
+        """Resolve a function name; `keyspace` pins the lookup to one
+        keyspace (CREATE AGGREGATE resolves SFUNC/FINALFUNC in the
+        AGGREGATE's keyspace — CreateAggregateStatement.java builds the
+        FunctionName from the statement's keyspace — so the recreate
+        script replays without a USE)."""
         k = self.registry.functions.resolve(
-            name, current=self.current_keyspace, missing_ok=True
+            name,
+            keyspace=keyspace,
+            current=keyspace or self.current_keyspace,
+            missing_ok=True,
         )
         if k is None:
             raise InvalidRequest(f"Unknown function {name}")
@@ -1156,9 +1181,17 @@ class _DdlParser(_Parser):
             raise InvalidRequest(f"unknown type {name!r}")
         old = self.registry.types[name]
         renames: dict[str, str] = {}
+        self.last_type_field_add: tuple[str, str] | None = None
         if self.accept_kw("add"):
             fname = self.ident()
+            tstart = self.i
             ftype = self.cql_type()
+            self.last_type_field_add = (
+                fname,
+                "".join(t.text for t in self.toks[tstart:self.i])
+                .lower()
+                .replace(",", ", "),
+            )
             if fname in old.fieldNames():
                 raise InvalidRequest(
                     f"field {fname!r} already exists in type {name!r}"
@@ -1341,6 +1374,9 @@ class SchemaRegistry:
         # the keyspace a type was created under (types store by bare name)
         self.type_refs: dict[str, frozenset] = {}
         self.type_keyspaces: dict[str, str | None] = {}
+        # declared CQL field-type text per user type (DESCRIBE and
+        # system_schema.types — Spark's struct erases set-vs-list)
+        self.type_field_text: dict[str, dict[str, str]] = {}
         # declared CQL type text per column (system_schema.columns)
         self.column_type_text: dict[tuple, dict[str, str]] = {}
         # (type name, {old field -> new field}) of the LAST ALTER TYPE —
@@ -1407,6 +1443,9 @@ class SchemaRegistry:
                     )
                     self.type_keyspaces[out[0]] = getattr(
                         p, "last_type_keyspace", None
+                    )
+                    self.type_field_text[out[0]] = dict(
+                        getattr(p, "last_type_field_text", {})
                     )
             elif nxt == "table" or nxt == "columnfamily":
                 meta = p.create_table()
@@ -1486,6 +1525,15 @@ class SchemaRegistry:
                         )
                 self.types[name] = new_struct
                 self.last_alter_type = (name, renames)
+                # keep the declared field-text map in step (DESCRIBE and
+                # system_schema.types read it)
+                ftxt = self.type_field_text.setdefault(name, {})
+                add = getattr(p, "last_type_field_add", None)
+                if add is not None:
+                    ftxt[add[0]] = add[1]
+                for o, n in renames.items():
+                    if o in ftxt:
+                        ftxt[n] = ftxt.pop(o)
                 # propagate to every table column declared with the type
                 # (the reference rewrites dependent TableMetadata the
                 # same way; AlterTypeStatement updates keyspace.types and
@@ -1639,6 +1687,7 @@ class SchemaRegistry:
                     )
                 self.type_refs.pop(key, None)
                 self.type_keyspaces.pop(key, None)
+                self.type_field_text.pop(key, None)
             del store[key]
             # cascade, mirroring the reference's keyspace-scoped schema
             # model: a dropped keyspace takes its tables (and their
@@ -1652,6 +1701,16 @@ class SchemaRegistry:
                 for store in (self.functions, self.aggregates):
                     for fk in [fk for fk in list(store) if fk[0] == key]:
                         dict.__delitem__(store, fk)
+                # types live in the keyspace too (KeyspaceMetadata.types)
+                # — its tables just dropped above, so no reference gates
+                for tn in [
+                    tn for tn, ks in list(self.type_keyspaces.items())
+                    if ks == key
+                ]:
+                    self.types.pop(tn, None)
+                    self.type_refs.pop(tn, None)
+                    self.type_keyspaces.pop(tn, None)
+                    self.type_field_text.pop(tn, None)
         else:
             raise InvalidRequest(f"not a DDL statement: {head!r}")
 

@@ -51,9 +51,12 @@ def _keyspace_cql(ks) -> str:
 def _type_cql(registry, name: str) -> str:
     st = registry.types[name]
     ks = registry.type_keyspaces.get(name)
+    declared = registry.type_field_text.get(name, {})
     qual = f"{ks}.{name}" if ks else name
     fields = ",\n".join(
-        f"    {f.name} {_cql_type_text(f.dataType, None, None)}" for f in st.fields
+        f"    {f.name} "
+        + declared.get(f.name, _cql_type_text(f.dataType, None, None))
+        for f in st.fields
     )
     return f"CREATE TYPE {qual} (\n{fields}\n);"
 
@@ -170,6 +173,18 @@ def _aggregate_cql(key, ad) -> str:
     return out + ";"
 
 
+def _table_rows(registry, key) -> list[tuple]:
+    """One table's rows: the CREATE TABLE then its indexes — shared by
+    DESCRIBE TABLE and the keyspace walk."""
+    ks = key[0] or ""
+    rows = [(ks, "table", key[1], _table_cql(registry, key))]
+    for ikey in sorted(registry.indexes, key=lambda k: (k[0] or "", k[1])):
+        im = registry.indexes[ikey]
+        if im.table == key:
+            rows.append((ks, "index", im.name, _index_cql(im)))
+    return rows
+
+
 def _keyspace_rows(registry, ks: str) -> list[tuple]:
     """All (keyspace, type, name, create_statement) rows for one keyspace,
     in paste order: keyspace, types (embedding order — a type referencing
@@ -195,25 +210,21 @@ def _keyspace_rows(registry, ks: str) -> list[tuple]:
             for t in ks_types:
                 rows.append((ks, "type", t, _type_cql(registry, t)))
             break
-    for key in sorted(registry.functions):
+    for key in sorted(registry.functions, key=lambda k: (k[0] or "", k[1])):
         if (key[0] or "") == ks:
             rows.append(
                 (ks, "function", key[1], _function_cql(key, registry.functions[key]))
             )
-    for key in sorted(registry.aggregates):
+    for key in sorted(registry.aggregates, key=lambda k: (k[0] or "", k[1])):
         if (key[0] or "") == ks:
             rows.append(
                 (ks, "aggregate", key[1], _aggregate_cql(key, registry.aggregates[key]))
             )
-    for key in sorted(registry.tables):
+    for key in sorted(registry.tables, key=lambda k: (k[0] or "", k[1])):
         if (key[0] or "") != ks:
             continue
-        rows.append((ks, "table", key[1], _table_cql(registry, key)))
-        for ikey in sorted(registry.indexes):
-            im = registry.indexes[ikey]
-            if im.table == key:
-                rows.append((ks, "index", im.name, _index_cql(im)))
-    for key in sorted(registry.views):
+        rows.extend(_table_rows(registry, key))
+    for key in sorted(registry.views, key=lambda k: (k[0] or "", k[1])):
         if (key[0] or "") == ks:
             rows.append((ks, "materialized_view", key[1], _view_cql(registry, key)))
     return rows
@@ -262,12 +273,7 @@ def describe_rows(registry, target: str, current_keyspace: str | None) -> list[t
         ]
     if head in ("table", "columnfamily"):
         key = _resolve(registry.tables, "table")
-        rows = [(key[0] or "", "table", key[1], _table_cql(registry, key))]
-        for ikey in sorted(registry.indexes):
-            im = registry.indexes[ikey]
-            if im.table == key:
-                rows.append((key[0] or "", "index", im.name, _index_cql(im)))
-        return rows
+        return _table_rows(registry, key)
     if head == "types":
         return [
             (registry.type_keyspaces.get(t) or "", "type", t, _type_cql(registry, t))
@@ -275,6 +281,10 @@ def describe_rows(registry, target: str, current_keyspace: str | None) -> list[t
         ]
     if head == "type":
         name = (arg or "").lower()
+        if "." in name:
+            ks_part, name = name.split(".", 1)
+            if (registry.type_keyspaces.get(name) or "") != ks_part:
+                raise InvalidRequest(f"type '{arg}' not found")
         if name not in registry.types:
             raise InvalidRequest(f"type '{arg}' not found")
         return [

@@ -56,15 +56,20 @@ def evaluate_fn(name: str, args: list[Any]) -> Any:
             f"{name}() is non-deterministic and not supported as a write "
             "term in this engine (bind the value instead)"
         )
-    if any(a is None for a in args):
+    if low not in _KNOWN_FNS:
+        raise InvalidRequest(f"unknown function {name!r} in term")
+    if len(args) != 1:
+        # every supported term function is unary — validated BEFORE the
+        # null shortcut so a misspelled name or wrong arity rejects at
+        # prepare even when a bound value is None
+        raise InvalidRequest(f"{name}() takes 1 argument, got {len(args)}")
+    if args[0] is None:
         # the reference's native conversion/time functions are RETURNS
         # NULL ON NULL INPUT (NativeScalarFunction) — fn(null) is null,
         # not an error (a bound None must not reject the statement)
         return None
 
     def one() -> Any:
-        if len(args) != 1:
-            raise InvalidRequest(f"{name}() takes 1 argument, got {len(args)}")
         return args[0]
 
     for t, w in _INT_WIDTHS.items():
@@ -146,4 +151,14 @@ def evaluate_fn(name: str, args: list[Any]) -> Any:
         if low == "tounixtimestamp":
             return int(dt.timestamp() * 1000)
         return dt
-    raise InvalidRequest(f"unknown function {name!r} in term")
+    raise AssertionError(f"_KNOWN_FNS out of sync for {name!r}")  # pragma: no cover
+
+
+_KNOWN_FNS = frozenset(
+    [f"{t}asblob" for t in _INT_WIDTHS] + [f"blobas{t}" for t in _INT_WIDTHS]
+    + ["textasblob", "asciiasblob", "varcharasblob",
+       "blobastext", "blobasascii", "blobasvarchar",
+       "booleanasblob", "blobasboolean",
+       "doubleasblob", "blobasdouble", "floatasblob", "blobasfloat",
+       "totimestamp", "tounixtimestamp", "todate"]
+)

@@ -162,6 +162,23 @@ def _reject_in_with_conditions(key: dict, meta, kind: str) -> None:
     )
 
 
+def _tz_norm(cur: Any, val: Any) -> tuple[Any, Any]:
+    """Make a collected cell and a condition value comparable when one is
+    a NAIVE datetime and the other AWARE: Spark collects timestamps naive
+    in the session timezone (the engine pins UTC — session.py), while a
+    folded toTimestamp() term is an aware UTC instant (cql/terms.py) —
+    comparing them raw is a silent False for == and a TypeError for
+    ordering ops."""
+    import datetime as _dt
+
+    if isinstance(cur, _dt.datetime) and isinstance(val, _dt.datetime):
+        if cur.tzinfo is None and val.tzinfo is not None:
+            cur = cur.replace(tzinfo=_dt.timezone.utc)
+        elif cur.tzinfo is not None and val.tzinfo is None:
+            val = val.replace(tzinfo=_dt.timezone.utc)
+    return cur, val
+
+
 def _expand_in_keys(d: dict) -> list[dict]:
     """Cartesian expansion of IN-tagged key relations: UPDATE/DELETE with
     ``ck IN (…)`` apply once per clustering combination
@@ -1418,7 +1435,11 @@ class CqlWriteSession:
                 # matches a null cell (per-element compareWithOperator)
                 ok = any(
                     (x is None and cur is None)
-                    or (x is not None and cur is not None and cur == x)
+                    or (
+                        x is not None
+                        and cur is not None
+                        and operator.eq(*_tz_norm(cur, x))
+                    )
                     for x in val
                 )
             elif val is None:
@@ -1433,7 +1454,7 @@ class CqlWriteSession:
             elif cur is None:
                 ok = op == "!="
             else:
-                ok = ops[op](cur, val)
+                ok = ops[op](*_tz_norm(cur, val))
             if not ok:
                 return False
         return True

@@ -182,7 +182,12 @@ def system_schema_frame(spark: SparkSession, registry, name: str) -> tuple:
                 tn,
                 ",".join(st.fieldNames()),
                 ",".join(
-                    _cql_type_text(f.dataType, None, None) for f in st.fields
+                    # declared text when the type came from a statement
+                    # (set-vs-list survives); reconstruction otherwise
+                    registry.type_field_text.get(tn, {}).get(
+                        f.name, _cql_type_text(f.dataType, None, None)
+                    )
+                    for f in st.fields
                 ),
             )
             for tn, st in sorted(registry.types.items())

@@ -125,3 +125,75 @@ class TestDescribeRoundTrip:
         vm = fresh.registry.views[("dsc", "by_name")]
         assert vm.base_key == ("dsc", "users")
         assert set(vm.isnotnull) == {"org", "id", "name"}
+
+
+class TestDescribeFixes:
+    """Second-review hardening: declared type-field text, qualified
+    DESCRIBE TYPE, bare-keyspace coexistence, aggregate recreate without
+    a USE, keyspace type cascade."""
+
+    def test_type_with_set_field_round_trips(self, spark):
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+        db = CqlDatabase(spark)
+        db.execute("CREATE KEYSPACE tf WITH REPLICATION = {'class': 'SimpleStrategy'}")
+        db.execute("USE tf")
+        db.execute("CREATE TYPE bag (items set<text>, names list<ascii>)")
+        stmt = _rows(db.execute("DESCRIBE TYPE bag"))[0][3]
+        assert "items set<text>" in stmt and "names list<ascii>" in stmt
+        fresh = CqlDatabase(spark)
+        fresh.execute("CREATE KEYSPACE tf WITH REPLICATION = {'class': 'SimpleStrategy'}")
+        fresh.execute(stmt)
+        assert _rows(fresh.execute("DESCRIBE TYPE bag"))[0][3] == stmt
+
+    def test_alter_type_keeps_declared_text(self, spark):
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+        db = CqlDatabase(spark)
+        db.execute("CREATE KEYSPACE tf WITH REPLICATION = {'class': 'SimpleStrategy'}")
+        db.execute("USE tf")
+        db.execute("CREATE TYPE bag (items set<text>)")
+        db.execute("ALTER TYPE bag ADD extras set<int>")
+        db.execute("ALTER TYPE bag RENAME items TO stuff")
+        stmt = _rows(db.execute("DESCRIBE TYPE bag"))[0][3]
+        assert "stuff set<text>" in stmt and "extras set<int>" in stmt
+
+    def test_describe_type_accepts_qualified_name(self, db):
+        rows = _rows(db.execute("DESCRIBE TYPE dsc.addr"))
+        assert rows[0][2] == "addr"
+        with pytest.raises(InvalidRequest, match="not found"):
+            db.execute("DESCRIBE TYPE wrongks.addr")
+
+    def test_bare_keyspace_objects_coexist(self, spark, db):
+        """A session can hold keyspace-less tables next to keyspaced ones;
+        DESCRIBE must not crash sorting (None, name) against (ks, name)."""
+        from cassandra_pmem_spark.cql.writes import CqlWriteSession  # noqa: F401
+
+        bare = type(db)(spark)
+        bare.execute("CREATE TABLE solo (k int PRIMARY KEY, v text)")
+        rows = _rows(bare.execute("DESCRIBE TABLES"))
+        assert [(r[0], r[2]) for r in rows] == [("", "solo")]
+        assert "CREATE TABLE solo (" in rows[0][3]
+
+    def test_aggregate_recreate_without_use(self, spark, db):
+        """The emitted CREATE AGGREGATE must replay in a fresh database
+        with NO current keyspace: SFUNC resolves in the aggregate's own
+        keyspace, not the caller's."""
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+        stmts = [r[3] for r in _rows(db.execute("DESCRIBE KEYSPACE dsc"))]
+        fresh = CqlDatabase(spark)
+        for stmt in stmts:  # no USE issued anywhere
+            fresh.execute(stmt)
+        assert ("dsc", "mysum") in fresh.registry.aggregates
+
+    def test_drop_keyspace_cascades_types(self, spark):
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+        db = CqlDatabase(spark)
+        db.execute("CREATE KEYSPACE tk WITH REPLICATION = {'class': 'SimpleStrategy'}")
+        db.execute("USE tk")
+        db.execute("CREATE TYPE gone (x int)")
+        db.execute("DROP KEYSPACE tk")
+        assert "gone" not in db.registry.types
+        assert "gone" not in db.registry.type_field_text

@@ -1229,6 +1229,7 @@ class TestFunctionTerms:
                     T.StructField("b", T.BinaryType()),
                     T.StructField("n", T.LongType()),
                     T.StructField("s", T.StringType()),
+                    T.StructField("ts", T.TimestampType()),
                 ]
             ),
             partition_key=("k",),
@@ -1315,6 +1316,41 @@ class TestFunctionTerms:
         )
         assert ok is True
         assert [r.n for r in bsess.table().collect()] == [6]
+
+    def test_unknown_function_rejected_even_with_null_arg(self, bsess):
+        """Name/arity validation happens BEFORE the null shortcut: a
+        misspelled function must reject at prepare regardless of the
+        bound value."""
+        with pytest.raises(InvalidRequest, match="unknown function"):
+            bsess.execute(
+                "INSERT INTO bt (k, n) VALUES (1, blobAsBigInteger(?))",
+                params=[None],
+            )
+        with pytest.raises(InvalidRequest, match="1 argument"):
+            bsess.execute(
+                "INSERT INTO bt (k, b) VALUES (1, textAsBlob(?, ?))",
+                params=[None, None],
+            )
+
+    def test_lwt_condition_on_folded_timestamp(self, bsess):
+        """A toTimestamp() write then IF ts = toTimestamp(...) must apply:
+        the collected cell is naive (session UTC) while the folded term is
+        an aware UTC instant — the compare normalizes, equality holds, and
+        ordering ops don't TypeError."""
+        bsess.execute(
+            "INSERT INTO bt (k, ts) VALUES (1, toTimestamp('2024-03-01 12:00:00'))"
+        )
+        ok = bsess.execute(
+            "UPDATE bt SET n = 1 WHERE k = 1 "
+            "IF ts = toTimestamp('2024-03-01 12:00:00')"
+        )
+        assert ok is True
+        ok = bsess.execute(
+            "UPDATE bt SET n = 2 WHERE k = 1 "
+            "IF ts < toTimestamp('2024-03-02 00:00:00')"
+        )
+        assert ok is True
+        assert [r.n for r in bsess.table().collect()] == [2]
 
     def test_to_timestamp_term_is_utc_instant(self, bsess):
         """toTimestamp folds to an AWARE UTC datetime so the stored
