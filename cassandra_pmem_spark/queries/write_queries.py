@@ -1192,7 +1192,9 @@ def cql_fn_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface; byte layouts are the marshal forms (big-endian
     two's-complement / IEEE-754), so the hex projections pin them.
     Terms also serve as RELATION values (the insert-then-delete of
-    key 7 resolves its key through a folded term)."""
+    key 7 resolves its key through a folded term), and keys 8/9 pin
+    INSERT JSON DEFAULT UNSET vs the reference-default NULL expunge
+    (CASSANDRA-11424)."""
     from cassandra_pmem_spark.cql.ddl import CqlDatabase
 
     db = CqlDatabase(spark)
@@ -1217,6 +1219,12 @@ def cql_fn_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the folded constant rides the ordinary pushed-down predicate
     db.execute("INSERT INTO ft (k, t) VALUES (7, 'doomed')")
     db.execute("DELETE FROM ft WHERE k = blobAsInt(intAsBlob(7))")
+    # INSERT JSON DEFAULT semantics (CASSANDRA-11424): UNSET preserves
+    # omitted columns; the reference default (NULL) expunges them
+    db.execute("INSERT INTO ft (k, t, bi) VALUES (8, 'keep', 8)")
+    db.execute('INSERT INTO ft JSON \'{"k": 8, "bi": 88}\' DEFAULT UNSET')
+    db.execute("INSERT INTO ft (k, t, bi) VALUES (9, 'gone', 9)")
+    db.execute('INSERT INTO ft JSON \'{"k": 9, "bi": 99}\'')
     out = db.execute("SELECT k, b, bi, d, t, dt, un FROM ft")
     return out.select(
         "k",
@@ -1237,7 +1245,9 @@ SELECT * FROM (VALUES
   (3, NULL, NULL, 2.5, NULL, NULL, NULL),
   (4, NULL, NULL, NULL, 'round-trip', NULL, NULL),
   (5, NULL, NULL, NULL, NULL, '2024-03-01', 1709294400000),
-  (6, 'FFFFFFFE', NULL, NULL, NULL, NULL, NULL)
+  (6, 'FFFFFFFE', NULL, NULL, NULL, NULL, NULL),
+  (8, NULL, 88, NULL, 'keep', NULL, NULL),
+  (9, NULL, 99, NULL, NULL, NULL, NULL)
 ) t(k, b_hex, bi, d, t, dt, un)
 """
 
