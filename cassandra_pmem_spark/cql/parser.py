@@ -406,6 +406,28 @@ class _Parser:
                 cols.append(self.ident())
             self.expect_punct(")")
             op = self._op()
+            p = self.peek()
+            if (
+                p.kind == "ident"
+                and p.text.lower() == "token"
+                and self.toks[self.i + 1].kind == "punct"
+                and self.toks[self.i + 1].text == "("
+            ):
+                # token(pk) > token(v1 [, v2 ...]) — the RHS is the
+                # partitioner token OF A KEY LITERAL (TokenFct.java:61;
+                # TokenRelation.java), folded driver-side with the same
+                # bit-exact Murmur3 the column side uses. Parsed here
+                # because the key's TYPES live on the table meta, which
+                # the generic term fold can't see.
+                self.next()
+                self.expect_punct("(")
+                args = [self.literal(params, cursor)]
+                while self.accept_punct(","):
+                    args.append(self.literal(params, cursor))
+                self.expect_punct(")")
+                return Relation(
+                    "token", cols, op, [("__token_rhs__", tuple(args))]
+                )
             return Relation("token", cols, op, [self.term(params, cursor)])
         col = self.ident()
         if self.accept_kw("in"):
@@ -550,6 +572,39 @@ def _integral_avg_source(s, meta, df_columns) -> tuple[str, str] | None:
     return (shadow, "bigint") if shadow in df_columns else None
 
 
+def _scalar_token(meta, values: tuple) -> int:
+    """token(<key literals>) folded driver-side: the same serialization
+    and Murmur3 the column side hashes with (functions/murmur3.py
+    serialize_partition_key + murmur3_token_bytes_py), so the scalar
+    compares bit-exactly against where_token's column expression.
+    uuid/timeuuid/inet keys resolve their wire form via the table's
+    cql_key_types, exactly like token_column."""
+    from cassandra_pmem_spark.functions.murmur3 import (
+        InetMarshal,
+        UuidMarshal,
+        murmur3_token_bytes_py,
+        serialize_partition_key,
+    )
+
+    if len(values) != len(meta.partition_key):
+        raise InvalidRequest(
+            f"token() takes the full partition key "
+            f"({len(meta.partition_key)} values), got {len(values)}"
+        )
+    marshal_by_cql = {"uuid": UuidMarshal, "timeuuid": UuidMarshal, "inet": InetMarshal}
+    cql_types = dict(getattr(meta, "cql_key_types", ()) or ())
+    by_name = {f.name: f.dataType for f in meta.schema.fields}
+    dtypes = [
+        marshal_by_cql[cql_types[c]]() if c in cql_types else by_name[c]
+        for c in meta.partition_key
+    ]
+    try:
+        key = serialize_partition_key(tuple(values), dtypes)
+    except (TypeError, ValueError) as exc:
+        raise InvalidRequest(f"token() literal does not fit the key: {exc}") from exc
+    return murmur3_token_bytes_py(key)
+
+
 def _call_sql(s, registry, current_keyspace) -> tuple[str, str]:
     """Resolve a Selector('call') against the schema registry's
     statement-created functions: returns ('agg'|'fn', assembled SQL).
@@ -611,7 +666,10 @@ def _compile(
                 raise InvalidRequest(
                     f"token() requires the full partition key {meta.partition_key}"
                 )
-            t = t.where_token(r.op, r.values[0])
+            val = r.values[0]
+            if isinstance(val, tuple) and val[:1] == ("__token_rhs__",):
+                val = _scalar_token(meta, val[1])
+            t = t.where_token(r.op, val)
         elif r.kind == "in":
             t = t.where(r.columns[0], Op.IN, r.values)
         else:

@@ -40,6 +40,7 @@ _PRIORITY: tuple[str, ...] = (
     "cql_system_schema",  # SchemaKeyspace introspection tables (r9)
     "cql_fn_terms",  # constant function terms in write values (r9)
     "cql_describe_schema",  # DESCRIBE pasteable-DDL reconstruction (r9)
+    "cql_token_rhs",  # token(<key literal>) as a relation RHS (r9)
     # -- (2) machinery edited in round 9 ⇒ evidence stale-by-edit
     #    writes.py (UDT decomposition, _validate_elem_ops, table() merge)
     "cql_batch_apply",

@@ -117,6 +117,38 @@ def cql_token_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cql_token_rhs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """token(pk) op token(<key literal>) — the RHS token of a literal key
+    (TokenFct.java:61; cql3/Relation token grammar), folded DRIVER-side
+    to a scalar with the same serialization + Murmur3 the column side
+    hashes with (parser._scalar_token). Runs through statement TEXT; the
+    oracle recomputes the bound via the generated DuckDB murmur3 twin, so
+    scalar-vs-column bit-exactness is what the hash match proves."""
+    from cassandra_pmem_spark.cql.parser import execute_cql
+
+    df = execute_cql(
+        spark,
+        "SELECT c_custkey, token(c_custkey) AS tok FROM customer "
+        "WHERE token(c_custkey) > token(42)",
+        sf_dir,
+    )
+    # deterministic top-40 in token order (the statement's own LIMIT
+    # would take an arbitrary 40 — reference reads are token-ordered,
+    # Spark scans are not)
+    return df.orderBy("tok").limit(40)
+
+
+def _token_rhs_oracle() -> str:
+    from cassandra_pmem_spark.functions.murmur3 import murmur3_token_py
+
+    bound = murmur3_token_py(42)  # deterministic — safe to inline
+    return (
+        f"SELECT c_custkey, token AS tok FROM "
+        f"{murmur3_token_subquery('customer', 'c_custkey', ['c_custkey'])} "
+        f"WHERE token > {bound} ORDER BY token LIMIT 40"
+    )
+
+
 def cql_token_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """token() over a TEXT partition key (UTF8Type.java raw-utf8
     serialization into MurmurHash.hash3_x64_128, tail-only for keys
@@ -705,6 +737,7 @@ QUERIES = {
         "OR (l_orderkey = 1001 AND l_linenumber = 1) "
         "OR (l_orderkey = 999999 AND l_linenumber = 1))",
     ),
+    "cql_token_rhs": (cql_token_rhs, _token_rhs_oracle()),
     "cql_token_scan": (
         cql_token_scan,
         f"SELECT c_custkey, token FROM "

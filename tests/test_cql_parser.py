@@ -446,3 +446,71 @@ class TestRelationFunctionTerms:
     def test_nondeterministic_relation_term_rejected(self, db):
         with pytest.raises(InvalidRequest, match="non-deterministic"):
             db.execute("SELECT k FROM t WHERE k = now()")
+
+
+class TestTokenRhs:
+    """token(pk) op token(<key literals>) — the RHS token of a literal key
+    (TokenFct.java:61; TokenRelation.java). The scalar fold must be
+    bit-exact with where_token's column expression: the equality tests
+    return zero rows if the two ever disagree."""
+
+    def test_bigint_key_equality(self, spark):
+        got = rows(
+            execute_cql(
+                spark,
+                "SELECT c_custkey FROM customer WHERE token(c_custkey) = token(42)",
+                SF_SMALL,
+            )
+        )
+        assert got == [(42,)]
+
+    def test_bigint_key_range(self, spark):
+        from cassandra_pmem_spark.functions.murmur3 import murmur3_token_py
+
+        df = execute_cql(
+            spark,
+            "SELECT c_custkey FROM customer WHERE token(c_custkey) > token(42) LIMIT 500",
+            SF_SMALL,
+        )
+        bound = murmur3_token_py(42)
+        toks = [murmur3_token_py(r.c_custkey) for r in df.collect()]
+        assert toks and all(t > bound for t in toks)
+
+    def test_composite_key_equality(self, spark):
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+        db = CqlDatabase(spark)
+        db.execute("CREATE KEYSPACE tok WITH REPLICATION = {'class': 'SimpleStrategy'}")
+        db.execute("USE tok")
+        db.execute(
+            "CREATE TABLE tt (a bigint, b text, v int, PRIMARY KEY ((a, b)))"
+        )
+        db.execute("INSERT INTO tt (a, b, v) VALUES (1, 'x', 10)")
+        db.execute("INSERT INTO tt (a, b, v) VALUES (1, 'y', 20)")
+        db.execute("INSERT INTO tt (a, b, v) VALUES (2, 'x', 30)")
+        r = db.execute(
+            "SELECT v FROM tt WHERE token(a, b) = token(1, 'x')"
+        ).collect()
+        assert [x.v for x in r] == [10]
+
+    def test_text_key_equality(self, spark):
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+        db = CqlDatabase(spark)
+        db.execute("CREATE KEYSPACE tok WITH REPLICATION = {'class': 'SimpleStrategy'}")
+        db.execute("USE tok")
+        db.execute("CREATE TABLE ts (name text PRIMARY KEY, v int)")
+        db.execute("INSERT INTO ts (name, v) VALUES ('MADAGASCAR IS LONG', 1)")
+        db.execute("INSERT INTO ts (name, v) VALUES ('PERU', 2)")
+        r = db.execute(
+            "SELECT v FROM ts WHERE token(name) = token('PERU')"
+        ).collect()
+        assert [x.v for x in r] == [2]
+
+    def test_arity_mismatch_rejected(self, spark):
+        with pytest.raises(InvalidRequest, match="full partition key"):
+            execute_cql(
+                spark,
+                "SELECT c_custkey FROM customer WHERE token(c_custkey) = token(1, 2)",
+                SF_SMALL,
+            ).collect()
