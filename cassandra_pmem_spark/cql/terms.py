@@ -12,7 +12,9 @@ contract these must match):
 - XAsBlob / blobAsX for text|ascii|varchar, bigint, int, smallint,
   tinyint, boolean, double, float (big-endian two's-complement /
   IEEE-754, exactly the marshal forms);
-- toUnixTimestamp / toTimestamp / toDate over string literals.
+- toUnixTimestamp / toTimestamp / toDate over string literals;
+- minTimeuuid / maxTimeuuid over string literals — the shadow-model
+  timestamp bound (SURVEY §1.2; functions/timefcts.py).
 
 Non-deterministic terms (now(), uuid()) are deliberately absent — the
 statement surface rejects them with a clear message instead of producing
@@ -126,7 +128,8 @@ def evaluate_fn(name: str, args: list[Any]) -> Any:
         if not isinstance(v, (bytes, bytearray)) or len(v) != 4:
             raise InvalidRequest(f"{name}() takes a 4-byte blob")
         return struct.unpack(">f", bytes(v))[0]
-    if low in ("totimestamp", "tounixtimestamp", "todate"):
+    if low in ("totimestamp", "tounixtimestamp", "todate",
+               "mintimeuuid", "maxtimeuuid"):
         # TimeFcts over string literals: 'YYYY-MM-DD[ hh:mm:ss]' — the
         # deterministic subset (the timeuuid/now forms are not terms here)
         import datetime as _dt
@@ -150,6 +153,10 @@ def evaluate_fn(name: str, args: list[Any]) -> Any:
         dt = dt.replace(tzinfo=_dt.timezone.utc)
         if low == "tounixtimestamp":
             return int(dt.timestamp() * 1000)
+        # min/maxTimeuuid: on the shadow model (SURVEY §1.2 — timeuuids
+        # are (uuid, timestamp shadow) pairs) both bounds ARE the instant
+        # (functions/timefcts.py min_timeuuid_bound); the reference's
+        # sub-millisecond clock-sequence extremes have no shadow analog
         return dt
     raise AssertionError(f"_KNOWN_FNS out of sync for {name!r}")  # pragma: no cover
 
@@ -160,5 +167,6 @@ _KNOWN_FNS = frozenset(
        "blobastext", "blobasascii", "blobasvarchar",
        "booleanasblob", "blobasboolean",
        "doubleasblob", "blobasdouble", "floatasblob", "blobasfloat",
-       "totimestamp", "tounixtimestamp", "todate"]
+       "totimestamp", "tounixtimestamp", "todate",
+       "mintimeuuid", "maxtimeuuid"]
 )

@@ -514,3 +514,20 @@ class TestTokenRhs:
                 "SELECT c_custkey FROM customer WHERE token(c_custkey) = token(1, 2)",
                 SF_SMALL,
             ).collect()
+
+    def test_min_max_timeuuid_bounds_fold(self, spark):
+        """minTimeuuid/maxTimeuuid in relations fold to the shadow
+        timestamp bound (TimeFcts.java:69,81; SURVEY §1.2 shadow model)."""
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+        db = CqlDatabase(spark)
+        db.execute("CREATE KEYSPACE tu WITH REPLICATION = {'class': 'SimpleStrategy'}")
+        db.execute("USE tu")
+        db.execute("CREATE TABLE ev (k int PRIMARY KEY, ts timestamp)")
+        db.execute("INSERT INTO ev (k, ts) VALUES (1, toTimestamp('2024-01-01 00:00:00'))")
+        db.execute("INSERT INTO ev (k, ts) VALUES (2, toTimestamp('2024-06-01 00:00:00'))")
+        r = db.execute(
+            "SELECT k FROM ev WHERE ts > minTimeuuid('2024-03-01 00:00:00') "
+            "ALLOW FILTERING"
+        ).collect()
+        assert [x.k for x in r] == [2]
