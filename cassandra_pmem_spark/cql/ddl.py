@@ -60,6 +60,27 @@ _NATIVE_TYPES: dict[str, T.DataType] = {
 }
 
 
+def _validated_default_ttl(val, has_counters: bool):
+    """TableParams.validate for default_time_to_live (TableParams.java;
+    Attributes.MAX_TTL): an int in [0, MAX_TTL], and never on a counter
+    table (cells on counter tables cannot expire)."""
+    from cassandra_pmem_spark.cql.writes import MAX_TTL
+
+    if isinstance(val, bool) or not isinstance(val, int):
+        raise InvalidRequest(
+            f"Invalid {type(val).__name__} constant for default_time_to_live"
+        )
+    if val < 0 or val > MAX_TTL:
+        raise InvalidRequest(
+            f"default_time_to_live must be between 0 and {MAX_TTL}, got {val}"
+        )
+    if val and has_counters:
+        raise InvalidRequest(
+            "Cannot set default_time_to_live on a table with counters"
+        )
+    return int(val)
+
+
 @dataclass
 class KeyspaceMeta:
     name: str
@@ -537,6 +558,7 @@ class _DdlParser(_Parser):
         self.last_udt_columns: dict[str, str] = {}  # col -> type name
         self.last_udt_refs: dict[str, frozenset] = {}  # col -> all type names
         self.last_column_type_text: dict[str, str] = {}  # col -> CQL text
+        self.last_default_ttl: int = 0  # TableParams default_time_to_live
         self.expect_punct("(")
 
         cols: list[tuple[str, T.DataType]] = []
@@ -620,9 +642,13 @@ class _DdlParser(_Parser):
                 elif self.accept_kw("compact"):
                     self.expect_kw("storage")
                 else:
-                    self.ident()
+                    opt = self.ident().lower()
                     self.expect_op("=")
-                    self._skip_option_value()
+                    val = self._skip_option_value()
+                    if opt == "default_time_to_live":
+                        self.last_default_ttl = _validated_default_ttl(
+                            val, bool(self.last_counters)
+                        )
                 if not self.accept_kw("and"):
                     break
         self._end()
@@ -1324,8 +1350,26 @@ class _DdlParser(_Parser):
                 ),
                 static_columns=meta.static_columns,
             )
+        elif self.accept_kw("with"):
+            # ALTER TABLE t WITH option = value [AND ...] — the options
+            # form (AlterTableStatement.Options); only modeled params
+            # take effect, the rest parse and drop like CREATE TABLE
+            while True:
+                opt = self.ident().lower()
+                self.expect_op("=")
+                val = self._skip_option_value()
+                if opt == "default_time_to_live":
+                    self.registry.table_params.setdefault(key, {})[
+                        "default_ttl"
+                    ] = _validated_default_ttl(
+                        val, bool(self.registry.counter_columns.get(key))
+                    )
+                if not self.accept_kw("and"):
+                    break
+            self._end()
+            return meta
         else:
-            raise InvalidRequest("ALTER TABLE supports ADD / DROP / RENAME")
+            raise InvalidRequest("ALTER TABLE supports ADD / DROP / RENAME / WITH")
         self._end()
         return TableMeta(
             meta.name,
@@ -1379,6 +1423,8 @@ class SchemaRegistry:
         self.type_field_text: dict[str, dict[str, str]] = {}
         # declared CQL type text per column (system_schema.columns)
         self.column_type_text: dict[tuple, dict[str, str]] = {}
+        # modeled table params (TableParams.java): default_time_to_live
+        self.table_params: dict[tuple, dict] = {}
         # (type name, {old field -> new field}) of the LAST ALTER TYPE —
         # CqlDatabase's session sync consumes it to remap buffered cells
         self.last_alter_type: tuple[str, dict[str, str]] | None = None
@@ -1404,6 +1450,7 @@ class SchemaRegistry:
         self.udt_columns.pop(table_key, None)
         self.udt_refs.pop(table_key, None)
         self.column_type_text.pop(table_key, None)
+        self.table_params.pop(table_key, None)
         self._drop_table_indexes(table_key)
 
     def execute(self, cql: str, current_keyspace: str | None = None) -> None:
@@ -1470,6 +1517,10 @@ class SchemaRegistry:
                     self.column_type_text[key] = dict(
                         getattr(p, "last_column_type_text", {})
                     )
+                    if getattr(p, "last_default_ttl", 0):
+                        self.table_params[key] = {
+                            "default_ttl": p.last_default_ttl
+                        }
             elif nxt in ("index", "custom"):
                 idx = p.create_index()
                 if idx is not None:
@@ -1773,6 +1824,9 @@ class CqlDatabase:
                 self.registry.tables[key],
                 collection_info=self._collection_info(key),
                 clock=self._write_clock,
+                default_ttl=self.registry.table_params.get(key, {}).get(
+                    "default_ttl", 0
+                ),
             )
         return self._sessions[key]
 
@@ -1936,6 +1990,11 @@ class CqlDatabase:
                     del self._sessions[key]
                     continue
                 sess, new_meta = self._sessions[key], self.registry.tables[key]
+                # table params can change with NO schema change (ALTER
+                # TABLE ... WITH default_time_to_live) — refresh always
+                sess.default_ttl = self.registry.table_params.get(key, {}).get(
+                    "default_ttl", 0
+                )
                 if sess.meta is not new_meta:
                     if (
                         set(new_meta.primary_key) != set(sess.meta.primary_key)

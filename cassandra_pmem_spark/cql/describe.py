@@ -111,11 +111,20 @@ def _table_cql(registry, key) -> str:
         static = " STATIC" if f.name in meta.static_columns else ""
         lines.append(f"    {f.name} {txt}{static}")
     lines.append(f"    {_primary_key_text(meta)}")
+    opts = []
+    if meta.clustering:
+        order = ", ".join(
+            f"{c.name} {'ASC' if c.ascending else 'DESC'}" for c in meta.clustering
+        )
+        opts.append(f"CLUSTERING ORDER BY ({order})")
+    dttl = getattr(registry, "table_params", {}).get(key, {}).get("default_ttl", 0)
+    if dttl:
+        opts.append(f"default_time_to_live = {dttl}")
     return (
         f"CREATE TABLE {qual} (\n"
         + ",\n".join(lines)
         + "\n)"
-        + _clustering_order_suffix(meta)
+        + (" WITH " + " AND ".join(opts) if opts else "")
         + ";"
     )
 

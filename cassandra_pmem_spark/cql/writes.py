@@ -616,10 +616,15 @@ class CqlWriteSession:
         base: DataFrame | None = None,
         collection_info: CollectionInfo | None = None,
         clock: list[int] | None = None,
+        default_ttl: int = 0,
     ):
         self.spark = spark
         self.meta = meta
         self.collection_info = collection_info
+        # TableParams.defaultTimeToLive: applied when a write carries no
+        # USING TTL; an EXPLICIT `USING TTL 0` means no expiry and the
+        # default does NOT re-apply (Attributes.getTimeToLive:105-119)
+        self.default_ttl = default_ttl
         self._mutations: list[Mutation] = []
         self._row_tombs: list[RowTombstone] = []
         self._cell_tombs: list[CellTombstone] = []
@@ -972,11 +977,14 @@ class CqlWriteSession:
                 self._row_tombs.append(RowTombstone(self._key_of(key), wt))
 
     def _check_ttl(self, using: dict) -> None:
-        """Attributes.getTimeToLive bounds (Attributes.java:126-134,
+        """Attributes.getTimeToLive bounds (Attributes.java:105-134,
         CASSANDRA-14092): negative rejected, beyond MAX_TTL rejected,
-        TTL 0 unsets (no expiry)."""
+        TTL 0 unsets (no expiry). No TTL at all → the table's
+        default_time_to_live; explicit 0 suppresses the default."""
         ttl = using.get("ttl")
         if ttl is None:
+            if self.default_ttl:
+                using["ttl"] = self.default_ttl
             return
         if ttl < 0:
             raise InvalidRequest(f"A TTL must be greater or equal to 0, but was {ttl}")

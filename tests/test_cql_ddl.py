@@ -819,3 +819,78 @@ class TestSystemSchema:
 
         with pytest.raises(InvalidRequest, match="system_schema"):
             db.execute("SELECT * FROM system_schema.nope")
+
+
+class TestDefaultTimeToLive:
+    """TableParams default_time_to_live (TableParams.java;
+    Attributes.getTimeToLive:105-119): a write with no USING TTL takes
+    the table default; an EXPLICIT `USING TTL 0` means no expiry and the
+    default does not re-apply; counters reject the param."""
+
+    @pytest.fixture()
+    def db(self, spark):
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+        db = CqlDatabase(spark)
+        db.execute("CREATE KEYSPACE dtl WITH REPLICATION = {'class': 'SimpleStrategy'}")
+        db.execute("USE dtl")
+        db.execute(
+            "CREATE TABLE dt (k int PRIMARY KEY, v text) "
+            "WITH default_time_to_live = 100"
+        )
+        return db
+
+    def _rows(self, db, now):
+        sess = db._session_for_key(("dtl", "dt"))
+        return sorted(r.k for r in sess.table(now=now).collect())
+
+    def test_default_applies_when_no_using_ttl(self, db):
+        db.execute("INSERT INTO dt (k, v) VALUES (1, 'x') USING TIMESTAMP 10")
+        assert self._rows(db, now=50) == [1]
+        assert self._rows(db, now=200) == []
+
+    def test_explicit_zero_suppresses_default(self, db):
+        db.execute(
+            "INSERT INTO dt (k, v) VALUES (2, 'y') USING TIMESTAMP 10 AND TTL 0"
+        )
+        assert self._rows(db, now=10**9) == [2]
+
+    def test_explicit_ttl_overrides_default(self, db):
+        db.execute(
+            "INSERT INTO dt (k, v) VALUES (3, 'z') USING TIMESTAMP 10 AND TTL 5"
+        )
+        assert self._rows(db, now=14) == [3]
+        assert self._rows(db, now=50) == []
+
+    def test_alter_with_changes_default(self, db):
+        db.execute("ALTER TABLE dt WITH default_time_to_live = 7")
+        db.execute("INSERT INTO dt (k, v) VALUES (4, 'w') USING TIMESTAMP 10")
+        assert self._rows(db, now=16) == [4]
+        assert self._rows(db, now=30) == []
+
+    def test_describe_round_trips_the_param(self, spark, db):
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+        stmt = [
+            r.create_statement
+            for r in db.execute("DESCRIBE TABLE dt").collect()
+        ][0]
+        assert "WITH default_time_to_live = 100" in stmt
+        fresh = CqlDatabase(spark)
+        fresh.execute("CREATE KEYSPACE dtl WITH REPLICATION = {'class': 'SimpleStrategy'}")
+        fresh.execute(stmt)
+        assert fresh.registry.table_params[("dtl", "dt")] == {"default_ttl": 100}
+
+    def test_validation(self, db):
+        from cassandra_pmem_spark.cql.validator import InvalidRequest
+
+        with pytest.raises(InvalidRequest, match="between 0 and"):
+            db.execute(
+                "CREATE TABLE bad (k int PRIMARY KEY, v int) "
+                "WITH default_time_to_live = -1"
+            )
+        with pytest.raises(InvalidRequest, match="counters"):
+            db.execute(
+                "CREATE TABLE badc (k int PRIMARY KEY, c counter) "
+                "WITH default_time_to_live = 9"
+            )
