@@ -1353,20 +1353,38 @@ class _DdlParser(_Parser):
         elif self.accept_kw("with"):
             # ALTER TABLE t WITH option = value [AND ...] — the options
             # form (AlterTableStatement.Options); only modeled params
-            # take effect, the rest parse and drop like CREATE TABLE
+            # take effect, the rest parse and drop like CREATE TABLE.
+            # Options buffer until the WHOLE statement parses — a later
+            # bad option must not leave an earlier one half-applied
+            # (the file's validate-before-mutate convention).
+            pending: dict = {}
             while True:
                 opt = self.ident().lower()
                 self.expect_op("=")
                 val = self._skip_option_value()
                 if opt == "default_time_to_live":
-                    self.registry.table_params.setdefault(key, {})[
-                        "default_ttl"
-                    ] = _validated_default_ttl(
+                    pending["default_ttl"] = _validated_default_ttl(
                         val, bool(self.registry.counter_columns.get(key))
                     )
                 if not self.accept_kw("and"):
                     break
             self._end()
+            if pending.get("default_ttl"):
+                views = sorted(
+                    vk[1] for vk, vm in self.registry.views.items()
+                    if vm.base_key == key
+                )
+                if views:
+                    # CASSANDRA-14071: TTL'd base rows would expire out
+                    # from under the view
+                    raise InvalidRequest(
+                        "Cannot set default_time_to_live on a table with "
+                        f"Materialized Views (has {views[0]!r})"
+                    )
+            if "default_ttl" in pending:
+                self.registry.table_params.setdefault(key, {})[
+                    "default_ttl"
+                ] = pending["default_ttl"]
             return meta
         else:
             raise InvalidRequest("ALTER TABLE supports ADD / DROP / RENAME / WITH")

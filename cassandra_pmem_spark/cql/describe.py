@@ -93,13 +93,15 @@ def _primary_key_text(meta) -> str:
     return "PRIMARY KEY (" + ", ".join([pk] + cks) + ")"
 
 
-def _clustering_order_suffix(meta) -> str:
+def _clustering_order_option(meta) -> str | None:
+    """Bare 'CLUSTERING ORDER BY (...)' option text, or None — callers
+    compose it into their own WITH chain."""
     if not meta.clustering:
-        return ""
+        return None
     order = ", ".join(
         f"{c.name} {'ASC' if c.ascending else 'DESC'}" for c in meta.clustering
     )
-    return f" WITH CLUSTERING ORDER BY ({order})"
+    return f"CLUSTERING ORDER BY ({order})"
 
 
 def _table_cql(registry, key) -> str:
@@ -112,11 +114,8 @@ def _table_cql(registry, key) -> str:
         lines.append(f"    {f.name} {txt}{static}")
     lines.append(f"    {_primary_key_text(meta)}")
     opts = []
-    if meta.clustering:
-        order = ", ".join(
-            f"{c.name} {'ASC' if c.ascending else 'DESC'}" for c in meta.clustering
-        )
-        opts.append(f"CLUSTERING ORDER BY ({order})")
+    if (co := _clustering_order_option(meta)) is not None:
+        opts.append(co)
     dttl = getattr(registry, "table_params", {}).get(key, {}).get("default_ttl", 0)
     if dttl:
         opts.append(f"default_time_to_live = {dttl}")
@@ -153,7 +152,11 @@ def _view_cql(registry, key) -> str:
         f"    SELECT {', '.join(vm.selected)} FROM {bqual}\n"
         f"    WHERE {where}\n"
         f"    {_primary_key_text(vm.meta)}"
-        + _clustering_order_suffix(vm.meta)
+        + (
+            f" WITH {co}"
+            if (co := _clustering_order_option(vm.meta)) is not None
+            else ""
+        )
         + ";"
     )
 

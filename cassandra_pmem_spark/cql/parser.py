@@ -421,9 +421,9 @@ class _Parser:
                 # the generic term fold can't see.
                 self.next()
                 self.expect_punct("(")
-                args = [self.literal(params, cursor)]
+                args = [self.term(params, cursor)]
                 while self.accept_punct(","):
-                    args.append(self.literal(params, cursor))
+                    args.append(self.term(params, cursor))
                 self.expect_punct(")")
                 return Relation(
                     "token", cols, op, [("__token_rhs__", tuple(args))]
@@ -591,6 +591,8 @@ def _scalar_token(meta, values: tuple) -> int:
             f"token() takes the full partition key "
             f"({len(meta.partition_key)} values), got {len(values)}"
         )
+    from pyspark.sql import types as _T
+
     marshal_by_cql = {"uuid": UuidMarshal, "timeuuid": UuidMarshal, "inet": InetMarshal}
     cql_types = dict(getattr(meta, "cql_key_types", ()) or ())
     by_name = {f.name: f.dataType for f in meta.schema.fields}
@@ -598,6 +600,22 @@ def _scalar_token(meta, values: tuple) -> int:
         marshal_by_cql[cql_types[c]]() if c in cql_types else by_name[c]
         for c in meta.partition_key
     ]
+
+    def _coerce(v, dt):
+        # date/timestamp keys arrive as string literals in CQL text —
+        # convert to the Python value serialize_pk_value expects (the
+        # same conversion the write path's typed validation applies)
+        import datetime as _d
+
+        if isinstance(v, str) and isinstance(dt, _T.DateType):
+            return _d.date.fromisoformat(v)
+        if isinstance(v, str) and isinstance(dt, _T.TimestampType):
+            from cassandra_pmem_spark.cql.terms import evaluate_fn
+
+            return evaluate_fn("toTimestamp", [v])
+        return v
+
+    values = tuple(_coerce(v, dt) for v, dt in zip(values, dtypes))
     try:
         key = serialize_partition_key(tuple(values), dtypes)
     except (TypeError, ValueError) as exc:

@@ -153,10 +153,18 @@ def evaluate_fn(name: str, args: list[Any]) -> Any:
         dt = dt.replace(tzinfo=_dt.timezone.utc)
         if low == "tounixtimestamp":
             return int(dt.timestamp() * 1000)
-        # min/maxTimeuuid: on the shadow model (SURVEY §1.2 — timeuuids
-        # are (uuid, timestamp shadow) pairs) both bounds ARE the instant
-        # (functions/timefcts.py min_timeuuid_bound); the reference's
-        # sub-millisecond clock-sequence extremes have no shadow analog
+        # min/maxTimeuuid on the shadow model (SURVEY §1.2 — timeuuids
+        # as (uuid, timestamp shadow) pairs): the reference extremes are
+        # STRICTLY below/above every real timeuuid in the named
+        # millisecond, so the folds sit 1 microsecond outside it —
+        # `> minTimeuuid(t)` then INCLUDES rows at exactly t and
+        # `< maxTimeuuid(t)` includes the whole millisecond, matching
+        # TimeFcts semantics for ms-precision shadows (sub-microsecond
+        # shadows can't exist in a TimestampType column)
+        if low == "mintimeuuid":
+            return dt - _dt.timedelta(microseconds=1)
+        if low == "maxtimeuuid":
+            return dt + _dt.timedelta(microseconds=999)
         return dt
     raise AssertionError(f"_KNOWN_FNS out of sync for {name!r}")  # pragma: no cover
 

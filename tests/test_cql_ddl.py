@@ -894,3 +894,23 @@ class TestDefaultTimeToLive:
                 "CREATE TABLE badc (k int PRIMARY KEY, c counter) "
                 "WITH default_time_to_live = 9"
             )
+
+    def test_alter_with_is_all_or_nothing(self, db):
+        from cassandra_pmem_spark.cql.validator import InvalidRequest
+
+        with pytest.raises(InvalidRequest):
+            db.execute(
+                "ALTER TABLE dt WITH default_time_to_live = 7 AND read_repair = ="
+            )
+        assert db.registry.table_params[("dtl", "dt")] == {"default_ttl": 100}
+
+    def test_default_ttl_rejected_under_materialized_views(self, db):
+        from cassandra_pmem_spark.cql.validator import InvalidRequest
+
+        db.execute("CREATE TABLE base (k int PRIMARY KEY, v int)")
+        db.execute(
+            "CREATE MATERIALIZED VIEW mv AS SELECT k, v FROM base "
+            "WHERE k IS NOT NULL AND v IS NOT NULL PRIMARY KEY (v, k)"
+        )
+        with pytest.raises(InvalidRequest, match="Materialized Views"):
+            db.execute("ALTER TABLE base WITH default_time_to_live = 60")

@@ -531,3 +531,47 @@ class TestTokenRhs:
             "ALLOW FILTERING"
         ).collect()
         assert [x.k for x in r] == [2]
+
+    def test_timeuuid_bounds_include_the_named_millisecond(self, spark):
+        """minTimeuuid/maxTimeuuid extremes sit strictly outside every
+        real timeuuid in the named millisecond (TimeFcts.java:69,81):
+        `> minTimeuuid(t)` and `< maxTimeuuid(t)` both INCLUDE a row at
+        exactly t."""
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+        db = CqlDatabase(spark)
+        db.execute("CREATE KEYSPACE tub WITH REPLICATION = {'class': 'SimpleStrategy'}")
+        db.execute("USE tub")
+        db.execute("CREATE TABLE ev (k int PRIMARY KEY, ts timestamp)")
+        db.execute(
+            "INSERT INTO ev (k, ts) VALUES (1, toTimestamp('2024-03-01 00:00:00'))"
+        )
+        at_t = "SELECT k FROM ev WHERE ts %s ALLOW FILTERING"
+        inc = db.execute(at_t % "> minTimeuuid('2024-03-01 00:00:00')").collect()
+        assert [x.k for x in inc] == [1]
+        inc = db.execute(at_t % "< maxTimeuuid('2024-03-01 00:00:00')").collect()
+        assert [x.k for x in inc] == [1]
+        exc = db.execute(at_t % "< minTimeuuid('2024-03-01 00:00:00')").collect()
+        assert exc == []
+        exc = db.execute(at_t % "> maxTimeuuid('2024-03-01 00:00:00')").collect()
+        assert exc == []
+
+    def test_token_rhs_date_key_and_fn_term(self, spark):
+        """token() literals coerce to the key's type (date strings) and
+        accept function terms like every other value position."""
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+        db = CqlDatabase(spark)
+        db.execute("CREATE KEYSPACE tod WITH REPLICATION = {'class': 'SimpleStrategy'}")
+        db.execute("USE tod")
+        db.execute("CREATE TABLE dd (d date PRIMARY KEY, v int)")
+        db.execute("INSERT INTO dd (d, v) VALUES (toDate('2024-01-01'), 1)")
+        db.execute("INSERT INTO dd (d, v) VALUES (toDate('2024-06-01'), 2)")
+        r = db.execute(
+            "SELECT v FROM dd WHERE token(d) = token('2024-01-01')"
+        ).collect()
+        assert [x.v for x in r] == [1]
+        r = db.execute(
+            "SELECT v FROM dd WHERE token(d) = token(toDate('2024-06-01'))"
+        ).collect()
+        assert [x.v for x in r] == [2]
