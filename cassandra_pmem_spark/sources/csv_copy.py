@@ -27,17 +27,24 @@ def copy_to(
     delimiter: str = ",",
     header: bool = True,
     null_val: str = "",
+    quote: str = '"',
+    escape: str = "\\",
     num_files: int | None = None,
     mode: str = "overwrite",
 ) -> None:
-    """COPY table TO 'file.csv' (copyutil.py ExportTask). Timestamps are
-    written ISO-8601 like cqlsh's default time_format."""
+    """COPY table TO 'file.csv' (copyutil.py ExportTask; QUOTE/ESCAPE
+    option mapping at copyutil.py:322-327 — when QUOTE equals ESCAPE,
+    cqlsh drops the escapechar and csv doubles the quote instead; Spark's
+    writer does the same when escape == quote). Timestamps are written
+    ISO-8601 like cqlsh's default time_format."""
     out = df.repartition(num_files) if num_files else df
     (
         out.write.mode(mode)
         .option("delimiter", delimiter)
         .option("header", header)
         .option("nullValue", null_val)
+        .option("quote", quote)
+        .option("escape", quote if quote == escape else escape)
         .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
         .csv(path)
     )
@@ -50,15 +57,27 @@ def copy_from(
     delimiter: str = ",",
     header: bool = True,
     null_val: str = "",
+    quote: str = '"',
+    escape: str = "\\",
+    multiline: bool = False,
 ) -> DataFrame:
     """COPY table FROM 'file.csv' (copyutil.py ImportTask): declared schema,
     no inference; malformed rows fail the job (cqlsh aborts on parse errors
-    unless MAXPARSEERRORS set — PERMISSIVE mode would be that analog)."""
+    unless MAXPARSEERRORS set — PERMISSIVE mode would be that analog).
+
+    `multiline=True` parses quoted fields containing newlines (cqlsh's
+    csv dialect always does). SCALE NOTE: Spark's multiLine mode reads
+    each file whole instead of by split, so parallelism drops to
+    one-task-per-file — export with enough `num_files` when round-tripping
+    newline-bearing text at scale."""
     return (
         spark.read.schema(schema)
         .option("delimiter", delimiter)
         .option("header", header)
         .option("nullValue", null_val)
+        .option("quote", quote)
+        .option("escape", quote if quote == escape else escape)
+        .option("multiLine", multiline)
         .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
         .option("mode", "FAILFAST")
         .csv(path)
