@@ -70,6 +70,8 @@ _PRIORITY: tuple[str, ...] = (
     #    bpe.py (train_cap md5 sample — now the proven path)
     "text_bpe_train",
     "text_bpe_encode",
+    #    csv_copy.py (QUOTE/ESCAPE/multiline options, late r9)
+    "csv_roundtrip",
     # -- (3) displaced r2-era rows (oldest evidence in the registry)
     "multimodal_meta",
     "sim_bruteforce_topk",
