@@ -796,6 +796,13 @@ class _DdlParser(_Parser):
             raise InvalidRequest(
                 "Materialized views are not supported on counter tables"
             )
+        if self.registry.table_params.get(base_key, {}).get("default_ttl"):
+            # CASSANDRA-14071 (other direction of the ALTER-time guard):
+            # TTL'd base rows would expire out from under the view
+            raise InvalidRequest(
+                "Cannot create Materialized View against base table "
+                f"'{base_key[1]}' with default_time_to_live set"
+            )
 
         base_cols = {f.name: f for f in base.schema.fields}
         if raw_cols is None:

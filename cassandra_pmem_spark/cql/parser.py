@@ -572,6 +572,12 @@ def _integral_avg_source(s, meta, df_columns) -> tuple[str, str] | None:
     return (shadow, "bigint") if shadow in df_columns else None
 
 
+def _is_tu_bound(v) -> bool:
+    from cassandra_pmem_spark.cql.terms import TimeuuidBound
+
+    return isinstance(v, TimeuuidBound)
+
+
 def _scalar_token(meta, values: tuple) -> int:
     """token(<key literals>) folded driver-side: the same serialization
     and Murmur3 the column side hashes with (functions/murmur3.py
@@ -605,13 +611,13 @@ def _scalar_token(meta, values: tuple) -> int:
         # date/timestamp keys arrive as string literals in CQL text —
         # convert to the Python value serialize_pk_value expects (the
         # same conversion the write path's typed validation applies)
-        import datetime as _d
+        from cassandra_pmem_spark.cql.terms import evaluate_fn
 
         if isinstance(v, str) and isinstance(dt, _T.DateType):
-            return _d.date.fromisoformat(v)
+            # evaluate_fn raises InvalidRequest on a malformed literal —
+            # the same rejection the write path's typed validation gives
+            return evaluate_fn("toDate", [v])
         if isinstance(v, str) and isinstance(dt, _T.TimestampType):
-            from cassandra_pmem_spark.cql.terms import evaluate_fn
-
             return evaluate_fn("toTimestamp", [v])
         return v
 
@@ -691,7 +697,24 @@ def _compile(
         elif r.kind == "in":
             t = t.where(r.columns[0], Op.IN, r.values)
         else:
-            t = t.where(r.columns[0], r.op, r.values[0])
+            val = r.values[0]
+            if _is_tu_bound(val):
+                # min/maxTimeuuid extreme: translate per operator
+                # (TimeuuidBound.bound_for — the extreme is strictly
+                # outside every real timeuuid in its millisecond)
+                b = val.bound_for(r.op.value)
+                if b is True:
+                    continue  # != extreme: always true, no filter
+                if b is False:
+                    # = extreme: never matches — an empty slice
+                    inst = val.instant()
+                    t = t.where(r.columns[0], Op.GTE, inst).where(
+                        r.columns[0], Op.LT, inst
+                    )
+                    continue
+                t = t.where(r.columns[0], Op(b[0]), b[1])
+                continue
+            t = t.where(r.columns[0], r.op, val)
     if st.allow_filtering:
         t = t.allow_filtering()
     if st.order_by:

@@ -48,6 +48,53 @@ def _blob_as_int(v: Any, width: int, name: str) -> int:
     return int.from_bytes(bytes(v), "big", signed=True)
 
 
+class TimeuuidBound(__import__("datetime").datetime):
+    """A min/maxTimeuuid fold: the exact instant, tagged with which
+    extreme it is (TimeFcts.java:69,81 — the extremes compare strictly
+    below/above every REAL timeuuid in the named millisecond). Behaves
+    as a plain datetime everywhere (writes store the instant); relation
+    compilation calls bound_for(op) to get the shadow-model comparison.
+    """
+
+    kind: str = ""
+
+    @classmethod
+    def make(cls, dt, kind: str) -> "TimeuuidBound":
+        b = cls(
+            dt.year, dt.month, dt.day, dt.hour, dt.minute, dt.second,
+            dt.microsecond, tzinfo=dt.tzinfo,
+        )
+        b.kind = kind
+        return b
+
+    def instant(self):
+        import datetime as _dt
+
+        return _dt.datetime(
+            self.year, self.month, self.day, self.hour, self.minute,
+            self.second, self.microsecond, tzinfo=self.tzinfo,
+        )
+
+    def bound_for(self, op: str):
+        """(op, datetime) for a shadow-timestamp comparison, or a bool
+        when the predicate is constant: equality against an extreme
+        never matches a real timeuuid, inequality always does."""
+        import datetime as _dt
+
+        edge = self.instant() + (
+            _dt.timedelta(milliseconds=1) if self.kind == "max" else _dt.timedelta()
+        )
+        if op in (">", ">="):
+            return (">=", edge)
+        if op in ("<", "<="):
+            return ("<", edge)
+        if op == "=":
+            return False
+        if op == "!=":
+            return True
+        raise InvalidRequest(f"unsupported operator {op!r} for a timeuuid bound")
+
+
 def evaluate_fn(name: str, args: list[Any]) -> Any:
     """Evaluate one constant function term; raises InvalidRequest for
     unknown names, non-deterministic functions, and arity/type errors."""
@@ -154,17 +201,18 @@ def evaluate_fn(name: str, args: list[Any]) -> Any:
         if low == "tounixtimestamp":
             return int(dt.timestamp() * 1000)
         # min/maxTimeuuid on the shadow model (SURVEY §1.2 — timeuuids
-        # as (uuid, timestamp shadow) pairs): the reference extremes are
-        # STRICTLY below/above every real timeuuid in the named
-        # millisecond, so the folds sit 1 microsecond outside it —
-        # `> minTimeuuid(t)` then INCLUDES rows at exactly t and
-        # `< maxTimeuuid(t)` includes the whole millisecond, matching
-        # TimeFcts semantics for ms-precision shadows (sub-microsecond
-        # shadows can't exist in a TimestampType column)
+        # as (uuid, timestamp shadow) pairs): the fold is the EXACT
+        # instant t, tagged with which extreme it is. A write position
+        # stores t (the reference stores a fake timeuuid whose timestamp
+        # IS t); relation compilation translates the extreme per
+        # OPERATOR (TimeuuidBound.bound_for) — the reference extremes
+        # sit strictly outside every real timeuuid in millisecond t, so
+        # e.g. `> minTimeuuid(t)` means `>= t` and `< maxTimeuuid(t)`
+        # means `< t + 1ms`.
         if low == "mintimeuuid":
-            return dt - _dt.timedelta(microseconds=1)
+            return TimeuuidBound.make(dt, "min")
         if low == "maxtimeuuid":
-            return dt + _dt.timedelta(microseconds=999)
+            return TimeuuidBound.make(dt, "max")
         return dt
     raise AssertionError(f"_KNOWN_FNS out of sync for {name!r}")  # pragma: no cover
 

@@ -162,6 +162,17 @@ def _reject_in_with_conditions(key: dict, meta, kind: str) -> None:
     )
 
 
+def _plain_value(v: Any) -> Any:
+    """Downgrade a TimeuuidBound fold to its plain datetime instant for
+    Spark row construction — createDataFrame's type verifier rejects
+    datetime SUBCLASSES (`type(obj) not in acceptable_types`). A stored
+    min/maxTimeuuid value IS the instant; the extreme tag only matters
+    in comparisons."""
+    from cassandra_pmem_spark.cql.terms import TimeuuidBound
+
+    return v.instant() if isinstance(v, TimeuuidBound) else v
+
+
 def _tz_norm(cur: Any, val: Any) -> tuple[Any, Any]:
     """Make a collected cell and a condition value comparable when one is
     a NAIVE datetime and the other AWARE: Spark collects timestamps naive
@@ -1462,7 +1473,18 @@ class CqlWriteSession:
             elif cur is None:
                 ok = op == "!="
             else:
-                ok = ops[op](*_tz_norm(cur, val))
+                from cassandra_pmem_spark.cql.terms import TimeuuidBound
+
+                if isinstance(val, TimeuuidBound):
+                    # min/maxTimeuuid extremes compare per bound_for —
+                    # equality never matches a real timeuuid
+                    b = val.bound_for(op)
+                    if isinstance(b, bool):
+                        ok = b
+                    else:
+                        ok = ops[b[0]](*_tz_norm(cur, b[1]))
+                else:
+                    ok = ops[op](*_tz_norm(cur, val))
             if not ok:
                 return False
         return True
@@ -1746,7 +1768,10 @@ class CqlWriteSession:
             for c in udt_cols:
                 fcells = m.udt_cells.get(c, {})
                 extras.extend(fcells.get(f) for (_s, f, _t) in udt_syn[c])
-            rows.append(tuple(row[c] for c in fields) + tuple(extras))
+            rows.append(
+                tuple(_plain_value(row[c]) for c in fields)
+                + tuple(_plain_value(x) for x in extras)
+            )
 
         log = self.spark.createDataFrame(rows, log_schema) if rows else None
         if self._base is not None:

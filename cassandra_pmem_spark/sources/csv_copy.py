@@ -44,7 +44,7 @@ def copy_to(
         .option("header", header)
         .option("nullValue", null_val)
         .option("quote", quote)
-        .option("escape", quote if quote == escape else escape)
+        .option("escape", escape)
         .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
         .csv(path)
     )
@@ -76,7 +76,7 @@ def copy_from(
         .option("header", header)
         .option("nullValue", null_val)
         .option("quote", quote)
-        .option("escape", quote if quote == escape else escape)
+        .option("escape", escape)
         .option("multiLine", multiline)
         .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
         .option("mode", "FAILFAST")

@@ -914,3 +914,12 @@ class TestDefaultTimeToLive:
         )
         with pytest.raises(InvalidRequest, match="Materialized Views"):
             db.execute("ALTER TABLE base WITH default_time_to_live = 60")
+
+    def test_create_view_rejected_on_default_ttl_base(self, db):
+        from cassandra_pmem_spark.cql.validator import InvalidRequest
+
+        with pytest.raises(InvalidRequest, match="default_time_to_live"):
+            db.execute(
+                "CREATE MATERIALIZED VIEW mvd AS SELECT k, v FROM dt "
+                "WHERE k IS NOT NULL AND v IS NOT NULL PRIMARY KEY (v, k)"
+            )

@@ -575,3 +575,47 @@ class TestTokenRhs:
             "SELECT v FROM dd WHERE token(d) = token(toDate('2024-06-01'))"
         ).collect()
         assert [x.v for x in r] == [2]
+
+    def test_timeuuid_bound_in_write_stores_exact_instant(self, spark):
+        """A min/maxTimeuuid fold in a WRITE position stores the exact
+        instant (the reference stores a fake timeuuid whose timestamp IS
+        t) — the per-operator extreme shifts apply only in relations."""
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+        db = CqlDatabase(spark)
+        db.execute("CREATE KEYSPACE tuw WITH REPLICATION = {'class': 'SimpleStrategy'}")
+        db.execute("USE tuw")
+        db.execute("CREATE TABLE ev (k int PRIMARY KEY, ts timestamp)")
+        db.execute(
+            "INSERT INTO ev (k, ts) VALUES (1, minTimeuuid('2024-03-01 00:00:00'))"
+        )
+        r = db.execute(
+            "SELECT k FROM ev WHERE ts = toTimestamp('2024-03-01 00:00:00') "
+            "ALLOW FILTERING"
+        ).collect()
+        assert [x.k for x in r] == [1]
+
+    def test_timeuuid_bound_equality_is_constant(self, spark):
+        """= extreme never matches a real timeuuid; != always does."""
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+        db = CqlDatabase(spark)
+        db.execute("CREATE KEYSPACE tue WITH REPLICATION = {'class': 'SimpleStrategy'}")
+        db.execute("USE tue")
+        db.execute("CREATE TABLE ev (k int PRIMARY KEY, ts timestamp)")
+        db.execute(
+            "INSERT INTO ev (k, ts) VALUES (1, toTimestamp('2024-03-01 00:00:00'))"
+        )
+        q = "SELECT k FROM ev WHERE ts %s minTimeuuid('2024-03-01 00:00:00') ALLOW FILTERING"
+        assert db.execute(q % "=").collect() == []
+        assert [x.k for x in db.execute(q % "!=").collect()] == [1]
+
+    def test_bad_date_token_literal_is_invalid_request(self, spark):
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+        db = CqlDatabase(spark)
+        db.execute("CREATE KEYSPACE tbd WITH REPLICATION = {'class': 'SimpleStrategy'}")
+        db.execute("USE tbd")
+        db.execute("CREATE TABLE dd (d date PRIMARY KEY, v int)")
+        with pytest.raises(InvalidRequest):
+            db.execute("SELECT v FROM dd WHERE token(d) = token('2024-13-99')")
