@@ -615,7 +615,13 @@ def _scalar_token(meta, values: tuple) -> int:
 
         if isinstance(v, str) and isinstance(dt, _T.DateType):
             # evaluate_fn raises InvalidRequest on a malformed literal —
-            # the same rejection the write path's typed validation gives
+            # the same rejection the write path's typed validation gives.
+            # SimpleDateType rejects a time component; toDate's lenient
+            # timestamp parse must not silently truncate one
+            if len(v.strip()) != 10:
+                raise InvalidRequest(
+                    f"Invalid date literal {v!r} for a date partition key"
+                )
             return evaluate_fn("toDate", [v])
         if isinstance(v, str) and isinstance(dt, _T.TimestampType):
             return evaluate_fn("toTimestamp", [v])
@@ -684,6 +690,11 @@ def _compile(
             calls[id(s)] = _call_sql(s, registry, current_keyspace)
     for r in st.relations:
         if r.kind == "tuple":
+            flat = r.values if r.op is Op.IN else [r.values]
+            for tup in flat:
+                for v in tup:
+                    if _is_tu_bound(v):
+                        v.reject("a tuple relation")
             t = t.where_tuple(r.columns, r.op, r.values)
         elif r.kind == "token":
             if tuple(r.columns) != tuple(meta.partition_key):
@@ -695,23 +706,18 @@ def _compile(
                 val = _scalar_token(meta, val[1])
             t = t.where_token(r.op, val)
         elif r.kind == "in":
+            for v in r.values:
+                if _is_tu_bound(v):
+                    v.reject("IN")
             t = t.where(r.columns[0], Op.IN, r.values)
         else:
             val = r.values[0]
             if _is_tu_bound(val):
-                # min/maxTimeuuid extreme: translate per operator
-                # (TimeuuidBound.bound_for — the extreme is strictly
-                # outside every real timeuuid in its millisecond)
+                # min/maxTimeuuid extreme: a RANGE bound — translate per
+                # operator (TimeuuidBound.bound_for — the extreme is
+                # strictly outside every real timeuuid in its
+                # millisecond); non-range operators reject with guidance
                 b = val.bound_for(r.op.value)
-                if b is True:
-                    continue  # != extreme: always true, no filter
-                if b is False:
-                    # = extreme: never matches — an empty slice
-                    inst = val.instant()
-                    t = t.where(r.columns[0], Op.GTE, inst).where(
-                        r.columns[0], Op.LT, inst
-                    )
-                    continue
                 t = t.where(r.columns[0], Op(b[0]), b[1])
                 continue
             t = t.where(r.columns[0], r.op, val)

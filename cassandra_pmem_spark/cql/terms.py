@@ -23,6 +23,7 @@ un-reproducible mutations.
 
 from __future__ import annotations
 
+import datetime as _dtmod
 import struct
 from typing import Any
 
@@ -48,13 +49,17 @@ def _blob_as_int(v: Any, width: int, name: str) -> int:
     return int.from_bytes(bytes(v), "big", signed=True)
 
 
-class TimeuuidBound(__import__("datetime").datetime):
+class TimeuuidBound(_dtmod.datetime):
     """A min/maxTimeuuid fold: the exact instant, tagged with which
     extreme it is (TimeFcts.java:69,81 — the extremes compare strictly
-    below/above every REAL timeuuid in the named millisecond). Behaves
-    as a plain datetime everywhere (writes store the instant); relation
-    compilation calls bound_for(op) to get the shadow-model comparison.
-    """
+    below/above every REAL timeuuid in the named millisecond). The
+    engine's contract: extremes are RANGE BOUNDS — single-column range
+    contexts (SELECT relations, DELETE slice bounds, LWT conditions)
+    translate per operator via bound_for(); WRITE positions store the
+    plain instant; every other value position (equality, IN, CONTAINS,
+    tuple relations) rejects with reject() — a clear error instead of a
+    silently-divergent comparison against a value no real timeuuid
+    equals."""
 
     kind: str = ""
 
@@ -67,32 +72,31 @@ class TimeuuidBound(__import__("datetime").datetime):
         b.kind = kind
         return b
 
-    def instant(self):
-        import datetime as _dt
-
-        return _dt.datetime(
+    def instant(self) -> _dtmod.datetime:
+        return _dtmod.datetime(
             self.year, self.month, self.day, self.hour, self.minute,
             self.second, self.microsecond, tzinfo=self.tzinfo,
         )
 
-    def bound_for(self, op: str):
-        """(op, datetime) for a shadow-timestamp comparison, or a bool
-        when the predicate is constant: equality against an extreme
-        never matches a real timeuuid, inequality always does."""
-        import datetime as _dt
-
+    def bound_for(self, op: str) -> tuple[str, _dtmod.datetime]:
+        """(op, datetime) for a shadow-timestamp RANGE comparison."""
         edge = self.instant() + (
-            _dt.timedelta(milliseconds=1) if self.kind == "max" else _dt.timedelta()
+            _dtmod.timedelta(milliseconds=1)
+            if self.kind == "max"
+            else _dtmod.timedelta()
         )
         if op in (">", ">="):
             return (">=", edge)
         if op in ("<", "<="):
             return ("<", edge)
-        if op == "=":
-            return False
-        if op == "!=":
-            return True
-        raise InvalidRequest(f"unsupported operator {op!r} for a timeuuid bound")
+        self.reject(op)
+
+    def reject(self, where: str) -> None:
+        raise InvalidRequest(
+            f"{self.kind}Timeuuid() is a range bound (no real timeuuid "
+            f"ever equals the extreme) and cannot be used with {where!r}; "
+            "compare with </<=/>/>= or bind a timestamp value instead"
+        )
 
 
 def evaluate_fn(name: str, args: list[Any]) -> Any:

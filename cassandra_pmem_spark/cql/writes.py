@@ -162,14 +162,15 @@ def _reject_in_with_conditions(key: dict, meta, kind: str) -> None:
     )
 
 
+from cassandra_pmem_spark.cql.terms import TimeuuidBound
+
+
 def _plain_value(v: Any) -> Any:
     """Downgrade a TimeuuidBound fold to its plain datetime instant for
     Spark row construction — createDataFrame's type verifier rejects
     datetime SUBCLASSES (`type(obj) not in acceptable_types`). A stored
     min/maxTimeuuid value IS the instant; the extreme tag only matters
     in comparisons."""
-    from cassandra_pmem_spark.cql.terms import TimeuuidBound
-
     return v.instant() if isinstance(v, TimeuuidBound) else v
 
 
@@ -205,6 +206,15 @@ def _expand_in_keys(d: dict) -> list[dict]:
 
 class _WriteParser(_Parser):
     """Statement parsers for the write grammar (Parser.g:478,544,578)."""
+
+    def value_term(self, params, cursor):
+        """A term in a write VALUE position: a min/maxTimeuuid extreme
+        stores its plain instant (the reference stores a fake timeuuid
+        whose timestamp IS t) — the extreme tag only matters in range
+        comparisons, and a tagged subclass must never reach Spark row
+        construction."""
+        v = self.term(params, cursor)
+        return v.instant() if isinstance(v, TimeuuidBound) else v
 
     def insert_statement(self, params: list[Any], cursor: list[int] | None = None):
         cursor = [0] if cursor is None else cursor
@@ -263,7 +273,7 @@ class _WriteParser(_Parser):
                 # collection literal — tagged for kind-aware conversion
                 # at execute time (the parser has no schema)
                 return ("__coll__",) + self.collection_literal(params, cursor)
-            return self.term(params, cursor)
+            return self.value_term(params, cursor)
 
         vals = [value()]
         while self.accept_punct(","):
@@ -341,7 +351,7 @@ class _WriteParser(_Parser):
                 t = self.next()
                 if t.kind != "op" or t.text != "=":
                     raise InvalidRequest(f"expected = in SET, got {t.text!r}")
-                elem_val = self.term(params, cursor)
+                elem_val = self.value_term(params, cursor)
                 elem_ops.append(("set_elem", col, elem_key, elem_val))
                 if not self.accept_punct(","):
                     break
@@ -354,7 +364,7 @@ class _WriteParser(_Parser):
                 t = self.next()
                 if t.kind != "op" or t.text != "=":
                     raise InvalidRequest(f"expected = in SET, got {t.text!r}")
-                fval = self.term(params, cursor)
+                fval = self.value_term(params, cursor)
                 elem_ops.append(("udt_set", col, fname, fval))
                 if not self.accept_punct(","):
                     break
@@ -393,7 +403,7 @@ class _WriteParser(_Parser):
                 else:
                     elem_ops.append(("coll_set", col, lit))
             else:
-                sets[col] = self.term(params, cursor)
+                sets[col] = self.value_term(params, cursor)
             if not self.accept_punct(","):
                 break
         self.expect_kw("where")
@@ -469,6 +479,9 @@ class _WriteParser(_Parser):
                 while self.accept_punct(","):
                     vals.append(self.term(params, cursor))
                 self.expect_punct(")")
+                for v in vals:
+                    if isinstance(v, TimeuuidBound):
+                        v.reject("IN")
                 conds.append((col, ekey, "IN", vals))
             else:
                 op = self.next()
@@ -490,6 +503,9 @@ class _WriteParser(_Parser):
         while self.accept_punct(","):
             vals.append(self.term(params, cursor))
         self.expect_punct(")")
+        for v in vals:
+            if isinstance(v, TimeuuidBound):
+                v.reject("IN")
         if len(vals) == 1:
             # SingleColumnRelation.java:208 normalizes a one-element
             # literal IN to an EQ restriction at prepare time, so
@@ -510,7 +526,10 @@ class _WriteParser(_Parser):
                     raise InvalidRequest(
                         "write WHERE clauses support =/IN on key columns only"
                     )
-                out[col] = self.term(params, cursor)
+                v = self.term(params, cursor)
+                if isinstance(v, TimeuuidBound):
+                    v.reject("=")
+                out[col] = v
             if not self.accept_kw("and"):
                 break
         return out
@@ -535,10 +554,16 @@ class _WriteParser(_Parser):
             elif t.text in ("<", "<=", ">", ">="):
                 lo, hi = ranges.get(col, (None, None))
                 v = self.term(params, cursor)
-                if t.text in (">", ">="):
-                    lo = (v, t.text == ">=")
+                op_txt = t.text
+                if isinstance(v, TimeuuidBound):
+                    # the same op-aware extreme translation SELECT
+                    # relations apply — a DELETE slice and the SELECT
+                    # that previews it must bound identically
+                    op_txt, v = v.bound_for(op_txt)
+                if op_txt in (">", ">="):
+                    lo = (v, op_txt == ">=")
                 else:
-                    hi = (v, t.text == "<=")
+                    hi = (v, op_txt == "<=")
                 ranges[col] = (lo, hi)
             else:
                 raise InvalidRequest(f"unsupported operator {t.text!r} in DELETE WHERE")
@@ -1473,16 +1498,11 @@ class CqlWriteSession:
             elif cur is None:
                 ok = op == "!="
             else:
-                from cassandra_pmem_spark.cql.terms import TimeuuidBound
-
                 if isinstance(val, TimeuuidBound):
                     # min/maxTimeuuid extremes compare per bound_for —
-                    # equality never matches a real timeuuid
+                    # range ops only (reject() fires for = / !=)
                     b = val.bound_for(op)
-                    if isinstance(b, bool):
-                        ok = b
-                    else:
-                        ok = ops[b[0]](*_tz_norm(cur, b[1]))
+                    ok = ops[b[0]](*_tz_norm(cur, b[1]))
                 else:
                     ok = ops[op](*_tz_norm(cur, val))
             if not ok:

@@ -595,8 +595,10 @@ class TestTokenRhs:
         ).collect()
         assert [x.k for x in r] == [1]
 
-    def test_timeuuid_bound_equality_is_constant(self, spark):
-        """= extreme never matches a real timeuuid; != always does."""
+    def test_timeuuid_bound_rejects_non_range_ops(self, spark):
+        """Extremes are RANGE bounds: equality/IN comparisons against a
+        value no real timeuuid ever equals reject with guidance instead
+        of silently diverging from the reference."""
         from cassandra_pmem_spark.cql.ddl import CqlDatabase
 
         db = CqlDatabase(spark)
@@ -607,8 +609,37 @@ class TestTokenRhs:
             "INSERT INTO ev (k, ts) VALUES (1, toTimestamp('2024-03-01 00:00:00'))"
         )
         q = "SELECT k FROM ev WHERE ts %s minTimeuuid('2024-03-01 00:00:00') ALLOW FILTERING"
-        assert db.execute(q % "=").collect() == []
-        assert [x.k for x in db.execute(q % "!=").collect()] == [1]
+        with pytest.raises(InvalidRequest, match="range bound"):
+            db.execute(q % "=")
+        with pytest.raises(InvalidRequest, match="range bound"):
+            db.execute(
+                "SELECT k FROM ev WHERE ts IN "
+                "(minTimeuuid('2024-03-01 00:00:00')) ALLOW FILTERING"
+            )
+
+    def test_timeuuid_bound_in_delete_range_matches_select(self, spark):
+        """A DELETE slice bound and the SELECT that previews it translate
+        the extreme identically: DELETE ... ts > minTimeuuid(t) removes
+        the row at exactly t."""
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+        db = CqlDatabase(spark)
+        db.execute("CREATE KEYSPACE tud WITH REPLICATION = {'class': 'SimpleStrategy'}")
+        db.execute("USE tud")
+        db.execute(
+            "CREATE TABLE ev (k int, ts timestamp, v int, PRIMARY KEY (k, ts))"
+        )
+        db.execute(
+            "INSERT INTO ev (k, ts, v) VALUES (1, toTimestamp('2024-03-01 00:00:00'), 10)"
+        )
+        db.execute(
+            "INSERT INTO ev (k, ts, v) VALUES (1, toTimestamp('2024-02-01 00:00:00'), 20)"
+        )
+        db.execute(
+            "DELETE FROM ev WHERE k = 1 AND ts > minTimeuuid('2024-03-01 00:00:00')"
+        )
+        r = db.execute("SELECT v FROM ev").collect()
+        assert [x.v for x in r] == [20]
 
     def test_bad_date_token_literal_is_invalid_request(self, spark):
         from cassandra_pmem_spark.cql.ddl import CqlDatabase
