@@ -24,86 +24,80 @@ from pyspark.sql import DataFrame, SparkSession
 # First-50 window budget, rotated by STALENESS each round (COVERAGE.md
 # rule: edited since last green driver evidence ⇒ re-enter the window;
 # never-evidenced entries outrank everything).
-# Round-8 layout: (1) the three registry queries that have NEVER had a
-# driver row; (2) the write-path set — cql/writes.py was edited in r6,
-# r7 AND r8 (empty-collection complex deletion, one-element-IN
-# normalization) so its r2/r4-era evidence is stale-by-edit; (3) the
-# r1-era rows; (4) the r2-era backlog, oldest evidence first. tpch_q1
-# IS entry(), smoke-checked every round, so it stays out. New round-8
-# queries displace the tail of tier (4) as they land.
+# Round-10 layout: (1) the four entries the r9 window overflowed (the
+# driver records only the first 50; these queued at positions 51-54 with
+# r3/r4-era evidence); (2) round-10 new queries are inserted here as they
+# land (roles/grants, now()-as-write-term, ALTER MV WITH); (3) queries
+# whose machinery round 10 edits (parser.py timeuuid type-gate / token
+# sentinel / avg-empty fold, writes.py+terms.py now() folding, ddl.py
+# ALTER MV, mpeg_audio.py frame-builder guard, date-cast normalization
+# in retention/time_fcts/mv_refresh) ⇒ r7/r9 evidence stale-by-edit;
+# (4) the r3 TPC-H backlog (oldest evidence in the registry after q1,
+# which IS entry() and smoke-checked every round); (5) the r4 tier —
+# token-scan variant, sketches, dedup, streaming, pipeline. The r4
+# multimodal/text/source rows displaced past 50 queue for round 11.
 _PRIORITY: tuple[str, ...] = (
-    # -- (1) never driver-evidenced (new round-9 operators)
-    "cql_udt_field_writes",  # non-frozen UDT per-field cells (r9)
-    "cql_alter_type",  # ALTER TYPE ADD/RENAME schema evolution (r9)
-    "multimodal_audio_mp1_subband",  # ISO 11172-3 Layer I decode (r9)
-    "cql_agg_nested",  # aggregates over nested selectables (r9)
-    "cql_system_schema",  # SchemaKeyspace introspection tables (r9)
-    "cql_fn_terms",  # constant function terms in write values (r9)
-    "cql_describe_schema",  # DESCRIBE pasteable-DDL reconstruction (r9)
-    "cql_token_rhs",  # token(<key literal>) as a relation RHS (r9)
-    # -- (2) machinery edited in round 9 ⇒ evidence stale-by-edit
-    #    writes.py (UDT decomposition, _validate_elem_ops, table() merge)
-    "cql_batch_apply",
-    "cql_lwt_conditional",
-    "cql_delete_tombstones",
-    "cql_truncate_reload",
-    "cql_counter_fold",
-    "cql_collection_mutations",
-    "cql_ttl_expiry",
-    "cql_upsert_lww_cells",
-    "cql_collection_text_ops",
-    "cql_list_cell_liveness",
-    "cql_map_cell_liveness",
-    #    ddl.py / parser.py (UDA key binding, null-fold semantics, nested
-    #    generics, ALTER TYPE, writetime(u.f) selectors)
-    "cql_ddl_roundtrip",
-    "cql_create_mv_statement",
-    "cql_udf_statement",
-    "cql_uda_statement",
-    "cql_uda_weighted_avg",
-    "cql_udf_select",
-    "cql_parsed_select",
-    "cql_udt_access",
-    "cql_select_json",
-    #    table.py (index selectivity ranking)
-    "cql_indexed_lookup",
-    #    bpe.py (train_cap md5 sample — now the proven path)
-    "text_bpe_train",
-    "text_bpe_encode",
-    #    csv_copy.py (QUOTE/ESCAPE/multiline options, late r9)
-    "csv_roundtrip",
-    # -- (3) displaced r2-era rows (oldest evidence in the registry)
-    "multimodal_meta",
-    "sim_bruteforce_topk",
-    "sim_neardup_exact",
-    "text_fingerprint",
-    "text_langid",
-    "text_quality",
-    "text_token_counts",
-    # -- (4) r3-era backlog, oldest first
-    "cql_term_select",
-    "cql_token_scan",
-    "cql_token_scan_composite",
-    "cql_token_scan_text",
-    "analytics_events_hourly",
-    "analytics_window_rank",
-    "analytics_window_running",
-    "multimodal_features",
-    "multimodal_frame_plan",
-    "mv_refresh_batch",
-    "sim_lsh_topk",
+    # -- (1) r9 window overflow (queued last round, evidence r3/r4)
     "streaming_session_real",
     "streaming_tumbling_real",
     "text_sasi_analyzer",
     "cql_allow_filtering",
+    # -- (2) new round-10 queries land here
+    # -- (3) stale-by-edit (round-10 edits to their machinery)
+    "cql_fn_terms",
+    "cql_token_rhs",
+    "cql_agg_nested",
+    "cql_create_mv_statement",
+    "mv_refresh_batch",
+    "cql_time_fcts",
+    "analytics_retention_cohorts",
+    "multimodal_audio_mp1_subband",
+    "cql_collection_mutations",
+    # -- (4) r3 backlog: every TPC-H shape except q1 (= entry())
+    "tpch_q2_min_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_parts",
+    "tpch_q12_late_shipments",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_part_supplier_counts",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume_customer",
+    "tpch_q19_disjunctive",
+    "tpch_q20_promo_suppliers",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_dormant_customers",
+    # -- (5) r4 backlog, oldest first
+    "cql_token_scan_timestamp",
+    "sketch_hll_registers",
+    "sketch_bloom_words",
+    "sketch_countmin_cells",
+    "sketch_histogram_bins",
+    "sketch_runtime_filtered_join",
+    "dedup_minhash_jaccard",
+    "dedup_lsh_pairs",
+    "dedup_cascade_docs",
+    "dedup_connected_components",
+    "dedup_line_level",
+    "bucketed_colocated_join",
+    "streaming_cdc_dedup",
+    "streaming_stateful_counters",
+    "pipeline_stratified_sample",
+    "pipeline_pack_sequences",
 )
-# Deliberately outside the window this round: the full r8-green set
-# (write-path r6/r7/r8 tier re-evidenced in the r8 window, the round-8
-# statement forms, r1-era rows, and the r2-era tier-5 backlog — all
-# green in CORRECTNESS_r08), and the r4 sets (token-scan variants,
-# sketches, dedup/multimodal tiers, tpch q10-q22 whose evidence is r3/r4
-# but which bench.py re-runs every round). Remaining r3/r4 rows queue
-# first for round 10 along with whatever round 9 edits.
+# Deliberately outside the window this round: the r9-evidenced set (50
+# rows green in CORRECTNESS_r09, machinery untouched unless listed in
+# tier 3) and the r7/r8-evidenced tiers. The remaining r4 rows
+# (multimodal codec tier, text tier, source tier, sim_* quantizers)
+# queue first for round 11 along with whatever round 10 edits.
 
 
 def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
