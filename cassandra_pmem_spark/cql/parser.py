@@ -117,6 +117,16 @@ class Relation:
 
 
 @dataclass
+class _TokenRhs:
+    """token(<key literals>) on a relation's RIGHT side, awaiting the
+    table meta to fold (TokenRelation.java / TokenFct.java:61). A private
+    marker CLASS, not a tagged tuple — a user-bound tuple value can never
+    collide with it."""
+
+    args: tuple
+
+
+@dataclass
 class SelectStatement:
     """IR #2 analog — the annotated logical statement
     (cql3/statements/SelectStatement.java)."""
@@ -137,6 +147,10 @@ class _Parser:
     def __init__(self, toks: list[_Tok]):
         self.toks = toks
         self.i = 0
+        # set by CqlWriteSession before parsing a write statement: folds
+        # now()/uuid()/current* terms from the coordinator clock
+        # (cql/terms.py SessionClockFold); None ⇒ those names reject
+        self.clock_fold = None
 
     def peek(self) -> _Tok:
         return self.toks[self.i]
@@ -239,7 +253,7 @@ class _Parser:
                     if not self.accept_punct(","):
                         break
                 self.expect_punct(")")
-            return evaluate_fn(name, args)
+            return evaluate_fn(name, args, clock=self.clock_fold)
         return self.literal(params, cursor)
 
     # -- selectors ------------------------------------------------------------
@@ -342,6 +356,19 @@ class _Parser:
                 typ = self.ident()
                 self.expect_punct(")")
                 sel = Selector("cast", [col, typ])
+            elif low in (
+                "dateof",
+                "unixtimestampof",
+                "totimestamp",
+                "todate",
+                "tounixtimestamp",
+            ):
+                # native temporal conversions over a COLUMN
+                # (TimeFcts.java:97,115,149,170,191) — for a declared
+                # timeuuid column they read the v1-embedded timestamp
+                col = self.ident()
+                self.expect_punct(")")
+                sel = Selector("timefct", [low, col])
             else:
                 # user-defined scalar function or aggregate call
                 # (Selectable.WithFunction) — args are column names or
@@ -425,9 +452,7 @@ class _Parser:
                 while self.accept_punct(","):
                     args.append(self.term(params, cursor))
                 self.expect_punct(")")
-                return Relation(
-                    "token", cols, op, [("__token_rhs__", tuple(args))]
-                )
+                return Relation("token", cols, op, [_TokenRhs(tuple(args))])
             return Relation("token", cols, op, [self.term(params, cursor)])
         col = self.ident()
         if self.accept_kw("in"):
@@ -578,6 +603,45 @@ def _is_tu_bound(v) -> bool:
     return isinstance(v, TimeuuidBound)
 
 
+def _timefct_column(s, meta):
+    """Compile a native temporal conversion selector (TimeFcts.java):
+    dateof/unixtimestampof take a timeuuid (the v1-embedded timestamp,
+    via the codegen extraction in functions/timefcts.py);
+    totimestamp/todate/tounixtimestamp additionally accept the
+    date/timestamp pairs the reference declares. Wrong source types
+    reject at prepare, like the reference's assignment testing."""
+    from pyspark.sql import types as _T
+
+    from cassandra_pmem_spark.functions.timefcts import timeuuid_unix_ms
+
+    fn, c = s.args
+    decl = dict(getattr(meta, "cql_key_types", ()) or ()).get(c)
+    dt = {f.name: f.dataType for f in meta.schema.fields}.get(c)
+    if dt is None:
+        raise InvalidRequest(f"unknown column {c!r} in {fn}()")
+    alias = s.alias or f"{fn}_{c}"
+    is_tu = decl == "timeuuid"
+    if is_tu:
+        ms = timeuuid_unix_ms(c)
+    elif isinstance(dt, _T.TimestampType):
+        ms = F.unix_millis(F.col(c))
+    elif isinstance(dt, _T.DateType):
+        ms = F.unix_millis(F.col(c).cast("timestamp"))
+    else:
+        raise InvalidRequest(
+            f"{fn}() takes a timeuuid/timestamp/date column, got {c!r}"
+        )
+    if fn in ("dateof", "unixtimestampof") and not is_tu:
+        # deprecated timeuuid-only forms (TimeFcts.java:97,115)
+        raise InvalidRequest(f"{fn}() takes a timeuuid column, got {c!r}")
+    if fn in ("dateof", "totimestamp"):
+        return F.timestamp_millis(ms).alias(alias)
+    if fn == "todate":
+        return F.to_date(F.timestamp_millis(ms)).alias(alias)
+    # unixtimestampof | tounixtimestamp — epoch millis (bigint)
+    return ms.alias(alias)
+
+
 def _scalar_token(meta, values: tuple) -> int:
     """token(<key literals>) folded driver-side: the same serialization
     and Murmur3 the column side hashes with (functions/murmur3.py
@@ -702,8 +766,8 @@ def _compile(
                     f"token() requires the full partition key {meta.partition_key}"
                 )
             val = r.values[0]
-            if isinstance(val, tuple) and val[:1] == ("__token_rhs__",):
-                val = _scalar_token(meta, val[1])
+            if isinstance(val, _TokenRhs):
+                val = _scalar_token(meta, val.args)
             t = t.where_token(r.op, val)
         elif r.kind == "in":
             for v in r.values:
@@ -714,11 +778,27 @@ def _compile(
             val = r.values[0]
             if _is_tu_bound(val):
                 # min/maxTimeuuid extreme: a RANGE bound — translate per
-                # operator (TimeuuidBound.bound_for — the extreme is
-                # strictly outside every real timeuuid in its
-                # millisecond); non-range operators reject with guidance
-                b = val.bound_for(r.op.value)
-                t = t.where(r.columns[0], Op(b[0]), b[1])
+                # operator (non-range operators reject with guidance).
+                # The compared column must be DECLARED timeuuid: the
+                # reference rejects the timeuuid/timestamp mismatch at
+                # prepare (assignment testing — a maxTimeuuid bound is
+                # not assignment-compatible with a timestamp column), and
+                # without this gate the fold would silently compile
+                # `ts < t+1ms` against a plain timestamp column. For a
+                # timeuuid column the comparison runs on the v1-embedded
+                # timestamp (TimeuuidBound.edge_ticks — the extremes sit
+                # strictly outside every real timeuuid in the named
+                # millisecond, exactly TimeUUIDType's timestamp-first
+                # order)
+                decl = dict(getattr(meta, "cql_key_types", ()) or ())
+                if decl.get(r.columns[0]) != "timeuuid":
+                    raise InvalidRequest(
+                        f"{val.kind}Timeuuid() can only be compared to a "
+                        f"timeuuid column; {r.columns[0]!r} is not declared "
+                        "timeuuid"
+                    )
+                op2, edge = val.edge_ticks(r.op.value)
+                t = t.where_timeuuid_ticks(r.columns[0], Op(op2), edge)
                 continue
             t = t.where(r.columns[0], r.op, val)
     if st.allow_filtering:
@@ -823,13 +903,24 @@ def _compile(
             # arithmetic (AvgFunction uses BigInteger sum / count —
             # truncation toward zero, which Spark's `div` matches);
             # Spark's F.avg would return a double instead
+            # CQL's sum and avg return 0 for empty (or all-null) input,
+            # not null (AggregateFcts.java — every numeric sum/avg fold
+            # starts from a zero state and returns it untouched when no
+            # live value arrives); Spark's sum/avg return NULL instead.
+            # Each zero is cast to the branch's own output dtype BEFORE
+            # coalesce so type promotion can't widen the aggregate.
             if s.fn == "avg":
                 src = _integral_avg_source(s, meta, t._df.columns)
                 if src is not None:
                     src_sql, src_type = src
-                    col = F.expr(
-                        f"sum({src_sql}) div count({src_sql})"
+                    col = F.coalesce(
+                        F.expr(f"sum({src_sql}) div count({src_sql})"),
+                        F.lit(0),
                     ).cast(src_type)
+                else:
+                    col = F.coalesce(col, F.lit(0).cast("double"))
+            elif s.fn == "sum":
+                col = F.coalesce(col, F.lit(0).cast("long"))
             aggs.append(col.alias(name))
         out = df.groupBy(*group_cols).agg(*aggs) if group_cols else df.agg(*aggs)
         return out.limit(st.limit) if st.limit is not None else out
@@ -935,6 +1026,8 @@ def _compile(
             projection.append(
                 F.col(col).cast(_CAST_TYPES[typ.lower()]).alias(s.alias or f"cast_{col}")
             )
+        elif s.kind == "timefct":
+            projection.append(_timefct_column(s, meta))
     t = t.select(*projection)
     df = t.df()
     if st.json:

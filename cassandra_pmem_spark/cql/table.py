@@ -37,6 +37,40 @@ from cassandra_pmem_spark.cql.validator import (
 )
 from cassandra_pmem_spark.functions.token import token_column
 
+
+def _is_declared_timeuuid(meta: TableMeta, column: str) -> bool:
+    return (
+        dict(getattr(meta, "cql_key_types", ()) or ()).get(column) == "timeuuid"
+    )
+
+
+def _cmp_key(meta: TableMeta, column: str) -> Column:
+    """The column's COMPARISON/SORT key. Declared-timeuuid columns order
+    by (embedded v1 timestamp, text): TimeUUIDType compares timestamps
+    first (TimeUUIDType.java:52-63) — canonical-text order would sort
+    time_low first and scramble time order. The text tiebreak at equal
+    ticks is deterministic but differs from the reference's signed-byte
+    clockSeqAndNode order (documented engine deviation; ticks collide
+    only for uuids minted in the same 100ns)."""
+    if _is_declared_timeuuid(meta, column):
+        from cassandra_pmem_spark.functions.timefcts import timeuuid_ticks
+
+        return F.struct(
+            timeuuid_ticks(column).alias("t"), F.col(column).alias("u")
+        )
+    return F.col(column)
+
+
+def _timeuuid_rhs(value: str) -> Column:
+    """Literal RHS matching _cmp_key's struct shape."""
+    from cassandra_pmem_spark.cql.terms import ticks_of_uuid_text
+
+    return F.struct(
+        F.lit(int(ticks_of_uuid_text(value))).alias("t"),
+        F.lit(value).alias("u"),
+    )
+
+
 _OP_TO_COLUMN = {
     Op.EQ: lambda c, v: c == v,
     Op.LT: lambda c, v: c < v,
@@ -122,7 +156,36 @@ class CqlTable:
         op = Op(op) if isinstance(op, str) else op
         t = self._copy()
         t._restrictions.append(Restriction(column, op))
+        if (
+            op in (Op.LT, Op.LTE, Op.GT, Op.GTE)
+            and isinstance(value, str)
+            and _is_declared_timeuuid(self.meta, column)
+        ):
+            # range against a timeuuid LITERAL: TimeUUIDType orders by
+            # embedded timestamp, not text — compare (ticks, text)
+            t._conditions.append(
+                _OP_TO_COLUMN[op](_cmp_key(self.meta, column), _timeuuid_rhs(value))
+            )
+            return t
         t._conditions.append(_OP_TO_COLUMN[op](F.col(column), value))
+        return t
+
+    def where_timeuuid_ticks(self, column: str, op: Op | str, edge_ticks: int) -> "CqlTable":
+        """min/maxTimeuuid RANGE bound on a DECLARED timeuuid column:
+        compares the v1-embedded 60-bit timestamp extracted from the
+        canonical uuid text (functions/timefcts.timeuuid_ticks — pure
+        codegen, no UDF), the same timestamp-first ordering TimeUUIDType
+        compares by. The op/edge translation happened upstream
+        (TimeuuidBound.edge_ticks). Restriction bookkeeping (validator /
+        ALLOW FILTERING gates) records the column like a plain range."""
+        from cassandra_pmem_spark.functions.timefcts import timeuuid_ticks
+
+        op = Op(op) if isinstance(op, str) else op
+        t = self._copy()
+        t._restrictions.append(Restriction(column, op))
+        t._conditions.append(
+            _OP_TO_COLUMN[op](timeuuid_ticks(column), F.lit(int(edge_ticks)))
+        )
         return t
 
     def where_tuple(self, columns: Sequence[str], op: Op | str, values: Sequence[Any]) -> "CqlTable":
@@ -267,7 +330,12 @@ class CqlTable:
             for c, _ in self._order:
                 if c in dtypes:
                     assert_comparable(dtypes[c], context=f"ORDER BY {c!r}")
-            out = out.orderBy(*[F.col(c).asc() if asc else F.col(c).desc() for c, asc in self._order])
+            out = out.orderBy(
+                *[
+                    _cmp_key(meta, c).asc() if asc else _cmp_key(meta, c).desc()
+                    for c, asc in self._order
+                ]
+            )
         if self._limit is not None:
             out = out.limit(self._limit)
         return out
@@ -277,7 +345,8 @@ def _per_partition_limit(df: DataFrame, meta: TableMeta, n: int) -> DataFrame:
     """PER PARTITION LIMIT n (Parser.g:280; DataLimits.java:91,540-547):
     first n rows per partition in clustering order."""
     order = [
-        F.col(c.name).asc() if c.ascending else F.col(c.name).desc() for c in meta.clustering
+        _cmp_key(meta, c.name).asc() if c.ascending else _cmp_key(meta, c.name).desc()
+        for c in meta.clustering
     ] or [F.lit(1)]
     w = Window.partitionBy(*[F.col(c) for c in meta.partition_key]).orderBy(*order)
     return (

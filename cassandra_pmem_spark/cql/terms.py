@@ -16,9 +16,13 @@ contract these must match):
 - minTimeuuid / maxTimeuuid over string literals — the shadow-model
   timestamp bound (SURVEY §1.2; functions/timefcts.py).
 
-Non-deterministic terms (now(), uuid()) are deliberately absent — the
-statement surface rejects them with a clear message instead of producing
-un-reproducible mutations.
+The now()-family (now/currenttimeuuid/currenttimestamp/currentdate/
+currenttime/uuid) folds from the SESSION'S COORDINATOR CLOCK when a
+write session provides one (SessionClockFold below — deterministic per
+statement, monotonic like ClientState.getTimestamp), mirroring the
+reference's coordinator-side execution while keeping statement replays
+byte-identical. Outside a session (bare SELECT compilation) those names
+still reject with guidance.
 """
 
 from __future__ import annotations
@@ -30,6 +34,111 @@ from typing import Any
 from cassandra_pmem_spark.cql.validator import InvalidRequest
 
 _INT_WIDTHS = {"bigint": 8, "int": 4, "smallint": 2, "tinyint": 1}
+
+# -- version-1 (time-based) UUID arithmetic (utils/UUIDGen.java) ---------------
+# The v1 timestamp is 100ns ticks since the UUID epoch 1582-10-15;
+# UUIDGen.java:52 START_EPOCH is that instant in unix milliseconds.
+UUID_START_EPOCH_MS = -12219292800000
+# UUIDGen.java:68-69 — the fake extremes' clockSeqAndNode. MIN has
+# variant 2 as it should; MAX deliberately has variant 0 (the reference
+# ignores the variant for these query-only values).
+MIN_CLOCK_SEQ_AND_NODE = 0x8080808080808080
+MAX_CLOCK_SEQ_AND_NODE = 0x7F7F7F7F7F7F7F7F
+# clockSeqAndNode for now()-minted timeuuids: a FIXED, variant-correct,
+# documented value — the engine derives now() from the session clock for
+# replay determinism, so the host-derived node the reference uses
+# (UUIDGen.makeNode) is deliberately not consulted.
+SESSION_CLOCK_SEQ_AND_NODE = 0x8000000000000001
+
+
+def ticks_from_unix_ms(ms: int, sub_ticks: int = 0) -> int:
+    """UUIDGen.fromUnixTimestamp: unix millis -> v1 100ns ticks."""
+    return (ms - UUID_START_EPOCH_MS) * 10000 + sub_ticks
+
+
+def unix_ms_from_ticks(ticks: int) -> int:
+    """UUIDGen.unixTimestamp: v1 ticks -> unix millis (floor)."""
+    return ticks // 10000 + UUID_START_EPOCH_MS
+
+
+def v1_uuid_text(ticks: int, clock_seq_and_node: int) -> str:
+    """Canonical text of the version-1 UUID with the given 60-bit
+    timestamp (UUIDGen.createTime:353 bit layout: time_low<<32 |
+    time_mid>>16 | time_hi>>48 | version 1)."""
+    import uuid as _uuid
+
+    msb = (
+        ((ticks & 0x00000000FFFFFFFF) << 32)
+        | ((ticks & 0x0000FFFF00000000) >> 16)
+        | ((ticks & 0xFFFF000000000000) >> 48)
+        | 0x0000000000001000
+    )
+    return str(_uuid.UUID(int=(msb << 64) | clock_seq_and_node))
+
+
+def ticks_of_uuid_text(u: str) -> int:
+    """Embedded 60-bit timestamp of a v1 UUID's canonical text:
+    time_hi(12) || time_mid(16) || time_low(32) — the inverse of
+    v1_uuid_text, and what TimeUUIDType compares by first."""
+    h = u.replace("-", "")
+    if len(h) != 32:
+        raise InvalidRequest(f"not a uuid: {u!r}")
+    return int(h[13:16] + h[8:12] + h[0:8], 16)
+
+
+class SessionClockFold:
+    """Folds the non-deterministic now()-family terms from the session's
+    COORDINATOR CLOCK. The reference executes them coordinator-side when
+    the statement executes (TimeFcts.java:39-57 now/current*,
+    UuidFcts.java:29 uuid()); the analog instant here is EPOCH_MS + the
+    statement's clock tick (the same counter that stamps writetime), so
+    replays of one statement sequence reproduce byte-identical values —
+    deterministic per statement and monotonic across the session like
+    ClientState.getTimestamp. Each occurrence WITHIN a statement advances
+    one 100ns uuid tick (distinct now() calls mint distinct timeuuids);
+    statements sharing a BATCH tick share the same base instant
+    (CASSANDRA-14361's consistent-batch direction)."""
+
+    # 2024-01-01T00:00:00Z — the documented, arbitrary session epoch
+    EPOCH_MS = 1704067200000
+
+    def __init__(self, next_tick):
+        self._next_tick = next_tick  # () -> int, the statement's tick
+        self._occ = 0  # occurrences folded so far in this statement
+
+    def fold(self, low: str):
+        occ = self._occ
+        self._occ += 1
+        ms = self.EPOCH_MS + int(self._next_tick())
+        if low in ("now", "currenttimeuuid"):
+            return v1_uuid_text(
+                ticks_from_unix_ms(ms, occ), SESSION_CLOCK_SEQ_AND_NODE
+            )
+        if low == "uuid":
+            # deterministic v4-shaped uuid: md5 of the (instant,
+            # occurrence) pair with version/variant bits forced
+            import hashlib
+            import uuid as _uuid
+
+            raw = bytearray(
+                hashlib.md5(f"uuid:{ms}:{occ}".encode()).digest()
+            )
+            raw[6] = (raw[6] & 0x0F) | 0x40  # version 4
+            raw[8] = (raw[8] & 0x3F) | 0x80  # variant 10
+            return str(_uuid.UUID(bytes=bytes(raw)))
+        inst = _dtmod.datetime.fromtimestamp(
+            ms / 1000.0, tz=_dtmod.timezone.utc
+        )
+        if low == "currenttimestamp":
+            return inst
+        if low == "currentdate":
+            return inst.date()
+        if low == "currenttime":
+            # CQL time = nanos since midnight (the engine stores time as
+            # bigint nanos — ddl._NATIVE_TYPES)
+            midnight = inst.replace(hour=0, minute=0, second=0, microsecond=0)
+            return int((inst - midnight).total_seconds() * 1_000_000) * 1000
+        raise InvalidRequest(f"unknown clock function {low!r}")  # pragma: no cover
 
 
 def _int_as_blob(v: Any, width: int, name: str) -> bytes:
@@ -98,13 +207,52 @@ class TimeuuidBound(_dtmod.datetime):
             "compare with </<=/>/>= or bind a timestamp value instead"
         )
 
+    def _unix_ms(self) -> int:
+        return round(self.instant().timestamp() * 1000)
 
-def evaluate_fn(name: str, args: list[Any]) -> Any:
+    def uuid_text(self) -> str:
+        """The fake extreme timeuuid the reference mints
+        (UUIDGen.minTimeUUID:198 / maxTimeUUID:209) — what a
+        min/maxTimeuuid fold STORES into a declared-timeuuid column."""
+        if self.kind == "min":
+            return v1_uuid_text(
+                ticks_from_unix_ms(self._unix_ms()), MIN_CLOCK_SEQ_AND_NODE
+            )
+        return v1_uuid_text(
+            ticks_from_unix_ms(self._unix_ms() + 1) - 1, MAX_CLOCK_SEQ_AND_NODE
+        )
+
+    def edge_ticks(self, op: str) -> tuple[str, int]:
+        """(op, v1 ticks) for a RANGE comparison against a real
+        timeuuid's embedded 60-bit timestamp. Same op-aware translation
+        as bound_for, in tick space: the min extreme sits strictly below
+        and the max extreme strictly above every real timeuuid in the
+        named millisecond (TimeUUIDType compares timestamps first, and
+        MIN/MAX_CLOCK_SEQ_AND_NODE bracket every real clockSeqAndNode),
+        so `> min(t)` ≡ ticks >= ticks(t) and `< max(t)` ≡
+        ticks < ticks(t+1ms)."""
+        edge_ms = self._unix_ms() + (1 if self.kind == "max" else 0)
+        edge = ticks_from_unix_ms(edge_ms)
+        if op in (">", ">="):
+            return (">=", edge)
+        if op in ("<", "<="):
+            return ("<", edge)
+        self.reject(op)
+
+
+def evaluate_fn(name: str, args: list[Any], clock: "SessionClockFold | None" = None) -> Any:
     """Evaluate one constant function term; raises InvalidRequest for
-    unknown names, non-deterministic functions, and arity/type errors."""
+    unknown names, non-deterministic functions, and arity/type errors.
+    `clock` — set on write-statement parsers by CqlWriteSession — folds
+    the now()-family from the coordinator clock; without one (bare
+    SELECT compilation, no session) those names still reject."""
     low = name.lower()
     if low in ("now", "uuid", "currenttimestamp", "currentdate",
                "currenttime", "currenttimeuuid"):
+        if clock is not None:
+            if args:
+                raise InvalidRequest(f"{name}() takes no arguments")
+            return clock.fold(low)
         raise InvalidRequest(
             f"{name}() is non-deterministic and not supported as a write "
             "term in this engine (bind the value instead)"
@@ -191,6 +339,10 @@ def evaluate_fn(name: str, args: list[Any]) -> Any:
         try:
             if len(v) == 10:
                 dt = _dt.datetime.strptime(v, "%Y-%m-%d")
+            elif "." in v:
+                # fractional seconds (TimestampSerializer's dateStringPatterns
+                # accept millisecond precision)
+                dt = _dt.datetime.strptime(v, "%Y-%m-%d %H:%M:%S.%f")
             else:
                 dt = _dt.datetime.strptime(v, "%Y-%m-%d %H:%M:%S")
         except ValueError as exc:

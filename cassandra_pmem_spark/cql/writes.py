@@ -162,7 +162,44 @@ def _reject_in_with_conditions(key: dict, meta, kind: str) -> None:
     )
 
 
-from cassandra_pmem_spark.cql.terms import TimeuuidBound
+from cassandra_pmem_spark.cql.terms import SessionClockFold, TimeuuidBound
+
+
+def _decl_timeuuid(meta, col: str) -> bool:
+    return dict(getattr(meta, "cql_key_types", ()) or ()).get(col) == "timeuuid"
+
+
+def _timeuuid_range_sides(col: str, v: Any):
+    """(lhs, rhs) for a range comparison on a declared-timeuuid column.
+    A datetime bound — a min/maxTimeuuid fold's millisecond edge from
+    _key_relations_with_ranges — compares on the embedded v1 ticks alone
+    (the extreme sits strictly outside every real timeuuid in its
+    millisecond, so the ms tick edge is exact); a uuid-text bound
+    compares (ticks, text) exactly like the read path's _cmp_key."""
+    import datetime as _dt
+
+    from cassandra_pmem_spark.cql.terms import (
+        ticks_from_unix_ms,
+        ticks_of_uuid_text,
+    )
+    from cassandra_pmem_spark.functions.timefcts import timeuuid_ticks
+
+    if isinstance(v, _dt.datetime):
+        ms = round(v.timestamp() * 1000) if v.tzinfo else round(
+            v.replace(tzinfo=_dt.timezone.utc).timestamp() * 1000
+        )
+        return timeuuid_ticks(col), F.lit(int(ticks_from_unix_ms(ms)))
+    if isinstance(v, str):
+        return (
+            F.struct(timeuuid_ticks(col).alias("t"), F.col(col).alias("u")),
+            F.struct(
+                F.lit(int(ticks_of_uuid_text(v))).alias("t"),
+                F.lit(v).alias("u"),
+            ),
+        )
+    raise InvalidRequest(
+        f"cannot range-compare {type(v).__name__} against timeuuid column {col!r}"
+    )
 
 
 def _plain_value(v: Any) -> Any:
@@ -208,13 +245,14 @@ class _WriteParser(_Parser):
     """Statement parsers for the write grammar (Parser.g:478,544,578)."""
 
     def value_term(self, params, cursor):
-        """A term in a write VALUE position: a min/maxTimeuuid extreme
-        stores its plain instant (the reference stores a fake timeuuid
-        whose timestamp IS t) — the extreme tag only matters in range
-        comparisons, and a tagged subclass must never reach Spark row
-        construction."""
-        v = self.term(params, cursor)
-        return v.instant() if isinstance(v, TimeuuidBound) else v
+        """A term in a write VALUE position. A min/maxTimeuuid extreme
+        stays TAGGED here: what it stores depends on the target column's
+        declared type, which only _record sees — a declared timeuuid
+        column stores the reference's fake extreme uuid
+        (UUIDGen.min/maxTimeUUID), a timestamp column the plain instant.
+        _record downgrades every bound, so the tagged subclass never
+        reaches Spark row construction."""
+        return self.term(params, cursor)
 
     def insert_statement(self, params: list[Any], cursor: list[int] | None = None):
         cursor = [0] if cursor is None else cursor
@@ -310,9 +348,24 @@ class _WriteParser(_Parser):
             # (Cql.g usertypeLiteral; cql3/UserTypes.java literal parse:
             # field names are identifiers, never quoted terms)
             m: dict = {}
+            first_field = True
             while True:
                 f = self.ident().lower()
-                self.expect_punct(":")
+                try:
+                    self.expect_punct(":")
+                except InvalidRequest:
+                    if first_field:
+                        # a malformed SET literal like {abc} lands here
+                        # (bare identifier then no ':') — name the real
+                        # problem instead of the misleading "expected :"
+                        raise InvalidRequest(
+                            f"invalid collection literal: bare identifier "
+                            f"{f!r} is neither a UDT field (no ':' follows) "
+                            "nor a set/list element (elements are literals "
+                            "or bind markers)"
+                        ) from None
+                    raise
+                first_field = False
                 m[f] = self.literal(params, cursor)
                 if not self.accept_punct(","):
                     break
@@ -783,6 +836,15 @@ class CqlWriteSession:
             raise InvalidRequest(f"unsupported write statement {head!r}")
         counters = self.collection_info.counters if self.collection_info else frozenset()
         p = _WriteParser(_tokenize(cql))
+        # now()-family terms fold from THIS statement's coordinator tick
+        # (TimeFcts.java:39-57 execute coordinator-side): the tick the
+        # statement will receive — forced_ts inside a BATCH (all inner
+        # statements share the batch instant), else the next clock value
+        # (a rejected statement rewinds the clock via _restore, so the
+        # peek stays replay-deterministic)
+        p.clock_fold = SessionClockFold(
+            lambda: forced_ts if forced_ts is not None else self._clock_ref[0] + 1
+        )
         if head == "insert":
             _, cells, using, cond, json_default = p.insert_statement(params, cursor)
             if json_default == "null":
@@ -1032,7 +1094,12 @@ class CqlWriteSession:
     def _validate_batch(
         self, kind: str | None, has_batch_ts: bool, pieces: list, params: list, cursor: list
     ) -> None:
-        validate_batch_pieces(kind, has_batch_ts, pieces, params, cursor)
+        validate_batch_pieces(
+            kind, has_batch_ts, pieces, params, cursor,
+            clock_factory=lambda: SessionClockFold(
+                lambda: self._clock_ref[0] + 1
+            ),
+        )
 
     def _apply_update_row(
         self, key: dict, sets: dict, deltas: dict, elem_ops: list,
@@ -1499,10 +1566,39 @@ class CqlWriteSession:
                 ok = op == "!="
             else:
                 if isinstance(val, TimeuuidBound):
-                    # min/maxTimeuuid extremes compare per bound_for —
-                    # range ops only (reject() fires for = / !=)
-                    b = val.bound_for(op)
-                    ok = ops[b[0]](*_tz_norm(cur, b[1]))
+                    # min/maxTimeuuid extremes compare per the op-aware
+                    # translation — range ops only (reject() fires for
+                    # = / !=). On a declared timeuuid column the current
+                    # cell is uuid TEXT: compare its embedded v1 ticks
+                    # against the bound's tick edge (TimeUUIDType order);
+                    # on a timestamp column, the r9 ms-grain contract.
+                    if _decl_timeuuid(self.meta, col) and isinstance(cur, str):
+                        from cassandra_pmem_spark.cql.terms import (
+                            ticks_of_uuid_text,
+                        )
+
+                        op2, edge = val.edge_ticks(op)
+                        ok = ops[op2](ticks_of_uuid_text(cur), edge)
+                    else:
+                        b = val.bound_for(op)
+                        ok = ops[b[0]](*_tz_norm(cur, b[1]))
+                elif (
+                    op in ("<", "<=", ">", ">=")
+                    and _decl_timeuuid(self.meta, col)
+                    and isinstance(cur, str)
+                    and isinstance(val, str)
+                ):
+                    # plain timeuuid range condition: TimeUUIDType
+                    # compares embedded timestamps first, text breaking
+                    # ties (the engine's documented tie order)
+                    from cassandra_pmem_spark.cql.terms import (
+                        ticks_of_uuid_text,
+                    )
+
+                    ok = ops[op](
+                        (ticks_of_uuid_text(cur), cur),
+                        (ticks_of_uuid_text(val), val),
+                    )
                 else:
                     ok = ops[op](*_tz_norm(cur, val))
             if not ok:
@@ -1651,8 +1747,25 @@ class CqlWriteSession:
                 )
             return val
 
+        decl_types = dict(getattr(self.meta, "cql_key_types", ()) or ())
+
+        def downgrade(col, val):
+            """A min/maxTimeuuid fold lands per the target column's
+            declared type: a timeuuid column stores the reference's fake
+            extreme uuid (UUIDGen.minTimeUUID:198/maxTimeUUID:209), a
+            timestamp column the plain instant (the r9 shadow contract).
+            Runs BEFORE checked() so no datetime subclass survives to
+            Spark row construction."""
+            if isinstance(val, TimeuuidBound):
+                if decl_types.get(col) == "timeuuid":
+                    return val.uuid_text()
+                return val.instant()
+            return val
+
         cells = dict(cells)
         for col, val in cells.items():
+            val = downgrade(col, val)
+            cells[col] = val
             if val is None:
                 continue
             cells[col] = checked(val, by_name[col], col)
@@ -1667,7 +1780,9 @@ class CqlWriteSession:
                     raise InvalidRequest(
                         f"UDT column {col!r} does not have a field {fname!r}"
                     )
-                fcells[fname] = checked(val, ftypes[fname], f"{col}.{fname}")
+                # field-level declared types aren't tracked: a bound
+                # inside a UDT keeps the r9 instant contract
+                fcells[fname] = checked(_plain_value(val), ftypes[fname], f"{col}.{fname}")
         if wt is not None:
             pass  # caller pre-computed the statement timestamp
         elif "timestamp" in using:
@@ -1676,6 +1791,12 @@ class CqlWriteSession:
             wt = forced_ts  # batch: one shared coordinator timestamp
         else:
             wt = self._tick()
+        # collection-element values keep the r9 instant contract for
+        # bounds (element-level declared types aren't tracked)
+        elem_cells = {
+            c: {k: _plain_value(v) for k, v in m.items()}
+            for c, m in (elem_cells or {}).items()
+        }
         self._mutations.append(
             Mutation(
                 self._key_of(cells),
@@ -1683,7 +1804,7 @@ class CqlWriteSession:
                 wt,
                 ttl=using.get("ttl"),
                 counter_deltas=deltas or {},
-                elem_cells=elem_cells or {},
+                elem_cells=elem_cells,
                 udt_cells=udt_cells,
                 row_live=row_live,
             )
@@ -1949,12 +2070,22 @@ class CqlWriteSession:
             for kc, kv in rg.eq.items():
                 cond = cond & (F.col(kc) == F.lit(kv))
             for col, (lo, hi) in rg.ranges.items():
-                if lo is not None:
-                    v, incl = lo
-                    cond = cond & ((F.col(col) >= v) if incl else (F.col(col) > v))
-                if hi is not None:
-                    v, incl = hi
-                    cond = cond & ((F.col(col) <= v) if incl else (F.col(col) < v))
+                for bound, is_lo in ((lo, True), (hi, False)):
+                    if bound is None:
+                        continue
+                    v, incl = bound
+                    lhs, rv = F.col(col), v
+                    if _decl_timeuuid(meta, col):
+                        # declared timeuuid: compare in TimeUUIDType's
+                        # order, not text order. A datetime bound (a
+                        # min/maxTimeuuid fold's ms edge) compares on the
+                        # embedded ticks alone; a uuid-text bound on
+                        # (ticks, text) like the read path's _cmp_key.
+                        lhs, rv = _timeuuid_range_sides(col, v)
+                    if is_lo:
+                        cond = cond & ((lhs >= rv) if incl else (lhs > rv))
+                    else:
+                        cond = cond & ((lhs <= rv) if incl else (lhs < rv))
             shadow_preds.append((cond, rg.writetime))
         if shadow_preds:
             any_key_cond = F.lit(False)
@@ -2255,6 +2386,7 @@ def validate_batch_pieces(
     params: list,
     cursor: list,
     multi_table: bool = False,
+    clock_factory=None,
 ) -> None:
     """BatchStatement.verifyBatchType/attrs validation
     (BatchStatement.java:170-234), run as a DRY PARSE over the inner
@@ -2273,6 +2405,10 @@ def validate_batch_pieces(
         if head not in ("insert", "update", "delete"):
             raise InvalidRequest("Only INSERT, UPDATE and DELETE are allowed in BATCH")
         p = _WriteParser(_tokenize(stmt))
+        # the dry parse discards values, but now()-family terms must
+        # still fold (a batch containing now() is valid) — a throwaway
+        # per-statement clock keeps the real pass's folds untouched
+        p.clock_fold = clock_factory() if clock_factory is not None else None
         if head == "insert":
             _, _, using, cond, _ = p.insert_statement(params, dry)
             is_ctr = False

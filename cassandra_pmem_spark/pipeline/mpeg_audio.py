@@ -98,6 +98,18 @@ def build_mp1_frame(
     w.write(0, 1)               # copyright
     w.write(0, 1)               # original
     w.write(0, 2)               # emphasis
+    for sb, (nb, _sf, samples) in codes.items():
+        # valid Layer I allocations are 2..15 bits (ISO 11172-3 Table
+        # B.1 layer I: alloc 1..14 <-> nb-1). An entry with nb < 2 would
+        # write allocation 0 yet still emit its scalefactor + 12 samples
+        # below — the decoder (which skips unallocated subbands) would
+        # lose bit sync on such a frame. Reject instead of desyncing.
+        if not 2 <= nb <= 15:
+            raise ValueError(
+                f"subband {sb}: Layer I allocation needs 2..15 bits, got {nb}"
+            )
+        if len(samples) != 12:
+            raise ValueError(f"subband {sb}: need 12 samples, got {len(samples)}")
     for sb in range(32):        # bit allocation: nb bits <-> alloc nb-1
         nb = codes.get(sb, (0, 0, []))[0]
         w.write(nb - 1 if nb else 0, 4)

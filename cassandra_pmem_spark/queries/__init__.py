@@ -42,7 +42,8 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_tumbling_real",
     "text_sasi_analyzer",
     "cql_allow_filtering",
-    # -- (2) new round-10 queries land here
+    # -- (2) new round-10 queries
+    "cql_now_writes",  # now()/uuid() folded from the coordinator clock
     # -- (3) stale-by-edit (round-10 edits to their machinery)
     "cql_fn_terms",
     "cql_token_rhs",

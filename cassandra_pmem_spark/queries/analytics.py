@@ -944,7 +944,11 @@ def analytics_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         active.join(F.broadcast(first), "user_id")
         .select(
-            "cohort_day",
+            # midnight timestamp, not DATE: Spark DateType collects as
+            # pandas `object` while DuckDB DATE arrives datetime64 — the
+            # gate's dtype check would warn on every run and mask a real
+            # object-dtype regression. Both sides cast to TIMESTAMP.
+            F.col("cohort_day").cast("timestamp").alias("cohort_day"),
             F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
         )
         .groupBy("cohort_day", "day_offset")
@@ -958,7 +962,7 @@ WITH first AS (
 ), active AS (
   SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
 )
-SELECT f.cohort_day,
+SELECT CAST(f.cohort_day AS TIMESTAMP) AS cohort_day,
   CAST(a.day - f.cohort_day AS BIGINT) AS day_offset,
   count(*) AS n_users
 FROM active a JOIN first f USING (user_id)

@@ -446,7 +446,10 @@ def cql_time_fcts(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, "orders", sf_dir).filter(F.col("o_orderkey") < 200)
     return orders.select(
         "o_orderkey",
-        F.to_date("o_orderdate").alias("odate"),
+        # ISO string, not DateType: Spark dates collect as pandas `object`
+        # vs DuckDB's datetime64 — a permanent gate dtype warning that
+        # would mask a real object-dtype regression (both sides cast)
+        F.to_date("o_orderdate").cast("string").alias("odate"),
         F.unix_millis(F.col("o_orderdate")).alias("epoch_ms"),
         F.to_timestamp(F.to_date("o_orderdate")).alias("ts_day"),
     )
@@ -855,7 +858,7 @@ QUERIES = {
     ),
     "cql_time_fcts": (
         cql_time_fcts,
-        "SELECT o_orderkey, CAST(o_orderdate AS DATE) AS odate, "
+        "SELECT o_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS odate, "
         "epoch_ms(o_orderdate) AS epoch_ms, "
         "CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS ts_day "
         "FROM orders WHERE o_orderkey < 200",

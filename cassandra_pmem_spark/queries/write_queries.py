@@ -263,7 +263,10 @@ def mv_refresh_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, "events", sf_dir).select(
         "user_id",
-        F.to_date("ts").alias("day"),
+        # day as midnight TIMESTAMP: Spark DateType collects as pandas
+        # `object` vs DuckDB datetime64 — silence the permanent gate
+        # dtype warning (both sides cast; the view key is unchanged)
+        F.to_date("ts").cast("timestamp").alias("day"),
         "event_type",
         "value",
         F.col("event_id").alias("writetime"),
@@ -273,7 +276,7 @@ def mv_refresh_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MV_ORACLE = """
 SELECT user_id, day, event_type, value, writetime FROM (
-  SELECT user_id, CAST(ts AS DATE) AS day, event_type, value,
+  SELECT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day, event_type, value,
          event_id AS writetime,
          row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
                             ORDER BY event_id DESC) AS rn
@@ -1252,8 +1255,92 @@ SELECT * FROM (VALUES
 """
 
 
+def cql_now_writes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """now()/uuid()/currenttimestamp() as WRITE TERMS, folded from the
+    session's coordinator clock (TimeFcts.java:39-57, UuidFcts.java:29 —
+    the reference executes them coordinator-side; here the instant is
+    SessionClockFold.EPOCH_MS + the statement tick, deterministic per
+    statement like ClientState.getTimestamp). Exercises: timeuuid PK
+    minting via now(), a BATCH whose two statements share one folded
+    instant (CASSANDRA-14361 direction), a range DELETE bounded by
+    minTimeuuid over the minted ids (UUIDGen.minTimeUUID:198 extreme,
+    TimeUUIDType timestamp-first order), and the v1-embedded-timestamp
+    read-backs dateof/tounixtimestamp (TimeFcts.java:97,191). The oracle
+    holds the exact uuids/instants the clock contract requires — any
+    drift in the fold, the v1 bit layout (UUIDGen.createTime:353), or
+    the bound translation hash-mismatches."""
+    from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+    db = CqlDatabase(spark)
+    db.execute("CREATE KEYSPACE nwq WITH REPLICATION = {'class': 'SimpleStrategy'}")
+    db.execute("USE nwq")
+    db.execute(
+        "CREATE TABLE ev (k int, id timeuuid, u uuid, cts timestamp, v int, "
+        "PRIMARY KEY (k, id))"
+    )
+    # statement ticks 1..3 -> instants EPOCH+1ms .. EPOCH+3ms
+    db.execute("INSERT INTO ev (k, id, v) VALUES (1, now(), 0)")
+    db.execute("INSERT INTO ev (k, id, v) VALUES (1, now(), 1)")
+    db.execute("INSERT INTO ev (k, id, v) VALUES (1, now(), 2)")
+    # tick 4: three folds in one statement — occurrences 0, 1, 2
+    db.execute(
+        "INSERT INTO ev (k, id, u, cts, v) VALUES (2, now(), uuid(), currenttimestamp(), 3)"
+    )
+    # tick 5 shared by both batch statements: identical folded ids
+    db.execute(
+        "BEGIN BATCH "
+        "INSERT INTO ev (k, id, v) VALUES (3, now(), 4); "
+        "INSERT INTO ev (k, id, v) VALUES (4, now(), 5); "
+        "APPLY BATCH"
+    )
+    # tick 6: range-delete k=1 ids embedded at or after EPOCH+2ms
+    db.execute(
+        "DELETE FROM ev WHERE k = 1 AND id > minTimeuuid('2024-01-01 00:00:00.002')"
+    )
+    out = db.execute(
+        "SELECT k, v, id, u, tounixtimestamp(id) AS ms, dateof(id) AS at FROM ev"
+    )
+    return out
+
+
+def _now_oracle() -> str:
+    from cassandra_pmem_spark.cql.terms import (
+        SESSION_CLOCK_SEQ_AND_NODE,
+        SessionClockFold,
+        ticks_from_unix_ms,
+        v1_uuid_text,
+    )
+
+    def tu(tick: int, occ: int = 0) -> str:
+        return v1_uuid_text(
+            ticks_from_unix_ms(SessionClockFold.EPOCH_MS + tick, occ),
+            SESSION_CLOCK_SEQ_AND_NODE,
+        )
+
+    u4 = SessionClockFold(lambda: 4)
+    u4.fold("now")  # occurrence 0 is the timeuuid
+    v4 = u4.fold("uuid")  # occurrence 1
+    e = SessionClockFold.EPOCH_MS
+    rows = [
+        (1, 0, tu(1), None, e + 1),
+        (2, 3, tu(4), v4, e + 4),
+        (3, 4, tu(5), None, e + 5),
+        (4, 5, tu(5), None, e + 5),
+    ]
+    vals = ",\n  ".join(
+        f"({k}, {v}, '{i}', {('NULL' if u is None else repr(u))}, {ms}, "
+        f"epoch_ms(CAST({ms} AS BIGINT)))"
+        for k, v, i, u, ms in rows
+    )
+    return (
+        "SELECT k, v, id, CAST(u AS VARCHAR) AS u, ms, at FROM (VALUES\n  "
+        f"{vals}\n) t(k, v, id, u, ms, at)"
+    )
+
+
 QUERIES = {
     "cql_fn_terms": (cql_fn_terms, _FN_TERMS_ORACLE),
+    "cql_now_writes": (cql_now_writes, _now_oracle()),
     "cql_delete_tombstones": (cql_delete_tombstones, _DELETE_TOMBSTONES_ORACLE),
     "cql_list_cell_liveness": (cql_list_cell_liveness, _LIST_CELL_ORACLE),
     "cql_udt_field_writes": (cql_udt_field_writes, _UDT_FIELD_ORACLE),

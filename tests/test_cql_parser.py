@@ -516,45 +516,70 @@ class TestTokenRhs:
             ).collect()
 
     def test_min_max_timeuuid_bounds_fold(self, spark):
-        """minTimeuuid/maxTimeuuid in relations fold to the shadow
-        timestamp bound (TimeFcts.java:69,81; SURVEY §1.2 shadow model)."""
+        """minTimeuuid/maxTimeuuid relations compare the v1-embedded
+        timestamp of a DECLARED timeuuid column (TimeFcts.java:69,81;
+        TimeUUIDType timestamp-first order). now() mints from the session
+        clock (EPOCH + statement tick ms), so the bound instants are
+        deterministic."""
         from cassandra_pmem_spark.cql.ddl import CqlDatabase
 
         db = CqlDatabase(spark)
         db.execute("CREATE KEYSPACE tu WITH REPLICATION = {'class': 'SimpleStrategy'}")
         db.execute("USE tu")
-        db.execute("CREATE TABLE ev (k int PRIMARY KEY, ts timestamp)")
-        db.execute("INSERT INTO ev (k, ts) VALUES (1, toTimestamp('2024-01-01 00:00:00'))")
-        db.execute("INSERT INTO ev (k, ts) VALUES (2, toTimestamp('2024-06-01 00:00:00'))")
+        db.execute("CREATE TABLE ev (k int, id timeuuid, v int, PRIMARY KEY (k, id))")
+        # statement ticks 1..4 -> instants 2024-01-01T00:00:00.001 .. .004
+        for i in range(4):
+            db.execute(f"INSERT INTO ev (k, id, v) VALUES (1, now(), {i})")
         r = db.execute(
-            "SELECT k FROM ev WHERE ts > minTimeuuid('2024-03-01 00:00:00') "
-            "ALLOW FILTERING"
+            "SELECT v FROM ev WHERE k = 1 AND "
+            "id > minTimeuuid('2024-01-01 00:00:00.003')"
         ).collect()
-        assert [x.k for x in r] == [2]
+        assert sorted(x.v for x in r) == [2, 3]
 
     def test_timeuuid_bounds_include_the_named_millisecond(self, spark):
         """minTimeuuid/maxTimeuuid extremes sit strictly outside every
         real timeuuid in the named millisecond (TimeFcts.java:69,81):
-        `> minTimeuuid(t)` and `< maxTimeuuid(t)` both INCLUDE a row at
-        exactly t."""
+        `> minTimeuuid(t)` and `< maxTimeuuid(t)` both INCLUDE a real
+        timeuuid whose embedded instant is exactly t."""
         from cassandra_pmem_spark.cql.ddl import CqlDatabase
 
         db = CqlDatabase(spark)
         db.execute("CREATE KEYSPACE tub WITH REPLICATION = {'class': 'SimpleStrategy'}")
         db.execute("USE tub")
+        db.execute("CREATE TABLE ev (k int, id timeuuid, PRIMARY KEY (k, id))")
+        # statement tick 1 -> embedded instant 2024-01-01T00:00:00.001
+        db.execute("INSERT INTO ev (k, id) VALUES (1, now())")
+        at_t = "SELECT k FROM ev WHERE k = 1 AND id %s"
+        inc = db.execute(at_t % "> minTimeuuid('2024-01-01 00:00:00.001')").collect()
+        assert [x.k for x in inc] == [1]
+        inc = db.execute(at_t % "< maxTimeuuid('2024-01-01 00:00:00.001')").collect()
+        assert [x.k for x in inc] == [1]
+        exc = db.execute(at_t % "< minTimeuuid('2024-01-01 00:00:00.001')").collect()
+        assert exc == []
+        exc = db.execute(at_t % "> maxTimeuuid('2024-01-01 00:00:00.001')").collect()
+        assert exc == []
+
+    def test_timeuuid_bound_rejects_non_timeuuid_columns(self, spark):
+        """The compared column must be DECLARED timeuuid: the reference
+        rejects the timeuuid/timestamp type mismatch at prepare — the
+        fold must not silently compile `ts < t+1ms` against a plain
+        timestamp column."""
+        import pytest
+
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+        db = CqlDatabase(spark)
+        db.execute("CREATE KEYSPACE tug WITH REPLICATION = {'class': 'SimpleStrategy'}")
+        db.execute("USE tug")
         db.execute("CREATE TABLE ev (k int PRIMARY KEY, ts timestamp)")
         db.execute(
             "INSERT INTO ev (k, ts) VALUES (1, toTimestamp('2024-03-01 00:00:00'))"
         )
-        at_t = "SELECT k FROM ev WHERE ts %s ALLOW FILTERING"
-        inc = db.execute(at_t % "> minTimeuuid('2024-03-01 00:00:00')").collect()
-        assert [x.k for x in inc] == [1]
-        inc = db.execute(at_t % "< maxTimeuuid('2024-03-01 00:00:00')").collect()
-        assert [x.k for x in inc] == [1]
-        exc = db.execute(at_t % "< minTimeuuid('2024-03-01 00:00:00')").collect()
-        assert exc == []
-        exc = db.execute(at_t % "> maxTimeuuid('2024-03-01 00:00:00')").collect()
-        assert exc == []
+        with pytest.raises(InvalidRequest, match="not declared timeuuid"):
+            db.execute(
+                "SELECT k FROM ev WHERE ts > minTimeuuid('2024-01-01') "
+                "ALLOW FILTERING"
+            )
 
     def test_token_rhs_date_key_and_fn_term(self, spark):
         """token() literals coerce to the key's type (date strings) and
@@ -604,17 +629,15 @@ class TestTokenRhs:
         db = CqlDatabase(spark)
         db.execute("CREATE KEYSPACE tue WITH REPLICATION = {'class': 'SimpleStrategy'}")
         db.execute("USE tue")
-        db.execute("CREATE TABLE ev (k int PRIMARY KEY, ts timestamp)")
-        db.execute(
-            "INSERT INTO ev (k, ts) VALUES (1, toTimestamp('2024-03-01 00:00:00'))"
-        )
-        q = "SELECT k FROM ev WHERE ts %s minTimeuuid('2024-03-01 00:00:00') ALLOW FILTERING"
+        db.execute("CREATE TABLE ev (k int, id timeuuid, PRIMARY KEY (k, id))")
+        db.execute("INSERT INTO ev (k, id) VALUES (1, now())")
+        q = "SELECT k FROM ev WHERE k = 1 AND id %s minTimeuuid('2024-03-01 00:00:00')"
         with pytest.raises(InvalidRequest, match="range bound"):
             db.execute(q % "=")
         with pytest.raises(InvalidRequest, match="range bound"):
             db.execute(
-                "SELECT k FROM ev WHERE ts IN "
-                "(minTimeuuid('2024-03-01 00:00:00')) ALLOW FILTERING"
+                "SELECT k FROM ev WHERE k = 1 AND id IN "
+                "(minTimeuuid('2024-03-01 00:00:00'))"
             )
 
     def test_timeuuid_bound_in_delete_range_matches_select(self, spark):

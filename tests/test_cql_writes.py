@@ -1256,9 +1256,17 @@ class TestFunctionTerms:
         )
         assert [r.n for r in bsess.table().collect()] == [77]
 
-    def test_nondeterministic_rejected(self, bsess):
-        with pytest.raises(InvalidRequest, match="non-deterministic"):
-            bsess.execute("INSERT INTO bt (k, s) VALUES (1, now())")
+    def test_now_folds_from_the_coordinator_clock(self, bsess):
+        """now()-family terms fold from the session clock since round 10
+        (TimeFcts.java:39-57 executes them coordinator-side; the engine's
+        instant is SessionClockFold.EPOCH_MS + statement tick, so the
+        value is deterministic per statement — test_timeuuid_now.py pins
+        the full contract; outside a session the names still reject)."""
+        from cassandra_pmem_spark.cql.terms import ticks_of_uuid_text
+
+        bsess.execute("INSERT INTO bt (k, s) VALUES (1, now())")
+        [row] = bsess.table().filter("k = 1").collect()
+        assert ticks_of_uuid_text(row.s) > 0  # v1-uuid text landed
 
     def test_unknown_function_rejected(self, bsess):
         with pytest.raises(InvalidRequest, match="unknown function"):

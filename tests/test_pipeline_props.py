@@ -474,14 +474,33 @@ class TestCacheLifecycle:
     def test_cascade_cache_false_leaves_no_persistent_rdds(self, spark):
         """Long-lived-session contract: with cache=False the cascade (and
         the LSH pass inside it) must leave NOTHING pinned in executor
-        storage once the query completes."""
+        storage once the query completes.
+
+        Asserted as a DELTA, not a global zero: getPersistentRDDs() counts
+        session-global state, and earlier tests' localCheckpoint RDDs
+        (connected components, PageRank) are released asynchronously by
+        the ContextCleaner when their Python refs are GC'd — a global
+        zero is timing-dependent under load. The product contract is only
+        that THIS call pins nothing new."""
+        import gc
+        import time
+
         spark.catalog.clearCache()  # isolate from other tests' caches
+        jsc = spark.sparkContext._jsc.sc()
+        before = jsc.getPersistentRDDs().size()
         docs = load_table(spark, "documents", SF_SMALL)
         out = dedup_cascade(docs, cache=False)
         n = out.count()
         assert n > 0
-        jsc = spark.sparkContext._jsc.sc()
-        assert jsc.getPersistentRDDs().size() == 0
+        # bounded retry: the async ContextCleaner may still be releasing
+        # UNRELATED checkpoint RDDs, shrinking the count below `before`;
+        # the contract violated only if the count ever settles ABOVE it
+        for _ in range(10):
+            gc.collect()
+            if jsc.getPersistentRDDs().size() <= before:
+                break
+            time.sleep(0.5)
+        assert jsc.getPersistentRDDs().size() <= before
 
     def test_cascade_cached_and_uncached_agree(self, spark):
         docs = load_table(spark, "documents", SF_SMALL)
