@@ -1815,6 +1815,11 @@ class CqlDatabase:
         # to table A always outranks an earlier write to table B, and a
         # multi-table BATCH stamps one timestamp across sessions
         self._write_clock: list[int] = [0]
+        # role/permission registries (cql/auth.py — Parser.g:224-245 DCL
+        # tier; registry-backed, no enforcement)
+        from cassandra_pmem_spark.cql.auth import AuthStore
+
+        self.auth = AuthStore()
 
     def _table_key(self, table) -> tuple[str | None, str]:
         """Canonical (keyspace, name) registry key for a DML/SELECT target:
@@ -1962,6 +1967,17 @@ class CqlDatabase:
 
     def execute(self, cql: str, params: list[Any] | None = None) -> DataFrame | bool | None:
         head = cql.strip().split(None, 1)[0].lower()
+        words = cql.split(None, 2)
+        if head in ("grant", "revoke", "list") or (
+            head in ("create", "alter", "drop")
+            and len(words) > 1
+            and words[1].lower() in ("role", "user")
+        ):
+            # DCL tier (Parser.g:224-245): CREATE/ALTER/DROP ROLE|USER,
+            # GRANT/REVOKE ROLE, GRANT/REVOKE/LIST PERMISSIONS, LIST
+            # ROLES/USERS — registry-backed role store, no enforcement
+            # (reads stay unauthenticated analytics; cql/auth.py header)
+            return self.auth.execute(cql, self.spark, self.registry)
         if head in ("describe", "desc"):
             # DESCRIBE — pasteable DDL reconstruction (bin/cqlsh.py:1350+
             # describe_*; cql/describe.py documents the contract). Result

@@ -1338,9 +1338,85 @@ def _now_oracle() -> str:
     )
 
 
+def cql_roles_grants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DCL statement tier (Parser.g:224-245 st16-22/st32-37 —
+    CREATE/ALTER/DROP ROLE + USER aliases, GRANT/REVOKE ROLE,
+    GRANT/REVOKE/LIST PERMISSIONS), registry-backed with the reference's
+    4.0 LIST shapes (ListRolesStatement.java:49-54,
+    ListPermissionsStatement.java:46-51). Exercises: CREATE defaults
+    (ROLE login=false vs USER login=true), role options incl. the custom
+    OPTIONS map, membership closure, permission filtering against the
+    resource's applicable set (DataResource.java:44-55), a DROP ROLE
+    cascade (membership + grants held + grants ON it —
+    CassandraAuthorizer.revokeAllFrom/revokeAllOn), and the transitive
+    OF-closure listing (CassandraAuthorizer.list:259). The oracle pins
+    every LIST row; the two LIST frames union into one scalar frame."""
+    from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+    db = CqlDatabase(spark)
+    db.execute("CREATE KEYSPACE rks WITH REPLICATION = {'class': 'SimpleStrategy'}")
+    db.execute("USE rks")
+    db.execute("CREATE TABLE docs (k int PRIMARY KEY, body text)")
+    db.execute("CREATE ROLE reader")
+    db.execute("CREATE ROLE writer WITH LOGIN = true")
+    db.execute("CREATE USER admin WITH PASSWORD 'pw' SUPERUSER")
+    db.execute("CREATE ROLE app WITH OPTIONS = {'env': 'prod'}")
+    db.execute("ALTER ROLE app WITH LOGIN = true")
+    db.execute("GRANT ROLE reader TO writer")
+    db.execute("GRANT ROLE writer TO admin")
+    db.execute("GRANT SELECT ON TABLE rks.docs TO reader")
+    db.execute("GRANT MODIFY ON KEYSPACE rks TO writer")
+    db.execute("GRANT ALL PERMISSIONS ON ALL KEYSPACES TO admin")
+    db.execute("GRANT AUTHORIZE ON ROLE reader TO admin")
+    db.execute("GRANT EXECUTE ON ALL FUNCTIONS TO app")
+    # DROP cascade: the roles it held, the grants it held, grants ON it
+    db.execute("CREATE ROLE doomed")
+    db.execute("GRANT DROP ON KEYSPACE rks TO doomed")
+    db.execute("GRANT ALTER ON ROLE doomed TO admin")
+    db.execute("DROP ROLE doomed")
+    roles = db.execute("LIST ROLES")
+    perms = db.execute("LIST ALL PERMISSIONS OF admin")
+    out = roles.select(
+        F.lit("role").alias("src"),
+        F.col("role").alias("name"),
+        F.col("super").cast("string").alias("x1"),
+        F.col("login").cast("string").alias("x2"),
+        F.col("options").alias("x3"),
+    ).unionByName(
+        perms.select(
+            F.lit("perm").alias("src"),
+            F.col("role").alias("name"),
+            F.col("resource").alias("x1"),
+            F.col("permission").alias("x2"),
+            F.col("username").alias("x3"),
+        )
+    )
+    return out
+
+
+_ROLES_ORACLE = """
+SELECT * FROM (VALUES
+  ('role', 'admin',  'true',  'true',  '{}'),
+  ('role', 'app',    'false', 'true',  '{"env": "prod"}'),
+  ('role', 'reader', 'false', 'false', '{}'),
+  ('role', 'writer', 'false', 'true',  '{}'),
+  ('perm', 'admin',  '<all keyspaces>',   'CREATE',    'admin'),
+  ('perm', 'admin',  '<all keyspaces>',   'ALTER',     'admin'),
+  ('perm', 'admin',  '<all keyspaces>',   'DROP',      'admin'),
+  ('perm', 'admin',  '<all keyspaces>',   'SELECT',    'admin'),
+  ('perm', 'admin',  '<all keyspaces>',   'MODIFY',    'admin'),
+  ('perm', 'admin',  '<all keyspaces>',   'AUTHORIZE', 'admin'),
+  ('perm', 'admin',  '<role reader>',     'AUTHORIZE', 'admin'),
+  ('perm', 'reader', '<table rks.docs>',  'SELECT',    'reader'),
+  ('perm', 'writer', '<keyspace rks>',    'MODIFY',    'writer')
+) t(src, name, x1, x2, x3)
+"""
+
+
 QUERIES = {
     "cql_fn_terms": (cql_fn_terms, _FN_TERMS_ORACLE),
     "cql_now_writes": (cql_now_writes, _now_oracle()),
+    "cql_roles_grants": (cql_roles_grants, _ROLES_ORACLE),
     "cql_delete_tombstones": (cql_delete_tombstones, _DELETE_TOMBSTONES_ORACLE),
     "cql_list_cell_liveness": (cql_list_cell_liveness, _LIST_CELL_ORACLE),
     "cql_udt_field_writes": (cql_udt_field_writes, _UDT_FIELD_ORACLE),
