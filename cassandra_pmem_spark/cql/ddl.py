@@ -60,6 +60,12 @@ _NATIVE_TYPES: dict[str, T.DataType] = {
 }
 
 
+def _as_int(v) -> int | None:
+    """Option value as an int when it is one (bools excluded), else None —
+    the ALTER MV param guards compare numerically."""
+    return int(v) if isinstance(v, (int, float)) and not isinstance(v, bool) else None
+
+
 def _validated_default_ttl(val, has_counters: bool):
     """TableParams.validate for default_time_to_live (TableParams.java;
     Attributes.MAX_TTL): an int in [0, MAX_TTL], and never on a counter
@@ -1417,6 +1423,11 @@ class SchemaRegistry:
         # materialized views: same keyspace-scoped namespace shape as
         # tables (schema/Views.java holds them beside the tables map)
         self.views: TableNamespace = TableNamespace()
+        # ALTER MATERIALIZED VIEW ... WITH params, keyed like views
+        # (AlterViewStatement.java applies TableAttributes to the view's
+        # TableParams; modeled params are annotations here — the engine's
+        # MV maintenance has no gc_grace/compaction machinery to feed)
+        self.view_params: dict[tuple, dict] = {}
         # statement-created functions/aggregates (schema/UserFunctions.java
         # — keyspace-scoped like tables; one overload per name here)
         self.functions: TableNamespace = TableNamespace()
@@ -1560,6 +1571,55 @@ class SchemaRegistry:
         elif head == "alter":
             p.expect_kw("alter")
             self.last_alter_type = None
+            if p.peek().kind == "ident" and p.peek().text.lower() == "materialized":
+                # ALTER MATERIALIZED VIEW ks.v WITH opt = val [AND ...]
+                # (Parser.g st40; AlterViewStatement.java:44-71) — the
+                # params-only form: PK/column changes don't parse, the
+                # view must exist, and two params reject like the
+                # reference. Options buffer until the whole statement
+                # parses (validate-before-mutate convention).
+                p.expect_kw("materialized")
+                p.expect_kw("view")
+                ks_q, vname = p.qualified_name()
+                vkey = self.views.resolve(
+                    vname, keyspace=ks_q, current=current_keyspace, missing_ok=True
+                )
+                if vkey is None:
+                    raise InvalidRequest(
+                        f"Materialized view "
+                        f"'{ks_q or current_keyspace}.{vname}' doesn't exist"
+                    )
+                p.expect_kw("with")
+                pending: dict = {}
+                while True:
+                    opt = p.ident().lower()
+                    p.expect_op("=")
+                    val = p._skip_option_value()
+                    pending[opt] = val
+                    if not p.accept_kw("and"):
+                        break
+                p._end()
+                if _as_int(pending.get("default_time_to_live")):
+                    # AlterViewStatement.java:66-71
+                    raise InvalidRequest(
+                        "Cannot set or alter default_time_to_live for a "
+                        "materialized view. Data in a materialized view "
+                        "always expire at the same time than the "
+                        "corresponding data in the parent table."
+                    )
+                if "gc_grace_seconds" in pending and _as_int(
+                    pending["gc_grace_seconds"]
+                ) == 0:
+                    # AlterViewStatement.java:59-64
+                    raise InvalidRequest(
+                        "Cannot alter gc_grace_seconds of a materialized "
+                        "view to 0, since this value is used to TTL "
+                        "undelivered updates. Setting gc_grace_seconds too "
+                        "low might cause undelivered updates to expire "
+                        "before being replayed."
+                    )
+                self.view_params.setdefault(vkey, {}).update(pending)
+                return
             if p.peek().kind == "ident" and p.peek().text.lower() == "type":
                 name, new_struct, renames = p.alter_type()
                 # validate BEFORE mutating the registry: a nested-usage
@@ -1665,6 +1725,7 @@ class SchemaRegistry:
                         return
                     raise InvalidRequest(f"unknown materialized view {name!r}")
                 dict.__delitem__(self.views, vkey)
+                self.view_params.pop(vkey, None)
                 return
             if kind in ("function", "aggregate"):
                 store = self.functions if kind == "function" else self.aggregates
@@ -1774,6 +1835,7 @@ class SchemaRegistry:
                     self._forget_table(tk)
                 for vk in [vk for vk in list(self.views) if vk[0] == key]:
                     dict.__delitem__(self.views, vk)
+                    self.view_params.pop(vk, None)
                 for store in (self.functions, self.aggregates):
                     for fk in [fk for fk in list(store) if fk[0] == key]:
                         dict.__delitem__(store, fk)

@@ -587,15 +587,32 @@ def cql_create_mv_statement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # base UPDATE propagates through the always-current derivation
     db.execute("UPDATE nation_base SET n_name = 'RELABELED' WHERE n_nationkey = 8")
-    return db.execute(
+    # ALTER MATERIALIZED VIEW ... WITH (Parser.g st40;
+    # AlterViewStatement.java:44-71 — the params-only form, new r10):
+    # accepted params annotate the view's registry entry; the two
+    # reference rejections (default_time_to_live > 0, gc_grace_seconds 0)
+    # are pinned in test_cql_views.py. The stored params ride the result
+    # as literal columns so any parse/apply drift hash-mismatches.
+    db.execute(
+        "ALTER MATERIALIZED VIEW nation_by_region WITH "
+        "gc_grace_seconds = 864000 AND comment = 'regional rollup'"
+    )
+    vp = db.registry.view_params[("mv_stmt", "nation_by_region")]
+    out = db.execute(
         "SELECT n_regionkey, n_nationkey, n_name FROM nation_by_region "
         "WHERE n_regionkey = 2"
+    )
+    return out.select(
+        "*",
+        F.lit(int(vp["gc_grace_seconds"])).alias("gc_grace"),
+        F.lit(vp["comment"]).alias("comment"),
     )
 
 
 _CREATE_MV_ORACLE = """
 SELECT n_regionkey, n_nationkey,
-       CASE WHEN n_nationkey = 8 THEN 'RELABELED' ELSE n_name END AS n_name
+       CASE WHEN n_nationkey = 8 THEN 'RELABELED' ELSE n_name END AS n_name,
+       864000 AS gc_grace, 'regional rollup' AS comment
 FROM nation WHERE n_regionkey = 2
 """
 

@@ -777,3 +777,25 @@ class TestCollectionCellLiveness:
         ]
         got = self._merge(spark, rows)
         assert got == {(1, "b"): (20, 100), (1, "c"): (30, 100)}
+
+
+class TestEmptyAggregateZero:
+    """CQL sum/avg return typed 0 for empty (or all-null) input, not null
+    (AggregateFcts.java — every numeric fold starts from a zero state);
+    count already returns 0; min/max stay null (r10 ADVICE fix)."""
+
+    def test_sum_avg_empty_and_all_null(self, spark):
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+        db = CqlDatabase(spark)
+        db.execute("CREATE KEYSPACE agg0 WITH REPLICATION = {'class': 'SimpleStrategy'}")
+        db.execute("USE agg0")
+        db.execute("CREATE TABLE t (k int PRIMARY KEY, n int, d double)")
+        r = db.execute("SELECT sum(n) AS s, avg(n) AS a, avg(d) AS ad, "
+                       "count(n) AS c, min(n) AS mn FROM t").collect()[0]
+        assert (r.s, r.a, r.ad, r.c, r.mn) == (0, 0, 0.0, 0, None)
+        # int avg keeps the integral fold's dtype (no double widening)
+        assert isinstance(r.a, int) and isinstance(r.ad, float)
+        db.execute("INSERT INTO t (k) VALUES (1)")  # all-null value columns
+        r = db.execute("SELECT sum(n) AS s, avg(n) AS a FROM t").collect()[0]
+        assert (r.s, r.a) == (0, 0)

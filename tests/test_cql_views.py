@@ -244,3 +244,56 @@ class TestReviewRegressions:
         base = db.execute("SELECT writetime(m) AS w FROM kv2").collect()[0].w
         view = db.execute("SELECT writetime(m) AS w FROM kv2v").collect()[0].w
         assert base == [100, 200] and view == [100, 200]
+
+
+class TestAlterView:
+    """ALTER MATERIALIZED VIEW ... WITH (Parser.g st40;
+    AlterViewStatement.java:44-71) — the params-only form, round 10."""
+
+    def test_alter_stores_params(self, db):
+        _mk_view(db)
+        db.execute(
+            "ALTER MATERIALIZED VIEW high_scores WITH "
+            "gc_grace_seconds = 3600 AND comment = 'leaderboard'"
+        )
+        vp = db.registry.view_params[("mvt", "high_scores")]
+        assert vp == {"gc_grace_seconds": 3600, "comment": "leaderboard"}
+        # later ALTER merges over the earlier params
+        db.execute("ALTER MATERIALIZED VIEW high_scores WITH comment = 'v2'")
+        vp = db.registry.view_params[("mvt", "high_scores")]
+        assert vp == {"gc_grace_seconds": 3600, "comment": "v2"}
+
+    def test_missing_view_errors(self, db):
+        with pytest.raises(InvalidRequest, match="doesn't exist"):
+            db.execute("ALTER MATERIALIZED VIEW nope WITH comment = 'x'")
+
+    def test_default_ttl_rejected(self, db):
+        # AlterViewStatement.java:66-71 — view data expires with the base
+        _mk_view(db)
+        with pytest.raises(InvalidRequest, match="default_time_to_live"):
+            db.execute(
+                "ALTER MATERIALIZED VIEW high_scores WITH default_time_to_live = 60"
+            )
+        # an explicit 0 is the reference-permitted no-op
+        db.execute(
+            "ALTER MATERIALIZED VIEW high_scores WITH default_time_to_live = 0"
+        )
+
+    def test_gc_grace_zero_rejected(self, db):
+        # AlterViewStatement.java:59-64 — 0 would expire undelivered updates
+        _mk_view(db)
+        with pytest.raises(InvalidRequest, match="gc_grace_seconds"):
+            db.execute(
+                "ALTER MATERIALIZED VIEW high_scores WITH gc_grace_seconds = 0"
+            )
+
+    def test_pk_change_does_not_parse(self, db):
+        _mk_view(db)
+        with pytest.raises(InvalidRequest):
+            db.execute("ALTER MATERIALIZED VIEW high_scores ADD extra int")
+
+    def test_drop_view_clears_params(self, db):
+        _mk_view(db)
+        db.execute("ALTER MATERIALIZED VIEW high_scores WITH comment = 'x'")
+        db.execute("DROP MATERIALIZED VIEW high_scores")
+        assert ("mvt", "high_scores") not in db.registry.view_params
