@@ -59,6 +59,31 @@ HEADLINE = [
     "text_bpe_train",
 ]
 
+# Second tier (round 10): the heaviest operators with no wall-time trend
+# line — measured and recorded in BENCH_DETAIL.json (tier2/tier2_median)
+# but NOT in the headline total, so `value` stays continuous across
+# rounds. Future rounds rotate this list toward whatever tier lacks
+# trend data; the final stdout line never carries it (driver tail
+# budget, <1,900 chars).
+TIER2 = [
+    "graph_pagerank_exact",
+    "temporal_rollup_cascade",
+    "text_dsir_weights",
+    "source_snapshot_timetravel",
+    "source_snapshot_incremental",
+    "source_snapshot_merge",
+    "dedup_lsh_pairs",
+    "dedup_connected_components",
+    "sim_pq_adc_topk",
+    "sim_sq8_topk",
+    "multimodal_audio_flac",
+    "multimodal_video_gif_frames",
+    "text_ngram_lm_ppl",
+    "text_bpe_encode",
+    "sketch_runtime_filtered_join",
+    "analytics_salted_join",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -99,6 +124,19 @@ def main() -> None:
         timings[name] = round(runs[0], 4)
         medians[name] = round(runs[len(runs) // 2], 4)
     total = round(sum(timings.values()), 4)
+    tier2: dict[str, float] = {}
+    tier2_med: dict[str, float] = {}
+    for name in TIER2:
+        fn, _ = registry[name]
+        runs = []
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            n = fn(spark, sf_dir).count()
+            runs.append(time.perf_counter() - t0)
+            assert n >= 0
+        runs.sort()
+        tier2[name] = round(runs[0], 4)
+        tier2_med[name] = round(runs[len(runs) // 2], 4)
     # The driver keeps only the LAST ~2,000 chars of bench output and
     # parses the final line as JSON (BENCH_r08 failed to parse because the
     # 28-query point+median maps pushed the single line past that tail).
@@ -114,6 +152,9 @@ def main() -> None:
         "repeats": REPEATS,
         "value_median": round(sum(medians.values()), 4),
         "queries_median": medians,
+        "tier2_total": round(sum(tier2.values()), 4),
+        "tier2": tier2,
+        "tier2_median": tier2_med,
     }
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
