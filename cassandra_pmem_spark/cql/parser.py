@@ -770,10 +770,24 @@ def _compile(
                 val = _scalar_token(meta, val.args)
             t = t.where_token(r.op, val)
         elif r.kind == "in":
+            decl_tu = (
+                dict(getattr(meta, "cql_key_types", ()) or ()).get(r.columns[0])
+                == "timeuuid"
+            )
+            vals = []
             for v in r.values:
                 if _is_tu_bound(v):
-                    v.reject("IN")
-            t = t.where(r.columns[0], Op.IN, r.values)
+                    # on a declared timeuuid column the extreme IS a
+                    # value — the reference's fake uuid
+                    # (UUIDGen.min/maxTimeUUID); a row stores it only if
+                    # written via the same fold, exactly like the
+                    # reference. Elsewhere the extreme equals nothing
+                    # real: reject with guidance.
+                    if not decl_tu:
+                        v.reject("IN")
+                    v = v.uuid_text()
+                vals.append(v)
+            t = t.where(r.columns[0], Op.IN, vals)
         else:
             val = r.values[0]
             if _is_tu_bound(val):
@@ -797,6 +811,12 @@ def _compile(
                         f"timeuuid column; {r.columns[0]!r} is not declared "
                         "timeuuid"
                     )
+                if r.op is Op.EQ:
+                    # equality against the extreme matches only a row
+                    # storing the fake uuid itself (the reference's
+                    # behavior — usually empty, not an error)
+                    t = t.where(r.columns[0], Op.EQ, val.uuid_text())
+                    continue
                 op2, edge = val.edge_ticks(r.op.value)
                 t = t.where_timeuuid_ticks(r.columns[0], Op(op2), edge)
                 continue

@@ -532,9 +532,9 @@ class _WriteParser(_Parser):
                 while self.accept_punct(","):
                     vals.append(self.term(params, cursor))
                 self.expect_punct(")")
-                for v in vals:
-                    if isinstance(v, TimeuuidBound):
-                        v.reject("IN")
+                # TimeuuidBound elements resolve in _condition_holds,
+                # where the column's declared type is known (a declared
+                # timeuuid column compares against the fake extreme uuid)
                 conds.append((col, ekey, "IN", vals))
             else:
                 op = self.next()
@@ -1543,7 +1543,18 @@ class CqlWriteSession:
             # satisfies only != against a non-null value
             if op == "IN":
                 # EQ against any listed value; a null list element
-                # matches a null cell (per-element compareWithOperator)
+                # matches a null cell (per-element compareWithOperator).
+                # A min/maxTimeuuid element on a declared timeuuid column
+                # is the fake extreme uuid (the reference's value);
+                # elsewhere it equals nothing real and rejects.
+                def _in_elem(x):
+                    if isinstance(x, TimeuuidBound):
+                        if _decl_timeuuid(self.meta, col):
+                            return x.uuid_text()
+                        x.reject("IN")
+                    return x
+
+                val = [_in_elem(x) for x in val]
                 ok = any(
                     (x is None and cur is None)
                     or (
@@ -1568,11 +1579,16 @@ class CqlWriteSession:
                 if isinstance(val, TimeuuidBound):
                     # min/maxTimeuuid extremes compare per the op-aware
                     # translation — range ops only (reject() fires for
-                    # = / !=). On a declared timeuuid column the current
-                    # cell is uuid TEXT: compare its embedded v1 ticks
-                    # against the bound's tick edge (TimeUUIDType order);
-                    # on a timestamp column, the r9 ms-grain contract.
-                    if _decl_timeuuid(self.meta, col) and isinstance(cur, str):
+                    # = / != on non-timeuuid columns; a declared timeuuid
+                    # column compares =/!= against the fake extreme uuid,
+                    # the reference's value). On a declared timeuuid
+                    # column the current cell is uuid TEXT: ranges compare
+                    # its embedded v1 ticks against the bound's tick edge
+                    # (TimeUUIDType order); on a timestamp column, the r9
+                    # ms-grain contract.
+                    if op in ("=", "!=") and _decl_timeuuid(self.meta, col):
+                        ok = ops[op](cur, val.uuid_text())
+                    elif _decl_timeuuid(self.meta, col) and isinstance(cur, str):
                         from cassandra_pmem_spark.cql.terms import (
                             ticks_of_uuid_text,
                         )

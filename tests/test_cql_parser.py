@@ -620,10 +620,12 @@ class TestTokenRhs:
         ).collect()
         assert [x.k for x in r] == [1]
 
-    def test_timeuuid_bound_rejects_non_range_ops(self, spark):
-        """Extremes are RANGE bounds: equality/IN comparisons against a
-        value no real timeuuid ever equals reject with guidance instead
-        of silently diverging from the reference."""
+    def test_timeuuid_bound_eq_matches_fake_extreme_only(self, spark):
+        """On a DECLARED timeuuid column, equality/IN against an extreme
+        compares the fake extreme uuid itself — empty unless a row stored
+        it, exactly the reference (TestExtremeEquality in
+        test_timeuuid_now.py pins the full matrix); a TUPLE relation
+        position still rejects with guidance."""
         from cassandra_pmem_spark.cql.ddl import CqlDatabase
 
         db = CqlDatabase(spark)
@@ -632,13 +634,11 @@ class TestTokenRhs:
         db.execute("CREATE TABLE ev (k int, id timeuuid, PRIMARY KEY (k, id))")
         db.execute("INSERT INTO ev (k, id) VALUES (1, now())")
         q = "SELECT k FROM ev WHERE k = 1 AND id %s minTimeuuid('2024-03-01 00:00:00')"
-        with pytest.raises(InvalidRequest, match="range bound"):
-            db.execute(q % "=")
-        with pytest.raises(InvalidRequest, match="range bound"):
-            db.execute(
-                "SELECT k FROM ev WHERE k = 1 AND id IN "
-                "(minTimeuuid('2024-03-01 00:00:00'))"
-            )
+        assert db.execute(q % "=").collect() == []  # empty, not an error
+        assert db.execute(
+            "SELECT k FROM ev WHERE k = 1 AND id IN "
+            "(minTimeuuid('2024-03-01 00:00:00'))"
+        ).collect() == []
 
     def test_timeuuid_bound_in_delete_range_matches_select(self, spark):
         """A DELETE slice bound and the SELECT that previews it translate

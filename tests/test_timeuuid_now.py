@@ -244,3 +244,63 @@ class TestTimeFunctionSelectors:
             db.execute("SELECT dateof(ts) FROM t")
         with pytest.raises(InvalidRequest, match="timeuuid column"):
             db.execute("SELECT unixtimestampof(d) FROM t")
+
+
+class TestExtremeEquality:
+    """Equality/IN against a min/maxTimeuuid extreme on a DECLARED
+    timeuuid column compares against the fake extreme uuid — matching a
+    row only if one stored it (the reference's behavior: usually empty,
+    never an error). Non-timeuuid columns keep the guided rejection."""
+
+    def test_select_eq_and_in_match_stored_extreme(self, spark):
+        db = _db(spark, "teq")
+        db.execute("CREATE TABLE t (k int, id timeuuid, v int, PRIMARY KEY (k, id))")
+        db.execute(
+            "INSERT INTO t (k, id, v) VALUES (1, minTimeuuid('2024-05-01 00:00:00'), 7)"
+        )
+        db.execute("INSERT INTO t (k, id, v) VALUES (1, now(), 8)")
+        r = db.execute(
+            "SELECT v FROM t WHERE k = 1 AND id = minTimeuuid('2024-05-01 00:00:00')"
+        ).collect()
+        assert [x.v for x in r] == [7]
+        r = db.execute(
+            "SELECT v FROM t WHERE k = 1 AND id = maxTimeuuid('2024-05-01 00:00:00')"
+        ).collect()
+        assert r == []  # empty, not an error
+        r = db.execute(
+            "SELECT v FROM t WHERE k = 1 AND id IN "
+            "(minTimeuuid('2024-05-01 00:00:00'), maxTimeuuid('2020-01-01'))"
+        ).collect()
+        assert [x.v for x in r] == [7]
+
+    def test_lwt_eq_and_in_against_extremes(self, spark):
+        db = _db(spark, "teqlwt")
+        db.execute("CREATE TABLE s (k int PRIMARY KEY, id timeuuid)")
+        db.execute("INSERT INTO s (k, id) VALUES (1, minTimeuuid('2024-05-01 00:00:00'))")
+        assert db.execute(
+            "UPDATE s SET id = now() WHERE k = 1 "
+            "IF id = minTimeuuid('2024-05-01 00:00:00')"
+        ) is True
+        assert db.execute(
+            "UPDATE s SET id = now() WHERE k = 1 "
+            "IF id IN (maxTimeuuid('2024-05-01 00:00:00'))"
+        ) is False
+
+    def test_non_timeuuid_columns_still_reject(self, spark):
+        db = _db(spark, "teqrej")
+        db.execute("CREATE TABLE w (k int PRIMARY KEY, ts timestamp)")
+        with pytest.raises(InvalidRequest, match="not declared timeuuid"):
+            db.execute(
+                "SELECT k FROM w WHERE ts = minTimeuuid('2024-01-01') ALLOW FILTERING"
+            )
+        with pytest.raises(InvalidRequest, match="range bound"):
+            db.execute(
+                "SELECT k FROM w WHERE ts IN (minTimeuuid('2024-01-01')) "
+                "ALLOW FILTERING"
+            )
+        db.execute("INSERT INTO w (k, ts) VALUES (1, toTimestamp('2024-01-01 00:00:00'))")
+        with pytest.raises(InvalidRequest, match="range bound"):
+            db.execute(
+                "UPDATE w SET ts = toTimestamp('2025-01-01 00:00:00') WHERE k = 1 "
+                "IF ts = minTimeuuid('2024-01-01')"
+            )
