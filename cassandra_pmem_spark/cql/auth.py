@@ -156,6 +156,13 @@ class _AuthParser(_Parser):
             return t.text.lower() == "true"
         raise InvalidRequest(f"expected true/false, got {t.text!r}")
 
+    def end(self) -> None:
+        """Every auth statement must consume its full input — otherwise a
+        mistyped option list (`WITH LOGIN = true SUPERUSER = true`,
+        missing AND) would silently drop the tail."""
+        if self.peek().kind != "eof":
+            raise InvalidRequest(f"trailing input near {self.peek().text!r}")
+
 
 class AuthStore:
     """The role manager + authorizer + network authorizer registries
@@ -196,27 +203,51 @@ class AuthStore:
 
     # -- statement surface -------------------------------------------------
 
-    def execute(self, cql: str, spark, schema_registry=None):
+    def execute(self, cql: str, spark, schema_registry=None, current_keyspace=None):
+        """Apply one DCL statement; every statement is all-or-nothing —
+        apply paths mutate the registries before the trailing-input check
+        (and ALTER mutates records in place), so ANY rejection restores
+        the entry snapshot (the same per-statement rollback contract the
+        write session keeps)."""
+        import copy
+
+        snap = copy.deepcopy((self.roles, self.grants, self._resources))
+        try:
+            return self._execute(cql, spark, schema_registry, current_keyspace)
+        except Exception:
+            self.roles, self.grants, self._resources = snap
+            raise
+
+    def _execute(self, cql, spark, schema_registry, current_keyspace):
         from cassandra_pmem_spark.cql.parser import _tokenize
 
         p = _AuthParser(_tokenize(cql))
         head = p.ident().lower()
         if head == "create":
             kind = p.ident().lower()
-            return self._create(p, kind)
-        if head == "alter":
+            out = self._create(p, kind)
+        elif head == "alter":
             kind = p.ident().lower()
-            return self._alter(p, kind)
-        if head == "drop":
+            out = self._alter(p, kind)
+        elif head == "drop":
             kind = p.ident().lower()
-            return self._drop(p)
-        if head == "grant":
-            return self._grant_or_revoke(p, grant=True, schema_registry=schema_registry)
-        if head == "revoke":
-            return self._grant_or_revoke(p, grant=False, schema_registry=schema_registry)
-        if head == "list":
-            return self._list(p, spark, schema_registry)
-        raise InvalidRequest(f"unsupported auth statement {head!r}")
+            out = self._drop(p)
+        elif head == "grant":
+            out = self._grant_or_revoke(
+                p, grant=True, schema_registry=schema_registry,
+                current_keyspace=current_keyspace,
+            )
+        elif head == "revoke":
+            out = self._grant_or_revoke(
+                p, grant=False, schema_registry=schema_registry,
+                current_keyspace=current_keyspace,
+            )
+        elif head == "list":
+            out = self._list(p, spark, schema_registry, current_keyspace)
+        else:
+            raise InvalidRequest(f"unsupported auth statement {head!r}")
+        p.end()
+        return out
 
     # -- CREATE/ALTER/DROP -------------------------------------------------
 
@@ -340,7 +371,10 @@ class AuthStore:
 
     # -- GRANT/REVOKE -------------------------------------------------------
 
-    def _grant_or_revoke(self, p: _AuthParser, grant: bool, schema_registry):
+    def _grant_or_revoke(
+        self, p: _AuthParser, grant: bool, schema_registry,
+        current_keyspace=None,
+    ):
         link = "to" if grant else "from"
         if p.accept_kw("role"):
             role = p.role_name()
@@ -361,7 +395,7 @@ class AuthStore:
             return None
         perms = self._permission_set(p)
         p.expect_kw("on")
-        res = self._resource(p, schema_registry)
+        res = self._resource(p, schema_registry, current_keyspace)
         p.expect_kw(link)
         grantee = p.role_name()
         self._require(grantee)
@@ -393,7 +427,7 @@ class AuthStore:
         p.accept_kw("permission")
         return (t,)
 
-    def _resource(self, p: _AuthParser, schema_registry) -> Resource:
+    def _resource(self, p: _AuthParser, schema_registry, current_keyspace=None) -> Resource:
         # dataResource | roleResource | functionResource (Parser.g:1111+)
         if p.accept_kw("all"):
             w = p.ident().lower()
@@ -430,14 +464,22 @@ class AuthStore:
             return Resource("function", (ks, f"{fn}({', '.join(args)})"))
         p.accept_kw("table") or p.accept_kw("columnfamily")
         ks, tbl = self._qualified(p)
-        if schema_registry is not None:
-            key = (ks, tbl) if ks else None
-            tables = getattr(schema_registry, "tables", {})
-            known = key in tables if key else any(t == tbl for (_k, t) in tables)
-            if not known:
+        tables = getattr(schema_registry, "tables", None)
+        if hasattr(tables, "resolve"):
+            # canonicalize through the SAME namespace resolution DML uses
+            # (qualified exact, else current keyspace, else the unscoped
+            # name) so `GRANT ... ON t` under USE ks and `... ON ks.t`
+            # share ONE grant identity and the resource chain walks the
+            # real keyspace
+            key = tables.resolve(
+                tbl, keyspace=ks, current=current_keyspace, missing_ok=True
+            )
+            if key is None:
                 disp = f"{ks}.{tbl}" if ks else tbl
                 raise InvalidRequest(f"<table {disp}> doesn't exist")
-        return Resource("data", (ks or "", tbl))
+            rks, rname = key
+            return Resource("data", (rks or "", rname))
+        return Resource("data", ((ks or current_keyspace) or "", tbl))
 
     @staticmethod
     def _qualified(p: _AuthParser) -> tuple:
@@ -455,7 +497,7 @@ class AuthStore:
 
     # -- LIST ----------------------------------------------------------------
 
-    def _list(self, p: _AuthParser, spark, schema_registry):
+    def _list(self, p: _AuthParser, spark, schema_registry, current_keyspace=None):
         from pyspark.sql import types as T
 
         if p.accept_kw("roles"):
@@ -505,7 +547,7 @@ class AuthStore:
         perms = self._permission_set(p)
         res = None
         if p.accept_kw("on"):
-            res = self._resource(p, schema_registry)
+            res = self._resource(p, schema_registry, current_keyspace)
         grantee = None
         if p.accept_kw("of"):
             grantee = p.role_name()

@@ -1877,6 +1877,11 @@ class CqlDatabase:
         # to table A always outranks an earlier write to table B, and a
         # multi-table BATCH stamps one timestamp across sessions
         self._write_clock: list[int] = [0]
+        # tick -> now()-fold occurrences, shared across table sessions
+        # like the clock: two statements folding now() at one shared tick
+        # (USING TIMESTAMP / BATCH) must mint DISTINCT timeuuids even
+        # across tables (CqlWriteSession._now_occs)
+        self._now_occs: dict[int, int] = {}
         # role/permission registries (cql/auth.py — Parser.g:224-245 DCL
         # tier; registry-backed, no enforcement)
         from cassandra_pmem_spark.cql.auth import AuthStore
@@ -1919,6 +1924,7 @@ class CqlDatabase:
                 default_ttl=self.registry.table_params.get(key, {}).get(
                     "default_ttl", 0
                 ),
+                now_occs=self._now_occs,
             )
         return self._sessions[key]
 
@@ -2039,7 +2045,10 @@ class CqlDatabase:
             # GRANT/REVOKE ROLE, GRANT/REVOKE/LIST PERMISSIONS, LIST
             # ROLES/USERS — registry-backed role store, no enforcement
             # (reads stay unauthenticated analytics; cql/auth.py header)
-            return self.auth.execute(cql, self.spark, self.registry)
+            return self.auth.execute(
+                cql, self.spark, self.registry,
+                current_keyspace=self.current_keyspace,
+            )
         if head in ("describe", "desc"):
             # DESCRIBE — pasteable DDL reconstruction (bin/cqlsh.py:1350+
             # describe_*; cql/describe.py documents the contract). Result
@@ -2345,8 +2354,18 @@ class CqlDatabase:
             if not keys:
                 return True  # empty batch is a no-op
             return self._session_for_key(keys[0]).execute(cql, params)
+        # the dry parse must fold now()-family terms too (a multi-table
+        # batch containing now() is valid) — throwaway per-statement
+        # clocks that consume nothing from the session allocator, exactly
+        # like the single-table path (writes.py _execute's batch branch)
+        from cassandra_pmem_spark.cql.terms import SessionClockFold
+
         validate_batch_pieces(
-            m.group(1), batch_ts is not None, inner, params, cursor, multi_table=True
+            m.group(1), batch_ts is not None, inner, params, cursor,
+            multi_table=True,
+            clock_factory=lambda: SessionClockFold(
+                lambda: self._write_clock[0] + 1
+            ),
         )
         # prepare-then-apply atomicity across sessions: per-statement
         # semantic checks fire during the real pass, so snapshot every

@@ -576,7 +576,13 @@ def _integral_avg_source(s, meta, df_columns) -> tuple[str, str] | None:
         c = s.args[0]
         if c == "*":
             return None
-        st = integral(by_name.get(c))
+        dt = by_name.get(c)
+        if isinstance(dt, _T.DecimalType) and dt.scale == 0:
+            # varint (DecimalType(38,0)): AvgFunction divides BigIntegers
+            # — truncating integer division, not BigDecimal fractional
+            # (Spark's IntegralDivide accepts decimal operands)
+            return (c, "decimal(38,0)")
+        st = integral(dt)
         return (c, st) if st else None
     if inner.kind == "cast":
         c, typ = inner.args
@@ -817,8 +823,8 @@ def _compile(
                     # behavior — usually empty, not an error)
                     t = t.where(r.columns[0], Op.EQ, val.uuid_text())
                     continue
-                op2, edge = val.edge_ticks(r.op.value)
-                t = t.where_timeuuid_ticks(r.columns[0], Op(op2), edge)
+                op2, edge, fixup = val.edge_full(r.op.value)
+                t = t.where_timeuuid_ticks(r.columns[0], Op(op2), edge, fixup)
                 continue
             t = t.where(r.columns[0], r.op, val)
     if st.allow_filtering:
@@ -938,7 +944,13 @@ def _compile(
                         F.lit(0),
                     ).cast(src_type)
                 else:
-                    col = F.coalesce(col, F.lit(0).cast("double"))
+                    # an INT zero literal: the least-common-type rules
+                    # keep the avg's own dtype (double stays double,
+                    # float stays float, decimal stays decimal — an
+                    # explicit cast("double") here would silently widen
+                    # avg(decimal) to double for ALL inputs, losing
+                    # precision on every non-empty group)
+                    col = F.coalesce(col, F.lit(0))
             elif s.fn == "sum":
                 col = F.coalesce(col, F.lit(0).cast("long"))
             aggs.append(col.alias(name))

@@ -170,22 +170,36 @@ class CqlTable:
         t._conditions.append(_OP_TO_COLUMN[op](F.col(column), value))
         return t
 
-    def where_timeuuid_ticks(self, column: str, op: Op | str, edge_ticks: int) -> "CqlTable":
+    def where_timeuuid_ticks(
+        self,
+        column: str,
+        op: Op | str,
+        edge_ticks: int,
+        fixup: "tuple[str, str] | None" = None,
+    ) -> "CqlTable":
         """min/maxTimeuuid RANGE bound on a DECLARED timeuuid column:
         compares the v1-embedded 60-bit timestamp extracted from the
         canonical uuid text (functions/timefcts.timeuuid_ticks — pure
         codegen, no UDF), the same timestamp-first ordering TimeUUIDType
         compares by. The op/edge translation happened upstream
-        (TimeuuidBound.edge_ticks). Restriction bookkeeping (validator /
-        ALLOW FILTERING gates) records the column like a plain range."""
+        (TimeuuidBound.edge_full); `fixup` re-excludes/includes the
+        STORED extreme uuid itself, which shares the edge tick but sits
+        outside the tick-only compare's reach. Restriction bookkeeping
+        (validator / ALLOW FILTERING gates) records the column like a
+        plain range."""
         from cassandra_pmem_spark.functions.timefcts import timeuuid_ticks
 
         op = Op(op) if isinstance(op, str) else op
         t = self._copy()
         t._restrictions.append(Restriction(column, op))
-        t._conditions.append(
-            _OP_TO_COLUMN[op](timeuuid_ticks(column), F.lit(int(edge_ticks)))
-        )
+        cond = _OP_TO_COLUMN[op](timeuuid_ticks(column), F.lit(int(edge_ticks)))
+        if fixup is not None:
+            mode, text = fixup
+            if mode == "exclude":
+                cond = cond & (F.col(column) != F.lit(text))
+            else:
+                cond = cond | (F.col(column) == F.lit(text))
+        t._conditions.append(cond)
         return t
 
     def where_tuple(self, columns: Sequence[str], op: Op | str, values: Sequence[Any]) -> "CqlTable":

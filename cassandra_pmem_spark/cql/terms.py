@@ -83,7 +83,12 @@ def ticks_of_uuid_text(u: str) -> int:
     h = u.replace("-", "")
     if len(h) != 32:
         raise InvalidRequest(f"not a uuid: {u!r}")
-    return int(h[13:16] + h[8:12] + h[0:8], 16)
+    try:
+        return int(h[13:16] + h[8:12] + h[0:8], 16)
+    except ValueError as exc:
+        # 32 chars but not hex — same InvalidRequest contract every other
+        # malformed-literal path follows (never a raw ValueError)
+        raise InvalidRequest(f"not a uuid: {u!r}") from exc
 
 
 class SessionClockFold:
@@ -102,14 +107,26 @@ class SessionClockFold:
     # 2024-01-01T00:00:00Z — the documented, arbitrary session epoch
     EPOCH_MS = 1704067200000
 
-    def __init__(self, next_tick):
+    def __init__(self, next_tick, alloc=None):
         self._next_tick = next_tick  # () -> int, the statement's tick
+        # alloc(tick) -> int: SESSION-WIDE occurrence counter per tick.
+        # Statements can share a tick (USING TIMESTAMP never advances the
+        # clock; BATCH statements share the batch tick), and two now()
+        # folds at one tick with the same occurrence would mint the SAME
+        # timeuuid — LWW would silently absorb the second write. Without
+        # an allocator (dry parses, bare folds) a per-fold counter keeps
+        # occurrences local and consumes nothing from the session.
+        self._alloc = alloc
         self._occ = 0  # occurrences folded so far in this statement
 
     def fold(self, low: str):
-        occ = self._occ
-        self._occ += 1
-        ms = self.EPOCH_MS + int(self._next_tick())
+        tick = int(self._next_tick())
+        if self._alloc is not None:
+            occ = self._alloc(tick)
+        else:
+            occ = self._occ
+            self._occ += 1
+        ms = self.EPOCH_MS + tick
         if low in ("now", "currenttimeuuid"):
             return v1_uuid_text(
                 ticks_from_unix_ms(ms, occ), SESSION_CLOCK_SEQ_AND_NODE
@@ -135,9 +152,12 @@ class SessionClockFold:
             return inst.date()
         if low == "currenttime":
             # CQL time = nanos since midnight (the engine stores time as
-            # bigint nanos — ddl._NATIVE_TYPES)
-            midnight = inst.replace(hour=0, minute=0, second=0, microsecond=0)
-            return int((inst - midnight).total_seconds() * 1_000_000) * 1000
+            # bigint nanos — ddl._NATIVE_TYPES). Integer field arithmetic:
+            # total_seconds() is an inexact double and int() truncates
+            # downward, landing on the wrong microsecond for ~2% of
+            # millisecond-of-day values
+            td = inst - inst.replace(hour=0, minute=0, second=0, microsecond=0)
+            return (td.seconds * 1_000_000 + td.microseconds) * 1000
         raise InvalidRequest(f"unknown clock function {low!r}")  # pragma: no cover
 
 
@@ -238,6 +258,30 @@ class TimeuuidBound(_dtmod.datetime):
         if op in ("<", "<="):
             return ("<", edge)
         self.reject(op)
+
+    def edge_full(self, op: str):
+        """(op, v1 tick edge, fixup) — edge_ticks plus the boundary fixup
+        that keeps the translation exact even against a STORED extreme
+        uuid. The tick edge is exact for every REAL timeuuid (the extreme
+        clockSeqAndNodes sit strictly outside every real one), but the
+        extreme ITSELF shares the edge tick while TimeUUIDType orders it
+        below (min) / above (max) everything real — a tick-only compare
+        wrongly includes it in `> min(t)` / `< max(t)` and drops it from
+        `<= min(t)` / `>= max(t)`. fixup is None when the tick edge is
+        already exact, else ('exclude', text) — AND `col != text` — or
+        ('include', text) — OR `col == text`."""
+        op2, edge = self.edge_ticks(op)
+        if self.kind == "min":
+            if op == ">":
+                return op2, edge, ("exclude", self.uuid_text())
+            if op == "<=":
+                return op2, edge, ("include", self.uuid_text())
+        else:
+            if op == "<":
+                return op2, edge, ("exclude", self.uuid_text())
+            if op == ">=":
+                return op2, edge, ("include", self.uuid_text())
+        return op2, edge, None
 
 
 def evaluate_fn(name: str, args: list[Any], clock: "SessionClockFold | None" = None) -> Any:

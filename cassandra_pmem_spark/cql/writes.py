@@ -556,9 +556,8 @@ class _WriteParser(_Parser):
         while self.accept_punct(","):
             vals.append(self.term(params, cursor))
         self.expect_punct(")")
-        for v in vals:
-            if isinstance(v, TimeuuidBound):
-                v.reject("IN")
+        # TimeuuidBound elements resolve at the apply site, where the
+        # column's declared type is known (_resolve_tu_keys)
         if len(vals) == 1:
             # SingleColumnRelation.java:208 normalizes a one-element
             # literal IN to an EQ restriction at prepare time, so
@@ -580,8 +579,8 @@ class _WriteParser(_Parser):
                         "write WHERE clauses support =/IN on key columns only"
                     )
                 v = self.term(params, cursor)
-                if isinstance(v, TimeuuidBound):
-                    v.reject("=")
+                # a TimeuuidBound resolves at the apply site, where the
+                # column's declared type is known (_resolve_tu_keys)
                 out[col] = v
             if not self.accept_kw("and"):
                 break
@@ -608,11 +607,11 @@ class _WriteParser(_Parser):
                 lo, hi = ranges.get(col, (None, None))
                 v = self.term(params, cursor)
                 op_txt = t.text
-                if isinstance(v, TimeuuidBound):
-                    # the same op-aware extreme translation SELECT
-                    # relations apply — a DELETE slice and the SELECT
-                    # that previews it must bound identically
-                    op_txt, v = v.bound_for(op_txt)
+                # a TimeuuidBound stays RAW here (with its original op's
+                # inclusivity) — the apply site gates the column's
+                # declared type and compiles the same op-aware tick-edge
+                # translation SELECT relations use, so a DELETE slice and
+                # the SELECT that previews it bound identically
                 if op_txt in (">", ">="):
                     lo = (v, op_txt == ">=")
                 else:
@@ -706,6 +705,7 @@ class CqlWriteSession:
         collection_info: CollectionInfo | None = None,
         clock: list[int] | None = None,
         default_ttl: int = 0,
+        now_occs: dict | None = None,
     ):
         self.spark = spark
         self.meta = meta
@@ -723,6 +723,15 @@ class CqlWriteSession:
         # to table A always outranks an earlier write to table B, like the
         # reference's single coordinator clock
         self._clock_ref = clock if clock is not None else [0]
+        # tick -> now()-family occurrences already folded at that tick,
+        # SESSION-WIDE (shared across a CqlDatabase's table sessions like
+        # the clock): statements can share a tick — USING TIMESTAMP never
+        # advances the clock, BATCH statements share the batch tick — and
+        # a repeated (tick, occurrence) pair would mint the SAME timeuuid,
+        # silently LWW-absorbing the later write. Never rolled back: a
+        # replay re-runs the same statement sequence (including rejected
+        # ones), so consumption stays deterministic.
+        self._now_occs = now_occs if now_occs is not None else {}
         self._base = base
 
     # -- statement entry (ModificationStatement.execute analog) ---------------
@@ -843,7 +852,8 @@ class CqlWriteSession:
         # (a rejected statement rewinds the clock via _restore, so the
         # peek stays replay-deterministic)
         p.clock_fold = SessionClockFold(
-            lambda: forced_ts if forced_ts is not None else self._clock_ref[0] + 1
+            lambda: forced_ts if forced_ts is not None else self._clock_ref[0] + 1,
+            alloc=self._alloc_now_occ,
         )
         if head == "insert":
             _, cells, using, cond, json_default = p.insert_statement(params, cursor)
@@ -859,7 +869,7 @@ class CqlWriteSession:
             cells = {
                 c: self._convert_coll(c, v)
                 if isinstance(v, tuple) and v[:1] == ("__coll__",)
-                else v
+                else self._downgrade_bound(c, v)
                 for c, v in cells.items()
             }
             if counters:
@@ -967,7 +977,7 @@ class CqlWriteSession:
                 raise InvalidRequest(
                     f"PRIMARY KEY part {sorted(bad_pk)} found in SET part"
                 )
-            combos = _expand_in_keys(key)
+            combos = _expand_in_keys(self._resolve_tu_keys(key))
             if cond is not None:
                 _reject_in_with_conditions(key, self.meta, "updates")
             if not self._condition_holds(cond, self._key_of(combos[0])):
@@ -1009,12 +1019,13 @@ class CqlWriteSession:
                 bad = [c for c in ranges if c not in {c.name for c in self.meta.clustering}]
                 if bad:
                     raise InvalidRequest(f"range delete only on clustering columns; got {bad}")
-                for ckey in _expand_in_keys(key):
+                self._gate_tu_ranges(ranges)
+                for ckey in _expand_in_keys(self._resolve_tu_keys(key)):
                     self._range_tombs.append(
                         RangeTombstoneStmt(dict(ckey), dict(ranges), wt)
                     )
                 return True
-            combos = _expand_in_keys(key)
+            combos = _expand_in_keys(self._resolve_tu_keys(key))
             if cond is not None:
                 _reject_in_with_conditions(key, self.meta, "deletions")
             if not self._condition_holds(cond, self._key_of(combos[0])):
@@ -1577,27 +1588,35 @@ class CqlWriteSession:
                 ok = op == "!="
             else:
                 if isinstance(val, TimeuuidBound):
-                    # min/maxTimeuuid extremes compare per the op-aware
-                    # translation — range ops only (reject() fires for
-                    # = / != on non-timeuuid columns; a declared timeuuid
-                    # column compares =/!= against the fake extreme uuid,
-                    # the reference's value). On a declared timeuuid
-                    # column the current cell is uuid TEXT: ranges compare
-                    # its embedded v1 ticks against the bound's tick edge
-                    # (TimeUUIDType order); on a timestamp column, the r9
-                    # ms-grain contract.
-                    if op in ("=", "!=") and _decl_timeuuid(self.meta, col):
+                    # min/maxTimeuuid extremes: the compared column must
+                    # be DECLARED timeuuid — the same prepare gate SELECT
+                    # relations apply (=/!= keep the range-bound guidance
+                    # reject, exactly the parser's message mix). On a
+                    # declared timeuuid column =/!= compare the fake
+                    # extreme uuid (the reference's value); ranges compare
+                    # the cell's embedded v1 ticks against the bound's
+                    # tick edge with the stored-extreme fixup
+                    # (TimeuuidBound.edge_full — TimeUUIDType order).
+                    if not _decl_timeuuid(self.meta, col):
+                        if op in ("<", "<=", ">", ">="):
+                            raise InvalidRequest(
+                                f"{val.kind}Timeuuid() can only be "
+                                f"compared to a timeuuid column; {col!r} "
+                                "is not declared timeuuid"
+                            )
+                        val.reject(op)
+                    if op in ("=", "!="):
                         ok = ops[op](cur, val.uuid_text())
-                    elif _decl_timeuuid(self.meta, col) and isinstance(cur, str):
+                    else:
                         from cassandra_pmem_spark.cql.terms import (
                             ticks_of_uuid_text,
                         )
 
-                        op2, edge = val.edge_ticks(op)
-                        ok = ops[op2](ticks_of_uuid_text(cur), edge)
-                    else:
-                        b = val.bound_for(op)
-                        ok = ops[b[0]](*_tz_norm(cur, b[1]))
+                        op2, edge, fix = val.edge_full(op)
+                        if fix is not None and cur == fix[1]:
+                            ok = fix[0] == "include"
+                        else:
+                            ok = ops[op2](ticks_of_uuid_text(cur), edge)
                 elif (
                     op in ("<", "<=", ">", ">=")
                     and _decl_timeuuid(self.meta, col)
@@ -1671,19 +1690,88 @@ class CqlWriteSession:
             len(self._cell_tombs),
             len(self._range_tombs),
             self._clock_ref[0],
+            # now()-fold occurrences roll back with the clock: a REJECTED
+            # (or condition-false) statement's folds were never written,
+            # so the next statement may re-mint them — replays stay
+            # deterministic either way, but un-consuming keeps "a rejected
+            # statement leaves no trace" exact (dict is shared; restore
+            # mutates IN PLACE)
+            dict(self._now_occs),
         )
 
     def _restore(self, snap: tuple) -> None:
-        n_mut, n_row, n_cell, n_rng, clock = snap
+        n_mut, n_row, n_cell, n_rng, clock, occs = snap
         del self._mutations[n_mut:]
         del self._row_tombs[n_row:]
         del self._cell_tombs[n_cell:]
         del self._range_tombs[n_rng:]
         self._clock_ref[0] = clock
+        self._now_occs.clear()
+        self._now_occs.update(occs)
 
     def _tick(self) -> int:
         self._clock_ref[0] += 1
         return self._clock_ref[0]
+
+    def _alloc_now_occ(self, tick: int) -> int:
+        """Next session-wide now()-fold occurrence at `tick` (see
+        _now_occs) — distinct (tick, occurrence) pairs mint distinct
+        timeuuids even when statements share a tick."""
+        n = self._now_occs.get(tick, 0)
+        self._now_occs[tick] = n + 1
+        return n
+
+    def _downgrade_bound(self, col: str, val):
+        """A min/maxTimeuuid fold lands per the target column's declared
+        type: a timeuuid column stores the reference's fake extreme uuid
+        (UUIDGen.minTimeUUID:198/maxTimeUUID:209), a timestamp column the
+        plain instant (the r9 shadow contract). Applied EARLY in the
+        INSERT path so key extraction and tombstone addressing never see
+        a datetime subclass."""
+        if isinstance(val, TimeuuidBound):
+            if _decl_timeuuid(self.meta, col):
+                return val.uuid_text()
+            return val.instant()
+        return val
+
+    def _resolve_tu_keys(self, key: dict) -> dict:
+        """min/maxTimeuuid folds in WHERE =/IN key positions: on a
+        declared timeuuid column the extreme IS a value — the reference's
+        fake uuid — so the predicate that SELECTs a stored extreme
+        addresses it in UPDATE/DELETE too; elsewhere it equals nothing
+        real and rejects with guidance (parser parity)."""
+
+        def one(col, v, where):
+            if not isinstance(v, TimeuuidBound):
+                return v
+            if _decl_timeuuid(self.meta, col):
+                return v.uuid_text()
+            v.reject(where)
+
+        out = {}
+        for col, v in key.items():
+            if isinstance(v, tuple) and v[:1] == ("__in__",):
+                out[col] = ("__in__", [one(col, x, "IN") for x in v[1]])
+            else:
+                out[col] = one(col, v, "=")
+        return out
+
+    def _gate_tu_ranges(self, ranges: dict) -> None:
+        """DELETE slice bounds: a min/maxTimeuuid extreme requires a
+        DECLARED timeuuid column — the same prepare-time gate SELECT
+        relations apply (the reference rejects the timeuuid/timestamp
+        type mismatch; without the gate the fold would silently compile
+        a ±1ms edge against a plain timestamp column a user cannot
+        SELECT-preview)."""
+        for col, (lo, hi) in ranges.items():
+            for bound in (lo, hi):
+                if bound is not None and isinstance(bound[0], TimeuuidBound):
+                    if not _decl_timeuuid(self.meta, col):
+                        raise InvalidRequest(
+                            f"{bound[0].kind}Timeuuid() can only be "
+                            f"compared to a timeuuid column; {col!r} is "
+                            "not declared timeuuid"
+                        )
 
     def _key_of(self, cells: dict) -> tuple:
         missing = [k for k in self.meta.primary_key if k not in cells]
@@ -1723,11 +1811,24 @@ class CqlWriteSession:
             if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
                 ok = isinstance(val, int) and not isinstance(val, bool)
             elif isinstance(dt, (T.DoubleType, T.FloatType, T.DecimalType)):
-                ok = isinstance(val, (int, float)) and not isinstance(val, bool)
+                import decimal as _dec
+
+                ok = isinstance(
+                    val, (int, float, _dec.Decimal)
+                ) and not isinstance(val, bool)
                 if ok and isinstance(val, int) and isinstance(
                     dt, (T.DoubleType, T.FloatType)
                 ):
                     return float(val)  # int literal widens, like CQL
+                if ok and isinstance(dt, T.DecimalType) and not isinstance(
+                    val, _dec.Decimal
+                ):
+                    # decimal/varint targets take the EXACT literal text
+                    # value (createDataFrame rejects raw float for
+                    # DecimalType; str() round-trips the parsed literal)
+                    return _dec.Decimal(str(val)).quantize(
+                        _dec.Decimal(1).scaleb(-dt.scale)
+                    )
             elif isinstance(dt, T.StringType):
                 ok = isinstance(val, str)
             elif isinstance(dt, T.BooleanType):
@@ -1763,24 +1864,13 @@ class CqlWriteSession:
                 )
             return val
 
-        decl_types = dict(getattr(self.meta, "cql_key_types", ()) or ())
-
-        def downgrade(col, val):
-            """A min/maxTimeuuid fold lands per the target column's
-            declared type: a timeuuid column stores the reference's fake
-            extreme uuid (UUIDGen.minTimeUUID:198/maxTimeUUID:209), a
-            timestamp column the plain instant (the r9 shadow contract).
-            Runs BEFORE checked() so no datetime subclass survives to
-            Spark row construction."""
-            if isinstance(val, TimeuuidBound):
-                if decl_types.get(col) == "timeuuid":
-                    return val.uuid_text()
-                return val.instant()
-            return val
-
         cells = dict(cells)
         for col, val in cells.items():
-            val = downgrade(col, val)
+            # bound folds land per the declared type (the INSERT handler
+            # already downgraded; UPDATE SET values resolve here), BEFORE
+            # checked() so no datetime subclass survives to Spark row
+            # construction
+            val = self._downgrade_bound(col, val)
             cells[col] = val
             if val is None:
                 continue
@@ -2090,12 +2180,36 @@ class CqlWriteSession:
                     if bound is None:
                         continue
                     v, incl = bound
+                    if isinstance(v, TimeuuidBound):
+                        # min/maxTimeuuid slice bound (declared timeuuid —
+                        # gated at the statement): the SAME op-aware
+                        # tick-edge + extreme fixup the SELECT preview
+                        # compiles (TimeuuidBound.edge_full)
+                        from cassandra_pmem_spark.functions.timefcts import (
+                            timeuuid_ticks,
+                        )
+
+                        op = (">" if is_lo else "<") + ("=" if incl else "")
+                        op2, edge, fix = v.edge_full(op)
+                        lhs = timeuuid_ticks(col)
+                        sub = (
+                            (lhs >= F.lit(int(edge)))
+                            if op2 == ">="
+                            else (lhs < F.lit(int(edge)))
+                        )
+                        if fix is not None:
+                            mode, text = fix
+                            if mode == "exclude":
+                                sub = sub & (F.col(col) != F.lit(text))
+                            else:
+                                sub = sub | (F.col(col) == F.lit(text))
+                        cond = cond & sub
+                        continue
                     lhs, rv = F.col(col), v
                     if _decl_timeuuid(meta, col):
                         # declared timeuuid: compare in TimeUUIDType's
-                        # order, not text order. A datetime bound (a
-                        # min/maxTimeuuid fold's ms edge) compares on the
-                        # embedded ticks alone; a uuid-text bound on
+                        # order, not text order. A datetime bound compares
+                        # on the embedded ticks alone; a uuid-text bound on
                         # (ticks, text) like the read path's _cmp_key.
                         lhs, rv = _timeuuid_range_sides(col, v)
                     if is_lo:

@@ -1303,7 +1303,11 @@ def cql_now_writes(spark: SparkSession, sf_dir: str) -> DataFrame:
     db.execute(
         "INSERT INTO ev (k, id, u, cts, v) VALUES (2, now(), uuid(), currenttimestamp(), 3)"
     )
-    # tick 5 shared by both batch statements: identical folded ids
+    # tick 5 shared by both batch statements: one folded INSTANT, but
+    # DISTINCT uuids — the session-wide occurrence counter advances per
+    # fold across statements sharing a tick (the reference always mints
+    # distinct now() uuids; identical (tick, occurrence) pairs would let
+    # LWW silently absorb the second write)
     db.execute(
         "BEGIN BATCH "
         "INSERT INTO ev (k, id, v) VALUES (3, now(), 4); "
@@ -1342,7 +1346,9 @@ def _now_oracle() -> str:
         (1, 0, tu(1), None, e + 1),
         (2, 3, tu(4), v4, e + 4),
         (3, 4, tu(5), None, e + 5),
-        (4, 5, tu(5), None, e + 5),
+        # second now() at the shared batch tick: occurrence 1 (distinct
+        # uuid, same embedded millisecond)
+        (4, 5, tu(5, 1), None, e + 5),
     ]
     vals = ",\n  ".join(
         f"({k}, {v}, '{i}', {('NULL' if u is None else repr(u))}, {ms}, "

@@ -222,3 +222,45 @@ class TestDumpReplay:
             ("<table authks.t2>", "SELECT"),
         ]
         assert db.execute("SELECT v FROM t2").collect()[0].v == "hello"
+
+
+class TestStatementHygiene:
+    def test_trailing_input_rejects(self, db):
+        """Every auth statement verifies end-of-input: a mistyped option
+        list (missing AND) must error, not silently drop the tail."""
+        with pytest.raises(InvalidRequest, match="trailing input"):
+            db.execute("CREATE ROLE trail WITH LOGIN = true SUPERUSER = true")
+        assert db.execute("LIST ROLES").collect() == []
+        db.execute("CREATE ROLE ok WITH LOGIN = true AND SUPERUSER = true")
+        [r] = db.execute("LIST ROLES").collect()
+        assert (r.login, r.super) == (True, True)
+        db.execute("CREATE ROLE rr")
+        with pytest.raises(InvalidRequest, match="trailing input"):
+            db.execute("GRANT SELECT ON TABLE authks.t1 TO rr anything garbage")
+        assert db.execute("LIST ALL PERMISSIONS OF rr").collect() == []
+
+    def test_unqualified_table_resolves_current_keyspace(self, db):
+        """GRANT ... ON t under USE ks and ... ON ks.t share ONE grant
+        identity (the reference qualifies through ClientState); the
+        resource chain walks the real keyspace."""
+        db.execute("CREATE ROLE reader")
+        db.execute("GRANT SELECT ON t1 TO reader")  # unqualified, USE authks
+        rows = db.execute("LIST ALL PERMISSIONS OF reader").collect()
+        assert [(r.resource, r.permission) for r in rows] == [
+            ("<table authks.t1>", "SELECT")
+        ]
+        # the qualified spelling addresses the SAME grant
+        db.execute("REVOKE SELECT ON TABLE authks.t1 FROM reader")
+        assert db.execute("LIST ALL PERMISSIONS OF reader").collect() == []
+        # and the keyspace parent-chain sees keyspace-level grants when
+        # listing ON the unqualified table recursively
+        db.execute("GRANT MODIFY ON KEYSPACE authks TO reader")
+        rows = db.execute("LIST ALL PERMISSIONS ON t1 OF reader").collect()
+        assert [(r.resource, r.permission) for r in rows] == [
+            ("<keyspace authks>", "MODIFY")
+        ]
+
+    def test_unknown_unqualified_table_errors(self, db):
+        db.execute("CREATE ROLE r2")
+        with pytest.raises(InvalidRequest, match="doesn't exist"):
+            db.execute("GRANT SELECT ON TABLE nope TO r2")

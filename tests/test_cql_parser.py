@@ -343,6 +343,32 @@ class TestNestedAggregates:
         with pytest.raises(InvalidRequest, match="PRIMARY KEY"):
             db.execute("SELECT max(writetime(k)) FROM t")
 
+    def test_avg_decimal_keeps_decimal_dtype(self, db):
+        """The empty-group zero coalesce must not widen avg(decimal) to
+        double (CQL avg(decimal) returns decimal — BigDecimal division);
+        avg(varint) divides in INTEGER arithmetic like every integral
+        type (AvgFunction's BigInteger sum/count)."""
+        import decimal as _dec
+
+        from pyspark.sql import types as T
+
+        db.execute(
+            "CREATE TABLE dec (k int PRIMARY KEY, d decimal, w varint)"
+        )
+        db.execute("INSERT INTO dec (k, d, w) VALUES (1, 2.5, 5)")
+        db.execute("INSERT INTO dec (k, d, w) VALUES (2, 3.5, 6)")
+        out = db.execute("SELECT avg(d) AS a, avg(w) AS aw FROM dec")
+        assert isinstance(out.schema["a"].dataType, T.DecimalType)
+        assert isinstance(out.schema["aw"].dataType, T.DecimalType)
+        r = out.collect()[0]
+        assert r.a == _dec.Decimal("3")
+        assert r.aw == _dec.Decimal("5")  # (5+6) div 2 — truncating
+        # empty input still folds to ZERO (AggregateFcts initial state)
+        r = db.execute(
+            "SELECT avg(d) AS a, avg(w) AS aw FROM dec WHERE k = 99"
+        ).collect()[0]
+        assert (r.a, r.aw) == (_dec.Decimal("0"), _dec.Decimal("0"))
+
 
 class TestNamedBindMarkers:
     """Named bind markers :name (Parser.g marker rule; QueryOptions named
@@ -641,28 +667,45 @@ class TestTokenRhs:
         ).collect() == []
 
     def test_timeuuid_bound_in_delete_range_matches_select(self, spark):
-        """A DELETE slice bound and the SELECT that previews it translate
-        the extreme identically: DELETE ... ts > minTimeuuid(t) removes
-        the row at exactly t."""
+        """A DELETE slice bound and the SELECT that previews it gate and
+        translate the extreme IDENTICALLY: on a declared timeuuid
+        clustering column `id >= minTimeuuid(t)` removes exactly the rows
+        the preview returns; on a plain timestamp column BOTH reject —
+        a user must never be able to range-delete on a predicate they
+        cannot first SELECT-preview."""
         from cassandra_pmem_spark.cql.ddl import CqlDatabase
 
         db = CqlDatabase(spark)
         db.execute("CREATE KEYSPACE tud WITH REPLICATION = {'class': 'SimpleStrategy'}")
         db.execute("USE tud")
         db.execute(
-            "CREATE TABLE ev (k int, ts timestamp, v int, PRIMARY KEY (k, ts))"
+            "CREATE TABLE ev (k int, id timeuuid, v int, PRIMARY KEY (k, id))"
         )
         db.execute(
-            "INSERT INTO ev (k, ts, v) VALUES (1, toTimestamp('2024-03-01 00:00:00'), 10)"
+            "INSERT INTO ev (k, id, v) VALUES (1, maxTimeuuid('2024-02-01 00:00:00'), 20)"
         )
         db.execute(
-            "INSERT INTO ev (k, ts, v) VALUES (1, toTimestamp('2024-02-01 00:00:00'), 20)"
+            "INSERT INTO ev (k, id, v) VALUES (1, maxTimeuuid('2024-03-01 00:00:00'), 10)"
         )
+        q = (
+            "SELECT v FROM ev WHERE k = 1 AND "
+            "id >= minTimeuuid('2024-03-01 00:00:00')"
+        )
+        assert [x.v for x in db.execute(q).collect()] == [10]
         db.execute(
-            "DELETE FROM ev WHERE k = 1 AND ts > minTimeuuid('2024-03-01 00:00:00')"
+            "DELETE FROM ev WHERE k = 1 AND id >= minTimeuuid('2024-03-01 00:00:00')"
         )
         r = db.execute("SELECT v FROM ev").collect()
         assert [x.v for x in r] == [20]
+        # the preview gate applies to the DELETE too: a timestamp
+        # clustering column rejects the extreme in both statements
+        db.execute(
+            "CREATE TABLE evt (k int, ts timestamp, v int, PRIMARY KEY (k, ts))"
+        )
+        with pytest.raises(InvalidRequest, match="not declared timeuuid"):
+            db.execute(
+                "DELETE FROM evt WHERE k = 1 AND ts > minTimeuuid('2024-03-01 00:00:00')"
+            )
 
     def test_bad_date_token_literal_is_invalid_request(self, spark):
         from cassandra_pmem_spark.cql.ddl import CqlDatabase

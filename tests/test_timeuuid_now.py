@@ -121,10 +121,50 @@ class TestNowWriteTerms:
             "APPLY BATCH"
         )
         rows = {r.k: r.id for r in db.execute("SELECT k, id FROM t").collect()}
-        # one batch tick -> identical folded instants (CASSANDRA-14361
-        # consistent-batch direction); identical occurrence counters make
-        # the minted uuids byte-identical too
-        assert rows[1] == rows[2]
+        # one batch tick -> one folded INSTANT (CASSANDRA-14361
+        # consistent-batch direction) but DISTINCT uuids: the session-wide
+        # occurrence counter advances per fold across statements sharing a
+        # tick — identical uuids would let LWW silently absorb the second
+        # write (the reference always mints distinct now() values)
+        assert rows[1] != rows[2]
+        assert ticks_of_uuid_text(rows[2]) == ticks_of_uuid_text(rows[1]) + 1
+        assert unix_ms_from_ticks(
+            ticks_of_uuid_text(rows[1])
+        ) == unix_ms_from_ticks(ticks_of_uuid_text(rows[2]))
+
+    def test_now_after_using_timestamp_mints_distinct_uuids(self, spark):
+        """An explicit USING TIMESTAMP never advances the coordinator
+        clock, so consecutive statements can fold now() at the SAME peeked
+        tick — the occurrence counter must keep the minted uuids distinct
+        or LWW silently absorbs the second insert (both rows share the
+        timeuuid PK)."""
+        db = _db(spark, "nusing")
+        db.execute("CREATE TABLE t (k int, id timeuuid, v int, PRIMARY KEY (k, id))")
+        db.execute("INSERT INTO t (k, id, v) VALUES (1, now(), 0) USING TIMESTAMP 99")
+        db.execute("INSERT INTO t (k, id, v) VALUES (1, now(), 1)")
+        rows = db.execute("SELECT v FROM t").collect()
+        assert sorted(r.v for r in rows) == [0, 1]
+
+    def test_multi_table_batch_accepts_now(self, spark):
+        """The multi-table batch dry pass folds now() through a throwaway
+        clock exactly like the single-table path (a batch containing
+        now() is valid)."""
+        db = _db(spark, "nmtb")
+        db.execute("CREATE TABLE a (k int PRIMARY KEY, id timeuuid)")
+        db.execute("CREATE TABLE b (k int PRIMARY KEY, id timeuuid)")
+        db.execute(
+            "BEGIN BATCH "
+            "INSERT INTO a (k, id) VALUES (1, now()); "
+            "INSERT INTO b (k, id) VALUES (1, now()); "
+            "APPLY BATCH"
+        )
+        ua = db.execute("SELECT id FROM a").collect()[0].id
+        ub = db.execute("SELECT id FROM b").collect()[0].id
+        # one shared batch instant, distinct uuids across tables too
+        assert ua != ub
+        assert unix_ms_from_ticks(
+            ticks_of_uuid_text(ua)
+        ) == unix_ms_from_ticks(ticks_of_uuid_text(ub))
 
     def test_rejected_statement_does_not_consume_the_clock(self, spark):
         db = _db(spark, "nroll")
@@ -303,4 +343,112 @@ class TestExtremeEquality:
             db.execute(
                 "UPDATE w SET ts = toTimestamp('2025-01-01 00:00:00') WHERE k = 1 "
                 "IF ts = minTimeuuid('2024-01-01')"
+            )
+
+
+class TestStoredExtremeBoundaries:
+    """Range comparisons stay exact even against a STORED extreme uuid
+    (TimeuuidBound.edge_full): the tick-edge translation alone would
+    wrongly include the stored min extreme in `> min(t)` / the max in
+    `< max(t)` and drop them from `<= min(t)` / `>= max(t)` — the
+    reference's TimeUUIDType comparison never does."""
+
+    T = "'2024-05-01 00:00:00'"
+
+    def _tbl(self, spark, ks):
+        db = _db(spark, ks)
+        db.execute("CREATE TABLE t (k int, id timeuuid, v int, PRIMARY KEY (k, id))")
+        db.execute(f"INSERT INTO t (k, id, v) VALUES (1, minTimeuuid({self.T}), 1)")
+        db.execute(f"INSERT INTO t (k, id, v) VALUES (1, maxTimeuuid({self.T}), 2)")
+        db.execute("INSERT INTO t (k, id, v) VALUES (1, now(), 3)")  # 2024-01-01
+        return db
+
+    def _sel(self, db, rel=None):
+        q = "SELECT v FROM t WHERE k = 1"
+        if rel is not None:
+            q += f" AND id {rel}"
+        return sorted(x.v for x in db.execute(q).collect())
+
+    def test_select_boundaries(self, spark):
+        db = self._tbl(spark, "sxb")
+        # strict > min excludes the stored min extreme but keeps the max
+        assert self._sel(db, f"> minTimeuuid({self.T})") == [2]
+        assert self._sel(db, f">= minTimeuuid({self.T})") == [1, 2]
+        # <= min includes exactly the extreme (plus anything earlier)
+        assert self._sel(db, f"<= minTimeuuid({self.T})") == [1, 3]
+        assert self._sel(db, f"< minTimeuuid({self.T})") == [3]
+        # strict < max excludes the stored max extreme but keeps the min
+        assert self._sel(db, f"< maxTimeuuid({self.T})") == [1, 3]
+        assert self._sel(db, f"<= maxTimeuuid({self.T})") == [1, 2, 3]
+        assert self._sel(db, f">= maxTimeuuid({self.T})") == [2]
+        assert self._sel(db, f"> maxTimeuuid({self.T})") == []
+
+    def test_delete_slice_boundaries_match_select(self, spark):
+        db = self._tbl(spark, "dxb")
+        db.execute(f"DELETE FROM t WHERE k = 1 AND id > minTimeuuid({self.T})")
+        # only the max extreme (strictly above min) died
+        assert self._sel(db) == [1, 3]
+        db.execute(f"DELETE FROM t WHERE k = 1 AND id <= minTimeuuid({self.T})")
+        # <= min kills the stored min extreme AND the earlier real uuid
+        assert self._sel(db) == []
+
+    def test_update_and_delete_address_stored_extremes(self, spark):
+        db = self._tbl(spark, "uxb")
+        db.execute(f"UPDATE t SET v = 9 WHERE k = 1 AND id = minTimeuuid({self.T})")
+        assert self._sel(db, f"= minTimeuuid({self.T})") == [9]
+        db.execute(
+            f"DELETE FROM t WHERE k = 1 AND id IN (maxTimeuuid({self.T}))"
+        )
+        assert self._sel(db) == [3, 9]
+
+    def test_update_key_extreme_on_non_timeuuid_rejects(self, spark):
+        db = _db(spark, "uxr")
+        db.execute("CREATE TABLE w (k int, ts timestamp, v int, PRIMARY KEY (k, ts))")
+        with pytest.raises(InvalidRequest, match="range bound"):
+            db.execute(
+                "UPDATE w SET v = 1 WHERE k = 1 AND ts = minTimeuuid('2024-01-01')"
+            )
+
+    def test_lwt_range_fixups_and_timestamp_gate(self, spark):
+        db = _db(spark, "lxb")
+        db.execute("CREATE TABLE s (k int PRIMARY KEY, id timeuuid)")
+        db.execute(f"INSERT INTO s (k, id) VALUES (1, minTimeuuid({self.T}))")
+        # the stored cell IS the min extreme: strictly-greater is False,
+        # >= is True (the tick-only compare would say True for both)
+        assert db.execute(
+            f"UPDATE s SET id = now() WHERE k = 1 IF id > minTimeuuid({self.T})"
+        ) is False
+        assert db.execute(
+            f"UPDATE s SET id = now() WHERE k = 1 IF id >= minTimeuuid({self.T})"
+        ) is True
+        db.execute("CREATE TABLE w (k int PRIMARY KEY, ts timestamp)")
+        db.execute("INSERT INTO w (k, ts) VALUES (1, toTimestamp('2024-01-01 00:00:00'))")
+        with pytest.raises(InvalidRequest, match="not declared timeuuid"):
+            db.execute(
+                "UPDATE w SET ts = toTimestamp('2025-01-01 00:00:00') WHERE k = 1 "
+                "IF ts < maxTimeuuid('2024-06-01')"
+            )
+
+
+class TestClockFoldUnits:
+    def test_currenttime_is_integer_exact(self):
+        # 256229 ms-of-day was off by 1000ns through float total_seconds()
+        for tick in (1, 256229, 86399999):
+            fold = SessionClockFold(lambda: tick)
+            ns = fold.fold("currenttime")
+            ms_of_day = (SessionClockFold.EPOCH_MS + tick) % 86_400_000
+            assert ns == ms_of_day * 1_000_000
+
+    def test_ticks_of_non_hex_uuid_is_invalid_request(self):
+        with pytest.raises(InvalidRequest, match="not a uuid"):
+            ticks_of_uuid_text("zzzzzzzz-zzzz-zzzz-zzzz-zzzzzzzzzzzz")
+
+    def test_non_hex_uuid_range_literal_rejects_cleanly(self, spark):
+        db = _db(spark, "nhx")
+        db.execute("CREATE TABLE t (k int, id timeuuid, PRIMARY KEY (k, id))")
+        db.execute("INSERT INTO t (k, id) VALUES (1, now())")
+        with pytest.raises(InvalidRequest, match="not a uuid"):
+            db.execute(
+                "SELECT k FROM t WHERE k = 1 AND "
+                "id > 'zzzzzzzz-zzzz-zzzz-zzzz-zzzzzzzzzzzz'"
             )
