@@ -208,7 +208,11 @@ class AuthStore:
         apply paths mutate the registries before the trailing-input check
         (and ALTER mutates records in place), so ANY rejection restores
         the entry snapshot (the same per-statement rollback contract the
-        write session keeps)."""
+        write session keeps). LIST statements mutate nothing and skip the
+        snapshot cost."""
+        head = (cql.split(None, 1) or [""])[0].lower()
+        if head == "list":
+            return self._execute(cql, spark, schema_registry, current_keyspace)
         import copy
 
         snap = copy.deepcopy((self.roles, self.grants, self._resources))
@@ -479,6 +483,14 @@ class AuthStore:
                 raise InvalidRequest(f"<table {disp}> doesn't exist")
             rks, rname = key
             return Resource("data", (rks or "", rname))
+        if tables is not None:
+            # plain-mapping registries (the public AuthStore API with a
+            # test double) keep the membership existence check
+            key = (ks, tbl) if ks else None
+            known = key in tables if key else any(t == tbl for (_k, t) in tables)
+            if not known:
+                disp = f"{ks}.{tbl}" if ks else tbl
+                raise InvalidRequest(f"<table {disp}> doesn't exist")
         return Resource("data", ((ks or current_keyspace) or "", tbl))
 
     @staticmethod

@@ -1877,11 +1877,13 @@ class CqlDatabase:
         # to table A always outranks an earlier write to table B, and a
         # multi-table BATCH stamps one timestamp across sessions
         self._write_clock: list[int] = [0]
-        # tick -> now()-fold occurrences, shared across table sessions
-        # like the clock: two statements folding now() at one shared tick
+        # now()-fold occurrence store, shared across table sessions like
+        # the clock: two statements folding now() at one shared tick
         # (USING TIMESTAMP / BATCH) must mint DISTINCT timeuuids even
-        # across tables (CqlWriteSession._now_occs)
-        self._now_occs: dict[int, int] = {}
+        # across tables (writes.NowOccs)
+        from cassandra_pmem_spark.cql.writes import NowOccs
+
+        self._now_occs = NowOccs()
         # role/permission registries (cql/auth.py — Parser.g:224-245 DCL
         # tier; registry-backed, no enforcement)
         from cassandra_pmem_spark.cql.auth import AuthStore

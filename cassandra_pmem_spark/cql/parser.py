@@ -558,6 +558,15 @@ _CAST_TYPES = {
 }
 
 
+def _cast_expr(c, tl: str):
+    """cast(x AS <tl>) with CQL semantics: varint (decimal scale 0)
+    truncates fractional sources toward zero (CastFcts goes through
+    BigDecimal.toBigInteger) where Spark's decimal cast would round."""
+    if tl == "varint":
+        c = c - (c % F.lit(1))
+    return c.cast(_CAST_TYPES[tl])
+
+
 def _integral_avg_source(s, meta, df_columns) -> tuple[str, str] | None:
     """(SQL fragment, SQL type) of an avg() argument when it is INTEGRAL
     — the cases where CQL's AvgFunction divides in integer arithmetic.
@@ -565,6 +574,11 @@ def _integral_avg_source(s, meta, df_columns) -> tuple[str, str] | None:
     from pyspark.sql import types as _T
 
     def integral(dt) -> str | None:
+        # varint (DecimalType(38,0)) is integral too: AvgFunction divides
+        # BigIntegers — truncating integer division, not BigDecimal
+        # fractional — in every position (column, cast, UDT field)
+        if isinstance(dt, _T.DecimalType) and dt.scale == 0:
+            return "decimal(38,0)"
         return {
             _T.ByteType: "tinyint", _T.ShortType: "smallint",
             _T.IntegerType: "int", _T.LongType: "bigint",
@@ -576,19 +590,16 @@ def _integral_avg_source(s, meta, df_columns) -> tuple[str, str] | None:
         c = s.args[0]
         if c == "*":
             return None
-        dt = by_name.get(c)
-        if isinstance(dt, _T.DecimalType) and dt.scale == 0:
-            # varint (DecimalType(38,0)): AvgFunction divides BigIntegers
-            # — truncating integer division, not BigDecimal fractional
-            # (Spark's IntegralDivide accepts decimal operands)
-            return (c, "decimal(38,0)")
-        st = integral(dt)
+        st = integral(by_name.get(c))
         return (c, st) if st else None
     if inner.kind == "cast":
         c, typ = inner.args
         tl = typ.lower()
         if tl in ("tinyint", "smallint", "int", "bigint"):
             return (f"cast({c} as {tl})", tl)
+        if tl == "varint":
+            # truncate-toward-zero BEFORE the decimal cast (which rounds)
+            return (f"cast({c} - ({c} % 1) as decimal(38,0))", "decimal(38,0)")
         return None
     if inner.kind == "field":
         dt = by_name.get(inner.args[0])
@@ -898,7 +909,7 @@ def _compile(
                     c, typ = inner.args
                     if typ.lower() not in _CAST_TYPES:
                         raise InvalidRequest(f"unsupported cast target {typ!r}")
-                    expr = F.col(c).cast(_CAST_TYPES[typ.lower()])
+                    expr = _cast_expr(F.col(c), typ.lower())
                     label = f"cast_{c}"
                 elif inner.kind == "field":
                     expr = F.col(".".join(inner.args))
@@ -939,10 +950,22 @@ def _compile(
                 src = _integral_avg_source(s, meta, t._df.columns)
                 if src is not None:
                     src_sql, src_type = src
-                    col = F.coalesce(
-                        F.expr(f"sum({src_sql}) div count({src_sql})"),
-                        F.lit(0),
-                    ).cast(src_type)
+                    if src_type.startswith("decimal"):
+                        # decimal operands must NOT go through `div`:
+                        # Spark's IntegralDivide wraps to 64 bits, silently
+                        # corrupting 20+-digit varint sums. (sum - sum%cnt)
+                        # / cnt is the exact truncating-toward-zero
+                        # BigInteger division (Spark's mod follows the
+                        # dividend's sign, like Java), and the division is
+                        # then exact so the decimal cast never rounds.
+                        sm, cn = f"sum({src_sql})", f"count({src_sql})"
+                        q = f"({sm} - mod({sm}, {cn})) / {cn}"
+                        col = F.coalesce(F.expr(q), F.lit(0)).cast(src_type)
+                    else:
+                        col = F.coalesce(
+                            F.expr(f"sum({src_sql}) div count({src_sql})"),
+                            F.lit(0),
+                        ).cast(src_type)
                 else:
                     # an INT zero literal: the least-common-type rules
                     # keep the avg's own dtype (double stays double,
@@ -1056,7 +1079,7 @@ def _compile(
             if typ.lower() not in _CAST_TYPES:
                 raise InvalidRequest(f"unsupported cast target {typ!r}")
             projection.append(
-                F.col(col).cast(_CAST_TYPES[typ.lower()]).alias(s.alias or f"cast_{col}")
+                _cast_expr(F.col(col), typ.lower()).alias(s.alias or f"cast_{col}")
             )
         elif s.kind == "timefct":
             projection.append(_timefct_column(s, meta))

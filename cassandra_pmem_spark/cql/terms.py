@@ -182,13 +182,15 @@ class TimeuuidBound(_dtmod.datetime):
     """A min/maxTimeuuid fold: the exact instant, tagged with which
     extreme it is (TimeFcts.java:69,81 — the extremes compare strictly
     below/above every REAL timeuuid in the named millisecond). The
-    engine's contract: extremes are RANGE BOUNDS — single-column range
-    contexts (SELECT relations, DELETE slice bounds, LWT conditions)
-    translate per operator via bound_for(); WRITE positions store the
-    plain instant; every other value position (equality, IN, CONTAINS,
-    tuple relations) rejects with reject() — a clear error instead of a
-    silently-divergent comparison against a value no real timeuuid
-    equals."""
+    engine's contract: on a DECLARED timeuuid column the extreme IS the
+    reference's fake uuid — WRITE positions store uuid_text(), equality/
+    IN compare it, and range contexts (SELECT relations, DELETE slice
+    bounds, LWT conditions) translate per operator via edge_full(); on
+    any other column type ranges reject the type mismatch at prepare and
+    every other value position (equality, IN, CONTAINS, tuple relations)
+    rejects with reject() — a clear error instead of a silently-divergent
+    comparison against a value no real timeuuid equals. Plain-instant
+    WRITE positions (timestamp columns) store instant()."""
 
     kind: str = ""
 
@@ -206,19 +208,6 @@ class TimeuuidBound(_dtmod.datetime):
             self.year, self.month, self.day, self.hour, self.minute,
             self.second, self.microsecond, tzinfo=self.tzinfo,
         )
-
-    def bound_for(self, op: str) -> tuple[str, _dtmod.datetime]:
-        """(op, datetime) for a shadow-timestamp RANGE comparison."""
-        edge = self.instant() + (
-            _dtmod.timedelta(milliseconds=1)
-            if self.kind == "max"
-            else _dtmod.timedelta()
-        )
-        if op in (">", ">="):
-            return (">=", edge)
-        if op in ("<", "<="):
-            return ("<", edge)
-        self.reject(op)
 
     def reject(self, where: str) -> None:
         raise InvalidRequest(
@@ -244,8 +233,8 @@ class TimeuuidBound(_dtmod.datetime):
 
     def edge_ticks(self, op: str) -> tuple[str, int]:
         """(op, v1 ticks) for a RANGE comparison against a real
-        timeuuid's embedded 60-bit timestamp. Same op-aware translation
-        as bound_for, in tick space: the min extreme sits strictly below
+        timeuuid's embedded 60-bit timestamp, translated per operator in
+        tick space: the min extreme sits strictly below
         and the max extreme strictly above every real timeuuid in the
         named millisecond (TimeUUIDType compares timestamps first, and
         MIN/MAX_CLOCK_SEQ_AND_NODE bracket every real clockSeqAndNode),
@@ -405,7 +394,7 @@ def evaluate_fn(name: str, args: list[Any], clock: "SessionClockFold | None" = N
         # instant t, tagged with which extreme it is. A write position
         # stores t (the reference stores a fake timeuuid whose timestamp
         # IS t); relation compilation translates the extreme per
-        # OPERATOR (TimeuuidBound.bound_for) — the reference extremes
+        # OPERATOR (TimeuuidBound.edge_full) — the reference extremes
         # sit strictly outside every real timeuuid in millisecond t, so
         # e.g. `> minTimeuuid(t)` means `>= t` and `< maxTimeuuid(t)`
         # means `< t + 1ms`.

@@ -169,6 +169,41 @@ def _decl_timeuuid(meta, col: str) -> bool:
     return dict(getattr(meta, "cql_key_types", ()) or ()).get(col) == "timeuuid"
 
 
+class NowOccs:
+    """Session-wide now()-fold occurrence counters, keyed by tick.
+    Statements can share a tick (USING TIMESTAMP never advances the
+    clock; BATCH statements share the batch tick), and a repeated
+    (tick, occurrence) pair would mint the SAME timeuuid — LWW would
+    silently absorb the later write. Shared across a CqlDatabase's table
+    sessions like the clock. Allocations append to a JOURNAL so statement
+    rollback (_snapshot/_restore) un-consumes in O(changes) instead of an
+    O(n) dict copy per statement; memory is O(total folds), the same
+    order as the mutation buffers themselves."""
+
+    def __init__(self):
+        self.counts: dict[int, int] = {}
+        self.journal: list[tuple[int, int]] = []
+
+    def alloc(self, tick: int) -> int:
+        n = self.counts.get(tick, 0)
+        self.journal.append((tick, n))
+        self.counts[tick] = n + 1
+        return n
+
+    def mark(self) -> int:
+        return len(self.journal)
+
+    def rewind(self, mark: int) -> None:
+        # idempotent for same-mark repeats (a multi-table batch restores
+        # every involved session against one shared store)
+        while len(self.journal) > mark:
+            tick, prev = self.journal.pop()
+            if prev:
+                self.counts[tick] = prev
+            else:
+                self.counts.pop(tick, None)
+
+
 def _timeuuid_range_sides(col: str, v: Any):
     """(lhs, rhs) for a range comparison on a declared-timeuuid column.
     A datetime bound — a min/maxTimeuuid fold's millisecond edge from
@@ -705,7 +740,7 @@ class CqlWriteSession:
         collection_info: CollectionInfo | None = None,
         clock: list[int] | None = None,
         default_ttl: int = 0,
-        now_occs: dict | None = None,
+        now_occs: "NowOccs | None" = None,
     ):
         self.spark = spark
         self.meta = meta
@@ -723,15 +758,10 @@ class CqlWriteSession:
         # to table A always outranks an earlier write to table B, like the
         # reference's single coordinator clock
         self._clock_ref = clock if clock is not None else [0]
-        # tick -> now()-family occurrences already folded at that tick,
-        # SESSION-WIDE (shared across a CqlDatabase's table sessions like
-        # the clock): statements can share a tick — USING TIMESTAMP never
-        # advances the clock, BATCH statements share the batch tick — and
-        # a repeated (tick, occurrence) pair would mint the SAME timeuuid,
-        # silently LWW-absorbing the later write. Never rolled back: a
-        # replay re-runs the same statement sequence (including rejected
-        # ones), so consumption stays deterministic.
-        self._now_occs = now_occs if now_occs is not None else {}
+        # now()-fold occurrence store (NowOccs above): consumption rolls
+        # back with the statement snapshot — a rejected statement's folds
+        # were never written, so the next statement may re-mint them
+        self._now_occs = now_occs if now_occs is not None else NowOccs()
         self._base = base
 
     # -- statement entry (ModificationStatement.execute analog) ---------------
@@ -1692,34 +1722,30 @@ class CqlWriteSession:
             self._clock_ref[0],
             # now()-fold occurrences roll back with the clock: a REJECTED
             # (or condition-false) statement's folds were never written,
-            # so the next statement may re-mint them — replays stay
-            # deterministic either way, but un-consuming keeps "a rejected
-            # statement leaves no trace" exact (dict is shared; restore
-            # mutates IN PLACE)
-            dict(self._now_occs),
+            # so the next statement may re-mint them — "a rejected
+            # statement leaves no trace" stays exact (journal watermark,
+            # O(1); the store is shared and rewinds IN PLACE)
+            self._now_occs.mark(),
         )
 
     def _restore(self, snap: tuple) -> None:
-        n_mut, n_row, n_cell, n_rng, clock, occs = snap
+        n_mut, n_row, n_cell, n_rng, clock, occ_mark = snap
         del self._mutations[n_mut:]
         del self._row_tombs[n_row:]
         del self._cell_tombs[n_cell:]
         del self._range_tombs[n_rng:]
         self._clock_ref[0] = clock
-        self._now_occs.clear()
-        self._now_occs.update(occs)
+        self._now_occs.rewind(occ_mark)
 
     def _tick(self) -> int:
         self._clock_ref[0] += 1
         return self._clock_ref[0]
 
     def _alloc_now_occ(self, tick: int) -> int:
-        """Next session-wide now()-fold occurrence at `tick` (see
-        _now_occs) — distinct (tick, occurrence) pairs mint distinct
-        timeuuids even when statements share a tick."""
-        n = self._now_occs.get(tick, 0)
-        self._now_occs[tick] = n + 1
-        return n
+        """Next session-wide now()-fold occurrence at `tick` (NowOccs) —
+        distinct (tick, occurrence) pairs mint distinct timeuuids even
+        when statements share a tick."""
+        return self._now_occs.alloc(tick)
 
     def _downgrade_bound(self, col: str, val):
         """A min/maxTimeuuid fold lands per the target column's declared
@@ -1825,10 +1851,36 @@ class CqlWriteSession:
                 ):
                     # decimal/varint targets take the EXACT literal text
                     # value (createDataFrame rejects raw float for
-                    # DecimalType; str() round-trips the parsed literal)
-                    return _dec.Decimal(str(val)).quantize(
-                        _dec.Decimal(1).scaleb(-dt.scale)
-                    )
+                    # DecimalType; str() round-trips the parsed literal).
+                    # A widened local context: the default 28-digit
+                    # precision makes quantize raise for legal in-range
+                    # values (11 integer digits + scale 18 = 29 digits);
+                    # anything that still won't fit is a prepare error,
+                    # never a raw decimal.InvalidOperation.
+                    try:
+                        with _dec.localcontext() as ctx:
+                            ctx.prec = dt.precision + dt.scale + 4
+                            d = _dec.Decimal(str(val))
+                            if dt.scale == 0 and d % 1 != 0:
+                                # varint: CQL rejects non-integer
+                                # constants at prepare — never round
+                                raise InvalidRequest(
+                                    f"Invalid non-integer constant "
+                                    f"({val!r}) for \"{label}\" of type "
+                                    "varint"
+                                )
+                            d = d.quantize(_dec.Decimal(1).scaleb(-dt.scale))
+                    except _dec.InvalidOperation as exc:
+                        raise InvalidRequest(
+                            f"Constant {val!r} is out of range for "
+                            f'"{label}" of type {dt.simpleString()}'
+                        ) from exc
+                    if d.adjusted() >= dt.precision - dt.scale:
+                        raise InvalidRequest(
+                            f"Constant {val!r} is out of range for "
+                            f'"{label}" of type {dt.simpleString()}'
+                        )
+                    return d
             elif isinstance(dt, T.StringType):
                 ok = isinstance(val, str)
             elif isinstance(dt, T.BooleanType):

@@ -41,9 +41,16 @@ _CQL_TO_SPARK = {
 
 
 def cql_cast(col: Column | str, cql_type: str) -> Column:
-    """cast(x AS <cql_type>) → Spark cast with the SURVEY §1.2 type mapping."""
+    """cast(x AS <cql_type>) → Spark cast with the SURVEY §1.2 type mapping.
+
+    varint targets truncate toward zero first: CastFcts' fractional→varint
+    conversions go through BigDecimal.toBigInteger (truncation), while
+    Spark's fractional→DecimalType(38,0) cast ROUNDS half-up."""
     c = F.col(col) if isinstance(col, str) else col
-    return c.cast(_CQL_TO_SPARK[cql_type.lower()])
+    t = _CQL_TO_SPARK[cql_type.lower()]
+    if isinstance(t, T.DecimalType) and t.scale == 0:
+        c = c - (c % F.lit(1))
+    return c.cast(t)
 
 
 def cast_as_text(col: Column | str) -> Column:

@@ -369,6 +369,52 @@ class TestNestedAggregates:
         ).collect()[0]
         assert (r.a, r.aw) == (_dec.Decimal("0"), _dec.Decimal("0"))
 
+    def test_avg_varint_exact_beyond_long_range(self, db):
+        """varint is arbitrary-precision: the integer division must not
+        go through Spark's 64-bit IntegralDivide (sum 2*10^20 wrapped to
+        7766279631452241920 under `div`)."""
+        import decimal as _dec
+
+        db.execute("CREATE TABLE big (k int PRIMARY KEY, w varint)")
+        db.execute("INSERT INTO big (k, w) VALUES (1, 100000000000000000000)")
+        db.execute("INSERT INTO big (k, w) VALUES (2, 100000000000000000001)")
+        r = db.execute("SELECT avg(w) AS a FROM big").collect()[0]
+        # (2*10^20 + 1) div 2 truncates to 10^20
+        assert r.a == _dec.Decimal("100000000000000000000")
+        # cast-to-varint divides in integer arithmetic too
+        db.execute("CREATE TABLE cv (k int PRIMARY KEY, v double)")
+        db.execute("INSERT INTO cv (k, v) VALUES (1, 2.9)")
+        db.execute("INSERT INTO cv (k, v) VALUES (2, 3.9)")
+        r = db.execute("SELECT avg(cast(v as varint)) AS a FROM cv").collect()[0]
+        assert r.a == _dec.Decimal("2")  # (2+3) div 2
+
+    def test_decimal_literal_precision_and_varint_integrality(self, db):
+        """Legal wide literals store exactly (the default 28-digit
+        Python decimal context must not leak a raw InvalidOperation);
+        fractional constants for varint and out-of-range decimals reject
+        at prepare."""
+        import decimal as _dec
+
+        from cassandra_pmem_spark.cql.validator import InvalidRequest
+
+        db.execute("CREATE TABLE wd (k int PRIMARY KEY, d decimal, w varint)")
+        db.execute("INSERT INTO wd (k, d) VALUES (1, 99999999999.5)")
+        r = db.execute("SELECT d FROM wd WHERE k = 1").collect()[0]
+        assert r.d == _dec.Decimal("99999999999.5")
+        with pytest.raises(InvalidRequest, match="non-integer"):
+            db.execute("INSERT INTO wd (k, w) VALUES (2, 2.5)")
+        with pytest.raises(InvalidRequest, match="out of range"):
+            db.execute(
+                "INSERT INTO wd (k, d) VALUES "
+                "(3, 100000000000000000000.0)"  # 21 integer digits > 38-18
+            )
+        # a 29-digit varint (beyond the old 28-digit context) is legal
+        db.execute(
+            "INSERT INTO wd (k, w) VALUES (4, 10000000000000000000000000000)"
+        )
+        r = db.execute("SELECT w FROM wd WHERE k = 4").collect()[0]
+        assert r.w == _dec.Decimal("10000000000000000000000000000")
+
 
 class TestNamedBindMarkers:
     """Named bind markers :name (Parser.g marker rule; QueryOptions named
