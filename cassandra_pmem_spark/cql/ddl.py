@@ -100,6 +100,17 @@ class IndexMeta:
     table: tuple[str | None, str]  # canonical (keyspace, table) key
     column: str
     custom_class: str | None = None
+    # IndexTarget.Type (schema/IndexMetadata.java / IndexTarget.java):
+    # 'simple' (scalar EQ), 'values' (CONTAINS), 'keys' (CONTAINS KEY),
+    # 'entries' (m[k]=v), 'full' (frozen-collection EQ)
+    kind: str = "simple"
+
+
+def index_target_text(im: IndexMeta) -> str:
+    """IndexTarget.asCqlString: the target as it appears in
+    system_schema.indexes and DESCRIBE output."""
+    k = getattr(im, "kind", "simple") or "simple"
+    return im.column if k == "simple" else f"{k}({im.column})"
 
 
 def _substitute_args(body: str, mapping: dict[str, str]) -> str:
@@ -725,7 +736,33 @@ class _DdlParser(_Parser):
             table, keyspace=t_ks, current=self.current_keyspace
         )
         self.expect_punct("(")
-        col = self.ident()
+        # indexIdent (Parser.g:842-847): cident | VALUES(c) | KEYS(c) |
+        # ENTRIES(c) | FULL(c). Exactly one target (the reference allows
+        # zero/multiple only for CUSTOM indexes — CreateIndexStatement
+        # .java:105,110).
+        if self.accept_punct(")"):
+            raise InvalidRequest(
+                "Only CUSTOM indexes can be created without specifying "
+                "a target column"
+            )
+        kind = "simple"
+        nxt = self.peek()
+        if (
+            nxt.kind == "ident"
+            and nxt.text.lower() in ("values", "keys", "entries", "full")
+            and self.toks[self.i + 1].kind == "punct"
+            and self.toks[self.i + 1].text == "("
+        ):
+            kind = {"entries": "entries", "keys": "keys",
+                    "values": "values", "full": "full"}[nxt.text.lower()]
+            self.next()
+            self.expect_punct("(")
+            col = self.ident()
+            self.expect_punct(")")
+        else:
+            col = self.ident()
+        if self.accept_punct(","):
+            raise InvalidRequest("Only CUSTOM indexes support multiple columns")
         self.expect_punct(")")
         cls = None
         if custom:
@@ -735,6 +772,7 @@ class _DdlParser(_Parser):
                 raise InvalidRequest("CUSTOM INDEX expects USING 'class'")
             cls = t.text[1:-1]
         self._end()
+        kind = self._validate_index_target(table_key, col, kind)
         name = idx_name or f"{table}_{col}_idx"
         # per-keyspace uniqueness: the same default name may exist for a
         # same-named table in another keyspace
@@ -742,7 +780,74 @@ class _DdlParser(_Parser):
             if ine:
                 return None
             raise InvalidRequest(f"index {name!r} already exists")
-        return IndexMeta(name, table_key, col, cls)
+        # duplicate-target rejection (CreateIndexStatement.java:130-135)
+        for other in self.registry.indexes.values():
+            if (
+                other.table == table_key
+                and other.column == col
+                and (getattr(other, "kind", "simple") or "simple") == kind
+                and other.custom_class == cls
+            ):
+                if ine:
+                    return None
+                raise InvalidRequest(
+                    f"Index {name} is a duplicate of existing index {other.name}"
+                )
+        return IndexMeta(name, table_key, col, cls, kind)
+
+    def _validate_index_target(self, table_key: tuple, col: str, kind: str) -> str:
+        """validateIndexTarget (CreateIndexStatement.java:153-192), plus
+        the SIMPLE->VALUES normalization IndexTarget.Raw.prepare applies
+        to non-frozen collections. Returns the effective kind."""
+        meta = self.registry.tables[table_key]
+        if col not in {f.name for f in meta.schema.fields}:
+            raise InvalidRequest(f"Column '{col}' doesn't exist")
+        type_text = self.registry.column_type_text.get(table_key, {}).get(col, "")
+        if "duration" in type_text.lower() or dict(
+            getattr(meta, "cql_key_types", ()) or ()
+        ).get(col) == "duration":
+            raise InvalidRequest(
+                "Secondary indexes are not supported on duration columns"
+                if type_text.lower().strip() == "duration"
+                else "Secondary indexes are not supported on collections "
+                "containing durations"
+            )
+        if list(meta.partition_key) == [col]:
+            raise InvalidRequest(
+                "Cannot create secondary index on the only partition key "
+                f"column {col}"
+            )
+        coll_kind = self.registry.collection_kinds.get(table_key, {}).get(col)
+        frozen = col in self.registry.frozen_columns.get(table_key, frozenset())
+        is_coll = coll_kind in ("list", "set", "map")
+        if is_coll and frozen and kind != "full":
+            raise InvalidRequest(
+                f"Cannot create {kind}() index on frozen column {col}. "
+                "Frozen collections only support full() indexes"
+            )
+        if not (is_coll and frozen) and kind == "full":
+            raise InvalidRequest(
+                "full() indexes can only be created on frozen collections"
+            )
+        if not is_coll and kind not in ("simple", "full"):
+            raise InvalidRequest(
+                f"Cannot create {kind}() index on {col}. Non-collection "
+                "columns only support simple indexes"
+            )
+        if kind in ("keys", "entries") and not (coll_kind == "map" and not frozen):
+            raise InvalidRequest(
+                f"Cannot create index on {kind} of column {col} with "
+                "non-map type"
+            )
+        if coll_kind == "udt" and not frozen:
+            raise InvalidRequest(
+                f"Cannot create index on non-frozen UDT column {col}"
+            )
+        if is_coll and not frozen and kind == "simple":
+            # IndexTarget.Raw.prepare: a bare collection target is a
+            # VALUES index
+            return "values"
+        return kind
 
     def create_view(self) -> ViewMeta | None:
         """CREATE MATERIALIZED VIEW (Parser.g:851 createMaterializedView-
@@ -2209,11 +2314,16 @@ class CqlDatabase:
             from cassandra_pmem_spark.cql.table import CqlTable
 
             def _indexed(tkey2: tuple) -> dict:
-                return {
-                    im.column: im.name or f"{tkey2[1]}_{im.column}_idx"
-                    for (_ks, _n), im in self.registry.indexes.items()
-                    if im.table == tkey2
-                }
+                # col -> {kind: index name} (a column may carry several
+                # indexes of different kinds, e.g. KEYS(m) + VALUES(m))
+                out: dict = {}
+                for (_ks, _n), im in self.registry.indexes.items():
+                    if im.table == tkey2:
+                        k = getattr(im, "kind", "simple") or "simple"
+                        out.setdefault(im.column, {})[k] = (
+                            im.name or f"{tkey2[1]}_{im.column}_idx"
+                        )
+                return out
 
             def _stats(tkey2: tuple):
                 """getEstimatedResultRows analog: estimated rows per EQ

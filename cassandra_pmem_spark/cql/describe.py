@@ -129,13 +129,16 @@ def _table_cql(registry, key) -> str:
 
 
 def _index_cql(im) -> str:
+    from cassandra_pmem_spark.cql.ddl import index_target_text
+
     tqual = f"{im.table[0]}.{im.table[1]}" if im.table[0] else im.table[1]
+    target = index_target_text(im)
     if im.custom_class:
         return (
-            f"CREATE CUSTOM INDEX {im.name} ON {tqual} ({im.column}) "
+            f"CREATE CUSTOM INDEX {im.name} ON {tqual} ({target}) "
             f"USING {_quote(im.custom_class)};"
         )
-    return f"CREATE INDEX {im.name} ON {tqual} ({im.column});"
+    return f"CREATE INDEX {im.name} ON {tqual} ({target});"
 
 
 def _view_cql(registry, key) -> str:

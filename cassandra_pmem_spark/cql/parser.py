@@ -455,6 +455,18 @@ class _Parser:
                 return Relation("token", cols, op, [_TokenRhs(tuple(args))])
             return Relation("token", cols, op, [self.term(params, cursor)])
         col = self.ident()
+        if self.accept_punct("["):
+            # map-entry relation m[k] = v (Parser.g relation: cident '['
+            # term ']'; SingleColumnRelation.onMapEntry — EQ only)
+            key = self.term(params, cursor)
+            self.expect_punct("]")
+            op = self._op()
+            if op is not Op.EQ:
+                raise InvalidRequest(
+                    "Only EQ relations are supported on map entries"
+                )
+            return Relation("entry", [col], Op.EQ,
+                            [key, self.term(params, cursor)])
         if self.accept_kw("in"):
             self.expect_punct("(")
             vals = [self.term(params, cursor)]
@@ -471,7 +483,49 @@ class _Parser:
         if self.accept_kw("like"):
             return Relation("simple", [col], Op.LIKE, [self.term(params, cursor)])
         op = self._op()
+        nxt = self.peek()
+        if nxt.kind == "punct" and nxt.text in ("[", "{"):
+            # frozen-collection literal RHS (c = [1, 2] — equality on a
+            # frozen column, full() index territory). EQ only, like the
+            # reference's collection comparison support.
+            if op is not Op.EQ:
+                raise InvalidRequest(
+                    "Collection literals are only supported with = relations"
+                )
+            return Relation("simple", [col], op,
+                            [self._collection_rhs(params, cursor)])
         return Relation("simple", [col], op, [self.term(params, cursor)])
+
+    def _collection_rhs(self, params: list[Any], cursor: list[int]):
+        """[...] / {...} literal on a relation's right side: a Python
+        list, set, or dict of folded terms (SELECT relations only — write
+        statements parse collection VALUES through value_term)."""
+        if self.accept_punct("["):
+            out: list = []
+            if not self.accept_punct("]"):
+                while True:
+                    out.append(self.term(params, cursor))
+                    if not self.accept_punct(","):
+                        break
+                self.expect_punct("]")
+            return out
+        self.expect_punct("{")
+        if self.accept_punct("}"):
+            return set()
+        first = self.term(params, cursor)
+        if self.accept_punct(":"):
+            m = {first: self.term(params, cursor)}
+            while self.accept_punct(","):
+                k = self.term(params, cursor)
+                self.expect_punct(":")
+                m[k] = self.term(params, cursor)
+            self.expect_punct("}")
+            return m
+        s = {first}
+        while self.accept_punct(","):
+            s.add(self.term(params, cursor))
+        self.expect_punct("}")
+        return s
 
     def _tuple_literal(self, params: list[Any], cursor: list[int], arity: int) -> tuple:
         """One parenthesized literal tuple ``(v1, …, vN)``; arity must match
@@ -786,6 +840,14 @@ def _compile(
             if isinstance(val, _TokenRhs):
                 val = _scalar_token(meta, val.args)
             t = t.where_token(r.op, val)
+        elif r.kind == "entry":
+            # m[k] = v — element path equality (entries() index territory)
+            k, v = r.values
+            if _is_tu_bound(k):
+                k.reject("a map key")
+            if _is_tu_bound(v):
+                v.reject("a map entry value")
+            t = t.where_entry(r.columns[0], k, v)
         elif r.kind == "in":
             decl_tu = (
                 dict(getattr(meta, "cql_key_types", ()) or ()).get(r.columns[0])

@@ -25,6 +25,7 @@ from typing import Any, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from cassandra_pmem_spark.catalog import TABLES, TableMeta, load_table
 from cassandra_pmem_spark.cql.validator import (
@@ -102,16 +103,26 @@ class CqlTable:
         self.meta = meta
         self.strict = strict
         # secondary-index columns (schema/IndexMetadata.java): a single
-        # EQ/CONTAINS restriction on one of these passes the ALLOW
+        # restriction on one of these whose op matches the index KIND
+        # (IndexTarget.Type: simple/full()=EQ, values()=CONTAINS,
+        # keys()=CONTAINS KEY, entries()=m[k]=v) passes the ALLOW
         # FILTERING gate (the 2i read path — physically still Catalyst
-        # pushdown + file skipping). A dict maps column -> index NAME so
-        # index SELECTION (getBestIndexFor) can report which index serves.
+        # pushdown + file skipping). Accepted shapes: col -> {kind: name}
+        # (kind-aware), col -> name (legacy, kind 'any'), or a frozenset
+        # of columns (kind 'any').
         if isinstance(indexed_columns, dict):
-            self.index_names = dict(indexed_columns)
-            self.indexed_columns = frozenset(indexed_columns)
+            self.index_kinds = {
+                c: (dict(v) if isinstance(v, dict) else {"any": str(v)})
+                for c, v in indexed_columns.items()
+            }
         else:
-            self.indexed_columns = indexed_columns
-            self.index_names = {c: f"idx_{c}" for c in indexed_columns}
+            self.index_kinds = {c: {"any": f"idx_{c}"} for c in indexed_columns}
+        self.indexed_columns = frozenset(self.index_kinds)
+        # representative name per column (display/tests); selection below
+        # matches per (op, kind)
+        self.index_names = {
+            c: min(v.values()) for c, v in self.index_kinds.items()
+        }
         # stats_fn() -> {column: estimated rows per EQ match} — the
         # SecondaryIndexManager.getEstimatedResultRows analog; None means
         # rank by name only (deterministic fallback)
@@ -131,7 +142,7 @@ class CqlTable:
 
     def _copy(self) -> "CqlTable":
         t = CqlTable(
-            self._df, self.meta, self.strict, dict(self.index_names),
+            self._df, self.meta, self.strict, dict(self.index_kinds),
             stats_fn=self._stats_fn, choice_sink=self._choice_sink,
         )
         t._restrictions = list(self._restrictions)
@@ -156,6 +167,51 @@ class CqlTable:
         op = Op(op) if isinstance(op, str) else op
         t = self._copy()
         t._restrictions.append(Restriction(column, op))
+        if op is Op.EQ and isinstance(value, (list, set, frozenset, dict)):
+            # frozen-collection equality (full() index territory). Sets
+            # store key-sorted (CQL set order); maps compare as key-sorted
+            # entry arrays — Spark disallows direct MapType equality.
+            dt = dict(
+                zip(self._df.schema.names, self._df.schema.fields)
+            ).get(column)
+            dt = dt.dataType if dt is not None else None
+            if isinstance(dt, T.ArrayType):
+                vals = (
+                    sorted(value)
+                    if isinstance(value, (set, frozenset))
+                    else list(value)
+                )
+                t._conditions.append(
+                    F.col(column)
+                    == F.array(*[F.lit(x).cast(dt.elementType) for x in vals])
+                )
+                return t
+            if isinstance(dt, T.MapType) and isinstance(value, dict):
+                lit_entries = F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).cast(dt.keyType).alias("key"),
+                            F.lit(v).cast(dt.valueType).alias("value"),
+                        )
+                        for k, v in sorted(value.items())
+                    ]
+                )
+                t._conditions.append(
+                    F.array_sort(F.map_entries(F.col(column))) == lit_entries
+                )
+                return t
+        if op is Op.CONTAINS and isinstance(
+            dict(zip(self._df.schema.names, self._df.schema.fields)).get(
+                column, T.StructField("", T.NullType())
+            ).dataType,
+            T.MapType,
+        ):
+            # CONTAINS on a map searches its VALUES (Operator.CONTAINS in
+            # the reference delegates to MapType.compose values)
+            t._conditions.append(
+                F.array_contains(F.map_values(F.col(column)), value)
+            )
+            return t
         if (
             op in (Op.LT, Op.LTE, Op.GT, Op.GTE)
             and isinstance(value, str)
@@ -200,6 +256,17 @@ class CqlTable:
             else:
                 cond = cond | (F.col(column) == F.lit(text))
         t._conditions.append(cond)
+        return t
+
+    def where_entry(self, column: str, key: Any, value: Any) -> "CqlTable":
+        """Map-entry relation ``m[k] = v`` (SingleColumnRelation.onMapEntry;
+        Operator EQ over an element path — served by an entries() index or
+        ALLOW FILTERING). element_at is null-safe: a missing key reads
+        null and the equality filters the row out, exactly the
+        reference's cell-lookup semantics."""
+        t = self._copy()
+        t._restrictions.append(Restriction(column, Op.ENTRY))
+        t._conditions.append(F.element_at(F.col(column), F.lit(key)) == F.lit(value))
         return t
 
     def where_tuple(self, columns: Sequence[str], op: Op | str, values: Sequence[Any]) -> "CqlTable":
@@ -286,7 +353,7 @@ class CqlTable:
         meta = self.meta
         if self.strict:
             validate_restrictions(
-                meta, self._restrictions, self._allow_filtering, self.indexed_columns
+                meta, self._restrictions, self._allow_filtering, self.index_kinds
             )
             pk_restricted = {r.column for r in self._restrictions if r.op in (Op.EQ, Op.IN)} >= set(
                 meta.partition_key
@@ -305,15 +372,26 @@ class CqlTable:
         # (execution stays one Catalyst plan either way) and is reported
         # through the choice sink for system/tracing surfaces.
         pk_all = set(meta.primary_key)
-        cand_cols = sorted(
-            {
-                r.column
-                for r in self._restrictions
-                if r.column in self.index_names
-                and r.op in (Op.EQ, Op.CONTAINS, Op.CONTAINS_KEY)
-                and r.column not in pk_all
-            }
-        )
+        from cassandra_pmem_spark.cql.validator import _op_index_served
+
+        cands: dict[str, str] = {}  # column -> serving index name
+        for r in self._restrictions:
+            kinds = self.index_kinds.get(r.column)
+            if kinds is None or r.column in pk_all or r.column in cands:
+                continue
+            if not _op_index_served(r, kinds):
+                continue
+            # the index whose KIND matches the operator serves; 'any'
+            # entries are legacy descriptors
+            kind = {
+                Op.EQ: ("simple", "full"), Op.CONTAINS: ("values",),
+                Op.CONTAINS_KEY: ("keys",), Op.ENTRY: ("entries",),
+            }.get(r.op, ())
+            name = next(
+                (kinds[k] for k in kind if k in kinds), None
+            ) or kinds.get("any") or min(kinds.values())
+            cands[r.column] = name
+        cand_cols = sorted(cands)
         if cand_cols and self._choice_sink is not None:
             if len(cand_cols) == 1:
                 best = cand_cols[0]
@@ -321,9 +399,9 @@ class CqlTable:
                 est = self._stats_fn(cand_cols) if self._stats_fn else {}
                 best = min(
                     cand_cols,
-                    key=lambda c: (est.get(c, float("inf")), self.index_names[c]),
+                    key=lambda c: (est.get(c, float("inf")), cands[c]),
                 )
-            self._choice_sink.append((self.index_names[best], best))
+            self._choice_sink.append((cands[best], best))
 
         out = self._df
         for cond in self._conditions:

@@ -46,6 +46,9 @@ class Op(Enum):
     CONTAINS_KEY = "CONTAINS KEY"
     LIKE = "LIKE"
     IS_NOT_NULL = "IS NOT NULL"
+    # map-entry relation m[k] = v (Operator.java EQ on an element path;
+    # SingleColumnRelation.onMapEntry) — served by an entries() index
+    ENTRY = "ENTRY ="
 
 
 @dataclass(frozen=True)
@@ -58,11 +61,41 @@ class Restriction:
 _SLICE_OPS = {Op.LT, Op.LTE, Op.GT, Op.GTE}
 
 
+def _index_kinds(indexed) -> dict:
+    """Normalize the index descriptor: a mapping col -> {kind: name}
+    (IndexTarget.Type analogs 'simple'/'values'/'keys'/'entries'/'full'),
+    accepting the legacy frozenset-of-columns / col->name forms as kind
+    'any' (op-unrestricted, the pre-kind behavior)."""
+    if isinstance(indexed, dict):
+        return {
+            c: (v if isinstance(v, dict) else {"any": str(v)})
+            for c, v in indexed.items()
+        }
+    return {c: {"any": c} for c in indexed}
+
+
+def _op_index_served(r: Restriction, kinds: dict) -> bool:
+    """CassandraIndex.supportsExpression analog: which operator each
+    IndexTarget.Type serves — simple/full -> EQ, values -> CONTAINS,
+    keys -> CONTAINS KEY, entries -> m[k] = v."""
+    if "any" in kinds:
+        return r.op in (Op.EQ, Op.CONTAINS, Op.CONTAINS_KEY, Op.ENTRY)
+    if r.op is Op.EQ:
+        return "simple" in kinds or "full" in kinds
+    if r.op is Op.CONTAINS:
+        return "values" in kinds
+    if r.op is Op.CONTAINS_KEY:
+        return "keys" in kinds
+    if r.op is Op.ENTRY:
+        return "entries" in kinds
+    return False
+
+
 def validate_restrictions(
     meta: TableMeta,
     restrictions: list[Restriction],
     allow_filtering: bool = False,
-    indexed: frozenset[str] = frozenset(),
+    indexed: "frozenset[str] | dict" = frozenset(),
 ) -> None:
     """Classify WHERE relations like StatementRestrictions.java:126 and
     reject plans that would need filtering without ALLOW FILTERING.
@@ -122,17 +155,20 @@ def validate_restrictions(
 
     regular = [r for r in restrictions if r.column not in pk_set and r.column not in ck_names]
     if regular:
+        by_kind = _index_kinds(indexed)
         index_served = (
             len(regular) == 1
-            and regular[0].op in (Op.EQ, Op.CONTAINS, Op.CONTAINS_KEY)
-            and regular[0].column in indexed
+            and regular[0].column in by_kind
+            and _op_index_served(regular[0], by_kind[regular[0].column])
             and not restricted_ck
         )
         if not index_served:
             raise InvalidRequest(
                 f"Predicates on non-primary-key columns {[r.column for r in regular]} "
                 "require ALLOW FILTERING (RowFilter post-filtering; a single "
-                "EQ/CONTAINS restriction on an indexed column is served by the index)"
+                "restriction on an indexed column whose index KIND serves the "
+                "operator — simple/full()=EQ, values()=CONTAINS, keys()="
+                "CONTAINS KEY, entries()=m[k]=v — is served by the index)"
             )
     if restricted_ck and not pk_fully_eq:
         raise InvalidRequest(

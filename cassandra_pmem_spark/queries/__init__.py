@@ -45,6 +45,7 @@ _PRIORITY: tuple[str, ...] = (
     # -- (2) new round-10 queries
     "cql_now_writes",  # now()/uuid() folded from the coordinator clock
     "cql_roles_grants",  # DCL tier: roles, grants, LIST shapes
+    "cql_index_targets",  # keys()/values()/entries()/full() index kinds
     # -- (3) stale-by-edit (round-10 edits to their machinery)
     "cql_fn_terms",
     "cql_token_rhs",

@@ -1436,8 +1436,80 @@ SELECT * FROM (VALUES
 """
 
 
+def cql_index_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection index targets (Parser.g:842-847 indexIdent;
+    IndexTarget.java SIMPLE/VALUES/KEYS/KEYS_AND_VALUES/FULL;
+    CreateIndexStatement.java:153-192) and the kind-aware read gate
+    (CassandraIndex.supportsExpression): keys()=CONTAINS KEY,
+    values()=CONTAINS (bare collection targets normalize to values),
+    entries()=m[k]=v (the map-entry relation), full()=frozen-collection
+    equality, simple=EQ. Each probe runs WITHOUT ALLOW FILTERING — it
+    passes the gate only because the matching index kind exists — and
+    the statement asserts getBestIndexFor reported that index. The
+    oracle pins every served row."""
+    from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+    db = CqlDatabase(spark)
+    db.execute("CREATE KEYSPACE itk WITH REPLICATION = {'class': 'SimpleStrategy'}")
+    db.execute("USE itk")
+    db.execute(
+        "CREATE TABLE ev (id int PRIMARY KEY, m map<text, int>, "
+        "s set<text>, fl frozen<list<int>>, tag text)"
+    )
+    db.execute(
+        "INSERT INTO ev (id, m, s, fl, tag) VALUES "
+        "(1, {'a': 1, 'b': 2}, {'x'}, [1, 2], 'hot')"
+    )
+    db.execute(
+        "INSERT INTO ev (id, m, s, fl, tag) VALUES "
+        "(2, {'b': 9, 'c': 7}, {'x', 'y'}, [3], 'cold')"
+    )
+    db.execute(
+        "INSERT INTO ev (id, fl, tag) VALUES (3, [1, 2], 'hot')"
+    )
+    db.execute("CREATE INDEX m_keys ON ev (keys(m))")
+    db.execute("CREATE INDEX m_vals ON ev (values(m))")
+    db.execute("CREATE INDEX m_ent ON ev (entries(m))")
+    db.execute("CREATE INDEX s_vals ON ev (s)")  # normalizes to values()
+    db.execute("CREATE INDEX fl_full ON ev (full(fl))")
+    db.execute("CREATE INDEX tag_idx ON ev (tag)")
+    probes = [
+        ("entry_eq", "SELECT id FROM ev WHERE m['b'] = 2", "m_ent", "m"),
+        ("frozen_eq", "SELECT id FROM ev WHERE fl = [1, 2]", "fl_full", "fl"),
+        ("keys_ck", "SELECT id FROM ev WHERE m CONTAINS KEY 'a'", "m_keys", "m"),
+        ("set_contains", "SELECT id FROM ev WHERE s CONTAINS 'x'", "s_vals", "s"),
+        ("simple_eq", "SELECT id FROM ev WHERE tag = 'hot'", "tag_idx", "tag"),
+        ("values_contains", "SELECT id FROM ev WHERE m CONTAINS 7", "m_vals", "m"),
+    ]
+    out = None
+    for probe, q, idx, col in probes:
+        frame = db.execute(q).select(
+            F.lit(probe).alias("probe"), F.col("id").alias("id")
+        )
+        if db.last_index_choice != (idx, col):
+            raise AssertionError(
+                f"{probe}: expected index {(idx, col)}, "
+                f"got {db.last_index_choice}"
+            )
+        out = frame if out is None else out.unionByName(frame)
+    return out
+
+
+_INDEX_TARGETS_ORACLE = """
+SELECT * FROM (VALUES
+  ('entry_eq', 1),
+  ('frozen_eq', 1), ('frozen_eq', 3),
+  ('keys_ck', 1),
+  ('set_contains', 1), ('set_contains', 2),
+  ('simple_eq', 1), ('simple_eq', 3),
+  ('values_contains', 2)
+) t(probe, id)
+"""
+
+
 QUERIES = {
     "cql_fn_terms": (cql_fn_terms, _FN_TERMS_ORACLE),
+    "cql_index_targets": (cql_index_targets, _INDEX_TARGETS_ORACLE),
     "cql_now_writes": (cql_now_writes, _now_oracle()),
     "cql_roles_grants": (cql_roles_grants, _ROLES_ORACLE),
     "cql_delete_tombstones": (cql_delete_tombstones, _DELETE_TOMBSTONES_ORACLE),

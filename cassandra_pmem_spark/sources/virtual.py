@@ -205,12 +205,14 @@ def system_schema_frame(spark: SparkSession, registry, name: str) -> tuple:
                 T.StructField("target", T.StringType()),
             ]
         )
+        from cassandra_pmem_spark.cql.ddl import index_target_text
+
         rows = sorted(
             (
                 im.table[0] or "",
                 im.table[1],
                 im.name or f"{im.table[1]}_{im.column}_idx",
-                im.column,
+                index_target_text(im),
             )
             for im in registry.indexes.values()
         )

@@ -1,0 +1,157 @@
+"""Collection index targets (Parser.g:842-847 indexIdent; IndexTarget.java
+Type.SIMPLE/VALUES/KEYS/KEYS_AND_VALUES/FULL; CreateIndexStatement.java
+:153-192 validateIndexTarget) and the kind-aware read gate
+(CassandraIndex.supportsExpression): simple/full()=EQ, values()=CONTAINS,
+keys()=CONTAINS KEY, entries()=m[k]=v."""
+
+from __future__ import annotations
+
+import pytest
+
+from cassandra_pmem_spark.cql.validator import InvalidRequest
+
+
+@pytest.fixture()
+def db(spark):
+    from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+    d = CqlDatabase(spark)
+    d.execute("CREATE KEYSPACE idxk WITH REPLICATION = {'class': 'SimpleStrategy'}")
+    d.execute("USE idxk")
+    d.execute(
+        "CREATE TABLE ev (id int PRIMARY KEY, m map<text, int>, "
+        "s set<text>, fl frozen<list<int>>, v int, du duration)"
+    )
+    d.execute(
+        "INSERT INTO ev (id, m, s, fl, v) VALUES "
+        "(1, {'a': 1, 'b': 2}, {'x'}, [1, 2], 10)"
+    )
+    d.execute(
+        "INSERT INTO ev (id, m, s, fl, v) VALUES "
+        "(2, {'b': 9}, {'x', 'y'}, [3], 20)"
+    )
+    return d
+
+
+class TestCreateIndexTargets:
+    def test_target_validation_matrix(self, db):
+        # frozen collections only support full()
+        with pytest.raises(InvalidRequest, match="full\\(\\) indexes"):
+            db.execute("CREATE INDEX ON ev (values(fl))")
+        with pytest.raises(InvalidRequest, match="full\\(\\) indexes can only"):
+            db.execute("CREATE INDEX ON ev (full(m))")
+        # keys/entries need a non-frozen map
+        with pytest.raises(InvalidRequest, match="non-map type"):
+            db.execute("CREATE INDEX ON ev (keys(s))")
+        with pytest.raises(InvalidRequest, match="non-map type"):
+            db.execute("CREATE INDEX ON ev (entries(s))")
+        # non-collection columns only support simple indexes
+        with pytest.raises(InvalidRequest, match="simple indexes"):
+            db.execute("CREATE INDEX ON ev (values(v))")
+        # durations are not indexable
+        with pytest.raises(InvalidRequest, match="duration"):
+            db.execute("CREATE INDEX ON ev (du)")
+        # the only partition key column is not indexable
+        with pytest.raises(InvalidRequest, match="only partition key"):
+            db.execute("CREATE INDEX ON ev (id)")
+        # unknown column
+        with pytest.raises(InvalidRequest, match="doesn't exist"):
+            db.execute("CREATE INDEX ON ev (nope)")
+        # empty / multiple targets
+        with pytest.raises(InvalidRequest, match="without specifying"):
+            db.execute("CREATE INDEX ON ev ()")
+        with pytest.raises(InvalidRequest, match="multiple columns"):
+            db.execute("CREATE INDEX ON ev (m, s)")
+
+    def test_duplicate_target_rejected(self, db):
+        db.execute("CREATE INDEX m_vals ON ev (values(m))")
+        with pytest.raises(InvalidRequest, match="duplicate of existing"):
+            db.execute("CREATE INDEX m_vals2 ON ev (values(m))")
+        # bare collection target normalizes to values() — also a duplicate
+        with pytest.raises(InvalidRequest, match="duplicate of existing"):
+            db.execute("CREATE INDEX m_vals3 ON ev (m)")
+        db.execute("CREATE INDEX IF NOT EXISTS m_vals4 ON ev (values(m))")
+        # a DIFFERENT kind on the same column is fine
+        db.execute("CREATE INDEX m_keys ON ev (keys(m))")
+
+
+class TestKindAwareReadGate:
+    def test_keys_index_serves_contains_key_only(self, db):
+        db.execute("CREATE INDEX m_keys ON ev (keys(m))")
+        r = db.execute("SELECT id FROM ev WHERE m CONTAINS KEY 'a'").collect()
+        assert [x.id for x in r] == [1]
+        assert db.last_index_choice == ("m_keys", "m")
+        # CONTAINS (values) is NOT served by a keys() index
+        with pytest.raises(InvalidRequest, match="ALLOW FILTERING"):
+            db.execute("SELECT id FROM ev WHERE m CONTAINS 9")
+        db.execute("CREATE INDEX m_vals ON ev (values(m))")
+        r = db.execute("SELECT id FROM ev WHERE m CONTAINS 9").collect()
+        assert [x.id for x in r] == [2]
+        assert db.last_index_choice == ("m_vals", "m")
+
+    def test_entries_index_serves_entry_relation(self, db):
+        with pytest.raises(InvalidRequest, match="ALLOW FILTERING"):
+            db.execute("SELECT id FROM ev WHERE m['b'] = 9")
+        db.execute("CREATE INDEX m_ent ON ev (entries(m))")
+        r = db.execute("SELECT id FROM ev WHERE m['b'] = 9").collect()
+        assert [x.id for x in r] == [2]
+        assert db.last_index_choice == ("m_ent", "m")
+        # entry relation with ALLOW FILTERING works without any index
+        r = db.execute(
+            "SELECT id FROM ev WHERE m['a'] = 1 ALLOW FILTERING"
+        ).collect()
+        assert [x.id for x in r] == [1]
+        # only EQ is legal on map entries
+        with pytest.raises(InvalidRequest, match="Only EQ"):
+            db.execute("SELECT id FROM ev WHERE m['b'] > 1 ALLOW FILTERING")
+
+    def test_full_index_serves_frozen_equality(self, db):
+        with pytest.raises(InvalidRequest, match="ALLOW FILTERING"):
+            db.execute("SELECT id FROM ev WHERE fl = [1, 2]")
+        db.execute("CREATE INDEX fl_full ON ev (full(fl))")
+        r = db.execute("SELECT id FROM ev WHERE fl = [1, 2]").collect()
+        assert [x.id for x in r] == [1]
+        assert db.last_index_choice == ("fl_full", "fl")
+        # a full() index does not serve CONTAINS
+        with pytest.raises(InvalidRequest, match="ALLOW FILTERING"):
+            db.execute("SELECT id FROM ev WHERE fl CONTAINS 1")
+
+    def test_bare_set_index_serves_contains(self, db):
+        db.execute("CREATE INDEX s_idx ON ev (s)")  # normalizes to values()
+        r = db.execute("SELECT id FROM ev WHERE s CONTAINS 'y'").collect()
+        assert [x.id for x in r] == [2]
+        assert db.last_index_choice == ("s_idx", "s")
+        # ... but never EQ on the non-frozen collection itself
+        with pytest.raises(InvalidRequest, match="ALLOW FILTERING"):
+            db.execute("SELECT id FROM ev WHERE s = {'x'}")
+
+
+class TestIntrospection:
+    def test_system_schema_target_text(self, db):
+        db.execute("CREATE INDEX m_ent ON ev (entries(m))")
+        db.execute("CREATE INDEX v_idx ON ev (v)")
+        rows = db.execute(
+            "SELECT index_name, target FROM system_schema.indexes"
+        ).collect()
+        got = {(r.index_name, r.target) for r in rows}
+        assert ("m_ent", "entries(m)") in got
+        assert ("v_idx", "v") in got
+
+    def test_describe_round_trips_targets(self, db, spark):
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+        db.execute("CREATE INDEX m_keys ON ev (keys(m))")
+        db.execute("CREATE INDEX fl_full ON ev (full(fl))")
+        rows = db.execute("DESCRIBE KEYSPACE idxk").collect()
+        stmts = [r.create_statement for r in rows]
+        assert "CREATE INDEX m_keys ON idxk.ev (keys(m));" in stmts
+        assert "CREATE INDEX fl_full ON idxk.ev (full(fl));" in stmts
+        # pasteable: a fresh database executes the output unchanged
+        fresh = CqlDatabase(spark)
+        for stmt in stmts:
+            fresh.execute(stmt.rstrip(";"))
+        again = [
+            r.create_statement
+            for r in fresh.execute("DESCRIBE KEYSPACE idxk").collect()
+        ]
+        assert again == stmts
