@@ -741,9 +741,15 @@ class _DdlParser(_Parser):
         # zero/multiple only for CUSTOM indexes — CreateIndexStatement
         # .java:105,110).
         if self.accept_punct(")"):
+            # the reference allows target-less CUSTOM (row-based) indexes
+            # (CreateIndexStatement.java:105); this engine's index model
+            # is column-keyed, so that remains an explicit boundary
             raise InvalidRequest(
-                "Only CUSTOM indexes can be created without specifying "
-                "a target column"
+                "CUSTOM indexes without a target column are not supported "
+                "by this engine"
+                if custom
+                else "Only CUSTOM indexes can be created without "
+                "specifying a target column"
             )
         kind = "simple"
         nxt = self.peek()
@@ -753,8 +759,7 @@ class _DdlParser(_Parser):
             and self.toks[self.i + 1].kind == "punct"
             and self.toks[self.i + 1].text == "("
         ):
-            kind = {"entries": "entries", "keys": "keys",
-                    "values": "values", "full": "full"}[nxt.text.lower()]
+            kind = nxt.text.lower()
             self.next()
             self.expect_punct("(")
             col = self.ident()
@@ -762,7 +767,15 @@ class _DdlParser(_Parser):
         else:
             col = self.ident()
         if self.accept_punct(","):
-            raise InvalidRequest("Only CUSTOM indexes support multiple columns")
+            # multi-column targets are CUSTOM-only in the reference
+            # (CreateIndexStatement.java:110) and a column-keyed boundary
+            # here either way
+            raise InvalidRequest(
+                "CUSTOM indexes with multiple target columns are not "
+                "supported by this engine"
+                if custom
+                else "Only CUSTOM indexes support multiple columns"
+            )
         self.expect_punct(")")
         cls = None
         if custom:
@@ -773,13 +786,23 @@ class _DdlParser(_Parser):
             cls = t.text[1:-1]
         self._end()
         kind = self._validate_index_target(table_key, col, kind)
-        name = idx_name or f"{table}_{col}_idx"
-        # per-keyspace uniqueness: the same default name may exist for a
-        # same-named table in another keyspace
-        if (table_key[0], name) in self.registry.indexes:
-            if ine:
-                return None
-            raise InvalidRequest(f"index {name!r} already exists")
+        if idx_name is None:
+            # findAvailableIndexName (KeyspaceMetadata): the default name
+            # suffixes until free, so KEYS(m) + VALUES(m) unnamed indexes
+            # on one column both succeed like the reference
+            base = f"{table}_{col}_idx"
+            name, n = base, 0
+            while (table_key[0], name) in self.registry.indexes:
+                n += 1
+                name = f"{base}_{n}"
+        else:
+            name = idx_name
+            # per-keyspace uniqueness: the same explicit name may exist
+            # for a same-named table in another keyspace
+            if (table_key[0], name) in self.registry.indexes:
+                if ine:
+                    return None
+                raise InvalidRequest(f"index {name!r} already exists")
         # duplicate-target rejection (CreateIndexStatement.java:130-135)
         for other in self.registry.indexes.values():
             if (
@@ -802,8 +825,11 @@ class _DdlParser(_Parser):
         meta = self.registry.tables[table_key]
         if col not in {f.name for f in meta.schema.fields}:
             raise InvalidRequest(f"Column '{col}' doesn't exist")
+        import re as _re3
+
         type_text = self.registry.column_type_text.get(table_key, {}).get(col, "")
-        if "duration" in type_text.lower() or dict(
+        # WORD match: a UDT named work_duration must stay indexable
+        if _re3.search(r"(?<![a-z0-9_])duration(?![a-z0-9_])", type_text.lower()) or dict(
             getattr(meta, "cql_key_types", ()) or ()
         ).get(col) == "duration":
             raise InvalidRequest(

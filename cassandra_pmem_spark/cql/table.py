@@ -29,6 +29,7 @@ from pyspark.sql import types as T
 
 from cassandra_pmem_spark.catalog import TABLES, TableMeta, load_table
 from cassandra_pmem_spark.cql.validator import (
+    InvalidRequest,
     Op,
     Restriction,
     validate_distinct,
@@ -118,11 +119,6 @@ class CqlTable:
         else:
             self.index_kinds = {c: {"any": f"idx_{c}"} for c in indexed_columns}
         self.indexed_columns = frozenset(self.index_kinds)
-        # representative name per column (display/tests); selection below
-        # matches per (op, kind)
-        self.index_names = {
-            c: min(v.values()) for c, v in self.index_kinds.items()
-        }
         # stats_fn() -> {column: estimated rows per EQ match} — the
         # SecondaryIndexManager.getEstimatedResultRows analog; None means
         # rank by name only (deterministic fallback)
@@ -170,47 +166,61 @@ class CqlTable:
         if op is Op.EQ and isinstance(value, (list, set, frozenset, dict)):
             # frozen-collection equality (full() index territory). Sets
             # store key-sorted (CQL set order); maps compare as key-sorted
-            # entry arrays — Spark disallows direct MapType equality.
-            dt = dict(
-                zip(self._df.schema.names, self._df.schema.fields)
-            ).get(column)
-            dt = dt.dataType if dt is not None else None
-            if isinstance(dt, T.ArrayType):
+            # entry arrays — Spark disallows direct MapType equality. A
+            # literal whose shape mismatches the column's declared type
+            # rejects at prepare, never a raw Spark conversion error.
+            dt = self._dtype(column)
+            if isinstance(dt, T.ArrayType) and not isinstance(value, dict):
                 vals = (
                     sorted(value)
                     if isinstance(value, (set, frozenset))
                     else list(value)
                 )
+                # whole-array cast: types the empty literal and nested
+                # element shapes in one step
                 t._conditions.append(
                     F.col(column)
-                    == F.array(*[F.lit(x).cast(dt.elementType) for x in vals])
+                    == F.array(*[F.lit(x) for x in vals]).cast(dt)
                 )
                 return t
             if isinstance(dt, T.MapType) and isinstance(value, dict):
+                from cassandra_pmem_spark.operators.collections import (
+                    sorted_entries,
+                )
+
+                entry_t = T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("key", dt.keyType),
+                            T.StructField("value", dt.valueType),
+                        ]
+                    )
+                )
                 lit_entries = F.array(
                     *[
-                        F.struct(
-                            F.lit(k).cast(dt.keyType).alias("key"),
-                            F.lit(v).cast(dt.valueType).alias("value"),
-                        )
+                        F.struct(F.lit(k).alias("key"), F.lit(v).alias("value"))
                         for k, v in sorted(value.items())
                     ]
-                )
-                t._conditions.append(
-                    F.array_sort(F.map_entries(F.col(column))) == lit_entries
-                )
+                ).cast(entry_t)
+                t._conditions.append(sorted_entries(column) == lit_entries)
                 return t
-        if op is Op.CONTAINS and isinstance(
-            dict(zip(self._df.schema.names, self._df.schema.fields)).get(
-                column, T.StructField("", T.NullType())
-            ).dataType,
-            T.MapType,
-        ):
-            # CONTAINS on a map searches its VALUES (Operator.CONTAINS in
-            # the reference delegates to MapType.compose values)
-            t._conditions.append(
-                F.array_contains(F.map_values(F.col(column)), value)
+            kind = (
+                "map" if isinstance(value, dict)
+                else "set" if isinstance(value, (set, frozenset))
+                else "list"
             )
+            raise InvalidRequest(
+                f"Invalid {kind} literal for {column!r} of type "
+                f"{dt.simpleString() if dt is not None else 'unknown'}"
+            )
+        if op is Op.CONTAINS and isinstance(self._dtype(column), T.MapType):
+            from cassandra_pmem_spark.operators.collections import (
+                map_contains_value,
+            )
+
+            # CONTAINS on a map searches its VALUES (Operator.CONTAINS in
+            # the reference delegates to the map's value type)
+            t._conditions.append(map_contains_value(column, value))
             return t
         if (
             op in (Op.LT, Op.LTE, Op.GT, Op.GTE)
@@ -258,15 +268,28 @@ class CqlTable:
         t._conditions.append(cond)
         return t
 
+    def _dtype(self, column: str):
+        f = dict(zip(self._df.schema.names, self._df.schema.fields)).get(column)
+        return f.dataType if f is not None else None
+
     def where_entry(self, column: str, key: Any, value: Any) -> "CqlTable":
         """Map-entry relation ``m[k] = v`` (SingleColumnRelation.onMapEntry;
         Operator EQ over an element path — served by an entries() index or
-        ALLOW FILTERING). element_at is null-safe: a missing key reads
+        ALLOW FILTERING). MAPS ONLY, rejected at prepare otherwise (the
+        reference has no list/scalar entry relations). getItem is
+        null-safe under the session's non-ANSI mode: a missing key reads
         null and the equality filters the row out, exactly the
         reference's cell-lookup semantics."""
+        if not isinstance(self._dtype(column), T.MapType):
+            raise InvalidRequest(
+                f"Column {column!r} cannot be used as a map (entry "
+                "relations apply to map columns only)"
+            )
+        from cassandra_pmem_spark.operators.collections import map_value
+
         t = self._copy()
         t._restrictions.append(Restriction(column, Op.ENTRY))
-        t._conditions.append(F.element_at(F.col(column), F.lit(key)) == F.lit(value))
+        t._conditions.append(map_value(column, key) == F.lit(value))
         return t
 
     def where_tuple(self, columns: Sequence[str], op: Op | str, values: Sequence[Any]) -> "CqlTable":

@@ -79,7 +79,9 @@ def _op_index_served(r: Restriction, kinds: dict) -> bool:
     IndexTarget.Type serves — simple/full -> EQ, values -> CONTAINS,
     keys -> CONTAINS KEY, entries -> m[k] = v."""
     if "any" in kinds:
-        return r.op in (Op.EQ, Op.CONTAINS, Op.CONTAINS_KEY, Op.ENTRY)
+        # legacy descriptors predate entry relations: a pre-kind simple
+        # index never served m[k]=v, so ENTRY stays gated
+        return r.op in (Op.EQ, Op.CONTAINS, Op.CONTAINS_KEY)
     if r.op is Op.EQ:
         return "simple" in kinds or "full" in kinds
     if r.op is Op.CONTAINS:

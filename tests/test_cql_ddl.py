@@ -544,7 +544,10 @@ class TestAlterSessionCollectionSync:
         db.execute("CREATE INDEX ON kb.pets (v)")
         assert ("ka", "pets_v_idx") in db.registry.indexes
         assert ("kb", "pets_v_idx") in db.registry.indexes
-        with pytest.raises(InvalidRequest, match="already exists"):
+        # a repeated unnamed CREATE INDEX is a duplicate TARGET, not a
+        # name collision (the default name suffixes until free, so the
+        # equal-target check fires — CreateIndexStatement.java:130-135)
+        with pytest.raises(InvalidRequest, match="duplicate of existing"):
             db.execute("CREATE INDEX ON ka.pets (v)")
         db.execute("DROP TABLE ka.pets")
         assert ("ka", "pets_v_idx") not in db.registry.indexes

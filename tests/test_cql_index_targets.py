@@ -155,3 +155,77 @@ class TestIntrospection:
             for r in fresh.execute("DESCRIBE KEYSPACE idxk").collect()
         ]
         assert again == stmts
+
+
+class TestReviewRegressions:
+    def test_unnamed_indexes_of_different_kinds_both_create(self, db):
+        """findAvailableIndexName: the default name suffixes until free,
+        so unnamed KEYS(m) + VALUES(m) indexes both succeed."""
+        db.execute("CREATE INDEX ON ev (keys(m))")
+        db.execute("CREATE INDEX ON ev (values(m))")
+        rows = db.execute(
+            "SELECT index_name, target FROM system_schema.indexes"
+        ).collect()
+        got = sorted((r.index_name, r.target) for r in rows)
+        assert got == [("ev_m_idx", "keys(m)"), ("ev_m_idx_1", "values(m)")]
+        # and both serve their ops
+        assert [
+            x.id for x in db.execute("SELECT id FROM ev WHERE m CONTAINS KEY 'a'").collect()
+        ] == [1]
+        assert [
+            x.id for x in db.execute("SELECT id FROM ev WHERE m CONTAINS 9").collect()
+        ] == [2]
+
+    def test_literal_shape_mismatch_rejects_at_prepare(self, db):
+        db.execute("CREATE INDEX fl_full ON ev (full(fl))")
+        with pytest.raises(InvalidRequest, match="Invalid map literal"):
+            db.execute("SELECT id FROM ev WHERE fl = {1: 2}")
+        with pytest.raises(InvalidRequest, match="Invalid set literal"):
+            db.execute("SELECT id FROM ev WHERE tag = {'x'} ALLOW FILTERING")
+        with pytest.raises(InvalidRequest, match="Invalid set literal"):
+            db.execute("SELECT id FROM ev WHERE m = {'x'} ALLOW FILTERING")
+        # the empty list literal types through the whole-array cast
+        assert db.execute(
+            "SELECT id FROM ev WHERE fl = []"
+        ).collect() == []
+
+    def test_entry_relation_requires_a_map(self, db):
+        db.execute("CREATE TABLE lt (id int PRIMARY KEY, l list<int>, t text)")
+        db.execute("INSERT INTO lt (id, l, t) VALUES (1, [5, 6], 'x')")
+        with pytest.raises(InvalidRequest, match="cannot be used as a map"):
+            db.execute("SELECT id FROM lt WHERE l[0] = 5 ALLOW FILTERING")
+        with pytest.raises(InvalidRequest, match="cannot be used as a map"):
+            db.execute("SELECT id FROM lt WHERE t['a'] = 1 ALLOW FILTERING")
+
+    def test_udt_named_like_duration_is_indexable(self, db):
+        db.execute("CREATE TYPE work_duration (hrs int)")
+        db.execute(
+            "CREATE TABLE wd (id int PRIMARY KEY, d frozen<work_duration>, "
+            "du duration)"
+        )
+        db.execute("CREATE INDEX ON wd (d)")  # frozen UDT: indexable
+        with pytest.raises(InvalidRequest, match="duration"):
+            db.execute("CREATE INDEX ON wd (du)")
+
+    def test_legacy_any_descriptor_does_not_serve_entry(self, spark):
+        from cassandra_pmem_spark.cql.validator import (
+            Op,
+            Restriction,
+            validate_restrictions,
+        )
+        from cassandra_pmem_spark.catalog import TableMeta
+        from pyspark.sql import types as T
+
+        meta = TableMeta(
+            "t",
+            T.StructType([
+                T.StructField("k", T.IntegerType()),
+                T.StructField("m", T.MapType(T.StringType(), T.IntegerType())),
+            ]),
+            partition_key=("k",),
+        )
+        rs = [Restriction("k", Op.EQ), Restriction("m", Op.ENTRY)]
+        with pytest.raises(InvalidRequest, match="ALLOW FILTERING"):
+            validate_restrictions(meta, rs, False, frozenset({"m"}))
+        # a kind-aware entries descriptor serves it
+        validate_restrictions(meta, rs, False, {"m": {"entries": "m_ent"}})
