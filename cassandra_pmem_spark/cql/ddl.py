@@ -104,6 +104,9 @@ class IndexMeta:
     # 'simple' (scalar EQ), 'values' (CONTAINS), 'keys' (CONTAINS KEY),
     # 'entries' (m[k]=v), 'full' (frozen-collection EQ)
     kind: str = "simple"
+    # CUSTOM options (IndexAttributes WITH OPTIONS = {...}; never holds
+    # the reserved 'class_name'/'target' keys — those are derived)
+    options: dict = field(default_factory=dict)
 
 
 def index_target_text(im: IndexMeta) -> str:
@@ -778,13 +781,37 @@ class _DdlParser(_Parser):
             )
         self.expect_punct(")")
         cls = None
-        if custom:
-            self.expect_kw("using")
+        if self.accept_kw("using"):
             t = self.next()
             if t.kind != "string":
                 raise InvalidRequest("CUSTOM INDEX expects USING 'class'")
             cls = t.text[1:-1]
+        opts: dict = {}
+        if self.accept_kw("with"):
+            if self.ident().lower() != "options":
+                raise InvalidRequest("CREATE INDEX supports WITH OPTIONS only")
+            self.expect_op("=")
+            opts = {str(k): str(v) for k, v in self.map_literal().items()}
         self._end()
+        # IndexAttributes.validate (reference messages verbatim, incl.
+        # the upstream 'specifiying' typo — IndexAttributes.java:47-61)
+        if custom and cls is None:
+            raise InvalidRequest(
+                "CUSTOM index requires specifiying the index class"
+            )
+        if not custom and cls is not None:
+            raise InvalidRequest(
+                "Cannot specify index class for a non-CUSTOM index"
+            )
+        if not custom and opts:
+            raise InvalidRequest(
+                "Cannot specify options for a non-CUSTOM index"
+            )
+        for reserved in ("class_name", "target"):
+            if reserved in opts:
+                raise InvalidRequest(
+                    f"Cannot specify {reserved} as a CUSTOM option"
+                )
         kind = self._validate_index_target(table_key, col, kind)
         if idx_name is None:
             # findAvailableIndexName (KeyspaceMetadata): the default name
@@ -810,13 +837,14 @@ class _DdlParser(_Parser):
                 and other.column == col
                 and (getattr(other, "kind", "simple") or "simple") == kind
                 and other.custom_class == cls
+                and getattr(other, "options", {}) == opts
             ):
                 if ine:
                     return None
                 raise InvalidRequest(
                     f"Index {name} is a duplicate of existing index {other.name}"
                 )
-        return IndexMeta(name, table_key, col, cls, kind)
+        return IndexMeta(name, table_key, col, cls, kind, opts)
 
     def _validate_index_target(self, table_key: tuple, col: str, kind: str) -> str:
         """validateIndexTarget (CreateIndexStatement.java:153-192), plus

@@ -134,9 +134,19 @@ def _index_cql(im) -> str:
     tqual = f"{im.table[0]}.{im.table[1]}" if im.table[0] else im.table[1]
     target = index_target_text(im)
     if im.custom_class:
+        opts = getattr(im, "options", {}) or {}
+        with_opts = (
+            " WITH OPTIONS = {"
+            + ", ".join(
+                f"{_quote(k)}: {_quote(v)}" for k, v in sorted(opts.items())
+            )
+            + "}"
+            if opts
+            else ""
+        )
         return (
             f"CREATE CUSTOM INDEX {im.name} ON {tqual} ({target}) "
-            f"USING {_quote(im.custom_class)};"
+            f"USING {_quote(im.custom_class)}{with_opts};"
         )
     return f"CREATE INDEX {im.name} ON {tqual} ({target});"
 

@@ -202,17 +202,34 @@ def system_schema_frame(spark: SparkSession, registry, name: str) -> tuple:
                 T.StructField("keyspace_name", T.StringType()),
                 T.StructField("table_name", T.StringType()),
                 T.StructField("index_name", T.StringType()),
+                # IndexMetadata.Kind (SchemaKeyspace indexes table) plus
+                # the stored options map — 'target' + 'class_name' and
+                # custom options, rendered as sorted-JSON text so the
+                # frame stays scalar/sortable
+                T.StructField("kind", T.StringType()),
                 T.StructField("target", T.StringType()),
+                T.StructField("options", T.StringType()),
             ]
         )
+        import json as _json
+
         from cassandra_pmem_spark.cql.ddl import index_target_text
+
+        def _opts(im) -> str:
+            m = dict(getattr(im, "options", {}) or {})
+            m["target"] = index_target_text(im)
+            if im.custom_class:
+                m["class_name"] = im.custom_class
+            return _json.dumps(dict(sorted(m.items())), separators=(", ", ": "))
 
         rows = sorted(
             (
                 im.table[0] or "",
                 im.table[1],
                 im.name or f"{im.table[1]}_{im.column}_idx",
+                "CUSTOM" if im.custom_class else "COMPOSITES",
                 index_target_text(im),
+                _opts(im),
             )
             for im in registry.indexes.values()
         )

@@ -229,3 +229,61 @@ class TestReviewRegressions:
             validate_restrictions(meta, rs, False, frozenset({"m"}))
         # a kind-aware entries descriptor serves it
         validate_restrictions(meta, rs, False, {"m": {"entries": "m_ent"}})
+
+
+class TestIndexOptions:
+    def test_custom_index_with_options_round_trips(self, db, spark):
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+        db.execute(
+            "CREATE CUSTOM INDEX tag_sasi ON ev (v) USING "
+            "'org.apache.cassandra.index.sasi.SASIIndex' WITH OPTIONS = "
+            "{'mode': 'CONTAINS', 'analyzed': 'true'}"
+        )
+        [r] = db.execute(
+            "SELECT kind, options FROM system_schema.indexes"
+        ).collect()
+        assert r.kind == "CUSTOM"
+        assert (
+            r.options
+            == '{"analyzed": "true", "class_name": '
+            '"org.apache.cassandra.index.sasi.SASIIndex", '
+            '"mode": "CONTAINS", "target": "v"}'
+        )
+        rows = db.execute("DESCRIBE KEYSPACE idxk").collect()
+        stmts = [x.create_statement for x in rows]
+        want = (
+            "CREATE CUSTOM INDEX tag_sasi ON idxk.ev (v) USING "
+            "'org.apache.cassandra.index.sasi.SASIIndex' WITH OPTIONS = "
+            "{'analyzed': 'true', 'mode': 'CONTAINS'};"
+        )
+        assert want in stmts
+        fresh = CqlDatabase(spark)
+        for stmt in stmts:
+            fresh.execute(stmt.rstrip(";"))
+        again = [
+            x.create_statement
+            for x in fresh.execute("DESCRIBE KEYSPACE idxk").collect()
+        ]
+        assert again == stmts
+
+    def test_index_attributes_validation(self, db):
+        # IndexAttributes.validate messages (IndexAttributes.java:47-61)
+        with pytest.raises(InvalidRequest, match="requires specifiying"):
+            db.execute("CREATE CUSTOM INDEX ON ev (v)")
+        with pytest.raises(InvalidRequest, match="non-CUSTOM index"):
+            db.execute("CREATE INDEX ON ev (v) USING 'cls'")
+        with pytest.raises(InvalidRequest, match="options for a non-CUSTOM"):
+            db.execute(
+                "CREATE INDEX ON ev (v) WITH OPTIONS = {'mode': 'x'}"
+            )
+        with pytest.raises(InvalidRequest, match="class_name as a CUSTOM"):
+            db.execute(
+                "CREATE CUSTOM INDEX ON ev (v) USING 'cls' "
+                "WITH OPTIONS = {'class_name': 'x'}"
+            )
+        with pytest.raises(InvalidRequest, match="target as a CUSTOM"):
+            db.execute(
+                "CREATE CUSTOM INDEX ON ev (v) USING 'cls' "
+                "WITH OPTIONS = {'target': 'x'}"
+            )
