@@ -2374,9 +2374,12 @@ class CqlDatabase:
                 for (_ks, _n), im in self.registry.indexes.items():
                     if im.table == tkey2:
                         k = getattr(im, "kind", "simple") or "simple"
-                        out.setdefault(im.column, {})[k] = (
-                            im.name or f"{tkey2[1]}_{im.column}_idx"
-                        )
+                        nm = im.name or f"{tkey2[1]}_{im.column}_idx"
+                        out.setdefault(im.column, {})[k] = nm
+                        if im.custom_class:
+                            # a CUSTOM (SASI-class) index also serves the
+                            # operators only custom indexes serve (LIKE)
+                            out[im.column]["custom"] = nm
                 return out
 
             def _stats(tkey2: tuple):

@@ -407,8 +407,10 @@ class CqlTable:
             # the index whose KIND matches the operator serves; 'any'
             # entries are legacy descriptors
             kind = {
-                Op.EQ: ("simple", "full"), Op.CONTAINS: ("values",),
+                Op.EQ: ("simple", "full", "custom"),
+                Op.CONTAINS: ("values",),
                 Op.CONTAINS_KEY: ("keys",), Op.ENTRY: ("entries",),
+                Op.LIKE: ("custom",),
             }.get(r.op, ())
             name = next(
                 (kinds[k] for k in kind if k in kinds), None

@@ -83,13 +83,18 @@ def _op_index_served(r: Restriction, kinds: dict) -> bool:
         # index never served m[k]=v, so ENTRY stays gated
         return r.op in (Op.EQ, Op.CONTAINS, Op.CONTAINS_KEY)
     if r.op is Op.EQ:
-        return "simple" in kinds or "full" in kinds
+        # a CUSTOM (SASI-class) index serves EQ too (SASIIndex modes)
+        return "simple" in kinds or "full" in kinds or "custom" in kinds
     if r.op is Op.CONTAINS:
         return "values" in kinds
     if r.op is Op.CONTAINS_KEY:
         return "keys" in kinds
     if r.op is Op.ENTRY:
         return "entries" in kinds
+    if r.op is Op.LIKE:
+        # LIKE is index-only in the reference (SASI; StatementRestrictions
+        # .java:174-180) — a CUSTOM index serves it, nothing else does
+        return "custom" in kinds
     return False
 
 
@@ -117,6 +122,17 @@ def validate_restrictions(
         pushdown + parquet file skipping, the SURVEY §4 analog of a 2i
         lookup.
     """
+    # LIKE is INDEX-ONLY in the reference — ALLOW FILTERING does not
+    # rescue it (StatementRestrictions.java:174-180: a LIKE relation on a
+    # column without a queriable index rejects outright; RowFilter has no
+    # LIKE post-filter path)
+    kindmap = _index_kinds(indexed)
+    for r in restrictions:
+        if r.op is Op.LIKE and not _op_index_served(r, kindmap.get(r.column, {})):
+            raise InvalidRequest(
+                "LIKE restriction is only supported on properly indexed "
+                "columns"
+            )
     if allow_filtering:
         return
     by_col = {r.column: r for r in restrictions}

@@ -287,3 +287,27 @@ class TestIndexOptions:
                 "CREATE CUSTOM INDEX ON ev (v) USING 'cls' "
                 "WITH OPTIONS = {'target': 'x'}"
             )
+
+
+class TestSasiLike:
+    def test_like_is_index_only(self, db):
+        db.execute("CREATE TABLE docs (id int PRIMARY KEY, body text)")
+        db.execute("INSERT INTO docs (id, body) VALUES (1, 'alpha beta')")
+        db.execute("INSERT INTO docs (id, body) VALUES (2, 'gamma delta')")
+        # ALLOW FILTERING does not rescue LIKE — it is index-only
+        # (StatementRestrictions.java:174-180)
+        with pytest.raises(InvalidRequest, match="properly indexed"):
+            db.execute(
+                "SELECT id FROM docs WHERE body LIKE 'alpha%' ALLOW FILTERING"
+            )
+        db.execute(
+            "CREATE CUSTOM INDEX body_sasi ON docs (body) USING "
+            "'org.apache.cassandra.index.sasi.SASIIndex' "
+            "WITH OPTIONS = {'mode': 'PREFIX'}"
+        )
+        r = db.execute("SELECT id FROM docs WHERE body LIKE 'alpha%'").collect()
+        assert [x.id for x in r] == [1]
+        assert db.last_index_choice == ("body_sasi", "body")
+        # the SASI index serves EQ too
+        r = db.execute("SELECT id FROM docs WHERE body = 'gamma delta'").collect()
+        assert [x.id for x in r] == [2]
