@@ -2376,9 +2376,11 @@ class CqlDatabase:
                         k = getattr(im, "kind", "simple") or "simple"
                         nm = im.name or f"{tkey2[1]}_{im.column}_idx"
                         out.setdefault(im.column, {})[k] = nm
-                        if im.custom_class:
-                            # a CUSTOM (SASI-class) index also serves the
-                            # operators only custom indexes serve (LIKE)
+                        if im.custom_class and k == "simple":
+                            # a CUSTOM (SASI-class) index on a SCALAR
+                            # target also serves the operators only
+                            # custom indexes serve (LIKE); collection-
+                            # target customs keep only their kind's ops
                             out[im.column]["custom"] = nm
                 return out
 

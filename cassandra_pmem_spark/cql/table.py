@@ -213,6 +213,34 @@ class CqlTable:
                 f"Invalid {kind} literal for {column!r} of type "
                 f"{dt.simpleString() if dt is not None else 'unknown'}"
             )
+        if op is Op.LIKE:
+            # CQL LIKE (Operator.java:192-256): only '%' is a wildcard
+            # and only at the ends — '_' is a LITERAL character (Spark
+            # treats it as single-char wildcard, so it must be escaped),
+            # patterns are prefix/suffix/contains/exact, and the source
+            # must be a string type (the reference rejects both at
+            # prepare).
+            if not isinstance(self._dtype(column), T.StringType):
+                raise InvalidRequest(
+                    f"LIKE restriction is only supported on string type "
+                    f"columns; {column!r} is not"
+                )
+            if not isinstance(value, str):
+                raise InvalidRequest("LIKE takes a string pattern")
+            body = value
+            if body.startswith("%"):
+                body = body[1:]
+            if body.endswith("%"):
+                body = body[:-1]
+            if "%" in body:
+                raise InvalidRequest(
+                    f"LIKE pattern {value!r} is not supported: '%' is "
+                    "allowed only at the beginning and/or end "
+                    "(Operator.java LIKE_PREFIX/SUFFIX/CONTAINS/MATCHER)"
+                )
+            spark_pat = value.replace("\\", "\\\\").replace("_", "\\_")
+            t._conditions.append(F.col(column).like(spark_pat))
+            return t
         if op is Op.CONTAINS and isinstance(self._dtype(column), T.MapType):
             from cassandra_pmem_spark.operators.collections import (
                 map_contains_value,

@@ -173,7 +173,7 @@ def validate_restrictions(
 
     regular = [r for r in restrictions if r.column not in pk_set and r.column not in ck_names]
     if regular:
-        by_kind = _index_kinds(indexed)
+        by_kind = kindmap
         index_served = (
             len(regular) == 1
             and regular[0].column in by_kind

@@ -311,3 +311,38 @@ class TestSasiLike:
         # the SASI index serves EQ too
         r = db.execute("SELECT id FROM docs WHERE body = 'gamma delta'").collect()
         assert [x.id for x in r] == [2]
+
+    def test_like_pattern_semantics_are_cql(self, db):
+        """Only '%' is a wildcard and only at the ends; '_' is literal
+        (Operator.java LIKE_* split on %); non-string sources reject."""
+        db.execute("CREATE TABLE pats (id int PRIMARY KEY, body text, n int)")
+        db.execute("INSERT INTO pats (id, body, n) VALUES (1, 'a_c xyz', 5)")
+        db.execute("INSERT INTO pats (id, body, n) VALUES (2, 'abc xyz', 55)")
+        db.execute(
+            "CREATE CUSTOM INDEX pats_sasi ON pats (body) USING "
+            "'org.apache.cassandra.index.sasi.SASIIndex'"
+        )
+        r = db.execute("SELECT id FROM pats WHERE body LIKE 'a_c%'").collect()
+        assert [x.id for x in r] == [1]  # '_' literal, not a wildcard
+        with pytest.raises(InvalidRequest, match="not supported"):
+            db.execute("SELECT id FROM pats WHERE body LIKE 'a%c'")
+        db.execute(
+            "CREATE CUSTOM INDEX pats_n ON pats (n) USING "
+            "'org.apache.cassandra.index.sasi.SASIIndex'"
+        )
+        with pytest.raises(InvalidRequest, match="string type"):
+            db.execute("SELECT id FROM pats WHERE n LIKE '5%'")
+
+    def test_collection_target_custom_index_keeps_its_kind_ops(self, db):
+        """A CUSTOM keys(m) index serves CONTAINS KEY only — never
+        whole-column EQ or LIKE (supportsExpression is per-target)."""
+        db.execute(
+            "CREATE CUSTOM INDEX mk ON ev (keys(m)) USING "
+            "'org.apache.cassandra.index.sasi.SASIIndex'"
+        )
+        r = db.execute("SELECT id FROM ev WHERE m CONTAINS KEY 'a'").collect()
+        assert [x.id for x in r] == [1]
+        with pytest.raises(InvalidRequest, match="ALLOW FILTERING"):
+            db.execute("SELECT id FROM ev WHERE m = {'a': 1}")
+        with pytest.raises(InvalidRequest, match="properly indexed|string type"):
+            db.execute("SELECT id FROM ev WHERE m LIKE 'x%'")
