@@ -56,6 +56,18 @@ _PRIORITY: tuple[str, ...] = (
     "analytics_retention_cohorts",
     "multimodal_audio_mp1_subband",
     "cql_collection_mutations",
+    # -- (3b) edited by the second half of round 10: the LIKE gate and
+    # pattern semantics, the kind-aware index selection, the extreme
+    # bound fixups in LWT/DELETE, the avg/cast varint arithmetic, and
+    # the map CONTAINS/entry compile paths
+    "cql_like",
+    "cql_indexed_lookup",
+    "cql_lwt_conditional",
+    "cql_delete_tombstones",
+    "cql_cast_arithmetic",
+    "cql_contains",
+    "cql_map_entry",
+    "cql_global_agg",
     # -- (4) r3 backlog: every TPC-H shape except q1 (= entry())
     "tpch_q2_min_supplier",
     "tpch_q3_shipping_priority",
