@@ -159,7 +159,10 @@ class _AuthParser(_Parser):
     def end(self) -> None:
         """Every auth statement must consume its full input — otherwise a
         mistyped option list (`WITH LOGIN = true SUPERUSER = true`,
-        missing AND) would silently drop the tail."""
+        missing AND) would silently drop the tail. A trailing ';' is
+        accepted like the DDL parser's _end (schema dumps terminate every
+        line with one)."""
+        self.accept_punct(";")
         if self.peek().kind != "eof":
             raise InvalidRequest(f"trailing input near {self.peek().text!r}")
 
@@ -204,45 +207,32 @@ class AuthStore:
     # -- statement surface -------------------------------------------------
 
     def execute(self, cql: str, spark, schema_registry=None, current_keyspace=None):
-        """Apply one DCL statement; every statement is all-or-nothing —
-        apply paths mutate the registries before the trailing-input check
-        (and ALTER mutates records in place), so ANY rejection restores
-        the entry snapshot (the same per-statement rollback contract the
-        write session keeps). LIST statements mutate nothing and skip the
-        snapshot cost."""
-        head = (cql.split(None, 1) or [""])[0].lower()
-        if head == "list":
-            return self._execute(cql, spark, schema_registry, current_keyspace)
-        import copy
-
-        snap = copy.deepcopy((self.roles, self.grants, self._resources))
-        try:
-            return self._execute(cql, spark, schema_registry, current_keyspace)
-        except Exception:
-            self.roles, self.grants, self._resources = snap
-            raise
-
-    def _execute(self, cql, spark, schema_registry, current_keyspace):
+        """Apply one DCL statement, all-or-nothing: handlers PARSE AND
+        VALIDATE without touching the registries, returning a deferred
+        apply closure that runs only after the trailing-input check — a
+        rejected statement therefore mutates nothing (no snapshot or
+        deepcopy needed, and replaying a large dump stays linear)."""
         from cassandra_pmem_spark.cql.parser import _tokenize
 
         p = _AuthParser(_tokenize(cql))
         head = p.ident().lower()
+        apply_fn = None
         if head == "create":
             kind = p.ident().lower()
-            out = self._create(p, kind)
+            out, apply_fn = self._create(p, kind)
         elif head == "alter":
             kind = p.ident().lower()
-            out = self._alter(p, kind)
+            out, apply_fn = self._alter(p, kind)
         elif head == "drop":
             kind = p.ident().lower()
-            out = self._drop(p)
+            out, apply_fn = self._drop(p)
         elif head == "grant":
-            out = self._grant_or_revoke(
+            out, apply_fn = self._grant_or_revoke(
                 p, grant=True, schema_registry=schema_registry,
                 current_keyspace=current_keyspace,
             )
         elif head == "revoke":
-            out = self._grant_or_revoke(
+            out, apply_fn = self._grant_or_revoke(
                 p, grant=False, schema_registry=schema_registry,
                 current_keyspace=current_keyspace,
             )
@@ -251,6 +241,8 @@ class AuthStore:
         else:
             raise InvalidRequest(f"unsupported auth statement {head!r}")
         p.end()
+        if apply_fn is not None:
+            apply_fn()
         return out
 
     # -- CREATE/ALTER/DROP -------------------------------------------------
@@ -329,14 +321,24 @@ class AuthStore:
                 self._role_options(p, rec)
         if name in self.roles:
             if if_not_exists:
-                return None
+                return None, None
             raise InvalidRequest(f"{name} already exists")
-        self.roles[name] = rec
-        return None
+
+        def apply():
+            self.roles[name] = rec
+
+        return None, apply
 
     def _alter(self, p: _AuthParser, kind: str):
         name = p.role_name()
-        rec = self._require(name)
+        cur = self._require(name)
+        # parse onto a SCRATCH record (apply replaces the live one only
+        # after the trailing-input check — a mistyped option list must
+        # leave the role untouched)
+        rec = RoleRecord(
+            name, cur.can_login, cur.is_superuser, cur.password,
+            dict(cur.options), set(cur.member_of),
+        )
         if kind == "user":
             if p.accept_kw("with"):
                 if p.ident().lower() != "password":
@@ -349,7 +351,11 @@ class AuthStore:
         else:
             if p.accept_kw("with"):
                 self._role_options(p, rec)
-        return None
+
+        def apply():
+            self.roles[name] = rec
+
+        return None, apply
 
     def _drop(self, p: _AuthParser):
         if_exists = False
@@ -359,19 +365,22 @@ class AuthStore:
         name = p.role_name()
         if name not in self.roles:
             if if_exists:
-                return None
+                return None, None
             raise InvalidRequest(f"{name} doesn't exist")
-        del self.roles[name]
-        for r in self.roles.values():
-            r.member_of.discard(name)
-        # revokeAllFrom + revokeAllOn (CassandraAuthorizer)
-        gone = Resource("role", (name,)).name()
-        self.grants = {
-            (g, res): perms
-            for (g, res), perms in self.grants.items()
-            if g != name and res != gone
-        }
-        return None
+
+        def apply():
+            del self.roles[name]
+            for r in self.roles.values():
+                r.member_of.discard(name)
+            # revokeAllFrom + revokeAllOn (CassandraAuthorizer)
+            gone = Resource("role", (name,)).name()
+            self.grants = {
+                (g, res): perms
+                for (g, res), perms in self.grants.items()
+                if g != name and res != gone
+            }
+
+        return None, apply
 
     # -- GRANT/REVOKE -------------------------------------------------------
 
@@ -391,12 +400,10 @@ class AuthStore:
                     raise InvalidRequest(f"{grantee} is a member of {role}")
                 if grantee in self.closure(role):
                     raise InvalidRequest(f"{role} is a member of {grantee}")
-                g.member_of.add(role)
-            else:
-                if role not in g.member_of:
-                    raise InvalidRequest(f"{grantee} is not a member of {role}")
-                g.member_of.discard(role)
-            return None
+                return None, lambda: g.member_of.add(role)
+            if role not in g.member_of:
+                raise InvalidRequest(f"{grantee} is not a member of {role}")
+            return None, lambda: g.member_of.discard(role)
         perms = self._permission_set(p)
         p.expect_kw("on")
         res = self._resource(p, schema_registry, current_keyspace)
@@ -410,16 +417,19 @@ class AuthStore:
                 f"Resource type {res.kind} does not support any of the "
                 "requested permissions"
             )
-        key = (grantee, res.name())
-        self._resources[res.name()] = res
-        if grant:
-            self.grants.setdefault(key, set()).update(filtered)
-        else:
-            have = self.grants.get(key, set())
-            have -= filtered
-            if not have:
-                self.grants.pop(key, None)
-        return None
+
+        def apply():
+            key = (grantee, res.name())
+            self._resources[res.name()] = res
+            if grant:
+                self.grants.setdefault(key, set()).update(filtered)
+            else:
+                have = self.grants.get(key, set())
+                have -= filtered
+                if not have:
+                    self.grants.pop(key, None)
+
+        return None, apply
 
     def _permission_set(self, p: _AuthParser) -> tuple:
         if p.accept_kw("all"):

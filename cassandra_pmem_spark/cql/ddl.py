@@ -2548,9 +2548,18 @@ class CqlDatabase:
         if batch_ts is None:
             self._write_clock[0] += 1
             batch_ts = self._write_clock[0]
+            batch_fold = batch_ts
+        else:
+            # explicit user batch timestamps never drive the now()-fold
+            # instant (they are arbitrary magnitudes — epoch micros by
+            # convention); fold from the clock peek like writes.py
+            batch_fold = self._write_clock[0] + 1
         try:
             for stmt, k in zip(inner, keys):
-                sessions[k]._execute(stmt, params, cursor, forced_ts=batch_ts)
+                sessions[k]._execute(
+                    stmt, params, cursor, forced_ts=batch_ts,
+                    fold_ts=batch_fold,
+                )
         except Exception:
             for k, s in sessions.items():
                 s._restore(snaps[k])

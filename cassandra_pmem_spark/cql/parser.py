@@ -849,10 +849,9 @@ def _compile(
                 v.reject("a map entry value")
             t = t.where_entry(r.columns[0], k, v)
         elif r.kind == "in":
-            decl_tu = (
-                dict(getattr(meta, "cql_key_types", ()) or ()).get(r.columns[0])
-                == "timeuuid"
-            )
+            from cassandra_pmem_spark.cql.validator import declared_timeuuid
+
+            decl_tu = declared_timeuuid(meta, r.columns[0])
             vals = []
             for v in r.values:
                 if _is_tu_bound(v):
@@ -883,8 +882,11 @@ def _compile(
                 # strictly outside every real timeuuid in the named
                 # millisecond, exactly TimeUUIDType's timestamp-first
                 # order)
-                decl = dict(getattr(meta, "cql_key_types", ()) or ())
-                if decl.get(r.columns[0]) != "timeuuid":
+                from cassandra_pmem_spark.cql.validator import (
+                    declared_timeuuid,
+                )
+
+                if not declared_timeuuid(meta, r.columns[0]):
                     raise InvalidRequest(
                         f"{val.kind}Timeuuid() can only be compared to a "
                         f"timeuuid column; {r.columns[0]!r} is not declared "

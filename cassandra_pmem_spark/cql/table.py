@@ -40,10 +40,9 @@ from cassandra_pmem_spark.cql.validator import (
 from cassandra_pmem_spark.functions.token import token_column
 
 
-def _is_declared_timeuuid(meta: TableMeta, column: str) -> bool:
-    return (
-        dict(getattr(meta, "cql_key_types", ()) or ()).get(column) == "timeuuid"
-    )
+from cassandra_pmem_spark.cql.validator import (  # noqa: E402
+    declared_timeuuid as _is_declared_timeuuid,
+)
 
 
 def _cmp_key(meta: TableMeta, column: str) -> Column:
@@ -170,6 +169,13 @@ class CqlTable:
             # literal whose shape mismatches the column's declared type
             # rejects at prepare, never a raw Spark conversion error.
             dt = self._dtype(column)
+            if isinstance(value, (set, frozenset)) and not value and isinstance(
+                dt, T.MapType
+            ):
+                # `{}` parses as an empty SET (braces are ambiguous); on
+                # a map receiver it IS the empty map literal, like the
+                # reference's assignment testing resolves it
+                value = {}
             if isinstance(dt, T.ArrayType) and not isinstance(value, dict):
                 vals = (
                     sorted(value)
@@ -423,7 +429,10 @@ class CqlTable:
         # (execution stays one Catalyst plan either way) and is reported
         # through the choice sink for system/tracing surfaces.
         pk_all = set(meta.primary_key)
-        from cassandra_pmem_spark.cql.validator import _op_index_served
+        from cassandra_pmem_spark.cql.validator import (
+            KINDS_FOR_OP,
+            _op_index_served,
+        )
 
         cands: dict[str, str] = {}  # column -> serving index name
         for r in self._restrictions:
@@ -432,16 +441,11 @@ class CqlTable:
                 continue
             if not _op_index_served(r, kinds):
                 continue
-            # the index whose KIND matches the operator serves; 'any'
-            # entries are legacy descriptors
-            kind = {
-                Op.EQ: ("simple", "full", "custom"),
-                Op.CONTAINS: ("values",),
-                Op.CONTAINS_KEY: ("keys",), Op.ENTRY: ("entries",),
-                Op.LIKE: ("custom",),
-            }.get(r.op, ())
+            # the index whose KIND matches the operator serves — SAME
+            # table the gate consulted; 'any' entries are legacy
             name = next(
-                (kinds[k] for k in kind if k in kinds), None
+                (kinds[k] for k in KINDS_FOR_OP.get(r.op, ()) if k in kinds),
+                None,
             ) or kinds.get("any") or min(kinds.values())
             cands[r.column] = name
         cand_cols = sorted(cands)

@@ -109,24 +109,28 @@ class SessionClockFold:
 
     def __init__(self, next_tick, alloc=None):
         self._next_tick = next_tick  # () -> int, the statement's tick
-        # alloc(tick) -> int: SESSION-WIDE occurrence counter per tick.
-        # Statements can share a tick (USING TIMESTAMP never advances the
-        # clock; BATCH statements share the batch tick), and two now()
-        # folds at one tick with the same occurrence would mint the SAME
-        # timeuuid — LWW would silently absorb the second write. Without
-        # an allocator (dry parses, bare folds) a per-fold counter keeps
-        # occurrences local and consumes nothing from the session.
+        # alloc(base_v1_ticks) -> occurrence offset: the SESSION-WIDE
+        # monotonic mint allocator (writes.NowOccs — UUIDGen
+        # lastTimestamp analog). Statements can share a fold tick (USING
+        # TIMESTAMP never advances the clock; BATCH statements share the
+        # batch tick), and two folds minting the same v1 tick would be
+        # byte-identical timeuuids — LWW would silently absorb the
+        # second write. Without an allocator (dry parses, bare folds) a
+        # per-fold counter keeps occurrences local and consumes nothing
+        # from the session.
         self._alloc = alloc
         self._occ = 0  # occurrences folded so far in this statement
 
     def fold(self, low: str):
         tick = int(self._next_tick())
+        ms = self.EPOCH_MS + tick
         if self._alloc is not None:
-            occ = self._alloc(tick)
+            # the allocator speaks v1 TICK space (UUIDGen lastTimestamp
+            # analog): occ = offset past this statement's base instant
+            occ = self._alloc(ticks_from_unix_ms(ms))
         else:
             occ = self._occ
             self._occ += 1
-        ms = self.EPOCH_MS + tick
         if low in ("now", "currenttimeuuid"):
             return v1_uuid_text(
                 ticks_from_unix_ms(ms, occ), SESSION_CLOCK_SEQ_AND_NODE

@@ -61,6 +61,13 @@ class Restriction:
 _SLICE_OPS = {Op.LT, Op.LTE, Op.GT, Op.GTE}
 
 
+def declared_timeuuid(meta, col: str) -> bool:
+    """Whether `col`'s DECLARED CQL type is timeuuid (Spark stores
+    uuids as text; the declared type rides on TableMeta.cql_key_types).
+    The ONE definition — writes/table/parser all gate on it."""
+    return dict(getattr(meta, "cql_key_types", ()) or ()).get(col) == "timeuuid"
+
+
 def _index_kinds(indexed) -> dict:
     """Normalize the index descriptor: a mapping col -> {kind: name}
     (IndexTarget.Type analogs 'simple'/'values'/'keys'/'entries'/'full'),
@@ -74,28 +81,26 @@ def _index_kinds(indexed) -> dict:
     return {c: {"any": c} for c in indexed}
 
 
+# CassandraIndex.supportsExpression analog, the ONE op->serving-kinds
+# table (index selection in table.py reads the same mapping): simple and
+# full() serve EQ (plus CUSTOM SASI-class, which also serves LIKE —
+# StatementRestrictions.java:174-180 makes LIKE index-only), values()
+# serves CONTAINS, keys() CONTAINS KEY, entries() m[k]=v.
+KINDS_FOR_OP: dict = {
+    Op.EQ: ("simple", "full", "custom"),
+    Op.CONTAINS: ("values",),
+    Op.CONTAINS_KEY: ("keys",),
+    Op.ENTRY: ("entries",),
+    Op.LIKE: ("custom",),
+}
+
+
 def _op_index_served(r: Restriction, kinds: dict) -> bool:
-    """CassandraIndex.supportsExpression analog: which operator each
-    IndexTarget.Type serves — simple/full -> EQ, values -> CONTAINS,
-    keys -> CONTAINS KEY, entries -> m[k] = v."""
     if "any" in kinds:
-        # legacy descriptors predate entry relations: a pre-kind simple
-        # index never served m[k]=v, so ENTRY stays gated
+        # legacy descriptors predate entry relations and LIKE serving: a
+        # pre-kind simple index never served either
         return r.op in (Op.EQ, Op.CONTAINS, Op.CONTAINS_KEY)
-    if r.op is Op.EQ:
-        # a CUSTOM (SASI-class) index serves EQ too (SASIIndex modes)
-        return "simple" in kinds or "full" in kinds or "custom" in kinds
-    if r.op is Op.CONTAINS:
-        return "values" in kinds
-    if r.op is Op.CONTAINS_KEY:
-        return "keys" in kinds
-    if r.op is Op.ENTRY:
-        return "entries" in kinds
-    if r.op is Op.LIKE:
-        # LIKE is index-only in the reference (SASI; StatementRestrictions
-        # .java:174-180) — a CUSTOM index serves it, nothing else does
-        return "custom" in kinds
-    return False
+    return any(k in kinds for k in KINDS_FOR_OP.get(r.op, ()))
 
 
 def validate_restrictions(

@@ -165,30 +165,39 @@ def _reject_in_with_conditions(key: dict, meta, kind: str) -> None:
 from cassandra_pmem_spark.cql.terms import SessionClockFold, TimeuuidBound
 
 
-def _decl_timeuuid(meta, col: str) -> bool:
-    return dict(getattr(meta, "cql_key_types", ()) or ()).get(col) == "timeuuid"
+from cassandra_pmem_spark.cql.validator import (  # noqa: E402
+    declared_timeuuid as _decl_timeuuid,
+)
 
 
 class NowOccs:
-    """Session-wide now()-fold occurrence counters, keyed by tick.
-    Statements can share a tick (USING TIMESTAMP never advances the
-    clock; BATCH statements share the batch tick), and a repeated
-    (tick, occurrence) pair would mint the SAME timeuuid — LWW would
-    silently absorb the later write. Shared across a CqlDatabase's table
-    sessions like the clock. Allocations append to a JOURNAL so statement
-    rollback (_snapshot/_restore) un-consumes in O(changes) instead of an
-    O(n) dict copy per statement; memory is O(total folds), the same
-    order as the mutation buffers themselves."""
+    """Session-wide now()-mint monotonicity, the UUIDGen lastTimestamp
+    analog: every minted v1 tick is strictly greater than the previous
+    one. Statements can share a fold tick (USING TIMESTAMP never
+    advances the clock; BATCH statements share the batch tick), and a
+    repeated v1 tick would mint the SAME timeuuid — LWW would silently
+    absorb the later write. Tracking the last ABSOLUTE v1 tick (not a
+    per-tick occurrence count) also survives sub-tick overflow: 10,000+
+    folds at one millisecond spill into the next millisecond's range,
+    and the next tick's first fold starts ABOVE the spill instead of
+    colliding with it. Shared across a CqlDatabase's table sessions like
+    the clock. Allocations append to a JOURNAL so statement rollback
+    (_snapshot/_restore) un-consumes in O(changes); memory is O(total
+    folds), the same order as the mutation buffers themselves."""
 
     def __init__(self):
-        self.counts: dict[int, int] = {}
-        self.journal: list[tuple[int, int]] = []
+        self.last: int = -1  # last minted v1 tick, absolute
+        self.journal: list[int] = []  # prior `last` per allocation
 
-    def alloc(self, tick: int) -> int:
-        n = self.counts.get(tick, 0)
-        self.journal.append((tick, n))
-        self.counts[tick] = n + 1
-        return n
+    def alloc(self, base_ticks: int) -> int:
+        """OCCURRENCE (v1 sub-tick offset from base_ticks) for the next
+        fold whose statement instant is base_ticks: 0 when the session
+        has never minted at or past this instant, else just past the
+        last mint."""
+        v1 = max(base_ticks, self.last + 1)
+        self.journal.append(self.last)
+        self.last = v1
+        return v1 - base_ticks
 
     def mark(self) -> int:
         return len(self.journal)
@@ -197,11 +206,7 @@ class NowOccs:
         # idempotent for same-mark repeats (a multi-table batch restores
         # every involved session against one shared store)
         while len(self.journal) > mark:
-            tick, prev = self.journal.pop()
-            if prev:
-                self.counts[tick] = prev
-            else:
-                self.counts.pop(tick, None)
+            self.last = self.journal.pop()
 
 
 def _timeuuid_range_sides(col: str, v: Any):
@@ -785,7 +790,7 @@ class CqlWriteSession:
             self._restore(snap)
             raise
 
-    def _execute(self, cql: str, params: list[Any], cursor: list[int], forced_ts: int | None) -> bool:
+    def _execute(self, cql: str, params: list[Any], cursor: list[int], forced_ts: int | None, fold_ts: int | None = None) -> bool:
         head = cql.strip().split(None, 1)[0].lower()
         if head == "begin":
             # BEGIN [UNLOGGED|COUNTER] BATCH [USING TIMESTAMP t] stmt; ...;
@@ -847,11 +852,23 @@ class CqlWriteSession:
             snap = self._snapshot()
             if batch_ts is None:
                 batch_ts = self._tick()
+                batch_fold = batch_ts
+            else:
+                # EXPLICIT batch timestamps are arbitrary user values
+                # (epoch micros by convention) — the now()-family fold
+                # instant must stay on the session-clock timeline, so the
+                # inner statements fold from the clock peek instead (the
+                # reference's now() is wall-clock, independent of USING
+                # TIMESTAMP)
+                batch_fold = self._clock_ref[0] + 1
             applied = True
             try:
                 for stmt in pieces[:-1]:
                     if stmt.strip():
-                        applied &= self._execute(stmt.strip(), params, cursor, forced_ts=batch_ts)
+                        applied &= self._execute(
+                            stmt.strip(), params, cursor,
+                            forced_ts=batch_ts, fold_ts=batch_fold,
+                        )
             except Exception:
                 self._restore(snap)
                 raise
@@ -876,13 +893,13 @@ class CqlWriteSession:
         counters = self.collection_info.counters if self.collection_info else frozenset()
         p = _WriteParser(_tokenize(cql))
         # now()-family terms fold from THIS statement's coordinator tick
-        # (TimeFcts.java:39-57 execute coordinator-side): the tick the
-        # statement will receive — forced_ts inside a BATCH (all inner
-        # statements share the batch instant), else the next clock value
-        # (a rejected statement rewinds the clock via _restore, so the
-        # peek stays replay-deterministic)
+        # (TimeFcts.java:39-57 execute coordinator-side): fold_ts inside a
+        # BATCH (all inner statements share one clock-derived fold
+        # instant, even when the batch WRITE timestamp is an explicit user
+        # value), else the next clock value (a rejected statement rewinds
+        # the clock via _restore, so the peek stays replay-deterministic)
         p.clock_fold = SessionClockFold(
-            lambda: forced_ts if forced_ts is not None else self._clock_ref[0] + 1,
+            lambda: fold_ts if fold_ts is not None else self._clock_ref[0] + 1,
             alloc=self._alloc_now_occ,
         )
         if head == "insert":
@@ -1538,10 +1555,40 @@ class CqlWriteSession:
         known = {f.name for f in self.meta.schema.fields}
         # prepare-time validation over the WHOLE clause first: a typo'd
         # guard must ERROR even when an earlier condition already failed
-        for col, _ekey, _op, _val in cond[1]:
+        # or a cell reads null — PREPARE errors are never data-dependent.
+        # min/maxTimeuuid extremes resolve here: on a declared timeuuid
+        # column =/!=/IN compare the fake extreme uuid and ranges keep
+        # the bound for the op-aware eval below; on any other column the
+        # type mismatch rejects exactly like the SELECT gate.
+        normalized = []
+        for col, ekey, op, val in cond[1]:
             if col not in known:
                 raise InvalidRequest(f"Undefined column name {col}")
-        for col, ekey, op, val in cond[1]:
+            decl_tu = _decl_timeuuid(self.meta, col)
+            if isinstance(val, TimeuuidBound):
+                if not decl_tu:
+                    if op in ("<", "<=", ">", ">="):
+                        raise InvalidRequest(
+                            f"{val.kind}Timeuuid() can only be compared "
+                            f"to a timeuuid column; {col!r} is not "
+                            "declared timeuuid"
+                        )
+                    val.reject(op)
+                if op in ("=", "!="):
+                    val = val.uuid_text()
+            elif op == "IN" and isinstance(val, list):
+                val = [
+                    (
+                        x.uuid_text()
+                        if decl_tu
+                        else x.reject("IN")
+                    )
+                    if isinstance(x, TimeuuidBound)
+                    else x
+                    for x in val
+                ]
+            normalized.append((col, ekey, op, val))
+        for col, ekey, op, val in normalized:
             cur = r.get(col)
             if isinstance(ekey, tuple) and ekey[:1] == ("__udtf__",):
                 # udtFieldCondition: one FIELD of a UDT column; a missing
@@ -1585,17 +1632,7 @@ class CqlWriteSession:
             if op == "IN":
                 # EQ against any listed value; a null list element
                 # matches a null cell (per-element compareWithOperator).
-                # A min/maxTimeuuid element on a declared timeuuid column
-                # is the fake extreme uuid (the reference's value);
-                # elsewhere it equals nothing real and rejects.
-                def _in_elem(x):
-                    if isinstance(x, TimeuuidBound):
-                        if _decl_timeuuid(self.meta, col):
-                            return x.uuid_text()
-                        x.reject("IN")
-                    return x
-
-                val = [_in_elem(x) for x in val]
+                # min/maxTimeuuid elements resolved in the prepare pass.
                 ok = any(
                     (x is None and cur is None)
                     or (
@@ -1618,35 +1655,20 @@ class CqlWriteSession:
                 ok = op == "!="
             else:
                 if isinstance(val, TimeuuidBound):
-                    # min/maxTimeuuid extremes: the compared column must
-                    # be DECLARED timeuuid — the same prepare gate SELECT
-                    # relations apply (=/!= keep the range-bound guidance
-                    # reject, exactly the parser's message mix). On a
-                    # declared timeuuid column =/!= compare the fake
-                    # extreme uuid (the reference's value); ranges compare
-                    # the cell's embedded v1 ticks against the bound's
-                    # tick edge with the stored-extreme fixup
-                    # (TimeuuidBound.edge_full — TimeUUIDType order).
-                    if not _decl_timeuuid(self.meta, col):
-                        if op in ("<", "<=", ">", ">="):
-                            raise InvalidRequest(
-                                f"{val.kind}Timeuuid() can only be "
-                                f"compared to a timeuuid column; {col!r} "
-                                "is not declared timeuuid"
-                            )
-                        val.reject(op)
-                    if op in ("=", "!="):
-                        ok = ops[op](cur, val.uuid_text())
-                    else:
-                        from cassandra_pmem_spark.cql.terms import (
-                            ticks_of_uuid_text,
-                        )
+                    # only RANGE ops on declared timeuuid columns survive
+                    # the prepare pass: compare the cell's embedded v1
+                    # ticks against the bound's tick edge with the
+                    # stored-extreme fixup (TimeuuidBound.edge_full —
+                    # TimeUUIDType order)
+                    from cassandra_pmem_spark.cql.terms import (
+                        ticks_of_uuid_text,
+                    )
 
-                        op2, edge, fix = val.edge_full(op)
-                        if fix is not None and cur == fix[1]:
-                            ok = fix[0] == "include"
-                        else:
-                            ok = ops[op2](ticks_of_uuid_text(cur), edge)
+                    op2, edge, fix = val.edge_full(op)
+                    if fix is not None and cur == fix[1]:
+                        ok = fix[0] == "include"
+                    else:
+                        ok = ops[op2](ticks_of_uuid_text(cur), edge)
                 elif (
                     op in ("<", "<=", ">", ">=")
                     and _decl_timeuuid(self.meta, col)

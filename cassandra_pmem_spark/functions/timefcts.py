@@ -58,7 +58,10 @@ max_timeuuid_bound = min_timeuuid_bound  # TimeFcts.java:81 — same shadow sema
 
 
 # v1 UUID epoch (1582-10-15) in unix millis — UUIDGen.java:52 START_EPOCH
-TIMEUUID_START_EPOCH_MS = -12219292800000
+# (ONE definition, shared with the driver-side fold arithmetic)
+from cassandra_pmem_spark.cql.terms import (  # noqa: E402
+    UUID_START_EPOCH_MS as TIMEUUID_START_EPOCH_MS,
+)
 
 
 def timeuuid_ticks(col: Column | str) -> Column:

@@ -346,3 +346,33 @@ class TestSasiLike:
             db.execute("SELECT id FROM ev WHERE m = {'a': 1}")
         with pytest.raises(InvalidRequest, match="properly indexed|string type"):
             db.execute("SELECT id FROM ev WHERE m LIKE 'x%'")
+
+
+class TestEmptyBracesOnMap:
+    def test_empty_braces_compare_as_empty_map(self, db):
+        """`{}` parses as an empty set (braces are ambiguous) but on a
+        map receiver it IS the empty map literal, like the reference's
+        assignment testing resolves it."""
+        db.execute("CREATE TABLE fm (id int PRIMARY KEY, m frozen<map<text, int>>)")
+        db.execute("INSERT INTO fm (id, m) VALUES (1, {})")
+        db.execute("INSERT INTO fm (id, m) VALUES (2, {'a': 1})")
+        db.execute("CREATE INDEX fm_full ON fm (full(m))")
+        r = db.execute("SELECT id FROM fm WHERE m = {}").collect()
+        assert [x.id for x in r] == [1]
+        r = db.execute("SELECT id FROM fm WHERE m = {'a': 1}").collect()
+        assert [x.id for x in r] == [2]
+
+
+class TestDclSemicolons:
+    def test_dump_lines_with_trailing_semicolons_replay(self, db):
+        db.execute("CREATE ROLE svc WITH LOGIN = true;")
+        db.execute("GRANT SELECT ON TABLE authks2.t9 TO svc;" .replace("authks2.t9", "idxk.ev"))
+        rows = db.execute("LIST ALL PERMISSIONS OF svc;").collect()
+        assert [(r.resource, r.permission) for r in rows] == [
+            ("<table idxk.ev>", "SELECT")
+        ]
+        # a rejected ALTER leaves the role untouched (validate-then-apply)
+        with pytest.raises(InvalidRequest, match="trailing input"):
+            db.execute("ALTER ROLE svc WITH LOGIN = false SUPERUSER = true")
+        [r] = db.execute("LIST ROLES").collect()
+        assert (r.login, r.super) == (True, False)

@@ -452,3 +452,62 @@ class TestClockFoldUnits:
                 "SELECT k FROM t WHERE k = 1 AND "
                 "id > 'zzzzzzzz-zzzz-zzzz-zzzz-zzzzzzzzzzzz'"
             )
+
+
+class TestFullRoundReviewRegressions:
+    def test_batch_with_explicit_user_timestamp_folds_from_the_clock(self, spark):
+        """An explicit BATCH USING TIMESTAMP is an arbitrary user value
+        (epoch micros by convention) — it stamps the WRITES but must not
+        drive the now()-fold instant (a 1.7e15 'tick' used to overflow
+        datetime with a raw ValueError)."""
+        db = _db(spark, "nbigts")
+        db.execute("CREATE TABLE t (k int PRIMARY KEY, id timeuuid, ts timestamp)")
+        db.execute(
+            "BEGIN BATCH USING TIMESTAMP 1700000000000000 "
+            "INSERT INTO t (k, id, ts) VALUES (1, now(), currenttimestamp()); "
+            "INSERT INTO t (k, id) VALUES (2, now()); "
+            "APPLY BATCH"
+        )
+        rows = {r.k: r for r in db.execute("SELECT k, id, ts FROM t").collect()}
+        # distinct uuids, sane session-epoch instants, user write timestamp
+        assert rows[1].id != rows[2].id
+        assert rows[1].ts.year == 2024
+        wt = db.execute("SELECT writetime(ts) AS w FROM t WHERE k = 1").collect()
+        assert wt[0].w == 1700000000000000
+
+    def test_sub_tick_overflow_never_collides(self):
+        """The 10,000th fold at one instant spills into the next
+        millisecond's tick range; the allocator's monotonic last-mint
+        (UUIDGen lastTimestamp analog) keeps every mint distinct."""
+        from cassandra_pmem_spark.cql.terms import (
+            SESSION_CLOCK_SEQ_AND_NODE,
+            SessionClockFold,
+            ticks_from_unix_ms,
+        )
+        from cassandra_pmem_spark.cql.writes import NowOccs
+
+        occs = NowOccs()
+        minted = set()
+        fold1 = SessionClockFold(lambda: 1, alloc=occs.alloc)
+        for _ in range(10_001):  # overflows past tick 1's 10k sub-ticks
+            minted.add(fold1.fold("now"))
+        fold2 = SessionClockFold(lambda: 2, alloc=occs.alloc)
+        u = fold2.fold("now")
+        assert u not in minted  # the spill must not alias tick 2's mints
+        minted.add(u)
+        assert len(minted) == 10_002
+        assert ticks_of_uuid_text(u) > max(
+            ticks_of_uuid_text(x) for x in minted - {u}
+        )
+
+    def test_lwt_timeuuid_gate_fires_on_null_cells_too(self, spark):
+        """The declared-type gate is a PREPARE error — never
+        data-dependent: a null cell must not bypass the rejection."""
+        db = _db(spark, "ngate")
+        db.execute("CREATE TABLE w (k int PRIMARY KEY, ts timestamp)")
+        db.execute("INSERT INTO w (k) VALUES (1)")  # ts is null
+        with pytest.raises(InvalidRequest, match="not declared timeuuid"):
+            db.execute(
+                "UPDATE w SET ts = toTimestamp('2025-01-01 00:00:00') "
+                "WHERE k = 1 IF ts < maxTimeuuid('2024-01-01')"
+            )
