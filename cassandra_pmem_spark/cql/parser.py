@@ -41,6 +41,7 @@ from cassandra_pmem_spark.cql.table import CqlTable, cql_table
 from cassandra_pmem_spark.cql.validator import (
     InvalidRequest,
     Op,
+    declared_timeuuid,
     validate_group_by,
     validate_limits,
 )
@@ -849,8 +850,6 @@ def _compile(
                 v.reject("a map entry value")
             t = t.where_entry(r.columns[0], k, v)
         elif r.kind == "in":
-            from cassandra_pmem_spark.cql.validator import declared_timeuuid
-
             decl_tu = declared_timeuuid(meta, r.columns[0])
             vals = []
             for v in r.values:
@@ -882,10 +881,6 @@ def _compile(
                 # strictly outside every real timeuuid in the named
                 # millisecond, exactly TimeUUIDType's timestamp-first
                 # order)
-                from cassandra_pmem_spark.cql.validator import (
-                    declared_timeuuid,
-                )
-
                 if not declared_timeuuid(meta, r.columns[0]):
                     raise InvalidRequest(
                         f"{val.kind}Timeuuid() can only be compared to a "

@@ -30,6 +30,7 @@ from pyspark.sql import types as T
 from cassandra_pmem_spark.catalog import TABLES, TableMeta, load_table
 from cassandra_pmem_spark.cql.validator import (
     InvalidRequest,
+    declared_timeuuid as _is_declared_timeuuid,
     Op,
     Restriction,
     validate_distinct,
@@ -39,10 +40,6 @@ from cassandra_pmem_spark.cql.validator import (
 )
 from cassandra_pmem_spark.functions.token import token_column
 
-
-from cassandra_pmem_spark.cql.validator import (  # noqa: E402
-    declared_timeuuid as _is_declared_timeuuid,
-)
 
 
 def _cmp_key(meta: TableMeta, column: str) -> Column:

@@ -41,7 +41,10 @@ from pyspark.sql import types as T
 
 from cassandra_pmem_spark.catalog import TableMeta
 from cassandra_pmem_spark.cql.parser import _Parser, _tokenize
-from cassandra_pmem_spark.cql.validator import InvalidRequest
+from cassandra_pmem_spark.cql.validator import (
+    declared_timeuuid as _decl_timeuuid,
+    InvalidRequest,
+)
 from cassandra_pmem_spark.operators.upsert import upsert_lww_cells
 
 
@@ -165,9 +168,6 @@ def _reject_in_with_conditions(key: dict, meta, kind: str) -> None:
 from cassandra_pmem_spark.cql.terms import SessionClockFold, TimeuuidBound
 
 
-from cassandra_pmem_spark.cql.validator import (  # noqa: E402
-    declared_timeuuid as _decl_timeuuid,
-)
 
 
 class NowOccs:
@@ -1587,45 +1587,58 @@ class CqlWriteSession:
                     else x
                     for x in val
                 ]
-            normalized.append((col, ekey, op, val))
-        for col, ekey, op, val in normalized:
-            cur = r.get(col)
+            # udtFieldCondition / ElementAccessBound shape validation is
+            # part of the SAME prepare pass — a typo'd field, a null
+            # element key, or element syntax on a scalar must ERROR even
+            # when an earlier condition already failed or a cell is null
             if isinstance(ekey, tuple) and ekey[:1] == ("__udtf__",):
-                # udtFieldCondition: one FIELD of a UDT column; a missing
-                # column (or dead field cell) reads null
-                fname = ekey[1]
                 kind, _fz = self._collection_kind(col)
                 if kind != "udt":
                     raise InvalidRequest(
                         f"Invalid field access for column {col!r}: "
                         "not a user type"
                     )
-                if fname not in self._udt_fields(col):
+                if ekey[1] not in self._udt_fields(col):
                     raise InvalidRequest(
-                        f"UDT column {col!r} does not have a field {fname!r}"
+                        f"UDT column {col!r} does not have a field "
+                        f"{ekey[1]!r}"
                     )
-                cur = None if cur is None else cur[fname]
             elif ekey is not _NO_ELEM:
-                # ElementAccessBound: resolve the element; a missing map
-                # key or out-of-bounds list index reads null
+                kind, _fz = self._collection_kind(col)
                 if ekey is None:
-                    kind0, _ = self._collection_kind(col)
                     raise InvalidRequest(
                         "Invalid null value for "
-                        f"{'map' if kind0 == 'map' else 'list'} element access"
+                        f"{'map' if kind == 'map' else 'list'} element access"
                     )
-                kind, _fz = self._collection_kind(col)
-                if kind == "map":
-                    cur = (cur or {}).get(ekey)
-                elif kind == "list":
-                    lst = cur or []
-                    ok_idx = isinstance(ekey, int) and 0 <= ekey < len(lst)
-                    cur = lst[ekey] if ok_idx else None
-                else:
+                if kind not in ("map", "list"):
                     raise InvalidRequest(
                         f"Invalid element access syntax for column {col!r} "
                         "(element conditions apply to lists and maps only)"
                     )
+            if val is None and op not in ("=", "!=", "IN"):
+                # ColumnCondition null rules: a null condition VALUE is
+                # legal for =/!= only — a literal/bound null with a range
+                # op rejects regardless of row data
+                raise InvalidRequest(
+                    f'Invalid comparison with null for operator "{op}"'
+                )
+            normalized.append((col, ekey, op, val))
+        for col, ekey, op, val in normalized:
+            cur = r.get(col)
+            if isinstance(ekey, tuple) and ekey[:1] == ("__udtf__",):
+                # one FIELD of a UDT column; a missing column (or dead
+                # field cell) reads null
+                cur = None if cur is None else cur[ekey[1]]
+            elif ekey is not _NO_ELEM:
+                # resolve the element; a missing map key or out-of-bounds
+                # list index reads null
+                kind, _fz = self._collection_kind(col)
+                if kind == "map":
+                    cur = (cur or {}).get(ekey)
+                else:
+                    lst = cur or []
+                    ok_idx = isinstance(ekey, int) and 0 <= ekey < len(lst)
+                    cur = lst[ekey] if ok_idx else None
             # null comparison rules (ColumnCondition.java:241-258):
             # a null CONDITION VALUE is legal for =/!= only; a null CELL
             # satisfies only != against a non-null value
@@ -1643,14 +1656,8 @@ class CqlWriteSession:
                     for x in val
                 )
             elif val is None:
-                if op == "=":
-                    ok = cur is None
-                elif op == "!=":
-                    ok = cur is not None
-                else:
-                    raise InvalidRequest(
-                        f'Invalid comparison with null for operator "{op}"'
-                    )
+                # only =/!= reach here — range-vs-null rejected at prepare
+                ok = (cur is None) if op == "=" else (cur is not None)
             elif cur is None:
                 ok = op == "!="
             else:
@@ -1763,11 +1770,12 @@ class CqlWriteSession:
         self._clock_ref[0] += 1
         return self._clock_ref[0]
 
-    def _alloc_now_occ(self, tick: int) -> int:
-        """Next session-wide now()-fold occurrence at `tick` (NowOccs) —
-        distinct (tick, occurrence) pairs mint distinct timeuuids even
-        when statements share a tick."""
-        return self._now_occs.alloc(tick)
+    def _alloc_now_occ(self, base_v1_ticks: int) -> int:
+        """Occurrence offset for the next now()-family mint whose
+        statement instant is `base_v1_ticks` (100ns v1 tick space, NOT a
+        session-clock tick — SessionClockFold converts) — the shared
+        NowOccs allocator keeps every minted v1 tick globally unique."""
+        return self._now_occs.alloc(base_v1_ticks)
 
     def _downgrade_bound(self, col: str, val):
         """A min/maxTimeuuid fold lands per the target column's declared

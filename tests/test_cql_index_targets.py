@@ -366,7 +366,7 @@ class TestEmptyBracesOnMap:
 class TestDclSemicolons:
     def test_dump_lines_with_trailing_semicolons_replay(self, db):
         db.execute("CREATE ROLE svc WITH LOGIN = true;")
-        db.execute("GRANT SELECT ON TABLE authks2.t9 TO svc;" .replace("authks2.t9", "idxk.ev"))
+        db.execute("GRANT SELECT ON TABLE idxk.ev TO svc;")
         rows = db.execute("LIST ALL PERMISSIONS OF svc;").collect()
         assert [(r.resource, r.permission) for r in rows] == [
             ("<table idxk.ev>", "SELECT")

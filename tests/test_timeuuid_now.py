@@ -511,3 +511,19 @@ class TestFullRoundReviewRegressions:
                 "UPDATE w SET ts = toTimestamp('2025-01-01 00:00:00') "
                 "WHERE k = 1 IF ts < maxTimeuuid('2024-01-01')"
             )
+
+    def test_lwt_shape_errors_fire_when_an_earlier_condition_fails(self, spark):
+        """UDT-field/element-access typos are PREPARE errors for the
+        whole clause — an earlier-false condition must not short-circuit
+        them into a silent [applied=False]."""
+        db = _db(spark, "ngate2")
+        db.execute("CREATE TYPE addr (street text, city text)")
+        db.execute("CREATE TABLE t (k int PRIMARY KEY, v int, u frozen<addr>)")
+        db.execute("INSERT INTO t (k, v, u) VALUES (1, 5, {street: 's'})")
+        with pytest.raises(InvalidRequest, match="does not have a field"):
+            db.execute(
+                "UPDATE t SET v = 6 WHERE k = 1 "
+                "IF v = 999 AND u.nofield = 'x'"
+            )
+        with pytest.raises(InvalidRequest, match="Invalid comparison with null"):
+            db.execute("UPDATE t SET v = 6 WHERE k = 1 IF v = 999 AND v < null")
