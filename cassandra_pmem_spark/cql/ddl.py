@@ -903,6 +903,47 @@ class _DdlParser(_Parser):
             return "values"
         return kind
 
+    def create_trigger(self) -> tuple[tuple, str, str] | None:
+        """CREATE TRIGGER [IF NOT EXISTS] name ON [ks.]table USING 'class'
+        (Parser.g:896-905; CreateTriggerStatement.java:49-80). Returns
+        (table key, trigger name, class) or None for the IF NOT EXISTS
+        no-op. Validation mirrors the reference's apply() order: table
+        exists → not a view → duplicate name → class loadable."""
+        self.expect_kw("trigger")
+        ine = self.if_not_exists()
+        name = self.ident()
+        self.expect_kw("on")
+        ks_q, table = self.qualified_name()
+        self.expect_kw("using")
+        t = self.next()
+        if t.kind != "string":
+            raise InvalidRequest("CREATE TRIGGER expects USING 'class'")
+        cls = t.text[1:-1]
+        self._end()
+        table_key = self.registry.tables.resolve(
+            table, keyspace=ks_q, current=self.current_keyspace, missing_ok=True
+        )
+        if table_key is None:
+            if self.registry.views.resolve(
+                table, keyspace=ks_q, current=self.current_keyspace,
+                missing_ok=True,
+            ):
+                # CreateTriggerStatement.java:60
+                raise InvalidRequest(
+                    "Cannot CREATE TRIGGER for a materialized view"
+                )
+            raise InvalidRequest(f"Table '{table}' doesn't exist")
+        if name in self.registry.triggers.get(table_key, {}):
+            if ine:
+                return None
+            raise InvalidRequest(f"Trigger '{name}' already exists")
+        from cassandra_pmem_spark.cql.triggers import trigger_class_exists
+
+        if not trigger_class_exists(cls):
+            # CreateTriggerStatement.java:71-78 (loadTriggerInstance fails)
+            raise InvalidRequest(f"Trigger class '{cls}' couldn't be loaded")
+        return table_key, name, cls
+
     def create_view(self) -> ViewMeta | None:
         """CREATE MATERIALIZED VIEW (Parser.g:851 createMaterializedView-
         Statement; CreateViewStatement.java:95-300): parse the AS SELECT /
@@ -1623,6 +1664,9 @@ class SchemaRegistry:
         # (type name, {old field -> new field}) of the LAST ALTER TYPE —
         # CqlDatabase's session sync consumes it to remap buffered cells
         self.last_alter_type: tuple[str, dict[str, str]] | None = None
+        # triggers per table (schema/TriggerMetadata.java: name + the
+        # single 'class' option): table key -> {trigger name -> class}
+        self.triggers: dict[tuple, dict[str, str]] = {}
 
     def table(
         self, name, keyspace: str | None = None, current: str | None = None
@@ -1646,6 +1690,7 @@ class SchemaRegistry:
         self.udt_refs.pop(table_key, None)
         self.column_type_text.pop(table_key, None)
         self.table_params.pop(table_key, None)
+        self.triggers.pop(table_key, None)
         self._drop_table_indexes(table_key)
 
     def execute(self, cql: str, current_keyspace: str | None = None) -> None:
@@ -1725,6 +1770,11 @@ class SchemaRegistry:
                 vm = p.create_view()
                 if vm is not None:
                     self.views[p.last_key] = vm
+            elif nxt == "trigger":
+                out = p.create_trigger()
+                if out is not None:
+                    tkey, tg_name, tg_cls = out
+                    self.triggers.setdefault(tkey, {})[tg_name] = tg_cls
             else:
                 raise InvalidRequest(f"unsupported CREATE {nxt.upper()}")
         elif head == "alter":
@@ -1872,6 +1922,30 @@ class SchemaRegistry:
             if kind == "materialized":
                 p.expect_kw("view")
                 kind = "materialized view"
+            if kind == "trigger":
+                # DROP TRIGGER [IF EXISTS] name ON [ks.]table
+                # (Parser.g:908-913; DropTriggerStatement.java:45-67 —
+                # a missing keyspace/table/trigger all collapse to the
+                # same "Trigger ... doesn't exist" unless IF EXISTS)
+                ife = p.if_exists()
+                name = p.ident()
+                p.expect_kw("on")
+                ks_q, table = p.qualified_name()
+                p._end()
+                tkey = self.tables.resolve(
+                    table, keyspace=ks_q, current=current_keyspace,
+                    missing_ok=True,
+                )
+                per_table = self.triggers.get(tkey, {}) if tkey else {}
+                if name not in per_table:
+                    if ife:
+                        return
+                    raise InvalidRequest(
+                        f"Trigger '{name}' on "
+                        f"'{ks_q or current_keyspace}.{table}' doesn't exist"
+                    )
+                del per_table[name]
+                return
             ife = p.if_exists()
             ks_q, name = p.qualified_name()
             p._end()
@@ -2358,121 +2432,283 @@ class CqlDatabase:
                                 )
             return None
         if head == "begin":
-            return self._execute_batch(cql, params if params is not None else [])
+            if not self.registry.triggers:
+                return self._execute_batch(cql, params if params is not None else [])
+            return self._run_with_triggers(
+                lambda: self._execute_batch(cql, params if params is not None else [])
+            )
         if head in self._DML_HEADS:
             tks, tname = self._dml_table(cql)
             self._check_view_target(tks, tname, head)
-            return self._session((tks, tname)).execute(cql, params)
+            sess = self._session((tks, tname))
+            if not self.registry.triggers or head == "truncate":
+                # TRUNCATE produces no partition updates — triggers never
+                # fire for it (TruncateStatement bypasses StorageProxy's
+                # mutateWithTriggers path entirely)
+                return sess.execute(cql, params)
+            return self._run_with_triggers(lambda: sess.execute(cql, params))
         if head == "select":
-            from cassandra_pmem_spark.cql.parser import _compile, parse_select
-            from cassandra_pmem_spark.cql.table import CqlTable
+            from cassandra_pmem_spark.cql.parser import parse_select
 
-            def _indexed(tkey2: tuple) -> dict:
-                # col -> {kind: index name} (a column may carry several
-                # indexes of different kinds, e.g. KEYS(m) + VALUES(m))
-                out: dict = {}
-                for (_ks, _n), im in self.registry.indexes.items():
-                    if im.table == tkey2:
-                        k = getattr(im, "kind", "simple") or "simple"
-                        nm = im.name or f"{tkey2[1]}_{im.column}_idx"
-                        out.setdefault(im.column, {})[k] = nm
-                        if im.custom_class and k == "simple":
-                            # a CUSTOM (SASI-class) index on a SCALAR
-                            # target also serves the operators only
-                            # custom indexes serve (LIKE); collection-
-                            # target customs keep only their kind's ops
-                            out[im.column]["custom"] = nm
-                return out
+            return self._compile_select(parse_select(cql, params))
+        raise InvalidRequest(f"unsupported statement {head!r}")
 
-            def _stats(tkey2: tuple):
-                """getEstimatedResultRows analog: estimated rows per EQ
-                match = row count / distinct values, from ONE cached
-                aggregation per table (the reference reads the index's
-                stored cardinality estimate — never a per-statement
-                scan; at cluster scale this would source from catalog
-                column statistics the same way)."""
+    def pager(self, cql: str, params: list[Any] | None = None,
+              page_size: int = 100, state: bytes | None = None):
+        """Resumable QueryPager over a SELECT (service/pager/QueryPager
+        family — see cql/pager.py for the contract and citations)."""
+        from cassandra_pmem_spark.cql.pager import QueryPager
 
-                def fn(cols: list) -> dict:
-                    cached = self._index_stats.get(tkey2)
-                    if cached is None or any(c not in cached for c in cols):
-                        sess2 = self._session_for_key(tkey2)
-                        frame = sess2.table()
-                        allc = sorted(set(cols) | set(_indexed(tkey2)))
-                        row = frame.agg(
-                            F.count(F.lit(1)).alias("__n"),
-                            *[
-                                F.approx_count_distinct(c).alias(f"__d{i}")
-                                for i, c in enumerate(allc)
-                            ],
-                        ).collect()[0]
-                        total = row["__n"]
-                        cached = {
-                            c: total / max(1, row[f"__d{i}"])
+        return QueryPager(self, cql, params, page_size, state)
+
+    def _compile_select(self, st) -> DataFrame:
+        """Compile a parsed SelectStatement against the live registry —
+        the shared back half of execute('SELECT ...') and the pager's
+        per-page sub-queries."""
+        from cassandra_pmem_spark.cql.parser import _compile
+        from cassandra_pmem_spark.cql.table import CqlTable
+
+        def _indexed(tkey2: tuple) -> dict:
+            # col -> {kind: index name} (a column may carry several
+            # indexes of different kinds, e.g. KEYS(m) + VALUES(m))
+            out: dict = {}
+            for (_ks, _n), im in self.registry.indexes.items():
+                if im.table == tkey2:
+                    k = getattr(im, "kind", "simple") or "simple"
+                    nm = im.name or f"{tkey2[1]}_{im.column}_idx"
+                    out.setdefault(im.column, {})[k] = nm
+                    if im.custom_class and k == "simple":
+                        # a CUSTOM (SASI-class) index on a SCALAR
+                        # target also serves the operators only
+                        # custom indexes serve (LIKE); collection-
+                        # target customs keep only their kind's ops
+                        out[im.column]["custom"] = nm
+            return out
+
+        def _stats(tkey2: tuple):
+            """getEstimatedResultRows analog: estimated rows per EQ
+            match = row count / distinct values, from ONE cached
+            aggregation per table (the reference reads the index's
+            stored cardinality estimate — never a per-statement
+            scan; at cluster scale this would source from catalog
+            column statistics the same way)."""
+
+            def fn(cols: list) -> dict:
+                cached = self._index_stats.get(tkey2)
+                if cached is None or any(c not in cached for c in cols):
+                    sess2 = self._session_for_key(tkey2)
+                    frame = sess2.table()
+                    allc = sorted(set(cols) | set(_indexed(tkey2)))
+                    row = frame.agg(
+                        F.count(F.lit(1)).alias("__n"),
+                        *[
+                            F.approx_count_distinct(c).alias(f"__d{i}")
                             for i, c in enumerate(allc)
-                        }
-                        self._index_stats[tkey2] = cached
-                    return cached
+                        ],
+                    ).collect()[0]
+                    total = row["__n"]
+                    cached = {
+                        c: total / max(1, row[f"__d{i}"])
+                        for i, c in enumerate(allc)
+                    }
+                    self._index_stats[tkey2] = cached
+                return cached
 
-                return fn
+            return fn
 
-            st = parse_select(cql, params)
-            ks, _, tbl = st.table.rpartition(".")
-            if ks == "system_schema":
-                # schema introspection tables (SchemaKeyspace.java:124
-                # TABLES/COLUMNS/TYPES/INDEXES) — derived live from the
-                # registry, so DDL is immediately SELECT-visible, exactly
-                # how drivers read the reference's schema
-                from cassandra_pmem_spark.sources.virtual import (
-                    system_schema_frame,
-                )
-
-                sdf, smeta = system_schema_frame(self.spark, self.registry, tbl)
-                return _compile(
-                    CqlTable(sdf, smeta, self.strict),
-                    st,
-                    registry=self.registry,
-                    current_keyspace=self.current_keyspace,
-                )
-            tkey = self.registry.tables.resolve(
-                tbl, keyspace=ks or None, current=self.current_keyspace, missing_ok=True
+        ks, _, tbl = st.table.rpartition(".")
+        if ks == "system_schema":
+            # schema introspection tables (SchemaKeyspace.java:124
+            # TABLES/COLUMNS/TYPES/INDEXES) — derived live from the
+            # registry, so DDL is immediately SELECT-visible, exactly
+            # how drivers read the reference's schema
+            from cassandra_pmem_spark.sources.virtual import (
+                system_schema_frame,
             )
-            if tkey is None and (
-                vkey := self.registry.views.resolve(
-                    tbl,
-                    keyspace=ks or None,
-                    current=self.current_keyspace,
-                    missing_ok=True,
-                )
-            ):
-                return _compile(
-                    CqlTable(self._view_frame(vkey), self.registry.views[vkey].meta,
-                             self.strict),
-                    st,
-                    registry=self.registry,
-                    current_keyspace=self.current_keyspace,
-                )
-            key = self._table_key((ks or None, tbl))
-            meta = self.registry.tables[key]
-            sess = self._session_for_key(key)
-            # SELECT reads at the session's current logical time: TTL'd
-            # cells past their expiry vanish (PurgeFunction analog), and
-            # the liveness shadows feed the writetime()/ttl() selectors
-            df = sess.table(now=sess._clock_ref[0], with_shadows=True)
-            sink: list = []
-            out = _compile(
-                CqlTable(
-                    df, meta, self.strict, _indexed(key),
-                    stats_fn=_stats(key), choice_sink=sink,
-                ),
+
+            sdf, smeta = system_schema_frame(self.spark, self.registry, tbl)
+            return _compile(
+                CqlTable(sdf, smeta, self.strict),
                 st,
                 registry=self.registry,
                 current_keyspace=self.current_keyspace,
             )
-            # (index name, column) that served this statement, if any —
-            # the getBestIndexFor outcome, for tracing/tests
-            self.last_index_choice = sink[-1] if sink else None
-            return out
-        raise InvalidRequest(f"unsupported statement {head!r}")
+        tkey = self.registry.tables.resolve(
+            tbl, keyspace=ks or None, current=self.current_keyspace, missing_ok=True
+        )
+        if tkey is None and (
+            vkey := self.registry.views.resolve(
+                tbl,
+                keyspace=ks or None,
+                current=self.current_keyspace,
+                missing_ok=True,
+            )
+        ):
+            return _compile(
+                CqlTable(self._view_frame(vkey), self.registry.views[vkey].meta,
+                         self.strict),
+                st,
+                registry=self.registry,
+                current_keyspace=self.current_keyspace,
+            )
+        key = self._table_key((ks or None, tbl))
+        meta = self.registry.tables[key]
+        sess = self._session_for_key(key)
+        # SELECT reads at the session's current logical time: TTL'd
+        # cells past their expiry vanish (PurgeFunction analog), and
+        # the liveness shadows feed the writetime()/ttl() selectors
+        df = sess.table(now=sess._clock_ref[0], with_shadows=True)
+        sink: list = []
+        out = _compile(
+            CqlTable(
+                df, meta, self.strict, _indexed(key),
+                stats_fn=_stats(key), choice_sink=sink,
+            ),
+            st,
+            registry=self.registry,
+            current_keyspace=self.current_keyspace,
+        )
+        # (index name, column) that served this statement, if any —
+        # the getBestIndexFor outcome, for tracing/tests
+        self.last_index_choice = sink[-1] if sink else None
+        return out
+
+    def _collect_updates(self, key: tuple, marks: tuple) -> list:
+        """TriggerUpdate list for the buffer entries a statement appended
+        past `marks` (a session `_snapshot()` watermark, or zeros for a
+        session the statement itself created): one update per touched
+        partition, in first-write order — the shape TriggerExecutor
+        iterates (one augment() call per PartitionUpdate)."""
+        from cassandra_pmem_spark.cql.triggers import TriggerUpdate
+
+        sess = self._sessions[key]
+        meta = sess.meta
+        npk = len(meta.partition_key)
+        ck_names = tuple(meta.primary_key[npk:])
+        n_mut, n_row, n_cell, n_rng = marks[0], marks[1], marks[2], marks[3]
+        parts: dict[tuple, dict] = {}  # pk values -> {"rows": [...], "write": bool}
+
+        def bucket(pk_vals: tuple) -> dict:
+            return parts.setdefault(pk_vals, {"rows": [], "write": False})
+
+        def row_of(full_key: tuple, extra: dict) -> dict:
+            row = dict(zip(ck_names, full_key[npk:]))
+            row.update(extra)
+            return row
+
+        pk_set = set(meta.primary_key)
+        for m in sess._mutations[n_mut:]:
+            # regular cells only — key columns ride in via row_of/partition_key
+            cells: dict = {c: v for c, v in m.cells.items() if c not in pk_set}
+            cells.update({c: dict(ec) for c, ec in m.elem_cells.items()})
+            cells.update({c: dict(fc) for c, fc in m.udt_cells.items()})
+            cells.update(m.counter_deltas)
+            b = bucket(m.key[:npk])
+            b["rows"].append(row_of(m.key, cells))
+            b["write"] = True
+        for rt in sess._row_tombs[n_row:]:
+            bucket(rt.key[:npk])["rows"].append(row_of(rt.key, {}))
+        for ct in sess._cell_tombs[n_cell:]:
+            bucket(ct.key[:npk])["rows"].append(
+                row_of(ct.key, {c: None for c in ct.columns})
+            )
+        for rg in sess._range_tombs[n_rng:]:
+            pk_vals = tuple(rg.eq[c] for c in meta.partition_key)
+            bucket(pk_vals)["rows"].append(
+                {c: v for c, v in rg.eq.items() if c not in meta.partition_key}
+            )
+        return [
+            TriggerUpdate(
+                keyspace=key[0],
+                table=key[1],
+                partition_key=dict(zip(meta.partition_key, pk_vals)),
+                rows=tuple(info["rows"]),
+                kind="write" if info["write"] else "delete",
+            )
+            for pk_vals, info in parts.items()
+        ]
+
+    def _run_with_triggers(self, runner):
+        """TriggerExecutor.execute analog (triggers/TriggerExecutor.java:
+        113-146): run the primary statement/batch, fire every trigger on
+        each partition update it produced, and apply the generated
+        mutations ATOMICALLY with it — any failure (a trigger raising,
+        the counter gate, the CAS same-partition gate, or a generated
+        statement rejecting) rolls the entire write back. Generated
+        mutations do not re-fire triggers (StorageProxy applies the
+        augmented collection directly)."""
+        from cassandra_pmem_spark.cql.triggers import load_trigger_instance
+
+        pre_keys = set(self._sessions)
+        snaps = {k: s._snapshot() for k, s in self._sessions.items()}
+        zeros = (0, 0, 0, 0)
+        for s in self._sessions.values():
+            # a PREVIOUS statement's IF flag must not leak into this
+            # statement's CAS-gate decision
+            s.last_conditional = False
+        try:
+            applied = runner()
+            # (key, update) per touched partition of a table with triggers
+            fired: list[tuple[tuple, Any]] = []
+            has_counters = False
+            conditional = False
+            for k, s in self._sessions.items():
+                marks = snaps.get(k, zeros)
+                if s.last_conditional:
+                    conditional = True
+                if any(m.counter_deltas for m in s._mutations[marks[0]:]):
+                    has_counters = True
+                if k in self.registry.triggers:
+                    fired.extend((k, u) for u in self._collect_updates(k, marks))
+            stmts: list[tuple[str, list]] = []
+            for k, upd in fired:
+                for _name, cls in sorted(self.registry.triggers[k].items()):
+                    stmts.extend(load_trigger_instance(cls).augment(upd) or [])
+            if not stmts:
+                return applied
+            if has_counters:
+                # TriggerExecutor.java:140-141
+                raise InvalidRequest(
+                    "Counter mutations and trigger mutations cannot be "
+                    "applied together atomically."
+                )
+            primary = fired[0][1] if fired else None
+            primary_key0 = fired[0][0] if fired else None
+            for cql2, params2 in stmts:
+                head2 = cql2.strip().split(None, 1)[0].lower()
+                if head2 not in ("insert", "update", "delete"):
+                    raise InvalidRequest(
+                        "Triggers may only generate INSERT/UPDATE/DELETE "
+                        "mutations"
+                    )
+                tks2, tname2 = self._dml_table(cql2)
+                self._check_view_target(tks2, tname2, head2)
+                key2 = self._table_key((tks2, tname2))
+                sess2 = self._session_for_key(key2)
+                mark2 = sess2._snapshot()
+                sess2.execute(cql2, list(params2) if params2 else [])
+                if conditional:
+                    # CAS path: generated mutations must hit the SAME
+                    # table and partition as the primary update
+                    # (TriggerExecutor.validateForSinglePartition:194-202)
+                    if key2 != primary_key0:
+                        raise InvalidRequest(
+                            "table of additional mutation does not match "
+                            "primary update table"
+                        )
+                    for u2 in self._collect_updates(key2, mark2):
+                        if u2.partition_key != primary.partition_key:
+                            raise InvalidRequest(
+                                "Partition key of additional mutation does "
+                                "not match primary update key"
+                            )
+            return applied
+        except Exception:
+            for k in set(self._sessions) - pre_keys:
+                del self._sessions[k]
+            for k, s in self._sessions.items():
+                s._restore(snaps[k])
+            raise
 
     def _execute_batch(self, cql: str, params: list[Any]) -> bool:
         """BATCH across table sessions. A single-table batch delegates to

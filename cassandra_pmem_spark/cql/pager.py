@@ -1,0 +1,366 @@
+"""Query paging — the QueryPager family, Spark-side.
+
+Reference semantics (file:line into /root/reference):
+
+- ``service/pager/QueryPager.java`` — fetchPage(pageSize)/isExhausted/
+  state(): pages are fetched one at a time; ``state()`` returns an
+  opaque resumable position (``PagingState.java:49``) that a new pager
+  for the same statement can continue from.
+- ``service/pager/PartitionRangeQueryPager.java`` /
+  ``SinglePartitionPager.java:32`` — plain SELECT pages count ROWS;
+  progress follows the read order: partitions in TOKEN order, rows
+  within a partition in clustering order (reversed clustering follows
+  the statement's effective order).
+- ``service/pager/AggregationQueryPager.java:39,107`` — for GROUP BY
+  queries the page size is in GROUPS, and a page only ever contains
+  COMPLETE groups (the reference transparently issues internal
+  sub-pages until the last group of the page is finished; the user
+  never observes a split group). For global aggregation
+  (AggregationPartitionIterator) the whole result is one page.
+- ``db/filter/DataLimits.java`` — a statement LIMIT counts across the
+  whole query: the pager's maxRemaining() shrinks page by page (for
+  GROUP BY limits it counts groups — CQLGroupByLimits).
+
+Spark mapping: each page is one bounded job — the compiled statement
+frame filtered to positions strictly after the paging state and capped
+with ``limit(page_size)`` (TakeOrderedAndProject). The position filter
+is expressed on the partition-token / key columns, so Catalyst pushes
+it through the aggregation to the scan (filters on grouping columns
+push through Aggregate) — at 100 TB a page touches only the groups at
+and after the resume point, never the already-returned prefix. No
+driver-side result caching: resuming re-plans, exactly like the
+reference re-issuing a ReadCommand from the PagingState position.
+
+Deliberate deviation (documented): paging a statement that carries
+PER PARTITION LIMIT is rejected — the reference tracks
+remainingInPartition in PagingState; this engine's pager does not
+model mid-partition per-partition budgets.
+"""
+
+from __future__ import annotations
+
+import base64
+import datetime as _dt
+import decimal as _decimal
+import json
+from dataclasses import replace
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cassandra_pmem_spark.cql.parser import (
+    InvalidRequest,
+    Selector,
+    parse_select,
+)
+
+_HIDDEN = "__pg"
+
+
+def _encode_val(v):
+    if v is None:
+        return ["n", None]
+    if isinstance(v, bool):
+        return ["b", v]
+    if isinstance(v, int):
+        return ["i", v]
+    if isinstance(v, float):
+        return ["f", v]
+    if isinstance(v, str):
+        return ["s", v]
+    if isinstance(v, _decimal.Decimal):
+        return ["dec", str(v)]
+    if isinstance(v, _dt.datetime):
+        return ["ts", v.isoformat()]
+    if isinstance(v, _dt.date):
+        return ["d", v.isoformat()]
+    if isinstance(v, (bytes, bytearray)):
+        return ["x", base64.b64encode(bytes(v)).decode()]
+    raise InvalidRequest(
+        f"unsupported paging-position value type {type(v).__name__}"
+    )
+
+
+def _decode_val(tag_v):
+    tag, v = tag_v
+    if tag == "n":
+        return None
+    if tag in ("b", "i", "f", "s"):
+        return v
+    if tag == "dec":
+        return _decimal.Decimal(v)
+    if tag == "ts":
+        return _dt.datetime.fromisoformat(v)
+    if tag == "d":
+        return _dt.date.fromisoformat(v)
+    if tag == "x":
+        return base64.b64decode(v)
+    raise InvalidRequest(f"corrupt paging state tag {tag!r}")
+
+
+class PagingState:
+    """Opaque resumable position (service/pager/PagingState.java:49):
+    the order-column values of the last returned row/group plus the
+    statement LIMIT budget already consumed."""
+
+    def __init__(self, pos: list | None, remaining: int | None):
+        self.pos = pos
+        self.remaining = remaining
+
+    def serialize(self) -> bytes:
+        payload = {
+            "pos": None if self.pos is None else [_encode_val(v) for v in self.pos],
+            "rem": self.remaining,
+        }
+        return base64.b64encode(json.dumps(payload).encode())
+
+    @classmethod
+    def deserialize(cls, blob: bytes) -> "PagingState":
+        try:
+            payload = json.loads(base64.b64decode(blob))
+            pos = payload["pos"]
+            return cls(
+                None if pos is None else [_decode_val(t) for t in pos],
+                payload["rem"],
+            )
+        except (ValueError, KeyError, TypeError) as exc:
+            raise InvalidRequest("Invalid value for the paging state") from exc
+
+
+class QueryPager:
+    """fetchPage/isExhausted/state over one SELECT statement.
+
+    kind resolution (QueryPagers / AggregationQueryPager dispatch):
+    GROUP BY present → group pager (page size counts groups); bare
+    aggregate selectors → single-page global aggregation; otherwise
+    row pager (token order, then clustering)."""
+
+    def __init__(self, db, cql: str, params=None, page_size: int = 100,
+                 state: bytes | None = None):
+        if page_size <= 0:
+            raise InvalidRequest("page size must be strictly positive")
+        self.db = db
+        self.page_size = page_size
+        st = parse_select(cql, params)
+        if st.per_partition_limit is not None:
+            raise InvalidRequest(
+                "paging with PER PARTITION LIMIT is not supported by this "
+                "engine's pager (deliberate deviation; see cql/pager.py)"
+            )
+        if st.json:
+            raise InvalidRequest("SELECT JSON cannot be paged")
+        ks, _, tbl = st.table.rpartition(".")
+        if ks == "system_schema":
+            raise InvalidRequest("system_schema tables are not paged")
+        tkey = db.registry.tables.resolve(
+            tbl, keyspace=ks or None, current=db.current_keyspace,
+            missing_ok=True,
+        )
+        if tkey is None:
+            raise InvalidRequest(f"unknown table {st.table!r} for paging")
+        self.meta = db.registry.tables[tkey]
+        self._tkey = tkey
+
+        if st.group_by:
+            self.kind = "group"
+        elif any(s.kind == "agg" for s in st.selectors):
+            self.kind = "global"
+        else:
+            self.kind = "row"
+
+        # the key columns that define the paging order
+        pk = list(self.meta.partition_key)
+        if self.kind == "group":
+            # validator guarantees group_by = full partition key + a
+            # clustering prefix, in primary-key order
+            order_cols = list(st.group_by)
+        elif st.distinct:
+            order_cols = pk
+        elif self.kind == "row":
+            order_cols = pk + [c.name for c in self.meta.clustering]
+        else:
+            order_cols = []
+        self._pk_n = len(pk) if self.kind != "global" else 0
+
+        # effective clustering direction: the statement's ORDER BY when
+        # given (forward or fully reversed — the validator enforces
+        # that), else the declared clustering order
+        declared = {c.name: c.ascending for c in self.meta.clustering}
+        stated = dict(st.order_by)
+        self._dirs = [
+            stated.get(c, declared.get(c, True)) for c in order_cols
+        ]
+        self._order_cols = order_cols
+
+        # hidden selectors so ordering survives any user projection.
+        # DISTINCT is the exception: its compile path projects the
+        # partition columns positionally (SELECT DISTINCT requires all
+        # of them), so the pager orders by the USER's own output names
+        # instead of appending duplicates.
+        if self.kind == "group":
+            # the group-by compile always emits the grouping columns
+            # under their raw names (df.groupBy(keys).agg(...)), so the
+            # pager orders by those directly — appending plain-col
+            # selectors would be rejected/dropped by the aggregate path
+            self._names = list(order_cols)
+            self._hidden: set[str] = set()
+            self._st = replace(st, limit=None)
+        elif st.distinct:
+            by_col = {}
+            for s in st.selectors:
+                if s.kind == "col" and s.args:
+                    by_col.setdefault(s.args[0], s.alias or s.args[0])
+                elif s.kind == "star":
+                    for c in order_cols:
+                        by_col.setdefault(c, c)
+            missing = [c for c in order_cols if c not in by_col]
+            if missing:
+                raise InvalidRequest(
+                    f"SELECT DISTINCT paging needs the partition key "
+                    f"columns in the projection; missing {missing}"
+                )
+            self._names = [by_col[c] for c in order_cols]
+            self._hidden: set[str] = set()
+            self._st = replace(st, limit=None)
+        else:
+            self._names = [f"{_HIDDEN}{i}" for i in range(len(order_cols))]
+            self._hidden = set(self._names)
+            hidden = [
+                Selector(kind="col", args=[c], alias=f"{_HIDDEN}{i}")
+                for i, c in enumerate(order_cols)
+            ]
+            self._st = replace(
+                st, selectors=list(st.selectors) + hidden, limit=None,
+            )
+        self._user_limit = st.limit
+
+        if state is not None:
+            ps = PagingState.deserialize(state)
+            self._pos = ps.pos
+            self._remaining = ps.remaining
+        else:
+            self._pos = None
+            self._remaining = st.limit
+        self._exhausted = False
+
+    # -- order / position machinery ------------------------------------------
+
+    def _token_expr(self):
+        """Murmur3 token over the hidden partition-key columns, with the
+        declared CQL key types (uuid/timeuuid/inet wire forms) carried
+        over from the table meta."""
+        from cassandra_pmem_spark.functions.token import token_column
+
+        by_name = {f.name: f.dataType for f in self.meta.schema.fields}
+        cql_types = dict(getattr(self.meta, "cql_key_types", ()) or ())
+        names = self._names[: self._pk_n]
+        schema = T.StructType(
+            [
+                T.StructField(n, by_name[self.meta.partition_key[i]])
+                for i, n in enumerate(names)
+            ]
+        )
+        remapped = {
+            n: cql_types[self.meta.partition_key[i]]
+            for i, n in enumerate(names)
+            if self.meta.partition_key[i] in cql_types
+        }
+        return token_column(names, schema, remapped)
+
+    def _order_spec(self):
+        """(column expr, ascending) pairs: token of the partition key,
+        the partition key values as a deterministic tiebreak, then the
+        clustering components in effective direction."""
+        spec = []
+        if self._pk_n:
+            spec.append((self._token_expr(), True))
+            for i in range(self._pk_n):
+                spec.append((F.col(self._names[i]), True))
+        for i in range(self._pk_n, len(self._order_cols)):
+            spec.append((F.col(self._names[i]), self._dirs[i]))
+        return spec
+
+    def _after_filter(self, pos: list):
+        """Strictly-after-position predicate, lexicographic over the
+        order spec (the PagingState resume filter — the reference's
+        'start from the last returned position, exclusive')."""
+        spec = self._order_spec()
+        assert len(spec) == len(pos)
+        cond = F.lit(False)
+        for (col, asc), v in zip(reversed(spec), reversed(pos)):
+            lit = F.lit(v)
+            strict = (col > lit) if asc else (col < lit)
+            cond = strict | (col.eqNullSafe(lit) & cond)
+        return cond
+
+    def _page_frame(self):
+        # recompiled per page: pages observe writes between fetches,
+        # like the reference's per-page ReadCommands
+        return self.db._compile_select(self._st)
+
+    # -- QueryPager surface ----------------------------------------------------
+
+    def fetch_page(self) -> list:
+        """One page of result rows (user columns only). Empty when
+        exhausted."""
+        if self._exhausted:
+            return []
+        n = self.page_size
+        if self._remaining is not None:
+            n = min(n, self._remaining)
+            if n <= 0:
+                self._exhausted = True
+                return []
+        df = self._page_frame()
+        if self.kind == "global":
+            rows = df.collect()
+            self._exhausted = True
+            return rows
+        if self._pos is not None:
+            df = df.filter(self._after_filter(self._pos))
+        spec = self._order_spec()
+        ordered = df.orderBy(
+            *[c.asc() if asc else c.desc() for c, asc in spec]
+        )
+        rows = ordered.limit(n).collect()
+        if rows:
+            last = rows[-1]
+            # position = (token, pk values, clustering values) of the
+            # last returned row — token recomputed at resume from the
+            # stored key values, so the state stays value-typed
+            pos_keys = [last[n] for n in self._names]
+            tok = self._token_of(pos_keys[: self._pk_n])
+            self._pos = [tok] + pos_keys
+        if self._remaining is not None:
+            self._remaining -= len(rows)
+            if self._remaining <= 0:
+                self._exhausted = True
+        if len(rows) < n:
+            self._exhausted = True
+        out = []
+        for r in rows:
+            d = r.asDict(recursive=False)
+            out.append({k: v for k, v in d.items() if k not in self._hidden})
+        return out
+
+    def _token_of(self, pk_vals: list) -> int:
+        """Driver-side murmur3 twin for the position token (the same
+        kernel the column expression uses — functions/murmur3.py)."""
+        from cassandra_pmem_spark.cql.parser import _scalar_token
+
+        return _scalar_token(self.meta, tuple(pk_vals))
+
+    def is_exhausted(self) -> bool:
+        return self._exhausted
+
+    def max_remaining(self) -> int | None:
+        """maxRemaining: what's left of the statement LIMIT (None =
+        unlimited)."""
+        return None if self._remaining is None else max(0, self._remaining)
+
+    def state(self) -> bytes | None:
+        """Opaque resumable state, or None when exhausted (the
+        reference's pager returns null once done)."""
+        if self._exhausted:
+            return None
+        return PagingState(self._pos, self._remaining).serialize()

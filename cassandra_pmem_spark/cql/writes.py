@@ -768,6 +768,11 @@ class CqlWriteSession:
         # were never written, so the next statement may re-mint them
         self._now_occs = now_occs if now_occs is not None else NowOccs()
         self._base = base
+        # True iff the LAST statement (or any inner batch statement)
+        # carried an IF clause — the coordinator's trigger hook reads it
+        # to apply the CAS-path same-partition gate
+        # (TriggerExecutor.validateForSinglePartition)
+        self.last_conditional = False
 
     # -- statement entry (ModificationStatement.execute analog) ---------------
 
@@ -782,6 +787,7 @@ class CqlWriteSession:
         on any error — the reference validates before any mutation ever
         forms; this restores the same all-or-nothing contract."""
         snap = self._snapshot()
+        self.last_conditional = False
         try:
             return self._execute(
                 cql, params if params is not None else [], cursor=[0], forced_ts=None
@@ -904,6 +910,7 @@ class CqlWriteSession:
         )
         if head == "insert":
             _, cells, using, cond, json_default = p.insert_statement(params, cursor)
+            self.last_conditional |= cond is not None
             if json_default == "null":
                 # INSERT JSON without DEFAULT UNSET: every declared regular
                 # column absent from the JSON map is written as null
@@ -989,6 +996,7 @@ class CqlWriteSession:
                 )
         elif head == "update":
             _, sets, deltas, key, using, cond, elem_ops = p.update_statement(params, cursor)
+            self.last_conditional |= cond is not None
             self._validate_elem_ops(elem_ops)
             # counter-column rules (Operation.java:169,309; ModificationStatement
             # .java:114,262-263) — enforceable when the DDL declared counters
@@ -1037,6 +1045,7 @@ class CqlWriteSession:
                 )
         elif head == "delete":
             _, cols, key, ranges, using, cond, elem_dels = p.delete_statement(params, cursor)
+            self.last_conditional |= cond is not None
             self._validate_elem_ops(elem_dels)
             if "ttl" in using:
                 # grammar: usingClauseDelete carries TIMESTAMP only (Parser.g)

@@ -46,6 +46,8 @@ _PRIORITY: tuple[str, ...] = (
     "cql_now_writes",  # now()/uuid() folded from the coordinator clock
     "cql_roles_grants",  # DCL tier: roles, grants, LIST shapes
     "cql_index_targets",  # keys()/values()/entries()/full() index kinds
+    "cql_trigger_audit",  # ITrigger tier: CREATE/DROP TRIGGER + augment
+    "cql_paging",  # QueryPager tier: row/group/global pages, PagingState
     # -- (3) stale-by-edit (round-10 edits to their machinery)
     "cql_fn_terms",
     "cql_token_rhs",

@@ -1507,8 +1507,235 @@ SELECT * FROM (VALUES
 """
 
 
+def cql_trigger_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trigger tier end-to-end (triggers/ITrigger.java:41,49;
+    TriggerExecutor.java:113-146; CreateTriggerStatement.java:49-80;
+    the reference's shipped example AuditTrigger.java:34-53 writing
+    (keyspace_name, table_name, partition-key-string) rows keyed by a
+    fresh timeuuid into its configured test.audit table). Exercises:
+    CREATE TRIGGER ... USING 'AuditTrigger', one audit row PER PARTITION
+    UPDATE (a two-row single-partition batch fires once; a two-partition
+    batch fires twice — TriggerExecutor iterates getPartitionUpdates),
+    DELETE firing, a failed LWT condition firing nothing (no partition
+    update forms), DROP TRIGGER stopping the stream, and the
+    system_schema.triggers introspection row (SchemaKeyspace.java:
+    170-178). The audit ids are engine-minted timeuuids (distinct per
+    row — asserted in tests/test_cql_triggers.py); this frame projects
+    the deterministic columns."""
+    from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+    db = CqlDatabase(spark)
+    db.execute("CREATE KEYSPACE tgk WITH REPLICATION = {'class': 'SimpleStrategy'}")
+    # the example trigger's configured audit target (AuditTrigger.properties)
+    db.execute("CREATE KEYSPACE test WITH REPLICATION = {'class': 'SimpleStrategy'}")
+    db.execute(
+        "CREATE TABLE test.audit (id timeuuid PRIMARY KEY, keyspace_name text, "
+        "table_name text, primary_key text)"
+    )
+    db.execute("USE tgk")
+    db.execute("CREATE TABLE src (k int, c int, v text, PRIMARY KEY (k, c))")
+    db.execute("CREATE TRIGGER audit_src ON src USING 'AuditTrigger'")
+    db.execute("INSERT INTO src (k, c, v) VALUES (1, 10, 'a')")
+    db.execute("INSERT INTO src (k, c, v) VALUES (1, 20, 'b')")
+    # one partition -> ONE update -> one audit row
+    db.execute(
+        "BEGIN BATCH "
+        "INSERT INTO src (k, c, v) VALUES (2, 1, 'x'); "
+        "INSERT INTO src (k, c, v) VALUES (2, 2, 'y'); "
+        "APPLY BATCH"
+    )
+    # two partitions -> two updates -> two audit rows
+    db.execute(
+        "BEGIN BATCH "
+        "INSERT INTO src (k, c, v) VALUES (3, 1, 'p'); "
+        "UPDATE src SET v = 'q' WHERE k = 4 AND c = 1; "
+        "APPLY BATCH"
+    )
+    db.execute("DELETE FROM src WHERE k = 9 AND c = 9")
+    # failed condition: no partition update, trigger never fires
+    db.execute("UPDATE src SET v = 'no' WHERE k = 1 AND c = 10 IF v = 'zzz'")
+    meta_rows = db.execute(
+        "SELECT keyspace_name, table_name, trigger_name, options "
+        "FROM system_schema.triggers"
+    )
+    db.execute("DROP TRIGGER audit_src ON src")
+    db.execute("INSERT INTO src (k, c, v) VALUES (5, 1, 'silent')")
+    audit = db.execute(
+        "SELECT keyspace_name, table_name, primary_key FROM test.audit"
+    )
+    src = db.execute("SELECT k, c, v FROM src")
+    out = (
+        audit.select(
+            F.lit("audit").alias("src"),
+            F.col("keyspace_name").alias("x1"),
+            F.col("table_name").alias("x2"),
+            F.col("primary_key").alias("x3"),
+        )
+        .unionByName(
+            src.select(
+                F.lit("row").alias("src"),
+                F.col("k").cast("string").alias("x1"),
+                F.col("c").cast("string").alias("x2"),
+                F.col("v").alias("x3"),
+            )
+        )
+        .unionByName(
+            meta_rows.select(
+                F.lit("meta").alias("src"),
+                F.concat_ws(".", "keyspace_name", "table_name").alias("x1"),
+                F.col("trigger_name").alias("x2"),
+                F.col("options").alias("x3"),
+            )
+        )
+    )
+    return out
+
+
+_TRIGGER_AUDIT_ORACLE = """
+SELECT src, x1, x2, x3 FROM (VALUES
+  ('audit', 'tgk', 'src', '1'),
+  ('audit', 'tgk', 'src', '1'),
+  ('audit', 'tgk', 'src', '2'),
+  ('audit', 'tgk', 'src', '3'),
+  ('audit', 'tgk', 'src', '4'),
+  ('audit', 'tgk', 'src', '9'),
+  ('meta', 'tgk.src', 'audit_src', '{"class": "AuditTrigger"}'),
+  ('row', '1', '10', 'a'),
+  ('row', '1', '20', 'b'),
+  ('row', '2', '1', 'x'),
+  ('row', '2', '2', 'y'),
+  ('row', '3', '1', 'p'),
+  ('row', '4', '1', 'q'),
+  ('row', '5', '1', 'silent')
+) t(src, x1, x2, x3)
+"""
+
+
+def cql_paging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The QueryPager tier (service/pager/QueryPager.java family;
+    AggregationQueryPager.java:39,107 — GROUP BY page size counts
+    GROUPS and pages only contain COMPLETE groups; PagingState.java:49
+    — opaque resumable position; DataLimits — LIMIT counts across
+    pages). Exercises: a row pager over the full table in token-then-
+    clustering order INCLUDING a serialize/resume round-trip after the
+    first page, a GROUP BY pk pager, a GROUP BY pk+clustering-prefix
+    pager, LIMIT shrinking across pages, and the single-page global
+    aggregation. Every row is tagged with its page number, so the
+    oracle pins page BOUNDARIES exactly (via the murmur3-twin token
+    order), not just the union of pages."""
+    from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+    db = CqlDatabase(spark)
+    db.execute("CREATE KEYSPACE pgq WITH REPLICATION = {'class': 'SimpleStrategy'}")
+    db.execute("USE pgq")
+    db.execute("CREATE TABLE t (k int, c int, v int, PRIMARY KEY (k, c))")
+    for k in range(6):
+        for c in range(4):
+            db.execute(
+                "INSERT INTO t (k, c, v) VALUES (?, ?, ?)", [k, c, 10 * k + c]
+            )
+    rows: list[tuple] = []
+
+    def drain(pager, shape) -> None:
+        page = 0
+        while not pager.is_exhausted():
+            got = pager.fetch_page()
+            if not got:
+                break
+            rows.extend(shape(page, r) for r in got)
+            page += 1
+
+    # row pager + a PagingState serialize/resume after page 0
+    p = db.pager("SELECT k, c, v FROM t", page_size=7)
+    first = p.fetch_page()
+    rows.extend(("rows", 0, r["k"], r["c"], r["v"]) for r in first)
+    resumed = db.pager("SELECT k, c, v FROM t", page_size=7, state=p.state())
+    drain(resumed, lambda pg, r: ("rows", pg + 1, r["k"], r["c"], r["v"]))
+    # GROUP BY partition key: 6 groups, pages of 4 -> [4, 2]
+    drain(
+        db.pager("SELECT k, count(v) AS cnt FROM t GROUP BY k", page_size=4),
+        lambda pg, r: ("groups", pg, r["k"], None, r["cnt"]),
+    )
+    # GROUP BY pk + clustering prefix: 24 groups, pages of 10 -> [10, 10, 4]
+    drain(
+        db.pager("SELECT k, c, sum(v) AS s FROM t GROUP BY k, c", page_size=10),
+        lambda pg, r: ("gc", pg, r["k"], r["c"], r["s"]),
+    )
+    # LIMIT counts across pages: 10 rows in pages of 4 -> [4, 4, 2]
+    drain(
+        db.pager("SELECT k, c FROM t LIMIT 10", page_size=4),
+        lambda pg, r: ("lim", pg, r["k"], r["c"], None),
+    )
+    # global aggregation: one page (AggregationPartitionIterator)
+    drain(
+        db.pager("SELECT count(*) AS n FROM t", page_size=1),
+        lambda pg, r: ("global", pg, None, None, r["n"]),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("src", T.StringType()),
+            T.StructField("page", T.IntegerType()),
+            T.StructField("a", T.IntegerType()),
+            T.StructField("b", T.IntegerType()),
+            T.StructField("x", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def _paging_oracle() -> str:
+    """Pages recomputed in SQL from the murmur3-twin token ORDER (the
+    same kernel the engine's order expression uses, pre-folded to a
+    rank per partition key — functions/murmur3.py is itself pinned to
+    reference vectors)."""
+    from cassandra_pmem_spark.catalog import ClusteringColumn, TableMeta
+    from cassandra_pmem_spark.cql.parser import _scalar_token
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.IntegerType()),
+            T.StructField("c", T.IntegerType()),
+            T.StructField("v", T.IntegerType()),
+        ]
+    )
+    meta = TableMeta(
+        "t", schema, partition_key=("k",), clustering=(ClusteringColumn("c"),)
+    )
+    order = sorted(range(6), key=lambda k: _scalar_token(meta, (k,)))
+    tord = ", ".join(f"({k}, {r})" for r, k in enumerate(order))
+    base = ", ".join(
+        f"({k}, {c}, {10 * k + c})" for k in range(6) for c in range(4)
+    )
+    return f"""
+WITH base(k, c, v) AS (VALUES {base}),
+tord(k, r) AS (VALUES {tord}),
+ordered AS (
+  SELECT b.k, b.c, b.v, row_number() OVER (ORDER BY t.r, b.c) - 1 AS rn
+  FROM base b JOIN tord t USING (k)
+)
+SELECT * FROM (
+  SELECT 'rows' AS src, CAST(rn // 7 AS INT) AS page,
+         k AS a, c AS b, CAST(v AS BIGINT) AS x
+  FROM ordered
+  UNION ALL
+  SELECT 'groups', CAST(t.r // 4 AS INT), t.k, NULL, 4
+  FROM tord t
+  UNION ALL
+  SELECT 'gc', CAST(rn // 10 AS INT), k, c, CAST(v AS BIGINT)
+  FROM ordered
+  UNION ALL
+  SELECT 'lim', CAST(rn // 4 AS INT), k, c, NULL
+  FROM ordered WHERE rn < 10
+  UNION ALL
+  SELECT 'global', 0, NULL, NULL, 24
+) q
+"""
+
+
 QUERIES = {
     "cql_fn_terms": (cql_fn_terms, _FN_TERMS_ORACLE),
+    "cql_trigger_audit": (cql_trigger_audit, _TRIGGER_AUDIT_ORACLE),
+    "cql_paging": (cql_paging, _paging_oracle()),
     "cql_index_targets": (cql_index_targets, _INDEX_TARGETS_ORACLE),
     "cql_now_writes": (cql_now_writes, _now_oracle()),
     "cql_roles_grants": (cql_roles_grants, _ROLES_ORACLE),

@@ -239,6 +239,37 @@ def system_schema_frame(spark: SparkSession, registry, name: str) -> tuple:
                 ClusteringColumn("table_name"), ClusteringColumn("index_name"),
             ),
         )
+    elif name == "triggers":
+        # SchemaKeyspace.java:170-178: (keyspace_name, table_name,
+        # trigger_name, options frozen<map<text,text>>) with the single
+        # 'class' option (TriggerMetadata.java:26-32); rendered as
+        # sorted-JSON text like the indexes options column
+        schema = T.StructType(
+            [
+                T.StructField("keyspace_name", T.StringType()),
+                T.StructField("table_name", T.StringType()),
+                T.StructField("trigger_name", T.StringType()),
+                T.StructField("options", T.StringType()),
+            ]
+        )
+        import json as _json
+
+        rows = sorted(
+            (
+                tkey[0] or "",
+                tkey[1],
+                tg_name,
+                _json.dumps({"class": tg_cls}, separators=(", ", ": ")),
+            )
+            for tkey, per in registry.triggers.items()
+            for tg_name, tg_cls in per.items()
+        )
+        meta = TableMeta(
+            "triggers", schema, partition_key=("keyspace_name",),
+            clustering=(
+                ClusteringColumn("table_name"), ClusteringColumn("trigger_name"),
+            ),
+        )
     else:
         from cassandra_pmem_spark.cql.validator import InvalidRequest
 

@@ -1,0 +1,154 @@
+"""Query paging (service/pager/QueryPager.java family;
+AggregationQueryPager.java:39,107 — GROUP BY pages count GROUPS and
+only ever contain complete groups; PagingState.java:49 — opaque
+resumable position; DataLimits — LIMIT counts across pages)."""
+
+from __future__ import annotations
+
+import pytest
+
+from cassandra_pmem_spark.cql.validator import InvalidRequest
+
+
+@pytest.fixture()
+def db(spark):
+    from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+    d = CqlDatabase(spark)
+    d.execute("CREATE KEYSPACE pgks WITH REPLICATION = {'class': 'SimpleStrategy'}")
+    d.execute("USE pgks")
+    d.execute("CREATE TABLE t (k int, c int, v int, PRIMARY KEY (k, c))")
+    for k in range(6):
+        for c in range(4):
+            d.execute(
+                "INSERT INTO t (k, c, v) VALUES (?, ?, ?)", [k, c, 10 * k + c]
+            )
+    return d
+
+
+def drain(pager):
+    pages = []
+    while not pager.is_exhausted():
+        page = pager.fetch_page()
+        if page:
+            pages.append(page)
+    return pages
+
+
+class TestRowPager:
+    def test_pages_cover_everything_once(self, db):
+        p = db.pager("SELECT k, c, v FROM t", page_size=7)
+        pages = drain(p)
+        rows = [tuple(sorted(r.items())) for pg in pages for r in pg]
+        assert len(rows) == 24 and len(set(rows)) == 24
+        assert [len(pg) for pg in pages] == [7, 7, 7, 3]
+
+    def test_token_then_clustering_order(self, db):
+        from cassandra_pmem_spark.cql.parser import _scalar_token
+
+        meta = db.registry.tables[("pgks", "t")]
+        toks = {k: _scalar_token(meta, (k,)) for k in range(6)}
+        expect = [
+            (k, c)
+            for k in sorted(range(6), key=lambda k: toks[k])
+            for c in range(4)
+        ]
+        p = db.pager("SELECT k, c FROM t", page_size=5)
+        got = [(r["k"], r["c"]) for pg in drain(p) for r in pg]
+        assert got == expect
+
+    def test_single_partition_clustering_pages(self, db):
+        p = db.pager("SELECT c, v FROM t WHERE k = 3", page_size=3)
+        pages = drain(p)
+        assert [[r["c"] for r in pg] for pg in pages] == [[0, 1, 2], [3]]
+
+    def test_reversed_order(self, db):
+        p = db.pager(
+            "SELECT c FROM t WHERE k = 2 ORDER BY c DESC", page_size=3
+        )
+        got = [r["c"] for pg in drain(p) for r in pg]
+        assert got == [3, 2, 1, 0]
+
+    def test_limit_counts_across_pages(self, db):
+        p = db.pager("SELECT k, c FROM t LIMIT 10", page_size=4)
+        pages = drain(p)
+        assert [len(pg) for pg in pages] == [4, 4, 2]
+        assert p.max_remaining() == 0
+
+    def test_state_round_trip_resumes(self, db):
+        p = db.pager("SELECT k, c, v FROM t", page_size=9)
+        first = p.fetch_page()
+        blob = p.state()
+        assert isinstance(blob, bytes)
+        # a NEW pager for the same statement continues from the blob
+        q = db.pager("SELECT k, c, v FROM t", page_size=9, state=blob)
+        rest = [r for pg in drain(q) for r in pg]
+        all_rows = [tuple(sorted(r.items())) for r in first + rest]
+        assert len(all_rows) == 24 and len(set(all_rows)) == 24
+
+    def test_page_sees_writes_between_fetches(self, db):
+        # no snapshot isolation across pages, like the reference's
+        # per-page ReadCommands
+        p = db.pager("SELECT k, c FROM t WHERE k = 1", page_size=3)
+        assert len(p.fetch_page()) == 3
+        db.execute("INSERT INTO t (k, c, v) VALUES (1, 9, 99)")
+        assert [r["c"] for r in p.fetch_page()] == [3, 9]
+
+    def test_distinct_partitions_page(self, db):
+        p = db.pager("SELECT DISTINCT k FROM t", page_size=4)
+        pages = drain(p)
+        ks = [r["k"] for pg in pages for r in pg]
+        assert sorted(ks) == list(range(6)) and [len(pg) for pg in pages] == [4, 2]
+
+    def test_exhausted_state_is_none(self, db):
+        p = db.pager("SELECT k FROM t", page_size=100)
+        assert len(p.fetch_page()) == 24
+        assert p.is_exhausted() and p.state() is None and p.fetch_page() == []
+
+
+class TestGroupPager:
+    def test_group_pages_are_complete_groups(self, db):
+        p = db.pager(
+            "SELECT k, count(v) AS cnt FROM t GROUP BY k", page_size=4
+        )
+        pages = drain(p)
+        assert [len(pg) for pg in pages] == [4, 2]
+        for pg in pages:
+            # every group complete: all 4 clustering rows aggregated
+            assert all(r["cnt"] == 4 for r in pg)
+
+    def test_group_by_pk_and_clustering_prefix(self, db):
+        p = db.pager(
+            "SELECT k, c, sum(v) AS s FROM t GROUP BY k, c", page_size=10
+        )
+        pages = drain(p)
+        assert [len(pg) for pg in pages] == [10, 10, 4]
+        got = {(r["k"], r["c"]): r["s"] for pg in pages for r in pg}
+        assert got == {(k, c): 10 * k + c for k in range(6) for c in range(4)}
+
+    def test_group_limit_counts_groups(self, db):
+        p = db.pager(
+            "SELECT k, count(*) AS n FROM t GROUP BY k LIMIT 5", page_size=2
+        )
+        pages = drain(p)
+        assert [len(pg) for pg in pages] == [2, 2, 1]
+
+
+class TestGlobalAggAndGates:
+    def test_global_agg_single_page(self, db):
+        p = db.pager("SELECT count(*) AS n FROM t", page_size=1)
+        page = p.fetch_page()
+        assert len(page) == 1 and page[0]["n"] == 24
+        assert p.is_exhausted()
+
+    def test_per_partition_limit_rejected(self, db):
+        with pytest.raises(InvalidRequest, match="PER PARTITION LIMIT"):
+            db.pager("SELECT k, c FROM t PER PARTITION LIMIT 2", page_size=3)
+
+    def test_bad_state_rejected(self, db):
+        with pytest.raises(InvalidRequest, match="paging state"):
+            db.pager("SELECT k FROM t", page_size=3, state=b"garbage")
+
+    def test_zero_page_size_rejected(self, db):
+        with pytest.raises(InvalidRequest, match="strictly positive"):
+            db.pager("SELECT k FROM t", page_size=0)
