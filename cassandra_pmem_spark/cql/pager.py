@@ -156,14 +156,38 @@ class QueryPager:
             tbl, keyspace=ks or None, current=db.current_keyspace,
             missing_ok=True,
         )
-        if tkey is None:
-            raise InvalidRequest(f"unknown table {st.table!r} for paging")
-        self.meta = db.registry.tables[tkey]
+        if tkey is not None:
+            self.meta = db.registry.tables[tkey]
+        else:
+            # materialized views page like tables (their meta carries
+            # the view's own pk/clustering)
+            vkey = db.registry.views.resolve(
+                tbl, keyspace=ks or None, current=db.current_keyspace,
+                missing_ok=True,
+            )
+            if vkey is None:
+                raise InvalidRequest(f"unknown table {st.table!r} for paging")
+            self.meta = db.registry.views[vkey].meta
         self._tkey = tkey
+
+        def _is_agg(s) -> bool:
+            if s.kind == "agg":
+                return True
+            if s.kind == "call":
+                # a statement-created UDA aggregates too (the same
+                # aggregate-shadows-function resolution _call_sql uses)
+                return (
+                    db.registry.aggregates.resolve(
+                        s.args[0], current=db.current_keyspace,
+                        missing_ok=True,
+                    )
+                    is not None
+                )
+            return False
 
         if st.group_by:
             self.kind = "group"
-        elif any(s.kind == "agg" for s in st.selectors):
+        elif any(_is_agg(s) for s in st.selectors):
             self.kind = "global"
         else:
             self.kind = "row"

@@ -200,6 +200,166 @@ def source_arrow_ipc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(run, "doc_id BIGINT, text_md5 STRING")
 
 
+def source_sstable_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Cassandra 4.0 "big"-format SSTable source/sink
+    (sources/sstable.py — byte layout per UnfilteredSerializer.java:
+    99-262, Cell.java:170-215, VIntCoding.java, ColumnIndex.java:
+    116-128, MetadataSerializer.java:60-111; write path =
+    CqlBulkRecordWriter analog, read path = CqlInputFormat.getSplits
+    analog). Exercises, oracle-pinned:
+
+    - 'data': the full events table (10k rows at sf0.01) bulk-written
+      as FOUR token-range-disjoint sstables (range partition by
+      Murmur3 token, one sstable per task), then read back through
+      Index.db-planned byte-ranged splits and Arrow batches — every
+      value of every type (bigint/timestamp/string/double) must
+      round-trip the wire format bit-exactly against parquet.
+    - 'vis': single-sstable merge semantics from a hand-built sstable:
+      a TTL'd row read before vs after expiry, a row deletion
+      shadowing older cells, a partition-level tombstone, and a cell
+      tombstone leaving its row's other cells live (PurgeFunction /
+      shadowing direction).
+    - 'meta': sstable count and total row/partition bookkeeping from
+      the write manifests.
+    """
+    import shutil
+
+    from cassandra_pmem_spark.catalog import ClusteringColumn, TableMeta
+    from cassandra_pmem_spark.sources.sstable import (
+        DELETION_TIME_EPOCH,
+        TIMESTAMP_EPOCH,
+        CellValue,
+        PartitionData,
+        RowData,
+        SSTableSchema,
+        _MARSHAL,
+        bulk_write_sstables,
+        read_sstables,
+        write_sstable,
+    )
+
+    out_dir = os.path.join(_SCRATCH, "sstable_roundtrip")
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    # CQL's timestamp type stores MILLIS (TimestampType.java) — the
+    # sstable column is declared at that precision, so the micros in
+    # the raw events feed truncate on the way in (both engines below)
+    events = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        F.date_trunc("millisecond", F.col("ts")).alias("ts"),
+        "event_id", "event_type", "value", "props",
+    )
+    meta = TableMeta(
+        "events_sst",
+        events.schema,
+        partition_key=("user_id",),
+        clustering=(ClusteringColumn("ts"), ClusteringColumn("event_id")),
+    )
+    ts0 = TIMESTAMP_EPOCH + 1_000_000
+    manifests = bulk_write_sstables(
+        events, meta, out_dir, sstables=4, timestamp_micros=ts0
+    )
+    back = read_sstables(spark, out_dir, split_bytes=96 * 1024)
+    data = back.select(
+        F.lit("data").alias("src"),
+        F.col("key0").alias("user_id"),
+        F.col("ck1").alias("event_id"),
+        F.date_format(F.col("ck0"), "yyyy-MM-dd HH:mm:ss.SSS").alias("ts_s"),
+        F.col("event_type"),
+        F.col("value"),
+        F.col("props"),
+    )
+
+    # -- 'vis': hand-built sstable with deletions and TTL ----------------
+    vs = SSTableSchema(
+        ["k"], [_MARSHAL + "Int32Type"], ["c"], [_MARSHAL + "Int32Type"],
+        [("v", _MARSHAL + "UTF8Type"), ("w", _MARSHAL + "UTF8Type")],
+    )
+    e0 = DELETION_TIME_EPOCH
+    live = RowData(clustering=[1], liveness_timestamp=ts0,
+                   cells={"v": CellValue("live", ts0),
+                          "w": CellValue("keep", ts0)})
+    ttl_row = RowData(clustering=[2], liveness_timestamp=ts0,
+                      liveness_ttl=60, liveness_expiration=e0 + 60,
+                      cells={"v": CellValue("fades", ts0, ttl=60,
+                                            local_deletion_time=e0 + 60)})
+    shadowed = RowData(clustering=[3], liveness_timestamp=ts0,
+                       deletion=(ts0 + 5, e0 + 5),
+                       cells={"v": CellValue("old", ts0)})
+    celltomb = RowData(clustering=[4], liveness_timestamp=ts0,
+                       cells={"v": CellValue(None, ts0 + 1,
+                                             local_deletion_time=e0 + 1,
+                                             is_tombstone=True),
+                              "w": CellValue("alive", ts0)})
+    # partitions must land in token order: int32 tokens for 1 and 2
+    from cassandra_pmem_spark.functions.murmur3 import (
+        murmur3_token_bytes_py,
+    )
+
+    parts = sorted(
+        [
+            PartitionData(key_values=[1], rows=[live, ttl_row, shadowed,
+                                                celltomb]),
+            PartitionData(key_values=[2], deletion=(ts0 + 9, e0 + 9),
+                          rows=[RowData(clustering=[1],
+                                        liveness_timestamp=ts0,
+                                        cells={"v": CellValue("gone", ts0)})]),
+        ],
+        key=lambda p: murmur3_token_bytes_py(vs.key_bytes(p.key_values)),
+    )
+    vis_dir = os.path.join(out_dir, "vis")
+    write_sstable(vis_dir, 1, vs, parts)
+
+    def vis_rows(now_s: int, tag: str):
+        df = read_sstables(spark, vis_dir, now_seconds=now_s)
+        return df.select(
+            F.lit(tag).alias("src"),
+            F.col("key0").cast("long").alias("user_id"),
+            F.col("ck0").cast("long").alias("event_id"),
+            F.lit(None).cast("string").alias("ts_s"),
+            F.col("v").alias("event_type"),
+            F.lit(None).cast("double").alias("value"),
+            F.col("w").alias("props"),
+        )
+
+    before = vis_rows(e0 + 59, "vis_before")   # TTL row still live
+    after = vis_rows(e0 + 60, "vis_after")     # TTL row expired
+
+    meta_rows = spark.createDataFrame(
+        [(
+            "meta",
+            len(manifests),
+            sum(m["rows"] for m in manifests),
+            None, None, None, None,
+        )],
+        data.schema,
+    )
+    return data.unionByName(before).unionByName(after).unionByName(meta_rows)
+
+
+_SSTABLE_ORACLE = """
+SELECT src, user_id, event_id, ts_s, event_type, value, props FROM (
+  SELECT 'data' AS src, user_id, event_id,
+         strftime(date_trunc('milliseconds', ts),
+                  '%Y-%m-%d %H:%M:%S.%g') AS ts_s,
+         event_type, value, props
+  FROM events
+  UNION ALL
+  -- before expiry: TTL row live; row-deletion shadows c=3's cells but
+  -- partition 2 is wiped by its partition tombstone; c=4 keeps w
+  SELECT * FROM (VALUES
+    ('vis_before', 1, 1, NULL, 'live',  CAST(NULL AS DOUBLE), 'keep'),
+    ('vis_before', 1, 2, NULL, 'fades', NULL, NULL),
+    ('vis_before', 1, 4, NULL, NULL,    NULL, 'alive'),
+    ('vis_after',  1, 1, NULL, 'live',  NULL, 'keep'),
+    ('vis_after',  1, 4, NULL, NULL,    NULL, 'alive')
+  ) t(src, user_id, event_id, ts_s, event_type, value, props)
+  UNION ALL
+  SELECT 'meta', 4, count(*), NULL, NULL, NULL, NULL FROM events
+)
+"""
+
+
 def source_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) layout demonstration (sources/zorder.py — the
     Delta/Iceberg OPTIMIZE ZORDER BY analog for multi-dim file
@@ -1012,6 +1172,7 @@ QUERIES = {
         source_arrow_ipc,
         "SELECT doc_id, md5(text) AS text_md5 FROM documents",
     ),
+    "source_sstable_roundtrip": (source_sstable_roundtrip, _SSTABLE_ORACLE),
     "source_zorder_layout": (source_zorder_layout, _zorder_oracle()),
     "analytics_cube": (analytics_cube, _CUBE_ORACLE),
     "source_compaction_roundtrip": (

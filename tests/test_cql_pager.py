@@ -152,3 +152,19 @@ class TestGlobalAggAndGates:
     def test_zero_page_size_rejected(self, db):
         with pytest.raises(InvalidRequest, match="strictly positive"):
             db.pager("SELECT k FROM t", page_size=0)
+
+
+class TestViewPaging:
+    def test_pager_over_materialized_view(self, db):
+        db.execute(
+            "CREATE MATERIALIZED VIEW byc AS SELECT k, c, v FROM t "
+            "WHERE k IS NOT NULL AND c IS NOT NULL "
+            "PRIMARY KEY (c, k)"
+        )
+        p = db.pager("SELECT c, k, v FROM byc", page_size=10)
+        pages = drain(p)
+        assert [len(pg) for pg in pages] == [10, 10, 4]
+        got = {(r["c"], r["k"]): r["v"] for pg in pages for r in pg}
+        assert got == {
+            (c, k): 10 * k + c for k in range(6) for c in range(4)
+        }

@@ -240,3 +240,35 @@ class TestTriggerGates:
             assert u.rows == ({"c": 4, "v": "w"},)
         finally:
             unregister_trigger_class("Probe")
+
+
+class TestCasSamePartition:
+    def test_same_partition_augment_allowed_on_cas(self, db):
+        # a trigger whose generated mutation targets the SAME table and
+        # partition passes validateForSinglePartition — the CAS write
+        # and its augmentation land atomically
+        class Mirror(ITrigger):
+            def augment(self, update):
+                k = update.partition_key["k"]
+                return [(
+                    "UPDATE test.src SET v = ? WHERE k = ? AND c = 999",
+                    [f"mirror-{k}", k],
+                )]
+
+        register_trigger_class("Mirror", Mirror)
+        try:
+            db.execute("CREATE TRIGGER m ON src USING 'Mirror'")
+            db.execute("INSERT INTO src (k, c, v) VALUES (1, 1, 'a')")
+            applied = db.execute(
+                "UPDATE src SET v = 'b' WHERE k = 1 AND c = 1 IF v = 'a'"
+            )
+            assert applied is True
+            got = {
+                (r.k, r.c): r.v
+                for r in db.execute("SELECT k, c, v FROM src").collect()
+            }
+            # the CAS update, its own mirror row, and the first insert's
+            # mirror row are all present
+            assert got[(1, 1)] == "b" and got[(1, 999)] == "mirror-1"
+        finally:
+            unregister_trigger_class("Mirror")

@@ -1,0 +1,470 @@
+"""Cassandra 4.0 big-format SSTable codec (sources/sstable.py).
+
+Pinned vectors follow the cited reference serializers (VIntCoding.java,
+UnfilteredSerializer.java, Cell.java, DeletionTime.java,
+ClusteringPrefix.java, Columns.java, MetadataSerializer.java); round
+trips pin writer/reader consistency over the full supported surface."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from cassandra_pmem_spark.sources.sstable import (
+    DELETION_TIME_EPOCH,
+    NO_DELETION_TIME,
+    TIMESTAMP_EPOCH,
+    ByteReader,
+    CellValue,
+    EncodingStats,
+    PartitionData,
+    RowData,
+    SSTableSchema,
+    _MARSHAL,
+    bulk_write_sstables,
+    compute_stats,
+    encode_unsigned_vint,
+    encode_vint,
+    parse_statistics,
+    plan_splits,
+    read_data_range,
+    read_index_entries,
+    read_partition,
+    read_sstables,
+    serialize_partition,
+    serialize_statistics,
+    unsigned_vint_size,
+    visible_rows,
+    write_sstable,
+)
+
+
+class TestVints:
+    """VIntCoding.java:66-84,186-238 — the first byte's leading ones
+    count the extra bytes; the remainder rides big-endian."""
+
+    @pytest.mark.parametrize(
+        "value,expected",
+        [
+            (0, b"\x00"),
+            (1, b"\x01"),
+            (127, b"\x7f"),              # max 1-byte
+            (128, b"\x80\x80"),          # 2 bytes: 10|000000 10000000
+            (255, b"\x80\xff"),
+            (256, b"\x81\x00"),
+            (16383, b"\xbf\xff"),        # max 2-byte: 14 value bits
+        ],
+    )
+    def test_small_vectors(self, value, expected):
+        assert encode_unsigned_vint(value) == expected
+
+    def test_two_byte_capacity(self):
+        # s bytes carry 7*s value bits (VIntCoding.computeUnsignedVIntSize)
+        assert unsigned_vint_size((1 << 14) - 1) == 2
+        assert unsigned_vint_size(1 << 14) == 3
+        assert encode_unsigned_vint((1 << 14) - 1) == b"\xbf\xff"
+
+    def test_nine_byte_full_64(self):
+        v = (1 << 64) - 1
+        b = encode_unsigned_vint(v)
+        assert len(b) == 9 and b[0] == 0xFF
+        assert ByteReader(b).unsigned_vint() == v
+
+    @pytest.mark.parametrize(
+        "value", [0, 1, 127, 128, 255, 256, 16384, 2 ** 31, 2 ** 45, 2 ** 63 - 1]
+    )
+    def test_round_trip(self, value):
+        assert ByteReader(encode_unsigned_vint(value)).unsigned_vint() == value
+
+    def test_zigzag(self):
+        assert encode_vint(0) == b"\x00"
+        assert encode_vint(-1) == b"\x01"
+        assert encode_vint(1) == b"\x02"
+        assert ByteReader(encode_vint(-12345)).vint() == -12345
+
+
+def _schema(ck_desc: bool = False) -> SSTableSchema:
+    return SSTableSchema(
+        key_names=["k"],
+        key_types=[_MARSHAL + "Int32Type"],
+        clustering_names=["c"],
+        clustering_types=[
+            f"{_MARSHAL}ReversedType({_MARSHAL}Int32Type)"
+            if ck_desc
+            else _MARSHAL + "Int32Type"
+        ],
+        regular=[("v", _MARSHAL + "UTF8Type"), ("n", _MARSHAL + "LongType")],
+    )
+
+
+def _part(k, rows) -> PartitionData:
+    return PartitionData(key_values=[k], rows=rows)
+
+
+def _row(c, ts, **cells) -> RowData:
+    r = RowData(clustering=[c], liveness_timestamp=ts)
+    for name, v in cells.items():
+        r.cells[name] = CellValue(value=v, timestamp=ts)
+    return r
+
+
+TS = TIMESTAMP_EPOCH + 1000
+
+
+class TestPinnedBytes:
+    """Byte-level pins for one tiny partition, from the cited wire
+    rules — any drift in flags, vints, or layout breaks these."""
+
+    def test_partition_bytes(self):
+        schema = _schema()
+        stats = EncodingStats(TS, DELETION_TIME_EPOCH, 0)
+        part = _part(7, [_row(3, TS, v="hi", n=5)])
+        blob = serialize_partition(part, schema, stats)
+        expect = bytearray()
+        expect += b"\x00\x04" + struct.pack(">i", 7)          # key
+        expect += struct.pack(">iq", NO_DELETION_TIME, -(1 << 63))  # live
+        # row: flags = HAS_TIMESTAMP | HAS_ALL_COLUMNS = 0x24
+        expect += b"\x24"
+        expect += b"\x00" + struct.pack(">i", 3)              # clustering hdr + value
+        # body: liveness ts delta vint(0); cells sorted (n, v)
+        body = bytearray(b"\x00")
+        # n: flags USE_ROW_TIMESTAMP 0x08, fixed 8-byte value
+        body += b"\x08" + struct.pack(">q", 5)
+        # v: flags 0x08, vint len + bytes
+        body += b"\x08" + b"\x02hi"
+        expect += bytes([len(body) + 1])                       # size vint
+        expect += b"\x00"                                      # prev size
+        expect += body
+        expect += b"\x01"                                      # END_OF_PARTITION
+        assert blob == bytes(expect)
+
+    def test_deletion_time_live_pin(self):
+        # DeletionTime.java:177 LIVE = (MAX_INT ldt, MIN_LONG mfda)
+        schema = _schema()
+        stats = EncodingStats(TS, DELETION_TIME_EPOCH, 0)
+        blob = serialize_partition(_part(1, []), schema, stats)
+        assert blob[2 + 4:2 + 4 + 12] == b"\x7f\xff\xff\xff\x80" + b"\x00" * 7
+
+    def test_column_subset_bitmap(self):
+        # row with only 'v' (superset n,v): missing bitmap = bit0 (n)
+        schema = _schema()
+        stats = EncodingStats(TS, DELETION_TIME_EPOCH, 0)
+        row = _row(1, TS, v="x")
+        blob = serialize_partition(_part(1, [row]), schema, stats)
+        # flags byte after the 12-byte deletion: HAS_TIMESTAMP only
+        flags = blob[2 + 4 + 12]
+        assert flags == 0x04
+        # body begins after clustering (hdr+4) and two size vints
+        body_at = 2 + 4 + 12 + 1 + 1 + 4
+        size = blob[body_at]
+        prev = blob[body_at + 1]
+        # the size vint covers the body PLUS the prev-size vint
+        # (UnfilteredSerializer.java:195-199)
+        assert prev == 0 and size == len(blob) - body_at - 1 - 1
+        body = blob[body_at + 2:-1]
+        assert body[0] == 0x00          # ts delta
+        assert body[1] == 0x01          # missing-columns bitmap: n absent
+
+
+class TestRoundTrip:
+    def test_rows_cells_clustering(self):
+        schema = _schema()
+        parts = [
+            _part(1, [_row(1, TS, v="a", n=1), _row(2, TS + 5, v="b")]),
+            _part(2, [_row(9, TS + 1, n=42)]),
+        ]
+        stats = compute_stats(parts)
+        blob = b"".join(serialize_partition(p, schema, stats) for p in parts)
+        r = ByteReader(blob)
+        got = [read_partition(r, schema, stats), read_partition(r, schema, stats)]
+        assert r.remaining() == 0
+        assert got[0].key_values == [1] and got[1].key_values == [2]
+        assert got[0].rows[0].cells["v"].value == "a"
+        assert got[0].rows[0].cells["n"].value == 1
+        assert got[0].rows[1].cells["v"].timestamp == TS + 5
+        assert "n" not in got[0].rows[1].cells
+        assert got[1].rows[0].clustering == [9]
+
+    def test_row_deletion_and_cell_tombstone(self):
+        schema = _schema()
+        dead = RowData(clustering=[5], deletion=(TS + 10, DELETION_TIME_EPOCH + 10))
+        tomb = RowData(clustering=[6], liveness_timestamp=TS)
+        tomb.cells["v"] = CellValue(
+            value=None, timestamp=TS + 2,
+            local_deletion_time=DELETION_TIME_EPOCH + 2, is_tombstone=True,
+        )
+        parts = [_part(3, [dead, tomb])]
+        stats = compute_stats(parts)
+        blob = serialize_partition(parts[0], schema, stats)
+        got = read_partition(ByteReader(blob), schema, stats)
+        assert got.rows[0].deletion == (TS + 10, DELETION_TIME_EPOCH + 10)
+        assert got.rows[1].cells["v"].is_tombstone
+        assert got.rows[1].cells["v"].timestamp == TS + 2
+
+    def test_expiring_cells_and_row_ttl(self):
+        schema = _schema()
+        row = RowData(
+            clustering=[1], liveness_timestamp=TS,
+            liveness_ttl=600, liveness_expiration=DELETION_TIME_EPOCH + 600,
+        )
+        row.cells["v"] = CellValue(
+            value="x", timestamp=TS, ttl=600,
+            local_deletion_time=DELETION_TIME_EPOCH + 600,
+        )
+        row.cells["n"] = CellValue(
+            value=7, timestamp=TS + 1, ttl=60,
+            local_deletion_time=DELETION_TIME_EPOCH + 61,
+        )
+        parts = [_part(4, [row])]
+        stats = compute_stats(parts)
+        got = read_partition(
+            ByteReader(serialize_partition(parts[0], schema, stats)),
+            schema, stats,
+        )
+        v = got.rows[0].cells["v"]
+        assert (v.ttl, v.local_deletion_time) == (600, DELETION_TIME_EPOCH + 600)
+        n = got.rows[0].cells["n"]
+        assert (n.ttl, n.local_deletion_time) == (60, DELETION_TIME_EPOCH + 61)
+
+    def test_partition_deletion_and_visibility(self):
+        schema = _schema()
+        part = _part(5, [_row(1, TS, v="old")])
+        part.deletion = (TS + 100, DELETION_TIME_EPOCH + 1)
+        stats = compute_stats([part])
+        got = read_partition(
+            ByteReader(serialize_partition(part, schema, stats)), schema, stats
+        )
+        assert got.deletion == (TS + 100, DELETION_TIME_EPOCH + 1)
+        # shadowed by the partition tombstone
+        assert visible_rows(got, schema, DELETION_TIME_EPOCH) == []
+
+    def test_ttl_expiry_visibility(self):
+        schema = _schema()
+        row = RowData(
+            clustering=[1], liveness_timestamp=TS,
+            liveness_ttl=60, liveness_expiration=DELETION_TIME_EPOCH + 60,
+        )
+        row.cells["v"] = CellValue(
+            value="x", timestamp=TS, ttl=60,
+            local_deletion_time=DELETION_TIME_EPOCH + 60,
+        )
+        part = _part(6, [row])
+        stats = compute_stats([part])
+        got = read_partition(
+            ByteReader(serialize_partition(part, schema, stats)), schema, stats
+        )
+        alive = visible_rows(got, schema, DELETION_TIME_EPOCH + 59)
+        gone = visible_rows(got, schema, DELETION_TIME_EPOCH + 60)
+        assert len(alive) == 1 and alive[0]["v"] == "x"
+        assert gone == []
+
+    def test_composite_key_and_reversed_clustering(self):
+        schema = SSTableSchema(
+            key_names=["a", "b"],
+            key_types=[_MARSHAL + "Int32Type", _MARSHAL + "UTF8Type"],
+            clustering_names=["c"],
+            clustering_types=[f"{_MARSHAL}ReversedType({_MARSHAL}Int32Type)"],
+            regular=[("v", _MARSHAL + "DoubleType")],
+        )
+        part = PartitionData(key_values=[3, "xy"])
+        part.rows = [
+            RowData(clustering=[9], liveness_timestamp=TS,
+                    cells={"v": CellValue(1.5, TS)}),
+        ]
+        stats = compute_stats([part])
+        got = read_partition(
+            ByteReader(serialize_partition(part, schema, stats)), schema, stats
+        )
+        assert got.key_values == [3, "xy"]
+        assert got.rows[0].cells["v"].value == 1.5
+
+
+class TestStatisticsAndIndex:
+    def test_statistics_round_trip(self):
+        schema = _schema()
+        stats = EncodingStats(TS, DELETION_TIME_EPOCH + 3, 60)
+        blob = serialize_statistics(schema, stats)
+        got_stats, hdr = parse_statistics(blob)
+        assert (got_stats.min_timestamp, got_stats.min_local_deletion_time,
+                got_stats.min_ttl) == (TS, DELETION_TIME_EPOCH + 3, 60)
+        assert hdr["key_types"] == [_MARSHAL + "Int32Type"]
+        assert hdr["clustering_types"] == [_MARSHAL + "Int32Type"]
+        assert hdr["regular"] == [
+            ("n", _MARSHAL + "LongType"), ("v", _MARSHAL + "UTF8Type"),
+        ]
+
+    def test_statistics_checksum_detects_corruption(self):
+        blob = bytearray(
+            serialize_statistics(_schema(), EncodingStats(TS, DELETION_TIME_EPOCH, 0))
+        )
+        blob[-3] ^= 0xFF
+        with pytest.raises(ValueError, match="checksum"):
+            parse_statistics(bytes(blob))
+
+    def test_write_sstable_files_and_index(self, tmp_path):
+        from cassandra_pmem_spark.cql.parser import _scalar_token
+        from cassandra_pmem_spark.catalog import (
+            ClusteringColumn, TableMeta,
+        )
+        from pyspark.sql import types as T
+
+        schema = _schema()
+        meta = TableMeta(
+            "t",
+            T.StructType([
+                T.StructField("k", T.IntegerType()),
+                T.StructField("c", T.IntegerType()),
+                T.StructField("v", T.StringType()),
+                T.StructField("n", T.LongType()),
+            ]),
+            partition_key=("k",),
+            clustering=(ClusteringColumn("c"),),
+        )
+        ks = sorted(range(8), key=lambda k: _scalar_token(meta, (k,)))
+        parts = [_part(k, [_row(0, TS, v=str(k), n=k)]) for k in ks]
+        stats = compute_stats(parts)
+        man = write_sstable(str(tmp_path), 1, schema, parts)
+        assert man["partitions"] == 8 and man["rows"] == 8
+        names = sorted(p.name for p in tmp_path.iterdir())
+        assert names == [
+            "nb-1-big-Data.db", "nb-1-big-Digest.crc32", "nb-1-big-Index.db",
+            "nb-1-big-Statistics.db", "nb-1-big-TOC.txt",
+        ]
+        idx = (tmp_path / "nb-1-big-Index.db").read_bytes()
+        entries = read_index_entries(idx)
+        assert len(entries) == 8
+        data = (tmp_path / "nb-1-big-Data.db").read_bytes()
+        # every index position starts a partition whose key matches
+        for key, pos in entries:
+            klen = struct.unpack(">H", data[pos:pos + 2])[0]
+            assert data[pos + 2:pos + 2 + klen] == key
+        # digest = crc32 of Data.db as decimal text
+        import zlib as _z
+
+        assert (tmp_path / "nb-1-big-Digest.crc32").read_text() == str(
+            _z.crc32(data)
+        )
+        # out-of-token-order rejects (beforeAppend analog)
+        with pytest.raises(ValueError, match="token order"):
+            write_sstable(str(tmp_path), 2, schema, list(reversed(parts)))
+        # splits at partition boundaries cover the file exactly
+        splits = plan_splits(idx, len(data), target_bytes=40)
+        assert splits[0][0] == 0 and splits[-1][1] == len(data)
+        assert all(a < b for a, b in splits)
+        assert [s for s, _e in splits[1:]] == [e for _s, e in splits[:-1]]
+        got = []
+        for s, e in splits:
+            got.extend(read_data_range(data, s, e, schema, stats))
+        assert [p.key_values[0] for p in got] == ks
+
+
+class TestSparkIntegration:
+    def test_bulk_write_then_distributed_read(self, spark, tmp_path):
+        from cassandra_pmem_spark.catalog import ClusteringColumn, TableMeta
+        from pyspark.sql import types as T
+
+        schema = T.StructType([
+            T.StructField("k", T.IntegerType()),
+            T.StructField("c", T.IntegerType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("n", T.LongType()),
+        ])
+        meta = TableMeta(
+            "t", schema, partition_key=("k",),
+            clustering=(ClusteringColumn("c"),),
+        )
+        rows = [
+            (k, c, f"{k}:{c}" if (k + c) % 5 else None, k * 100 + c)
+            for k in range(20)
+            for c in range(3)
+        ]
+        df = spark.createDataFrame(rows, schema)
+        out = str(tmp_path / "sst")
+        manifests = bulk_write_sstables(
+            df, meta, out, sstables=3, timestamp_micros=TS
+        )
+        assert sum(m["rows"] for m in manifests) == 60
+        assert len(manifests) == 3
+        back = read_sstables(spark, out, split_bytes=200)
+        got = {
+            (r["key0"], r["ck0"]): (r["v"], r["n"])
+            for r in (x.asDict() for x in back.collect())
+        }
+        assert len(got) == 60
+        for k, c, v, n in rows:
+            assert got[(k, c)] == (v, n)
+
+    def test_disjoint_token_ranges_per_sstable(self, spark, tmp_path):
+        from cassandra_pmem_spark.catalog import TableMeta
+        from cassandra_pmem_spark.cql.parser import _scalar_token
+        from cassandra_pmem_spark.sources.sstable import read_index_entries
+        from pyspark.sql import types as T
+        import os as _os
+
+        schema = T.StructType([
+            T.StructField("k", T.IntegerType()),
+            T.StructField("x", T.IntegerType()),
+        ])
+        meta = TableMeta("t", schema, partition_key=("k",))
+        df = spark.createDataFrame([(i, i) for i in range(64)], schema)
+        out = str(tmp_path / "sst")
+        bulk_write_sstables(df, meta, out, sstables=4, timestamp_micros=TS)
+        ranges = []
+        for f in sorted(_os.listdir(out)):
+            if f.endswith("-Index.db"):
+                entries = read_index_entries(
+                    open(_os.path.join(out, f), "rb").read()
+                )
+                toks = [
+                    _scalar_token(
+                        meta,
+                        (struct.unpack(">i", key)[0],),
+                    )
+                    for key, _pos in entries
+                ]
+                assert toks == sorted(toks)
+                ranges.append((toks[0], toks[-1]))
+        ranges.sort()
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 < lo2  # disjoint token ranges, the bulk-load contract
+
+
+class TestEdges:
+    def test_empty_string_value_round_trips(self):
+        # HAS_EMPTY_VALUE carries a LIVE empty value (Cell.java:181,187)
+        schema = _schema()
+        row = _row(1, TS, v="")
+        parts = [_part(1, [row])]
+        stats = compute_stats(parts)
+        got = read_partition(
+            ByteReader(serialize_partition(parts[0], schema, stats)),
+            schema, stats,
+        )
+        cell = got.rows[0].cells["v"]
+        assert cell.value == "" and not cell.is_tombstone
+        vis = visible_rows(got, schema, DELETION_TIME_EPOCH)
+        assert vis[0]["v"] == ""
+
+    def test_many_clustering_columns_batch_header(self):
+        # >32 clustering values exercise the second 32-value header
+        # batch (Java shifts wrap mod 64 — ClusteringPrefix.java:415)
+        n = 40
+        schema = SSTableSchema(
+            ["k"], [_MARSHAL + "Int32Type"],
+            [f"c{i}" for i in range(n)],
+            [_MARSHAL + "Int32Type"] * n,
+            [("v", _MARSHAL + "UTF8Type")],
+        )
+        vals = [i if i % 3 else None for i in range(n)]
+        row = RowData(clustering=list(vals), liveness_timestamp=TS,
+                      cells={"v": CellValue("x", TS)})
+        parts = [PartitionData(key_values=[1], rows=[row])]
+        stats = compute_stats(parts)
+        got = read_partition(
+            ByteReader(serialize_partition(parts[0], schema, stats)),
+            schema, stats,
+        )
+        assert got.rows[0].clustering == [
+            None if i % 3 == 0 else i for i in range(n)
+        ]
