@@ -779,3 +779,76 @@ def murmur3_token_bytes_py(data: bytes) -> int:
     h1 = (h1 + h2) & mask
     signed = h1 - TWO64 if h1 >= TWO63 else h1
     return LONG_MAX if signed == LONG_MIN else signed
+
+
+def murmur3_x64_128_py(data: bytes) -> tuple[int, int]:
+    """The full 128-bit hash (utils/MurmurHash.java:174-252 hash3_x64_128,
+    seed 0) as SIGNED (h1, h2) — the pair BloomFilter key hashing
+    consumes (BloomFilter.java:69-75 getHashBuckets). Same math as
+    murmur3_token_bytes_py (which returns only the partitioner's h1,
+    MIN-normalized); kept separate so the token ground-truth stays
+    byte-for-byte pinned."""
+    mask = TWO64 - 1
+    length = len(data)
+    nblocks = length >> 4
+    h1 = h2 = 0
+
+    def mul(a: int, c: int) -> int:
+        return (a * c) & mask
+
+    def rotl(a: int, n: int) -> int:
+        return ((a << n) | (a >> (64 - n))) & mask
+
+    def fmix(h: int) -> int:
+        h ^= h >> 33
+        h = mul(h, F1)
+        h ^= h >> 33
+        h = mul(h, F2)
+        return h ^ (h >> 33)
+
+    def getblock(i: int) -> int:
+        o = i << 3
+        v = 0
+        for j in range(8):
+            v |= data[o + j] << (8 * j)
+        return v
+
+    for i in range(nblocks):
+        k1, k2 = getblock(i * 2), getblock(i * 2 + 1)
+        k1 = mul(rotl(mul(k1, C1), 31), C2)
+        h1 ^= k1
+        h1 = (rotl(h1, 27) + h2) & mask
+        h1 = (mul(h1, 5) + 0x52DCE729) & mask
+        k2 = mul(rotl(mul(k2, C2), 33), C1)
+        h2 ^= k2
+        h2 = (rotl(h2, 31) + h1) & mask
+        h2 = (mul(h2, 5) + 0x38495AB5) & mask
+
+    def sx(b: int) -> int:
+        return b | (mask ^ 0xFF) if b > 127 else b
+
+    t = nblocks << 4
+    rem = length & 15
+    k1 = k2 = 0
+    for i in range(8, rem):
+        k2 ^= (sx(data[t + i]) << (8 * (i - 8))) & mask
+    if rem > 8:
+        h2 ^= mul(rotl(mul(k2, C2), 33), C1)
+    for i in range(min(rem, 8)):
+        k1 ^= (sx(data[t + i]) << (8 * i)) & mask
+    if rem > 0:
+        h1 ^= mul(rotl(mul(k1, C1), 31), C2)
+
+    h1 ^= length
+    h2 ^= length
+    h1 = (h1 + h2) & mask
+    h2 = (h2 + h1) & mask
+    h1 = fmix(h1)
+    h2 = fmix(h2)
+    h1 = (h1 + h2) & mask
+    h2 = (h2 + h1) & mask
+
+    def signed(v: int) -> int:
+        return v - TWO64 if v >= TWO63 else v
+
+    return signed(h1), signed(h2)

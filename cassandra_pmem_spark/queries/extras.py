@@ -256,8 +256,12 @@ def source_sstable_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         clustering=(ClusteringColumn("ts"), ClusteringColumn("event_id")),
     )
     ts0 = TIMESTAMP_EPOCH + 1_000_000
+    # chunked-LZ4 compressed Data.db + CompressionInfo.db — the
+    # reference's default on-disk shape; split positions stay in
+    # uncompressed coordinates and map through the chunk offsets
     manifests = bulk_write_sstables(
-        events, meta, out_dir, sstables=4, timestamp_micros=ts0
+        events, meta, out_dir, sstables=4, timestamp_micros=ts0,
+        compression=True,
     )
     back = read_sstables(spark, out_dir, split_bytes=96 * 1024)
     data = back.select(

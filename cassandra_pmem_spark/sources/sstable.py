@@ -55,10 +55,15 @@ ascii/double/float/boolean/timestamp/blob/uuid keys and values,
 composite partition keys, clustering columns incl. ReversedType (DESC),
 row liveness with optional TTL, row-level deletions, cell tombstones
 and expiring cells on the read path, partition-level deletions.
-Omitted: static rows, range tombstone markers, complex (collection)
-columns, Summary.db/Filter.db, and the STATS/COMPACTION metadata
-components (the HEADER + VALIDATION components written here are the
-ones the data path needs; the TOC records exactly what exists).
+Filter.db is written and used: the bloom filter hashes the key's full
+128-bit Murmur3 into hashCount bit positions (BloomFilter.java:69-102,
+OffHeapBitSet bit/byte layout, BloomFilterSerializer.java:34-38), and
+``sstable_point_read`` consults it before touching Index/Data — the
+BigTableReader single-partition path. Omitted: static rows, range
+tombstone markers, complex (collection) columns, Summary.db, and the
+STATS/COMPACTION metadata components (the HEADER + VALIDATION
+components written here are the ones the data path needs; the TOC
+records exactly what exists).
 
 Scale posture: the write sink range-partitions rows by Murmur3 token so
 every task writes one SSTable covering a disjoint token range (the
@@ -958,10 +963,18 @@ def compute_stats(partitions: list[PartitionData]) -> EncodingStats:
 
 
 def write_sstable(out_dir: str, generation: int, schema: SSTableSchema,
-                  partitions: list[PartitionData]) -> dict:
+                  partitions: list[PartitionData],
+                  compression: bool = False,
+                  chunk_length: int | None = None) -> dict:
     """Write one complete sstable. Partitions MUST arrive in token
     order (beforeAppend's monotonicity check — BigTableWriter.java:
-    120-126); ties/regressions raise. Returns a manifest dict."""
+    120-126); ties/regressions raise. Returns a manifest dict.
+
+    With ``compression=True`` Data.db is the chunked-LZ4 compressed
+    stream plus CompressionInfo.db (index positions stay in
+    UNCOMPRESSED coordinates, like the reference — readers map them
+    through the chunk offsets); Digest.crc32 then checksums the
+    on-disk (compressed) file."""
     from cassandra_pmem_spark.functions.murmur3 import (
         murmur3_token_bytes_py,
     )
@@ -970,6 +983,7 @@ def write_sstable(out_dir: str, generation: int, schema: SSTableSchema,
     stats = compute_stats(partitions)
     data = bytearray()
     index = bytearray()
+    bf = BloomFilter.sized_for(len(partitions))
     last_token_key = None
     for part in partitions:
         key = schema.key_bytes(part.key_values)
@@ -979,6 +993,7 @@ def write_sstable(out_dir: str, generation: int, schema: SSTableSchema,
                 f"partitions out of token order: {tk} after {last_token_key}"
             )
         last_token_key = tk
+        bf.add(key)  # IndexWriter.append's bf.add (BigTableWriter.java:457)
         pos = len(data)
         data += serialize_partition(part, schema, stats)
         # Index.db entry (BigTableWriter.IndexWriter.append +
@@ -988,20 +1003,35 @@ def write_sstable(out_dir: str, generation: int, schema: SSTableSchema,
         index += encode_unsigned_vint(0)
     os.makedirs(out_dir, exist_ok=True)
     paths = {k: os.path.join(out_dir, v) for k, v in names.items()}
+    with open(os.path.join(out_dir, f"{VERSION}-{generation}-big-Filter.db"),
+              "wb") as f:
+        f.write(bf.serialize())
+    on_disk = bytes(data)
+    components = ["Data.db", "Index.db", "Filter.db", "Statistics.db"]
+    if compression:
+        on_disk, info = compress_data(
+            bytes(data), chunk_length or DEFAULT_CHUNK_LENGTH
+        )
+        with open(
+            os.path.join(
+                out_dir, f"{VERSION}-{generation}-big-CompressionInfo.db"
+            ),
+            "wb",
+        ) as f:
+            f.write(info)
+        components.append("CompressionInfo.db")
     with open(paths["data"], "wb") as f:
-        f.write(data)
+        f.write(on_disk)
     with open(paths["index"], "wb") as f:
         f.write(index)
     with open(paths["stats"], "wb") as f:
         f.write(serialize_statistics(schema, stats))
     with open(paths["digest"], "w") as f:
         # ChecksumWriter.writeFullChecksum: decimal text of the full
-        # Data.db CRC32
-        f.write(str(zlib.crc32(data)))
+        # on-disk Data.db CRC32
+        f.write(str(zlib.crc32(on_disk)))
     with open(paths["toc"], "w") as f:
-        f.write(
-            "Data.db\nIndex.db\nStatistics.db\nDigest.crc32\nTOC.txt\n"
-        )
+        f.write("\n".join(components + ["Digest.crc32", "TOC.txt"]) + "\n")
     return {
         "data_path": paths["data"],
         "partitions": len(partitions),
@@ -1120,7 +1150,8 @@ def _spark_schema(schema: SSTableSchema):
 def bulk_write_sstables(df, meta, out_dir: str, sstables: int = 1,
                         timestamp_micros: int = TIMESTAMP_EPOCH + 1,
                         ttl_seconds: int = 0,
-                        type_overrides: dict | None = None) -> list[dict]:
+                        type_overrides: dict | None = None,
+                        compression: bool = False) -> list[dict]:
     """The CqlBulkRecordWriter / SSTable bulk-load analog: range-
     partition the frame by Murmur3 token so each task owns a DISJOINT
     token range and writes one complete sstable (generation = Spark
@@ -1188,7 +1219,9 @@ def bulk_write_sstables(df, meta, out_dir: str, sstables: int = 1,
                 parts[-1].rows.append(row)
         if not parts:
             return
-        manifest = write_sstable(out_dir, gen, schema, parts)
+        manifest = write_sstable(
+            out_dir, gen, schema, parts, compression=compression
+        )
         yield pd.DataFrame([manifest])
 
     from pyspark.sql import types as T
@@ -1261,9 +1294,17 @@ def read_sstables(spark, in_dir: str, split_bytes: int = 64 * 1024 * 1024,
         for pdf in pdf_iter:
             out = []
             for path in pdf["path"]:
-                with open(path[: -len("Data.db")] + "Index.db", "rb") as f:
+                base = path[: -len("Data.db")]
+                with open(base + "Index.db", "rb") as f:
                     idx = f.read()
-                dlen = os.path.getsize(path)
+                # split coordinates are UNCOMPRESSED positions: for a
+                # compressed sstable the logical length comes from
+                # CompressionInfo's dataLength, not the file size
+                if os.path.exists(base + "CompressionInfo.db"):
+                    with open(base + "CompressionInfo.db", "rb") as f:
+                        dlen = CompressionInfo.parse(f.read()).data_length
+                else:
+                    dlen = os.path.getsize(path)
                 for s, e in plan_splits(idx, dlen, split_bytes):
                     out.append((path, s, e))
             if out:
@@ -1290,14 +1331,19 @@ def read_sstables(spark, in_dir: str, split_bytes: int = 64 * 1024 * 1024,
         for pdf in pdf_iter:
             rows = []
             for path, start, end in zip(pdf["path"], pdf["start"], pdf["end"]):
+                base = path[: -len("Data.db")]
                 with open(path, "rb") as f:
                     blob = f.read()
-                with open(
-                    path[: -len("Data.db")] + "Statistics.db", "rb"
-                ) as f:
+                with open(base + "Statistics.db", "rb") as f:
                     stats, _h = parse_statistics(f.read())
+                start, end = int(start), int(end)
+                if os.path.exists(base + "CompressionInfo.db"):
+                    with open(base + "CompressionInfo.db", "rb") as f:
+                        cinfo = CompressionInfo.parse(f.read())
+                    buf, base_off = decompress_range(blob, cinfo, start, end)
+                    blob, start, end = buf, start - base_off, end - base_off
                 for part in read_data_range(
-                    blob, int(start), int(end), schema, stats
+                    blob, start, end, schema, stats
                 ):
                     rows.extend(visible_rows(part, schema, now_seconds))
             if rows:
@@ -1311,3 +1357,246 @@ def read_sstables(spark, in_dir: str, split_bytes: int = 64 * 1024 * 1024,
         splits_df.repartition(n_splits, F.col("path"), F.col("start"))
         .mapInPandas(parse, schema=out_schema)
     )
+
+
+# -- Filter.db bloom filter (utils/BloomFilter.java, OffHeapBitSet.java) -----
+
+import math as _math
+
+
+def _java_mod_abs(a: int, m: int) -> int:
+    """FBUtilities.abs(base % max) with Java's truncated % semantics
+    (BloomFilter.setIndexes:95-102)."""
+    a = ((a + (1 << 63)) & ((1 << 64) - 1)) - (1 << 63)  # wrap to signed 64
+    r = a - (abs(a) // m) * m * (1 if a >= 0 else -1)
+    return r if r >= 0 else -r
+
+
+def bloom_indexes(key: bytes, hash_count: int, bits: int) -> list[int]:
+    """getHashBuckets (BloomFilter.java:69-102): 128-bit Murmur3 of the
+    key (seed 0) -> base = h2, inc = h1; index_i = abs((base + i*inc)
+    mod bits), base wrapping in 64-bit."""
+    from cassandra_pmem_spark.functions.murmur3 import murmur3_x64_128_py
+
+    h1, h2 = murmur3_x64_128_py(key)
+    out = []
+    base, inc = h2, h1
+    for _ in range(hash_count):
+        out.append(_java_mod_abs(base, bits))
+        base = ((base + inc) + (1 << 63)) % (1 << 64) - (1 << 63)
+    return out
+
+
+class BloomFilter:
+    """hashCount + an OffHeapBitSet-layout byte array (bit i lives at
+    byte i>>3, bit i&7 — OffHeapBitSet.java:82-96; file layout
+    BloomFilterSerializer.java:34-38: int hashCount, int wordCount,
+    raw bytes)."""
+
+    def __init__(self, hash_count: int, bits: bytearray):
+        self.hash_count = hash_count
+        self.bits = bits
+
+    @classmethod
+    def sized_for(cls, n_keys: int, fp_chance: float = 0.01) -> "BloomFilter":
+        # standard optimal sizing (the reference's BloomCalculations
+        # table-lookup approximates the same curve); rounded up to
+        # whole 8-byte words like OffHeapBitSet allocation
+        n = max(1, n_keys)
+        m = max(64, int(_math.ceil(-n * _math.log(fp_chance) / (_math.log(2) ** 2))))
+        m = (m + 63) // 64 * 64
+        k = max(1, round(m / n * _math.log(2)))
+        return cls(k, bytearray(m // 8))
+
+    def add(self, key: bytes) -> None:
+        for i in bloom_indexes(key, self.hash_count, len(self.bits) * 8):
+            self.bits[i >> 3] |= 1 << (i & 7)
+
+    def is_present(self, key: bytes) -> bool:
+        return all(
+            self.bits[i >> 3] & (1 << (i & 7))
+            for i in bloom_indexes(key, self.hash_count, len(self.bits) * 8)
+        )
+
+    def serialize(self) -> bytes:
+        assert len(self.bits) % 8 == 0
+        return (
+            struct.pack(">i", self.hash_count)
+            + struct.pack(">i", len(self.bits) // 8)
+            + bytes(self.bits)
+        )
+
+    @classmethod
+    def deserialize(cls, blob: bytes) -> "BloomFilter":
+        r = ByteReader(blob)
+        hashes = r.i32()
+        words = r.i32()
+        return cls(hashes, bytearray(r.take(words * 8)))
+
+
+def sstable_point_read(sst_dir: str, key_values: list,
+                       now_seconds: int | None = None) -> list[dict]:
+    """Single-partition read across a directory's sstables — the
+    BigTableReader.getPosition path (bloom check -> partition index ->
+    one Data.db seek; SinglePartitionReadCommand.queryMemtableAndDisk
+    direction). Returns the partition's visible rows. Driver-side by
+    design, like every point read."""
+    if now_seconds is None:
+        now_seconds = 2 ** 31 - 2
+    out: list[dict] = []
+    for f in sorted(os.listdir(sst_dir)):
+        if not f.endswith("-Data.db"):
+            continue
+        base = os.path.join(sst_dir, f[: -len("Data.db")])
+        with open(base + "Statistics.db", "rb") as fh:
+            stats, hdr = parse_statistics(fh.read())
+        schema = SSTableSchema(
+            [f"key{i}" for i in range(len(hdr["key_types"]))],
+            hdr["key_types"],
+            [f"ck{i}" for i in range(len(hdr["clustering_types"]))],
+            hdr["clustering_types"],
+            hdr["regular"],
+        )
+        key = schema.key_bytes(key_values)
+        filter_path = base + "Filter.db"
+        if os.path.exists(filter_path):
+            with open(filter_path, "rb") as fh:
+                bf = BloomFilter.deserialize(fh.read())
+            if not bf.is_present(key):
+                continue  # definite miss — Data.db never touched
+        with open(base + "Index.db", "rb") as fh:
+            entries = read_index_entries(fh.read())
+        pos = next((p for k, p in entries if k == key), None)
+        if pos is None:
+            continue  # bloom false positive
+        with open(base + "Data.db", "rb") as fh:
+            blob = fh.read()
+        if os.path.exists(base + "CompressionInfo.db"):
+            # decompress chunk windows from the partition's position,
+            # widening until the partition parses completely — the
+            # chunkFor + sequential-read shape of the compressed path
+            with open(base + "CompressionInfo.db", "rb") as fh:
+                cinfo = CompressionInfo.parse(fh.read())
+            window = 4 * cinfo.chunk_length
+            while True:
+                buf, base_off = decompress_range(
+                    blob, cinfo, pos, min(pos + window, cinfo.data_length)
+                )
+                try:
+                    part = read_partition(
+                        ByteReader(buf, pos - base_off), schema, stats
+                    )
+                    break
+                except ValueError:
+                    if pos + window >= cinfo.data_length:
+                        raise
+                    window *= 2
+        else:
+            part = read_partition(ByteReader(blob, pos), schema, stats)
+        out.extend(visible_rows(part, schema, now_seconds))
+    return out
+
+
+# -- CompressionInfo.db + chunked Data.db compression ------------------------
+#
+# CompressionMetadata.java:106-135 (header: modified-UTF compressor
+# simple name, int option count + options, int chunkLength, int
+# maxCompressedLength [version nb], long uncompressed dataLength, int
+# chunk count, then one long offset per chunk into the compressed
+# file); CompressedSequentialWriter.flushData:136-199 (each chunk =
+# LZ4Compressor.compress output followed by a 4-byte CRC32 of exactly
+# those bytes; next offset = previous + compressed length + 4);
+# LZ4Compressor.java:108-124 (a 4-byte LITTLE-endian uncompressed
+# length prefix, then the raw LZ4 block). The LZ4 block codec is the
+# repo's spec implementation (pipeline/compression.py).
+
+DEFAULT_CHUNK_LENGTH = 16 * 1024  # CompressionParams DEFAULT_CHUNK_LENGTH
+
+
+def _modified_utf(s: str) -> bytes:
+    b = s.encode("utf-8")
+    return struct.pack(">H", len(b)) + b
+
+
+def _read_modified_utf(r: ByteReader) -> str:
+    return bytes(r.take(r.u16())).decode("utf-8")
+
+
+def compress_data(data: bytes, chunk_length: int = DEFAULT_CHUNK_LENGTH
+                  ) -> tuple[bytes, bytes]:
+    """-> (compressed Data.db bytes, CompressionInfo.db bytes)."""
+    from cassandra_pmem_spark.pipeline.compression import lz4_block_compress
+
+    comp = bytearray()
+    offsets = []
+    for start in range(0, max(1, len(data)), chunk_length):
+        chunk = data[start:start + chunk_length]
+        body = struct.pack("<i", len(chunk)) + lz4_block_compress(chunk)
+        offsets.append(len(comp))
+        comp += body
+        comp += struct.pack(">I", zlib.crc32(body))
+    info = bytearray()
+    info += _modified_utf("LZ4Compressor")
+    info += struct.pack(">i", 0)                 # no other options
+    info += struct.pack(">i", chunk_length)
+    info += struct.pack(">i", 0x7FFFFFFF)        # maxCompressedLength unset
+    info += struct.pack(">q", len(data))         # uncompressed length
+    info += struct.pack(">i", len(offsets))
+    for o in offsets:
+        info += struct.pack(">q", o)
+    return bytes(comp), bytes(info)
+
+
+@dataclass
+class CompressionInfo:
+    compressor: str
+    options: dict
+    chunk_length: int
+    max_compressed_length: int
+    data_length: int
+    offsets: list[int]
+
+    @classmethod
+    def parse(cls, blob: bytes) -> "CompressionInfo":
+        r = ByteReader(blob)
+        name = _read_modified_utf(r)
+        n_opt = r.i32()
+        options = {
+            _read_modified_utf(r): _read_modified_utf(r) for _ in range(n_opt)
+        }
+        chunk_length = r.i32()
+        max_comp = r.i32()
+        data_length = r.i64()
+        count = r.i32()
+        offsets = [r.i64() for _ in range(count)]
+        return cls(name, options, chunk_length, max_comp, data_length, offsets)
+
+
+def decompress_range(comp: bytes, info: CompressionInfo,
+                     start: int, end: int) -> tuple[bytes, int]:
+    """Uncompressed bytes covering [start, end) plus the uncompressed
+    offset the returned buffer begins at — only the chunks overlapping
+    the range are touched (CompressionMetadata.chunkFor direction).
+    Each chunk's CRC32 is verified (CorruptBlockException analog)."""
+    from cassandra_pmem_spark.pipeline.compression import lz4_block_decompress
+
+    if info.compressor != "LZ4Compressor":
+        raise ValueError(f"unsupported sstable compressor {info.compressor!r}")
+    end = min(end, info.data_length)
+    if start >= end:
+        return b"", start
+    first = start // info.chunk_length
+    last = (end - 1) // info.chunk_length
+    out = bytearray()
+    for ci in range(first, last + 1):
+        off = info.offsets[ci]
+        nxt = (
+            info.offsets[ci + 1] if ci + 1 < len(info.offsets) else len(comp)
+        )
+        body = comp[off:nxt - 4]
+        stored = struct.unpack(">I", comp[nxt - 4:nxt])[0]
+        if zlib.crc32(body) != stored:
+            raise ValueError(f"corrupt sstable chunk {ci}: checksum mismatch")
+        ulen = struct.unpack("<i", body[:4])[0]
+        out += lz4_block_decompress(bytes(body[4:]), ulen)
+    return bytes(out), first * info.chunk_length

@@ -328,8 +328,8 @@ class TestStatisticsAndIndex:
         assert man["partitions"] == 8 and man["rows"] == 8
         names = sorted(p.name for p in tmp_path.iterdir())
         assert names == [
-            "nb-1-big-Data.db", "nb-1-big-Digest.crc32", "nb-1-big-Index.db",
-            "nb-1-big-Statistics.db", "nb-1-big-TOC.txt",
+            "nb-1-big-Data.db", "nb-1-big-Digest.crc32", "nb-1-big-Filter.db",
+            "nb-1-big-Index.db", "nb-1-big-Statistics.db", "nb-1-big-TOC.txt",
         ]
         idx = (tmp_path / "nb-1-big-Index.db").read_bytes()
         entries = read_index_entries(idx)
@@ -468,3 +468,250 @@ class TestEdges:
         assert got.rows[0].clustering == [
             None if i % 3 == 0 else i for i in range(n)
         ]
+
+
+class TestBloomAndPointRead:
+    def test_bloom_serialization_pin(self):
+        from cassandra_pmem_spark.sources.sstable import BloomFilter
+
+        bf = BloomFilter(3, bytearray(16))
+        bf.add(b"abc")
+        blob = bf.serialize()
+        # BloomFilterSerializer.java:34-38 + OffHeapBitSet.serialize:
+        # int hashCount, int wordCount (bytes/8), raw bytes
+        assert blob[:8] == struct.pack(">ii", 3, 2)
+        assert len(blob) == 8 + 16
+        back = BloomFilter.deserialize(blob)
+        assert back.hash_count == 3 and back.is_present(b"abc")
+
+    def test_bloom_bit_positions_match_hash_contract(self):
+        from cassandra_pmem_spark.functions.murmur3 import murmur3_x64_128_py
+        from cassandra_pmem_spark.sources.sstable import bloom_indexes
+
+        key = b"\x00\x00\x00\x07"
+        h1, h2 = murmur3_x64_128_py(key)
+        bits = 1024
+        idx = bloom_indexes(key, 4, bits)
+        # setIndexes: base=h2, inc=h1; abs(base % max) with Java's
+        # truncated % — which for any signed a equals abs(a) % max
+        base = h2
+        for i in range(4):
+            assert idx[i] == abs(base) % bits
+            base += h1
+            base = (base + (1 << 63)) % (1 << 64) - (1 << 63)
+        assert all(0 <= i < bits for i in idx)
+
+    def test_membership_and_false_positive_rate(self):
+        from cassandra_pmem_spark.sources.sstable import BloomFilter
+
+        keys = [struct.pack(">q", i) for i in range(500)]
+        bf = BloomFilter.sized_for(len(keys), fp_chance=0.01)
+        for k in keys:
+            bf.add(k)
+        assert all(bf.is_present(k) for k in keys)  # no false negatives
+        misses = sum(
+            bf.is_present(struct.pack(">q", i)) for i in range(10_000, 20_000)
+        )
+        assert misses < 300  # ~1% target, generous bound
+
+    def test_point_read_uses_bloom_and_index(self, tmp_path):
+        from cassandra_pmem_spark.cql.parser import _scalar_token
+        from cassandra_pmem_spark.catalog import ClusteringColumn, TableMeta
+        from cassandra_pmem_spark.sources.sstable import sstable_point_read
+        from pyspark.sql import types as T
+
+        schema = _schema()
+        meta = TableMeta(
+            "t",
+            T.StructType([
+                T.StructField("k", T.IntegerType()),
+                T.StructField("c", T.IntegerType()),
+                T.StructField("v", T.StringType()),
+                T.StructField("n", T.LongType()),
+            ]),
+            partition_key=("k",),
+            clustering=(ClusteringColumn("c"),),
+        )
+        ks = sorted(range(16), key=lambda k: _scalar_token(meta, (k,)))
+        parts = [
+            _part(k, [_row(c, TS, v=f"{k}:{c}", n=k * 10 + c) for c in (0, 1)])
+            for k in ks
+        ]
+        write_sstable(str(tmp_path), 1, schema, parts)
+        got = sstable_point_read(str(tmp_path), [7])
+        # key/clustering names are positional (the header stores types
+        # only); regular column names come from the header itself
+        assert [(r["ck0"], r["v"], r["n"]) for r in got] == [
+            (0, "7:0", 70), (1, "7:1", 71),
+        ]
+        assert sstable_point_read(str(tmp_path), [999]) == []
+
+    def test_point_read_skips_via_bloom(self, tmp_path, monkeypatch):
+        from cassandra_pmem_spark.cql.parser import _scalar_token
+        from cassandra_pmem_spark.catalog import TableMeta
+        from cassandra_pmem_spark.sources import sstable as mod
+        from pyspark.sql import types as T
+
+        schema = SSTableSchema(
+            ["k"], [_MARSHAL + "Int32Type"], [], [],
+            [("v", _MARSHAL + "UTF8Type")],
+        )
+        meta = TableMeta(
+            "t",
+            T.StructType([
+                T.StructField("k", T.IntegerType()),
+                T.StructField("v", T.StringType()),
+            ]),
+            partition_key=("k",),
+        )
+        ks = sorted(range(8), key=lambda k: _scalar_token(meta, (k,)))
+        parts = [
+            PartitionData(
+                key_values=[k],
+                rows=[RowData(clustering=[], liveness_timestamp=TS,
+                              cells={"v": CellValue(str(k), TS)})],
+            )
+            for k in ks
+        ]
+        write_sstable(str(tmp_path), 1, schema, parts)
+        # a definite miss must never parse Index.db
+        calls = []
+        orig = mod.read_index_entries
+        monkeypatch.setattr(
+            mod, "read_index_entries",
+            lambda blob: calls.append(1) or orig(blob),
+        )
+        # find a key the bloom rejects (a few tries in case of an fp)
+        for probe in range(100, 200):
+            with open(str(tmp_path / "nb-1-big-Filter.db"), "rb") as f:
+                bf = mod.BloomFilter.deserialize(f.read())
+            if not bf.is_present(schema.key_bytes([probe])):
+                assert mod.sstable_point_read(str(tmp_path), [probe]) == []
+                assert calls == []
+                break
+        else:
+            pytest.skip("no bloom-negative probe found (improbable)")
+
+
+class TestCompression:
+    def test_compression_info_layout_pin(self):
+        from cassandra_pmem_spark.sources.sstable import (
+            CompressionInfo, compress_data,
+        )
+
+        data = bytes(range(256)) * 40  # > one 16 KiB chunk? no: 10240
+        comp, info = compress_data(data, chunk_length=4096)
+        ci = CompressionInfo.parse(info)
+        # header: modified-UTF name, 0 options, chunk len, maxComp,
+        # dataLength, count, offsets (CompressionMetadata.java:106-135)
+        assert info[:2] == struct.pack(">H", len("LZ4Compressor"))
+        assert info[2:2 + 13] == b"LZ4Compressor"
+        assert (ci.compressor, ci.options) == ("LZ4Compressor", {})
+        assert ci.chunk_length == 4096 and ci.data_length == len(data)
+        assert len(ci.offsets) == 3  # ceil(10240 / 4096)
+        assert ci.offsets[0] == 0
+        # each chunk: 4-byte LE uncompressed length prefix + LZ4 block,
+        # then 4-byte CRC32 of those bytes
+        body = comp[ci.offsets[0]:ci.offsets[1] - 4]
+        assert struct.unpack("<i", body[:4])[0] == 4096
+        assert struct.unpack(">I", comp[ci.offsets[1] - 4:ci.offsets[1]])[0] \
+            == __import__("zlib").crc32(body)
+
+    def test_decompress_range_and_corruption(self):
+        from cassandra_pmem_spark.sources.sstable import (
+            CompressionInfo, compress_data, decompress_range,
+        )
+
+        data = bytes((i * 31) & 0xFF for i in range(50_000))
+        comp, info = compress_data(data, chunk_length=4096)
+        ci = CompressionInfo.parse(info)
+        buf, base = decompress_range(comp, ci, 9000, 13000)
+        assert base == 8192  # chunk-aligned
+        assert buf[9000 - base:13000 - base] == data[9000:13000]
+        # whole-range
+        buf, base = decompress_range(comp, ci, 0, len(data))
+        assert base == 0 and buf == data
+        # chunk corruption is detected by the per-chunk CRC32
+        bad = bytearray(comp)
+        bad[ci.offsets[1] + 10] ^= 0xFF
+        with pytest.raises(ValueError, match="checksum"):
+            decompress_range(bytes(bad), ci, 4096, 8192)
+
+    def test_compressed_roundtrip_and_point_read(self, tmp_path):
+        from cassandra_pmem_spark.cql.parser import _scalar_token
+        from cassandra_pmem_spark.catalog import ClusteringColumn, TableMeta
+        from cassandra_pmem_spark.sources.sstable import (
+            sstable_point_read, write_sstable,
+        )
+        from pyspark.sql import types as T
+
+        schema = _schema()
+        meta = TableMeta(
+            "t",
+            T.StructType([
+                T.StructField("k", T.IntegerType()),
+                T.StructField("c", T.IntegerType()),
+                T.StructField("v", T.StringType()),
+                T.StructField("n", T.LongType()),
+            ]),
+            partition_key=("k",),
+            clustering=(ClusteringColumn("c",),),
+        )
+        ks = sorted(range(40), key=lambda k: _scalar_token(meta, (k,)))
+        parts = [
+            _part(k, [
+                _row(c, TS, v=f"{k}:{c}" * 20, n=k * 100 + c)
+                for c in range(10)
+            ])
+            for k in ks
+        ]
+        man = write_sstable(
+            str(tmp_path), 1, schema, parts, compression=True,
+            chunk_length=4096,
+        )
+        names = sorted(p.name for p in tmp_path.iterdir())
+        assert "nb-1-big-CompressionInfo.db" in names
+        # compressed file smaller than the uncompressed stream
+        import os as _os
+
+        assert (
+            _os.path.getsize(tmp_path / "nb-1-big-Data.db")
+            < man["data_bytes"]
+        )
+        got = sstable_point_read(str(tmp_path), [17])
+        assert [(r["ck0"], r["n"]) for r in got] == [
+            (c, 1700 + c) for c in range(10)
+        ]
+
+    def test_compressed_distributed_read(self, spark, tmp_path):
+        from cassandra_pmem_spark.catalog import ClusteringColumn, TableMeta
+        from pyspark.sql import types as T
+
+        schema = T.StructType([
+            T.StructField("k", T.IntegerType()),
+            T.StructField("c", T.IntegerType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("n", T.LongType()),
+        ])
+        meta = TableMeta(
+            "t", schema, partition_key=("k",),
+            clustering=(ClusteringColumn("c"),),
+        )
+        rows = [
+            (k, c, f"{k}/{c}" * 15, k * 1000 + c)
+            for k in range(30)
+            for c in range(5)
+        ]
+        df = spark.createDataFrame(rows, schema)
+        out = str(tmp_path / "sst")
+        bulk_write_sstables(
+            df, meta, out, sstables=2, timestamp_micros=TS, compression=True
+        )
+        back = read_sstables(spark, out, split_bytes=2048)
+        got = {
+            (r["key0"], r["ck0"]): (r["v"], r["n"])
+            for r in (x.asDict() for x in back.collect())
+        }
+        assert len(got) == 150
+        for k, c, v, n in rows:
+            assert got[(k, c)] == (v, n)
