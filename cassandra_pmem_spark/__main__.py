@@ -179,7 +179,34 @@ def main(argv: list[str] | None = None) -> int:
         "previous --record FILE (fqltool-compare analog); exit 3 on any "
         "mismatch",
     )
+    ap.add_argument(
+        "--sstabledump",
+        metavar="PATH",
+        help="dump a big-format sstable (a *-Data.db file or a directory "
+        "of them) as JSON partitions (tools/bin/sstabledump analog) and "
+        "exit — no Spark session",
+    )
     args = ap.parse_args(argv)
+
+    if args.sstabledump:
+        from cassandra_pmem_spark.sources.sstable import dump_sstable
+
+        target = args.sstabledump
+        paths = (
+            sorted(
+                os.path.join(target, f)
+                for f in os.listdir(target)
+                if f.endswith("-Data.db")
+            )
+            if os.path.isdir(target)
+            else [target]
+        )
+        dump = []
+        for p in paths:
+            dump.extend(dump_sstable(p))
+        json.dump(dump, sys.stdout, indent=2)
+        print()
+        return 0
 
     from cassandra_pmem_spark.cql.ddl import CqlDatabase
     from cassandra_pmem_spark.session import get_spark

@@ -1600,3 +1600,118 @@ def decompress_range(comp: bytes, info: CompressionInfo,
         ulen = struct.unpack("<i", body[:4])[0]
         out += lz4_block_decompress(bytes(body[4:]), ulen)
     return bytes(out), first * info.chunk_length
+
+
+# -- sstabledump (tools/SSTableExport.java + JsonTransformer.java) ------------
+
+def _iso_micros(micros: int) -> str:
+    import datetime as _dt
+
+    return (
+        _dt.datetime.fromtimestamp(micros / 1_000_000, tz=_dt.timezone.utc)
+        .strftime("%Y-%m-%dT%H:%M:%S.%f")[:-3]
+        + "Z"
+    )
+
+
+def _iso_seconds(seconds: int) -> str:
+    import datetime as _dt
+
+    return (
+        _dt.datetime.fromtimestamp(seconds, tz=_dt.timezone.utc)
+        .strftime("%Y-%m-%dT%H:%M:%SZ")
+    )
+
+
+def dump_sstable(data_path: str, now_seconds: int | None = None) -> list[dict]:
+    """sstabledump analog (tools/SSTableExport.java:104-132,
+    JsonTransformer.java:199-330): one JSON-able dict per partition —
+    partition key + position (+ deletion_info when deleted), then rows
+    with clustering, liveness_info (ISO-8601 tstamp, ttl/expires_at/
+    expired), row deletion_info, and cells ({name, value, [tstamp],
+    [ttl, expires_at], [deletion_info]} — a cell's tstamp is omitted
+    when it equals the row liveness timestamp, like the tool).
+    Decompresses transparently when CompressionInfo.db is present."""
+    if now_seconds is None:
+        import time as _time
+
+        now_seconds = int(_time.time())
+    base = data_path[: -len("Data.db")]
+    with open(base + "Statistics.db", "rb") as fh:
+        stats, hdr = parse_statistics(fh.read())
+    schema = SSTableSchema(
+        [f"key{i}" for i in range(len(hdr["key_types"]))],
+        hdr["key_types"],
+        [f"ck{i}" for i in range(len(hdr["clustering_types"]))],
+        hdr["clustering_types"],
+        hdr["regular"],
+    )
+    with open(data_path, "rb") as fh:
+        blob = fh.read()
+    if os.path.exists(base + "CompressionInfo.db"):
+        with open(base + "CompressionInfo.db", "rb") as fh:
+            cinfo = CompressionInfo.parse(fh.read())
+        blob, _base = decompress_range(blob, cinfo, 0, cinfo.data_length)
+    r = ByteReader(blob)
+    out = []
+    while r.remaining():
+        position = r.pos
+        part = read_partition(r, schema, stats)
+        pj: dict = {
+            "partition": {
+                "key": [str(v) for v in part.key_values],
+                "position": position,
+            }
+        }
+        if part.deletion is not None:
+            mfda, ldt = part.deletion
+            pj["partition"]["deletion_info"] = {
+                "marked_deleted": _iso_micros(mfda),
+                "local_delete_time": _iso_seconds(ldt),
+            }
+        rows_j = []
+        for row in part.rows:
+            rj: dict = {"type": "row"}
+            if schema.clustering_names:
+                rj["clustering"] = [str(v) for v in row.clustering]
+            if row.liveness_timestamp is not None:
+                li = {"tstamp": _iso_micros(row.liveness_timestamp)}
+                if row.liveness_ttl:
+                    li["ttl"] = row.liveness_ttl
+                    li["expires_at"] = _iso_seconds(row.liveness_expiration)
+                    li["expired"] = row.liveness_expiration < now_seconds
+                rj["liveness_info"] = li
+            if row.deletion is not None:
+                rj["deletion_info"] = {
+                    "marked_deleted": _iso_micros(row.deletion[0]),
+                    "local_delete_time": _iso_seconds(row.deletion[1]),
+                }
+            cells = []
+            for name in sorted(row.cells):
+                cell = row.cells[name]
+                cj: dict = {"name": name}
+                if cell.is_tombstone:
+                    cj["deletion_info"] = {
+                        "local_delete_time": _iso_seconds(
+                            cell.local_deletion_time
+                        )
+                    }
+                else:
+                    cj["value"] = (
+                        cell.value
+                        if isinstance(cell.value, (int, float, bool, str))
+                        or cell.value is None
+                        else str(cell.value)
+                    )
+                if cell.timestamp != row.liveness_timestamp:
+                    cj["tstamp"] = _iso_micros(cell.timestamp)
+                if cell.ttl:
+                    cj["ttl"] = cell.ttl
+                    cj["expires_at"] = _iso_seconds(cell.local_deletion_time)
+                cells.append(cj)
+            rj["cells"] = cells
+            rows_j.append(rj)
+        if rows_j:
+            pj["rows"] = rows_j
+        out.append(pj)
+    return out

@@ -715,3 +715,85 @@ class TestCompression:
         assert len(got) == 150
         for k, c, v, n in rows:
             assert got[(k, c)] == (v, n)
+
+
+class TestSstableDump:
+    def test_dump_shape(self, tmp_path):
+        from cassandra_pmem_spark.cql.parser import _scalar_token
+        from cassandra_pmem_spark.catalog import ClusteringColumn, TableMeta
+        from cassandra_pmem_spark.sources.sstable import dump_sstable
+        from pyspark.sql import types as T
+
+        schema = _schema()
+        meta = TableMeta(
+            "t",
+            T.StructType([
+                T.StructField("k", T.IntegerType()),
+                T.StructField("c", T.IntegerType()),
+                T.StructField("v", T.StringType()),
+                T.StructField("n", T.LongType()),
+            ]),
+            partition_key=("k",), clustering=(ClusteringColumn("c"),),
+        )
+        ks = sorted(range(3), key=lambda k: _scalar_token(meta, (k,)))
+        dead = RowData(clustering=[9],
+                       deletion=(TS + 10, DELETION_TIME_EPOCH + 10))
+        parts = [
+            _part(ks[0], [_row(1, TS, v="x", n=5), dead]),
+            _part(ks[1], [_row(2, TS + 7, v="y")]),
+            _part(ks[2], []),
+        ]
+        parts[2].deletion = (TS + 3, DELETION_TIME_EPOCH + 3)
+        write_sstable(str(tmp_path), 1, schema, parts, compression=True)
+        dump = dump_sstable(
+            str(tmp_path / "nb-1-big-Data.db"),
+            now_seconds=DELETION_TIME_EPOCH,
+        )
+        assert [p["partition"]["key"] for p in dump] == [[str(k)] for k in ks]
+        p0 = dump[0]
+        assert p0["rows"][0]["type"] == "row"
+        assert p0["rows"][0]["clustering"] == ["1"]
+        assert p0["rows"][0]["liveness_info"]["tstamp"].endswith("Z")
+        cells = {c["name"]: c for c in p0["rows"][0]["cells"]}
+        assert cells["v"]["value"] == "x" and cells["n"]["value"] == 5
+        # cell tstamp omitted when it equals the row liveness tstamp
+        assert "tstamp" not in cells["v"]
+        assert "deletion_info" in p0["rows"][1]
+        assert "deletion_info" in dump[2]["partition"]
+        assert "rows" not in dump[2]
+
+    def test_cli_sstabledump(self, tmp_path, capsys):
+        import json as _json
+
+        from cassandra_pmem_spark.__main__ import main
+        from cassandra_pmem_spark.cql.parser import _scalar_token
+        from cassandra_pmem_spark.catalog import TableMeta
+        from pyspark.sql import types as T
+
+        schema = SSTableSchema(
+            ["k"], [_MARSHAL + "Int32Type"], [], [],
+            [("v", _MARSHAL + "UTF8Type")],
+        )
+        meta = TableMeta(
+            "t",
+            T.StructType([
+                T.StructField("k", T.IntegerType()),
+                T.StructField("v", T.StringType()),
+            ]),
+            partition_key=("k",),
+        )
+        ks = sorted(range(4), key=lambda k: _scalar_token(meta, (k,)))
+        parts = [
+            PartitionData(
+                key_values=[k],
+                rows=[RowData(clustering=[], liveness_timestamp=TS,
+                              cells={"v": CellValue(f"v{k}", TS)})],
+            )
+            for k in ks
+        ]
+        write_sstable(str(tmp_path), 1, schema, parts)
+        rc = main(["--sstabledump", str(tmp_path)])
+        assert rc == 0
+        dump = _json.loads(capsys.readouterr().out)
+        assert [p["partition"]["key"] for p in dump] == [[str(k)] for k in ks]
+        assert dump[0]["rows"][0]["cells"][0]["value"] == f"v{ks[0]}"
