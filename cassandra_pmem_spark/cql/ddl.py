@@ -2453,6 +2453,54 @@ class CqlDatabase:
             return self._compile_select(parse_select(cql, params))
         raise InvalidRequest(f"unsupported statement {head!r}")
 
+    def load_sstables(self, table, sst_dir: str) -> None:
+        """sstableloader / `nodetool import` analog: read a directory of
+        big-format sstables (sources/sstable.py — the distributed
+        Index.db-split reader) and merge them into the target table as
+        base history. Key/clustering columns map positionally onto the
+        DECLARED primary key (the sstable header stores types, not key
+        names — the loader resolves names from the target schema, like
+        the reference resolving TableMetadata from the keyspace);
+        regular columns match by name, with absent ones null. Imported
+        rows enter at base writetime 0, so any buffered statement
+        writes LWW-beat them — the documented deviation from the
+        reference's preserved cell timestamps."""
+        from cassandra_pmem_spark.sources.sstable import read_sstables
+
+        key = self._table_key(table)
+        meta = self.registry.tables[key]
+        df = read_sstables(self.spark, sst_dir)
+        pk = list(meta.partition_key)
+        ck = [c.name for c in meta.clustering]
+        n_key = sum(1 for c in df.columns if c.startswith("key"))
+        n_ck = sum(1 for c in df.columns if c.startswith("ck"))
+        if n_key != len(pk) or n_ck != len(ck):
+            raise InvalidRequest(
+                f"sstable primary key shape ({n_key} partition + {n_ck} "
+                f"clustering components) does not match table "
+                f"{key[1]!r} ({len(pk)} + {len(ck)})"
+            )
+        for i, name in enumerate(pk):
+            df = df.withColumnRenamed(f"key{i}", name)
+        for i, name in enumerate(ck):
+            df = df.withColumnRenamed(f"ck{i}", name)
+        declared = {f.name: f.dataType for f in meta.schema.fields}
+        extra = sorted(set(df.columns) - set(declared))
+        if extra:
+            raise InvalidRequest(
+                f"sstable carries columns {extra} the table does not declare"
+            )
+        base = df.select(
+            *[
+                (F.col(c) if c in df.columns else F.lit(None)).cast(dt).alias(c)
+                for c, dt in declared.items()
+            ]
+        )
+        sess = self._session_for_key(key)
+        sess._base = (
+            base if sess._base is None else sess._base.unionByName(base)
+        )
+
     def pager(self, cql: str, params: list[Any] | None = None,
               page_size: int = 100, state: bytes | None = None):
         """Resumable QueryPager over a SELECT (service/pager/QueryPager

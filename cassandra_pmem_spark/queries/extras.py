@@ -329,6 +329,27 @@ def source_sstable_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     before = vis_rows(e0 + 59, "vis_before")   # TTL row still live
     after = vis_rows(e0 + 60, "vis_after")     # TTL row expired
 
+    # sstableloader / nodetool-import analog: the same sstable loaded
+    # into a DDL table becomes base history a normal CQL SELECT reads
+    # (load-time read resolves TTL/tombstones at "far future", so the
+    # loaded set equals the vis_after view)
+    from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+    ldb = CqlDatabase(spark)
+    ldb.execute("CREATE KEYSPACE lks WITH REPLICATION = {'class': 'SimpleStrategy'}")
+    ldb.execute("USE lks")
+    ldb.execute("CREATE TABLE vt (k int, c int, v text, w text, PRIMARY KEY (k, c))")
+    ldb.load_sstables("vt", vis_dir)
+    loaded = ldb.execute("SELECT k, c, v, w FROM vt").select(
+        F.lit("loaded").alias("src"),
+        F.col("k").cast("long").alias("user_id"),
+        F.col("c").cast("long").alias("event_id"),
+        F.lit(None).cast("string").alias("ts_s"),
+        F.col("v").alias("event_type"),
+        F.lit(None).cast("double").alias("value"),
+        F.col("w").alias("props"),
+    )
+
     meta_rows = spark.createDataFrame(
         [(
             "meta",
@@ -338,7 +359,12 @@ def source_sstable_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )],
         data.schema,
     )
-    return data.unionByName(before).unionByName(after).unionByName(meta_rows)
+    return (
+        data.unionByName(before)
+        .unionByName(after)
+        .unionByName(loaded)
+        .unionByName(meta_rows)
+    )
 
 
 _SSTABLE_ORACLE = """
@@ -356,7 +382,9 @@ SELECT src, user_id, event_id, ts_s, event_type, value, props FROM (
     ('vis_before', 1, 2, NULL, 'fades', NULL, NULL),
     ('vis_before', 1, 4, NULL, NULL,    NULL, 'alive'),
     ('vis_after',  1, 1, NULL, 'live',  NULL, 'keep'),
-    ('vis_after',  1, 4, NULL, NULL,    NULL, 'alive')
+    ('vis_after',  1, 4, NULL, NULL,    NULL, 'alive'),
+    ('loaded',     1, 1, NULL, 'live',  NULL, 'keep'),
+    ('loaded',     1, 4, NULL, NULL,    NULL, 'alive')
   ) t(src, user_id, event_id, ts_s, event_type, value, props)
   UNION ALL
   SELECT 'meta', 4, count(*), NULL, NULL, NULL, NULL FROM events

@@ -797,3 +797,73 @@ class TestSstableDump:
         dump = _json.loads(capsys.readouterr().out)
         assert [p["partition"]["key"] for p in dump] == [[str(k)] for k in ks]
         assert dump[0]["rows"][0]["cells"][0]["value"] == f"v{ks[0]}"
+
+
+class TestSstableLoader:
+    def test_load_into_cql_table(self, spark, tmp_path):
+        from cassandra_pmem_spark.catalog import ClusteringColumn, TableMeta
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+        from pyspark.sql import types as T
+
+        schema = T.StructType([
+            T.StructField("k", T.IntegerType()),
+            T.StructField("c", T.IntegerType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("n", T.LongType()),
+        ])
+        meta = TableMeta(
+            "src", schema, partition_key=("k",),
+            clustering=(ClusteringColumn("c"),),
+        )
+        rows = [(k, c, f"{k}.{c}", k * 10 + c) for k in range(8) for c in range(2)]
+        out = str(tmp_path / "sst")
+        bulk_write_sstables(
+            spark.createDataFrame(rows, schema), meta, out, sstables=2,
+            timestamp_micros=TS, compression=True,
+        )
+
+        db = CqlDatabase(spark)
+        db.execute("CREATE KEYSPACE lks WITH REPLICATION = {'class': 'SimpleStrategy'}")
+        db.execute("USE lks")
+        db.execute("CREATE TABLE t (k int, c int, v text, n bigint, "
+                   "PRIMARY KEY (k, c))")
+        db.load_sstables("t", out)
+        got = {
+            (r.k, r.c): (r.v, r.n)
+            for r in db.execute("SELECT k, c, v, n FROM t").collect()
+        }
+        assert len(got) == 16
+        for k, c, v, n in rows:
+            assert got[(k, c)] == (v, n)
+        # statement writes LWW-beat imported base history
+        db.execute("UPDATE t SET v = 'patched' WHERE k = 3 AND c = 1")
+        assert db.execute(
+            "SELECT v FROM t WHERE k = 3 AND c = 1"
+        ).collect()[0].v == "patched"
+        # and CQL point semantics work over the imported data
+        assert db.execute(
+            "SELECT n FROM t WHERE k = 5 AND c = 0"
+        ).collect()[0].n == 50
+
+    def test_load_rejects_key_shape_mismatch(self, spark, tmp_path):
+        from cassandra_pmem_spark.catalog import TableMeta
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+        from cassandra_pmem_spark.cql.validator import InvalidRequest
+        from pyspark.sql import types as T
+
+        schema = T.StructType([
+            T.StructField("k", T.IntegerType()),
+            T.StructField("v", T.StringType()),
+        ])
+        meta = TableMeta("flat", schema, partition_key=("k",))
+        out = str(tmp_path / "sst")
+        bulk_write_sstables(
+            spark.createDataFrame([(1, "a")], schema), meta, out,
+            timestamp_micros=TS,
+        )
+        db = CqlDatabase(spark)
+        db.execute("CREATE KEYSPACE mks WITH REPLICATION = {'class': 'SimpleStrategy'}")
+        db.execute("USE mks")
+        db.execute("CREATE TABLE two (a int, b int, v text, PRIMARY KEY (a, b))")
+        with pytest.raises(InvalidRequest, match="does not match table"):
+            db.load_sstables("two", out)
