@@ -82,6 +82,12 @@ TIER2 = [
     "text_bpe_encode",
     "sketch_runtime_filtered_join",
     "analytics_salted_join",
+    # round-10 second-session operators: the sstable codec round trip
+    # (compressed write + split read of the whole events table), the
+    # paged-query tier, and the trigger tier
+    "source_sstable_roundtrip",
+    "cql_paging",
+    "cql_trigger_audit",
 ]
 
 

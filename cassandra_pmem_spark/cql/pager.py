@@ -206,13 +206,18 @@ class QueryPager:
             order_cols = []
         self._pk_n = len(pk) if self.kind != "global" else 0
 
-        # effective clustering direction: the statement's ORDER BY when
-        # given (forward or fully reversed — the validator enforces
-        # that), else the declared clustering order
+        # effective clustering direction: CQL's ORDER BY is either the
+        # declared clustering order or its FULL reversal (the validator
+        # enforces that); a stated PREFIX therefore flips every
+        # clustering column, not just the stated ones
         declared = {c.name: c.ascending for c in self.meta.clustering}
-        stated = dict(st.order_by)
+        reversed_order = False
+        if st.order_by:
+            first_col, first_asc = st.order_by[0]
+            reversed_order = first_asc != declared.get(first_col, True)
         self._dirs = [
-            stated.get(c, declared.get(c, True)) for c in order_cols
+            declared.get(c, True) != reversed_order  # XOR flip
+            for c in order_cols
         ]
         self._order_cols = order_cols
 

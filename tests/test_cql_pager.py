@@ -168,3 +168,43 @@ class TestViewPaging:
         assert got == {
             (c, k): 10 * k + c for k in range(6) for c in range(4)
         }
+
+
+class TestMixedClusteringOrder:
+    def test_prefix_order_by_flips_all_clustering(self, db):
+        # table with (c1 ASC, c2 DESC): ORDER BY c1 DESC means the FULL
+        # reversal — c2 becomes ASC (SelectStatement's reversed check);
+        # the pager must page in that effective order
+        db.execute(
+            "CREATE TABLE mx (k int, c1 int, c2 int, v int, "
+            "PRIMARY KEY (k, c1, c2)) "
+            "WITH CLUSTERING ORDER BY (c1 ASC, c2 DESC)"
+        )
+        for c1 in range(3):
+            for c2 in range(3):
+                db.execute(
+                    "INSERT INTO mx (k, c1, c2, v) VALUES (1, ?, ?, ?)",
+                    [c1, c2, c1 * 10 + c2],
+                )
+        p = db.pager(
+            "SELECT c1, c2 FROM mx WHERE k = 1 ORDER BY c1 DESC",
+            page_size=4,
+        )
+        got = [(r["c1"], r["c2"]) for pg in drain(p) for r in pg]
+        expect = [(c1, c2) for c1 in (2, 1, 0) for c2 in (0, 1, 2)]
+        assert got == expect
+
+    def test_declared_mixed_order_pages(self, db):
+        db.execute(
+            "CREATE TABLE mx2 (k int, c1 int, c2 int, "
+            "PRIMARY KEY (k, c1, c2)) "
+            "WITH CLUSTERING ORDER BY (c1 ASC, c2 DESC)"
+        )
+        for c1 in range(2):
+            for c2 in range(3):
+                db.execute(
+                    "INSERT INTO mx2 (k, c1, c2) VALUES (1, ?, ?)", [c1, c2]
+                )
+        p = db.pager("SELECT c1, c2 FROM mx2 WHERE k = 1", page_size=4)
+        got = [(r["c1"], r["c2"]) for pg in drain(p) for r in pg]
+        assert got == [(c1, c2) for c1 in (0, 1) for c2 in (2, 1, 0)]
