@@ -2501,6 +2501,31 @@ class CqlDatabase:
             base if sess._base is None else sess._base.unionByName(base)
         )
 
+    def flush_sstables(self, table, out_dir: str, sstables: int = 1,
+                       compression: bool = True) -> list[dict]:
+        """Memtable-flush / `nodetool flush` analog: materialize the
+        table's VISIBLE state (cell-LWW merge, tombstones and TTL
+        applied at the session clock — exactly what a SELECT reads) and
+        bulk-write it as big-format sstables. With load_sstables this
+        closes the dump/restore loop entirely inside the engine.
+        uuid/timeuuid/ascii columns keep their declared CQL types via
+        the registry's column text (Spark erases them to string)."""
+        from cassandra_pmem_spark.sources.sstable import bulk_write_sstables
+
+        key = self._table_key(table)
+        meta = self.registry.tables[key]
+        sess = self._session_for_key(key)
+        df = sess.table(now=sess._clock_ref[0])
+        overrides = {
+            c: t
+            for c, t in self.registry.column_type_text.get(key, {}).items()
+            if t.lower() in ("uuid", "timeuuid", "ascii")
+        }
+        return bulk_write_sstables(
+            df, meta, out_dir, sstables=sstables,
+            type_overrides=overrides or None, compression=compression,
+        )
+
     def pager(self, cql: str, params: list[Any] | None = None,
               page_size: int = 100, state: bytes | None = None):
         """Resumable QueryPager over a SELECT (service/pager/QueryPager

@@ -867,3 +867,57 @@ class TestSstableLoader:
         db.execute("CREATE TABLE two (a int, b int, v text, PRIMARY KEY (a, b))")
         with pytest.raises(InvalidRequest, match="does not match table"):
             db.load_sstables("two", out)
+
+
+class TestFlush:
+    def test_flush_then_load_round_trip(self, spark, tmp_path):
+        # nodetool flush -> sstables -> nodetool import: the full
+        # dump/restore loop inside the engine
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+        db = CqlDatabase(spark)
+        db.execute("CREATE KEYSPACE fks WITH REPLICATION = {'class': 'SimpleStrategy'}")
+        db.execute("USE fks")
+        db.execute("CREATE TABLE t (k int, c int, v text, PRIMARY KEY (k, c))")
+        for k in range(5):
+            for c in range(3):
+                db.execute("INSERT INTO t (k, c, v) VALUES (?, ?, ?)",
+                           [k, c, f"{k}-{c}"])
+        # a delete and an overwrite: flush writes the VISIBLE state
+        db.execute("DELETE FROM t WHERE k = 2 AND c = 1")
+        db.execute("UPDATE t SET v = 'new' WHERE k = 0 AND c = 0")
+        out = str(tmp_path / "flush")
+        manifests = db.flush_sstables("t", out, sstables=2)
+        assert sum(m["rows"] for m in manifests) == 14
+        db.execute("CREATE TABLE t2 (k int, c int, v text, PRIMARY KEY (k, c))")
+        db.load_sstables("t2", out)
+        got = {
+            (r.k, r.c): r.v for r in db.execute("SELECT * FROM t2").collect()
+        }
+        assert len(got) == 14
+        assert got[(0, 0)] == "new" and (2, 1) not in got
+
+    def test_flush_timeuuid_keys_keep_wire_form(self, spark, tmp_path):
+        # a timeuuid partition key must hash through its 16-byte wire
+        # form in the sstable writer, not its text form
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+        from cassandra_pmem_spark.sources.sstable import dump_sstable
+        import os as _os
+
+        db = CqlDatabase(spark)
+        db.execute("CREATE KEYSPACE fks2 WITH REPLICATION = {'class': 'SimpleStrategy'}")
+        db.execute("USE fks2")
+        db.execute("CREATE TABLE ev (id timeuuid PRIMARY KEY, v int)")
+        db.execute("INSERT INTO ev (id, v) VALUES (now(), 1)")
+        db.execute("INSERT INTO ev (id, v) VALUES (now(), 2)")
+        out = str(tmp_path / "flush2")
+        manifests = db.flush_sstables("ev", out)
+        assert sum(m["rows"] for m in manifests) == 2
+        data = [f for f in _os.listdir(out) if f.endswith("-Data.db")]
+        dump = []
+        for f in data:
+            dump.extend(dump_sstable(_os.path.join(out, f)))
+        vals = sorted(
+            r["cells"][0]["value"] for p in dump for r in p["rows"]
+        )
+        assert vals == [1, 2]
