@@ -59,11 +59,14 @@ Filter.db is written and used: the bloom filter hashes the key's full
 128-bit Murmur3 into hashCount bit positions (BloomFilter.java:69-102,
 OffHeapBitSet bit/byte layout, BloomFilterSerializer.java:34-38), and
 ``sstable_point_read`` consults it before touching Index/Data — the
-BigTableReader single-partition path. Omitted: static rows, range
-tombstone markers, complex (collection) columns, Summary.db, and the
-STATS/COMPACTION metadata components (the HEADER + VALIDATION
-components written here are the ones the data path needs; the TOC
-records exactly what exists).
+BigTableReader single-partition path. Summary.db is written and used
+too (IndexSummary.java:271-294 layout, native-order offsets/longs,
+first/last keys appended int-length-prefixed): point reads seek the
+Index.db from the greatest sampled key <= probe and scan at most one
+minIndexInterval. Omitted: static rows, range tombstone markers,
+complex (collection) columns, and the STATS/COMPACTION metadata
+components (the HEADER + VALIDATION components written here are the
+ones the data path needs; the TOC records exactly what exists).
 
 Scale posture: the write sink range-partitions rows by Murmur3 token so
 every task writes one SSTable covering a disjoint token range (the
@@ -984,8 +987,10 @@ def write_sstable(out_dir: str, generation: int, schema: SSTableSchema,
     data = bytearray()
     index = bytearray()
     bf = BloomFilter.sized_for(len(partitions))
+    sampled: list[tuple[bytes, int]] = []
+    first_key = last_key = None
     last_token_key = None
-    for part in partitions:
+    for n_written, part in enumerate(partitions):
         key = schema.key_bytes(part.key_values)
         tk = (murmur3_token_bytes_py(key), key)
         if last_token_key is not None and tk <= last_token_key:
@@ -994,6 +999,13 @@ def write_sstable(out_dir: str, generation: int, schema: SSTableSchema,
             )
         last_token_key = tk
         bf.add(key)  # IndexWriter.append's bf.add (BigTableWriter.java:457)
+        if first_key is None:
+            first_key = key
+        last_key = key
+        # summary sampling: every minIndexInterval-th key at full
+        # sampling (IndexSummaryBuilder.maybeAddEntry)
+        if n_written % DEFAULT_MIN_INDEX_INTERVAL == 0:
+            sampled.append((key, len(index)))
         pos = len(data)
         data += serialize_partition(part, schema, stats)
         # Index.db entry (BigTableWriter.IndexWriter.append +
@@ -1006,8 +1018,15 @@ def write_sstable(out_dir: str, generation: int, schema: SSTableSchema,
     with open(os.path.join(out_dir, f"{VERSION}-{generation}-big-Filter.db"),
               "wb") as f:
         f.write(bf.serialize())
+    if partitions:
+        with open(
+            os.path.join(out_dir, f"{VERSION}-{generation}-big-Summary.db"),
+            "wb",
+        ) as f:
+            f.write(build_summary(sampled, first_key, last_key))
     on_disk = bytes(data)
-    components = ["Data.db", "Index.db", "Filter.db", "Statistics.db"]
+    components = ["Data.db", "Index.db", "Filter.db", "Summary.db",
+                  "Statistics.db"]
     if compression:
         on_disk, info = compress_data(
             bytes(data), chunk_length or DEFAULT_CHUNK_LENGTH
@@ -1435,14 +1454,25 @@ class BloomFilter:
 
 
 def sstable_point_read(sst_dir: str, key_values: list,
-                       now_seconds: int | None = None) -> list[dict]:
+                       now_seconds: int | None = None,
+                       _trace: dict | None = None) -> list[dict]:
     """Single-partition read across a directory's sstables — the
-    BigTableReader.getPosition path (bloom check -> partition index ->
-    one Data.db seek; SinglePartitionReadCommand.queryMemtableAndDisk
+    BigTableReader.getPosition path (bloom check -> index summary seek
+    -> at most one minIndexInterval's worth of Index.db entries -> one
+    Data.db seek; SinglePartitionReadCommand.queryMemtableAndDisk
     direction). Returns the partition's visible rows. Driver-side by
-    design, like every point read."""
+    design, like every point read. `_trace` (tests) collects
+    {"index_entries_scanned", "summary_seeks", "bloom_skips"}."""
+    from cassandra_pmem_spark.functions.murmur3 import (
+        murmur3_token_bytes_py,
+    )
+
     if now_seconds is None:
         now_seconds = 2 ** 31 - 2
+    if _trace is not None:
+        _trace.setdefault("index_entries_scanned", 0)
+        _trace.setdefault("summary_seeks", 0)
+        _trace.setdefault("bloom_skips", 0)
     out: list[dict] = []
     for f in sorted(os.listdir(sst_dir)):
         if not f.endswith("-Data.db"):
@@ -1463,10 +1493,46 @@ def sstable_point_read(sst_dir: str, key_values: list,
             with open(filter_path, "rb") as fh:
                 bf = BloomFilter.deserialize(fh.read())
             if not bf.is_present(key):
+                if _trace is not None:
+                    _trace["bloom_skips"] += 1
                 continue  # definite miss — Data.db never touched
         with open(base + "Index.db", "rb") as fh:
-            entries = read_index_entries(fh.read())
-        pos = next((p for k, p in entries if k == key), None)
+            idx_blob = fh.read()
+        probe_tk = (murmur3_token_bytes_py(key), key)
+        start_off = 0
+        if os.path.exists(base + "Summary.db"):
+            # index summary seek: start the Index.db scan at the
+            # greatest sampled key <= probe (IndexSummary binary search
+            # direction); first/last keys short-circuit out-of-range
+            with open(base + "Summary.db", "rb") as fh:
+                summ = read_summary(fh.read())
+            lo = (murmur3_token_bytes_py(summ["first"]), summ["first"])
+            hi = (murmur3_token_bytes_py(summ["last"]), summ["last"])
+            if probe_tk < lo or probe_tk > hi:
+                continue
+            for ekey, off in summ["entries"]:
+                if (murmur3_token_bytes_py(ekey), ekey) <= probe_tk:
+                    start_off = off
+                else:
+                    break
+            if _trace is not None:
+                _trace["summary_seeks"] += 1
+        pos = None
+        ir = ByteReader(idx_blob, start_off)
+        while ir.remaining():
+            klen = ir.u16()
+            ekey = ir.take(klen)
+            epos = ir.unsigned_vint()
+            promoted = ir.unsigned_vint()
+            if promoted:
+                ir.take(promoted)
+            if _trace is not None:
+                _trace["index_entries_scanned"] += 1
+            if ekey == key:
+                pos = epos
+                break
+            if (murmur3_token_bytes_py(ekey), bytes(ekey)) > probe_tk:
+                break  # token order passed the probe — not in this sstable
         if pos is None:
             continue  # bloom false positive
         with open(base + "Data.db", "rb") as fh:
@@ -1715,3 +1781,81 @@ def dump_sstable(data_path: str, now_seconds: int | None = None) -> list[dict]:
             pj["rows"] = rows_j
         out.append(pj)
     return out
+
+
+# -- Summary.db (io/sstable/IndexSummary.java:271-294,
+#    IndexSummaryBuilder.java:187-232, SSTableReader.saveSummary:947) --------
+#
+# Layout: int minIndexInterval, int offsetCount, long offHeapSize,
+# int samplingLevel (BASE = 128), int sizeAtFullSampling, then the
+# offsets+entries block EXACTLY as it sits in memory — offsets are
+# NATIVE-order ints rebased by 4*offsetCount, each entry is the sampled
+# partition key's bytes followed by a NATIVE-order long Index.db
+# offset. After the summary, the sstable's first and last partition
+# keys, each int-length-prefixed. Every minIndexInterval-th key is
+# sampled (full sampling), so a point read seeks the Index.db from the
+# greatest sampled key <= probe and scans at most one interval.
+
+BASE_SAMPLING_LEVEL = 128
+DEFAULT_MIN_INDEX_INTERVAL = 128
+
+
+def build_summary(sampled: list[tuple[bytes, int]],
+                  first_key: bytes, last_key: bytes,
+                  min_index_interval: int = DEFAULT_MIN_INDEX_INTERVAL,
+                  ) -> bytes:
+    """sampled = [(partition key, Index.db offset)] at full sampling."""
+    count = len(sampled)
+    entries = bytearray()
+    offsets = []
+    for key, idx_off in sampled:
+        offsets.append(len(entries))
+        entries += key
+        entries += struct.pack("<q", idx_off)   # native (LE) order
+    base = 4 * count
+    out = bytearray()
+    out += struct.pack(">i", min_index_interval)
+    out += struct.pack(">i", count)
+    out += struct.pack(">q", base + len(entries))  # offheap size
+    out += struct.pack(">i", BASE_SAMPLING_LEVEL)
+    out += struct.pack(">i", count)                # sizeAtFullSampling
+    for o in offsets:
+        out += struct.pack("<i", o + base)         # native order, rebased
+    out += entries
+    out += struct.pack(">i", len(first_key)) + first_key
+    out += struct.pack(">i", len(last_key)) + last_key
+    return bytes(out)
+
+
+def read_summary(blob: bytes) -> dict:
+    r = ByteReader(blob)
+    min_interval = r.i32()
+    count = r.i32()
+    offheap = r.i64()
+    sampling_level = r.i32()
+    full_size = r.i32()
+    offsets = [
+        struct.unpack("<i", r.take(4))[0] for _ in range(count)
+    ]
+    block_start = r.pos - 4 * count
+    entries = []
+    for i, off in enumerate(offsets):
+        end = (
+            block_start + offsets[i + 1]
+            if i + 1 < count
+            else block_start + offheap
+        )
+        ekey = blob[block_start + off:end - 8]
+        pos = struct.unpack("<q", blob[end - 8:end])[0]
+        entries.append((bytes(ekey), pos))
+    r.pos = block_start + offheap
+    first = r.take(r.i32())
+    last = r.take(r.i32())
+    return {
+        "min_index_interval": min_interval,
+        "sampling_level": sampling_level,
+        "size_at_full_sampling": full_size,
+        "entries": entries,
+        "first": bytes(first),
+        "last": bytes(last),
+    }

@@ -329,7 +329,8 @@ class TestStatisticsAndIndex:
         names = sorted(p.name for p in tmp_path.iterdir())
         assert names == [
             "nb-1-big-Data.db", "nb-1-big-Digest.crc32", "nb-1-big-Filter.db",
-            "nb-1-big-Index.db", "nb-1-big-Statistics.db", "nb-1-big-TOC.txt",
+            "nb-1-big-Index.db", "nb-1-big-Statistics.db",
+            "nb-1-big-Summary.db", "nb-1-big-TOC.txt",
         ]
         idx = (tmp_path / "nb-1-big-Index.db").read_bytes()
         entries = read_index_entries(idx)
@@ -921,3 +922,78 @@ class TestFlush:
             r["cells"][0]["value"] for p in dump for r in p["rows"]
         )
         assert vals == [1, 2]
+
+
+class TestSummary:
+    def _write_many(self, tmp_path, n=300):
+        from cassandra_pmem_spark.cql.parser import _scalar_token
+        from cassandra_pmem_spark.catalog import TableMeta
+        from pyspark.sql import types as T
+
+        schema = SSTableSchema(
+            ["k"], [_MARSHAL + "Int32Type"], [], [],
+            [("v", _MARSHAL + "UTF8Type")],
+        )
+        meta = TableMeta(
+            "t",
+            T.StructType([
+                T.StructField("k", T.IntegerType()),
+                T.StructField("v", T.StringType()),
+            ]),
+            partition_key=("k",),
+        )
+        ks = sorted(range(n), key=lambda k: _scalar_token(meta, (k,)))
+        parts = [
+            PartitionData(
+                key_values=[k],
+                rows=[RowData(clustering=[], liveness_timestamp=TS,
+                              cells={"v": CellValue(f"v{k}", TS)})],
+            )
+            for k in ks
+        ]
+        write_sstable(str(tmp_path), 1, schema, parts)
+        return ks
+
+    def test_summary_layout_round_trip(self, tmp_path):
+        from cassandra_pmem_spark.sources.sstable import (
+            read_index_entries, read_summary,
+        )
+
+        ks = self._write_many(tmp_path, 300)
+        blob = (tmp_path / "nb-1-big-Summary.db").read_bytes()
+        summ = read_summary(blob)
+        # IndexSummary.serialize pins: minIndexInterval, BASE sampling,
+        # ceil(300/128) = 3 sampled entries at full sampling
+        assert summ["min_index_interval"] == 128
+        assert summ["sampling_level"] == 128
+        assert summ["size_at_full_sampling"] == 3
+        assert len(summ["entries"]) == 3
+        # each sampled entry's offset points at ITS Index.db record
+        idx = (tmp_path / "nb-1-big-Index.db").read_bytes()
+        entries = read_index_entries(idx)
+        assert [e[0] for e in summ["entries"]] == [
+            entries[0][0], entries[128][0], entries[256][0],
+        ]
+        assert summ["first"] == entries[0][0]
+        assert summ["last"] == entries[-1][0]
+        # native-order header pins (offsets little-endian, rebased)
+        assert blob[:4] == struct.pack(">i", 128)
+        assert struct.unpack("<i", blob[24:28])[0] == 3 * 4  # first offset
+
+    def test_point_read_seeks_via_summary(self, tmp_path):
+        from cassandra_pmem_spark.sources.sstable import sstable_point_read
+
+        ks = self._write_many(tmp_path, 300)
+        # probe a key in the LAST sampled interval: the scan must start
+        # at the third sampled entry, touching <= 128 + 1 index entries
+        probe = ks[290]
+        trace: dict = {}
+        got = sstable_point_read(str(tmp_path), [probe], _trace=trace)
+        assert [r["v"] for r in got] == [f"v{probe}"]
+        assert trace["summary_seeks"] == 1
+        assert trace["index_entries_scanned"] <= 129
+        # an out-of-range probe short-circuits on first/last keys
+        # without scanning the index at all (if bloom passes it)
+        trace2: dict = {}
+        sstable_point_read(str(tmp_path), [999_999], _trace=trace2)
+        assert trace2["index_entries_scanned"] <= 1
