@@ -1,0 +1,205 @@
+"""Property sweeps over the SSTable codec (sources/sstable.py):
+random values through every wire rule must round-trip bit-exactly, and
+the vint/bloom kernels must hold their contracts for arbitrary inputs.
+No Spark session — pure codec properties."""
+
+from __future__ import annotations
+
+import struct
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cassandra_pmem_spark.sources.sstable import (
+    DELETION_TIME_EPOCH,
+    TIMESTAMP_EPOCH,
+    ByteReader,
+    CellValue,
+    PartitionData,
+    RowData,
+    SSTableSchema,
+    _MARSHAL,
+    compute_stats,
+    encode_unsigned_vint,
+    encode_vint,
+    read_partition,
+    serialize_partition,
+    unsigned_vint_size,
+)
+
+I = _MARSHAL + "Int32Type"
+L = _MARSHAL + "LongType"
+D = _MARSHAL + "DoubleType"
+S = _MARSHAL + "UTF8Type"
+B = _MARSHAL + "BytesType"
+
+
+class TestVintProperties:
+    @given(st.integers(0, 2 ** 64 - 1))
+    def test_unsigned_round_trip(self, v):
+        b = encode_unsigned_vint(v)
+        assert len(b) == unsigned_vint_size(v)
+        r = ByteReader(b)
+        assert r.unsigned_vint() == v and r.remaining() == 0
+
+    @given(st.integers(-(2 ** 63), 2 ** 63 - 1))
+    def test_signed_round_trip(self, v):
+        assert ByteReader(encode_vint(v)).vint() == v
+
+    @given(st.integers(0, 2 ** 64 - 1), st.integers(0, 2 ** 64 - 1))
+    def test_order_preserving_size(self, a, b):
+        # a larger value never encodes SHORTER (vint size monotonicity)
+        if a <= b:
+            assert unsigned_vint_size(a) <= unsigned_vint_size(b)
+
+
+_scalar = st.one_of(
+    st.integers(-(2 ** 31), 2 ** 31 - 1),
+    st.text(max_size=40),
+    st.binary(max_size=40),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.none(),
+)
+
+
+def _codec_for(v) -> str:
+    if v is None:
+        return S
+    if isinstance(v, bool):
+        return I
+    if isinstance(v, int):
+        return I
+    if isinstance(v, float):
+        return D
+    if isinstance(v, bytes):
+        return B
+    return S
+
+
+class TestPartitionRoundTripProperties:
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(0, 10 ** 6),                      # clustering
+                st.integers(0, 10 ** 9),                      # ts delta
+                st.text(max_size=30) | st.none(),             # v
+                st.integers(-(2 ** 62), 2 ** 62) | st.none(), # n
+            ),
+            min_size=0, max_size=12,
+            unique_by=lambda t: t[0],
+        )
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_rows_round_trip(self, rows):
+        schema = SSTableSchema(["k"], [I], ["c"], [I], [("n", L), ("v", S)])
+        part = PartitionData(key_values=[1])
+        for c, dts, v, n in sorted(rows):
+            rd = RowData(clustering=[c], liveness_timestamp=TIMESTAMP_EPOCH + dts)
+            if v is not None:
+                rd.cells["v"] = CellValue(v, TIMESTAMP_EPOCH + dts)
+            if n is not None:
+                rd.cells["n"] = CellValue(n, TIMESTAMP_EPOCH + dts + 1)
+            part.rows.append(rd)
+        stats = compute_stats([part])
+        blob = serialize_partition(part, schema, stats)
+        r = ByteReader(blob)
+        got = read_partition(r, schema, stats)
+        assert r.remaining() == 0
+        assert got.key_values == [1]
+        assert len(got.rows) == len(part.rows)
+        for want, have in zip(part.rows, got.rows):
+            assert have.clustering == want.clustering
+            assert have.liveness_timestamp == want.liveness_timestamp
+            assert set(have.cells) == set(want.cells)
+            for c in want.cells:
+                assert have.cells[c].value == want.cells[c].value
+                assert have.cells[c].timestamp == want.cells[c].timestamp
+
+    @given(
+        st.lists(_scalar, min_size=1, max_size=4),
+        st.integers(0, 10 ** 6),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_mixed_type_cells_round_trip(self, values, ts_delta):
+        # one regular column per generated value, typed to match it
+        regular = [
+            (f"c{i}", _codec_for(v)) for i, v in enumerate(values)
+        ]
+        schema = SSTableSchema(["k"], [L], [], [], regular)
+        rd = RowData(clustering=[], liveness_timestamp=TIMESTAMP_EPOCH + ts_delta)
+        for i, v in enumerate(values):
+            if v is not None:
+                rd.cells[f"c{i}"] = CellValue(v, TIMESTAMP_EPOCH + ts_delta)
+        part = PartitionData(key_values=[7], rows=[rd])
+        stats = compute_stats([part])
+        got = read_partition(
+            ByteReader(serialize_partition(part, schema, stats)),
+            schema, stats,
+        )
+        for i, v in enumerate(values):
+            name = f"c{i}"
+            if v is None:
+                assert name not in got.rows[0].cells
+            else:
+                have = got.rows[0].cells[name].value
+                if isinstance(v, float):
+                    assert struct.pack(">d", have) == struct.pack(">d", v)
+                else:
+                    assert have == v
+
+    @given(
+        st.integers(0, 2 ** 30),              # deletion ts delta
+        st.integers(0, 10 ** 6),              # ttl
+        st.booleans(),                        # partition-level?
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_deletion_and_ttl_round_trip(self, dd, ttl, at_partition):
+        schema = SSTableSchema(["k"], [I], ["c"], [I], [("v", S)])
+        part = PartitionData(key_values=[3])
+        if at_partition:
+            part.deletion = (TIMESTAMP_EPOCH + dd, DELETION_TIME_EPOCH + 1)
+        rd = RowData(clustering=[5], liveness_timestamp=TIMESTAMP_EPOCH + 2)
+        if ttl:
+            rd.liveness_ttl = ttl
+            rd.liveness_expiration = DELETION_TIME_EPOCH + ttl
+            rd.cells["v"] = CellValue(
+                "x", TIMESTAMP_EPOCH + 2, ttl=ttl,
+                local_deletion_time=DELETION_TIME_EPOCH + ttl,
+            )
+        else:
+            rd.deletion = (TIMESTAMP_EPOCH + dd, DELETION_TIME_EPOCH + 1)
+        part.rows.append(rd)
+        stats = compute_stats([part])
+        got = read_partition(
+            ByteReader(serialize_partition(part, schema, stats)),
+            schema, stats,
+        )
+        assert got.deletion == part.deletion
+        assert got.rows[0].deletion == rd.deletion
+        assert got.rows[0].liveness_ttl == rd.liveness_ttl
+
+
+class TestBloomProperties:
+    @given(st.lists(st.binary(min_size=1, max_size=24), min_size=1,
+                    max_size=64, unique=True))
+    @settings(max_examples=40, deadline=None)
+    def test_no_false_negatives(self, keys):
+        from cassandra_pmem_spark.sources.sstable import BloomFilter
+
+        bf = BloomFilter.sized_for(len(keys))
+        for k in keys:
+            bf.add(k)
+        assert all(bf.is_present(k) for k in keys)
+        # serialization round trip preserves membership
+        back = BloomFilter.deserialize(bf.serialize())
+        assert all(back.is_present(k) for k in keys)
+
+    @given(st.binary(min_size=1, max_size=32), st.integers(1, 16),
+           st.integers(64, 4096))
+    def test_indexes_in_range_and_deterministic(self, key, k, m):
+        from cassandra_pmem_spark.sources.sstable import bloom_indexes
+
+        m = (m // 64) * 64 or 64
+        a = bloom_indexes(key, k, m)
+        b = bloom_indexes(key, k, m)
+        assert a == b and all(0 <= i < m for i in a)
