@@ -1351,18 +1351,16 @@ def read_sstables(spark, in_dir: str, split_bytes: int = 64 * 1024 * 1024,
             rows = []
             for path, start, end in zip(pdf["path"], pdf["start"], pdf["end"]):
                 base = path[: -len("Data.db")]
-                with open(path, "rb") as f:
-                    blob = f.read()
                 with open(base + "Statistics.db", "rb") as f:
                     stats, _h = parse_statistics(f.read())
                 start, end = int(start), int(end)
-                if os.path.exists(base + "CompressionInfo.db"):
-                    with open(base + "CompressionInfo.db", "rb") as f:
-                        cinfo = CompressionInfo.parse(f.read())
-                    buf, base_off = decompress_range(blob, cinfo, start, end)
-                    blob, start, end = buf, start - base_off, end - base_off
+                # ranged I/O: a task reads only ITS split's bytes (and
+                # for compressed sstables only the overlapping chunks)
+                buf, base_off = read_uncompressed_file_range(
+                    path, start, end
+                )
                 for part in read_data_range(
-                    blob, start, end, schema, stats
+                    buf, start - base_off, end - base_off, schema, stats
                 ):
                     rows.extend(visible_rows(part, schema, now_seconds))
             if rows:
@@ -1517,7 +1515,7 @@ def sstable_point_read(sst_dir: str, key_values: list,
                     break
             if _trace is not None:
                 _trace["summary_seeks"] += 1
-        pos = None
+        pos = bound = None
         ir = ByteReader(idx_blob, start_off)
         while ir.remaining():
             klen = ir.u16()
@@ -1526,39 +1524,32 @@ def sstable_point_read(sst_dir: str, key_values: list,
             promoted = ir.unsigned_vint()
             if promoted:
                 ir.take(promoted)
+            if pos is not None:
+                # the NEXT entry's position bounds our partition's bytes
+                bound = epos
+                break
             if _trace is not None:
                 _trace["index_entries_scanned"] += 1
             if ekey == key:
                 pos = epos
-                break
+                continue  # one more iteration to learn the bound
             if (murmur3_token_bytes_py(ekey), bytes(ekey)) > probe_tk:
                 break  # token order passed the probe — not in this sstable
         if pos is None:
             continue  # bloom false positive
-        with open(base + "Data.db", "rb") as fh:
-            blob = fh.read()
-        if os.path.exists(base + "CompressionInfo.db"):
-            # decompress chunk windows from the partition's position,
-            # widening until the partition parses completely — the
-            # chunkFor + sequential-read shape of the compressed path
-            with open(base + "CompressionInfo.db", "rb") as fh:
-                cinfo = CompressionInfo.parse(fh.read())
-            window = 4 * cinfo.chunk_length
-            while True:
-                buf, base_off = decompress_range(
-                    blob, cinfo, pos, min(pos + window, cinfo.data_length)
-                )
-                try:
-                    part = read_partition(
-                        ByteReader(buf, pos - base_off), schema, stats
-                    )
-                    break
-                except ValueError:
-                    if pos + window >= cinfo.data_length:
-                        raise
-                    window *= 2
-        else:
-            part = read_partition(ByteReader(blob, pos), schema, stats)
+        if bound is None:
+            # last partition in the sstable: bound = logical data length
+            if os.path.exists(base + "CompressionInfo.db"):
+                with open(base + "CompressionInfo.db", "rb") as fh:
+                    bound = CompressionInfo.parse(fh.read()).data_length
+            else:
+                bound = os.path.getsize(base + "Data.db")
+        # ranged I/O: read exactly this partition's bytes (compressed:
+        # only the overlapping chunks), never the whole Data.db
+        buf, base_off = read_uncompressed_file_range(
+            base + "Data.db", pos, bound
+        )
+        part = read_partition(ByteReader(buf, pos - base_off), schema, stats)
         out.extend(visible_rows(part, schema, now_seconds))
     return out
 
@@ -1859,3 +1850,51 @@ def read_summary(blob: bytes) -> dict:
         "first": bytes(first),
         "last": bytes(last),
     }
+
+
+def read_uncompressed_file_range(data_path: str, start: int, end: int
+                                 ) -> tuple[bytes, int]:
+    """[start, end) of the LOGICAL (uncompressed) Data.db stream read
+    with ranged file I/O — a task reads only ITS split's bytes (plus,
+    for compressed sstables, the chunk remainder at each edge), never
+    the whole file. Returns (buffer, uncompressed offset of buffer[0]).
+    """
+    base = data_path[: -len("Data.db")]
+    info_path = base + "CompressionInfo.db"
+    if not os.path.exists(info_path):
+        with open(data_path, "rb") as f:
+            f.seek(start)
+            return f.read(max(0, end - start)), start
+    with open(info_path, "rb") as f:
+        info = CompressionInfo.parse(f.read())
+    end = min(end, info.data_length)
+    if start >= end:
+        return b"", start
+    first = start // info.chunk_length
+    last = (end - 1) // info.chunk_length
+    f0 = info.offsets[first]
+    f1 = (
+        info.offsets[last + 1]
+        if last + 1 < len(info.offsets)
+        else os.path.getsize(data_path)
+    )
+    with open(data_path, "rb") as f:
+        f.seek(f0)
+        seg = f.read(f1 - f0)
+    # rebase the chunk offsets into the segment and reuse the verifying
+    # chunk decoder
+    seg_logical_end = (
+        (last + 1) * info.chunk_length
+        if last + 1 < len(info.offsets)
+        else info.data_length
+    ) - first * info.chunk_length
+    sub = CompressionInfo(
+        info.compressor, info.options, info.chunk_length,
+        info.max_compressed_length,
+        seg_logical_end,
+        [o - f0 for o in info.offsets[first:last + 1]],
+    )
+    rel_start = start - first * info.chunk_length
+    rel_end = end - first * info.chunk_length
+    buf, rel_base = decompress_range(seg, sub, rel_start, rel_end)
+    return buf, first * info.chunk_length + rel_base
