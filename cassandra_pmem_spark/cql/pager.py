@@ -142,11 +142,13 @@ class QueryPager:
         self.db = db
         self.page_size = page_size
         st = parse_select(cql, params)
-        if st.per_partition_limit is not None:
-            raise InvalidRequest(
-                "paging with PER PARTITION LIMIT is not supported by this "
-                "engine's pager (deliberate deviation; see cql/pager.py)"
-            )
+        # PER PARTITION LIMIT pages correctly WITHOUT the reference's
+        # remainingInPartition state: the compiled statement ranks and
+        # caps rows within each FULL partition, and the pager's resume
+        # filter applies AFTER that cap — so a straddled partition's
+        # next page naturally yields ranks consumed+1..limit. (The
+        # reference needs the counter because it re-issues a fresh
+        # range query whose per-partition count would restart.)
         if st.json:
             raise InvalidRequest("SELECT JSON cannot be paged")
         ks, _, tbl = st.table.rpartition(".")

@@ -141,9 +141,20 @@ class TestGlobalAggAndGates:
         assert len(page) == 1 and page[0]["n"] == 24
         assert p.is_exhausted()
 
-    def test_per_partition_limit_rejected(self, db):
-        with pytest.raises(InvalidRequest, match="PER PARTITION LIMIT"):
-            db.pager("SELECT k, c FROM t PER PARTITION LIMIT 2", page_size=3)
+    def test_per_partition_limit_pages(self, db):
+        # PPL caps each partition's contribution; pages stay row-counted
+        # and a straddled partition resumes at rank consumed+1
+        p = db.pager("SELECT k, c FROM t PER PARTITION LIMIT 3", page_size=5)
+        pages = drain(p)
+        rows = [(r["k"], r["c"]) for pg in pages for r in pg]
+        assert [len(pg) for pg in pages] == [5, 5, 5, 3]
+        assert len(rows) == 18 and len(set(rows)) == 18
+        from collections import Counter
+
+        per_k = Counter(k for k, _c in rows)
+        assert all(per_k[k] == 3 for k in range(6))
+        # each partition contributes exactly its FIRST 3 clustering rows
+        assert all(c in (0, 1, 2) for _k, c in rows)
 
     def test_bad_state_rejected(self, db):
         with pytest.raises(InvalidRequest, match="paging state"):
