@@ -78,8 +78,40 @@ def _route(db, spark, stmt: str, sf_dir: str):
     return db.execute(stmt)
 
 
-def run_statement(db, spark, stmt: str, sf_dir: str, max_rows: int):
+def run_statement(db, spark, stmt: str, sf_dir: str, max_rows: int,
+                  fetch_size: int = 0):
     """Route one statement; returns printable output or None."""
+    if (
+        fetch_size
+        and stmt.split(None, 1)[0].lower() == "select"
+        and "system_schema." not in stmt.lower()
+    ):
+        # cqlsh-style paging (driver fetch size): registry-table SELECTs
+        # stream page by page through the QueryPager; the parquet read
+        # facade and introspection tables stay unpaged
+        try:
+            pager = db.pager(stmt, page_size=fetch_size)
+        except Exception:
+            pager = None  # not pageable (facade table etc.) — fall through
+        if pager is not None:
+            import pandas as pd
+
+            chunks = []
+            page_no = 0
+            while not pager.is_exhausted() and page_no * fetch_size < max_rows:
+                page = pager.fetch_page()
+                if not page:
+                    break
+                chunks.append(pd.DataFrame(page))
+                page_no += 1
+            pdf = (
+                pd.concat(chunks, ignore_index=True)
+                if chunks
+                else pd.DataFrame()
+            )
+            out = pdf.to_string(index=False)
+            out += f"\n({len(pdf)} rows in {page_no} pages of {fetch_size})"
+            return out
     result = _route(db, spark, stmt, sf_dir)
     if result is None or result is True:
         return "OK"
@@ -167,6 +199,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument("--max-rows", type=int, default=50)
     ap.add_argument(
+        "--fetch-size", type=int, default=0, metavar="N",
+        help="page registry-table SELECTs through the QueryPager in "
+        "pages of N rows (the cqlsh/driver fetch-size analog); 0 = "
+        "unpaged",
+    )
+    ap.add_argument(
         "--record",
         metavar="FILE",
         help="replay the script and write each statement's canonical "
@@ -248,7 +286,10 @@ def main(argv: list[str] | None = None) -> int:
     rc = 0
     for stmt in statements:
         try:
-            out = run_statement(db, spark, stmt, args.sf_dir, args.max_rows)
+            out = run_statement(
+                db, spark, stmt, args.sf_dir, args.max_rows,
+                fetch_size=args.fetch_size,
+            )
             if out:
                 print(out)
         except Exception as ex:  # surface per-statement errors, keep going

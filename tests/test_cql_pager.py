@@ -219,3 +219,25 @@ class TestMixedClusteringOrder:
         p = db.pager("SELECT c1, c2 FROM mx2 WHERE k = 1", page_size=4)
         got = [(r["c1"], r["c2"]) for pg in drain(p) for r in pg]
         assert got == [(c1, c2) for c1 in (0, 1) for c2 in (2, 1, 0)]
+
+
+class TestCliFetchSize:
+    def test_cli_paged_select(self, db, spark):
+        from cassandra_pmem_spark.__main__ import run_statement
+
+        out = run_statement(
+            db, spark, "SELECT k, c FROM t", "/root/testdata/sf0.001",
+            max_rows=50, fetch_size=7,
+        )
+        assert "(24 rows in 4 pages of 7)" in out
+
+    def test_cli_facade_select_falls_through(self, db, spark):
+        # a parquet-facade table isn't in the registry: --fetch-size
+        # must fall back to the unpaged path, not error
+        from cassandra_pmem_spark.__main__ import run_statement
+
+        out = run_statement(
+            db, spark, "SELECT n_name FROM nation LIMIT 3",
+            "/root/testdata/sf0.001", max_rows=50, fetch_size=5,
+        )
+        assert "rows shown" in out
