@@ -63,7 +63,12 @@ BigTableReader single-partition path. Summary.db is written and used
 too (IndexSummary.java:271-294 layout, native-order offsets/longs,
 first/last keys appended int-length-prefixed): point reads seek the
 Index.db from the greatest sampled key <= probe and scan at most one
-minIndexInterval. Omitted: static rows, range tombstone markers,
+minIndexInterval. STATIC rows are real: when the header declares
+static columns every partition carries one static row (EXTENSION_FLAG
++ IS_STATIC, no clustering — UnfilteredSerializer.java:162-163,187;
+ColumnIndex.writePartitionHeader:120-127), reads spread the live
+static values onto each row (and a static-only partition yields one
+null-clustered row, the CQL shape). Omitted: range tombstone markers,
 complex (collection) columns, and the STATS/COMPACTION metadata
 components (the HEADER + VALIDATION components written here are the
 ones the data path needs; the TOC records exactly what exists).
@@ -325,13 +330,16 @@ class SSTableSchema:
     clustering_names: list[str]
     clustering_types: list[str]           # marshal text (ReversedType(...) for DESC)
     regular: list[tuple[str, str]]        # (name, marshal text), SORTED by name
+    statics: list[tuple[str, str]] = field(default_factory=list)
 
     def __post_init__(self):
         self.regular = sorted(self.regular)
-        if len(self.regular) >= 64:
+        self.statics = sorted(self.statics)
+        if len(self.regular) >= 64 or len(self.statics) >= 64:
             raise ValueError(
-                "sstable subset supports fewer than 64 regular columns "
-                "(Columns.serializeSubset large-subset encoding not implemented)"
+                "sstable subset supports fewer than 64 regular/static "
+                "columns (Columns.serializeSubset large-subset encoding "
+                "not implemented)"
             )
 
     @classmethod
@@ -363,11 +371,15 @@ class SSTableSchema:
             for c in meta.clustering
         ]
         pk = list(meta.partition_key)
+        statics = set(getattr(meta, "static_columns", ()) or ())
         reg = [
             (n, t) for n, t in by_name.items()
-            if n not in pk and n not in ck_names
+            if n not in pk and n not in ck_names and n not in statics
         ]
-        return cls(pk, [by_name[c] for c in pk], ck_names, ck_types, reg)
+        stat = [(n, by_name[n]) for n in statics]
+        return cls(
+            pk, [by_name[c] for c in pk], ck_names, ck_types, reg, stat
+        )
 
     def key_bytes(self, values: list) -> bytes:
         """Serialized partition key: single component raw, composite via
@@ -471,6 +483,7 @@ class RowData:
     # row deletion (mfda micros, ldt seconds) or None
     deletion: tuple[int, int] | None = None
     cells: dict = field(default_factory=dict)  # col name -> CellValue
+    is_static: bool = False
 
 
 @dataclass
@@ -478,6 +491,9 @@ class PartitionData:
     key_values: list = field(default_factory=list)
     deletion: tuple[int, int] | None = None  # partition-level
     rows: list = field(default_factory=list)
+    # static row cells (one per partition; Row.STATIC_CLUSTERING): the
+    # values of `static` columns, each with its own liveness
+    static_cells: dict = field(default_factory=dict)
 
 
 # -- row / partition serialization (UnfilteredSerializer) --------------------
@@ -625,19 +641,24 @@ def _read_cell(r: ByteReader, codec: Codec, row_ts: int | None,
 
 
 def _row_bytes(row: RowData, schema: SSTableSchema, stats: EncodingStats,
-               prev_size: int) -> bytes:
-    """UnfilteredSerializer.serialize for one (non-static) row
+               prev_size: int, static: bool = False) -> bytes:
+    """UnfilteredSerializer.serialize for one row
     (UnfilteredSerializer.java:160-262): flags, clustering,
-    <body+prevsize vint><prev size vint><body>."""
+    <body+prevsize vint><prev size vint><body>. A STATIC row sets
+    EXTENSION_FLAG + the IS_STATIC extended flag, has no clustering,
+    and draws its column superset from the header's static columns
+    (UnfilteredSerializer.java:162-163,187-188)."""
     flags = 0
     has_ts = row.liveness_timestamp is not None
     has_ttl = has_ts and row.liveness_ttl > 0
     has_del = row.deletion is not None
     present = sorted(row.cells)
-    superset = [n for n, _ in schema.regular]
+    superset = [n for n, _ in (schema.statics if static else schema.regular)]
     unknown = set(present) - set(superset)
     if unknown:
         raise ValueError(f"cells for undeclared columns {sorted(unknown)}")
+    if static:
+        flags |= EXTENSION_FLAG
     if has_ts:
         flags |= HAS_TIMESTAMP
     if has_ttl:
@@ -663,7 +684,7 @@ def _row_bytes(row: RowData, schema: SSTableSchema, stats: EncodingStats,
         body += encode_unsigned_vint(ldt - stats.min_local_deletion_time)
     if not (flags & HAS_ALL_COLUMNS):
         body += _columns_subset_vint(present, superset)
-    types = dict(schema.regular)
+    types = dict(schema.statics if static else schema.regular)
     row_ts = row.liveness_timestamp if has_ts else None
     for c in present:
         body += _cell_bytes(
@@ -674,7 +695,10 @@ def _row_bytes(row: RowData, schema: SSTableSchema, stats: EncodingStats,
         )
 
     out = bytearray([flags])
-    out += _clustering_bytes(schema, row.clustering)
+    if static:
+        out.append(0x01)  # extended flags: IS_STATIC
+    else:
+        out += _clustering_bytes(schema, row.clustering)
     # <row body size + sizeof(prev size vint)> <prev size> <body>
     out += encode_unsigned_vint(len(body) + unsigned_vint_size(prev_size))
     out += encode_unsigned_vint(prev_size)
@@ -684,20 +708,25 @@ def _row_bytes(row: RowData, schema: SSTableSchema, stats: EncodingStats,
 
 def _read_row(r: ByteReader, flags: int, schema: SSTableSchema,
               stats: EncodingStats) -> RowData:
+    static = False
     if flags & EXTENSION_FLAG:
-        raise ValueError(
-            "static rows / shadowable deletions are outside the "
-            "implemented sstable subset"
-        )
+        ext = r.u8()
+        if ext & 0x02:
+            raise ValueError(
+                "shadowable deletions are outside the implemented "
+                "sstable subset"
+            )
+        static = bool(ext & 0x01)
     if flags & IS_MARKER:
         raise ValueError(
             "range tombstone markers are outside the implemented "
             "sstable subset"
         )
-    clustering = _read_clustering(r, schema)
+    clustering = [] if static else _read_clustering(r, schema)
     r.unsigned_vint()  # row size (skip-support; sequential read ignores)
     r.unsigned_vint()  # previous row size
     row = RowData(clustering=clustering)
+    row.is_static = static
     if flags & HAS_TIMESTAMP:
         row.liveness_timestamp = r.unsigned_vint() + stats.min_timestamp
     if flags & HAS_TTL:
@@ -710,13 +739,14 @@ def _read_row(r: ByteReader, flags: int, schema: SSTableSchema,
             r.unsigned_vint() + stats.min_timestamp,
             r.unsigned_vint() + stats.min_local_deletion_time,
         )
-    superset = [n for n, _ in schema.regular]
+    cols = schema.statics if static else schema.regular
+    superset = [n for n, _ in cols]
     present = (
         list(superset)
         if flags & HAS_ALL_COLUMNS
         else _read_columns_subset(r, superset)
     )
-    types = dict(schema.regular)
+    types = dict(cols)
     row_ts = row.liveness_timestamp
     for c in present:
         row.cells[c] = _read_cell(
@@ -753,6 +783,12 @@ def serialize_partition(part: PartitionData, schema: SSTableSchema,
         raise ValueError("partition key exceeds unsigned-short length")
     out += struct.pack(">H", len(key)) + key
     out += _deletion_time_bytes(part.deletion)
+    if schema.statics:
+        # header hasStatic => EVERY partition carries a static row,
+        # possibly empty (ColumnIndex.writePartitionHeader:120-127)
+        srow = RowData()
+        srow.cells = dict(part.static_cells)
+        out += _row_bytes(srow, schema, stats, 0, static=True)
     prev = 0
     for row in part.rows:
         rb = _row_bytes(row, schema, stats, prev)
@@ -774,6 +810,11 @@ def read_partition(r: ByteReader, schema: SSTableSchema,
     key = r.take(klen)
     part = PartitionData(key_values=schema.key_values(key))
     part.deletion = _read_deletion_time(r)
+    if schema.statics:
+        srow = _read_row(r, r.u8(), schema, stats)
+        if not getattr(srow, "is_static", False):
+            raise ValueError("expected a static row after the partition header")
+        part.static_cells = srow.cells
     while True:
         flags = r.u8()
         if flags & END_OF_PARTITION:
@@ -813,13 +854,13 @@ def _header_component(schema: SSTableSchema, stats: EncodingStats) -> bytes:
     out += encode_unsigned_vint(len(schema.clustering_types))
     for t in schema.clustering_types:
         wtype(t)
-    out += encode_unsigned_vint(0)  # static columns
-    out += encode_unsigned_vint(len(schema.regular))
-    for name, t in schema.regular:
-        nb = name.encode()
-        out.extend(encode_unsigned_vint(len(nb)))
-        out.extend(nb)
-        wtype(t)
+    for cols in (schema.statics, schema.regular):
+        out += encode_unsigned_vint(len(cols))
+        for name, t in cols:
+            nb = name.encode()
+            out.extend(encode_unsigned_vint(len(nb)))
+            out.extend(nb)
+            wtype(t)
     return bytes(out)
 
 
@@ -833,8 +874,7 @@ def _parse_header_component(r: ByteReader) -> tuple[EncodingStats, dict]:
     n_ck = r.unsigned_vint()
     ck_types = [rtext() for _ in range(n_ck)]
     n_static = r.unsigned_vint()
-    for _ in range(n_static):
-        rtext(), rtext()
+    statics = [(rtext(), rtext()) for _ in range(n_static)]
     n_reg = r.unsigned_vint()
     regular = [(rtext(), rtext()) for _ in range(n_reg)]
     comp_pref = _MARSHAL + "CompositeType("
@@ -846,6 +886,7 @@ def _parse_header_component(r: ByteReader) -> tuple[EncodingStats, dict]:
         "key_types": key_types,
         "clustering_types": ck_types,
         "regular": regular,
+        "statics": statics,
     }
 
 
@@ -943,6 +984,12 @@ def compute_stats(partitions: list[PartitionData]) -> EncodingStats:
         if p.deletion:
             ts.append(p.deletion[0])
             ldts.append(p.deletion[1])
+        for cell in p.static_cells.values():
+            ts.append(cell.timestamp)
+            if cell.ttl:
+                ttls.append(cell.ttl)
+            if cell.local_deletion_time != NO_DELETION_TIME:
+                ldts.append(cell.local_deletion_time)
         for row in p.rows:
             if row.liveness_timestamp is not None:
                 ts.append(row.liveness_timestamp)
@@ -1114,6 +1161,21 @@ def visible_rows(part: PartitionData, schema: SSTableSchema,
     vanish (PurgeFunction / Rows.removeShadowedCells direction)."""
     out = []
     pdel = part.deletion[0] if part.deletion else None
+
+    def live_cells(cell_map: dict, shadow: int) -> dict:
+        cells = {}
+        for c, cell in cell_map.items():
+            if cell.is_tombstone:
+                continue
+            if cell.timestamp <= shadow:
+                continue
+            if cell.ttl and cell.local_deletion_time <= now_seconds:
+                continue
+            cells[c] = cell.value
+        return cells
+
+    pshadow = pdel if pdel is not None else -(1 << 63)
+    statics = live_cells(part.static_cells, pshadow)
     for row in part.rows:
         rdel = row.deletion[0] if row.deletion else None
         shadow = max(x for x in (pdel, rdel, -(1 << 63)) if x is not None)
@@ -1126,21 +1188,29 @@ def visible_rows(part: PartitionData, schema: SSTableSchema,
                 and row.liveness_expiration <= now_seconds
             )
         )
-        cells = {}
-        for c, cell in row.cells.items():
-            if cell.is_tombstone:
-                continue
-            if cell.timestamp <= shadow:
-                continue
-            if cell.ttl and cell.local_deletion_time <= now_seconds:
-                continue
-            cells[c] = cell.value
+        cells = live_cells(row.cells, shadow)
         if not row_alive and not cells:
             continue
         d = dict(zip(schema.key_names, part.key_values))
         d.update(zip(schema.clustering_names, row.clustering))
         for name, _t in schema.regular:
             d[name] = cells.get(name)
+        # static values spread onto every row of the partition (the
+        # CQL read shape for static columns)
+        for name, _t in schema.statics:
+            d[name] = statics.get(name)
+        out.append(d)
+    if not out and statics:
+        # a partition with ONLY live static data: CQL returns one row
+        # with null clustering/regular values (SelectStatement's
+        # static-row handling for unrestricted queries)
+        d = dict(zip(schema.key_names, part.key_values))
+        for name in schema.clustering_names:
+            d[name] = None
+        for name, _t in schema.regular:
+            d[name] = None
+        for name, _t in schema.statics:
+            d[name] = statics.get(name)
         out.append(d)
     return out
 
@@ -1162,6 +1232,8 @@ def _spark_schema(schema: SSTableSchema):
     for name, t in zip(schema.clustering_names, schema.clustering_types):
         fields.append(T.StructField(name, by_ss[codec_of(t).spark], True))
     for name, t in schema.regular:
+        fields.append(T.StructField(name, by_ss[codec_of(t).spark], True))
+    for name, t in schema.statics:
         fields.append(T.StructField(name, by_ss[codec_of(t).spark], True))
     return T.StructType(fields)
 
@@ -1199,6 +1271,7 @@ def bulk_write_sstables(df, meta, out_dir: str, sstables: int = 1,
     key_names = list(schema.key_names)
     ck_names = list(schema.clustering_names)
     reg_names = [n for n, _ in schema.regular]
+    stat_names = [n for n, _ in schema.statics]
     exp = (
         (timestamp_micros // 1_000_000) + ttl_seconds
         if ttl_seconds
@@ -1218,6 +1291,23 @@ def bulk_write_sstables(df, meta, out_dir: str, sstables: int = 1,
                 if cur_key != kv:
                     parts.append(PartitionData(key_values=kv))
                     cur_key = list(kv)
+                # static values ride once per partition: take the first
+                # non-null value any of the partition's rows carries
+                # (a fully-spread frame repeats it; a sparse frame has
+                # it on whichever row wrote it)
+                for c in stat_names:
+                    if c in parts[-1].static_cells:
+                        continue
+                    v = rec[c]
+                    if v is not None and not (
+                        isinstance(v, float) and v != v
+                    ):
+                        parts[-1].static_cells[c] = CellValue(
+                            value=v,
+                            timestamp=timestamp_micros,
+                            ttl=ttl_seconds,
+                            local_deletion_time=exp,
+                        )
                 row = RowData(
                     clustering=[rec[c] for c in ck_names],
                     liveness_timestamp=timestamp_micros,
@@ -1253,7 +1343,7 @@ def bulk_write_sstables(df, meta, out_dir: str, sstables: int = 1,
             T.StructField("data_bytes", T.LongType()),
         ]
     )
-    sel = key_names + ck_names + reg_names
+    sel = key_names + ck_names + reg_names + stat_names
     rows = (
         work.select(*sel, "__sst_tok")
         .mapInPandas(lambda it: write_partition_iter(it), schema=mschema)
@@ -1291,6 +1381,7 @@ def read_sstables(spark, in_dir: str, split_bytes: int = 64 * 1024 * 1024,
         [f"ck{i}" for i in range(len(hdr["clustering_types"]))],
         hdr["clustering_types"],
         hdr["regular"],
+        hdr.get("statics", []),
     )
     if now_seconds is None:
         now_seconds = 2 ** 31 - 2
@@ -1484,6 +1575,7 @@ def sstable_point_read(sst_dir: str, key_values: list,
             [f"ck{i}" for i in range(len(hdr["clustering_types"]))],
             hdr["clustering_types"],
             hdr["regular"],
+            hdr.get("statics", []),
         )
         key = schema.key_bytes(key_values)
         filter_path = base + "Filter.db"
@@ -1702,6 +1794,7 @@ def dump_sstable(data_path: str, now_seconds: int | None = None) -> list[dict]:
         [f"ck{i}" for i in range(len(hdr["clustering_types"]))],
         hdr["clustering_types"],
         hdr["regular"],
+        hdr.get("statics", []),
     )
     with open(data_path, "rb") as fh:
         blob = fh.read()
@@ -1727,6 +1820,17 @@ def dump_sstable(data_path: str, now_seconds: int | None = None) -> list[dict]:
                 "local_delete_time": _iso_seconds(ldt),
             }
         rows_j = []
+        if part.static_cells:
+            sj: dict = {"type": "static_block", "cells": []}
+            for name in sorted(part.static_cells):
+                cell = part.static_cells[name]
+                cj = {"name": name, "value": cell.value,
+                      "tstamp": _iso_micros(cell.timestamp)}
+                if cell.ttl:
+                    cj["ttl"] = cell.ttl
+                    cj["expires_at"] = _iso_seconds(cell.local_deletion_time)
+                sj["cells"].append(cj)
+            rows_j.append(sj)
         for row in part.rows:
             rj: dict = {"type": "row"}
             if schema.clustering_names:

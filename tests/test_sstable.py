@@ -997,3 +997,109 @@ class TestSummary:
         trace2: dict = {}
         sstable_point_read(str(tmp_path), [999_999], _trace=trace2)
         assert trace2["index_entries_scanned"] <= 1
+
+
+class TestStaticRows:
+    def _schema_static(self):
+        return SSTableSchema(
+            ["k"], [_MARSHAL + "Int32Type"], ["c"], [_MARSHAL + "Int32Type"],
+            [("v", _MARSHAL + "UTF8Type")],
+            [("s", _MARSHAL + "UTF8Type")],
+        )
+
+    def test_static_row_round_trip(self):
+        schema = self._schema_static()
+        part = _part(1, [_row(1, TS, v="a"), _row(2, TS, v="b")])
+        part.static_cells["s"] = CellValue("shared", TS + 5)
+        stats = compute_stats([part])
+        blob = serialize_partition(part, schema, stats)
+        # first unfiltered after the partition header is the static row:
+        # EXTENSION_FLAG set, extended byte IS_STATIC
+        at = 2 + 4 + 12
+        assert blob[at] & 0x80 and blob[at + 1] == 0x01
+        got = read_partition(ByteReader(blob), schema, stats)
+        assert got.static_cells["s"].value == "shared"
+        assert got.static_cells["s"].timestamp == TS + 5
+        assert [r.cells["v"].value for r in got.rows] == ["a", "b"]
+
+    def test_empty_static_row_still_written(self):
+        # header hasStatic => every partition carries a static row,
+        # possibly empty (ColumnIndex.writePartitionHeader)
+        schema = self._schema_static()
+        part = _part(2, [_row(1, TS, v="x")])
+        stats = compute_stats([part])
+        got = read_partition(
+            ByteReader(serialize_partition(part, schema, stats)),
+            schema, stats,
+        )
+        assert got.static_cells == {}
+        assert got.rows[0].cells["v"].value == "x"
+
+    def test_visible_rows_spread_statics(self):
+        schema = self._schema_static()
+        part = _part(3, [_row(1, TS, v="a"), _row(2, TS)])
+        part.static_cells["s"] = CellValue("sv", TS)
+        stats = compute_stats([part])
+        got = read_partition(
+            ByteReader(serialize_partition(part, schema, stats)),
+            schema, stats,
+        )
+        vis = visible_rows(got, schema, DELETION_TIME_EPOCH)
+        assert [(r["c"], r["v"], r["s"]) for r in vis] == [
+            (1, "a", "sv"), (2, None, "sv"),
+        ]
+
+    def test_static_only_partition_yields_one_null_row(self):
+        schema = self._schema_static()
+        part = _part(4, [])
+        part.static_cells["s"] = CellValue("only", TS)
+        stats = compute_stats([part])
+        got = read_partition(
+            ByteReader(serialize_partition(part, schema, stats)),
+            schema, stats,
+        )
+        vis = visible_rows(got, schema, DELETION_TIME_EPOCH)
+        assert vis == [{"k": 4, "c": None, "v": None, "s": "only"}]
+
+    def test_partition_deletion_shadows_statics(self):
+        schema = self._schema_static()
+        part = _part(5, [])
+        part.static_cells["s"] = CellValue("old", TS)
+        part.deletion = (TS + 1, DELETION_TIME_EPOCH)
+        stats = compute_stats([part])
+        got = read_partition(
+            ByteReader(serialize_partition(part, schema, stats)),
+            schema, stats,
+        )
+        assert visible_rows(got, schema, DELETION_TIME_EPOCH) == []
+
+    def test_bulk_write_static_table_end_to_end(self, spark, tmp_path):
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+        db = CqlDatabase(spark)
+        db.execute("CREATE KEYSPACE sks WITH REPLICATION = {'class': 'SimpleStrategy'}")
+        db.execute("USE sks")
+        db.execute("CREATE TABLE t (k int, c int, s text static, v text, "
+                   "PRIMARY KEY (k, c))")
+        for k in range(4):
+            # the statement layer writes statics alongside a full-pk row
+            db.execute("INSERT INTO t (k, c, s, v) VALUES (?, ?, ?, ?)",
+                       [k, 0, f"s{k}", f"{k}.0"])
+            db.execute("INSERT INTO t (k, c, v) VALUES (?, ?, ?)",
+                       [k, 1, f"{k}.1"])
+        out = str(tmp_path / "sst")
+        db.flush_sstables("t", out)
+        # header-declared statics survive the distributed read
+        back = read_sstables(spark, out)
+        got = {(r["key0"], r["ck0"]): (r["v"], r["s"]) for r in
+               (x.asDict() for x in back.collect())}
+        assert len(got) == 8
+        for k in range(4):
+            for c in range(2):
+                assert got[(k, c)] == (f"{k}.{c}", f"s{k}")
+        # and load back into a fresh static table
+        db.execute("CREATE TABLE t2 (k int, c int, s text static, v text, "
+                   "PRIMARY KEY (k, c))")
+        db.load_sstables("t2", out)
+        r = db.execute("SELECT s FROM t2 WHERE k = 2 AND c = 1").collect()
+        assert r[0].s == "s2"
