@@ -897,15 +897,25 @@ def _validation_component(bloom_fp: float = 0.01) -> bytes:
     return struct.pack(">H", len(name)) + name + struct.pack(">d", bloom_fp)
 
 
-def serialize_statistics(schema: SSTableSchema, stats: EncodingStats) -> bytes:
+def serialize_statistics(schema: SSTableSchema, stats: EncodingStats,
+                         partitions: list | None = None,
+                         compression_ratio: float = -1.0) -> bytes:
     """The Statistics.db container (MetadataSerializer.java:60-111),
     version nb => checksummed: count+crc, toc+crc (running), then each
-    component + its own crc. Only VALIDATION and HEADER are written
-    (documented subset)."""
+    component + its own crc, components ordered by type ordinal.
+    VALIDATION, STATS (when the writer passes its partitions), and
+    HEADER are written; COMPACTION (the HLL cardinality blob) is the
+    one documented omission."""
     comps = [
         (_TYPE_VALIDATION, _validation_component()),
         (_TYPE_HEADER, _header_component(schema, stats)),
     ]
+    if partitions is not None:
+        comps.append((
+            _TYPE_STATS,
+            stats_component(schema, stats, partitions, compression_ratio),
+        ))
+        comps.sort()
     out = bytearray()
     crc = 0
     out += struct.pack(">i", len(comps))
@@ -948,16 +958,37 @@ def parse_statistics(blob: bytes) -> tuple[EncodingStats, dict]:
     positions = dict(toc)
     if _TYPE_HEADER not in positions:
         raise ValueError("Statistics.db missing HEADER component")
-    start = positions[_TYPE_HEADER]
-    # component runs to the next toc position (or end minus its crc)
-    ends = sorted(p for _t, p in toc) + [len(blob)]
-    end = min(p for p in ends if p > start)
-    body = blob[start:end - 4] if end == len(blob) else blob[start:end - 4]
-    # verify the component checksum (last 4 bytes of its slot)
-    stored = struct.unpack(">I", blob[end - 4:end])[0]
-    if zlib.crc32(body) != stored:
-        raise ValueError("Statistics.db HEADER checksum mismatch")
-    return _parse_header_component(ByteReader(body))
+
+    def component_body(type_id: int) -> bytes:
+        start = positions[type_id]
+        # a component's slot runs to the next toc position (or file
+        # end); the slot's last 4 bytes are its CRC32
+        ends = sorted(p for _t, p in toc) + [len(blob)]
+        end = min(p for p in ends if p > start)
+        body = blob[start:end - 4]
+        stored = struct.unpack(">I", blob[end - 4:end])[0]
+        if zlib.crc32(body) != stored:
+            raise ValueError(
+                f"Statistics.db component {type_id} checksum mismatch"
+            )
+        return body
+
+    stats, hdr = _parse_header_component(
+        ByteReader(component_body(_TYPE_HEADER))
+    )
+    if _TYPE_STATS in positions:
+        tmp_schema = SSTableSchema(
+            [f"key{i}" for i in range(len(hdr["key_types"]))],
+            hdr["key_types"],
+            [f"ck{i}" for i in range(len(hdr["clustering_types"]))],
+            hdr["clustering_types"],
+            hdr["regular"],
+            hdr.get("statics", []),
+        )
+        hdr["stats_metadata"] = parse_stats_component(
+            component_body(_TYPE_STATS), tmp_schema
+        )
+    return stats, hdr
 
 
 # -- whole-sstable write / read ----------------------------------------------
@@ -1091,7 +1122,12 @@ def write_sstable(out_dir: str, generation: int, schema: SSTableSchema,
     with open(paths["index"], "wb") as f:
         f.write(index)
     with open(paths["stats"], "wb") as f:
-        f.write(serialize_statistics(schema, stats))
+        ratio = (
+            len(on_disk) / len(data)
+            if compression and len(data)
+            else NO_COMPRESSION_RATIO
+        )
+        f.write(serialize_statistics(schema, stats, partitions, ratio))
     with open(paths["digest"], "w") as f:
         # ChecksumWriter.writeFullChecksum: decimal text of the full
         # on-disk Data.db CRC32
@@ -2002,3 +2038,191 @@ def read_uncompressed_file_range(data_path: str, start: int, end: int
     rel_end = end - first * info.chunk_length
     buf, rel_base = decompress_range(seg, sub, rel_start, rel_end)
     return buf, first * info.chunk_length + rel_base
+
+
+# -- STATS metadata component (StatsMetadata.java:290-338) --------------------
+#
+# Sub-serializers: EstimatedHistogram.java:370-380 (int count, then per
+# bucket (long offset, long count) with the offsets shifted by one —
+# bucket 0 pairs with offset 0's value, the overflow bucket repeats the
+# last offset), offsets from the 1.2-growth ladder
+# (EstimatedHistogram.newOffsets:87-103; 150 buckets for partition
+# sizes, 114 for cells per partition — MetadataCollector.java:54-63);
+# TombstoneHistogram.java:74-85 (int maxBinSize, int size, then
+# (double point, long count) pairs); CommitLogPosition.java:106-110
+# (long segmentId, int position; NONE = (-1, 0)); IntervalSet
+# (int count, then lower/upper pairs). Version nb carries the
+# commit-log lower bound, intervals, pendingRepair flag byte, and
+# isTransient boolean.
+
+_TYPE_STATS = 2
+NO_COMPRESSION_RATIO = -1.0
+
+
+def _histogram_offsets(size: int) -> list[int]:
+    out = [1]
+    last = 1
+    while len(out) < size:
+        nxt = round(last * 1.2)
+        if nxt == last:
+            nxt += 1
+        out.append(nxt)
+        last = nxt
+    return out
+
+
+def _estimated_histogram(values: list[int], size: int) -> bytes:
+    """Real counts bucketed on the reference's offset ladder."""
+    import bisect
+
+    offsets = _histogram_offsets(size)
+    buckets = [0] * (size + 1)
+    for v in values:
+        i = bisect.bisect_left(offsets, v)
+        buckets[i] += 1
+    out = bytearray(struct.pack(">i", len(buckets)))
+    for i, count in enumerate(buckets):
+        out += struct.pack(">q", offsets[0] if i == 0 else offsets[i - 1])
+        out += struct.pack(">q", count)
+    return bytes(out)
+
+
+def _read_estimated_histogram(r: ByteReader) -> list[tuple[int, int]]:
+    n = r.i32()
+    return [(r.i64(), r.i64()) for _ in range(n)]
+
+
+def stats_component(schema: SSTableSchema, stats: EncodingStats,
+                    partitions: list[PartitionData],
+                    compression_ratio: float = NO_COMPRESSION_RATIO) -> bytes:
+    part_sizes = []
+    cell_counts = []
+    all_ts: list[int] = []
+    all_ldt: list[int] = []
+    all_ttl: list[int] = []
+    tombstone_drops: dict[int, int] = {}
+    total_cells = 0
+    total_rows = 0
+    min_ck: list = [None] * len(schema.clustering_types)
+    max_ck: list = [None] * len(schema.clustering_types)
+
+    def see_cell(cell: CellValue) -> None:
+        nonlocal total_cells
+        all_ts.append(cell.timestamp)
+        all_ldt.append(cell.local_deletion_time)
+        all_ttl.append(cell.ttl)
+        if cell.is_tombstone:
+            tombstone_drops[cell.local_deletion_time] = (
+                tombstone_drops.get(cell.local_deletion_time, 0) + 1
+            )
+        else:
+            total_cells += 1
+
+    for p in partitions:
+        size = len(serialize_partition(p, schema, stats))
+        part_sizes.append(size)
+        n_cells = len(p.static_cells)
+        for cell in p.static_cells.values():
+            see_cell(cell)
+        if p.deletion:
+            all_ts.append(p.deletion[0])
+            all_ldt.append(p.deletion[1])
+            tombstone_drops[p.deletion[1]] = (
+                tombstone_drops.get(p.deletion[1], 0) + 1
+            )
+        for row in p.rows:
+            total_rows += 1
+            n_cells += len(row.cells)
+            if row.liveness_timestamp is not None:
+                all_ts.append(row.liveness_timestamp)
+                all_ldt.append(
+                    row.liveness_expiration if row.liveness_ttl
+                    else NO_DELETION_TIME
+                )
+                all_ttl.append(row.liveness_ttl)
+            if row.deletion:
+                all_ts.append(row.deletion[0])
+                all_ldt.append(row.deletion[1])
+                tombstone_drops[row.deletion[1]] = (
+                    tombstone_drops.get(row.deletion[1], 0) + 1
+                )
+            for cell in row.cells.values():
+                see_cell(cell)
+            for i, v in enumerate(row.clustering):
+                if v is None:
+                    continue
+                if min_ck[i] is None or (v, ) < (min_ck[i], ):
+                    min_ck[i] = v
+                if max_ck[i] is None or (v, ) > (max_ck[i], ):
+                    max_ck[i] = v
+        cell_counts.append(n_cells)
+
+    out = bytearray()
+    out += _estimated_histogram(part_sizes, 150)
+    out += _estimated_histogram(cell_counts, 114)
+    out += struct.pack(">qi", -1, 0)          # commit log upper = NONE
+    out += struct.pack(">q", min(all_ts) if all_ts else TIMESTAMP_EPOCH)
+    out += struct.pack(">q", max(all_ts) if all_ts else TIMESTAMP_EPOCH)
+    out += struct.pack(">i", min(all_ldt) if all_ldt else NO_DELETION_TIME)
+    out += struct.pack(">i", max(all_ldt) if all_ldt else NO_DELETION_TIME)
+    out += struct.pack(">i", min(all_ttl) if all_ttl else 0)
+    out += struct.pack(">i", max(all_ttl) if all_ttl else 0)
+    out += struct.pack(">d", compression_ratio)
+    # TombstoneHistogram: maxBinSize, size, (double point, long count)
+    out += struct.pack(">ii", len(tombstone_drops), len(tombstone_drops))
+    for point in sorted(tombstone_drops):
+        out += struct.pack(">dq", float(point), tombstone_drops[point])
+    out += struct.pack(">i", 0)               # sstableLevel
+    out += struct.pack(">q", 0)               # repairedAt = UNREPAIRED
+    for bound in (min_ck, max_ck):
+        vals = [
+            _pack_value(codec_of(t), v)
+            for t, v in zip(schema.clustering_types, bound)
+            if v is not None
+        ]
+        out += struct.pack(">i", len(vals))
+        for b in vals:
+            out += struct.pack(">H", len(b)) + b
+    out += b"\x00"                            # hasLegacyCounterShards
+    out += struct.pack(">q", total_cells)
+    out += struct.pack(">q", total_rows)
+    out += struct.pack(">qi", -1, 0)          # commit log lower = NONE
+    out += struct.pack(">i", 0)               # empty commit-log intervals
+    out += b"\x00"                            # no pending repair
+    out += b"\x00"                            # isTransient = false
+    return bytes(out)
+
+
+def parse_stats_component(blob: bytes, schema: SSTableSchema) -> dict:
+    r = ByteReader(blob)
+    part_hist = _read_estimated_histogram(r)
+    cell_hist = _read_estimated_histogram(r)
+    r.i64(), r.i32()                          # commit log upper
+    out = {
+        "partition_size_histogram": part_hist,
+        "cells_histogram": cell_hist,
+        "min_timestamp": r.i64(),
+        "max_timestamp": r.i64(),
+        "min_local_deletion_time": r.i32(),
+        "max_local_deletion_time": r.i32(),
+        "min_ttl": r.i32(),
+        "max_ttl": r.i32(),
+        "compression_ratio": struct.unpack(">d", r.take(8))[0],
+    }
+    r.i32()
+    n = r.i32()
+    out["tombstone_drop_times"] = [
+        (struct.unpack(">d", r.take(8))[0], r.i64()) for _ in range(n)
+    ]
+    out["sstable_level"] = r.i32()
+    out["repaired_at"] = r.i64()
+    for name in ("min_clustering_values", "max_clustering_values"):
+        k = r.i32()
+        out[name] = [
+            _unpack_value(codec_of(schema.clustering_types[i]), r.take(r.u16()))
+            for i in range(k)
+        ]
+    r.u8()                                    # legacy counter shards
+    out["total_columns_set"] = r.i64()
+    out["total_rows"] = r.i64()
+    return out

@@ -1103,3 +1103,52 @@ class TestStaticRows:
         db.load_sstables("t2", out)
         r = db.execute("SELECT s FROM t2 WHERE k = 2 AND c = 1").collect()
         assert r[0].s == "s2"
+
+
+class TestStatsMetadata:
+    def test_stats_component_round_trip(self, tmp_path):
+        from cassandra_pmem_spark.cql.parser import _scalar_token
+        from cassandra_pmem_spark.catalog import ClusteringColumn, TableMeta
+        from pyspark.sql import types as T
+
+        schema = _schema()
+        meta = TableMeta(
+            "t",
+            T.StructType([
+                T.StructField("k", T.IntegerType()),
+                T.StructField("c", T.IntegerType()),
+                T.StructField("v", T.StringType()),
+                T.StructField("n", T.LongType()),
+            ]),
+            partition_key=("k",), clustering=(ClusteringColumn("c"),),
+        )
+        ks = sorted(range(10), key=lambda k: _scalar_token(meta, (k,)))
+        tomb = RowData(clustering=[99],
+                       deletion=(TS + 50, DELETION_TIME_EPOCH + 50))
+        parts = [
+            _part(k, [_row(c, TS + c, v=f"{k}", n=k) for c in range(3)])
+            for k in ks
+        ]
+        parts[0].rows.append(tomb)
+        write_sstable(str(tmp_path), 1, schema, parts, compression=True)
+        _stats, hdr = parse_statistics(
+            (tmp_path / "nb-1-big-Statistics.db").read_bytes()
+        )
+        sm = hdr["stats_metadata"]
+        assert sm["total_rows"] == 31
+        assert sm["total_columns_set"] == 60  # 2 live cells x 30 rows
+        assert sm["min_timestamp"] == TS and sm["max_timestamp"] == TS + 50
+        # clustering bounds cover every row incl. the tombstone row
+        assert sm["min_clustering_values"] == [0]
+        assert sm["max_clustering_values"] == [99]
+        assert sm["tombstone_drop_times"] == [
+            (float(DELETION_TIME_EPOCH + 50), 1)
+        ]
+        assert 0 < sm["compression_ratio"] < 1.5
+        assert sm["repaired_at"] == 0 and sm["sstable_level"] == 0
+        # histogram bucket counts sum to the partition count
+        assert sum(c for _o, c in sm["partition_size_histogram"]) == 10
+        assert sum(c for _o, c in sm["cells_histogram"]) == 10
+        # the offsets ladder is the reference's 1.2-growth sequence
+        offs = [o for o, _c in sm["partition_size_histogram"]]
+        assert offs[0] == offs[1] == 1 and offs[2] == 2  # shifted pairing
