@@ -68,10 +68,16 @@ static columns every partition carries one static row (EXTENSION_FLAG
 + IS_STATIC, no clustering — UnfilteredSerializer.java:162-163,187;
 ColumnIndex.writePartitionHeader:120-127), reads spread the live
 static values onto each row (and a static-only partition yields one
-null-clustered row, the CQL shape). Omitted: range tombstone markers,
-complex (collection) columns, and the STATS/COMPACTION metadata
-components (the HEADER + VALIDATION components written here are the
-ones the data path needs; the TOC records exactly what exists).
+null-clustered row, the CQL shape). RANGE TOMBSTONE MARKERS are real:
+bounds and boundaries serialize as IS_MARKER + kind byte + short size
++ clustering prefix + one (bound) or two (boundary: end then open)
+delta-encoded DeletionTimes (UnfilteredSerializer.java:277-299,
+ClusteringBoundOrBoundary.java:144-149), and reads shadow the rows
+between a start and its end via the interleaved file order. Omitted:
+complex (collection) columns and the COMPACTION metadata component
+(its cardinality blob is the bundled stream-lib jar's own format —
+no source in the tree to implement it from); the TOC records exactly
+what exists.
 
 Scale posture: the write sink range-partitions rows by Murmur3 token so
 every task writes one SSTable covering a disjoint token range (the
@@ -542,8 +548,12 @@ def _clustering_bytes(schema: SSTableSchema, values: list) -> bytes:
     return bytes(out)
 
 
-def _read_clustering(r: ByteReader, schema: SSTableSchema) -> list:
-    n = len(schema.clustering_types)
+def _read_clustering(r: ByteReader, schema: SSTableSchema,
+                     n: int | None = None) -> list:
+    """Read `n` clustering components (default: all of them — bound
+    prefixes read fewer, ClusteringBoundOrBoundary.deserialize)."""
+    if n is None:
+        n = len(schema.clustering_types)
     flags = []
     off = 0
     while off < n:
@@ -791,7 +801,10 @@ def serialize_partition(part: PartitionData, schema: SSTableSchema,
         out += _row_bytes(srow, schema, stats, 0, static=True)
     prev = 0
     for row in part.rows:
-        rb = _row_bytes(row, schema, stats, prev)
+        if isinstance(row, MarkerData):
+            rb = _marker_bytes(row, schema, stats, prev)
+        else:
+            rb = _row_bytes(row, schema, stats, prev)
         out += rb
         # previousUnfilteredSize excludes flags+clustering+size vints?
         # The reference records the serialized size of the previous
@@ -819,7 +832,10 @@ def read_partition(r: ByteReader, schema: SSTableSchema,
         flags = r.u8()
         if flags & END_OF_PARTITION:
             break
-        part.rows.append(_read_row(r, flags, schema, stats))
+        if flags & IS_MARKER:
+            part.rows.append(_read_marker(r, schema, stats))
+        else:
+            part.rows.append(_read_row(r, flags, schema, stats))
     return part
 
 
@@ -1022,6 +1038,12 @@ def compute_stats(partitions: list[PartitionData]) -> EncodingStats:
             if cell.local_deletion_time != NO_DELETION_TIME:
                 ldts.append(cell.local_deletion_time)
         for row in p.rows:
+            if isinstance(row, MarkerData):
+                for d in (row.deletion, row.start_deletion):
+                    if d:
+                        ts.append(d[0])
+                        ldts.append(d[1])
+                continue
             if row.liveness_timestamp is not None:
                 ts.append(row.liveness_timestamp)
             if row.liveness_ttl:
@@ -1212,9 +1234,25 @@ def visible_rows(part: PartitionData, schema: SSTableSchema,
 
     pshadow = pdel if pdel is not None else -(1 << 63)
     statics = live_cells(part.static_cells, pshadow)
+    # range tombstones: markers interleave with rows in clustering
+    # order, so the open/close state machine shadows the rows BETWEEN a
+    # start and its end exactly (the inclusivity of a bound is encoded
+    # by its position relative to equal-clustering rows — the file
+    # order the writer produced)
+    open_range: int | None = None
     for row in part.rows:
+        if isinstance(row, MarkerData):
+            if row.kind in _BOUNDARY_KINDS:
+                open_range = row.start_deletion[0]
+            elif row.kind in _START_KINDS:
+                open_range = row.deletion[0]
+            else:
+                open_range = None
+            continue
         rdel = row.deletion[0] if row.deletion else None
-        shadow = max(x for x in (pdel, rdel, -(1 << 63)) if x is not None)
+        shadow = max(
+            x for x in (pdel, rdel, open_range, -(1 << 63)) if x is not None
+        )
         live_ts = row.liveness_timestamp
         row_alive = (
             live_ts is not None
@@ -1868,6 +1906,30 @@ def dump_sstable(data_path: str, now_seconds: int | None = None) -> list[dict]:
                 sj["cells"].append(cj)
             rows_j.append(sj)
         for row in part.rows:
+            if isinstance(row, MarkerData):
+                # JsonTransformer.serializeTombstone:309-330
+                mj: dict = {
+                    "type": (
+                        "range_tombstone_boundary"
+                        if row.kind in _BOUNDARY_KINDS
+                        else "range_tombstone_bound"
+                    ),
+                    "kind": row.kind,
+                    "clustering": [str(v) for v in row.values],
+                    "deletion_info": {
+                        "marked_deleted": _iso_micros(row.deletion[0]),
+                        "local_delete_time": _iso_seconds(row.deletion[1]),
+                    },
+                }
+                if row.start_deletion:
+                    mj["open_deletion_info"] = {
+                        "marked_deleted": _iso_micros(row.start_deletion[0]),
+                        "local_delete_time": _iso_seconds(
+                            row.start_deletion[1]
+                        ),
+                    }
+                rows_j.append(mj)
+                continue
             rj: dict = {"type": "row"}
             if schema.clustering_names:
                 rj["clustering"] = [str(v) for v in row.clustering]
@@ -2131,6 +2193,15 @@ def stats_component(schema: SSTableSchema, stats: EncodingStats,
                 tombstone_drops.get(p.deletion[1], 0) + 1
             )
         for row in p.rows:
+            if isinstance(row, MarkerData):
+                for d in (row.deletion, row.start_deletion):
+                    if d:
+                        all_ts.append(d[0])
+                        all_ldt.append(d[1])
+                        tombstone_drops[d[1]] = (
+                            tombstone_drops.get(d[1], 0) + 1
+                        )
+                continue
             total_rows += 1
             n_cells += len(row.cells)
             if row.liveness_timestamp is not None:
@@ -2226,3 +2297,90 @@ def parse_stats_component(blob: bytes, schema: SSTableSchema) -> dict:
     out["total_columns_set"] = r.i64()
     out["total_rows"] = r.i64()
     return out
+
+
+# -- range tombstone markers (UnfilteredSerializer.java:277-299,
+#    ClusteringBoundOrBoundary.java:144-149, ClusteringPrefix.Kind
+#    ordinals 56-70) -----------------------------------------------------------
+
+# ClusteringPrefix.Kind ordinals
+EXCL_END_BOUND = 0
+INCL_START_BOUND = 1
+EXCL_END_INCL_START_BOUNDARY = 2
+STATIC_CLUSTERING_KIND = 3
+CLUSTERING_KIND = 4
+INCL_END_EXCL_START_BOUNDARY = 5
+INCL_END_BOUND = 6
+EXCL_START_BOUND = 7
+
+_START_KINDS = {INCL_START_BOUND, EXCL_START_BOUND}
+_END_KINDS = {EXCL_END_BOUND, INCL_END_BOUND}
+_BOUNDARY_KINDS = {EXCL_END_INCL_START_BOUNDARY, INCL_END_EXCL_START_BOUNDARY}
+
+
+@dataclass
+class MarkerData:
+    """One RangeTombstoneMarker: a bound (one deletion) or a boundary
+    (the closing deletion then the opening one)."""
+
+    kind: int
+    values: list = field(default_factory=list)   # clustering prefix
+    deletion: tuple[int, int] | None = None       # bound / boundary END
+    start_deletion: tuple[int, int] | None = None  # boundary OPEN side
+
+
+def _marker_bytes(m: MarkerData, schema: SSTableSchema,
+                  stats: EncodingStats, prev_size: int) -> bytes:
+    """flags = IS_MARKER; kind byte + short size + value prefix; body
+    sizes; then ONE DeletionTime for a bound, END then START for a
+    boundary (UnfilteredSerializer.java:277-299)."""
+    out = bytearray([IS_MARKER])
+    out.append(m.kind)
+    out += struct.pack(">H", len(m.values))
+    prefix_schema = SSTableSchema(
+        schema.key_names, schema.key_types,
+        schema.clustering_names[: len(m.values)],
+        schema.clustering_types[: len(m.values)],
+        list(schema.regular), list(schema.statics),
+    )
+    out += _clustering_bytes(prefix_schema, m.values)
+    body = bytearray()
+
+    def wdel(d: tuple[int, int]) -> None:
+        body.extend(encode_unsigned_vint(d[0] - stats.min_timestamp))
+        body.extend(
+            encode_unsigned_vint(d[1] - stats.min_local_deletion_time)
+        )
+
+    if m.kind in _BOUNDARY_KINDS:
+        wdel(m.deletion)
+        wdel(m.start_deletion)
+    else:
+        wdel(m.deletion)
+    out += encode_unsigned_vint(len(body) + unsigned_vint_size(prev_size))
+    out += encode_unsigned_vint(prev_size)
+    out += body
+    return bytes(out)
+
+
+def _read_marker(r: ByteReader, schema: SSTableSchema,
+                 stats: EncodingStats) -> MarkerData:
+    kind = r.u8()
+    size = r.u16()
+    values = _read_clustering(r, schema, size)
+    r.unsigned_vint()  # body size
+    r.unsigned_vint()  # previous size
+
+    def rdel() -> tuple[int, int]:
+        return (
+            r.unsigned_vint() + stats.min_timestamp,
+            r.unsigned_vint() + stats.min_local_deletion_time,
+        )
+
+    m = MarkerData(kind=kind, values=values)
+    if kind in _BOUNDARY_KINDS:
+        m.deletion = rdel()
+        m.start_deletion = rdel()
+    else:
+        m.deletion = rdel()
+    return m

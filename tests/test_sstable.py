@@ -1152,3 +1152,128 @@ class TestStatsMetadata:
         # the offsets ladder is the reference's 1.2-growth sequence
         offs = [o for o, _c in sm["partition_size_histogram"]]
         assert offs[0] == offs[1] == 1 and offs[2] == 2  # shifted pairing
+
+
+class TestRangeTombstoneMarkers:
+    def test_marker_round_trip_and_shadowing(self):
+        from cassandra_pmem_spark.sources.sstable import (
+            EXCL_START_BOUND, INCL_END_BOUND, INCL_START_BOUND, MarkerData,
+        )
+
+        schema = _schema()
+        # rows c = 1..5; range delete (2, 4] at ts+10 opens EXCLUSIVE
+        # after c=2 and closes INCLUSIVE at c=4
+        rows = [_row(c, TS, v=str(c)) for c in (1, 2)]
+        rows.append(MarkerData(
+            kind=EXCL_START_BOUND, values=[2],
+            deletion=(TS + 10, DELETION_TIME_EPOCH + 10),
+        ))
+        rows += [_row(c, TS, v=str(c)) for c in (3, 4)]
+        rows.append(MarkerData(
+            kind=INCL_END_BOUND, values=[4],
+            deletion=(TS + 10, DELETION_TIME_EPOCH + 10),
+        ))
+        rows.append(_row(5, TS, v="5"))
+        part = _part(1, rows)
+        stats = compute_stats([part])
+        blob = serialize_partition(part, schema, stats)
+        got = read_partition(ByteReader(blob), schema, stats)
+        markers = [r for r in got.rows
+                   if isinstance(r, MarkerData)]
+        assert [(m.kind, m.values, m.deletion) for m in markers] == [
+            (EXCL_START_BOUND, [2], (TS + 10, DELETION_TIME_EPOCH + 10)),
+            (INCL_END_BOUND, [4], (TS + 10, DELETION_TIME_EPOCH + 10)),
+        ]
+        vis = visible_rows(got, schema, DELETION_TIME_EPOCH)
+        # rows 3 and 4 fall inside the open range and are shadowed
+        assert [r["c"] for r in vis] == [1, 2, 5]
+        # a NEWER row inside the range survives the ts+10 shadow
+        part2 = _part(1, [
+            rows[2],  # open marker at [2]
+            RowData(clustering=[3], liveness_timestamp=TS + 20,
+                    cells={"v": CellValue("survivor", TS + 20)}),
+            rows[5],  # close marker at [4]
+        ])
+        stats2 = compute_stats([part2])
+        got2 = read_partition(
+            ByteReader(serialize_partition(part2, schema, stats2)),
+            schema, stats2,
+        )
+        vis2 = visible_rows(got2, schema, DELETION_TIME_EPOCH)
+        assert [r["v"] for r in vis2] == ["survivor"]
+
+    def test_boundary_marker(self):
+        from cassandra_pmem_spark.sources.sstable import (
+            EXCL_END_INCL_START_BOUNDARY, INCL_END_BOUND, INCL_START_BOUND,
+            MarkerData,
+        )
+
+        schema = _schema()
+        part = _part(2, [
+            MarkerData(kind=INCL_START_BOUND, values=[0],
+                       deletion=(TS + 5, DELETION_TIME_EPOCH + 5)),
+            _row(1, TS, v="dead-old"),
+            # boundary: close the ts+5 range, open a ts+30 one
+            MarkerData(kind=EXCL_END_INCL_START_BOUNDARY, values=[2],
+                       deletion=(TS + 5, DELETION_TIME_EPOCH + 5),
+                       start_deletion=(TS + 30, DELETION_TIME_EPOCH + 30)),
+            _row(3, TS + 20, v="dead-newer"),
+            MarkerData(kind=INCL_END_BOUND, values=[9],
+                       deletion=(TS + 30, DELETION_TIME_EPOCH + 30)),
+        ])
+        stats = compute_stats([part])
+        got = read_partition(
+            ByteReader(serialize_partition(part, schema, stats)),
+            schema, stats,
+        )
+        b = [r for r in got.rows if isinstance(r, MarkerData)][1]
+        assert b.deletion == (TS + 5, DELETION_TIME_EPOCH + 5)
+        assert b.start_deletion == (TS + 30, DELETION_TIME_EPOCH + 30)
+        # both rows shadowed: first by ts+5 range, second by ts+30 range
+        assert visible_rows(got, schema, DELETION_TIME_EPOCH) == []
+
+    def test_marker_prefix_on_multi_clustering(self):
+        from cassandra_pmem_spark.sources.sstable import (
+            EXCL_END_BOUND, INCL_START_BOUND, MarkerData,
+        )
+
+        schema = SSTableSchema(
+            ["k"], [_MARSHAL + "Int32Type"],
+            ["c1", "c2"], [_MARSHAL + "Int32Type"] * 2,
+            [("v", _MARSHAL + "UTF8Type")],
+        )
+        # a ONE-component prefix bound over two clustering columns
+        part = PartitionData(key_values=[1], rows=[
+            MarkerData(kind=INCL_START_BOUND, values=[5],
+                       deletion=(TS + 1, DELETION_TIME_EPOCH)),
+            RowData(clustering=[5, 7], liveness_timestamp=TS,
+                    cells={"v": CellValue("x", TS)}),
+            MarkerData(kind=EXCL_END_BOUND, values=[6],
+                       deletion=(TS + 1, DELETION_TIME_EPOCH)),
+        ])
+        stats = compute_stats([part])
+        got = read_partition(
+            ByteReader(serialize_partition(part, schema, stats)),
+            schema, stats,
+        )
+        m = got.rows[0]
+        assert isinstance(m, MarkerData) and m.values == [5]
+        assert visible_rows(got, schema, DELETION_TIME_EPOCH) == []
+
+    def test_dump_renders_markers(self, tmp_path):
+        from cassandra_pmem_spark.sources.sstable import (
+            EXCL_START_BOUND, INCL_END_BOUND, MarkerData, dump_sstable,
+        )
+
+        schema = _schema()
+        part = _part(1, [
+            MarkerData(kind=EXCL_START_BOUND, values=[1],
+                       deletion=(TS, DELETION_TIME_EPOCH)),
+            MarkerData(kind=INCL_END_BOUND, values=[4],
+                       deletion=(TS, DELETION_TIME_EPOCH)),
+        ])
+        write_sstable(str(tmp_path), 1, schema, [part])
+        dump = dump_sstable(str(tmp_path / "nb-1-big-Data.db"))
+        kinds = [r["type"] for r in dump[0]["rows"]]
+        assert kinds == ["range_tombstone_bound", "range_tombstone_bound"]
+        assert dump[0]["rows"][0]["clustering"] == ["1"]
