@@ -2524,6 +2524,7 @@ class CqlDatabase:
         return bulk_write_sstables(
             df, meta, out_dir, sstables=sstables,
             type_overrides=overrides or None, compression=compression,
+            collection_kinds=self.registry.collection_kinds.get(key) or None,
         )
 
     def pager(self, cql: str, params: list[Any] | None = None,

@@ -349,18 +349,31 @@ class SSTableSchema:
             )
 
     @classmethod
-    def from_table_meta(cls, meta, type_overrides: dict | None = None):
+    def from_table_meta(cls, meta, type_overrides: dict | None = None,
+                        collection_kinds: dict | None = None):
         """Derive from a catalog TableMeta; Spark types map to their
         default marshal, with `type_overrides` (col -> CQL name like
-        'uuid'/'ascii') for the Spark-erased ones."""
+        'uuid'/'ascii') for the Spark-erased ones and
+        `collection_kinds` (col -> 'list'|'set'|'map') for the
+        set-vs-list distinction Spark's ArrayType erases."""
+        from pyspark.sql import types as T
+
         ov = {
             "uuid": _MARSHAL + "UUIDType",
             "timeuuid": _MARSHAL + "TimeUUIDType",
             "ascii": _MARSHAL + "AsciiType",
         }
         over = {c: ov[t] for c, t in (type_overrides or {}).items()}
+        kinds = collection_kinds or {}
         by_name = {}
         for f in meta.schema.fields:
+            if isinstance(f.dataType, (T.ArrayType, T.MapType)):
+                kind = kinds.get(
+                    f.name,
+                    "map" if isinstance(f.dataType, T.MapType) else "list",
+                )
+                by_name[f.name] = marshal_for_collection(kind, f.dataType)
+                continue
             ss = f.dataType.simpleString()
             m = over.get(f.name) or _SPARK_TO_MARSHAL.get(ss)
             if m is None:
@@ -667,6 +680,10 @@ def _row_bytes(row: RowData, schema: SSTableSchema, stats: EncodingStats,
     unknown = set(present) - set(superset)
     if unknown:
         raise ValueError(f"cells for undeclared columns {sorted(unknown)}")
+    types = dict(schema.statics if static else schema.regular)
+    complex_cols = {
+        c for c in present if collection_codec_of(types[c]) is not None
+    }
     if static:
         flags |= EXTENSION_FLAG
     if has_ts:
@@ -675,6 +692,9 @@ def _row_bytes(row: RowData, schema: SSTableSchema, stats: EncodingStats,
         flags |= HAS_TTL
     if has_del:
         flags |= HAS_DELETION
+    if complex_cols:
+        # full-value collection writes carry their complex deletion
+        flags |= HAS_COMPLEX_DELETION
     if len(present) == len(superset):
         flags |= HAS_ALL_COLUMNS
 
@@ -694,15 +714,22 @@ def _row_bytes(row: RowData, schema: SSTableSchema, stats: EncodingStats,
         body += encode_unsigned_vint(ldt - stats.min_local_deletion_time)
     if not (flags & HAS_ALL_COLUMNS):
         body += _columns_subset_vint(present, superset)
-    types = dict(schema.statics if static else schema.regular)
     row_ts = row.liveness_timestamp if has_ts else None
     for c in present:
-        body += _cell_bytes(
-            row.cells[c], codec_of(types[c]), row_ts,
-            row.liveness_ttl if has_ttl else 0,
-            row.liveness_expiration if has_ttl else NO_DELETION_TIME,
-            stats,
-        )
+        cc = collection_codec_of(types[c])
+        if cc is not None:
+            cell = row.cells[c]
+            body += _complex_column_bytes(
+                cell.value, cc, cell.timestamp, stats,
+                use_row_ts=(row_ts is not None and cell.timestamp == row_ts),
+            )
+        else:
+            body += _cell_bytes(
+                row.cells[c], codec_of(types[c]), row_ts,
+                row.liveness_ttl if has_ttl else 0,
+                row.liveness_expiration if has_ttl else NO_DELETION_TIME,
+                stats,
+            )
 
     out = bytearray([flags])
     if static:
@@ -759,10 +786,16 @@ def _read_row(r: ByteReader, flags: int, schema: SSTableSchema,
     types = dict(cols)
     row_ts = row.liveness_timestamp
     for c in present:
-        row.cells[c] = _read_cell(
-            r, codec_of(types[c]), row_ts,
-            row.liveness_ttl, row.liveness_expiration, stats,
-        )
+        cc = collection_codec_of(types[c])
+        if cc is not None:
+            row.cells[c] = _read_complex_column(
+                r, cc, row_ts, bool(flags & HAS_COMPLEX_DELETION), stats
+            )
+        else:
+            row.cells[c] = _read_cell(
+                r, codec_of(types[c]), row_ts,
+                row.liveness_ttl, row.liveness_expiration, stats,
+            )
     return row
 
 
@@ -1054,6 +1087,10 @@ def compute_stats(partitions: list[PartitionData]) -> EncodingStats:
                 ldts.append(row.deletion[1])
             for cell in row.cells.values():
                 ts.append(cell.timestamp)
+                if isinstance(cell.value, (list, dict, set, tuple)):
+                    # full-value collection: complex deletion at ts-1
+                    ts.append(cell.timestamp - 1)
+                    ldts.append(DELETION_TIME_EPOCH)
                 if cell.ttl:
                     ttls.append(cell.ttl)
                 if cell.local_deletion_time != NO_DELETION_TIME:
@@ -1300,15 +1337,24 @@ def _spark_schema(schema: SSTableSchema):
         "boolean": T.BooleanType(), "timestamp": T.TimestampType(),
         "string": T.StringType(), "binary": T.BinaryType(),
     }
+    def field_type(t: str):
+        cc = collection_codec_of(t)
+        if cc is None:
+            return by_ss[codec_of(t).spark]
+        if cc.kind == "map":
+            return T.MapType(by_ss[cc.key.spark], by_ss[cc.value.spark])
+        inner = cc.value if cc.kind == "list" else cc.key
+        return T.ArrayType(by_ss[inner.spark])
+
     fields = []
     for name, t in zip(schema.key_names, schema.key_types):
-        fields.append(T.StructField(name, by_ss[codec_of(t).spark], True))
+        fields.append(T.StructField(name, field_type(t), True))
     for name, t in zip(schema.clustering_names, schema.clustering_types):
-        fields.append(T.StructField(name, by_ss[codec_of(t).spark], True))
+        fields.append(T.StructField(name, field_type(t), True))
     for name, t in schema.regular:
-        fields.append(T.StructField(name, by_ss[codec_of(t).spark], True))
+        fields.append(T.StructField(name, field_type(t), True))
     for name, t in schema.statics:
-        fields.append(T.StructField(name, by_ss[codec_of(t).spark], True))
+        fields.append(T.StructField(name, field_type(t), True))
     return T.StructType(fields)
 
 
@@ -1316,7 +1362,8 @@ def bulk_write_sstables(df, meta, out_dir: str, sstables: int = 1,
                         timestamp_micros: int = TIMESTAMP_EPOCH + 1,
                         ttl_seconds: int = 0,
                         type_overrides: dict | None = None,
-                        compression: bool = False) -> list[dict]:
+                        compression: bool = False,
+                        collection_kinds: dict | None = None) -> list[dict]:
     """The CqlBulkRecordWriter / SSTable bulk-load analog: range-
     partition the frame by Murmur3 token so each task owns a DISJOINT
     token range and writes one complete sstable (generation = Spark
@@ -1327,7 +1374,7 @@ def bulk_write_sstables(df, meta, out_dir: str, sstables: int = 1,
 
     from cassandra_pmem_spark.functions.token import token_column
 
-    schema = SSTableSchema.from_table_meta(meta, type_overrides)
+    schema = SSTableSchema.from_table_meta(meta, type_overrides, collection_kinds)
     cql_types = dict(getattr(meta, "cql_key_types", ()) or ())
     tok = token_column(list(meta.partition_key), df.schema, cql_types)
     work = df.withColumn("__sst_tok", tok)
@@ -1390,15 +1437,16 @@ def bulk_write_sstables(df, meta, out_dir: str, sstables: int = 1,
                 )
                 for c in reg_names:
                     v = rec[c]
-                    if v is not None and not (
-                        isinstance(v, float) and v != v
-                    ):
-                        row.cells[c] = CellValue(
-                            value=v,
-                            timestamp=timestamp_micros,
-                            ttl=ttl_seconds,
-                            local_deletion_time=exp,
-                        )
+                    if v is None or (isinstance(v, float) and v != v):
+                        continue
+                    if hasattr(v, "tolist") and not isinstance(v, (str, bytes)):
+                        v = v.tolist()  # numpy array -> python list
+                    row.cells[c] = CellValue(
+                        value=v,
+                        timestamp=timestamp_micros,
+                        ttl=ttl_seconds,
+                        local_deletion_time=exp,
+                    )
                 parts[-1].rows.append(row)
         if not parts:
             return
@@ -2171,6 +2219,8 @@ def stats_component(schema: SSTableSchema, stats: EncodingStats,
     def see_cell(cell: CellValue) -> None:
         nonlocal total_cells
         all_ts.append(cell.timestamp)
+        if isinstance(cell.value, (list, dict, set, tuple)):
+            all_ts.append(cell.timestamp - 1)
         all_ldt.append(cell.local_deletion_time)
         all_ttl.append(cell.ttl)
         if cell.is_tombstone:
@@ -2384,3 +2434,194 @@ def _read_marker(r: ByteReader, schema: SSTableSchema,
     else:
         m.deletion = rdel()
     return m
+
+
+# -- complex (collection) columns ---------------------------------------------
+#
+# UnfilteredSerializer.writeComplexColumn:266-275 — a complex column's
+# data is [its complex DeletionTime, delta-encoded, when the row's
+# HAS_COMPLEX_DELETION flag is set] + vint cell count + cells. Each
+# cell carries a CellPath after its timestamp/ttl fields and before
+# the value (Cell.java:210-214); CollectionType's path serializer is
+# one vint-length-prefixed buffer. Cells sit in the collection
+# comparator's order: list paths are ascending timeuuids
+# (Lists.java), set paths are the elements themselves with EMPTY
+# values (Sets.java), map paths are the keys (Maps.java). A full-value
+# write is a complex deletion at (ts - 1) plus the element cells —
+# the shape a flushed memtable full-set produces.
+
+@dataclass(frozen=True)
+class CollectionCodec:
+    kind: str            # 'list' | 'set' | 'map'
+    marshal: str         # full marshal text
+    spark: str           # spark simpleString
+    key: "Codec | None"    # set: element; map: key; list: None (timeuuid)
+    value: "Codec | None"  # list/map: element/value; set: None
+
+
+def _split_generics_marshal(body: str) -> list[str]:
+    out, depth, cur = [], 0, []
+    for ch in body:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur))
+    return [s.strip() for s in out]
+
+
+def collection_codec_of(type_text: str) -> "CollectionCodec | None":
+    for kind, cls in (("list", "ListType"), ("set", "SetType"),
+                      ("map", "MapType")):
+        pref = _MARSHAL + cls + "("
+        if type_text.startswith(pref) and type_text.endswith(")"):
+            args = _split_generics_marshal(type_text[len(pref):-1])
+            if kind == "map":
+                kc, vc = codec_of(args[0]), codec_of(args[1])
+                spark = f"map<{kc.spark},{vc.spark}>"
+                return CollectionCodec(kind, type_text, spark, kc, vc)
+            ec = codec_of(args[0])
+            spark = f"array<{ec.spark}>"
+            if kind == "list":
+                return CollectionCodec(kind, type_text, spark, None, ec)
+            return CollectionCodec(kind, type_text, spark, ec, None)
+    return None
+
+
+def marshal_for_collection(kind: str, spark_type) -> str:
+    """Spark ArrayType/MapType + declared kind -> marshal text."""
+    from pyspark.sql import types as T
+
+    def elem(dt) -> str:
+        m = _SPARK_TO_MARSHAL.get(dt.simpleString())
+        if m is None:
+            raise ValueError(
+                f"unsupported collection element type {dt.simpleString()!r}"
+            )
+        return m
+
+    if kind == "map":
+        assert isinstance(spark_type, T.MapType)
+        return (
+            _MARSHAL + "MapType("
+            + elem(spark_type.keyType) + "," + elem(spark_type.valueType) + ")"
+        )
+    assert isinstance(spark_type, T.ArrayType)
+    cls = "ListType" if kind == "list" else "SetType"
+    return _MARSHAL + cls + "(" + elem(spark_type.elementType) + ")"
+
+
+def _list_path(base_ts_micros: int, index: int) -> bytes:
+    """Deterministic ascending timeuuid cell paths for list elements
+    (Lists.java PrecisionTime — the reference mints v1 uuids; replays
+    here derive them from the cell timestamp + element index)."""
+    import uuid as _uuid
+
+    from cassandra_pmem_spark.cql.terms import (
+        SESSION_CLOCK_SEQ_AND_NODE,
+        ticks_from_unix_ms,
+        v1_uuid_text,
+    )
+
+    ticks = ticks_from_unix_ms(base_ts_micros // 1000, index)
+    return _uuid.UUID(v1_uuid_text(ticks, SESSION_CLOCK_SEQ_AND_NODE)).bytes
+
+
+def _complex_column_bytes(value, codec: CollectionCodec, cell_ts: int,
+                          stats: EncodingStats,
+                          use_row_ts: bool = True) -> bytes:
+    """One complex column's data for a FULL-value write at cell_ts."""
+    out = bytearray()
+    # complex deletion at ts - 1 (the full-write shadow)
+    out += encode_unsigned_vint((cell_ts - 1) - stats.min_timestamp)
+    out += encode_unsigned_vint(
+        DELETION_TIME_EPOCH - stats.min_local_deletion_time
+    )
+
+    def cell(path: bytes, val_codec: "Codec | None", val) -> bytes:
+        b = bytearray()
+        flags = CELL_USE_ROW_TIMESTAMP if use_row_ts else 0
+        packed = b""
+        if val_codec is not None and val is not None:
+            packed = val_codec.pack(val)
+        if not packed:
+            flags |= CELL_HAS_EMPTY_VALUE
+        b.append(flags)
+        if not use_row_ts:
+            b += encode_unsigned_vint(cell_ts - stats.min_timestamp)
+        b += encode_unsigned_vint(len(path))
+        b += path
+        if packed:
+            if val_codec.fixed_len >= 0:
+                b += packed
+            else:
+                b += encode_unsigned_vint(len(packed))
+                b += packed
+        return bytes(b)
+
+    if codec.kind == "list":
+        items = list(value)
+        out += encode_unsigned_vint(len(items))
+        for i, v in enumerate(items):
+            out += cell(_list_path(cell_ts, i), codec.value, v)
+    elif codec.kind == "set":
+        items = sorted(set(value))
+        out += encode_unsigned_vint(len(items))
+        for v in items:
+            out += cell(codec.key.pack(v), None, None)
+    else:  # map — cells in key order (MapType comparator)
+        items = sorted(value.items())
+        out += encode_unsigned_vint(len(items))
+        for k, v in items:
+            out += cell(codec.key.pack(k), codec.value, v)
+    return bytes(out)
+
+
+def _read_complex_column(r: ByteReader, codec: CollectionCodec,
+                         row_ts: int | None, has_deletion: bool,
+                         stats: EncodingStats) -> CellValue:
+    deletion_ts = None
+    if has_deletion:
+        deletion_ts = r.unsigned_vint() + stats.min_timestamp
+        r.unsigned_vint()  # local deletion time delta
+    n = r.unsigned_vint()
+    entries = []
+    for _ in range(n):
+        flags = r.u8()
+        has_value = not (flags & CELL_HAS_EMPTY_VALUE)
+        is_deleted = bool(flags & CELL_IS_DELETED)
+        is_expiring = bool(flags & CELL_IS_EXPIRING)
+        ts = (
+            row_ts
+            if flags & CELL_USE_ROW_TIMESTAMP
+            else r.unsigned_vint() + stats.min_timestamp
+        )
+        if not (flags & CELL_USE_ROW_TTL):
+            if is_deleted or is_expiring:
+                r.unsigned_vint()
+            if is_expiring:
+                r.unsigned_vint()
+        path = r.take(r.unsigned_vint())
+        val = None
+        if has_value:
+            vc = codec.value if codec.kind != "set" else None
+            if vc is not None:
+                val = read_value(r, vc)
+        if is_deleted:
+            continue  # element tombstone
+        if deletion_ts is not None and ts <= deletion_ts:
+            continue  # shadowed by the complex deletion
+        entries.append((path, ts, val))
+    if codec.kind == "list":
+        value = [v for _p, _t, v in entries]
+    elif codec.kind == "set":
+        value = [codec.key.unpack(p) for p, _t, _v in entries]
+    else:
+        value = {codec.key.unpack(p): v for p, _t, v in entries}
+    ts0 = max((t for _p, t, _v in entries), default=row_ts or 0)
+    return CellValue(value=value, timestamp=ts0)

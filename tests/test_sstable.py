@@ -1277,3 +1277,83 @@ class TestRangeTombstoneMarkers:
         kinds = [r["type"] for r in dump[0]["rows"]]
         assert kinds == ["range_tombstone_bound", "range_tombstone_bound"]
         assert dump[0]["rows"][0]["clustering"] == ["1"]
+
+
+class TestComplexColumns:
+    def _schema_coll(self):
+        return SSTableSchema(
+            ["k"], [_MARSHAL + "Int32Type"], [], [],
+            [
+                ("tags", f"{_MARSHAL}SetType({_MARSHAL}UTF8Type)"),
+                ("seq", f"{_MARSHAL}ListType({_MARSHAL}Int32Type)"),
+                ("attrs",
+                 f"{_MARSHAL}MapType({_MARSHAL}UTF8Type,{_MARSHAL}Int32Type)"),
+            ],
+        )
+
+    def test_collection_round_trip(self):
+        schema = self._schema_coll()
+        row = RowData(clustering=[], liveness_timestamp=TS)
+        row.cells["seq"] = CellValue([7, 3, 7], TS)
+        row.cells["tags"] = CellValue(["b", "a"], TS)
+        row.cells["attrs"] = CellValue({"y": 2, "x": 1}, TS)
+        part = PartitionData(key_values=[1], rows=[row])
+        stats = compute_stats([part])
+        got = read_partition(
+            ByteReader(serialize_partition(part, schema, stats)),
+            schema, stats,
+        )
+        cells = got.rows[0].cells
+        assert cells["seq"].value == [7, 3, 7]          # list keeps order+dups
+        assert cells["tags"].value == ["a", "b"]        # set: sorted, unique
+        assert cells["attrs"].value == {"x": 1, "y": 2}
+        # complex deletion at ts-1 present (HAS_COMPLEX_DELETION row)
+        blob = serialize_partition(part, schema, stats)
+        flags = blob[2 + 4 + 12]
+        assert flags & 0x40  # HAS_COMPLEX_DELETION
+
+    def test_list_paths_are_ascending_timeuuids(self):
+        from cassandra_pmem_spark.sources.sstable import _list_path
+
+        paths = [_list_path(TS, i) for i in range(5)]
+        assert paths == sorted(paths) and len(set(paths)) == 5
+        assert all(len(p) == 16 and p[6] >> 4 == 1 for p in paths)  # v1
+
+    def test_empty_collections_round_trip(self):
+        schema = self._schema_coll()
+        row = RowData(clustering=[], liveness_timestamp=TS)
+        row.cells["seq"] = CellValue([], TS)
+        part = PartitionData(key_values=[2], rows=[row])
+        stats = compute_stats([part])
+        got = read_partition(
+            ByteReader(serialize_partition(part, schema, stats)),
+            schema, stats,
+        )
+        assert got.rows[0].cells["seq"].value == []
+
+    def test_flush_and_read_collection_table(self, spark, tmp_path):
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+        db = CqlDatabase(spark)
+        db.execute("CREATE KEYSPACE cks WITH REPLICATION = {'class': 'SimpleStrategy'}")
+        db.execute("USE cks")
+        db.execute("CREATE TABLE t (k int PRIMARY KEY, tags set<text>, "
+                   "seq list<int>, attrs map<text, int>)")
+        db.execute("INSERT INTO t (k, tags, seq, attrs) VALUES "
+                   "(1, {'b', 'a'}, [3, 1, 3], {'x': 1})")
+        db.execute("INSERT INTO t (k, seq) VALUES (2, [9])")
+        out = str(tmp_path / "sst")
+        db.flush_sstables("t", out)
+        back = read_sstables(spark, out)
+        got = {r["key0"]: (r["tags"], r["seq"], r["attrs"])
+               for r in (x.asDict() for x in back.collect())}
+        assert got[1] == (["a", "b"], [3, 1, 3], {"x": 1})
+        assert got[2] == (None, [9], None) or got[2] == ([], [9], {})
+        # load back into a fresh table and query through CQL
+        db.execute("CREATE TABLE t2 (k int PRIMARY KEY, tags set<text>, "
+                   "seq list<int>, attrs map<text, int>)")
+        db.load_sstables("t2", out)
+        r = {x.k: x for x in db.execute("SELECT * FROM t2").collect()}
+        assert list(r[1].seq) == [3, 1, 3]
+        assert sorted(r[1].tags) == ["a", "b"]
+        assert dict(r[1].attrs) == {"x": 1}
