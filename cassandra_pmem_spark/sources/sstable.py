@@ -73,11 +73,14 @@ bounds and boundaries serialize as IS_MARKER + kind byte + short size
 + clustering prefix + one (bound) or two (boundary: end then open)
 delta-encoded DeletionTimes (UnfilteredSerializer.java:277-299,
 ClusteringBoundOrBoundary.java:144-149), and reads shadow the rows
-between a start and its end via the interleaved file order. Omitted:
-complex (collection) columns and the COMPACTION metadata component
-(its cardinality blob is the bundled stream-lib jar's own format —
-no source in the tree to implement it from); the TOC records exactly
-what exists.
+between a start and its end via the interleaved file order. COMPLEX
+(collection) columns are real: complex deletion + vint cell count +
+per-element cells with CellPaths (UnfilteredSerializer.
+writeComplexColumn:266-275; list paths = ascending timeuuids, set
+paths = the elements, map paths = the keys). The ONE omission is the
+COMPACTION metadata component: its cardinality blob is the bundled
+stream-lib jar's own format with no source in the tree to implement
+it from; the TOC records exactly what exists.
 
 Scale posture: the write sink range-partitions rows by Murmur3 token so
 every task writes one SSTable covering a disjoint token range (the
