@@ -725,6 +725,8 @@ def _row_bytes(row: RowData, schema: SSTableSchema, stats: EncodingStats,
             body += _complex_column_bytes(
                 cell.value, cc, cell.timestamp, stats,
                 use_row_ts=(row_ts is not None and cell.timestamp == row_ts),
+                ttl=cell.ttl,
+                expiration=cell.local_deletion_time,
             )
         else:
             body += _cell_bytes(
@@ -2537,8 +2539,12 @@ def _list_path(base_ts_micros: int, index: int) -> bytes:
 
 def _complex_column_bytes(value, codec: CollectionCodec, cell_ts: int,
                           stats: EncodingStats,
-                          use_row_ts: bool = True) -> bytes:
-    """One complex column's data for a FULL-value write at cell_ts."""
+                          use_row_ts: bool = True,
+                          ttl: int = 0,
+                          expiration: int = NO_DELETION_TIME) -> bytes:
+    """One complex column's data for a FULL-value write at cell_ts;
+    a non-zero ttl makes every element cell expiring (explicit
+    ldt+ttl per cell)."""
     out = bytearray()
     # complex deletion at ts - 1 (the full-write shadow)
     out += encode_unsigned_vint((cell_ts - 1) - stats.min_timestamp)
@@ -2549,6 +2555,8 @@ def _complex_column_bytes(value, codec: CollectionCodec, cell_ts: int,
     def cell(path: bytes, val_codec: "Codec | None", val) -> bytes:
         b = bytearray()
         flags = CELL_USE_ROW_TIMESTAMP if use_row_ts else 0
+        if ttl:
+            flags |= CELL_IS_EXPIRING
         packed = b""
         if val_codec is not None and val is not None:
             packed = val_codec.pack(val)
@@ -2557,6 +2565,11 @@ def _complex_column_bytes(value, codec: CollectionCodec, cell_ts: int,
         b.append(flags)
         if not use_row_ts:
             b += encode_unsigned_vint(cell_ts - stats.min_timestamp)
+        if ttl:
+            b += encode_unsigned_vint(
+                expiration - stats.min_local_deletion_time
+            )
+            b += encode_unsigned_vint(ttl - stats.min_ttl)
         b += encode_unsigned_vint(len(path))
         b += path
         if packed:
@@ -2594,6 +2607,7 @@ def _read_complex_column(r: ByteReader, codec: CollectionCodec,
         r.unsigned_vint()  # local deletion time delta
     n = r.unsigned_vint()
     entries = []
+    elem_ttl, elem_ldt = 0, NO_DELETION_TIME
     for _ in range(n):
         flags = r.u8()
         has_value = not (flags & CELL_HAS_EMPTY_VALUE)
@@ -2606,9 +2620,13 @@ def _read_complex_column(r: ByteReader, codec: CollectionCodec,
         )
         if not (flags & CELL_USE_ROW_TTL):
             if is_deleted or is_expiring:
-                r.unsigned_vint()
+                ldt = r.unsigned_vint() + stats.min_local_deletion_time
+                if is_expiring:
+                    elem_ldt = min(elem_ldt, ldt)
             if is_expiring:
-                r.unsigned_vint()
+                elem_ttl = max(
+                    elem_ttl, r.unsigned_vint() + stats.min_ttl
+                )
         path = r.take(r.unsigned_vint())
         val = None
         if has_value:
@@ -2627,4 +2645,9 @@ def _read_complex_column(r: ByteReader, codec: CollectionCodec,
     else:
         value = {codec.key.unpack(p): v for p, _t, v in entries}
     ts0 = max((t for _p, t, _v in entries), default=row_ts or 0)
-    return CellValue(value=value, timestamp=ts0)
+    # uniform-TTL collections (the flush shape) expire as one unit at
+    # the earliest element expiry
+    return CellValue(
+        value=value, timestamp=ts0, ttl=elem_ttl,
+        local_deletion_time=elem_ldt if elem_ttl else NO_DELETION_TIME,
+    )

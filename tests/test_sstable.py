@@ -1357,3 +1357,29 @@ class TestComplexColumns:
         assert list(r[1].seq) == [3, 1, 3]
         assert sorted(r[1].tags) == ["a", "b"]
         assert dict(r[1].attrs) == {"x": 1}
+
+
+class TestComplexTtl:
+    def test_ttl_collection_expires_as_a_unit(self):
+        schema = SSTableSchema(
+            ["k"], [_MARSHAL + "Int32Type"], [], [],
+            [("seq", f"{_MARSHAL}ListType({_MARSHAL}Int32Type)")],
+        )
+        row = RowData(clustering=[], liveness_timestamp=TS,
+                      liveness_ttl=60, liveness_expiration=DELETION_TIME_EPOCH + 60)
+        row.cells["seq"] = CellValue(
+            [1, 2], TS, ttl=60, local_deletion_time=DELETION_TIME_EPOCH + 60,
+        )
+        part = PartitionData(key_values=[1], rows=[row])
+        stats = compute_stats([part])
+        got = read_partition(
+            ByteReader(serialize_partition(part, schema, stats)),
+            schema, stats,
+        )
+        cell = got.rows[0].cells["seq"]
+        assert cell.value == [1, 2]
+        assert (cell.ttl, cell.local_deletion_time) == (
+            60, DELETION_TIME_EPOCH + 60,
+        )
+        assert visible_rows(got, schema, DELETION_TIME_EPOCH + 59)[0]["seq"] == [1, 2]
+        assert visible_rows(got, schema, DELETION_TIME_EPOCH + 60) == []
