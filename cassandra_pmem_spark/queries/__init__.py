@@ -24,18 +24,16 @@ from pyspark.sql import DataFrame, SparkSession
 # First-50 window budget, rotated by STALENESS each round (COVERAGE.md
 # rule: edited since last green driver evidence ⇒ re-enter the window;
 # never-evidenced entries outrank everything).
-# Round-10 layout: (1) the four entries the r9 window overflowed (the
-# driver records only the first 50; these queued at positions 51-54 with
-# r3/r4-era evidence); (2) round-10 new queries are inserted here as they
-# land (roles/grants, now()-as-write-term, ALTER MV WITH); (3) queries
-# whose machinery round 10 edits (parser.py timeuuid type-gate / token
-# sentinel / avg-empty fold, writes.py+terms.py now() folding, ddl.py
-# ALTER MV, mpeg_audio.py frame-builder guard, date-cast normalization
-# in retention/time_fcts/mv_refresh) ⇒ r7/r9 evidence stale-by-edit;
-# (4) the r3 TPC-H backlog (oldest evidence in the registry after q1,
-# which IS entry() and smoke-checked every round); (5) the r4 tier —
-# token-scan variant, sketches, dedup, streaming, pipeline. The r4
-# multimodal/text/source rows displaced past 50 queue for round 11.
+# Round-10 layout (second session): (1) the four entries the r9 window
+# overflowed; (2) the round-10 NEW queries — first session's
+# roles/grants, now()-as-write-term and index targets, then the second
+# session's trigger tier, QueryPager tier, and the SSTable big-format
+# round trip (never-evidenced, so they outrank everything after the
+# overflow set); (3) queries whose machinery round 10 edited
+# (stale-by-edit; the trigger hook touched the shared DML routing, so
+# the write-model exemplars re-enter); (4) the r3 TPC-H backlog (oldest
+# evidence after q1, which IS entry()); (5) the r4 tier. Rows displaced
+# past 50 queue for round 11.
 _PRIORITY: tuple[str, ...] = (
     # -- (1) r9 window overflow (queued last round, evidence r3/r4)
     "streaming_session_real",
