@@ -198,15 +198,24 @@ def _aggregate_cql(key, ad) -> str:
     return out + ";"
 
 
+def _trigger_cql(key, name: str, cls: str) -> str:
+    tqual = f"{key[0]}.{key[1]}" if key[0] else key[1]
+    return f"CREATE TRIGGER {name} ON {tqual} USING {_quote(cls)};"
+
+
 def _table_rows(registry, key) -> list[tuple]:
-    """One table's rows: the CREATE TABLE then its indexes — shared by
-    DESCRIBE TABLE and the keyspace walk."""
+    """One table's rows: the CREATE TABLE, then its indexes, then its
+    triggers (the driver metadata cqlsh renders includes trigger
+    definitions alongside the table) — shared by DESCRIBE TABLE and the
+    keyspace walk."""
     ks = key[0] or ""
     rows = [(ks, "table", key[1], _table_cql(registry, key))]
     for ikey in sorted(registry.indexes, key=lambda k: (k[0] or "", k[1])):
         im = registry.indexes[ikey]
         if im.table == key:
             rows.append((ks, "index", im.name, _index_cql(im)))
+    for name, cls in sorted(registry.triggers.get(key, {}).items()):
+        rows.append((ks, "trigger", name, _trigger_cql(key, name, cls)))
     return rows
 
 

@@ -272,3 +272,24 @@ class TestCasSamePartition:
             assert got[(1, 1)] == "b" and got[(1, 999)] == "mirror-1"
         finally:
             unregister_trigger_class("Mirror")
+
+
+class TestDescribeTriggers:
+    def test_describe_emits_pasteable_create_trigger(self, db, spark):
+        db.execute("CREATE TRIGGER audit_src ON src USING 'AuditTrigger'")
+        rows = {
+            (r.type, r.name): r.create_statement
+            for r in db.execute("DESCRIBE TABLE src").collect()
+        }
+        stmt = rows[("trigger", "audit_src")]
+        assert stmt == "CREATE TRIGGER audit_src ON test.src USING 'AuditTrigger';"
+        # pasteable: replaying into a fresh database registers the trigger
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+        db2 = CqlDatabase(spark)
+        db2.execute("CREATE KEYSPACE test2 WITH REPLICATION = {'class': 'SimpleStrategy'}")
+        db2.execute("USE test2")
+        db2.execute("CREATE TABLE src (k int, c int, v text, PRIMARY KEY (k, c))")
+        db2.execute(stmt.replace("test.src", "test2.src"))
+        got = db2.execute("SELECT trigger_name FROM system_schema.triggers").collect()
+        assert [r.trigger_name for r in got] == ["audit_src"]
