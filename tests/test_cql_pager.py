@@ -241,3 +241,51 @@ class TestCliFetchSize:
             "/root/testdata/sf0.001", max_rows=50, fetch_size=5,
         )
         assert "rows shown" in out
+
+
+class TestPagingContractGrid:
+    def test_pages_equal_unpaged_across_grid(self, db):
+        # the paging CONTRACT: for every (page_size, limit) combination,
+        # concatenated pages reproduce the unpaged statement exactly —
+        # same rows, same order, full pages then the remainder
+        from cassandra_pmem_spark.cql.parser import _scalar_token
+
+        meta = db.registry.tables[("pgks", "t")]
+        order = sorted(range(6), key=lambda k: _scalar_token(meta, (k,)))
+        full = [(k, c) for k in order for c in range(4)]
+        # one combo per regime: tiny pages, mid with a binding limit,
+        # page==total, page>total with an over-limit
+        for page_size, limit in (
+            (3, None), (5, 10), (7, 24), (24, None), (40, 50), (7, 1),
+        ):
+            if True:
+                cql = "SELECT k, c FROM t" + (
+                    f" LIMIT {limit}" if limit is not None else ""
+                )
+                p = db.pager(cql, page_size=page_size)
+                pages = drain(p)
+                got = [(r["k"], r["c"]) for pg in pages for r in pg]
+                want = full[: min(limit, 24)] if limit is not None else full
+                assert got == want, (page_size, limit)
+                n = len(want)
+                expect_sizes = [page_size] * (n // page_size)
+                if n % page_size:
+                    expect_sizes.append(n % page_size)
+                assert [len(pg) for pg in pages] == expect_sizes, (
+                    page_size, limit,
+                )
+
+    def test_resume_at_every_cut_point(self, db):
+        # serialize/resume mid-stream at several cut points: the resumed
+        # pager continues exactly where the original stopped
+        base = db.pager("SELECT k, c FROM t", page_size=24)
+        full = [(r["k"], r["c"]) for r in base.fetch_page()]
+        for cut in (1, 3):
+            p = db.pager("SELECT k, c FROM t", page_size=7)
+            seen = []
+            for _ in range(cut):
+                seen.extend((r["k"], r["c"]) for r in p.fetch_page())
+            blob = p.state()
+            q = db.pager("SELECT k, c FROM t", page_size=7, state=blob)
+            rest = [(r["k"], r["c"]) for pg in drain(q) for r in pg]
+            assert seen + rest == full, cut
