@@ -1571,6 +1571,16 @@ def read_sstables(spark, in_dir: str, split_bytes: int = 64 * 1024 * 1024,
                 base = path[: -len("Data.db")]
                 with open(base + "Statistics.db", "rb") as f:
                     stats, _h = parse_statistics(f.read())
+                if (
+                    _h["key_types"] != schema.key_types
+                    or _h["clustering_types"] != schema.clustering_types
+                    or _h["regular"] != schema.regular
+                    or _h.get("statics", []) != schema.statics
+                ):
+                    raise ValueError(
+                        f"mixed sstable schemas under one directory: "
+                        f"{path} does not match the first sstable's header"
+                    )
                 start, end = int(start), int(end)
                 # ranged I/O: a task reads only ITS split's bytes (and
                 # for compressed sstables only the overlapping chunks)

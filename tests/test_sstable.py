@@ -1383,3 +1383,31 @@ class TestComplexTtl:
         )
         assert visible_rows(got, schema, DELETION_TIME_EPOCH + 59)[0]["seq"] == [1, 2]
         assert visible_rows(got, schema, DELETION_TIME_EPOCH + 60) == []
+
+
+class TestDirectoryEdges:
+    def test_empty_sstable_reads_empty(self, spark, tmp_path):
+        schema = SSTableSchema(
+            ["k"], [_MARSHAL + "Int32Type"], [], [],
+            [("v", _MARSHAL + "UTF8Type")],
+        )
+        write_sstable(str(tmp_path), 1, schema, [])
+        back = read_sstables(spark, str(tmp_path))
+        assert back.count() == 0
+        assert back.columns == ["key0", "v"]
+
+    def test_mixed_schema_directory_rejected(self, spark, tmp_path):
+        a = SSTableSchema(["k"], [_MARSHAL + "Int32Type"], [], [],
+                          [("v", _MARSHAL + "UTF8Type")])
+        b = SSTableSchema(["k"], [_MARSHAL + "Int32Type"], [], [],
+                          [("n", _MARSHAL + "LongType")])
+        pa = PartitionData(key_values=[1], rows=[
+            RowData(clustering=[], liveness_timestamp=TS,
+                    cells={"v": CellValue("x", TS)})])
+        pb = PartitionData(key_values=[1], rows=[
+            RowData(clustering=[], liveness_timestamp=TS,
+                    cells={"n": CellValue(5, TS)})])
+        write_sstable(str(tmp_path), 1, a, [pa])
+        write_sstable(str(tmp_path), 2, b, [pb])
+        with pytest.raises(Exception, match="mixed sstable schemas"):
+            read_sstables(spark, str(tmp_path)).collect()
