@@ -2465,15 +2465,43 @@ class CqlDatabase:
         rows enter at base writetime 0, so any buffered statement
         writes LWW-beat them — the documented deviation from the
         reference's preserved cell timestamps."""
-        from cassandra_pmem_spark.sources.sstable import read_sstables
+        import os as _os
+
+        from cassandra_pmem_spark.sources.sstable import (
+            parse_statistics,
+            read_sstables,
+        )
 
         key = self._table_key(table)
         meta = self.registry.tables[key]
         df = read_sstables(self.spark, sst_dir)
         pk = list(meta.partition_key)
         ck = [c.name for c in meta.clustering]
-        n_key = sum(1 for c in df.columns if c.startswith("key"))
-        n_ck = sum(1 for c in df.columns if c.startswith("ck"))
+        # primary-key shape comes from the sstable HEADER, never from
+        # column-name prefixes (a regular column named 'keyword' must
+        # not count as a key component)
+        stats_files = sorted(
+            f for f in _os.listdir(sst_dir) if f.endswith("-Statistics.db")
+        )
+        with open(_os.path.join(sst_dir, stats_files[0]), "rb") as fh:
+            _stats, hdr = parse_statistics(fh.read())
+        n_key = len(hdr["key_types"])
+        n_ck = len(hdr["clustering_types"])
+        clash = sorted(
+            set(hdr.get("statics", []) and [n for n, _t in hdr["statics"]] or [])
+            | {n for n, _t in hdr["regular"]}
+        )
+        clash = [
+            c for c in clash
+            if c.startswith("key") or c.startswith("ck")
+            if c in {f"key{i}" for i in range(n_key)}
+            | {f"ck{i}" for i in range(n_ck)}
+        ]
+        if clash:
+            raise InvalidRequest(
+                f"sstable regular/static columns {clash} collide with the "
+                "loader's positional key names"
+            )
         if n_key != len(pk) or n_ck != len(ck):
             raise InvalidRequest(
                 f"sstable primary key shape ({n_key} partition + {n_ck} "

@@ -31,10 +31,12 @@ and after the resume point, never the already-returned prefix. No
 driver-side result caching: resuming re-plans, exactly like the
 reference re-issuing a ReadCommand from the PagingState position.
 
-Deliberate deviation (documented): paging a statement that carries
-PER PARTITION LIMIT is rejected — the reference tracks
-remainingInPartition in PagingState; this engine's pager does not
-model mid-partition per-partition budgets.
+PER PARTITION LIMIT pages correctly WITHOUT the reference's
+remainingInPartition counter: the compiled statement ranks and caps
+rows within each FULL partition, and the pager's resume filter applies
+after that cap — a straddled partition's next page naturally yields
+ranks consumed+1..limit (the reference needs the counter only because
+it re-issues a fresh range query whose per-partition count restarts).
 """
 
 from __future__ import annotations
@@ -236,14 +238,19 @@ class QueryPager:
             self._names = list(order_cols)
             self._hidden: set[str] = set()
             self._st = replace(st, limit=None)
+        elif any(s.kind == "star" for s in st.selectors):
+            # SELECT *: the star branch projects the DECLARED columns and
+            # returns early (appended selectors would go unresolved), but
+            # every order column is already in the output under its own
+            # name — order by those directly
+            self._names = list(order_cols)
+            self._hidden = set()
+            self._st = replace(st, limit=None)
         elif st.distinct:
             by_col = {}
             for s in st.selectors:
                 if s.kind == "col" and s.args:
                     by_col.setdefault(s.args[0], s.alias or s.args[0])
-                elif s.kind == "star":
-                    for c in order_cols:
-                        by_col.setdefault(c, c)
             missing = [c for c in order_cols if c not in by_col]
             if missing:
                 raise InvalidRequest(

@@ -953,7 +953,8 @@ def _validation_component(bloom_fp: float = 0.01) -> bytes:
 
 def serialize_statistics(schema: SSTableSchema, stats: EncodingStats,
                          partitions: list | None = None,
-                         compression_ratio: float = -1.0) -> bytes:
+                         compression_ratio: float = -1.0,
+                         part_sizes: list[int] | None = None) -> bytes:
     """The Statistics.db container (MetadataSerializer.java:60-111),
     version nb => checksummed: count+crc, toc+crc (running), then each
     component + its own crc, components ordered by type ordinal.
@@ -967,7 +968,9 @@ def serialize_statistics(schema: SSTableSchema, stats: EncodingStats,
     if partitions is not None:
         comps.append((
             _TYPE_STATS,
-            stats_component(schema, stats, partitions, compression_ratio),
+            stats_component(
+                schema, stats, partitions, compression_ratio, part_sizes
+            ),
         ))
         comps.sort()
     out = bytearray()
@@ -1031,14 +1034,7 @@ def parse_statistics(blob: bytes) -> tuple[EncodingStats, dict]:
         ByteReader(component_body(_TYPE_HEADER))
     )
     if _TYPE_STATS in positions:
-        tmp_schema = SSTableSchema(
-            [f"key{i}" for i in range(len(hdr["key_types"]))],
-            hdr["key_types"],
-            [f"ck{i}" for i in range(len(hdr["clustering_types"]))],
-            hdr["clustering_types"],
-            hdr["regular"],
-            hdr.get("statics", []),
-        )
+        tmp_schema = schema_from_header(hdr)
         hdr["stats_metadata"] = parse_stats_component(
             component_body(_TYPE_STATS), tmp_schema
         )
@@ -1071,6 +1067,10 @@ def compute_stats(partitions: list[PartitionData]) -> EncodingStats:
             ldts.append(p.deletion[1])
         for cell in p.static_cells.values():
             ts.append(cell.timestamp)
+            if isinstance(cell.value, (list, dict, set, tuple)):
+                # full-value collection: complex deletion at ts-1
+                ts.append(cell.timestamp - 1)
+                ldts.append(DELETION_TIME_EPOCH)
             if cell.ttl:
                 ttls.append(cell.ttl)
             if cell.local_deletion_time != NO_DELETION_TIME:
@@ -1129,6 +1129,7 @@ def write_sstable(out_dir: str, generation: int, schema: SSTableSchema,
     data = bytearray()
     index = bytearray()
     bf = BloomFilter.sized_for(len(partitions))
+    part_sizes: list[int] = []
     sampled: list[tuple[bytes, int]] = []
     first_key = last_key = None
     last_token_key = None
@@ -1150,6 +1151,7 @@ def write_sstable(out_dir: str, generation: int, schema: SSTableSchema,
             sampled.append((key, len(index)))
         pos = len(data)
         data += serialize_partition(part, schema, stats)
+        part_sizes.append(len(data) - pos)
         # Index.db entry (BigTableWriter.IndexWriter.append +
         # RowIndexEntry.serialize: non-indexed => position + vint 0)
         index += struct.pack(">H", len(key)) + key
@@ -1191,7 +1193,9 @@ def write_sstable(out_dir: str, generation: int, schema: SSTableSchema,
             if compression and len(data)
             else NO_COMPRESSION_RATIO
         )
-        f.write(serialize_statistics(schema, stats, partitions, ratio))
+        f.write(
+            serialize_statistics(schema, stats, partitions, ratio, part_sizes)
+        )
     with open(paths["digest"], "w") as f:
         # ChecksumWriter.writeFullChecksum: decimal text of the full
         # on-disk Data.db CRC32
@@ -1479,6 +1483,20 @@ def bulk_write_sstables(df, meta, out_dir: str, sstables: int = 1,
     return [r.asDict() for r in rows]
 
 
+def schema_from_header(hdr: dict) -> SSTableSchema:
+    """Reconstruct the read-side schema from a parsed HEADER component:
+    key/clustering names are positional (the header stores types only),
+    regular/static names come from the header itself."""
+    return SSTableSchema(
+        [f"key{i}" for i in range(len(hdr["key_types"]))],
+        hdr["key_types"],
+        [f"ck{i}" for i in range(len(hdr["clustering_types"]))],
+        hdr["clustering_types"],
+        hdr["regular"],
+        hdr.get("statics", []),
+    )
+
+
 def read_sstables(spark, in_dir: str, split_bytes: int = 64 * 1024 * 1024,
                   now_seconds: int | None = None):
     """Distributed sstable read: stage 1 plans byte-ranged splits from
@@ -1502,14 +1520,7 @@ def read_sstables(spark, in_dir: str, split_bytes: int = 64 * 1024 * 1024,
     # reconstruct the schema; key/clustering NAMES are not part of the
     # header (the reference resolves them from the table schema) — use
     # positional names, overridable by the caller reading into a table
-    schema = SSTableSchema(
-        [f"key{i}" for i in range(len(hdr["key_types"]))],
-        hdr["key_types"],
-        [f"ck{i}" for i in range(len(hdr["clustering_types"]))],
-        hdr["clustering_types"],
-        hdr["regular"],
-        hdr.get("statics", []),
-    )
+    schema = schema_from_header(hdr)
     if now_seconds is None:
         now_seconds = 2 ** 31 - 2
 
@@ -1548,7 +1559,10 @@ def read_sstables(spark, in_dir: str, split_bytes: int = 64 * 1024 * 1024,
                 yield pd.DataFrame(out, columns=["path", "start", "end"])
 
     splits_df = files_df.mapInPandas(plan, schema=split_schema)
-    n_splits = max(1, splits_df.count())
+    # repartition width from the on-disk byte estimate — counting the
+    # splits frame would execute the whole planning stage twice
+    total_bytes = sum(os.path.getsize(p) for p in datas)
+    n_splits = max(1, min(4096, total_bytes // max(1, split_bytes) + 1))
     out_schema = _spark_schema(schema)
     cols = [f.name for f in out_schema.fields]
 
@@ -1706,14 +1720,7 @@ def sstable_point_read(sst_dir: str, key_values: list,
         base = os.path.join(sst_dir, f[: -len("Data.db")])
         with open(base + "Statistics.db", "rb") as fh:
             stats, hdr = parse_statistics(fh.read())
-        schema = SSTableSchema(
-            [f"key{i}" for i in range(len(hdr["key_types"]))],
-            hdr["key_types"],
-            [f"ck{i}" for i in range(len(hdr["clustering_types"]))],
-            hdr["clustering_types"],
-            hdr["regular"],
-            hdr.get("statics", []),
-        )
+        schema = schema_from_header(hdr)
         key = schema.key_bytes(key_values)
         filter_path = base + "Filter.db"
         if os.path.exists(filter_path):
@@ -1925,14 +1932,7 @@ def dump_sstable(data_path: str, now_seconds: int | None = None) -> list[dict]:
     base = data_path[: -len("Data.db")]
     with open(base + "Statistics.db", "rb") as fh:
         stats, hdr = parse_statistics(fh.read())
-    schema = SSTableSchema(
-        [f"key{i}" for i in range(len(hdr["key_types"]))],
-        hdr["key_types"],
-        [f"ck{i}" for i in range(len(hdr["clustering_types"]))],
-        hdr["clustering_types"],
-        hdr["regular"],
-        hdr.get("statics", []),
-    )
+    schema = schema_from_header(hdr)
     with open(data_path, "rb") as fh:
         blob = fh.read()
     if os.path.exists(base + "CompressionInfo.db"):
@@ -2219,8 +2219,14 @@ def _read_estimated_histogram(r: ByteReader) -> list[tuple[int, int]]:
 
 def stats_component(schema: SSTableSchema, stats: EncodingStats,
                     partitions: list[PartitionData],
-                    compression_ratio: float = NO_COMPRESSION_RATIO) -> bytes:
-    part_sizes = []
+                    compression_ratio: float = NO_COMPRESSION_RATIO,
+                    part_sizes: list[int] | None = None) -> bytes:
+    # the writer passes the per-partition byte sizes it already
+    # measured; direct callers fall back to re-serializing
+    if part_sizes is None:
+        part_sizes = [
+            len(serialize_partition(p, schema, stats)) for p in partitions
+        ]
     cell_counts = []
     all_ts: list[int] = []
     all_ldt: list[int] = []
@@ -2246,8 +2252,6 @@ def stats_component(schema: SSTableSchema, stats: EncodingStats,
             total_cells += 1
 
     for p in partitions:
-        size = len(serialize_partition(p, schema, stats))
-        part_sizes.append(size)
         n_cells = len(p.static_cells)
         for cell in p.static_cells.values():
             see_cell(cell)
@@ -2639,10 +2643,14 @@ def _read_complex_column(r: ByteReader, codec: CollectionCodec,
                 )
         path = r.take(r.unsigned_vint())
         val = None
+        vc = codec.value if codec.kind != "set" else None
         if has_value:
-            vc = codec.value if codec.kind != "set" else None
             if vc is not None:
                 val = read_value(r, vc)
+        elif not is_deleted and vc is not None and vc.fixed_len < 0:
+            # HAS_EMPTY_VALUE on a LIVE cell: an empty text/blob element,
+            # not an absent value (same rule as the scalar reader)
+            val = vc.unpack(b"")
         if is_deleted:
             continue  # element tombstone
         if deletion_ts is not None and ts <= deletion_ts:

@@ -1411,3 +1411,91 @@ class TestDirectoryEdges:
         write_sstable(str(tmp_path), 2, b, [pb])
         with pytest.raises(Exception, match="mixed sstable schemas"):
             read_sstables(spark, str(tmp_path)).collect()
+
+
+class TestReviewRegressions:
+    """Pins for the full-session review findings."""
+
+    def test_select_star_pages(self, spark):
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+        db = CqlDatabase(spark)
+        db.execute("CREATE KEYSPACE rr1 WITH REPLICATION = {'class': 'SimpleStrategy'}")
+        db.execute("USE rr1")
+        db.execute("CREATE TABLE t (k int, c int, v text, PRIMARY KEY (k, c))")
+        for k in range(3):
+            for c in range(3):
+                db.execute("INSERT INTO t (k, c, v) VALUES (?, ?, ?)",
+                           [k, c, f"{k}{c}"])
+        p = db.pager("SELECT * FROM t", page_size=4)
+        pages = []
+        while not p.is_exhausted():
+            got = p.fetch_page()
+            if got:
+                pages.append(got)
+        rows = [(r["k"], r["c"], r["v"]) for pg in pages for r in pg]
+        assert len(rows) == 9 and len(set(rows)) == 9
+        assert [len(pg) for pg in pages] == [4, 4, 1]
+
+    def test_static_collection_round_trips(self):
+        # complex deletion at ts-1 for a STATIC collection must not wrap
+        # through the unsigned vint when ts == the sstable min timestamp
+        schema = SSTableSchema(
+            ["k"], [_MARSHAL + "Int32Type"], ["c"], [_MARSHAL + "Int32Type"],
+            [("v", _MARSHAL + "UTF8Type")],
+            [("sl", f"{_MARSHAL}ListType({_MARSHAL}Int32Type)")],
+        )
+        part = _part(1, [_row(1, TS, v="x")])
+        part.static_cells["sl"] = CellValue([1, 2, 3], TS)
+        stats = compute_stats([part])
+        assert stats.min_timestamp <= TS - 1
+        got = read_partition(
+            ByteReader(serialize_partition(part, schema, stats)),
+            schema, stats,
+        )
+        assert got.static_cells["sl"].value == [1, 2, 3]
+        vis = visible_rows(got, schema, DELETION_TIME_EPOCH)
+        assert vis[0]["sl"] == [1, 2, 3]
+
+    def test_empty_string_collection_elements(self):
+        schema = SSTableSchema(
+            ["k"], [_MARSHAL + "Int32Type"], [], [],
+            [
+                ("seq", f"{_MARSHAL}ListType({_MARSHAL}UTF8Type)"),
+                ("m",
+                 f"{_MARSHAL}MapType({_MARSHAL}Int32Type,{_MARSHAL}UTF8Type)"),
+            ],
+        )
+        row = RowData(clustering=[], liveness_timestamp=TS)
+        row.cells["seq"] = CellValue(["", "a"], TS)
+        row.cells["m"] = CellValue({1: "", 2: "b"}, TS)
+        part = PartitionData(key_values=[1], rows=[row])
+        stats = compute_stats([part])
+        got = read_partition(
+            ByteReader(serialize_partition(part, schema, stats)),
+            schema, stats,
+        )
+        assert got.rows[0].cells["seq"].value == ["", "a"]
+        assert got.rows[0].cells["m"].value == {1: "", 2: "b"}
+
+    def test_loader_tolerates_key_prefixed_column_names(self, spark, tmp_path):
+        from cassandra_pmem_spark.catalog import TableMeta
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+        from pyspark.sql import types as T
+
+        schema = T.StructType([
+            T.StructField("k", T.IntegerType()),
+            T.StructField("keyword", T.StringType()),
+            T.StructField("ckx", T.IntegerType()),
+        ])
+        meta = TableMeta("t", schema, partition_key=("k",))
+        df = spark.createDataFrame([(1, "w", 9)], schema)
+        out = str(tmp_path / "sst")
+        bulk_write_sstables(df, meta, out, timestamp_micros=TS)
+        db = CqlDatabase(spark)
+        db.execute("CREATE KEYSPACE rr2 WITH REPLICATION = {'class': 'SimpleStrategy'}")
+        db.execute("USE rr2")
+        db.execute("CREATE TABLE t (k int PRIMARY KEY, keyword text, ckx int)")
+        db.load_sstables("t", out)
+        r = db.execute("SELECT k, keyword, ckx FROM t").collect()
+        assert [(x.k, x.keyword, x.ckx) for x in r] == [(1, "w", 9)]
