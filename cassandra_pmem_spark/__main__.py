@@ -97,18 +97,21 @@ def run_statement(db, spark, stmt: str, sf_dir: str, max_rows: int,
             import pandas as pd
 
             chunks = []
+            fetched = 0
             page_no = 0
-            while not pager.is_exhausted() and page_no * fetch_size < max_rows:
+            while not pager.is_exhausted() and fetched < max_rows:
                 page = pager.fetch_page()
                 if not page:
                     break
                 chunks.append(pd.DataFrame(page))
+                fetched += len(page)
                 page_no += 1
             pdf = (
                 pd.concat(chunks, ignore_index=True)
                 if chunks
                 else pd.DataFrame()
             )
+            pdf = pdf.head(max_rows)  # same cap as the unpaged branch
             out = pdf.to_string(index=False)
             out += f"\n({len(pdf)} rows in {page_no} pages of {fetch_size})"
             return out

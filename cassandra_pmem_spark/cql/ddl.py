@@ -1945,6 +1945,10 @@ class SchemaRegistry:
                         f"'{ks_q or current_keyspace}.{table}' doesn't exist"
                     )
                 del per_table[name]
+                if not per_table:
+                    # an empty per-table dict would keep the coordinator's
+                    # trigger fast path disengaged forever
+                    self.triggers.pop(tkey, None)
                 return
             ife = p.if_exists()
             ks_q, name = p.qualified_name()
@@ -2487,16 +2491,13 @@ class CqlDatabase:
             _stats, hdr = parse_statistics(fh.read())
         n_key = len(hdr["key_types"])
         n_ck = len(hdr["clustering_types"])
-        clash = sorted(
-            set(hdr.get("statics", []) and [n for n, _t in hdr["statics"]] or [])
-            | {n for n, _t in hdr["regular"]}
-        )
-        clash = [
-            c for c in clash
-            if c.startswith("key") or c.startswith("ck")
-            if c in {f"key{i}" for i in range(n_key)}
-            | {f"ck{i}" for i in range(n_ck)}
-        ]
+        positional = {f"key{i}" for i in range(n_key)} | {
+            f"ck{i}" for i in range(n_ck)
+        }
+        named = {n for n, _t in hdr["regular"]} | {
+            n for n, _t in hdr.get("statics", [])
+        }
+        clash = sorted(named & positional)
         if clash:
             raise InvalidRequest(
                 f"sstable regular/static columns {clash} collide with the "
@@ -2508,19 +2509,25 @@ class CqlDatabase:
                 f"clustering components) does not match table "
                 f"{key[1]!r} ({len(pk)} + {len(ck)})"
             )
-        for i, name in enumerate(pk):
-            df = df.withColumnRenamed(f"key{i}", name)
-        for i, name in enumerate(ck):
-            df = df.withColumnRenamed(f"ck{i}", name)
+        # one alias-based select — a rename CHAIN can collide when a
+        # declared key name equals another positional name (renaming
+        # key0 -> ck0 on a table whose pk is literally named ck0 would
+        # duplicate columns and break the later rename)
+        source_for = {name: f"key{i}" for i, name in enumerate(pk)}
+        source_for.update({name: f"ck{i}" for i, name in enumerate(ck)})
         declared = {f.name: f.dataType for f in meta.schema.fields}
-        extra = sorted(set(df.columns) - set(declared))
+        extra = sorted(named - set(declared))
         if extra:
             raise InvalidRequest(
                 f"sstable carries columns {extra} the table does not declare"
             )
         base = df.select(
             *[
-                (F.col(c) if c in df.columns else F.lit(None)).cast(dt).alias(c)
+                (
+                    F.col(source_for[c])
+                    if c in source_for
+                    else (F.col(c) if c in df.columns else F.lit(None))
+                ).cast(dt).alias(c)
                 for c, dt in declared.items()
             ]
         )
@@ -2743,6 +2750,11 @@ class CqlDatabase:
 
         pre_keys = set(self._sessions)
         snaps = {k: s._snapshot() for k, s in self._sessions.items()}
+        # the shared coordinator clock and now()-mint journal must rewind
+        # on failure even when the failing statement CREATED every session
+        # it touched (then no session snapshot would restore them)
+        clock0 = self._write_clock[0]
+        occs0 = self._now_occs.mark()
         zeros = (0, 0, 0, 0)
         for s in self._sessions.values():
             # a PREVIOUS statement's IF flag must not leak into this
@@ -2760,7 +2772,7 @@ class CqlDatabase:
                     conditional = True
                 if any(m.counter_deltas for m in s._mutations[marks[0]:]):
                     has_counters = True
-                if k in self.registry.triggers:
+                if self.registry.triggers.get(k):
                     fired.extend((k, u) for u in self._collect_updates(k, marks))
             stmts: list[tuple[str, list]] = []
             for k, upd in fired:
@@ -2810,6 +2822,8 @@ class CqlDatabase:
                 del self._sessions[k]
             for k, s in self._sessions.items():
                 s._restore(snaps[k])
+            self._write_clock[0] = clock0
+            self._now_occs.rewind(occs0)
             raise
 
     def _execute_batch(self, cql: str, params: list[Any]) -> bool:

@@ -323,7 +323,10 @@ class QueryPager:
         order spec (the PagingState resume filter — the reference's
         'start from the last returned position, exclusive')."""
         spec = self._order_spec()
-        assert len(spec) == len(pos)
+        if len(spec) != len(pos):
+            # a structurally valid blob from a DIFFERENT statement shape
+            # is still an invalid state for THIS statement
+            raise InvalidRequest("Invalid value for the paging state")
         cond = F.lit(False)
         for (col, asc), v in zip(reversed(spec), reversed(pos)):
             lit = F.lit(v)
@@ -353,7 +356,7 @@ class QueryPager:
         if self.kind == "global":
             rows = df.collect()
             self._exhausted = True
-            return rows
+            return [r.asDict(recursive=False) for r in rows]
         if self._pos is not None:
             df = df.filter(self._after_filter(self._pos))
         spec = self._order_spec()

@@ -475,10 +475,17 @@ class EncodingStats:
 
     @classmethod
     def deserialize(cls, r: ByteReader) -> "EncodingStats":
+        def signed64(v: int) -> int:
+            # Java long addition wraps: a pre-epoch minimum encodes as a
+            # negative delta masked into the unsigned vint, and the read
+            # side must wrap it back (readUnsignedVInt + long add)
+            v &= (1 << 64) - 1
+            return v - (1 << 64) if v >= (1 << 63) else v
+
         return cls(
-            r.unsigned_vint() + TIMESTAMP_EPOCH,
-            r.unsigned_vint() + DELETION_TIME_EPOCH,
-            r.unsigned_vint() + TTL_EPOCH,
+            signed64(r.unsigned_vint() + TIMESTAMP_EPOCH),
+            signed64(r.unsigned_vint() + DELETION_TIME_EPOCH),
+            signed64(r.unsigned_vint() + TTL_EPOCH),
         )
 
 
@@ -1162,6 +1169,7 @@ def write_sstable(out_dir: str, generation: int, schema: SSTableSchema,
     with open(os.path.join(out_dir, f"{VERSION}-{generation}-big-Filter.db"),
               "wb") as f:
         f.write(bf.serialize())
+    wrote_summary = bool(partitions)
     if partitions:
         with open(
             os.path.join(out_dir, f"{VERSION}-{generation}-big-Summary.db"),
@@ -1169,8 +1177,10 @@ def write_sstable(out_dir: str, generation: int, schema: SSTableSchema,
         ) as f:
             f.write(build_summary(sampled, first_key, last_key))
     on_disk = bytes(data)
-    components = ["Data.db", "Index.db", "Filter.db", "Summary.db",
-                  "Statistics.db"]
+    components = ["Data.db", "Index.db", "Filter.db"]
+    if wrote_summary:
+        components.append("Summary.db")
+    components.append("Statistics.db")
     if compression:
         on_disk, info = compress_data(
             bytes(data), chunk_length or DEFAULT_CHUNK_LENGTH

@@ -293,3 +293,49 @@ class TestDescribeTriggers:
         db2.execute(stmt.replace("test.src", "test2.src"))
         got = db2.execute("SELECT trigger_name FROM system_schema.triggers").collect()
         assert [r.trigger_name for r in got] == ["audit_src"]
+
+
+class TestSecondReviewRegressions:
+    def test_drop_last_trigger_reengages_fast_path(self, db):
+        db.execute("CREATE TRIGGER t1 ON src USING 'AuditTrigger'")
+        db.execute("DROP TRIGGER t1 ON src")
+        # the registry entry is gone entirely, not an empty dict — the
+        # coordinator's `if not registry.triggers` fast path re-engages
+        assert db.registry.triggers == {}
+        db.execute("INSERT INTO src (k, c, v) VALUES (1, 1, 'a')")
+        assert db.execute("SELECT * FROM audit").count() == 0
+
+    def test_failing_trigger_rewinds_clock_on_fresh_database(self, db, spark):
+        # the failing statement CREATES the only session it touches: the
+        # shared clock and now()-mints must still rewind ("a rejected
+        # statement leaves no trace")
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+        class Boom(ITrigger):
+            def augment(self, update):
+                raise RuntimeError("boom")
+
+        register_trigger_class("Boom2", Boom)
+        try:
+            d = CqlDatabase(spark)
+            d.execute("CREATE KEYSPACE fz WITH REPLICATION = {'class': 'SimpleStrategy'}")
+            d.execute("USE fz")
+            d.execute("CREATE TABLE t (k int PRIMARY KEY, id timeuuid, v int)")
+            d.execute("CREATE TRIGGER b ON t USING 'Boom2'")
+            clock0 = d._write_clock[0]
+            with pytest.raises(RuntimeError):
+                d.execute("INSERT INTO t (k, id, v) VALUES (1, now(), 1)")
+            assert d._write_clock[0] == clock0
+            # a replay WITHOUT the rejected statement mints the same uuid
+            d.execute("DROP TRIGGER b ON t")
+            d.execute("INSERT INTO t (k, id, v) VALUES (2, now(), 2)")
+            d2 = CqlDatabase(spark)
+            d2.execute("CREATE KEYSPACE fz2 WITH REPLICATION = {'class': 'SimpleStrategy'}")
+            d2.execute("USE fz2")
+            d2.execute("CREATE TABLE t (k int PRIMARY KEY, id timeuuid, v int)")
+            d2.execute("INSERT INTO t (k, id, v) VALUES (2, now(), 2)")
+            a = d.execute("SELECT id FROM t WHERE k = 2").collect()[0].id
+            b = d2.execute("SELECT id FROM t WHERE k = 2").collect()[0].id
+            assert a == b
+        finally:
+            unregister_trigger_class("Boom2")

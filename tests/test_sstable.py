@@ -1499,3 +1499,26 @@ class TestReviewRegressions:
         db.load_sstables("t", out)
         r = db.execute("SELECT k, keyword, ckx FROM t").collect()
         assert [(x.k, x.keyword, x.ckx) for x in r] == [(1, "w", 9)]
+
+
+class TestPreEpochTimestamps:
+    def test_small_timestamps_round_trip_and_shadow(self):
+        # timestamps below the 2015 EncodingStats epoch encode as
+        # negative deltas; the reader must wrap them back like Java long
+        # arithmetic or every decoded timestamp shifts by 2^64
+        schema = _schema()
+        live = RowData(clustering=[1], liveness_timestamp=100,
+                       cells={"v": CellValue("old", 100)})
+        part = _part(1, [live])
+        part.deletion = (200, DELETION_TIME_EPOCH)  # tombstone at ts=200
+        stats = compute_stats([part])
+        assert stats.min_timestamp == 100
+        blob = serialize_partition(part, schema, stats)
+        # Statistics round trip preserves the tiny minimum
+        st2, _hdr = parse_statistics(serialize_statistics(schema, stats))
+        assert st2.min_timestamp == 100
+        got = read_partition(ByteReader(blob), schema, stats)
+        assert got.rows[0].liveness_timestamp == 100
+        assert got.rows[0].cells["v"].timestamp == 100
+        # the partition tombstone at 200 shadows the row written at 100
+        assert visible_rows(got, schema, DELETION_TIME_EPOCH) == []
