@@ -47,6 +47,7 @@ _PRIORITY: tuple[str, ...] = (
     "cql_trigger_audit",  # ITrigger tier: CREATE/DROP TRIGGER + augment
     "cql_paging",  # QueryPager tier: row/group/global pages, PagingState
     "source_sstable_roundtrip",  # big-format SSTable codec + splits
+    "source_sstable_pointread",  # bloom -> summary -> index point reads
     # -- (3) stale-by-edit (round-10 edits to their machinery)
     "cql_fn_terms",
     "cql_token_rhs",

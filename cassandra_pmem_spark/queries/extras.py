@@ -392,6 +392,72 @@ SELECT src, user_id, event_id, ts_s, event_type, value, props FROM (
 """
 
 
+def source_sstable_pointread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BigTableReader single-partition path (sources/sstable.py
+    sstable_point_read): bloom filter consult -> index summary seek ->
+    at most one minIndexInterval of Index.db entries -> one ranged
+    Data.db read. The nation table (25 partitions) is flushed to
+    compressed sstables; present keys return their rows, absent keys
+    return nothing, and the trace proves the bloom short-circuits at
+    least one absent probe without touching the index (the engine's
+    bloom is murmur3-128-exact, so skip behavior is deterministic)."""
+    from cassandra_pmem_spark.catalog import TableMeta
+    from cassandra_pmem_spark.sources.sstable import (
+        bulk_write_sstables,
+        sstable_point_read,
+    )
+
+    out_dir = os.path.join(_SCRATCH, "sstable_pointread")
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    nation = load_table(spark, "nation", sf_dir).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    meta = TableMeta(
+        "nation_sst", nation.schema, partition_key=("n_nationkey",)
+    )
+    bulk_write_sstables(
+        nation, meta, out_dir, sstables=2,
+        timestamp_micros=1442880000000001, compression=True,
+    )
+    rows: list[tuple] = []
+    for k in (0, 7, 13, 24):          # present partitions
+        for r in sstable_point_read(out_dir, [k]):
+            rows.append(("hit", k, r["n_name"], int(r["n_regionkey"])))
+    trace: dict = {}
+    for k in (100, 999, 12345):       # absent partitions
+        got = sstable_point_read(out_dir, [k], _trace=trace)
+        rows.append(("miss", k, None, len(got)))
+    # the bloom short-circuited at least one absent probe entirely
+    rows.append(("bloom", trace["bloom_skips"] > 0, None, 0))
+    from pyspark.sql import types as _T
+
+    schema = _T.StructType(
+        [
+            _T.StructField("src", _T.StringType()),
+            _T.StructField("k", _T.StringType()),
+            _T.StructField("n_name", _T.StringType()),
+            _T.StructField("x", _T.IntegerType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [(s, str(k), n, x) for s, k, n, x in rows], schema
+    )
+
+
+_SSTABLE_POINTREAD_ORACLE = """
+SELECT 'hit' AS src, CAST(n_nationkey AS VARCHAR) AS k, n_name,
+       CAST(n_regionkey AS INT) AS x
+FROM nation WHERE n_nationkey IN (0, 7, 13, 24)
+UNION ALL
+SELECT 'miss', CAST(k AS VARCHAR), NULL, 0
+FROM (VALUES (100), (999), (12345)) t(k)
+UNION ALL
+SELECT 'bloom', 'True', NULL, 0
+"""
+
+
 def source_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) layout demonstration (sources/zorder.py — the
     Delta/Iceberg OPTIMIZE ZORDER BY analog for multi-dim file
@@ -1205,6 +1271,10 @@ QUERIES = {
         "SELECT doc_id, md5(text) AS text_md5 FROM documents",
     ),
     "source_sstable_roundtrip": (source_sstable_roundtrip, _SSTABLE_ORACLE),
+    "source_sstable_pointread": (
+        source_sstable_pointread,
+        _SSTABLE_POINTREAD_ORACLE,
+    ),
     "source_zorder_layout": (source_zorder_layout, _zorder_oracle()),
     "analytics_cube": (analytics_cube, _CUBE_ORACLE),
     "source_compaction_roundtrip": (
