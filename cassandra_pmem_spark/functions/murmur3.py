@@ -318,6 +318,64 @@ class InetMarshal:
     4 for IPv4, 16 for IPv6."""
 
 
+class FrozenListMarshal:
+    """Marker marshal dtype for a frozen<list<T>> partition-key component.
+
+    Frozen collections ARE legal partition keys (CreateTableStatement.java:179
+    rejects only non-frozen; FrozenCollectionsTest.java:55 creates them). The
+    serialized form Murmur3Partitioner hashes is CollectionSerializer.pack
+    (serializers/CollectionSerializer.java:60-98, protocol V3+): a 4-byte
+    big-endian element count, then per element a 4-byte big-endian length and
+    the element's own marshal serialization."""
+
+    def __init__(self, elem_dtype):
+        self.elem_dtype = elem_dtype
+
+
+class FrozenSetMarshal:
+    """frozen<set<T>> partition-key component: same pack layout as list, but
+    elements sorted by the element type's comparator before packing
+    (serializers/SetSerializer.java:59 Collections.sort on serialized bytes;
+    for the int family that comparator is signed-value order —
+    Int32Type.java:45-53 signed first byte, LongType.compareLongs — and for
+    text/blob it is unsigned lexicographic byte order)."""
+
+    def __init__(self, elem_dtype):
+        self.elem_dtype = elem_dtype
+
+
+class FrozenMapMarshal:
+    """frozen<map<K,V>> partition-key component: 4-byte count, then per entry
+    key-length+key-bytes, value-length+value-bytes, entries sorted by the key
+    comparator (serializers/MapSerializer.java:62)."""
+
+    def __init__(self, key_dtype, val_dtype):
+        self.key_dtype = key_dtype
+        self.val_dtype = val_dtype
+
+
+class FrozenUdtMarshal:
+    """frozen UDT (or tuple) partition-key component: TupleType.buildValue
+    (db/marshal/TupleType.java:221-240, UserType extends TupleType) — per
+    field a 4-byte big-endian length and the field bytes, NO count prefix;
+    a null field serializes as length -1 with no bytes."""
+
+    def __init__(self, field_dtypes: "list"):
+        self.field_dtypes = list(field_dtypes)
+
+
+def _set_sort_key(v, dtype):
+    """Sort key matching the reference comparator on serialized bytes:
+    int-family signed value order; everything else unsigned byte order of
+    the serialization (correct for text/blob/date; uuid keys inside frozen
+    sets are out of the covered set)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        return (0, int(v), b"")
+    return (1, 0, serialize_pk_value(v, dtype))
+
+
 def serialize_pk_value(v, dtype) -> bytes:
     """One partition-key component's raw serialization (db/marshal/*).
 
@@ -412,6 +470,46 @@ def serialize_pk_value(v, dtype) -> bytes:
         return struct.pack(">i", scale) + vb
     if isinstance(dtype, T.BinaryType):
         return bytes(v)  # BytesType.java verbatim
+    # frozen collections / UDTs (legal pk components when frozen:
+    # CreateTableStatement.java:179, FrozenCollectionsTest.java:55).
+    # A bare Spark ArrayType/MapType/StructType maps to frozen
+    # list/map/udt; set semantics need the FrozenSetMarshal tag (Spark
+    # has no set type, so ordering intent can't be inferred).
+    if isinstance(dtype, T.ArrayType):
+        dtype = FrozenListMarshal(dtype.elementType)
+    if isinstance(dtype, T.MapType):
+        dtype = FrozenMapMarshal(dtype.keyType, dtype.valueType)
+    if isinstance(dtype, T.StructType):
+        dtype = FrozenUdtMarshal([f.dataType for f in dtype.fields])
+    if isinstance(dtype, (FrozenListMarshal, FrozenSetMarshal)):
+        elems = list(v)
+        if isinstance(dtype, FrozenSetMarshal):
+            elems.sort(key=lambda e: _set_sort_key(e, dtype.elem_dtype))
+        parts = [serialize_pk_value(e, dtype.elem_dtype) for e in elems]
+        # CollectionSerializer.pack: int32 count + per element int32 len+bytes
+        return struct.pack(">i", len(parts)) + b"".join(
+            struct.pack(">i", len(p)) + p for p in parts
+        )
+    if isinstance(dtype, FrozenMapMarshal):
+        entries = list(v.items()) if hasattr(v, "items") else [tuple(e) for e in v]
+        entries.sort(key=lambda kv: _set_sort_key(kv[0], dtype.key_dtype))
+        out = [struct.pack(">i", len(entries))]
+        for k, mv in entries:
+            kb = serialize_pk_value(k, dtype.key_dtype)
+            vb = serialize_pk_value(mv, dtype.val_dtype)
+            out.append(struct.pack(">i", len(kb)) + kb)
+            out.append(struct.pack(">i", len(vb)) + vb)
+        return b"".join(out)
+    if isinstance(dtype, FrozenUdtMarshal):
+        vals = list(v.values()) if hasattr(v, "values") else list(v)
+        out = []
+        for fv, fdt in zip(vals, dtype.field_dtypes):
+            if fv is None:
+                out.append(struct.pack(">i", -1))  # TupleType.java:232
+            else:
+                fb = serialize_pk_value(fv, fdt)
+                out.append(struct.pack(">i", len(fb)) + fb)
+        return b"".join(out)
     raise TypeError(f"unsupported partition-key type for token(): {dtype}")
 
 
@@ -436,8 +534,16 @@ def murmur3_token_key_columns(cols, dtypes):
 
     def fn(*series: pd.Series) -> pd.Series:
         n = len(series[0])
+        # struct (UDT) columns arrive as a pandas DataFrame per Arrow
+        # conversion — flatten each to row tuples so zip sees one value
+        cols = [
+            list(s.itertuples(index=False, name=None))
+            if isinstance(s, pd.DataFrame)
+            else s
+            for s in series
+        ]
         keys = [
-            serialize_partition_key(row, dts) for row in zip(*series)
+            serialize_partition_key(row, dts) for row in zip(*cols)
         ]
         lens = np.array([len(k) for k in keys], dtype=np.int64)
         lmax = max(1, int(lens.max()) if n else 1)
@@ -603,12 +709,23 @@ def murmur3_token_general_subquery(
 
     byte_exprs[i]: HUGEINT expression for serialized byte i (see the layout
     helpers below); len_expr: the serialized length. For fixed-width layouts
-    pass fixed_len to drop the per-byte length gates."""
-    sql = f"SELECT * FROM {source_sql}"
-    for name, expr in _m3_general_items(byte_exprs, len_expr, fixed_len, alias):
-        sql = f"SELECT *, {expr} AS {name} FROM ({sql})"
+    pass fixed_len to drop the per-byte length gates.
+
+    Emitted as a FLAT ``WITH`` chain, one CTE per hash step, rather than
+    nested subqueries: the binder behavior is the same (every step
+    reference is a real column), but parser recursion depth stays O(1) —
+    four token layouts chained as nested SELECTs (~200 levels) exhaust
+    DuckDB's parser stack. CTE names are prefixed with the alias so
+    chained calls (each sourcing the previous) cannot collide."""
+    steps = _m3_general_items(byte_exprs, len_expr, fixed_len, alias)
+    ctes = [f"{alias}__s0 AS (SELECT * FROM {source_sql})"]
+    prev = f"{alias}__s0"
+    for i, (name, expr) in enumerate(steps, start=1):
+        cur = f"{alias}__s{i}"
+        ctes.append(f"{cur} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = cur
     cols = ", ".join(carry)
-    return f"(SELECT {cols}, {alias} FROM ({sql}))"
+    return f"(WITH {', '.join(ctes)} SELECT {cols}, {alias} FROM {prev})"
 
 
 def text_key_byte_exprs(text_col: str, max_len: int) -> tuple[list[str], str]:
@@ -663,6 +780,35 @@ def uuid_key_byte_exprs(col: str) -> tuple[list[str], int]:
         f"('0x' || substr({h}, {2 * i + 1}, 2))::BIGINT::HUGEINT" for i in range(16)
     ]
     return exprs, 16
+
+
+def fixed_layout_byte_exprs(parts: "list[tuple]") -> tuple[list[str], int]:
+    """Byte expressions for a FIXED serialized layout assembled from literal
+    bytes and big-endian integer fields — the shape frozen-collection/UDT
+    partition keys take when the collection's arity and element widths are
+    constant (e.g. frozen<list<bigint>> of 2 elements = 28 bytes:
+    [int32 count][int32 len][8B elem][int32 len][8B elem] —
+    CollectionSerializer.pack / TupleType.buildValue layouts).
+
+    parts: ('const', byte_value) — one literal byte — or
+           ('be', sql_int_expr, width) — the width big-endian
+           two's-complement bytes of an integer SQL expression."""
+    exprs: list[str] = []
+    for p in parts:
+        if p[0] == "const":
+            exprs.append(f"{int(p[1])}::HUGEINT")
+        else:
+            _, col, w = p
+            lim = 1 << (8 * w)
+            u = (
+                f"(CASE WHEN ({col}) >= 0 THEN ({col})::HUGEINT "
+                f"ELSE ({col})::HUGEINT + {lim}::HUGEINT END)"
+            )
+            exprs += [
+                f"(({u} // {1 << (8 * (w - 1 - j))}::HUGEINT) % 256::HUGEINT)"
+                for j in range(w)
+            ]
+    return exprs, len(exprs)
 
 
 def inet4_key_byte_exprs(col: str) -> tuple[list[str], int]:

@@ -22,10 +22,21 @@ Hash selection:
   InetAddressType.java 4/16 address bytes). Because the Spark dtype is
   just StringType, the caller names these via ``cql_types``
   (column → 'uuid'|'timeuuid'|'inet'). Also bit-exact.
-- keys containing a type with no covered serializer (collections, UDTs —
-  which the reference itself cannot use as partition-key components
-  unfrozen) → xxhash64 (JVM builtin): same query semantics (stable hash
-  order), different values. Documented deviation per SURVEY §2.8.
+- **frozen collection / UDT** keys (legal pk components when frozen —
+  CreateTableStatement.java:179 rejects only non-frozen;
+  FrozenCollectionsTest.java:55,186 creates them) → the general-length
+  kernel over CollectionSerializer.pack / TupleType.buildValue wire forms
+  (count+length-prefixed elements; sets/maps comparator-sorted). Spark
+  ArrayType maps to frozen<list>, MapType to frozen<map>, StructType to
+  the frozen UDT/tuple form; tag a column 'frozen_set' via ``cql_types``
+  for set element ordering (Spark has no set type). Element types must be
+  in the scalar covered set, excluding timestamp (whose exactness relies
+  on a JVM-side unix_millis pre-conversion that can't reach inside a
+  nested value). Also bit-exact.
+- keys containing a type with no covered serializer (e.g. nested
+  non-frozen semantics, timestamp elements inside collections) →
+  xxhash64 (JVM builtin): same query semantics (stable hash order),
+  different values. Documented deviation per SURVEY §2.8.
 
 Timestamp columns pre-convert JVM-side through unix_millis, so the
 token is exact regardless of the session timezone.
@@ -68,20 +79,63 @@ def _component(col: str, dtype):
     return F.col(col), dtype
 
 
+# scalar types legal INSIDE frozen collections/UDTs. TimestampType is
+# excluded: its exactness relies on the JVM-side unix_millis pre-convert
+# (see _component), which cannot reach inside a nested value.
+_FROZEN_ELEM_TYPES = tuple(t for t in _MURMUR_TYPES if t is not T.TimestampType)
+
+
+def _frozen_ok(dt) -> bool:
+    """True when a complex dtype's every leaf is in the frozen covered set."""
+    if isinstance(dt, T.ArrayType):
+        return _frozen_ok(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _frozen_ok(dt.keyType) and _frozen_ok(dt.valueType)
+    if isinstance(dt, T.StructType):
+        return all(_frozen_ok(f.dataType) for f in dt.fields)
+    return isinstance(dt, _FROZEN_ELEM_TYPES)
+
+
 def token_column(
     partition_key: Sequence[str] | str,
     schema: T.StructType | None = None,
     cql_types: dict[str, str] | None = None,
 ) -> Column:
-    from cassandra_pmem_spark.functions.murmur3 import InetMarshal, UuidMarshal
+    from cassandra_pmem_spark.functions.murmur3 import (
+        FrozenSetMarshal,
+        InetMarshal,
+        UuidMarshal,
+    )
 
     marshal_by_cql = {"uuid": UuidMarshal, "timeuuid": UuidMarshal, "inet": InetMarshal}
     cols = [partition_key] if isinstance(partition_key, str) else list(partition_key)
     if schema is not None or cql_types:
         by_name = {f.name: f.dataType for f in schema.fields} if schema else {}
-        overrides = {c: marshal_by_cql[t]() for c, t in (cql_types or {}).items()}
-        dtypes = [overrides.get(c, by_name.get(c)) for c in cols]
-        ok_types = _MURMUR_TYPES + (UuidMarshal, InetMarshal)
+
+        def resolve(c: str):
+            tag = (cql_types or {}).get(c)
+            if tag in marshal_by_cql:
+                return marshal_by_cql[tag]()
+            dt = by_name.get(c)
+            if tag == "frozen_set" and isinstance(dt, T.ArrayType):
+                if _frozen_ok(dt.elementType):
+                    return FrozenSetMarshal(dt.elementType)
+                return None
+            if isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
+                # bare complex dtypes map to frozen<list>/frozen<map>/UDT
+                # inside serialize_pk_value; gate on leaf-type coverage
+                return dt if _frozen_ok(dt) else None
+            return dt
+
+        dtypes = [resolve(c) for c in cols]
+        ok_types = _MURMUR_TYPES + (
+            UuidMarshal,
+            InetMarshal,
+            FrozenSetMarshal,
+            T.ArrayType,
+            T.MapType,
+            T.StructType,
+        )
         if all(isinstance(dt, ok_types) for dt in dtypes):
             exprs, eff = zip(*[_component(c, dt) for c, dt in zip(cols, dtypes)])
             if len(cols) == 1 and isinstance(eff[0], T.LongType):

@@ -24,97 +24,74 @@ from pyspark.sql import DataFrame, SparkSession
 # First-50 window budget, rotated by STALENESS each round (COVERAGE.md
 # rule: edited since last green driver evidence ⇒ re-enter the window;
 # never-evidenced entries outrank everything).
-# Round-10 layout (second session): (1) the four entries the r9 window
-# overflowed; (2) the round-10 NEW queries — first session's
-# roles/grants, now()-as-write-term and index targets, then the second
-# session's trigger tier, QueryPager tier, and the SSTable big-format
-# round trip (never-evidenced, so they outrank everything after the
-# overflow set); (3) queries whose machinery round 10 edited
-# (stale-by-edit; the trigger hook touched the shared DML routing, so
-# the write-model exemplars re-enter); (4) the r3 TPC-H backlog (oldest
-# evidence after q1, which IS entry()); (5) the r4 tier. Rows displaced
-# past 50 queue for round 11.
+# Round-11 layout: (1) the NEW round-11 queries (never evidenced);
+# (2) stale-by-edit — the general-length murmur3 DuckDB twin was
+# regenerated as a flat WITH chain this round, so every token-scan
+# oracle it generates re-enters, plus the queries whose machinery
+# round 11 touches (SASI LIKE modes, sstable COMPACTION/Summary
+# components, the paging fixture, the FLAC encoder); (3) the entire
+# r4-evidence backlog — the 38 registry rows whose latest driver
+# evidence is CORRECTNESS_r04 (sketch/source/text/multimodal/sim
+# tiers) — plus tpch_q1 (r1; it is also entry(), but window evidence
+# beats entry smoke). Exactly 50 names.
 _PRIORITY: tuple[str, ...] = (
-    # -- (1) r9 window overflow (queued last round, evidence r3/r4)
-    "streaming_session_real",
-    "streaming_tumbling_real",
-    "text_sasi_analyzer",
-    "cql_allow_filtering",
-    # -- (2) new round-10 queries
-    "cql_now_writes",  # now()/uuid() folded from the coordinator clock
-    "cql_roles_grants",  # DCL tier: roles, grants, LIST shapes
-    "cql_index_targets",  # keys()/values()/entries()/full() index kinds
-    "cql_trigger_audit",  # ITrigger tier: CREATE/DROP TRIGGER + augment
-    "cql_paging",  # QueryPager tier: row/group/global pages, PagingState
-    "source_sstable_roundtrip",  # big-format SSTable codec + splits
-    "source_sstable_pointread",  # bloom -> summary -> index point reads
-    # -- (3) stale-by-edit (round-10 edits to their machinery)
-    "cql_fn_terms",
-    "cql_token_rhs",
-    "cql_agg_nested",
-    "cql_create_mv_statement",
-    "mv_refresh_batch",
-    "cql_time_fcts",
-    "analytics_retention_cohorts",
-    "multimodal_audio_mp1_subband",
-    "cql_collection_mutations",
-    # -- (3b) edited by the second half of round 10: the LIKE gate and
-    # pattern semantics, the kind-aware index selection, the extreme
-    # bound fixups in LWT/DELETE, the avg/cast varint arithmetic, and
-    # the map CONTAINS/entry compile paths
+    # -- (1) new in round 11
+    "cql_token_scan_frozen",  # frozen collection/UDT pk murmur3 tokens
+    # -- (2) stale-by-edit (round-11 edits to their machinery)
+    "cql_token_scan",
+    "cql_token_scan_text",
+    "cql_token_scan_composite",
+    "cql_token_scan_uuid",
+    "cql_index_targets",  # SASI IndexMode LIKE matrix lands here
     "cql_like",
-    "cql_indexed_lookup",
-    "cql_lwt_conditional",
-    "cql_delete_tombstones",
-    "cql_cast_arithmetic",
-    "cql_contains",
-    "cql_map_entry",
-    "cql_global_agg",
-    # -- (4) r3 backlog: every TPC-H shape except q1 (= entry())
-    "tpch_q2_min_supplier",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_parts",
-    "tpch_q12_late_shipments",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_part_supplier_counts",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_volume_customer",
-    "tpch_q19_disjunctive",
-    "tpch_q20_promo_suppliers",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_dormant_customers",
-    # -- (5) r4 backlog, oldest first
-    "cql_token_scan_timestamp",
+    "source_sstable_roundtrip",  # COMPACTION component + Summary levels
+    "source_sstable_pointread",
+    "cql_paging",  # fixture writes batched so the bench times the pager
+    "multimodal_audio_flac",  # encoder hot-loop vectorization
+    # -- (3) oldest driver evidence: r1/r4 backlog
+    "tpch_q1_pricing_summary",
+    "dedup_minhash_jaccard",
+    "dedup_cascade_docs",
+    "dedup_lsh_pairs",
+    "dedup_connected_components",
+    "dedup_line_level",
+    "sim_ivf_rerank",
+    "sim_sq8_topk",
+    "sim_pq_adc_topk",
+    "bucketed_colocated_join",
+    "streaming_cdc_dedup",
+    "streaming_stateful_counters",
+    "multimodal_features_jpeg",
+    "multimodal_features_jpeg_color",
+    "multimodal_features_jpeg_progressive",
+    "multimodal_audio_mp3_meta",
+    "multimodal_audio_g711_adpcm",
+    "multimodal_video_gif_frames",
+    "multimodal_video_mp4_samples",
+    "multimodal_video_y4m_frames",
+    "multimodal_video_mjpeg_avi",
+    "source_warc_ingest",
+    "source_url_normalize",
+    "source_compressed_chunks",
+    "source_tar_webdataset",
+    "text_html_extract",
+    "text_repetition_signals",
+    "text_bm25_scores",
+    "text_pii_redact",
+    "text_decontaminate",
+    "text_ngram_lm_ppl",
+    "text_c4_filters",
     "sketch_hll_registers",
     "sketch_bloom_words",
     "sketch_countmin_cells",
     "sketch_histogram_bins",
     "sketch_runtime_filtered_join",
-    "dedup_minhash_jaccard",
-    "dedup_lsh_pairs",
-    "dedup_cascade_docs",
-    "dedup_connected_components",
-    "dedup_line_level",
-    "bucketed_colocated_join",
-    "streaming_cdc_dedup",
-    "streaming_stateful_counters",
-    "pipeline_stratified_sample",
     "pipeline_pack_sequences",
+    "pipeline_stratified_sample",
 )
-# Deliberately outside the window this round: the r9-evidenced set (50
-# rows green in CORRECTNESS_r09, machinery untouched unless listed in
-# tier 3) and the r7/r8-evidenced tiers. The remaining r4 rows
-# (multimodal codec tier, text tier, source tier, sim_* quantizers)
-# queue first for round 11 along with whatever round 10 edits.
+# Deliberately outside the window this round: everything with r7+
+# evidence and unchanged machinery. After this window records, every
+# registry row's latest driver evidence is r7 or newer.
 
 
 def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:

@@ -255,6 +255,99 @@ def cql_token_scan_uuid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cql_token_scan_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """token() over FROZEN collection / UDT partition keys — legal pk
+    components the covered set previously lacked (fell back to xxhash64;
+    CreateTableStatement.java:179 rejects only NON-frozen,
+    FrozenCollectionsTest.java:55,186 creates frozen ones). Wire forms:
+    CollectionSerializer.pack (serializers/CollectionSerializer.java:60 —
+    int32 count + int32-length-prefixed elements; sets/maps
+    comparator-sorted, SetSerializer.java:59 / MapSerializer.java:62) and
+    TupleType.buildValue (db/marshal/TupleType.java:221 — length-prefixed
+    fields, no count) hashed with the general-length Murmur3 kernel
+    (Murmur3Partitioner.java:214-246). Keys are derived deterministically
+    from c_custkey with NEGATIVE elements in three of the four shapes, so
+    the DuckDB twin (fixed_layout_byte_exprs) proves two's-complement
+    serialization too. Spark has no set type, so the set column is tagged
+    via cql_types={'fs': 'frozen_set'}; element order in the built array is
+    descending to prove the comparator sort actually runs."""
+    from cassandra_pmem_spark.functions.token import token_column
+
+    k = F.col("c_custkey")
+    cust = load_table(spark, "customer", sf_dir).filter(k < 400)
+    df = cust.select(
+        "c_custkey",
+        F.array(k - 200, k * 3 + 1).alias("fl"),  # frozen<list<bigint>>
+        # built big-first: {100+k%89, k%97-50} — serializer must sort
+        F.array(
+            (F.lit(100) + k % 89).cast("int"), (k % 97 - 50).cast("int")
+        ).alias("fs"),  # frozen<set<int>>
+        F.create_map((k % 50 - 25).cast("int"), k * 7).alias("fm"),  # frozen<map<int,bigint>>
+        F.struct(k.alias("a"), (k % 13 - 6).cast("int").alias("b")).alias("fu"),  # frozen UDT
+    )
+    return (
+        df.withColumn("t_list", token_column(["fl"], df.schema))
+        .withColumn("t_set", token_column(["fs"], df.schema, cql_types={"fs": "frozen_set"}))
+        .withColumn("t_map", token_column(["fm"], df.schema))
+        .withColumn("t_udt", token_column(["fu"], df.schema))
+        .select("c_custkey", "t_list", "t_set", "t_map", "t_udt")
+        .orderBy("t_list")
+    )
+
+
+def _token_frozen_oracle() -> str:
+    from cassandra_pmem_spark.functions.murmur3 import (
+        fixed_layout_byte_exprs,
+        murmur3_token_general_subquery,
+    )
+
+    def i32len(n: int) -> list:
+        return [("const", b) for b in n.to_bytes(4, "big", signed=True)]
+
+    src = "(SELECT c_custkey FROM customer WHERE c_custkey < 400)"
+    # frozen<list<bigint>> [k-200, k*3+1]: count=2, two 8-byte elements
+    exprs, flen = fixed_layout_byte_exprs(
+        i32len(2)
+        + i32len(8) + [("be", "c_custkey - 200", 8)]
+        + i32len(8) + [("be", "c_custkey * 3 + 1", 8)]
+    )
+    s1 = murmur3_token_general_subquery(
+        src, exprs, str(flen), ["c_custkey"], "t_list", fixed_len=flen
+    )
+    # frozen<set<int>> {k%97-50, 100+k%89} — sorted order is fixed by
+    # construction (first ≤ 46 < 100 ≤ second), so the twin packs sorted
+    exprs, flen = fixed_layout_byte_exprs(
+        i32len(2)
+        + i32len(4) + [("be", "c_custkey % 97 - 50", 4)]
+        + i32len(4) + [("be", "100 + c_custkey % 89", 4)]
+    )
+    s2 = murmur3_token_general_subquery(
+        s1, exprs, str(flen), ["c_custkey", "t_list"], "t_set", fixed_len=flen
+    )
+    # frozen<map<int,bigint>> {k%50-25: k*7}: one entry
+    exprs, flen = fixed_layout_byte_exprs(
+        i32len(1)
+        + i32len(4) + [("be", "c_custkey % 50 - 25", 4)]
+        + i32len(8) + [("be", "c_custkey * 7", 8)]
+    )
+    s3 = murmur3_token_general_subquery(
+        s2, exprs, str(flen), ["c_custkey", "t_list", "t_set"], "t_map", fixed_len=flen
+    )
+    # frozen UDT (a bigint, b int): length-prefixed fields, no count
+    exprs, flen = fixed_layout_byte_exprs(
+        i32len(8) + [("be", "c_custkey", 8)]
+        + i32len(4) + [("be", "c_custkey % 13 - 6", 4)]
+    )
+    s4 = murmur3_token_general_subquery(
+        s3, exprs, str(flen), ["c_custkey", "t_list", "t_set", "t_map"], "t_udt",
+        fixed_len=flen,
+    )
+    return (
+        f"SELECT c_custkey, t_list, t_set, t_map, t_udt FROM {s4} "
+        f"ORDER BY t_list"
+    )
+
+
 def cql_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONTAINS on a set<text> column (Operator.java:117) — the collection is
     materialized per partition (collect_set), then filtered."""
@@ -758,6 +851,10 @@ QUERIES = {
     "cql_token_scan_uuid": (
         cql_token_scan_uuid,
         _token_uuid_oracle(),
+    ),
+    "cql_token_scan_frozen": (
+        cql_token_scan_frozen,
+        _token_frozen_oracle(),
     ),
     "cql_collection_writetime": (
         cql_collection_writetime,

@@ -425,3 +425,183 @@ class TestMurmur3UuidInet:
             assert r.tip == murmur3_token_bytes_py(
                 bytes(int(o) for o in r.ip.split("."))
             )
+
+
+class TestMurmur3Frozen:
+    """Frozen collection / UDT partition keys (legal when frozen —
+    CreateTableStatement.java:179, FrozenCollectionsTest.java:55,186).
+    Wire forms: CollectionSerializer.pack (int32 count + int32-length-
+    prefixed elements; sets/maps comparator-sorted) and TupleType.buildValue
+    (length-prefixed fields, no count, null = -1)."""
+
+    def test_frozen_list_pack_layout(self):
+        import struct
+
+        from pyspark.sql import types as T
+
+        from cassandra_pmem_spark.functions.murmur3 import serialize_pk_value
+
+        got = serialize_pk_value([5, -16], T.ArrayType(T.LongType()))
+        want = (
+            struct.pack(">i", 2)
+            + struct.pack(">i", 8) + struct.pack(">q", 5)
+            + struct.pack(">i", 8) + struct.pack(">q", -16)
+        )
+        assert got == want
+
+    def test_frozen_set_sorts_by_element_comparator(self):
+        import struct
+
+        from pyspark.sql import types as T
+
+        from cassandra_pmem_spark.functions.murmur3 import (
+            FrozenSetMarshal,
+            serialize_pk_value,
+        )
+
+        # int family: SIGNED value order (Int32Type.java:45-53 compares the
+        # first byte signed) — -3 sorts before 90 despite 0xFD > 0x5A
+        got = serialize_pk_value([90, -3], FrozenSetMarshal(T.IntegerType()))
+        want = (
+            struct.pack(">i", 2)
+            + struct.pack(">i", 4) + struct.pack(">i", -3)
+            + struct.pack(">i", 4) + struct.pack(">i", 90)
+        )
+        assert got == want
+        # text: unsigned byte order of the utf8 serialization
+        got = serialize_pk_value(["b", "a"], FrozenSetMarshal(T.StringType()))
+        want = (
+            struct.pack(">i", 2)
+            + struct.pack(">i", 1) + b"a"
+            + struct.pack(">i", 1) + b"b"
+        )
+        assert got == want
+
+    def test_frozen_map_sorts_entries_by_key(self):
+        import struct
+
+        from pyspark.sql import types as T
+
+        from cassandra_pmem_spark.functions.murmur3 import serialize_pk_value
+
+        got = serialize_pk_value(
+            {7: 49, -2: 10}, T.MapType(T.IntegerType(), T.LongType())
+        )
+        want = (
+            struct.pack(">i", 2)
+            + struct.pack(">i", 4) + struct.pack(">i", -2)
+            + struct.pack(">i", 8) + struct.pack(">q", 10)
+            + struct.pack(">i", 4) + struct.pack(">i", 7)
+            + struct.pack(">i", 8) + struct.pack(">q", 49)
+        )
+        assert got == want
+
+    def test_frozen_udt_null_field_is_minus_one(self):
+        import struct
+
+        from pyspark.sql import types as T
+
+        from cassandra_pmem_spark.functions.murmur3 import (
+            FrozenUdtMarshal,
+            serialize_pk_value,
+        )
+
+        got = serialize_pk_value(
+            (11, None), FrozenUdtMarshal([T.LongType(), T.IntegerType()])
+        )
+        want = struct.pack(">i", 8) + struct.pack(">q", 11) + struct.pack(">i", -1)
+        assert got == want
+
+    def test_spark_routes_frozen_keys_to_murmur3(self, spark):
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        from cassandra_pmem_spark.functions.murmur3 import (
+            FrozenSetMarshal,
+            murmur3_token_bytes_py,
+            serialize_pk_value,
+        )
+        from cassandra_pmem_spark.functions.token import token_column
+
+        df = spark.range(1, 12).select(
+            F.col("id").alias("k"),
+            F.array(F.col("id") - 5, F.col("id") * 3).alias("fl"),
+            F.array(
+                (F.lit(100) + F.col("id")).cast("int"),
+                (F.col("id") - 5).cast("int"),
+            ).alias("fs"),
+            F.create_map((F.col("id") % 4).cast("int"), F.col("id") * 7).alias("fm"),
+            F.struct(
+                F.col("id").alias("a"), (F.col("id") % 3 - 1).cast("int").alias("b")
+            ).alias("fu"),
+        )
+        out = (
+            df.withColumn("t_list", token_column(["fl"], df.schema))
+            .withColumn(
+                "t_set", token_column(["fs"], df.schema, cql_types={"fs": "frozen_set"})
+            )
+            .withColumn("t_map", token_column(["fm"], df.schema))
+            .withColumn("t_udt", token_column(["fu"], df.schema))
+            .collect()
+        )
+        st = T.StructType(
+            [T.StructField("a", T.LongType()), T.StructField("b", T.IntegerType())]
+        )
+        for r in out:
+            assert r.t_list == murmur3_token_bytes_py(
+                serialize_pk_value(r.fl, T.ArrayType(T.LongType()))
+            )
+            assert r.t_set == murmur3_token_bytes_py(
+                serialize_pk_value(r.fs, FrozenSetMarshal(T.IntegerType()))
+            )
+            assert r.t_map == murmur3_token_bytes_py(
+                serialize_pk_value(r.fm, T.MapType(T.IntegerType(), T.LongType()))
+            )
+            assert r.t_udt == murmur3_token_bytes_py(
+                serialize_pk_value(tuple(r.fu), st)
+            )
+
+    def test_timestamp_element_falls_back_to_xxhash(self, spark):
+        # timestamps are exact only through the JVM-side unix_millis
+        # pre-convert, which can't reach inside a nested value — such keys
+        # must take the type-blind xxhash64 path, not a wrong murmur3
+        from pyspark.sql import functions as F
+
+        from cassandra_pmem_spark.functions.token import token_column
+
+        df = spark.range(1, 4).select(
+            F.array(F.current_timestamp()).alias("ft"), F.col("id")
+        )
+        expr = token_column(["ft"], df.schema)
+        assert "xxhash64" in str(expr).lower()
+
+    def test_frozen_twin_matches_port(self):
+        import duckdb
+
+        from pyspark.sql import types as T
+
+        from cassandra_pmem_spark.functions.murmur3 import (
+            fixed_layout_byte_exprs,
+            murmur3_token_bytes_py,
+            murmur3_token_general_subquery,
+            serialize_pk_value,
+        )
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t AS SELECT range AS k FROM range(1, 30)")
+        parts = (
+            [("const", b) for b in (0, 0, 0, 2)]
+            + [("const", b) for b in (0, 0, 0, 8)] + [("be", "k - 15", 8)]
+            + [("const", b) for b in (0, 0, 0, 8)] + [("be", "k * 3", 8)]
+        )
+        exprs, flen = fixed_layout_byte_exprs(parts)
+        sub = murmur3_token_general_subquery(
+            "t", exprs, str(flen), ["k"], "tok", fixed_len=flen
+        )
+        got = dict(con.execute(f"SELECT k, tok FROM {sub}").fetchall())
+        con.close()
+        for k in range(1, 30):
+            want = murmur3_token_bytes_py(
+                serialize_pk_value([k - 15, k * 3], T.ArrayType(T.LongType()))
+            )
+            assert got[k] == want
