@@ -30,7 +30,7 @@ from pyspark.sql import types as T
 
 from cassandra_pmem_spark.catalog import ClusteringColumn, TableMeta
 from cassandra_pmem_spark.cql.parser import _Parser, _tokenize
-from cassandra_pmem_spark.cql.validator import InvalidRequest
+from cassandra_pmem_spark.cql.validator import ConfigurationException, InvalidRequest
 
 # db/marshal/* → Spark types. time is nanos-since-midnight (long);
 # uuid/timeuuid/inet keep their canonical text form; duration keeps the
@@ -107,6 +107,23 @@ class IndexMeta:
     # CUSTOM options (IndexAttributes WITH OPTIONS = {...}; never holds
     # the reserved 'class_name'/'target' keys — those are derived)
     options: dict = field(default_factory=dict)
+
+
+def _is_literal_type(owner, table_key: tuple, col: str) -> bool:
+    """SASI isLiteral DEFAULT (IndexMode.getMode:180-182): the column's
+    declared type is UTF8Type or AsciiType. Reads the registry's declared
+    type text first (Spark stores uuid/inet as strings, so the Spark dtype
+    alone over-claims); falls back to the Spark dtype for schemas created
+    outside the DDL path."""
+    reg = owner.registry
+    tt = (
+        reg.column_type_text.get(table_key, {}).get(col, "").strip().lower()
+    )
+    if tt:
+        return tt in ("text", "varchar", "ascii")
+    meta = reg.tables[table_key]
+    dt = {f.name: f.dataType for f in meta.schema.fields}.get(col)
+    return isinstance(dt, T.StringType)
 
 
 def index_target_text(im: IndexMeta) -> str:
@@ -813,6 +830,23 @@ class _DdlParser(_Parser):
                     f"Cannot specify {reserved} as a CUSTOM option"
                 )
         kind = self._validate_index_target(table_key, col, kind)
+        # SASI-specific validation (SASIIndex.validateOptions:146-167 +
+        # IndexMode.getMode:134-196) — only the SASI class has modeled
+        # per-mode semantics; other custom classes stay opaque
+        from cassandra_pmem_spark.cql.validator import (
+            is_sasi_class,
+            sasi_index_mode,
+            validate_sasi_mode,
+        )
+
+        if is_sasi_class(cls) and kind == "simple":
+            meta_t = self.registry.tables[table_key]
+            if col in meta_t.partition_key:
+                raise ConfigurationException(
+                    "partition key columns are not yet supported by SASI"
+                )
+            mode_info = sasi_index_mode(opts, _is_literal_type(self, table_key, col))
+            validate_sasi_mode(mode_info)
         if idx_name is None:
             # findAvailableIndexName (KeyspaceMetadata): the default name
             # suffixes until free, so KEYS(m) + VALUES(m) unnamed indexes
@@ -2577,10 +2611,19 @@ class CqlDatabase:
         from cassandra_pmem_spark.cql.parser import _compile
         from cassandra_pmem_spark.cql.table import CqlTable
 
-        def _indexed(tkey2: tuple) -> dict:
+        def _indexed(tkey2: tuple) -> tuple[dict, dict]:
             # col -> {kind: index name} (a column may carry several
-            # indexes of different kinds, e.g. KEYS(m) + VALUES(m))
+            # indexes of different kinds, e.g. KEYS(m) + VALUES(m)),
+            # plus col -> SASI IndexMode analog for SASI-class customs
+            # (index/sasi/conf/IndexMode.java — gates which LIKE shapes
+            # and EQ the index serves)
+            from cassandra_pmem_spark.cql.validator import (
+                is_sasi_class,
+                sasi_index_mode,
+            )
+
             out: dict = {}
+            modes: dict = {}
             for (_ks, _n), im in self.registry.indexes.items():
                 if im.table == tkey2:
                     k = getattr(im, "kind", "simple") or "simple"
@@ -2592,7 +2635,12 @@ class CqlDatabase:
                         # custom indexes serve (LIKE); collection-
                         # target customs keep only their kind's ops
                         out[im.column]["custom"] = nm
-            return out
+                        if is_sasi_class(im.custom_class):
+                            modes[im.column] = sasi_index_mode(
+                                getattr(im, "options", {}) or {},
+                                _is_literal_type(self, tkey2, im.column),
+                            )
+            return out, modes
 
         def _stats(tkey2: tuple):
             """getEstimatedResultRows analog: estimated rows per EQ
@@ -2607,7 +2655,7 @@ class CqlDatabase:
                 if cached is None or any(c not in cached for c in cols):
                     sess2 = self._session_for_key(tkey2)
                     frame = sess2.table()
-                    allc = sorted(set(cols) | set(_indexed(tkey2)))
+                    allc = sorted(set(cols) | set(_indexed(tkey2)[0]))
                     row = frame.agg(
                         F.count(F.lit(1)).alias("__n"),
                         *[
@@ -2668,10 +2716,12 @@ class CqlDatabase:
         # the liveness shadows feed the writetime()/ttl() selectors
         df = sess.table(now=sess._clock_ref[0], with_shadows=True)
         sink: list = []
+        kinds_map, modes_map = _indexed(key)
         out = _compile(
             CqlTable(
-                df, meta, self.strict, _indexed(key),
+                df, meta, self.strict, kinds_map,
                 stats_fn=_stats(key), choice_sink=sink,
+                index_modes=modes_map,
             ),
             st,
             registry=self.registry,

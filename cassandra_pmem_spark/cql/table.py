@@ -95,6 +95,7 @@ class CqlTable:
         indexed_columns: "frozenset[str] | dict[str, str]" = frozenset(),
         stats_fn=None,
         choice_sink: list | None = None,
+        index_modes: "dict | None" = None,
     ):
         self._df = df
         self.meta = meta
@@ -115,6 +116,10 @@ class CqlTable:
         else:
             self.index_kinds = {c: {"any": f"idx_{c}"} for c in indexed_columns}
         self.indexed_columns = frozenset(self.index_kinds)
+        # col -> SASI IndexMode analog ({'mode','analyzed','is_literal'})
+        # for columns whose CUSTOM index is SASI-class; None entries /
+        # absent columns keep the shape-agnostic generic-custom behavior
+        self.index_modes = dict(index_modes or {})
         # stats_fn() -> {column: estimated rows per EQ match} — the
         # SecondaryIndexManager.getEstimatedResultRows analog; None means
         # rank by name only (deterministic fallback)
@@ -136,6 +141,7 @@ class CqlTable:
         t = CqlTable(
             self._df, self.meta, self.strict, dict(self.index_kinds),
             stats_fn=self._stats_fn, choice_sink=self._choice_sink,
+            index_modes=self.index_modes,
         )
         t._restrictions = list(self._restrictions)
         t._conditions = list(self._conditions)
@@ -158,7 +164,22 @@ class CqlTable:
     def where(self, column: str, op: Op | str, value: Any = None) -> "CqlTable":
         op = Op(op) if isinstance(op, str) else op
         t = self._copy()
-        t._restrictions.append(Restriction(column, op))
+        if op is Op.LIKE and isinstance(value, str):
+            # record the pattern SHAPE on the restriction (makeSpecific:
+            # SingleColumnRestriction.java:734-756) — the SASI per-mode
+            # gate decides servability from it at validation
+            # reference order (:746): endsWith checked first, so the
+            # bare "%" pattern (both true) classifies as CONTAINS
+            pre, suf = value.startswith("%"), value.endswith("%")
+            shape = (
+                "contains" if pre and suf
+                else "suffix" if pre
+                else "prefix" if suf
+                else "match"
+            )
+            t._restrictions.append(Restriction(column, op, like_shape=shape))
+        else:
+            t._restrictions.append(Restriction(column, op))
         if op is Op.EQ and isinstance(value, (list, set, frozenset, dict)):
             # frozen-collection equality (full() index territory). Sets
             # store key-sorted (CQL set order); maps compare as key-sorted
@@ -407,7 +428,8 @@ class CqlTable:
         meta = self.meta
         if self.strict:
             validate_restrictions(
-                meta, self._restrictions, self._allow_filtering, self.index_kinds
+                meta, self._restrictions, self._allow_filtering, self.index_kinds,
+                index_modes=self.index_modes,
             )
             pk_restricted = {r.column for r in self._restrictions if r.op in (Op.EQ, Op.IN)} >= set(
                 meta.partition_key
@@ -436,7 +458,7 @@ class CqlTable:
             kinds = self.index_kinds.get(r.column)
             if kinds is None or r.column in pk_all or r.column in cands:
                 continue
-            if not _op_index_served(r, kinds):
+            if not _op_index_served(r, kinds, self.index_modes.get(r.column)):
                 continue
             # the index whose KIND matches the operator serves — SAME
             # table the gate consulted; 'any' entries are legacy

@@ -33,6 +33,12 @@ class InvalidRequest(Exception):
     """CQL-level statement rejection (maps exceptions/InvalidRequestException)."""
 
 
+class ConfigurationException(InvalidRequest):
+    """Schema/option-level rejection (maps exceptions/ConfigurationException —
+    the reference type SASI's IndexMode validation throws). Subclasses
+    InvalidRequest so existing statement-level handlers keep catching it."""
+
+
 class Op(Enum):
     # cql3/Operator.java:33-176 (+ LIKE variants :192-256)
     EQ = "="
@@ -55,7 +61,11 @@ class Op(Enum):
 class Restriction:
     column: str
     op: Op
-    # value is opaque to validation
+    # value is opaque to validation; LIKE restrictions carry the pattern
+    # SHAPE (SingleColumnRestriction.LikeRestriction.makeSpecific:734-756
+    # maps the bound value to LIKE_PREFIX/SUFFIX/CONTAINS/MATCHES) so the
+    # SASI per-mode gate can decide servability without re-parsing
+    like_shape: "str | None" = None  # 'prefix'|'suffix'|'contains'|'match'
 
 
 _SLICE_OPS = {Op.LT, Op.LTE, Op.GT, Op.GTE}
@@ -95,12 +105,103 @@ KINDS_FOR_OP: dict = {
 }
 
 
-def _op_index_served(r: Restriction, kinds: dict) -> bool:
+# ----- SASI IndexMode (index/sasi/conf/IndexMode.java + ColumnIndex.java) ----
+
+# OnDiskIndexBuilder.Mode:51-73 — which Expression.Op each mode's on-disk
+# layout can answer. LIKE shapes map to PREFIX/SUFFIX/CONTAINS/MATCH
+# (Expression.Op.valueOf:48-80).
+SASI_MODE_OPS: dict = {
+    "PREFIX": frozenset({"EQ", "MATCH", "PREFIX", "NOT_EQ", "RANGE"}),
+    "CONTAINS": frozenset({"EQ", "MATCH", "CONTAINS", "PREFIX", "SUFFIX", "NOT_EQ"}),
+    "SPARSE": frozenset({"EQ", "NOT_EQ", "RANGE"}),
+}
+
+_LIKE_SHAPE_OP = {
+    "prefix": "PREFIX",
+    "suffix": "SUFFIX",
+    "contains": "CONTAINS",
+    "match": "MATCH",
+}
+
+
+def is_sasi_class(cls: "str | None") -> bool:
+    """Whether a CUSTOM index class is the SASI implementation (the only
+    custom class whose per-mode semantics this engine models)."""
+    return bool(cls) and cls.strip().rsplit(".", 1)[-1].lower() == "sasiindex"
+
+
+def sasi_index_mode(options: dict, default_literal: bool) -> dict:
+    """IndexMode.getMode (index/sasi/conf/IndexMode.java:134-196): parse
+    mode / analyzed / analyzer_class / is_literal from the CUSTOM index
+    options. default_literal = column type is text/ascii (isLiteral's
+    UTF8Type/AsciiType default, :180-182). Raises the reference's
+    ConfigurationException messages."""
+    raw_mode = options.get("mode")
+    mode = "PREFIX" if raw_mode is None else str(raw_mode).upper()
+    if mode not in SASI_MODE_OPS:
+        raise ConfigurationException(f"Incorrect index mode: {raw_mode}")
+    # analyzed: Boolean.parseBoolean semantics ('true' case-insensitive,
+    # anything else false); analyzer_class present defaults analyzed=true
+    if options.get("analyzer_class") is not None:
+        analyzed_opt = options.get("analyzed")
+        analyzed = True if analyzed_opt is None else str(analyzed_opt).lower() == "true"
+    else:
+        analyzed = str(options.get("analyzed", "false")).lower() == "true"
+    lit_opt = options.get("is_literal")
+    is_literal = default_literal if lit_opt is None else str(lit_opt).lower() == "true"
+    return {"mode": mode, "analyzed": analyzed, "is_literal": is_literal}
+
+
+def validate_sasi_mode(mode_info: dict) -> None:
+    """SASIIndex.validateOptions' SPARSE gates (SASIIndex.java:156-164)."""
+    if mode_info["mode"] == "SPARSE":
+        if mode_info["is_literal"]:
+            raise ConfigurationException(
+                "SPARSE mode is only supported on non-literal columns."
+            )
+        if mode_info["analyzed"]:
+            raise ConfigurationException("SPARSE mode doesn't support analyzers.")
+
+
+def sasi_supports(op: str, m: dict) -> bool:
+    """ColumnIndex.supports (index/sasi/conf/ColumnIndex.java:219-230):
+    op is an Expression.Op name. The LIKE family additionally requires a
+    literal column (:221-222 — the generic-LIKE prepare-time gate)."""
+    if op in ("PREFIX", "SUFFIX", "CONTAINS", "MATCH") and not m["is_literal"]:
+        return False
+    if m["analyzed"] and op == "EQ":
+        return False  # EQ only on non-tokenized indexes (:225)
+    if m["analyzed"] and m["mode"] == "CONTAINS" and op == "PREFIX":
+        return False  # PREFIX unsupported on tokenized CONTAINS (:226)
+    if m["is_literal"] and op == "RANGE":
+        return False  # RANGE only on non-literal indexes (:227)
+    return op in SASI_MODE_OPS[m["mode"]]
+
+
+def _op_index_served(r: Restriction, kinds: dict, mode_info: dict | None = None) -> bool:
     if "any" in kinds:
         # legacy descriptors predate entry relations and LIKE serving: a
         # pre-kind simple index never served either
         return r.op in (Op.EQ, Op.CONTAINS, Op.CONTAINS_KEY)
-    return any(k in kinds for k in KINDS_FOR_OP.get(r.op, ()))
+    if not any(k in kinds for k in KINDS_FOR_OP.get(r.op, ())):
+        return False
+    if mode_info is not None:
+        # the column's custom index is SASI with declared options — apply
+        # the per-mode op matrix (generic customs stay shape-agnostic)
+        if r.op is Op.LIKE:
+            shape = getattr(r, "like_shape", None) or "match"
+            return sasi_supports(_LIKE_SHAPE_OP[shape], mode_info)
+        if (
+            r.op is Op.EQ
+            and set(kinds) <= {"simple", "custom"}
+            and kinds.get("simple") == kinds.get("custom")
+            and not sasi_supports("EQ", mode_info)
+        ):
+            # the SASI index is the ONLY index on the column (its scalar
+            # registration mirrors into both kinds) and it is tokenized —
+            # EQ unsupported (ColumnIndex.supports:225)
+            return False
+    return True
 
 
 def validate_restrictions(
@@ -108,6 +209,7 @@ def validate_restrictions(
     restrictions: list[Restriction],
     allow_filtering: bool = False,
     indexed: "frozenset[str] | dict" = frozenset(),
+    index_modes: "dict | None" = None,
 ) -> None:
     """Classify WHERE relations like StatementRestrictions.java:126 and
     reject plans that would need filtering without ALLOW FILTERING.
@@ -133,7 +235,9 @@ def validate_restrictions(
     # LIKE post-filter path)
     kindmap = _index_kinds(indexed)
     for r in restrictions:
-        if r.op is Op.LIKE and not _op_index_served(r, kindmap.get(r.column, {})):
+        if r.op is Op.LIKE and not _op_index_served(
+            r, kindmap.get(r.column, {}), (index_modes or {}).get(r.column)
+        ):
             raise InvalidRequest(
                 "LIKE restriction is only supported on properly indexed "
                 "columns"
@@ -182,7 +286,11 @@ def validate_restrictions(
         index_served = (
             len(regular) == 1
             and regular[0].column in by_kind
-            and _op_index_served(regular[0], by_kind[regular[0].column])
+            and _op_index_served(
+                regular[0],
+                by_kind[regular[0].column],
+                (index_modes or {}).get(regular[0].column),
+            )
             and not restricted_ck
         )
         if not index_served:

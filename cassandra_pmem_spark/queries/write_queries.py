@@ -1446,26 +1446,39 @@ def cql_index_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality, simple=EQ. Each probe runs WITHOUT ALLOW FILTERING — it
     passes the gate only because the matching index kind exists — and
     the statement asserts getBestIndexFor reported that index. The
-    oracle pins every served row."""
+    oracle pins every served row.
+
+    r11: also the SASI IndexMode LIKE matrix (index/sasi/conf/
+    IndexMode.java:134-196; OnDiskIndexBuilder.Mode:51-73;
+    ColumnIndex.supports:219-230): a PREFIX-mode index serves LIKE 'x%'
+    but NOT '%x' / '%x%' (rejections asserted inline with the
+    reference's index-only message), a CONTAINS-mode index serves all
+    shapes, SPARSE-on-literal and bad mode names reject at CREATE with
+    the reference's ConfigurationException messages."""
     from cassandra_pmem_spark.cql.ddl import CqlDatabase
+    from cassandra_pmem_spark.cql.validator import (
+        ConfigurationException,
+        InvalidRequest,
+    )
 
     db = CqlDatabase(spark)
     db.execute("CREATE KEYSPACE itk WITH REPLICATION = {'class': 'SimpleStrategy'}")
     db.execute("USE itk")
     db.execute(
         "CREATE TABLE ev (id int PRIMARY KEY, m map<text, int>, "
-        "s set<text>, fl frozen<list<int>>, tag text)"
+        "s set<text>, fl frozen<list<int>>, tag text, b1 text, b2 text)"
     )
     db.execute(
-        "INSERT INTO ev (id, m, s, fl, tag) VALUES "
-        "(1, {'a': 1, 'b': 2}, {'x'}, [1, 2], 'hot')"
+        "INSERT INTO ev (id, m, s, fl, tag, b1, b2) VALUES "
+        "(1, {'a': 1, 'b': 2}, {'x'}, [1, 2], 'hot', 'hot', 'holder')"
     )
     db.execute(
-        "INSERT INTO ev (id, m, s, fl, tag) VALUES "
-        "(2, {'b': 9, 'c': 7}, {'x', 'y'}, [3], 'cold')"
+        "INSERT INTO ev (id, m, s, fl, tag, b1, b2) VALUES "
+        "(2, {'b': 9, 'c': 7}, {'x', 'y'}, [3], 'cold', 'cold', 'older')"
     )
     db.execute(
-        "INSERT INTO ev (id, fl, tag) VALUES (3, [1, 2], 'hot')"
+        "INSERT INTO ev (id, fl, tag, b1, b2) VALUES "
+        "(3, [1, 2], 'hot', 'hotter', 'bold')"
     )
     db.execute("CREATE INDEX m_keys ON ev (keys(m))")
     db.execute("CREATE INDEX m_vals ON ev (values(m))")
@@ -1473,6 +1486,15 @@ def cql_index_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
     db.execute("CREATE INDEX s_vals ON ev (s)")  # normalizes to values()
     db.execute("CREATE INDEX fl_full ON ev (full(fl))")
     db.execute("CREATE INDEX tag_idx ON ev (tag)")
+    sasi = "'org.apache.cassandra.index.sasi.SASIIndex'"
+    db.execute(
+        f"CREATE CUSTOM INDEX b1_sasi ON ev (b1) USING {sasi} "
+        "WITH OPTIONS = {'mode': 'PREFIX'}"
+    )
+    db.execute(
+        f"CREATE CUSTOM INDEX b2_sasi ON ev (b2) USING {sasi} "
+        "WITH OPTIONS = {'mode': 'CONTAINS'}"
+    )
     probes = [
         ("entry_eq", "SELECT id FROM ev WHERE m['b'] = 2", "m_ent", "m"),
         ("frozen_eq", "SELECT id FROM ev WHERE fl = [1, 2]", "fl_full", "fl"),
@@ -1480,6 +1502,10 @@ def cql_index_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("set_contains", "SELECT id FROM ev WHERE s CONTAINS 'x'", "s_vals", "s"),
         ("simple_eq", "SELECT id FROM ev WHERE tag = 'hot'", "tag_idx", "tag"),
         ("values_contains", "SELECT id FROM ev WHERE m CONTAINS 7", "m_vals", "m"),
+        # SASI per-mode LIKE serving (Mode.PREFIX / Mode.CONTAINS op sets)
+        ("sasi_prefix", "SELECT id FROM ev WHERE b1 LIKE 'ho%'", "b1_sasi", "b1"),
+        ("sasi_contains", "SELECT id FROM ev WHERE b2 LIKE '%ol%'", "b2_sasi", "b2"),
+        ("sasi_suffix", "SELECT id FROM ev WHERE b2 LIKE '%der'", "b2_sasi", "b2"),
     ]
     out = None
     for probe, q, idx, col in probes:
@@ -1492,6 +1518,37 @@ def cql_index_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"got {db.last_index_choice}"
             )
         out = frame if out is None else out.unionByName(frame)
+    # mode REJECTIONS, asserted inline (shapes the mode's on-disk layout
+    # cannot answer reject with the index-only message; bad option
+    # combinations reject at CREATE with ConfigurationException)
+    for bad_q in (
+        "SELECT id FROM ev WHERE b1 LIKE '%ot'",   # SUFFIX not in PREFIX mode
+        "SELECT id FROM ev WHERE b1 LIKE '%ot%'",  # CONTAINS not in PREFIX mode
+    ):
+        try:
+            db.execute(bad_q)
+            raise AssertionError(f"PREFIX-mode index served: {bad_q}")
+        except InvalidRequest as e:
+            if "properly indexed" not in str(e):
+                raise
+    for bad_ddl, want in (
+        (
+            f"CREATE CUSTOM INDEX b1_sp ON ev (b1) USING {sasi} "
+            "WITH OPTIONS = {'mode': 'SPARSE'}",
+            "SPARSE mode is only supported on non-literal columns.",
+        ),
+        (
+            f"CREATE CUSTOM INDEX b1_x ON ev (b1) USING {sasi} "
+            "WITH OPTIONS = {'mode': 'BOGUS'}",
+            "Incorrect index mode: BOGUS",
+        ),
+    ):
+        try:
+            db.execute(bad_ddl)
+            raise AssertionError(f"accepted: {bad_ddl}")
+        except ConfigurationException as e:
+            if str(e) != want:
+                raise AssertionError(f"wrong message: {e!r} != {want!r}")
     return out
 
 
@@ -1502,7 +1559,10 @@ SELECT * FROM (VALUES
   ('keys_ck', 1),
   ('set_contains', 1), ('set_contains', 2),
   ('simple_eq', 1), ('simple_eq', 3),
-  ('values_contains', 2)
+  ('values_contains', 2),
+  ('sasi_prefix', 1), ('sasi_prefix', 3),
+  ('sasi_contains', 1), ('sasi_contains', 2), ('sasi_contains', 3),
+  ('sasi_suffix', 1), ('sasi_suffix', 2)
 ) t(probe, id)
 """
 
@@ -1629,11 +1689,15 @@ def cql_paging(spark: SparkSession, sf_dir: str) -> DataFrame:
     db.execute("CREATE KEYSPACE pgq WITH REPLICATION = {'class': 'SimpleStrategy'}")
     db.execute("USE pgq")
     db.execute("CREATE TABLE t (k int, c int, v int, PRIMARY KEY (k, c))")
-    for k in range(6):
-        for c in range(4):
-            db.execute(
-                "INSERT INTO t (k, c, v) VALUES (?, ?, ?)", [k, c, 10 * k + c]
-            )
+    # one BATCH for the 24 fixture rows: per-statement execute() paid 24×
+    # fixed statement/job overhead, which dominated the bench entry and
+    # drowned the pager timing this query exists to measure
+    inserts = " ".join(
+        f"INSERT INTO t (k, c, v) VALUES ({k}, {c}, {10 * k + c});"
+        for k in range(6)
+        for c in range(4)
+    )
+    db.execute(f"BEGIN BATCH {inserts} APPLY BATCH")
     rows: list[tuple] = []
 
     def drain(pager, shape) -> None:

@@ -376,3 +376,127 @@ class TestDclSemicolons:
             db.execute("ALTER ROLE svc WITH LOGIN = false SUPERUSER = true")
         [r] = db.execute("LIST ROLES").collect()
         assert (r.login, r.super) == (True, False)
+
+
+class TestSasiIndexModes:
+    """The SASI IndexMode matrix (index/sasi/conf/IndexMode.java:134-196;
+    OnDiskIndexBuilder.Mode:51-73 op sets; ColumnIndex.supports:219-230;
+    SASIIndex.validateOptions:146-167 SPARSE gates)."""
+
+    SASI = "'org.apache.cassandra.index.sasi.SASIIndex'"
+
+    @pytest.fixture()
+    def sdb(self, spark):
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+        d = CqlDatabase(spark)
+        d.execute(
+            "CREATE KEYSPACE sasik WITH REPLICATION = {'class': 'SimpleStrategy'}"
+        )
+        d.execute("USE sasik")
+        d.execute("CREATE TABLE t (id int PRIMARY KEY, body text, n int)")
+        d.execute("INSERT INTO t (id, body, n) VALUES (1, 'alpha beta', 5)")
+        d.execute("INSERT INTO t (id, body, n) VALUES (2, 'beta gamma', 7)")
+        return d
+
+    def test_prefix_mode_serves_prefix_and_match_only(self, sdb):
+        sdb.execute(
+            f"CREATE CUSTOM INDEX bp ON t (body) USING {self.SASI} "
+            "WITH OPTIONS = {'mode': 'PREFIX'}"
+        )
+        r = sdb.execute("SELECT id FROM t WHERE body LIKE 'alpha%'").collect()
+        assert [x.id for x in r] == [1]
+        r = sdb.execute("SELECT id FROM t WHERE body LIKE 'beta gamma'").collect()
+        assert [x.id for x in r] == [2]  # LIKE_MATCHES — Op.MATCH in PREFIX set
+        for pat in ("%beta", "%beta%"):
+            with pytest.raises(InvalidRequest, match="properly indexed"):
+                sdb.execute(f"SELECT id FROM t WHERE body LIKE '{pat}'")
+
+    def test_default_mode_is_prefix(self, sdb):
+        sdb.execute(f"CREATE CUSTOM INDEX bd ON t (body) USING {self.SASI}")
+        r = sdb.execute("SELECT id FROM t WHERE body LIKE 'beta%'").collect()
+        assert [x.id for x in r] == [2]
+        with pytest.raises(InvalidRequest, match="properly indexed"):
+            sdb.execute("SELECT id FROM t WHERE body LIKE '%beta%'")
+
+    def test_contains_mode_serves_all_shapes(self, sdb):
+        sdb.execute(
+            f"CREATE CUSTOM INDEX bc ON t (body) USING {self.SASI} "
+            "WITH OPTIONS = {'mode': 'CONTAINS'}"
+        )
+        got = {
+            pat: [x.id for x in sdb.execute(
+                f"SELECT id FROM t WHERE body LIKE '{pat}'").collect()]
+            for pat in ("%beta%", "%gamma", "alpha%")
+        }
+        assert got == {"%beta%": [1, 2], "%gamma": [2], "alpha%": [1]}
+
+    def test_analyzed_contains_rejects_prefix_and_eq(self, sdb):
+        # ColumnIndex.supports:225-226 — tokenized indexes serve neither
+        # EQ nor (in CONTAINS mode) PREFIX
+        sdb.execute(
+            f"CREATE CUSTOM INDEX ba ON t (body) USING {self.SASI} "
+            "WITH OPTIONS = {'mode': 'CONTAINS', 'analyzed': 'true'}"
+        )
+        r = sdb.execute("SELECT id FROM t WHERE body LIKE '%beta%'").collect()
+        assert [x.id for x in r] == [1, 2]
+        with pytest.raises(InvalidRequest, match="properly indexed"):
+            sdb.execute("SELECT id FROM t WHERE body LIKE 'alpha%'")
+        with pytest.raises(InvalidRequest, match="ALLOW FILTERING"):
+            sdb.execute("SELECT id FROM t WHERE body = 'alpha beta'")
+
+    def test_sparse_gates(self, sdb):
+        from cassandra_pmem_spark.cql.validator import ConfigurationException
+
+        with pytest.raises(
+            ConfigurationException,
+            match="SPARSE mode is only supported on non-literal columns.",
+        ):
+            sdb.execute(
+                f"CREATE CUSTOM INDEX bs ON t (body) USING {self.SASI} "
+                "WITH OPTIONS = {'mode': 'SPARSE'}"
+            )
+        with pytest.raises(
+            ConfigurationException, match="SPARSE mode doesn't support analyzers."
+        ):
+            sdb.execute(
+                f"CREATE CUSTOM INDEX ns ON t (n) USING {self.SASI} "
+                "WITH OPTIONS = {'mode': 'SPARSE', 'analyzed': 'true'}"
+            )
+        # SPARSE on a non-literal column is fine and serves EQ
+        sdb.execute(
+            f"CREATE CUSTOM INDEX ns2 ON t (n) USING {self.SASI} "
+            "WITH OPTIONS = {'mode': 'SPARSE'}"
+        )
+        r = sdb.execute("SELECT id FROM t WHERE n = 7").collect()
+        assert [x.id for x in r] == [2]
+
+    def test_incorrect_mode_and_pk_rejections(self, sdb):
+        from cassandra_pmem_spark.cql.validator import ConfigurationException
+
+        with pytest.raises(
+            ConfigurationException, match="Incorrect index mode: WAT"
+        ):
+            sdb.execute(
+                f"CREATE CUSTOM INDEX bw ON t (body) USING {self.SASI} "
+                "WITH OPTIONS = {'mode': 'WAT'}"
+            )
+        # SASI rejects ANY partition-key component (SASIIndex.java:150-151)
+        sdb.execute(
+            "CREATE TABLE t2 (a int, b int, c text, v int, "
+            "PRIMARY KEY ((a, b), c))"
+        )
+        with pytest.raises(
+            InvalidRequest, match="partition key columns are not yet supported"
+        ):
+            sdb.execute(f"CREATE CUSTOM INDEX ax ON t2 (a) USING {self.SASI}")
+
+    def test_is_literal_override(self, sdb):
+        # is_literal='false' on a text column: LIKE family needs a literal
+        # index (ColumnIndex.supports:221-222) — every shape rejects
+        sdb.execute(
+            f"CREATE CUSTOM INDEX bl ON t (body) USING {self.SASI} "
+            "WITH OPTIONS = {'mode': 'PREFIX', 'is_literal': 'false'}"
+        )
+        with pytest.raises(InvalidRequest, match="properly indexed"):
+            sdb.execute("SELECT id FROM t WHERE body LIKE 'alpha%'")

@@ -1369,3 +1369,23 @@ class TestFunctionTerms:
         un = evaluate_fn("toUnixTimestamp", ["2024-03-01 12:00:00"])
         assert ts.tzinfo is not None
         assert int(ts.timestamp() * 1000) == un == 1709294400000
+
+
+class TestCollectionLiteralErrors:
+    def test_bare_identifier_in_braces_names_the_real_problem(self, spark):
+        """A malformed set literal like {abc} starts down the UDT-literal
+        path (bare identifier after '{') — the error must name the actual
+        problem, not a misleading \"expected :\" (r10 ADVICE finding)."""
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+        db = CqlDatabase(spark)
+        db.execute(
+            "CREATE KEYSPACE cle WITH REPLICATION = {'class': 'SimpleStrategy'}"
+        )
+        db.execute("USE cle")
+        db.execute("CREATE TABLE t (id int PRIMARY KEY, s set<text>)")
+        with pytest.raises(
+            InvalidRequest,
+            match="bare identifier 'abc' is neither a UDT field",
+        ):
+            db.execute("INSERT INTO t (id, s) VALUES (1, {abc})")
