@@ -77,10 +77,16 @@ between a start and its end via the interleaved file order. COMPLEX
 (collection) columns are real: complex deletion + vint cell count +
 per-element cells with CellPaths (UnfilteredSerializer.
 writeComplexColumn:266-275; list paths = ascending timeuuids, set
-paths = the elements, map paths = the keys). The ONE omission is the
-COMPACTION metadata component: its cardinality blob is the bundled
-stream-lib jar's own format with no source in the tree to implement
-it from; the TOC records exactly what exists.
+paths = the elements, map paths = the keys). The COMPACTION metadata component is written
+and read too (r11 — completing the MetadataType census): the
+cardinality blob is the PUBLIC stream-lib HyperLogLogPlus(13, 25)
+format fed hash2_64(serialized key) per partition
+(CompactionMetadata.java:74-92, MetadataCollector.java:117,139-144;
+codec in sources/hllp.py — always serialized in the NORMAL register
+representation, which any stream-lib reader accepts; both formats
+decode). Summary.db additionally reads DOWNSAMPLED summaries
+(IndexSummary.java samplingLevel < BASE_SAMPLING_LEVEL) and the
+writer can produce them (min/max_index_interval table params).
 
 Scale posture: the write sink range-partitions rows by Murmur3 token so
 every task writes one SSTable covering a disjoint token range (the
@@ -887,6 +893,7 @@ def read_partition(r: ByteReader, schema: SSTableSchema,
 # -- Statistics.db (MetadataSerializer container, HEADER + VALIDATION) ------
 
 _TYPE_VALIDATION = 0  # MetadataType.java ordinals
+_TYPE_COMPACTION = 1
 _TYPE_HEADER = 3
 
 
@@ -958,6 +965,21 @@ def _validation_component(bloom_fp: float = 0.01) -> bytes:
     return struct.pack(">H", len(name)) + name + struct.pack(">d", bloom_fp)
 
 
+def _compaction_component(schema: SSTableSchema, partitions: list) -> bytes:
+    """CompactionMetadata (CompactionMetadata.java:74-92): the partition
+    cardinality estimator's getBytes(), int-length-prefixed
+    (ByteBufferUtil.writeWithLength). The estimator is HyperLogLogPlus
+    (13, 25) offered MurmurHash.hash2_64(serialized key, 0) per
+    partition (MetadataCollector.java:117,139-144)."""
+    from cassandra_pmem_spark.sources.hllp import HyperLogLogPlus
+
+    hll = HyperLogLogPlus(13, 25)
+    for p in partitions:
+        hll.offer_key(schema.key_bytes(p.key_values))
+    blob = hll.serialize()
+    return struct.pack(">i", len(blob)) + blob
+
+
 def serialize_statistics(schema: SSTableSchema, stats: EncodingStats,
                          partitions: list | None = None,
                          compression_ratio: float = -1.0,
@@ -965,9 +987,12 @@ def serialize_statistics(schema: SSTableSchema, stats: EncodingStats,
     """The Statistics.db container (MetadataSerializer.java:60-111),
     version nb => checksummed: count+crc, toc+crc (running), then each
     component + its own crc, components ordered by type ordinal.
-    VALIDATION, STATS (when the writer passes its partitions), and
-    HEADER are written; COMPACTION (the HLL cardinality blob) is the
-    one documented omission."""
+    VALIDATION, HEADER, and — when the writer passes its partitions —
+    STATS and COMPACTION are all written, completing the MetadataType
+    census. COMPACTION (CompactionMetadata.java:74-92) is the
+    int-length-prefixed stream-lib HyperLogLogPlus blob fed one
+    hash2_64(serialized pk) per partition (MetadataCollector.java:
+    117,139-144; codec in sources/hllp.py)."""
     comps = [
         (_TYPE_VALIDATION, _validation_component()),
         (_TYPE_HEADER, _header_component(schema, stats)),
@@ -978,6 +1003,10 @@ def serialize_statistics(schema: SSTableSchema, stats: EncodingStats,
             stats_component(
                 schema, stats, partitions, compression_ratio, part_sizes
             ),
+        ))
+        comps.append((
+            _TYPE_COMPACTION,
+            _compaction_component(schema, partitions),
         ))
         comps.sort()
     out = bytearray()
@@ -1045,6 +1074,13 @@ def parse_statistics(blob: bytes) -> tuple[EncodingStats, dict]:
         hdr["stats_metadata"] = parse_stats_component(
             component_body(_TYPE_STATS), tmp_schema
         )
+    if _TYPE_COMPACTION in positions:
+        from cassandra_pmem_spark.sources.hllp import HyperLogLogPlus
+
+        body = component_body(_TYPE_COMPACTION)
+        (blen,) = struct.unpack(">i", body[:4])
+        hll = HyperLogLogPlus.deserialize(body[4:4 + blen])
+        hdr["compaction_cardinality"] = hll.cardinality()
     return stats, hdr
 
 
@@ -1114,10 +1150,19 @@ def compute_stats(partitions: list[PartitionData]) -> EncodingStats:
     )
 
 
+# Summary sampling constants (io/sstable/Downsampling.java:34,
+# TableParams min_index_interval default) — defined before write_sstable
+# whose signature defaults reference them.
+BASE_SAMPLING_LEVEL = 128
+DEFAULT_MIN_INDEX_INTERVAL = 128
+
+
 def write_sstable(out_dir: str, generation: int, schema: SSTableSchema,
                   partitions: list[PartitionData],
                   compression: bool = False,
-                  chunk_length: int | None = None) -> dict:
+                  chunk_length: int | None = None,
+                  min_index_interval: int = DEFAULT_MIN_INDEX_INTERVAL,
+                  sampling_level: int | None = None) -> dict:
     """Write one complete sstable. Partitions MUST arrive in token
     order (beforeAppend's monotonicity check — BigTableWriter.java:
     120-126); ties/regressions raise. Returns a manifest dict.
@@ -1126,7 +1171,14 @@ def write_sstable(out_dir: str, generation: int, schema: SSTableSchema,
     stream plus CompressionInfo.db (index positions stay in
     UNCOMPRESSED coordinates, like the reference — readers map them
     through the chunk offsets); Digest.crc32 then checksums the
-    on-disk (compressed) file."""
+    on-disk (compressed) file.
+
+    ``min_index_interval`` is the table's summary sampling interval
+    (TableParams min_index_interval; IndexSummaryBuilder.maybeAddEntry);
+    ``sampling_level`` < BASE_SAMPLING_LEVEL writes a DOWNSAMPLED
+    Summary.db (the IndexSummaryManager memory-pressure path —
+    Downsampling.getOriginalIndexes survivors; point reads still work,
+    they just scan more Index.db per seek)."""
     from cassandra_pmem_spark.functions.murmur3 import (
         murmur3_token_bytes_py,
     )
@@ -1154,7 +1206,7 @@ def write_sstable(out_dir: str, generation: int, schema: SSTableSchema,
         last_key = key
         # summary sampling: every minIndexInterval-th key at full
         # sampling (IndexSummaryBuilder.maybeAddEntry)
-        if n_written % DEFAULT_MIN_INDEX_INTERVAL == 0:
+        if n_written % min_index_interval == 0:
             sampled.append((key, len(index)))
         pos = len(data)
         data += serialize_partition(part, schema, stats)
@@ -1175,7 +1227,11 @@ def write_sstable(out_dir: str, generation: int, schema: SSTableSchema,
             os.path.join(out_dir, f"{VERSION}-{generation}-big-Summary.db"),
             "wb",
         ) as f:
-            f.write(build_summary(sampled, first_key, last_key))
+            f.write(build_summary(
+                sampled, first_key, last_key,
+                min_index_interval=min_index_interval,
+                sampling_level=sampling_level or BASE_SAMPLING_LEVEL,
+            ))
     on_disk = bytes(data)
     components = ["Data.db", "Index.db", "Filter.db"]
     if wrote_summary:
@@ -2062,15 +2118,50 @@ def dump_sstable(data_path: str, now_seconds: int | None = None) -> list[dict]:
 # sampled (full sampling), so a point read seeks the Index.db from the
 # greatest sampled key <= probe and scans at most one interval.
 
-BASE_SAMPLING_LEVEL = 128
-DEFAULT_MIN_INDEX_INTERVAL = 128
+def get_sampling_pattern(sampling_level: int) -> list[int]:
+    """Downsampling.getSamplingPattern (io/sstable/Downsampling.java:
+    48-77): the order in which full-sampling positions are REMOVED as
+    the level drops — odds first, each half ordered by the recursive
+    pattern, so removals spread out."""
+    if sampling_level <= 1:
+        return [0]
+    odds = list(range(1, sampling_level, 2))
+    evens = list(range(0, sampling_level, 2))
+    ordering = get_sampling_pattern(sampling_level // 2)
+    return [odds[i] for i in ordering] + [evens[i] for i in ordering]
+
+
+def get_original_indexes(sampling_level: int) -> list[int]:
+    """Downsampling.getOriginalIndexes (:89-105): which positions of
+    each BASE_SAMPLING_LEVEL-sized block of full-sampling entries
+    SURVIVE at `sampling_level` (the first BASE-level removals are
+    dropped)."""
+    removed = set(
+        get_sampling_pattern(BASE_SAMPLING_LEVEL)[
+            : BASE_SAMPLING_LEVEL - sampling_level
+        ]
+    )
+    return [j for j in range(BASE_SAMPLING_LEVEL) if j not in removed]
 
 
 def build_summary(sampled: list[tuple[bytes, int]],
                   first_key: bytes, last_key: bytes,
                   min_index_interval: int = DEFAULT_MIN_INDEX_INTERVAL,
+                  sampling_level: int = BASE_SAMPLING_LEVEL,
                   ) -> bytes:
-    """sampled = [(partition key, Index.db offset)] at full sampling."""
+    """sampled = [(partition key, Index.db offset)] at FULL sampling.
+    sampling_level < BASE_SAMPLING_LEVEL writes a DOWNSAMPLED summary
+    (IndexSummary.java samplingLevel): within each block of
+    BASE_SAMPLING_LEVEL full-sampling entries only the
+    Downsampling.getOriginalIndexes positions survive;
+    sizeAtFullSampling records the pre-downsampling count."""
+    full_count = len(sampled)
+    if sampling_level < BASE_SAMPLING_LEVEL:
+        keep = set(get_original_indexes(sampling_level))
+        sampled = [
+            e for i, e in enumerate(sampled)
+            if i % BASE_SAMPLING_LEVEL in keep
+        ]
     count = len(sampled)
     entries = bytearray()
     offsets = []
@@ -2083,8 +2174,8 @@ def build_summary(sampled: list[tuple[bytes, int]],
     out += struct.pack(">i", min_index_interval)
     out += struct.pack(">i", count)
     out += struct.pack(">q", base + len(entries))  # offheap size
-    out += struct.pack(">i", BASE_SAMPLING_LEVEL)
-    out += struct.pack(">i", count)                # sizeAtFullSampling
+    out += struct.pack(">i", sampling_level)
+    out += struct.pack(">i", full_count)           # sizeAtFullSampling
     for o in offsets:
         out += struct.pack("<i", o + base)         # native order, rebased
     out += entries

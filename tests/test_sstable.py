@@ -1522,3 +1522,219 @@ class TestPreEpochTimestamps:
         assert got.rows[0].cells["v"].timestamp == 100
         # the partition tombstone at 200 shadows the row written at 100
         assert visible_rows(got, schema, DELETION_TIME_EPOCH) == []
+
+
+class TestDownsampledSummary:
+    """Summary.db downsampling (io/sstable/Downsampling.java;
+    IndexSummaryBuilder.downsample:325-380; IndexSummary samplingLevel)."""
+
+    def test_sampling_pattern_pins(self):
+        from cassandra_pmem_spark.sources.sstable import (
+            get_original_indexes,
+            get_sampling_pattern,
+        )
+
+        # Downsampling.getSamplingPattern(4): odds ordered by pattern(2),
+        # then evens — pattern(2) = [1, 0] so [3, 1] + [2, 0]
+        assert get_sampling_pattern(2) == [1, 0]
+        assert get_sampling_pattern(4) == [3, 1, 2, 0]
+        assert get_sampling_pattern(8) == [7, 3, 5, 1, 6, 2, 4, 0]
+        full = get_sampling_pattern(128)
+        assert sorted(full) == list(range(128))  # a permutation
+        # level 64 removes the first 64 pattern positions: all odds
+        # (the first half of the pattern is the odd positions)
+        assert get_original_indexes(64) == list(range(0, 128, 2))
+        assert get_original_indexes(128) == list(range(128))
+        assert len(get_original_indexes(32)) == 32
+
+    def test_downsampled_summary_round_trip_and_point_read(self, tmp_path):
+        from cassandra_pmem_spark.catalog import TableMeta
+        from cassandra_pmem_spark.cql.parser import _scalar_token
+        from cassandra_pmem_spark.sources.sstable import (
+            read_summary,
+            sstable_point_read,
+            write_sstable,
+        )
+        from pyspark.sql import types as T
+
+        schema = SSTableSchema(
+            ["k"], [_MARSHAL + "Int32Type"], [], [],
+            [("v", _MARSHAL + "UTF8Type")],
+        )
+        meta = TableMeta(
+            "t",
+            T.StructType([
+                T.StructField("k", T.IntegerType()),
+                T.StructField("v", T.StringType()),
+            ]),
+            partition_key=("k",),
+        )
+        n = 2000
+        ks = sorted(range(n), key=lambda k: _scalar_token(meta, (k,)))
+        parts = [
+            PartitionData(
+                key_values=[k],
+                rows=[RowData(clustering=[], liveness_timestamp=TS,
+                              cells={"v": CellValue(f"v{k}", TS)})],
+            )
+            for k in ks
+        ]
+        # min_index_interval 8 -> 250 full-sampling entries; level 64
+        # keeps the even positions of each 128-block: 64 from block 0
+        # plus 61 evens of block 1's 122 entries -> 125
+        write_sstable(str(tmp_path), 1, schema, parts,
+                      min_index_interval=8, sampling_level=64)
+        summ = read_summary((tmp_path / "nb-1-big-Summary.db").read_bytes())
+        assert summ["min_index_interval"] == 8
+        assert summ["sampling_level"] == 64
+        assert summ["size_at_full_sampling"] == 250
+        assert len(summ["entries"]) == 125
+        # the surviving entries are the even full-sampling positions
+        # (getOriginalIndexes(64)), i.e. every 16th partition
+        assert summ["entries"][0][0] is not None
+        # point reads still correct through the sparser summary
+        trace: dict = {}
+        for probe in (ks[0], ks[777], ks[1999]):
+            got = sstable_point_read(str(tmp_path), [probe], _trace=trace)
+            assert [r["v"] for r in got] == [f"v{probe}"]
+        assert trace["summary_seeks"] == 3
+
+    def test_full_sampling_bytes_unchanged(self, tmp_path):
+        # the default path must keep writing byte-identical summaries
+        from cassandra_pmem_spark.sources.sstable import (
+            BASE_SAMPLING_LEVEL,
+            build_summary,
+        )
+
+        sampled = [(b"k%d" % i, i * 10) for i in range(5)]
+        a = build_summary(sampled, b"k0", b"k4")
+        b = build_summary(sampled, b"k0", b"k4",
+                          sampling_level=BASE_SAMPLING_LEVEL)
+        assert a == b
+
+
+class TestCompactionComponent:
+    """The COMPACTION metadata component (CompactionMetadata.java:74-92 —
+    int-length-prefixed stream-lib HyperLogLogPlus(13, 25) blob fed
+    hash2_64(serialized key) per partition, MetadataCollector.java:117,
+    139-144). Closes the last MetadataType census omission."""
+
+    def test_hllp_blob_layout_pins(self):
+        import struct as _s
+
+        from cassandra_pmem_spark.sources.hllp import (
+            HyperLogLogPlus,
+            _register_words,
+        )
+
+        h = HyperLogLogPlus(13, 25)
+        blob = h.serialize()
+        # int32 -VERSION(-2), varint p=13, varint sp=25, varint NORMAL(0),
+        # varint byte-length (1366 words * 4 = 5464 -> 0xD8 0x2A), words
+        assert blob[:4] == _s.pack(">i", -2)
+        assert blob[4] == 13 and blob[5] == 25 and blob[6] == 0
+        assert blob[7] == (5464 & 0x7F) | 0x80 and blob[8] == 5464 >> 7
+        assert len(blob) == 9 + 5464
+        assert _register_words(8192) == 1366
+
+    def test_register_packing_low_bits_first(self):
+        from cassandra_pmem_spark.sources.hllp import HyperLogLogPlus
+
+        h = HyperLogLogPlus(13, 25)
+        h.registers[0] = 3   # word 0, shift 0
+        h.registers[1] = 7   # word 0, shift 5
+        h.registers[6] = 31  # word 1, shift 0
+        blob = h.serialize()
+        w0 = int.from_bytes(blob[9:13], "big")
+        w1 = int.from_bytes(blob[13:17], "big")
+        assert w0 == 3 | (7 << 5)
+        assert w1 == 31
+        got = HyperLogLogPlus.deserialize(blob)
+        assert got.registers == h.registers
+
+    def test_murmur2_64_reference_semantics(self):
+        from cassandra_pmem_spark.sources.hllp import murmur2_64
+
+        # deterministic; empty input hashes to 0 (seed 0, length 0);
+        # tail bytes sign-extend (MurmurHash.java:126-138 casts without
+        # & 0xff) — so a high-bit tail byte must differ from the
+        # unsigned interpretation
+        assert murmur2_64(b"") == 0
+        a = murmur2_64(bytes([0x80]))
+        # unsigned-tail twin computed inline: h = m64 ^ ... with 0x80
+        M64 = 0xC6A4A7935BD1E995
+        MASK = (1 << 64) - 1
+        h = (M64 * 1) & MASK
+        h ^= 0x80  # unsigned byte (WRONG per reference)
+        h = (h * M64) & MASK
+        h ^= h >> 47
+        h = (h * M64) & MASK
+        h ^= h >> 47
+        b = h - (1 << 64) if h >= (1 << 63) else h
+        assert a != b
+
+    def test_estimate_accuracy(self):
+        from cassandra_pmem_spark.sources.hllp import HyperLogLogPlus
+
+        h = HyperLogLogPlus(13, 25)
+        for i in range(20000):
+            h.offer_key(i.to_bytes(8, "big"))
+        est = HyperLogLogPlus.deserialize(h.serialize()).cardinality()
+        assert abs(est - 20000) / 20000 < 0.05
+
+    def test_statistics_carries_compaction_component(self, tmp_path):
+        from cassandra_pmem_spark.sources.sstable import (
+            parse_statistics,
+            write_sstable,
+        )
+
+        schema = SSTableSchema(
+            ["k"], [_MARSHAL + "LongType"], [], [],
+            [("v", _MARSHAL + "UTF8Type")],
+        )
+        from cassandra_pmem_spark.functions.murmur3 import murmur3_token_py
+
+        ks = sorted(range(500), key=murmur3_token_py)
+        parts = [
+            PartitionData(
+                key_values=[k],
+                rows=[RowData(clustering=[], liveness_timestamp=TS,
+                              cells={"v": CellValue("x", TS)})],
+            )
+            for k in ks
+        ]
+        write_sstable(str(tmp_path), 1, schema, parts)
+        blob = (tmp_path / "nb-1-big-Statistics.db").read_bytes()
+        _stats, hdr = parse_statistics(blob)
+        # 500 distinct partitions -> linear-counting range, near-exact
+        assert abs(hdr["compaction_cardinality"] - 500) <= 15
+
+    def test_sparse_format_decodes(self):
+        from cassandra_pmem_spark.sources.hllp import (
+            HyperLogLogPlus,
+            _write_uvarint,
+        )
+        import struct as _s
+
+        # hand-build a SPARSE blob with one flagged entry
+        # (idx<<7 | rho<<1 | 1: sp-index 5<<(sp-p) with p..sp bits zero,
+        # rho_sp 4 -> normal rho 4 + (25-13) = 16) and one unflagged
+        # (idx<<1: sp-index with nonzero p..sp bits)
+        p, sp = 13, 25
+        out = bytearray(_s.pack(">i", -2))
+        _write_uvarint(out, p)
+        _write_uvarint(out, sp)
+        _write_uvarint(out, 1)  # SPARSE
+        k1 = ((5 << (sp - p)) << 7) | (4 << 1) | 1
+        sp_idx2 = (9 << (sp - p)) | 0b000000000100  # between-bits = 4
+        k2 = sp_idx2 << 1
+        ks = sorted((k1, k2))
+        _write_uvarint(out, len(ks))
+        prev = 0
+        for k in ks:
+            _write_uvarint(out, k - prev)
+            prev = k
+        h = HyperLogLogPlus.deserialize(bytes(out))
+        assert h.registers[5] == 16
+        # rho for unflagged = (sp-p) - bit_length(between) + 1 = 12-3+1
+        assert h.registers[9] == 10
