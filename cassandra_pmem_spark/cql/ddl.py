@@ -2124,6 +2124,18 @@ class SchemaRegistry:
             raise InvalidRequest(f"not a DDL statement: {head!r}")
 
 
+def _unpersist_frames(frames: dict) -> None:
+    """weakref.finalize target: unpin a CqlDatabase's persisted
+    visible-state frames when the database object is collected (module-
+    level so the finalizer holds no reference back to the instance)."""
+    for _ver, df in list(frames.values()):
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass  # session may already be stopped
+    frames.clear()
+
+
 class CqlDatabase:
     """Full CQL text surface: DDL → SchemaRegistry, DML → per-table
     CqlWriteSession, SELECT → parser compile over the table's visible
@@ -2142,6 +2154,22 @@ class CqlDatabase:
         # on DDL, deliberately NOT per-write — estimates lag in the
         # reference too)
         self._index_stats: dict[tuple, dict] = {}
+        # SELECT-side visible-state frames, memoized per session version
+        # (buffer watermarks + clock + schema/base identity) and
+        # Spark-persisted for BUFFER-BACKED tables: a pager fetching N
+        # pages re-reads the same visible state N times — caching the
+        # post-merge frame executor-side turns pages 2..N into single-
+        # stage jobs while every write/ALTER/TRUNCATE/import invalidates
+        # via the version key, so reads observe exactly what re-planning
+        # would. Parquet-backed tables are NOT persisted (their visible
+        # state is unbounded; the scan stays the source of truth).
+        self._select_frames: dict[tuple, tuple] = {}
+        # unpin everything when this database is collected — otherwise a
+        # long Spark session accumulates persisted frames from
+        # short-lived CqlDatabase instances (one per registry query)
+        import weakref
+
+        weakref.finalize(self, _unpersist_frames, self._select_frames)
         self.last_index_choice: tuple | None = None
         self.current_keyspace: str | None = None
         # ONE coordinator timeline shared by every table session: a write
@@ -2714,7 +2742,7 @@ class CqlDatabase:
         # SELECT reads at the session's current logical time: TTL'd
         # cells past their expiry vanish (PurgeFunction analog), and
         # the liveness shadows feed the writetime()/ttl() selectors
-        df = sess.table(now=sess._clock_ref[0], with_shadows=True)
+        df = self._visible_frame(key, sess)
         sink: list = []
         kinds_map, modes_map = _indexed(key)
         out = _compile(
@@ -2731,6 +2759,64 @@ class CqlDatabase:
         # the getBestIndexFor outcome, for tracing/tests
         self.last_index_choice = sink[-1] if sink else None
         return out
+
+    def _visible_version(self, table: str) -> tuple | None:
+        """The current visible-state version of a registered table (the
+        same tuple _visible_frame keys its memo by), or None when the
+        name resolves to a view/system table (those always re-plan).
+        Driver-side only — no Spark work. The pager uses this to reuse
+        its compiled page frame while the version is unchanged."""
+        ks, _, tbl = table.rpartition(".")
+        if ks == "system_schema":
+            return None
+        tkey = self.registry.tables.resolve(
+            tbl, keyspace=ks or None, current=self.current_keyspace,
+            missing_ok=True,
+        )
+        if tkey is None:
+            return None
+        key = self._table_key((ks or None, tbl))
+        sess = self._sessions.get(key)
+        if sess is None:
+            return None
+        return (
+            id(sess),
+            sess._snapshot(),
+            sess._clock_ref[0],
+            id(sess._base),
+            sess.meta.schema.simpleString(),
+        )
+
+    def _visible_frame(self, key: tuple, sess):
+        """The SELECT-visible frame for one session, memoized per version
+        (see _select_frames). The version key covers every way the
+        visible state can change: the buffer watermarks + coordinator
+        clock (_snapshot — writes, tombstones, TTL expiry time), the
+        session and base identities (re-registration, sstable imports
+        swap _base), and the schema text (ALTER re-syncs in place)."""
+        now = sess._clock_ref[0]
+        ver = (
+            id(sess),
+            sess._snapshot(),
+            now,
+            id(sess._base),
+            sess.meta.schema.simpleString(),
+        )
+        cached = self._select_frames.get(key)
+        if cached is not None and cached[0] == ver:
+            return cached[1]
+        if cached is not None:
+            try:
+                cached[1].unpersist(blocking=False)
+            except Exception:
+                pass  # never let cache eviction fail a read
+        df = sess.table(now=now, with_shadows=True)
+        if sess._base is None:
+            # buffer-backed: the whole visible state derives from
+            # driver-held statements — bounded, safe to pin
+            df = df.persist()
+        self._select_frames[key] = (ver, df)
+        return df
 
     def _collect_updates(self, key: tuple, marks: tuple) -> list:
         """TriggerUpdate list for the buffer entries a statement appended

@@ -335,9 +335,20 @@ class QueryPager:
         return cond
 
     def _page_frame(self):
-        # recompiled per page: pages observe writes between fetches,
-        # like the reference's per-page ReadCommands
-        return self.db._compile_select(self._st)
+        # pages observe writes between fetches, like the reference's
+        # per-page ReadCommands — but while the table's visible-state
+        # VERSION is unchanged (no write, no clock tick, no DDL) the
+        # compiled frame is provably identical, so it is reused instead
+        # of re-parsed/re-planned per page; any version change falls
+        # back to a fresh compile
+        ver = self.db._visible_version(self._st.table)
+        cached = getattr(self, "_frame_memo", None)
+        if ver is not None and cached is not None and cached[0] == ver:
+            return cached[1]
+        frame = self.db._compile_select(self._st)
+        if ver is not None:
+            self._frame_memo = (ver, frame)
+        return frame
 
     # -- QueryPager surface ----------------------------------------------------
 

@@ -195,11 +195,71 @@ def _crc8(data: bytes) -> int:
     return c
 
 
-def _crc16(data: bytes) -> int:
+def _crc16_scalar(data: bytes) -> int:
     c = 0
     for b in data:
         c = int(_CRC16_TAB[((c >> 8) ^ b) & 0xFF]) ^ ((c << 8) & 0xFFFF)
     return c
+
+
+# -- vectorized frame CRC-16 ---------------------------------------------------
+#
+# The per-byte table loop was HALF of encode_flac's wall time (profiled:
+# _crc16 0.142s of 0.280s on a 4s stereo clip). CRC over GF(2) is linear
+# with zero init, so crc(A||B) = shift_{|B|}(crc(A)) ^ crc(B), and
+# "shift by 2^k zero bytes" is a linear operator decomposable into two
+# 256-entry uint16 tables (high/low state byte). Padding the buffer with
+# LEADING zero bytes (state stays 0) to a power of two makes every tree
+# level's right sibling exactly 2^k bytes, so the whole CRC reduces in
+# log2(n) fully-vectorized numpy passes. Byte-exact vs the scalar loop
+# (property-pinned in tests/test_multimodal.py).
+
+_T16 = _CRC16_TAB.astype(np.uint16)
+
+
+def _crc16_shift1(c: int) -> int:
+    """State after feeding ONE zero byte (the table recurrence with b=0)."""
+    return (int(_T16[(c >> 8) & 0xFF]) ^ ((c << 8) & 0xFFFF)) & 0xFFFF
+
+
+_CRC16_SHIFT_LEVELS: list = []  # [(hi, lo)] — level k shifts by 2^k bytes
+
+
+def _crc16_ensure_levels(k: int) -> None:
+    while len(_CRC16_SHIFT_LEVELS) <= k:
+        if not _CRC16_SHIFT_LEVELS:
+            hi = np.array([_crc16_shift1(i << 8) for i in range(256)], np.uint16)
+            lo = np.array([_crc16_shift1(i) for i in range(256)], np.uint16)
+        else:
+            phi, plo = _CRC16_SHIFT_LEVELS[-1]
+
+            def apply_prev_twice(v: "np.ndarray") -> "np.ndarray":
+                v = phi[v >> 8] ^ plo[v & 0xFF]
+                return phi[v >> 8] ^ plo[v & 0xFF]
+
+            idx = np.arange(256, dtype=np.uint16)
+            hi = apply_prev_twice((idx.astype(np.uint32) << 8).astype(np.uint16))
+            lo = apply_prev_twice(idx)
+        _CRC16_SHIFT_LEVELS.append((hi, lo))
+
+
+def _crc16(data: bytes) -> int:
+    n = len(data)
+    if n < 64:  # tree setup not worth it for tiny buffers
+        return _crc16_scalar(data)
+    b = np.frombuffer(bytes(data), np.uint8)
+    size = 1 << (n - 1).bit_length()
+    buf = np.zeros(size, np.uint8)
+    buf[size - n:] = b  # leading zeros leave the running state at 0
+    s = _T16[buf]
+    _crc16_ensure_levels(size.bit_length() - 2)
+    k = 0
+    while len(s) > 1:
+        hi, lo = _CRC16_SHIFT_LEVELS[k]
+        left, right = s[0::2], s[1::2]
+        s = (hi[left >> 8] ^ lo[left & 0xFF]) ^ right
+        k += 1
+    return int(s[0])
 
 
 def _utf8_coded(n: int) -> bytes:
@@ -235,22 +295,44 @@ def _read_utf8_coded(r: "_BitReader") -> int:
 # -- encode --------------------------------------------------------------------
 
 
+def _zigzag(resid: np.ndarray) -> np.ndarray:
+    return np.where(
+        resid >= 0, resid.astype(np.int64) * 2, -2 * resid.astype(np.int64) - 1
+    )
+
+
 def _rice_cost(resid: np.ndarray, p: int) -> int:
-    z = np.where(resid >= 0, resid.astype(np.int64) * 2, -2 * resid.astype(np.int64) - 1)
+    z = _zigzag(resid)
     return int((z >> p).sum()) + len(z) * (1 + p)
+
+
+def _best_rice_z(resid: np.ndarray, z: np.ndarray) -> tuple[int, int]:
+    """(best p, its cost) over the zigzagged residual — z computed ONCE
+    by the caller (it was re-derived per candidate p before, a measured
+    chunk of subframe-fit time). The p0 window seed stays computed from
+    |resid| exactly as before so the chosen parameters — and therefore
+    the emitted bytes — are unchanged."""
+    if not len(z):
+        return 0, 0
+    mean = float(np.abs(resid).mean())
+    p0 = max(0, int(np.log2(mean + 1)))
+    ps = np.arange(max(0, p0 - 2), min(14, p0 + 3), dtype=np.int64)
+    if not len(ps):
+        # window empty (huge residuals push p0 past 16): the original
+        # search fell through to p=0 — keep that choice and its cost
+        return 0, int(z.sum()) + len(z)
+    # all candidate costs in one pass (integer math — identical values
+    # to the former per-p loop; argmin keeps the first minimum, matching
+    # the loop's strict-< update order)
+    costs = (z[None, :] >> ps[:, None]).sum(axis=1) + len(z) * (1 + ps)
+    j = int(np.argmin(costs))
+    return int(ps[j]), int(costs[j])
 
 
 def _best_rice(resid: np.ndarray) -> int:
     if not len(resid):
         return 0
-    mean = float(np.abs(resid).mean())
-    p0 = max(0, int(np.log2(mean + 1)))
-    best, best_cost = 0, None
-    for p in range(max(0, p0 - 2), min(14, p0 + 3)):
-        c = _rice_cost(resid, p)
-        if best_cost is None or c < best_cost:
-            best, best_cost = p, c
-    return best
+    return _best_rice_z(resid, _zigzag(resid))[0]
 
 
 def _write_rice(w: "_BitWriter", resid: np.ndarray, partition_order: int, n: int,
@@ -263,14 +345,14 @@ def _write_rice(w: "_BitWriter", resid: np.ndarray, partition_order: int, n: int
         cnt = (n >> partition_order) - (pred_order if j == 0 else 0)
         seg = resid[idx : idx + cnt]
         idx += cnt
-        p = _best_rice(seg)
+        z = _zigzag(seg)
+        p = _best_rice_z(seg, z)[0] if cnt else 0
         w.write(p, 4)
         if not cnt:
             continue
         # whole-partition bit layout built vectorized: code i occupies
         # [q_i zeros][1][p-bit remainder]; terminator and remainder
         # positions follow from one cumsum over the code lengths
-        z = np.where(seg >= 0, seg.astype(np.int64) * 2, -2 * seg.astype(np.int64) - 1)
         q = z >> p
         ends = np.cumsum(q + 1 + p)
         term = ends - 1 - p
@@ -304,14 +386,22 @@ def _lpc_quantized(x: np.ndarray, order: int, precision: int = 15):
     if ac[0] == 0:
         return None
     err = ac[0]
-    lpc = np.zeros(0)
+    # preallocated Levinson buffer — np.append re-allocated per order and
+    # was a measured chunk of the per-item cost; the arithmetic below is
+    # the same numpy elementwise ops, so the floats (and the emitted
+    # bytes) are unchanged
+    buf = np.zeros(order)
+    ln = 0
     for i in range(order):
-        r = ac[i + 1] - (np.dot(lpc, ac[i:0:-1]) if i else 0.0)
+        r = ac[i + 1] - (np.dot(buf[:ln], ac[i:0:-1]) if i else 0.0)
         if err <= 0:
             return None
         k = r / err
-        lpc = np.append(lpc - k * lpc[::-1], k)
+        buf[:ln] = buf[:ln] - k * buf[:ln][::-1]
+        buf[ln] = k
+        ln += 1
         err *= 1.0 - k * k
+    lpc = buf
     cmax = np.abs(lpc).max()
     if cmax == 0:
         return None
@@ -344,21 +434,28 @@ def _encode_subframe(w: "_BitWriter", x: np.ndarray, bps: int) -> None:
         w.write(int(x[0]) & ((1 << bps) - 1), bps)
         return
     # pick the fixed order with the cheapest residual sum (reference
-    # encoder heuristic: minimize sum of |residual|)
+    # encoder heuristic: minimize sum of |residual|). The order-k
+    # residual is diff(order-(k-1) residual), so one running diff
+    # serves the whole search instead of recomputing from scratch
     best_order, best_cost = 0, None
+    r = x.astype(np.int64)
+    resids = []
     for order in range(min(4, n - 1) + 1):
-        cost = int(np.abs(_fixed_residual(x, order)).sum())
+        if order:
+            r = np.diff(r)
+        resids.append(r)
+        cost = int(np.abs(r).sum())
         if best_cost is None or cost < best_cost:
             best_order, best_cost = order, cost
-    resid = _fixed_residual(x, best_order)
+    resid = resids[best_order]
     verbatim_bits = n * bps
-    fixed_bits = best_order * bps + _rice_cost(resid, _best_rice(resid)) + 6
+    fixed_bits = best_order * bps + _best_rice_z(resid, _zigzag(resid))[1] + 6
     lpc = _lpc_quantized(x, order=8)
     lpc_bits = None
     if lpc is not None:
         qc, shift, lresid = lpc
         lpc_bits = (
-            8 * bps + 4 + 5 + 8 * 15 + _rice_cost(lresid, _best_rice(lresid)) + 6
+            8 * bps + 4 + 5 + 8 * 15 + _best_rice_z(lresid, _zigzag(lresid))[1] + 6
         )
     if lpc_bits is not None and lpc_bits < fixed_bits and lpc_bits < verbatim_bits:
         qc, shift, lresid = lpc

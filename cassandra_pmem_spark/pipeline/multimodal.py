@@ -59,8 +59,18 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 def attach_media(
     df: DataFrame, binary_col: str, modality: str, mime: str, id_col: str
 ) -> DataFrame:
-    """Wrap a raw binary column into the (data, meta) media layout."""
-    return df.select(
+    """Wrap a raw binary column into the (data, meta) media layout.
+
+    The downstream codec stages are CPU-bound mapInPandas chains whose
+    parallelism equals the SCAN parallelism. At warehouse scale the
+    input's many file splits provide that for free (and this stays
+    zero-Exchange); a small table read as ONE split would serialize the
+    whole codec chain onto one core, so when the scan yields fewer
+    partitions than the cluster's parallelism the media frame is
+    repartitioned up front — a tiny shuffle of raw blobs that buys
+    core-count speedup on every stage after it. Row-wise stages are
+    order-independent, so results are identical either way."""
+    out = df.select(
         F.col(id_col).alias("item_id"),
         F.col(binary_col).alias("data"),
         F.struct(
@@ -72,6 +82,10 @@ def attach_media(
             F.octet_length(F.col(binary_col)).cast("long").alias("duration_ms"),
         ).alias("meta"),
     )
+    sc = df.sparkSession.sparkContext
+    if out.rdd.getNumPartitions() < sc.defaultParallelism:
+        out = out.repartition(sc.defaultParallelism)
+    return out
 
 
 def _decode_image(data: bytes) -> "object":

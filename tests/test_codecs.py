@@ -1711,3 +1711,35 @@ class TestMpegAudioLayer1:
 
         assert synthesis_matrix(16, 0) == pytest.approx(math.cos(math.pi / 2))
         assert synthesis_matrix(0, 0) == pytest.approx(math.cos(16 * math.pi / 64))
+
+
+class TestCrc16Vectorized:
+    """The frame CRC-16 was half of encode_flac's wall time; the
+    tree-reduction form must stay byte-exact vs the per-byte table loop
+    (FLAC frame CRC, poly 0x8005, zero init)."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.binary(min_size=0, max_size=5000))
+    def test_matches_scalar_property(self, data):
+        from cassandra_pmem_spark.pipeline.flac import _crc16, _crc16_scalar
+
+        assert _crc16(data) == _crc16_scalar(data)
+
+    def test_boundary_lengths(self):
+        from cassandra_pmem_spark.pipeline.flac import _crc16, _crc16_scalar
+
+        import os as _os
+
+        for n in (0, 1, 63, 64, 65, 127, 128, 255, 256, 4095, 4096, 4097):
+            d = _os.urandom(n)
+            assert _crc16(d) == _crc16_scalar(d), n
+
+    def test_known_vector(self):
+        # CRC-16/BUYPASS ('123456789' -> 0xFEE8): poly 0x8005, init 0,
+        # no reflection — the FLAC frame CRC parameters
+        from cassandra_pmem_spark.pipeline.flac import _crc16_scalar
+
+        assert _crc16_scalar(b"123456789") == 0xFEE8
