@@ -2813,8 +2813,12 @@ class CqlDatabase:
         df = sess.table(now=now, with_shadows=True)
         if sess._base is None:
             # buffer-backed: the whole visible state derives from
-            # driver-held statements — bounded, safe to pin
-            df = df.persist()
+            # driver-held statements — bounded, safe to pin. Coalesce
+            # the cached layout to one partition first: the merge ran at
+            # spark.sql.shuffle.partitions width, and dragging 32 tiny
+            # cached partitions through every subsequent page/SELECT job
+            # costs more task overhead than the data is worth.
+            df = df.coalesce(1).persist()
         self._select_frames[key] = (ver, df)
         return df
 

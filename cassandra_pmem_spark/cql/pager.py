@@ -59,6 +59,15 @@ from cassandra_pmem_spark.cql.parser import (
 _HIDDEN = "__pg"
 
 
+def _unpersist_quietly(df) -> None:
+    """weakref.finalize target: unpin a pager's compiled frame when the
+    pager is collected (module-level — holds no pager reference)."""
+    try:
+        df.unpersist(blocking=False)
+    except Exception:
+        pass  # session may already be stopped
+
+
 def _encode_val(v):
     if v is None:
         return ["n", None]
@@ -347,7 +356,20 @@ class QueryPager:
             return cached[1]
         frame = self.db._compile_select(self._st)
         if ver is not None:
+            if cached is not None:
+                try:
+                    cached[1].unpersist(blocking=False)
+                except Exception:
+                    pass
+            # pin the compiled frame too: pages share the token/order
+            # expressions (an Arrow-evaluated Murmur3 UDF) — persisting
+            # above them means page N's job reads the already-hashed
+            # rows instead of re-running the UDF per page
+            frame = frame.persist()
             self._frame_memo = (ver, frame)
+            import weakref
+
+            weakref.finalize(self, _unpersist_quietly, frame)
         return frame
 
     # -- QueryPager surface ----------------------------------------------------
