@@ -82,10 +82,9 @@ def attach_media(
             F.octet_length(F.col(binary_col)).cast("long").alias("duration_ms"),
         ).alias("meta"),
     )
-    sc = df.sparkSession.sparkContext
-    if out.rdd.getNumPartitions() < sc.defaultParallelism:
-        out = out.repartition(sc.defaultParallelism)
-    return out
+    from cassandra_pmem_spark.plans.hints import ensure_scan_parallelism
+
+    return ensure_scan_parallelism(out)
 
 
 def _decode_image(data: bytes) -> "object":

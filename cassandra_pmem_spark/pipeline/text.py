@@ -375,11 +375,17 @@ def ngram_lm_scores(
     # regexp per trigram — O(len²) regex work per document (measured
     # 34.8 s → 1.9 s at sf0.1 for this one change). A plain column
     # reference makes each element a single substring call.
-    normed = df.select(
-        F.col(id_col),
-        F.trim(
-            F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
-        ).alias("__s"),
+    from cassandra_pmem_spark.plans.hints import ensure_scan_parallelism
+
+    # both corpus passes fan out from this projection; a one-split scan
+    # would run the whole explode+count on one core (see the helper)
+    normed = ensure_scan_parallelism(
+        df.select(
+            F.col(id_col),
+            F.trim(
+                F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+            ).alias("__s"),
+        )
     )
     tris = normed.select(
         F.col(id_col),
@@ -491,8 +497,14 @@ def dsir_importance_weights(
     from cassandra_pmem_spark.pipeline.dedup import md5_hash32, normalize_text
 
     def feats(df: DataFrame) -> DataFrame:
+        from cassandra_pmem_spark.plans.hints import ensure_scan_parallelism
+
         words = F.split(normalize_text(text_col), " ")
-        d = df.select(F.col(id_col), words.alias("__w"))
+        # the gram explode + md5 bucketing is the CPU-heavy pass; guard
+        # against a one-split scan serializing it (no-op at scale)
+        d = ensure_scan_parallelism(
+            df.select(F.col(id_col), words.alias("__w"))
+        )
         grams = F.concat(
             F.col("__w"),
             F.when(

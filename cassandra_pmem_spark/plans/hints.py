@@ -62,3 +62,18 @@ def maybe_broadcast(df: DataFrame, max_bytes: int = DEFAULT_MAX_BYTES) -> DataFr
     if size is not None and size <= max_bytes:
         return F.broadcast(df)
     return df
+
+
+def ensure_scan_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition ``df`` up to the cluster's default parallelism when
+    the scan yields fewer partitions — the guard for CPU-BOUND per-row
+    stages (codec chains, corpus-wide explode passes) whose parallelism
+    equals the scan's split count. A small table read as one parquet
+    split would otherwise serialize the whole stage onto one core. At
+    warehouse scale inputs carry many splits, so this is a no-op and
+    the stage stays zero-Exchange; when it does fire, the shuffle moves
+    only the raw input rows once, before the expensive work."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
