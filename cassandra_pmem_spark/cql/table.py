@@ -262,6 +262,52 @@ class CqlTable:
                     "allowed only at the beginning and/or end "
                     "(Operator.java LIKE_PREFIX/SUFFIX/CONTAINS/MATCHER)"
                 )
+            # an ANALYZED SASI index matches against the analyzed TERM
+            # stream, not the raw value (Expression.validateStringValue:
+            # 272-307 runs the column through the index's analyzer and
+            # checks each term per the op; the query value is analyzed
+            # too, which for the modeled chains means case-folding).
+            # LIKE is index-only, so any executed LIKE IS served by this
+            # index and its analyzer decides the match semantics.
+            # Boundary: multi-token query bodies (the reference splits
+            # them into per-token sub-expressions via
+            # Operation.analyzeGroup) are matched as one term here.
+            minfo = self.index_modes.get(column) or {}
+            analyzer = minfo.get("analyzer")
+            shp = t._restrictions[-1].like_shape
+            if analyzer == "standard":
+                from cassandra_pmem_spark.pipeline.text import (
+                    standard_analyzer,
+                )
+
+                req = F.lit(body.lower())
+                match = {
+                    "prefix": lambda term: term.startswith(req),
+                    "suffix": lambda term: term.endswith(req),
+                    "contains": lambda term: term.contains(req),
+                    "match": lambda term: term == req,
+                }[shp]
+                t._conditions.append(
+                    F.exists(standard_analyzer(F.col(column)), match)
+                )
+                return t
+            if analyzer == "nontokenizing":
+                term = (
+                    F.lower(F.col(column))
+                    if minfo.get("nt_lowercase")
+                    else F.col(column)
+                )
+                req = F.lit(
+                    body.lower() if minfo.get("nt_lowercase") else body
+                )
+                cond = {
+                    "prefix": term.startswith(req),
+                    "suffix": term.endswith(req),
+                    "contains": term.contains(req),
+                    "match": term == req,
+                }[shp]
+                t._conditions.append(cond)
+                return t
             spark_pat = value.replace("\\", "\\\\").replace("_", "\\_")
             t._conditions.append(F.col(column).like(spark_pat))
             return t

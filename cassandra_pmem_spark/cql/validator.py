@@ -149,7 +149,37 @@ def sasi_index_mode(options: dict, default_literal: bool) -> dict:
         analyzed = str(options.get("analyzed", "false")).lower() == "true"
     lit_opt = options.get("is_literal")
     is_literal = default_literal if lit_opt is None else str(lit_opt).lower() == "true"
-    return {"mode": mode, "analyzed": analyzed, "is_literal": is_literal}
+    # analyzer identity (IndexMode.getAnalyzer:75-95): an explicit class
+    # wins; analyzed with no class gets StandardAnalyzer only on
+    # tokenizable (text/ascii) columns, NoOp otherwise. isTokenized =
+    # analyzer.isTokenizing() (ColumnIndex.java:82) — TRUE for Standard,
+    # FALSE for NonTokenizing, so an analyzed NonTokenizing index still
+    # serves EQ. Unmodeled analyzer classes behave as NoOp (documented).
+    cls_tail = (options.get("analyzer_class") or "").rsplit(".", 1)[-1].lower()
+    if not analyzed:
+        analyzer = None
+    elif cls_tail == "standardanalyzer":
+        analyzer = "standard"
+    elif cls_tail == "nontokenizinganalyzer":
+        analyzer = "nontokenizing"
+    elif cls_tail == "":
+        analyzer = "standard" if default_literal else None
+    else:
+        analyzer = None
+    # NonTokenizingOptions: caseSensitive defaults TRUE (:64,140-143);
+    # lowercase output when case_sensitive=false or normalize_lowercase
+    nt_lower = (
+        str(options.get("case_sensitive", "true")).lower() == "false"
+        or str(options.get("normalize_lowercase", "false")).lower() == "true"
+    )
+    return {
+        "mode": mode,
+        "analyzed": analyzed,
+        "is_literal": is_literal,
+        "analyzer": analyzer,
+        "tokenized": analyzer == "standard",
+        "nt_lowercase": nt_lower,
+    }
 
 
 def validate_sasi_mode(mode_info: dict) -> None:
@@ -169,9 +199,10 @@ def sasi_supports(op: str, m: dict) -> bool:
     literal column (:221-222 — the generic-LIKE prepare-time gate)."""
     if op in ("PREFIX", "SUFFIX", "CONTAINS", "MATCH") and not m["is_literal"]:
         return False
-    if m["analyzed"] and op == "EQ":
+    tokenized = m.get("tokenized", m["analyzed"])
+    if tokenized and op == "EQ":
         return False  # EQ only on non-tokenized indexes (:225)
-    if m["analyzed"] and m["mode"] == "CONTAINS" and op == "PREFIX":
+    if tokenized and m["mode"] == "CONTAINS" and op == "PREFIX":
         return False  # PREFIX unsupported on tokenized CONTAINS (:226)
     if m["is_literal"] and op == "RANGE":
         return False  # RANGE only on non-literal indexes (:227)

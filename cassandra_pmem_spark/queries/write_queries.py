@@ -1454,7 +1454,14 @@ def cql_index_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
     but NOT '%x' / '%x%' (rejections asserted inline with the
     reference's index-only message), a CONTAINS-mode index serves all
     shapes, SPARSE-on-literal and bad mode names reject at CREATE with
-    the reference's ConfigurationException messages."""
+    the reference's ConfigurationException messages. ANALYZED matching
+    semantics too (Expression.validateStringValue:272-307): a
+    StandardAnalyzer CONTAINS index matches per analyzed TERM
+    (lowercased, tokenized, stopwords dropped — raw-substring would
+    return different rows, which the oracle pins), rejects PREFIX
+    (tokenized CONTAINS) and EQ (tokenized); a NonTokenizingAnalyzer
+    case_sensitive=false PREFIX index matches case-folded and still
+    serves EQ (isTokenizing()=false — ColumnIndex.java:82)."""
     from cassandra_pmem_spark.cql.ddl import CqlDatabase
     from cassandra_pmem_spark.cql.validator import (
         ConfigurationException,
@@ -1466,19 +1473,22 @@ def cql_index_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
     db.execute("USE itk")
     db.execute(
         "CREATE TABLE ev (id int PRIMARY KEY, m map<text, int>, "
-        "s set<text>, fl frozen<list<int>>, tag text, b1 text, b2 text)"
+        "s set<text>, fl frozen<list<int>>, tag text, b1 text, b2 text, "
+        "b3 text, b4 text)"
     )
     db.execute(
-        "INSERT INTO ev (id, m, s, fl, tag, b1, b2) VALUES "
-        "(1, {'a': 1, 'b': 2}, {'x'}, [1, 2], 'hot', 'hot', 'holder')"
+        "INSERT INTO ev (id, m, s, fl, tag, b1, b2, b3, b4) VALUES "
+        "(1, {'a': 1, 'b': 2}, {'x'}, [1, 2], 'hot', 'hot', 'holder', "
+        "'The Quick Brown', 'Hot')"
     )
     db.execute(
-        "INSERT INTO ev (id, m, s, fl, tag, b1, b2) VALUES "
-        "(2, {'b': 9, 'c': 7}, {'x', 'y'}, [3], 'cold', 'cold', 'older')"
+        "INSERT INTO ev (id, m, s, fl, tag, b1, b2, b3, b4) VALUES "
+        "(2, {'b': 9, 'c': 7}, {'x', 'y'}, [3], 'cold', 'cold', 'older', "
+        "'brown fox', 'Cold')"
     )
     db.execute(
-        "INSERT INTO ev (id, fl, tag, b1, b2) VALUES "
-        "(3, [1, 2], 'hot', 'hotter', 'bold')"
+        "INSERT INTO ev (id, fl, tag, b1, b2, b3, b4) VALUES "
+        "(3, [1, 2], 'hot', 'hotter', 'bold', 'QUICKLY done', 'HOTTER')"
     )
     db.execute("CREATE INDEX m_keys ON ev (keys(m))")
     db.execute("CREATE INDEX m_vals ON ev (values(m))")
@@ -1495,6 +1505,16 @@ def cql_index_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CREATE CUSTOM INDEX b2_sasi ON ev (b2) USING {sasi} "
         "WITH OPTIONS = {'mode': 'CONTAINS'}"
     )
+    db.execute(
+        f"CREATE CUSTOM INDEX b3_sasi ON ev (b3) USING {sasi} "
+        "WITH OPTIONS = {'mode': 'CONTAINS', 'analyzed': 'true'}"
+    )
+    db.execute(
+        f"CREATE CUSTOM INDEX b4_sasi ON ev (b4) USING {sasi} "
+        "WITH OPTIONS = {'mode': 'PREFIX', 'analyzer_class': "
+        "'org.apache.cassandra.index.sasi.analyzer.NonTokenizingAnalyzer', "
+        "'case_sensitive': 'false'}"
+    )
     probes = [
         ("entry_eq", "SELECT id FROM ev WHERE m['b'] = 2", "m_ent", "m"),
         ("frozen_eq", "SELECT id FROM ev WHERE fl = [1, 2]", "fl_full", "fl"),
@@ -1506,6 +1526,16 @@ def cql_index_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("sasi_prefix", "SELECT id FROM ev WHERE b1 LIKE 'ho%'", "b1_sasi", "b1"),
         ("sasi_contains", "SELECT id FROM ev WHERE b2 LIKE '%ol%'", "b2_sasi", "b2"),
         ("sasi_suffix", "SELECT id FROM ev WHERE b2 LIKE '%der'", "b2_sasi", "b2"),
+        # analyzed (StandardAnalyzer) CONTAINS: matches per lowercased
+        # TERM — 'The Quick Brown' matches '%quick%' though the raw
+        # value contains neither 'quick' nor (case-sensitively) 'Quick'
+        # at the matched casing; 'QUICKLY done' matches via the term
+        # 'quickly'
+        ("sasi_an_contains", "SELECT id FROM ev WHERE b3 LIKE '%quick%'", "b3_sasi", "b3"),
+        ("sasi_an_suffix", "SELECT id FROM ev WHERE b3 LIKE '%own'", "b3_sasi", "b3"),
+        ("sasi_an_match", "SELECT id FROM ev WHERE b3 LIKE 'fox'", "b3_sasi", "b3"),
+        # NonTokenizing case_sensitive=false PREFIX: case-folded match
+        ("sasi_nt_prefix", "SELECT id FROM ev WHERE b4 LIKE 'hot%'", "b4_sasi", "b4"),
     ]
     out = None
     for probe, q, idx, col in probes:
@@ -1524,6 +1554,7 @@ def cql_index_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
     for bad_q in (
         "SELECT id FROM ev WHERE b1 LIKE '%ot'",   # SUFFIX not in PREFIX mode
         "SELECT id FROM ev WHERE b1 LIKE '%ot%'",  # CONTAINS not in PREFIX mode
+        "SELECT id FROM ev WHERE b3 LIKE 'qui%'",  # PREFIX on tokenized CONTAINS
     ):
         try:
             db.execute(bad_q)
@@ -1562,7 +1593,11 @@ SELECT * FROM (VALUES
   ('values_contains', 2),
   ('sasi_prefix', 1), ('sasi_prefix', 3),
   ('sasi_contains', 1), ('sasi_contains', 2), ('sasi_contains', 3),
-  ('sasi_suffix', 1), ('sasi_suffix', 2)
+  ('sasi_suffix', 1), ('sasi_suffix', 2),
+  ('sasi_an_contains', 1), ('sasi_an_contains', 3),
+  ('sasi_an_suffix', 1), ('sasi_an_suffix', 2),
+  ('sasi_an_match', 2),
+  ('sasi_nt_prefix', 1), ('sasi_nt_prefix', 3)
 ) t(probe, id)
 """
 

@@ -500,3 +500,88 @@ class TestSasiIndexModes:
         )
         with pytest.raises(InvalidRequest, match="properly indexed"):
             sdb.execute("SELECT id FROM t WHERE body LIKE 'alpha%'")
+
+
+class TestSasiAnalyzedMatching:
+    """ANALYZED match semantics (Expression.validateStringValue:272-307 —
+    the column runs through the index's analyzer, each TERM checked per
+    op; ColumnIndex.java:82 isTokenized = analyzer.isTokenizing(), so a
+    NonTokenizing analyzer keeps EQ servable)."""
+
+    SASI = "'org.apache.cassandra.index.sasi.SASIIndex'"
+    NT = "'org.apache.cassandra.index.sasi.analyzer.NonTokenizingAnalyzer'"
+
+    @pytest.fixture()
+    def adb(self, spark):
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+        d = CqlDatabase(spark)
+        d.execute(
+            "CREATE KEYSPACE ank WITH REPLICATION = {'class': 'SimpleStrategy'}"
+        )
+        d.execute("USE ank")
+        d.execute("CREATE TABLE t (id int PRIMARY KEY, body text, nm text)")
+        d.execute(
+            "INSERT INTO t (id, body, nm) VALUES (1, 'The Quick Brown', 'Hot')"
+        )
+        d.execute("INSERT INTO t (id, body, nm) VALUES (2, 'brown fox', 'Cold')")
+        d.execute(
+            "INSERT INTO t (id, body, nm) VALUES (3, 'QUICKLY done', 'HOTTER')"
+        )
+        d.execute(
+            f"CREATE CUSTOM INDEX bx ON t (body) USING {self.SASI} "
+            "WITH OPTIONS = {'mode': 'CONTAINS', 'analyzed': 'true'}"
+        )
+        d.execute(
+            f"CREATE CUSTOM INDEX nx ON t (nm) USING {self.SASI} "
+            "WITH OPTIONS = {'mode': 'PREFIX', 'analyzer_class': "
+            + self.NT
+            + ", 'case_sensitive': 'false'}"
+        )
+        return d
+
+    def q(self, db, sql):
+        return sorted(r.id for r in db.execute(sql).collect())
+
+    def test_standard_analyzer_matches_terms_not_raw(self, adb):
+        # raw substring would miss 'The Quick Brown' (case) and match
+        # nothing for 'QUICKLY done'; term matching finds both
+        assert self.q(adb, "SELECT id FROM t WHERE body LIKE '%quick%'") == [1, 3]
+        assert self.q(adb, "SELECT id FROM t WHERE body LIKE '%own'") == [1, 2]
+        # MATCH = analyzed-term equality; 'the' is a stopword-adjacent
+        # real term here ('fox' picked to avoid the stopword edge)
+        assert self.q(adb, "SELECT id FROM t WHERE body LIKE 'fox'") == [2]
+
+    def test_tokenized_contains_rejects_prefix_and_eq(self, adb):
+        with pytest.raises(InvalidRequest, match="properly indexed"):
+            adb.execute("SELECT id FROM t WHERE body LIKE 'qui%'")
+        with pytest.raises(InvalidRequest, match="ALLOW FILTERING"):
+            adb.execute("SELECT id FROM t WHERE body = 'brown fox'")
+
+    def test_nontokenizing_case_insensitive_prefix_and_eq(self, adb):
+        assert self.q(adb, "SELECT id FROM t WHERE nm LIKE 'hot%'") == [1, 3]
+        # NonTokenizing is NOT tokenizing — EQ stays servable; EQ
+        # matching itself stays the raw comparison (RowFilter semantics)
+        assert self.q(adb, "SELECT id FROM t WHERE nm = 'Cold'") == [2]
+
+    def test_nontokenizing_default_is_case_sensitive(self, spark):
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+        d = CqlDatabase(spark)
+        d.execute(
+            "CREATE KEYSPACE ank2 WITH REPLICATION = {'class': 'SimpleStrategy'}"
+        )
+        d.execute("USE ank2")
+        d.execute("CREATE TABLE t (id int PRIMARY KEY, nm text)")
+        d.execute("INSERT INTO t (id, nm) VALUES (1, 'Hot')")
+        d.execute("INSERT INTO t (id, nm) VALUES (2, 'hotter')")
+        d.execute(
+            f"CREATE CUSTOM INDEX nx ON t (nm) USING {self.SASI} "
+            "WITH OPTIONS = {'mode': 'PREFIX', 'analyzer_class': "
+            + self.NT
+            + "}"
+        )
+        # caseSensitive defaults TRUE (NonTokenizingOptions:64,140-143)
+        r = sorted(x.id for x in d.execute(
+            "SELECT id FROM t WHERE nm LIKE 'hot%'").collect())
+        assert r == [2]
