@@ -291,6 +291,28 @@ class CqlTable:
                     F.exists(standard_analyzer(F.col(column)), match)
                 )
                 return t
+            if analyzer == "delimiter":
+                import re as _re_d
+
+                # DelimiterAnalyzer.java:78-100: split on the single
+                # delimiter char, drop empty terms, NO case folding
+                terms = F.filter(
+                    F.split(
+                        F.col(column),
+                        _re_d.escape(minfo.get("delimiter", ",")),
+                        -1,
+                    ),
+                    lambda term: term != "",
+                )
+                req = F.lit(body)
+                match = {
+                    "prefix": lambda term: term.startswith(req),
+                    "suffix": lambda term: term.endswith(req),
+                    "contains": lambda term: term.contains(req),
+                    "match": lambda term: term == req,
+                }[shp]
+                t._conditions.append(F.exists(terms, match))
+                return t
             if analyzer == "nontokenizing":
                 term = (
                     F.lower(F.col(column))

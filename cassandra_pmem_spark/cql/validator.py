@@ -162,6 +162,8 @@ def sasi_index_mode(options: dict, default_literal: bool) -> dict:
         analyzer = "standard"
     elif cls_tail == "nontokenizinganalyzer":
         analyzer = "nontokenizing"
+    elif cls_tail == "delimiteranalyzer":
+        analyzer = "delimiter"
     elif cls_tail == "":
         analyzer = "standard" if default_literal else None
     else:
@@ -172,13 +174,23 @@ def sasi_index_mode(options: dict, default_literal: bool) -> dict:
         str(options.get("case_sensitive", "true")).lower() == "false"
         or str(options.get("normalize_lowercase", "false")).lower() == "true"
     )
+    # DelimiterTokenizingOptions: single delimiter char, ',' default
+    # (:42,58-63 — multi-char rejects with the reference's message)
+    delim = options.get("delimiter", ",")
+    if analyzer == "delimiter" and len(str(delim)) != 1:
+        raise ConfigurationException(
+            f"Only single character delimiters supported, was {delim}"
+        )
     return {
         "mode": mode,
         "analyzed": analyzed,
         "is_literal": is_literal,
         "analyzer": analyzer,
-        "tokenized": analyzer == "standard",
+        # isTokenized = analyzer.isTokenizing() — Standard AND Delimiter
+        # (DelimiterAnalyzer.java:104), not NonTokenizing/NoOp
+        "tokenized": analyzer in ("standard", "delimiter"),
         "nt_lowercase": nt_lower,
+        "delimiter": str(delim),
     }
 
 

@@ -585,3 +585,60 @@ class TestSasiAnalyzedMatching:
         r = sorted(x.id for x in d.execute(
             "SELECT id FROM t WHERE nm LIKE 'hot%'").collect())
         assert r == [2]
+
+
+class TestSasiDelimiterAnalyzer:
+    """DelimiterAnalyzer (index/sasi/analyzer/DelimiterAnalyzer.java:
+    78-104): split on ONE delimiter char (',' default —
+    DelimiterTokenizingOptions:42), drop empty terms, NO case folding;
+    isTokenizing() = true, so EQ is not servable and CONTAINS-mode
+    PREFIX rejects."""
+
+    SASI = "'org.apache.cassandra.index.sasi.SASIIndex'"
+    DL = "'org.apache.cassandra.index.sasi.analyzer.DelimiterAnalyzer'"
+
+    def test_delimiter_terms_and_gates(self, spark):
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+        from cassandra_pmem_spark.cql.validator import ConfigurationException
+
+        d = CqlDatabase(spark)
+        d.execute(
+            "CREATE KEYSPACE dlk WITH REPLICATION = {'class': 'SimpleStrategy'}"
+        )
+        d.execute("USE dlk")
+        d.execute("CREATE TABLE t (id int PRIMARY KEY, tags text)")
+        d.execute("INSERT INTO t (id, tags) VALUES (1, 'Red,green,,blue')")
+        d.execute("INSERT INTO t (id, tags) VALUES (2, 'green apple')")
+        d.execute("INSERT INTO t (id, tags) VALUES (3, 'red')")
+        d.execute(
+            f"CREATE CUSTOM INDEX tx ON t (tags) USING {self.SASI} "
+            "WITH OPTIONS = {'mode': 'CONTAINS', 'analyzed': 'true', "
+            "'analyzer_class': " + self.DL + "}"
+        )
+
+        def q(sql):
+            return sorted(r.id for r in d.execute(sql).collect())
+
+        # term match is case-SENSITIVE and per comma-delimited term:
+        # id1 terms [Red, green, blue] (empty dropped); id2 has ONE term
+        # 'green apple'; id3 [red]
+        assert q("SELECT id FROM t WHERE tags LIKE 'green'") == [1]
+        assert q("SELECT id FROM t WHERE tags LIKE '%green%'") == [1, 2]
+        assert q("SELECT id FROM t WHERE tags LIKE 'red'") == [3]  # not 'Red'
+        assert q("SELECT id FROM t WHERE tags LIKE '%ed'") == [1, 3]
+        from cassandra_pmem_spark.cql.validator import InvalidRequest
+
+        with pytest.raises(InvalidRequest, match="properly indexed"):
+            q("SELECT id FROM t WHERE tags LIKE 'gre%'")  # tokenized CONTAINS
+        with pytest.raises(InvalidRequest, match="ALLOW FILTERING"):
+            q("SELECT id FROM t WHERE tags = 'red'")  # tokenized: no EQ
+        # multi-char delimiter rejects with the reference's message
+        with pytest.raises(
+            ConfigurationException,
+            match="Only single character delimiters supported, was ::",
+        ):
+            d.execute(
+                f"CREATE CUSTOM INDEX tx2 ON t (tags) USING {self.SASI} "
+                "WITH OPTIONS = {'mode': 'CONTAINS', 'analyzed': 'true', "
+                "'analyzer_class': " + self.DL + ", 'delimiter': '::'}"
+            )
