@@ -2817,8 +2817,12 @@ class CqlDatabase:
             # the cached layout to one partition first: the merge ran at
             # spark.sql.shuffle.partitions width, and dragging 32 tiny
             # cached partitions through every subsequent page/SELECT job
-            # costs more task overhead than the data is worth.
-            df = df.coalesce(1).persist()
+            # costs more task overhead than the data is worth. Guarded
+            # by the buffer size so a genuinely large ingest keeps its
+            # parallel layout.
+            if len(sess._mutations) <= 100_000:
+                df = df.coalesce(1)
+            df = df.persist()
         self._select_frames[key] = (ver, df)
         return df
 

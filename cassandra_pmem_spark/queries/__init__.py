@@ -37,8 +37,12 @@ from pyspark.sql import DataFrame, SparkSession
 _PRIORITY: tuple[str, ...] = (
     # -- (1) new in round 11
     "cql_token_scan_frozen",  # frozen collection/UDT pk murmur3 tokens
-    # -- (2) stale-by-edit (round-11 edits to their machinery)
-    "cql_token_scan",
+    # -- (2) stale-by-edit (round-11 edits to their machinery).
+    # cql_token_scan itself is NOT here: its fixed-8 kernel and nested
+    # DuckDB twin were untouched this round (only the general-length
+    # twin regenerated); text_dsir_weights re-enters instead (its gram
+    # pass gained the scan-parallelism guard).
+    "text_dsir_weights",
     "cql_token_scan_text",
     "cql_token_scan_composite",
     "cql_token_scan_uuid",
