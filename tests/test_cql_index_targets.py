@@ -642,3 +642,39 @@ class TestSasiDelimiterAnalyzer:
                 "WITH OPTIONS = {'mode': 'CONTAINS', 'analyzed': 'true', "
                 "'analyzer_class': " + self.DL + ", 'delimiter': '::'}"
             )
+
+
+class TestSasiSupportsMatrixProperty:
+    """Property pin of ColumnIndex.supports (ColumnIndex.java:219-230)
+    against an independent restatement of the reference rules, across
+    the full mode/analyzer/literal/op cross product."""
+
+    def test_full_cross_product(self):
+        from cassandra_pmem_spark.cql.validator import (
+            SASI_MODE_OPS,
+            sasi_supports,
+        )
+
+        ops = ["EQ", "MATCH", "PREFIX", "SUFFIX", "CONTAINS", "NOT_EQ", "RANGE"]
+        for mode in ("PREFIX", "CONTAINS", "SPARSE"):
+            for tokenized in (False, True):
+                for is_literal in (False, True):
+                    m = {
+                        "mode": mode,
+                        "analyzed": tokenized,
+                        "tokenized": tokenized,
+                        "is_literal": is_literal,
+                    }
+                    for op in ops:
+                        got = sasi_supports(op, m)
+                        # independent restatement of the Java conditions
+                        want = op in SASI_MODE_OPS[mode]
+                        if op in ("PREFIX", "SUFFIX", "CONTAINS", "MATCH") and not is_literal:
+                            want = False
+                        if tokenized and op == "EQ":
+                            want = False
+                        if tokenized and mode == "CONTAINS" and op == "PREFIX":
+                            want = False
+                        if is_literal and op == "RANGE":
+                            want = False
+                        assert got == want, (mode, tokenized, is_literal, op)
