@@ -227,7 +227,35 @@ def main(argv: list[str] | None = None) -> int:
         "of them) as JSON partitions (tools/bin/sstabledump analog) and "
         "exit — no Spark session",
     )
+    ap.add_argument(
+        "--sstablemetadata",
+        metavar="PATH",
+        help="print a big-format sstable's metadata (a *-Data.db file or "
+        "a directory of them) as Name: value lines — partitioner, stats, "
+        "clustering bounds, compression, the COMPACTION cardinality "
+        "estimate (tools/bin/sstablemetadata analog) — and exit; no "
+        "Spark session",
+    )
     args = ap.parse_args(argv)
+
+    if args.sstablemetadata:
+        from cassandra_pmem_spark.sources.sstable import sstable_metadata
+
+        target = args.sstablemetadata
+        paths = (
+            sorted(
+                os.path.join(target, f)
+                for f in os.listdir(target)
+                if f.endswith("-Data.db")
+            )
+            if os.path.isdir(target)
+            else [target]
+        )
+        for p in paths:
+            for line in sstable_metadata(p):
+                print(line)
+            print()
+        return 0
 
     if args.sstabledump:
         from cassandra_pmem_spark.sources.sstable import dump_sstable

@@ -2434,6 +2434,61 @@ def stats_component(schema: SSTableSchema, stats: EncodingStats,
     return bytes(out)
 
 
+def sstable_metadata(data_path: str) -> list[str]:
+    """``Name: value`` lines for one sstable — the
+    tools/bin/sstablemetadata analog (SSTableMetadataViewer.java:
+    334-430 field() output), covering the components this engine
+    writes: VALIDATION (partitioner, bloom fp), STATS (timestamps,
+    deletion times, TTLs, compression ratio, level, repairedAt,
+    clustering bounds, totals), COMPACTION (the HLL cardinality
+    estimate — :409), and the EncodingStats epoch deltas."""
+    base = data_path[: -len("Data.db")]
+    with open(base + "Statistics.db", "rb") as fh:
+        stats, hdr = parse_statistics(fh.read())
+    lines = [f"SSTable: {base.rstrip('-')}"]
+    lines.append("Partitioner: org.apache.cassandra.dht.Murmur3Partitioner")
+    lines.append("Bloom Filter FP chance: 0.01")
+    sm = hdr.get("stats_metadata")
+    if sm:
+        lines.append(f"Minimum timestamp: {sm['min_timestamp']}")
+        lines.append(f"Maximum timestamp: {sm['max_timestamp']}")
+        lines.append(
+            f"SSTable min local deletion time: {sm['min_local_deletion_time']}"
+        )
+        lines.append(
+            f"SSTable max local deletion time: {sm['max_local_deletion_time']}"
+        )
+        info_path = base + "CompressionInfo.db"
+        if os.path.exists(info_path):
+            with open(info_path, "rb") as fh:
+                info = CompressionInfo.parse(fh.read())
+            lines.append(f"Compressor: {info.compressor}")
+            lines.append(f"Compression ratio: {sm['compression_ratio']}")
+        else:
+            lines.append("Compressor: -")
+        lines.append(f"TTL min: {sm['min_ttl']}")
+        lines.append(f"TTL max: {sm['max_ttl']}")
+        if sm["min_clustering_values"]:
+            lines.append(
+                f"minClusteringValues: {sm['min_clustering_values']}"
+            )
+            lines.append(
+                f"maxClusteringValues: {sm['max_clustering_values']}"
+            )
+        lines.append(f"SSTable Level: {sm['sstable_level']}")
+        lines.append(f"Repaired at: {sm['repaired_at']}")
+        lines.append(f"totalColumnsSet: {sm['total_columns_set']}")
+        lines.append(f"totalRows: {sm['total_rows']}")
+    if "compaction_cardinality" in hdr:
+        lines.append(f"Estimated cardinality: {hdr['compaction_cardinality']}")
+    lines.append(f"EncodingStats minTTL: {stats.min_ttl}")
+    lines.append(
+        f"EncodingStats minLocalDeletionTime: {stats.min_local_deletion_time}"
+    )
+    lines.append(f"EncodingStats minTimestamp: {stats.min_timestamp}")
+    return lines
+
+
 def parse_stats_component(blob: bytes, schema: SSTableSchema) -> dict:
     r = ByteReader(blob)
     part_hist = _read_estimated_histogram(r)

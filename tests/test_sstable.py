@@ -1738,3 +1738,46 @@ class TestCompactionComponent:
         assert h.registers[5] == 16
         # rho for unflagged = (sp-p) - bit_length(between) + 1 = 12-3+1
         assert h.registers[9] == 10
+
+
+class TestSstableMetadataCli:
+    """tools/bin/sstablemetadata analog (SSTableMetadataViewer.java:
+    334-430 field() lines), incl. the COMPACTION cardinality estimate
+    (:409) decoded from the stream-lib blob."""
+
+    def test_cli_sstablemetadata(self, tmp_path, capsys):
+        from cassandra_pmem_spark.__main__ import main
+        from cassandra_pmem_spark.functions.murmur3 import murmur3_token_py
+
+        schema = SSTableSchema(
+            ["k"], [_MARSHAL + "LongType"], ["c"], [_MARSHAL + "Int32Type"],
+            [("v", _MARSHAL + "UTF8Type")],
+        )
+        ks = sorted(range(300), key=murmur3_token_py)
+        parts = [
+            PartitionData(
+                key_values=[k],
+                rows=[RowData(clustering=[k % 5], liveness_timestamp=TS,
+                              cells={"v": CellValue("x", TS)})],
+            )
+            for k in ks
+        ]
+        write_sstable(str(tmp_path), 1, schema, parts, compression=True)
+        rc = main(["--sstablemetadata", str(tmp_path)])
+        assert rc == 0
+        out = capsys.readouterr().out
+        fields = dict(
+            ln.split(": ", 1) for ln in out.strip().splitlines() if ": " in ln
+        )
+        assert fields["Partitioner"] == (
+            "org.apache.cassandra.dht.Murmur3Partitioner"
+        )
+        assert fields["Minimum timestamp"] == str(TS)
+        assert fields["Compressor"] == "LZ4Compressor"
+        assert fields["totalRows"] == "300"
+        assert fields["minClusteringValues"] == "[0]"
+        assert fields["maxClusteringValues"] == "[4]"
+        # HLL estimate of 300 distinct keys lands in linear-counting
+        # range: near-exact
+        assert abs(int(fields["Estimated cardinality"]) - 300) <= 10
+        assert "EncodingStats minTimestamp" in fields
