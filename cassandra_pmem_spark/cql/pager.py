@@ -28,7 +28,12 @@ is expressed on the partition-token / key columns, so Catalyst pushes
 it through the aggregation to the scan (filters on grouping columns
 push through Aggregate) — at 100 TB a page touches only the groups at
 and after the resume point, never the already-returned prefix. No
-driver-side result caching: resuming re-plans, exactly like the
+driver-side RESULT caching: every page is a Spark job over live data.
+The compiled PLAN is reused across pages only while the table's
+visible-state version (buffer watermarks + coordinator clock + schema/
+base identity — CqlDatabase._visible_version) is unchanged, i.e. only
+when re-planning would provably rebuild the identical frame; any write,
+clock tick, or DDL between fetches re-plans, exactly like the
 reference re-issuing a ReadCommand from the PagingState position.
 
 PER PARTITION LIMIT pages correctly WITHOUT the reference's

@@ -1081,6 +1081,13 @@ def parse_statistics(blob: bytes) -> tuple[EncodingStats, dict]:
         (blen,) = struct.unpack(">i", body[:4])
         hll = HyperLogLogPlus.deserialize(body[4:4 + blen])
         hdr["compaction_cardinality"] = hll.cardinality()
+    if _TYPE_VALIDATION in positions:
+        body = component_body(_TYPE_VALIDATION)
+        (nlen,) = struct.unpack(">H", body[:2])
+        hdr["partitioner"] = body[2:2 + nlen].decode()
+        (hdr["bloom_filter_fp_chance"],) = struct.unpack(
+            ">d", body[2 + nlen:10 + nlen]
+        )
     return stats, hdr
 
 
@@ -2446,8 +2453,13 @@ def sstable_metadata(data_path: str) -> list[str]:
     with open(base + "Statistics.db", "rb") as fh:
         stats, hdr = parse_statistics(fh.read())
     lines = [f"SSTable: {base.rstrip('-')}"]
-    lines.append("Partitioner: org.apache.cassandra.dht.Murmur3Partitioner")
-    lines.append("Bloom Filter FP chance: 0.01")
+    lines.append(
+        "Partitioner: "
+        + hdr.get("partitioner", "org.apache.cassandra.dht.Murmur3Partitioner")
+    )
+    lines.append(
+        f"Bloom Filter FP chance: {hdr.get('bloom_filter_fp_chance', 0.01)}"
+    )
     sm = hdr.get("stats_metadata")
     if sm:
         lines.append(f"Minimum timestamp: {sm['min_timestamp']}")
