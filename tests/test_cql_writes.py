@@ -1389,3 +1389,73 @@ class TestCollectionLiteralErrors:
             match="bare identifier 'abc' is neither a UDT field",
         ):
             db.execute("INSERT INTO t (id, s) VALUES (1, {abc})")
+
+
+class TestVisibleFrameCacheInvalidation:
+    """The SELECT-side visible-frame memo (CqlDatabase._visible_frame)
+    must be invisible: across random interleavings of writes, deletes,
+    TTL writes, TRUNCATE, and paged reads, every cached read must equal
+    the same statement re-planned from scratch (the memo cleared)."""
+
+    def test_random_interleavings_cached_equals_fresh(self, spark):
+        import random
+
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+        rng = random.Random(11)
+        db = CqlDatabase(spark)
+        db.execute(
+            "CREATE KEYSPACE vfc WITH REPLICATION = {'class': 'SimpleStrategy'}"
+        )
+        db.execute("USE vfc")
+        db.execute("CREATE TABLE t (k int, c int, v int, PRIMARY KEY (k, c))")
+
+        def mutate(step: int) -> None:
+            r = rng.random()
+            k, c = rng.randrange(4), rng.randrange(3)
+            if r < 0.45:
+                db.execute(
+                    f"INSERT INTO t (k, c, v) VALUES ({k}, {c}, {step})"
+                )
+            elif r < 0.6:
+                db.execute(f"UPDATE t SET v = {step * 10} WHERE k = {k} AND c = {c}")
+            elif r < 0.75:
+                db.execute(f"DELETE FROM t WHERE k = {k} AND c = {c}")
+            elif r < 0.9:
+                db.execute(
+                    f"INSERT INTO t (k, c, v) VALUES ({k}, {c}, {step}) "
+                    "USING TTL 2"
+                )
+            else:
+                db.execute("TRUNCATE t")
+
+        def read(sql: str) -> list:
+            cached = sorted(tuple(r) for r in db.execute(sql).collect())
+            # control: clear the memo so the same statement re-plans
+            # and re-executes from the raw session state
+            db._select_frames.clear()
+            fresh = sorted(tuple(r) for r in db.execute(sql).collect())
+            assert cached == fresh, sql
+            return cached
+
+        for step in range(24):
+            mutate(step)
+            if step % 3 == 2:
+                read("SELECT k, c, v FROM t")
+            if step == 11:
+                # a pager mid-sequence shares the same cache machinery
+                p = db.pager("SELECT k, c, v FROM t", page_size=3)
+                paged = []
+                while not p.is_exhausted():
+                    got = p.fetch_page()
+                    if not got:
+                        break
+                    paged.extend((r["k"], r["c"], r["v"]) for r in got)
+                db._select_frames.clear()
+                direct = sorted(
+                    tuple(r)
+                    for r in db.execute("SELECT k, c, v FROM t").collect()
+                )
+                assert sorted(paged) == direct
+        # final read after the whole interleaving
+        read("SELECT k, c, v FROM t")
