@@ -839,14 +839,28 @@ class _DdlParser(_Parser):
             validate_sasi_mode,
         )
 
-        if is_sasi_class(cls) and kind == "simple":
+        if is_sasi_class(cls):
+            # complex (multi-cell) targets rejected first, like the
+            # reference's check order (SASIIndex.java:148-152): the
+            # keys()/values()/entries() kinds exist only for non-frozen
+            # collections, exactly ColumnMetadata.isComplex. A frozen
+            # collection (kind 'full') is single-cell and passes this
+            # check in the reference, so it stays a generic custom index
+            # here (SASI has no modeled semantics for it).
+            if kind in ("keys", "values", "entries"):
+                raise ConfigurationException(
+                    "complex columns are not yet supported by SASI"
+                )
             meta_t = self.registry.tables[table_key]
             if col in meta_t.partition_key:
                 raise ConfigurationException(
                     "partition key columns are not yet supported by SASI"
                 )
-            mode_info = sasi_index_mode(opts, _is_literal_type(self, table_key, col))
-            validate_sasi_mode(mode_info)
+            if kind == "simple":
+                mode_info = sasi_index_mode(
+                    opts, _is_literal_type(self, table_key, col)
+                )
+                validate_sasi_mode(mode_info)
         if idx_name is None:
             # findAvailableIndexName (KeyspaceMetadata): the default name
             # suffixes until free, so KEYS(m) + VALUES(m) unnamed indexes
@@ -2786,6 +2800,18 @@ class CqlDatabase:
             id(sess._base),
             sess.meta.schema.simpleString(),
         )
+
+    def _buffer_backed(self, table: str) -> bool:
+        """True when the table's visible state is derived purely from the
+        write buffer (sess._base is None) — the only case where caching a
+        materialized visible frame is bounded. Parquet-backed tables must
+        NOT be persisted (mirrors _visible_frame's own persist gate): an
+        InMemoryRelation over the scan blocks resume-point predicate
+        pushdown and caches unbounded scan output."""
+        ks, _, tbl = table.rpartition(".")
+        key = self._table_key((ks or None, tbl))
+        sess = self._sessions.get(key)
+        return sess is not None and sess._base is None
 
     def _visible_frame(self, key: tuple, sess):
         """The SELECT-visible frame for one session, memoized per version

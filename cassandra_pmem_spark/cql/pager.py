@@ -369,12 +369,17 @@ class QueryPager:
             # pin the compiled frame too: pages share the token/order
             # expressions (an Arrow-evaluated Murmur3 UDF) — persisting
             # above them means page N's job reads the already-hashed
-            # rows instead of re-running the UDF per page
-            frame = frame.persist()
-            self._frame_memo = (ver, frame)
-            import weakref
+            # rows instead of re-running the UDF per page. ONLY for
+            # buffer-backed tables: a parquet-backed visible frame is
+            # unbounded, and an InMemoryRelation above the scan would
+            # block the resume-point filter's pushdown (plan reuse
+            # without persist is still safe there)
+            if self.db._buffer_backed(self._st.table):
+                frame = frame.persist()
+                import weakref
 
-            weakref.finalize(self, _unpersist_quietly, frame)
+                weakref.finalize(self, _unpersist_quietly, frame)
+            self._frame_memo = (ver, frame)
         return frame
 
     # -- QueryPager surface ----------------------------------------------------

@@ -365,15 +365,39 @@ class FrozenUdtMarshal:
 
 
 def _set_sort_key(v, dtype):
-    """Sort key matching the reference comparator on serialized bytes:
-    int-family signed value order; everything else unsigned byte order of
-    the serialization (correct for text/blob/date; uuid keys inside frozen
-    sets are out of the covered set)."""
+    """Sort key matching the reference element comparator (the order
+    SetSerializer/MapSerializer pack elements in):
+
+    - int family: signed value order (Int32Type.java:45-53 signed first
+      byte, LongType.compareLongs);
+    - float/double: VALUE order via compose().compareTo()
+      (FloatType.java:49-55, DoubleType.java:48-54) — Java Float.compare
+      semantics, so -0.0 < 0.0 and NaN sorts greatest (compareTo sees the
+      canonical floatToIntBits NaN, so all NaN payloads tie);
+    - decimal / varint: numeric value, scale-independent
+      (DecimalType.java:51-57 BigDecimal.compareTo,
+      IntegerType.java:70-73 compareIntegers) — unsigned serialized-byte
+      order would mis-sort negatives and different-length varints;
+    - text/blob/date/boolean: unsigned byte order of the serialization,
+      which IS those types' comparator (UTF8Type/BytesType
+      lexicographic, SimpleDateType epoch-centered unsigned int)."""
+    import math
+
     from pyspark.sql import types as T
 
     if isinstance(dtype, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
-        return (0, int(v), b"")
-    return (1, 0, serialize_pk_value(v, dtype))
+        return (0, int(v), 0, b"")
+    if isinstance(dtype, (T.DoubleType, T.FloatType)):
+        f = float(v)
+        if math.isnan(f):
+            return (0, math.inf, 2, b"")  # NaN > +inf (Float.compare)
+        return (0, f, 0 if math.copysign(1.0, f) < 0 else 1, b"")
+    if isinstance(dtype, T.DecimalType):
+        from decimal import Decimal
+
+        d = v if isinstance(v, Decimal) else Decimal(str(v))
+        return (0, d, 0, b"")
+    return (1, 0, 0, serialize_pk_value(v, dtype))
 
 
 def serialize_pk_value(v, dtype) -> bytes:

@@ -348,6 +348,100 @@ def _token_frozen_oracle() -> str:
     )
 
 
+def cql_token_scan_frozen_num(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """token() over frozen sets/maps whose element comparator is VALUE
+    order, not serialized-byte order — the cases where the two diverge:
+
+    - frozen<set<double>>: DoubleType.compareCustom (DoubleType.java:48-54)
+      is compose().compareTo(), so a negative element (IEEE sign bit set,
+      byte-greatest) must still pack FIRST;
+    - frozen<set<varint>>: IntegerType.compareIntegers (IntegerType.java:
+      70-73) is signed value order — a negative 4-byte varint (leading
+      0xFF) packs before a positive one (leading 0x00);
+    - frozen<map<double,bigint>>: entries sorted by the key comparator
+      (MapSerializer.java:62), same value-order rule.
+
+    Elements are built POSITIVE-FIRST so the comparator sort provably
+    runs, and doubles are ±2^e so the DuckDB twin can reconstruct the
+    exact IEEE-754 bit pattern from integer arithmetic
+    (bits(2^e) = (1023+e)<<52, bits(-2^e) = 2^63 + (1023+e)<<52)."""
+    from cassandra_pmem_spark.functions.token import token_column
+
+    k = F.col("c_custkey")
+    cust = load_table(spark, "customer", sf_dir).filter(k < 400)
+    neg_d = -F.pow(F.lit(2.0), (k % 8).cast("double"))
+    pos_d = F.pow(F.lit(2.0), (k % 5).cast("double"))
+    df = cust.select(
+        "c_custkey",
+        F.array(pos_d, neg_d).alias("sd"),  # frozen<set<double>>
+        F.array(
+            (F.lit(8388608) + k % 97).cast("decimal(38,0)"),
+            (F.lit(-8388609) - k % 89).cast("decimal(38,0)"),
+        ).alias("sv"),  # frozen<set<varint>>, both 4-byte minimal varints
+        F.create_map(pos_d, k * 11, neg_d, k * 7).alias("md"),
+    )
+    return (
+        df.withColumn("t_sd", token_column(["sd"], df.schema, cql_types={"sd": "frozen_set"}))
+        .withColumn("t_sv", token_column(["sv"], df.schema, cql_types={"sv": "frozen_set"}))
+        .withColumn("t_md", token_column(["md"], df.schema))
+        .select("c_custkey", "t_sd", "t_sv", "t_md")
+        .orderBy("t_sd")
+    )
+
+
+def _token_frozen_num_oracle() -> str:
+    from cassandra_pmem_spark.functions.murmur3 import (
+        fixed_layout_byte_exprs,
+        murmur3_token_general_subquery,
+    )
+
+    def i32len(n: int) -> list:
+        return [("const", b) for b in n.to_bytes(4, "big", signed=True)]
+
+    # IEEE-754 bits of ±2^e as HUGEINT SQL (exact for integer e ≥ 0)
+    p52 = "4503599627370496::HUGEINT"  # 2^52
+    neg_bits = (
+        f"(9223372036854775808::HUGEINT"
+        f" + (1023 + (c_custkey % 8))::HUGEINT * {p52})"
+    )
+    pos_bits = f"((1023 + (c_custkey % 5))::HUGEINT * {p52})"
+    src = "(SELECT c_custkey FROM customer WHERE c_custkey < 400)"
+    # frozen<set<double>> packs the NEGATIVE (value-least) element first
+    exprs, flen = fixed_layout_byte_exprs(
+        i32len(2)
+        + i32len(8) + [("be", neg_bits, 8)]
+        + i32len(8) + [("be", pos_bits, 8)]
+    )
+    s1 = murmur3_token_general_subquery(
+        src, exprs, str(flen), ["c_custkey"], "t_sd", fixed_len=flen
+    )
+    # frozen<set<varint>>: negative 4-byte varint first (value order)
+    exprs, flen = fixed_layout_byte_exprs(
+        i32len(2)
+        + i32len(4) + [("be", "-8388609 - c_custkey % 89", 4)]
+        + i32len(4) + [("be", "8388608 + c_custkey % 97", 4)]
+    )
+    s2 = murmur3_token_general_subquery(
+        s1, exprs, str(flen), ["c_custkey", "t_sd"], "t_sv", fixed_len=flen
+    )
+    # frozen<map<double,bigint>>: entries key-sorted by value → the
+    # negative-key entry (value k*7) packs first
+    exprs, flen = fixed_layout_byte_exprs(
+        i32len(2)
+        + i32len(8) + [("be", neg_bits, 8)]
+        + i32len(8) + [("be", "c_custkey * 7", 8)]
+        + i32len(8) + [("be", pos_bits, 8)]
+        + i32len(8) + [("be", "c_custkey * 11", 8)]
+    )
+    s3 = murmur3_token_general_subquery(
+        s2, exprs, str(flen), ["c_custkey", "t_sd", "t_sv"], "t_md",
+        fixed_len=flen,
+    )
+    return (
+        f"SELECT c_custkey, t_sd, t_sv, t_md FROM {s3} ORDER BY t_sd"
+    )
+
+
 def cql_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONTAINS on a set<text> column (Operator.java:117) — the collection is
     materialized per partition (collect_set), then filtered."""
@@ -855,6 +949,10 @@ QUERIES = {
     "cql_token_scan_frozen": (
         cql_token_scan_frozen,
         _token_frozen_oracle(),
+    ),
+    "cql_token_scan_frozen_num": (
+        cql_token_scan_frozen_num,
+        _token_frozen_num_oracle(),
     ),
     "cql_collection_writetime": (
         cql_collection_writetime,

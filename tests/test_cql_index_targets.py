@@ -335,10 +335,12 @@ class TestSasiLike:
 
     def test_collection_target_custom_index_keeps_its_kind_ops(self, db):
         """A CUSTOM keys(m) index serves CONTAINS KEY only — never
-        whole-column EQ or LIKE (supportsExpression is per-target)."""
+        whole-column EQ or LIKE (supportsExpression is per-target).
+        A NON-SASI class: SASI itself rejects complex targets at CREATE
+        (SASIIndex.java:148-149, covered below)."""
         db.execute(
             "CREATE CUSTOM INDEX mk ON ev (keys(m)) USING "
-            "'org.apache.cassandra.index.sasi.SASIIndex'"
+            "'com.example.OpaqueKeysIndex'"
         )
         r = db.execute("SELECT id FROM ev WHERE m CONTAINS KEY 'a'").collect()
         assert [x.id for x in r] == [1]
@@ -346,6 +348,22 @@ class TestSasiLike:
             db.execute("SELECT id FROM ev WHERE m = {'a': 1}")
         with pytest.raises(InvalidRequest, match="properly indexed|string type"):
             db.execute("SELECT id FROM ev WHERE m LIKE 'x%'")
+
+    def test_sasi_rejects_complex_targets(self, db):
+        """SASI rejects complex (multi-cell) columns at CREATE, before the
+        pk check (SASIIndex.java:148-149) — keys()/values()/entries() and
+        the bare non-frozen collection (normalized to VALUES) all raise."""
+        from cassandra_pmem_spark.cql.validator import ConfigurationException
+
+        sasi = "'org.apache.cassandra.index.sasi.SASIIndex'"
+        for tgt in ("keys(m)", "values(m)", "entries(m)", "m"):
+            with pytest.raises(
+                ConfigurationException,
+                match="complex columns are not yet supported by SASI",
+            ):
+                db.execute(
+                    f"CREATE CUSTOM INDEX cx ON ev ({tgt}) USING {sasi}"
+                )
 
 
 class TestEmptyBracesOnMap:

@@ -289,3 +289,41 @@ class TestPagingContractGrid:
             q = db.pager("SELECT k, c FROM t", page_size=7, state=blob)
             rest = [(r["k"], r["c"]) for pg in drain(q) for r in pg]
             assert seen + rest == full, cut
+
+
+class TestParquetBackedFramePersistGate:
+    """The page-frame memo persists ONLY buffer-backed visible state: a
+    parquet-backed table's visible frame is unbounded, and an
+    InMemoryRelation above the scan would block resume-filter pushdown
+    (mirrors ddl._visible_frame's own persist gate)."""
+
+    def test_parquet_backed_frame_reused_but_not_persisted(
+        self, db, spark, tmp_path
+    ):
+        db.execute("CREATE TABLE t2 (k int, c int, v int, PRIMARY KEY (k, c))")
+        pq = str(tmp_path / "t2_base")
+        spark.createDataFrame(
+            [(k, c, 10 * k + c) for k in range(6) for c in range(4)],
+            "k int, c int, v int",
+        ).write.parquet(pq)
+        key = db._table_key("t2")
+        db._session_for_key(key)._base = spark.read.parquet(pq)
+        assert db._buffer_backed("t2") is False
+        assert db._buffer_backed("t") is True  # the insert-built fixture
+
+        p = db.pager("SELECT k, c, v FROM t2", page_size=7)
+        pages = drain(p)
+        assert sorted((r["k"], r["c"]) for pg in pages for r in pg) == [
+            (k, c) for k in range(6) for c in range(4)
+        ]
+        ver, frame = p._frame_memo  # memo still reused across pages
+        assert frame.storageLevel.useMemory is False
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" not in plan
+
+        # buffer-backed pager keeps the persist (page N reuses the
+        # already-hashed token rows)
+        pb = db.pager("SELECT k, c FROM t", page_size=7)
+        pb.fetch_page()
+        _, bframe = pb._frame_memo
+        assert bframe.storageLevel.useMemory is True

@@ -477,6 +477,93 @@ class TestMurmur3Frozen:
         )
         assert got == want
 
+    def test_frozen_set_double_sorts_by_value_not_bytes(self):
+        import math
+        import struct
+
+        from pyspark.sql import types as T
+
+        from cassandra_pmem_spark.functions.murmur3 import (
+            FrozenSetMarshal,
+            serialize_pk_value,
+        )
+
+        # DoubleType.compareCustom is compose().compareTo()
+        # (DoubleType.java:48-54): VALUE order. -1.25 (sign bit set,
+        # byte-greatest) must pack FIRST; NaN sorts greatest and
+        # -0.0 < 0.0 (Java Double.compare semantics).
+        vals = [3.5, float("nan"), -1.25, 0.0, -0.0]
+        got = serialize_pk_value(vals, FrozenSetMarshal(T.DoubleType()))
+        order = [-1.25, -0.0, 0.0, 3.5, float("nan")]
+        want = struct.pack(">i", 5) + b"".join(
+            struct.pack(">i", 8) + struct.pack(">d", v) for v in order
+        )
+        assert got == want
+        # the -0.0 slot really is the negative zero bit pattern
+        assert struct.pack(">d", order[1])[0] == 0x80
+        assert math.isnan(struct.unpack(">d", want[-8:])[0])
+
+    def test_frozen_set_varint_and_decimal_sort_by_value(self):
+        import struct
+        from decimal import Decimal
+
+        from pyspark.sql import types as T
+
+        from cassandra_pmem_spark.functions.murmur3 import (
+            FrozenSetMarshal,
+            serialize_pk_value,
+        )
+
+        # varint (IntegerType.java:70-73 compareIntegers): signed value
+        # order across DIFFERENT serialized lengths — byte order would put
+        # 255 (0x00FF) before 1 (0x01) and negatives (0xFF…) last
+        got = serialize_pk_value(
+            [Decimal(255), Decimal(-300), Decimal(1)],
+            FrozenSetMarshal(T.DecimalType(38, 0)),
+        )
+        parts = [b"\xfe\xd4", b"\x01", b"\x00\xff"]  # -300, 1, 255
+        want = struct.pack(">i", 3) + b"".join(
+            struct.pack(">i", len(p)) + p for p in parts
+        )
+        assert got == want
+        # decimal (DecimalType.java:51-57 BigDecimal.compareTo): numeric
+        # value, scale-independent — 2.50 < 10 even though its unscaled
+        # varint (250) is byte-greater
+        got = serialize_pk_value(
+            [Decimal("10"), Decimal("2.50")],
+            FrozenSetMarshal(T.DecimalType(38, 2)),
+        )
+
+        def dec_ser(scale: int, unscaled: bytes) -> bytes:
+            return struct.pack(">i", scale) + unscaled
+
+        # serialization keeps each VALUE's own scale (2.50 → scale 2,
+        # unscaled 250 with the BigInteger leading-zero byte; 10 → scale 0)
+        parts = [dec_ser(2, b"\x00\xfa"), dec_ser(0, b"\x0a")]
+        want = struct.pack(">i", 2) + b"".join(
+            struct.pack(">i", len(p)) + p for p in parts
+        )
+        assert got == want
+
+    def test_frozen_map_double_keys_sort_by_value(self):
+        import struct
+
+        from pyspark.sql import types as T
+
+        from cassandra_pmem_spark.functions.murmur3 import serialize_pk_value
+
+        got = serialize_pk_value(
+            {4.0: 11, -8.0: 7}, T.MapType(T.DoubleType(), T.LongType())
+        )
+        want = (
+            struct.pack(">i", 2)
+            + struct.pack(">i", 8) + struct.pack(">d", -8.0)
+            + struct.pack(">i", 8) + struct.pack(">q", 7)
+            + struct.pack(">i", 8) + struct.pack(">d", 4.0)
+            + struct.pack(">i", 8) + struct.pack(">q", 11)
+        )
+        assert got == want
+
     def test_frozen_map_sorts_entries_by_key(self):
         import struct
 
