@@ -91,9 +91,44 @@ TIER2 = [
 ]
 
 
+def _machine_load() -> dict:
+    """Measurement-hygiene metadata: loadavg + how many OTHER runnable
+    processes compete for the CPUs. Two rounds produced load-contaminated
+    snapshots (r10 driver-concurrent, r11 quiet-tree ~30% skew), so every
+    snapshot now records the conditions it was taken under."""
+    me = os.getpid()
+    runnable = 0
+    try:
+        for p in os.listdir("/proc"):
+            if not p.isdigit() or int(p) == me:
+                continue
+            try:
+                with open(f"/proc/{p}/stat") as fh:
+                    # field 3 is the state; the comm field may contain
+                    # spaces but is parenthesized — split after ')'
+                    state = fh.read().rsplit(")", 1)[1].split()[0]
+                if state == "R":
+                    runnable += 1
+            except OSError:
+                continue
+    except OSError:
+        pass
+    la1, la5, la15 = os.getloadavg()
+    return {
+        "loadavg": [round(la1, 2), round(la5, 2), round(la15, 2)],
+        "runnable_others": runnable,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # load gate: above this 1-min loadavg the run still prints its JSON
+    # (the driver needs a line every round) but REFUSES to overwrite
+    # BENCH_DETAIL.json, so a contaminated run can never become the
+    # stored comparison snapshot
+    max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "4.0"))
+    load_start = _machine_load()
     from cassandra_pmem_spark.session import get_spark
     from cassandra_pmem_spark.queries import all_queries
 
@@ -162,11 +197,22 @@ def main() -> None:
         "tier2": tier2,
         "tier2_median": tier2_med,
     }
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
-            json.dump(detail, f, indent=1)
-    except OSError:
-        pass
+    load_end = _machine_load()
+    # gate on the PRE-RUN load only: bench itself drives all 32 threads,
+    # so the end loadavg is legitimately high after a clean run
+    contaminated = load_start["loadavg"][0] > max_load
+    detail["load"] = {
+        "start": load_start,
+        "end": load_end,
+        "max_load_gate": max_load,
+        "contaminated": contaminated,
+    }
+    if not contaminated:
+        try:
+            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
+                json.dump(detail, f, indent=1)
+        except OSError:
+            pass
     print(json.dumps(detail))
     compact = {
         "metric": "headline_suite_seconds",
@@ -175,6 +221,8 @@ def main() -> None:
         "sf": detail["sf"],
         "repeats": REPEATS,
         "value_median": round(detail["value_median"], 2),
+        "load1": load_start["loadavg"][0],
+        "load_ok": not contaminated,
         "queries": {k: round(v, 2) for k, v in timings.items()},
     }
     line = json.dumps(compact)

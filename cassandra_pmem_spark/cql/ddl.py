@@ -2563,8 +2563,12 @@ class CqlDatabase:
         stats_files = sorted(
             f for f in _os.listdir(sst_dir) if f.endswith("-Statistics.db")
         )
+        from cassandra_pmem_spark.sources.sstable import version_from_path
+
         with open(_os.path.join(sst_dir, stats_files[0]), "rb") as fh:
-            _stats, hdr = parse_statistics(fh.read())
+            _stats, hdr = parse_statistics(
+                fh.read(), version=version_from_path(stats_files[0]).name
+            )
         n_key = len(hdr["key_types"])
         n_ck = len(hdr["clustering_types"])
         positional = {f"key{i}" for i in range(n_key)} | {

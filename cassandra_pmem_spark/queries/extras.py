@@ -392,6 +392,76 @@ SELECT src, user_id, event_id, ts_s, event_type, value, props FROM (
 """
 
 
+def source_sstable_version_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-version SSTable read (BigFormat.java:153-163 BigVersion
+    feature matrix; earliest_supported_version = ma at :121): the same
+    event slice is bulk-written THREE times — as the checkout's
+    current `na`, as 3.x-era `md` (no metadata checksums, old bloom
+    word layout, no pendingRepair/isTransient/maxCompressedLength),
+    and as `ma` (additionally no commit-log lower bound / intervals) —
+    and each directory reads back through the same version-dispatched
+    readers. Compression on, so the CompressionInfo gate is exercised
+    too. All three reads must agree bit-exactly with parquet."""
+    import shutil
+
+    from cassandra_pmem_spark.catalog import ClusteringColumn, TableMeta
+    from cassandra_pmem_spark.sources.sstable import (
+        TIMESTAMP_EPOCH,
+        bulk_write_sstables,
+        read_sstables,
+    )
+
+    events = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("user_id") < 300)
+        .select(
+            "user_id",
+            F.date_trunc("millisecond", F.col("ts")).alias("ts"),
+            "event_id", "event_type", "value",
+        )
+    )
+    meta = TableMeta(
+        "events_ver",
+        events.schema,
+        partition_key=("user_id",),
+        clustering=(ClusteringColumn("ts"), ClusteringColumn("event_id")),
+    )
+    ts0 = TIMESTAMP_EPOCH + 1_000_000
+    outs = []
+    for ver in ("na", "md", "ma"):
+        out_dir = os.path.join(_SCRATCH, f"sstable_ver_{ver}")
+        shutil.rmtree(out_dir, ignore_errors=True)
+        bulk_write_sstables(
+            events, meta, out_dir, sstables=2, timestamp_micros=ts0,
+            compression=True, version=ver,
+        )
+        outs.append(
+            read_sstables(spark, out_dir, split_bytes=96 * 1024).select(
+                F.lit(ver).alias("ver"),
+                F.col("key0").alias("user_id"),
+                F.col("ck1").alias("event_id"),
+                F.date_format(F.col("ck0"), "yyyy-MM-dd HH:mm:ss.SSS").alias("ts_s"),
+                F.col("event_type"),
+                F.col("value"),
+            )
+        )
+    df = outs[0]
+    for o in outs[1:]:
+        df = df.unionByName(o)
+    return df
+
+
+_SSTABLE_VERSION_INTEROP_ORACLE = """
+SELECT v.ver, e.user_id, e.event_id,
+       strftime(date_trunc('milliseconds', e.ts),
+                '%Y-%m-%d %H:%M:%S.%g') AS ts_s,
+       e.event_type, e.value
+FROM events e
+CROSS JOIN (VALUES ('na'), ('md'), ('ma')) v(ver)
+WHERE e.user_id < 300
+"""
+
+
 def source_sstable_pointread(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The BigTableReader single-partition path (sources/sstable.py
     sstable_point_read): bloom filter consult -> index summary seek ->
@@ -1271,6 +1341,10 @@ QUERIES = {
         "SELECT doc_id, md5(text) AS text_md5 FROM documents",
     ),
     "source_sstable_roundtrip": (source_sstable_roundtrip, _SSTABLE_ORACLE),
+    "source_sstable_version_interop": (
+        source_sstable_version_interop,
+        _SSTABLE_VERSION_INTEROP_ORACLE,
+    ),
     "source_sstable_pointread": (
         source_sstable_pointread,
         _SSTABLE_POINTREAD_ORACLE,

@@ -1,4 +1,8 @@
-"""Cassandra 4.0 "big"-format SSTable source/sink (version `nb`).
+"""Cassandra 4.0 "big"-format SSTable source/sink.
+
+Writes the checkout's current version `na` (BigFormat.java:120) and
+reads the whole `ma`..`nb` range through the BigVersion feature-flag
+matrix (BigFormat.java:153-163; see SSTableVersion below).
 
 This closes SURVEY §2.1's two remaining storage rows: the SSTable data
 format itself and the Hadoop-style split planning over it. The byte
@@ -44,7 +48,7 @@ layout is implemented from the reference serializers (file:line into
 - ``io/sstable/metadata/MetadataSerializer.java:60-111`` — the
   Statistics.db container: component count (+CRC32), a toc of (type
   ordinal, position) pairs (+running CRC32), then each component
-  followed by its own CRC32. Version nb ≥ na ⇒ checksums present
+  followed by its own CRC32. Versions ≥ na ⇒ checksums present
   (BigFormat.java:162).
 - ``io/util/ChecksumWriter.java:91-99`` — Digest.crc32 holds the full
   Data.db CRC32 as decimal text.
@@ -129,7 +133,69 @@ TIMESTAMP_EPOCH = 1442880000000000  # micros
 DELETION_TIME_EPOCH = 1442880000  # seconds
 TTL_EPOCH = 0
 
-VERSION = "nb"  # Cassandra 4.0 big format (BigFormat.java current_version)
+# The checkout's current big-format version (BigFormat.java:120
+# current_version = "na"; earliest_supported_version = "ma" at :121).
+# We WRITE na for checkout fidelity and READ the whole ma..nb range via
+# the per-version feature-flag matrix below (BigFormat.java:153-163).
+# nb is the public Apache Cassandra 4.0.x release version; its only
+# layout delta over na is the trailing nullable originatingHostId in
+# StatsMetadata (public 4.0 BigFormat "nb (4.0.0): originating host
+# id"), which the read path consumes when present.
+VERSION = "na"
+EARLIEST_SUPPORTED_VERSION = "ma"
+LATEST_SUPPORTED_VERSION = "nb"
+
+
+class SSTableVersion:
+    """BigFormat.BigVersion's feature-flag matrix (BigFormat.java:153-163):
+    each capability is a simple version-string comparison, so minor
+    versions stay forward-compatible (fields only ever appended)."""
+
+    __slots__ = (
+        "name",
+        "has_commit_log_lower_bound",
+        "has_commit_log_intervals",
+        "has_accurate_min_max",
+        "has_max_compressed_length",
+        "has_pending_repair",
+        "has_is_transient",
+        "has_metadata_checksum",
+        "has_old_bf_format",
+        "has_originating_host_id",
+    )
+
+    def __init__(self, name: str):
+        import re as _re
+
+        if not _re.fullmatch(r"[a-z]{2}", name or ""):
+            raise ValueError(f"malformed sstable version {name!r}")
+        if not (EARLIEST_SUPPORTED_VERSION <= name <= LATEST_SUPPORTED_VERSION):
+            raise ValueError(
+                f"unsupported sstable version {name!r} (supported: "
+                f"{EARLIEST_SUPPORTED_VERSION}..{LATEST_SUPPORTED_VERSION})"
+            )
+        self.name = name
+        self.has_commit_log_lower_bound = name >= "mb"
+        self.has_commit_log_intervals = name >= "mc"
+        self.has_accurate_min_max = name >= "md"
+        self.has_max_compressed_length = name >= "na"
+        self.has_pending_repair = name >= "na"
+        self.has_is_transient = name >= "na"
+        self.has_metadata_checksum = name >= "na"
+        self.has_old_bf_format = name < "na"
+        # public 4.0.x addition; absent from this checkout's na
+        self.has_originating_host_id = name >= "nb"
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"SSTableVersion({self.name!r})"
+
+
+def version_from_path(path: str) -> SSTableVersion:
+    """Descriptor version from any component path's basename
+    (``<version>-<generation>-big-<Component>`` — Descriptor.fromFilename
+    direction). Raises on versions outside ma..nb, like the reference's
+    earliest_supported_version gate."""
+    return SSTableVersion(os.path.basename(path).split("-", 1)[0])
 
 _MARSHAL = "org.apache.cassandra.db.marshal."
 
@@ -983,16 +1049,21 @@ def _compaction_component(schema: SSTableSchema, partitions: list) -> bytes:
 def serialize_statistics(schema: SSTableSchema, stats: EncodingStats,
                          partitions: list | None = None,
                          compression_ratio: float = -1.0,
-                         part_sizes: list[int] | None = None) -> bytes:
-    """The Statistics.db container (MetadataSerializer.java:60-111),
-    version nb => checksummed: count+crc, toc+crc (running), then each
+                         part_sizes: list[int] | None = None,
+                         version: str = VERSION) -> bytes:
+    """The Statistics.db container (MetadataSerializer.java:60-111).
+    hasMetadataChecksum (≥ na, BigFormat.java:162) gates every CRC:
+    count+crc, toc+crc (running), then each
     component + its own crc, components ordered by type ordinal.
+    ma..md write the same container with NO checksums anywhere.
     VALIDATION, HEADER, and — when the writer passes its partitions —
     STATS and COMPACTION are all written, completing the MetadataType
     census. COMPACTION (CompactionMetadata.java:74-92) is the
     int-length-prefixed stream-lib HyperLogLogPlus blob fed one
     hash2_64(serialized pk) per partition (MetadataCollector.java:
     117,139-144; codec in sources/hllp.py)."""
+    ver = SSTableVersion(version)
+    checksum = ver.has_metadata_checksum
     comps = [
         (_TYPE_VALIDATION, _validation_component()),
         (_TYPE_HEADER, _header_component(schema, stats)),
@@ -1001,7 +1072,8 @@ def serialize_statistics(schema: SSTableSchema, stats: EncodingStats,
         comps.append((
             _TYPE_STATS,
             stats_component(
-                schema, stats, partitions, compression_ratio, part_sizes
+                schema, stats, partitions, compression_ratio, part_sizes,
+                version=version,
             ),
         ))
         comps.append((
@@ -1013,31 +1085,39 @@ def serialize_statistics(schema: SSTableSchema, stats: EncodingStats,
     crc = 0
     out += struct.pack(">i", len(comps))
     crc = _update_crc_int(crc, len(comps))
-    out += struct.pack(">I", crc)
-    last = 4 + 8 * len(comps) + 2 * 4
+    if checksum:
+        out += struct.pack(">I", crc)
+    last = 4 + 8 * len(comps) + (2 * 4 if checksum else 0)
     toc = bytearray()
     for t, body in comps:
         toc += struct.pack(">i", t)
         crc = _update_crc_int(crc, t)
         toc += struct.pack(">i", last)
         crc = _update_crc_int(crc, last)
-        last += len(body) + 4
+        last += len(body) + (4 if checksum else 0)
     out += toc
-    out += struct.pack(">I", crc)
+    if checksum:
+        out += struct.pack(">I", crc)
     for _t, body in comps:
         out += body
-        out += struct.pack(">I", zlib.crc32(body))
+        if checksum:
+            out += struct.pack(">I", zlib.crc32(body))
     return bytes(out)
 
 
-def parse_statistics(blob: bytes) -> tuple[EncodingStats, dict]:
-    """Read back the HEADER component (with checksum verification) —
-    enough to decode Data.db; other components are skipped by their toc
-    positions."""
+def parse_statistics(blob: bytes,
+                     version: str = VERSION) -> tuple[EncodingStats, dict]:
+    """Read back the HEADER component (with checksum verification when
+    the version carries checksums — hasMetadataChecksum ≥ na) — enough
+    to decode Data.db; other components are skipped by their toc
+    positions. ma..md containers have no CRCs at all
+    (MetadataSerializer.maybeWriteChecksum / maybeValidateChecksum)."""
+    ver = SSTableVersion(version)
+    checksum = ver.has_metadata_checksum
     r = ByteReader(blob)
     count = r.i32()
     crc = _update_crc_int(0, count)
-    if struct.unpack(">I", r.take(4))[0] != crc:
+    if checksum and struct.unpack(">I", r.take(4))[0] != crc:
         raise ValueError("Statistics.db count checksum mismatch")
     toc = []
     for _ in range(count):
@@ -1046,7 +1126,7 @@ def parse_statistics(blob: bytes) -> tuple[EncodingStats, dict]:
         crc = _update_crc_int(crc, t)
         crc = _update_crc_int(crc, pos)
         toc.append((t, pos))
-    if struct.unpack(">I", r.take(4))[0] != crc:
+    if checksum and struct.unpack(">I", r.take(4))[0] != crc:
         raise ValueError("Statistics.db toc checksum mismatch")
     positions = dict(toc)
     if _TYPE_HEADER not in positions:
@@ -1055,9 +1135,11 @@ def parse_statistics(blob: bytes) -> tuple[EncodingStats, dict]:
     def component_body(type_id: int) -> bytes:
         start = positions[type_id]
         # a component's slot runs to the next toc position (or file
-        # end); the slot's last 4 bytes are its CRC32
+        # end); with checksums the slot's last 4 bytes are its CRC32
         ends = sorted(p for _t, p in toc) + [len(blob)]
         end = min(p for p in ends if p > start)
+        if not checksum:
+            return blob[start:end]
         body = blob[start:end - 4]
         stored = struct.unpack(">I", blob[end - 4:end])[0]
         if zlib.crc32(body) != stored:
@@ -1069,10 +1151,11 @@ def parse_statistics(blob: bytes) -> tuple[EncodingStats, dict]:
     stats, hdr = _parse_header_component(
         ByteReader(component_body(_TYPE_HEADER))
     )
+    hdr["sstable_version"] = ver.name
     if _TYPE_STATS in positions:
         tmp_schema = schema_from_header(hdr)
         hdr["stats_metadata"] = parse_stats_component(
-            component_body(_TYPE_STATS), tmp_schema
+            component_body(_TYPE_STATS), tmp_schema, version=version
         )
     if _TYPE_COMPACTION in positions:
         from cassandra_pmem_spark.sources.hllp import HyperLogLogPlus
@@ -1093,9 +1176,9 @@ def parse_statistics(blob: bytes) -> tuple[EncodingStats, dict]:
 
 # -- whole-sstable write / read ----------------------------------------------
 
-def sstable_filenames(generation: int) -> dict:
+def sstable_filenames(generation: int, version: str = VERSION) -> dict:
     """Descriptor naming: <version>-<generation>-big-<Component>."""
-    base = f"{VERSION}-{generation}-big"
+    base = f"{version}-{generation}-big"
     return {
         "data": f"{base}-Data.db",
         "index": f"{base}-Index.db",
@@ -1169,7 +1252,8 @@ def write_sstable(out_dir: str, generation: int, schema: SSTableSchema,
                   compression: bool = False,
                   chunk_length: int | None = None,
                   min_index_interval: int = DEFAULT_MIN_INDEX_INTERVAL,
-                  sampling_level: int | None = None) -> dict:
+                  sampling_level: int | None = None,
+                  version: str = VERSION) -> dict:
     """Write one complete sstable. Partitions MUST arrive in token
     order (beforeAppend's monotonicity check — BigTableWriter.java:
     120-126); ties/regressions raise. Returns a manifest dict.
@@ -1190,7 +1274,8 @@ def write_sstable(out_dir: str, generation: int, schema: SSTableSchema,
         murmur3_token_bytes_py,
     )
 
-    names = sstable_filenames(generation)
+    ver = SSTableVersion(version)
+    names = sstable_filenames(generation, version)
     stats = compute_stats(partitions)
     data = bytearray()
     index = bytearray()
@@ -1225,13 +1310,13 @@ def write_sstable(out_dir: str, generation: int, schema: SSTableSchema,
         index += encode_unsigned_vint(0)
     os.makedirs(out_dir, exist_ok=True)
     paths = {k: os.path.join(out_dir, v) for k, v in names.items()}
-    with open(os.path.join(out_dir, f"{VERSION}-{generation}-big-Filter.db"),
+    with open(os.path.join(out_dir, f"{version}-{generation}-big-Filter.db"),
               "wb") as f:
-        f.write(bf.serialize())
+        f.write(bf.serialize(old_format=ver.has_old_bf_format))
     wrote_summary = bool(partitions)
     if partitions:
         with open(
-            os.path.join(out_dir, f"{VERSION}-{generation}-big-Summary.db"),
+            os.path.join(out_dir, f"{version}-{generation}-big-Summary.db"),
             "wb",
         ) as f:
             f.write(build_summary(
@@ -1246,11 +1331,11 @@ def write_sstable(out_dir: str, generation: int, schema: SSTableSchema,
     components.append("Statistics.db")
     if compression:
         on_disk, info = compress_data(
-            bytes(data), chunk_length or DEFAULT_CHUNK_LENGTH
+            bytes(data), chunk_length or DEFAULT_CHUNK_LENGTH, version=version
         )
         with open(
             os.path.join(
-                out_dir, f"{VERSION}-{generation}-big-CompressionInfo.db"
+                out_dir, f"{version}-{generation}-big-CompressionInfo.db"
             ),
             "wb",
         ) as f:
@@ -1267,7 +1352,9 @@ def write_sstable(out_dir: str, generation: int, schema: SSTableSchema,
             else NO_COMPRESSION_RATIO
         )
         f.write(
-            serialize_statistics(schema, stats, partitions, ratio, part_sizes)
+            serialize_statistics(
+                schema, stats, partitions, ratio, part_sizes, version=version
+            )
         )
     with open(paths["digest"], "w") as f:
         # ChecksumWriter.writeFullChecksum: decimal text of the full
@@ -1445,7 +1532,8 @@ def bulk_write_sstables(df, meta, out_dir: str, sstables: int = 1,
                         ttl_seconds: int = 0,
                         type_overrides: dict | None = None,
                         compression: bool = False,
-                        collection_kinds: dict | None = None) -> list[dict]:
+                        collection_kinds: dict | None = None,
+                        version: str = VERSION) -> list[dict]:
     """The CqlBulkRecordWriter / SSTable bulk-load analog: range-
     partition the frame by Murmur3 token so each task owns a DISJOINT
     token range and writes one complete sstable (generation = Spark
@@ -1533,7 +1621,8 @@ def bulk_write_sstables(df, meta, out_dir: str, sstables: int = 1,
         if not parts:
             return
         manifest = write_sstable(
-            out_dir, gen, schema, parts, compression=compression
+            out_dir, gen, schema, parts, compression=compression,
+            version=version,
         )
         yield pd.DataFrame([manifest])
 
@@ -1589,7 +1678,9 @@ def read_sstables(spark, in_dir: str, split_bytes: int = 64 * 1024 * 1024,
         raise ValueError(f"no *-Data.db under {in_dir!r}")
     # schema comes from ONE header (all sstables of a table share it)
     with open(datas[0][: -len("Data.db")] + "Statistics.db", "rb") as f:
-        _stats, hdr = parse_statistics(f.read())
+        _stats, hdr = parse_statistics(
+            f.read(), version=version_from_path(datas[0]).name
+        )
     # reconstruct the schema; key/clustering NAMES are not part of the
     # header (the reference resolves them from the table schema) — use
     # positional names, overridable by the caller reading into a table
@@ -1623,7 +1714,9 @@ def read_sstables(spark, in_dir: str, split_bytes: int = 64 * 1024 * 1024,
                 # CompressionInfo's dataLength, not the file size
                 if os.path.exists(base + "CompressionInfo.db"):
                     with open(base + "CompressionInfo.db", "rb") as f:
-                        dlen = CompressionInfo.parse(f.read()).data_length
+                        dlen = CompressionInfo.parse(
+                            f.read(), version=version_from_path(path).name
+                        ).data_length
                 else:
                     dlen = os.path.getsize(path)
                 for s, e in plan_splits(idx, dlen, split_bytes):
@@ -1657,7 +1750,9 @@ def read_sstables(spark, in_dir: str, split_bytes: int = 64 * 1024 * 1024,
             for path, start, end in zip(pdf["path"], pdf["start"], pdf["end"]):
                 base = path[: -len("Data.db")]
                 with open(base + "Statistics.db", "rb") as f:
-                    stats, _h = parse_statistics(f.read())
+                    stats, _h = parse_statistics(
+                        f.read(), version=version_from_path(path).name
+                    )
                 if (
                     _h["key_types"] != schema.key_types
                     or _h["clustering_types"] != schema.clustering_types
@@ -1750,20 +1845,41 @@ class BloomFilter:
             for i in bloom_indexes(key, self.hash_count, len(self.bits) * 8)
         )
 
-    def serialize(self) -> bytes:
+    @staticmethod
+    def _swap_words(b: bytes) -> bytes:
+        """Old (pre-na) Filter.db word layout: each 8-byte word is the
+        big-endian writeLong of a value composed LITTLE-endian from the
+        bitset bytes (OffHeapBitSet.serializeOldBfFormat:125-140 /
+        deserialize:152-167) — i.e. every 8-byte group is byte-reversed
+        on disk. The transform is its own inverse."""
+        import numpy as _np
+
+        return (
+            _np.frombuffer(b, dtype=_np.uint8)
+            .reshape(-1, 8)[:, ::-1]
+            .tobytes()
+        )
+
+    def serialize(self, old_format: bool = False) -> bytes:
         assert len(self.bits) % 8 == 0
+        body = bytes(self.bits)
+        if old_format:
+            body = self._swap_words(body)
         return (
             struct.pack(">i", self.hash_count)
             + struct.pack(">i", len(self.bits) // 8)
-            + bytes(self.bits)
+            + body
         )
 
     @classmethod
-    def deserialize(cls, blob: bytes) -> "BloomFilter":
+    def deserialize(cls, blob: bytes, old_format: bool = False) -> "BloomFilter":
         r = ByteReader(blob)
         hashes = r.i32()
         words = r.i32()
-        return cls(hashes, bytearray(r.take(words * 8)))
+        body = r.take(words * 8)
+        if old_format:
+            body = cls._swap_words(body)
+        return cls(hashes, bytearray(body))
 
 
 def sstable_point_read(sst_dir: str, key_values: list,
@@ -1791,14 +1907,17 @@ def sstable_point_read(sst_dir: str, key_values: list,
         if not f.endswith("-Data.db"):
             continue
         base = os.path.join(sst_dir, f[: -len("Data.db")])
+        ver = version_from_path(f)
         with open(base + "Statistics.db", "rb") as fh:
-            stats, hdr = parse_statistics(fh.read())
+            stats, hdr = parse_statistics(fh.read(), version=ver.name)
         schema = schema_from_header(hdr)
         key = schema.key_bytes(key_values)
         filter_path = base + "Filter.db"
         if os.path.exists(filter_path):
             with open(filter_path, "rb") as fh:
-                bf = BloomFilter.deserialize(fh.read())
+                bf = BloomFilter.deserialize(
+                    fh.read(), old_format=ver.has_old_bf_format
+                )
             if not bf.is_present(key):
                 if _trace is not None:
                     _trace["bloom_skips"] += 1
@@ -1850,7 +1969,9 @@ def sstable_point_read(sst_dir: str, key_values: list,
             # last partition in the sstable: bound = logical data length
             if os.path.exists(base + "CompressionInfo.db"):
                 with open(base + "CompressionInfo.db", "rb") as fh:
-                    bound = CompressionInfo.parse(fh.read()).data_length
+                    bound = CompressionInfo.parse(
+                        fh.read(), version=ver.name
+                    ).data_length
             else:
                 bound = os.path.getsize(base + "Data.db")
         # ranged I/O: read exactly this partition's bytes (compressed:
@@ -1867,7 +1988,7 @@ def sstable_point_read(sst_dir: str, key_values: list,
 #
 # CompressionMetadata.java:106-135 (header: modified-UTF compressor
 # simple name, int option count + options, int chunkLength, int
-# maxCompressedLength [version nb], long uncompressed dataLength, int
+# maxCompressedLength [≥ na], long uncompressed dataLength, int
 # chunk count, then one long offset per chunk into the compressed
 # file); CompressedSequentialWriter.flushData:136-199 (each chunk =
 # LZ4Compressor.compress output followed by a 4-byte CRC32 of exactly
@@ -1888,8 +2009,8 @@ def _read_modified_utf(r: ByteReader) -> str:
     return bytes(r.take(r.u16())).decode("utf-8")
 
 
-def compress_data(data: bytes, chunk_length: int = DEFAULT_CHUNK_LENGTH
-                  ) -> tuple[bytes, bytes]:
+def compress_data(data: bytes, chunk_length: int = DEFAULT_CHUNK_LENGTH,
+                  version: str = VERSION) -> tuple[bytes, bytes]:
     """-> (compressed Data.db bytes, CompressionInfo.db bytes)."""
     from cassandra_pmem_spark.pipeline.compression import lz4_block_compress
 
@@ -1905,7 +2026,8 @@ def compress_data(data: bytes, chunk_length: int = DEFAULT_CHUNK_LENGTH
     info += _modified_utf("LZ4Compressor")
     info += struct.pack(">i", 0)                 # no other options
     info += struct.pack(">i", chunk_length)
-    info += struct.pack(">i", 0x7FFFFFFF)        # maxCompressedLength unset
+    if SSTableVersion(version).has_max_compressed_length:
+        info += struct.pack(">i", 0x7FFFFFFF)    # maxCompressedLength unset
     info += struct.pack(">q", len(data))         # uncompressed length
     info += struct.pack(">i", len(offsets))
     for o in offsets:
@@ -1923,7 +2045,10 @@ class CompressionInfo:
     offsets: list[int]
 
     @classmethod
-    def parse(cls, blob: bytes) -> "CompressionInfo":
+    def parse(cls, blob: bytes, version: str = VERSION) -> "CompressionInfo":
+        """hasMaxCompressedLength ≥ na (BigFormat.java:157;
+        CompressionMetadata.java:120-123: below na the field is absent
+        and defaults to Integer.MAX_VALUE)."""
         r = ByteReader(blob)
         name = _read_modified_utf(r)
         n_opt = r.i32()
@@ -1931,7 +2056,11 @@ class CompressionInfo:
             _read_modified_utf(r): _read_modified_utf(r) for _ in range(n_opt)
         }
         chunk_length = r.i32()
-        max_comp = r.i32()
+        max_comp = (
+            r.i32()
+            if SSTableVersion(version).has_max_compressed_length
+            else 0x7FFFFFFF
+        )
         data_length = r.i64()
         count = r.i32()
         offsets = [r.i64() for _ in range(count)]
@@ -2003,14 +2132,15 @@ def dump_sstable(data_path: str, now_seconds: int | None = None) -> list[dict]:
 
         now_seconds = int(_time.time())
     base = data_path[: -len("Data.db")]
+    _ver = version_from_path(data_path)
     with open(base + "Statistics.db", "rb") as fh:
-        stats, hdr = parse_statistics(fh.read())
+        stats, hdr = parse_statistics(fh.read(), version=_ver.name)
     schema = schema_from_header(hdr)
     with open(data_path, "rb") as fh:
         blob = fh.read()
     if os.path.exists(base + "CompressionInfo.db"):
         with open(base + "CompressionInfo.db", "rb") as fh:
-            cinfo = CompressionInfo.parse(fh.read())
+            cinfo = CompressionInfo.parse(fh.read(), version=_ver.name)
         blob, _base = decompress_range(blob, cinfo, 0, cinfo.data_length)
     r = ByteReader(blob)
     out = []
@@ -2239,7 +2369,9 @@ def read_uncompressed_file_range(data_path: str, start: int, end: int
             f.seek(start)
             return f.read(max(0, end - start)), start
     with open(info_path, "rb") as f:
-        info = CompressionInfo.parse(f.read())
+        info = CompressionInfo.parse(
+            f.read(), version=version_from_path(data_path).name
+        )
     end = min(end, info.data_length)
     if start >= end:
         return b"", start
@@ -2284,9 +2416,10 @@ def read_uncompressed_file_range(data_path: str, start: int, end: int
 # TombstoneHistogram.java:74-85 (int maxBinSize, int size, then
 # (double point, long count) pairs); CommitLogPosition.java:106-110
 # (long segmentId, int position; NONE = (-1, 0)); IntervalSet
-# (int count, then lower/upper pairs). Version nb carries the
-# commit-log lower bound, intervals, pendingRepair flag byte, and
-# isTransient boolean.
+# (int count, then lower/upper pairs). The trailing fields are
+# version-gated: commit-log lower bound ≥ mb, intervals ≥ mc,
+# pendingRepair flag byte and isTransient boolean ≥ na,
+# originatingHostId ≥ nb (public 4.0.x).
 
 _TYPE_STATS = 2
 NO_COMPRESSION_RATIO = -1.0
@@ -2328,7 +2461,8 @@ def _read_estimated_histogram(r: ByteReader) -> list[tuple[int, int]]:
 def stats_component(schema: SSTableSchema, stats: EncodingStats,
                     partitions: list[PartitionData],
                     compression_ratio: float = NO_COMPRESSION_RATIO,
-                    part_sizes: list[int] | None = None) -> bytes:
+                    part_sizes: list[int] | None = None,
+                    version: str = VERSION) -> bytes:
     # the writer passes the per-partition byte sizes it already
     # measured; direct callers fall back to re-serializing
     if part_sizes is None:
@@ -2434,10 +2568,19 @@ def stats_component(schema: SSTableSchema, stats: EncodingStats,
     out += b"\x00"                            # hasLegacyCounterShards
     out += struct.pack(">q", total_cells)
     out += struct.pack(">q", total_rows)
-    out += struct.pack(">qi", -1, 0)          # commit log lower = NONE
-    out += struct.pack(">i", 0)               # empty commit-log intervals
-    out += b"\x00"                            # no pending repair
-    out += b"\x00"                            # isTransient = false
+    # trailing fields per the version matrix (StatsMetadata.serialize
+    # :316-338 gates; BigFormat.java:157-161)
+    ver = SSTableVersion(version)
+    if ver.has_commit_log_lower_bound:
+        out += struct.pack(">qi", -1, 0)      # commit log lower = NONE
+    if ver.has_commit_log_intervals:
+        out += struct.pack(">i", 0)           # empty commit-log intervals
+    if ver.has_pending_repair:
+        out += b"\x00"                        # no pending repair
+    if ver.has_is_transient:
+        out += b"\x00"                        # isTransient = false
+    if ver.has_originating_host_id:
+        out += b"\x00"                        # null originatingHostId
     return bytes(out)
 
 
@@ -2450,8 +2593,9 @@ def sstable_metadata(data_path: str) -> list[str]:
     clustering bounds, totals), COMPACTION (the HLL cardinality
     estimate — :409), and the EncodingStats epoch deltas."""
     base = data_path[: -len("Data.db")]
+    _ver = version_from_path(data_path)
     with open(base + "Statistics.db", "rb") as fh:
-        stats, hdr = parse_statistics(fh.read())
+        stats, hdr = parse_statistics(fh.read(), version=_ver.name)
     lines = [f"SSTable: {base.rstrip('-')}"]
     lines.append(
         "Partitioner: "
@@ -2473,7 +2617,7 @@ def sstable_metadata(data_path: str) -> list[str]:
         info_path = base + "CompressionInfo.db"
         if os.path.exists(info_path):
             with open(info_path, "rb") as fh:
-                info = CompressionInfo.parse(fh.read())
+                info = CompressionInfo.parse(fh.read(), version=_ver.name)
             lines.append(f"Compressor: {info.compressor}")
             lines.append(f"Compression ratio: {sm['compression_ratio']}")
         else:
@@ -2501,7 +2645,15 @@ def sstable_metadata(data_path: str) -> list[str]:
     return lines
 
 
-def parse_stats_component(blob: bytes, schema: SSTableSchema) -> dict:
+def parse_stats_component(blob: bytes, schema: SSTableSchema,
+                          version: str = VERSION) -> dict:
+    """StatsMetadata.deserialize (:340-420) with the per-version gates:
+    min/max clustering VALUES are byte-consumed but dropped below md
+    (hasAccurateMinMax — CASSANDRA-14861 keeps legacy sstables from
+    being wrongly excluded); commitLogLowerBound ≥ mb, intervals ≥ mc,
+    pendingRepair/isTransient ≥ na, originatingHostId ≥ nb (public
+    4.0.x's only layout delta over na)."""
+    ver = SSTableVersion(version)
     r = ByteReader(blob)
     part_hist = _read_estimated_histogram(r)
     cell_hist = _read_estimated_histogram(r)
@@ -2526,13 +2678,34 @@ def parse_stats_component(blob: bytes, schema: SSTableSchema) -> dict:
     out["repaired_at"] = r.i64()
     for name in ("min_clustering_values", "max_clustering_values"):
         k = r.i32()
-        out[name] = [
+        vals = [
             _unpack_value(codec_of(schema.clustering_types[i]), r.take(r.u16()))
             for i in range(k)
         ]
+        # below md the values are consumed but NOT kept (see docstring)
+        out[name] = vals if ver.has_accurate_min_max else []
     r.u8()                                    # legacy counter shards
     out["total_columns_set"] = r.i64()
     out["total_rows"] = r.i64()
+    if ver.has_commit_log_lower_bound and r.remaining():
+        out["commit_log_lower_bound"] = (r.i64(), r.i32())
+    if ver.has_commit_log_intervals and r.remaining():
+        n_iv = r.i32()
+        out["commit_log_intervals"] = [
+            ((r.i64(), r.i32()), (r.i64(), r.i32())) for _ in range(n_iv)
+        ]
+    if ver.has_pending_repair and r.remaining():
+        if r.u8():
+            import uuid as _uuid
+
+            out["pending_repair"] = str(_uuid.UUID(bytes=r.take(16)))
+    if ver.has_is_transient and r.remaining():
+        out["is_transient"] = bool(r.u8())
+    if ver.has_originating_host_id and r.remaining():
+        if r.u8():
+            import uuid as _uuid
+
+            out["originating_host_id"] = str(_uuid.UUID(bytes=r.take(16)))
     return out
 
 

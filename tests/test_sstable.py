@@ -328,14 +328,14 @@ class TestStatisticsAndIndex:
         assert man["partitions"] == 8 and man["rows"] == 8
         names = sorted(p.name for p in tmp_path.iterdir())
         assert names == [
-            "nb-1-big-Data.db", "nb-1-big-Digest.crc32", "nb-1-big-Filter.db",
-            "nb-1-big-Index.db", "nb-1-big-Statistics.db",
-            "nb-1-big-Summary.db", "nb-1-big-TOC.txt",
+            "na-1-big-Data.db", "na-1-big-Digest.crc32", "na-1-big-Filter.db",
+            "na-1-big-Index.db", "na-1-big-Statistics.db",
+            "na-1-big-Summary.db", "na-1-big-TOC.txt",
         ]
-        idx = (tmp_path / "nb-1-big-Index.db").read_bytes()
+        idx = (tmp_path / "na-1-big-Index.db").read_bytes()
         entries = read_index_entries(idx)
         assert len(entries) == 8
-        data = (tmp_path / "nb-1-big-Data.db").read_bytes()
+        data = (tmp_path / "na-1-big-Data.db").read_bytes()
         # every index position starts a partition whose key matches
         for key, pos in entries:
             klen = struct.unpack(">H", data[pos:pos + 2])[0]
@@ -343,7 +343,7 @@ class TestStatisticsAndIndex:
         # digest = crc32 of Data.db as decimal text
         import zlib as _z
 
-        assert (tmp_path / "nb-1-big-Digest.crc32").read_text() == str(
+        assert (tmp_path / "na-1-big-Digest.crc32").read_text() == str(
             _z.crc32(data)
         )
         # out-of-token-order rejects (beforeAppend analog)
@@ -584,7 +584,7 @@ class TestBloomAndPointRead:
         )
         # find a key the bloom rejects (a few tries in case of an fp)
         for probe in range(100, 200):
-            with open(str(tmp_path / "nb-1-big-Filter.db"), "rb") as f:
+            with open(str(tmp_path / "na-1-big-Filter.db"), "rb") as f:
                 bf = mod.BloomFilter.deserialize(f.read())
             if not bf.is_present(schema.key_bytes([probe])):
                 assert mod.sstable_point_read(str(tmp_path), [probe]) == []
@@ -671,12 +671,12 @@ class TestCompression:
             chunk_length=4096,
         )
         names = sorted(p.name for p in tmp_path.iterdir())
-        assert "nb-1-big-CompressionInfo.db" in names
+        assert "na-1-big-CompressionInfo.db" in names
         # compressed file smaller than the uncompressed stream
         import os as _os
 
         assert (
-            _os.path.getsize(tmp_path / "nb-1-big-Data.db")
+            _os.path.getsize(tmp_path / "na-1-big-Data.db")
             < man["data_bytes"]
         )
         got = sstable_point_read(str(tmp_path), [17])
@@ -747,7 +747,7 @@ class TestSstableDump:
         parts[2].deletion = (TS + 3, DELETION_TIME_EPOCH + 3)
         write_sstable(str(tmp_path), 1, schema, parts, compression=True)
         dump = dump_sstable(
-            str(tmp_path / "nb-1-big-Data.db"),
+            str(tmp_path / "na-1-big-Data.db"),
             now_seconds=DELETION_TIME_EPOCH,
         )
         assert [p["partition"]["key"] for p in dump] == [[str(k)] for k in ks]
@@ -960,7 +960,7 @@ class TestSummary:
         )
 
         ks = self._write_many(tmp_path, 300)
-        blob = (tmp_path / "nb-1-big-Summary.db").read_bytes()
+        blob = (tmp_path / "na-1-big-Summary.db").read_bytes()
         summ = read_summary(blob)
         # IndexSummary.serialize pins: minIndexInterval, BASE sampling,
         # ceil(300/128) = 3 sampled entries at full sampling
@@ -969,7 +969,7 @@ class TestSummary:
         assert summ["size_at_full_sampling"] == 3
         assert len(summ["entries"]) == 3
         # each sampled entry's offset points at ITS Index.db record
-        idx = (tmp_path / "nb-1-big-Index.db").read_bytes()
+        idx = (tmp_path / "na-1-big-Index.db").read_bytes()
         entries = read_index_entries(idx)
         assert [e[0] for e in summ["entries"]] == [
             entries[0][0], entries[128][0], entries[256][0],
@@ -1132,7 +1132,7 @@ class TestStatsMetadata:
         parts[0].rows.append(tomb)
         write_sstable(str(tmp_path), 1, schema, parts, compression=True)
         _stats, hdr = parse_statistics(
-            (tmp_path / "nb-1-big-Statistics.db").read_bytes()
+            (tmp_path / "na-1-big-Statistics.db").read_bytes()
         )
         sm = hdr["stats_metadata"]
         assert sm["total_rows"] == 31
@@ -1273,7 +1273,7 @@ class TestRangeTombstoneMarkers:
                        deletion=(TS, DELETION_TIME_EPOCH)),
         ])
         write_sstable(str(tmp_path), 1, schema, [part])
-        dump = dump_sstable(str(tmp_path / "nb-1-big-Data.db"))
+        dump = dump_sstable(str(tmp_path / "na-1-big-Data.db"))
         kinds = [r["type"] for r in dump[0]["rows"]]
         assert kinds == ["range_tombstone_bound", "range_tombstone_bound"]
         assert dump[0]["rows"][0]["clustering"] == ["1"]
@@ -1584,7 +1584,7 @@ class TestDownsampledSummary:
         # plus 61 evens of block 1's 122 entries -> 125
         write_sstable(str(tmp_path), 1, schema, parts,
                       min_index_interval=8, sampling_level=64)
-        summ = read_summary((tmp_path / "nb-1-big-Summary.db").read_bytes())
+        summ = read_summary((tmp_path / "na-1-big-Summary.db").read_bytes())
         assert summ["min_index_interval"] == 8
         assert summ["sampling_level"] == 64
         assert summ["size_at_full_sampling"] == 250
@@ -1704,7 +1704,7 @@ class TestCompactionComponent:
             for k in ks
         ]
         write_sstable(str(tmp_path), 1, schema, parts)
-        blob = (tmp_path / "nb-1-big-Statistics.db").read_bytes()
+        blob = (tmp_path / "na-1-big-Statistics.db").read_bytes()
         _stats, hdr = parse_statistics(blob)
         # 500 distinct partitions -> linear-counting range, near-exact
         assert abs(hdr["compaction_cardinality"] - 500) <= 15
@@ -1781,3 +1781,180 @@ class TestSstableMetadataCli:
         # range: near-exact
         assert abs(int(fields["Estimated cardinality"]) - 300) <= 10
         assert "EncodingStats minTimestamp" in fields
+
+
+class TestVersionInterop:
+    """The ma..nb feature-flag matrix (BigFormat.java:153-163): this
+    engine WRITES the checkout's current_version na (BigFormat.java:120)
+    and READS the whole range — md fixtures (3.x era: no metadata
+    checksums, old bloom word layout, no na stats fields) and nb
+    (public 4.0.x: trailing nullable originatingHostId) both round-trip
+    through the same readers."""
+
+    TS = TIMESTAMP_EPOCH + 777
+
+    def _parts(self, n=8):
+        from cassandra_pmem_spark.functions.murmur3 import murmur3_token_py
+
+        ks = sorted(range(n), key=murmur3_token_py)
+        # int32 keys hash through the general kernel; order by the
+        # 4-byte key's token instead
+        from cassandra_pmem_spark.functions.murmur3 import (
+            murmur3_token_bytes_py,
+        )
+
+        ks = sorted(range(n), key=lambda k: murmur3_token_bytes_py(
+            struct.pack(">i", k)))
+        return [
+            _part(k, [_row(0, self.TS, v=f"s{k}", n=k * 10)]) for k in ks
+        ]
+
+    def test_version_matrix_flags(self):
+        from cassandra_pmem_spark.sources.sstable import SSTableVersion
+
+        grid = {
+            "ma": (False, False, False, False, False, False, False, True),
+            "mb": (True, False, False, False, False, False, False, True),
+            "mc": (True, True, False, False, False, False, False, True),
+            "md": (True, True, True, False, False, False, False, True),
+            "na": (True, True, True, True, True, True, True, False),
+            "nb": (True, True, True, True, True, True, True, False),
+        }
+        for name, (clb, cli, amm, mcl, pr, tr, mck, obf) in grid.items():
+            v = SSTableVersion(name)
+            assert v.has_commit_log_lower_bound is clb, name
+            assert v.has_commit_log_intervals is cli, name
+            assert v.has_accurate_min_max is amm, name
+            assert v.has_max_compressed_length is mcl, name
+            assert v.has_pending_repair is pr, name
+            assert v.has_is_transient is tr, name
+            assert v.has_metadata_checksum is mck, name
+            assert v.has_old_bf_format is obf, name
+        from cassandra_pmem_spark.sources.sstable import version_from_path
+
+        assert version_from_path("/x/md-3-big-Data.db").name == "md"
+        for bad in ("la", "nz", "zz", "q", ""):
+            with pytest.raises(ValueError):
+                SSTableVersion(bad)
+
+    @pytest.mark.parametrize("version", ["ma", "mc", "md", "na", "nb"])
+    def test_cross_version_point_read_roundtrip(self, tmp_path, version):
+        from cassandra_pmem_spark.sources.sstable import sstable_point_read
+
+        schema = _schema()
+        parts = self._parts()
+        man = write_sstable(
+            str(tmp_path), 1, schema, parts, compression=True,
+            version=version,
+        )
+        assert f"{version}-1-big-Data.db" in man["data_path"]
+        for k in range(8):
+            rows = sstable_point_read(str(tmp_path), [k])
+            assert [(r["v"], r["n"]) for r in rows] == [(f"s{k}", k * 10)]
+
+    def test_md_statistics_has_no_checksums_or_na_fields(self, tmp_path):
+        schema = _schema()
+        parts = self._parts(4)
+        stats = compute_stats(parts)
+        na_blob = serialize_statistics(schema, stats, parts, version="na")
+        md_blob = serialize_statistics(schema, stats, parts, version="md")
+        # count(4) + toc(8*n) shrinks by the two container CRCs plus one
+        # CRC per component, plus the na-only stats fields:
+        # commitLogLowerBound stays (>=mb, 12B), intervals stay (>=mc,
+        # 4B), pendingRepair/isTransient drop (2B)
+        n_comps = struct.unpack(">i", md_blob[:4])[0]
+        assert n_comps == struct.unpack(">i", na_blob[:4])[0] == 4
+        assert len(na_blob) - len(md_blob) == (2 + n_comps) * 4 + 2
+        _stats_md, hdr_md = parse_statistics(md_blob, version="md")
+        assert hdr_md["sstable_version"] == "md"
+        sm = hdr_md["stats_metadata"]
+        assert "pending_repair" not in sm and "is_transient" not in sm
+        assert sm["commit_log_lower_bound"] == (-1, 0)
+        assert sm["commit_log_intervals"] == []
+        # >=md keeps clustering bounds; the values survive
+        assert sm["min_clustering_values"] == [0]
+        # ma: same byte stream minus lower bound + intervals
+        ma_blob = serialize_statistics(schema, stats, parts, version="ma")
+        assert len(md_blob) - len(ma_blob) == 12 + 4
+        sm_ma = parse_statistics(ma_blob, version="ma")[1]["stats_metadata"]
+        # pre-md min/max clustering are consumed but dropped
+        # (CASSANDRA-14861 read gate)
+        assert sm_ma["min_clustering_values"] == []
+        assert "commit_log_lower_bound" not in sm_ma
+
+    def test_nb_statistics_roundtrip_with_originating_host_id(self):
+        schema = _schema()
+        parts = self._parts(4)
+        stats = compute_stats(parts)
+        nb_blob = serialize_statistics(schema, stats, parts, version="nb")
+        na_blob = serialize_statistics(schema, stats, parts, version="na")
+        # nb appends exactly the one-byte null originatingHostId flag
+        assert len(nb_blob) - len(na_blob) == 1
+        sm = parse_statistics(nb_blob, version="nb")[1]["stats_metadata"]
+        assert "originating_host_id" not in sm  # null on write
+        # a non-null host id (what real 4.0.x nodes write) parses too
+        import uuid as _uuid
+
+        hid = _uuid.uuid4()
+        body = bytearray(nb_blob)
+        # STATS is the last toc component here; flip the trailing flag
+        # and append the uuid before the component CRC
+        # simpler: hand-extend a STATS body via the component parser
+        from cassandra_pmem_spark.sources.sstable import (
+            parse_stats_component, stats_component,
+        )
+
+        sc = stats_component(schema, stats, parts, version="nb")
+        sc = sc[:-1] + b"\x01" + hid.bytes
+        out = parse_stats_component(sc, schema, version="nb")
+        assert out["originating_host_id"] == str(hid)
+
+    def test_old_bloom_filter_word_layout(self, tmp_path):
+        from cassandra_pmem_spark.sources.sstable import BloomFilter
+
+        bf = BloomFilter.sized_for(64)
+        for k in range(16):
+            bf.add(struct.pack(">i", k))
+        new = bf.serialize()
+        old = bf.serialize(old_format=True)
+        assert new[:8] == old[:8]  # hashCount + wordCount identical
+        # every 8-byte word is byte-reversed on disk (OffHeapBitSet.
+        # serializeOldBfFormat:125-140)
+        for w in range(8, len(new), 8):
+            assert old[w:w + 8] == new[w:w + 8][::-1]
+        back = BloomFilter.deserialize(old, old_format=True)
+        assert bytes(back.bits) == bytes(bf.bits)
+        assert all(
+            back.is_present(struct.pack(">i", k)) for k in range(16)
+        )
+
+    def test_md_compression_info_lacks_max_compressed_length(self):
+        from cassandra_pmem_spark.sources.sstable import (
+            CompressionInfo, compress_data,
+        )
+
+        data = bytes(range(256)) * 64
+        _comp_na, info_na = compress_data(data, 4096, version="na")
+        _comp_md, info_md = compress_data(data, 4096, version="md")
+        assert len(info_na) - len(info_md) == 4
+        ci = CompressionInfo.parse(info_md, version="md")
+        assert ci.max_compressed_length == 0x7FFFFFFF
+        assert ci.data_length == len(data)
+        assert ci.chunk_length == 4096
+
+    def test_distributed_read_of_md_fixture(self, spark, tmp_path):
+        # read_sstables derives the version from the descriptor name:
+        # an md-written directory reads identically to na
+        schema = _schema()
+        parts = self._parts()
+        write_sstable(str(tmp_path), 1, schema, parts, version="md")
+        df = read_sstables(spark, str(tmp_path))
+        got = sorted((r["key0"], r["v"], r["n"]) for r in df.collect())
+        assert got == [(k, f"s{k}", k * 10) for k in range(8)]
+
+    def test_unsupported_version_rejected(self, tmp_path):
+        schema = _schema()
+        with pytest.raises(ValueError, match="unsupported sstable version"):
+            write_sstable(str(tmp_path), 1, schema, [], version="la")
+        with pytest.raises(ValueError, match="unsupported sstable version"):
+            write_sstable(str(tmp_path), 1, schema, [], version="nc")
