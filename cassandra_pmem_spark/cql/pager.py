@@ -285,6 +285,12 @@ class QueryPager:
                 st, selectors=list(st.selectors) + hidden, limit=None,
             )
         self._user_limit = st.limit
+        # the token ORDER column is materialized ONCE on the page frame
+        # (see _page_frame) so per-page sorts/filters are pure JVM work
+        # over a real (cached, for buffer-backed tables) column instead
+        # of re-running the murmur3 pandas UDF every fetch
+        self._tok_name = f"{_HIDDEN}tok"
+        self._hidden = set(self._hidden) | {self._tok_name}
 
         if state is not None:
             ps = PagingState.deserialize(state)
@@ -325,7 +331,7 @@ class QueryPager:
         clustering components in effective direction."""
         spec = []
         if self._pk_n:
-            spec.append((self._token_expr(), True))
+            spec.append((F.col(self._tok_name), True))
             for i in range(self._pk_n):
                 spec.append((F.col(self._names[i]), True))
         for i in range(self._pk_n, len(self._order_cols)):
@@ -360,6 +366,8 @@ class QueryPager:
         if ver is not None and cached is not None and cached[0] == ver:
             return cached[1]
         frame = self.db._compile_select(self._st)
+        if self.kind != "global" and self._pk_n:
+            frame = frame.withColumn(self._tok_name, self._token_expr())
         if ver is not None:
             if cached is not None:
                 try:

@@ -1719,7 +1719,11 @@ class CqlWriteSession:
         flt = F.lit(True)
         for kc, kv in zip(self.meta.primary_key, key):
             flt = flt & (F.col(kc) == F.lit(kv))
-        return current.filter(flt).limit(1).collect()
+        # NO .limit(1): the full-pk filter already yields <=1 row, and a
+        # LIMIT above this shuffle plan would run CollectLimit's
+        # incremental multi-job execution (measured 537ms vs 78ms for
+        # the plain collect on a 6-row buffer table)
+        return current.filter(flt).collect()
 
     def _read_visible(self, key: tuple) -> dict | None:
         row = self._read_visible_rows(key)
@@ -1739,7 +1743,9 @@ class CqlWriteSession:
         flt = F.lit(True)
         for kc, kv in zip(self.meta.primary_key, key):
             flt = flt & (F.col(kc) == F.lit(kv))
-        rows = df.filter(flt).limit(1).collect()
+        # no .limit(1) — full-pk filter yields <=1 row; see
+        # _read_visible_rows on CollectLimit's multi-job cost
+        rows = df.filter(flt).collect()
         if not rows:
             return []
         row = rows[0].asDict()
@@ -2009,6 +2015,31 @@ class CqlWriteSession:
 
     # -- read path ------------------------------------------------------------
 
+    def _log_frame(self, rows: list, log_schema: T.StructType) -> DataFrame:
+        """Mutation-log DataFrame. Arrow-backed when the values convert
+        (pyarrow table → JVM LocalTableScan): a tuple-list createDataFrame
+        produces a `Scan ExistingRDD` whose EVERY job round-trips the
+        pickled rows through Python workers — measured 579ms vs 213ms
+        per fresh statement-path plan+collect on a 10-row buffer. The
+        RDD path remains the fallback for any value shape pyarrow can't
+        take (it is the semantic reference; the 203-query oracle gate
+        covers both)."""
+        try:
+            import pyarrow as pa
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            aschema = to_arrow_schema(log_schema)
+            cols = list(zip(*rows))
+            arrays = [
+                pa.array(list(c), type=f.type)
+                for c, f in zip(cols, aschema)
+            ]
+            return self.spark.createDataFrame(
+                pa.Table.from_arrays(arrays, schema=aschema)
+            )
+        except Exception:
+            return self.spark.createDataFrame(rows, log_schema)
+
     def table(
         self,
         now: int | None = None,
@@ -2111,7 +2142,7 @@ class CqlWriteSession:
                 + tuple(_plain_value(x) for x in extras)
             )
 
-        log = self.spark.createDataFrame(rows, log_schema) if rows else None
+        log = self._log_frame(rows, log_schema) if rows else None
         if self._base is not None:
             base = (
                 self._base.select(*fields)

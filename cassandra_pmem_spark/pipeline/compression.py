@@ -84,7 +84,31 @@ def _extend_match(src: bytes, cand: int, pos: int, limit: int) -> int:
 
 
 def lz4_block_compress(src: bytes) -> bytes:
-    """LZ4 block format, greedy single-probe hash matcher.
+    """LZ4 block format. Fast path: pyarrow's C codec ("lz4_raw" IS the
+    block format — cross-decode with lz4_block_compress_py is pinned in
+    tests both directions, ~100x faster on the sstable write path).
+    Falls back to the pure-Python reference matcher below."""
+    if _PA_LZ4 is not None and src:
+        try:
+            return _PA_LZ4.compress(src, asbytes=True)
+        except Exception:
+            pass
+    return lz4_block_compress_py(src)
+
+
+try:
+    import pyarrow as _pa
+
+    _PA_LZ4 = _pa.Codec("lz4_raw")
+except Exception:  # pragma: no cover - pyarrow is baked into the env
+    _PA_LZ4 = None
+
+
+def lz4_block_compress_py(src: bytes) -> bytes:
+    """LZ4 block format, greedy single-probe hash matcher — the
+    pure-Python reference implementation (spec semantics pinned by
+    test_codecs; the dispatching wrapper above prefers pyarrow's C
+    codec).
 
     Spec rules honored: matches start at least 12 bytes before block
     end, match bytes stay out of the last 5 (both from

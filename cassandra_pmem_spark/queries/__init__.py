@@ -24,74 +24,74 @@ from pyspark.sql import DataFrame, SparkSession
 # First-50 window budget, rotated by STALENESS each round (COVERAGE.md
 # rule: edited since last green driver evidence ⇒ re-enter the window;
 # never-evidenced entries outrank everything).
-# Round-11 layout: (1) the NEW round-11 queries (never evidenced);
-# (2) stale-by-edit — the general-length murmur3 DuckDB twin was
-# regenerated as a flat WITH chain this round, so every token-scan
-# oracle it generates re-enters, plus the queries whose machinery
-# round 11 touches (SASI LIKE modes, sstable COMPACTION/Summary
-# components, the paging fixture, the FLAC encoder); (3) the entire
-# r4-evidence backlog — the 38 registry rows whose latest driver
-# evidence is CORRECTNESS_r04 (sketch/source/text/multimodal/sim
-# tiers) — plus tpch_q1 (r1; it is also entry(), but window evidence
-# beats entry smoke). Exactly 50 names.
+# Round-12 layout: (1) the two NEW round-12 queries (never evidenced);
+# (2) stale-by-edit — the nine queries whose machinery round 12
+# touched (see inline notes); (3) the ENTIRE r7-evidence backlog —
+# the 39 registry rows whose latest driver evidence is
+# CORRECTNESS_r07 (analytics/temporal/snapshot/dedup tiers). After
+# this window records, every registry row's latest driver evidence
+# is r8 or newer. Exactly 50 names.
 _PRIORITY: tuple[str, ...] = (
-    # -- (1) new in round 11
-    "cql_token_scan_frozen",  # frozen collection/UDT pk murmur3 tokens
-    # -- (2) stale-by-edit (round-11 edits to their machinery).
-    # cql_token_scan itself is NOT here: its fixed-8 kernel and nested
-    # DuckDB twin were untouched this round (only the general-length
-    # twin regenerated); text_dsir_weights re-enters instead (its gram
-    # pass gained the scan-parallelism guard).
-    "text_dsir_weights",
-    "cql_token_scan_text",
-    "cql_token_scan_composite",
-    "cql_token_scan_uuid",
-    "cql_index_targets",  # SASI IndexMode LIKE matrix lands here
-    "cql_like",
-    "source_sstable_roundtrip",  # COMPACTION component + Summary levels
+    # -- (1) new in round 12 (never driver-evidenced)
+    "cql_token_scan_frozen_num",
+    "source_sstable_version_interop",
+    # -- (2) stale-by-edit: round 12 touched their machinery —
+    # the pager's materialized token column + buffer-only persist
+    # (cql_paging), the Arrow-backed statement log frame and the
+    # no-limit LWT point read (trigger/LWT/batch/UDT writes), the
+    # sstable codec fast paths + ma..nb version dispatch
+    # (roundtrip/pointread), frozen-pk comparator sort (token
+    # scans), and the SASI complex-target rejection (index targets)
+    "cql_paging",
+    "cql_trigger_audit",
+    "cql_lwt_conditional",
+    "source_sstable_roundtrip",
     "source_sstable_pointread",
-    "cql_paging",  # fixture writes batched so the bench times the pager
-    "multimodal_audio_flac",  # encoder hot-loop vectorization
-    # -- (3) oldest driver evidence: r1/r4 backlog
-    "tpch_q1_pricing_summary",
-    "dedup_minhash_jaccard",
-    "dedup_cascade_docs",
-    "dedup_lsh_pairs",
-    "dedup_connected_components",
-    "dedup_line_level",
-    "sim_ivf_rerank",
-    "sim_sq8_topk",
-    "sim_pq_adc_topk",
-    "bucketed_colocated_join",
-    "streaming_cdc_dedup",
-    "streaming_stateful_counters",
-    "multimodal_features_jpeg",
-    "multimodal_features_jpeg_color",
-    "multimodal_features_jpeg_progressive",
-    "multimodal_audio_mp3_meta",
-    "multimodal_audio_g711_adpcm",
-    "multimodal_video_gif_frames",
-    "multimodal_video_mp4_samples",
-    "multimodal_video_y4m_frames",
-    "multimodal_video_mjpeg_avi",
-    "source_warc_ingest",
-    "source_url_normalize",
-    "source_compressed_chunks",
-    "source_tar_webdataset",
-    "text_html_extract",
-    "text_repetition_signals",
-    "text_bm25_scores",
-    "text_pii_redact",
-    "text_decontaminate",
-    "text_ngram_lm_ppl",
-    "text_c4_filters",
-    "sketch_hll_registers",
-    "sketch_bloom_words",
-    "sketch_countmin_cells",
-    "sketch_histogram_bins",
-    "sketch_runtime_filtered_join",
-    "pipeline_pack_sequences",
-    "pipeline_stratified_sample",
+    "cql_token_scan_frozen",
+    "cql_index_targets",
+    "cql_batch_apply",
+    "cql_udt_field_writes",
+    # -- (3) the ENTIRE r7-evidence backlog (39) — after this
+    # window records, the oldest driver evidence is r8
+    "analytics_cube",
+    "analytics_funnel",
+    "analytics_pivot",
+    "analytics_salted_join",
+    "analytics_scd2_intervals",
+    "analytics_sessionization",
+    "cql_blob_conv",
+    "cql_collection_access",
+    "cql_collection_writetime",
+    "cql_tuple_relation",
+    "cql_upsert_lww_rows",
+    "dedup_components_star",
+    "dedup_substring_spans",
+    "graph_pagerank_exact",
+    "multimodal_audio_dedup",
+    "multimodal_image_dedup",
+    "pipeline_chunk_documents",
+    "pipeline_domain_mixture",
+    "pipeline_epoch_shuffle",
+    "sim_semantic_dedup",
+    "source_arrow_ipc",
+    "source_compaction_roundtrip",
+    "source_orc_roundtrip",
+    "source_snapshot_deletes",
+    "source_snapshot_incremental",
+    "source_snapshot_merge",
+    "source_snapshot_pruned_scan",
+    "source_snapshot_schema_evolution",
+    "source_snapshot_timetravel",
+    "source_zorder_layout",
+    "streaming_sketch_merge",
+    "streaming_stream_join",
+    "temporal_asof_forward",
+    "temporal_asof_join",
+    "temporal_gapfill_locf",
+    "temporal_overlap_join",
+    "temporal_range_join",
+    "temporal_rollup_cascade",
+    "text_fuzzy_join",
 )
 # Deliberately outside the window this round: everything with r7+
 # evidence and unchanged machinery. After this window records, every

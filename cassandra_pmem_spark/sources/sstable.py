@@ -203,6 +203,8 @@ _MARSHAL = "org.apache.cassandra.db.marshal."
 # -- vints (VIntCoding.java) ------------------------------------------------
 
 def unsigned_vint_size(value: int) -> int:
+    if 0 <= value < 128:
+        return 1  # fast path: the overwhelmingly common small vint
     value &= (1 << 64) - 1
     bits = max(1, value.bit_length())
     # size s <= 8 carries 7*s value bits (the first byte spends one
@@ -214,7 +216,12 @@ def unsigned_vint_size(value: int) -> int:
     return 9
 
 
+_VINT_1B = [bytes([i]) for i in range(128)]
+
+
 def encode_unsigned_vint(value: int) -> bytes:
+    if 0 <= value < 128:
+        return _VINT_1B[value]  # fast path, ~90% of wire vints
     value &= (1 << 64) - 1
     size = unsigned_vint_size(value)
     if size == 1:
@@ -262,7 +269,14 @@ class ByteReader:
         return b
 
     def u8(self) -> int:
-        return self.take(1)[0]
+        # direct index (an IndexError = truncated stream) — take(1)'s
+        # slice+len was the single hottest line of the parse profile
+        try:
+            b = self.buf[self.pos]
+        except IndexError:
+            raise ValueError("truncated sstable stream") from None
+        self.pos += 1
+        return b
 
     def u16(self) -> int:
         return struct.unpack(">H", self.take(2))[0]
@@ -279,10 +293,9 @@ class ByteReader:
             return first
         # count of leading ones = extra bytes
         extra = 8 - (255 - first).bit_length() if first != 0xFF else 8
-        value = first & (0xFF >> extra)
-        for b in self.take(extra):
-            value = (value << 8) | b
-        return value
+        return (
+            (first & (0xFF >> extra)) << (8 * extra)
+        ) | int.from_bytes(self.take(extra), "big")
 
     def vint(self) -> int:
         return unzigzag64(self.unsigned_vint())
@@ -322,6 +335,16 @@ def _ts_pack(v) -> bytes:
     import datetime as _dt
 
     if isinstance(v, _dt.datetime):
+        ns = getattr(v, "value", None)
+        if ns is not None:
+            # pandas Timestamp fast path: .value is ns since epoch,
+            # UTC-normalized for aware and naive-as-UTC for naive —
+            # exactly the replace(utc).timestamp() result below, minus
+            # two object constructions per cell (hot write path).
+            # Truncation toward zero matches int(timestamp()*1000) for
+            # pre-1970 instants with sub-ms parts.
+            ms = ns // 1_000_000 if ns >= 0 else -((-ns) // 1_000_000)
+            return struct.pack(">q", ms)
         if v.tzinfo is None:
             v = v.replace(tzinfo=_dt.timezone.utc)
         ms = int(v.timestamp() * 1000)
@@ -387,7 +410,13 @@ _SPARK_TO_MARSHAL = {
 REVERSED_PREFIX = _MARSHAL + "ReversedType("
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=512)
 def codec_of(type_text: str) -> Codec:
+    # pure function of the type text — called per CELL in the row
+    # serializers, so the parse is memoized
     base = type_text
     if base.startswith(REVERSED_PREFIX) and base.endswith(")"):
         base = base[len(REVERSED_PREFIX):-1]
@@ -422,6 +451,20 @@ class SSTableSchema:
                 "columns (Columns.serializeSubset large-subset encoding "
                 "not implemented)"
             )
+        # derived column structures, computed once: the row
+        # serializers touch these PER ROW (hot path — rebuilding the
+        # name list + type dict per row was ~10% of serialize/parse)
+        self._reg_superset = [n for n, _ in self.regular]
+        self._reg_types = dict(self.regular)
+        self._static_superset = [n for n, _ in self.statics]
+        self._static_types = dict(self.statics)
+
+    def columns_for(self, static: bool) -> tuple[list, dict]:
+        """(superset name list, name->marshal dict) for the regular or
+        static tier — precomputed in __post_init__."""
+        if static:
+            return self._static_superset, self._static_types
+        return self._reg_superset, self._reg_types
 
     @classmethod
     def from_table_meta(cls, meta, type_overrides: dict | None = None,
@@ -758,11 +801,10 @@ def _row_bytes(row: RowData, schema: SSTableSchema, stats: EncodingStats,
     has_ttl = has_ts and row.liveness_ttl > 0
     has_del = row.deletion is not None
     present = sorted(row.cells)
-    superset = [n for n, _ in (schema.statics if static else schema.regular)]
-    unknown = set(present) - set(superset)
+    superset, types = schema.columns_for(static)
+    unknown = [c for c in present if c not in types]
     if unknown:
         raise ValueError(f"cells for undeclared columns {sorted(unknown)}")
-    types = dict(schema.statics if static else schema.regular)
     complex_cols = {
         c for c in present if collection_codec_of(types[c]) is not None
     }
@@ -860,14 +902,12 @@ def _read_row(r: ByteReader, flags: int, schema: SSTableSchema,
             r.unsigned_vint() + stats.min_timestamp,
             r.unsigned_vint() + stats.min_local_deletion_time,
         )
-    cols = schema.statics if static else schema.regular
-    superset = [n for n, _ in cols]
+    superset, types = schema.columns_for(static)
     present = (
-        list(superset)
+        superset
         if flags & HAS_ALL_COLUMNS
         else _read_columns_subset(r, superset)
     )
-    types = dict(cols)
     row_ts = row.liveness_timestamp
     for c in present:
         cc = collection_codec_of(types[c])
@@ -2835,7 +2875,10 @@ def _split_generics_marshal(body: str) -> list[str]:
     return [s.strip() for s in out]
 
 
+@_functools.lru_cache(maxsize=512)
 def collection_codec_of(type_text: str) -> "CollectionCodec | None":
+    # pure function of the type text (see codec_of) — memoized; the
+    # returned CollectionCodec is treated as immutable by all callers
     for kind, cls in (("list", "ListType"), ("set", "SetType"),
                       ("map", "MapType")):
         pref = _MARSHAL + cls + "("

@@ -1326,11 +1326,33 @@ class TestBlockCompression:
     def test_lz4_round_trip(self):
         from cassandra_pmem_spark.pipeline.compression import (
             lz4_block_compress,
+            lz4_block_compress_py,
             lz4_block_decompress,
         )
 
         for c in self.CASES:
             assert lz4_block_decompress(lz4_block_compress(c), len(c)) == c
+            assert lz4_block_decompress(lz4_block_compress_py(c), len(c)) == c
+
+    def test_lz4_arrow_and_py_cross_decode(self):
+        # the dispatcher's fast path (pyarrow "lz4_raw") and the Python
+        # reference matcher must decode each other's output — both are
+        # the same public LZ4 block format
+        import pyarrow as pa
+
+        from cassandra_pmem_spark.pipeline.compression import (
+            lz4_block_compress_py,
+            lz4_block_decompress,
+        )
+
+        codec = pa.Codec("lz4_raw")
+        for c in self.CASES:
+            assert codec.decompress(
+                lz4_block_compress_py(c), len(c), asbytes=True
+            ) == c
+            assert lz4_block_decompress(
+                codec.compress(c, asbytes=True), len(c)
+            ) == c
 
     def test_snappy_round_trip(self):
         from cassandra_pmem_spark.pipeline.compression import (
@@ -1350,8 +1372,12 @@ class TestBlockCompression:
             lz4_block_compress,
         )
 
+        from cassandra_pmem_spark.pipeline.compression import (
+            lz4_block_compress_py,
+        )
+
         src = b"ababababababababababababababab"  # highly matchable
-        comp = lz4_block_compress(src)
+        comp = lz4_block_compress_py(src)
 
         def read_ext(i):  # linear-extension byte run
             v = 0

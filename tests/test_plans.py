@@ -891,3 +891,69 @@ class TestUdtMergePlan:
         n_scalar = scalar_plan.count("Exchange")
         n_udt = udt_plan.count("Exchange")
         assert n_udt == n_scalar, (n_udt, n_scalar)
+
+
+class TestRound12Plans:
+    def test_statement_log_frame_is_arrow_backed(self, spark):
+        """The mutation-log frame compiles to a JVM LocalTableScan, not a
+        pickled `Scan ExistingRDD` (which would re-run Python workers on
+        EVERY downstream job of every statement — see writes._log_frame)."""
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+        db = CqlDatabase(spark)
+        db.execute(
+            "CREATE KEYSPACE plk WITH REPLICATION = {'class': 'SimpleStrategy'}"
+        )
+        db.execute("USE plk")
+        db.execute(
+            "CREATE TABLE t (k int, c int, v text, m map<text,int>, "
+            "PRIMARY KEY (k, c))"
+        )
+        db.execute("INSERT INTO t (k, c, v, m) VALUES (1, 1, 'a', {'x': 1})")
+        db.execute("UPDATE t SET m['y'] = 2 WHERE k = 1 AND c = 1")
+        sess = db._session_for_key(db._table_key("t"))
+        df = sess.table(now=sess._clock_ref[0])
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "LocalTableScan" in plan
+        assert "ExistingRDD" not in plan
+        # and the merge result is still right (map merged per cell)
+        row = db.execute("SELECT v, m FROM t").collect()[0]
+        assert row.v == "a" and dict(row.m) == {"x": 1, "y": 2}
+
+    def test_pager_page_jobs_have_no_python_eval(self, spark):
+        """Per-page sort/filter work is pure JVM: the token order column
+        is materialized ONCE on the page frame, so the per-page plan
+        (after-filter + orderBy + limit) contains no Arrow/Python eval
+        above the cached frame."""
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+        from pyspark.sql import functions as F
+
+        db = CqlDatabase(spark)
+        db.execute(
+            "CREATE KEYSPACE plp WITH REPLICATION = {'class': 'SimpleStrategy'}"
+        )
+        db.execute("USE plp")
+        db.execute("CREATE TABLE t (k int, c int, v int, PRIMARY KEY (k, c))")
+        for k in range(4):
+            for c in range(3):
+                db.execute(
+                    "INSERT INTO t (k, c, v) VALUES (?, ?, ?)", [k, c, k + c]
+                )
+        p = db.pager("SELECT k, c FROM t", page_size=5)
+        first = p.fetch_page()
+        assert len(first) == 5
+        frame = p._frame_memo[1]
+        spec = p._order_spec()
+        page_plan = (
+            frame.filter(p._after_filter(p._pos))
+            .orderBy(*[c.asc() if asc else c.desc() for c, asc in spec])
+            .limit(5)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # the persisted frame itself contains the one-time token UDF;
+        # everything ABOVE the InMemoryTableScan must be JVM-only
+        above = page_plan.split("InMemoryTableScan")[0]
+        assert "ArrowEvalPython" not in above
+        assert "BatchEvalPython" not in above
