@@ -236,7 +236,45 @@ def main(argv: list[str] | None = None) -> int:
         "estimate (tools/bin/sstablemetadata analog) — and exit; no "
         "Spark session",
     )
+    ap.add_argument(
+        "--sstableverify",
+        metavar="PATH",
+        help="verify a big-format sstable (a *-Data.db file or a "
+        "directory of them): metadata/index/summary/bloom deserialize, "
+        "Digest.crc32 hash check, and — with --extended or when the "
+        "digest is missing — a full partition walk checking index/data "
+        "agreement and token order (nodetool verify / "
+        "tools/bin/sstableverify analog); exit 1 on corruption; no "
+        "Spark session",
+    )
+    ap.add_argument(
+        "--extended",
+        action="store_true",
+        help="with --sstableverify: extended verification (inspect "
+        "every partition's values)",
+    )
     args = ap.parse_args(argv)
+
+    if args.sstableverify:
+        from cassandra_pmem_spark.sources.sstable import (
+            CorruptSSTableError,
+            verify_sstable,
+            verify_sstables,
+        )
+
+        target = args.sstableverify
+        try:
+            lines = (
+                verify_sstables(target, extended=args.extended)
+                if os.path.isdir(target)
+                else verify_sstable(target, extended=args.extended)
+            )
+        except (CorruptSSTableError, ValueError, OSError) as e:
+            print(f"Verification failed: {e}", file=sys.stderr)
+            return 1
+        for line in lines:
+            print(line)
+        return 0
 
     if args.sstablemetadata:
         from cassandra_pmem_spark.sources.sstable import sstable_metadata

@@ -2624,6 +2624,166 @@ def stats_component(schema: SSTableSchema, stats: EncodingStats,
     return bytes(out)
 
 
+class CorruptSSTableError(ValueError):
+    """Verification failure (CorruptSSTableException analog)."""
+
+
+def verify_sstable(data_path: str, extended: bool = False,
+                   check_version: bool = False) -> list[str]:
+    """Offline sstable verification — the `nodetool verify` /
+    tools/bin/sstableverify analog (db/compaction/Verifier.java:108-299):
+
+    1. [check_version] not-latest versions are rejected with the
+       upgradesstables message (Verifier.java:113-119);
+    2. Statistics.db deserializes (checksums per the descriptor's
+       version) and the VALIDATION partitioner matches (:122-135);
+    3. Index.db deserializes fully (:139-147);
+    4. Summary.db deserializes — corruption is reported but NOT fatal,
+       like the reference's rebuilt-on-startup note (:149-159);
+    5. Filter.db deserializes (version-aware word layout, :161-170);
+    6. Digest: the on-disk Data.db CRC32 must equal Digest.crc32; a
+       MISSING digest file escalates to extended verification
+       (:197-213 "Data digest missing, assuming extended verification");
+    7. extended: walk every partition — index/data keys and positions
+       must agree pairwise, partition keys must be in strict
+       (token, key) order, and every row must decode (:225-299). For
+       compressed sstables the walk verifies every chunk CRC on the way
+       (decompress_range's CorruptBlockException analog).
+
+    Returns the output lines; raises CorruptSSTableError on corruption.
+    """
+    from cassandra_pmem_spark.functions.murmur3 import murmur3_token_bytes_py
+
+    base = data_path[: -len("Data.db")]
+    ver = version_from_path(data_path)
+    out = [f"Verifying {os.path.basename(data_path)} "
+           f"({os.path.getsize(data_path)} bytes)"]
+    if check_version and ver.name != VERSION:
+        raise CorruptSSTableError(
+            f"{os.path.basename(data_path)} is not the latest version, "
+            "run upgradesstables"
+        )
+    out.append("Deserializing sstable metadata")
+    try:
+        with open(base + "Statistics.db", "rb") as fh:
+            stats, hdr = parse_statistics(fh.read(), version=ver.name)
+    except Exception as e:
+        raise CorruptSSTableError(f"Statistics.db: {e}") from e
+    part_cls = hdr.get("partitioner",
+                       "org.apache.cassandra.dht.Murmur3Partitioner")
+    if part_cls != "org.apache.cassandra.dht.Murmur3Partitioner":
+        raise CorruptSSTableError("Partitioner does not match validation metadata")
+    schema = schema_from_header(hdr)
+    out.append("Deserializing index")
+    try:
+        with open(base + "Index.db", "rb") as fh:
+            index_entries = read_index_entries(fh.read())
+    except Exception as e:
+        raise CorruptSSTableError(f"Index.db: {e}") from e
+    if os.path.exists(base + "Summary.db"):
+        try:
+            with open(base + "Summary.db", "rb") as fh:
+                read_summary(fh.read())
+            out.append("Deserializing index summary")
+        except Exception:
+            out.append(
+                "Index summary is corrupt - if it is removed it will get "
+                "rebuilt on startup"
+            )
+    if os.path.exists(base + "Filter.db"):
+        out.append("Deserializing bloom filter")
+        try:
+            with open(base + "Filter.db", "rb") as fh:
+                BloomFilter.deserialize(fh.read(),
+                                        old_format=ver.has_old_bf_format)
+        except Exception as e:
+            raise CorruptSSTableError(f"Filter.db: {e}") from e
+    digest_path = base + "Digest.crc32"
+    if os.path.exists(digest_path):
+        out.append("Checking computed hash")
+        with open(digest_path) as fh:
+            stored = fh.read().strip()
+        with open(data_path, "rb") as fh:
+            actual = str(zlib.crc32(fh.read()))
+        if stored != actual:
+            raise CorruptSSTableError(
+                f"Digest mismatch: stored {stored}, computed {actual}"
+            )
+    else:
+        out.append("Data digest missing, assuming extended verification "
+                   "of disk values")
+        extended = True
+    if not extended:
+        return out
+    out.append("Extended Verify requested, proceeding to inspect values")
+    if os.path.exists(base + "CompressionInfo.db"):
+        with open(base + "CompressionInfo.db", "rb") as fh:
+            info = CompressionInfo.parse(fh.read(), version=ver.name)
+        with open(data_path, "rb") as fh:
+            comp = fh.read()
+        try:
+            blob, _off = decompress_range(comp, info, 0, info.data_length)
+        except Exception as e:
+            raise CorruptSSTableError(str(e)) from e
+    else:
+        with open(data_path, "rb") as fh:
+            blob = fh.read()
+    if index_entries and index_entries[0][1] != 0:
+        raise CorruptSSTableError("first row position from index is not 0")
+    r = ByteReader(blob)
+    prev_tk = None
+    n_parts = 0
+    while r.remaining():
+        pos = r.pos
+        if n_parts >= len(index_entries):
+            raise CorruptSSTableError(
+                f"data has more partitions than the index ({len(index_entries)})"
+            )
+        ikey, ipos = index_entries[n_parts]
+        if ipos != pos:
+            raise CorruptSSTableError(
+                f"index position {ipos} != data position {pos} "
+                f"for partition {n_parts}"
+            )
+        try:
+            part = read_partition(r, schema, stats)
+        except Exception as e:
+            raise CorruptSSTableError(
+                f"partition at {pos} fails to decode: {e}"
+            ) from e
+        key = schema.key_bytes(part.key_values)
+        if key != ikey:
+            raise CorruptSSTableError(
+                f"index key != data key for partition {n_parts}"
+            )
+        tk = (murmur3_token_bytes_py(key), key)
+        if prev_tk is not None and tk <= prev_tk:
+            raise CorruptSSTableError(
+                f"partition {n_parts} out of (token, key) order"
+            )
+        prev_tk = tk
+        n_parts += 1
+    if n_parts != len(index_entries):
+        raise CorruptSSTableError(
+            f"index has {len(index_entries)} entries, data has {n_parts}"
+        )
+    out.append(f"Verified {n_parts} partitions")
+    return out
+
+
+def verify_sstables(sst_dir: str, extended: bool = False) -> list[str]:
+    """Verify every sstable under a directory; lines from each."""
+    out: list[str] = []
+    found = False
+    for f in sorted(os.listdir(sst_dir)):
+        if f.endswith("-Data.db"):
+            found = True
+            out += verify_sstable(os.path.join(sst_dir, f), extended=extended)
+    if not found:
+        raise ValueError(f"no *-Data.db under {sst_dir!r}")
+    return out
+
+
 def sstable_metadata(data_path: str) -> list[str]:
     """``Name: value`` lines for one sstable — the
     tools/bin/sstablemetadata analog (SSTableMetadataViewer.java:

@@ -1958,3 +1958,106 @@ class TestVersionInterop:
             write_sstable(str(tmp_path), 1, schema, [], version="la")
         with pytest.raises(ValueError, match="unsupported sstable version"):
             write_sstable(str(tmp_path), 1, schema, [], version="nc")
+
+
+class TestVerify:
+    """Offline verification (Verifier.java:108-299 / sstableverify)."""
+
+    def _write(self, tmp_path, version="na", compression=False, n=8):
+        schema = _schema()
+        from cassandra_pmem_spark.sources.sstable import write_sstable
+        parts = TestVersionInterop()._parts(n)
+        write_sstable(
+            str(tmp_path), 1, schema, parts, version=version,
+            compression=compression,
+        )
+        return str(tmp_path / f"{version}-1-big-Data.db")
+
+    @pytest.mark.parametrize("version", ["ma", "md", "na"])
+    @pytest.mark.parametrize("compression", [False, True])
+    def test_clean_sstable_verifies(self, tmp_path, version, compression):
+        from cassandra_pmem_spark.sources.sstable import verify_sstable
+
+        dp = self._write(tmp_path, version, compression)
+        lines = verify_sstable(dp, extended=True)
+        assert any("Verified 8 partitions" in ln for ln in lines)
+        assert any("Checking computed hash" in ln for ln in lines)
+
+    def test_digest_mismatch_detected(self, tmp_path):
+        from cassandra_pmem_spark.sources.sstable import (
+            CorruptSSTableError, verify_sstable,
+        )
+
+        dp = self._write(tmp_path)
+        blob = bytearray(open(dp, "rb").read())
+        blob[-1] ^= 0xFF
+        open(dp, "wb").write(bytes(blob))
+        with pytest.raises(CorruptSSTableError, match="Digest mismatch"):
+            verify_sstable(dp)
+
+    def test_missing_digest_escalates_to_extended(self, tmp_path):
+        import os as _os
+
+        from cassandra_pmem_spark.sources.sstable import verify_sstable
+
+        dp = self._write(tmp_path)
+        _os.remove(str(tmp_path / "na-1-big-Digest.crc32"))
+        lines = verify_sstable(dp)  # extended NOT requested
+        assert any("assuming extended verification" in ln for ln in lines)
+        assert any("Verified 8 partitions" in ln for ln in lines)
+
+    def test_index_data_disagreement_detected(self, tmp_path):
+        from cassandra_pmem_spark.sources.sstable import (
+            CorruptSSTableError, verify_sstable,
+        )
+
+        dp = self._write(tmp_path)
+        ip = str(tmp_path / "na-1-big-Index.db")
+        idx = bytearray(open(ip, "rb").read())
+        # flip a key byte in the FIRST index entry (after the 2-byte len)
+        idx[2] ^= 0xFF
+        open(ip, "wb").write(bytes(idx))
+        with pytest.raises(CorruptSSTableError, match="index key != data key"):
+            verify_sstable(dp, extended=True)
+
+    def test_corrupt_compressed_chunk_detected(self, tmp_path):
+        from cassandra_pmem_spark.sources.sstable import (
+            CorruptSSTableError, verify_sstable,
+        )
+
+        dp = self._write(tmp_path, compression=True)
+        blob = bytearray(open(dp, "rb").read())
+        blob[10] ^= 0xFF
+        open(dp, "wb").write(bytes(blob))
+        # the digest catches it first; remove it to drive the chunk CRC
+        import os as _os
+
+        _os.remove(str(tmp_path / "na-1-big-Digest.crc32"))
+        with pytest.raises(CorruptSSTableError):
+            verify_sstable(dp, extended=True)
+
+    def test_stale_version_gate(self, tmp_path):
+        from cassandra_pmem_spark.sources.sstable import (
+            CorruptSSTableError, verify_sstable,
+        )
+
+        dp = self._write(tmp_path, version="md")
+        with pytest.raises(CorruptSSTableError, match="upgradesstables"):
+            verify_sstable(dp, check_version=True)
+        assert verify_sstable(dp, extended=True)  # fine without the gate
+
+    def test_cli_sstableverify(self, tmp_path, capsys):
+        from cassandra_pmem_spark.__main__ import main
+
+        self._write(tmp_path)
+        rc = main(["--sstableverify", str(tmp_path), "--extended"])
+        assert rc == 0
+        assert "Verified 8 partitions" in capsys.readouterr().out
+        # corrupt -> exit 1
+        dp = str(tmp_path / "na-1-big-Data.db")
+        blob = bytearray(open(dp, "rb").read())
+        blob[-1] ^= 0xFF
+        open(dp, "wb").write(bytes(blob))
+        rc = main(["--sstableverify", str(tmp_path)])
+        assert rc == 1
+        assert "Verification failed" in capsys.readouterr().err
