@@ -253,7 +253,46 @@ def main(argv: list[str] | None = None) -> int:
         help="with --sstableverify: extended verification (inspect "
         "every partition's values)",
     )
+    ap.add_argument(
+        "--sstableupgrade",
+        metavar="PATH",
+        help="rewrite every non-current-version sstable under a "
+        "directory (or one *-Data.db) at the current version into "
+        "--upgrade-out (tools/bin/sstableupgrade analog); no Spark "
+        "session",
+    )
+    ap.add_argument(
+        "--upgrade-out",
+        metavar="DIR",
+        help="output directory for --sstableupgrade (default: "
+        "<input>/upgraded)",
+    )
     args = ap.parse_args(argv)
+
+    if args.sstableupgrade:
+        from cassandra_pmem_spark.sources.sstable import (
+            upgrade_sstable,
+            upgrade_sstables,
+        )
+
+        target = args.sstableupgrade
+        out_dir = args.upgrade_out or os.path.join(
+            target if os.path.isdir(target) else os.path.dirname(target),
+            "upgraded",
+        )
+        manifests = (
+            upgrade_sstables(target, out_dir)
+            if os.path.isdir(target)
+            else [upgrade_sstable(target, out_dir)]
+        )
+        for m in manifests:
+            print(
+                f"Upgraded {m['partitions']} partitions / {m['rows']} rows "
+                f"-> {m['data_path']}"
+            )
+        if not manifests:
+            print("Nothing to upgrade (all sstables already current)")
+        return 0
 
     if args.sstableverify:
         from cassandra_pmem_spark.sources.sstable import (

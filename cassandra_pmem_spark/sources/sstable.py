@@ -2784,6 +2784,61 @@ def verify_sstables(sst_dir: str, extended: bool = False) -> list[str]:
     return out
 
 
+def upgrade_sstable(data_path: str, out_dir: str,
+                    generation: int | None = None) -> dict:
+    """Rewrite one sstable at the CURRENT version — the
+    `nodetool upgradesstables` / tools/bin/sstableupgrade analog
+    (tools/StandaloneUpgrader.java over db/compaction/Upgrader.java:41-
+    110: stream the old reader's unfiltereds into a writer at
+    descriptor.version = current). Content-preserving: partitions,
+    rows, cells (timestamps/TTLs/tombstones), static rows and range
+    tombstone markers all pass through the normal read/write codecs;
+    compression presence is kept. Returns the writer manifest."""
+    base = data_path[: -len("Data.db")]
+    ver = version_from_path(data_path)
+    with open(base + "Statistics.db", "rb") as fh:
+        stats, hdr = parse_statistics(fh.read(), version=ver.name)
+    schema = schema_from_header(hdr)
+    if os.path.exists(base + "CompressionInfo.db"):
+        with open(base + "CompressionInfo.db", "rb") as fh:
+            info = CompressionInfo.parse(fh.read(), version=ver.name)
+        with open(data_path, "rb") as fh:
+            blob, _off = decompress_range(fh.read(), info, 0, info.data_length)
+        compression = True
+        chunk_length = info.chunk_length
+    else:
+        with open(data_path, "rb") as fh:
+            blob = fh.read()
+        compression = False
+        chunk_length = None
+    r = ByteReader(blob)
+    parts = []
+    while r.remaining():
+        parts.append(read_partition(r, schema, stats))
+    if generation is None:
+        # old filename: <version>-<generation>-big-Data.db
+        generation = int(os.path.basename(data_path).split("-")[1])
+    return write_sstable(
+        out_dir, generation, schema, parts,
+        compression=compression, chunk_length=chunk_length,
+        version=VERSION,
+    )
+
+
+def upgrade_sstables(in_dir: str, out_dir: str) -> list[dict]:
+    """Upgrade every non-current sstable under a directory into
+    out_dir (current-version sstables are skipped, like the tool's
+    default; pass their paths to upgrade_sstable directly to force)."""
+    out: list[dict] = []
+    for f in sorted(os.listdir(in_dir)):
+        if not f.endswith("-Data.db"):
+            continue
+        if version_from_path(f).name == VERSION:
+            continue
+        out.append(upgrade_sstable(os.path.join(in_dir, f), out_dir))
+    return out
+
+
 def sstable_metadata(data_path: str) -> list[str]:
     """``Name: value`` lines for one sstable — the
     tools/bin/sstablemetadata analog (SSTableMetadataViewer.java:

@@ -2061,3 +2061,70 @@ class TestVerify:
         rc = main(["--sstableverify", str(tmp_path)])
         assert rc == 1
         assert "Verification failed" in capsys.readouterr().err
+
+
+class TestUpgrade:
+    """sstableupgrade analog (StandaloneUpgrader.java / Upgrader.java)."""
+
+    @pytest.mark.parametrize("version", ["ma", "md"])
+    @pytest.mark.parametrize("compression", [False, True])
+    def test_upgrade_preserves_content(self, tmp_path, version, compression):
+        from cassandra_pmem_spark.sources.sstable import (
+            dump_sstable, upgrade_sstables, verify_sstable,
+        )
+
+        old = tmp_path / "old"
+        schema = _schema()
+        parts = TestVersionInterop()._parts(8)
+        write_sstable(str(old), 3, schema, parts, version=version,
+                      compression=compression)
+        new = tmp_path / "new"
+        manifests = upgrade_sstables(str(old), str(new))
+        assert len(manifests) == 1 and manifests[0]["partitions"] == 8
+        ndp = str(new / "na-3-big-Data.db")  # generation preserved
+        # the upgraded sstable is latest-version AND fully verifiable
+        lines = verify_sstable(ndp, extended=True, check_version=True)
+        assert any("Verified 8 partitions" in ln for ln in lines)
+        # content identical through the dump view
+        odp = str(old / f"{version}-3-big-Data.db")
+        assert dump_sstable(ndp) == dump_sstable(odp)
+
+    def test_current_version_skipped(self, tmp_path):
+        from cassandra_pmem_spark.sources.sstable import upgrade_sstables
+
+        schema = _schema()
+        parts = TestVersionInterop()._parts(4)
+        write_sstable(str(tmp_path), 1, schema, parts)  # already na
+        assert upgrade_sstables(str(tmp_path), str(tmp_path / "out")) == []
+
+    def test_upgrade_keeps_tombstones_ttl_and_statics(self, tmp_path):
+        from cassandra_pmem_spark.sources.sstable import (
+            dump_sstable, upgrade_sstable,
+        )
+
+        vs = SSTableSchema(
+            ["k"], [_MARSHAL + "Int32Type"], ["c"], [_MARSHAL + "Int32Type"],
+            [("v", _MARSHAL + "UTF8Type")],
+            statics=[("s", _MARSHAL + "UTF8Type")],
+        )
+        e0 = DELETION_TIME_EPOCH
+        ts0 = TIMESTAMP_EPOCH + 50
+        p = PartitionData(
+            key_values=[1],
+            static_cells={"s": CellValue("stat", ts0)},
+            rows=[
+                RowData(clustering=[1], liveness_timestamp=ts0,
+                        liveness_ttl=60, liveness_expiration=e0 + 60,
+                        cells={"v": CellValue("ttl'd", ts0, ttl=60,
+                                              local_deletion_time=e0 + 60)}),
+                RowData(clustering=[2], liveness_timestamp=ts0,
+                        deletion=(ts0 + 5, e0 + 5),
+                        cells={"v": CellValue("old", ts0)}),
+            ],
+        )
+        old = tmp_path / "old"
+        write_sstable(str(old), 1, vs, [p], version="md")
+        man = upgrade_sstable(str(old / "md-1-big-Data.db"), str(tmp_path / "new"))
+        assert dump_sstable(man["data_path"]) == dump_sstable(
+            str(old / "md-1-big-Data.db")
+        )
