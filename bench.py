@@ -88,6 +88,9 @@ TIER2 = [
     "source_sstable_roundtrip",
     "cql_paging",
     "cql_trigger_audit",
+    # round-12: the cross-version sstable read path (na/md/ma compressed
+    # write + read, 3x the events slice) gets a trend line
+    "source_sstable_version_interop",
 ]
 
 

@@ -2703,8 +2703,12 @@ def verify_sstable(data_path: str, extended: bool = False,
         out.append("Checking computed hash")
         with open(digest_path) as fh:
             stored = fh.read().strip()
+        crc = 0
         with open(data_path, "rb") as fh:
-            actual = str(zlib.crc32(fh.read()))
+            # streamed CRC — never holds the data file in memory
+            while chunk := fh.read(1 << 20):
+                crc = zlib.crc32(chunk, crc)
+        actual = str(crc)
         if stored != actual:
             raise CorruptSSTableError(
                 f"Digest mismatch: stored {stored}, computed {actual}"
