@@ -2624,7 +2624,9 @@ class CqlDatabase:
         bulk-write it as big-format sstables. With load_sstables this
         closes the dump/restore loop entirely inside the engine.
         uuid/timeuuid/ascii columns keep their declared CQL types via
-        the registry's column text (Spark erases them to string)."""
+        the registry's column text (Spark erases them to string);
+        counter columns flush their folded totals as single-global-shard
+        CounterContext cells (CounterContext.createGlobal)."""
         from cassandra_pmem_spark.sources.sstable import bulk_write_sstables
 
         key = self._table_key(table)
@@ -2634,7 +2636,7 @@ class CqlDatabase:
         overrides = {
             c: t
             for c, t in self.registry.column_type_text.get(key, {}).items()
-            if t.lower() in ("uuid", "timeuuid", "ascii")
+            if t.lower() in ("uuid", "timeuuid", "ascii", "counter")
         }
         return bulk_write_sstables(
             df, meta, out_dir, sstables=sstables,

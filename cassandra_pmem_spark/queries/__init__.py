@@ -24,8 +24,8 @@ from pyspark.sql import DataFrame, SparkSession
 # First-50 window budget, rotated by STALENESS each round (COVERAGE.md
 # rule: edited since last green driver evidence ⇒ re-enter the window;
 # never-evidenced entries outrank everything).
-# Round-12 layout: (1) the two NEW round-12 queries (never evidenced);
-# (2) stale-by-edit — the nine queries whose machinery round 12
+# Round-12 layout: (1) the three NEW round-12 queries (never evidenced);
+# (2) stale-by-edit — the eight queries whose machinery round 12
 # touched (see inline notes); (3) the ENTIRE r7-evidence backlog —
 # the 39 registry rows whose latest driver evidence is
 # CORRECTNESS_r07 (analytics/temporal/snapshot/dedup tiers). After
@@ -35,6 +35,7 @@ _PRIORITY: tuple[str, ...] = (
     # -- (1) new in round 12 (never driver-evidenced)
     "cql_token_scan_frozen_num",
     "source_sstable_version_interop",
+    "source_sstable_counter_cells",
     # -- (2) stale-by-edit: round 12 touched their machinery —
     # the pager's materialized token column + buffer-only persist
     # (cql_paging), the Arrow-backed statement log frame and the
@@ -50,7 +51,6 @@ _PRIORITY: tuple[str, ...] = (
     "cql_token_scan_frozen",
     "cql_index_targets",
     "cql_batch_apply",
-    "cql_udt_field_writes",
     # -- (3) the ENTIRE r7-evidence backlog (39) — after this
     # window records, the oldest driver evidence is r8
     "analytics_cube",
@@ -93,9 +93,11 @@ _PRIORITY: tuple[str, ...] = (
     "temporal_rollup_cascade",
     "text_fuzzy_join",
 )
-# Deliberately outside the window this round: everything with r7+
-# evidence and unchanged machinery. After this window records, every
-# registry row's latest driver evidence is r7 or newer.
+# Deliberately outside the window this round: everything with r8+
+# evidence and unchanged machinery (including cql_udt_field_writes,
+# whose r9 evidence + this session's full local gates cover the
+# shared _log_frame edit). After this window records, every registry
+# row's latest driver evidence is r8 or newer.
 
 
 def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:

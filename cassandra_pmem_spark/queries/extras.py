@@ -462,6 +462,42 @@ WHERE e.user_id < 300
 """
 
 
+def source_sstable_counter_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counter columns through the sstable wire format: per-user event
+    counts bulk-written as COUNTER cells — each value a single-global-
+    shard CounterContext blob (CounterContext.createGlobal:142-147;
+    header + (CounterId, clock, count) shard, :36-82) — and read back
+    as the shard-count sum (CounterContext.total:570-576). The oracle
+    recomputes the counts from parquet, so the context encode/decode
+    must be value-exact."""
+    import shutil
+
+    from cassandra_pmem_spark.catalog import TableMeta
+    from cassandra_pmem_spark.sources.sstable import (
+        bulk_write_sstables,
+        read_sstables,
+    )
+
+    out_dir = os.path.join(_SCRATCH, "sstable_counters")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    agg = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("user_id") < 500)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    meta = TableMeta("hits", agg.schema, partition_key=("user_id",))
+    bulk_write_sstables(
+        agg, meta, out_dir, sstables=2, type_overrides={"n": "counter"},
+        compression=True,
+    )
+    return (
+        read_sstables(spark, out_dir)
+        .select(F.col("key0").alias("user_id"), F.col("n"))
+        .orderBy("user_id")
+    )
+
+
 def source_sstable_pointread(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The BigTableReader single-partition path (sources/sstable.py
     sstable_point_read): bloom filter consult -> index summary seek ->
@@ -1344,6 +1380,11 @@ QUERIES = {
     "source_sstable_version_interop": (
         source_sstable_version_interop,
         _SSTABLE_VERSION_INTEROP_ORACLE,
+    ),
+    "source_sstable_counter_cells": (
+        source_sstable_counter_cells,
+        "SELECT user_id, count(*) AS n FROM events WHERE user_id < 500 "
+        "GROUP BY user_id ORDER BY user_id",
     ),
     "source_sstable_pointread": (
         source_sstable_pointread,

@@ -56,6 +56,9 @@ layout is implemented from the reference serializers (file:line into
 Scope (documented subset, validated by round-trip + pinned vectors in
 tests/test_sstable.py): scalar regular columns over int/bigint/text/
 ascii/double/float/boolean/timestamp/blob/uuid keys and values,
+COUNTER cells (values are CounterContext blobs — written as the
+single-global-shard compacted form, read as the shard-count sum,
+db/context/CounterContext.java — see the counter section below),
 composite partition keys, clustering columns incl. ReversedType (DESC),
 row liveness with optional TTL, row-level deletions, cell tombstones
 and expiring cells on the read path, partition-level deletions.
@@ -362,9 +365,56 @@ def _ts_unpack(b: bytes):
     )
 
 
+# -- counter cells (db/context/CounterContext.java) ---------------------------
+#
+# A counter cell's VALUE is a serialized CounterContext: a header
+# (int16 element count n, then n int16 body indices — global shards
+# encoded as idx + Short.MIN_VALUE, so always negative) followed by the
+# body of (CounterId 16 bytes, int64 clock, int64 count) shards
+# (CounterContext.java:36-60 layout comment, :78-82 lengths). The
+# visible counter value is the SUM of shard counts
+# (CounterContext.total:570-576). This engine writes the
+# single-global-shard form a compacted/flushed perfect value takes
+# (createGlobal:142-147) with a fixed engine CounterId and clock 1;
+# it reads ANY context — including legacy pre-2.1 negative header
+# sizes (headerLength:171-174 takes Math.abs) and multi-shard bodies.
+
+COUNTER_ID_LENGTH = 16  # utils/CounterId.LENGTH
+_ENGINE_COUNTER_ID = bytes(COUNTER_ID_LENGTH)
+
+
+def counter_context_global(count: int, clock: int = 1,
+                           counter_id: bytes = _ENGINE_COUNTER_ID) -> bytes:
+    """Single-global-shard context (CounterContext.createGlobal:142-147):
+    header (1, [0 + Short.MIN_VALUE]) + one (id, clock, count) shard."""
+    return (
+        struct.pack(">hh", 1, -(1 << 15))
+        + counter_id
+        + struct.pack(">qq", clock, count)
+    )
+
+
+def counter_context_total(blob: bytes) -> int:
+    """Sum of every shard's count (CounterContext.total:570-576); the
+    header size is abs()'d for legacy pre-2.1 contexts (:173)."""
+    b = bytes(blob)
+    (n,) = struct.unpack_from(">h", b, 0)
+    off = 2 + abs(n) * 2
+    total = 0
+    step = COUNTER_ID_LENGTH + 16
+    while off + step <= len(b):
+        (count,) = struct.unpack_from(">q", b, off + COUNTER_ID_LENGTH + 8)
+        total += count
+        off += step
+    return total
+
+
 CODECS: dict[str, Codec] = {
     c.marshal: c
     for c in (
+        _c("CounterColumnType", "bigint", -1,
+           lambda v: counter_context_global(int(v)),
+           lambda b: counter_context_total(b)),
         _c("Int32Type", "int", 4,
            lambda v: struct.pack(">i", int(v)),
            lambda b: struct.unpack(">i", bytes(b))[0]),
@@ -480,6 +530,7 @@ class SSTableSchema:
             "uuid": _MARSHAL + "UUIDType",
             "timeuuid": _MARSHAL + "TimeUUIDType",
             "ascii": _MARSHAL + "AsciiType",
+            "counter": _MARSHAL + "CounterColumnType",
         }
         over = {c: ov[t] for c, t in (type_overrides or {}).items()}
         kinds = collection_kinds or {}

@@ -2128,3 +2128,72 @@ class TestUpgrade:
         assert dump_sstable(man["data_path"]) == dump_sstable(
             str(old / "md-1-big-Data.db")
         )
+
+
+class TestCounterCells:
+    """Counter-cell values are serialized CounterContexts
+    (db/context/CounterContext.java:36-60 layout; total:570-576)."""
+
+    def test_global_shard_roundtrip_layout(self):
+        from cassandra_pmem_spark.sources.sstable import (
+            counter_context_global, counter_context_total,
+        )
+
+        ctx = counter_context_global(42)
+        # header: 1 elt, index 0 encoded global (+Short.MIN_VALUE)
+        assert struct.unpack_from(">hh", ctx, 0) == (1, -(1 << 15))
+        assert len(ctx) == 4 + 16 + 8 + 8
+        assert counter_context_total(ctx) == 42
+        assert counter_context_total(counter_context_global(-7)) == -7
+
+    def test_total_sums_multi_shard_and_legacy_headers(self):
+        from cassandra_pmem_spark.sources.sstable import (
+            COUNTER_ID_LENGTH, counter_context_total,
+        )
+
+        # two shards, one global one remote (plain index)
+        body = (
+            bytes(range(16)) + struct.pack(">qq", 3, 100)
+            + bytes(range(16, 32)) + struct.pack(">qq", 5, -30)
+        )
+        ctx = struct.pack(">hhh", 2, -(1 << 15), 1) + body
+        assert counter_context_total(ctx) == 70
+        # legacy pre-2.1 contexts carry a NEGATIVE header count —
+        # headerLength takes Math.abs (CounterContext.java:173)
+        legacy = struct.pack(">hh", -1, 0) + body[: COUNTER_ID_LENGTH + 16]
+        assert counter_context_total(legacy) == 100
+
+    def test_counter_table_flush_and_read(self, spark, tmp_path):
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+        from cassandra_pmem_spark.sources.sstable import (
+            read_sstables, sstable_point_read,
+        )
+
+        db = CqlDatabase(spark)
+        db.execute(
+            "CREATE KEYSPACE ckk WITH REPLICATION = {'class': 'SimpleStrategy'}"
+        )
+        db.execute("USE ckk")
+        db.execute(
+            "CREATE TABLE hits (page text PRIMARY KEY, n counter)"
+        )
+        for _ in range(3):
+            db.execute("UPDATE hits SET n = n + 2 WHERE page = 'a'")
+        db.execute("UPDATE hits SET n = n - 1 WHERE page = 'a'")
+        db.execute("UPDATE hits SET n = n + 10 WHERE page = 'b'")
+        out = str(tmp_path / "flush")
+        db.flush_sstables("hits", out)
+        got = {
+            r["key0"]: r["n"]
+            for r in read_sstables(spark, out).collect()
+        }
+        assert got == {"a": 5, "b": 10}
+        rows = sstable_point_read(out, ["b"])
+        assert [r["n"] for r in rows] == [10]
+        # the on-disk cell really is a CounterContext (global shard)
+        from cassandra_pmem_spark.sources.sstable import dump_sstable
+        import os as _os
+
+        dp = [f for f in _os.listdir(out) if f.endswith("-Data.db")][0]
+        dump = dump_sstable(_os.path.join(out, dp))
+        assert dump  # decodes through the counter codec
