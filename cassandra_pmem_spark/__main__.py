@@ -267,7 +267,41 @@ def main(argv: list[str] | None = None) -> int:
         help="output directory for --sstableupgrade (default: "
         "<input>/upgraded)",
     )
+    ap.add_argument(
+        "--sstablescrub",
+        metavar="PATH",
+        help="corruption-skipping rewrite of a *-Data.db (or directory) "
+        "into --upgrade-out: undecodable partitions are skipped via the "
+        "next index position, survivors re-written at the current "
+        "version (tools/bin/sstablescrub analog); no Spark session",
+    )
     args = ap.parse_args(argv)
+
+    if args.sstablescrub:
+        from cassandra_pmem_spark.sources.sstable import scrub_sstable
+
+        target = args.sstablescrub
+        out_dir = args.upgrade_out or os.path.join(
+            target if os.path.isdir(target) else os.path.dirname(target),
+            "scrubbed",
+        )
+        paths = (
+            sorted(
+                os.path.join(target, f)
+                for f in os.listdir(target)
+                if f.endswith("-Data.db")
+            )
+            if os.path.isdir(target)
+            else [target]
+        )
+        for p in paths:
+            m = scrub_sstable(p, out_dir)
+            print(
+                f"Scrub of {os.path.basename(p)} complete: "
+                f"{m['good_partitions']} partitions in new sstable, "
+                f"{m['bad_partitions']} corrupt partitions skipped"
+            )
+        return 0
 
     if args.sstableupgrade:
         from cassandra_pmem_spark.sources.sstable import (

@@ -2894,6 +2894,60 @@ def upgrade_sstables(in_dir: str, out_dir: str) -> list[dict]:
     return out
 
 
+def scrub_sstable(data_path: str, out_dir: str,
+                  generation: int | None = None) -> dict:
+    """Corruption-skipping rewrite — the `nodetool scrub` /
+    tools/bin/sstablescrub analog (db/compaction/Scrubber.java:44-308,
+    skipCorrupted direction): partitions are sliced by their Index.db
+    positions, each slice decoded independently; an undecodable or
+    key-mismatched partition is counted as a bad row and the scan
+    SEEKS TO THE NEXT INDEX POSITION (Scrubber.seekToNextRow) instead
+    of aborting. Survivors are re-written at the current version in
+    token order. Returns the writer manifest plus
+    ``good_partitions`` / ``bad_partitions`` counts."""
+    base = data_path[: -len("Data.db")]
+    ver = version_from_path(data_path)
+    with open(base + "Statistics.db", "rb") as fh:
+        stats, hdr = parse_statistics(fh.read(), version=ver.name)
+    schema = schema_from_header(hdr)
+    with open(base + "Index.db", "rb") as fh:
+        index_entries = read_index_entries(fh.read())
+    if os.path.exists(base + "CompressionInfo.db"):
+        with open(base + "CompressionInfo.db", "rb") as fh:
+            info = CompressionInfo.parse(fh.read(), version=ver.name)
+        with open(data_path, "rb") as fh:
+            blob, _off = decompress_range(fh.read(), info, 0, info.data_length)
+        compression = True
+        chunk_length = info.chunk_length
+    else:
+        with open(data_path, "rb") as fh:
+            blob = fh.read()
+        compression = False
+        chunk_length = None
+    good: list[PartitionData] = []
+    bad = 0
+    bounds = [pos for _k, pos in index_entries] + [len(blob)]
+    for i, (ikey, pos) in enumerate(index_entries):
+        body = blob[pos:bounds[i + 1]]
+        try:
+            part = read_partition(ByteReader(body), schema, stats)
+            if schema.key_bytes(part.key_values) != ikey:
+                raise ValueError("index/data key mismatch")
+            good.append(part)
+        except Exception:
+            bad += 1  # Scrubber badRows++, seek to next index position
+    if generation is None:
+        generation = int(os.path.basename(data_path).split("-")[1])
+    manifest = write_sstable(
+        out_dir, generation, schema, good,
+        compression=compression, chunk_length=chunk_length,
+        version=VERSION,
+    )
+    manifest["good_partitions"] = len(good)
+    manifest["bad_partitions"] = bad
+    return manifest
+
+
 def sstable_metadata(data_path: str) -> list[str]:
     """``Name: value`` lines for one sstable — the
     tools/bin/sstablemetadata analog (SSTableMetadataViewer.java:

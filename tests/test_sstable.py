@@ -2197,3 +2197,59 @@ class TestCounterCells:
         dp = [f for f in _os.listdir(out) if f.endswith("-Data.db")][0]
         dump = dump_sstable(_os.path.join(out, dp))
         assert dump  # decodes through the counter codec
+
+
+class TestScrub:
+    """sstablescrub analog (Scrubber.java:44-308, skipCorrupted)."""
+
+    def test_scrub_skips_corrupt_partitions_and_keeps_the_rest(self, tmp_path):
+        from cassandra_pmem_spark.sources.sstable import (
+            read_index_entries, scrub_sstable, sstable_point_read,
+            verify_sstable,
+        )
+
+        old = tmp_path / "old"
+        schema = _schema()
+        parts = TestVersionInterop()._parts(8)
+        write_sstable(str(old), 1, schema, parts)
+        dp = str(old / "na-1-big-Data.db")
+        idx = read_index_entries(open(str(old / "na-1-big-Index.db"), "rb").read())
+        # corrupt the THIRD partition's body (cell area, past key+deletion)
+        blob = bytearray(open(dp, "rb").read())
+        victim = idx[2][1]
+        for off in range(victim + 20, victim + 26):
+            blob[off] ^= 0xFF
+        open(dp, "wb").write(bytes(blob))
+        man = scrub_sstable(dp, str(tmp_path / "new"))
+        assert man["bad_partitions"] >= 1
+        assert man["good_partitions"] + man["bad_partitions"] == 8
+        assert man["good_partitions"] == man["partitions"]
+        # the scrubbed sstable is clean and point-readable
+        ndp = man["data_path"]
+        lines = verify_sstable(ndp, extended=True, check_version=True)
+        assert any("Verified" in ln for ln in lines)
+        bad_keys = {idx[2][0]}
+        survivors = 0
+        for k in range(8):
+            rows = sstable_point_read(str(tmp_path / "new"), [k])
+            if rows:
+                survivors += 1
+                assert rows[0]["v"] == f"s{k}"
+        assert survivors == man["good_partitions"]
+
+    def test_clean_sstable_scrubs_to_identical_content(self, tmp_path):
+        from cassandra_pmem_spark.sources.sstable import (
+            dump_sstable, scrub_sstable,
+        )
+
+        old = tmp_path / "old"
+        schema = _schema()
+        write_sstable(str(old), 2, schema, TestVersionInterop()._parts(6),
+                      version="md", compression=True)
+        man = scrub_sstable(str(old / "md-2-big-Data.db"), str(tmp_path / "new"))
+        assert man["bad_partitions"] == 0
+        # scrub doubles as upgrade: output is current-version
+        assert "na-2-big-Data.db" in man["data_path"]
+        assert dump_sstable(man["data_path"]) == dump_sstable(
+            str(old / "md-2-big-Data.db")
+        )
