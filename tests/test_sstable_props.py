@@ -203,3 +203,132 @@ class TestBloomProperties:
         a = bloom_indexes(key, k, m)
         b = bloom_indexes(key, k, m)
         assert a == b and all(0 <= i < m for i in a)
+
+
+class TestVersionMatrixProperties:
+    """Statistics.db round-trips at EVERY supported version with
+    arbitrary stats inputs (BigFormat.java:153-163 feature matrix):
+    the parse must recover exactly the fields that version carries,
+    and serialized sizes must shrink monotonically with the matrix."""
+
+    @given(
+        version=st.sampled_from(["ma", "mb", "mc", "md", "na", "nb"]),
+        ks=st.lists(st.integers(-2**31, 2**31 - 1), min_size=1,
+                    max_size=6, unique=True),
+        ttl=st.integers(0, 10000),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_statistics_roundtrip_all_versions(self, version, ks, ttl):
+        from cassandra_pmem_spark.sources.sstable import (
+            CellValue, PartitionData, RowData, SSTableSchema, _MARSHAL,
+            DELETION_TIME_EPOCH, TIMESTAMP_EPOCH, compute_stats,
+            parse_statistics, serialize_statistics,
+        )
+
+        schema = SSTableSchema(
+            ["k"], [_MARSHAL + "Int32Type"],
+            ["c"], [_MARSHAL + "Int32Type"],
+            [("v", _MARSHAL + "UTF8Type")],
+        )
+        ts0 = TIMESTAMP_EPOCH + 9
+        e0 = DELETION_TIME_EPOCH
+        parts = [
+            PartitionData(key_values=[k], rows=[
+                RowData(clustering=[0], liveness_timestamp=ts0,
+                        liveness_ttl=ttl,
+                        liveness_expiration=(e0 + ttl) if ttl else 0x7FFFFFFF,
+                        cells={"v": CellValue(f"x{k}", ts0, ttl=ttl,
+                                              local_deletion_time=(e0 + ttl)
+                                              if ttl else 0x7FFFFFFF)}),
+            ])
+            for k in sorted(ks)
+        ]
+        stats = compute_stats(parts)
+        blob = serialize_statistics(schema, stats, parts, version=version)
+        got_stats, hdr = parse_statistics(blob, version=version)
+        assert got_stats == stats
+        assert hdr["sstable_version"] == version
+        sm = hdr["stats_metadata"]
+        assert sm["total_rows"] == len(parts)
+        assert sm["min_ttl"] == (ttl if ttl else 0)
+        # hasAccurateMinMax gates the clustering bounds
+        if version >= "md":
+            assert sm["min_clustering_values"] == [0]
+        else:
+            assert sm["min_clustering_values"] == []
+        # field presence follows the matrix exactly
+        assert ("commit_log_lower_bound" in sm) == (version >= "mb")
+        assert ("commit_log_intervals" in sm) == (version >= "mc")
+        assert ("is_transient" in sm) == (version >= "na")
+        assert "pending_repair" not in sm      # null flag on write
+        assert "originating_host_id" not in sm  # null flag on write
+
+    @given(ks=st.lists(st.integers(0, 10**6), min_size=1, max_size=8,
+                       unique=True))
+    @settings(max_examples=40, deadline=None)
+    def test_serialized_size_shrinks_down_the_matrix(self, ks):
+        from cassandra_pmem_spark.sources.sstable import (
+            CellValue, PartitionData, RowData, SSTableSchema, _MARSHAL,
+            TIMESTAMP_EPOCH, compute_stats, serialize_statistics,
+        )
+
+        schema = SSTableSchema(
+            ["k"], [_MARSHAL + "LongType"], [], [],
+            [("v", _MARSHAL + "LongType")],
+        )
+        ts0 = TIMESTAMP_EPOCH + 1
+        parts = [
+            PartitionData(key_values=[k], rows=[
+                RowData(clustering=[], liveness_timestamp=ts0,
+                        cells={"v": CellValue(k, ts0)})])
+            for k in sorted(ks)
+        ]
+        stats = compute_stats(parts)
+        sizes = {
+            v: len(serialize_statistics(schema, stats, parts, version=v))
+            for v in ("ma", "mb", "mc", "md", "na", "nb")
+        }
+        # ma < mb (commitLogLowerBound 12B) < mc (+intervals 4B) = md
+        assert sizes["ma"] + 12 == sizes["mb"]
+        assert sizes["mb"] + 4 == sizes["mc"] == sizes["md"]
+        # na adds pendingRepair+isTransient (2B) AND the container CRCs
+        n_comps = 4
+        assert sizes["na"] == sizes["md"] + 2 + (2 + n_comps) * 4
+        assert sizes["nb"] == sizes["na"] + 1  # originatingHostId flag
+
+
+class TestCounterContextProperties:
+    @given(counts=st.lists(st.integers(-2**63 + 1, 2**63 - 1),
+                           min_size=1, max_size=8))
+    @settings(max_examples=100, deadline=None)
+    def test_total_sums_arbitrary_shard_bodies(self, counts):
+        import struct as _s
+
+        from cassandra_pmem_spark.sources.sstable import (
+            counter_context_total,
+        )
+
+        # header marks every even shard global, odd shards plain
+        n = len(counts)
+        hdr = _s.pack(">h", n) + b"".join(
+            _s.pack(">h", (i - (1 << 15)) if i % 2 == 0 else i)
+            for i in range(n)
+        )
+        body = b"".join(
+            i.to_bytes(16, "big") + _s.pack(">qq", i + 1, c)
+            for i, c in enumerate(counts)
+        )
+        total = counter_context_total(hdr + body)
+        # Java long overflow wraps; totals here stay in range by note
+        expect = sum(counts)
+        if -(1 << 63) <= expect < (1 << 63):
+            assert total == expect
+
+    @given(v=st.integers(-2**63, 2**63 - 1))
+    @settings(max_examples=100, deadline=None)
+    def test_global_roundtrip(self, v):
+        from cassandra_pmem_spark.sources.sstable import (
+            counter_context_global, counter_context_total,
+        )
+
+        assert counter_context_total(counter_context_global(v)) == v
