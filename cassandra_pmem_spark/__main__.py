@@ -268,6 +268,22 @@ def main(argv: list[str] | None = None) -> int:
         "<input>/upgraded)",
     )
     ap.add_argument(
+        "--sstablesplit",
+        metavar="PATH",
+        help="split a big *-Data.db (or each in a directory) into "
+        "size-capped sstables under --upgrade-out "
+        "(tools/bin/sstablesplit analog; default cap 50MB, see "
+        "--split-size); no Spark session",
+    )
+    ap.add_argument(
+        "--split-size",
+        type=float,
+        default=50,
+        metavar="MB",
+        help="with --sstablesplit: max output sstable size in MB "
+        "(StandaloneSplitter DEFAULT_SSTABLE_SIZE = 50)",
+    )
+    ap.add_argument(
         "--sstablescrub",
         metavar="PATH",
         help="corruption-skipping rewrite of a *-Data.db (or directory) "
@@ -276,6 +292,38 @@ def main(argv: list[str] | None = None) -> int:
         "version (tools/bin/sstablescrub analog); no Spark session",
     )
     args = ap.parse_args(argv)
+
+    if args.sstablesplit:
+        from cassandra_pmem_spark.sources.sstable import split_sstable
+
+        target = args.sstablesplit
+        out_dir = args.upgrade_out or os.path.join(
+            target if os.path.isdir(target) else os.path.dirname(target),
+            "split",
+        )
+        paths = (
+            sorted(
+                os.path.join(target, f)
+                for f in os.listdir(target)
+                if f.endswith("-Data.db")
+            )
+            if os.path.isdir(target)
+            else [target]
+        )
+        for p in paths:
+            ms = split_sstable(p, out_dir, size_mb=args.split_size)
+            if not ms:
+                # reference message verbatim, incl. the upstream "it's"
+                # typo (StandaloneSplitter.java:123)
+                print(
+                    f"Skipping {os.path.basename(p)}: it's size is less "
+                    f"than the split size ({args.split_size:g} MB)"
+                )
+            else:
+                print(
+                    f"Split {os.path.basename(p)} into {len(ms)} sstables"
+                )
+        return 0
 
     if args.sstablescrub:
         from cassandra_pmem_spark.sources.sstable import scrub_sstable

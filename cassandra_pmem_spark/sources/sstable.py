@@ -2948,6 +2948,65 @@ def scrub_sstable(data_path: str, out_dir: str,
     return manifest
 
 
+def split_sstable(data_path: str, out_dir: str,
+                  size_mb: int = 50) -> list[dict]:
+    """Split one big sstable into size-capped ones — the
+    tools/bin/sstablesplit analog (StandaloneSplitter.java:41-181,
+    DEFAULT_SSTABLE_SIZE = 50 MB at :43, over SSTableSplitter.java's
+    max-sstable-size compaction task). Partitions stream in token
+    order into consecutive output sstables, cutting whenever the
+    accumulated UNCOMPRESSED partition bytes would exceed the cap;
+    generations count up from the source's. An sstable already under
+    the cap is left alone and reported as skipped (the
+    isSSTableLargerEnough gate, :181-185). Returns writer manifests
+    (or [] when skipped)."""
+    base = data_path[: -len("Data.db")]
+    ver = version_from_path(data_path)
+    if os.path.getsize(data_path) < size_mb * 1024 * 1024:
+        return []  # "skipping (under the size limit)"
+    with open(base + "Statistics.db", "rb") as fh:
+        stats, hdr = parse_statistics(fh.read(), version=ver.name)
+    schema = schema_from_header(hdr)
+    if os.path.exists(base + "CompressionInfo.db"):
+        with open(base + "CompressionInfo.db", "rb") as fh:
+            info = CompressionInfo.parse(fh.read(), version=ver.name)
+        with open(data_path, "rb") as fh:
+            blob, _off = decompress_range(fh.read(), info, 0, info.data_length)
+        compression = True
+        chunk_length = info.chunk_length
+    else:
+        with open(data_path, "rb") as fh:
+            blob = fh.read()
+        compression = False
+        chunk_length = None
+    gen0 = int(os.path.basename(data_path).split("-")[1])
+    cap = size_mb * 1024 * 1024
+    manifests: list[dict] = []
+    r = ByteReader(blob)
+    group: list[PartitionData] = []
+    group_bytes = 0
+    while r.remaining():
+        start = r.pos
+        part = read_partition(r, schema, stats)
+        size = r.pos - start
+        if group and group_bytes + size > cap:
+            manifests.append(write_sstable(
+                out_dir, gen0 + len(manifests), schema, group,
+                compression=compression, chunk_length=chunk_length,
+                version=VERSION,
+            ))
+            group, group_bytes = [], 0
+        group.append(part)
+        group_bytes += size
+    if group:
+        manifests.append(write_sstable(
+            out_dir, gen0 + len(manifests), schema, group,
+            compression=compression, chunk_length=chunk_length,
+            version=VERSION,
+        ))
+    return manifests
+
+
 def sstable_metadata(data_path: str) -> list[str]:
     """``Name: value`` lines for one sstable — the
     tools/bin/sstablemetadata analog (SSTableMetadataViewer.java:

@@ -2253,3 +2253,57 @@ class TestScrub:
         assert dump_sstable(man["data_path"]) == dump_sstable(
             str(old / "md-2-big-Data.db")
         )
+
+
+class TestSplit:
+    """sstablesplit analog (StandaloneSplitter.java:41-185)."""
+
+    def test_split_respects_cap_and_preserves_content(self, tmp_path, spark):
+        from cassandra_pmem_spark.sources.sstable import (
+            read_sstables, split_sstable, verify_sstable,
+        )
+
+        old = tmp_path / "old"
+        schema = _schema()
+        parts = TestVersionInterop()._parts(64)
+        # pad values so the sstable comfortably exceeds a 4KB cap
+        for p in parts:
+            p.rows[0].cells["v"] = type(p.rows[0].cells["v"])(
+                value="x" * 400, timestamp=p.rows[0].cells["v"].timestamp
+            )
+        write_sstable(str(old), 5, schema, parts, version="md")
+        # 4KB cap => several outputs (size_mb accepts fractions via the
+        # MB unit only in the real tool; test drives the byte math by
+        # monkey-sizing through a tiny cap)
+        from cassandra_pmem_spark.sources import sstable as mod
+
+        out = tmp_path / "new"
+        manifests = mod.split_sstable(
+            str(old / "md-5-big-Data.db"), str(out), size_mb=0.01
+        )
+        assert len(manifests) >= 2
+        # generations count up from the source's
+        assert [
+            int(m["data_path"].split("-")[-3]) for m in manifests
+        ] == list(range(5, 5 + len(manifests)))
+        # every output verifies at the current version
+        for m in manifests:
+            verify_sstable(m["data_path"], extended=True, check_version=True)
+        # union of outputs == the source rows
+        got = sorted(
+            (r["key0"], r["v"], r["n"])
+            for r in read_sstables(spark, str(out)).collect()
+        )
+        want = sorted((k, "x" * 400 if True else None, k * 10) for k in range(64))
+        assert [g[0] for g in got] == [w[0] for w in want]
+        assert all(g[1] == "x" * 400 for g in got)
+
+    def test_small_sstable_skipped(self, tmp_path):
+        from cassandra_pmem_spark.sources.sstable import split_sstable
+
+        schema = _schema()
+        write_sstable(str(tmp_path), 1, schema, TestVersionInterop()._parts(4))
+        assert split_sstable(
+            str(tmp_path / "na-1-big-Data.db"), str(tmp_path / "out"),
+            size_mb=50,
+        ) == []
