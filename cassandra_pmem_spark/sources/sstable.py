@@ -3007,6 +3007,76 @@ def split_sstable(data_path: str, out_dir: str,
     return manifests
 
 
+def distributed_sstable_maintenance(spark, in_dir: str, tool: str,
+                                    out_dir: str | None = None,
+                                    **tool_kwargs):
+    """Run an offline sstable tool over EVERY sstable in a directory,
+    one Spark task per sstable — the 100 TB posture the reference's
+    single-node tools (StandaloneUpgrader/Scrubber/Verifier/
+    StandaloneSplitter run one JVM on one node) cannot take. Each
+    sstable is independent by construction, so the fleet maps
+    embarrassingly: a task reads only ITS files and writes only ITS
+    outputs.
+
+    tool: 'verify' | 'upgrade' | 'scrub' | 'split'. Returns a DataFrame
+    of per-sstable result rows (path, ok, detail) collected lazily —
+    .collect() runs the fleet."""
+    from pyspark.sql import types as T
+
+    if tool not in ("verify", "upgrade", "scrub", "split"):
+        raise ValueError(f"unknown sstable tool {tool!r}")
+    if tool != "verify" and not out_dir:
+        raise ValueError(f"tool {tool!r} needs out_dir")
+    datas = sorted(
+        os.path.join(in_dir, f)
+        for f in os.listdir(in_dir)
+        if f.endswith("-Data.db")
+    )
+    if not datas:
+        raise ValueError(f"no *-Data.db under {in_dir!r}")
+    files_df = spark.createDataFrame(
+        [(p,) for p in datas],
+        T.StructType([T.StructField("path", T.StringType())]),
+    ).repartition(len(datas))
+    out_schema = T.StructType([
+        T.StructField("path", T.StringType()),
+        T.StructField("ok", T.BooleanType()),
+        T.StructField("detail", T.StringType()),
+    ])
+
+    def run(pdf_iter):
+        import pandas as pd
+
+        for pdf in pdf_iter:
+            rows = []
+            for path in pdf["path"]:
+                try:
+                    if tool == "verify":
+                        lines = verify_sstable(path, **tool_kwargs)
+                        rows.append((path, True, lines[-1]))
+                    elif tool == "upgrade":
+                        m = upgrade_sstable(path, out_dir, **tool_kwargs)
+                        rows.append((path, True, m["data_path"]))
+                    elif tool == "scrub":
+                        m = scrub_sstable(path, out_dir, **tool_kwargs)
+                        rows.append((
+                            path, True,
+                            f"good={m['good_partitions']} "
+                            f"bad={m['bad_partitions']}",
+                        ))
+                    else:
+                        ms = split_sstable(path, out_dir, **tool_kwargs)
+                        rows.append((
+                            path, True,
+                            f"split into {len(ms)}" if ms else "skipped",
+                        ))
+                except Exception as e:
+                    rows.append((path, False, str(e)))
+            yield pd.DataFrame(rows, columns=["path", "ok", "detail"])
+
+    return files_df.mapInPandas(run, schema=out_schema)
+
+
 def sstable_metadata(data_path: str) -> list[str]:
     """``Name: value`` lines for one sstable — the
     tools/bin/sstablemetadata analog (SSTableMetadataViewer.java:

@@ -2307,3 +2307,56 @@ class TestSplit:
             str(tmp_path / "na-1-big-Data.db"), str(tmp_path / "out"),
             size_mb=50,
         ) == []
+
+
+class TestDistributedMaintenance:
+    """The reference's offline tools run one JVM on one node; the
+    engine maps them one-Spark-task-per-sstable (each sstable is
+    independent by construction)."""
+
+    def test_fleet_upgrade_and_verify(self, spark, tmp_path):
+        from cassandra_pmem_spark.sources.sstable import (
+            distributed_sstable_maintenance, version_from_path,
+        )
+
+        old = tmp_path / "old"
+        schema = _schema()
+        all_parts = TestVersionInterop()._parts(12)
+        # three md sstables with disjoint token ranges (already sorted)
+        for g in range(3):
+            write_sstable(str(old), g + 1, schema,
+                          all_parts[g * 4:(g + 1) * 4], version="md")
+        res = distributed_sstable_maintenance(
+            spark, str(old), "verify", extended=True
+        ).collect()
+        assert len(res) == 3 and all(r.ok for r in res)
+        out = tmp_path / "new"
+        res = distributed_sstable_maintenance(
+            spark, str(old), "upgrade", out_dir=str(out)
+        ).collect()
+        assert len(res) == 3 and all(r.ok for r in res)
+        import os as _os
+
+        upgraded = [f for f in _os.listdir(out) if f.endswith("-Data.db")]
+        assert len(upgraded) == 3
+        assert all(version_from_path(f).name == "na" for f in upgraded)
+
+    def test_fleet_reports_corruption_per_sstable(self, spark, tmp_path):
+        from cassandra_pmem_spark.sources.sstable import (
+            distributed_sstable_maintenance,
+        )
+
+        schema = _schema()
+        parts = TestVersionInterop()._parts(8)
+        write_sstable(str(tmp_path), 1, schema, parts[:4])
+        write_sstable(str(tmp_path), 2, schema, parts[4:])
+        dp = str(tmp_path / "na-2-big-Data.db")
+        blob = bytearray(open(dp, "rb").read())
+        blob[-1] ^= 0xFF
+        open(dp, "wb").write(bytes(blob))
+        res = {r.path.rsplit("/", 1)[-1]: r for r in
+               distributed_sstable_maintenance(spark, str(tmp_path),
+                                               "verify").collect()}
+        assert res["na-1-big-Data.db"].ok
+        assert not res["na-2-big-Data.db"].ok
+        assert "Digest mismatch" in res["na-2-big-Data.db"].detail
