@@ -995,6 +995,26 @@ def serialize_partition(part: PartitionData, schema: SSTableSchema,
                         stats: EncodingStats) -> bytes:
     """One Data.db partition (ColumnIndex.writePartitionHeader +
     unfiltereds + END_OF_PARTITION)."""
+    blob, _hdr_len, _blocks = serialize_partition_indexed(part, schema, stats)
+    return blob
+
+
+def serialize_partition_indexed(
+    part: PartitionData, schema: SSTableSchema, stats: EncodingStats,
+    column_index_size: int | None = None,
+) -> "tuple[bytes, int, list]":
+    """serialize_partition + the ColumnIndex block bookkeeping
+    (db/ColumnIndex.java:105-266): returns (bytes, headerLength,
+    blocks). headerLength = partition key + DeletionTime + static row
+    (writePartitionHeader:116-128 then :108). A block opens at the
+    first unfiltered after a flush (add:238-244 firstClustering/
+    startPosition) and flushes once the accumulated width reaches
+    column_index_size (add:262-264 — checked AFTER serializing the
+    unfiltered, so a block can overshoot by one), with a final flush
+    in finish (:276-277). Block offsets/widths are relative to the
+    PARTITION START. Open range-tombstone deletions carry into
+    endOpenMarker (add:256-260). With column_index_size=None no
+    blocks are tracked (the plain serializer path)."""
     out = bytearray()
     key = schema.key_bytes(part.key_values)
     if len(key) > 0xFFFF:
@@ -1007,12 +1027,23 @@ def serialize_partition(part: PartitionData, schema: SSTableSchema,
         srow = RowData()
         srow.cells = dict(part.static_cells)
         out += _row_bytes(srow, schema, stats, 0, static=True)
+    header_length = len(out)
+    blocks: list = []
+    first = None           # (kind, values) of the open block's first name
+    start_pos = 0
+    open_marker = None     # active open range-tombstone deletion
     prev = 0
     for row in part.rows:
+        pos = len(out)
         if isinstance(row, MarkerData):
             rb = _marker_bytes(row, schema, stats, prev)
+            name = (row.kind, list(row.values))
         else:
             rb = _row_bytes(row, schema, stats, prev)
+            name = (CLUSTERING_KIND, list(row.clustering))
+        if column_index_size is not None and first is None:
+            first = name
+            start_pos = pos
         out += rb
         # previousUnfilteredSize excludes flags+clustering+size vints?
         # The reference records the serialized size of the previous
@@ -1021,12 +1052,39 @@ def serialize_partition(part: PartitionData, schema: SSTableSchema,
         # round-trip pins our reader against our writer. Keep the whole
         # unfiltered size, which is self-consistent both directions.
         prev = len(rb)
+        if isinstance(row, MarkerData):
+            if row.kind in _BOUNDARY_KINDS:
+                open_marker = row.start_deletion
+            elif row.kind in _START_KINDS:
+                open_marker = row.deletion
+            else:
+                open_marker = None
+        if (
+            column_index_size is not None
+            and len(out) - start_pos >= column_index_size
+        ):
+            blocks.append({
+                "first": first, "last": name, "offset": start_pos,
+                "width": len(out) - start_pos, "open": open_marker,
+            })
+            first = None
+    if column_index_size is not None and first is not None:
+        # finish(): the tail block (ColumnIndex.java:276-277)
+        blocks.append({
+            "first": first,
+            "last": name if part.rows else first,
+            "offset": start_pos,
+            "width": len(out) - start_pos,
+            "open": open_marker,
+        })
     out.append(END_OF_PARTITION)
-    return bytes(out)
+    return bytes(out), header_length, blocks
 
 
-def read_partition(r: ByteReader, schema: SSTableSchema,
-                   stats: EncodingStats) -> PartitionData:
+def read_partition_header(r: ByteReader, schema: SSTableSchema,
+                          stats: EncodingStats) -> PartitionData:
+    """Key + partition DeletionTime + (when declared) the static row —
+    exactly ColumnIndex.writePartitionHeader's output; rows not read."""
     klen = r.u16()
     key = r.take(klen)
     part = PartitionData(key_values=schema.key_values(key))
@@ -1036,6 +1094,12 @@ def read_partition(r: ByteReader, schema: SSTableSchema,
         if not getattr(srow, "is_static", False):
             raise ValueError("expected a static row after the partition header")
         part.static_cells = srow.cells
+    return part
+
+
+def read_partition(r: ByteReader, schema: SSTableSchema,
+                   stats: EncodingStats) -> PartitionData:
+    part = read_partition_header(r, schema, stats)
     while True:
         flags = r.u8()
         if flags & END_OF_PARTITION:
@@ -1344,7 +1408,8 @@ def write_sstable(out_dir: str, generation: int, schema: SSTableSchema,
                   chunk_length: int | None = None,
                   min_index_interval: int = DEFAULT_MIN_INDEX_INTERVAL,
                   sampling_level: int | None = None,
-                  version: str = VERSION) -> dict:
+                  version: str = VERSION,
+                  column_index_size: int = 64 * 1024) -> dict:
     """Write one complete sstable. Partitions MUST arrive in token
     order (beforeAppend's monotonicity check — BigTableWriter.java:
     120-126); ties/regressions raise. Returns a manifest dict.
@@ -1392,13 +1457,26 @@ def write_sstable(out_dir: str, generation: int, schema: SSTableSchema,
         if n_written % min_index_interval == 0:
             sampled.append((key, len(index)))
         pos = len(data)
-        data += serialize_partition(part, schema, stats)
+        pbytes, hdr_len, blocks = serialize_partition_indexed(
+            part, schema, stats, column_index_size
+        )
+        data += pbytes
         part_sizes.append(len(data) - pos)
         # Index.db entry (BigTableWriter.IndexWriter.append +
-        # RowIndexEntry.serialize: non-indexed => position + vint 0)
+        # RowIndexEntry.serialize). A WIDE partition — more than one
+        # column-index block (RowIndexEntry.create:193-216's
+        # indexSamples.size() > 1 rule) — writes the IndexedEntry
+        # promoted index; everything else is position + vint 0.
         index += struct.pack(">H", len(key)) + key
         index += encode_unsigned_vint(pos)
-        index += encode_unsigned_vint(0)
+        if len(blocks) > 1:
+            promoted = promoted_index_bytes(
+                blocks, part.deletion, hdr_len, schema, stats
+            )
+            index += encode_unsigned_vint(len(promoted))
+            index += promoted
+        else:
+            index += encode_unsigned_vint(0)
     os.makedirs(out_dir, exist_ok=True)
     paths = {k: os.path.join(out_dir, v) for k, v in names.items()}
     with open(os.path.join(out_dir, f"{version}-{generation}-big-Filter.db"),
@@ -1458,6 +1536,107 @@ def write_sstable(out_dir: str, generation: int, schema: SSTableSchema,
         "partitions": len(partitions),
         "rows": sum(len(p.rows) for p in partitions),
         "data_bytes": len(data),
+    }
+
+
+WIDTH_BASE = 64  # IndexInfo.WIDTH_BASE
+
+
+def _prefix_schema(schema: SSTableSchema, n: int) -> SSTableSchema:
+    return SSTableSchema(
+        schema.key_names, schema.key_types,
+        schema.clustering_names[:n], schema.clustering_types[:n],
+        list(schema.regular), list(schema.statics),
+    )
+
+
+def _clustering_prefix_bytes(name: "tuple[int, list]",
+                             schema: SSTableSchema) -> bytes:
+    """ClusteringPrefix.serializer.serialize (ClusteringPrefix.java:
+    272-285): CLUSTERING = kind byte + the full clustering values (no
+    size — arity is the comparator's); bounds/boundaries = kind byte +
+    u16 size + prefix values (ClusteringBoundOrBoundary layout)."""
+    kind, values = name
+    if kind == CLUSTERING_KIND:
+        return bytes([kind]) + _clustering_bytes(schema, values)
+    return (
+        bytes([kind])
+        + struct.pack(">H", len(values))
+        + _clustering_bytes(_prefix_schema(schema, len(values)), values)
+    )
+
+
+def _read_clustering_prefix(r: ByteReader,
+                            schema: SSTableSchema) -> "tuple[int, list]":
+    kind = r.u8()
+    if kind == CLUSTERING_KIND:
+        return kind, _read_clustering(r, schema)
+    n = r.u16()
+    return kind, _read_clustering(r, schema, n)
+
+
+def promoted_index_bytes(blocks: list, part_deletion,
+                         header_length: int,
+                         schema: SSTableSchema,
+                         stats: EncodingStats) -> bytes:
+    """The IndexedEntry bytes AFTER the promoted-size vint
+    (RowIndexEntry.IndexedEntry.serialize:525-540): headerLength vint,
+    partition-level DeletionTime, columnIndexCount vint, the IndexInfo
+    entries (IndexInfo.Serializer.serialize:107-117 — firstName /
+    lastName clustering prefixes, offset vint, signed vint of
+    width - WIDTH_BASE, endOpenMarker flag + DeletionTime), then each
+    IndexInfo's byte offset as an int32 (Serializer.serializeOffsets)."""
+    infos = bytearray()
+    offsets: list[int] = []
+    for b in blocks:
+        offsets.append(len(infos))
+        infos += _clustering_prefix_bytes(b["first"], schema)
+        infos += _clustering_prefix_bytes(b["last"], schema)
+        infos += encode_unsigned_vint(b["offset"])
+        infos += encode_vint(b["width"] - WIDTH_BASE)
+        if b.get("open"):
+            infos.append(1)
+            infos += _deletion_time_bytes(b["open"])
+        else:
+            infos.append(0)
+    out = bytearray()
+    out += encode_unsigned_vint(header_length)
+    out += _deletion_time_bytes(part_deletion)
+    out += encode_unsigned_vint(len(blocks))
+    out += infos
+    for o in offsets:
+        out += struct.pack(">i", o)
+    return bytes(out)
+
+
+def parse_promoted_index(blob: bytes, schema: SSTableSchema) -> dict:
+    """Inverse of promoted_index_bytes (RowIndexEntry.IndexedEntry
+    deserialize direction, RowIndexEntry.java:296-330): returns
+    {header_length, deletion, blocks:[{first,last,offset,width,open}]}."""
+    r = ByteReader(blob)
+    header_length = r.unsigned_vint()
+    deletion = _read_deletion_time(r)
+    n = r.unsigned_vint()
+    blocks = []
+    for _ in range(n):
+        first = _read_clustering_prefix(r, schema)
+        last = _read_clustering_prefix(r, schema)
+        offset = r.unsigned_vint()
+        width = r.vint() + WIDTH_BASE
+        open_marker = None
+        if r.u8():
+            open_marker = _read_deletion_time(r)
+        blocks.append({
+            "first": first, "last": last, "offset": offset,
+            "width": width, "open": open_marker,
+        })
+    # trailing int32 offsets (read + sanity only)
+    offs = [r.i32() for _ in range(n)]
+    return {
+        "header_length": header_length,
+        "deletion": deletion,
+        "blocks": blocks,
+        "info_offsets": offs,
     }
 
 
@@ -1975,14 +2154,27 @@ class BloomFilter:
 
 def sstable_point_read(sst_dir: str, key_values: list,
                        now_seconds: int | None = None,
+                       ck_bounds: "tuple | None" = None,
                        _trace: dict | None = None) -> list[dict]:
     """Single-partition read across a directory's sstables — the
     BigTableReader.getPosition path (bloom check -> index summary seek
     -> at most one minIndexInterval's worth of Index.db entries -> one
     Data.db seek; SinglePartitionReadCommand.queryMemtableAndDisk
     direction). Returns the partition's visible rows. Driver-side by
-    design, like every point read. `_trace` (tests) collects
-    {"index_entries_scanned", "summary_seeks", "bloom_skips"}."""
+    design, like every point read.
+
+    ck_bounds=(lo, hi) — inclusive clustering prefix bounds (tuples,
+    either side None for unbounded) — is the ClusteringIndexSliceFilter
+    direction: on a WIDE partition whose index entry carries a promoted
+    column index (RowIndexEntry.IndexedEntry), only the index blocks
+    OVERLAPPING the slice are read and decoded
+    (AbstractSSTableIterator.IndexState.startOfBlock seek direction);
+    non-indexed partitions and mixed-direction (DESC) clusterings fall
+    back to the full-partition read + exact filter. The exact filter
+    always applies, so the result is bound-correct either way.
+
+    `_trace` (tests) collects {"index_entries_scanned", "summary_seeks",
+    "bloom_skips", "index_blocks_read", "index_blocks_total"}."""
     from cassandra_pmem_spark.functions.murmur3 import (
         murmur3_token_bytes_py,
     )
@@ -1993,6 +2185,8 @@ def sstable_point_read(sst_dir: str, key_values: list,
         _trace.setdefault("index_entries_scanned", 0)
         _trace.setdefault("summary_seeks", 0)
         _trace.setdefault("bloom_skips", 0)
+        _trace.setdefault("index_blocks_read", 0)
+        _trace.setdefault("index_blocks_total", 0)
     out: list[dict] = []
     for f in sorted(os.listdir(sst_dir)):
         if not f.endswith("-Data.db"):
@@ -2035,14 +2229,14 @@ def sstable_point_read(sst_dir: str, key_values: list,
             if _trace is not None:
                 _trace["summary_seeks"] += 1
         pos = bound = None
+        promoted_blob = b""
         ir = ByteReader(idx_blob, start_off)
         while ir.remaining():
             klen = ir.u16()
             ekey = ir.take(klen)
             epos = ir.unsigned_vint()
             promoted = ir.unsigned_vint()
-            if promoted:
-                ir.take(promoted)
+            pbytes = ir.take(promoted) if promoted else b""
             if pos is not None:
                 # the NEXT entry's position bounds our partition's bytes
                 bound = epos
@@ -2051,6 +2245,7 @@ def sstable_point_read(sst_dir: str, key_values: list,
                 _trace["index_entries_scanned"] += 1
             if ekey == key:
                 pos = epos
+                promoted_blob = pbytes
                 continue  # one more iteration to learn the bound
             if (murmur3_token_bytes_py(ekey), bytes(ekey)) > probe_tk:
                 break  # token order passed the probe — not in this sstable
@@ -2065,14 +2260,105 @@ def sstable_point_read(sst_dir: str, key_values: list,
                     ).data_length
             else:
                 bound = os.path.getsize(base + "Data.db")
-        # ranged I/O: read exactly this partition's bytes (compressed:
-        # only the overlapping chunks), never the whole Data.db
-        buf, base_off = read_uncompressed_file_range(
-            base + "Data.db", pos, bound
-        )
-        part = read_partition(ByteReader(buf, pos - base_off), schema, stats)
-        out.extend(visible_rows(part, schema, now_seconds))
+        part = None
+        if ck_bounds is not None and promoted_blob and not any(
+            t.startswith(REVERSED_PREFIX) for t in schema.clustering_types
+        ):
+            pidx = parse_promoted_index(promoted_blob, schema)
+            blocks = pidx["blocks"]
+            if _trace is not None:
+                _trace["index_blocks_total"] += len(blocks)
+            lo, hi = ck_bounds
+            picked = [
+                b for b in blocks
+                if not (
+                    (hi is not None
+                     and _prefix_cmp(b["first"][1], list(hi)) > 0)
+                    or (lo is not None
+                        and _prefix_cmp(b["last"][1], list(lo)) < 0)
+                )
+            ]
+            if _trace is not None:
+                _trace["index_blocks_read"] += len(picked)
+            hbuf, hoff = read_uncompressed_file_range(
+                base + "Data.db", pos, pos + pidx["header_length"]
+            )
+            part = read_partition_header(
+                ByteReader(hbuf, pos - hoff), schema, stats
+            )
+            picked_idx = {id(b) for b in picked}
+            for i, b in enumerate(blocks):
+                if id(b) not in picked_idx:
+                    continue
+                # a range tombstone OPENED in an unread earlier block
+                # must still shadow this block's rows: the promoted
+                # index records each block's end-open deletion
+                # (IndexInfo.endOpenMarker) for exactly this resume —
+                # synthesize the open bound when the predecessor block
+                # wasn't read
+                if (
+                    i > 0
+                    and blocks[i - 1].get("open")
+                    and id(blocks[i - 1]) not in picked_idx
+                ):
+                    part.rows.append(MarkerData(
+                        kind=INCL_START_BOUND, values=[],
+                        deletion=blocks[i - 1]["open"],
+                    ))
+                bstart = pos + b["offset"]
+                bbuf, boff = read_uncompressed_file_range(
+                    base + "Data.db", bstart, bstart + b["width"]
+                )
+                br = ByteReader(bbuf, bstart - boff)
+                end = bstart - boff + b["width"]
+                while br.pos < end:
+                    flags = br.u8()
+                    if flags & END_OF_PARTITION:
+                        break
+                    if flags & IS_MARKER:
+                        part.rows.append(_read_marker(br, schema, stats))
+                    else:
+                        part.rows.append(
+                            _read_row(br, flags, schema, stats)
+                        )
+        if part is None:
+            # ranged I/O: read exactly this partition's bytes
+            # (compressed: only the overlapping chunks), never the
+            # whole Data.db
+            buf, base_off = read_uncompressed_file_range(
+                base + "Data.db", pos, bound
+            )
+            part = read_partition(
+                ByteReader(buf, pos - base_off), schema, stats
+            )
+        rows = visible_rows(part, schema, now_seconds)
+        if ck_bounds is not None:
+            lo, hi = ck_bounds
+            ck_names = schema.clustering_names
+            def _within(rd: dict) -> bool:
+                vals = [rd.get(c) for c in ck_names]
+                if lo is not None and _prefix_cmp(vals, list(lo)) < 0:
+                    return False
+                if hi is not None and _prefix_cmp(vals, list(hi)) > 0:
+                    return False
+                return True
+            rows = [rd for rd in rows if _within(rd)]
+        out.extend(rows)
     return out
+
+
+def _prefix_cmp(a: list, b: list) -> int:
+    """Tuple compare over the SHARED prefix (a slice-bound prefix binds
+    only its named components — ClusteringComparator.compare over a
+    bound's size); equal prefixes compare equal regardless of arity."""
+    for x, y in zip(a, b):
+        if x is None or y is None:
+            continue
+        if x < y:
+            return -1
+        if x > y:
+            return 1
+    return 0
 
 
 # -- CompressionInfo.db + chunked Data.db compression ------------------------

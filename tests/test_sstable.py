@@ -2360,3 +2360,153 @@ class TestDistributedMaintenance:
         assert res["na-1-big-Data.db"].ok
         assert not res["na-2-big-Data.db"].ok
         assert "Digest mismatch" in res["na-2-big-Data.db"].detail
+
+
+class TestPromotedIndex:
+    """The WIDE-partition column index (db/ColumnIndex.java:105-266;
+    RowIndexEntry.IndexedEntry.serialize:525-540; IndexInfo.Serializer:
+    107-139): Index.db entries for partitions spanning more than one
+    column_index_size block carry the promoted index, and clustering-
+    sliced point reads seek through it."""
+
+    TS = TIMESTAMP_EPOCH + 333
+
+    def _wide(self, n_rows=200, pad=120):
+        schema = _schema()
+        rows = [
+            _row(c, self.TS, v="p" * pad, n=c * 7) for c in range(n_rows)
+        ]
+        return schema, [PartitionData(key_values=[1], rows=rows)]
+
+    def test_wide_partition_gets_indexed_entry(self, tmp_path):
+        from cassandra_pmem_spark.sources.sstable import (
+            parse_promoted_index,
+        )
+
+        schema, parts = self._wide()
+        write_sstable(str(tmp_path), 1, schema, parts,
+                      column_index_size=2048)
+        idx = (tmp_path / "na-1-big-Index.db").read_bytes()
+        r = ByteReader(idx)
+        klen = r.u16(); r.take(klen)
+        pos = r.unsigned_vint()
+        promoted = r.unsigned_vint()
+        assert pos == 0 and promoted > 0
+        pidx = parse_promoted_index(r.take(promoted), schema)
+        blocks = pidx["blocks"]
+        assert len(blocks) > 1
+        # blocks tile the unfiltered area contiguously from headerLength
+        assert blocks[0]["offset"] == pidx["header_length"]
+        for a, b in zip(blocks, blocks[1:]):
+            assert a["offset"] + a["width"] == b["offset"]
+        # each block's width crossed the cap (except possibly the tail)
+        assert all(b["width"] >= 2048 for b in blocks[:-1])
+        # first/last names are CLUSTERING prefixes in row order
+        firsts = [b["first"][1][0] for b in blocks]
+        lasts = [b["last"][1][0] for b in blocks]
+        assert firsts == sorted(firsts) and lasts == sorted(lasts)
+        assert firsts[0] == 0 and lasts[-1] == 199
+        # the info_offsets match re-serialization order
+        assert pidx["info_offsets"][0] == 0
+        assert pidx["info_offsets"] == sorted(pidx["info_offsets"])
+
+    def test_narrow_partition_entry_is_byte_identical_to_before(self, tmp_path):
+        # below the cap nothing changes: position + vint 0
+        schema, _ = self._wide()
+        parts = TestVersionInterop()._parts(4)
+        write_sstable(str(tmp_path), 1, schema if False else _schema(), parts)
+        idx = (tmp_path / "na-1-big-Index.db").read_bytes()
+        r = ByteReader(idx)
+        for _ in range(4):
+            klen = r.u16(); r.take(klen)
+            r.unsigned_vint()
+            assert r.unsigned_vint() == 0
+        assert not r.remaining()
+
+    def test_sliced_point_read_reads_only_overlapping_blocks(self, tmp_path):
+        from cassandra_pmem_spark.sources.sstable import sstable_point_read
+
+        schema, parts = self._wide()
+        write_sstable(str(tmp_path), 1, schema, parts,
+                      column_index_size=2048, compression=True)
+        trace: dict = {}
+        rows = sstable_point_read(
+            str(tmp_path), [1], ck_bounds=((50,), (59,)), _trace=trace
+        )
+        assert [r["ck0"] for r in rows] == list(range(50, 60))
+        assert all(r["n"] == r["ck0"] * 7 for r in rows)
+        assert trace["index_blocks_total"] > 2
+        assert 0 < trace["index_blocks_read"] < trace["index_blocks_total"]
+        # unbounded sides work
+        lo_rows = sstable_point_read(str(tmp_path), [1],
+                                     ck_bounds=((195,), None))
+        assert [r["ck0"] for r in lo_rows] == list(range(195, 200))
+        # equality with the full read + exact filter
+        full = sstable_point_read(str(tmp_path), [1])
+        want = [r for r in full if 50 <= r["ck0"] <= 59]
+        assert rows == want
+
+    def test_sliced_read_sees_tombstone_opened_in_unread_block(self, tmp_path):
+        from cassandra_pmem_spark.sources.sstable import (
+            EXCL_END_BOUND, INCL_START_BOUND, MarkerData, sstable_point_read,
+        )
+
+        schema = _schema()
+        e0 = DELETION_TIME_EPOCH
+        rows = []
+        # open a range tombstone very early, close it near the end;
+        # rows INSIDE it are written at an OLDER timestamp so they
+        # shadow away
+        rows.append(MarkerData(kind=INCL_START_BOUND, values=[10],
+                               deletion=(self.TS + 5, e0 + 5)))
+        for c in range(200):
+            rows_ts = self.TS if 10 <= c < 190 else self.TS + 10
+            rows.append(_row(c, rows_ts, v="q" * 120, n=c))
+        # file order: marker must sit before clustering 10
+        rows.sort(key=lambda r: (
+            r.values[0] if isinstance(r, MarkerData) else r.clustering[0],
+            0 if isinstance(r, MarkerData) else 1,
+        ))
+        rows.append(MarkerData(kind=EXCL_END_BOUND, values=[190],
+                               deletion=(self.TS + 5, e0 + 5)))
+        # reorder: the end bound belongs before clustering 190
+        rows.sort(key=lambda r: (
+            r.values[0] if isinstance(r, MarkerData) else r.clustering[0],
+            0 if isinstance(r, MarkerData) and r.kind == INCL_START_BOUND
+            else (1 if not isinstance(r, MarkerData) else 0),
+        ))
+        parts = [PartitionData(key_values=[1], rows=rows)]
+        write_sstable(str(tmp_path), 1, schema, parts,
+                      column_index_size=2048)
+        trace: dict = {}
+        got = sstable_point_read(
+            str(tmp_path), [1], ck_bounds=((100,), (105,)), _trace=trace
+        )
+        # sliced blocks exclude the block that contains the opening
+        # marker, yet the rows must still be shadowed
+        assert got == []
+        assert trace["index_blocks_read"] < trace["index_blocks_total"]
+        # outside the tombstone the slice reads normally
+        got2 = sstable_point_read(str(tmp_path), [1],
+                                  ck_bounds=((195,), (199,)))
+        assert [r["ck0"] for r in got2] == list(range(195, 200))
+
+    def test_roundtrip_and_tools_unaffected_by_indexed_entries(
+        self, tmp_path, spark
+    ):
+        from cassandra_pmem_spark.sources.sstable import (
+            read_sstables, verify_sstable,
+        )
+
+        schema, parts = self._wide(80)
+        write_sstable(str(tmp_path), 1, schema, parts,
+                      column_index_size=2048)
+        got = sorted(
+            (r["ck0"], r["n"])
+            for r in read_sstables(spark, str(tmp_path)).collect()
+        )
+        assert got == [(c, c * 7) for c in range(80)]
+        lines = verify_sstable(
+            str(tmp_path / "na-1-big-Data.db"), extended=True
+        )
+        assert any("Verified 1 partitions" in ln for ln in lines)
