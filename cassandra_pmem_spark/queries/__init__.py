@@ -24,8 +24,8 @@ from pyspark.sql import DataFrame, SparkSession
 # First-50 window budget, rotated by STALENESS each round (COVERAGE.md
 # rule: edited since last green driver evidence ⇒ re-enter the window;
 # never-evidenced entries outrank everything).
-# Round-12 layout: (1) the three NEW round-12 queries (never evidenced);
-# (2) stale-by-edit — the eight queries whose machinery round 12
+# Round-12 layout: (1) the four NEW round-12 queries (never evidenced);
+# (2) stale-by-edit — the seven queries whose machinery round 12
 # touched (see inline notes); (3) the ENTIRE r7-evidence backlog —
 # the 39 registry rows whose latest driver evidence is
 # CORRECTNESS_r07 (analytics/temporal/snapshot/dedup tiers). After
@@ -36,6 +36,7 @@ _PRIORITY: tuple[str, ...] = (
     "cql_token_scan_frozen_num",
     "source_sstable_version_interop",
     "source_sstable_counter_cells",
+    "source_sstable_wide_slice",
     # -- (2) stale-by-edit: round 12 touched their machinery —
     # the pager's materialized token column + buffer-only persist
     # (cql_paging), the Arrow-backed statement log frame and the
@@ -50,7 +51,6 @@ _PRIORITY: tuple[str, ...] = (
     "source_sstable_pointread",
     "cql_token_scan_frozen",
     "cql_index_targets",
-    "cql_batch_apply",
     # -- (3) the ENTIRE r7-evidence backlog (39) — after this
     # window records, the oldest driver evidence is r8
     "analytics_cube",
@@ -94,9 +94,10 @@ _PRIORITY: tuple[str, ...] = (
     "text_fuzzy_join",
 )
 # Deliberately outside the window this round: everything with r8+
-# evidence and unchanged machinery (including cql_udt_field_writes,
-# whose r9 evidence + this session's full local gates cover the
-# shared _log_frame edit). After this window records, every registry
+# evidence and unchanged machinery (including cql_udt_field_writes
+# and cql_batch_apply, whose r9 evidence + this session's five full
+# local gates cover the shared _log_frame edit — cql_trigger_audit
+# and cql_lwt_conditional represent that edit in the window). After this window records, every registry
 # row's latest driver evidence is r8 or newer.
 
 

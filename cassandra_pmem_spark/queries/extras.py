@@ -498,6 +498,86 @@ def source_sstable_counter_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_sstable_wide_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-sliced reads through the WIDE-partition promoted
+    column index (ColumnIndex.java:105-266 block building;
+    RowIndexEntry.IndexedEntry:525-540; seek =
+    AbstractSSTableIterator.IndexState / ClusteringIndexSliceFilter
+    direction): events bucket into 8 partitions of ~12.5k rows each
+    (well past the 64 KB column_index_size, so every Index.db entry
+    carries a real promoted index), then each bucket is point-read
+    with ck_bounds=(user 100, user 119) — the trace must prove BLOCK
+    seeking (fewer blocks read than exist), and every returned value
+    must match the parquet recomputation."""
+    from cassandra_pmem_spark.catalog import ClusteringColumn, TableMeta
+    from cassandra_pmem_spark.sources.sstable import (
+        bulk_write_sstables,
+        sstable_point_read,
+    )
+
+    out_dir = os.path.join(_SCRATCH, "sstable_wide")
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .select(
+            (F.col("user_id") % 8).alias("bucket"),
+            "user_id", "event_id", "value",
+        )
+    )
+    meta = TableMeta(
+        "events_wide", ev.schema, partition_key=("bucket",),
+        clustering=(ClusteringColumn("user_id"), ClusteringColumn("event_id")),
+    )
+    # 1 KB blocks so the partitions are wide-indexed at EVERY test SF
+    # (at 100 TB the 64 KB default gives the same shape for free)
+    bulk_write_sstables(
+        ev, meta, out_dir, sstables=2,
+        timestamp_micros=1442880000000001, compression=True,
+        column_index_size=1024,
+    )
+    rows: list[tuple] = []
+    trace: dict = {}
+    for bucket in range(8):
+        for r in sstable_point_read(
+            out_dir, [bucket], ck_bounds=((100,), (119,)), _trace=trace
+        ):
+            rows.append((bucket, r["ck0"], r["ck1"], r["value"]))
+    # seek proof: fewer blocks read than exist (a slice fully outside
+    # the data legitimately reads ZERO blocks — e.g. the tiny sf where
+    # no user falls in [100, 119])
+    seek_ok = (
+        trace["index_blocks_total"] > 1
+        and trace["index_blocks_read"] < trace["index_blocks_total"]
+    )
+    rows.append((-1, int(seek_ok), True, None))
+    from pyspark.sql import types as _T
+
+    schema = _T.StructType([
+        _T.StructField("bucket", _T.LongType()),
+        _T.StructField("user_id", _T.LongType()),
+        _T.StructField("event_id", _T.LongType()),
+        _T.StructField("value", _T.DoubleType()),
+    ])
+    return spark.createDataFrame(
+        [(int(b), int(u), int(e) if e is not None else None,
+          float(v) if v is not None else None)
+         for b, u, e, v in
+         [(r[0], r[1], r[2], r[3]) if r[0] >= 0
+          else (r[0], r[1], 1 if r[2] else 0, None) for r in rows]],
+        schema,
+    )
+
+
+_SSTABLE_WIDE_SLICE_ORACLE = """
+SELECT user_id % 8 AS bucket, user_id, event_id, value
+FROM events WHERE user_id BETWEEN 100 AND 119
+UNION ALL
+SELECT -1, 1, 1, NULL
+"""
+
+
 def source_sstable_pointread(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The BigTableReader single-partition path (sources/sstable.py
     sstable_point_read): bloom filter consult -> index summary seek ->
@@ -1380,6 +1460,10 @@ QUERIES = {
     "source_sstable_version_interop": (
         source_sstable_version_interop,
         _SSTABLE_VERSION_INTEROP_ORACLE,
+    ),
+    "source_sstable_wide_slice": (
+        source_sstable_wide_slice,
+        _SSTABLE_WIDE_SLICE_ORACLE,
     ),
     "source_sstable_counter_cells": (
         source_sstable_counter_cells,

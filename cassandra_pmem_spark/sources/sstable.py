@@ -1803,7 +1803,8 @@ def bulk_write_sstables(df, meta, out_dir: str, sstables: int = 1,
                         type_overrides: dict | None = None,
                         compression: bool = False,
                         collection_kinds: dict | None = None,
-                        version: str = VERSION) -> list[dict]:
+                        version: str = VERSION,
+                        column_index_size: int = 64 * 1024) -> list[dict]:
     """The CqlBulkRecordWriter / SSTable bulk-load analog: range-
     partition the frame by Murmur3 token so each task owns a DISJOINT
     token range and writes one complete sstable (generation = Spark
@@ -1892,7 +1893,7 @@ def bulk_write_sstables(df, meta, out_dir: str, sstables: int = 1,
             return
         manifest = write_sstable(
             out_dir, gen, schema, parts, compression=compression,
-            version=version,
+            version=version, column_index_size=column_index_size,
         )
         yield pd.DataFrame([manifest])
 
