@@ -1471,7 +1471,7 @@ def write_sstable(out_dir: str, generation: int, schema: SSTableSchema,
         index += encode_unsigned_vint(pos)
         if len(blocks) > 1:
             promoted = promoted_index_bytes(
-                blocks, part.deletion, hdr_len, schema, stats
+                blocks, part.deletion, hdr_len, schema
             )
             index += encode_unsigned_vint(len(promoted))
             index += promoted
@@ -1577,8 +1577,7 @@ def _read_clustering_prefix(r: ByteReader,
 
 def promoted_index_bytes(blocks: list, part_deletion,
                          header_length: int,
-                         schema: SSTableSchema,
-                         stats: EncodingStats) -> bytes:
+                         schema: SSTableSchema) -> bytes:
     """The IndexedEntry bytes AFTER the promoted-size vint
     (RowIndexEntry.IndexedEntry.serialize:525-540): headerLength vint,
     partition-level DeletionTime, columnIndexCount vint, the IndexInfo
