@@ -123,14 +123,38 @@ def _machine_load() -> dict:
     }
 
 
+def _wait_for_quiet(max_load: float, timeout_s: float) -> dict:
+    """Block until the 1-minute loadavg drops below the gate, polling
+    every 15 s up to timeout_s. BENCH_r12's official number was flagged
+    contaminated by its own gate (load1 4.88 > 4.0, leftovers of the
+    round's test runs) — annotating wasn't enough; the timed pass
+    should simply not start on a loaded box when waiting fixes it.
+    Returns {waited_s, timed_out} for the snapshot's hygiene record."""
+    t0 = time.time()
+    waited = 0.0
+    timed_out = False
+    while os.getloadavg()[0] > max_load:
+        if time.time() - t0 >= timeout_s:
+            timed_out = True
+            break
+        time.sleep(15)
+        waited = round(time.time() - t0, 1)
+    return {"waited_s": waited, "timed_out": timed_out}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    # load gate: above this 1-min loadavg the run still prints its JSON
-    # (the driver needs a line every round) but REFUSES to overwrite
-    # BENCH_DETAIL.json, so a contaminated run can never become the
-    # stored comparison snapshot
+    # load gate: above this 1-min loadavg the run WAITS (bounded) for
+    # the box to go quiet; if it never does, the run still prints its
+    # JSON (the driver needs a line every round) but REFUSES to
+    # overwrite BENCH_DETAIL.json, so a contaminated run can never
+    # become the stored comparison snapshot
     max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "4.0"))
+    wait_timeout = float(
+        os.environ.get("SPARK_GRAFT_BENCH_QUIET_TIMEOUT", "600")
+    )
+    quiet_wait = _wait_for_quiet(max_load, wait_timeout)
     load_start = _machine_load()
     from cassandra_pmem_spark.session import get_spark
     from cassandra_pmem_spark.queries import all_queries
@@ -208,6 +232,7 @@ def main() -> None:
         "start": load_start,
         "end": load_end,
         "max_load_gate": max_load,
+        "quiet_wait": quiet_wait,
         "contaminated": contaminated,
     }
     if not contaminated:
@@ -226,6 +251,8 @@ def main() -> None:
         "value_median": round(detail["value_median"], 2),
         "load1": load_start["loadavg"][0],
         "load_ok": not contaminated,
+        **({"quiet_wait_s": quiet_wait["waited_s"]}
+           if quiet_wait["waited_s"] else {}),
         "queries": {k: round(v, 2) for k, v in timings.items()},
     }
     line = json.dumps(compact)

@@ -251,6 +251,43 @@ def _plain_value(v: Any) -> Any:
     return v.instant() if isinstance(v, TimeuuidBound) else v
 
 
+_TS_LITERAL_FORMATS = (
+    # TimestampSerializer.dateStringPatterns (TimestampSerializer.java:
+    # 43-76) — the ISO subset with space or 'T' separator, optional
+    # fractional seconds, optional zone (+0000 / +00:00 / Z via %z)
+    "%Y-%m-%d %H:%M:%S.%f%z", "%Y-%m-%d %H:%M:%S%z", "%Y-%m-%d %H:%M%z",
+    "%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S", "%Y-%m-%d %H:%M",
+    "%Y-%m-%d%z", "%Y-%m-%d",
+)
+
+
+def _parse_timestamp_text(v: str, label: str):
+    """A string constant bound to a timestamp column parses at PREPARE
+    time (the reference's TimestampSerializer; zoneless strings anchor
+    to UTC like the rest of the engine — session.py pins the session
+    zone). Parsing here, not at the Arrow boundary, keeps the Arrow
+    fast path and the createDataFrame fallback on the same instant
+    under ANY session timezone."""
+    import datetime as _dt
+
+    s = v.strip()
+    if len(s) > 10 and s[10] == "T":
+        s = s[:10] + " " + s[11:]
+    for fmt in _TS_LITERAL_FORMATS:
+        try:
+            d = _dt.datetime.strptime(s, fmt)
+            break
+        except ValueError:
+            continue
+    else:
+        raise InvalidRequest(
+            f"Unable to coerce {v!r} to a formatted date for \"{label}\""
+        )
+    if d.tzinfo is None:
+        d = d.replace(tzinfo=_dt.timezone.utc)
+    return d
+
+
 def _tz_norm(cur: Any, val: Any) -> tuple[Any, Any]:
     """Make a collected cell and a condition value comparable when one is
     a NAIVE datetime and the other AWARE: Spark collects timestamps naive
@@ -1930,6 +1967,30 @@ class CqlWriteSession:
                 ok = isinstance(val, str)
             elif isinstance(dt, T.BooleanType):
                 ok = isinstance(val, bool)
+            elif isinstance(dt, T.TimestampType):
+                import datetime as _dtm
+
+                if isinstance(val, str):
+                    return _parse_timestamp_text(val, label)
+                if isinstance(val, int) and not isinstance(val, bool):
+                    # integer constants are epoch millis
+                    # (TimestampSerializer / CQL timestamp literals)
+                    return (_dtm.datetime(1970, 1, 1,
+                                          tzinfo=_dtm.timezone.utc)
+                            + _dtm.timedelta(milliseconds=val))
+                ok = isinstance(val, _dtm.datetime)
+            elif isinstance(dt, T.DateType):
+                import datetime as _dtm
+
+                if isinstance(val, str):
+                    try:
+                        return _dtm.date.fromisoformat(val)
+                    except ValueError as exc:
+                        raise InvalidRequest(
+                            f"Unable to coerce {val!r} to a formatted "
+                            f"date for \"{label}\""
+                        ) from exc
+                ok = isinstance(val, _dtm.date)
             elif isinstance(dt, T.ArrayType):
                 ok = isinstance(val, (list, tuple))
             elif isinstance(dt, T.MapType):
@@ -2023,11 +2084,21 @@ class CqlWriteSession:
         per fresh statement-path plan+collect on a 10-row buffer. The
         RDD path remains the fallback for any value shape pyarrow can't
         take (it is the semantic reference; the 203-query oracle gate
-        covers both)."""
+        covers both).
+
+        The fast path is gated on spark.sql.session.timeZone == UTC:
+        pa.array interprets naive datetimes as UTC, while createDataFrame
+        localizes them to the session zone — under a non-UTC session the
+        two paths would silently disagree on timestamp cells (get_spark
+        pins UTC, so the gate only matters for foreign sessions)."""
         try:
             import pyarrow as pa
             from pyspark.sql.pandas.types import to_arrow_schema
 
+            tz = self.spark.conf.get("spark.sql.session.timeZone", "UTC")
+            if (tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z")
+                    and "timestamp" in log_schema.simpleString()):
+                raise ValueError(f"non-UTC session timezone {tz!r}")
             aschema = to_arrow_schema(log_schema)
             cols = list(zip(*rows))
             arrays = [

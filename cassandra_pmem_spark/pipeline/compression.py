@@ -155,7 +155,20 @@ def lz4_block_compress_py(src: bytes) -> bytes:
 def lz4_block_decompress(src: bytes, out_size: int) -> bytes:
     """LZ4 block decode (the format every LZ4 implementation emits).
     Output is bounded by out_size DURING decode; truncated or hostile
-    streams raise CorruptChunk."""
+    streams raise CorruptChunk.
+
+    Dispatches to pyarrow's C codec (~100× — same win the compress
+    direction already takes); on ANY pyarrow failure the pure-Python
+    reference decoder re-runs for its precise CorruptChunk
+    diagnostics, so corrupt-input behavior is identical either way.
+    Cross-decode is pinned both directions in test_codecs."""
+    if _PA_LZ4 is not None:
+        try:
+            return _PA_LZ4.decompress(
+                src, decompressed_size=out_size, asbytes=True
+            )
+        except Exception:
+            pass  # fall through: Python decoder raises the real reason
     try:
         return _lz4_block_decompress(src, out_size)
     except IndexError as e:

@@ -395,13 +395,15 @@ SELECT src, user_id, event_id, ts_s, event_type, value, props FROM (
 def source_sstable_version_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-version SSTable read (BigFormat.java:153-163 BigVersion
     feature matrix; earliest_supported_version = ma at :121): the same
-    event slice is bulk-written THREE times — as the checkout's
-    current `na`, as 3.x-era `md` (no metadata checksums, old bloom
-    word layout, no pendingRepair/isTransient/maxCompressedLength),
-    and as `ma` (additionally no commit-log lower bound / intervals) —
-    and each directory reads back through the same version-dispatched
-    readers. Compression on, so the CompressionInfo gate is exercised
-    too. All three reads must agree bit-exactly with parquet."""
+    event slice is bulk-written FOUR times — as public 4.0 GA `nb`
+    (adds the trailing nullable originatingHostId in StatsMetadata),
+    as the checkout's current `na`, as 3.x-era `md` (no metadata
+    checksums, old bloom word layout, no pendingRepair/isTransient/
+    maxCompressedLength), and as `ma` (additionally no commit-log
+    lower bound / intervals) — and each directory reads back through
+    the same version-dispatched readers. Compression on, so the
+    CompressionInfo gate is exercised too. All four reads must agree
+    bit-exactly with parquet."""
     import shutil
 
     from cassandra_pmem_spark.catalog import ClusteringColumn, TableMeta
@@ -428,7 +430,7 @@ def source_sstable_version_interop(spark: SparkSession, sf_dir: str) -> DataFram
     )
     ts0 = TIMESTAMP_EPOCH + 1_000_000
     outs = []
-    for ver in ("na", "md", "ma"):
+    for ver in ("nb", "na", "md", "ma"):
         out_dir = os.path.join(_SCRATCH, f"sstable_ver_{ver}")
         shutil.rmtree(out_dir, ignore_errors=True)
         bulk_write_sstables(
@@ -457,7 +459,7 @@ SELECT v.ver, e.user_id, e.event_id,
                 '%Y-%m-%d %H:%M:%S.%g') AS ts_s,
        e.event_type, e.value
 FROM events e
-CROSS JOIN (VALUES ('na'), ('md'), ('ma')) v(ver)
+CROSS JOIN (VALUES ('nb'), ('na'), ('md'), ('ma')) v(ver)
 WHERE e.user_id < 300
 """
 
@@ -576,6 +578,119 @@ FROM events WHERE user_id BETWEEN 100 AND 119
 UNION ALL
 SELECT -1, 1, 1, NULL
 """
+
+
+# inclusive Murmur3 token range covering ~a quarter of the ring
+# ([-2^62, 0] of the uniform [-2^63, 2^63) token space) — deterministic,
+# so the oracle's DuckDB murmur3 twin selects the exact same users
+_PRUNED_SCAN_LO = -(1 << 62)
+_PRUNED_SCAN_HI = 0
+
+
+def source_sstable_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-range-pruned DISTRIBUTED sstable scan — the
+    CqlInputFormat.getSplits range-intersection analog
+    (CqlInputFormat.java:129-175; sources/sstable.py
+    plan_splits_pruned): events bulk-write as FOUR token-range-disjoint
+    sstables, then read back with token_range=[-2^62, 0], which covers
+    ~25% of the ring. Index.db entries are (token, key)-ordered, so the
+    planner bisects to the covered slice (O(log n) Murmur3 probes) and
+    plans splits ONLY over those bytes — sstables whose range misses
+    the filter plan zero splits and are never opened. The driver-side
+    trace below re-runs the same planner and asserts that whole
+    sstables were pruned and fewer partitions were selected than
+    exist; the oracle recomputes the selected-user set with the DuckDB
+    murmur3 twin, so the returned VALUES prove the pruning selected
+    exactly the covered rows."""
+    import shutil
+
+    from cassandra_pmem_spark.catalog import ClusteringColumn, TableMeta
+    from cassandra_pmem_spark.sources.sstable import (
+        TIMESTAMP_EPOCH,
+        CompressionInfo,
+        bulk_write_sstables,
+        plan_splits,
+        plan_splits_pruned,
+        read_sstables,
+        version_from_path,
+    )
+
+    out_dir = os.path.join(_SCRATCH, "sstable_pruned")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    events = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        F.date_trunc("millisecond", F.col("ts")).alias("ts"),
+        "event_id", "event_type", "value",
+    )
+    meta = TableMeta(
+        "events_pruned",
+        events.schema,
+        partition_key=("user_id",),
+        clustering=(ClusteringColumn("ts"), ClusteringColumn("event_id")),
+    )
+    bulk_write_sstables(
+        events, meta, out_dir, sstables=4,
+        timestamp_micros=TIMESTAMP_EPOCH + 1_000_000, compression=True,
+    )
+    rng = (_PRUNED_SCAN_LO, _PRUNED_SCAN_HI)
+    # trace: the same planner the read tasks run, driver-side — prove
+    # whole sstables plan zero splits and the entry slice shrank
+    split_bytes = 96 * 1024
+    all_splits = sel_splits = tot_entries = sel_entries = 0
+    empty_sstables = 0
+    for f in sorted(os.listdir(out_dir)):
+        if not f.endswith("-Data.db"):
+            continue
+        base = os.path.join(out_dir, f)[: -len("Data.db")]
+        with open(base + "Index.db", "rb") as fh:
+            idx = fh.read()
+        with open(base + "CompressionInfo.db", "rb") as fh:
+            dlen = CompressionInfo.parse(
+                fh.read(), version=version_from_path(base + "Data.db").name
+            ).data_length
+        all_splits += len(plan_splits(idx, dlen, split_bytes))
+        pruned, n, nsel = plan_splits_pruned(idx, dlen, split_bytes, rng)
+        sel_splits += len(pruned)
+        tot_entries += n
+        sel_entries += nsel
+        if not pruned:
+            empty_sstables += 1
+    # the 4 sstables are token-range-disjoint and [-2^62, 0] spans the
+    # 2nd quartile: at least one sstable must prune away ENTIRELY, and
+    # both the split and partition counts must shrink
+    assert empty_sstables >= 1, "no sstable was fully pruned"
+    assert 0 < sel_splits < all_splits, (sel_splits, all_splits)
+    assert 0 < sel_entries < tot_entries, (sel_entries, tot_entries)
+
+    back = read_sstables(
+        spark, out_dir, split_bytes=split_bytes, token_range=rng
+    )
+    return (
+        back.groupBy(F.col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct(F.col("key0")).alias("users"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _pruned_scan_oracle() -> str:
+    from cassandra_pmem_spark.functions.murmur3 import (
+        murmur3_token_subquery,
+    )
+
+    return (
+        "SELECT event_type, COUNT(*) AS n, "
+        "COUNT(DISTINCT user_id) AS users, "
+        "CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents FROM "
+        + murmur3_token_subquery(
+            "events", "user_id", ["user_id", "event_type", "value"]
+        )
+        + f" WHERE token >= {_PRUNED_SCAN_LO} AND token <= {_PRUNED_SCAN_HI}"
+        " GROUP BY event_type ORDER BY event_type"
+    )
 
 
 def source_sstable_pointread(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1473,6 +1588,10 @@ QUERIES = {
     "source_sstable_pointread": (
         source_sstable_pointread,
         _SSTABLE_POINTREAD_ORACLE,
+    ),
+    "source_sstable_pruned_scan": (
+        source_sstable_pruned_scan,
+        _pruned_scan_oracle(),
     ),
     "source_zorder_layout": (source_zorder_layout, _zorder_oracle()),
     "analytics_cube": (analytics_cube, _CUBE_ORACLE),

@@ -304,6 +304,13 @@ class ByteReader:
         return unzigzag64(self.unsigned_vint())
 
 
+# extra-byte count per first vint byte (leading ones), for inlined
+# decoders that avoid ByteReader call overhead in hot loops
+_VINT_EXTRA = tuple(
+    8 if b == 0xFF else 8 - (255 - b).bit_length() for b in range(256)
+)
+
+
 # -- marshal type codecs ----------------------------------------------------
 
 @dataclass(frozen=True)
@@ -515,6 +522,28 @@ class SSTableSchema:
         if static:
             return self._static_superset, self._static_types
         return self._reg_superset, self._reg_types
+
+    def serializer_info(self, static: bool):
+        """(superset, {name: (plain Codec | None, CollectionCodec |
+        None)}) with the codec lookups resolved ONCE per schema — the
+        row serializers previously resolved them per cell (hot path).
+        Built lazily: codec resolution needs the full codec registry,
+        which isn't loaded when __post_init__ runs at import time."""
+        cache = getattr(self, "_ser_info", None)
+        if cache is None:
+            cache = self._ser_info = {}
+        got = cache.get(static)
+        if got is None:
+            superset, types = self.columns_for(static)
+            codecs = {}
+            for n in superset:
+                cc = collection_codec_of(types[n])
+                codecs[n] = (
+                    (None, cc) if cc is not None
+                    else (codec_of(types[n]), None)
+                )
+            got = cache[static] = (superset, codecs)
+        return got
 
     @classmethod
     def from_table_meta(cls, meta, type_overrides: dict | None = None,
@@ -852,13 +881,11 @@ def _row_bytes(row: RowData, schema: SSTableSchema, stats: EncodingStats,
     has_ttl = has_ts and row.liveness_ttl > 0
     has_del = row.deletion is not None
     present = sorted(row.cells)
-    superset, types = schema.columns_for(static)
-    unknown = [c for c in present if c not in types]
+    superset, codecs = schema.serializer_info(static)
+    unknown = [c for c in present if c not in codecs]
     if unknown:
         raise ValueError(f"cells for undeclared columns {sorted(unknown)}")
-    complex_cols = {
-        c for c in present if collection_codec_of(types[c]) is not None
-    }
+    complex_cols = [c for c in present if codecs[c][1] is not None]
     if static:
         flags |= EXTENSION_FLAG
     if has_ts:
@@ -890,23 +917,45 @@ def _row_bytes(row: RowData, schema: SSTableSchema, stats: EncodingStats,
     if not (flags & HAS_ALL_COLUMNS):
         body += _columns_subset_vint(present, superset)
     row_ts = row.liveness_timestamp if has_ts else None
+    cells = row.cells
     for c in present:
-        cc = collection_codec_of(types[c])
+        codec, cc = codecs[c]
+        cell = cells[c]
         if cc is not None:
-            cell = row.cells[c]
             body += _complex_column_bytes(
                 cell.value, cc, cell.timestamp, stats,
                 use_row_ts=(row_ts is not None and cell.timestamp == row_ts),
                 ttl=cell.ttl,
                 expiration=cell.local_deletion_time,
             )
-        else:
-            body += _cell_bytes(
-                row.cells[c], codec_of(types[c]), row_ts,
-                row.liveness_ttl if has_ttl else 0,
-                row.liveness_expiration if has_ttl else NO_DELETION_TIME,
-                stats,
-            )
+            continue
+        # inline of _cell_bytes for the common LIVE no-TTL cell with
+        # the row's timestamp (byte-identical; everything else falls
+        # through to the reference serializer)
+        if (
+            not cell.is_tombstone and cell.ttl == 0
+            and cell.timestamp == row_ts and cell.value is not None
+        ):
+            packed = codec.pack(cell.value)
+            if packed:
+                fl = codec.fixed_len
+                if fl >= 0:
+                    assert len(packed) == fl, (codec.marshal, len(packed))
+                    body.append(CELL_USE_ROW_TIMESTAMP)
+                    body += packed
+                else:
+                    body.append(CELL_USE_ROW_TIMESTAMP)
+                    body += encode_unsigned_vint(len(packed))
+                    body += packed
+            else:
+                body.append(CELL_USE_ROW_TIMESTAMP | CELL_HAS_EMPTY_VALUE)
+            continue
+        body += _cell_bytes(
+            cell, codec, row_ts,
+            row.liveness_ttl if has_ttl else 0,
+            row.liveness_expiration if has_ttl else NO_DELETION_TIME,
+            stats,
+        )
 
     out = bytearray([flags])
     if static:
@@ -953,7 +1002,7 @@ def _read_row(r: ByteReader, flags: int, schema: SSTableSchema,
             r.unsigned_vint() + stats.min_timestamp,
             r.unsigned_vint() + stats.min_local_deletion_time,
         )
-    superset, types = schema.columns_for(static)
+    superset, codecs = schema.serializer_info(static)
     present = (
         superset
         if flags & HAS_ALL_COLUMNS
@@ -961,14 +1010,14 @@ def _read_row(r: ByteReader, flags: int, schema: SSTableSchema,
     )
     row_ts = row.liveness_timestamp
     for c in present:
-        cc = collection_codec_of(types[c])
+        codec, cc = codecs[c]
         if cc is not None:
             row.cells[c] = _read_complex_column(
                 r, cc, row_ts, bool(flags & HAS_COMPLEX_DELETION), stats
             )
         else:
             row.cells[c] = _read_cell(
-                r, codec_of(types[c]), row_ts,
+                r, codec, row_ts,
                 row.liveness_ttl, row.liveness_expiration, stats,
             )
     return row
@@ -1348,50 +1397,71 @@ def compute_stats(partitions: list[PartitionData]) -> EncodingStats:
     deletion time / ttl written (EncodingStats.Collector semantics —
     absent classes fall back to the epoch constants, which only affects
     encoding size, never correctness)."""
-    ts, ldts, ttls = [], [], []
+    # running minima (building per-cell lists here was a measurable
+    # slice of bulk-write task time at 100k rows)
+    BIG = 1 << 72
+    ts = ldts = ttls = BIG
+    _isc = isinstance
     for p in partitions:
         if p.deletion:
-            ts.append(p.deletion[0])
-            ldts.append(p.deletion[1])
+            if p.deletion[0] < ts:
+                ts = p.deletion[0]
+            if p.deletion[1] < ldts:
+                ldts = p.deletion[1]
         for cell in p.static_cells.values():
-            ts.append(cell.timestamp)
-            if isinstance(cell.value, (list, dict, set, tuple)):
+            t = cell.timestamp
+            if _isc(cell.value, (list, dict, set, tuple)):
                 # full-value collection: complex deletion at ts-1
-                ts.append(cell.timestamp - 1)
-                ldts.append(DELETION_TIME_EPOCH)
-            if cell.ttl:
-                ttls.append(cell.ttl)
-            if cell.local_deletion_time != NO_DELETION_TIME:
-                ldts.append(cell.local_deletion_time)
+                t -= 1
+                if DELETION_TIME_EPOCH < ldts:
+                    ldts = DELETION_TIME_EPOCH
+            if t < ts:
+                ts = t
+            if cell.ttl and cell.ttl < ttls:
+                ttls = cell.ttl
+            if (cell.local_deletion_time != NO_DELETION_TIME
+                    and cell.local_deletion_time < ldts):
+                ldts = cell.local_deletion_time
         for row in p.rows:
-            if isinstance(row, MarkerData):
+            if _isc(row, MarkerData):
                 for d in (row.deletion, row.start_deletion):
                     if d:
-                        ts.append(d[0])
-                        ldts.append(d[1])
+                        if d[0] < ts:
+                            ts = d[0]
+                        if d[1] < ldts:
+                            ldts = d[1]
                 continue
-            if row.liveness_timestamp is not None:
-                ts.append(row.liveness_timestamp)
+            if row.liveness_timestamp is not None \
+                    and row.liveness_timestamp < ts:
+                ts = row.liveness_timestamp
             if row.liveness_ttl:
-                ttls.append(row.liveness_ttl)
-                ldts.append(row.liveness_expiration)
+                if row.liveness_ttl < ttls:
+                    ttls = row.liveness_ttl
+                if row.liveness_expiration < ldts:
+                    ldts = row.liveness_expiration
             if row.deletion:
-                ts.append(row.deletion[0])
-                ldts.append(row.deletion[1])
+                if row.deletion[0] < ts:
+                    ts = row.deletion[0]
+                if row.deletion[1] < ldts:
+                    ldts = row.deletion[1]
             for cell in row.cells.values():
-                ts.append(cell.timestamp)
-                if isinstance(cell.value, (list, dict, set, tuple)):
+                t = cell.timestamp
+                if _isc(cell.value, (list, dict, set, tuple)):
                     # full-value collection: complex deletion at ts-1
-                    ts.append(cell.timestamp - 1)
-                    ldts.append(DELETION_TIME_EPOCH)
-                if cell.ttl:
-                    ttls.append(cell.ttl)
-                if cell.local_deletion_time != NO_DELETION_TIME:
-                    ldts.append(cell.local_deletion_time)
+                    t -= 1
+                    if DELETION_TIME_EPOCH < ldts:
+                        ldts = DELETION_TIME_EPOCH
+                if t < ts:
+                    ts = t
+                if cell.ttl and cell.ttl < ttls:
+                    ttls = cell.ttl
+                if (cell.local_deletion_time != NO_DELETION_TIME
+                        and cell.local_deletion_time < ldts):
+                    ldts = cell.local_deletion_time
     return EncodingStats(
-        min(ts) if ts else TIMESTAMP_EPOCH,
-        min(ldts) if ldts else DELETION_TIME_EPOCH,
-        min(ttls) if ttls else TTL_EPOCH,
+        ts if ts != BIG else TIMESTAMP_EPOCH,
+        ldts if ldts != BIG else DELETION_TIME_EPOCH,
+        ttls if ttls != BIG else TTL_EPOCH,
     )
 
 
@@ -1409,10 +1479,17 @@ def write_sstable(out_dir: str, generation: int, schema: SSTableSchema,
                   min_index_interval: int = DEFAULT_MIN_INDEX_INTERVAL,
                   sampling_level: int | None = None,
                   version: str = VERSION,
-                  column_index_size: int = 64 * 1024) -> dict:
+                  column_index_size: int = 64 * 1024,
+                  exclusive: bool = False) -> dict:
     """Write one complete sstable. Partitions MUST arrive in token
     order (beforeAppend's monotonicity check — BigTableWriter.java:
     120-126); ties/regressions raise. Returns a manifest dict.
+
+    ``exclusive=True`` atomically claims the generation by O_EXCL-
+    creating Data.db up front and raises FileExistsError if it already
+    exists — the analog of the reference's globally-unique descriptor
+    generations, so parallel tool tasks sharing an out_dir never
+    silently overwrite each other's outputs.
 
     With ``compression=True`` Data.db is the chunked-LZ4 compressed
     stream plus CompressionInfo.db (index positions stay in
@@ -1432,6 +1509,14 @@ def write_sstable(out_dir: str, generation: int, schema: SSTableSchema,
 
     ver = SSTableVersion(version)
     names = sstable_filenames(generation, version)
+    if exclusive:
+        # claim BEFORE the serialization work so a losing task fails
+        # cheaply; the empty placeholder is overwritten below
+        os.makedirs(out_dir, exist_ok=True)
+        os.close(os.open(
+            os.path.join(out_dir, names["data"]),
+            os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+        ))
     stats = compute_stats(partitions)
     data = bytearray()
     index = bytearray()
@@ -1539,7 +1624,11 @@ def write_sstable(out_dir: str, generation: int, schema: SSTableSchema,
     }
 
 
-WIDTH_BASE = 64  # IndexInfo.WIDTH_BASE
+# IndexInfo.WIDTH_BASE (IndexInfo.java:96) is 64 * 1024: block widths are
+# stored as signed vints of (width - 64KiB) so typical ~64KiB blocks encode
+# in one or two bytes. A plain 64 here would round-trip self-consistently
+# but misread genuine Cassandra Index.db promoted entries (and vice versa).
+WIDTH_BASE = 64 * 1024
 
 
 def _prefix_schema(schema: SSTableSchema, n: int) -> SSTableSchema:
@@ -1649,8 +1738,9 @@ def read_index_entries(index_blob: bytes) -> list[tuple[bytes, int]]:
         pos = r.unsigned_vint()
         promoted = r.unsigned_vint()
         if promoted:
-            # the promoted-index (IndexedEntry) bytes would follow;
-            # this engine only writes non-indexed entries
+            # promoted-index (IndexedEntry) bytes follow for wide
+            # partitions; skipped here because this walker only needs
+            # (key, position) pairs — parse_promoted_index reads them
             r.take(promoted)
         out.append((key, pos))
     return out
@@ -1672,6 +1762,60 @@ def plan_splits(index_blob: bytes, data_len: int,
             start = pos
     splits.append((start, data_len))
     return [s for s in splits if s[1] > s[0]]
+
+
+def plan_splits_pruned(
+    index_blob: bytes, data_len: int, target_bytes: int,
+    token_range: "tuple[int | None, int | None] | None" = None,
+) -> "tuple[list[tuple[int, int]], int, int]":
+    """plan_splits + token-range INTERSECTION — the CqlInputFormat
+    getSplits discipline (CqlInputFormat.java:129-175 intersects each
+    sstable's range with the job's token ranges before emitting
+    splits): Index.db entries are in (token, key) order, so the
+    covered slice is found by bisecting entry TOKENS (O(log n) Murmur3
+    computations, not one per entry) and whole splits outside
+    [lo, hi] are never planned — the scan reads none of their bytes.
+
+    token_range = (lo, hi), INCLUSIVE Murmur3 token bounds, either
+    side None for open. Returns (splits, entries_total,
+    entries_selected) so callers can prove pruning happened."""
+    from cassandra_pmem_spark.functions.murmur3 import (
+        murmur3_token_bytes_py,
+    )
+
+    entries = read_index_entries(index_blob)
+    n = len(entries)
+    if not entries:
+        return [], 0, 0
+    if token_range is None:
+        return plan_splits(index_blob, data_len, target_bytes), n, n
+    import bisect
+
+    lo, hi = token_range
+    i0 = (
+        bisect.bisect_left(
+            entries, lo, key=lambda e: murmur3_token_bytes_py(e[0])
+        )
+        if lo is not None else 0
+    )
+    i1 = (
+        bisect.bisect_right(
+            entries, hi, key=lambda e: murmur3_token_bytes_py(e[0])
+        )
+        if hi is not None else n
+    )
+    if i0 >= i1:
+        return [], n, 0
+    sel = entries[i0:i1]
+    end = entries[i1][1] if i1 < n else data_len
+    splits = []
+    start = sel[0][1]
+    for _key, pos in sel[1:]:
+        if pos - start >= target_bytes:
+            splits.append((start, pos))
+            start = pos
+    splits.append((start, end))
+    return [s for s in splits if s[1] > s[0]], n, len(sel)
 
 
 def read_data_range(data_blob: bytes, start: int, end: int,
@@ -1764,6 +1908,216 @@ def visible_rows(part: PartitionData, schema: SSTableSchema,
     return out
 
 
+def _dt_to_ms(v):
+    """datetime → epoch millis (naive values are UTC, like _ts_unpack)."""
+    if v is None:
+        return None
+    import datetime as _dt
+
+    if v.tzinfo is None:
+        v = v.replace(tzinfo=_dt.timezone.utc)
+    return int(v.timestamp() * 1000)
+
+
+def read_visible_columns(data_blob: bytes, start: int, end: int,
+                         schema: SSTableSchema, stats: EncodingStats,
+                         now_seconds: int) -> tuple[dict, list]:
+    """COLUMNAR fast-path decode of the partitions in [start, end):
+    the distributed reader's hot loop, equivalent to
+    ``visible_rows(read_data_range(...))`` but emitting per-column
+    lists with the vint/flag/cell decode inlined (no ByteReader or
+    per-cell function calls, no RowData/CellValue/dict-per-row churn
+    — the bulk of sstable read wall-time at 100k+ rows).
+
+    The fast loop only handles the common bulk-load shape: live
+    partition, simple rows (HAS_TIMESTAMP, no deletions/TTL/markers/
+    complex columns/statics). ANY partition that deviates rolls back
+    its partial output and re-decodes through the reference path
+    (read_partition + visible_rows), so semantics are identical by
+    construction — pinned by the fast≡reference property sweep in
+    tests/test_sstable_props.py.
+
+    Timestamp-typed clustering/regular columns are returned as raw
+    epoch-millis ints (second tuple element lists their names) so the
+    caller can convert the whole column vectorized
+    (pd.to_datetime(unit='ms')) instead of building one datetime
+    object per cell."""
+    names = (
+        list(schema.key_names) + list(schema.clustering_names)
+        + [n for n, _ in schema.regular] + [n for n, _ in schema.statics]
+    )
+    cols: dict = {n: [] for n in names}
+    ck_codecs = [codec_of(t) for t in schema.clustering_types]
+    reg_info = [
+        (n, None, True) if collection_codec_of(t) is not None
+        else (n, codec_of(t), False)
+        for n, t in schema.regular
+    ]
+    ts_marshal = _MARSHAL + "TimestampType"
+    ts_cols = [
+        n for n, t in
+        list(zip(schema.clustering_names, schema.clustering_types))
+        + list(schema.regular)
+        if t == ts_marshal
+    ]
+    ts_names = set(ts_cols)
+
+    def slow_append(part) -> None:
+        for d in visible_rows(part, schema, now_seconds):
+            for n in names:
+                v = d.get(n)
+                cols[n].append(_dt_to_ms(v) if n in ts_names else v)
+
+    if schema.statics or len(ck_codecs) > 32:
+        for part in read_data_range(data_blob, start, end, schema, stats):
+            slow_append(part)
+        return cols, ts_cols
+
+    buf = data_blob
+    i = start
+    n_reg = len(reg_info)
+    n_ck = len(ck_codecs)
+    key_cols = [cols[n] for n in schema.key_names]
+    ck_cols = [cols[n] for n in schema.clustering_names]
+    reg_cols = [cols[n] for n in (n for n, _, _ in reg_info)]
+    ck_is_ts = [c.marshal == ts_marshal for c in ck_codecs]
+    reg_is_ts = [
+        c is not None and c.marshal == ts_marshal for _, c, _ in reg_info
+    ]
+    vx = _VINT_EXTRA
+    BAIL_FLAGS = (IS_MARKER | EXTENSION_FLAG | HAS_DELETION | HAS_TTL
+                  | HAS_COMPLEX_DELETION)
+
+    while i < end:
+        pstart = i
+        klen = (buf[i] << 8) | buf[i + 1]
+        i += 2
+        key = buf[i:i + klen]
+        i += klen
+        ldt32 = int.from_bytes(buf[i:i + 4], "big")
+        mfda = int.from_bytes(buf[i + 4:i + 12], "big")
+        i += 12
+        ok = ldt32 == NO_DELETION_TIME and mfda == (1 << 63)  # LIVE
+        kv = schema.key_values(key) if ok else None
+        prows = 0
+        while ok:
+            flags = buf[i]
+            i += 1
+            if flags & END_OF_PARTITION:
+                break
+            if flags & BAIL_FLAGS or not (flags & HAS_TIMESTAMP):
+                ok = False
+                break
+            # clustering: zero header vint = all values present non-null
+            if n_ck:
+                if buf[i] != 0:
+                    ok = False
+                    break
+                i += 1
+                ckv = []
+                for ci in range(n_ck):
+                    c = ck_codecs[ci]
+                    fl = c.fixed_len
+                    if fl < 0:
+                        first = buf[i]
+                        i += 1
+                        if first < 0x80:
+                            fl = first
+                        else:
+                            ex = vx[first]
+                            fl = ((first & (0xFF >> ex)) << (8 * ex)) \
+                                | int.from_bytes(buf[i:i + ex], "big")
+                            i += ex
+                        ckv.append(c.unpack(buf[i:i + fl]))
+                    elif ck_is_ts[ci]:
+                        ckv.append(int.from_bytes(
+                            buf[i:i + 8], "big", signed=True))
+                        fl = 8
+                    else:
+                        ckv.append(c.unpack(buf[i:i + fl]))
+                    i += fl
+            else:
+                ckv = ()
+            # row size + prev row size vints (skip)
+            first = buf[i]
+            i += 1 + (vx[first] if first >= 0x80 else 0)
+            first = buf[i]
+            i += 1 + (vx[first] if first >= 0x80 else 0)
+            # liveness timestamp delta (value unused: no shadowing here)
+            first = buf[i]
+            i += 1 + (vx[first] if first >= 0x80 else 0)
+            if flags & HAS_ALL_COLUMNS:
+                missing = 0
+            else:
+                first = buf[i]
+                i += 1
+                if first < 0x80:
+                    missing = first
+                else:
+                    ex = vx[first]
+                    missing = ((first & (0xFF >> ex)) << (8 * ex)) \
+                        | int.from_bytes(buf[i:i + ex], "big")
+                    i += ex
+            vals = []
+            for ci in range(n_reg):
+                if (missing >> ci) & 1:
+                    vals.append(None)
+                    continue
+                if reg_info[ci][2]:
+                    ok = False
+                    break
+                cflags = buf[i]
+                i += 1
+                if cflags & (CELL_IS_DELETED | CELL_IS_EXPIRING):
+                    ok = False
+                    break
+                if not (cflags & CELL_USE_ROW_TIMESTAMP):
+                    first = buf[i]
+                    i += 1 + (vx[first] if first >= 0x80 else 0)
+                c = reg_info[ci][1]
+                fl = c.fixed_len
+                if cflags & CELL_HAS_EMPTY_VALUE:
+                    vals.append(c.unpack(b"") if fl < 0 else None)
+                    continue
+                if fl < 0:
+                    first = buf[i]
+                    i += 1
+                    if first < 0x80:
+                        fl = first
+                    else:
+                        ex = vx[first]
+                        fl = ((first & (0xFF >> ex)) << (8 * ex)) \
+                            | int.from_bytes(buf[i:i + ex], "big")
+                        i += ex
+                    vals.append(c.unpack(buf[i:i + fl]))
+                elif reg_is_ts[ci]:
+                    vals.append(int.from_bytes(
+                        buf[i:i + 8], "big", signed=True))
+                    fl = 8
+                else:
+                    vals.append(c.unpack(buf[i:i + fl]))
+                i += fl
+            if not ok:
+                break
+            for col, v in zip(key_cols, kv):
+                col.append(v)
+            for col, v in zip(ck_cols, ckv):
+                col.append(v)
+            for col, v in zip(reg_cols, vals):
+                col.append(v)
+            prows += 1
+        if ok:
+            continue
+        # deviation: roll back this partition's rows, reference-decode
+        if prows:
+            for n in names:
+                del cols[n][-prows:]
+        r = ByteReader(buf, pstart)
+        slow_append(read_partition(r, schema, stats))
+        i = r.pos
+    return cols, ts_cols
+
+
 # -- Spark integration --------------------------------------------------------
 
 def _spark_schema(schema: SSTableSchema):
@@ -1847,8 +2201,14 @@ def bulk_write_sstables(df, meta, out_dir: str, sstables: int = 1,
         parts: list[PartitionData] = []
         cur_key = None
         for pdf in pdf_iter:
-            for rec in pdf.to_dict("records"):
-                kv = [rec[c] for c in key_names]
+            # columnar extraction: to_dict('records') built one dict
+            # per row and dominated the write task's Python time
+            key_series = [pdf[c].tolist() for c in key_names]
+            ck_series = [pdf[c].tolist() for c in ck_names]
+            reg_series = [(c, pdf[c].tolist()) for c in reg_names]
+            stat_series = [(c, pdf[c].tolist()) for c in stat_names]
+            for ri in range(len(pdf)):
+                kv = [s[ri] for s in key_series]
                 if cur_key != kv:
                     parts.append(PartitionData(key_values=kv))
                     cur_key = list(kv)
@@ -1856,10 +2216,10 @@ def bulk_write_sstables(df, meta, out_dir: str, sstables: int = 1,
                 # non-null value any of the partition's rows carries
                 # (a fully-spread frame repeats it; a sparse frame has
                 # it on whichever row wrote it)
-                for c in stat_names:
+                for c, s in stat_series:
                     if c in parts[-1].static_cells:
                         continue
-                    v = rec[c]
+                    v = s[ri]
                     if v is not None and not (
                         isinstance(v, float) and v != v
                     ):
@@ -1870,18 +2230,19 @@ def bulk_write_sstables(df, meta, out_dir: str, sstables: int = 1,
                             local_deletion_time=exp,
                         )
                 row = RowData(
-                    clustering=[rec[c] for c in ck_names],
+                    clustering=[s[ri] for s in ck_series],
                     liveness_timestamp=timestamp_micros,
                     liveness_ttl=ttl_seconds,
                     liveness_expiration=exp,
                 )
-                for c in reg_names:
-                    v = rec[c]
+                cells = row.cells
+                for c, s in reg_series:
+                    v = s[ri]
                     if v is None or (isinstance(v, float) and v != v):
                         continue
                     if hasattr(v, "tolist") and not isinstance(v, (str, bytes)):
                         v = v.tolist()  # numpy array -> python list
-                    row.cells[c] = CellValue(
+                    cells[c] = CellValue(
                         value=v,
                         timestamp=timestamp_micros,
                         ttl=ttl_seconds,
@@ -1930,12 +2291,20 @@ def schema_from_header(hdr: dict) -> SSTableSchema:
 
 
 def read_sstables(spark, in_dir: str, split_bytes: int = 64 * 1024 * 1024,
-                  now_seconds: int | None = None):
+                  now_seconds: int | None = None,
+                  token_range: "tuple[int | None, int | None] | None" = None):
     """Distributed sstable read: stage 1 plans byte-ranged splits from
     each sstable's Index.db INSIDE tasks (getSplits analog), stage 2
     parses each split's Data.db range and emits the live rows as Arrow
     batches. The output schema is self-described by the Statistics.db
-    HEADER component — no user-supplied schema."""
+    HEADER component — no user-supplied schema.
+
+    ``token_range=(lo, hi)`` (inclusive Murmur3 bounds, either side
+    None) prunes at PLAN time via plan_splits_pruned: splits outside
+    the range are never emitted and their bytes never read — the
+    CqlInputFormat range-intersection analog, and the scale path for
+    selective sstable analytics (a token-restricted query on a 100 TB
+    table plans only the covered slice of each sstable)."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -1989,7 +2358,10 @@ def read_sstables(spark, in_dir: str, split_bytes: int = 64 * 1024 * 1024,
                         ).data_length
                 else:
                     dlen = os.path.getsize(path)
-                for s, e in plan_splits(idx, dlen, split_bytes):
+                splits, _n, _sel = plan_splits_pruned(
+                    idx, dlen, split_bytes, token_range
+                )
+                for s, e in splits:
                     out.append((path, s, e))
             if out:
                 yield pd.DataFrame(out, columns=["path", "start", "end"])
@@ -2016,7 +2388,8 @@ def read_sstables(spark, in_dir: str, split_bytes: int = 64 * 1024 * 1024,
         import pandas as pd
 
         for pdf in pdf_iter:
-            rows = []
+            acc: dict = {c: [] for c in cols}
+            ts_set: set = set()
             for path, start, end in zip(pdf["path"], pdf["start"], pdf["end"]):
                 base = path[: -len("Data.db")]
                 with open(base + "Statistics.db", "rb") as f:
@@ -2039,12 +2412,25 @@ def read_sstables(spark, in_dir: str, split_bytes: int = 64 * 1024 * 1024,
                 buf, base_off = read_uncompressed_file_range(
                     path, start, end
                 )
-                for part in read_data_range(
-                    buf, start - base_off, end - base_off, schema, stats
-                ):
-                    rows.extend(visible_rows(part, schema, now_seconds))
-            if rows:
-                out = pd.DataFrame(rows, columns=cols)
+                got, ts_cols = read_visible_columns(
+                    buf, start - base_off, end - base_off, schema, stats,
+                    now_seconds,
+                )
+                ts_set.update(ts_cols)
+                for c in cols:
+                    acc[c].extend(got[c])
+            if acc and cols and acc[cols[0]]:
+                data = {}
+                for c in cols:
+                    if c in ts_set:
+                        # epoch-millis ints from the columnar decoder:
+                        # one vectorized conversion per column
+                        data[c] = pd.to_datetime(
+                            pd.Series(acc[c], dtype="object"), unit="ms"
+                        )
+                    else:
+                        data[c] = pd.Series(acc[c], dtype="object")
+                out = pd.DataFrame(data, columns=cols)
                 for c, dt in pd_dtypes.items():
                     if dt:
                         out[c] = out[c].astype(dt)
@@ -2782,6 +3168,48 @@ def read_uncompressed_file_range(data_path: str, start: int, end: int
     return buf, first * info.chunk_length + rel_base
 
 
+def _logical_data_length(data_path: str) -> int:
+    """UNCOMPRESSED Data.db stream length (CompressionInfo dataLength
+    for compressed sstables, file size otherwise)."""
+    info_path = data_path[: -len("Data.db")] + "CompressionInfo.db"
+    if os.path.exists(info_path):
+        with open(info_path, "rb") as fh:
+            return CompressionInfo.parse(
+                fh.read(), version=version_from_path(data_path).name
+            ).data_length
+    return os.path.getsize(data_path)
+
+
+def _iter_partition_ranges(data_path: str,
+                           index_entries: list[tuple[bytes, int]],
+                           dlen: int,
+                           window_bytes: int = 8 << 20):
+    """Walk a Data.db partition-by-partition with RANGED file I/O:
+    consecutive partitions are batched into ~window_bytes reads
+    (read_uncompressed_file_range, which also CRC-verifies each
+    overlapped chunk for compressed sstables), so offline tools hold
+    one window — never the whole file — in memory. Yields
+    (i, index_key, start, end, buffer, buffer_base_offset) per
+    partition, where [start, end) are uncompressed Data.db bounds from
+    the Index.db entries (the Verifier/Scrubber seek discipline,
+    Verifier.java:225-299, Scrubber.java:150-260)."""
+    n = len(index_entries)
+    i = 0
+    while i < n:
+        lo = index_entries[i][1]
+        j = i
+        end = dlen if j == n - 1 else index_entries[j + 1][1]
+        while j + 1 < n and end - lo < window_bytes:
+            j += 1
+            end = dlen if j == n - 1 else index_entries[j + 1][1]
+        buf, base = read_uncompressed_file_range(data_path, lo, end)
+        for k in range(i, j + 1):
+            pstart = index_entries[k][1]
+            pend = dlen if k == n - 1 else index_entries[k + 1][1]
+            yield k, index_entries[k][0], pstart, pend, buf, base
+        i = j + 1
+
+
 # -- STATS metadata component (StatsMetadata.java:290-338) --------------------
 #
 # Sub-serializers: EstimatedHistogram.java:370-380 (int count, then per
@@ -2847,26 +3275,60 @@ def stats_component(schema: SSTableSchema, stats: EncodingStats,
             len(serialize_partition(p, schema, stats)) for p in partitions
         ]
     cell_counts = []
-    all_ts: list[int] = []
-    all_ldt: list[int] = []
-    all_ttl: list[int] = []
+    # running min/max (the per-cell append-to-list collectors were a
+    # measurable slice of bulk-write task time at 100k rows)
+    min_ts = max_ts = None
+    min_ldt = max_ldt = None
+    min_ttl = max_ttl = None
     tombstone_drops: dict[int, int] = {}
     total_cells = 0
     total_rows = 0
     min_ck: list = [None] * len(schema.clustering_types)
     max_ck: list = [None] * len(schema.clustering_types)
 
+    def see_ts(v: int) -> None:
+        nonlocal min_ts, max_ts
+        if min_ts is None or v < min_ts:
+            min_ts = v
+        if max_ts is None or v > max_ts:
+            max_ts = v
+
+    def see_ldt(v: int) -> None:
+        nonlocal min_ldt, max_ldt
+        if min_ldt is None or v < min_ldt:
+            min_ldt = v
+        if max_ldt is None or v > max_ldt:
+            max_ldt = v
+
+    def see_ttl(v: int) -> None:
+        nonlocal min_ttl, max_ttl
+        if min_ttl is None or v < min_ttl:
+            min_ttl = v
+        if max_ttl is None or v > max_ttl:
+            max_ttl = v
+
     def see_cell(cell: CellValue) -> None:
-        nonlocal total_cells
-        all_ts.append(cell.timestamp)
-        if isinstance(cell.value, (list, dict, set, tuple)):
-            all_ts.append(cell.timestamp - 1)
-        all_ldt.append(cell.local_deletion_time)
-        all_ttl.append(cell.ttl)
+        nonlocal total_cells, min_ts, max_ts, min_ldt, max_ldt, \
+            min_ttl, max_ttl
+        t = cell.timestamp
+        tlow = t - 1 if isinstance(
+            cell.value, (list, dict, set, tuple)) else t
+        if min_ts is None or tlow < min_ts:
+            min_ts = tlow
+        if max_ts is None or t > max_ts:
+            max_ts = t
+        ldt = cell.local_deletion_time
+        if min_ldt is None or ldt < min_ldt:
+            min_ldt = ldt
+        if max_ldt is None or ldt > max_ldt:
+            max_ldt = ldt
+        ttl = cell.ttl
+        if min_ttl is None or ttl < min_ttl:
+            min_ttl = ttl
+        if max_ttl is None or ttl > max_ttl:
+            max_ttl = ttl
         if cell.is_tombstone:
-            tombstone_drops[cell.local_deletion_time] = (
-                tombstone_drops.get(cell.local_deletion_time, 0) + 1
-            )
+            tombstone_drops[ldt] = tombstone_drops.get(ldt, 0) + 1
         else:
             total_cells += 1
 
@@ -2875,8 +3337,8 @@ def stats_component(schema: SSTableSchema, stats: EncodingStats,
         for cell in p.static_cells.values():
             see_cell(cell)
         if p.deletion:
-            all_ts.append(p.deletion[0])
-            all_ldt.append(p.deletion[1])
+            see_ts(p.deletion[0])
+            see_ldt(p.deletion[1])
             tombstone_drops[p.deletion[1]] = (
                 tombstone_drops.get(p.deletion[1], 0) + 1
             )
@@ -2884,24 +3346,28 @@ def stats_component(schema: SSTableSchema, stats: EncodingStats,
             if isinstance(row, MarkerData):
                 for d in (row.deletion, row.start_deletion):
                     if d:
-                        all_ts.append(d[0])
-                        all_ldt.append(d[1])
+                        see_ts(d[0])
+                        see_ldt(d[1])
                         tombstone_drops[d[1]] = (
                             tombstone_drops.get(d[1], 0) + 1
                         )
                 continue
             total_rows += 1
             n_cells += len(row.cells)
-            if row.liveness_timestamp is not None:
-                all_ts.append(row.liveness_timestamp)
-                all_ldt.append(
+            lt = row.liveness_timestamp
+            if lt is not None:
+                if min_ts is None or lt < min_ts:
+                    min_ts = lt
+                if max_ts is None or lt > max_ts:
+                    max_ts = lt
+                see_ldt(
                     row.liveness_expiration if row.liveness_ttl
                     else NO_DELETION_TIME
                 )
-                all_ttl.append(row.liveness_ttl)
+                see_ttl(row.liveness_ttl)
             if row.deletion:
-                all_ts.append(row.deletion[0])
-                all_ldt.append(row.deletion[1])
+                see_ts(row.deletion[0])
+                see_ldt(row.deletion[1])
                 tombstone_drops[row.deletion[1]] = (
                     tombstone_drops.get(row.deletion[1], 0) + 1
                 )
@@ -2920,12 +3386,12 @@ def stats_component(schema: SSTableSchema, stats: EncodingStats,
     out += _estimated_histogram(part_sizes, 150)
     out += _estimated_histogram(cell_counts, 114)
     out += struct.pack(">qi", -1, 0)          # commit log upper = NONE
-    out += struct.pack(">q", min(all_ts) if all_ts else TIMESTAMP_EPOCH)
-    out += struct.pack(">q", max(all_ts) if all_ts else TIMESTAMP_EPOCH)
-    out += struct.pack(">i", min(all_ldt) if all_ldt else NO_DELETION_TIME)
-    out += struct.pack(">i", max(all_ldt) if all_ldt else NO_DELETION_TIME)
-    out += struct.pack(">i", min(all_ttl) if all_ttl else 0)
-    out += struct.pack(">i", max(all_ttl) if all_ttl else 0)
+    out += struct.pack(">q", min_ts if min_ts is not None else TIMESTAMP_EPOCH)
+    out += struct.pack(">q", max_ts if max_ts is not None else TIMESTAMP_EPOCH)
+    out += struct.pack(">i", min_ldt if min_ldt is not None else NO_DELETION_TIME)
+    out += struct.pack(">i", max_ldt if max_ldt is not None else NO_DELETION_TIME)
+    out += struct.pack(">i", min_ttl if min_ttl is not None else 0)
+    out += struct.pack(">i", max_ttl if max_ttl is not None else 0)
     out += struct.pack(">d", compression_ratio)
     # TombstoneHistogram: maxBinSize, size, (double point, long count)
     out += struct.pack(">ii", len(tombstone_drops), len(tombstone_drops))
@@ -2981,11 +3447,14 @@ def verify_sstable(data_path: str, extended: bool = False,
     6. Digest: the on-disk Data.db CRC32 must equal Digest.crc32; a
        MISSING digest file escalates to extended verification
        (:197-213 "Data digest missing, assuming extended verification");
-    7. extended: walk every partition — index/data keys and positions
-       must agree pairwise, partition keys must be in strict
-       (token, key) order, and every row must decode (:225-299). For
-       compressed sstables the walk verifies every chunk CRC on the way
-       (decompress_range's CorruptBlockException analog).
+    7. extended: walk every partition via RANGED reads over Index.db
+       bounds (never the whole Data.db in memory — the reference's
+       Verifier seeks the same way) — index/data keys must agree
+       pairwise, each partition must decode and consume exactly to the
+       next index position, and partition keys must be in strict
+       (token, key) order (:225-299). For compressed sstables the walk
+       verifies every chunk CRC on the way (decompress_range's
+       CorruptBlockException analog).
 
     Returns the output lines; raises CorruptSSTableError on corruption.
     """
@@ -3057,53 +3526,51 @@ def verify_sstable(data_path: str, extended: bool = False,
     if not extended:
         return out
     out.append("Extended Verify requested, proceeding to inspect values")
-    if os.path.exists(base + "CompressionInfo.db"):
-        with open(base + "CompressionInfo.db", "rb") as fh:
-            info = CompressionInfo.parse(fh.read(), version=ver.name)
-        with open(data_path, "rb") as fh:
-            comp = fh.read()
-        try:
-            blob, _off = decompress_range(comp, info, 0, info.data_length)
-        except Exception as e:
-            raise CorruptSSTableError(str(e)) from e
-    else:
-        with open(data_path, "rb") as fh:
-            blob = fh.read()
     if index_entries and index_entries[0][1] != 0:
         raise CorruptSSTableError("first row position from index is not 0")
-    r = ByteReader(blob)
+    dlen = _logical_data_length(data_path)
+    if not index_entries and dlen > 0:
+        raise CorruptSSTableError(
+            "data has more partitions than the index (0)"
+        )
+    # the walk below is ranged (never the whole file in memory); every
+    # partition must decode and consume EXACTLY to the next index
+    # position, which also proves the data stream has no partitions the
+    # index doesn't know about. Chunk CRCs verify per ranged read.
     prev_tk = None
     n_parts = 0
-    while r.remaining():
-        pos = r.pos
-        if n_parts >= len(index_entries):
-            raise CorruptSSTableError(
-                f"data has more partitions than the index ({len(index_entries)})"
-            )
-        ikey, ipos = index_entries[n_parts]
-        if ipos != pos:
-            raise CorruptSSTableError(
-                f"index position {ipos} != data position {pos} "
-                f"for partition {n_parts}"
-            )
-        try:
-            part = read_partition(r, schema, stats)
-        except Exception as e:
-            raise CorruptSSTableError(
-                f"partition at {pos} fails to decode: {e}"
-            ) from e
-        key = schema.key_bytes(part.key_values)
-        if key != ikey:
-            raise CorruptSSTableError(
-                f"index key != data key for partition {n_parts}"
-            )
-        tk = (murmur3_token_bytes_py(key), key)
-        if prev_tk is not None and tk <= prev_tk:
-            raise CorruptSSTableError(
-                f"partition {n_parts} out of (token, key) order"
-            )
-        prev_tk = tk
-        n_parts += 1
+    try:
+        ranges = _iter_partition_ranges(data_path, index_entries, dlen)
+        for k, ikey, pstart, pend, buf, bbase in ranges:
+            rr = ByteReader(buf, pstart - bbase)
+            try:
+                part = read_partition(rr, schema, stats)
+            except Exception as e:
+                raise CorruptSSTableError(
+                    f"partition at {pstart} fails to decode: {e}"
+                ) from e
+            if rr.pos != pend - bbase:
+                raise CorruptSSTableError(
+                    f"partition at {pstart} does not end at the next "
+                    f"index position {pend}"
+                )
+            key = schema.key_bytes(part.key_values)
+            if key != ikey:
+                raise CorruptSSTableError(
+                    f"index key != data key for partition {k}"
+                )
+            tk = (murmur3_token_bytes_py(key), key)
+            if prev_tk is not None and tk <= prev_tk:
+                raise CorruptSSTableError(
+                    f"partition {k} out of (token, key) order"
+                )
+            prev_tk = tk
+            n_parts += 1
+    except CorruptSSTableError:
+        raise
+    except Exception as e:
+        # ranged-read failures (chunk CRC mismatch, truncated file)
+        raise CorruptSSTableError(str(e)) from e
     if n_parts != len(index_entries):
         raise CorruptSSTableError(
             f"index has {len(index_entries)} entries, data has {n_parts}"
@@ -3201,27 +3668,41 @@ def scrub_sstable(data_path: str, out_dir: str,
     if os.path.exists(base + "CompressionInfo.db"):
         with open(base + "CompressionInfo.db", "rb") as fh:
             info = CompressionInfo.parse(fh.read(), version=ver.name)
-        with open(data_path, "rb") as fh:
-            blob, _off = decompress_range(fh.read(), info, 0, info.data_length)
         compression = True
         chunk_length = info.chunk_length
     else:
-        with open(data_path, "rb") as fh:
-            blob = fh.read()
         compression = False
         chunk_length = None
     good: list[PartitionData] = []
     bad = 0
-    bounds = [pos for _k, pos in index_entries] + [len(blob)]
-    for i, (ikey, pos) in enumerate(index_entries):
-        body = blob[pos:bounds[i + 1]]
+    # ranged walk over index-entry bounds (never the whole Data.db in
+    # memory); a chunk-CRC failure inside a window skips all of that
+    # window's partitions — Scrubber's seek-to-next-index discipline
+    dlen = _logical_data_length(data_path)
+    i = 0
+    n = len(index_entries)
+    while i < n:
         try:
-            part = read_partition(ByteReader(body), schema, stats)
-            if schema.key_bytes(part.key_values) != ikey:
-                raise ValueError("index/data key mismatch")
-            good.append(part)
+            consumed = i
+            for k, ikey, pstart, _pend, buf, bbase in _iter_partition_ranges(
+                data_path, index_entries[i:], dlen
+            ):
+                consumed = i + k + 1
+                try:
+                    part = read_partition(
+                        ByteReader(buf, pstart - bbase), schema, stats
+                    )
+                    if schema.key_bytes(part.key_values) != ikey:
+                        raise ValueError("index/data key mismatch")
+                    good.append(part)
+                except Exception:
+                    bad += 1  # Scrubber badRows++, next index position
+            i = n
         except Exception:
-            bad += 1  # Scrubber badRows++, seek to next index position
+            # the ranged READ itself failed (corrupt chunk): count the
+            # first unprocessed partition bad and resume after it
+            bad += 1
+            i = consumed + 1
     if generation is None:
         generation = int(os.path.basename(data_path).split("-")[1])
     manifest = write_sstable(
@@ -3242,7 +3723,12 @@ def split_sstable(data_path: str, out_dir: str,
     max-sstable-size compaction task). Partitions stream in token
     order into consecutive output sstables, cutting whenever the
     accumulated UNCOMPRESSED partition bytes would exceed the cap;
-    generations count up from the source's. An sstable already under
+    generations count up from the source's, SKIPPING any generation
+    whose Data.db already exists in out_dir (claimed atomically via
+    write_sstable(exclusive=True)) — so several sources splitting into
+    one shared out_dir, serially or in parallel tasks, never overwrite
+    each other (the reference's descriptor generations are globally
+    unique; a naive gen0+i here collided). An sstable already under
     the cap is left alone and reported as skipped (the
     isSSTableLargerEnough gate, :181-185). Returns writer manifests
     (or [] when skipped)."""
@@ -3268,6 +3754,22 @@ def split_sstable(data_path: str, out_dir: str,
     gen0 = int(os.path.basename(data_path).split("-")[1])
     cap = size_mb * 1024 * 1024
     manifests: list[dict] = []
+    next_gen = gen0
+
+    def write_group(group: list[PartitionData]) -> dict:
+        nonlocal next_gen
+        while True:
+            try:
+                m = write_sstable(
+                    out_dir, next_gen, schema, group,
+                    compression=compression, chunk_length=chunk_length,
+                    version=VERSION, exclusive=True,
+                )
+                next_gen += 1
+                return m
+            except FileExistsError:
+                next_gen += 1  # generation taken by another source/task
+
     r = ByteReader(blob)
     group: list[PartitionData] = []
     group_bytes = 0
@@ -3276,20 +3778,12 @@ def split_sstable(data_path: str, out_dir: str,
         part = read_partition(r, schema, stats)
         size = r.pos - start
         if group and group_bytes + size > cap:
-            manifests.append(write_sstable(
-                out_dir, gen0 + len(manifests), schema, group,
-                compression=compression, chunk_length=chunk_length,
-                version=VERSION,
-            ))
+            manifests.append(write_group(group))
             group, group_bytes = [], 0
         group.append(part)
         group_bytes += size
     if group:
-        manifests.append(write_sstable(
-            out_dir, gen0 + len(manifests), schema, group,
-            compression=compression, chunk_length=chunk_length,
-            version=VERSION,
-        ))
+        manifests.append(write_group(group))
     return manifests
 
 

@@ -920,6 +920,41 @@ class TestRound12Plans:
         row = db.execute("SELECT v, m FROM t").collect()[0]
         assert row.v == "a" and dict(row.m) == {"x": 1, "y": 2}
 
+    def test_log_frame_non_utc_session_keeps_timestamp_semantics(self, spark):
+        """Under a non-UTC session timezone the Arrow fast path would
+        interpret naive datetimes as UTC while createDataFrame localizes
+        to the session zone — the gate in writes._log_frame must fall
+        back so timestamp cells don't silently shift."""
+        from cassandra_pmem_spark.cql.ddl import CqlDatabase
+
+        old_tz = spark.conf.get("spark.sql.session.timeZone")
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        try:
+            db = CqlDatabase(spark)
+            db.execute(
+                "CREATE KEYSPACE tzk WITH REPLICATION = "
+                "{'class': 'SimpleStrategy'}"
+            )
+            db.execute("USE tzk")
+            db.execute("CREATE TABLE t (k int PRIMARY KEY, ts timestamp)")
+            db.execute(
+                "INSERT INTO t (k, ts) VALUES (1, '2024-06-01 12:00:00+0000')"
+            )
+            row = db.execute("SELECT k, ts FROM t").collect()[0]
+            got = row.ts
+            # the instant must survive regardless of session zone
+            import datetime as dt
+
+            want = dt.datetime(2024, 6, 1, 12, 0, 0,
+                               tzinfo=dt.timezone.utc)
+            if got.tzinfo is None:
+                # PySpark collects timestamps naive in the OS-local
+                # zone (not the session zone); re-anchor there
+                got = got.astimezone()
+            assert got == want, got
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", old_tz)
+
     def test_pager_page_jobs_have_no_python_eval(self, spark):
         """Per-page sort/filter work is pure JVM: the token order column
         is materialized ONCE on the page frame, so the per-page plan

@@ -360,6 +360,104 @@ class TestStatisticsAndIndex:
         assert [p.key_values[0] for p in got] == ks
 
 
+class TestPrunedSplits:
+    """Token-range split pruning (plan_splits_pruned — the
+    CqlInputFormat.getSplits range-intersection analog,
+    CqlInputFormat.java:129-175): Index.db entries are (token, key)
+    ordered, so bisecting tokens yields the exact covered byte range."""
+
+    def _write(self, tmp_path, n=64):
+        schema = _schema()
+        parts = TestVersionInterop()._parts(n)
+        write_sstable(str(tmp_path), 1, schema, parts)
+        idx = (tmp_path / "na-1-big-Index.db").read_bytes()
+        data = (tmp_path / "na-1-big-Data.db").read_bytes()
+        return schema, parts, idx, data
+
+    def test_none_range_equals_plain_planner(self, tmp_path):
+        from cassandra_pmem_spark.sources.sstable import plan_splits_pruned
+
+        _s, _p, idx, data = self._write(tmp_path)
+        splits, n, sel = plan_splits_pruned(idx, len(data), 64, None)
+        assert splits == plan_splits(idx, len(data), 64)
+        assert n == sel == 64
+
+    def test_interior_range_prunes_and_decodes_exactly(self, tmp_path):
+        from cassandra_pmem_spark.functions.murmur3 import (
+            murmur3_token_bytes_py,
+        )
+        from cassandra_pmem_spark.sources.sstable import plan_splits_pruned
+
+        schema, parts, idx, data = self._write(tmp_path)
+        stats = compute_stats(parts)
+        toks = sorted(
+            murmur3_token_bytes_py(schema.key_bytes(p.key_values))
+            for p in parts
+        )
+        lo, hi = toks[16], toks[47]  # inclusive middle half
+        splits, n, sel = plan_splits_pruned(idx, len(data), 64, (lo, hi))
+        assert n == 64 and sel == 32
+        assert len(splits) < len(plan_splits(idx, len(data), 64))
+        got = []
+        for s, e in splits:
+            got.extend(read_data_range(data, s, e, schema, stats))
+        want = [
+            p.key_values[0] for p in parts
+            if lo <= murmur3_token_bytes_py(
+                schema.key_bytes(p.key_values)) <= hi
+        ]
+        # parts arrive pre-sorted by token from _parts
+        assert [p.key_values[0] for p in got] == want
+        assert len(got) == 32
+
+    def test_open_sides_and_empty_intersection(self, tmp_path):
+        from cassandra_pmem_spark.functions.murmur3 import (
+            murmur3_token_bytes_py,
+        )
+        from cassandra_pmem_spark.sources.sstable import plan_splits_pruned
+
+        schema, parts, idx, data = self._write(tmp_path)
+        toks = sorted(
+            murmur3_token_bytes_py(schema.key_bytes(p.key_values))
+            for p in parts
+        )
+        # open low side: everything up to toks[9]
+        splits, _n, sel = plan_splits_pruned(
+            idx, len(data), 64, (None, toks[9])
+        )
+        assert sel == 10 and splits and splits[0][0] == 0
+        # open high side: from toks[60] on — tail must reach EOF
+        splits, _n, sel = plan_splits_pruned(
+            idx, len(data), 64, (toks[60], None)
+        )
+        assert sel == 4 and splits[-1][1] == len(data)
+        # empty intersection between two adjacent tokens
+        splits, _n, sel = plan_splits_pruned(
+            idx, len(data), 64, (toks[9] + 1, toks[10] - 1)
+        )
+        assert splits == [] and sel == 0
+
+    def test_read_sstables_token_range(self, spark, tmp_path):
+        from cassandra_pmem_spark.functions.murmur3 import (
+            murmur3_token_bytes_py,
+        )
+        from cassandra_pmem_spark.sources.sstable import read_sstables
+
+        schema, parts, _idx, _data = self._write(tmp_path)
+        toks = sorted(
+            (murmur3_token_bytes_py(schema.key_bytes(p.key_values)),
+             p.key_values[0])
+            for p in parts
+        )
+        lo, hi = toks[8][0], toks[23][0]
+        got = sorted(
+            r["key0"] for r in read_sstables(
+                spark, str(tmp_path), split_bytes=64, token_range=(lo, hi)
+            ).collect()
+        )
+        assert got == sorted(k for t, k in toks[8:24])
+
+
 class TestSparkIntegration:
     def test_bulk_write_then_distributed_read(self, spark, tmp_path):
         from cassandra_pmem_spark.catalog import ClusteringColumn, TableMeta
@@ -2298,6 +2396,37 @@ class TestSplit:
         assert [g[0] for g in got] == [w[0] for w in want]
         assert all(g[1] == "x" * 400 for g in got)
 
+    def test_shared_out_dir_never_collides(self, tmp_path, spark):
+        """Two sources with adjacent generations split into ONE out_dir:
+        the naive gen0+i numbering would collide (source 1 emits gen 2,
+        source 2 starts at gen 2) and silently overwrite; the exclusive
+        claim must instead skip to free generations, preserving every
+        row from both sources."""
+        from cassandra_pmem_spark.sources.sstable import (
+            read_sstables, split_sstable,
+        )
+
+        old = tmp_path / "old"
+        schema = _schema()
+        parts = TestVersionInterop()._parts(64)
+        for p in parts:
+            p.rows[0].cells["v"] = type(p.rows[0].cells["v"])(
+                value="x" * 400, timestamp=p.rows[0].cells["v"].timestamp
+            )
+        write_sstable(str(old), 1, schema, parts[:32], version="md")
+        write_sstable(str(old), 2, schema, parts[32:], version="md")
+        out = tmp_path / "new"
+        m1 = split_sstable(str(old / "md-1-big-Data.db"), str(out),
+                           size_mb=0.003)
+        m2 = split_sstable(str(old / "md-2-big-Data.db"), str(out),
+                           size_mb=0.003)
+        assert len(m1) >= 2 and len(m2) >= 2
+        all_paths = [m["data_path"] for m in m1 + m2]
+        assert len(set(all_paths)) == len(all_paths)
+        got = sorted(r["key0"] for r in read_sstables(spark, str(out))
+                     .collect())
+        assert got == list(range(64))
+
     def test_small_sstable_skipped(self, tmp_path):
         from cassandra_pmem_spark.sources.sstable import split_sstable
 
@@ -2409,6 +2538,45 @@ class TestPromotedIndex:
         # the info_offsets match re-serialization order
         assert pidx["info_offsets"][0] == 0
         assert pidx["info_offsets"] == sorted(pidx["info_offsets"])
+
+    def test_pinned_byte_vector(self):
+        """Pins WIDTH_BASE = 64 * 1024 (IndexInfo.java:96): widths ride
+        as signed vints of (width - 64KiB), so a ~64KiB+100 block is
+        two bytes and a slightly-under-base block is a negative vint."""
+        from cassandra_pmem_spark.sources.sstable import (
+            CLUSTERING_KIND, parse_promoted_index, promoted_index_bytes,
+        )
+
+        schema = _schema()
+        blocks = [{
+            "first": (CLUSTERING_KIND, [5]),
+            "last": (CLUSTERING_KIND, [9]),
+            "offset": 30,
+            "width": 64 * 1024 + 100,
+            "open": None,
+        }]
+        got = promoted_index_bytes(blocks, None, 10, schema)
+        want = (
+            b"\x0a"                              # headerLength vint
+            + b"\x7f\xff\xff\xff"                # LIVE ldt (MAX_INT)
+            + b"\x80\x00\x00\x00\x00\x00\x00\x00"  # LIVE mfda (MIN_LONG)
+            + b"\x01"                            # columnIndexCount
+            + b"\x04\x00\x00\x00\x00\x05"        # first: CLUSTERING, int32 5
+            + b"\x04\x00\x00\x00\x00\x09"        # last:  CLUSTERING, int32 9
+            + b"\x1e"                            # offset vint 30
+            + b"\x80\xc8"                        # vint zigzag(+100) = 200
+            + b"\x00"                            # no endOpenMarker
+            + b"\x00\x00\x00\x00"                # info offset[0] = 0
+        )
+        assert got == want
+        assert parse_promoted_index(got, schema)["blocks"][0]["width"] \
+            == 64 * 1024 + 100
+        # width just under the base encodes negative: zigzag(-4) = 7
+        blocks[0]["width"] = 64 * 1024 - 4
+        got = promoted_index_bytes(blocks, None, 10, schema)
+        assert got[27:28] == b"\x07"
+        assert parse_promoted_index(got, schema)["blocks"][0]["width"] \
+            == 64 * 1024 - 4
 
     def test_narrow_partition_entry_is_byte_identical_to_before(self, tmp_path):
         # below the cap nothing changes: position + vint 0
