@@ -235,7 +235,9 @@ def main() -> None:
         "quiet_wait": quiet_wait,
         "contaminated": contaminated,
     }
-    if not contaminated:
+    # the stored snapshot is the sf0.1 trend line: a quick sf0.01 CLI
+    # check must not overwrite it (it did once — hence the sf gate)
+    if not contaminated and detail["sf"] == 0.1:
         try:
             with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
                 json.dump(detail, f, indent=1)
