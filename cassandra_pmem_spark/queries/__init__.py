@@ -32,73 +32,76 @@ from pyspark.sql import DataFrame, SparkSession
 # this window records, every registry row's latest driver evidence
 # is r8 or newer. Exactly 50 names.
 _PRIORITY: tuple[str, ...] = (
-    # -- (1) new in round 12 (never driver-evidenced)
-    "cql_token_scan_frozen_num",
-    "source_sstable_version_interop",
-    "source_sstable_counter_cells",
-    "source_sstable_wide_slice",
-    # -- (2) stale-by-edit: round 12 touched their machinery —
-    # the pager's materialized token column + buffer-only persist
-    # (cql_paging), the Arrow-backed statement log frame and the
-    # no-limit LWT point read (trigger/LWT/batch/UDT writes), the
-    # sstable codec fast paths + ma..nb version dispatch
-    # (roundtrip/pointread), frozen-pk comparator sort (token
-    # scans), and the SASI complex-target rejection (index targets)
-    "cql_paging",
-    "cql_trigger_audit",
-    "cql_lwt_conditional",
+    # -- (1) new in round 13 (never driver-evidenced): the
+    # token-range-pruned distributed sstable scan
+    "source_sstable_pruned_scan",
+    # -- (2) stale-by-edit: round 13 touched their machinery — the
+    # sstable wire codec fast paths (columnar reader, inlined cell
+    # serializer, running-min stats, pyarrow LZ4 decode), the
+    # WIDTH_BASE=64KiB promoted-index fix (wide_slice/pointread), the
+    # nb write path (version_interop now writes nb+na+md+ma), and the
+    # prepare-time timestamp/date literal parsing + UTC-gated Arrow
+    # log frame on the statement write path
     "source_sstable_roundtrip",
+    "source_sstable_version_interop",
     "source_sstable_pointread",
-    "cql_token_scan_frozen",
-    "cql_index_targets",
-    # -- (3) the ENTIRE r7-evidence backlog (39) — after this
-    # window records, the oldest driver evidence is r8
-    "analytics_cube",
-    "analytics_funnel",
-    "analytics_pivot",
-    "analytics_salted_join",
-    "analytics_scd2_intervals",
-    "analytics_sessionization",
-    "cql_blob_conv",
-    "cql_collection_access",
-    "cql_collection_writetime",
-    "cql_tuple_relation",
+    "source_sstable_wide_slice",
+    "source_sstable_counter_cells",
     "cql_upsert_lww_rows",
-    "dedup_components_star",
-    "dedup_substring_spans",
-    "graph_pagerank_exact",
-    "multimodal_audio_dedup",
-    "multimodal_image_dedup",
-    "pipeline_chunk_documents",
-    "pipeline_domain_mixture",
-    "pipeline_epoch_shuffle",
-    "sim_semantic_dedup",
-    "source_arrow_ipc",
-    "source_compaction_roundtrip",
-    "source_orc_roundtrip",
-    "source_snapshot_deletes",
-    "source_snapshot_incremental",
-    "source_snapshot_merge",
-    "source_snapshot_pruned_scan",
-    "source_snapshot_schema_evolution",
-    "source_snapshot_timetravel",
-    "source_zorder_layout",
-    "streaming_sketch_merge",
-    "streaming_stream_join",
-    "temporal_asof_forward",
-    "temporal_asof_join",
-    "temporal_gapfill_locf",
-    "temporal_overlap_join",
-    "temporal_range_join",
-    "temporal_rollup_cascade",
-    "text_fuzzy_join",
+    "cql_upsert_lww_cells",
+    "cql_lwt_conditional",
+    "cql_batch_apply",
+    "cql_ttl_expiry",
+    "cql_udt_field_writes",
+    "cql_delete_tombstones",
+    "cql_now_writes",
+    "cql_counter_fold",
+    "cql_trigger_audit",
+    "cql_collection_writetime",
+    # -- (3) the ENTIRE r8-evidence backlog (29) — after this window
+    # records, the oldest driver evidence is r9
+    "analytics_count_distinct",
+    "analytics_explode_wordcount",
+    "analytics_rollup",
+    "analytics_salted_agg",
+    "analytics_set_ops",
+    "analytics_topk_orders",
+    "cql_clustering_slice",
+    "cql_distinct_partitions",
+    "cql_duration_arithmetic",
+    "cql_from_json",
+    "cql_group_by_pk_prefix",
+    "cql_group_limit",
+    "cql_is_not_null",
+    "cql_latest_events",
+    "cql_multipoint_in",
+    "cql_per_partition_limit",
+    "cql_point_lookup",
+    "cql_static_column",
+    "dedup_exact_docs",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "jsonl_roundtrip",
+    "multimodal_video_dedup",
+    "sim_ivf_topk",
+    "streaming_exactly_once_sink",
+    "streaming_session_batch",
+    "streaming_sliding_batch",
+    "streaming_tumbling_batch",
+    "virtual_system_tables",
+    # -- (4) next-oldest (r9) fill to exactly 50
+    "csv_roundtrip",
+    "cql_describe_schema",
+    "cql_udt_access",
+    "cql_select_json",
 )
-# Deliberately outside the window this round: everything with r8+
-# evidence and unchanged machinery (including cql_udt_field_writes
-# and cql_batch_apply, whose r9 evidence + this session's five full
-# local gates cover the shared _log_frame edit — cql_trigger_audit
-# and cql_lwt_conditional represent that edit in the window). After this window records, every registry
-# row's latest driver evidence is r8 or newer.
+# Deliberately outside the window this round: everything with r9+
+# evidence and unchanged machinery. The statement-write edits
+# (_parse_timestamp_text, the UTC gate on _log_frame, checked()'s
+# timestamp/date branches) are represented by the eleven write-path
+# queries in tier (2) plus this session's full local gates. After
+# this window records, every registry row's latest driver evidence
+# is r9 or newer.
 
 
 def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:

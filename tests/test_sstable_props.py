@@ -332,3 +332,178 @@ class TestCounterContextProperties:
         )
 
         assert counter_context_total(counter_context_global(v)) == v
+
+
+class TestColumnarReaderProperties:
+    """read_visible_columns (the distributed reader's columnar fast
+    path) must be OUTPUT-IDENTICAL to the reference path
+    visible_rows(read_data_range(...)) for arbitrary partition
+    content — rows that deviate from the fast shape (tombstones, TTL,
+    per-cell timestamps forcing nothing, deletions, null cells) roll
+    the partition back to the reference decoder, so equality must hold
+    across the whole mix."""
+
+    TS = _MARSHAL + "TimestampType"
+
+    @given(
+        parts=st.lists(
+            st.tuples(
+                st.integers(0, 10 ** 6),                    # key
+                st.booleans(),                              # partition del
+                st.lists(
+                    st.tuples(
+                        st.integers(0, 10 ** 5),            # ck int
+                        st.integers(0, 10 ** 6),            # ck ts ms delta
+                        st.integers(0, 3),                  # v cell kind
+                        st.integers(0, 10 ** 4),            # cell ts delta
+                        st.integers(0, 100),                # ttl
+                    ),
+                    min_size=0, max_size=6,
+                    unique_by=lambda t: (t[0], t[1]),
+                ),
+            ),
+            min_size=0, max_size=5,
+            unique_by=lambda p: p[0],
+        ),
+        now_delta=st.integers(0, 120),
+    )
+    @settings(max_examples=50, deadline=None)
+    def test_fast_path_equals_reference(self, parts, now_delta):
+        import datetime as dt
+
+        from cassandra_pmem_spark.functions.murmur3 import (
+            murmur3_token_bytes_py,
+        )
+        from cassandra_pmem_spark.sources.sstable import (
+            NO_DELETION_TIME,
+            _dt_to_ms,
+            read_data_range,
+            read_visible_columns,
+            visible_rows,
+        )
+
+        # ck1 is a TIMESTAMP clustering column: exercises the raw
+        # epoch-millis fast lane and its fallback normalization
+        schema = SSTableSchema(
+            ["k"], [I], ["c0", "c1"], [I, self.TS],
+            [("n", L), ("v", S)],
+        )
+        e0 = DELETION_TIME_EPOCH
+        built = []
+        for key, pdel, rows in parts:
+            pd = PartitionData(key_values=[key])
+            if pdel:
+                pd.deletion = (TIMESTAMP_EPOCH + 5, e0 + 5)
+            for ck, ckts, kind, dts, ttl in sorted(rows):
+                ts = TIMESTAMP_EPOCH + 10 + dts
+                rd = RowData(
+                    clustering=[
+                        ck,
+                        dt.datetime(2024, 1, 1,
+                                    tzinfo=dt.timezone.utc)
+                        + dt.timedelta(milliseconds=ckts),
+                    ],
+                    liveness_timestamp=TIMESTAMP_EPOCH + 10,
+                )
+                if ttl:
+                    rd.liveness_ttl = ttl
+                    rd.liveness_expiration = e0 + ttl
+                if kind == 1:      # live cell at the row timestamp
+                    rd.cells["v"] = CellValue("x" * (ck % 7),
+                                              TIMESTAMP_EPOCH + 10)
+                elif kind == 2:    # cell with its OWN timestamp
+                    rd.cells["v"] = CellValue("y", ts)
+                    rd.cells["n"] = CellValue(ck, ts)
+                elif kind == 3:    # cell tombstone
+                    rd.cells["v"] = CellValue(
+                        None, ts, local_deletion_time=e0 + 1,
+                        is_tombstone=True,
+                    )
+                pd.rows.append(rd)
+            built.append(pd)
+        built.sort(
+            key=lambda p: murmur3_token_bytes_py(
+                schema.key_bytes(p.key_values))
+        )
+        stats = compute_stats(built) if built else compute_stats([])
+        blob = b"".join(
+            serialize_partition(p, schema, stats) for p in built
+        )
+        now = e0 + now_delta
+        cols, ts_cols = read_visible_columns(
+            blob, 0, len(blob), schema, stats, now)
+        want_rows = []
+        for p in read_data_range(blob, 0, len(blob), schema, stats):
+            want_rows.extend(visible_rows(p, schema, now))
+        names = (
+            list(schema.key_names) + list(schema.clustering_names)
+            + [n for n, _ in schema.regular]
+        )
+        assert set(ts_cols) == {"c1"}
+        for n in names:
+            want = [
+                _dt_to_ms(d.get(n)) if n in ts_cols else d.get(n)
+                for d in want_rows
+            ]
+            assert cols[n] == want, n
+
+
+class TestPromotedIndexSeekProperties:
+    """Random block sizes, clustering shapes, and slice bounds: the
+    promoted-index seek path must return exactly the linear scan's
+    rows, and an interior slice on a wide partition must read FEWER
+    index blocks than exist (extends the directional wide-slice test
+    the way the version matrix/counter sweeps extended theirs)."""
+
+    @given(
+        n_rows=st.integers(40, 160),
+        block=st.sampled_from([512, 1024, 2048, 4096]),
+        pad=st.integers(20, 90),
+        bounds=st.tuples(st.integers(0, 159), st.integers(0, 159)),
+        two_ck=st.booleans(),
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_seek_equals_linear_scan(self, n_rows, block, pad, bounds,
+                                     two_ck):
+        import tempfile
+
+        from cassandra_pmem_spark.sources.sstable import (
+            sstable_point_read, write_sstable,
+        )
+
+        lo, hi = min(bounds), max(bounds)
+        lo = min(lo, n_rows - 1)
+        hi = min(hi, n_rows - 1)
+        if two_ck:
+            schema = SSTableSchema(
+                ["k"], [I], ["c0", "c1"], [I, I],
+                [("v", S), ("n", L)],
+            )
+            mk = lambda c: [c, c * 3]
+        else:
+            schema = SSTableSchema(
+                ["k"], [I], ["c0"], [I], [("v", S), ("n", L)],
+            )
+            mk = lambda c: [c]
+        rows = []
+        for c in range(n_rows):
+            rd = RowData(clustering=mk(c),
+                         liveness_timestamp=TIMESTAMP_EPOCH + 7)
+            rd.cells["v"] = CellValue("p" * pad, TIMESTAMP_EPOCH + 7)
+            rd.cells["n"] = CellValue(c * 11, TIMESTAMP_EPOCH + 7)
+            rows.append(rd)
+        parts = [PartitionData(key_values=[1], rows=rows)]
+        with tempfile.TemporaryDirectory() as d:
+            write_sstable(d, 1, schema, parts, column_index_size=block)
+            trace: dict = {}
+            got = sstable_point_read(
+                d, [1], ck_bounds=((lo,), (hi,)), _trace=trace)
+            full = sstable_point_read(d, [1])
+            want = [r for r in full if lo <= r["ck0"] <= hi]
+            assert got == want
+            total = trace.get("index_blocks_total", 0)
+            read = trace.get("index_blocks_read", 0)
+            if total > 3 and hi < n_rows - 1 and lo > 0:
+                # interior slice on a multi-block partition: the seek
+                # must have skipped at least one block
+                assert 0 < read < total, (read, total)
