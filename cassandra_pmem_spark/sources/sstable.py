@@ -1818,6 +1818,74 @@ def plan_splits_pruned(
     return [s for s in splits if s[1] > s[0]], n, len(sel)
 
 
+def read_index_entry_spans(index_blob: bytes) -> list:
+    """Index.db -> [(key, data_pos, promoted_blob, span_start,
+    span_end)] — like read_index_entries but keeping each entry's OWN
+    byte span in Index.db and its promoted-index bytes, so a scan task
+    can be handed just the index slice covering its split."""
+    r = ByteReader(index_blob)
+    out = []
+    while r.remaining():
+        off0 = r.pos
+        klen = r.u16()
+        key = r.take(klen)
+        pos = r.unsigned_vint()
+        promoted = r.unsigned_vint()
+        pb = r.take(promoted) if promoted else b""
+        out.append((key, pos, pb, off0, r.pos))
+    return out
+
+
+def _plan_splits_with_index(
+    index_blob: bytes, data_len: int, target_bytes: int,
+    token_range: "tuple[int | None, int | None] | None" = None,
+) -> "list[tuple[int, int, int, int]]":
+    """plan_splits_pruned, but each split also carries the Index.db
+    byte range covering exactly its partitions: [(data_start, data_end,
+    ix_start, ix_end)]. Used when the distributed scan needs per-
+    partition index entries inside tasks (ck_bounds block seeking)."""
+    entries = read_index_entry_spans(index_blob)
+    n = len(entries)
+    if not entries:
+        return []
+    if token_range is None:
+        i0, i1 = 0, n
+    else:
+        import bisect
+
+        from cassandra_pmem_spark.functions.murmur3 import (
+            murmur3_token_bytes_py,
+        )
+
+        lo, hi = token_range
+        i0 = (
+            bisect.bisect_left(
+                entries, lo, key=lambda e: murmur3_token_bytes_py(e[0])
+            )
+            if lo is not None else 0
+        )
+        i1 = (
+            bisect.bisect_right(
+                entries, hi, key=lambda e: murmur3_token_bytes_py(e[0])
+            )
+            if hi is not None else n
+        )
+        if i0 >= i1:
+            return []
+    sel = entries[i0:i1]
+    data_end = entries[i1][1] if i1 < n else data_len
+    splits = []
+    cur = 0
+    for k in range(1, len(sel)):
+        if sel[k][1] - sel[cur][1] >= target_bytes:
+            splits.append(
+                (sel[cur][1], sel[k][1], sel[cur][3], sel[k][3])
+            )
+            cur = k
+    splits.append((sel[cur][1], data_end, sel[cur][3], sel[-1][4]))
+    return [s for s in splits if s[1] > s[0]]
+
+
 def read_data_range(data_blob: bytes, start: int, end: int,
                     schema: SSTableSchema, stats: EncodingStats) -> list:
     """Parse the partitions in [start, end) of Data.db (split-aligned:
@@ -2118,6 +2186,60 @@ def read_visible_columns(data_blob: bytes, start: int, end: int,
     return cols, ts_cols
 
 
+def _sliced_split_columns(base: str, buf: bytes, base_off: int,
+                          start: int, end: int, ix0: int, ix1: int,
+                          schema: SSTableSchema, stats: EncodingStats,
+                          now_seconds: int, ck_bounds: tuple,
+                          trace_path: str | None) -> tuple[dict, list]:
+    """One split of the ck_bounds scan path: the split's Index.db slice
+    [ix0, ix1) names each partition's position and promoted index, so
+    wide partitions decode only the blocks overlapping the slice
+    (_read_partition_sliced) and narrow ones decode whole + filter.
+    Same columnar (cols, ts_cols) contract as read_visible_columns."""
+    with open(base + "Index.db", "rb") as f:
+        f.seek(ix0)
+        ix_blob = f.read(ix1 - ix0)
+    entries = read_index_entry_spans(ix_blob)
+    names = (
+        list(schema.key_names) + list(schema.clustering_names)
+        + [n for n, _ in schema.regular] + [n for n, _ in schema.statics]
+    )
+    ts_marshal = _MARSHAL + "TimestampType"
+    ts_cols = [
+        n for n, t in
+        list(zip(schema.clustering_names, schema.clustering_types))
+        + list(schema.regular) + list(schema.statics)
+        if t == ts_marshal
+    ]
+    ts_names = set(ts_cols)
+    cols: dict = {n: [] for n in names}
+    trace = {"index_blocks_read": 0, "index_blocks_total": 0}
+
+    def read_range(s, e):
+        # the split buffer already covers [start, end)
+        return buf, base_off
+
+    for k, (_key, pos, pb, _o0, _o1) in enumerate(entries):
+        pend = entries[k + 1][1] if k + 1 < len(entries) else end
+        part = _read_partition_sliced(
+            read_range, pos, pend, pb, schema, stats, ck_bounds, trace
+        )
+        rows = _filter_ck_bounds(
+            visible_rows(part, schema, now_seconds), schema, ck_bounds
+        )
+        for d in rows:
+            for n in names:
+                v = d.get(n)
+                cols[n].append(_dt_to_ms(v) if n in ts_names else v)
+    if trace_path:
+        with open(trace_path, "a") as f:
+            f.write(
+                f"{trace['index_blocks_read']} "
+                f"{trace['index_blocks_total']}\n"
+            )
+    return cols, ts_cols
+
+
 # -- Spark integration --------------------------------------------------------
 
 def _spark_schema(schema: SSTableSchema):
@@ -2292,7 +2414,9 @@ def schema_from_header(hdr: dict) -> SSTableSchema:
 
 def read_sstables(spark, in_dir: str, split_bytes: int = 64 * 1024 * 1024,
                   now_seconds: int | None = None,
-                  token_range: "tuple[int | None, int | None] | None" = None):
+                  token_range: "tuple[int | None, int | None] | None" = None,
+                  ck_bounds: "tuple | None" = None,
+                  _trace_path: str | None = None):
     """Distributed sstable read: stage 1 plans byte-ranged splits from
     each sstable's Index.db INSIDE tasks (getSplits analog), stage 2
     parses each split's Data.db range and emits the live rows as Arrow
@@ -2304,7 +2428,16 @@ def read_sstables(spark, in_dir: str, split_bytes: int = 64 * 1024 * 1024,
     the range are never emitted and their bytes never read — the
     CqlInputFormat range-intersection analog, and the scale path for
     selective sstable analytics (a token-restricted query on a 100 TB
-    table plans only the covered slice of each sstable)."""
+    table plans only the covered slice of each sstable).
+
+    ``ck_bounds=(lo, hi)`` (inclusive clustering-prefix tuples, either
+    side None) is the ClusteringIndexSliceFilter pushdown for the SCAN
+    path: splits then carry their Index.db byte ranges, and each task
+    reads, per partition, only the promoted-index blocks overlapping
+    the slice (wide partitions) or the whole partition + exact filter
+    (narrow ones) — the same seek discipline sstable_point_read proves
+    driver-side, applied task-side. ``_trace_path`` (tests) appends
+    one "blocks_read blocks_total" line per task."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -2336,6 +2469,8 @@ def read_sstables(spark, in_dir: str, split_bytes: int = 64 * 1024 * 1024,
             T.StructField("path", T.StringType()),
             T.StructField("start", T.LongType()),
             T.StructField("end", T.LongType()),
+            T.StructField("ix_start", T.LongType()),
+            T.StructField("ix_end", T.LongType()),
         ]
     )
 
@@ -2358,13 +2493,23 @@ def read_sstables(spark, in_dir: str, split_bytes: int = 64 * 1024 * 1024,
                         ).data_length
                 else:
                     dlen = os.path.getsize(path)
-                splits, _n, _sel = plan_splits_pruned(
-                    idx, dlen, split_bytes, token_range
-                )
-                for s, e in splits:
-                    out.append((path, s, e))
+                if ck_bounds is not None:
+                    # the slice path needs each split's Index.db range
+                    for s, e, ix0, ix1 in _plan_splits_with_index(
+                        idx, dlen, split_bytes, token_range
+                    ):
+                        out.append((path, s, e, ix0, ix1))
+                else:
+                    splits, _n, _sel = plan_splits_pruned(
+                        idx, dlen, split_bytes, token_range
+                    )
+                    for s, e in splits:
+                        out.append((path, s, e, -1, -1))
             if out:
-                yield pd.DataFrame(out, columns=["path", "start", "end"])
+                yield pd.DataFrame(
+                    out,
+                    columns=["path", "start", "end", "ix_start", "ix_end"],
+                )
 
     splits_df = files_df.mapInPandas(plan, schema=split_schema)
     # repartition width from the on-disk byte estimate — counting the
@@ -2390,7 +2535,10 @@ def read_sstables(spark, in_dir: str, split_bytes: int = 64 * 1024 * 1024,
         for pdf in pdf_iter:
             acc: dict = {c: [] for c in cols}
             ts_set: set = set()
-            for path, start, end in zip(pdf["path"], pdf["start"], pdf["end"]):
+            for path, start, end, ix0, ix1 in zip(
+                pdf["path"], pdf["start"], pdf["end"],
+                pdf["ix_start"], pdf["ix_end"],
+            ):
                 base = path[: -len("Data.db")]
                 with open(base + "Statistics.db", "rb") as f:
                     stats, _h = parse_statistics(
@@ -2412,10 +2560,17 @@ def read_sstables(spark, in_dir: str, split_bytes: int = 64 * 1024 * 1024,
                 buf, base_off = read_uncompressed_file_range(
                     path, start, end
                 )
-                got, ts_cols = read_visible_columns(
-                    buf, start - base_off, end - base_off, schema, stats,
-                    now_seconds,
-                )
+                if ck_bounds is not None:
+                    got, ts_cols = _sliced_split_columns(
+                        base, buf, base_off, start, end,
+                        int(ix0), int(ix1), schema, stats,
+                        now_seconds, ck_bounds, _trace_path,
+                    )
+                else:
+                    got, ts_cols = read_visible_columns(
+                        buf, start - base_off, end - base_off, schema,
+                        stats, now_seconds,
+                    )
                 ts_set.update(ts_cols)
                 for c in cols:
                     acc[c].extend(got[c])
@@ -2646,90 +2801,110 @@ def sstable_point_read(sst_dir: str, key_values: list,
                     ).data_length
             else:
                 bound = os.path.getsize(base + "Data.db")
-        part = None
-        if ck_bounds is not None and promoted_blob and not any(
-            t.startswith(REVERSED_PREFIX) for t in schema.clustering_types
-        ):
-            pidx = parse_promoted_index(promoted_blob, schema)
-            blocks = pidx["blocks"]
-            if _trace is not None:
-                _trace["index_blocks_total"] += len(blocks)
-            lo, hi = ck_bounds
-            picked = [
-                b for b in blocks
-                if not (
-                    (hi is not None
-                     and _prefix_cmp(b["first"][1], list(hi)) > 0)
-                    or (lo is not None
-                        and _prefix_cmp(b["last"][1], list(lo)) < 0)
-                )
-            ]
-            if _trace is not None:
-                _trace["index_blocks_read"] += len(picked)
-            hbuf, hoff = read_uncompressed_file_range(
-                base + "Data.db", pos, pos + pidx["header_length"]
-            )
-            part = read_partition_header(
-                ByteReader(hbuf, pos - hoff), schema, stats
-            )
-            picked_idx = {id(b) for b in picked}
-            for i, b in enumerate(blocks):
-                if id(b) not in picked_idx:
-                    continue
-                # a range tombstone OPENED in an unread earlier block
-                # must still shadow this block's rows: the promoted
-                # index records each block's end-open deletion
-                # (IndexInfo.endOpenMarker) for exactly this resume —
-                # synthesize the open bound when the predecessor block
-                # wasn't read
-                if (
-                    i > 0
-                    and blocks[i - 1].get("open")
-                    and id(blocks[i - 1]) not in picked_idx
-                ):
-                    part.rows.append(MarkerData(
-                        kind=INCL_START_BOUND, values=[],
-                        deletion=blocks[i - 1]["open"],
-                    ))
-                bstart = pos + b["offset"]
-                bbuf, boff = read_uncompressed_file_range(
-                    base + "Data.db", bstart, bstart + b["width"]
-                )
-                br = ByteReader(bbuf, bstart - boff)
-                end = bstart - boff + b["width"]
-                while br.pos < end:
-                    flags = br.u8()
-                    if flags & END_OF_PARTITION:
-                        break
-                    if flags & IS_MARKER:
-                        part.rows.append(_read_marker(br, schema, stats))
-                    else:
-                        part.rows.append(
-                            _read_row(br, flags, schema, stats)
-                        )
-        if part is None:
-            # ranged I/O: read exactly this partition's bytes
-            # (compressed: only the overlapping chunks), never the
-            # whole Data.db
-            buf, base_off = read_uncompressed_file_range(
-                base + "Data.db", pos, bound
-            )
-            part = read_partition(
-                ByteReader(buf, pos - base_off), schema, stats
-            )
+        def read_range(s, e, _b=base):
+            return read_uncompressed_file_range(_b + "Data.db", s, e)
+
+        part = _read_partition_sliced(
+            read_range, pos, bound, promoted_blob, schema, stats,
+            ck_bounds, _trace,
+        )
         rows = visible_rows(part, schema, now_seconds)
         if ck_bounds is not None:
-            lo, hi = ck_bounds
-            ck_names = schema.clustering_names
-            def _within(rd: dict) -> bool:
-                vals = [rd.get(c) for c in ck_names]
-                if lo is not None and _prefix_cmp(vals, list(lo)) < 0:
-                    return False
-                if hi is not None and _prefix_cmp(vals, list(hi)) > 0:
-                    return False
-                return True
-            rows = [rd for rd in rows if _within(rd)]
+            rows = _filter_ck_bounds(rows, schema, ck_bounds)
         out.extend(rows)
+    return out
+
+
+def _read_partition_sliced(read_range, pos: int, bound: int,
+                           promoted_blob: bytes, schema: SSTableSchema,
+                           stats: EncodingStats,
+                           ck_bounds: "tuple | None",
+                           _trace: dict | None = None) -> PartitionData:
+    """Assemble ONE partition, reading only the promoted-index blocks
+    overlapping ck_bounds when the Index.db entry carries a promoted
+    index (AbstractSSTableIterator.IndexState seek direction) — shared
+    by the driver point read and the distributed scan. ``read_range``
+    is the byte source: (start, end) -> (buffer, buffer_base_offset),
+    file-ranged for point reads, split-buffer-backed for scan tasks.
+    Rows returned may exceed ck_bounds (block granularity); callers
+    apply _filter_ck_bounds."""
+    if ck_bounds is not None and promoted_blob and not any(
+        t.startswith(REVERSED_PREFIX) for t in schema.clustering_types
+    ):
+        pidx = parse_promoted_index(promoted_blob, schema)
+        blocks = pidx["blocks"]
+        if _trace is not None:
+            _trace["index_blocks_total"] += len(blocks)
+        lo, hi = ck_bounds
+        picked = [
+            b for b in blocks
+            if not (
+                (hi is not None
+                 and _prefix_cmp(b["first"][1], list(hi)) > 0)
+                or (lo is not None
+                    and _prefix_cmp(b["last"][1], list(lo)) < 0)
+            )
+        ]
+        if _trace is not None:
+            _trace["index_blocks_read"] += len(picked)
+        hbuf, hoff = read_range(pos, pos + pidx["header_length"])
+        part = read_partition_header(
+            ByteReader(hbuf, pos - hoff), schema, stats
+        )
+        picked_idx = {id(b) for b in picked}
+        for i, b in enumerate(blocks):
+            if id(b) not in picked_idx:
+                continue
+            # a range tombstone OPENED in an unread earlier block
+            # must still shadow this block's rows: the promoted
+            # index records each block's end-open deletion
+            # (IndexInfo.endOpenMarker) for exactly this resume —
+            # synthesize the open bound when the predecessor block
+            # wasn't read
+            if (
+                i > 0
+                and blocks[i - 1].get("open")
+                and id(blocks[i - 1]) not in picked_idx
+            ):
+                part.rows.append(MarkerData(
+                    kind=INCL_START_BOUND, values=[],
+                    deletion=blocks[i - 1]["open"],
+                ))
+            bstart = pos + b["offset"]
+            bbuf, boff = read_range(bstart, bstart + b["width"])
+            br = ByteReader(bbuf, bstart - boff)
+            end = bstart - boff + b["width"]
+            while br.pos < end:
+                flags = br.u8()
+                if flags & END_OF_PARTITION:
+                    break
+                if flags & IS_MARKER:
+                    part.rows.append(_read_marker(br, schema, stats))
+                else:
+                    part.rows.append(
+                        _read_row(br, flags, schema, stats)
+                    )
+        return part
+    # ranged I/O: read exactly this partition's bytes (compressed:
+    # only the overlapping chunks), never the whole Data.db
+    buf, base_off = read_range(pos, bound)
+    return read_partition(ByteReader(buf, pos - base_off), schema, stats)
+
+
+def _filter_ck_bounds(rows: list, schema: SSTableSchema,
+                      ck_bounds: tuple) -> list:
+    """Exact inclusive clustering-prefix filter over visible rows —
+    always applied above the block-granular seek."""
+    lo, hi = ck_bounds
+    ck_names = schema.clustering_names
+    out = []
+    for rd in rows:
+        vals = [rd.get(c) for c in ck_names]
+        if lo is not None and _prefix_cmp(vals, list(lo)) < 0:
+            continue
+        if hi is not None and _prefix_cmp(vals, list(hi)) > 0:
+            continue
+        out.append(rd)
     return out
 
 

@@ -1340,6 +1340,47 @@ class TestFunctionTerms:
                 params=[None, None],
             )
 
+    def test_string_timestamp_literal_parses_at_prepare(self, bsess):
+        """A raw string constant bound to a timestamp column parses at
+        PREPARE time (TimestampSerializer.dateStringPatterns,
+        TimestampSerializer.java:43-76) — previously it leaked to the
+        Arrow boundary and only pyarrow's coercion saved it (and only
+        under a UTC session zone)."""
+        import datetime as dt
+
+        bsess.execute(
+            "INSERT INTO bt (k, ts) VALUES (1, '2024-06-01 12:00:00+0000')"
+        )
+        bsess.execute("INSERT INTO bt (k, ts) VALUES (2, '2024-06-01')")
+        bsess.execute(
+            "INSERT INTO bt (k, ts) VALUES (3, '2024-06-01T06:30:15.250Z')"
+        )
+        rows = {r.k: r.ts for r in bsess.table().collect()}
+        utc = dt.timezone.utc
+
+        def inst(v):
+            return v.replace(tzinfo=utc) if v.tzinfo is None else v
+
+        assert inst(rows[1]) == dt.datetime(2024, 6, 1, 12, tzinfo=utc)
+        assert inst(rows[2]) == dt.datetime(2024, 6, 1, tzinfo=utc)
+        assert inst(rows[3]) == dt.datetime(
+            2024, 6, 1, 6, 30, 15, 250000, tzinfo=utc)
+
+    def test_integer_timestamp_literal_is_epoch_millis(self, bsess):
+        import datetime as dt
+
+        bsess.execute("INSERT INTO bt (k, ts) VALUES (4, 1717243200000)")
+        row = {r.k: r.ts for r in bsess.table().collect()}[4]
+        if row.tzinfo is None:
+            row = row.replace(tzinfo=dt.timezone.utc)
+        assert row == dt.datetime(2024, 6, 1, 12, tzinfo=dt.timezone.utc)
+
+    def test_bad_timestamp_literal_rejected_at_prepare(self, bsess):
+        from cassandra_pmem_spark.cql.validator import InvalidRequest
+
+        with pytest.raises(InvalidRequest, match="formatted date"):
+            bsess.execute("INSERT INTO bt (k, ts) VALUES (9, 'not a date')")
+
     def test_lwt_condition_on_folded_timestamp(self, bsess):
         """A toTimestamp() write then IF ts = toTimestamp(...) must apply:
         the collected cell is naive (session UTC) while the folded term is

@@ -458,6 +458,93 @@ class TestPrunedSplits:
         assert got == sorted(k for t, k in toks[8:24])
 
 
+class TestDistributedCkBounds:
+    """ck_bounds on the DISTRIBUTED scan (read_sstables): splits carry
+    their Index.db ranges and each task decodes, per wide partition,
+    only the promoted-index blocks overlapping the slice — the point
+    read's seek discipline applied task-side."""
+
+    def _write_wide(self, tmp_path, n_parts=3, n_rows=300, pad=100):
+        schema = _schema()
+        parts = []
+        for k in range(n_parts):
+            rows = [
+                _row(c, TestPromotedIndex.TS, v="p" * pad, n=k * 1000 + c)
+                for c in range(n_rows)
+            ]
+            parts.append(PartitionData(key_values=[k], rows=rows))
+        from cassandra_pmem_spark.functions.murmur3 import (
+            murmur3_token_bytes_py,
+        )
+
+        parts.sort(key=lambda p: murmur3_token_bytes_py(
+            schema.key_bytes(p.key_values)))
+        write_sstable(str(tmp_path), 1, schema, parts,
+                      column_index_size=2048, compression=True)
+        return schema
+
+    def test_sliced_scan_equals_filtered_full_scan(self, spark, tmp_path):
+        from cassandra_pmem_spark.sources.sstable import read_sstables
+
+        self._write_wide(tmp_path)
+        trace_path = str(tmp_path / "trace.txt")
+        got = sorted(
+            (r["key0"], r["ck0"], r["n"])
+            for r in read_sstables(
+                spark, str(tmp_path), split_bytes=16 * 1024,
+                ck_bounds=((40,), (79,)), _trace_path=trace_path,
+            ).collect()
+        )
+        want = sorted(
+            (k, c, k * 1000 + c) for k in range(3) for c in range(40, 80)
+        )
+        assert got == want
+        # the task-side trace proves block seeking: fewer index blocks
+        # read than exist across the fleet
+        lines = [
+            tuple(map(int, ln.split()))
+            for ln in open(trace_path).read().splitlines()
+        ]
+        blocks_read = sum(a for a, _b in lines)
+        blocks_total = sum(b for _a, b in lines)
+        assert 0 < blocks_read < blocks_total, (blocks_read, blocks_total)
+
+    def test_sliced_scan_with_token_range(self, spark, tmp_path):
+        from cassandra_pmem_spark.functions.murmur3 import (
+            murmur3_token_bytes_py,
+        )
+        from cassandra_pmem_spark.sources.sstable import read_sstables
+
+        schema = self._write_wide(tmp_path)
+        toks = sorted(
+            (murmur3_token_bytes_py(schema.key_bytes([k])), k)
+            for k in range(3)
+        )
+        # token range covering only the middle partition
+        mid_tok, mid_key = toks[1]
+        got = sorted(
+            (r["key0"], r["ck0"])
+            for r in read_sstables(
+                spark, str(tmp_path), split_bytes=16 * 1024,
+                token_range=(mid_tok, mid_tok),
+                ck_bounds=((10,), (19,)),
+            ).collect()
+        )
+        assert got == [(mid_key, c) for c in range(10, 20)]
+
+    def test_unbounded_sides(self, spark, tmp_path):
+        from cassandra_pmem_spark.sources.sstable import read_sstables
+
+        self._write_wide(tmp_path, n_parts=1, n_rows=120)
+        got = sorted(
+            r["ck0"] for r in read_sstables(
+                spark, str(tmp_path), split_bytes=16 * 1024,
+                ck_bounds=((100,), None),
+            ).collect()
+        )
+        assert got == list(range(100, 120))
+
+
 class TestSparkIntegration:
     def test_bulk_write_then_distributed_read(self, spark, tmp_path):
         from cassandra_pmem_spark.catalog import ClusteringColumn, TableMeta

@@ -503,7 +503,28 @@ class TestPromotedIndexSeekProperties:
             assert got == want
             total = trace.get("index_blocks_total", 0)
             read = trace.get("index_blocks_read", 0)
-            if total > 3 and hi < n_rows - 1 and lo > 0:
-                # interior slice on a multi-block partition: the seek
-                # must have skipped at least one block
-                assert 0 < read < total, (read, total)
+            if total:
+                # exact expectation from the on-disk promoted index:
+                # blocks whose [first, last] clustering range misses
+                # [lo, hi] entirely must NOT be read — ground truth
+                # computed from the parsed block names, independent
+                # arithmetic from the seek path's comparator
+                from cassandra_pmem_spark.sources.sstable import (
+                    parse_promoted_index, read_index_entry_spans,
+                )
+
+                import glob as _glob
+
+                (ixp,) = _glob.glob(d + "/*-Index.db")
+                with open(ixp, "rb") as fh:
+                    entries = read_index_entry_spans(fh.read())
+                blocks = parse_promoted_index(
+                    entries[0][2], schema)["blocks"]
+                outside = sum(
+                    1 for b in blocks
+                    if b["last"][1][0] < lo or b["first"][1][0] > hi
+                )
+                assert total == len(blocks)
+                assert read == total - outside, (read, total, outside)
+                if outside:
+                    assert read < total
