@@ -209,7 +209,7 @@ def source_sstable_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     analog). Exercises, oracle-pinned:
 
     - 'data': the full events table (10k rows at sf0.01) bulk-written
-      as FOUR token-range-disjoint sstables (range partition by
+      as EIGHT token-range-disjoint sstables (range partition by
       Murmur3 token, one sstable per task), then read back through
       Index.db-planned byte-ranged splits and Arrow batches — every
       value of every type (bigint/timestamp/string/double) must
@@ -260,7 +260,7 @@ def source_sstable_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reference's default on-disk shape; split positions stay in
     # uncompressed coordinates and map through the chunk offsets
     manifests = bulk_write_sstables(
-        events, meta, out_dir, sstables=4, timestamp_micros=ts0,
+        events, meta, out_dir, sstables=8, timestamp_micros=ts0,
         compression=True,
     )
     back = read_sstables(spark, out_dir, split_bytes=96 * 1024)
@@ -387,7 +387,7 @@ SELECT src, user_id, event_id, ts_s, event_type, value, props FROM (
     ('loaded',     1, 4, NULL, NULL,    NULL, 'alive')
   ) t(src, user_id, event_id, ts_s, event_type, value, props)
   UNION ALL
-  SELECT 'meta', 4, count(*), NULL, NULL, NULL, NULL FROM events
+  SELECT 'meta', 8, count(*), NULL, NULL, NULL, NULL FROM events
 )
 """
 
@@ -434,7 +434,7 @@ def source_sstable_version_interop(spark: SparkSession, sf_dir: str) -> DataFram
         out_dir = os.path.join(_SCRATCH, f"sstable_ver_{ver}")
         shutil.rmtree(out_dir, ignore_errors=True)
         bulk_write_sstables(
-            events, meta, out_dir, sstables=2, timestamp_micros=ts0,
+            events, meta, out_dir, sstables=4, timestamp_micros=ts0,
             compression=True, version=ver,
         )
         outs.append(

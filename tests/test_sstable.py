@@ -544,6 +544,74 @@ class TestDistributedCkBounds:
         )
         assert got == list(range(100, 120))
 
+    def test_task_side_planner_matches_driver_side(self, spark, tmp_path,
+                                                   monkeypatch):
+        """Forcing the big-directory branch (task-side split planning +
+        shuffle) must return exactly what the driver-side job-client
+        planner returns — same splits, same rows, with and without the
+        pruning/slicing parameters."""
+        from cassandra_pmem_spark.sources import sstable as mod
+
+        self._write_wide(tmp_path, n_parts=2, n_rows=150)
+        kw = dict(split_bytes=16 * 1024, ck_bounds=((30,), (59,)))
+        want = sorted(
+            (r["key0"], r["ck0"]) for r in
+            mod.read_sstables(spark, str(tmp_path), **kw).collect()
+        )
+        monkeypatch.setattr(mod, "DRIVER_PLAN_INDEX_BYTES", 0)
+        got = sorted(
+            (r["key0"], r["ck0"]) for r in
+            mod.read_sstables(spark, str(tmp_path), **kw).collect()
+        )
+        assert got == want
+        assert want == sorted(
+            (k, c) for k in range(2) for c in range(30, 60)
+        )
+        # plain path too (no ck_bounds)
+        got_plain = sorted(
+            r["ck0"] for r in mod.read_sstables(
+                spark, str(tmp_path), split_bytes=16 * 1024
+            ).collect()
+        )
+        assert len(got_plain) == 300
+
+
+class TestPartitionTags:
+    """The driver-side Spark-hash twin that maps write buckets 1:1 to
+    shuffle partitions (no repartitionByRange sampling pass)."""
+
+    def test_hash_twin_matches_spark(self, spark):
+        from pyspark.sql import functions as F
+
+        from cassandra_pmem_spark.sources.sstable import _spark_hash_int32
+
+        vals = [0, 1, 2, 7, 41, 123456, -5, 2 ** 31 - 1, -(2 ** 31)]
+        row = spark.range(1).select(
+            *[F.hash(F.lit(v)).alias(f"h{i}") for i, v in enumerate(vals)]
+        ).collect()[0]
+        for i, v in enumerate(vals):
+            assert row[f"h{i}"] == _spark_hash_int32(v), v
+
+    def test_tags_land_buckets_in_own_partitions(self, spark):
+        from pyspark.sql import functions as F
+
+        from cassandra_pmem_spark.sources.sstable import _partition_tags
+
+        for n in (2, 3, 4, 8, 13):
+            tags = _partition_tags(n)
+            df = spark.createDataFrame(
+                [(i,) for i in range(n)], "pid int"
+            ).withColumn(
+                "tag",
+                F.element_at(F.array(*[F.lit(t) for t in tags]),
+                             F.col("pid") + 1),
+            ).repartition(n, F.col("tag"))
+            got = {
+                (r["pid"], r["p"]) for r in
+                df.withColumn("p", F.spark_partition_id()).collect()
+            }
+            assert got == {(i, i) for i in range(n)}, (n, sorted(got))
+
 
 class TestSparkIntegration:
     def test_bulk_write_then_distributed_read(self, spark, tmp_path):
