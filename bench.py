@@ -91,6 +91,9 @@ TIER2 = [
     # round-12: the cross-version sstable read path (na/md/ma compressed
     # write + read, 3x the events slice) gets a trend line
     "source_sstable_version_interop",
+    # round-13: the token-range-pruned distributed scan (8-sstable bulk
+    # write + bisected split planning + pruned read)
+    "source_sstable_pruned_scan",
 ]
 
 

@@ -367,7 +367,23 @@ def source_sstable_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SSTABLE_ORACLE = """
+def _sstable_roundtrip_oracle() -> str:
+    from cassandra_pmem_spark.functions.murmur3 import (
+        murmur3_token_subquery,
+    )
+
+    # the meta row's sstable count = NON-EMPTY fixed token buckets:
+    # the writer buckets by floor((token/2^64 + 0.5) * 8), and the
+    # oracle recomputes bucket occupancy with the DuckDB murmur3 twin
+    # (same IEEE-754 double ops in the same order) — at tiny SFs some
+    # of the 8 even ranges hold no users and get no sstable
+    buckets = (
+        "SELECT COUNT(DISTINCT LEAST(7, GREATEST(0, CAST(FLOOR("
+        "(CAST(token AS DOUBLE) / 18446744073709551616.0 + 0.5) * 8"
+        ") AS INT)))) FROM "
+        + murmur3_token_subquery("events", "user_id", ["user_id"])
+    )
+    return f"""
 SELECT src, user_id, event_id, ts_s, event_type, value, props FROM (
   SELECT 'data' AS src, user_id, event_id,
          strftime(date_trunc('milliseconds', ts),
@@ -387,9 +403,12 @@ SELECT src, user_id, event_id, ts_s, event_type, value, props FROM (
     ('loaded',     1, 4, NULL, NULL,    NULL, 'alive')
   ) t(src, user_id, event_id, ts_s, event_type, value, props)
   UNION ALL
-  SELECT 'meta', 8, count(*), NULL, NULL, NULL, NULL FROM events
+  SELECT 'meta', ({buckets}), count(*), NULL, NULL, NULL, NULL FROM events
 )
 """
+
+
+_SSTABLE_ORACLE = _sstable_roundtrip_oracle()
 
 
 def source_sstable_version_interop(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1977,14 +1977,17 @@ def visible_rows(part: PartitionData, schema: SSTableSchema,
 
 
 def _dt_to_ms(v):
-    """datetime → epoch millis (naive values are UTC, like _ts_unpack)."""
+    """datetime → epoch millis (naive values are UTC, like _ts_unpack).
+    round(), not int(): timestamp() returns ms/1000.0 whose binary
+    representation can sit a hair BELOW the true value, and truncation
+    would then lose a millisecond."""
     if v is None:
         return None
     import datetime as _dt
 
     if v.tzinfo is None:
         v = v.replace(tzinfo=_dt.timezone.utc)
-    return int(v.timestamp() * 1000)
+    return round(v.timestamp() * 1000)
 
 
 def read_visible_columns(data_blob: bytes, start: int, end: int,
