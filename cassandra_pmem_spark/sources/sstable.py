@@ -2028,7 +2028,7 @@ def read_visible_columns(data_blob: bytes, start: int, end: int,
     ts_cols = [
         n for n, t in
         list(zip(schema.clustering_names, schema.clustering_types))
-        + list(schema.regular)
+        + list(schema.regular) + list(schema.statics)
         if t == ts_marshal
     ]
     ts_names = set(ts_cols)

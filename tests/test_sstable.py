@@ -1358,6 +1358,42 @@ class TestStaticRows:
         assert r[0].s == "s2"
 
 
+    def test_static_timestamp_column_reads_back(self, spark, tmp_path):
+        """A TIMESTAMP-typed static column through the distributed
+        read: the statics-declared path takes the reference decoder
+        with the epoch-millis fast lane (ts_cols includes statics), so
+        the value must survive to the exact millisecond."""
+        import datetime as dt
+
+        from cassandra_pmem_spark.catalog import ClusteringColumn, TableMeta
+        from pyspark.sql import types as T
+
+        schema = T.StructType([
+            T.StructField("k", T.IntegerType()),
+            T.StructField("c", T.IntegerType()),
+            T.StructField("since", T.TimestampType()),
+            T.StructField("v", T.StringType()),
+        ])
+        meta = TableMeta(
+            "st", schema, partition_key=("k",),
+            clustering=(ClusteringColumn("c"),),
+            static_columns=("since",),
+        )
+        want = dt.datetime(2024, 5, 1, 7, 30, 15, 123000)
+        rows = [(k, c, want, f"{k}.{c}") for k in range(3) for c in range(2)]
+        df = spark.createDataFrame(rows, schema)
+        out = str(tmp_path / "sst")
+        bulk_write_sstables(df, meta, out, sstables=2, timestamp_micros=TS)
+        got = {
+            (r["key0"], r["ck0"]): r["since"]
+            for r in read_sstables(spark, out).collect()
+        }
+        assert len(got) == 6
+        for v in got.values():
+            naive = v.replace(tzinfo=None)
+            assert naive == want, (naive, want)
+
+
 class TestStatsMetadata:
     def test_stats_component_round_trip(self, tmp_path):
         from cassandra_pmem_spark.cql.parser import _scalar_token
