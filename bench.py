@@ -134,15 +134,15 @@ def _wait_for_quiet(max_load: float, timeout_s: float) -> dict:
     should simply not start on a loaded box when waiting fixes it.
     Returns {waited_s, timed_out} for the snapshot's hygiene record."""
     t0 = time.time()
-    waited = 0.0
     timed_out = False
     while os.getloadavg()[0] > max_load:
         if time.time() - t0 >= timeout_s:
             timed_out = True
             break
         time.sleep(15)
-        waited = round(time.time() - t0, 1)
-    return {"waited_s": waited, "timed_out": timed_out}
+    # measured at exit so the timeout path reports the true block time,
+    # not the duration as of the poll before the break
+    return {"waited_s": round(time.time() - t0, 1), "timed_out": timed_out}
 
 
 def main() -> None:

@@ -1503,20 +1503,50 @@ def write_sstable(out_dir: str, generation: int, schema: SSTableSchema,
     Summary.db (the IndexSummaryManager memory-pressure path —
     Downsampling.getOriginalIndexes survivors; point reads still work,
     they just scan more Index.db per seek)."""
+    if not exclusive:
+        return _write_sstable_impl(
+            out_dir, generation, schema, partitions, compression,
+            chunk_length, min_index_interval, sampling_level, version,
+            column_index_size,
+        )
+    # claim BEFORE the serialization work so a losing task fails
+    # cheaply; the empty placeholder is overwritten by the impl
+    names = sstable_filenames(generation, version)
+    os.makedirs(out_dir, exist_ok=True)
+    os.close(os.open(
+        os.path.join(out_dir, names["data"]),
+        os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+    ))
+    try:
+        return _write_sstable_impl(
+            out_dir, generation, schema, partitions, compression,
+            chunk_length, min_index_interval, sampling_level, version,
+            column_index_size,
+        )
+    except BaseException:
+        # a failed claimed write must not squat the generation: a 0-byte
+        # Data.db with no companions would crash later directory reads
+        # and make rerun split/upgrade tasks silently skip this slot
+        for fname in os.listdir(out_dir):
+            if fname.startswith(f"{version}-{generation}-big-"):
+                try:
+                    os.unlink(os.path.join(out_dir, fname))
+                except OSError:
+                    pass
+        raise
+
+
+def _write_sstable_impl(out_dir: str, generation: int,
+                        schema: SSTableSchema, partitions, compression: bool,
+                        chunk_length: int | None, min_index_interval: int,
+                        sampling_level: int | None, version: str,
+                        column_index_size: int) -> dict:
     from cassandra_pmem_spark.functions.murmur3 import (
         murmur3_token_bytes_py,
     )
 
     ver = SSTableVersion(version)
     names = sstable_filenames(generation, version)
-    if exclusive:
-        # claim BEFORE the serialization work so a losing task fails
-        # cheaply; the empty placeholder is overwritten below
-        os.makedirs(out_dir, exist_ok=True)
-        os.close(os.open(
-            os.path.join(out_dir, names["data"]),
-            os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-        ))
     stats = compute_stats(partitions)
     data = bytearray()
     index = bytearray()
@@ -1751,17 +1781,8 @@ def plan_splits(index_blob: bytes, data_len: int,
     """CqlInputFormat.getSplits analog: byte-ranged splits at PARTITION
     boundaries, each covering >= target_bytes of Data.db (except the
     last). Returns [(start, end)) offsets into Data.db."""
-    entries = read_index_entries(index_blob)
-    if not entries:
-        return []
-    splits = []
-    start = entries[0][1]
-    for _key, pos in entries[1:]:
-        if pos - start >= target_bytes:
-            splits.append((start, pos))
-            start = pos
-    splits.append((start, data_len))
-    return [s for s in splits if s[1] > s[0]]
+    splits, _n, _sel = plan_splits_pruned(index_blob, data_len, target_bytes)
+    return splits
 
 
 def plan_splits_pruned(
@@ -1778,44 +1799,15 @@ def plan_splits_pruned(
 
     token_range = (lo, hi), INCLUSIVE Murmur3 token bounds, either
     side None for open. Returns (splits, entries_total,
-    entries_selected) so callers can prove pruning happened."""
-    from cassandra_pmem_spark.functions.murmur3 import (
-        murmur3_token_bytes_py,
-    )
+    entries_selected) so callers can prove pruning happened.
 
-    entries = read_index_entries(index_blob)
-    n = len(entries)
-    if not entries:
-        return [], 0, 0
-    if token_range is None:
-        return plan_splits(index_blob, data_len, target_bytes), n, n
-    import bisect
-
-    lo, hi = token_range
-    i0 = (
-        bisect.bisect_left(
-            entries, lo, key=lambda e: murmur3_token_bytes_py(e[0])
-        )
-        if lo is not None else 0
+    Thin wrapper over _plan_splits_with_index so ALL split planning
+    shares one boundary-cut loop — the plain, pruned, and ck_bounds
+    scans can never plan different splits for the same sstable."""
+    spans, n, sel = _plan_splits_with_index(
+        index_blob, data_len, target_bytes, token_range
     )
-    i1 = (
-        bisect.bisect_right(
-            entries, hi, key=lambda e: murmur3_token_bytes_py(e[0])
-        )
-        if hi is not None else n
-    )
-    if i0 >= i1:
-        return [], n, 0
-    sel = entries[i0:i1]
-    end = entries[i1][1] if i1 < n else data_len
-    splits = []
-    start = sel[0][1]
-    for _key, pos in sel[1:]:
-        if pos - start >= target_bytes:
-            splits.append((start, pos))
-            start = pos
-    splits.append((start, end))
-    return [s for s in splits if s[1] > s[0]], n, len(sel)
+    return [(s, e) for s, e, _ix0, _ix1 in spans], n, sel
 
 
 def read_index_entry_spans(index_blob: bytes) -> list:
@@ -1839,15 +1831,16 @@ def read_index_entry_spans(index_blob: bytes) -> list:
 def _plan_splits_with_index(
     index_blob: bytes, data_len: int, target_bytes: int,
     token_range: "tuple[int | None, int | None] | None" = None,
-) -> "list[tuple[int, int, int, int]]":
-    """plan_splits_pruned, but each split also carries the Index.db
-    byte range covering exactly its partitions: [(data_start, data_end,
-    ix_start, ix_end)]. Used when the distributed scan needs per-
-    partition index entries inside tasks (ck_bounds block seeking)."""
+) -> "tuple[list[tuple[int, int, int, int]], int, int]":
+    """The one split-boundary planner: each split carries the Index.db
+    byte range covering exactly its partitions — (data_start, data_end,
+    ix_start, ix_end) — plus (entries_total, entries_selected) pruning
+    evidence. plan_splits / plan_splits_pruned are projections of this;
+    the ck_bounds scan consumes the ix columns directly."""
     entries = read_index_entry_spans(index_blob)
     n = len(entries)
     if not entries:
-        return []
+        return [], 0, 0
     if token_range is None:
         i0, i1 = 0, n
     else:
@@ -1871,7 +1864,7 @@ def _plan_splits_with_index(
             if hi is not None else n
         )
         if i0 >= i1:
-            return []
+            return [], n, 0
     sel = entries[i0:i1]
     data_end = entries[i1][1] if i1 < n else data_len
     splits = []
@@ -1883,7 +1876,7 @@ def _plan_splits_with_index(
             )
             cur = k
     splits.append((sel[cur][1], data_end, sel[cur][3], sel[-1][4]))
-    return [s for s in splits if s[1] > s[0]]
+    return [s for s in splits if s[1] > s[0]], n, len(sel)
 
 
 def read_data_range(data_blob: bytes, start: int, end: int,
@@ -2473,7 +2466,13 @@ def bulk_write_sstables(df, meta, out_dir: str, sstables: int = 1,
         .mapInPandas(lambda it: write_partition_iter(it), schema=mschema)
         .collect()
     )
-    return sorted((r.asDict() for r in rows), key=lambda m: m["data_path"])
+    # numeric generation order ("na-10-big" after "na-2-big"): bucket i
+    # writes generation i+1, so manifests[i] IS token interval i — a
+    # lexicographic path sort would break that pairing past 9 sstables
+    def _gen(m: dict) -> int:
+        return int(os.path.basename(m["data_path"]).split("-")[1])
+
+    return sorted((r.asDict() for r in rows), key=_gen)
 
 
 def schema_from_header(hdr: dict) -> SSTableSchema:
@@ -2488,6 +2487,32 @@ def schema_from_header(hdr: dict) -> SSTableSchema:
         hdr["regular"],
         hdr.get("statics", []),
     )
+
+
+def _ms_series_to_datetime(vals: list):
+    """Epoch-millis column -> timestamp Series for the Arrow boundary.
+
+    The vectorized datetime64[ns] lane only represents years 1677..2262;
+    Cassandra/Spark timestamps span years 1..9999, so a cell outside the
+    ns range (a far-future sentinel, a year-1 floor) must fall back to an
+    object-dtype Series of datetime.datetime, which Arrow converts to
+    timestamp[us] losslessly.  The fallback triggers per Arrow batch only
+    when pandas actually overflows, so in-range data keeps the single
+    vectorized conversion.
+    """
+    import pandas as pd
+
+    s = pd.Series(vals, dtype="object")
+    try:
+        return pd.to_datetime(s, unit="ms")
+    except (pd.errors.OutOfBoundsDatetime, OverflowError):
+        from datetime import datetime, timedelta
+
+        epoch = datetime(1970, 1, 1)
+        return s.map(
+            lambda v: None if v is None
+            else epoch + timedelta(milliseconds=int(v))
+        )
 
 
 # below this total Index.db size the driver plans splits itself (the
@@ -2579,18 +2604,13 @@ def read_sstables(spark, in_dir: str, split_bytes: int = 64 * 1024 * 1024,
                 ).data_length
         else:
             dlen = os.path.getsize(path)
-        if ck_bounds is not None:
-            # the slice path needs each split's Index.db range
-            return [
-                (path, s, e, ix0, ix1)
-                for s, e, ix0, ix1 in _plan_splits_with_index(
-                    idx, dlen, split_bytes, token_range
-                )
-            ]
-        splits, _n, _sel = plan_splits_pruned(
+        spans, _n, _sel = _plan_splits_with_index(
             idx, dlen, split_bytes, token_range
         )
-        return [(path, s, e, -1, -1) for s, e in splits]
+        if ck_bounds is not None:
+            # the slice path needs each split's Index.db range
+            return [(path, s, e, ix0, ix1) for s, e, ix0, ix1 in spans]
+        return [(path, s, e, -1, -1) for s, e, _ix0, _ix1 in spans]
 
     # parse width: bounded by the byte estimate (counting the splits
     # frame would execute the planning stage twice) AND by ~2 waves of
@@ -2705,9 +2725,7 @@ def read_sstables(spark, in_dir: str, split_bytes: int = 64 * 1024 * 1024,
                     if c in ts_set:
                         # epoch-millis ints from the columnar decoder:
                         # one vectorized conversion per column
-                        data[c] = pd.to_datetime(
-                            pd.Series(acc[c], dtype="object"), unit="ms"
-                        )
+                        data[c] = _ms_series_to_datetime(acc[c])
                     else:
                         data[c] = pd.Series(acc[c], dtype="object")
                 out = pd.DataFrame(data, columns=cols)

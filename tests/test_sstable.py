@@ -649,6 +649,98 @@ class TestSparkIntegration:
         for k, c, v, n in rows:
             assert got[(k, c)] == (v, n)
 
+    def test_out_of_ns_range_timestamps_read_back(self, spark, tmp_path):
+        """Timestamps outside pandas' datetime64[ns] span (years
+        1677..2262) must survive the distributed read: the columnar
+        decoder's epoch-millis lane falls back to object-dtype
+        datetimes instead of raising OutOfBoundsDatetime (Cassandra
+        timestamps cover years 1..9999)."""
+        import datetime as dt
+
+        schema = SSTableSchema(
+            key_names=["k"], key_types=[_MARSHAL + "Int32Type"],
+            clustering_names=["c"],
+            clustering_types=[_MARSHAL + "Int32Type"],
+            regular=[("t", _MARSHAL + "TimestampType")],
+        )
+        want = {
+            0: dt.datetime(2500, 1, 1, 12, 0, 0),       # past ns max
+            1: dt.datetime(1600, 6, 15, 3, 30, 0),      # before ns min
+            2: dt.datetime(2024, 1, 1, 0, 0, 0),        # in range
+        }
+        parts = [_part(7, [_row(c, TS, t=v) for c, v in want.items()])]
+        write_sstable(str(tmp_path), 1, schema, parts)
+        got = {
+            r["ck0"]: r["t"].replace(tzinfo=None)
+            for r in read_sstables(spark, str(tmp_path)).collect()
+        }
+        assert got == want
+
+    def test_ms_series_fallback_is_exact(self):
+        """_ms_series_to_datetime: vectorized lane in range, exact
+        object-dtype fallback (including None cells) out of range."""
+        import datetime as dt
+
+        import pandas as pd
+
+        from cassandra_pmem_spark.sources.sstable import (
+            _ms_series_to_datetime,
+        )
+
+        fast = _ms_series_to_datetime([0, 86_400_000, None])
+        assert str(fast.dtype).startswith("datetime64")
+        assert fast[1] == pd.Timestamp(1970, 1, 2)
+        big = 16_725_225_600_000  # 2500-01-01 in epoch ms
+        slow = _ms_series_to_datetime([big, None, -11_676_096_000_000])
+        assert slow.dtype == object
+        assert slow[0] == dt.datetime(2500, 1, 1)
+        assert slow[1] is None
+        assert slow[2] == dt.datetime(1600, 1, 1)
+
+    def test_bulk_manifest_order_is_numeric(self, spark, tmp_path):
+        """bulk_write_sstables manifests come back in NUMERIC
+        generation order (bucket i == token interval i), not the
+        lexicographic path order that puts gen 10 before gen 2."""
+        from cassandra_pmem_spark.catalog import TableMeta
+        from pyspark.sql import types as T
+
+        schema = T.StructType([
+            T.StructField("k", T.IntegerType()),
+            T.StructField("v", T.StringType()),
+        ])
+        meta = TableMeta("t", schema, partition_key=("k",))
+        df = spark.createDataFrame(
+            [(k, str(k)) for k in range(200)], schema
+        )
+        out = str(tmp_path / "sst")
+        manifests = bulk_write_sstables(
+            df, meta, out, sstables=12, timestamp_micros=TS
+        )
+        gens = [
+            int(m["data_path"].rsplit("/", 1)[1].split("-")[1])
+            for m in manifests
+        ]
+        assert len(gens) > 10  # enough sstables to cross the 9->10 edge
+        assert gens == sorted(gens)
+
+    def test_exclusive_write_failure_leaves_no_residue(self, tmp_path):
+        """A claimed (exclusive=True) write that fails mid-
+        serialization must remove its placeholder: a 0-byte Data.db
+        with no companions would crash later directory reads and make
+        rerun tasks silently skip the generation."""
+        schema = _schema()
+        bad = [_part(1, [_row(0, TS, nope="x")])]  # undeclared column
+        with pytest.raises(ValueError, match="undeclared"):
+            write_sstable(str(tmp_path), 1, schema, bad, exclusive=True)
+        assert list(tmp_path.iterdir()) == []
+        # the generation is re-claimable after the failure
+        ok = write_sstable(
+            str(tmp_path), 1, schema,
+            [_part(1, [_row(0, TS, v="a", n=1)])], exclusive=True,
+        )
+        assert ok["rows"] == 1
+        assert (tmp_path / "na-1-big-Data.db").stat().st_size > 0
+
     def test_disjoint_token_ranges_per_sstable(self, spark, tmp_path):
         from cassandra_pmem_spark.catalog import TableMeta
         from cassandra_pmem_spark.cql.parser import _scalar_token
