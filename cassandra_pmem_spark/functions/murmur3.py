@@ -387,6 +387,13 @@ def _set_sort_key(v, dtype):
 
     if isinstance(dtype, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
         return (0, int(v), 0, b"")
+    if isinstance(dtype, T.TimestampType):
+        # TimestampType.compareCustom compares the epoch-millis LONGS by
+        # value (TimestampType.java:55-60); unsigned serialized-byte
+        # order would mis-sort pre-1970 (negative-millis) elements
+        import pandas as _pd
+
+        return (0, int(_pd.Timestamp(v).value // 1_000_000), 0, b"")
     if isinstance(dtype, (T.DoubleType, T.FloatType)):
         f = float(v)
         if math.isnan(f):

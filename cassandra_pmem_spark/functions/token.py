@@ -30,13 +30,18 @@ Hash selection:
   ArrayType maps to frozen<list>, MapType to frozen<map>, StructType to
   the frozen UDT/tuple form; tag a column 'frozen_set' via ``cql_types``
   for set element ordering (Spark has no set type). Element types must be
-  in the scalar covered set, excluding timestamp (whose exactness relies
-  on a JVM-side unix_millis pre-conversion that can't reach inside a
-  nested value). Also bit-exact.
-- keys containing a type with no covered serializer (e.g. nested
-  non-frozen semantics, timestamp elements inside collections) →
-  xxhash64 (JVM builtin): same query semantics (stable hash order),
-  different values. Documented deviation per SURVEY §2.8.
+  in the scalar covered set; TIMESTAMP elements are covered when the
+  session timezone is UTC (this engine pins it — session.get_spark):
+  Arrow then delivers nested timestamps to the kernel as exact naive-UTC
+  instants, so TimestampType.java's epoch-millis int64 is recovered
+  bit-exactly. Also bit-exact.
+- keys containing a type with no covered serializer (nested non-frozen
+  semantics, or timestamp elements under a NON-UTC session timezone —
+  Spark's nested Arrow transfer shifts those instants, measured on 4.1:
+  a naive 12:00 written under America/New_York arrives as 08:00, a
+  double offset, so exactness is unattainable there) → xxhash64 (JVM
+  builtin): same query semantics (stable hash order), different values.
+  Documented deviation per SURVEY §2.8.
 
 Timestamp columns pre-convert JVM-side through unix_millis, so the
 token is exact regardless of the session timezone.
@@ -80,19 +85,37 @@ def _component(col: str, dtype):
 
 
 # scalar types legal INSIDE frozen collections/UDTs. TimestampType is
-# excluded: its exactness relies on the JVM-side unix_millis pre-convert
-# (see _component), which cannot reach inside a nested value.
+# conditional: nested values skip the JVM-side unix_millis pre-convert
+# (see _component), so their exactness needs the session timezone to be
+# UTC — then Arrow hands the kernel naive-UTC instants whose epoch
+# millis are TimestampType.java's serialized form. Under a non-UTC
+# session, nested timestamps arrive offset (measured: a double shift on
+# Spark 4.1), so they stay on the xxhash64 fallback.
 _FROZEN_ELEM_TYPES = tuple(t for t in _MURMUR_TYPES if t is not T.TimestampType)
 
+_UTC_NAMES = {"UTC", "Etc/UTC", "GMT", "Etc/GMT", "+00:00", "Z"}
 
-def _frozen_ok(dt) -> bool:
+
+def _session_tz_is_utc() -> bool:
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    if s is None:
+        return False
+    return s.conf.get("spark.sql.session.timeZone", "UTC") in _UTC_NAMES
+
+
+def _frozen_ok(dt, allow_ts: bool) -> bool:
     """True when a complex dtype's every leaf is in the frozen covered set."""
     if isinstance(dt, T.ArrayType):
-        return _frozen_ok(dt.elementType)
+        return _frozen_ok(dt.elementType, allow_ts)
     if isinstance(dt, T.MapType):
-        return _frozen_ok(dt.keyType) and _frozen_ok(dt.valueType)
+        return (_frozen_ok(dt.keyType, allow_ts)
+                and _frozen_ok(dt.valueType, allow_ts))
     if isinstance(dt, T.StructType):
-        return all(_frozen_ok(f.dataType) for f in dt.fields)
+        return all(_frozen_ok(f.dataType, allow_ts) for f in dt.fields)
+    if isinstance(dt, T.TimestampType):
+        return allow_ts
     return isinstance(dt, _FROZEN_ELEM_TYPES)
 
 
@@ -112,19 +135,21 @@ def token_column(
     if schema is not None or cql_types:
         by_name = {f.name: f.dataType for f in schema.fields} if schema else {}
 
+        allow_ts = _session_tz_is_utc()
+
         def resolve(c: str):
             tag = (cql_types or {}).get(c)
             if tag in marshal_by_cql:
                 return marshal_by_cql[tag]()
             dt = by_name.get(c)
             if tag == "frozen_set" and isinstance(dt, T.ArrayType):
-                if _frozen_ok(dt.elementType):
+                if _frozen_ok(dt.elementType, allow_ts):
                     return FrozenSetMarshal(dt.elementType)
                 return None
             if isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
                 # bare complex dtypes map to frozen<list>/frozen<map>/UDT
                 # inside serialize_pk_value; gate on leaf-type coverage
-                return dt if _frozen_ok(dt) else None
+                return dt if _frozen_ok(dt, allow_ts) else None
             return dt
 
         dtypes = [resolve(c) for c in cols]

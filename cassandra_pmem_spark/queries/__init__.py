@@ -33,15 +33,21 @@ from pyspark.sql import DataFrame, SparkSession
 # is r8 or newer. Exactly 50 names.
 _PRIORITY: tuple[str, ...] = (
     # -- (1) new in round 13 (never driver-evidenced): the
-    # token-range-pruned distributed sstable scan
+    # token-range-pruned distributed sstable scan, and the frozen
+    # TIMESTAMP-element token lane (nested timestamps joined the
+    # murmur3 covered set under the pinned-UTC session)
     "source_sstable_pruned_scan",
+    "cql_token_scan_frozen_ts",
     # -- (2) stale-by-edit: round 13 touched their machinery — the
     # sstable wire codec fast paths (columnar reader, inlined cell
     # serializer, running-min stats, pyarrow LZ4 decode), the
     # WIDTH_BASE=64KiB promoted-index fix (wide_slice/pointread), the
-    # nb write path (version_interop now writes nb+na+md+ma), and the
+    # nb write path (version_interop now writes nb+na+md+ma), the
     # prepare-time timestamp/date literal parsing + UTC-gated Arrow
-    # log frame on the statement write path
+    # log frame on the statement write path, and the frozen-token
+    # resolver/_set_sort_key (timestamp elements)
+    "cql_token_scan_frozen",
+    "cql_token_scan_frozen_num",
     "source_sstable_roundtrip",
     "source_sstable_version_interop",
     "source_sstable_pointread",
@@ -91,9 +97,6 @@ _PRIORITY: tuple[str, ...] = (
     "virtual_system_tables",
     # -- (4) next-oldest (r9) fill to exactly 50
     "csv_roundtrip",
-    "cql_describe_schema",
-    "cql_udt_access",
-    "cql_select_json",
 )
 # Deliberately outside the window this round: everything with r9+
 # evidence and unchanged machinery. The statement-write edits

@@ -442,6 +442,91 @@ def _token_frozen_num_oracle() -> str:
     )
 
 
+def cql_token_scan_frozen_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """token() over frozen shapes with TIMESTAMP elements — the lane the
+    covered set gained once nested timestamps were proven exact under
+    the pinned-UTC session (functions/token.py: Arrow delivers them
+    naive-UTC, so TimestampType.java's epoch-millis int64 is recovered
+    bit-exactly inside CollectionSerializer.pack / TupleType.buildValue
+    wire forms). Set elements sort by VALUE (TimestampType.java:55-60
+    compares the longs), so the pre-1970 negative-millis element must
+    pack FIRST despite its sign bit making it byte-greatest; elements
+    are built positive-first to prove the sort runs. Timestamps come
+    from timestamp_millis over integer arithmetic so the DuckDB twin
+    reconstructs the exact serialization without timezone functions."""
+    from cassandra_pmem_spark.functions.token import token_column
+
+    k = F.col("c_custkey").cast("bigint")
+    cust = load_table(spark, "customer", sf_dir).filter(F.col("c_custkey") < 400)
+    df = cust.select(
+        "c_custkey",
+        F.array(
+            F.timestamp_millis(k * 1000003 - 200000000000),
+            F.timestamp_millis(k * 86400000),
+        ).alias("lt"),  # frozen<list<timestamp>>
+        F.array(
+            F.timestamp_millis(k * 777),  # positive-first: sort must run
+            F.timestamp_millis(k * -999983),  # pre-1970
+        ).alias("st"),  # frozen<set<timestamp>>
+        F.struct(
+            F.timestamp_millis(k * 3600000).alias("t"),
+            (k % 23 - 11).cast("int").alias("n"),
+        ).alias("ut"),  # frozen UDT (timestamp, int)
+    )
+    return (
+        df.withColumn("t_lts", token_column(["lt"], df.schema))
+        .withColumn(
+            "t_sts", token_column(["st"], df.schema, cql_types={"st": "frozen_set"})
+        )
+        .withColumn("t_uts", token_column(["ut"], df.schema))
+        .select("c_custkey", "t_lts", "t_sts", "t_uts")
+        .orderBy("t_lts")
+    )
+
+
+def _token_frozen_ts_oracle() -> str:
+    from cassandra_pmem_spark.functions.murmur3 import (
+        fixed_layout_byte_exprs,
+        murmur3_token_general_subquery,
+    )
+
+    def i32len(n: int) -> list:
+        return [("const", b) for b in n.to_bytes(4, "big", signed=True)]
+
+    src = "(SELECT c_custkey FROM customer WHERE c_custkey < 400)"
+    # frozen<list<timestamp>>: count 2, 8-byte epoch-millis elements
+    exprs, flen = fixed_layout_byte_exprs(
+        i32len(2)
+        + i32len(8)
+        + [("be", "c_custkey::BIGINT * 1000003 - 200000000000", 8)]
+        + i32len(8) + [("be", "c_custkey::BIGINT * 86400000", 8)]
+    )
+    s1 = murmur3_token_general_subquery(
+        src, exprs, str(flen), ["c_custkey"], "t_lts", fixed_len=flen
+    )
+    # frozen<set<timestamp>>: value order → the pre-1970 element first
+    exprs, flen = fixed_layout_byte_exprs(
+        i32len(2)
+        + i32len(8) + [("be", "c_custkey::BIGINT * -999983", 8)]
+        + i32len(8) + [("be", "c_custkey::BIGINT * 777", 8)]
+    )
+    s2 = murmur3_token_general_subquery(
+        s1, exprs, str(flen), ["c_custkey", "t_lts"], "t_sts", fixed_len=flen
+    )
+    # frozen UDT (timestamp, int): length-prefixed fields, no count
+    exprs, flen = fixed_layout_byte_exprs(
+        i32len(8) + [("be", "c_custkey::BIGINT * 3600000", 8)]
+        + i32len(4) + [("be", "c_custkey % 23 - 11", 4)]
+    )
+    s3 = murmur3_token_general_subquery(
+        s2, exprs, str(flen), ["c_custkey", "t_lts", "t_sts"], "t_uts",
+        fixed_len=flen,
+    )
+    return (
+        f"SELECT c_custkey, t_lts, t_sts, t_uts FROM {s3} ORDER BY t_lts"
+    )
+
+
 def cql_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONTAINS on a set<text> column (Operator.java:117) — the collection is
     materialized per partition (collect_set), then filtered."""
@@ -953,6 +1038,10 @@ QUERIES = {
     "cql_token_scan_frozen_num": (
         cql_token_scan_frozen_num,
         _token_frozen_num_oracle(),
+    ),
+    "cql_token_scan_frozen_ts": (
+        cql_token_scan_frozen_ts,
+        _token_frozen_ts_oracle(),
     ),
     "cql_collection_writetime": (
         cql_collection_writetime,

@@ -648,10 +648,12 @@ class TestMurmur3Frozen:
                 serialize_pk_value(tuple(r.fu), st)
             )
 
-    def test_timestamp_element_falls_back_to_xxhash(self, spark):
-        # timestamps are exact only through the JVM-side unix_millis
-        # pre-convert, which can't reach inside a nested value — such keys
-        # must take the type-blind xxhash64 path, not a wrong murmur3
+    def test_timestamp_element_tz_gate(self, spark):
+        # nested timestamps are exact only when Arrow delivers them
+        # naive-UTC, i.e. under a UTC session timezone (which this
+        # engine pins). Under any other tz the transfer shifts the
+        # instant, so the key must take the type-blind xxhash64 path —
+        # not a wrong murmur3
         from pyspark.sql import functions as F
 
         from cassandra_pmem_spark.functions.token import token_column
@@ -659,8 +661,76 @@ class TestMurmur3Frozen:
         df = spark.range(1, 4).select(
             F.array(F.current_timestamp()).alias("ft"), F.col("id")
         )
+        old = spark.conf.get("spark.sql.session.timeZone")
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        try:
+            expr = token_column(["ft"], df.schema)
+            assert "xxhash64" in str(expr).lower()
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", old)
         expr = token_column(["ft"], df.schema)
-        assert "xxhash64" in str(expr).lower()
+        assert "xxhash64" not in str(expr).lower()
+
+    def test_timestamp_elements_bit_exact_under_utc(self, spark):
+        """Frozen list/set/UDT with TIMESTAMP leaves under the pinned
+        UTC session: tokens must equal the Murmur3 of the reference
+        serialization built from the KNOWN epoch millis (independent of
+        the Arrow transfer), with pre-1970 set elements sorting by
+        VALUE (TimestampType.java compares the longs)."""
+        import struct
+
+        from pyspark.sql import functions as F
+
+        from cassandra_pmem_spark.functions.murmur3 import (
+            murmur3_token_bytes_py,
+        )
+        from cassandra_pmem_spark.functions.token import token_column
+
+        k = F.col("id")
+        df = spark.range(1, 12).select(
+            "id",
+            F.array(
+                F.timestamp_millis(k * 1000003 - 200_000_000_000)
+            ).alias("ft"),
+            # positive-first: the set serializer must re-sort by value
+            F.array(
+                F.timestamp_millis(k * 777),
+                F.timestamp_millis(k * -999983),
+            ).alias("fst"),
+            F.struct(
+                F.timestamp_millis(k * 86_400_000).alias("t"),
+                k.cast("int").alias("n"),
+            ).alias("fu"),
+        )
+        out = (
+            df.withColumn("t_list", token_column(["ft"], df.schema))
+            .withColumn(
+                "t_set",
+                token_column(["fst"], df.schema, cql_types={"fst": "frozen_set"}),
+            )
+            .withColumn("t_udt", token_column(["fu"], df.schema))
+            .collect()
+        )
+
+        def pack(ms_list):
+            return struct.pack(">i", len(ms_list)) + b"".join(
+                struct.pack(">i", 8) + struct.pack(">q", ms)
+                for ms in ms_list
+            )
+
+        for r in out:
+            i = r.id
+            assert r.t_list == murmur3_token_bytes_py(
+                pack([i * 1000003 - 200_000_000_000])
+            )
+            # value order: the negative (pre-1970) element packs first
+            assert r.t_set == murmur3_token_bytes_py(
+                pack(sorted([i * 777, i * -999983]))
+            )
+            assert r.t_udt == murmur3_token_bytes_py(
+                struct.pack(">i", 8) + struct.pack(">q", i * 86_400_000)
+                + struct.pack(">i", 4) + struct.pack(">i", i)
+            )
 
     def test_frozen_twin_matches_port(self):
         import duckdb
