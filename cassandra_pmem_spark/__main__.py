@@ -291,7 +291,126 @@ def main(argv: list[str] | None = None) -> int:
         "next index position, survivors re-written at the current "
         "version (tools/bin/sstablescrub analog); no Spark session",
     )
+    ap.add_argument(
+        "--sstablelevelreset",
+        metavar="DIR",
+        help="reset every sstable's leveled-compaction level to 0 by "
+        "patching the STATS metadata in place "
+        "(tools/bin/sstablelevelreset analog); no Spark session",
+    )
+    ap.add_argument(
+        "--sstablerepairedset",
+        metavar="PATH",
+        help="mark a *-Data.db (or directory) repaired/unrepaired by "
+        "patching repairedAt in the STATS metadata "
+        "(tools/bin/sstablerepairedset analog — repaired stamps the "
+        "file's mtime millis, unrepaired stamps 0); pair with "
+        "--is-unrepaired to clear; no Spark session",
+    )
+    ap.add_argument(
+        "--is-unrepaired",
+        action="store_true",
+        help="with --sstablerepairedset: stamp repairedAt = 0 instead "
+        "of the Data.db mtime",
+    )
+    ap.add_argument(
+        "--sstableexpiredblockers",
+        metavar="DIR",
+        help="report which sstables block fully-expired ones from being "
+        "dropped (tools/bin/sstableexpiredblockers analog); set the "
+        "grace window with --gc-grace-seconds",
+    )
+    ap.add_argument(
+        "--gc-grace-seconds",
+        type=int,
+        default=864000,
+        help="with --sstableexpiredblockers: gc_grace_seconds "
+        "(default 864000 — TableParams.DEFAULT_GC_GRACE_SECONDS)",
+    )
+    ap.add_argument(
+        "--sstableofflinerelevel",
+        metavar="DIR",
+        help="rebuild the leveled-compaction hierarchy from key ranges "
+        "(tools/bin/sstableofflinerelevel analog); pair with --dry-run "
+        "to only print the would-be leveling",
+    )
+    ap.add_argument(
+        "--dry-run",
+        action="store_true",
+        help="with --sstableofflinerelevel: print the leveling without "
+        "mutating any sstable",
+    )
     args = ap.parse_args(argv)
+
+    if args.sstablelevelreset:
+        from cassandra_pmem_spark.sources.sstable import reset_sstable_level
+
+        for p in sorted(
+            os.path.join(args.sstablelevelreset, f)
+            for f in os.listdir(args.sstablelevelreset)
+            if f.endswith("-Data.db")
+        ):
+            m = reset_sstable_level(p)
+            print(
+                f"Skipped {os.path.basename(p)} since it is already on "
+                f"level 0"
+                if m["skipped"]
+                else f"Changing level from {m['old_level']} to 0 on "
+                f"{os.path.basename(p)}"
+            )
+        return 0
+
+    if args.sstablerepairedset:
+        from cassandra_pmem_spark.sources.sstable import set_sstable_repaired
+
+        target = args.sstablerepairedset
+        paths = (
+            sorted(
+                os.path.join(target, f)
+                for f in os.listdir(target)
+                if f.endswith("-Data.db")
+            )
+            if os.path.isdir(target)
+            else [target]
+        )
+        for p in paths:
+            m = set_sstable_repaired(p, repaired=not args.is_unrepaired)
+            print(
+                f"{os.path.basename(p)}: repairedAt "
+                f"{m['old_repaired_at']} -> {m['new_repaired_at']}"
+            )
+        return 0
+
+    if args.sstableexpiredblockers:
+        from cassandra_pmem_spark.sources.sstable import (
+            sstable_expired_blockers,
+        )
+
+        rows = sstable_expired_blockers(
+            args.sstableexpiredblockers, args.gc_grace_seconds
+        )
+        for r in rows:
+            print(
+                f"{os.path.basename(r['blocker'])} blocks {r['blocks']} "
+                f"expired sstables from getting dropped: "
+                + ", ".join(os.path.basename(b) for b in r["blocked"])
+            )
+        if not rows:
+            print("No expired sstables are blocked")
+        return 0
+
+    if args.sstableofflinerelevel:
+        from cassandra_pmem_spark.sources.sstable import offline_relevel
+
+        res = offline_relevel(
+            args.sstableofflinerelevel, dry_run=args.dry_run
+        )
+        print("Potential leveling: " if args.dry_run else "New leveling: ")
+        for lv, n in res["level_counts"].items():
+            print(f"L{lv}={n}")
+        if not args.dry_run:
+            print(f"Mutated {res['mutated']} sstables")
+        return 0
 
     if args.sstablesplit:
         from cassandra_pmem_spark.sources.sstable import split_sstable

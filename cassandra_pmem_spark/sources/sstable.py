@@ -4105,6 +4105,197 @@ def split_sstable(data_path: str, out_dir: str,
     return manifests
 
 
+def mutate_sstable_metadata(data_path: str, level: int | None = None,
+                            repaired_at: int | None = None) -> dict:
+    """MetadataSerializer.mutateLevel / mutateRepairMetadata analog
+    (io/sstable/metadata/MetadataSerializer.java:222-245, which
+    deserializes, mutates, and rewrites Statistics.db): sstableLevel
+    (int32) and repairedAt (int64) are a fixed-width window inside the
+    STATS component, so this patches the 12 bytes in place and
+    refreshes the component CRC (hasMetadataChecksum >= na; ma..md
+    carry no metadata checksums). Returns the old/new values."""
+    base = data_path[: -len("Data.db")]
+    ver = version_from_path(data_path)
+    stats_path = base + "Statistics.db"
+    with open(stats_path, "rb") as f:
+        blob = bytearray(f.read())
+    _stats, hdr = parse_statistics(bytes(blob), version=ver.name)
+    sm = hdr.get("stats_metadata")
+    if sm is None:
+        raise ValueError(f"{stats_path} has no STATS component")
+    checksum = ver.has_metadata_checksum
+    r = ByteReader(bytes(blob))
+    count = r.i32()
+    if checksum:
+        r.take(4)
+    toc = [(r.i32(), r.i32()) for _ in range(count)]
+    start = dict(toc)[_TYPE_STATS]
+    ends = sorted(p for _t, p in toc) + [len(blob)]
+    end = min(p for p in ends if p > start)
+    body_end = end - 4 if checksum else end
+    off = start + sm["_level_offset"]
+    new_level = sm["sstable_level"] if level is None else int(level)
+    new_rep = sm["repaired_at"] if repaired_at is None else int(repaired_at)
+    blob[off:off + 4] = struct.pack(">i", new_level)
+    blob[off + 4:off + 12] = struct.pack(">q", new_rep)
+    if checksum:
+        blob[body_end:end] = struct.pack(
+            ">I", zlib.crc32(bytes(blob[start:body_end]))
+        )
+    with open(stats_path, "wb") as f:
+        f.write(bytes(blob))
+    return {
+        "old_level": sm["sstable_level"], "new_level": new_level,
+        "old_repaired_at": sm["repaired_at"], "new_repaired_at": new_rep,
+    }
+
+
+def reset_sstable_level(data_path: str) -> dict:
+    """One sstable's leg of tools/bin/sstablelevelreset
+    (SSTableLevelResetter.java:85-96): drop the leveled-compaction
+    level back to 0 (skips the rewrite when already 0, like the
+    tool)."""
+    ver = version_from_path(data_path)
+    base = data_path[: -len("Data.db")]
+    with open(base + "Statistics.db", "rb") as f:
+        _s, hdr = parse_statistics(f.read(), version=ver.name)
+    if hdr["stats_metadata"]["sstable_level"] == 0:
+        return {"old_level": 0, "new_level": 0, "skipped": True}
+    out = mutate_sstable_metadata(data_path, level=0)
+    return {k: out[k] for k in ("old_level", "new_level")} | {"skipped": False}
+
+
+def set_sstable_repaired(data_path: str, repaired: bool) -> dict:
+    """One sstable's leg of tools/bin/sstablerepairedset
+    (SSTableRepairedAtSetter.java:85-96): --is-repaired stamps
+    repairedAt with the Data.db file's mtime millis, --is-unrepaired
+    stamps 0 (ActiveRepairService.UNREPAIRED_SSTABLE)."""
+    ms = int(os.path.getmtime(data_path) * 1000) if repaired else 0
+    return mutate_sstable_metadata(data_path, repaired_at=ms)
+
+
+def sstable_expired_blockers(sst_dir: str, gc_grace_seconds: int,
+                             now_seconds: int | None = None) -> list[dict]:
+    """tools/bin/sstableexpiredblockers analog
+    (SSTableExpiredBlockers.checkForExpiredSSTableBlockers:104-120): an
+    sstable whose maxLocalDeletionTime < gcBefore is fully expired and
+    droppable — unless another sstable overlaps it in TIME
+    (minTimestamp <= expired.maxTimestamp) while itself still live
+    (maxLocalDeletionTime > gcBefore); such sstables block the drop.
+    Returns one row per blocker with the expired sstables it blocks."""
+    import time as _time
+
+    gc_before = (
+        int(_time.time()) if now_seconds is None else now_seconds
+    ) - gc_grace_seconds
+    infos = []
+    for f in sorted(os.listdir(sst_dir)):
+        if not f.endswith("-Data.db"):
+            continue
+        path = os.path.join(sst_dir, f)
+        ver = version_from_path(path)
+        with open(path[: -len("Data.db")] + "Statistics.db", "rb") as fh:
+            _s, hdr = parse_statistics(fh.read(), version=ver.name)
+        sm = hdr["stats_metadata"]
+        infos.append({
+            "path": path,
+            "min_ts": sm["min_timestamp"],
+            "max_ts": sm["max_timestamp"],
+            "max_ldt": sm["max_local_deletion_time"],
+        })
+    blockers: dict[str, list[str]] = {}
+    for s in infos:
+        if s["max_ldt"] >= gc_before:
+            continue  # not fully expired
+        for p in infos:
+            if (p["path"] != s["path"]
+                    and p["min_ts"] <= s["max_ts"]
+                    and p["max_ldt"] > gc_before):
+                blockers.setdefault(p["path"], []).append(s["path"])
+    return [
+        {"blocker": k, "blocks": len(v), "blocked": sorted(v)}
+        for k, v in sorted(blockers.items())
+    ]
+
+
+def offline_relevel(sst_dir: str, dry_run: bool = False) -> dict:
+    """tools/bin/sstableofflinerelevel analog
+    (SSTableOfflineRelevel.Relevel.relevel:165-228): sort sstables by
+    LAST key in (token, key) order, repeatedly sweep off maximal
+    non-overlapping runs (each run becomes one level), cap at
+    ceil(log10(n)) levels with the overflow going to L0, then number
+    the runs top-down (the first run built is the HIGHEST level) and
+    mutate each sstable's level. Key ranges come from Summary.db's
+    first/last keys decorated with the Murmur3 token — the same
+    DecoratedKey comparison the reference sorts by."""
+    import math as _m
+
+    from cassandra_pmem_spark.functions.murmur3 import (
+        murmur3_token_bytes_py,
+    )
+
+    ssts = []
+    for f in sorted(os.listdir(sst_dir)):
+        if not f.endswith("-Data.db"):
+            continue
+        path = os.path.join(sst_dir, f)
+        base = path[: -len("Data.db")]
+        ver = version_from_path(path)
+        with open(base + "Summary.db", "rb") as fh:
+            summ = read_summary(fh.read())
+        with open(base + "Statistics.db", "rb") as fh:
+            _s, hdr = parse_statistics(fh.read(), version=ver.name)
+        ssts.append({
+            "path": path,
+            "first": (murmur3_token_bytes_py(summ["first"]), summ["first"]),
+            "last": (murmur3_token_bytes_py(summ["last"]), summ["last"]),
+            "level": hdr["stats_metadata"]["sstable_level"],
+        })
+    if not ssts:
+        raise ValueError(f"no *-Data.db under {sst_dir!r}")
+    # Relevel's constructor: ceil(log10(n)) — 0 for a single sstable,
+    # which then overflows it to L0 exactly like the reference
+    approx_expected = int(_m.ceil(_m.log10(len(ssts))))
+    pending = sorted(ssts, key=lambda s: s["last"])
+    levels: list[list[dict]] = []
+    while pending:
+        run, rest, last_last = [], [], None
+        for s in pending:
+            if last_last is None or last_last < s["first"]:
+                run.append(s)
+                last_last = s["last"]
+            else:
+                rest.append(s)
+        levels.append(run)
+        pending = rest
+    l0 = []
+    if approx_expected < len(levels):
+        for lv in levels[approx_expected:]:
+            l0.extend(lv)
+        levels = levels[:approx_expected]
+    assignment = {s["path"]: 0 for s in l0}
+    # levels[0] is the highest: level number = len(levels) - i
+    for i, lv in enumerate(levels):
+        for s in lv:
+            assignment[s["path"]] = len(levels) - i
+    changed = 0
+    if not dry_run:
+        for s in ssts:
+            new = assignment[s["path"]]
+            if new != s["level"]:
+                mutate_sstable_metadata(s["path"], level=new)
+                changed += 1
+    counts: dict[int, int] = {}
+    for lv in assignment.values():
+        counts[lv] = counts.get(lv, 0) + 1
+    return {
+        "levels": assignment,
+        "level_counts": dict(sorted(counts.items())),
+        "mutated": changed,
+        "dry_run": dry_run,
+    }
+
+
 def distributed_sstable_maintenance(spark, in_dir: str, tool: str,
                                     out_dir: str | None = None,
                                     **tool_kwargs):
@@ -4116,14 +4307,17 @@ def distributed_sstable_maintenance(spark, in_dir: str, tool: str,
     embarrassingly: a task reads only ITS files and writes only ITS
     outputs.
 
-    tool: 'verify' | 'upgrade' | 'scrub' | 'split'. Returns a DataFrame
-    of per-sstable result rows (path, ok, detail) collected lazily —
-    .collect() runs the fleet."""
+    tool: 'verify' | 'upgrade' | 'scrub' | 'split' | 'levelreset' |
+    'repairedset' (the last two mutate STATS metadata in place — each
+    task owns its sstable's Statistics.db, so the fleet is write-safe).
+    Returns a DataFrame of per-sstable result rows (path, ok, detail)
+    collected lazily — .collect() runs the fleet."""
     from pyspark.sql import types as T
 
-    if tool not in ("verify", "upgrade", "scrub", "split"):
+    in_place = ("verify", "levelreset", "repairedset")
+    if tool not in ("upgrade", "scrub", "split") + in_place:
         raise ValueError(f"unknown sstable tool {tool!r}")
-    if tool != "verify" and not out_dir:
+    if tool not in in_place and not out_dir:
         raise ValueError(f"tool {tool!r} needs out_dir")
     datas = sorted(
         os.path.join(in_dir, f)
@@ -4152,6 +4346,20 @@ def distributed_sstable_maintenance(spark, in_dir: str, tool: str,
                     if tool == "verify":
                         lines = verify_sstable(path, **tool_kwargs)
                         rows.append((path, True, lines[-1]))
+                    elif tool == "levelreset":
+                        m = reset_sstable_level(path)
+                        rows.append((
+                            path, True,
+                            "already level 0" if m["skipped"]
+                            else f"level {m['old_level']} -> 0",
+                        ))
+                    elif tool == "repairedset":
+                        m = set_sstable_repaired(path, **tool_kwargs)
+                        rows.append((
+                            path, True,
+                            f"repairedAt {m['old_repaired_at']} -> "
+                            f"{m['new_repaired_at']}",
+                        ))
                     elif tool == "upgrade":
                         m = upgrade_sstable(path, out_dir, **tool_kwargs)
                         rows.append((path, True, m["data_path"]))
@@ -4265,6 +4473,11 @@ def parse_stats_component(blob: bytes, schema: SSTableSchema,
     out["tombstone_drop_times"] = [
         (struct.unpack(">d", r.take(8))[0], r.i64()) for _ in range(n)
     ]
+    # byte offset of the (sstableLevel int32, repairedAt int64) pair
+    # inside THIS component body — the fixed-width window the metadata
+    # mutation tools (sstablelevelreset / sstablerepairedset analogs)
+    # patch in place (MetadataSerializer.mutateLevel/mutateRepairedAt)
+    out["_level_offset"] = r.pos
     out["sstable_level"] = r.i32()
     out["repaired_at"] = r.i64()
     for name in ("min_clustering_values", "max_clustering_values"):

@@ -2961,3 +2961,231 @@ class TestPromotedIndex:
             str(tmp_path / "na-1-big-Data.db"), extended=True
         )
         assert any("Verified 1 partitions" in ln for ln in lines)
+
+
+class TestMetadataMutation:
+    """The STATS-mutating offline tool family: sstablelevelreset /
+    sstablerepairedset (MetadataSerializer.mutateLevel /
+    mutateRepairMetadata, MetadataSerializer.java:222-245) plus the
+    read-only sstableexpiredblockers and the releveling
+    sstableofflinerelevel (tools/SSTable*.java)."""
+
+    def _write(self, tmp_path, gen=1, version="na", keys=range(8)):
+        from cassandra_pmem_spark.functions.murmur3 import (
+            murmur3_token_bytes_py,
+        )
+
+        schema = _schema()
+        import struct as _st
+
+        ks = sorted(
+            keys, key=lambda k: murmur3_token_bytes_py(_st.pack(">i", k))
+        )
+        parts = [_part(k, [_row(0, TS, v=str(k), n=k)]) for k in ks]
+        return write_sstable(str(tmp_path), gen, schema, parts,
+                             version=version)
+
+    def _stats(self, data_path):
+        from cassandra_pmem_spark.sources.sstable import (
+            parse_statistics, version_from_path,
+        )
+
+        ver = version_from_path(data_path)
+        with open(data_path[:-len("Data.db")] + "Statistics.db", "rb") as f:
+            _s, hdr = parse_statistics(f.read(), version=ver.name)
+        return hdr["stats_metadata"]
+
+    @pytest.mark.parametrize("version", ["na", "md"])
+    def test_mutate_level_and_repaired_roundtrip(self, tmp_path, version):
+        """Patch both fields, keep everything else byte-stable: the
+        checksummed (na) and checksum-free (md) containers both
+        re-parse cleanly and verification still passes."""
+        from cassandra_pmem_spark.sources.sstable import (
+            mutate_sstable_metadata, verify_sstable,
+        )
+
+        m = self._write(tmp_path, version=version)
+        before = self._stats(m["data_path"])
+        assert before["sstable_level"] == 0
+        assert before["repaired_at"] == 0
+        out = mutate_sstable_metadata(
+            m["data_path"], level=3, repaired_at=1234567890123
+        )
+        assert (out["old_level"], out["new_level"]) == (0, 3)
+        after = self._stats(m["data_path"])
+        assert after["sstable_level"] == 3
+        assert after["repaired_at"] == 1234567890123
+        # the rest of the STATS component is untouched
+        for k in ("min_timestamp", "max_timestamp", "total_rows"):
+            assert after[k] == before[k]
+        if version == "na":  # verify re-walks the metadata checksums
+            assert verify_sstable(m["data_path"])
+
+    def test_level_reset_skips_level_zero(self, tmp_path):
+        from cassandra_pmem_spark.sources.sstable import (
+            mutate_sstable_metadata, reset_sstable_level,
+        )
+
+        m = self._write(tmp_path)
+        assert reset_sstable_level(m["data_path"])["skipped"] is True
+        mutate_sstable_metadata(m["data_path"], level=5)
+        out = reset_sstable_level(m["data_path"])
+        assert (out["old_level"], out["new_level"]) == (5, 0)
+        assert self._stats(m["data_path"])["sstable_level"] == 0
+
+    def test_repaired_set_stamps_mtime_and_zero(self, tmp_path):
+        from cassandra_pmem_spark.sources.sstable import (
+            set_sstable_repaired,
+        )
+        import os as _os
+
+        m = self._write(tmp_path)
+        want = int(_os.path.getmtime(m["data_path"]) * 1000)
+        out = set_sstable_repaired(m["data_path"], repaired=True)
+        assert out["new_repaired_at"] == want
+        assert self._stats(m["data_path"])["repaired_at"] == want
+        out = set_sstable_repaired(m["data_path"], repaired=False)
+        assert out["new_repaired_at"] == 0
+
+    def test_expired_blockers(self, tmp_path):
+        """One fully-TTL-expired sstable, one live sstable overlapping
+        it in time -> the live one blocks the drop
+        (SSTableExpiredBlockers.checkForExpiredSSTableBlockers:
+        minTimestamp <= expired.maxTimestamp and own maxLDT still past
+        the grace cutoff)."""
+        from cassandra_pmem_spark.functions.murmur3 import (
+            murmur3_token_bytes_py,
+        )
+        from cassandra_pmem_spark.sources.sstable import (
+            sstable_expired_blockers,
+        )
+        import struct as _st
+
+        schema = _schema()
+        ks = sorted(
+            range(4), key=lambda k: murmur3_token_bytes_py(_st.pack(">i", k))
+        )
+        # gen 1: every cell and row liveness expires at LDT 1000
+        expired_parts = []
+        for k in ks:
+            r = RowData(
+                clustering=[0], liveness_timestamp=TS,
+                liveness_ttl=60, liveness_expiration=1000,
+            )
+            r.cells["v"] = CellValue(
+                value="x", timestamp=TS, ttl=60, local_deletion_time=1000
+            )
+            expired_parts.append(PartitionData(key_values=[k], rows=[r]))
+        write_sstable(str(tmp_path), 1, schema, expired_parts)
+        # gen 2: live data (maxLDT = NO_DELETION_TIME), min_ts == TS
+        write_sstable(
+            str(tmp_path), 2, schema,
+            [_part(k, [_row(0, TS, v="y", n=k)]) for k in ks],
+        )
+        rows = sstable_expired_blockers(
+            str(tmp_path), gc_grace_seconds=0, now_seconds=10_000
+        )
+        assert len(rows) == 1
+        assert rows[0]["blocker"].endswith("na-2-big-Data.db")
+        assert rows[0]["blocked"] == [str(tmp_path / "na-1-big-Data.db")]
+        # within the grace window nothing is expired yet
+        assert sstable_expired_blockers(
+            str(tmp_path), gc_grace_seconds=900_000, now_seconds=10_000
+        ) == []
+
+    def test_offline_relevel(self, tmp_path):
+        """Six sstables: three token-disjoint slices + three copies of
+        the full range. The non-overlapping slices sweep off into one
+        run (the highest level); with ceil(log10(6)) = 1 level kept,
+        the full-range sstables land in L0."""
+        from cassandra_pmem_spark.functions.murmur3 import (
+            murmur3_token_bytes_py,
+        )
+        from cassandra_pmem_spark.sources.sstable import offline_relevel
+        import struct as _st
+
+        ks = sorted(
+            range(12), key=lambda k: murmur3_token_bytes_py(_st.pack(">i", k))
+        )
+        schema = _schema()
+        gen = 0
+        for lo in (0, 4, 8):  # token-disjoint contiguous slices
+            gen += 1
+            write_sstable(
+                str(tmp_path), gen, schema,
+                [_part(k, [_row(0, TS, v="a", n=k)]) for k in ks[lo:lo + 4]],
+            )
+        for _ in range(3):  # full-range sstables overlap everything
+            gen += 1
+            write_sstable(
+                str(tmp_path), gen, schema,
+                [_part(k, [_row(0, TS, v="b", n=k)]) for k in ks],
+            )
+        res = offline_relevel(str(tmp_path), dry_run=True)
+        assert res["dry_run"] is True and res["mutated"] == 0
+        assert all(
+            self._stats(p)["sstable_level"] == 0 for p in res["levels"]
+        )
+        res = offline_relevel(str(tmp_path))
+        # the three disjoint slices form the kept run -> level 1
+        for g in (1, 2, 3):
+            p = str(tmp_path / f"na-{g}-big-Data.db")
+            assert res["levels"][p] == 1
+            assert self._stats(p)["sstable_level"] == 1
+        for g in (4, 5, 6):
+            p = str(tmp_path / f"na-{g}-big-Data.db")
+            assert res["levels"][p] == 0
+        assert res["level_counts"] == {0: 3, 1: 3}
+
+    def test_offline_relevel_single_sstable_goes_l0(self, tmp_path):
+        """ceil(log10(1)) = 0 expected levels, so the lone run
+        overflows to L0 — the reference's exact arithmetic."""
+        from cassandra_pmem_spark.sources.sstable import offline_relevel
+
+        self._write(tmp_path)
+        res = offline_relevel(str(tmp_path), dry_run=True)
+        assert res["level_counts"] == {0: 1}
+
+    def test_distributed_levelreset_and_repairedset(self, spark, tmp_path):
+        from cassandra_pmem_spark.sources.sstable import (
+            distributed_sstable_maintenance, mutate_sstable_metadata,
+        )
+
+        m1 = self._write(tmp_path, gen=1, keys=range(4))
+        m2 = self._write(tmp_path, gen=2, keys=range(4, 8))
+        mutate_sstable_metadata(m1["data_path"], level=4)
+        rows = distributed_sstable_maintenance(
+            spark, str(tmp_path), "levelreset"
+        ).collect()
+        assert sorted((r.ok, r.detail) for r in rows) == [
+            (True, "already level 0"), (True, "level 4 -> 0"),
+        ]
+        assert self._stats(m1["data_path"])["sstable_level"] == 0
+        rows = distributed_sstable_maintenance(
+            spark, str(tmp_path), "repairedset", repaired=True
+        ).collect()
+        assert all(r.ok for r in rows) and len(rows) == 2
+        for m in (m1, m2):
+            assert self._stats(m["data_path"])["repaired_at"] > 0
+
+    def test_cli_levelreset_and_blockers(self, tmp_path, capsys):
+        from cassandra_pmem_spark.__main__ import main
+        from cassandra_pmem_spark.sources.sstable import (
+            mutate_sstable_metadata,
+        )
+
+        m = self._write(tmp_path)
+        mutate_sstable_metadata(m["data_path"], level=2)
+        assert main(["--sstablelevelreset", str(tmp_path)]) == 0
+        out = capsys.readouterr().out
+        assert "Changing level from 2 to 0" in out
+        assert main(["--sstableexpiredblockers", str(tmp_path)]) == 0
+        assert "No expired sstables are blocked" in capsys.readouterr().out
+        assert main(
+            ["--sstablerepairedset", str(tmp_path), "--is-unrepaired"]
+        ) == 0
+        assert "repairedAt" in capsys.readouterr().out
+        assert main(
+            ["--sstableofflinerelevel", str(tmp_path), "--dry-run"]
+        ) == 0
+        assert "Potential leveling" in capsys.readouterr().out
