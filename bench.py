@@ -97,6 +97,24 @@ TIER2 = [
 ]
 
 
+def _cpu_probe_s() -> float:
+    """Fixed single-thread busy loop (~1 s on this box at full clocks):
+    a host-speed calibration constant stored with every snapshot. The
+    loadavg gate can only see GUEST contention; this catches what it
+    can't — virtualization-host contention / frequency windows, which
+    measured 1.05 s vs 1.9 s for this exact loop across two same-day
+    windows (a uniform ~1.8x wall-clock skew on otherwise identical
+    runs). Compare snapshots' cpu_probe_s before comparing their
+    seconds."""
+    import time as _t
+
+    t0 = _t.perf_counter()
+    s = 0
+    for i in range(20_000_000):
+        s += i
+    return round(_t.perf_counter() - t0, 3)
+
+
 def _machine_load() -> dict:
     """Measurement-hygiene metadata: loadavg + how many OTHER runnable
     processes compete for the CPUs. Two rounds produced load-contaminated
@@ -236,6 +254,7 @@ def main() -> None:
         "end": load_end,
         "max_load_gate": max_load,
         "quiet_wait": quiet_wait,
+        "cpu_probe_s": _cpu_probe_s(),
         "contaminated": contaminated,
     }
     # the stored snapshot is the sf0.1 trend line: a quick sf0.01 CLI
