@@ -24,13 +24,13 @@ from pyspark.sql import DataFrame, SparkSession
 # First-50 window budget, rotated by STALENESS each round (COVERAGE.md
 # rule: edited since last green driver evidence ⇒ re-enter the window;
 # never-evidenced entries outrank everything).
-# Round-12 layout: (1) the four NEW round-12 queries (never evidenced);
-# (2) stale-by-edit — the seven queries whose machinery round 12
-# touched (see inline notes); (3) the ENTIRE r7-evidence backlog —
-# the 39 registry rows whose latest driver evidence is
-# CORRECTNESS_r07 (analytics/temporal/snapshot/dedup tiers). After
-# this window records, every registry row's latest driver evidence
-# is r8 or newer. Exactly 50 names.
+# Round-13 layout: (1) the two NEW round-13 queries (never
+# evidenced); (2) stale-by-edit — the sstable tier, the write-path
+# tier, and the frozen-token queries whose machinery round 13 touched
+# (see inline notes); (3) the ENTIRE r8-evidence backlog — the 29
+# registry rows whose latest driver evidence is CORRECTNESS_r08;
+# (4) one r9 fill. After this window records, every registry row's
+# latest driver evidence is r9 or newer. Exactly 50 names.
 _PRIORITY: tuple[str, ...] = (
     # -- (1) new in round 13 (never driver-evidenced): the
     # token-range-pruned distributed sstable scan, and the frozen
