@@ -345,11 +345,20 @@ def main(argv: list[str] | None = None) -> int:
     if args.sstablelevelreset:
         from cassandra_pmem_spark.sources.sstable import reset_sstable_level
 
-        for p in sorted(
-            os.path.join(args.sstablelevelreset, f)
-            for f in os.listdir(args.sstablelevelreset)
-            if f.endswith("-Data.db")
-        ):
+        target = args.sstablelevelreset
+        paths = (
+            sorted(
+                os.path.join(target, f)
+                for f in os.listdir(target)
+                if f.endswith("-Data.db")
+            )
+            if os.path.isdir(target)
+            else [target]
+        )
+        if not paths:
+            print("Found no sstables, did you give the correct directory?")
+            return 1
+        for p in paths:
             m = reset_sstable_level(p)
             print(
                 f"Skipped {os.path.basename(p)} since it is already on "

@@ -2095,10 +2095,11 @@ class CqlWriteSession:
             import pyarrow as pa
             from pyspark.sql.pandas.types import to_arrow_schema
 
-            tz = self.spark.conf.get("spark.sql.session.timeZone", "UTC")
-            if (tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z")
+            from cassandra_pmem_spark.session import session_tz_is_utc
+
+            if (not session_tz_is_utc(self.spark)
                     and "timestamp" in log_schema.simpleString()):
-                raise ValueError(f"non-UTC session timezone {tz!r}")
+                raise ValueError("non-UTC session timezone")
             aschema = to_arrow_schema(log_schema)
             cols = list(zip(*rows))
             arrays = [

@@ -364,6 +364,26 @@ class FrozenUdtMarshal:
         self.field_dtypes = list(field_dtypes)
 
 
+def _epoch_ms(v) -> int:
+    """datetime/pd.Timestamp/raw millis -> epoch millis, naive-as-UTC.
+
+    Plain datetime arithmetic, NOT pd.Timestamp(v).value: the ns-based
+    .value ceiling (years 1677..2262) would crash for the far-past/
+    far-future instants Cassandra timestamps allow (years 1..9999) —
+    and pd.Timestamp subclasses datetime, so the in-range fast path is
+    the same code. timedelta normalization keeps floor semantics for
+    pre-1970 sub-millisecond parts, matching int64 // division."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        d = v - _dt.datetime(1970, 1, 1)
+        return (d.days * 86_400_000 + d.seconds * 1_000
+                + d.microseconds // 1_000)
+    return int(v)
+
+
 def _set_sort_key(v, dtype):
     """Sort key matching the reference element comparator (the order
     SetSerializer/MapSerializer pack elements in):
@@ -391,9 +411,7 @@ def _set_sort_key(v, dtype):
         # TimestampType.compareCustom compares the epoch-millis LONGS by
         # value (TimestampType.java:55-60); unsigned serialized-byte
         # order would mis-sort pre-1970 (negative-millis) elements
-        import pandas as _pd
-
-        return (0, int(_pd.Timestamp(v).value // 1_000_000), 0, b"")
+        return (0, _epoch_ms(v), 0, b"")
     if isinstance(dtype, (T.DoubleType, T.FloatType)):
         f = float(v)
         if math.isnan(f):
@@ -463,12 +481,13 @@ def serialize_pk_value(v, dtype) -> bytes:
         # SimpleDateType.java: unsigned int, epoch at 2^31
         return struct.pack(">I", (days + (1 << 31)) & 0xFFFFFFFF)
     if isinstance(dtype, T.TimestampType):
-        # TimestampType.java: epoch millis int64. NOTE: naive timestamps
-        # are interpreted in the session timezone; token_column avoids
-        # this path by pre-converting through unix_millis (TZ-exact)
-        import pandas as _pd
-
-        return struct.pack(">q", int(_pd.Timestamp(v).value // 1_000_000))
+        # TimestampType.java: epoch millis int64, full year 1..9999
+        # range (_epoch_ms avoids pandas' ns ceiling). NOTE: naive
+        # timestamps are interpreted as UTC; top-level columns
+        # pre-convert through unix_millis in token_column (TZ-exact),
+        # NESTED values take this path and are exact only under a UTC
+        # session timezone (gated in token_column)
+        return struct.pack(">q", _epoch_ms(v))
     if isinstance(dtype, T.DecimalType):
         from decimal import Decimal
 

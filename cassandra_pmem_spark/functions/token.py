@@ -93,16 +93,10 @@ def _component(col: str, dtype):
 # Spark 4.1), so they stay on the xxhash64 fallback.
 _FROZEN_ELEM_TYPES = tuple(t for t in _MURMUR_TYPES if t is not T.TimestampType)
 
-_UTC_NAMES = {"UTC", "Etc/UTC", "GMT", "Etc/GMT", "+00:00", "Z"}
-
-
 def _session_tz_is_utc() -> bool:
-    from pyspark.sql import SparkSession
+    from cassandra_pmem_spark.session import session_tz_is_utc
 
-    s = SparkSession.getActiveSession()
-    if s is None:
-        return False
-    return s.conf.get("spark.sql.session.timeZone", "UTC") in _UTC_NAMES
+    return session_tz_is_utc()
 
 
 def _frozen_ok(dt, allow_ts: bool) -> bool:

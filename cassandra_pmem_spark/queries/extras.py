@@ -470,9 +470,14 @@ def source_sstable_version_interop(spark: SparkSession, sf_dir: str) -> DataFram
 
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(len(versions)) as pool:
-        for fut in [pool.submit(_write, v) for v in versions]:
-            fut.result()
+    try:
+        with ThreadPoolExecutor(len(versions)) as pool:
+            for fut in [pool.submit(_write, v) for v in versions]:
+                fut.result()
+    finally:
+        # the reads run off the sstables, not the slice — and a failed
+        # write must not leave the cache pinned for the session
+        events.unpersist()
     outs = [
         read_sstables(spark, dirs[ver], split_bytes=96 * 1024).select(
             F.lit(ver).alias("ver"),
@@ -484,7 +489,6 @@ def source_sstable_version_interop(spark: SparkSession, sf_dir: str) -> DataFram
         )
         for ver in versions
     ]
-    events.unpersist()  # the reads run off the sstables, not the slice
     df = outs[0]
     for o in outs[1:]:
         df = df.unionByName(o)

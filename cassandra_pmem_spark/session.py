@@ -18,6 +18,21 @@ def _cpus() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+# spellings of "the session timezone is UTC" accepted by the UTC-gated
+# fast paths (statement-log Arrow frames, nested-timestamp tokens).
+# ONE set — two hand-maintained copies classified 'Etc/GMT' differently
+UTC_TZ_NAMES = frozenset({"UTC", "Etc/UTC", "GMT", "Etc/GMT", "+00:00", "Z"})
+
+
+def session_tz_is_utc(spark: SparkSession | None = None) -> bool:
+    """True when the (given or active) session's timeZone is UTC —
+    get_spark pins it, so this is False only for foreign sessions."""
+    s = spark or SparkSession.getActiveSession()
+    if s is None:
+        return False
+    return s.conf.get("spark.sql.session.timeZone", "UTC") in UTC_TZ_NAMES
+
+
 def get_spark(app_name: str = "cassandra-pmem-spark", shuffle_partitions: int | None = None) -> SparkSession:
     """Build (or reuse) a SparkSession with the engine's standard config.
 

@@ -1309,6 +1309,38 @@ def serialize_statistics(schema: SSTableSchema, stats: EncodingStats,
     return bytes(out)
 
 
+def _component_spans(blob: bytes, checksum: bool,
+                     validate: bool = True) -> "dict[int, tuple[int, int]]":
+    """Walk the Statistics.db container header and return each
+    component's slot as {type: (start, end)} — with checksums the
+    slot's last 4 bytes are its CRC32. The ONE place the container
+    layout lives; parse_statistics and the metadata-mutation tools
+    both consume it (a second hand-maintained walk would let the two
+    drift)."""
+    r = ByteReader(blob)
+    count = r.i32()
+    crc = _update_crc_int(0, count)
+    if checksum:
+        stored = struct.unpack(">I", r.take(4))[0]
+        if validate and stored != crc:
+            raise ValueError("Statistics.db count checksum mismatch")
+    toc = []
+    for _ in range(count):
+        t = r.i32()
+        pos = r.i32()
+        crc = _update_crc_int(crc, t)
+        crc = _update_crc_int(crc, pos)
+        toc.append((t, pos))
+    if checksum:
+        stored = struct.unpack(">I", r.take(4))[0]
+        if validate and stored != crc:
+            raise ValueError("Statistics.db toc checksum mismatch")
+    ends = sorted(p for _t, p in toc) + [len(blob)]
+    return {
+        t: (p, min(e for e in ends if e > p)) for t, p in toc
+    }
+
+
 def parse_statistics(blob: bytes,
                      version: str = VERSION) -> tuple[EncodingStats, dict]:
     """Read back the HEADER component (with checksum verification when
@@ -1318,30 +1350,12 @@ def parse_statistics(blob: bytes,
     (MetadataSerializer.maybeWriteChecksum / maybeValidateChecksum)."""
     ver = SSTableVersion(version)
     checksum = ver.has_metadata_checksum
-    r = ByteReader(blob)
-    count = r.i32()
-    crc = _update_crc_int(0, count)
-    if checksum and struct.unpack(">I", r.take(4))[0] != crc:
-        raise ValueError("Statistics.db count checksum mismatch")
-    toc = []
-    for _ in range(count):
-        t = r.i32()
-        pos = r.i32()
-        crc = _update_crc_int(crc, t)
-        crc = _update_crc_int(crc, pos)
-        toc.append((t, pos))
-    if checksum and struct.unpack(">I", r.take(4))[0] != crc:
-        raise ValueError("Statistics.db toc checksum mismatch")
-    positions = dict(toc)
+    positions = _component_spans(blob, checksum)
     if _TYPE_HEADER not in positions:
         raise ValueError("Statistics.db missing HEADER component")
 
     def component_body(type_id: int) -> bytes:
-        start = positions[type_id]
-        # a component's slot runs to the next toc position (or file
-        # end); with checksums the slot's last 4 bytes are its CRC32
-        ends = sorted(p for _t, p in toc) + [len(blob)]
-        end = min(p for p in ends if p > start)
+        start, end = positions[type_id]
         if not checksum:
             return blob[start:end]
         body = blob[start:end - 4]
@@ -4123,46 +4137,46 @@ def mutate_sstable_metadata(data_path: str, level: int | None = None,
     sm = hdr.get("stats_metadata")
     if sm is None:
         raise ValueError(f"{stats_path} has no STATS component")
-    checksum = ver.has_metadata_checksum
-    r = ByteReader(bytes(blob))
-    count = r.i32()
-    if checksum:
-        r.take(4)
-    toc = [(r.i32(), r.i32()) for _ in range(count)]
-    start = dict(toc)[_TYPE_STATS]
-    ends = sorted(p for _t, p in toc) + [len(blob)]
-    end = min(p for p in ends if p > start)
-    body_end = end - 4 if checksum else end
-    off = start + sm["_level_offset"]
     new_level = sm["sstable_level"] if level is None else int(level)
     new_rep = sm["repaired_at"] if repaired_at is None else int(repaired_at)
+    out = {
+        "old_level": sm["sstable_level"], "new_level": new_level,
+        "old_repaired_at": sm["repaired_at"], "new_repaired_at": new_rep,
+    }
+    if (new_level == sm["sstable_level"]
+            and new_rep == sm["repaired_at"]):
+        return out  # no-op: don't touch the file at all
+    checksum = ver.has_metadata_checksum
+    start, end = _component_spans(bytes(blob), checksum)[_TYPE_STATS]
+    body_end = end - 4 if checksum else end
+    off = start + sm["_level_offset"]
     blob[off:off + 4] = struct.pack(">i", new_level)
     blob[off + 4:off + 12] = struct.pack(">q", new_rep)
     if checksum:
         blob[body_end:end] = struct.pack(
             ">I", zlib.crc32(bytes(blob[start:body_end]))
         )
-    with open(stats_path, "wb") as f:
+    # write-then-rename like the reference's rewriteSSTableMetadata: a
+    # crash mid-write must never truncate the component that carries
+    # the sstable's only schema record
+    tmp = stats_path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(bytes(blob))
-    return {
-        "old_level": sm["sstable_level"], "new_level": new_level,
-        "old_repaired_at": sm["repaired_at"], "new_repaired_at": new_rep,
-    }
+    os.replace(tmp, stats_path)
+    return out
 
 
 def reset_sstable_level(data_path: str) -> dict:
     """One sstable's leg of tools/bin/sstablelevelreset
     (SSTableLevelResetter.java:85-96): drop the leveled-compaction
-    level back to 0 (skips the rewrite when already 0, like the
-    tool)."""
-    ver = version_from_path(data_path)
-    base = data_path[: -len("Data.db")]
-    with open(base + "Statistics.db", "rb") as f:
-        _s, hdr = parse_statistics(f.read(), version=ver.name)
-    if hdr["stats_metadata"]["sstable_level"] == 0:
-        return {"old_level": 0, "new_level": 0, "skipped": True}
+    level back to 0. mutate_sstable_metadata's no-op detection gives
+    the tool's already-level-0 skip (no file touch) from a single
+    metadata parse."""
     out = mutate_sstable_metadata(data_path, level=0)
-    return {k: out[k] for k in ("old_level", "new_level")} | {"skipped": False}
+    return {
+        "old_level": out["old_level"], "new_level": 0,
+        "skipped": out["old_level"] == 0,
+    }
 
 
 def set_sstable_repaired(data_path: str, repaired: bool) -> dict:

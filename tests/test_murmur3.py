@@ -648,6 +648,41 @@ class TestMurmur3Frozen:
                 serialize_pk_value(tuple(r.fu), st)
             )
 
+    def test_timestamp_element_outside_ns_range(self, spark):
+        """Nested timestamps beyond pandas' datetime64[ns] span (years
+        1677..2262) must still hash bit-exactly — _epoch_ms derives the
+        millis with datetime arithmetic, so year-1600 and year-2500
+        elements neither crash nor fall back (Cassandra timestamps
+        cover years 1..9999)."""
+        import datetime as dt
+        import struct
+
+        from pyspark.sql import types as T
+
+        from cassandra_pmem_spark.functions.murmur3 import (
+            murmur3_token_bytes_py,
+        )
+        from cassandra_pmem_spark.functions.token import token_column
+
+        schema = T.StructType(
+            [T.StructField("ft", T.ArrayType(T.TimestampType()))]
+        )
+        vals = [dt.datetime(2500, 1, 1, 12), dt.datetime(1600, 6, 15)]
+        df = spark.createDataFrame([([v],) for v in vals], schema)
+        got = {
+            r.t for r in
+            df.withColumn("t", token_column(["ft"], df.schema)).collect()
+        }
+        epoch = dt.datetime(1970, 1, 1)
+        want = set()
+        for v in vals:
+            ms = int((v - epoch).total_seconds() * 1000)
+            want.add(murmur3_token_bytes_py(
+                struct.pack(">i", 1) + struct.pack(">i", 8)
+                + struct.pack(">q", ms)
+            ))
+        assert got == want
+
     def test_timestamp_element_tz_gate(self, spark):
         # nested timestamps are exact only when Arrow delivers them
         # naive-UTC, i.e. under a UTC session timezone (which this
