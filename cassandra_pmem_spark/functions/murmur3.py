@@ -208,7 +208,17 @@ def murmur3_token_subquery(
     for name, expr in _m3_items(k1_0, alias):
         sql = f"SELECT *, {expr} AS {name} FROM ({sql})"
     cols = ", ".join(carry)
-    return f"(SELECT {cols}, {alias} FROM ({sql}))"
+    # MATERIALIZED: an outer predicate on the token (WHERE token > x)
+    # otherwise pushes down through every nested select, re-expanding
+    # the step chain exponentially — the same binder blowup the nesting
+    # exists to avoid (cql_token_scan's oracle ran minutes instead of
+    # ~0.1 s). Materializing the ≤ table-sized token frame stops the
+    # pushdown at this boundary; rows are unchanged.
+    return (
+        f"(WITH {alias}__m3q AS MATERIALIZED "
+        f"(SELECT {cols}, {alias} FROM ({sql})) "
+        f"SELECT * FROM {alias}__m3q)"
+    )
 
 
 # --- general-length kernel: arbitrary serialized partition keys --------------
@@ -775,7 +785,12 @@ def murmur3_token_general_subquery(
         ctes.append(f"{cur} AS (SELECT *, {expr} AS {name} FROM {prev})")
         prev = cur
     cols = ", ".join(carry)
-    return f"(WITH {', '.join(ctes)} SELECT {cols}, {alias} FROM {prev})"
+    # MATERIALIZED final CTE for the same reason as murmur3_token_subquery:
+    # outer token predicates must not re-expand the step chain via pushdown.
+    ctes.append(
+        f"{alias}__out AS MATERIALIZED (SELECT {cols}, {alias} FROM {prev})"
+    )
+    return f"(WITH {', '.join(ctes)} SELECT * FROM {alias}__out)"
 
 
 def text_key_byte_exprs(text_col: str, max_len: int) -> tuple[list[str], str]:
