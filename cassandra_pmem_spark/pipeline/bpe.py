@@ -69,16 +69,23 @@ def train_bpe(
     same hex), so a capped run stays exactly oracle-reproducible."""
     corpus = df.select(F.col(text_col).alias("__t"))
     merges: list[tuple[int, str, int]] = []
-    cached = None
     if train_cap is not None:
         # hash-ordered limit: deterministic at any parallelism, and the
         # sample (not the corpus) is what every merge round re-reads
         corpus = corpus.orderBy(
             F.md5(F.col("__t").cast("binary")).asc(), F.col("__t").asc()
         ).limit(train_cap)
-        cached = corpus.cache()
-        cached.count()
-        corpus = cached
+    # ONE Spark job per merge round: the argmax aggregation below is the
+    # first action over each round's cached corpus, so it materializes
+    # the cache as a side effect — no separate count() job. The previous
+    # round's cache stays pinned until the round that READS it has run
+    # (unpersisting earlier would force a lineage replay), then drops.
+    # Only the capped sample is cached up front; an uncapped corpus
+    # (full-scale training) is read from source once and cached from the
+    # first merged round on, as before.
+    if train_cap is not None:
+        corpus = corpus.cache()
+    prev = None
     try:
         for r in range(1, n_merges + 1):
             top = (
@@ -91,23 +98,24 @@ def train_bpe(
                 .limit(1)
                 .collect()
             )
+            # corpus is materialized now; its parent cache is releasable
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             if not top or top[0]["freq"] < 2:
                 break
             pair, freq = top[0]["pair"], int(top[0]["freq"])
             merges.append((r, pair, freq))
-            corpus = corpus.select(
+            nxt = corpus.select(
                 F.replace(
                     F.col("__t"), F.lit(pair), F.lit(chr(PUA_BASE + r - 1))
                 ).alias("__t")
-            )
-            nxt = corpus.cache()
-            nxt.count()  # materialize so the next round reads the cache
-            if cached is not None:
-                cached.unpersist()
-            cached, corpus = nxt, nxt
+            ).cache()
+            prev, corpus = corpus, nxt
     finally:
-        if cached is not None:
-            cached.unpersist()
+        corpus.unpersist()
+        if prev is not None:
+            prev.unpersist()
     return merges
 
 

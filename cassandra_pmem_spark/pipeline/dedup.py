@@ -496,6 +496,18 @@ def connected_components(
     labels = vertices.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("comp")
     ).localCheckpoint(eager=True)
+    # Convergence detector: min-label propagation only ever DECREASES a
+    # label, so "no label changed" ⟺ "Σ comp unchanged" — an exact
+    # decimal(38,0) sum over the just-checkpointed frame (no overflow up
+    # to 10^19 vertices of long labels). That replaces the previous
+    # per-round join-with-old-labels + count, i.e. one whole shuffle
+    # join per round becomes a single cached-scan aggregate.
+    def _label_sum(frame: DataFrame) -> object:
+        return frame.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         msgs = e.join(labels, e["src"] == labels["id"]).select(
             F.col("dst").alias("id"), F.col("comp")
@@ -506,15 +518,11 @@ def connected_components(
             .agg(F.min("comp").alias("comp"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            nxt.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
+        cur_sum = _label_sum(nxt)
         labels = nxt
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select(F.col("id").alias(id_col), "comp")
 
 
@@ -567,26 +575,33 @@ def connected_components_star(
         )
 
     prev_n = e.count()
+    w_u = Window.partitionBy("u")
     for _ in range(max_iter):
         # large-star(E): m(u) over ALL neighbors ∪ u; STRICTLY LARGER
-        # neighbors hook to m — the new edge set
+        # neighbors hook to m — the new edge set. m is a window min over
+        # the neighbor partition (one exchange) rather than the previous
+        # groupBy-min + re-join on u (two exchanges feeding a join): the
+        # per-u min is attached to every (u, v) row in the same pass.
         nbrs = bidirectional(e)
-        mins = nbrs.groupBy("u").agg(
-            F.least(F.min("v"), F.first("u")).alias("m")
+        large = nbrs.withColumn(
+            "m", F.least(F.min("v").over(w_u), F.col("u"))
         )
         e_mid = canonical(
-            nbrs.join(mins, "u")
-            .filter(F.col("v") > F.col("u"))
+            large.filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("x"), F.col("m").alias("y"))
         )
         # small-star(large-star(E)): orient toward the larger endpoint;
-        # u and its smaller neighbors all hook to their min
-        small_in = bidirectional(e_mid).filter(F.col("v") < F.col("u"))
-        smins = small_in.groupBy("u").agg(F.min("v").alias("m"))
+        # u and its smaller neighbors all hook to their min. Same window
+        # trick; the per-u (u, m) self-hook rows ride along duplicated
+        # and collapse in canonical()'s distinct.
+        small = (
+            bidirectional(e_mid)
+            .filter(F.col("v") < F.col("u"))
+            .withColumn("m", F.min("v").over(w_u))
+        )
         nxt = canonical(
-            small_in.join(smins, "u")
-            .select(F.col("v").alias("x"), F.col("m").alias("y"))
-            .union(smins.select(F.col("u").alias("x"), F.col("m").alias("y")))
+            small.select(F.col("v").alias("x"), F.col("m").alias("y"))
+            .union(small.select(F.col("u").alias("x"), F.col("m").alias("y")))
         ).localCheckpoint(eager=True)
         # convergence: both sides are canonical+distinct, so equal counts
         # plus an empty one-way difference ⇒ set equality. The count on a

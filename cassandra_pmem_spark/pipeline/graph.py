@@ -19,8 +19,11 @@ a deterministic property of the formulation, not noise.
 
 Scale shape per iteration: one join (ranks ⋈ edges on src — at real
 scale, pre-partition both by src so the join is co-located) and one
-aggregation by dst. Ranks are localCheckpoint-ed per round like the
-connected-components loop, keeping plan depth flat.
+aggregation by dst. Each round references the previous ranks exactly
+once (the all-vertices leg comes from a fixed checkpointed id frame),
+so the plan grows linearly and iterations chain inside one Spark job;
+a lineage-truncating localCheckpoint lands every 8 rounds instead of
+every round.
 """
 
 from __future__ import annotations
@@ -47,32 +50,37 @@ def pagerank_exact(
 
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     e = edges.join(deg, "src").localCheckpoint(eager=True)
+    ids = vertices.select(F.col(id_col).alias("id")).localCheckpoint(
+        eager=True
+    )
 
-    ranks = vertices.select(
-        F.col(id_col).alias("id"), F.lit(r0).cast("long").alias("r")
-    ).localCheckpoint(eager=True)
-    for _ in range(iters):
-        contribs = (
-            e.join(ranks, e["src"] == ranks["id"])
-            .select(
-                F.col("dst").alias("id"),
-                # true integer division (`div`), NOT double `/` + cast:
-                # a double quotient that rounds up across an integer
-                # boundary would break floor semantics
-                F.expr("(85 * r) div (100 * deg)").alias("c"),
-            )
-            .groupBy("id")
-            .agg(F.sum("c").alias("inflow"))
+    # Each round references the previous ranks frame exactly ONCE: the
+    # all-vertices row set comes from the FIXED `ids` checkpoint (a
+    # zero-contribution union leg replacing the old ranks.select("id")
+    # left join — same rows, same integer sums, one aggregate instead of
+    # agg + join). With single-reference rounds the plan grows linearly,
+    # so iterations can chain inside ONE Spark job — every `e` join
+    # shuffles the same checkpointed frame and is deduped by exchange
+    # reuse — with a lineage-truncating checkpoint only every 8 rounds
+    # (the old per-round eager checkpoint was one barrier job per
+    # iteration; 5 bench iterations ran 6 jobs where 1 suffices).
+    ranks = ids.select("id", F.lit(r0).cast("long").alias("r"))
+    for k in range(1, iters + 1):
+        contribs = e.join(ranks, e["src"] == ranks["id"]).select(
+            F.col("dst").alias("id"),
+            # true integer division (`div`), NOT double `/` + cast:
+            # a double quotient that rounds up across an integer
+            # boundary would break floor semantics
+            F.expr("(85 * r) div (100 * deg)").alias("c"),
         )
+        zero = ids.select("id", F.lit(0).cast("long").alias("c"))
         ranks = (
-            ranks.select("id")
-            .join(contribs, "id", "left")
-            .select(
-                "id",
-                (
-                    F.lit(teleport) + F.coalesce(F.col("inflow"), F.lit(0))
-                ).cast("long").alias("r"),
+            contribs.unionByName(zero)
+            .groupBy("id")
+            .agg(
+                (F.lit(teleport) + F.sum("c")).cast("long").alias("r")
             )
-            .localCheckpoint(eager=True)
         )
+        if k % 8 == 0 and k < iters:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(F.col("id").alias(id_col), F.col("r").alias("rank"))

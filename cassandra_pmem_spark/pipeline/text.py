@@ -526,11 +526,18 @@ def dsir_importance_weights(
             .agg(F.count("*").alias("cnt"))
         )
 
-    rf = feats(raw)
+    # ONE pass over the raw corpus: the featurized (doc, bucket, cnt)
+    # triples are materialized once (localCheckpoint — executor-local
+    # blocks, freed with the frame) and feed BOTH the model fit and the
+    # scoring join below. Previously the scan + gram explode + md5
+    # bucketing — the CPU-heavy part — ran twice (model fit pass +
+    # scoring pass); the triples are a tiny fraction of corpus bytes
+    # (≤ n_buckets rows per doc, three ints), so materializing them
+    # costs far less than re-reading and re-hashing the corpus.
+    rf = feats(raw).localCheckpoint(eager=True)
     # the two model frames are ≤ n_buckets rows; cache them so the
     # corpus-total aggregates below reuse them instead of replaying the
-    # full scan+shuffle lineage — keeps the raw corpus at exactly two
-    # passes (model fit + scoring)
+    # lineage
     tf = feats(target).groupBy("bucket").agg(F.sum("cnt").alias("t")).cache()
     rb = rf.groupBy("bucket").agg(F.sum("cnt").alias("r")).cache()
     # corpus totals as 1-row frames cross-joined in (the scalar-broadcast
