@@ -364,6 +364,14 @@ def _hamming_chunk_join(sh: DataFrame, max_hamming: int) -> DataFrame:
     signature pair through its member lists) — both AQE-splittable
     shuffles whose volume tracks the TRUE near-dup output, not the
     candidate cross product."""
+    # materialize the (id, signature) proxy table ONCE: this frame is
+    # referenced five times below (distinct sigs + both sides of the
+    # member joins), and its lineage is the signature producer — for
+    # image dedup a whole PNG encode→decode→dHash mapInPandas chain,
+    # which otherwise re-executes per reference (12 MapInPandas nodes
+    # in the plan; 2 after this). 16 bytes/row, the classic
+    # decide-with-small-rows proxy.
+    sh = sh.localCheckpoint(eager=True)
     sigs = sh.select("sh").distinct()
     chunks = sigs.select(
         "sh",

@@ -111,7 +111,14 @@ def _matmul_udf(mat: "np.ndarray", mode: str, n_probe: int = 0):
                  + (M * M).sum(1)[None, :])
             return pd.Series(d.argmin(axis=1).astype("int32"))
 
-        return f
+        # the assignment feeds an equi-join key, and the join's implied
+        # isnotnull filter gets pushed BELOW the projection, duplicating
+        # the ArrowEvalPython node (one eval under the filter, one for
+        # the projection — guide §4.4's pattern, observed in the
+        # sim_ivf_topk plan). The matmul IS deterministic; the marker
+        # only pins it to a single evaluation, like
+        # murmur3_token_column_once.
+        return f.asNondeterministic()
     if mode == "probes":
 
         @pandas_udf("array<int>")

@@ -391,11 +391,23 @@ def ngram_lm_scores(
         F.col(id_col),
         F.explode(char_trigrams(F.col("__s"), normalize=False)).alias("tri"),
     )
-    c3 = tris.groupBy("tri").agg(F.count("*").alias("n3"))
+    # ONE corpus pass: fold the explode to (doc, tri, cnt) triples and
+    # materialize them (localCheckpoint — executor-local blocks). Both
+    # the model fit and the scoring read the triples; previously the
+    # scan + normalize + trigram explode ran twice ("counts + scoring").
+    # The triples are the per-doc distinct trigrams — far fewer rows
+    # than raw trigram occurrences, and integer counts keep every
+    # downstream sum exact: n_trigrams = Σcnt, sum_micro_log = Σcnt·ml,
+    # n3 = Σ_doc cnt — identical values to the per-occurrence sums.
+    feat = (
+        tris.groupBy(id_col, "tri")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    c3 = feat.groupBy("tri").agg(F.sum("cnt").alias("n3"))
     # bigram (prefix) counts fold out of the ALREADY-AGGREGATED trigram
     # table — every trigram occurrence contributes its prefix exactly
-    # once — so the corpus is scanned twice total (counts + scoring),
-    # not three times
+    # once
     c2 = (
         c3.groupBy(F.substring("tri", 1, 2).alias("bg"))
         .agg(F.sum("n3").alias("n2"))
@@ -408,11 +420,11 @@ def ngram_lm_scores(
         .join(c2, "bg")
         .select("tri", micro.alias("ml"))
     )
-    scored = tris.join(F.broadcast(model), "tri").select(
-        F.col(id_col), "ml"
+    scored = feat.join(F.broadcast(model), "tri").select(
+        F.col(id_col), "cnt", "ml"
     )
-    n = F.count("*")
-    total = F.sum("ml")
+    n = F.sum("cnt")
+    total = F.sum(F.col("cnt") * F.col("ml"))
     return scored.groupBy(id_col).agg(
         n.alias("n_trigrams"),
         total.alias("sum_micro_log"),
