@@ -145,22 +145,37 @@ def _machine_load() -> dict:
 
 
 def _wait_for_quiet(max_load: float, timeout_s: float) -> dict:
-    """Block until the 1-minute loadavg drops below the gate, polling
-    every 15 s up to timeout_s. BENCH_r12's official number was flagged
-    contaminated by its own gate (load1 4.88 > 4.0, leftovers of the
-    round's test runs) — annotating wasn't enough; the timed pass
-    should simply not start on a loaded box when waiting fixes it.
-    Returns {waited_s, timed_out} for the snapshot's hygiene record."""
+    """Block until the box is quiet, polling every 15 s up to timeout_s.
+    Two independent gates:
+
+    - 1-minute loadavg below max_load — GUEST contention (BENCH_r12's
+      official number was flagged contaminated by its own gate; waiting
+      fixes what annotating could not);
+    - the single-thread cpu probe under SPARK_GRAFT_BENCH_MAX_PROBE_S
+      (default 1.1 s; the loop runs ~0.8 s at this box's full clocks)
+      — HOST contention, which loadavg cannot see. Round-13 measured
+      identical code at 17.3 s vs 29-39 s across same-day windows with
+      loadavg clean both times; the probe is the only observable that
+      catches it.
+
+    Returns {waited_s, timed_out, probe_s} for the hygiene record."""
+    max_probe = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_PROBE_S", "1.1"))
     t0 = time.time()
     timed_out = False
-    while os.getloadavg()[0] > max_load:
+    probe = _cpu_probe_s()
+    while os.getloadavg()[0] > max_load or probe > max_probe:
         if time.time() - t0 >= timeout_s:
             timed_out = True
             break
         time.sleep(15)
+        probe = _cpu_probe_s()
     # measured at exit so the timeout path reports the true block time,
     # not the duration as of the poll before the break
-    return {"waited_s": round(time.time() - t0, 1), "timed_out": timed_out}
+    return {
+        "waited_s": round(time.time() - t0, 1),
+        "timed_out": timed_out,
+        "probe_s": probe,
+    }
 
 
 def main() -> None:
@@ -246,9 +261,13 @@ def main() -> None:
         "tier2_median": tier2_med,
     }
     load_end = _machine_load()
-    # gate on the PRE-RUN load only: bench itself drives all 32 threads,
-    # so the end loadavg is legitimately high after a clean run
-    contaminated = load_start["loadavg"][0] > max_load
+    # gate on the PRE-RUN conditions only: bench itself drives all 32
+    # threads, so the end loadavg is legitimately high after a clean
+    # run. A timed-out quiet wait means the run STARTED loaded (guest)
+    # or host-contended (probe) — either way the snapshot is suspect.
+    contaminated = (
+        load_start["loadavg"][0] > max_load or quiet_wait["timed_out"]
+    )
     detail["load"] = {
         "start": load_start,
         "end": load_end,
