@@ -294,6 +294,11 @@ def main() -> None:
         "value_median": round(detail["value_median"], 2),
         "load1": load_start["loadavg"][0],
         "load_ok": not contaminated,
+        # host-speed calibration for cross-round comparison: this exact
+        # single-thread loop runs ~0.8 s at full clocks; identical code
+        # measured 17.3 s vs ~29 s across host windows (r13), so compare
+        # rounds' seconds only after comparing their probes
+        "probe_s": detail["load"]["cpu_probe_s"],
         **({"quiet_wait_s": quiet_wait["waited_s"]}
            if quiet_wait["waited_s"] else {}),
         "queries": {k: round(v, 2) for k, v in timings.items()},

@@ -111,14 +111,7 @@ def _matmul_udf(mat: "np.ndarray", mode: str, n_probe: int = 0):
                  + (M * M).sum(1)[None, :])
             return pd.Series(d.argmin(axis=1).astype("int32"))
 
-        # the assignment feeds an equi-join key, and the join's implied
-        # isnotnull filter gets pushed BELOW the projection, duplicating
-        # the ArrowEvalPython node (one eval under the filter, one for
-        # the projection — guide §4.4's pattern, observed in the
-        # sim_ivf_topk plan). The matmul IS deterministic; the marker
-        # only pins it to a single evaluation, like
-        # murmur3_token_column_once.
-        return f.asNondeterministic()
+        return f
     if mode == "probes":
 
         @pandas_udf("array<int>")
@@ -405,10 +398,19 @@ def ivf_topk(
     assign_udf = _matmul_udf(C, "argmin")
     probe_udf = _matmul_udf(C, "probes", n_probe=n_probe)
 
+    # coalesce makes the join key provably non-null, so the join does
+    # NOT inject an isnotnull filter — which would be pushed below this
+    # projection and evaluate the assignment UDF twice per corpus row
+    # (guide §4.4's duplicated-ArrowEvalPython pattern, observed in the
+    # sim_ivf_topk plan). argmin never actually returns null, so the -1
+    # never fires; unlike asNondeterministic (measured +0.25 s fixed
+    # cost here) this keeps the optimizer's other freedoms.
     c_assigned = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
-        assign_udf(F.col(vec_col).cast("array<double>")).alias("__list"),
+        F.coalesce(
+            assign_udf(F.col(vec_col).cast("array<double>")), F.lit(-1)
+        ).alias("__list"),
     )
 
     probes = queries.select(
