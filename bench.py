@@ -97,22 +97,52 @@ TIER2 = [
 ]
 
 
-def _cpu_probe_s() -> float:
-    """Fixed single-thread busy loop (~1 s on this box at full clocks):
-    a host-speed calibration constant stored with every snapshot. The
-    loadavg gate can only see GUEST contention; this catches what it
-    can't — virtualization-host contention / frequency windows, which
-    measured 1.05 s vs 1.9 s for this exact loop across two same-day
-    windows (a uniform ~1.8x wall-clock skew on otherwise identical
-    runs). Compare snapshots' cpu_probe_s before comparing their
-    seconds."""
+def _cpu_probe_s(iters: int = 20_000_000) -> float:
+    """Fixed single-thread busy loop (~0.8 s on this box at full clocks
+    at the default length): a host-speed calibration constant stored
+    with every snapshot. The loadavg gate can only see GUEST contention;
+    this catches what it can't — virtualization-host contention /
+    frequency windows, which measured 1.05 s vs 1.9 s for this exact
+    loop across two same-day windows (a uniform ~1.8x wall-clock skew on
+    otherwise identical runs). Compare snapshots' cpu_probe_s before
+    comparing their seconds. ``iters`` scales the loop down for the
+    between-queries mid-run probes (quarter length, ~0.2 s) so probing
+    51 queries costs ~10 s of untimed wall, not ~40."""
     import time as _t
 
     t0 = _t.perf_counter()
     s = 0
-    for i in range(20_000_000):
+    for i in range(iters):
         s += i
     return round(_t.perf_counter() - t0, 3)
+
+
+def _max_probe_gate() -> float:
+    """The probe gate threshold. SPARK_GRAFT_BENCH_MAX_PROBE_S overrides;
+    otherwise 1.1 s (this box runs the loop in ~0.8 s at full clocks),
+    auto-raised to 1.4x the best probe recorded in the stored snapshot —
+    so on a slower machine the gate calibrates itself instead of parking
+    every run in the 600 s quiet-wait and branding it contaminated
+    (ADVICE r13). The calibration can only RAISE the gate above 1.1,
+    never tighten it below the documented default."""
+    env = os.environ.get("SPARK_GRAFT_BENCH_MAX_PROBE_S")
+    if env:
+        return float(env)
+    gate = 1.1
+    try:
+        with open(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        )) as f:
+            stored = json.load(f)
+        probes = [
+            stored.get("load", {}).get("cpu_probe_s"),
+            stored.get("load", {}).get("quiet_wait", {}).get("probe_s"),
+        ]
+        best = min(p for p in probes if p)
+        gate = max(gate, 1.4 * best)
+    except (OSError, ValueError, KeyError):
+        pass
+    return round(gate, 3)
 
 
 def _machine_load() -> dict:
@@ -159,7 +189,7 @@ def _wait_for_quiet(max_load: float, timeout_s: float) -> dict:
       catches it.
 
     Returns {waited_s, timed_out, probe_s} for the hygiene record."""
-    max_probe = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_PROBE_S", "1.1"))
+    max_probe = _max_probe_gate()
     t0 = time.time()
     timed_out = False
     probe = _cpu_probe_s()
@@ -213,34 +243,42 @@ def main() -> None:
     # run (e.g. round-3's +38% tpch_q3 with unchanged code) is visibly
     # noise, not a regression.
     REPEATS = 3
+    # Mid-run host probes (r13 postmortem: a run can pass the START gate
+    # and then absorb a sustained host-contention burst mid-run while
+    # still being recorded clean — BENCH_r13 measured min 56 s vs median
+    # 115 s that way). A quarter-length probe lands after each query's
+    # repeats — OUTSIDE every timed region — and is recorded scaled to
+    # full-loop units so the hygiene block can count how many windows of
+    # the run were contended.
+    MID_ITERS = 5_000_000
+    mid_probes: dict[str, float] = {}
+
+    def _timed_block(names, timings, medians, runs_out):
+        for name in names:
+            fn, _ = registry[name]
+            runs: list[float] = []
+            for _ in range(REPEATS):
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                n = df.count()
+                runs.append(time.perf_counter() - t0)
+                assert n >= 0
+            runs_out[name] = [round(r, 4) for r in runs]
+            runs.sort()
+            timings[name] = round(runs[0], 4)
+            medians[name] = round(runs[len(runs) // 2], 4)
+            mid_probes[name] = round(
+                _cpu_probe_s(MID_ITERS) * (20_000_000 / MID_ITERS), 3
+            )
+
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
-    for name in HEADLINE:
-        fn, _ = registry[name]
-        runs: list[float] = []
-        for _ in range(REPEATS):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            n = df.count()
-            runs.append(time.perf_counter() - t0)
-            assert n >= 0
-        runs.sort()
-        timings[name] = round(runs[0], 4)
-        medians[name] = round(runs[len(runs) // 2], 4)
+    runs_detail: dict[str, list] = {}
+    _timed_block(HEADLINE, timings, medians, runs_detail)
     total = round(sum(timings.values()), 4)
     tier2: dict[str, float] = {}
     tier2_med: dict[str, float] = {}
-    for name in TIER2:
-        fn, _ = registry[name]
-        runs = []
-        for _ in range(REPEATS):
-            t0 = time.perf_counter()
-            n = fn(spark, sf_dir).count()
-            runs.append(time.perf_counter() - t0)
-            assert n >= 0
-        runs.sort()
-        tier2[name] = round(runs[0], 4)
-        tier2_med[name] = round(runs[len(runs) // 2], 4)
+    _timed_block(TIER2, tier2, tier2_med, runs_detail)
     # The driver keeps only the LAST ~2,000 chars of bench output and
     # parses the final line as JSON (BENCH_r08 failed to parse because the
     # 28-query point+median maps pushed the single line past that tail).
@@ -261,29 +299,93 @@ def main() -> None:
         "tier2_median": tier2_med,
     }
     load_end = _machine_load()
-    # gate on the PRE-RUN conditions only: bench itself drives all 32
-    # threads, so the end loadavg is legitimately high after a clean
-    # run. A timed-out quiet wait means the run STARTED loaded (guest)
-    # or host-contended (probe) — either way the snapshot is suspect.
-    contaminated = (
-        load_start["loadavg"][0] > max_load or quiet_wait["timed_out"]
+    end_probe = _cpu_probe_s()
+    max_probe = _max_probe_gate()
+    # Contamination verdict — r13's gate only sampled host speed at
+    # START and recorded a mid-run-hammered snapshot as clean. Now:
+    # - start conditions as before (loadavg gate, quiet-wait timeout);
+    # - END full probe over the gate = the run finished contended;
+    # - min/median dispersion > 1.5 = repeats of identical queries in
+    #   one JVM differed beyond any plan property (BENCH_r13: 56 vs
+    #   115 s — a contention signature by construction);
+    # - >= 2 mid-run probes over the gate = sustained mid-run burst
+    #   (two, not "any": a single quarter-length probe can hiccup on a
+    #   scheduler blip without the timed queries being touched).
+    dispersion = round(
+        (sum(medians.values()) + sum(tier2_med.values()))
+        / max(1e-9, total + sum(tier2.values())), 3,
     )
+    mid_over = [k for k, v in mid_probes.items() if v > max_probe]
+    reasons = []
+    if load_start["loadavg"][0] > max_load:
+        reasons.append("start_load")
+    if quiet_wait["timed_out"]:
+        reasons.append("quiet_wait_timeout")
+    if end_probe > max_probe:
+        reasons.append("end_probe")
+    if dispersion > 1.5:
+        reasons.append("dispersion")
+    if len(mid_over) >= 2:
+        reasons.append("mid_probes")
+    contaminated = bool(reasons)
     detail["load"] = {
         "start": load_start,
         "end": load_end,
         "max_load_gate": max_load,
+        "max_probe_gate": max_probe,
         "quiet_wait": quiet_wait,
-        "cpu_probe_s": _cpu_probe_s(),
+        "cpu_probe_s": end_probe,
+        "mid_probes": mid_probes,
+        "mid_probes_over_gate": mid_over,
+        "dispersion": dispersion,
         "contaminated": contaminated,
+        "contaminated_reasons": reasons,
     }
-    # the stored snapshot is the sf0.1 trend line: a quick sf0.01 CLI
-    # check must not overwrite it (it did once — hence the sf gate)
+    detail["queries_runs"] = runs_detail
+    try:
+        import subprocess
+
+        detail["tree"] = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        detail["tree"] = None
+    # Snapshot policy: FIRST gated-clean run per code tree, not best-of-N
+    # (VERDICT r13: best-of-N selection is a bias the probe gate should
+    # make unnecessary). The stored snapshot is the sf0.1 trend line: a
+    # quick sf0.01 CLI check must not overwrite it (sf gate), a low-core
+    # control run gets its own file (cpus suffix), and a later clean run
+    # of the SAME tree does not displace the first one unless forced via
+    # SPARK_GRAFT_BENCH_DETAIL=force.
     if not contaminated and detail["sf"] == 0.1:
-        try:
-            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
-                json.dump(detail, f, indent=1)
-        except OSError:
-            pass
+        here = os.path.dirname(os.path.abspath(__file__))
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+        fname = (
+            "BENCH_DETAIL.json"
+            if cpus == (os.cpu_count() or cpus)
+            else f"BENCH_DETAIL_c{cpus}.json"
+        )
+        path = os.path.join(here, fname)
+        keep_existing = False
+        if os.environ.get("SPARK_GRAFT_BENCH_DETAIL") != "force":
+            try:
+                with open(path) as f:
+                    prev = json.load(f)
+                keep_existing = (
+                    not prev.get("load", {}).get("contaminated", True)
+                    and prev.get("tree") is not None
+                    and prev.get("tree") == detail["tree"]
+                )
+            except (OSError, ValueError):
+                pass
+        if not keep_existing:
+            try:
+                with open(path, "w") as f:
+                    json.dump(detail, f, indent=1)
+            except OSError:
+                pass
     print(json.dumps(detail))
     compact = {
         "metric": "headline_suite_seconds",

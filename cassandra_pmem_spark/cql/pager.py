@@ -367,9 +367,18 @@ class QueryPager:
         # VERSION is unchanged (no write, no clock tick, no DDL) the
         # compiled frame is provably identical, so it is reused instead
         # of re-parsed/re-planned per page; any version change falls
-        # back to a fresh compile
+        # back to a fresh compile. The memo lives on the DATABASE keyed
+        # by the statement's structural repr, so a pager RESUMED from a
+        # PagingState (a fresh QueryPager over the same statement) reuses
+        # the original pager's compiled+persisted frame instead of
+        # re-compiling it — same provable-identity argument, the version
+        # key covers everything the compile reads.
         ver = self.db._visible_version(self._st.table)
-        cached = getattr(self, "_frame_memo", None)
+        cache = getattr(self.db, "_pager_frames", None)
+        if cache is None:
+            cache = self.db._pager_frames = {}
+        skey = repr(self._st)
+        cached = cache.get(skey)
         if ver is not None and cached is not None and cached[0] == ver:
             return cached[1]
         frame = self.db._compile_select(self._st)
@@ -382,19 +391,18 @@ class QueryPager:
                 except Exception:
                     pass
             # pin the compiled frame too: pages share the token/order
-            # expressions (an Arrow-evaluated Murmur3 UDF) — persisting
-            # above them means page N's job reads the already-hashed
-            # rows instead of re-running the UDF per page. ONLY for
-            # buffer-backed tables: a parquet-backed visible frame is
-            # unbounded, and an InMemoryRelation above the scan would
-            # block the resume-point filter's pushdown (plan reuse
-            # without persist is still safe there)
+            # expressions — persisting above them means page N's job
+            # reads the already-hashed rows instead of re-computing per
+            # page. ONLY for buffer-backed tables: a parquet-backed
+            # visible frame is unbounded, and an InMemoryRelation above
+            # the scan would block the resume-point filter's pushdown
+            # (plan reuse without persist is still safe there)
             if self.db._buffer_backed(self._st.table):
                 frame = frame.persist()
                 import weakref
 
-                weakref.finalize(self, _unpersist_quietly, frame)
-            self._frame_memo = (ver, frame)
+                weakref.finalize(self.db, _unpersist_quietly, frame)
+            cache[skey] = (ver, frame)
         return frame
 
     # -- QueryPager surface ----------------------------------------------------

@@ -96,10 +96,83 @@ def _murmur3_token_fn(keys: pd.Series) -> pd.Series:
 _murmur3_token_udf = pandas_udf(_murmur3_token_fn, LongType())
 
 
+def _ansi_off() -> bool:
+    """True when the active session wraps long overflow like Java (the
+    engine's pinned posture — session.get_spark sets ansi off). The native
+    expression form depends on wrapping multiply/add/shift, so a foreign
+    ANSI session falls back to the Arrow kernel. NOTE: no default is
+    passed to conf.get — Spark 4 defaults ansi ON, so the EFFECTIVE value
+    must be read (a "false" fallback default would silently pick the
+    native form on a bare ANSI session and overflow at run time)."""
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    if s is None:
+        return False
+    try:
+        return s.conf.get("spark.sql.ansi.enabled") == "false"
+    except Exception:
+        return False
+
+
+def murmur3_token_column_native(col):
+    """JVM-native Column form of the bigint token: the ~25-step hash as ONE
+    codegen'd long-arithmetic expression — no Python boundary, so the token
+    lane (filters, join keys, bulk-write partitioning) runs entirely inside
+    WholeStageCodegen.
+
+    Correctness rests on ANSI-off wrapping semantics (Java two's-complement
+    long multiply/add/shift — exactly the reference's arithmetic). The
+    expression references its input a bounded number of times (the only
+    duplicating steps are the 3 xor-shifts per fmix, one rotl and the
+    MIN-normalize), so the unrolled tree is ~1.5k leaf references — linear
+    to plan and codegen, unlike the per-step decimal emulation whose
+    project-collapse re-expansion was measured exponential (module note).
+    Pinned against murmur3_token_py over the same vectors as the Arrow
+    kernel (tests/test_murmur3.py)."""
+    c = (F.col(col) if isinstance(col, str) else col).cast("long")
+
+    def s64(x: int):  # unsigned 64-bit constant -> signed long literal
+        return F.lit(x - TWO64 if x >= TWO63 else x)
+
+    def rotl(a, n: int):
+        return F.shiftleft(a, n).bitwiseOR(F.shiftrightunsigned(a, 64 - n))
+
+    def fmix(h):
+        h = h.bitwiseXOR(F.shiftrightunsigned(h, 33))
+        h = h * s64(F1)
+        h = h.bitwiseXOR(F.shiftrightunsigned(h, 33))
+        h = h * s64(F2)
+        return h.bitwiseXOR(F.shiftrightunsigned(h, 33))
+
+    # k1 = XOR_j sx(byte_j) << 8j over the 8 big-endian key bytes, with the
+    # reference's tail sign-extension quirk: sx(b) = b | 0xFF..FF00 when
+    # b > 127. Arithmetic form (no when/otherwise): the sign-extended
+    # pattern is b + (b >> 7) * 0xFF..00, referencing b twice instead of 3x.
+    k1 = None
+    for j in range(8):
+        b = F.shiftrightunsigned(c, 56 - 8 * j).bitwiseAND(F.lit(0xFF))
+        sx = b + F.shiftrightunsigned(b, 7) * F.lit(-256)  # -256 = sign mask
+        term = F.shiftleft(sx, 8 * j)
+        k1 = term if k1 is None else k1.bitwiseXOR(term)
+    k1 = k1 * s64(C1)
+    k1 = rotl(k1, 31)
+    k1 = k1 * s64(C2)
+    h1 = k1.bitwiseXOR(F.lit(8)) + F.lit(8)   # h1 = (0^k1)^len; h1 += h2(=len)
+    h2 = F.lit(8) + h1                         # h2 += h1
+    h1 = fmix(h1) + fmix(h2)                   # h1 += h2 after fmix
+    # normalize(MIN) -> MAX (Murmur3Partitioner.java:244)
+    return F.when(h1 == F.lit(LONG_MIN), F.lit(LONG_MAX)).otherwise(h1)
+
+
 def murmur3_token_column(col):
     """Column expression form: Cassandra Murmur3 token of a bigint column
-    (non-null, as partition keys are). Usable in filters and projections —
-    a UDF call node stays O(1) in the plan."""
+    (non-null, as partition keys are). Usable in filters and projections.
+    Under the engine's ANSI-off session this is the JVM-native codegen
+    expression (no Python boundary); a foreign ANSI session gets the
+    Arrow kernel, which does not depend on wrapping semantics."""
+    if _ansi_off():
+        return murmur3_token_column_native(col)
     c = F.col(col) if isinstance(col, str) else col
     return _murmur3_token_udf(c.cast("long"))
 
@@ -115,11 +188,21 @@ _murmur3_token_udf_once = pandas_udf(_murmur3_token_fn, LongType()).asNondetermi
 def murmur3_token_column_once(col):
     """murmur3_token_column, pinned to ONE evaluation per row. The hash IS
     deterministic — the non-determinism marker only stops Catalyst's
-    filter pushdown from substituting the UDF alias into the pushed
-    predicate, which would run the Arrow kernel twice per row (measured
-    on the stratified-sample plan: ArrowEvalPython appeared once below
-    the filter and again for the projection). Use this form whenever a
-    filter and a projection share the token."""
+    filter pushdown / project collapse from substituting the token
+    expression into every downstream reference.
+
+    This form DELIBERATELY stays on the Arrow kernel even under the
+    engine session (where murmur3_token_column compiles to the native
+    long-arithmetic expression): its call sites — the sketch double-
+    hashing lanes (bloom/count-min/HLL) and the packing hash buckets —
+    derive several columns from the token and reference them many times
+    inside filter conditions. With a deterministic native expression,
+    filter pushdown inlines the ~10k-node hash tree at every reference
+    (pushdown has no cheapness guard), and the optimizer then walks a
+    few-hundred-thousand-node condition to fixpoint — MEASURED as a
+    multi-minute planning hang on sketch_runtime_filtered_join (r14).
+    The pinned UDF is the collapse barrier that keeps those plans
+    linear: one ArrowEvalPython per lane, everything above it JVM."""
     c = F.col(col) if isinstance(col, str) else col
     return _murmur3_token_udf_once(c.cast("long"))
 

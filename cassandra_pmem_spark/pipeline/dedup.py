@@ -371,7 +371,9 @@ def _hamming_chunk_join(sh: DataFrame, max_hamming: int) -> DataFrame:
     # which otherwise re-executes per reference (12 MapInPandas nodes
     # in the plan; 2 after this). 16 bytes/row, the classic
     # decide-with-small-rows proxy.
-    sh = sh.localCheckpoint(eager=True)
+    from cassandra_pmem_spark.plans.hints import materialize
+
+    sh = materialize(sh)
     sigs = sh.select("sh").distinct()
     chunks = sigs.select(
         "sh",
@@ -494,43 +496,87 @@ def connected_components(
 
     Returns (id_col, component) with component = min reachable id.
     """
+    from cassandra_pmem_spark.plans.hints import materialize
+
     # materialize the (possibly expensive — LSH + verify) edge frame ONCE;
     # the loop re-reads it every round
-    e = (
+    e = materialize(
         edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .union(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-        .localCheckpoint(eager=True)
     )
-    labels = vertices.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("comp")
-    ).localCheckpoint(eager=True)
+    labels = materialize(
+        vertices.select(F.col(id_col).alias("id"), F.col(id_col).alias("comp"))
+    )
     # Convergence detector: min-label propagation only ever DECREASES a
     # label, so "no label changed" ⟺ "Σ comp unchanged" — an exact
     # decimal(38,0) sum over the just-checkpointed frame (no overflow up
     # to 10^19 vertices of long labels). That replaces the previous
     # per-round join-with-old-labels + count, i.e. one whole shuffle
-    # join per round becomes a single cached-scan aggregate.
+    # join per round becomes a single cached-scan aggregate. The sum
+    # trick needs an INTEGRAL label dtype: with ANSI off a non-numeric
+    # id (string doc ids) would cast to NULL, both sums would be None,
+    # and None == None would end the loop after one round — those ids
+    # take the orderable-type-safe changed-count join detector instead.
+    from pyspark.sql import types as T
+
+    comp_dt = labels.schema["comp"].dataType
+    integral = isinstance(
+        comp_dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+    ) or (isinstance(comp_dt, T.DecimalType) and comp_dt.scale == 0)
+
     def _label_sum(frame: DataFrame) -> object:
-        return frame.agg(
+        s = frame.agg(
             F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
+        assert s is not None or frame.isEmpty(), (
+            "label sum cast to NULL — non-integral comp dtype leaked "
+            "past the integral gate"
+        )
+        return s
 
-    prev_sum = _label_sum(labels)
+    if integral:
+        prev_sum = _label_sum(labels)
+    # ONE Spark job per round (§1.2, the BPE discipline): the new label
+    # frame is LAZILY checkpointed — materialize(eager=False) truncates
+    # the logical plan NOW (flat plans round over round) but computes at
+    # the first action, which is the convergence probe itself. The old
+    # shape paid an eager-checkpoint barrier job PLUS the probe job per
+    # round; now the probe job builds the round's blocks as a side
+    # effect. The probe is a full-scan aggregate, so the blocks are
+    # fully built before the next round reads them.
     for _ in range(max_iter):
         msgs = e.join(labels, e["src"] == labels["id"]).select(
             F.col("dst").alias("id"), F.col("comp")
         )
-        nxt = (
+        nxt = materialize(
             labels.unionByName(msgs)
             .groupBy("id")
-            .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
+            .agg(F.min("comp").alias("comp")),
+            eager=False,
         )
-        cur_sum = _label_sum(nxt)
+        if integral:
+            cur_sum = _label_sum(nxt)
+            unchanged = cur_sum == prev_sum
+            prev_sum = cur_sum
+        else:
+            # any orderable id type: did any vertex's label change?
+            # (count() first — a full scan materializing the lazy
+            # checkpoint; the limit(1) probe could stop early)
+            nxt.count()
+            unchanged = (
+                nxt.alias("n")
+                .join(
+                    labels.alias("o"),
+                    (F.col("n.id") == F.col("o.id"))
+                    & (F.col("n.comp") != F.col("o.comp")),
+                )
+                .limit(1)
+                .count()
+                == 0
+            )
         labels = nxt
-        if cur_sum == prev_sum:
+        if unchanged:
             break
-        prev_sum = cur_sum
     return labels.select(F.col("id").alias(id_col), "comp")
 
 
@@ -559,15 +605,16 @@ def connected_components_star(
     generations). At convergence the edges form a star forest: every
     node points at its component min. Same return shape:
     (id_col, component)."""
+    from cassandra_pmem_spark.plans.hints import materialize
+
     # canonical orientation u > v, no self-loops, deduped
-    e = (
+    e = materialize(
         edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
         .filter(F.col("x") != F.col("y"))
         .select(
             F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v")
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
 
     def bidirectional(ed):
@@ -582,7 +629,24 @@ def connected_components_star(
             .distinct()
         )
 
-    prev_n = e.count()
+    def _edge_sig(ed) -> tuple:
+        """(count, Σu, Σv) of a canonical edge set in ONE aggregate —
+        the round's materializing action AND its convergence pre-filter.
+        A differing triple proves the set changed (skip the expensive
+        exact probe); an equal triple is NOT proof of equality — Σ
+        endpoints is not monotone under the star hooks' distinct-
+        collapse (evaluated for VERDICT r13 item 6: duplicate edges
+        merging can offset hook decreases), so set equality is still
+        PROVEN by the one-way exceptAll below before the loop stops.
+        Sums in decimal(38,0): overflow-safe to ~10^19 long endpoints."""
+        row = ed.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("u").cast("decimal(38,0)")).alias("su"),
+            F.sum(F.col("v").cast("decimal(38,0)")).alias("sv"),
+        ).collect()[0]
+        return (row["n"], row["su"], row["sv"])
+
+    prev_sig = _edge_sig(e)
     w_u = Window.partitionBy("u")
     for _ in range(max_iter):
         # large-star(E): m(u) over ALL neighbors ∪ u; STRICTLY LARGER
@@ -607,17 +671,29 @@ def connected_components_star(
             .filter(F.col("v") < F.col("u"))
             .withColumn("m", F.min("v").over(w_u))
         )
-        nxt = canonical(
-            small.select(F.col("v").alias("x"), F.col("m").alias("y"))
-            .union(small.select(F.col("u").alias("x"), F.col("m").alias("y")))
-        ).localCheckpoint(eager=True)
-        # convergence: both sides are canonical+distinct, so equal counts
-        # plus an empty one-way difference ⇒ set equality. The count on a
-        # just-checkpointed frame is a cached scan, so non-converged
-        # rounds (counts differ) skip the exceptAll job entirely.
-        n = nxt.count()
-        unchanged = n == prev_n and nxt.exceptAll(e).limit(1).count() == 0
-        e, prev_n = nxt, n
+        nxt = materialize(
+            canonical(
+                small.select(F.col("v").alias("x"), F.col("m").alias("y"))
+                .union(small.select(F.col("u").alias("x"), F.col("m").alias("y")))
+            ),
+            eager=False,
+        )
+        # ONE job per non-converged round (§1.2): the (count, Σu, Σv)
+        # signature aggregate is the first action over the lazily
+        # checkpointed frame, materializing its blocks as a side effect
+        # — the old eager-checkpoint barrier job is gone, and the lazy
+        # checkpoint keeps the round-over-round plan flat. Convergence:
+        # a changed signature proves the set changed; an equal signature
+        # gates the exact proof — both sides canonical+distinct, so
+        # equal counts plus an empty one-way difference ⇒ set equality.
+        # (For non-numeric endpoint types the sums are NULL and the
+        # signature degenerates to the count gate — correctness is
+        # unaffected, the exceptAll proof is what stops the loop.)
+        sig = _edge_sig(nxt)
+        unchanged = (
+            sig == prev_sig and nxt.exceptAll(e).limit(1).count() == 0
+        )
+        e, prev_sig = nxt, sig
         if unchanged:
             break
     # star forest: (u, v) = (member, root); roots + isolated vertices

@@ -43,16 +43,24 @@ def pagerank_exact(
 
     `vertices` holds one row per node; `edges` has (src, dst). Dangling
     mass (nodes without out-edges) is dropped by the floor formulation
-    — deterministic, and matched by the oracle."""
+    — deterministic, and matched by the oracle.
+
+    Contract: every edge endpoint must appear in `vertices` (the shape
+    every caller and the SQL oracle's left-join formulation assume).
+    Since the zero-contribution-union rewrite, a dst id absent from
+    `vertices` would emit an output rank row of its own instead of
+    being dropped — callers with untrusted edge lists must semi-join
+    edges against vertices first (one bounded pre-pass, not the
+    per-round join the union rewrite removed)."""
     n = vertices.count()  # one scalar to size the budget — bounded
     r0 = scale_total // n
     teleport = (15 * r0) // 100
 
+    from cassandra_pmem_spark.plans.hints import materialize
+
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    e = edges.join(deg, "src").localCheckpoint(eager=True)
-    ids = vertices.select(F.col(id_col).alias("id")).localCheckpoint(
-        eager=True
-    )
+    e = materialize(edges.join(deg, "src"))
+    ids = materialize(vertices.select(F.col(id_col).alias("id")))
 
     # Each round references the previous ranks frame exactly ONCE: the
     # all-vertices row set comes from the FIXED `ids` checkpoint (a
@@ -82,5 +90,5 @@ def pagerank_exact(
             )
         )
         if k % 8 == 0 and k < iters:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = materialize(ranks)
     return ranks.select(F.col("id").alias(id_col), F.col("r").alias("rank"))

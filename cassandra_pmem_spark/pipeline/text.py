@@ -392,17 +392,18 @@ def ngram_lm_scores(
         F.explode(char_trigrams(F.col("__s"), normalize=False)).alias("tri"),
     )
     # ONE corpus pass: fold the explode to (doc, tri, cnt) triples and
-    # materialize them (localCheckpoint — executor-local blocks). Both
+    # materialize them (plans.hints.materialize — localCheckpoint by
+    # default, env-gated reliable checkpoint on clusters). Both
     # the model fit and the scoring read the triples; previously the
     # scan + normalize + trigram explode ran twice ("counts + scoring").
     # The triples are the per-doc distinct trigrams — far fewer rows
     # than raw trigram occurrences, and integer counts keep every
     # downstream sum exact: n_trigrams = Σcnt, sum_micro_log = Σcnt·ml,
     # n3 = Σ_doc cnt — identical values to the per-occurrence sums.
-    feat = (
-        tris.groupBy(id_col, "tri")
-        .agg(F.count("*").alias("cnt"))
-        .localCheckpoint(eager=True)
+    from cassandra_pmem_spark.plans.hints import materialize
+
+    feat = materialize(
+        tris.groupBy(id_col, "tri").agg(F.count("*").alias("cnt"))
     )
     c3 = feat.groupBy("tri").agg(F.sum("cnt").alias("n3"))
     # bigram (prefix) counts fold out of the ALREADY-AGGREGATED trigram
@@ -539,14 +540,16 @@ def dsir_importance_weights(
         )
 
     # ONE pass over the raw corpus: the featurized (doc, bucket, cnt)
-    # triples are materialized once (localCheckpoint — executor-local
-    # blocks, freed with the frame) and feed BOTH the model fit and the
+    # triples are materialized once (plans.hints.materialize) and
+    # feed BOTH the model fit and the
     # scoring join below. Previously the scan + gram explode + md5
     # bucketing — the CPU-heavy part — ran twice (model fit pass +
     # scoring pass); the triples are a tiny fraction of corpus bytes
     # (≤ n_buckets rows per doc, three ints), so materializing them
     # costs far less than re-reading and re-hashing the corpus.
-    rf = feats(raw).localCheckpoint(eager=True)
+    from cassandra_pmem_spark.plans.hints import materialize
+
+    rf = materialize(feats(raw))
     # the two model frames are ≤ n_buckets rows; cache them so the
     # corpus-total aggregates below reuse them instead of replaying the
     # lineage
@@ -582,7 +585,7 @@ def dsir_importance_weights(
     # model caches — repeated calls must not leak cached frames into the
     # shared context (the scoring join below reads the checkpoint, not
     # the tf/rb lineage)
-    lam = lam.localCheckpoint(eager=True)
+    lam = materialize(lam)
     tf.unpersist()
     rb.unpersist()
     return (

@@ -12,6 +12,9 @@ region=5 rows, 1-row scalar aggregates) keep plain ``F.broadcast``.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -62,6 +65,45 @@ def maybe_broadcast(df: DataFrame, max_bytes: int = DEFAULT_MAX_BYTES) -> DataFr
     if size is not None and size <= max_bytes:
         return F.broadcast(df)
     return df
+
+
+def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Materialize a bounded intermediate and truncate its lineage —
+    the shared primitive behind every iterative loop's per-round barrier
+    and every reused small proxy frame (guide §8: decide with small
+    rows).
+
+    ``eager=False`` truncates the logical plan NOW (the returned frame
+    plans as a LogicalRDD leaf, so loop plans stay flat) but computes at
+    the frame's FIRST action — iterative loops exploit this to make
+    their convergence probe the materializing job, one Spark job per
+    round instead of a checkpoint barrier plus the probe (§1.2). The
+    first action must be a full scan (an aggregate, a count — not a
+    limit) or the blocks are only partially built.
+
+    Default backend: ``localCheckpoint`` — executor-local blocks, no
+    DFS round trip, the right call for bounded proxies on a single box.
+    Fault posture: local checkpoint blocks are NOT replicated, so on a
+    cluster an executor loss makes the frame unrecoverable mid-query
+    (lineage is truncated — Spark fails the job rather than
+    recomputing). For cluster deployments where that matters, set
+    SPARK_GRAFT_RELIABLE_CHECKPOINT=1 (and optionally
+    SPARK_GRAFT_CHECKPOINT_DIR, which must be cluster-visible storage —
+    HDFS/S3): frames then go through ``checkpoint()``, surviving
+    executor loss at the cost of a write to reliable storage. Same
+    rows, same plans above the checkpoint boundary — an availability
+    trade only (SCALE.md §r14)."""
+    if os.environ.get("SPARK_GRAFT_RELIABLE_CHECKPOINT"):
+        sc = df.sparkSession.sparkContext
+        if sc._jsc.sc().getCheckpointDir().isEmpty():
+            sc.setCheckpointDir(
+                os.environ.get(
+                    "SPARK_GRAFT_CHECKPOINT_DIR",
+                    os.path.join(tempfile.gettempdir(), "spark-graft-ckpt"),
+                )
+            )
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
 
 
 def ensure_scan_parallelism(df: DataFrame) -> DataFrame:

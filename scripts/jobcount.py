@@ -38,6 +38,7 @@ def main() -> None:
         jobs = st.getJobIdsForGroup(group)
         stages = set()
         tasks = 0
+        executed = 0
         for j in jobs:
             info = st.getJobInfo(j)
             if info is None:
@@ -46,9 +47,14 @@ def main() -> None:
                 si = st.getStageInfo(s)
                 if si is not None and s not in stages:
                     tasks += si.numTasks
+                    # planned vs executed diverge when a job lists
+                    # SKIPPED stages (lazy-checkpoint / cached parents):
+                    # numTasks counts the plan, numCompletedTasks what ran
+                    executed += si.numCompletedTasks
                 stages.add(s)
         print(
-            f"{name}: jobs={len(jobs)} stages={len(stages)} tasks={tasks}",
+            f"{name}: jobs={len(jobs)} stages={len(stages)} "
+            f"tasks={tasks} executed={executed}",
             flush=True,
         )
 

@@ -316,7 +316,9 @@ class TestParquetBackedFramePersistGate:
         assert sorted((r["k"], r["c"]) for pg in pages for r in pg) == [
             (k, c) for k in range(6) for c in range(4)
         ]
-        ver, frame = p._frame_memo  # memo still reused across pages
+        # memo still reused across pages (db-level since r14, keyed by
+        # the statement's structural repr)
+        ver, frame = db._pager_frames[repr(p._st)]
         assert frame.storageLevel.useMemory is False
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert "InMemoryTableScan" not in plan
@@ -325,5 +327,16 @@ class TestParquetBackedFramePersistGate:
         # already-hashed token rows)
         pb = db.pager("SELECT k, c FROM t", page_size=7)
         pb.fetch_page()
-        _, bframe = pb._frame_memo
+        _, bframe = db._pager_frames[repr(pb._st)]
         assert bframe.storageLevel.useMemory is True
+
+    def test_resumed_pager_reuses_compiled_frame(self, db):
+        # a pager RESUMED from a PagingState over the same statement must
+        # hit the db-level frame memo instead of re-compiling (r14: the
+        # memo moved from the pager instance to the database)
+        p = db.pager("SELECT k, c FROM t", page_size=7)
+        p.fetch_page()
+        f1 = db._pager_frames[repr(p._st)][1]
+        q = db.pager("SELECT k, c FROM t", page_size=7, state=p.state())
+        q.fetch_page()
+        assert db._pager_frames[repr(q._st)][1] is f1

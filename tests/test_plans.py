@@ -28,6 +28,46 @@ def optimized_of(df) -> str:
     return df._jdf.queryExecution().optimizedPlan().toString()
 
 
+class TestMaterialize:
+    """plans.hints.materialize — the shared lineage-truncation primitive
+    behind the iterative loops and proxy frames (r14)."""
+
+    def test_lazy_truncates_plan_before_any_action(self, spark):
+        from cassandra_pmem_spark.plans.hints import materialize
+
+        df = spark.range(100).selectExpr("id", "id * 2 AS v")
+        out = materialize(df.groupBy((F.col("id") % 10).alias("k")).agg(
+            F.sum("v").alias("s")
+        ), eager=False)
+        # plan truncated NOW (LogicalRDD leaf, no Aggregate) even though
+        # nothing has run yet — iterative loops rely on this to keep
+        # round-over-round plans flat while the convergence probe is the
+        # materializing action
+        logical = out._jdf.queryExecution().analyzed().toString()
+        assert "Aggregate" not in logical
+        assert out.count() == 10
+
+    def test_eager_matches_lazy_rows(self, spark):
+        from cassandra_pmem_spark.plans.hints import materialize
+
+        df = spark.range(50).selectExpr("id", "id % 7 AS k")
+        a = sorted(tuple(r) for r in materialize(df).collect())
+        b = sorted(tuple(r) for r in materialize(df, eager=False).collect())
+        assert a == b
+
+    def test_reliable_checkpoint_env_gate(self, spark, monkeypatch, tmp_path):
+        from cassandra_pmem_spark.plans.hints import materialize
+
+        monkeypatch.setenv("SPARK_GRAFT_RELIABLE_CHECKPOINT", "1")
+        monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", str(tmp_path / "ck"))
+        df = spark.range(20).selectExpr("id", "id + 1 AS v")
+        out = materialize(df)
+        assert sorted(r.v for r in out.collect()) == list(range(1, 21))
+        # the reliable checkpoint actually landed in the configured dir
+        ckdir = spark.sparkContext._jsc.sc().getCheckpointDir()
+        assert not ckdir.isEmpty() and str(tmp_path / "ck") in ckdir.get()
+
+
 class TestPushdownAndBroadcast:
     def test_filter_reaches_parquet_scan(self, spark):
         df = (
@@ -977,7 +1017,7 @@ class TestRound12Plans:
         p = db.pager("SELECT k, c FROM t", page_size=5)
         first = p.fetch_page()
         assert len(first) == 5
-        frame = p._frame_memo[1]
+        frame = db._pager_frames[repr(p._st)][1]
         spec = p._order_spec()
         page_plan = (
             frame.filter(p._after_filter(p._pos))
