@@ -33,6 +33,8 @@ direct port of the reference algorithm, in tests/test_murmur3.py.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -147,12 +149,14 @@ def murmur3_token_column_native(col):
 
     # k1 = XOR_j sx(byte_j) << 8j over the 8 big-endian key bytes, with the
     # reference's tail sign-extension quirk: sx(b) = b | 0xFF..FF00 when
-    # b > 127. Arithmetic form (no when/otherwise): the sign-extended
-    # pattern is b + (b >> 7) * 0xFF..00, referencing b twice instead of 3x.
+    # b > 127. Arithmetic-shift form: shiftleft parks byte j at the top,
+    # ARITHMETIC shiftright(56) sign-extends it — one reference to the key
+    # per byte, 3 nodes per term. Tree size is plan-time cost here (the
+    # optimizer re-walks the whole expression every rule pass), so every
+    # removed duplication is driver latency, not style.
     k1 = None
     for j in range(8):
-        b = F.shiftrightunsigned(c, 56 - 8 * j).bitwiseAND(F.lit(0xFF))
-        sx = b + F.shiftrightunsigned(b, 7) * F.lit(-256)  # -256 = sign mask
+        sx = F.shiftright(F.shiftleft(c, 8 * j), 56)
         term = F.shiftleft(sx, 8 * j)
         k1 = term if k1 is None else k1.bitwiseXOR(term)
     k1 = k1 * s64(C1)
@@ -168,10 +172,22 @@ def murmur3_token_column_native(col):
 def murmur3_token_column(col):
     """Column expression form: Cassandra Murmur3 token of a bigint column
     (non-null, as partition keys are). Usable in filters and projections.
-    Under the engine's ANSI-off session this is the JVM-native codegen
-    expression (no Python boundary); a foreign ANSI session gets the
-    Arrow kernel, which does not depend on wrapping semantics."""
-    if _ansi_off():
+
+    Backend dispatch, measured not guessed (r14): the native expression
+    removes the JVM→Python boundary (~2 µs/row of Arrow transfer +
+    batch dispatch) but costs a FIXED ~0.5-1 s of driver work per query
+    invocation — Catalyst re-walks the ~2k-node hash tree every
+    optimizer pass, and every sink re-plans (measured: shallow token
+    query 0.1 s plan/0.4 s total with the kernel vs 0.4-0.7 s plan/
+    0.9-1.1 s total native at sf0.1; the bulk-write shape 0.25 s vs
+    0.4-1.0 s). The crossover is ~0.5-1M rows per token evaluation:
+    below it the Arrow kernel wins, above it the native form saves
+    minutes per pass (10^9 rows ≈ 30+ min of boundary vs ~1 s of plan
+    tax). Local/bench scale sits under the crossover, so the kernel is
+    the default; set SPARK_GRAFT_NATIVE_TOKEN=1 on cluster deployments
+    (requires the engine's ANSI-off posture — enforced here, falling
+    back to the kernel on ANSI sessions)."""
+    if os.environ.get("SPARK_GRAFT_NATIVE_TOKEN") and _ansi_off():
         return murmur3_token_column_native(col)
     c = F.col(col) if isinstance(col, str) else col
     return _murmur3_token_udf(c.cast("long"))

@@ -80,22 +80,35 @@ class TestMurmur3Token:
         )
         assert "EvalPython" not in plan
 
-    def test_ansi_session_falls_back_to_arrow_kernel(self, spark):
-        # the native form needs wrapping long arithmetic; under an ANSI
-        # session (Spark 4's bare-session default — the driver gate runs
-        # one) the dispatch must pick the Arrow kernel, and the values
-        # must still match the port. Reads the EFFECTIVE conf value — a
-        # fallback default here once silently chose native and overflowed.
+    def test_native_token_dispatch_gates(self, spark, monkeypatch):
+        # SPARK_GRAFT_NATIVE_TOKEN=1 engages the native expression (a
+        # scale lever: fixed plan tax vs per-row boundary — see the
+        # dispatch docstring), but ONLY under ANSI-off wrapping
+        # semantics: with ANSI on (Spark 4's bare-session default — the
+        # driver gate runs one) the dispatch must keep the Arrow kernel
+        # and the values must still match the port. Reads the EFFECTIVE
+        # conf value — a fallback default here once silently chose
+        # native on an ANSI session and overflowed at run time.
         from cassandra_pmem_spark.functions.murmur3 import (
             murmur3_token_column,
         )
 
         df = spark.createDataFrame([(v,) for v in EDGE_KEYS], "k bigint")
+
+        def plan_of():
+            return (
+                df.select(murmur3_token_column("k"))
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+
+        assert "EvalPython" in plan_of()  # default: Arrow kernel
+        monkeypatch.setenv("SPARK_GRAFT_NATIVE_TOKEN", "1")
+        assert "EvalPython" not in plan_of()  # lever engaged: native
         spark.conf.set("spark.sql.ansi.enabled", "true")
         try:
             out = df.select("k", murmur3_token_column("k").alias("t"))
             plan = out._jdf.queryExecution().executedPlan().toString()
-            assert "EvalPython" in plan  # Arrow kernel, not native
+            assert "EvalPython" in plan  # ANSI blocks native even w/ env
             got = {r.k: r.t for r in out.collect()}  # no overflow error
         finally:
             spark.conf.set("spark.sql.ansi.enabled", "false")
