@@ -102,7 +102,16 @@ def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
                     os.path.join(tempfile.gettempdir(), "spark-graft-ckpt"),
                 )
             )
-        return df.checkpoint(eager=eager)
+        # persist first (the RDD.checkpoint contract's own recommendation):
+        # the reliable-checkpoint file write runs as a follow-up job that
+        # would otherwise RECOMPUTE the frame from lineage — persisting
+        # makes it a cache read. The blocks are dropped once the
+        # checkpoint files are the source of truth.
+        df = df.persist()
+        out = df.checkpoint(eager=eager)
+        if eager:
+            df.unpersist(blocking=False)
+        return out
     return df.localCheckpoint(eager=eager)
 
 
