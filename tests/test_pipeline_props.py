@@ -1077,6 +1077,29 @@ class TestConnectedComponents:
         }
         assert got == {i: i for i in range(5)}
 
+    def test_string_ids_take_the_join_detector(self, spark):
+        """ADVICE r13 (medium): string doc ids cast to NULL in the
+        label-sum convergence detector, so both sums were None and the
+        loop silently stopped after one round, under-propagating chains.
+        The integral gate must route string ids to the changed-count
+        join detector and still close the transitive chain."""
+        from cassandra_pmem_spark.pipeline.dedup import connected_components
+
+        # a chain needing THREE propagation rounds: d-c, c-b, b-a —
+        # one round only pulls each label one hop
+        edges = spark.createDataFrame(
+            [("d", "c"), ("c", "b"), ("b", "a"), ("x", "y")], ["a", "b"]
+        )
+        verts = spark.createDataFrame(
+            [(v,) for v in "abcdxyz"], ["doc_id"]
+        )
+        got = {
+            r["doc_id"]: r["comp"]
+            for r in connected_components(edges, verts).collect()
+        }
+        assert got == {"a": "a", "b": "a", "c": "a", "d": "a",
+                       "x": "x", "y": "x", "z": "z"}
+
     def test_near_dup_components_clusters_generations(self, spark):
         """base, base+' alpha beta', base+' gamma delta' must share one
         cluster labelled by the smallest id."""
